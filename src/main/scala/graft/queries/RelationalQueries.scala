@@ -1,0 +1,331 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator conformance suite (SURVEY.md §2.2-§2.8).
+  *
+  * Each query exercises one operator family from the reference inventory,
+  * re-expressed over the driver's TPC-H-ish tables so the DuckDB oracle can
+  * hash-check it. Mapping to SURVEY §2 ids is noted per query.
+  *
+  * Scale notes: dims (region/nation/supplier/part/customer) are broadcast;
+  * fact-fact joins shuffle on their keys; aggregates are partial (map-side
+  * combine) by construction since all are Catalyst built-ins.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Money in integer cents: order-independent sums, exact oracle compare. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // A1/A5/O3 + map-side partial agg: TPC-H Q1-shaped pricing summary.
+    // Reference analogue: array_agg-free grouped aggregation (daemon.py:173+).
+    GraftQuery(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
+        |  SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
+        |  SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS sum_disc_c,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(cents($"l_quantity")).as("sum_qty_c"),
+          sum(cents($"l_extendedprice")).as("sum_price_c"),
+          sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000, 0)
+            .cast("long")).as("sum_disc_c"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // J1 (broadcast dim joins) + multi-way equi-join + grouped agg.
+    GraftQuery(
+      "q02_revenue_by_nation",
+      """SELECT n_name,
+        |  SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS revenue_c,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region").filter($"r_name" === "ASIA"))
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(n, $"c_nationkey" === $"n_nationkey")
+        .join(r, $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(
+          sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000, 0)
+            .cast("long")).as("revenue_c"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    },
+
+    // J3: change-propagation semi-join (EXISTS). Reference daemon.py:139-152.
+    GraftQuery(
+      "q03_semi_join",
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val hot = t(s, dir, "lineitem").filter($"l_quantity" >= 45)
+        .select($"l_orderkey".as("o_orderkey"))
+      o.join(hot, Seq("o_orderkey"), "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // P2-style anti-join (NOT EXISTS): customers with no finished orders.
+    GraftQuery(
+      "q04_anti_join",
+      """SELECT c_mktsegment, COUNT(*) AS n_custs
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val f = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+        .select($"o_custkey".as("c_custkey"))
+      c.join(f, Seq("c_custkey"), "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // O2/O4: top-k — Spark plans TakeOrderedAndProject (no full sort at scale).
+    GraftQuery(
+      "q05_topk_orders",
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+        |FROM orders
+        |ORDER BY total_c DESC, o_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", cents($"o_totalprice").as("total_c"))
+        .orderBy($"total_c".desc, $"o_orderkey")
+        .limit(10)
+    },
+
+    // Window (row_number) — latest order per customer; CDC O1 total-order.
+    GraftQuery(
+      "q06_latest_order_per_customer",
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("odate"))
+        .orderBy($"o_custkey")
+    },
+
+    // U1: union of role-tagged streams then per-entity aggregation
+    // (reference etl.py:169-185 director/actor/writer fan-in).
+    GraftQuery(
+      "q07_union_role_streams",
+      """SELECT user_id, src, COUNT(*) AS n
+        |FROM (
+        |  SELECT user_id, 'clicker' AS src FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, 'viewer' AS src FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, 'buyer' AS src FROM events WHERE event_type = 'purchase'
+        |)
+        |GROUP BY user_id, src
+        |ORDER BY user_id, src""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = t(s, dir, "events")
+      def tagged(et: String, src: String) =
+        e.filter($"event_type" === et).select($"user_id", lit(src).as("src"))
+      tagged("click", "clicker")
+        .union(tagged("view", "viewer"))
+        .union(tagged("purchase", "buyer"))
+        .groupBy($"user_id", $"src")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"user_id", $"src")
+    },
+
+    // A4: row-level DISTINCT (reference SELECT DISTINCT * scans, etl.py:68-96).
+    GraftQuery(
+      "q08_distinct",
+      """SELECT DISTINCT p_brand, p_type FROM part
+        |ORDER BY p_brand, p_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "part").select($"p_brand", $"p_type").distinct()
+        .orderBy($"p_brand", $"p_type")
+    },
+
+    // A1/J5: aggregate-then-left-join denormalization — the Spark-native
+    // re-expression of the reference's LEFT JOIN LATERAL array_agg
+    // (daemon.py:160-200). Arrays sorted then stringified for hash-compare.
+    GraftQuery(
+      "q09_denorm_order_parts",
+      """SELECT o.o_orderkey, o.o_orderstatus, a.parts, a.n_items
+        |FROM orders o
+        |LEFT JOIN (
+        |  SELECT l_orderkey,
+        |    string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts,
+        |    COUNT(*) AS n_items
+        |  FROM lineitem GROUP BY l_orderkey) a
+        |ON o.o_orderkey = a.l_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val agg = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(
+          array_join(
+            transform(sort_array(collect_list($"l_partkey")), _.cast("string")),
+            ",").as("parts"),
+          count(lit(1)).as("n_items"))
+      t(s, dir, "orders")
+        .join(agg, $"o_orderkey" === $"l_orderkey", "left_outer")
+        .select($"o_orderkey", $"o_orderstatus", $"parts", $"n_items")
+        .orderBy($"o_orderkey")
+    },
+
+    // A2 (filtered agg) + A3 (distinct-set agg). Reference views.py:30-32,
+    // daemon.py:283-286.
+    GraftQuery(
+      "q10_filtered_and_set_agg",
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(when($"o_orderstatus" === "F", 1)).as("n_f"),
+          array_join(sort_array(collect_set($"o_orderstatus")), ",")
+            .as("statuses"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // F2: JSON-string column parse (reference etl.py:99 writers JSON).
+    // Spark uses typed from_json; oracle extracts the same integer.
+    GraftQuery(
+      "q11_json_extract",
+      """SELECT event_type,
+        |  SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+        |  COUNT(*) AS cnt
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val kSchema = StructType(Seq(StructField("k", LongType)))
+      t(s, dir, "events")
+        .withColumn("k", from_json($"props", kSchema).getField("k"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), count(lit(1)).as("cnt"))
+        .orderBy($"event_type")
+    },
+
+    // P1 (sentinel→NULL) + P6/F3 (null fallback/coalesce).
+    GraftQuery(
+      "q12_sentinel_clean",
+      """SELECT doc_id, COALESCE(NULLIF(NULLIF(source,'src0'),''),'unknown') AS src
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(
+          $"doc_id",
+          coalesce(
+            when($"source".isin("src0", ""), lit(null)).otherwise($"source"),
+            lit("unknown")).as("src"))
+        .orderBy($"doc_id")
+    },
+
+    // O4: offset pagination over a total order (api.py:85-86; page 3, size 20).
+    GraftQuery(
+      "q13_pagination",
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+        |FROM orders
+        |ORDER BY total_c DESC, o_orderkey
+        |LIMIT 20 OFFSET 40""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey", cents($"o_totalprice").as("total_c"))
+        .orderBy($"total_c".desc, $"o_orderkey")
+        .offset(40)
+        .limit(20)
+    },
+
+    // P8/P9: substring search + facet counts (admin.py:20-47).
+    GraftQuery(
+      "q14_substring_facets",
+      """SELECT p_brand, COUNT(*) AS n
+        |FROM part
+        |WHERE lower(p_name) LIKE '%widget%'
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "part")
+        .filter(lower($"p_name").contains("widget"))
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"p_brand")
+    },
+
+    // S5/T2 batch analogue: idempotent upsert = keep latest row per key
+    // (what the ES bulk-upsert by doc id converges to).
+    GraftQuery(
+      "q15_upsert_latest_per_key",
+      """SELECT user_id, event_id, event_type,
+        |  CAST(round(value*100) AS BIGINT) AS value_c
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"event_type",
+          cents($"value").as("value_c"))
+        .orderBy($"user_id")
+    })
+}
