@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** All registered conformance queries, in suite order. */
   def allQueries: Seq[GraftQuery] =
-    RelationalQueries.all
+    RelationalQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design:
+  *  - Exact dedup shuffles once on a 16-byte hash key (not the full text).
+  *  - Near-dup candidate generation NEVER does a cross join: MinHash/LSH
+  *    buckets via explode + self-equi-join on (band, bandHash) — the join
+  *    key cardinality grows with corpus size so the shuffle stays balanced;
+  *    n-gram Jaccard uses an inverted-index join on shingle hash.
+  *  - Signatures/hashes are portable polynomial arithmetic (see TextOps),
+  *    reproducible in any engine for oracle checks.
+  */
+object DedupOps {
+
+  /** Prime larger than 2^32 for MinHash universal hashing. */
+  val MinhashPrime: Long = 4294967311L
+
+  /** Exact-dedup key: md5 of whitespace/case-normalized text. */
+  def exactKey(text: Column): Column = md5(TextOps.normalize(text))
+
+  /** Drop exact duplicates, keeping the row with the smallest `id` per
+    * key. One shuffle on the hash key; min_by avoids a sort.
+    */
+  def dropExactDuplicates(df: DataFrame, id: String, text: String): DataFrame = {
+    val keyed = df.withColumn("__key", exactKey(col(text)))
+    val keep = keyed.groupBy(col("__key"))
+      .agg(min(col(id)).as(id + "__keep"))
+    keyed.join(keep,
+        keyed("__key") === keep("__key") &&
+          col(id) === col(id + "__keep"), "left_semi")
+      .drop("__key")
+  }
+
+  /** MinHash signature (length k) over a distinct shingle-hash array.
+    * Permutation j is the universal hash h -> (a_j*h + b_j) mod P with
+    * a_j = 2j+1 (odd), b_j = j*j+7 — fixed, engine-portable parameters.
+    * Empty shingle sets get signature element P (= "no shingle" sentinel).
+    */
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), j => {
+      val a = j * lit(2L) + lit(1L)
+      val b = j * j + lit(7L)
+      coalesce(
+        array_min(transform(shingleHashes,
+          h => (a * h + b) % lit(MinhashPrime))),
+        lit(MinhashPrime))
+    })
+
+  /** LSH band keys for a signature: `bands` structs (band index, portable
+    * hash of that band's `rows` signature slots). Docs sharing any band
+    * key are near-dup candidates.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(
+        b.as("band"),
+        aggregate(
+          slice(sig, b * lit(rows) + lit(1), lit(rows)),
+          lit(0L),
+          (acc, x) => (acc * lit(31L) + x % lit(TextOps.HashPrime))
+            % lit(TextOps.HashPrime)).as("bh")))
+
+  /** Candidate near-dup pairs (idA < idB) from LSH banding: explode band
+    * keys and self-join on (band, bandHash). Distributed: one shuffle on
+    * the band key, no cross join.
+    */
+  def lshCandidatePairs(
+      df: DataFrame, id: String, sig: String,
+      bands: Int, rows: Int): DataFrame = {
+    val exploded = df
+      .select(col(id), explode(lshBandKeys(col(sig), bands, rows)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val l = exploded.select(col("band"), col("bh"), col(id).as("id_a"))
+    val r = exploded.select(col("band"), col("bh"), col(id).as("id_b"))
+    l.join(r, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Jaccard similarity in per-mille (integer-exact) between two distinct
+    * element arrays: |a∩b| * 1000 div |a∪b|.
+    */
+  def jaccardMilli(a: Column, b: Column): Column =
+    floor(size(array_intersect(a, b)).cast("double") * 1000.0 /
+      size(array_union(a, b)).cast("double")).cast("long")
+
+  /** 32-bit SimHash over an array of portable token hashes: bit i of the
+    * result is set when the sum of (2*bit_i(h) - 1) over all hashes is
+    * positive. Returned as a non-negative Long.
+    */
+  def simhash32(tokenHashes: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(31)), i => {
+        val pow2 = pow(lit(2.0), i).cast("long")
+        val bitSum = aggregate(tokenHashes, lit(0L),
+          (acc, h) => acc + ((h.cast("long") / pow2).cast("long") % lit(2L))
+            * lit(2L) - lit(1L))
+        when(bitSum > 0, pow2).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Hamming distance between two SimHash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Inverted-index candidate pairs for n-gram Jaccard: explode shingle
+    * hashes, self-join on the hash, count shared shingles per pair.
+    * Returns (id_a, id_b, shared). Scale path: frequency-cap hot shingles
+    * upstream (stop-shingle removal) to bound join fan-out.
+    */
+  def sharedShingleCounts(
+      df: DataFrame, id: String, shingles: String): DataFrame = {
+    val inv = df.select(col(id), explode(col(shingles)).as("sh"))
+    val l = inv.select(col("sh"), col(id).as("id_a"))
+    val r = inv.select(col("sh"), col(id).as("id_b"))
+    l.join(r, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Scale design:
+  *  - All vector math is double-precision higher-order-function arithmetic
+  *    (zip-free index fold → identical IEEE op order in any engine, so
+  *    results are oracle-reproducible bit-for-bit).
+  *  - Brute-force top-k broadcasts the (small) query set and streams the
+  *    corpus — one pass, no shuffle except the final per-query top-k
+  *    (TakeOrdered via window over query_id partitions).
+  *  - The scale path is sign-random-projection LSH: per-vector integer
+  *    signature from deterministic pseudo-random hyperplanes; candidates
+  *    join on signature buckets instead of crossing the corpus.
+  */
+object SimilarityOps {
+
+  /** Left-fold dot product of two equal-length vectors in index order —
+    * deterministic IEEE summation, engine-portable.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      sequence(lit(0), size(a) - lit(1)),
+      lit(0.0),
+      (acc, i) => acc +
+        element_at(a, i + lit(1)).cast("double") *
+          element_at(b, i + lit(1)).cast("double"))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (double). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine scaled to integer micro-units for exact cross-engine compare:
+    * round(cos * 1e6). All constituent IEEE ops (fold-order products/sums,
+    * sqrt, divide, multiply) are correctly rounded, so two engines
+    * evaluating this same expression tree agree bit-for-bit.
+    */
+  def cosineMicro(a: Column, b: Column): Column =
+    round(cosine(a, b) * lit(1000000.0), 0).cast("long")
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors. Queries are broadcast (they must be small — the corpus is
+    * the big side and streams through one scan at any scale); per-query
+    * ranking is a window top-k, shuffled by query_id only.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = corpus.join(broadcast(queries))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("cos_micro", cosineMicro(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cos_micro").desc, col(corpusId).asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cos_micro"), col("rank"))
+  }
+
+  /** Sign-random-projection LSH signature: `nBits` pseudo-random
+    * hyperplanes; bit j is set when sum_i(v_i * r_ji) > 0, with
+    * r_ji ∈ {-1,+1} derived from the parity of a portable integer hash of
+    * (j,i). Deterministic, no stored model; vectors landing in the same
+    * bucket are ANN candidates.
+    */
+  def srpSignature(vec: Column, nBits: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nBits - 1)), j => {
+        val proj = aggregate(
+          sequence(lit(0), size(vec) - lit(1)),
+          lit(0.0),
+          (acc, i) => {
+            // portable hash of (j,i) → ±1
+            val h = (j * lit(2654435761L) + i * lit(40503L) +
+              lit(2166136261L)) % lit(TextOps.HashPrime)
+            val sign = when(h % lit(2L) === lit(0L), lit(1.0)).otherwise(lit(-1.0))
+            acc + element_at(vec, i + lit(1)).cast("double") * sign
+          })
+        when(proj > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc + x)
+
+  /** ANN via SRP-LSH buckets: probe = exact cosine only within matching
+    * buckets. Returns candidate pairs with cosine; recall depends on
+    * nBits (fewer bits → bigger buckets → higher recall, more compute).
+    */
+  def lshNeighborPairs(
+      df: DataFrame, id: String, vec: String, nBits: Int,
+      minCosMicro: Long): DataFrame = {
+    val sig = df.select(col(id), col(vec),
+      srpSignature(col(vec), nBits).as("bucket"))
+    val l = sig.select(col("bucket"), col(id).as("id_a"), col(vec).as("vec_a"))
+    val r = sig.select(col("bucket"), col(id).as("id_b"), col(vec).as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_micro", cosineMicro(col("vec_a"), col("vec_b")))
+      .filter(col("cos_micro") >= minCosMicro)
+      .select("id_a", "id_b", "cos_micro").distinct()
+  }
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale document pipelines.
+  *
+  * Design: every op here is a pure per-row Column expression built from
+  * Catalyst built-ins and higher-order functions — fully codegen'd, no UDFs,
+  * no shuffle, so they stream through a 100 TB scan at parquet-read speed
+  * and survive whole-stage codegen fusion with up/downstream operators.
+  *
+  * Hashes are engine-portable polynomial hashes (deterministic arithmetic,
+  * reproducible in any SQL engine) rather than murmur3, so results can be
+  * oracle-checked and replayed across engines/versions.
+  */
+object TextOps {
+
+  /** Mod-prime for all polynomial hashes: fits products in a Long. */
+  val HashPrime: Long = 1000000007L
+
+  /** Whitespace tokenizer. `split` is codegen'd; pattern is a regex. */
+  def tokenize(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** Portable polynomial rolling hash of a string:
+    * fold(acc*31 + codepoint) mod p. O(len), codegen'd.
+    */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c)),
+      lit(0L),
+      (acc, x) => (acc * lit(31L) + x.cast("long")) % lit(HashPrime))
+
+  /** Document fingerprint = polynomial hash of the raw text (F-style
+    * rolling-hash fingerprint; use `normalize` upstream as needed).
+    */
+  def fingerprint(text: Column): Column = polyHash(text)
+
+  /** Canonical text for exact-dedup keys: lowercase, trim, collapse runs of
+    * whitespace. Dedup key itself should be `md5(normalize(text))`.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Count of tokens that are stopwords (membership against a small
+    * broadcast-literal list; for big lists use a broadcast join instead).
+    */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokenize(text), t => t.isin(stopwords.map(lit): _*)))
+
+  /** Integer division (floor) — exact for non-negative longs up to 2^53
+    * (double division of exactly-representable ints is correctly rounded;
+    * the true quotient is ≥ 1/b away from the next integer, far outside
+    * half-ulp, so floor is safe).
+    */
+  private def intDiv(a: Column, b: Column): Column =
+    floor(a.cast("double") / b.cast("double")).cast("long")
+
+  /** Average token length in milli-chars (integer — oracle-exact):
+    * sum(len(token)) * 1000 div count(token).
+    */
+  def avgTokenLenMilli(text: Column): Column = {
+    val toks = tokenize(text)
+    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    intDiv(totalLen * lit(1000L), size(toks))
+  }
+
+  /** Heuristic quality score in [0,100] (integer), rewarding documents with
+    * a healthy length, moderate stopword density and word length — the
+    * shape of pre-training quality filters (length/stopword/char-class
+    * ratios), kept integer-exact for cross-engine verification.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text)
+    val stopPm = intDiv(stopwordCount(text, stopwords) * lit(1000L), nTok)
+    val lenPts = when(nTok >= 50 && nTok <= 1000, lit(40L))
+      .when(nTok >= 10, lit(20L)).otherwise(lit(0L))
+    val stopPts = when(stopPm.between(10, 400), lit(30L))
+      .when(stopPm > 0, lit(15L)).otherwise(lit(0L))
+    val awl = avgTokenLenMilli(text)
+    val wordPts = when(awl.between(3000, 8000), lit(30L))
+      .when(awl.between(2000, 10000), lit(15L)).otherwise(lit(0L))
+    lenPts + stopPts + wordPts
+  }
+
+  /** N-gram (word-level) shingles: ["a","b","c","d"], n=3 →
+    * ["a b c","b c d"]. Empty array when the doc has fewer than n tokens.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokenize(text)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Shingle hash set: distinct portable hashes of the n-gram shingles —
+    * the input unit for MinHash/Jaccard dedup.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(wordShingles(text, n), polyHash(_)))
+
+  /** Language-ID by marker-token voting: the language whose marker list
+    * hits the document's token set most often wins; zero-hit docs resolve
+    * to "und", ties to the lexicographically greatest language code
+    * (struct max compares (hits, lang) field-by-field — deterministic and
+    * replicable in any engine). Markers are tiny per-language stopword
+    * lists — the classic stopword-profile heuristic reduced to its
+    * deterministic core (real profiles plug in as bigger marker lists).
+    */
+  def langIdByMarkers(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val toks = array_distinct(tokenize(text))
+    val scored = markers.toSeq.sortBy(_._1).map { case (langCode, ws) =>
+      struct(
+        size(filter(toks, t => t.isin(ws.map(lit): _*))).as("hits"),
+        lit(langCode).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

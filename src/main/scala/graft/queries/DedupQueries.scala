@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{DedupOps, TextOps}
+
+/** Deduplication conformance suite over `documents`: exact dedup,
+  * n-gram Jaccard, MinHash+LSH, SimHash — each hash-checked against a
+  * DuckDB re-implementation of the same portable arithmetic.
+  *
+  * Scale notes: no query here cross-joins the corpus. Candidate pairs
+  * come from equi-joins on shingle/band/bucket keys (inverted-index
+  * pattern), so the shuffles stay proportional to corpus size; the
+  * per-row signature math is codegen'd higher-order functions.
+  */
+object DedupQueries {
+
+  private val ShingleN = 3
+
+  // DuckDB fragments for the shared portable hashes (kept in lockstep with
+  // TextOps.polyHash / TextOps.shingleHashes — see those scaladocs).
+  private val DuckShingleHashes =
+    """list_distinct(list_transform(
+      |    list_transform(generate_series(1, len(string_split_regex(text,'\s+'))-2),
+      |      i -> array_to_string(string_split_regex(text,'\s+')[i:i+2], ' ')),
+      |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(string_split(s,''), c -> ascii(c))),
+      |         (a,x) -> (a*31+x)%1000000007)))""".stripMargin
+
+  private val DuckTokenHashes =
+    """list_distinct(list_transform(string_split_regex(text,'\s+'),
+      |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(string_split(s,''), c -> ascii(c))),
+      |         (a,x) -> (a*31+x)%1000000007)))""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Exact dedup: inject duplicate rows (same text, new ids), dedup by
+    // md5(normalized text) keeping the smallest id, count survivors.
+    GraftQuery(
+      "q30_exact_dedup",
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text, source FROM documents WHERE doc_id < 50),
+         |keyed AS (
+         |  SELECT *, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS key
+         |  FROM all_docs),
+         |keep AS (SELECT key, min(doc_id) AS keep_id FROM keyed GROUP BY key)
+         |SELECT source, COUNT(*) AS n_docs
+         |FROM keyed k JOIN keep ON k.key = keep.key AND k.doc_id = keep.keep_id
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text", $"source")
+      val withDups = docs.union(
+        docs.filter($"doc_id" < 50)
+          .select(($"doc_id" + 100000).as("doc_id"), $"text", $"source"))
+      DedupOps.dropExactDuplicates(withDups, "doc_id", "text")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    },
+
+    // N-gram Jaccard near-dup pairs via inverted-index join on shingle
+    // hashes (no cross join); per-mille similarity, integer-exact.
+    GraftQuery(
+      "q31_ngram_jaccard",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $DuckShingleHashes AS hashes FROM documents),
+         |inv AS (SELECT doc_id, unnest(hashes) AS h FROM sh),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+         |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(hashes) AS n FROM sh)
+         |SELECT id_a, id_b,
+         |  (shared*1000)//(sa.n + sb.n - shared) AS jaccard_milli
+         |FROM shared
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE (shared*1000)//(sa.n + sb.n - shared) >= 500
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+      val sizes = sh.select($"doc_id", size($"hashes").as("n"))
+      DedupOps.sharedShingleCounts(sh, "doc_id", "hashes")
+        .join(sizes.select($"doc_id".as("id_a"), $"n".as("n_a")), "id_a")
+        .join(sizes.select($"doc_id".as("id_b"), $"n".as("n_b")), "id_b")
+        .select($"id_a", $"id_b",
+          floor($"shared".cast("double") * 1000.0 /
+            ($"n_a" + $"n_b" - $"shared").cast("double")).cast("long")
+            .as("jaccard_milli"))
+        .filter($"jaccard_milli" >= 500)
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // MinHash (k=16) + LSH (4 bands × 4 rows) candidate pairs.
+    GraftQuery(
+      "q32_minhash_lsh",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $DuckShingleHashes AS hashes FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, list_transform(generate_series(0, 15), j ->
+         |    coalesce(list_min(list_transform(hashes,
+         |      h -> ((2*j+1)*h + j*j+7) % 4294967311)), 4294967311)) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+         |      (a,x) -> (a*31 + x%1000000007) % 1000000007) AS bh
+         |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+      val sig = sh.select($"doc_id",
+        DedupOps.minhashSignature($"hashes", 16).as("sig"))
+      DedupOps.lshCandidatePairs(sig, "doc_id", "sig", bands = 4, rows = 4)
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // SimHash: 32-bit signature per document from distinct token hashes.
+    GraftQuery(
+      "q33_simhash",
+      s"""WITH th AS (
+         |  SELECT doc_id, $DuckTokenHashes AS hashes FROM documents)
+         |SELECT doc_id,
+         |  list_sum(list_transform(generate_series(0, 31), i ->
+         |    CASE WHEN list_sum(list_transform(hashes,
+         |        h -> ((h // CAST(pow(2,i) AS BIGINT)) % 2) * 2 - 1)) > 0
+         |      THEN CAST(pow(2,i) AS BIGINT) ELSE 0 END)) AS simhash
+         |FROM th ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          DedupOps.simhash32(
+            array_distinct(
+              transform(TextOps.tokenize($"text"), TextOps.polyHash(_))))
+            .as("simhash"))
+        .orderBy($"doc_id")
+    })
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.SimilarityOps
+
+/** Similarity-search conformance suite over `embeddings`
+  * (500 × 64-dim float vectors at sf0.01).
+  *
+  * Cosine values are computed as a left fold in index order with double
+  * casts on both engines → bit-identical IEEE results → integer
+  * micro-cosines hash-match exactly (see SimilarityOps.cosineMicro).
+  */
+object SimilarityQueries {
+
+  // DuckDB fold-order cosine, kept in lockstep with SimilarityOps.cosine.
+  private def duckCosMicro(a: String, b: String): String =
+    s"""round(1000000.0 * (
+       |  list_reduce(list_prepend(0.0, list_transform(generate_series(1,64),
+       |    i -> CAST($a.embedding[i] AS DOUBLE)*CAST($b.embedding[i] AS DOUBLE))), (x,y)->x+y)
+       |  / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64),
+       |      i -> CAST($a.embedding[i] AS DOUBLE)*CAST($a.embedding[i] AS DOUBLE))), (x,y)->x+y))
+       |   * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64),
+       |      i -> CAST($b.embedding[i] AS DOUBLE)*CAST($b.embedding[i] AS DOUBLE))), (x,y)->x+y)))))""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Embedding-cosine near-dup pairs above a threshold. Conformance runs
+    // all-pairs at this scale; the 100 TB path is
+    // SimilarityOps.lshNeighborPairs (SRP-LSH bucketing, no cross join) —
+    // recall-tested against this exact op in SimilaritySpec.
+    GraftQuery(
+      "q34_cosine_pairs",
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(${duckCosMicro("a", "b")} AS BIGINT) AS cos_micro
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${duckCosMicro("a", "b")} >= 400000
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      val a = e.select($"vec_id".as("id_a"), $"embedding".as("vec_a"))
+      val b = e.select($"vec_id".as("id_b"), $"embedding".as("vec_b"))
+      a.join(b, $"id_a" < $"id_b")
+        .withColumn("cos_micro", SimilarityOps.cosineMicro($"vec_a", $"vec_b"))
+        .filter($"cos_micro" >= 400000)
+        .select($"id_a", $"id_b", $"cos_micro")
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // Brute-force cosine top-k: 5 nearest corpus vectors for each of the
+    // first 10 vectors. Queries broadcast; corpus streams; final rank is
+    // a window over query_id.
+    GraftQuery(
+      "q35_ann_topk",
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(${duckCosMicro("q", "c")} AS BIGINT) AS cos_micro
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 10),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_micro DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos_micro, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      SimilarityOps.bruteForceTopK(
+          e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5)
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          $"cos_micro", $"rank")
+        .orderBy($"query_id", $"rank")
+    })
+}

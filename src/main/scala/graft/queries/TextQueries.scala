@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextOps
+
+/** Text-analysis conformance suite over the `documents` table.
+  *
+  * Covers the training-data-pipeline text ops: token counting, quality
+  * scoring, document fingerprinting (rolling hash), language-ID. All
+  * outputs are integers/strings (no floats) so the DuckDB oracle
+  * hash-compare is exact. Every op is a narrow per-row expression
+  * (TextOps) — at 100 TB these run at scan speed with zero shuffle
+  * besides the final (tiny) aggregate.
+  */
+object TextQueries {
+
+  private val Stopwords = Seq("a", "the")
+
+  // Marker lists keyed by language code; deterministic toy profiles over
+  // the synthetic vocabulary (see TextOps.langIdByMarkers for semantics).
+  private val Markers: Map[String, Seq[String]] = Map(
+    "sql" -> Seq("table", "query", "join", "group", "order"),
+    "exe" -> Seq("scan", "hash", "merge", "sort", "filter"),
+    "big" -> Seq("spark", "stream", "batch", "window", "part"))
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Token counting: per-source token totals and document stats.
+    GraftQuery(
+      "q20_token_stats",
+      """SELECT source,
+        |  SUM(len(string_split_regex(text, '\s+'))) AS total_tokens,
+        |  MAX(len(string_split_regex(text, '\s+'))) AS max_tokens,
+        |  COUNT(*) AS n_docs
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"source", TextOps.tokenCount($"text").cast("long").as("n_tok"))
+        .groupBy($"source")
+        .agg(
+          sum($"n_tok").as("total_tokens"),
+          max($"n_tok").as("max_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    },
+
+    // Quality scoring: integer 0-100 score from length/stopword/word-length
+    // signals; distribution per language.
+    GraftQuery(
+      "q21_quality_score",
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(string_split_regex(text, '\s+')) AS n_tok,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        t -> t IN ('a','the'))) AS n_stop,
+        |    list_sum(list_transform(string_split_regex(text, '\s+'),
+        |        t -> len(t))) AS sum_len
+        |  FROM documents),
+        |pts AS (
+        |  SELECT lang,
+        |    (CASE WHEN n_tok BETWEEN 50 AND 1000 THEN 40
+        |          WHEN n_tok >= 10 THEN 20 ELSE 0 END)
+        |  + (CASE WHEN (n_stop*1000)//n_tok BETWEEN 10 AND 400 THEN 30
+        |          WHEN (n_stop*1000)//n_tok > 0 THEN 15 ELSE 0 END)
+        |  + (CASE WHEN (sum_len*1000)//n_tok BETWEEN 3000 AND 8000 THEN 30
+        |          WHEN (sum_len*1000)//n_tok BETWEEN 2000 AND 10000 THEN 15
+        |          ELSE 0 END) AS score
+        |  FROM scored)
+        |SELECT lang, SUM(score) AS total_score, MIN(score) AS min_score,
+        |       MAX(score) AS max_score, COUNT(*) AS n_docs
+        |FROM pts GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"lang",
+          TextOps.qualityScore($"text", Stopwords).as("score"))
+        .groupBy($"lang")
+        .agg(
+          sum($"score").as("total_score"),
+          min($"score").as("min_score"),
+          max($"score").as("max_score"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"lang")
+    },
+
+    // Document fingerprinting: portable polynomial rolling hash per doc.
+    GraftQuery(
+      "q22_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> ascii(c))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    },
+
+    // Language-ID by marker voting; confusion-style matrix vs the labeled
+    // lang column (counts only — deterministic).
+    GraftQuery(
+      "q23_langid_markers",
+      """WITH guessed AS (
+        |  SELECT lang,
+        |    CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS guess
+        |  FROM (
+        |    SELECT lang, list_max([
+        |      {'hits': len(list_filter(list_distinct(string_split_regex(text,'\s+')),
+        |          t -> t IN ('spark','stream','batch','window','part'))), 'lang': 'big'},
+        |      {'hits': len(list_filter(list_distinct(string_split_regex(text,'\s+')),
+        |          t -> t IN ('scan','hash','merge','sort','filter'))), 'lang': 'exe'},
+        |      {'hits': len(list_filter(list_distinct(string_split_regex(text,'\s+')),
+        |          t -> t IN ('table','query','join','group','order'))), 'lang': 'sql'}
+        |    ]) AS best FROM documents))
+        |SELECT lang, guess, COUNT(*) AS n
+        |FROM guessed GROUP BY lang, guess ORDER BY lang, guess""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"lang",
+          TextOps.langIdByMarkers($"text", Markers).as("guess"))
+        .groupBy($"lang", $"guess")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"guess")
+    })
+}

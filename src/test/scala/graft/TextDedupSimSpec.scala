@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{TextOps, DedupOps, SimilarityOps}
+
+class TextDedupSimSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("polyHash matches the portable reference value") {
+    // "abc": ((0*31+97)*31+98)*31+99 = 96354 (verified against DuckDB)
+    val got = Seq("abc").toDF("s")
+      .select(TextOps.polyHash($"s").as("h")).head.getLong(0)
+    assert(got === 96354L)
+  }
+
+  test("tokenize + shingles handle short docs") {
+    val df = Seq("one two", "a b c d").toDF("t")
+      .select(TextOps.wordShingles($"t", 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) === Seq())
+    assert(rows(1) === Seq("a b c", "b c d"))
+  }
+
+  test("normalize collapses case and whitespace") {
+    val got = Seq("  Hello   WORLD  ").toDF("s")
+      .select(TextOps.normalize($"s")).head.getString(0)
+    assert(got === "hello world")
+  }
+
+  test("qualityScore is bounded and favors healthy docs") {
+    val healthy = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val junk = "x"
+    val scores = Seq(healthy, junk).toDF("t")
+      .select(TextOps.qualityScore($"t", Seq("a", "the")).as("q"))
+      .collect().map(_.getLong(0))
+    assert(scores.forall(s => s >= 0 && s <= 100))
+    assert(scores(0) > scores(1))
+  }
+
+  test("dropExactDuplicates keeps the smallest id per normalized text") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "unique doc")
+    ).toDF("id", "text")
+    val out = DedupOps.dropExactDuplicates(df, "id", "text")
+      .select("id").as[Long].collect().sorted
+    assert(out === Array(1L, 3L))
+  }
+
+  test("minhash signatures: identical shingle sets give identical sigs; " +
+       "similar sets agree on most slots") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w30", "xx")
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, other))
+      .toDF("id", "text")
+      .select($"id", DedupOps.minhashSignature(
+        TextOps.shingleHashes($"text", 3), 16).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val agreeNear = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val agreeFar = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agreeNear > 10, s"near-dup agreement too low: $agreeNear/16")
+    assert(agreeFar === 0, s"unrelated docs should share no slots: $agreeFar")
+  }
+
+  test("LSH candidate pairs find planted near-duplicates") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w40", "xx")
+    val others = (1 to 20).map(k =>
+      (100L + k, (1 to 80).map(i => s"t${k}_$i").mkString(" ")))
+    val df = (Seq((1L, base), (2L, nearDup)) ++ others).toDF("id", "text")
+      .select($"id", DedupOps.minhashSignature(
+        TextOps.shingleHashes($"text", 3), 16).as("sig"))
+    val pairs = DedupOps.lshCandidatePairs(df, "id", "sig", 4, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.size < 5, s"too many false candidates: $pairs")
+  }
+
+  test("simhash: hamming distance separates near-dups from unrelated docs") {
+    def tokenHashes(c: org.apache.spark.sql.Column) =
+      array_distinct(transform(TextOps.tokenize(c), TextOps.polyHash(_)))
+    val base = (1 to 100).map(i => s"word$i").mkString(" ")
+    val nearDup = base.replace("word50", "changed")
+    val other = (200 to 300).map(i => s"word$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "text")
+      .select($"id", DedupOps.simhash32(tokenHashes($"text")).as("sh"))
+    val sh = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dfh = Seq((sh(1L), sh(2L), sh(3L))).toDF("a", "b", "c")
+    val Array(near, far) = dfh.select(
+      DedupOps.hamming($"a", $"b"), DedupOps.hamming($"a", $"c"))
+      .head.toSeq.map(_.asInstanceOf[Number].longValue).toArray
+    assert(near < far, s"near=$near should be < far=$far")
+    assert(near <= 8, s"near-dup hamming too high: $near")
+  }
+
+  test("cosine: identical vectors → 1e6 micro; orthogonal → 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f))
+    ).toDF("a", "b")
+    val got = df.select(SimilarityOps.cosineMicro($"a", $"b"))
+      .as[Long].collect()
+    assert(got === Array(1000000L, 0L))
+  }
+
+  test("SRP-LSH neighbor pairs reach high recall on real near pairs") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    // ground truth: all pairs with cosine >= 0.40 (brute force at sf0.001)
+    val a = e.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val truth = a.join(b, $"id_a" < $"id_b")
+      .withColumn("cm", SimilarityOps.cosineMicro($"va", $"vb"))
+      .filter($"cm" >= 400000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = SimilarityOps.lshNeighborPairs(
+        e, "vec_id", "embedding", nBits = 4, minCosMicro = 400000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(truth), "LSH must not invent pairs")
+    if (truth.nonEmpty) {
+      val recall = found.size.toDouble / truth.size
+      assert(recall >= 0.5, s"recall $recall too low (${found.size}/${truth.size})")
+    }
+  }
+}
