@@ -1,0 +1,85 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Keyset (cursor) incremental scan — the CDC source primitive.
+  *
+  * Semantics from postgres_to_es/daemon.py:90-129: fetch rows with
+  * `(ts = cursor.ts AND id > cursor.id) OR ts > cursor.ts` ordered by
+  * `(ts, id)` limited to a batch, then advance the cursor to the last
+  * row's `(ts, id)`. The equal-timestamp re-entry makes restarts safe
+  * (at-least-once; the idempotent doc upsert makes it effectively-once —
+  * T2).
+  *
+  * Scale: the predicate pushes down to the source scan (parquet stats /
+  * JDBC); the `orderBy().limit(n)` plans as TakeOrderedAndProject, so no
+  * global sort materializes. Cursor advance reads back exactly one row.
+  */
+object Keyset {
+
+  /** (ts-micros, id) cursor. Ordering matches the scan order. */
+  final case class Cursor(tsMicros: Long, lastId: String) {
+    def render: String = s"$tsMicros\n$lastId"
+  }
+  object Cursor {
+    val Zero: Cursor = Cursor(Long.MinValue, "")
+    def parse(s: String): Cursor = {
+      val Array(ts, id) = s.split("\n", 2)
+      Cursor(ts.toLong, id)
+    }
+  }
+
+  /** One keyset batch after `cursor`: (batch, advanced cursor).
+    * `table` must carry `tsCol` (timestamp) and `idCol` (string-ordered).
+    */
+  def nextBatch(
+      table: DataFrame,
+      tsCol: String,
+      idCol: String,
+      cursor: Cursor,
+      limit: Int): (DataFrame, Cursor) = {
+    val tsMicros = unix_micros(col(tsCol))
+    val batch = table
+      .filter(
+        (tsMicros === cursor.tsMicros && col(idCol) > cursor.lastId) ||
+          tsMicros > cursor.tsMicros)
+      .orderBy(tsMicros.asc, col(idCol).asc)
+      .limit(limit)
+    val last = batch
+      .select(tsMicros.as("__ts"), col(idCol).as("__id"))
+      .orderBy(col("__ts").desc, col("__id").desc)
+      .limit(1).collect()
+    val advanced = last.headOption.fold(cursor) { r: Row =>
+      Cursor(r.getLong(0), r.getString(1))
+    }
+    (batch, advanced)
+  }
+
+  /** File-backed cursor store — replaces the reference's Redis state
+    * (postgres_to_es/state.py:34-51) with the checkpoint-dir pattern.
+    * Writes are atomic (temp file + move) so a crash never leaves a
+    * torn cursor.
+    */
+  final class CursorStore(dir: String) {
+    Files.createDirectories(Paths.get(dir))
+
+    private def path(key: String) = Paths.get(dir, s"$key.cursor")
+
+    def load(key: String): Cursor = {
+      val p = path(key)
+      if (Files.exists(p))
+        Cursor.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      else Cursor.Zero
+    }
+
+    def save(key: String, c: Cursor): Unit = {
+      val tmp = Paths.get(dir, s".$key.cursor.tmp")
+      Files.write(tmp, c.render.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, path(key), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.cdc._
+
+/** CDC pipeline: keyset batching, propagation graph, idempotent upsert,
+  * restart/resume (FIXTURES.md §B must-cover cases).
+  */
+class CdcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_cdc").toString
+
+  // mutable "database": parquet dirs we rewrite between ticks
+  private def writeTable(dir: String, name: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/$name")
+
+  private def tables(dir: String) = CdcPipeline.Tables(
+    filmWork = () => spark.read.parquet(s"$dir/film_work"),
+    person = () => spark.read.parquet(s"$dir/person"),
+    genre = () => spark.read.parquet(s"$dir/genre"),
+    personFilmWork = () => spark.read.parquet(s"$dir/person_film_work"),
+    genreFilmWork = () => spark.read.parquet(s"$dir/genre_film_work"))
+
+  private def seed(dir: String): Unit = {
+    writeTable(dir, "film_work", Seq(
+      ("f1", "Star Wars", "Space opera", 8.6, ts(100), ts(100)),
+      ("f2", "Quiet Film", "Slow burn", 6.0, ts(100), ts(100))
+    ).toDF("id", "title", "description", "rating", "created_at", "updated_at"))
+    writeTable(dir, "person", Seq(
+      ("p1", "George Lucas", ts(100), ts(100)),
+      ("p2", "Mark Hamill", ts(100), ts(100))
+    ).toDF("id", "full_name", "created_at", "updated_at"))
+    writeTable(dir, "genre", Seq(
+      ("g1", "Sci-Fi", ts(100), ts(100))
+    ).toDF("id", "name", "created_at", "updated_at"))
+    writeTable(dir, "person_film_work", Seq(
+      ("pfw1", "f1", "p1", "director", ts(100)),
+      ("pfw2", "f1", "p2", "actor", ts(100))
+    ).toDF("id", "film_work_id", "person_id", "role", "created_at"))
+    writeTable(dir, "genre_film_work", Seq(
+      ("gfw1", "f1", "g1", ts(100))
+    ).toDF("id", "film_work_id", "genre_id", "created_at"))
+  }
+
+  private def mkSinks(dir: String) = CdcPipeline.Sinks(
+    movies = new UpsertSink(spark, s"$dir/idx_movies", "id", nBuckets = 4),
+    persons = new UpsertSink(spark, s"$dir/idx_persons", "id", nBuckets = 4),
+    genres = new UpsertSink(spark, s"$dir/idx_genres", "id", nBuckets = 4))
+
+  test("initial drain indexes everything; arrays populated") {
+    val dir = tmp(); seed(dir)
+    val sinks = mkSinks(dir)
+    val cursors = new Keyset.CursorStore(s"$dir/cursors")
+    CdcPipeline.drain(spark, tables(dir), sinks, cursors, batchSize = 10)
+
+    val movies = sinks.movies.read().get.collect()
+    assert(movies.map(_.getString(0)).sorted === Array("f1", "f2"))
+    val f1 = movies.find(_.getString(0) == "f1").get
+    assert(f1.getSeq[String](f1.fieldIndex("actors_names")) ===
+      Seq("Mark Hamill"))
+    assert(sinks.persons.read().get.count() === 2)
+    assert(sinks.genres.read().get.count() === 1)
+  }
+
+  test("person rename propagates to affected movie docs AND persons index") {
+    val dir = tmp(); seed(dir)
+    val sinks = mkSinks(dir)
+    val cursors = new Keyset.CursorStore(s"$dir/cursors")
+    CdcPipeline.drain(spark, tables(dir), sinks, cursors, batchSize = 10)
+
+    // rename p2 with a newer updated_at
+    writeTable(dir, "person", Seq(
+      ("p1", "George Lucas", ts(100), ts(100)),
+      ("p2", "Mark R. Hamill", ts(100), ts(200))
+    ).toDF("id", "full_name", "created_at", "updated_at"))
+
+    CdcPipeline.drain(spark, tables(dir), sinks, cursors, batchSize = 10)
+    val f1 = sinks.movies.read().get.filter($"id" === "f1").head
+    assert(f1.getSeq[String](f1.fieldIndex("actors_names")) ===
+      Seq("Mark R. Hamill"))
+    // divergence fix: persons index refreshes on update too (the
+    // reference watched created_at only — daemon.py:522-527)
+    val p2 = sinks.persons.read().get.filter($"id" === "p2").head
+    assert(p2.getString(1) === "Mark R. Hamill")
+  }
+
+  test("bridge-row insert (created_at only) regenerates the film doc") {
+    val dir = tmp(); seed(dir)
+    val sinks = mkSinks(dir)
+    val cursors = new Keyset.CursorStore(s"$dir/cursors")
+    CdcPipeline.drain(spark, tables(dir), sinks, cursors, batchSize = 10)
+
+    // cast p1 as actor on f2 via a new bridge row
+    writeTable(dir, "person_film_work", Seq(
+      ("pfw1", "f1", "p1", "director", ts(100)),
+      ("pfw2", "f1", "p2", "actor", ts(100)),
+      ("pfw3", "f2", "p1", "actor", ts(300))
+    ).toDF("id", "film_work_id", "person_id", "role", "created_at"))
+
+    CdcPipeline.drain(spark, tables(dir), sinks, cursors, batchSize = 10)
+    val f2 = sinks.movies.read().get.filter($"id" === "f2").head
+    assert(f2.getSeq[String](f2.fieldIndex("actors_names")) ===
+      Seq("George Lucas"))
+  }
+
+  test("keyset cursor: equal-timestamp rows straddling a batch boundary " +
+       "all get consumed; restart resumes from persisted cursor") {
+    val dir = tmp(); seed(dir)
+    val sinks = mkSinks(dir)
+    // batchSize=1 forces ties at ts=100 to split across batches
+    val cursors1 = new Keyset.CursorStore(s"$dir/cursors")
+    CdcPipeline.tick(spark, tables(dir), sinks, cursors1, batchSize = 1)
+    // "restart": fresh store instance over the same dir
+    val cursors2 = new Keyset.CursorStore(s"$dir/cursors")
+    CdcPipeline.drain(spark, tables(dir), sinks, cursors2, batchSize = 1)
+    assert(sinks.movies.read().get.select("id").as[String].collect().sorted
+      === Array("f1", "f2"))
+    assert(sinks.persons.read().get.count() === 2)
+  }
+
+  test("replaying a batch suffix is a no-op (upsert idempotence)") {
+    val dir = tmp(); seed(dir)
+    val sinks = mkSinks(dir)
+    val cursors = new Keyset.CursorStore(s"$dir/cursors")
+    CdcPipeline.drain(spark, tables(dir), sinks, cursors, batchSize = 10)
+    val before = sinks.movies.read().get.orderBy("id").collect().toSeq
+
+    // wind the film_work cursor back to zero and replay
+    cursors.save("film_work.movies", Keyset.Cursor.Zero)
+    CdcPipeline.drain(spark, tables(dir), sinks, cursors, batchSize = 10)
+    val after = sinks.movies.read().get.orderBy("id").collect().toSeq
+    assert(after === before)
+  }
+
+  test("upsert rewrites only affected buckets") {
+    val dir = tmp()
+    val sink = new UpsertSink(spark, s"$dir/store", "id", nBuckets = 8)
+    sink.upsert(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "v"))
+    val v1 = sink.read().get.orderBy("id").as[(String, Int)].collect()
+    assert(v1 === Array(("a", 1), ("b", 2), ("c", 3)))
+    sink.upsert(Seq(("b", 20), ("d", 4)).toDF("id", "v"))
+    val v2 = sink.read().get.orderBy("id").as[(String, Int)].collect()
+    assert(v2 === Array(("a", 1), ("b", 20), ("c", 3), ("d", 4)))
+  }
+}

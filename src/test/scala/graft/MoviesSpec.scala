@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.movies._
+
+/** End-to-end movies domain: ingest fixtures (FIXTURES.md §A must-cover),
+  * document invariants (§C), search intent.
+  */
+class MoviesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- fixture: dirty legacy input covering every §A case -------------
+  private lazy val legacyMovies = Seq(
+    // normal movie: genres CSV, writers JSON (with a duplicate id), rating
+    ("m1", "Action, Sci-Fi", "George Lucas", "",
+      "Star Wars", "A space opera.", "x", "8.6",
+      """[{"id":"w1"},{"id":"w1"},{"id":"w2"}]"""),
+    // writers="" fallback to single writer col; director N/A; rating N/A
+    ("m2", "Drama, Drama", "N/A", "w2",
+      "Quiet Film", "N/A", "x", "N/A", ""),
+    // duplicate row (DISTINCT semantics) + bad-writer reference w9 (no dim)
+    ("m3", "Action", "Rick Author", "",
+      "Loud Film", "Explosions.", "x", "5.1", """[{"id":"w9"}]"""),
+    ("m3", "Action", "Rick Author", "",
+      "Loud Film", "Explosions.", "x", "5.1", """[{"id":"w9"}]""")
+  ).toDF("id", "genre", "director", "writer", "title", "plot", "ratings",
+    "imdb_rating", "writers")
+
+  private lazy val legacyActors = Seq(
+    (1L, "Mark Hamill"), (2L, "N/A"), (3L, "George Lucas"), (1L, "Mark Hamill")
+  ).toDF("id", "name")
+
+  // w2's name is also a director's name on m1 → same person, many roles
+  private lazy val legacyWriters = Seq(
+    ("w1", "Leigh Brackett"), ("w2", "George Lucas"), ("w3", "")
+  ).toDF("id", "name")
+
+  private lazy val legacyMovieActors = Seq(
+    ("m1", "1"), ("m1", "2"), ("m3", "3"), ("m1", "1")
+  ).toDF("movie_id", "actor_id")
+
+  private lazy val norm = Ingest.normalize(
+    legacyMovies, legacyActors, legacyWriters, legacyMovieActors)
+
+  test("ingest: sentinel cleaning, distinct, rating cast") {
+    val films = norm.filmWork.orderBy("id").collect()
+    assert(films.length === 3) // m3 deduped
+    val byId = films.map(r => r.getString(0) -> r).toMap
+    assert(byId("m1").getAs[Double]("rating") === 8.6)
+    assert(byId("m2").isNullAt(byId("m2").fieldIndex("rating"))) // N/A → null
+    assert(byId("m2").isNullAt(byId("m2").fieldIndex("description")))
+  }
+
+  test("ingest: genre minting dedups CSV repeats, bridges are unique") {
+    val genres = norm.genre.select("name").as[String].collect().sorted
+    assert(genres === Array("Action", "Drama", "Sci-Fi"))
+    // m2 "Drama, Drama" → one bridge row
+    val m2Bridges = norm.genreFilmWork.filter($"film_work_id" === "m2").count()
+    assert(m2Bridges === 1)
+  }
+
+  test("ingest: person minting merges same name across roles; " +
+       "sentinel people and their references drop") {
+    val persons = norm.person.select("full_name").as[String].collect().sorted
+    // George Lucas (director m1 + writer m1 + actor m3), Leigh Brackett,
+    // Mark Hamill, Rick Author. N/A actor and empty-name writer w3 drop.
+    assert(persons === Array(
+      "George Lucas", "Leigh Brackett", "Mark Hamill", "Rick Author"))
+    val lucasRoles = norm.personFilmWork
+      .join(norm.person.filter($"full_name" === "George Lucas"),
+        norm.personFilmWork("person_id") === norm.person("id"))
+      .select("role").as[String].collect().distinct.sorted
+    assert(lucasRoles === Array("actor", "director", "writer"))
+  }
+
+  test("ingest: writers JSON dedup + fallback + dropped invalid refs") {
+    // m1 writer ids: w1 (deduped), w2; m2 falls back to w2;
+    // m3's w9 has no dim row → contributes nothing
+    val writerRows = norm.personFilmWork.filter($"role" === "writer")
+      .join(norm.person, norm.personFilmWork("person_id") === norm.person("id"))
+      .select($"film_work_id", $"full_name").as[(String, String)]
+      .collect().toSet
+    assert(writerRows === Set(
+      ("m1", "Leigh Brackett"), ("m1", "George Lucas"),
+      ("m2", "George Lucas")))
+  }
+
+  test("movie docs: arrays never null, names align with structs") {
+    val docs = Docs.movieDocs(norm.filmWork, norm.person, norm.genre,
+      norm.personFilmWork, norm.genreFilmWork).collect()
+    assert(docs.length === 3)
+    docs.foreach { r =>
+      Seq("actors_names", "writers_names", "directors_names", "genres_names",
+        "actors", "writers", "directors", "genres").foreach { f =>
+        assert(!r.isNullAt(r.fieldIndex(f)), s"$f must not be null")
+      }
+      // alignment: names[i] == structs[i].name
+      Seq("actors", "writers", "directors").foreach { f =>
+        val names = r.getSeq[String](r.fieldIndex(f + "_names"))
+        val structs = r.getSeq[Row](r.fieldIndex(f)).map(_.getString(1))
+        assert(names === structs, s"$f names misaligned")
+      }
+    }
+    val m1 = docs.find(_.getString(0) == "m1").get
+    assert(m1.getSeq[String](m1.fieldIndex("actors_names")) ===
+      Seq("Mark Hamill")) // N/A actor dropped
+    assert(m1.getSeq[String](m1.fieldIndex("directors_names")) ===
+      Seq("George Lucas"))
+    assert(m1.getSeq[String](m1.fieldIndex("genres_names")).sorted ===
+      Seq("Action", "Sci-Fi"))
+  }
+
+  test("person docs: roles distinct set; zero-film person gets []") {
+    val pZero = Seq(("p_zero", "Nobody Famous")).toDF("id", "full_name")
+      .withColumn("birth_date", lit(null).cast("date"))
+      .withColumn("created_at", current_timestamp())
+      .withColumn("updated_at", current_timestamp())
+    val docs = Docs.personDocs(
+      norm.person.unionByName(pZero), norm.personFilmWork).collect()
+    val zero = docs.find(_.getString(0) == "p_zero").get
+    assert(zero.getSeq[String](2) === Seq()) // fixed reference crash
+    assert(zero.getSeq[String](3) === Seq())
+    val lucas = docs.find(_.getString(1) == "George Lucas").get
+    assert(lucas.getSeq[String](2) === Seq("actor", "director", "writer"))
+  }
+
+  test("genre docs: filmworks carry title + rating, empty genre gets []") {
+    val docs = Docs.genreDocs(norm.genre, norm.filmWork, norm.genreFilmWork)
+      .collect()
+    val action = docs.find(_.getString(1) == "Action").get
+    val fwTitles = action.getSeq[Row](2).map(_.getString(1))
+    assert(fwTitles.sorted === Seq("Loud Film", "Star Wars"))
+  }
+
+  test("search: title boost ranks the title match first; " +
+       "person-name query matches via role name fields") {
+    val docs = Docs.movieDocs(norm.filmWork, norm.person, norm.genre,
+      norm.personFilmWork, norm.genreFilmWork)
+    val starHits = Search.search(docs, Some("star wars"), "imdb_rating",
+      asc = false).select("id").as[String].collect()
+    assert(starHits.headOption === Some("m1"))
+    val lucasHits = Search.search(docs, Some("George Lucas"))
+      .select("id").as[String].collect()
+    // m1: director+writer; m2: fallback writer; m3: actor
+    assert(lucasHits.toSet === Set("m1", "m2", "m3"))
+  }
+
+  test("search: stemmed match (explosions ~ explosion) and pagination") {
+    val docs = Docs.movieDocs(norm.filmWork, norm.person, norm.genre,
+      norm.personFilmWork, norm.genreFilmWork)
+    val hits = Search.search(docs, Some("explosion"))
+      .select("id").as[String].collect()
+    assert(hits === Array("m3")) // plot says "Explosions."
+    val page1 = Search.search(docs, None, "title", asc = true,
+      page = 1, limit = 2).select("id").as[String].collect()
+    val page2 = Search.search(docs, None, "title", asc = true,
+      page = 2, limit = 2).select("id").as[String].collect()
+    assert(page1.length === 2 && page2.length === 1)
+    assert((page1 ++ page2).distinct.length === 3)
+  }
+
+  test("analyzer: en+ru stemming and stopword removal") {
+    val toks = Seq("The running dogs and Звёздные войны")
+      .toDF("t").select(Analyzer.analyze($"t")).head.getSeq[String](0)
+    assert(!toks.contains("the") && !toks.contains("and"))
+    assert(toks.contains("run") || toks.contains("runn"))
+    assert(toks.contains("dog"))
+    // "звёздные" (adjective) and "войны" (noun) stem to shared prefixes
+    // with other forms: analyze("звёздная война") must overlap
+    val toks2 = Seq("звёздная война").toDF("t")
+      .select(Analyzer.analyze($"t")).head.getSeq[String](0)
+    assert(toks.intersect(toks2).size === 2,
+      s"ru forms must stem together: $toks vs $toks2")
+  }
+}
