@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travel as opaque `binary` columns plus typed metadata structs —
+  * the lakehouse pattern for multimodal training data. The Spark-side
+  * machinery here (schemas, partition-sized batching, mapPartitions
+  * decode loop, deterministic frame sampling) is real and tested; the
+  * actual codec calls are STUBBED behind `DecodeStub` (this container
+  * ships no image/audio libs) with a clearly marked swap point.
+  *
+  * Scale: decode runs inside mapPartitions — per-partition sequential,
+  * no driver involvement, memory bounded by one batch of blobs; control
+  * partition size with `spark.sql.files.maxPartitionBytes` / repartition
+  * upstream. Metadata-only transforms (filters on width/duration etc.)
+  * stay columnar and never touch the blob bytes (parquet column pruning
+  * skips them entirely when unselected).
+  */
+object MultimodalOps {
+
+  /** Typed metadata carried next to each blob. */
+  val MediaMeta: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image | audio | video
+    StructField("format", StringType),       // png | jpeg | wav | mp4 ...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("n_channels", IntegerType)))
+
+  val MediaRecord: StructType = StructType(Seq(
+    StructField("media_id", StringType, nullable = false),
+    StructField("blob", BinaryType),
+    StructField("meta", MediaMeta)))
+
+  /** ==== STUB ==== Deterministic fake decoder.
+    *
+    * Swap point for a real codec (javax.imageio / ffmpeg bindings): keep
+    * the signature `Array[Byte] => DecodedImage` and the mapPartitions
+    * plumbing below works unchanged. The fake derives every field from
+    * the blob bytes so tests are deterministic and engine behavior
+    * (nulls, sizes, batching) is exercised honestly.
+    */
+  final case class DecodedImage(
+      width: Int, height: Int, nChannels: Int, pixels: Array[Float])
+
+  object DecodeStub {
+    def decodeImage(blob: Array[Byte]): DecodedImage = {
+      // ==== STUB: replace with a real image decode ====
+      val w = 1 + (math.abs(blob.headOption.getOrElse(0: Byte).toInt) % 8)
+      val h = 1 + (math.abs(blob.lastOption.getOrElse(0: Byte).toInt) % 8)
+      val px = Array.tabulate(w * h * 3)(i =>
+        blob(i % blob.length).toFloat / 255f)
+      DecodedImage(w, h, 3, px)
+    }
+  }
+
+  /** Decode + feature-extract blobs partition-wise: emits
+    * (media_id, width, height, n_channels, mean_luma_milli).
+    * Blob bytes never leave the executor; output is small and columnar.
+    */
+  def decodeImageFeatures(records: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_channels", IntegerType),
+      StructField("mean_luma_milli", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    records.select("media_id", "blob").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getString(0)
+        val blob = r.getAs[Array[Byte]](1)
+        if (blob == null) Row(id, null, null, null, null)
+        else {
+          val d = DecodeStub.decodeImage(blob)
+          val luma =
+            if (d.pixels.isEmpty) 0L
+            else (d.pixels.map(_.toDouble).sum / d.pixels.length * 1000).round
+          Row(id, d.width, d.height, d.nChannels, luma)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame sampling for video blobs: pick `n` frame offsets
+    * evenly across duration_ms (metadata-only — no decode), exploded to
+    * one row per sampled frame. Columnar end-to-end.
+    */
+  def sampleFrameOffsets(records: DataFrame, n: Int): DataFrame =
+    records
+      .filter(col("meta.media_type") === "video" &&
+        col("meta.duration_ms").isNotNull && col("meta.duration_ms") > 0)
+      .select(
+        col("media_id"),
+        explode(transform(sequence(lit(0), lit(n - 1)), i =>
+          (col("meta.duration_ms") * i / lit(n.toLong)).cast("long")))
+          .as("frame_offset_ms"))
+
+  /** Metadata-only filter predicate pushdown demo: keep images within a
+    * resolution band without reading blobs (column pruning keeps the
+    * parquet scan blob-free — verify with .explain ReadSchema).
+    */
+  def filterByResolution(
+      records: DataFrame, minW: Int, maxW: Int): DataFrame =
+    records.filter(
+      col("meta.media_type") === "image" &&
+        col("meta.width").between(minW, maxW))
+
+  /** Synthesize a deterministic media table (for tests/demos): blob bytes
+    * derived from the id, metadata consistent with the stub decoder.
+    */
+  def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val blob = Array.tabulate[Byte](16 + (i % 16).toInt)(j =>
+        ((i * 31 + j * 7) % 127).toByte)
+      val mediaType = (i % 3) match {
+        case 0 => "image"; case 1 => "audio"; case 2 => "video"
+      }
+      (s"m$i", blob, mediaType, 1000L + i * 100)
+    }.toDF("media_id", "blob", "media_type", "duration_ms")
+      .select(
+        col("media_id"), col("blob"),
+        struct(
+          col("media_type"),
+          when(col("media_type") === "image", "png").otherwise("mp4")
+            .as("format"),
+          lit(4).as("width"), lit(4).as("height"),
+          col("duration_ms"),
+          lit(3).as("n_channels")).as("meta"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over an event stream with schema
+  * (event_id, user_id, event_type, value, ts).
+  *
+  * The reference's streaming layer is the CDC poll loop (no windows —
+  * SURVEY §2.10 T6); these ops are the engine's general stream surface:
+  * watermarked tumbling/sliding aggregations and custom session state via
+  * flatMapGroupsWithState, both of which scale as key-partitioned state
+  * in the Spark state store (RocksDB at production scale).
+  */
+object EventStreamOps {
+
+  /** Tumbling-window per-type counts with a watermark bounding state. */
+  def tumblingCounts(
+      events: DataFrame,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window distinct-user approximation per type
+    * (approx_count_distinct — sketch-based, bounded state at scale).
+    */
+  def slidingActiveUsers(
+      events: DataFrame,
+      windowDur: String = "10 minutes",
+      slide: String = "5 minutes",
+      watermarkDelay: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur, slide))
+      .agg(approx_count_distinct("user_id").as("active_users"))
+      .select(col("window.start").as("window_start"), col("active_users"))
+
+  final case class Event(
+      event_id: Long, user_id: Long, event_type: String,
+      value: Double, ts: java.sql.Timestamp)
+
+  final case class SessionState(
+      count: Long, totalValue: Double, lastTs: Long)
+
+  final case class SessionOut(
+      user_id: Long, n_events: Long, total_value: Double,
+      ended_by_timeout: Boolean)
+
+  /** Session windows per user via flatMapGroupsWithState with an
+    * EVENT-time inactivity gap: a session closes once the stream's
+    * watermark passes lastEvent + gap (deterministic — no wall-clock
+    * dependence; Spark's no-data batches fire the timeouts as the
+    * watermark advances). State per key is O(1) — counters only.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.count, s.totalValue,
+              ended_by_timeout = true))
+          } else {
+            val evs = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val next = SessionState(
+              prev.count + evs.size,
+              prev.totalValue + evs.map(_.value).sum,
+              math.max(prev.lastTs, evs.map(_.ts.getTime).max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastTs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming dedup-by-key within the watermark horizon — the streaming
+    * face of exact dedup (S5's idempotence applied in-flight).
+    */
+  def dedupInStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+}

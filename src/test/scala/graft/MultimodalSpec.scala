@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.MultimodalOps
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val media = MultimodalOps.syntheticMedia(spark, 30)
+
+  test("decodeImageFeatures: partition-wise decode emits one feature row " +
+       "per record, null blob degrades to null features") {
+    val withNull = media.unionByName(
+      Seq(("m_null", null.asInstanceOf[Array[Byte]]))
+        .toDF("media_id", "blob")
+        .withColumn("meta", lit(null).cast(MultimodalOps.MediaMeta)))
+    val feats = MultimodalOps.decodeImageFeatures(withNull).collect()
+    assert(feats.length === 31)
+    val ok = feats.filter(_.getString(0) != "m_null")
+    assert(ok.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 8))
+    assert(ok.forall(r => r.getInt(3) === 3))
+    val nullRow = feats.find(_.getString(0) == "m_null").get
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(4))
+    // determinism: same blob → same features on rerun
+    val again = MultimodalOps.decodeImageFeatures(withNull).collect()
+    assert(feats.map(_.toString).sorted === again.map(_.toString).sorted)
+  }
+
+  test("sampleFrameOffsets: evenly spaced deterministic offsets, " +
+       "videos only") {
+    val frames = MultimodalOps.sampleFrameOffsets(media, 4)
+    val byId = frames.groupBy("media_id").agg(
+      count(lit(1)).as("n"),
+      sort_array(collect_list("frame_offset_ms")).as("offs"))
+      .collect()
+    assert(byId.nonEmpty)
+    byId.foreach { r =>
+      assert(r.getLong(1) === 4)
+      val offs = r.getSeq[Long](2)
+      assert(offs.head === 0L)
+      assert(offs === offs.sorted)
+    }
+    // only video rows produce frames
+    val videoIds = media.filter($"meta.media_type" === "video")
+      .select("media_id").as[String].collect().toSet
+    assert(byId.map(_.getString(0)).toSet === videoIds)
+  }
+
+  test("metadata filters prune the blob column from the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    media.write.mode("overwrite").parquet(dir)
+    val filtered = MultimodalOps.filterByResolution(
+      spark.read.parquet(dir), 1, 8).select("media_id", "meta")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(!plan.contains("blob"),
+      s"blob must be pruned from the scan:\n$plan")
+    assert(filtered.count() === 10) // the image third of 30
+  }
+}

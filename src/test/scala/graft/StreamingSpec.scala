@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreamOps
+import graft.streaming.EventStreamOps.Event
+
+/** MemoryStream-driven checks of the streaming operators (SURVEY §5.5). */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("tumbling window counts with watermark: late row within delay " +
+       "lands in its window; aggregates finalize on watermark advance") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreamOps.tumblingCounts(
+        mem.toDF(), windowDur = "1 minute", watermarkDelay = "2 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, 10, "click", 1.0, ts(10)),
+        Event(2, 10, "click", 2.0, ts(30)),
+        Event(3, 11, "view", 1.0, ts(70)))
+      q.processAllAvailable()
+      // late-but-in-horizon event for the first window
+      mem.addData(Event(4, 12, "click", 3.0, ts(50)))
+      q.processAllAvailable()
+      // push watermark far past both windows so they close
+      mem.addData(Event(5, 13, "view", 1.0, ts(1000)))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .orderBy("window_start", "event_type")
+        .select($"event_type", $"n", $"total_value")
+        .as[(String, Long, Double)].collect()
+      assert(rows.contains(("click", 3L, 6.0))) // late row counted
+      assert(rows.contains(("view", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("too-late rows beyond the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreamOps.tumblingCounts(
+        mem.toDF(), windowDur = "1 minute", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("latedrop")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Event(1, 1, "click", 1.0, ts(60)))
+      q.processAllAvailable()
+      mem.addData(Event(2, 1, "click", 1.0, ts(600))) // watermark → 540
+      q.processAllAvailable()
+      mem.addData(Event(3, 1, "click", 9.0, ts(30)))  // far below watermark
+      q.processAllAvailable()
+      mem.addData(Event(4, 1, "click", 1.0, ts(1200)))
+      q.processAllAvailable()
+      val total = spark.table("latedrop")
+        .select($"total_value").as[Double].collect().sum
+      assert(total === 2.0) // the 9.0 event never lands
+    } finally q.stop()
+  }
+
+  test("sessionize: event-time inactivity gap emits one session per user " +
+       "with accumulated counters once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreamOps.sessionize(mem.toDS(), gapMs = 5000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, 1, "click", 1.0, ts(10)),
+        Event(2, 1, "click", 2.5, ts(11)),
+        Event(3, 2, "view", 1.0, ts(12)))
+      q.processAllAvailable()
+      // advance the watermark far past lastTs+gap for users 1 and 2
+      mem.addData(Event(4, 3, "click", 1.0, ts(100)))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .as[EventStreamOps.SessionOut].collect()
+        .map(s => s.user_id -> ((s.n_events, s.total_value))).toMap
+      assert(sessions.get(1L).contains((2L, 3.5)))
+      assert(sessions.get(2L).contains((1L, 1.0)))
+      assert(!sessions.contains(3L)) // still open
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreamOps.dedupInStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Event(1, 1, "click", 1.0, ts(10)))
+      q.processAllAvailable()
+      mem.addData(Event(1, 1, "click", 1.0, ts(10))) // exact replay
+      mem.addData(Event(2, 1, "view", 1.0, ts(11)))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() === 2)
+    } finally q.stop()
+  }
+}
