@@ -13,7 +13,8 @@ object SparkEntry {
   /** All registered conformance queries, in suite order. */
   def allQueries: Seq[GraftQuery] =
     RelationalQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ SearchQueries.all ++
+      MoviesQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the engine's portable polynomial hash
+  * (TextOps.polyHash): fold(acc*31 + codepoint) mod 1e9+7 over the
+  * string's code points.
+  *
+  * Why an Expression and not the higher-order-function composition:
+  * the HOF version (`aggregate(transform(split(s,""), ascii), ...)`)
+  * materializes a per-character array per row; this is a single tight
+  * loop, stays inside whole-stage codegen (doGenCode emits a static
+  * call — no iterator, no boxing), and needs no UDF serialization.
+  * Same preference order as SURVEY §7.2: built-ins < Expression < UDF.
+  *
+  * Semantics match TextOps.polyHash for all BMP strings (ascii() in the
+  * HOF version reads code points; so does this loop).
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_polyhash requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PolyHash.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  val Prime: Long = 1000000007L
+
+  /** Static helper shared by interpreted eval and generated code. */
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % Prime
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** Function registration: `withExtensions(new GraftExtensions)` at
+  * session build, or `GraftFunctions.register(spark)` on a live session.
+  * Either way `graft_polyhash` / `graft_cosine_micro` become available
+  * to SQL and `expr(...)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+  val polyHashDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_polyhash"),
+    new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
+    (children: Seq[Expression]) => PolyHash(children.head))
+
+  def descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] =
+    Seq(polyHashDescriptor, CosineMicro.descriptor)
+
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
+}
+
+/** Column-API faces of the native expressions — usable without function
+  * registration (the expression plugs straight into the plan).
+  */
+object GraftColumns {
+  import org.apache.spark.sql.{Column, GraftColumnBridge => B}
+
+  def polyHash(c: Column): Column =
+    B.column(PolyHash(B.expression(c)))
+
+  def cosineMicro(a: Column, b: Column): Column =
+    B.column(CosineMicro(B.expression(a), B.expression(b)))
+}

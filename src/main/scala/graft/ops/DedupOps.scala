@@ -51,6 +51,34 @@ object DedupOps {
         lit(MinhashPrime))
     })
 
+  /** Distributed MinHash signatures for a whole DataFrame: explode the
+    * shingle-hash arrays and compute all k permutation minima as plain
+    * `min()` aggregates in one groupBy — every expression codegen'd, no
+    * per-element lambdas (the Column-level [[minhashSignature]] is
+    * semantically identical but its nested HOFs are CodegenFallback,
+    * which interprets a lambda per shingle × permutation and dominates
+    * wall-clock at corpus scale). One shuffle on the doc id; arithmetic
+    * identical to [[minhashSignature]], so results match element-wise.
+    * Docs with empty shingle sets get the all-sentinel signature.
+    */
+  def minhashSignatures(
+      df: DataFrame, id: String, shingles: String, k: Int): DataFrame = {
+    val inv = df.select(col(id), explode(col(shingles)).as("__h"))
+    val mins = inv.groupBy(col(id)).agg(
+      min((col("__h") * lit(1L) + lit(7L)) % lit(MinhashPrime)).as("__s0"),
+      (1 until k).map(j =>
+        min((col("__h") * lit(2L * j + 1L) + lit(j.toLong * j + 7L))
+          % lit(MinhashPrime)).as(s"__s$j")): _*)
+    val sigCol = array((0 until k).map(j => col(s"__s$j")): _*)
+    df.select(col(id))
+      .join(mins, Seq(id), "left_outer")
+      .select(col(id),
+        // array(null,...) is non-null, so test a slot, not the array
+        when(col("__s0").isNull,
+          array((0 until k).map(_ => lit(MinhashPrime)): _*))
+          .otherwise(sigCol).as("sig"))
+  }
+
   /** LSH band keys for a signature: `bands` structs (band index, portable
     * hash of that band's `rows` signature slots). Docs sharing any band
     * key are near-dup candidates.

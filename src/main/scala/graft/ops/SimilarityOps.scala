@@ -38,8 +38,18 @@ object SimilarityOps {
     * round(cos * 1e6). All constituent IEEE ops (fold-order products/sums,
     * sqrt, divide, multiply) are correctly rounded, so two engines
     * evaluating this same expression tree agree bit-for-bit.
+    *
+    * Backed by the native codegen'd expression (functions.CosineMicro);
+    * [[cosineMicroHof]] is the equivalent HOF fold (CodegenFallback —
+    * interpreted lambda per element, which dominates all-pairs scans).
     */
   def cosineMicro(a: Column, b: Column): Column =
+    graft.functions.GraftColumns.cosineMicro(a, b)
+
+  /** Reference HOF implementation of [[cosineMicro]] (same IEEE op
+    * order); kept for the equivalence spec.
+    */
+  def cosineMicroHof(a: Column, b: Column): Column =
     round(cosine(a, b) * lit(1000000.0), 0).cast("long")
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus

@@ -25,9 +25,19 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokenize(text))
 
   /** Portable polynomial rolling hash of a string:
-    * fold(acc*31 + codepoint) mod p. O(len), codegen'd.
+    * fold(acc*31 + codepoint) mod p. Backed by the native codegen'd
+    * Catalyst expression (graft.functions.PolyHash) — the HOF
+    * composition below is semantically identical but CodegenFallback
+    * (it interprets a lambda per character, ~100× slower on hash-heavy
+    * scans; see PolyHashSpec).
     */
-  def polyHash(s: Column): Column =
+  def polyHash(s: Column): Column = graft.functions.GraftColumns.polyHash(s)
+
+  /** Reference HOF implementation of [[polyHash]] — kept for the
+    * cross-implementation equivalence spec and as the pattern for
+    * engines without the native expression.
+    */
+  def polyHashHof(s: Column): Column =
     aggregate(
       transform(split(s, ""), c => ascii(c)),
       lit(0L),

@@ -120,8 +120,7 @@ object DedupQueries {
       val sh = Tables.load(s, dir, "documents")
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
-      val sig = sh.select($"doc_id",
-        DedupOps.minhashSignature($"hashes", 16).as("sig"))
+      val sig = DedupOps.minhashSignatures(sh, "doc_id", "hashes", 16)
       DedupOps.lshCandidatePairs(sig, "doc_id", "sig", bands = 4, rows = 4)
         .orderBy($"id_a", $"id_b")
     },

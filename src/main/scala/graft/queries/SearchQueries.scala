@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextOps
+
+/** Search + remaining scalar-function conformance queries.
+  *
+  * q36 is the engine's weighted multi-field relevance op (SURVEY §2.9 X1,
+  * the ES multi_match re-expression) in oracle-checkable form: the doc is
+  * split into a "title" (first 5 tokens, weight 4) and "body" (rest,
+  * weight 1) and scored by weighted term-frequency sum over the query
+  * terms — integer math end to end. The analyzer (stemming) variant of
+  * the same scoring lives in movies.Search and is intent-tested in
+  * MoviesSpec (DuckDB has no Porter stemmer to oracle it against).
+  */
+object SearchQueries {
+
+  private val QueryTerms = Seq("spark", "query", "window")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // X1/O2/O4: weighted multi-field match + relevance ranking + top-k.
+    GraftQuery(
+      "q36_weighted_search",
+      """WITH fielded AS (
+        |  SELECT doc_id,
+        |    string_split_regex(text, '\s+')[1:5] AS title_toks,
+        |    string_split_regex(text, '\s+')[6:] AS body_toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    4*(len(list_filter(title_toks, t -> t = 'spark'))
+        |     + len(list_filter(title_toks, t -> t = 'query'))
+        |     + len(list_filter(title_toks, t -> t = 'window')))
+        |  + (len(list_filter(body_toks, t -> t = 'spark'))
+        |     + len(list_filter(body_toks, t -> t = 'query'))
+        |     + len(list_filter(body_toks, t -> t = 'window'))) AS score
+        |  FROM fielded)
+        |SELECT doc_id, score FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      def tf(toks: org.apache.spark.sql.Column) =
+        QueryTerms.map(t => size(filter(toks, x => x === lit(t))).cast("long"))
+          .reduce(_ + _)
+      val toks = TextOps.tokenize($"text")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          (tf(slice(toks, 1, 5)) * 4 +
+            tf(slice(toks, lit(6), size(toks)))).as("score"))
+        .filter($"score" > 0)
+        .orderBy($"score".desc, $"doc_id")
+        .limit(20)
+    },
+
+    // F1: CSV/delimited-string split + explode (etl.py split(", ")).
+    GraftQuery(
+      "q16_split_explode",
+      """SELECT w AS word, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+        |GROUP BY w ORDER BY w""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "part")
+        .select(explode(split($"p_name", " ")).as("word"))
+        .groupBy($"word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"word")
+    },
+
+    // F5/A6: deterministic surrogate-id minting for a dimension derived
+    // from data (person-by-name minting pattern, etl.py:166-194).
+    GraftQuery(
+      "q17_surrogate_minting",
+      """SELECT substr(md5('seg ' || c_mktsegment), 1, 16) AS seg_id,
+        |  c_mktsegment AS seg_name, COUNT(*) AS n_members
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY seg_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_members"))
+        .select(
+          substring(md5(concat(lit("seg "), $"c_mktsegment")), 1, 16)
+            .as("seg_id"),
+          $"c_mktsegment".as("seg_name"),
+          $"n_members")
+        .orderBy($"seg_id")
+    },
+
+    // F7: ISO timestamp/date formatting (utils.py:11-16) + month rollup.
+    GraftQuery(
+      "q19_date_format_rollup",
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  COUNT(*) AS n_orders,
+        |  SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_c
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1998-01-01").cast("date"))
+        .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round($"o_totalprice" * 100, 0).cast("long")).as("total_c"))
+        .orderBy($"month")
+    })
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.ops.TextOps
+
+class PolyHashSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("expression matches the HOF composition on real text, " +
+       "stays inside WholeStageCodegen, and handles null/empty") {
+    GraftFunctions.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    val both = docs.select(
+      TextOps.polyHashHof($"text").as("hof"),
+      expr("graft_polyhash(text)").as("native"))
+    assert(both.filter($"hof" =!= $"native").count() === 0)
+
+    // the HOF lambdas are CodegenFallback and knock the whole stage out
+    // of codegen; the native expression keeps the stage fused — that is
+    // the point of having it.
+    val nativeOnly = docs.select(expr("graft_polyhash(text)").as("h"))
+    nativeOnly.collect()
+    // "*(n)" prefixes mark WholeStageCodegen stages in the tree string
+    val plan = nativeOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_polyhash"),
+      s"not codegen'd:\n$plan")
+
+    val edge = Seq(Some("abc"), Some(""), None).toDF("s")
+      .select(expr("graft_polyhash(s)")).collect()
+    assert(edge(0).getLong(0) === 96354L)
+    assert(edge(1).getLong(0) === 0L)
+    assert(edge(2).isNullAt(0))
+  }
+
+  test("native expression is not slower than the HOF composition") {
+    GraftFunctions.register(spark)
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select($"text").cache()
+    docs.count()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val hof = () => docs.select(TextOps.polyHashHof($"text").as("h"))
+      .agg(sum($"h")).collect()
+    val native = () => docs.select(expr("graft_polyhash(text)").as("h"))
+      .agg(sum($"h")).collect()
+    hof(); native()
+    val tHof = (1 to 3).map(_ => time(hof())).min
+    val tNat = (1 to 3).map(_ => time(native())).min
+    info(f"polyhash sf0.01: hof=${tHof}%.3fs native=${tNat}%.3fs")
+    docs.unpersist()
+    // generous bound — guards against the Expression being a regression
+    assert(tNat <= tHof * 1.5, f"native $tNat%.3f vs hof $tHof%.3f")
+  }
+
+  test("native cosineMicro matches the HOF fold bit-for-bit on real " +
+       "embeddings, including self-similarity") {
+    import graft.ops.SimilarityOps
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val a = e.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val pairs = a.join(b, $"ia" % 7 === $"ib" % 7) // a deterministic subset
+      .select(
+        SimilarityOps.cosineMicro($"va", $"vb").as("native"),
+        SimilarityOps.cosineMicroHof($"va", $"vb").as("hof"))
+    assert(pairs.filter($"native" =!= $"hof").count() === 0)
+    val self = e.select(
+      SimilarityOps.cosineMicro($"embedding", $"embedding")).distinct()
+      .as[Long].collect()
+    assert(self === Array(1000000L))
+  }
+}

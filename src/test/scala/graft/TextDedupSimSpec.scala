@@ -63,6 +63,23 @@ class TextDedupSimSpec extends SparkTestBase {
     assert(agreeFar === 0, s"unrelated docs should share no slots: $agreeFar")
   }
 
+  test("DataFrame-level minhashSignatures matches the Column-level " +
+       "signature element-wise, including the empty-shingle sentinel") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (2L, (20 to 70).map(i => s"w$i").mkString(" ")),
+      (3L, "too short")) // < 3 tokens → empty shingle set
+      .toDF("id", "text")
+      .select($"id", TextOps.shingleHashes($"text", 3).as("hashes"))
+    val colLevel = docs.select($"id",
+      DedupOps.minhashSignature($"hashes", 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val dfLevel = DedupOps.minhashSignatures(docs, "id", "hashes", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(dfLevel === colLevel)
+    assert(dfLevel(3L).forall(_ === DedupOps.MinhashPrime))
+  }
+
   test("LSH candidate pairs find planted near-duplicates") {
     val base = (1 to 80).map(i => s"w$i").mkString(" ")
     val nearDup = base.replace("w40", "xx")
