@@ -139,6 +139,44 @@ class CdcSpec extends SparkTestBase {
     assert(after === before)
   }
 
+  test("property: arbitrary batch sizes over ts-colliding change sets " +
+       "converge to the same final index state as one-shot processing") {
+    for (seed <- Seq(1, 7, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val nFilms = 6 + rnd.nextInt(6)
+      // deliberately collide timestamps to stress the keyset boundary
+      val films = (1 to nFilms).map { i =>
+        (s"f$i", s"Film $i", s"plot $i", 5.0 + i,
+          ts(100 + rnd.nextInt(3)), ts(100 + rnd.nextInt(3)))
+      }
+      val dirA = tmp(); val dirB = tmp()
+      for (d <- Seq(dirA, dirB)) {
+        writeTable(d, "film_work", films.toDF(
+          "id", "title", "description", "rating", "created_at", "updated_at"))
+        writeTable(d, "person", Seq.empty[(String, String, Timestamp, Timestamp)]
+          .toDF("id", "full_name", "created_at", "updated_at"))
+        writeTable(d, "genre", Seq.empty[(String, String, Timestamp, Timestamp)]
+          .toDF("id", "name", "created_at", "updated_at"))
+        writeTable(d, "person_film_work",
+          Seq.empty[(String, String, String, String, Timestamp)]
+            .toDF("id", "film_work_id", "person_id", "role", "created_at"))
+        writeTable(d, "genre_film_work",
+          Seq.empty[(String, String, String, Timestamp)]
+            .toDF("id", "film_work_id", "genre_id", "created_at"))
+      }
+      val sinksA = mkSinks(dirA); val sinksB = mkSinks(dirB)
+      // A: tiny random batches (1..2); B: one shot
+      CdcPipeline.drain(spark, tables(dirA), sinksA,
+        new Keyset.CursorStore(s"$dirA/cursors"), 1 + rnd.nextInt(2))
+      CdcPipeline.drain(spark, tables(dirB), sinksB,
+        new Keyset.CursorStore(s"$dirB/cursors"), 100)
+      val a = sinksA.movies.read().get.orderBy("id").collect().toSeq
+      val b = sinksB.movies.read().get.orderBy("id").collect().toSeq
+      assert(a === b, s"seed $seed diverged")
+      assert(a.length === nFilms)
+    }
+  }
+
   test("upsert rewrites only affected buckets") {
     val dir = tmp()
     val sink = new UpsertSink(spark, s"$dir/store", "id", nBuckets = 8)

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions: the scale properties (pushdown,
+  * pruning, partial aggregation, broadcast choice, top-k) must hold in
+  * the plans, not just in intent. These guard against regressions that
+  * correctness tests cannot see.
+  */
+class PlansSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q01: aggregation is map-side partial (two HashAggregate levels)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("q02: dims broadcast; no cartesian; scans prune to needed columns") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // lineitem scan must not read all 16 columns
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val lineitemSchema = readSchemas.find(_.contains("l_extendedprice"))
+    assert(lineitemSchema.isDefined, p)
+    assert(lineitemSchema.get.split(",").length <= 4,
+      s"lineitem scan too wide: ${lineitemSchema.get}")
+  }
+
+  test("q05: sort+limit plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q05_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("filter on a scanned column reaches the parquet scan as a " +
+       "pushed filter") {
+    val p = Tables.load(spark, sfDir, "documents")
+      .filter($"source" === "src3")
+      .select($"doc_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(source), EqualTo(source,src3)]")
+      || p.contains("EqualTo(source,src3)"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p)
+  }
+
+  test("q03 semi join stays a semi join (no inner-join row explosion)") {
+    val p = plan("q03_semi_join")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q35 ann top-k: query side broadcast, corpus side streamed") {
+    val p = plan("q35_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("native expressions keep their stages in whole-stage codegen") {
+    val p = Tables.load(spark, sfDir, "documents")
+      .select(graft.ops.TextOps.fingerprint($"text").as("fp"))
+      .queryExecution.executedPlan.toString
+    // '*(n)' marks WholeStageCodegen; the graft_polyhash projection must
+    // carry it (the HOF formulation loses it — PolyHashSpec)
+    assert(p.contains("*(1) Project [graft_polyhash"), p)
+  }
+}
