@@ -99,4 +99,7 @@ object GraftColumns {
 
   def cosineMicro(a: Column, b: Column): Column =
     B.column(CosineMicro(B.expression(a), B.expression(b)))
+
+  def shingleHash(text: Column, n: Int): Column =
+    B.column(ShingleHash(B.expression(text), n))
 }

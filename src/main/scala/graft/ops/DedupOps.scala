@@ -137,8 +137,9 @@ object DedupOps {
 
   /** Inverted-index candidate pairs for n-gram Jaccard: explode shingle
     * hashes, self-join on the hash, count shared shingles per pair.
-    * Returns (id_a, id_b, shared). Scale path: frequency-cap hot shingles
-    * upstream (stop-shingle removal) to bound join fan-out.
+    * Returns (id_a, id_b, shared). Exact but subject to hot-shingle join
+    * fan-out (Σ freq² intermediate rows) — prefer
+    * [[jaccardSimilarPairs]] (prefix-filtered, same results) at scale.
     */
   def sharedShingleCounts(
       df: DataFrame, id: String, shingles: String): DataFrame = {
@@ -149,5 +150,47 @@ object DedupOps {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
+  }
+
+  /** EXACT Jaccard-threshold pairs via prefix filtering (the PPJoin-family
+    * optimization): two sets with jaccard ≥ t must share an element among
+    * each one's first `|S| - ceil(t*|S|) + 1` elements in any global
+    * canonical order — so only those prefixes are indexed. Ordering by
+    * ascending document frequency puts the rarest shingles in the prefix,
+    * collapsing the hot-shingle Σfreq² join fan-out that makes the naive
+    * inverted index blow up at corpus scale. Candidates are then verified
+    * exactly on the full shingle sets (array_intersect — no lambdas), so
+    * the output is identical to the naive join, just cheaper.
+    *
+    * Returns (id_a, id_b, jaccard_milli) with jaccard_milli ≥
+    * `thresholdMilli`.
+    */
+  def jaccardSimilarPairs(
+      df: DataFrame, id: String, shingles: String,
+      thresholdMilli: Int): DataFrame = {
+    val base = df.select(col(id), col(shingles).as("__sh"))
+    val inv = base.select(col(id), explode(col("__sh")).as("h"))
+    val freq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // rarest-first canonical order: (df, h); prefix len = n - ceil(t*n) + 1
+    val ranked = inv.join(freq, Seq("h"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(id)).orderBy(col("df").asc, col("h").asc)))
+    val sized = base.select(col(id), size(col("__sh")).as("n"))
+    val prefix = ranked.join(sized, Seq(id))
+      .filter(col("rk") <=
+        col("n") - ceil(col("n") * thresholdMilli / 1000.0) + 1)
+      .select(col(id), col("h"))
+    val cand = prefix.select(col("h"), col(id).as("id_a"))
+      .join(prefix.select(col("h"), col(id).as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact verification on the full sets
+    cand
+      .join(base.select(col(id).as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(base.select(col(id).as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardMilli(col("sh_a"), col("sh_b")).as("jaccard_milli"))
+      .filter(col("jaccard_milli") >= thresholdMilli)
   }
 }

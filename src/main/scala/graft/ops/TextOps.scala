@@ -107,9 +107,16 @@ object TextOps {
   }
 
   /** Shingle hash set: distinct portable hashes of the n-gram shingles —
-    * the input unit for MinHash/Jaccard dedup.
+    * the input unit for MinHash/Jaccard dedup. Backed by the native
+    * one-pass expression (functions.ShingleHash); [[shingleHashesHof]]
+    * is the equivalent HOF composition (CodegenFallback, interpreted
+    * per window — kept for the equivalence spec).
     */
   def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(graft.functions.GraftColumns.shingleHash(text, n))
+
+  /** Reference HOF implementation of [[shingleHashes]]. */
+  def shingleHashesHof(text: Column, n: Int): Column =
     array_distinct(transform(wordShingles(text, n), polyHash(_)))
 
   /** Language-ID by marker-token voting: the language whose marker list

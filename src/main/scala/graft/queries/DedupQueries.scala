@@ -82,6 +82,11 @@ object DedupQueries {
          |WHERE (shared*1000)//(sa.n + sb.n - shared) >= 500
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // Naive inverted index beats the prefix-filtered variant on THIS
+      // corpus (31-word vocabulary → no rare shingles to prefix on; the
+      // filter only adds shuffles). On Zipfian real-text corpora use
+      // DedupOps.jaccardSimilarPairs — identical output, bounded fan-out
+      // (equivalence spec-checked in TextDedupSimSpec).
       val sh = Tables.load(s, dir, "documents")
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))

@@ -63,6 +63,17 @@ class TextDedupSimSpec extends SparkTestBase {
     assert(agreeFar === 0, s"unrelated docs should share no slots: $agreeFar")
   }
 
+  test("native shingle hasher matches the HOF composition on real text " +
+       "and edge cases") {
+    val docs = Tables.load(spark, sfDir, "documents").select($"text")
+      .unionByName(Seq("", "one", "one two", "a  b   c", " lead trail ")
+        .toDF("text"))
+    val cmp = docs.select(
+      TextOps.shingleHashes($"text", 3).as("native"),
+      TextOps.shingleHashesHof($"text", 3).as("hof"))
+    assert(cmp.filter(not($"native" <=> $"hof")).count() === 0)
+  }
+
   test("DataFrame-level minhashSignatures matches the Column-level " +
        "signature element-wise, including the empty-shingle sentinel") {
     val docs = Seq(
@@ -92,6 +103,25 @@ class TextDedupSimSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(pairs.size < 5, s"too many false candidates: $pairs")
+  }
+
+  test("prefix-filtered jaccard pairs equal the naive inverted-index " +
+       "result exactly (real documents, threshold 300)") {
+    val sh = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", TextOps.shingleHashes($"text", 3).as("hashes"))
+    val sizes = sh.select($"doc_id", size($"hashes").as("n"))
+    val naive = DedupOps.sharedShingleCounts(sh, "doc_id", "hashes")
+      .join(sizes.select($"doc_id".as("id_a"), $"n".as("n_a")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n".as("n_b")), "id_b")
+      .select($"id_a", $"id_b",
+        floor($"shared".cast("double") * 1000.0 /
+          ($"n_a" + $"n_b" - $"shared").cast("double")).cast("long")
+          .as("jm"))
+      .filter($"jm" >= 300)
+      .as[(Long, Long, Long)].collect().toSet
+    val filtered = DedupOps.jaccardSimilarPairs(sh, "doc_id", "hashes", 300)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(filtered === naive)
   }
 
   test("simhash: hamming distance separates near-dups from unrelated docs") {
