@@ -41,21 +41,82 @@ object Search {
       size(filter(tokens, x => x === lit(t))).cast("long")
     }.reduce(_ + _)
 
-  /** Score docs against a free-text query; returns the input plus a
-    * `score` column, filtered to score > 0.
+  /** Plain weighted-tf scoring (the first-cut X1 semantics; integer and
+    * oracle-friendly, but long fields with repeated terms out-rank short
+    * exact titles — see [[score]] for the ranking-quality default).
+    */
+  def scoreTf(
+      docs: DataFrame,
+      query: String,
+      weights: Map[String, Int] = DefaultWeights): DataFrame = {
+    val terms = analyzeQuery(docs, query)
+    val total = weights.toSeq.sortBy(_._1).map { case (f, w) =>
+      tfScore(analyzedField(f), terms) * lit(w.toLong)
+    }.reduceOption(_ + _).getOrElse(lit(0L))
+    docs.withColumn("score", total.cast("double")).filter(col("score") > 0)
+  }
+
+  private def analyzeQuery(docs: DataFrame, query: String): Seq[String] =
+    docs.sparkSession.range(1)
+      .select(Analyzer.analyze(lit(query)).as("t"))
+      .head.getSeq[String](0).distinct
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** BM25F multi-field scoring (the SURVEY §7.1.5 upgrade, Robertson's
+    * field-weighted BM25): per query term t,
+    *   tf̃_t  = Σ_f w_f · tf_ft / (1 - b + b·dl_f/avgdl_f)
+    *   idf_t = ln(1 + (N - df_t + 0.5)/(df_t + 0.5))   with df_t =
+    *           #docs where ANY field contains t (document-level stats)
+    *   score = Σ_t idf_t · tf̃_t / (k1 + tf̃_t)
+    *
+    * Three ranking bugs this shape fixes, each found on the golden
+    * 1000-movie corpus: plain tf let a long plot repeating one term
+    * beat an exact short title ("Star Wait" > "Star Wars"); per-field
+    * summing let one term collected across many fields beat a
+    * two-term title match ("Jeffree Star" via title+actors); per-FIELD
+    * idf made a term that is rare in a minor field explode (star in
+    * actors_names). Document-level idf + per-term saturation make
+    * matching MORE query terms dominate matching one term hard.
+    *
+    * Corpus stats (df per term, avgdl per field) come from ONE
+    * aggregate pass; the driver holds ~|fields|+|terms| numbers, so the
+    * op distributes at any corpus size.
     */
   def score(
       docs: DataFrame,
       query: String,
       weights: Map[String, Int] = DefaultWeights): DataFrame = {
-    val spark = docs.sparkSession
-    // analyze the query with the same pipeline as the documents
-    val terms = spark.range(1).select(
-      Analyzer.analyze(lit(query)).as("t"))
-      .head.getSeq[String](0).distinct
-    val total = weights.toSeq.sortBy(_._1).map { case (f, w) =>
-      tfScore(analyzedField(f), terms) * lit(w.toLong)
-    }.reduceOption(_ + _).getOrElse(lit(0L))
+    val terms = analyzeQuery(docs, query)
+    if (terms.isEmpty)
+      return docs.withColumn("score", lit(0.0)).filter(col("score") > 0)
+    val fields = weights.keys.toSeq.sorted
+
+    val statAggs =
+      fields.map(f => avg(size(analyzedField(f))).as(s"avgdl_$f")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(
+            fields.map(f => array_contains(analyzedField(f), t))
+              .reduce(_ || _), 1L).otherwise(0L)).as(s"df_$i")
+        } :+
+        count(lit(1)).as("n_docs")
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*).head()
+    val n = stats.getAs[Long]("n_docs").toDouble
+
+    val total = terms.zipWithIndex.map { case (t, i) =>
+      val df = stats.getAs[Long](s"df_$i").toDouble
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val tfTilde = fields.map { f =>
+        val toks = analyzedField(f)
+        val avgdl = math.max(stats.getAs[Double](s"avgdl_$f"), 1e-9)
+        val dl = size(toks).cast("double")
+        val tf = size(filter(toks, x => x === lit(t))).cast("double")
+        lit(weights(f).toDouble) * tf /
+          (lit(1 - B) + lit(B) * dl / lit(avgdl))
+      }.reduce(_ + _)
+      lit(idf) * tfTilde / (lit(K1) + tfTilde)
+    }.reduce(_ + _)
     docs.withColumn("score", total).filter(col("score") > 0)
   }
 
@@ -75,7 +136,7 @@ object Search {
     require(page > 0 && limit > 0, "page/limit must be positive")
     val sortCol = if (asc) col(sortField).asc_nulls_last
                   else col(sortField).desc_nulls_last
-    val base = query.fold(docs.withColumn("score", lit(0L)))(q => score(docs, q))
+    val base = query.fold(docs.withColumn("score", lit(0.0)))(q => score(docs, q))
     val ordered = query match {
       case Some(_) => base.orderBy(col("score").desc, sortCol, col("id").asc)
       case None => base.orderBy(sortCol, col("id").asc)

@@ -88,6 +88,26 @@ object SearchQueries {
         .orderBy($"seg_id")
     },
 
+    // T6 (batch face): tumbling time-window rollup over the event stream
+    // table — window().start aligns with date_trunc for aligned windows.
+    GraftQuery(
+      "q18_time_window_rollup",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(round(value*100) AS BIGINT)) AS value_c
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round($"value" * 100, 0).cast("long")).as("value_c"))
+        .select($"window.start".as("window_start"), $"event_type",
+          $"n", $"value_c")
+        .orderBy($"window_start", $"event_type")
+    },
+
     // F7: ISO timestamp/date formatting (utils.py:11-16) + month rollup.
     GraftQuery(
       "q19_date_format_rollup",
