@@ -42,5 +42,22 @@ object MoviesQueries {
       Search.search(docs, Some("star wars"), "imdb_rating", asc = false)
         .select(col("id"), col("title"), col("score"),
           col("actors_names"), col("genres_names"))
+    },
+
+    // Multimodal plumbing, driver-visible: synthetic binary media →
+    // partition-wise stub decode → per-type feature rollup (rows-only
+    // check; blob bytes are engine-generated, not SQL-reachable).
+    GraftQuery.noOracle("q41_multimodal_features") { (s, _) =>
+      import graft.ops.MultimodalOps
+      val media = MultimodalOps.syntheticMedia(s, 300)
+      val feats = MultimodalOps.decodeImageFeatures(media)
+      media.select(col("media_id"), col("meta.media_type").as("media_type"))
+        .join(feats, "media_id")
+        .groupBy(col("media_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("mean_luma_milli")).as("sum_luma"),
+          avg(col("width")).as("avg_w"))
+        .orderBy(col("media_type"))
     })
 }
