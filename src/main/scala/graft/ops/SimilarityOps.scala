@@ -96,6 +96,63 @@ object SimilarityOps {
       }),
       lit(0L), (acc, x) => acc + x)
 
+  /** IVF (inverted-file) ANN: k-means partitions the corpus into nList
+    * cells; a query probes only its nProbe nearest cells and ranks
+    * exactly (cosine) within them. The classic recall/compute dial for
+    * billion-vector search: compute scales with nProbe/nList of the
+    * corpus instead of all of it. nProbe = nList degenerates to exact
+    * brute force (spec-checked).
+    *
+    * Distributed shape: centroids (nList × dim, tiny) train once and
+    * broadcast; cell assignment is one streaming pass; the probe is an
+    * equi-join on cell id (no cross join); per-query ranking is a
+    * window over query_id.
+    */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nList: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    import org.apache.spark.sql.expressions.Window
+
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val corpusFeat = corpus.withColumn("__features", toVec(col(corpusVec)))
+    val model = new KMeans()
+      .setK(nList).setSeed(seed).setFeaturesCol("__features")
+      .fit(corpusFeat)
+    val assigned = model.transform(corpusFeat)
+      .withColumnRenamed("prediction", "__cell")
+      .drop("__features")
+
+    // centroid table: tiny (nList rows) → broadcast into the probe join
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toDF("__cell", "__center")
+
+    val probes = queries
+      .join(broadcast(centroids))
+      .withColumn("__qc_cos", cosineMicro(col(queryVec), col("__center")))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col(queryId)).orderBy(
+          col("__qc_cos").desc, col("__cell").asc)))
+      .filter(col("__rank") <= nProbe)
+      .select(col(queryId), col(queryVec), col("__cell"))
+
+    val scored = assigned.join(broadcast(probes), Seq("__cell"))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("cos_micro", cosineMicro(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cos_micro").desc, col(corpusId).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cos_micro"), col("rank"))
+  }
+
   /** ANN via SRP-LSH buckets: probe = exact cosine only within matching
     * buckets. Returns candidate pairs with cosine; recall depends on
     * nBits (fewer bits → bigger buckets → higher recall, more compute).

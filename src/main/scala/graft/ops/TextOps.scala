@@ -48,6 +48,18 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = polyHash(text)
 
+  /** BPE-ish subword-piece counting: letter runs / digit runs /
+    * punctuation runs with an optional leading space each — the
+    * GPT-2-style pre-tokenizer reduced to an RE2-safe regex (no
+    * lookahead, so the same pattern runs in any engine). A real BPE
+    * merge table plugs in downstream; for pipeline budgeting (tokens
+    * per doc / per corpus) the piece count is the quantity that matters.
+    */
+  val BpePiecePattern: String = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def bpePieceCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePiecePattern), lit(0)))
+
   /** Canonical text for exact-dedup keys: lowercase, trim, collapse runs of
     * whitespace. Dedup key itself should be `md5(normalize(text))`.
     */

@@ -306,6 +306,31 @@ object RelationalQueries {
         .orderBy($"p_brand")
     },
 
+    // S3/O1: the CDC keyset batch scan in oracle-checkable form — rows
+    // strictly after cursor (ts, id) in (ts, id) total order, limited.
+    // Same predicate/order shape as cdc.Keyset.nextBatch; cursor derived
+    // from the data (last ts of event 42) so it exists at every SF.
+    GraftQuery(
+      "q42_keyset_batch",
+      """WITH c AS (SELECT max(epoch_us(ts)) AS ts0 FROM events
+        |           WHERE event_id = 42)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |FROM events, c
+        |WHERE epoch_us(ts) > c.ts0
+        |   OR (epoch_us(ts) = c.ts0 AND event_id > 42)
+        |ORDER BY ts_us, event_id
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val tsUs = unix_micros($"ts")
+      val ts0 = e.filter($"event_id" === 42)
+        .agg(max(unix_micros($"ts"))).head.getLong(0)
+      e.filter(tsUs > ts0 || (tsUs === ts0 && $"event_id" > 42))
+        .orderBy(tsUs.asc, $"event_id".asc)
+        .limit(100)
+        .select($"event_id", $"user_id", tsUs.as("ts_us"))
+    },
+
     // S5/T2 batch analogue: idempotent upsert = keep latest row per key
     // (what the ES bulk-upsert by doc id converges to).
     GraftQuery(

@@ -101,6 +101,24 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // BPE-ish subword-piece counting (token budgeting for training-data
+    // pipelines); same RE2-safe regex on both engines.
+    GraftQuery(
+      "q24_bpe_piece_count",
+      """SELECT lang,
+        |  SUM(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS total_pieces,
+        |  MAX(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS max_pieces,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"lang", TextOps.bpePieceCount($"text").cast("long").as("p"))
+        .groupBy($"lang")
+        .agg(sum($"p").as("total_pieces"), max($"p").as("max_pieces"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"lang")
+    },
+
     // Language-ID by marker voting; confusion-style matrix vs the labeled
     // lang column (counts only — deterministic).
     GraftQuery(

@@ -151,6 +151,30 @@ class TextDedupSimSpec extends SparkTestBase {
     assert(got === Array(1000000L, 0L))
   }
 
+  test("IVF top-k: full probe equals brute force exactly; partial probe " +
+       "keeps high recall at a fraction of the compute") {
+    import graft.ops.SimilarityOps
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val corpus = e.select($"vec_id", $"embedding")
+    val queries = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val exact = asSet(SimilarityOps.bruteForceTopK(
+      corpus, "vec_id", "embedding", queries, "query_id", "qvec", k = 5))
+    val fullProbe = asSet(SimilarityOps.ivfTopK(
+      corpus, "vec_id", "embedding", queries, "query_id", "qvec",
+      k = 5, nList = 8, nProbe = 8))
+    assert(fullProbe === exact)
+    val partial = asSet(SimilarityOps.ivfTopK(
+      corpus, "vec_id", "embedding", queries, "query_id", "qvec",
+      k = 5, nList = 8, nProbe = 4))
+    val recall = partial.map(t => (t._1, t._2))
+      .intersect(exact.map(t => (t._1, t._2))).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall too low: $recall")
+  }
+
   test("SRP-LSH neighbor pairs reach high recall on real near pairs") {
     val e = Tables.load(spark, sfDir, "embeddings")
     // ground truth: all pairs with cosine >= 0.40 (brute force at sf0.001)
