@@ -14,14 +14,24 @@ object Bench {
     // with one untimed pass over every query, then time the steady-state
     // pass. First-execution codegen costs seconds per query shape and would
     // otherwise dominate the sub-second query times at this scale.
+    // Dev iteration aids (driver ignores them): SPARK_GRAFT_ONLY=q40,q31
+    // restricts to named queries; SPARK_GRAFT_REPS=3 times each query N
+    // times and reports the minimum (cuts this box's ±2× timing noise).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

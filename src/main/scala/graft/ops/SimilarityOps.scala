@@ -111,7 +111,8 @@ object SimilarityOps {
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nList: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+      k: Int, nList: Int, nProbe: Int, seed: Long = 42L,
+      maxIter: Int = 20, sampleFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
     import org.apache.spark.sql.expressions.Window
@@ -119,9 +120,23 @@ object SimilarityOps {
     val toVec = udf((a: Seq[Float]) =>
       Vectors.dense(a.map(_.toDouble).toArray))
     val corpusFeat = corpus.withColumn("__features", toVec(col(corpusVec)))
+    // Train on a sample: centroid quality needs a representative sketch
+    // of the distribution, not the full corpus — at 10^9 vectors you
+    // train on ~10^6. Results stay exact at full probe regardless;
+    // partial-probe recall depends only mildly on centroid quality.
+    val trainSet =
+      if (sampleFraction >= 1.0) corpusFeat
+      else corpusFeat.sample(withReplacement = false, sampleFraction, seed)
+    // Random init: k-means|| costs ~5 extra full passes for an init
+    // quality that only nudges partial-probe recall; with the exact
+    // re-rank inside probed cells, random + a few Lloyd iterations is
+    // the standard IVF training recipe (FAISS trains on samples the
+    // same way).
     val model = new KMeans()
-      .setK(nList).setSeed(seed).setFeaturesCol("__features")
-      .fit(corpusFeat)
+      .setK(nList).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random")
+      .setFeaturesCol("__features")
+      .fit(trainSet)
     val assigned = model.transform(corpusFeat)
       .withColumnRenamed("prediction", "__cell")
       .drop("__features")

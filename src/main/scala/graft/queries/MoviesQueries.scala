@@ -37,8 +37,13 @@ object MoviesQueries {
     GraftQuery.noOracle("q40_movies_pipeline") { (s, _) =>
       val (movies, actors, writers, movieActors) = legacyFixture(s)
       val n = Ingest.normalize(movies, actors, writers, movieActors)
+      // Materialize the doc store before querying it — the reference
+      // serves search from an index, not by re-running the ETL per
+      // query; localCheckpoint is the single-job analogue (BM25F needs
+      // a corpus-stats pass + a scoring pass over the same docs).
       val docs = Docs.movieDocs(
         n.filmWork, n.person, n.genre, n.personFilmWork, n.genreFilmWork)
+        .localCheckpoint()
       Search.search(docs, Some("star wars"), "imdb_rating", asc = false)
         .select(col("id"), col("title"), col("score"),
           col("actors_names"), col("genres_names"))

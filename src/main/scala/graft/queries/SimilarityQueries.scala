@@ -73,5 +73,39 @@ object SimilarityQueries {
         .select($"query_id", $"vec_id".as("neighbor_id"),
           $"cos_micro", $"rank")
         .orderBy($"query_id", $"rank")
+    },
+
+    // IVF ANN at full probe: with nProbe = nList every query probes all
+    // cells, so the result is exactly brute-force top-k no matter what
+    // centroids k-means produced — which makes the whole IVF machinery
+    // (train, assign, probe-join, per-cell exact rank) oracle-checkable
+    // with the same SQL as q35. Partial-probe recall is spec-tested in
+    // TextDedupSimSpec.
+    GraftQuery(
+      "q37_ivf_topk",
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(${duckCosMicro("q", "c")} AS BIGINT) AS cos_micro
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 10),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_micro DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos_micro, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      // maxIter 5: full probe is exact for any centroids, so training
+      // only needs to produce a balanced-ish partition, not converge.
+      SimilarityOps.ivfTopK(
+          e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5, nList = 8, nProbe = 8,
+          maxIter = 5)
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          $"cos_micro", $"rank")
+        .orderBy($"query_id", $"rank")
     })
 }
