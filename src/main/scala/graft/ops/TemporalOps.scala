@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators. The reference has no temporal joins (SURVEY
+  * §2.3: equi-joins only); these extend the engine for event-stream
+  * analytics at scale.
+  */
+object TemporalOps {
+
+  /** As-of join: pair every left row with the single nearest right row
+    * per key — at-or-before `leftTs` (`direction="backward"`, the
+    * default) or at-or-after (`"forward"`).
+    *
+    * Shape (the scale property): tag both sides, union, ONE shuffle on
+    * `on` keys, one sort, one window pass carrying the latest right
+    * payload forward (`last(..., ignoreNulls)`); no range-join row
+    * explosion, no per-key driver loop. This is the sort-merge
+    * formulation every columnar engine uses for ASOF JOIN.
+    *
+    * Contract: right value columns (everything but `on` ++ `rightTs`)
+    * must not collide with left column names; rows with equal
+    * (key, ts) on BOTH sides match (right sorts before left at equal
+    * ts); if multiple right rows share (key, rightTs) the winner is
+    * unspecified — dedup first for determinism. Unmatched left rows
+    * keep null right columns (left-outer semantics).
+    *
+    * @param matchedTsCol when set, emit the matched right timestamp
+    *   under this name (for staleness filtering downstream).
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      on: Seq[String], leftTs: String, rightTs: String,
+      direction: String = "backward",
+      matchedTsCol: Option[String] = None): DataFrame = {
+    require(Seq("backward", "forward").contains(direction),
+      s"unsupported direction: $direction")
+    val leftPayload = left.columns.filterNot(on.contains).toSeq
+    val rightPayload = right.columns
+      .filterNot(c => on.contains(c) || c == rightTs).toSeq
+    val collisions = rightPayload.toSet intersect left.columns.toSet
+    require(collisions.isEmpty,
+      s"right value columns collide with left: $collisions")
+
+    def nullOf(df: DataFrame, c: String): Column =
+      lit(null).cast(df.schema(c).dataType).as(c)
+
+    // The right payload travels as ONE struct: carrying columns
+    // independently could stitch values from different right rows when
+    // right data itself contains nulls (last(_, ignoreNulls) skips
+    // them per column); a struct is non-null per right row, so the
+    // carry is atomic.
+    val rPack = struct(
+      (rightPayload.map(col) :+ col(rightTs).as("__rts")): _*)
+    val rPackType = right.select(rPack.as("__rpack")).schema("__rpack").dataType
+
+    val lTagged = left.select(
+      on.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        leftPayload.map(col) :+
+        lit(null).cast(rPackType).as("__rpack"): _*)
+    val rTagged = right.select(
+      on.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        leftPayload.map(c => nullOf(left, c)) :+
+        rPack.as("__rpack"): _*)
+
+    val ord =
+      if (direction == "backward") Seq(col("__ts").asc, col("__side").asc)
+      else Seq(col("__ts").desc, col("__side").asc)
+    val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("__rpack", last(col("__rpack"), ignoreNulls = true).over(w))
+
+    carried.filter(col("__side") === 1)
+      .select(
+        on.map(col) ++ leftPayload.map(col) ++
+          rightPayload.map(c => col("__rpack").getField(c).as(c)) ++
+          matchedTsCol.map(n => col("__rpack").getField("__rts").as(n))
+            .toSeq: _*)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TemporalOps
+
+/** Temporal/window conformance suite over `events`.
+  *
+  * Timestamps compare as integer microseconds (`unix_micros` /
+  * `epoch_us`) on both engines — TIMESTAMP(NANOS) parquet plus engine
+  * session-TZ differences make raw timestamp equality fragile, integer
+  * micros are exact.
+  */
+object TemporalQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // As-of join: every purchase paired with the user's latest click at
+    // or before it (left-outer). DuckDB's native ASOF JOIN is the
+    // oracle for TemporalOps.asofJoin's union+window formulation.
+    GraftQuery(
+      "q43_asof_join",
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_ts_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.ts_us, p.value_c,
+        |  c.click_id, c.click_ts_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.click_ts_us
+        |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          round($"value" * 100, 0).cast("long").as("value_c"))
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"),
+          unix_micros($"ts").as("click_ts_us"))
+      TemporalOps.asofJoin(
+          purchases, clicks, Seq("user_id"), "ts_us", "click_ts_us",
+          matchedTsCol = Some("click_ts_us"))
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    },
+
+    // §2.5 window analytics (beyond the reference, which has none):
+    // row_number, lag, running sum per user in (ts, id) total order.
+    GraftQuery(
+      "q44_window_analytics",
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS rn,
+        |  lag(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS prev_value_c,
+        |  SUM(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS run_value_c
+        |FROM events
+        |ORDER BY user_id, rn""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy(unix_micros($"ts").asc, $"event_id".asc)
+      val valueC = round($"value" * 100, 0).cast("long")
+      Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          row_number().over(w).as("rn"),
+          lag(valueC, 1).over(w).as("prev_value_c"),
+          sum(valueC).over(w).as("run_value_c"))
+        .orderBy($"user_id", $"rn")
+    })
+}

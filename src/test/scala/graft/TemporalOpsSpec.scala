@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.ops.TemporalOps
+
+/** asofJoin edge semantics against hand-computed expectations, plus a
+  * differential check vs a naive per-row scan on random data.
+  */
+class TemporalOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("backward as-of: equal ts matches, no-match keeps nulls, " +
+       "latest-not-any right row wins") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 150L), (2L, 9L, 900L))
+      .toDF("k", "ts", "rv")
+    val got = TemporalOps.asofJoin(
+        left, right, Seq("k"), "ts", "ts", matchedTsCol = Some("rts"))
+      .orderBy($"k", $"ts")
+      .as[(Long, Long, String, Option[Long], Option[Long])].collect().toSeq
+    assert(got === Seq(
+      (1L, 10L, "a", Some(100L), Some(10L)), // equal ts → matches
+      (1L, 20L, "b", Some(150L), Some(15L)), // latest at-or-before, not first
+      (2L, 5L, "c", None, None)))            // right is later → no match
+  }
+
+  test("forward as-of mirrors backward") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "ts", "lv")
+    val right = Seq((1L, 12L, 120L), (1L, 20L, 200L)).toDF("k", "ts", "rv")
+    val got = TemporalOps.asofJoin(
+        left, right, Seq("k"), "ts", "ts", direction = "forward")
+      .orderBy($"ts")
+      .as[(Long, Long, String, Option[Long])].collect().toSeq
+    assert(got === Seq(
+      (1L, 10L, "a", Some(120L)),  // earliest at-or-after
+      (1L, 20L, "b", Some(200L)))) // equal ts → matches
+  }
+
+  test("null right-payload values don't stitch values across right rows") {
+    val left = Seq((1L, 30L, "a")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, 10L, Option(5L), Option("early")),
+      (1L, 20L, Option.empty[Long], Option("late")))
+      .toDF("k", "ts", "rv", "tag")
+    val got = TemporalOps.asofJoin(left, right, Seq("k"), "ts", "ts")
+      .select($"rv", $"tag").as[(Option[Long], String)].head()
+    // the matched row is (20, null, "late") — rv must be null, NOT 5
+    assert(got === ((None, "late")))
+  }
+
+  test("differential: asofJoin equals a naive nearest-scan on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val right = (1 to 200).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 2 + 1, i * 10L))
+      .distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (k,ts)
+    val lDf = left.toDF("k", "ts", "lid")
+    val rDf = right.toDF("k", "ts", "rid")
+    val got = TemporalOps.asofJoin(
+        lDf, rDf, Seq("k"), "ts", "ts", matchedTsCol = Some("rts"))
+      .select($"k", $"ts", $"lid", $"rid", $"rts")
+      .as[(Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSet
+    val expected = left.map { case (k, ts, lid) =>
+      val best = right.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(_._2).lastOption
+      (k, ts, lid, best.map(_._3), best.map(_._2))
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("asofJoin plan shuffles once on the key (no range-join explosion)") {
+    val e = Tables.load(spark, sfDir, "events")
+    val l = e.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+    val r = e.filter($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("cts_us"),
+        $"event_id".as("click_id"))
+    val p = TemporalOps.asofJoin(l, r, Seq("user_id"), "ts_us", "cts_us")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  private def unix_micros(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.unix_micros(c)
+}
