@@ -352,5 +352,74 @@ object RelationalQueries {
         .select($"user_id", $"event_id", $"event_type",
           cents($"value").as("value_c"))
         .orderBy($"user_id")
+    },
+
+    // Hierarchical subtotals: ROLLUP over (nation, order-year) — per
+    // group, per nation, and grand total in one shuffle-reusing pass
+    // (Spark expands grouping sets map-side; no extra scans).
+    GraftQuery(
+      "q46_rollup",
+      """SELECT n.n_name AS nation, strftime(o.o_orderdate, '%Y') AS yr,
+        |  COUNT(*) AS n_orders,
+        |  SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS total_c,
+        |  CAST(grouping(n.n_name) AS BIGINT) AS g_nation,
+        |  CAST(grouping(strftime(o.o_orderdate, '%Y')) AS BIGINT) AS g_yr
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY ROLLUP(n.n_name, strftime(o.o_orderdate, '%Y'))
+        |ORDER BY nation NULLS FIRST, yr NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      orders
+        .join(customer, $"o_custkey" === $"c_custkey")
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .select($"n_name".as("nation"),
+          date_format($"o_orderdate", "yyyy").as("yr"),
+          cents($"o_totalprice").as("price_c"))
+        .rollup($"nation", $"yr")
+        .agg(count(lit(1)).as("n_orders"), sum($"price_c").as("total_c"),
+          grouping($"nation").cast("long").as("g_nation"),
+          grouping($"yr").cast("long").as("g_yr"))
+        .orderBy($"nation".asc_nulls_first, $"yr".asc_nulls_first)
+    },
+
+    // Exact nearest-rank percentiles (p50/p90/p99) per group, computed
+    // with the same integer/window arithmetic on both engines — no
+    // interpolation, so results hash-match exactly. At scale this is
+    // one shuffle (window) + map-side-combinable final agg; for sketch
+    // trade-offs use percentile_approx/approx_count_distinct instead.
+    GraftQuery(
+      "q47_percentile_rank",
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(round(value*100) AS BIGINT), event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN value_c END) AS p50_c,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.9*n) AS BIGINT) THEN value_c END) AS p90_c,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.99*n) AS BIGINT) THEN value_c END) AS p99_c,
+        |  MAX(n) AS n
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byType = Window.partitionBy($"event_type")
+      val w = byType.orderBy($"value_c".asc, $"event_id".asc)
+      def atQ(q: Double) = max(when(
+        $"rn" === ceil(lit(q) * $"n").cast("long"), $"value_c"))
+      t(s, dir, "events")
+        .select($"event_type", cents($"value").as("value_c"), $"event_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(byType))
+        .groupBy($"event_type")
+        .agg(atQ(0.5).as("p50_c"), atQ(0.9).as("p90_c"),
+          atQ(0.99).as("p99_c"), max($"n").as("n"))
+        .orderBy($"event_type")
     })
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.TemporalOps
+import graft.ops.{RangeJoinOps, TemporalOps}
 
 /** Temporal/window conformance suite over `events`.
   *
@@ -70,5 +70,39 @@ object TemporalQueries {
           lag(valueC, 1).over(w).as("prev_value_c"),
           sum(valueC).over(w).as("run_value_c"))
         .orderBy($"user_id", $"rn")
+    },
+
+    // Interval-containment join: clicks inside the hour before each
+    // purchase, per user — RangeJoinOps binning vs DuckDB's plain
+    // inequality join. Aggregated so the result stays small at any SF.
+    GraftQuery(
+      "q45_interval_join",
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id,
+        |    epoch_us(ts) - 3600000000 AS s_us, epoch_us(ts) AS e_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.purchase_id, COUNT(c.t_us) AS n_clicks,
+        |  MAX(c.t_us) AS last_click_us
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.t_us BETWEEN p.s_us AND p.e_us
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val intervals = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"),
+          (unix_micros($"ts") - 3600000000L).as("s_us"),
+          unix_micros($"ts").as("e_us"))
+      val points = e.filter($"event_type" === "click")
+        .select($"user_id", unix_micros($"ts").as("t_us"))
+      RangeJoinOps.intervalJoin(
+          points, intervals, Seq("user_id"), "t_us", "s_us", "e_us",
+          binWidth = 3600000000L)
+        .groupBy($"user_id", $"purchase_id")
+        .agg(count($"t_us").as("n_clicks"), max($"t_us").as("last_click_us"))
+        .orderBy($"user_id", $"purchase_id")
     })
 }

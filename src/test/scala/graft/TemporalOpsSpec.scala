@@ -84,6 +84,41 @@ class TemporalOpsSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
+  test("intervalJoin equals the naive inequality join, incl. boundary " +
+       "points and bin-straddling intervals") {
+    import graft.ops.RangeJoinOps
+    val rnd = new scala.util.Random(11)
+    val points = (1 to 400).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "t", "pid")
+    val intervals = (1 to 120).map { i =>
+      val s = rnd.nextInt(500).toLong
+      (rnd.nextInt(4).toLong, s, s + rnd.nextInt(120).toLong, i.toLong)
+    }.toDF("k", "s", "e", "iid")
+    // binWidth 64 « max interval span 120 → every interval spans bins
+    val got = RangeJoinOps.intervalJoin(
+        points, intervals, Seq("k"), "t", "s", "e", binWidth = 64)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val naive = points.as("p")
+      .join(intervals.as("i"),
+        $"p.k" === $"i.k" && $"p.t" >= $"i.s" && $"p.t" <= $"i.e")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+
+  test("intervalJoin plans as an equi-join on (key, bin), not a " +
+       "nested-loop over all pairs") {
+    import graft.ops.RangeJoinOps
+    val points = Seq((1L, 5L)).toDF("k", "t")
+    val intervals = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
+    val p = RangeJoinOps.intervalJoin(
+        points, intervals, Seq("k"), "t", "s", "e", binWidth = 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   private def unix_micros(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.unix_micros(c)
 }
