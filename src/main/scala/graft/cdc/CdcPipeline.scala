@@ -97,6 +97,26 @@ object CdcPipeline {
       sinks: Sinks,
       cursors: Keyset.CursorStore,
       batchSize: Int = 1000): Map[String, TickResult] = {
+    // One cached scan per source table per tick: the 7 processes (and
+    // their rebuilds) otherwise re-read the same 5 tables up to a
+    // dozen times, and mid-tick writers would give later processes a
+    // different table state than earlier ones. A tick runs against one
+    // consistent snapshot; freshness re-enters at the next tick.
+    val cached = Seq(t.filmWork(), t.person(), t.genre(),
+      t.personFilmWork(), t.genreFilmWork()).map(_.cache())
+    val snap = Tables(
+      () => cached(0), () => cached(1), () => cached(2),
+      () => cached(3), () => cached(4))
+    try tickUncached(spark, snap, sinks, cursors, batchSize)
+    finally cached.foreach { df => df.unpersist(); () }
+  }
+
+  private def tickUncached(
+      spark: SparkSession,
+      t: Tables,
+      sinks: Sinks,
+      cursors: Keyset.CursorStore,
+      batchSize: Int): Map[String, TickResult] = {
     processes(t).map { p =>
       val cursor = cursors.load(p.name)
       val (batch, advanced) = Keyset.nextBatch(

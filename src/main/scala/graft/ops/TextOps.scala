@@ -48,6 +48,24 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = polyHash(text)
 
+  /** Stable train/val/test assignment by hashed key: a document's split
+    * is a pure function of (key, salt), so it survives reshuffles,
+    * re-partitioning, incremental corpus growth, and engine changes —
+    * the property dataset splits at 100 TB must have (sampling by
+    * rand() re-deals every run; row_number sampling re-deals on every
+    * insert). Percents are cumulative cut points on hash mod 100.
+    */
+  def stableSplit(
+      key: Column, salt: String,
+      trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val h = pmod(polyHash(concat(key.cast("string"), lit(":" + salt))),
+      lit(100L))
+    when(h < trainPct, "train")
+      .when(h < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** BPE-ish subword-piece counting: letter runs / digit runs /
     * punctuation runs with an optional leading space each — the
     * GPT-2-style pre-tokenizer reduced to an RE2-safe regex (no

@@ -119,6 +119,34 @@ object TextQueries {
         .orderBy($"lang")
     },
 
+    // Stable train/val/test splitting: assignment is a pure function of
+    // (doc_id, salt) via the portable polynomial hash, so the split is
+    // identical across engines, runs, and corpus growth — checked by
+    // computing the same assignment in DuckDB.
+    GraftQuery(
+      "q48_stable_split",
+      """WITH s AS (
+        |  SELECT lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(doc_id AS VARCHAR) || ':split1', ''),
+        |        c -> ascii(c))),
+        |      (a,x) -> (a*31+x)%1000000007) % 100 AS h
+        |  FROM documents)
+        |SELECT CASE WHEN h < 80 THEN 'train'
+        |            WHEN h < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"lang",
+          TextOps.stableSplit($"doc_id", "split1").as("split"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n"))
+        .select($"split", $"lang", $"n")
+        .orderBy($"split", $"lang")
+    },
+
     // Language-ID by marker voting; confusion-style matrix vs the labeled
     // lang column (counts only — deterministic).
     GraftQuery(

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Partitioned-layout plan properties: a date/source-partitioned lake
+  * layout must prune partitions at planning time — at 100 TB the
+  * difference between scanning one day and scanning the corpus.
+  */
+class PartitionPruningSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = java.nio.file.Files
+    .createTempDirectory("graft_part").toString
+
+  private lazy val setup: Unit = {
+    Tables.load(spark, sfDir, "events")
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day", "event_type")
+      .parquet(dir)
+  }
+
+  test("equality filters on partition columns prune to matching dirs") {
+    setup
+    val q = spark.read.parquet(dir)
+      .filter($"day" === "2024-01-05" && $"event_type" === "click")
+      .select($"event_id")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters:"), scan)
+    assert(scan.contains("isnotnull(day"), scan)
+    // data filters must NOT appear: both predicates resolve at the
+    // partition level, nothing is re-checked per row
+    assert(!scan.contains("PushedFilters: [IsNotNull"), scan)
+    // and the result matches the unpartitioned scan
+    val expected = Tables.load(spark, sfDir, "events")
+      .filter(date_format($"ts", "yyyy-MM-dd") === "2024-01-05" &&
+        $"event_type" === "click")
+      .count()
+    assert(q.count() === expected && expected > 0)
+  }
+
+  test("range filter on the partition column prunes too (dynamic day range)") {
+    setup
+    val q = spark.read.parquet(dir)
+      .filter($"day" >= "2024-01-28")
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters:") &&
+      scan.contains("(day"), scan)
+    val got = q.select($"day").as[String].collect().toSet
+    assert(got.nonEmpty && got.forall(_ >= "2024-01-28"), got)
+  }
+}
