@@ -152,6 +152,38 @@ object DedupOps {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** [[sharedShingleCounts]] specialized for a Jaccard threshold query:
+    * since jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), pairs failing the
+    * length-ratio bound can't reach the threshold and are dropped
+    * BEFORE the pair aggregation — on Zipfian corpora most of the
+    * hot-shingle Σfreq² fan-out dies here, in the same codegen stage as
+    * the join. Sizes ride along, so the caller computes jaccard with no
+    * extra joins. Returns (id_a, id_b, shared, n_a, n_b); exact for any
+    * downstream filter `jaccard_milli >= thresholdMilli`.
+    */
+  def sharedShingleCountsBounded(
+      df: DataFrame, id: String, shingles: String,
+      thresholdMilli: Int): DataFrame = {
+    // Posting lists instead of a self-join: group the inverted index by
+    // shingle once, then generate in-list pairs with two codegen'd
+    // explodes — one shuffle of the postings (vs two join sides), same
+    // Σfreq² pair stream, pruned by the length-ratio bound before the
+    // pair aggregation.
+    val inv = df.select(col(id), explode(col(shingles)).as("sh"),
+      size(col(shingles)).as("n"))
+    val lists = inv.groupBy(col("sh"))
+      .agg(collect_list(struct(col(id).as("id"), col("n"))).as("ds"))
+    lists
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") < col("b.id") &&
+        least(col("a.n"), col("b.n")) * 1000 >=
+          lit(thresholdMilli.toLong) * greatest(col("a.n"), col("b.n")))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
+  }
+
   /** EXACT Jaccard-threshold pairs via prefix filtering (the PPJoin-family
     * optimization): two sets with jaccard ≥ t must share an element among
     * each one's first `|S| - ceil(t*|S|) + 1` elements in any global

@@ -161,7 +161,10 @@ object TextOps {
     val toks = array_distinct(tokenize(text))
     val scored = markers.toSeq.sortBy(_._1).map { case (langCode, ws) =>
       struct(
-        size(filter(toks, t => t.isin(ws.map(lit): _*))).as("hits"),
+        // array_intersect over distinct tokens == count of distinct
+        // marker hits, but codegen'd — the filter+isin HOF spelling is
+        // CodegenFallback and interprets per token per language
+        size(array_intersect(toks, array(ws.map(lit): _*))).as("hits"),
         lit(langCode).as("lang"))
     }
     val best = array_max(array(scored: _*))

@@ -82,18 +82,16 @@ object DedupQueries {
          |WHERE (shared*1000)//(sa.n + sb.n - shared) >= 500
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      // Naive inverted index beats the prefix-filtered variant on THIS
-      // corpus (31-word vocabulary → no rare shingles to prefix on; the
-      // filter only adds shuffles). On Zipfian real-text corpora use
-      // DedupOps.jaccardSimilarPairs — identical output, bounded fan-out
-      // (equivalence spec-checked in TextDedupSimSpec).
+      // Inverted index + length-ratio bound beats the prefix-filtered
+      // variant on THIS corpus (31-word vocabulary → no rare shingles
+      // to prefix on; prefixing only adds shuffles). On Zipfian
+      // real-text corpora use DedupOps.jaccardSimilarPairs — identical
+      // output, bounded fan-out (equivalence spec-checked in
+      // TextDedupSimSpec).
       val sh = Tables.load(s, dir, "documents")
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
-      val sizes = sh.select($"doc_id", size($"hashes").as("n"))
-      DedupOps.sharedShingleCounts(sh, "doc_id", "hashes")
-        .join(sizes.select($"doc_id".as("id_a"), $"n".as("n_a")), "id_a")
-        .join(sizes.select($"doc_id".as("id_b"), $"n".as("n_b")), "id_b")
+      DedupOps.sharedShingleCountsBounded(sh, "doc_id", "hashes", 500)
         .select($"id_a", $"id_b",
           floor($"shared".cast("double") * 1000.0 /
             ($"n_a" + $"n_b" - $"shared").cast("double")).cast("long")
