@@ -89,6 +89,36 @@ object EventStreamOps {
       }
   }
 
+  /** Stream-stream interval join (click attribution): each purchase
+    * pairs with the same user's clicks from the preceding
+    * `windowDur`. The time-range condition plus watermarks on BOTH
+    * sides lets Spark expire join state — without them stream-stream
+    * join state grows forever. Inner join → output finalizes as the
+    * watermark passes; state per side is O(rows within horizon).
+    * Batch face of the same semantics: RangeJoinOps.intervalJoin.
+    */
+  def clickAttribution(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowDur: String = "10 minutes",
+      watermarkDelay: String = "2 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowDur") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_value"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Streaming dedup-by-key within the watermark horizon — the streaming
     * face of exact dedup (S5's idempotence applied in-flight).
     */

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregates — the fixed-memory path when exact distinct/rank
+  * state would not fit at 100 TB. Exactness is not the contract (and
+  * sketches can't hash-match a DuckDB oracle); bounded error vs the
+  * exact answers is, so that is what these tests pin, at the sf0.01
+  * corpus against the exact aggregates from the conformance suite.
+  */
+class SketchOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct stays within its rsd bound (HLL++, " +
+       "mergeable => map-side partial at any scale)") {
+    val e = Tables.load(spark, sf01, "events")
+    val exact = e.select(countDistinct($"user_id")).head.getLong(0)
+    val approx = e.select(approx_count_distinct($"user_id", rsd = 0.02))
+      .head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.06,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("percentile_approx lands within rank tolerance of the exact " +
+       "nearest-rank percentiles (q47 semantics)") {
+    val e = Tables.load(spark, sf01, "events")
+      .select($"event_type", round($"value" * 100, 0).cast("long").as("v"))
+    val acc = 1000 // rank error ≤ n/acc
+    val approx = e.groupBy($"event_type")
+      .agg(percentile_approx($"v", lit(0.9), lit(acc)).as("p90"))
+      .as[(String, Long)].collect().toMap
+    val n = e.groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    // exact rank window per type: values at ranks ceil(0.9n)±(n/acc + 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"v")
+    val ranked = e.withColumn("rn", row_number().over(w))
+    n.keys.foreach { t =>
+      val total = n(t)
+      val target = math.ceil(0.9 * total).toLong
+      val slack = total / acc + 1
+      val window = ranked
+        .filter($"event_type" === t &&
+          $"rn" >= target - slack && $"rn" <= target + slack)
+        .select($"v").as[Long].collect()
+      assert(window.min <= approx(t) && approx(t) <= window.max,
+        s"$t: approx=${approx(t)} allowed=[${window.min},${window.max}]")
+    }
+  }
+}

@@ -103,4 +103,34 @@ class StreamingSpec extends SparkTestBase {
       assert(spark.table("dedup").count() === 2)
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes purchases to in-window " +
+       "clicks of the same user only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreamOps.clickAttribution(
+        clicks.toDF(), purchases.toDF(),
+        windowDur = "1 minute", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        Event(10, 1, "click", 0.0, ts(100)),  // in window of purchase@130
+        Event(11, 1, "click", 0.0, ts(20)),   // too old (>1 min before)
+        Event(12, 2, "click", 0.0, ts(120)))  // other user
+      purchases.addData(Event(50, 1, "purchase", 9.99, ts(130)))
+      q.processAllAvailable()
+      // advance both watermarks so the joined results finalize
+      clicks.addData(Event(13, 9, "click", 0.0, ts(1000)))
+      purchases.addData(Event(51, 9, "purchase", 1.0, ts(1000)))
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select($"user_id", $"purchase_id", $"click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows.contains((1L, 50L, 10L)))
+      assert(!rows.exists(_._3 == 11L), rows) // stale click not attributed
+      assert(!rows.exists(r => r._1 == 2L), rows) // cross-user never joins
+    } finally q.stop()
+  }
 }
