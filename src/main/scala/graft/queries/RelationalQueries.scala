@@ -387,6 +387,29 @@ object RelationalQueries {
         .orderBy($"nation".asc_nulls_first, $"yr".asc_nulls_first)
     },
 
+    // Pivot (long → wide): per-user event-type counts as columns. Spark
+    // plans pivot with explicit values as ONE pass of conditional aggs
+    // (no per-value scans); the oracle is the equivalent CASE spelling.
+    GraftQuery(
+      "q49_pivot",
+      """SELECT user_id,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(coalesce(count(lit(1)), lit(0L)))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy($"user_id")
+    },
+
     // Exact nearest-rank percentiles (p50/p90/p99) per group, computed
     // with the same integer/window arithmetic on both engines — no
     // interpolation, so results hash-match exactly. At scale this is
