@@ -147,6 +147,64 @@ object TextQueries {
         .orderBy($"split", $"lang")
     },
 
+    // End-to-end corpus curation pipeline — the composition story:
+    // quality-filter → exact-dedup (keep lowest id) → stable split →
+    // per-(split, lang) doc/token budget. Every stage is the same
+    // portable arithmetic as its standalone query (q21/q30/q48), so the
+    // whole pipeline hash-checks against DuckDB.
+    GraftQuery(
+      "q50_corpus_pipeline",
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    len(string_split_regex(text, '\s+')) AS n_tok,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        t -> t IN ('a','the'))) AS n_stop,
+        |    list_sum(list_transform(string_split_regex(text, '\s+'),
+        |        t -> len(t))) AS sum_len
+        |  FROM documents),
+        |pts AS (
+        |  SELECT doc_id, lang, text, n_tok,
+        |    (CASE WHEN n_tok BETWEEN 50 AND 1000 THEN 40
+        |          WHEN n_tok >= 10 THEN 20 ELSE 0 END)
+        |  + (CASE WHEN (n_stop*1000)//n_tok BETWEEN 10 AND 400 THEN 30
+        |          WHEN (n_stop*1000)//n_tok > 0 THEN 15 ELSE 0 END)
+        |  + (CASE WHEN (sum_len*1000)//n_tok BETWEEN 3000 AND 8000 THEN 30
+        |          WHEN (sum_len*1000)//n_tok BETWEEN 2000 AND 10000 THEN 15
+        |          ELSE 0 END) AS score
+        |  FROM scored),
+        |q AS (SELECT * FROM pts WHERE score >= 50),
+        |keyed AS (
+        |  SELECT *, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS key
+        |  FROM q),
+        |keep AS (SELECT key, min(doc_id) AS keep_id FROM keyed GROUP BY key),
+        |ded AS (
+        |  SELECT k.* FROM keyed k
+        |  JOIN keep ON k.key = keep.key AND k.doc_id = keep.keep_id),
+        |sp AS (
+        |  SELECT lang, n_tok,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(doc_id AS VARCHAR) || ':split1', ''),
+        |        c -> ascii(c))),
+        |      (a,x) -> (a*31+x)%1000000007) % 100 AS h
+        |  FROM ded)
+        |SELECT CASE WHEN h < 80 THEN 'train'
+        |            WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val q = Tables.load(s, dir, "documents")
+        .withColumn("score", TextOps.qualityScore($"text", Stopwords))
+        .filter($"score" >= 50)
+      graft.ops.DedupOps.dropExactDuplicates(q, "doc_id", "text")
+        .select($"lang",
+          TextOps.stableSplit($"doc_id", "split1").as("split"),
+          TextOps.tokenCount($"text").cast("long").as("n_tok"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("total_tokens"))
+        .select($"split", $"lang", $"n_docs", $"total_tokens")
+        .orderBy($"split", $"lang")
+    },
+
     // Language-ID by marker voting; confusion-style matrix vs the labeled
     // lang column (counts only — deterministic).
     GraftQuery(
