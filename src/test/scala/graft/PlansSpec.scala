@@ -59,6 +59,23 @@ class PlansSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("global audit: no conformance query plans a CartesianProduct, " +
+       "and none scans all columns of a wide table it projects from") {
+    val plans = SparkEntry.allQueries.map { q =>
+      q.name -> q.build(spark, sfDir).queryExecution.executedPlan.toString
+    }
+    for ((name, p) <- plans) {
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$p")
+      // wide-table pruning: any lineitem (16 cols) scan must project < 10
+      "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+        .map(_.group(1)).filter(_.contains("l_extendedprice")).foreach { rs =>
+          assert(rs.split(",").length < 10,
+            s"$name reads too much of lineitem: $rs")
+        }
+    }
+  }
+
   test("native expressions keep their stages in whole-stage codegen") {
     val p = Tables.load(spark, sfDir, "documents")
       .select(graft.ops.TextOps.fingerprint($"text").as("fp"))
