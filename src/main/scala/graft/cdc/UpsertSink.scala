@@ -26,6 +26,44 @@ final class UpsertSink(
   def read(): Option[DataFrame] =
     if (storeExists) Some(spark.read.parquet(dir).drop("bucket")) else None
 
+  /** Targeted delete by id (the right-to-be-forgotten path for a
+    * training-data store): like [[upsert]], only buckets containing a
+    * requested id rewrite — O(affected buckets), not O(store). Ids not
+    * present are ignored. Idempotent: replaying a delete is a no-op.
+    */
+  def delete(ids: DataFrame): Unit = {
+    if (!storeExists) return
+    val victims = ids.select(col(idCol)).distinct()
+      .withColumn("bucket", bucket(col(idCol)))
+    val affected = victims.select("bucket").distinct()
+      .collect().map(_.getAs[Number](0).intValue()).sorted
+    if (affected.isEmpty) return
+    val existing = spark.read.parquet(dir)
+      .filter(col("bucket").isin(affected.map(Integer.valueOf): _*))
+    val keep = existing.join(
+      victims.select(col(idCol)), Seq(idCol), "left_anti")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // dynamic overwrite only replaces partitions PRESENT in the
+      // output — a bucket emptied by the delete has no rows in `keep`,
+      // so its stale files must be dropped explicitly below.
+      val kept = keep.localCheckpoint(eager = true)
+      val keptBuckets = kept.select("bucket").distinct()
+        .collect().map(_.getAs[Number](0).intValue()).toSet
+      kept.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.filterNot(keptBuckets).foreach { b =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/bucket=$b")
+        if (fs.exists(p)) { fs.delete(p, true); () }
+      }
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        v => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+    }
+  }
+
   /** Upsert `docs` (unique by idCol — enforce upstream) into the store. */
   def upsert(docs: DataFrame): Unit = {
     val incoming = docs.withColumn("bucket", bucket(col(idCol)))

@@ -139,6 +139,27 @@ class CdcSpec extends SparkTestBase {
     assert(after === before)
   }
 
+  test("targeted delete removes exactly the requested ids, survives an " +
+       "emptied bucket, and replaying the delete is a no-op") {
+    import spark.implicits._
+    val dir = tmp(); seed(dir)
+    val sinks = mkSinks(dir)
+    CdcPipeline.drain(spark, tables(dir), sinks,
+      new Keyset.CursorStore(s"$dir/cursors"), batchSize = 10)
+    val all = sinks.movies.read().get.select($"id").as[String].collect().toSet
+    assert(all.size >= 2)
+    // delete all but one doc: with 4 buckets over few docs, some bucket
+    // is guaranteed to empty out entirely
+    val survivor = all.min
+    val victims = (all - survivor).toSeq.toDF("id")
+    sinks.movies.delete(victims)
+    val left = sinks.movies.read().get.select($"id").as[String].collect().toSet
+    assert(left === Set(survivor))
+    sinks.movies.delete(victims) // replay
+    val again = sinks.movies.read().get.select($"id").as[String].collect().toSet
+    assert(again === Set(survivor))
+  }
+
   test("property: arbitrary batch sizes over ts-colliding change sets " +
        "converge to the same final index state as one-shot processing") {
     for (seed <- Seq(1, 7, 13)) {

@@ -49,26 +49,32 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(got === ((None, "late")))
   }
 
-  test("differential: asofJoin equals a naive nearest-scan on random data") {
-    val rnd = new scala.util.Random(7)
-    val left = (1 to 300).map(i =>
-      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
-    val right = (1 to 200).map(i =>
-      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 2 + 1, i * 10L))
-      .distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (k,ts)
-    val lDf = left.toDF("k", "ts", "lid")
-    val rDf = right.toDF("k", "ts", "rid")
-    val got = TemporalOps.asofJoin(
-        lDf, rDf, Seq("k"), "ts", "ts", matchedTsCol = Some("rts"))
-      .select($"k", $"ts", $"lid", $"rid", $"rts")
-      .as[(Long, Long, Long, Option[Long], Option[Long])]
-      .collect().toSet
-    val expected = left.map { case (k, ts, lid) =>
-      val best = right.filter(r => r._1 == k && r._2 <= ts)
-        .sortBy(_._2).lastOption
-      (k, ts, lid, best.map(_._3), best.map(_._2))
-    }.toSet
-    assert(got === expected)
+  test("differential: asofJoin equals a naive nearest-scan on random " +
+       "data, both directions, multiple seeds") {
+    for (seed <- Seq(7, 13, 99); direction <- Seq("backward", "forward")) {
+      val rnd = new scala.util.Random(seed)
+      val left = (1 to 300).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      val right = (1 to 200).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 2 + 1, i * 10L))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (k,ts)
+      val lDf = left.toDF("k", "ts", "lid")
+      val rDf = right.toDF("k", "ts", "rid")
+      val got = TemporalOps.asofJoin(
+          lDf, rDf, Seq("k"), "ts", "ts", direction = direction,
+          matchedTsCol = Some("rts"))
+        .select($"k", $"ts", $"lid", $"rid", $"rts")
+        .as[(Long, Long, Long, Option[Long], Option[Long])]
+        .collect().toSet
+      val expected = left.map { case (k, ts, lid) =>
+        val cand = right.filter(r => r._1 == k)
+        val best =
+          if (direction == "backward") cand.filter(_._2 <= ts).sortBy(_._2).lastOption
+          else cand.filter(_._2 >= ts).sortBy(_._2).headOption
+        (k, ts, lid, best.map(_._3), best.map(_._2))
+      }.toSet
+      assert(got === expected, s"seed=$seed direction=$direction")
+    }
   }
 
   test("asofJoin plan shuffles once on the key (no range-join explosion)") {
