@@ -78,9 +78,23 @@ object GraftFunctions {
     new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
     (children: Seq[Expression]) => PolyHash(children.head))
 
+  /** `graft_shingle_hash(text, n)` — n must be an INT literal (it is a
+    * structural parameter of the expression, fixed at plan time).
+    */
+  val shingleHashDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingle_hash"),
+    new ExpressionInfo(classOf[ShingleHash].getName, "graft_shingle_hash"),
+    (children: Seq[Expression]) => children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+        ShingleHash(children.head, n)
+      case other => throw new IllegalArgumentException(
+        s"graft_shingle_hash(text, n): n must be an INT literal, got $other")
+    })
+
   def descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] =
-    Seq(polyHashDescriptor, CosineMicro.descriptor)
+    Seq(polyHashDescriptor, CosineMicro.descriptor, shingleHashDescriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { d =>

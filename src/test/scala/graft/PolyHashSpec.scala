@@ -34,6 +34,23 @@ class PolyHashSpec extends SparkTestBase {
     assert(edge(2).isNullAt(0))
   }
 
+  test("all three natives are SQL-callable after registration; " +
+       "shingle n must be a literal") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_polyhash('abc') AS h,
+        |  graft_cosine_micro(array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+        |                     array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))) AS c,
+        |  graft_shingle_hash('a b c d', 3) AS s""".stripMargin).head
+    assert(r.getLong(0) === 96354L)
+    assert(r.getLong(1) === 1000000L)
+    assert(r.getSeq[Long](2).length === 2) // shingles: "a b c", "b c d"
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hash('a b', 1 + 2)").head
+    }
+    assert(err.getMessage.contains("INT literal"), err.getMessage)
+  }
+
   test("native expression is not slower than the HOF composition") {
     GraftFunctions.register(spark)
     val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
