@@ -86,6 +86,50 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** ==== STUB ==== Deterministic fake audio decoder (same swap-point
+    * contract as [[DecodeStub.decodeImage]]: replace the body with a
+    * real PCM/codec read, keep `Array[Byte] => DecodedAudio`).
+    */
+  final case class DecodedAudio(
+      sampleRate: Int, nSamples: Int, samples: Array[Float])
+
+  object AudioDecodeStub {
+    def decodeAudio(blob: Array[Byte]): DecodedAudio = {
+      // ==== STUB: replace with a real audio decode ====
+      val sr = 8000 + (math.abs(blob.headOption.getOrElse(0: Byte).toInt) % 3) * 4000
+      val n = math.max(1, blob.length * 4)
+      val samples = Array.tabulate(n)(i =>
+        (blob(i % blob.length).toInt % 64) / 64f)
+      DecodedAudio(sr, n, samples)
+    }
+  }
+
+  /** Decode + feature-extract audio blobs partition-wise: emits
+    * (media_id, sample_rate, n_samples, rms_milli) — the audio twin of
+    * [[decodeImageFeatures]], same mapPartitions shape.
+    */
+  def decodeAudioFeatures(records: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("rms_milli", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    records.select("media_id", "blob").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getString(0)
+        val blob = r.getAs[Array[Byte]](1)
+        if (blob == null) Row(id, null, null, null)
+        else {
+          val d = AudioDecodeStub.decodeAudio(blob)
+          val rms = math.sqrt(
+            d.samples.map(s => s.toDouble * s).sum / d.samples.length)
+          Row(id, d.sampleRate, d.nSamples, (rms * 1000).round)
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic frame sampling for video blobs: pick `n` frame offsets
     * evenly across duration_ms (metadata-only — no decode), exploded to
     * one row per sampled frame. Columnar end-to-end.

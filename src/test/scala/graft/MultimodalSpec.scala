@@ -46,6 +46,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(byId.map(_.getString(0)).toSet === videoIds)
   }
 
+  test("decodeAudioFeatures: deterministic features, null blob -> null " +
+       "features, rerun identical") {
+    val feats = MultimodalOps.decodeAudioFeatures(media)
+      .orderBy("media_id").collect()
+    assert(feats.length === media.count())
+    feats.foreach { r =>
+      assert(r.getInt(1) >= 8000 && r.getInt(1) <= 16000)
+      assert(r.getInt(2) > 0)
+      assert(r.getLong(3) >= 0)
+    }
+    val rerun = MultimodalOps.decodeAudioFeatures(media)
+      .orderBy("media_id").collect()
+    assert(rerun.map(_.toString).toSeq === feats.map(_.toString).toSeq)
+  }
+
   test("metadata filters prune the blob column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     media.write.mode("overwrite").parquet(dir)
