@@ -19,6 +19,17 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** One SQL text, two engines (q52): stick to the portable subset —
+    * ANSI EXISTS, no engine-specific functions.
+    */
+  val ExistsSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
   /** Money in integer cents: order-independent sums, exact oracle compare. */
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100, 0).cast("long")
@@ -385,6 +396,42 @@ object RelationalQueries {
           grouping($"nation").cast("long").as("g_nation"),
           grouping($"yr").cast("long").as("g_yr"))
         .orderBy($"nation".asc_nulls_first, $"yr".asc_nulls_first)
+    },
+
+    // Set operations beyond the reference's union (SURVEY §2.7 notes
+    // only left_anti-like semantics exist there): INTERSECT/EXCEPT with
+    // DISTINCT semantics on both engines.
+    GraftQuery(
+      "q51_set_ops",
+      """SELECT user_id, d FROM (
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS d FROM events
+        |  WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') FROM events
+        |  WHERE event_type = 'click')
+        |EXCEPT
+        |SELECT user_id, strftime(ts, '%Y-%m-%d') FROM events
+        |WHERE event_type = 'error'
+        |ORDER BY user_id, d""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = t(s, dir, "events")
+      def days(tp: String) =
+        e.filter($"event_type" === tp)
+          .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("d"))
+      days("purchase").intersect(days("click")).except(days("error"))
+        .orderBy($"user_id", $"d")
+    },
+
+    // Correlated EXISTS subquery, exercised through the engine's SQL
+    // face: the exact same SQL text runs on Spark (temp views +
+    // spark.sql) and DuckDB — Catalyst decorrelates it to a semi-join
+    // (no per-row subquery execution).
+    GraftQuery(
+      "q52_exists_sql",
+      RelationalQueries.ExistsSql) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(RelationalQueries.ExistsSql)
     },
 
     // Pivot (long → wide): per-user event-type counts as columns. Spark
