@@ -100,14 +100,18 @@ object DedupOps {
   def lshCandidatePairs(
       df: DataFrame, id: String, sig: String,
       bands: Int, rows: Int): DataFrame = {
+    // posting lists per bucket + in-list pair generation (one shuffle
+    // of the band keys, codegen'd explodes) — same shape as
+    // sharedShingleCountsBounded, for the same reason
     val exploded = df
       .select(col(id), explode(lshBandKeys(col(sig), bands, rows)).as("bk"))
       .select(col(id), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val l = exploded.select(col("band"), col("bh"), col(id).as("id_a"))
-    val r = exploded.select(col("band"), col("bh"), col(id).as("id_b"))
-    l.join(r, Seq("band", "bh"))
+    exploded.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col(id)).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .distinct()
   }
 
   /** Jaccard similarity in per-mille (integer-exact) between two distinct
