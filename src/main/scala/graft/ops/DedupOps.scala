@@ -27,12 +27,17 @@ object DedupOps {
     * key. One shuffle on the hash key; min_by avoids a sort.
     */
   def dropExactDuplicates(df: DataFrame, id: String, text: String): DataFrame = {
+    // The keep-set is derived from `keyed` itself, so a naive self-join
+    // would resolve both __key refs to the same attribute (a dead,
+    // "trivially true" conjunct). Renaming the agg side's columns gives
+    // the join two genuinely distinct attributes.
     val keyed = df.withColumn("__key", exactKey(col(text)))
     val keep = keyed.groupBy(col("__key"))
-      .agg(min(col(id)).as(id + "__keep"))
+      .agg(min(col(id)).as("__keep_id"))
+      .withColumnRenamed("__key", "__keep_key")
     keyed.join(keep,
-        keyed("__key") === keep("__key") &&
-          col(id) === col(id + "__keep"), "left_semi")
+        col("__key") === col("__keep_key") &&
+          col(id) === col("__keep_id"), "left_semi")
       .drop("__key")
   }
 

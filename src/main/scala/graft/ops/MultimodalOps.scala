@@ -61,6 +61,11 @@ object MultimodalOps {
   /** Decode + feature-extract blobs partition-wise: emits
     * (media_id, width, height, n_channels, mean_luma_milli).
     * Blob bytes never leave the executor; output is small and columnar.
+    *
+    * mean_luma_milli is integer-exact by construction —
+    * floor(1000 * Σ byte / (255 * n_px)) over the source bytes of the
+    * decoded pixels — so the whole synthetic-media pipeline is
+    * oracle-checkable in plain SQL (q41) with no float drift.
     */
   def decodeImageFeatures(records: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -77,9 +82,15 @@ object MultimodalOps {
         if (blob == null) Row(id, null, null, null, null)
         else {
           val d = DecodeStub.decodeImage(blob)
+          val nPx = d.width * d.height * 3
           val luma =
-            if (d.pixels.isEmpty) 0L
-            else (d.pixels.map(_.toDouble).sum / d.pixels.length * 1000).round
+            if (nPx == 0) 0L
+            else {
+              var sum = 0L
+              var p = 0
+              while (p < nPx) { sum += blob(p % blob.length) & 0xFF; p += 1 }
+              (1000L * sum) / (255L * nPx)
+            }
           Row(id, d.width, d.height, d.nChannels, luma)
         }
       }

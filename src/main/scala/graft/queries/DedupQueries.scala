@@ -134,10 +134,10 @@ object DedupQueries {
       s"""WITH th AS (
          |  SELECT doc_id, $DuckTokenHashes AS hashes FROM documents)
          |SELECT doc_id,
-         |  list_sum(list_transform(generate_series(0, 31), i ->
+         |  CAST(list_sum(list_transform(generate_series(0, 31), i ->
          |    CASE WHEN list_sum(list_transform(hashes,
          |        h -> ((h // CAST(pow(2,i) AS BIGINT)) % 2) * 2 - 1)) > 0
-         |      THEN CAST(pow(2,i) AS BIGINT) ELSE 0 END)) AS simhash
+         |      THEN CAST(pow(2,i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM th ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")

@@ -46,13 +46,48 @@ object MoviesQueries {
         .localCheckpoint()
       Search.search(docs, Some("star wars"), "imdb_rating", asc = false)
         .select(col("id"), col("title"), col("score"),
-          col("actors_names"), col("genres_names"))
+          // the driver sorts rows by every column; arrays aren't
+          // sortable in pandas — stringify them (same as q09)
+          array_join(col("actors_names"), ",").as("actors_names"),
+          array_join(col("genres_names"), ",").as("genres_names"))
     },
 
     // Multimodal plumbing, driver-visible: synthetic binary media →
-    // partition-wise stub decode → per-type feature rollup (rows-only
-    // check; blob bytes are engine-generated, not SQL-reachable).
-    GraftQuery.noOracle("q41_multimodal_features") { (s, _) =>
+    // partition-wise stub decode → per-type feature rollup. The stub
+    // decode is a pure integer function of the blob bytes, and the
+    // blob bytes a pure function of the row index, so the whole
+    // pipeline is replayable as table-free SQL — that is the oracle.
+    GraftQuery(
+      "q41_multimodal_features",
+      """WITH m AS (
+        |  SELECT i,
+        |    CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(16 + (i % 16) AS INTEGER) AS len
+        |  FROM generate_series(0, 299) t(i)),
+        |b AS (
+        |  SELECT media_type, len,
+        |    list_transform(generate_series(0, len - 1),
+        |      j -> CAST((i*31 + j*7) % 127 AS BIGINT)) AS bytes
+        |  FROM m),
+        |f AS (
+        |  SELECT media_type, len, bytes,
+        |    CAST(1 + (bytes[1] % 8) AS BIGINT) AS w,
+        |    CAST(1 + (bytes[len] % 8) AS BIGINT) AS h
+        |  FROM b),
+        |g AS (
+        |  SELECT media_type, w, h,
+        |    (1000 * CAST(list_sum(list_transform(
+        |        generate_series(0, CAST(w*h*3 - 1 AS INTEGER)),
+        |        p -> bytes[CAST(p % len AS INTEGER) + 1])) AS BIGINT))
+        |      // (255 * w*h*3) AS luma
+        |  FROM f)
+        |SELECT media_type, COUNT(*) AS n,
+        |  CAST(SUM(luma) AS BIGINT) AS sum_luma,
+        |  CAST(SUM(w) AS BIGINT) AS sum_w,
+        |  CAST(SUM(h) AS BIGINT) AS sum_h
+        |FROM g GROUP BY media_type ORDER BY media_type""".stripMargin) {
+      (s, _) =>
       import graft.ops.MultimodalOps
       val media = MultimodalOps.syntheticMedia(s, 300)
       val feats = MultimodalOps.decodeImageFeatures(media)
@@ -62,7 +97,8 @@ object MoviesQueries {
         .agg(
           count(lit(1)).as("n"),
           sum(col("mean_luma_milli")).as("sum_luma"),
-          avg(col("width")).as("avg_w"))
+          sum(col("width").cast("long")).as("sum_w"),
+          sum(col("height").cast("long")).as("sum_h"))
         .orderBy(col("media_type"))
     })
 }

@@ -41,9 +41,9 @@ object RelationalQueries {
     GraftQuery(
       "q01_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
-        |  SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
-        |  SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS sum_disc_c,
+        |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_c,
         |  COUNT(*) AS cnt
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -64,7 +64,7 @@ object RelationalQueries {
     GraftQuery(
       "q02_revenue_by_nation",
       """SELECT n_name,
-        |  SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS revenue_c,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_c,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -255,7 +255,7 @@ object RelationalQueries {
     GraftQuery(
       "q11_json_extract",
       """SELECT event_type,
-        |  SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS cnt
         |FROM events
         |GROUP BY event_type
@@ -372,7 +372,7 @@ object RelationalQueries {
       "q46_rollup",
       """SELECT n.n_name AS nation, strftime(o.o_orderdate, '%Y') AS yr,
         |  COUNT(*) AS n_orders,
-        |  SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS total_c,
+        |  CAST(SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c,
         |  CAST(grouping(n.n_name) AS BIGINT) AS g_nation,
         |  CAST(grouping(strftime(o.o_orderdate, '%Y')) AS BIGINT) AS g_yr
         |FROM orders o
@@ -440,11 +440,11 @@ object RelationalQueries {
     GraftQuery(
       "q49_pivot",
       """SELECT user_id,
-        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
       (s, dir) =>
       import s.implicits._

@@ -94,7 +94,7 @@ object SearchQueries {
       "q18_time_window_rollup",
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n,
-        |  SUM(CAST(round(value*100) AS BIGINT)) AS value_c
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -113,7 +113,7 @@ object SearchQueries {
       "q19_date_format_rollup",
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  COUNT(*) AS n_orders,
-        |  SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_c
+        |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
         |FROM orders
         |WHERE o_orderdate >= DATE '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>

@@ -71,7 +71,7 @@ object SimilarityQueries {
           e.select($"vec_id", $"embedding"), "vec_id", "embedding",
           queries, "query_id", "qvec", k = 5)
         .select($"query_id", $"vec_id".as("neighbor_id"),
-          $"cos_micro", $"rank")
+          $"cos_micro", $"rank".cast("long").as("rank"))
         .orderBy($"query_id", $"rank")
     },
 
@@ -105,7 +105,7 @@ object SimilarityQueries {
           queries, "query_id", "qvec", k = 5, nList = 8, nProbe = 8,
           maxIter = 5)
         .select($"query_id", $"vec_id".as("neighbor_id"),
-          $"cos_micro", $"rank")
+          $"cos_micro", $"rank".cast("long").as("rank"))
         .orderBy($"query_id", $"rank")
     })
 }

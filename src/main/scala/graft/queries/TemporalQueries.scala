@@ -56,8 +56,8 @@ object TemporalQueries {
         |    ORDER BY epoch_us(ts), event_id) AS rn,
         |  lag(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id
         |    ORDER BY epoch_us(ts), event_id) AS prev_value_c,
-        |  SUM(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id
-        |    ORDER BY epoch_us(ts), event_id) AS run_value_c
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS BIGINT) AS run_value_c
         |FROM events
         |ORDER BY user_id, rn""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -66,7 +66,7 @@ object TemporalQueries {
       val valueC = round($"value" * 100, 0).cast("long")
       Tables.load(s, dir, "events")
         .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
-          row_number().over(w).as("rn"),
+          row_number().over(w).cast("long").as("rn"),
           lag(valueC, 1).over(w).as("prev_value_c"),
           sum(valueC).over(w).as("run_value_c"))
         .orderBy($"user_id", $"rn")

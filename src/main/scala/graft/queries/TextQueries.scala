@@ -30,7 +30,7 @@ object TextQueries {
     GraftQuery(
       "q20_token_stats",
       """SELECT source,
-        |  SUM(len(string_split_regex(text, '\s+'))) AS total_tokens,
+        |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
         |  MAX(len(string_split_regex(text, '\s+'))) AS max_tokens,
         |  COUNT(*) AS n_docs
         |FROM documents
@@ -69,8 +69,9 @@ object TextQueries {
         |          WHEN (sum_len*1000)//n_tok BETWEEN 2000 AND 10000 THEN 15
         |          ELSE 0 END) AS score
         |  FROM scored)
-        |SELECT lang, SUM(score) AS total_score, MIN(score) AS min_score,
-        |       MAX(score) AS max_score, COUNT(*) AS n_docs
+        |SELECT lang, CAST(SUM(score) AS BIGINT) AS total_score,
+        |       CAST(MIN(score) AS BIGINT) AS min_score,
+        |       CAST(MAX(score) AS BIGINT) AS max_score, COUNT(*) AS n_docs
         |FROM pts GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -106,7 +107,7 @@ object TextQueries {
     GraftQuery(
       "q24_bpe_piece_count",
       """SELECT lang,
-        |  SUM(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS total_pieces,
+        |  CAST(SUM(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS BIGINT) AS total_pieces,
         |  MAX(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS max_pieces,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
@@ -189,7 +190,7 @@ object TextQueries {
         |  FROM ded)
         |SELECT CASE WHEN h < 80 THEN 'train'
         |            WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
-        |  lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+        |  lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       import s.implicits._
       val q = Tables.load(s, dir, "documents")

@@ -44,7 +44,9 @@ def main(sf_dir, out_dir):
                 n_fail += 1
             else:
                 try:
-                    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+                    # dtype-strict: the driver's gate hashes dtype-sensitively,
+                    # so the replica must never pass what the gate fails.
+                    pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
                     print(f"PASS {name} ({len(a)} rows)")
                     n_pass += 1
                 except AssertionError as e:
