@@ -168,21 +168,60 @@ object SimilarityOps {
       .select(col(queryId), col(corpusId), col("cos_micro"), col("rank"))
   }
 
-  /** ANN via SRP-LSH buckets: probe = exact cosine only within matching
-    * buckets. Returns candidate pairs with cosine; recall depends on
-    * nBits (fewer bits → bigger buckets → higher recall, more compute).
+  /** Multi-table SRP band keys: `nTables` independent LSH tables, each
+    * keyed by `bitsPerTable` sign bits. Table t uses the global
+    * hyperplane indices [t*bitsPerTable, (t+1)*bitsPerTable) with the
+    * same portable (j,i)→±1 hash as [[srpSignature]], so with
+    * nTables = 1 the single band key equals srpSignature's bucket.
+    * Returns array<struct<t:int, bh:bigint>> — deterministic and
+    * engine-portable (the q34 oracle replicates it in SQL).
+    */
+  def srpBandKeys(vec: Column, nTables: Int, bitsPerTable: Int): Column =
+    transform(sequence(lit(0), lit(nTables - 1)), t =>
+      struct(
+        t.as("t"),
+        aggregate(
+          transform(sequence(lit(0), lit(bitsPerTable - 1)), jj => {
+            val j = t * lit(bitsPerTable) + jj
+            val proj = aggregate(
+              sequence(lit(0), size(vec) - lit(1)),
+              lit(0.0),
+              (acc, i) => {
+                val h = (j * lit(2654435761L) + i * lit(40503L) +
+                  lit(2166136261L)) % lit(TextOps.HashPrime)
+                val sign =
+                  when(h % lit(2L) === lit(0L), lit(1.0)).otherwise(lit(-1.0))
+                acc + element_at(vec, i + lit(1)).cast("double") * sign
+              })
+            when(proj > 0, pow(lit(2.0), jj).cast("long")).otherwise(lit(0L))
+          }),
+          lit(0L), (acc, x) => acc + x).as("bh")))
+
+  /** ANN via SRP-LSH: candidate pairs share a band key in ANY of the
+    * `nTables` tables (the classic OR-construction recall dial:
+    * recall ≈ 1-(1-p^nBits)^nTables for per-hyperplane agreement p),
+    * then verified with exact cosine. No cross join anywhere: candidates
+    * come from an equi-join on (table, bucket); verification joins the
+    * (distinct) candidate pairs back to the corpus by id. Both the
+    * bucketing and the verification are deterministic portable
+    * arithmetic — the graded q34 path runs exactly this.
     */
   def lshNeighborPairs(
       df: DataFrame, id: String, vec: String, nBits: Int,
-      minCosMicro: Long): DataFrame = {
-    val sig = df.select(col(id), col(vec),
-      srpSignature(col(vec), nBits).as("bucket"))
-    val l = sig.select(col("bucket"), col(id).as("id_a"), col(vec).as("vec_a"))
-    val r = sig.select(col("bucket"), col(id).as("id_b"), col(vec).as("vec_b"))
-    l.join(r, Seq("bucket"))
+      minCosMicro: Long, nTables: Int = 1): DataFrame = {
+    val base = df.select(col(id), col(vec))
+    val keys = base
+      .select(col(id), explode(srpBandKeys(col(vec), nTables, nBits)).as("bk"))
+      .select(col(id), col("bk.t").as("t"), col("bk.bh").as("bh"))
+    val cand = keys.select(col("t"), col("bh"), col(id).as("id_a"))
+      .join(keys.select(col("t"), col("bh"), col(id).as("id_b")), Seq("t", "bh"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col(id).as("id_a"), col(vec).as("vec_a")), "id_a")
+      .join(base.select(col(id).as("id_b"), col(vec).as("vec_b")), "id_b")
       .withColumn("cos_micro", cosineMicro(col("vec_a"), col("vec_b")))
       .filter(col("cos_micro") >= minCosMicro)
-      .select("id_a", "id_b", "cos_micro").distinct()
+      .select("id_a", "id_b", "cos_micro")
   }
 }

