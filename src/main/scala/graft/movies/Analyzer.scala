@@ -37,10 +37,11 @@ object Analyzer {
   /** Porter stemmer (English), standard algorithm. Pure function. */
   def porterStem(word: String): String = PorterStemmer.stem(word)
 
-  /** Snowball-light Russian stemmer: strips the standard ending classes
-    * (perfective gerund, adjective, participle, reflexive, verb, noun,
-    * superlative, derivational) from the RV region. Covers the forms the
-    * search tests exercise; full Snowball ru is a drop-in upgrade.
+  /** Full Russian Snowball stemmer (the published algorithm, implemented
+    * from the public spec at snowballstem.org — RV/R1/R2 regions,
+    * а/я-conditioned suffix groups, longest-match among semantics).
+    * Matches the reference's ES `russian_stemmer` analyzer stage
+    * (movies.es.schema.json:27-39).
     */
   def russianStem(word: String): String = RussianStemmer.stem(word)
 
@@ -194,72 +195,147 @@ private[movies] object PorterStemmer {
   }
 }
 
-/** Light Russian Snowball: ending-class stripping inside RV. */
+/** Russian Snowball stemmer — complete implementation of the published
+  * algorithm (public spec + reference Snowball script semantics):
+  *
+  *  - regions: RV = after the first vowel; R1 = after the first
+  *    non-vowel following a vowel; R2 = same, computed inside R1.
+  *    All matching is confined to RV; DERIVATIONAL additionally
+  *    requires R2.
+  *  - `among` semantics: the LONGEST suffix that fits inside RV wins;
+  *    if that suffix carries the "must directly follow а/я" group-1
+  *    condition and the condition fails, the whole among fails — no
+  *    backtracking to shorter suffixes (exactly Snowball's among).
+  *  - steps: 1) perfective gerund, else [reflexive] + (adjectival |
+  *    verb | noun); 2) trailing и; 3) derivational (in R2);
+  *    4) tidy-up (superlative / undouble нн / trailing ь).
+  */
 private[movies] object RussianStemmer {
   private val Vowels = "аеиоуыэюя"
+  private def isVowel(c: Char): Boolean = Vowels.indexOf(c) >= 0
+
+  /** A suffix, optionally group-1-conditioned (must follow а/я). */
+  private final case class End(s: String, aya: Boolean = false)
 
   private val PerfGerund = Seq(
-    "ившись", "ывшись", "вшись", "ивши", "ывши", "вши", "ив", "ыв", "в")
-  private val Reflexive = Seq("ся", "сь")
+    End("в", aya = true), End("вши", aya = true), End("вшись", aya = true),
+    End("ив"), End("ивши"), End("ившись"),
+    End("ыв"), End("ывши"), End("ывшись"))
+
+  private val Reflexive = Seq(End("ся"), End("сь"))
+
   private val Adjective = Seq(
-    "ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ые", "ое",
-    "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "их", "ых", "ую",
-    "юю", "ая", "яя", "ою", "ею")
-  private val Participle = Seq("ивш", "ывш", "ующ", "ем", "нн", "вш", "ющ", "щ")
+    "ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый", "ой", "ем",
+    "им", "ым", "ом", "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+    .map(End(_))
+
+  private val Participle = Seq(
+    End("ем", aya = true), End("нн", aya = true), End("вш", aya = true),
+    End("ющ", aya = true), End("щ", aya = true),
+    End("ивш"), End("ывш"), End("ующ"))
+
   private val Verb = Seq(
-    "ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли", "ей", "уй",
-    "ил", "ыл", "им", "ым", "ен", "ило", "ыло", "ено", "ят", "ует", "уют",
-    "ит", "ыт", "ены", "ить", "ыть", "ишь", "ую", "ю", "ла", "на", "ете",
-    "йте", "ли", "й", "л", "ем", "н", "ло", "но", "ет", "ют", "ны", "ть",
-    "ешь", "нно")
+    End("ла", aya = true), End("на", aya = true), End("ете", aya = true),
+    End("йте", aya = true), End("ли", aya = true), End("й", aya = true),
+    End("л", aya = true), End("ем", aya = true), End("н", aya = true),
+    End("ло", aya = true), End("но", aya = true), End("ет", aya = true),
+    End("ют", aya = true), End("ны", aya = true), End("ть", aya = true),
+    End("ешь", aya = true), End("нно", aya = true),
+    End("ила"), End("ыла"), End("ена"), End("ейте"), End("уйте"),
+    End("ите"), End("или"), End("ыли"), End("ей"), End("уй"), End("ил"),
+    End("ыл"), End("им"), End("ым"), End("ен"), End("ило"), End("ыло"),
+    End("ено"), End("ят"), End("ует"), End("уют"), End("ит"), End("ыт"),
+    End("ены"), End("ить"), End("ыть"), End("ишь"), End("ую"), End("ю"))
+
   private val Noun = Seq(
-    "иями", "ями", "ами", "ией", "иям", "ием", "иях", "ию", "ьи", "ье",
-    "еи", "ии", "ей", "ой", "ий", "ям", "ем", "ам", "ом", "ах", "ях",
-    "ию", "ью", "ия", "ья", "а", "е", "и", "й", "о", "у", "ы", "ь", "ю", "я")
-  private val Superlative = Seq("ейше", "ейш")
-  private val Derivational = Seq("ость", "ост")
+    "а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами", "еи", "ии",
+    "и", "ией", "ей", "ой", "ий", "й", "иям", "ям", "ием", "ем", "ам",
+    "ом", "о", "у", "ах", "иях", "ях", "ы", "ь", "ию", "ью", "ю", "ия",
+    "ья", "я").map(End(_))
 
   /** RV = region after the first vowel. */
   private def rvStart(w: String): Int = {
-    val i = w.indexWhere(c => Vowels.contains(c))
+    val i = w.indexWhere(isVowel)
     if (i < 0) w.length else i + 1
   }
 
-  private def stripOne(w: String, rv: Int, sufs: Seq[String]): Option[String] = {
-    val hit = sufs.sortBy(-_.length)
-      .find(s => w.endsWith(s) && w.length - s.length >= rv)
-    hit.map(s => w.dropRight(s.length))
+  /** End index of the first vowel→non-vowel transition at or after
+    * `from`; the region after it (R1/R2 depending on `from`).
+    */
+  private def vcEnd(w: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i < w.length - 1) {
+      if (isVowel(w(i)) && !isVowel(w(i + 1))) return i + 2
+      i += 1
+    }
+    w.length
+  }
+
+  /** Snowball `among` over RV: longest suffix fitting in RV wins; a
+    * failing group-1 (а/я) condition fails the whole among.
+    */
+  private def among(w: String, rv: Int, ends: Seq[End]): Option[String] = {
+    val cand = ends.filter(e => w.endsWith(e.s) && w.length - e.s.length >= rv)
+    if (cand.isEmpty) None
+    else {
+      val hit = cand.maxBy(_.s.length)
+      if (!hit.aya) Some(w.dropRight(hit.s.length))
+      else {
+        val p = w.length - hit.s.length - 1
+        if (p >= rv && (w(p) == 'а' || w(p) == 'я'))
+          Some(w.dropRight(hit.s.length))
+        else None
+      }
+    }
   }
 
   def stem(word: String): String = {
-    var w = word.replace('ё', 'е')
-    if (w.length <= 2) return w
-    val rv = rvStart(w)
+    val w0 = word.replace('ё', 'е')
+    if (w0.isEmpty) return w0
+    val rv = rvStart(w0)
+    val r2 = vcEnd(w0, vcEnd(w0, 0))
+    var w = w0
 
-    // step 1: perfective gerund, else (reflexive?) adj/participle/verb/noun
-    stripOne(w, rv, PerfGerund) match {
+    // Step 1: perfective gerund | ([reflexive] adjectival|verb|noun)
+    among(w, rv, PerfGerund) match {
       case Some(s) => w = s
       case None =>
-        stripOne(w, rv, Reflexive).foreach(s => w = s)
-        stripOne(w, rv, Adjective) match {
+        among(w, rv, Reflexive).foreach(s => w = s)
+        among(w, rv, Adjective) match {
           case Some(s) =>
             w = s
-            stripOne(w, rv, Participle).foreach(s2 => w = s2)
+            among(w, rv, Participle).foreach(s2 => w = s2)
           case None =>
-            stripOne(w, rv, Verb) match {
+            among(w, rv, Verb) match {
               case Some(s) => w = s
-              case None => stripOne(w, rv, Noun).foreach(s => w = s)
+              case None => among(w, rv, Noun).foreach(s => w = s)
             }
         }
     }
-    // step 2: trailing и
+
+    // Step 2: trailing и
     if (w.endsWith("и") && w.length - 1 >= rv) w = w.dropRight(1)
-    // step 3: derivational (approximated within RV)
-    stripOne(w, rv, Derivational).foreach(s => w = s)
-    // step 4: superlative, double н, trailing ь
-    stripOne(w, rv, Superlative).foreach(s => w = s)
-    if (w.endsWith("нн")) w = w.dropRight(1)
-    if (w.endsWith("ь") && w.length - 1 >= rv) w = w.dropRight(1)
+
+    // Step 3: derivational, must lie in R2
+    Seq("ость", "ост")
+      .find(s => w.endsWith(s) && w.length - s.length >= math.max(r2, rv))
+      .foreach(s => w = w.dropRight(s.length))
+
+    // Step 4: tidy-up — longest of {ейше, ейш, н, ь} in RV
+    val tidy = Seq("ейше", "ейш", "н", "ь")
+      .filter(s => w.endsWith(s) && w.length - s.length >= rv)
+    if (tidy.nonEmpty) {
+      tidy.maxBy(_.length) match {
+        case sup @ ("ейше" | "ейш") =>
+          w = w.dropRight(sup.length)
+          if (w.endsWith("нн") && w.length - 2 >= rv) w = w.dropRight(1)
+        case "н" =>
+          if (w.length >= 2 && w(w.length - 2) == 'н' && w.length - 2 >= rv)
+            w = w.dropRight(1)
+        case "ь" => w = w.dropRight(1)
+        case _ => ()
+      }
+    }
     w
   }
 }

@@ -41,6 +41,22 @@ object Search {
       size(filter(tokens, x => x === lit(t))).cast("long")
     }.reduce(_ + _)
 
+  /** Analyze every searchable field ONCE into a materialized token
+    * column (`__toks_<field>`). Both the corpus-stats pass and the
+    * scoring pass read these shared columns, so the analyzer (stemmer
+    * included) runs once per field per pass instead of once per
+    * (term, field) per row — at corpus scale the stemmer was the
+    * query-path bottleneck, not the arithmetic.
+    */
+  private def withAnalyzed(docs: DataFrame, fields: Seq[String]): DataFrame =
+    fields.foldLeft(docs)((d, f) =>
+      d.withColumn(s"__toks_$f", analyzedField(f)))
+
+  private def toks(f: String): Column = col(s"__toks_$f")
+
+  private def dropAnalyzed(df: DataFrame, fields: Seq[String]): DataFrame =
+    df.drop(fields.map(f => s"__toks_$f"): _*)
+
   /** Plain weighted-tf scoring (the first-cut X1 semantics; integer and
     * oracle-friendly, but long fields with repeated terms out-rank short
     * exact titles — see [[score]] for the ranking-quality default).
@@ -50,10 +66,15 @@ object Search {
       query: String,
       weights: Map[String, Int] = DefaultWeights): DataFrame = {
     val terms = analyzeQuery(docs, query)
-    val total = weights.toSeq.sortBy(_._1).map { case (f, w) =>
-      tfScore(analyzedField(f), terms) * lit(w.toLong)
+    val fields = weights.keys.toSeq.sorted
+    val total = fields.map { f =>
+      tfScore(toks(f), terms) * lit(weights(f).toLong)
     }.reduceOption(_ + _).getOrElse(lit(0L))
-    docs.withColumn("score", total.cast("double")).filter(col("score") > 0)
+    dropAnalyzed(
+      withAnalyzed(docs, fields)
+        .withColumn("score", total.cast("double"))
+        .filter(col("score") > 0),
+      fields)
   }
 
   private def analyzeQuery(docs: DataFrame, query: String): Seq[String] =
@@ -92,32 +113,34 @@ object Search {
     if (terms.isEmpty)
       return docs.withColumn("score", lit(0.0)).filter(col("score") > 0)
     val fields = weights.keys.toSeq.sorted
+    val analyzed = withAnalyzed(docs, fields)
 
     val statAggs =
-      fields.map(f => avg(size(analyzedField(f))).as(s"avgdl_$f")) ++
+      fields.map(f => avg(size(toks(f))).as(s"avgdl_$f")) ++
         terms.zipWithIndex.map { case (t, i) =>
           sum(when(
-            fields.map(f => array_contains(analyzedField(f), t))
+            fields.map(f => array_contains(toks(f), t))
               .reduce(_ || _), 1L).otherwise(0L)).as(s"df_$i")
         } :+
         count(lit(1)).as("n_docs")
-    val stats = docs.agg(statAggs.head, statAggs.tail: _*).head()
+    val stats = analyzed.agg(statAggs.head, statAggs.tail: _*).head()
     val n = stats.getAs[Long]("n_docs").toDouble
 
     val total = terms.zipWithIndex.map { case (t, i) =>
       val df = stats.getAs[Long](s"df_$i").toDouble
       val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
       val tfTilde = fields.map { f =>
-        val toks = analyzedField(f)
         val avgdl = math.max(stats.getAs[Double](s"avgdl_$f"), 1e-9)
-        val dl = size(toks).cast("double")
-        val tf = size(filter(toks, x => x === lit(t))).cast("double")
+        val dl = size(toks(f)).cast("double")
+        val tf = size(filter(toks(f), x => x === lit(t))).cast("double")
         lit(weights(f).toDouble) * tf /
           (lit(1 - B) + lit(B) * dl / lit(avgdl))
       }.reduce(_ + _)
       lit(idf) * tfTilde / (lit(K1) + tfTilde)
     }.reduce(_ + _)
-    docs.withColumn("score", total).filter(col("score") > 0)
+    dropAnalyzed(
+      analyzed.withColumn("score", total).filter(col("score") > 0),
+      fields)
   }
 
   /** Full search-API semantics (api.py:63-111): optional query, sort

@@ -160,6 +160,26 @@ class MoviesSpec extends SparkTestBase {
     assert((page1 ++ page2).distinct.length === 3)
   }
 
+  test("russian snowball: inflected forms stem to the published roots") {
+    val cases = Seq(
+      // noun case endings fold to one root
+      "войны" -> "войн", "война" -> "войн", "войну" -> "войн",
+      "войне" -> "войн", "люди" -> "люд",
+      // adjectives (incl. ё→е)
+      "звёздные" -> "звездн", "звёздная" -> "звездн",
+      "звёздный" -> "звездн", "красивый" -> "красив",
+      "красивая" -> "красив", "важная" -> "важн",
+      // verbs, perfective gerund, reflexive
+      "бежала" -> "бежа", "сделав" -> "сдела", "осталась" -> "оста",
+      // derivational ость strips ONLY inside R2
+      "вероятность" -> "вероятн", "радость" -> "радост",
+      // superlative tidy-up
+      "добрейшей" -> "добр")
+    cases.foreach { case (w, want) =>
+      assert(Analyzer.russianStem(w) === want, s"stem($w)")
+    }
+  }
+
   test("analyzer: en+ru stemming and stopword removal") {
     val toks = Seq("The running dogs and Звёздные войны")
       .toDF("t").select(Analyzer.analyze($"t")).head.getSeq[String](0)
