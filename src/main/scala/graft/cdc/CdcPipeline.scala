@@ -34,7 +34,7 @@ object CdcPipeline {
       genreFilmWork: () => DataFrame)
 
   final case class Sinks(
-      movies: UpsertSink, persons: UpsertSink, genres: UpsertSink)
+      movies: DocSink, persons: DocSink, genres: DocSink)
 
   /** One change-detection process: watch `table.tsCol`, map changed rows
     * to target doc ids via `propagate`, tagged with the sink it feeds.

@@ -1,0 +1,51 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+
+/** Pluggable idempotent document sink (SURVEY §2.1 S5) — the engine-side
+  * contract of the reference's Elasticsearch bulk upsert
+  * (postgres_to_es/daemon.py:358-381): writes are keyed on `idCol`, a
+  * re-write of an existing id REPLACES the document, so replaying any
+  * batch suffix is a no-op (the T2 effectively-once contract rests on
+  * this).
+  *
+  * Implementations:
+  *  - [[UpsertSink]] (default): bucketed-parquet native store; rewrites
+  *    only affected buckets per upsert/delete.
+  *  - Elasticsearch bind point (no ES dependency in this repo; the
+  *    elasticsearch-hadoop connector plugs straight in):
+  *    {{{
+  *    final class EsDocSink(resource: String, val idCol: String)
+  *        extends DocSink {
+  *      def upsert(docs: DataFrame): Unit =
+  *        docs.write.format("es")
+  *          .option("es.mapping.id", idCol)      // upsert-by-id semantics
+  *          .option("es.write.operation", "index")
+  *          .mode("append").save(resource)       // e.g. "movies"
+  *      def delete(ids: DataFrame): Unit =
+  *        ids.write.format("es")
+  *          .option("es.mapping.id", idCol)
+  *          .option("es.write.operation", "delete")
+  *          .mode("append").save(resource)
+  *      def read(): Option[DataFrame] = ...      // spark.read.format("es")
+  *    }
+  *    }}}
+  *    `es.mapping.id` is exactly the `_id=doc.id` of the reference's
+  *    helpers.bulk call, so idempotence semantics carry over unchanged.
+  */
+trait DocSink {
+
+  /** Column whose value keys the upsert (the document id). */
+  def idCol: String
+
+  /** Insert-or-replace `docs` by [[idCol]]; must be idempotent. */
+  def upsert(docs: DataFrame): Unit
+
+  /** Remove the documents whose ids appear in `ids` ([[idCol]] column);
+    * absent ids are ignored; idempotent.
+    */
+  def delete(ids: DataFrame): Unit
+
+  /** Current store contents (None before the first upsert). */
+  def read(): Option[DataFrame]
+}

@@ -3,10 +3,10 @@ package graft.cdc
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Idempotent upsert-by-id document sink — replaces the ES bulk upsert
-  * (postgres_to_es/daemon.py:358-381): re-writing a doc with the same id
-  * replaces it, so replaying any batch suffix is a no-op (T2's
-  * effectively-once contract).
+/** Default [[DocSink]]: idempotent upsert-by-id over bucketed parquet —
+  * replaces the ES bulk upsert (postgres_to_es/daemon.py:358-381):
+  * re-writing a doc with the same id replaces it, so replaying any
+  * batch suffix is a no-op (T2's effectively-once contract).
   *
   * Layout: parquet partitioned by `bucket = pmod(hash(id), nBuckets)`.
   * An upsert rewrites only the buckets that contain incoming ids
@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * O(affected buckets), not O(store); raise nBuckets with corpus size.
   */
 final class UpsertSink(
-    spark: SparkSession, dir: String, idCol: String, nBuckets: Int = 64) {
+    spark: SparkSession, dir: String, val idCol: String,
+    nBuckets: Int = 64) extends DocSink {
 
   private def bucket(c: org.apache.spark.sql.Column) =
     pmod(xxhash64(c), lit(nBuckets))

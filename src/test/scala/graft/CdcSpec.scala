@@ -198,6 +198,48 @@ class CdcSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline is sink-agnostic (S5): an in-memory DocSink converges " +
+       "to the same documents as the parquet UpsertSink") {
+    // minimal alternative DocSink impl — the shape an ES-backed sink
+    // (es.mapping.id) would take; collect() is test-only
+    final class MemSink(val idCol: String) extends DocSink {
+      private var schema: Option[org.apache.spark.sql.types.StructType] = None
+      private val state =
+        scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.Row]()
+      def upsert(docs: DataFrame): Unit = {
+        schema = Some(docs.schema)
+        docs.collect().foreach(r => state(r.getAs[String](idCol)) = r)
+      }
+      def delete(ids: DataFrame): Unit =
+        ids.select(idCol).collect().foreach { r =>
+          state.remove(r.getString(0)); ()
+        }
+      def read(): Option[DataFrame] = schema.map { s =>
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(state.values.toSeq.asJava, s)
+      }
+    }
+
+    val dirA = tmp(); seed(dirA)
+    val parquetSinks = mkSinks(dirA)
+    CdcPipeline.drain(spark, tables(dirA), parquetSinks,
+      new Keyset.CursorStore(s"$dirA/cursors"), batchSize = 10)
+
+    val dirB = tmp(); seed(dirB)
+    val memSinks = CdcPipeline.Sinks(
+      movies = new MemSink("id"), persons = new MemSink("id"),
+      genres = new MemSink("id"))
+    CdcPipeline.drain(spark, tables(dirB), memSinks,
+      new Keyset.CursorStore(s"$dirB/cursors"), batchSize = 10)
+
+    def docSet(s: DocSink) = s.read().get
+      .select($"id", to_json(struct(col("*"))).as("doc"))
+      .as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(docSet(memSinks.movies) === docSet(parquetSinks.movies))
+    assert(docSet(memSinks.persons) === docSet(parquetSinks.persons))
+    assert(docSet(memSinks.genres) === docSet(parquetSinks.genres))
+  }
+
   test("upsert rewrites only affected buckets") {
     val dir = tmp()
     val sink = new UpsertSink(spark, s"$dir/store", "id", nBuckets = 8)
