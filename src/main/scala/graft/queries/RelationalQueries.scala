@@ -457,6 +457,75 @@ object RelationalQueries {
         .orderBy($"user_id")
     },
 
+    // J6: per-person films denormalization (Docs.personDocs over
+    // TPC-H shapes: customer=person, orders=bridge, order status=role,
+    // order key=film id). Arrays sorted then stringified for the hash
+    // compare; customers with no orders keep empty arrays (the P6
+    // null→[] discipline).
+    GraftQuery(
+      "q53_person_docs",
+      """SELECT c_custkey AS id, c_name AS full_name,
+        |  COALESCE(a.roles, '') AS roles,
+        |  COALESCE(a.film_ids, '') AS film_ids
+        |FROM customer
+        |LEFT JOIN (
+        |  SELECT o_custkey,
+        |    array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+        |      AS roles,
+        |    array_to_string(list_sort(list(DISTINCT
+        |      CAST(o_orderkey AS VARCHAR))), ',') AS film_ids
+        |  FROM orders GROUP BY o_custkey) a ON a.o_custkey = c_custkey
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val person = t(s, dir, "customer")
+        .select($"c_custkey".as("id"), $"c_name".as("full_name"))
+      val bridge = t(s, dir, "orders").select(
+        $"o_custkey".as("person_id"),
+        $"o_orderkey".cast("string").as("film_work_id"),
+        $"o_orderstatus".as("role"))
+      graft.movies.Docs.personDocs(person, bridge)
+        .select($"id", $"full_name",
+          array_join($"roles", ",").as("roles"),
+          array_join($"film_ids", ",").as("film_ids"))
+        .orderBy($"id")
+    },
+
+    // J7: per-genre filmworks denormalization (Docs.genreDocs over
+    // TPC-H shapes: brand=genre, part=film, retail cents=rating).
+    // Struct arrays sort by (title, id, rating) in the op; the oracle
+    // string_aggs in the same (p_name, p_partkey) order.
+    GraftQuery(
+      "q54_genre_docs",
+      """SELECT b.p_brand AS id, b.p_brand AS name,
+        |  COALESCE(a.films, '') AS films
+        |FROM (SELECT DISTINCT p_brand FROM part) b
+        |LEFT JOIN (
+        |  SELECT p_brand,
+        |    string_agg(
+        |      CAST(p_partkey AS VARCHAR) || ':' || p_name || ':' ||
+        |        CAST(CAST(round(p_retailprice*100) AS BIGINT) AS VARCHAR),
+        |      ',' ORDER BY p_name, p_partkey) AS films
+        |  FROM part GROUP BY p_brand) a ON a.p_brand = b.p_brand
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val parts = t(s, dir, "part")
+      val genreDim = parts.select($"p_brand".as("id"), $"p_brand".as("name"))
+        .distinct()
+      val filmWork = parts.select($"p_partkey".as("id"),
+        $"p_name".as("title"), cents($"p_retailprice").as("rating"))
+      val gfw = parts.select($"p_brand".as("genre_id"),
+        $"p_partkey".as("film_work_id"))
+      graft.movies.Docs.genreDocs(genreDim, filmWork, gfw)
+        .select($"id", $"name",
+          array_join(
+            transform($"filmworks", f => concat_ws(":",
+              f.getField("id"), f.getField("title"),
+              // the doc contract types imdb_rating double; the cents
+              // are integral, so render as integer like the oracle
+              f.getField("imdb_rating").cast("long"))), ",").as("films"))
+        .orderBy($"id")
+    },
+
     // Exact nearest-rank percentiles (p50/p90/p99) per group, computed
     // with the same integer/window arithmetic on both engines — no
     // interpolation, so results hash-match exactly. At scale this is
