@@ -1,0 +1,176 @@
+package graft.streaming
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.cdc.Keyset
+
+/** DataSource V2 streaming source for the CDC keyset scan (SURVEY §2.1
+  * S3 / §2.10 T1-T2): the reference daemon's resumable
+  * `(updated_at, id)` cursor query (postgres_to_es/daemon.py:90-129) as
+  * a real `readStream` source — offsets live in Spark's checkpoint, so
+  * restart/replay semantics come from the engine instead of the
+  * driver-loop CursorStore (which remains the batch face:
+  * cdc.CdcPipeline).
+  *
+  * Usage:
+  * {{{
+  * spark.readStream
+  *   .format(classOf[KeysetSourceProvider].getName)
+  *   .option("path", tableDir)     // parquet table to watch
+  *   .option("tsCol", "updated_at")
+  *   .option("idCol", "id")        // string-typed tiebreaker key
+  *   .option("batchSize", "1000")  // max rows per micro-batch
+  *   .load()
+  * }}}
+  *
+  * Semantics:
+  *  - Offset = the keyset cursor (ts-micros, last id); batch N+1 reads
+  *    rows strictly after offset N in (ts, id) total order.
+  *  - Admission control: `batchSize` caps rows per micro-batch via
+  *    ReadLimit.maxRows — the reference's pg_batch (daemon.py:397-398).
+  *  - Effectively-once: offsets commit after the sink write (engine
+  *    contract); replays hit the idempotent DocSink upsert.
+  *
+  * Scale note: each micro-batch materializes on the driver
+  * (executeCollect) before distribution — identical boundedness to the
+  * reference daemon's psycopg2 fetch, bounded by batchSize. The 100 TB
+  * data plane never flows through a CDC control stream; heavy
+  * re-denormalization work happens in the downstream joins, which
+  * distribute normally.
+  */
+final class KeysetSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SparkSession.active.read.parquet(options.get("path")).schema
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KeysetTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private final class KeysetTable(
+    schema0: StructType, options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"keyset(${options.get("path")})"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema0
+        override def toMicroBatchStream(loc: String): MicroBatchStream =
+          new KeysetMicroBatchStream(schema0, options)
+      }
+    }
+}
+
+/** Streaming offset = the keyset cursor. */
+final case class KeysetOffset(tsMicros: Long, lastId: String) extends Offset {
+  override def json(): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("ts" -> tsMicros) ~ ("id" -> lastId)))
+  }
+}
+
+object KeysetOffset {
+  val Zero: KeysetOffset = KeysetOffset(Long.MinValue, "")
+
+  def fromJson(s: String): KeysetOffset = {
+    import org.json4s._
+    val j = jackson.JsonMethods.parse(s)
+    val ts = j \ "ts" match {
+      case JInt(v) => v.toLong
+      case JLong(v) => v
+      case x => sys.error(s"bad keyset offset ts: $x")
+    }
+    val id = j \ "id" match {
+      case JString(v) => v
+      case x => sys.error(s"bad keyset offset id: $x")
+    }
+    KeysetOffset(ts, id)
+  }
+}
+
+private final case class KeysetRowsPartition(rows: Array[InternalRow])
+  extends InputPartition
+
+private final class KeysetMicroBatchStream(
+    schema: StructType, options: CaseInsensitiveStringMap)
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val path = options.get("path")
+  private val tsCol = options.get("tsCol")
+  private val idCol = options.get("idCol")
+  private val maxRows =
+    Option(options.get("batchSize")).map(_.toInt).getOrElse(1000)
+
+  private def table = SparkSession.active.read.schema(schema).parquet(path)
+
+  override def initialOffset(): Offset = KeysetOffset.Zero
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxRows)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val c = start.asInstanceOf[KeysetOffset]
+    val n = limit match {
+      case mr: ReadMaxRows => math.min(mr.maxRows(), maxRows.toLong).toInt
+      case _ => maxRows
+    }
+    val (_, advanced) = Keyset.nextBatch(
+      table, tsCol, idCol, Keyset.Cursor(c.tsMicros, c.lastId), n)
+    KeysetOffset(advanced.tsMicros, advanced.lastId)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    KeysetOffset.fromJson(json)
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KeysetOffset]
+    val e = end.asInstanceOf[KeysetOffset]
+    if (s == e) return Array.empty
+    val tsM = unix_micros(col(tsCol))
+    val batch = table
+      .filter(
+        ((tsM === s.tsMicros && col(idCol) > s.lastId) || tsM > s.tsMicros) &&
+          ((tsM === e.tsMicros && col(idCol) <= e.lastId) || tsM < e.tsMicros))
+      .orderBy(tsM.asc, col(idCol).asc)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    Array(KeysetRowsPartition(batch.queryExecution.executedPlan.executeCollect()))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val rows = p.asInstanceOf[KeysetRowsPartition].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = rows(i)
+          override def close(): Unit = ()
+        }
+      }
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{KeysetOffset, KeysetSourceProvider}
+
+/** DSv2 keyset streaming source (S3/T1/T2 under real engine
+  * checkpointing): micro-batches follow the (ts, id) keyset order with
+  * admission control, appends are picked up live, and a restart resumes
+  * from the checkpoint with no re-delivery.
+  */
+class KeysetStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  private def readKeyset(dir: String, batchSize: Int): DataFrame =
+    spark.readStream
+      .format(classOf[KeysetSourceProvider].getName)
+      .option("path", dir)
+      .option("tsCol", "updated_at")
+      .option("idCol", "id")
+      .option("batchSize", batchSize.toString)
+      .load()
+
+  test("offset json round-trips (incl. cursor zero and quoting)") {
+    for (o <- Seq(KeysetOffset.Zero, KeysetOffset(123L, "f\"1\\x"))) {
+      assert(KeysetOffset.fromJson(o.json()) === o)
+    }
+  }
+
+  test("streams every row exactly once in batchSize-bounded micro-batches " +
+       "and picks up appended rows") {
+    val dir = Files.createTempDirectory("graft_ks_src").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_ks_ckpt").toString
+    Seq(("f1", "A", ts(100)), ("f2", "B", ts(100)), ("f3", "C", ts(200)))
+      .toDF("id", "title", "updated_at")
+      .write.parquet(dir)
+
+    val q = readKeyset(dir, batchSize = 1)
+      .writeStream.format("memory").queryName("ks1")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ks1").select("id").as[String].collect().sorted
+      assert(got === Array("f1", "f2", "f3"))
+      // batchSize=1 → at least 3 micro-batches committed
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+
+      // live append with a newer ts
+      Seq(("f4", "D", ts(300))).toDF("id", "title", "updated_at")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got2 = spark.table("ks1").select("id").as[String].collect().sorted
+      assert(got2 === Array("f1", "f2", "f3", "f4"))
+    } finally q.stop()
+  }
+
+  test("restart resumes from the engine checkpoint: only rows after the " +
+       "committed cursor are delivered") {
+    val dir = Files.createTempDirectory("graft_ks_src2").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_ks_ckpt2").toString
+    val out = Files.createTempDirectory("graft_ks_out2").toString + "/o"
+    Seq(("f1", "A", ts(100)), ("f2", "B", ts(100)))
+      .toDF("id", "title", "updated_at")
+      .write.parquet(dir)
+
+    // file sink (recovery-capable, unlike the memory sink): a replay
+    // after restart would duplicate f1/f2 in the output
+    def run(): Unit = {
+      val q = readKeyset(dir, batchSize = 10)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    run()
+    assert(spark.read.parquet(out).count() === 2)
+
+    // equal-ts tiebreak on id (f2a sorts after f2 at ts=100) + later row
+    Seq(("f2a", "B2", ts(100)), ("f9", "Z", ts(900)))
+      .toDF("id", "title", "updated_at")
+      .write.mode("append").parquet(dir)
+
+    run()
+    val got = spark.read.parquet(out).select("id").as[String].collect().sorted
+    assert(got === Array("f1", "f2", "f2a", "f9"),
+      "restart must resume from the cursor (no re-delivery, no loss)")
+  }
+}
