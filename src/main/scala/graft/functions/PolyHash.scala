@@ -116,4 +116,7 @@ object GraftColumns {
 
   def shingleHash(text: Column, n: Int): Column =
     B.column(ShingleHash(B.expression(text), n))
+
+  def srpBands(vec: Column, nTables: Int, bitsPerTable: Int): Column =
+    B.column(SrpBands(B.expression(vec), nTables, bitsPerTable))
 }

@@ -73,11 +73,23 @@ object SimilarityOps {
       .select(col(queryId), col(corpusId), col("cos_micro"), col("rank"))
   }
 
+  /** Portable (j,i) → ±1 hyperplane component: Knuth multiplicative mix
+    * of x = j*65537 + i, sign from bit 16. A linear-form parity here is
+    * a trap — odd slope in i alternates the sign with i, making every
+    * hyperplane (±)the same vector and collapsing all LSH buckets (see
+    * functions.SrpBands scaladoc).
+    */
+  private def srpSign(j: Column, i: Column): Column = {
+    val h = ((j.cast("long") * lit(65537L) + i) * lit(2654435761L)) %
+      lit(4294967296L)
+    when(shiftright(h, 16) % lit(2L) === lit(0L), lit(1.0))
+      .otherwise(lit(-1.0))
+  }
+
   /** Sign-random-projection LSH signature: `nBits` pseudo-random
     * hyperplanes; bit j is set when sum_i(v_i * r_ji) > 0, with
-    * r_ji ∈ {-1,+1} derived from the parity of a portable integer hash of
-    * (j,i). Deterministic, no stored model; vectors landing in the same
-    * bucket are ANN candidates.
+    * r_ji ∈ {-1,+1} from [[srpSign]]. Deterministic, no stored model;
+    * vectors landing in the same bucket are ANN candidates.
     */
   def srpSignature(vec: Column, nBits: Int): Column =
     aggregate(
@@ -85,13 +97,8 @@ object SimilarityOps {
         val proj = aggregate(
           sequence(lit(0), size(vec) - lit(1)),
           lit(0.0),
-          (acc, i) => {
-            // portable hash of (j,i) → ±1
-            val h = (j * lit(2654435761L) + i * lit(40503L) +
-              lit(2166136261L)) % lit(TextOps.HashPrime)
-            val sign = when(h % lit(2L) === lit(0L), lit(1.0)).otherwise(lit(-1.0))
-            acc + element_at(vec, i + lit(1)).cast("double") * sign
-          })
+          (acc, i) =>
+            acc + element_at(vec, i + lit(1)).cast("double") * srpSign(j, i))
         when(proj > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))
       }),
       lit(0L), (acc, x) => acc + x)
@@ -175,6 +182,10 @@ object SimilarityOps {
     * nTables = 1 the single band key equals srpSignature's bucket.
     * Returns array<struct<t:int, bh:bigint>> — deterministic and
     * engine-portable (the q34 oracle replicates it in SQL).
+    *
+    * HOF reference formulation (CodegenFallback — interpreted lambdas);
+    * the hot path is the codegen'd functions.SrpBands (equivalence
+    * spec-checked in TextDedupSimSpec).
     */
   def srpBandKeys(vec: Column, nTables: Int, bitsPerTable: Int): Column =
     transform(sequence(lit(0), lit(nTables - 1)), t =>
@@ -186,13 +197,9 @@ object SimilarityOps {
             val proj = aggregate(
               sequence(lit(0), size(vec) - lit(1)),
               lit(0.0),
-              (acc, i) => {
-                val h = (j * lit(2654435761L) + i * lit(40503L) +
-                  lit(2166136261L)) % lit(TextOps.HashPrime)
-                val sign =
-                  when(h % lit(2L) === lit(0L), lit(1.0)).otherwise(lit(-1.0))
-                acc + element_at(vec, i + lit(1)).cast("double") * sign
-              })
+              (acc, i) =>
+                acc + element_at(vec, i + lit(1)).cast("double") *
+                  srpSign(j, i))
             when(proj > 0, pow(lit(2.0), jj).cast("long")).otherwise(lit(0L))
           }),
           lit(0L), (acc, x) => acc + x).as("bh")))
@@ -201,27 +208,34 @@ object SimilarityOps {
     * `nTables` tables (the classic OR-construction recall dial:
     * recall ≈ 1-(1-p^nBits)^nTables for per-hyperplane agreement p),
     * then verified with exact cosine. No cross join anywhere: candidates
-    * come from an equi-join on (table, bucket); verification joins the
-    * (distinct) candidate pairs back to the corpus by id. Both the
-    * bucketing and the verification are deterministic portable
-    * arithmetic — the graded q34 path runs exactly this.
+    * come from an equi-join on (table, bucket).
+    *
+    * Verification runs INLINE in the join's output stage — the native
+    * cosine is a 64-FLOP codegen'd loop, so re-verifying a pair once per
+    * shared table is far cheaper than the alternative (distinct the
+    * candidate stream, then re-join vectors by id: one wide shuffle +
+    * two joins). The threshold filter collapses the stream before the
+    * only pair-level shuffle (the final distinct). For very wide
+    * embeddings (≫256 dims) flip the trade: distinct ids first, fetch
+    * vectors after.
     */
   def lshNeighborPairs(
       df: DataFrame, id: String, vec: String, nBits: Int,
       minCosMicro: Long, nTables: Int = 1): DataFrame = {
-    val base = df.select(col(id), col(vec))
-    val keys = base
-      .select(col(id), explode(srpBandKeys(col(vec), nTables, nBits)).as("bk"))
-      .select(col(id), col("bk.t").as("t"), col("bk.bh").as("bh"))
-    val cand = keys.select(col("t"), col("bh"), col(id).as("id_a"))
-      .join(keys.select(col("t"), col("bh"), col(id).as("id_b")), Seq("t", "bh"))
+    // native codegen'd band keys; position in the array IS the table id
+    val keys = df
+      .select(col(id), col(vec), posexplode(
+        graft.functions.GraftColumns.srpBands(col(vec), nTables, nBits)))
+      .select(col(id), col(vec), col("pos").as("t"), col("col").as("bh"))
+    val l = keys.select(col("t"), col("bh"),
+      col(id).as("id_a"), col(vec).as("__va"))
+    val r = keys.select(col("t"), col("bh"),
+      col(id).as("id_b"), col(vec).as("__vb"))
+    l.join(r, Seq("t", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cand
-      .join(base.select(col(id).as("id_a"), col(vec).as("vec_a")), "id_a")
-      .join(base.select(col(id).as("id_b"), col(vec).as("vec_b")), "id_b")
-      .withColumn("cos_micro", cosineMicro(col("vec_a"), col("vec_b")))
+      .withColumn("cos_micro", cosineMicro(col("__va"), col("__vb")))
       .filter(col("cos_micro") >= minCosMicro)
       .select("id_a", "id_b", "cos_micro")
+      .distinct()
   }
 }

@@ -42,8 +42,8 @@ object SimilarityQueries {
          |        CASE WHEN list_reduce(list_prepend(0.0,
          |            list_transform(generate_series(0, 63), i ->
          |              CAST(embedding[i+1] AS DOUBLE) *
-         |              (CASE WHEN (((t*4+jj)*2654435761 + i*40503
-         |                    + 2166136261) % 1000000007) % 2 = 0
+         |              (CASE WHEN ((((t*4+jj)*65537 + i) * 2654435761)
+         |                    % 4294967296) // 65536 % 2 = 0
          |                 THEN 1.0 ELSE -1.0 END))),
          |            (x,y) -> x+y) > 0
          |          THEN CAST(pow(2, jj) AS BIGINT) ELSE 0 END))})

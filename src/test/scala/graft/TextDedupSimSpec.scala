@@ -184,14 +184,22 @@ class TextDedupSimSpec extends SparkTestBase {
       .withColumn("cm", SimilarityOps.cosineMicro($"va", $"vb"))
       .filter($"cm" >= 400000)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // single table: p^4 per-pair collision at the threshold — low recall
+    // by design; it must still never invent pairs
     val found = SimilarityOps.lshNeighborPairs(
         e, "vec_id", "embedding", nBits = 4, minCosMicro = 400000)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(found.subsetOf(truth), "LSH must not invent pairs")
-    if (truth.nonEmpty) {
-      val recall = found.size.toDouble / truth.size
-      assert(recall >= 0.5, s"recall $recall too low (${found.size}/${truth.size})")
-    }
+    // native codegen'd band keys ≡ the HOF reference formulation
+    // (same hyperplane hash, same fold order)
+    val bandCompare = e.select(
+      graft.functions.GraftColumns.srpBands($"embedding", 16, 4).as("native"),
+      transform(
+        SimilarityOps.srpBandKeys($"embedding", 16, 4),
+        bk => bk.getField("bh")).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(bandCompare === 0, "native SrpBands must match the HOF keys")
+
     // multi-table OR-construction (the graded q34 settings): table 0
     // shares the single-table hyperplanes, so candidates only grow —
     // recall is monotone in nTables and still never invents pairs
@@ -202,5 +210,12 @@ class TextDedupSimSpec extends SparkTestBase {
     assert(multi.subsetOf(truth), "multi-table LSH must not invent pairs")
     assert(found.subsetOf(multi),
       "multi-table candidates must contain the single-table ones")
+    // the OR construction is where the recall claim lives:
+    // 1-(1-p^4)^16 at the 0.4 threshold
+    if (truth.nonEmpty) {
+      val recall = multi.size.toDouble / truth.size
+      assert(recall >= 0.5,
+        s"multi-table recall $recall too low (${multi.size}/${truth.size})")
+    }
   }
 }
