@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.cdc._
+import graft.streaming.KeysetSourceProvider
+
+/** The CDC fan-out running as a REAL Structured Streaming query:
+  * DSv2 keyset source on the person table → foreachBatch (propagate
+  * changed person ids through the bridge → rebuild affected movie docs →
+  * idempotent DocSink upsert) — the reference's person→movies process
+  * (postgres_to_es/daemon.py:503-510) under engine checkpointing.
+  */
+class CdcStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("person→movies process end-to-end through readStream: initial " +
+       "index, then a person rename refreshes exactly the affected doc") {
+    val dir = Files.createTempDirectory("graft_cdcstream").toString
+    def writeTable(name: String, df: DataFrame): Unit =
+      df.write.mode("append").parquet(s"$dir/$name")
+
+    writeTable("film_work", Seq(
+      ("f1", "Star Wars", "Space opera", 8.6, ts(100), ts(100)),
+      ("f2", "Quiet Film", "Slow burn", 6.0, ts(100), ts(100))
+    ).toDF("id", "title", "description", "rating", "created_at", "updated_at"))
+    writeTable("person", Seq(
+      ("p1", "George Lucas", ts(100), ts(100)),
+      ("p2", "Mark Hamill", ts(100), ts(100))
+    ).toDF("id", "full_name", "created_at", "updated_at"))
+    writeTable("genre", Seq(("g1", "Sci-Fi", ts(100), ts(100))
+    ).toDF("id", "name", "created_at", "updated_at"))
+    writeTable("person_film_work", Seq(
+      ("pfw1", "f1", "p1", "director", ts(100)),
+      ("pfw2", "f1", "p2", "actor", ts(100))
+    ).toDF("id", "film_work_id", "person_id", "role", "created_at"))
+    writeTable("genre_film_work", Seq(("gfw1", "f1", "g1", ts(100))
+    ).toDF("id", "film_work_id", "genre_id", "created_at"))
+
+    val t = CdcPipeline.Tables(
+      filmWork = () => spark.read.parquet(s"$dir/film_work"),
+      person = () => spark.read.parquet(s"$dir/person"),
+      genre = () => spark.read.parquet(s"$dir/genre"),
+      personFilmWork = () => spark.read.parquet(s"$dir/person_film_work"),
+      genreFilmWork = () => spark.read.parquet(s"$dir/genre_film_work"))
+    val movieSink = new UpsertSink(spark, s"$dir/idx_movies", "id", 4)
+
+    // person.movies process: changed persons → affected film ids →
+    // restricted rebuild → idempotent upsert (daemon.py:503-510)
+    val q = spark.readStream
+      .format(classOf[KeysetSourceProvider].getName)
+      .option("path", s"$dir/person")
+      .option("tsCol", "updated_at")
+      .option("idCol", "id")
+      .option("batchSize", "10")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt_person_movies")
+      .foreachBatch { (changed: DataFrame, _: Long) =>
+        val filmIds = t.personFilmWork()
+          .join(broadcast(changed.select(col("id").as("person_id"))),
+            Seq("person_id"), "left_semi")
+          .select(col("film_work_id").as("id")).distinct()
+        val docs = graft.movies.Docs.movieDocs(
+          t.filmWork(), t.person(), t.genre(),
+          t.personFilmWork(), t.genreFilmWork(), Some(filmIds))
+        movieSink.upsert(docs)
+      }
+      .start()
+
+    try {
+      q.processAllAvailable()
+      val v1 = movieSink.read().get
+      // only f1 has people; the person-driven process indexes just it
+      assert(v1.select("id").as[String].collect().sorted === Array("f1"))
+      val names1 = v1.filter($"id" === "f1")
+        .select(array_join($"actors_names", ",")).as[String].head()
+      assert(names1 === "Mark Hamill")
+
+      // rename p2 (newer updated_at lands as a new parquet row; the
+      // rebuild picks the latest row per id at read time via the
+      // snapshot — emulate an UPDATE by rewriting the table dir)
+      spark.read.parquet(s"$dir/person")
+        .filter($"id" =!= "p2")
+        .union(Seq(("p2", "Mark R. Hamill", ts(100), ts(200)))
+          .toDF("id", "full_name", "created_at", "updated_at"))
+        .write.mode("overwrite").parquet(s"$dir/person_v2")
+      // atomic-ish swap: point the dir at v2 content
+      spark.read.parquet(s"$dir/person_v2")
+        .write.mode("overwrite").parquet(s"$dir/person")
+
+      q.processAllAvailable()
+      val names2 = movieSink.read().get.filter($"id" === "f1")
+        .select(array_join($"actors_names", ",")).as[String].head()
+      assert(names2 === "Mark R. Hamill",
+        "person rename must refresh the affected movie doc")
+    } finally q.stop()
+  }
+}
