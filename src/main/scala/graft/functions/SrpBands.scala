@@ -61,12 +61,23 @@ object SrpBands {
 
   /** One pass: nTables*bitsPerTable projections, each an index-order
     * double fold (same IEEE op order as the HOF/oracle formulations).
+    *
+    * Null elements: the HOF formulation and the DuckDB oracle propagate a
+    * null element through the fold — every projection nulls out, `> 0`
+    * is never true, and all band keys collapse to 0. Mirror that here
+    * (one null scan up front) so native ≡ HOF ≡ oracle holds on every
+    * input, not just null-free vectors.
     */
   def compute(
       v: ArrayData, isFloat: Boolean,
       nTables: Int, bitsPerTable: Int): ArrayData = {
     val n = v.numElements()
     val out = new Array[Long](nTables)
+    var k = 0
+    while (k < n) {
+      if (v.isNullAt(k)) return new GenericArrayData(out) // all-zero keys
+      k += 1
+    }
     var t = 0
     while (t < nTables) {
       var bh = 0L

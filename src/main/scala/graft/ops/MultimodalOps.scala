@@ -63,9 +63,13 @@ object MultimodalOps {
     * Blob bytes never leave the executor; output is small and columnar.
     *
     * mean_luma_milli is integer-exact by construction —
-    * floor(1000 * Σ byte / (255 * n_px)) over the source bytes of the
-    * decoded pixels — so the whole synthetic-media pipeline is
-    * oracle-checkable in plain SQL (q41) with no float drift.
+    * floor(1000 * Σ round(pixel*255) / (255 * n_px)) over the DECODED
+    * pixels (pixel ∈ [0,1] per the decoder contract) — so the feature
+    * math lives entirely behind the decoder boundary: swap in a real
+    * codec and the luma is computed over real pixels, while the stub
+    * keeps the whole synthetic-media pipeline oracle-checkable in plain
+    * SQL (q41: round(pixel*255) recovers the stub's source byte exactly,
+    * so no float drift).
     */
   def decodeImageFeatures(records: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -82,13 +86,13 @@ object MultimodalOps {
         if (blob == null) Row(id, null, null, null, null)
         else {
           val d = DecodeStub.decodeImage(blob)
-          val nPx = d.width * d.height * 3
+          val nPx = d.pixels.length
           val luma =
             if (nPx == 0) 0L
             else {
               var sum = 0L
               var p = 0
-              while (p < nPx) { sum += blob(p % blob.length) & 0xFF; p += 1 }
+              while (p < nPx) { sum += math.round(d.pixels(p) * 255f); p += 1 }
               (1000L * sum) / (255L * nPx)
             }
           Row(id, d.width, d.height, d.nChannels, luma)

@@ -14,13 +14,16 @@ import graft.ops.SimilarityOps
 object SimilarityQueries {
 
   // DuckDB fold-order cosine, kept in lockstep with SimilarityOps.cosine.
+  // Bounds derive from len(embedding) — never hardcode the dim, or a
+  // generator change silently turns out-of-range subscripts into NULL
+  // sums and the hash check desyncs non-obviously.
   private def duckCosMicro(a: String, b: String): String =
     s"""round(1000000.0 * (
-       |  list_reduce(list_prepend(0.0, list_transform(generate_series(1,64),
+       |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a.embedding)),
        |    i -> CAST($a.embedding[i] AS DOUBLE)*CAST($b.embedding[i] AS DOUBLE))), (x,y)->x+y)
-       |  / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64),
+       |  / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a.embedding)),
        |      i -> CAST($a.embedding[i] AS DOUBLE)*CAST($a.embedding[i] AS DOUBLE))), (x,y)->x+y))
-       |   * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64),
+       |   * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($b.embedding)),
        |      i -> CAST($b.embedding[i] AS DOUBLE)*CAST($b.embedding[i] AS DOUBLE))), (x,y)->x+y)))))""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
@@ -40,7 +43,7 @@ object SimilarityQueries {
          |    list_transform(generate_series(0, 15), t -> {'t': t, 'bh':
          |      list_sum(list_transform(generate_series(0, 3), jj ->
          |        CASE WHEN list_reduce(list_prepend(0.0,
-         |            list_transform(generate_series(0, 63), i ->
+         |            list_transform(generate_series(0, len(embedding) - 1), i ->
          |              CAST(embedding[i+1] AS DOUBLE) *
          |              (CASE WHEN ((((t*4+jj)*65537 + i) * 2654435761)
          |                    % 4294967296) // 65536 % 2 = 0

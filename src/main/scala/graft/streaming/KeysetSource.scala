@@ -12,8 +12,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.cdc.Keyset
-
 /** DataSource V2 streaming source for the CDC keyset scan (SURVEY §2.1
   * S3 / §2.10 T1-T2): the reference daemon's resumable
   * `(updated_at, id)` cursor query (postgres_to_es/daemon.py:90-129) as
@@ -47,6 +45,19 @@ import graft.cdc.Keyset
   * data plane never flows through a CDC control stream; heavy
   * re-denormalization work happens in the downstream joins, which
   * distribute normally.
+  *
+  * Consistency contract: the watched table must be APPEND-ONLY (or the
+  * downstream sink idempotent by key, as DocSink is) — the same contract
+  * the reference daemon has with PostgreSQL. Within one run each
+  * micro-batch is collected exactly once, when its end offset is
+  * computed (latestOffset), and served from that snapshot in
+  * planInputPartitions — so a concurrent in-place rewrite of the table
+  * cannot produce a batch that disagrees with its own offset range. Only
+  * a batch REPLAYED from the checkpoint after a restart re-reads the
+  * live table; if rows inside an already-committed offset range were
+  * rewritten in the meantime, the replayed batch reflects the new data —
+  * exactly the reference's at-least-once + idempotent-upsert semantics
+  * (daemon.py:104-126).
   */
 final class KeysetSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -121,6 +132,18 @@ private final class KeysetMicroBatchStream(
 
   private def table = SparkSession.active.read.schema(schema).parquet(path)
 
+  private val tsIdx = schema.fieldIndex(tsCol)
+  private val idIdx = schema.fieldIndex(idCol)
+
+  /** The batch collected when its end offset was computed, keyed by the
+    * (start, end) offset pair — serves planInputPartitions without a
+    * second table scan and pins the batch contents to the moment its
+    * offset was decided (see consistency contract above). One entry
+    * suffices: the engine plans the batch it just admitted.
+    */
+  @volatile private var cachedBatch
+      : Option[(KeysetOffset, KeysetOffset, Array[InternalRow])] = None
+
   override def initialOffset(): Offset = KeysetOffset.Zero
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxRows)
@@ -135,9 +158,24 @@ private final class KeysetMicroBatchStream(
       case mr: ReadMaxRows => math.min(mr.maxRows(), maxRows.toLong).toInt
       case _ => maxRows
     }
-    val (_, advanced) = Keyset.nextBatch(
-      table, tsCol, idCol, Keyset.Cursor(c.tsMicros, c.lastId), n)
-    KeysetOffset(advanced.tsMicros, advanced.lastId)
+    val tsM = unix_micros(col(tsCol))
+    val batch = table
+      .filter(
+        (tsM === c.tsMicros && col(idCol) > c.lastId) || tsM > c.tsMicros)
+      .orderBy(tsM.asc, col(idCol).asc)
+      .limit(n)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val rows = batch.queryExecution.executedPlan.executeCollect()
+    val end =
+      if (rows.isEmpty) KeysetOffset(c.tsMicros, c.lastId)
+      else {
+        // TimestampType is micros-since-epoch in InternalRow — the same
+        // value unix_micros() computes, so the cursor matches the scan.
+        val last = rows(rows.length - 1)
+        KeysetOffset(last.getLong(tsIdx), last.getUTF8String(idIdx).toString)
+      }
+    cachedBatch = Some((c, end, rows))
+    end
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -148,14 +186,23 @@ private final class KeysetMicroBatchStream(
     val s = start.asInstanceOf[KeysetOffset]
     val e = end.asInstanceOf[KeysetOffset]
     if (s == e) return Array.empty
-    val tsM = unix_micros(col(tsCol))
-    val batch = table
-      .filter(
-        ((tsM === s.tsMicros && col(idCol) > s.lastId) || tsM > s.tsMicros) &&
-          ((tsM === e.tsMicros && col(idCol) <= e.lastId) || tsM < e.tsMicros))
-      .orderBy(tsM.asc, col(idCol).asc)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    Array(KeysetRowsPartition(batch.queryExecution.executedPlan.executeCollect()))
+    cachedBatch match {
+      case Some((cs, ce, rows)) if cs == s && ce == e =>
+        Array(KeysetRowsPartition(rows))
+      case _ =>
+        // Replay after restart: the cache died with the previous driver,
+        // so re-read the offset range from the live table (at-least-once;
+        // see consistency contract above).
+        val tsM = unix_micros(col(tsCol))
+        val batch = table
+          .filter(
+            ((tsM === s.tsMicros && col(idCol) > s.lastId) || tsM > s.tsMicros) &&
+              ((tsM === e.tsMicros && col(idCol) <= e.lastId) || tsM < e.tsMicros))
+          .orderBy(tsM.asc, col(idCol).asc)
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        Array(KeysetRowsPartition(
+          batch.queryExecution.executedPlan.executeCollect()))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

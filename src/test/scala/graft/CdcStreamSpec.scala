@@ -42,9 +42,13 @@ class CdcStreamSpec extends SparkTestBase {
     writeTable("genre_film_work", Seq(("gfw1", "f1", "g1", ts(100))
     ).toDF("id", "film_work_id", "genre_id", "created_at"))
 
+    // person is an append-only change log (the source contract — see
+    // KeysetSourceProvider scaladoc): an UPDATE lands as a new version
+    // row, and readers take the latest version per id.
     val t = CdcPipeline.Tables(
       filmWork = () => spark.read.parquet(s"$dir/film_work"),
-      person = () => spark.read.parquet(s"$dir/person"),
+      person = () => Snapshot.latestPerKey(
+        spark.read.parquet(s"$dir/person"), "id", "updated_at", "id"),
       genre = () => spark.read.parquet(s"$dir/genre"),
       personFilmWork = () => spark.read.parquet(s"$dir/person_film_work"),
       genreFilmWork = () => spark.read.parquet(s"$dir/genre_film_work"))
@@ -82,17 +86,13 @@ class CdcStreamSpec extends SparkTestBase {
         .select(array_join($"actors_names", ",")).as[String].head()
       assert(names1 === "Mark Hamill")
 
-      // rename p2 (newer updated_at lands as a new parquet row; the
-      // rebuild picks the latest row per id at read time via the
-      // snapshot — emulate an UPDATE by rewriting the table dir)
-      spark.read.parquet(s"$dir/person")
-        .filter($"id" =!= "p2")
-        .union(Seq(("p2", "Mark R. Hamill", ts(100), ts(200)))
-          .toDF("id", "full_name", "created_at", "updated_at"))
-        .write.mode("overwrite").parquet(s"$dir/person_v2")
-      // atomic-ish swap: point the dir at v2 content
-      spark.read.parquet(s"$dir/person_v2")
-        .write.mode("overwrite").parquet(s"$dir/person")
+      // rename p2: the UPDATE is a NEW VERSION ROW appended to the log
+      // (newer updated_at); Snapshot.latestPerKey in the rebuild picks
+      // it. Appending — never rewriting the watched dir in place — is
+      // the source's append-only contract; a rewrite would race the
+      // trigger loop's scans.
+      writeTable("person", Seq(("p2", "Mark R. Hamill", ts(100), ts(200)))
+        .toDF("id", "full_name", "created_at", "updated_at"))
 
       q.processAllAvailable()
       val names2 = movieSink.read().get.filter($"id" === "f1")
