@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.movies._
 
 /** Driver-visible end-to-end run of the movies domain: dirty legacy
-  * fixture → Ingest.normalize → Docs.movieDocs → Search. Deterministic
-  * output (rows-only check — the pipeline is not expressible as one SQL
-  * statement over the driver's TPC-H tables; its per-operator semantics
-  * are oracle-checked via q01-q36 and unit-tested in MoviesSpec).
+  * fixture → Ingest.normalize → Docs.movieDocs → Search, hash-checked
+  * against a DuckDB recomputation of the BM25F scoring math (see q40's
+  * oracle comment for the check's scope; per-operator semantics are
+  * additionally oracle-checked via q01-q36 and unit-tested in
+  * MoviesSpec).
   */
 object MoviesQueries {
 
@@ -34,7 +35,77 @@ object MoviesQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    GraftQuery.noOracle("q40_movies_pipeline") { (s, _) =>
+    // End-to-end: dirty legacy fixture → normalize → denormalized doc
+    // store → BM25F search ("lucas film" matches all three docs through
+    // different fields: directors/writers, title+writers, title+actors).
+    // The oracle recomputes the BM25F arithmetic (Search.score's
+    // documented formula: document-level idf, field-weighted saturated
+    // tf, k1=1.2 b=0.75) in DuckDB from the docs' analyzed token lists,
+    // which are fixed constants of the static fixture (the analyzer
+    // itself is spec-tested in AnalyzerSpec; the ingest/denorm hops are
+    // oracle-checked by q01-q17/q53/q54). Scores compare in integer
+    // millis so the two engines' double fold orders can't desync the
+    // hash.
+    GraftQuery(
+      "q40_movies_pipeline",
+      """WITH toks(id, field, tokens) AS (VALUES
+        |  ('m1','actors_names',   ['mark','hamil']),
+        |  ('m1','description',    ['space','opera']),
+        |  ('m1','directors_names',['georg','luca']),
+        |  ('m1','genres_names',   ['action','sci','fi']),
+        |  ('m1','title',          ['star','war']),
+        |  ('m1','writers_names',  ['georg','luca','leigh','brackett']),
+        |  ('m2','actors_names',   CAST([] AS VARCHAR[])),
+        |  ('m2','description',    CAST([] AS VARCHAR[])),
+        |  ('m2','directors_names',CAST([] AS VARCHAR[])),
+        |  ('m2','genres_names',   ['drama']),
+        |  ('m2','title',          ['quiet','film']),
+        |  ('m2','writers_names',  ['georg','luca']),
+        |  ('m3','actors_names',   ['georg','luca']),
+        |  ('m3','description',    ['explos']),
+        |  ('m3','directors_names',['rick','author']),
+        |  ('m3','genres_names',   ['action']),
+        |  ('m3','title',          ['loud','film']),
+        |  ('m3','writers_names',  CAST([] AS VARCHAR[]))),
+        |wts(field, w) AS (VALUES
+        |  ('title', 4.0), ('description', 3.0), ('genres_names', 2.0),
+        |  ('actors_names', 4.0), ('writers_names', 1.0),
+        |  ('directors_names', 3.0)),
+        |terms(term) AS (VALUES ('luca'), ('film')),
+        |n AS (SELECT CAST(COUNT(DISTINCT id) AS DOUBLE) AS n_docs FROM toks),
+        |stats AS (
+        |  SELECT field, AVG(CAST(len(tokens) AS DOUBLE)) AS avgdl
+        |  FROM toks GROUP BY field),
+        |dfs AS (
+        |  SELECT term, CAST(COUNT(DISTINCT id) AS DOUBLE) AS df
+        |  FROM terms JOIN toks ON list_contains(tokens, term)
+        |  GROUP BY term),
+        |contrib AS (
+        |  SELECT t.id, tr.term,
+        |    SUM(w.w * CAST(len(list_filter(t.tokens, x -> x = tr.term)) AS DOUBLE)
+        |        / (0.25 + 0.75 * CAST(len(t.tokens) AS DOUBLE)
+        |                 / GREATEST(s.avgdl, 1e-9))) AS tft
+        |  FROM toks t
+        |  JOIN wts w USING (field)
+        |  JOIN stats s USING (field)
+        |  CROSS JOIN terms tr
+        |  GROUP BY t.id, tr.term),
+        |score AS (
+        |  SELECT c.id,
+        |    SUM(ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |        * c.tft / (1.2 + c.tft)) AS score
+        |  FROM contrib c JOIN dfs d USING (term) CROSS JOIN n
+        |  GROUP BY c.id),
+        |docs(id, title, actors_names, genres_names) AS (VALUES
+        |  ('m1', 'Star Wars',  'Mark Hamill',  'Action,Sci-Fi'),
+        |  ('m2', 'Quiet Film', '',             'Drama'),
+        |  ('m3', 'Loud Film',  'George Lucas', 'Action'))
+        |SELECT d.id, d.title,
+        |  CAST(round(s.score * 1000) AS BIGINT) AS score_milli,
+        |  d.actors_names, d.genres_names
+        |FROM docs d JOIN score s USING (id)
+        |WHERE s.score > 0
+        |ORDER BY s.score DESC, d.id""".stripMargin) { (s, _) =>
       val (movies, actors, writers, movieActors) = legacyFixture(s)
       val n = Ingest.normalize(movies, actors, writers, movieActors)
       // Materialize the doc store before querying it — the reference
@@ -44,8 +115,9 @@ object MoviesQueries {
       val docs = Docs.movieDocs(
         n.filmWork, n.person, n.genre, n.personFilmWork, n.genreFilmWork)
         .localCheckpoint()
-      Search.search(docs, Some("star wars"), "imdb_rating", asc = false)
-        .select(col("id"), col("title"), col("score"),
+      Search.search(docs, Some("lucas film"), "imdb_rating", asc = false)
+        .select(col("id"), col("title"),
+          round(col("score") * 1000).cast("long").as("score_milli"),
           // the driver sorts rows by every column; arrays aren't
           // sortable in pandas — stringify them (same as q09)
           array_join(col("actors_names"), ",").as("actors_names"),
