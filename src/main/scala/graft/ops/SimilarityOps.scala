@@ -210,29 +210,46 @@ object SimilarityOps {
     * then verified with exact cosine. No cross join anywhere: candidates
     * come from an equi-join on (table, bucket).
     *
-    * Verification runs INLINE in the join's output stage — the native
-    * cosine is a 64-FLOP codegen'd loop, so re-verifying a pair once per
-    * shared table is far cheaper than the alternative (distinct the
-    * candidate stream, then re-join vectors by id: one wide shuffle +
-    * two joins). The threshold filter collapses the stream before the
-    * only pair-level shuffle (the final distinct). For very wide
-    * embeddings (≫256 dims) flip the trade: distinct ids first, fetch
-    * vectors after.
+    * Only (id, t, bh) keys travel through the banding self-join
+    * (24-byte rows — never the vectors: carrying two vector payloads
+    * through every exploded join row was measured 2× slower at sf0.1).
+    * Vectors are fetched by two id equi-joins on the candidate stream —
+    * broadcast when the corpus side is small, shuffle on id otherwise —
+    * cosine + threshold collapse the stream inline in the same codegen
+    * stage, and only the surviving pairs pay a distinct. (Distincting
+    * the candidate stream BEFORE verification would shrink the fetch
+    * joins ~nTables× on clustered corpora — flip to that when the
+    * verify stream, not the pair shuffle, is the measured bottleneck:
+    * wide embeddings or high collision multiplicity.)
     */
   def lshNeighborPairs(
       df: DataFrame, id: String, vec: String, nBits: Int,
       minCosMicro: Long, nTables: Int = 1): DataFrame = {
     // native codegen'd band keys; position in the array IS the table id
     val keys = df
-      .select(col(id), col(vec), posexplode(
+      .select(col(id), posexplode(
         graft.functions.GraftColumns.srpBands(col(vec), nTables, nBits)))
-      .select(col(id), col(vec), col("pos").as("t"), col("col").as("bh"))
-    val l = keys.select(col("t"), col("bh"),
-      col(id).as("id_a"), col(vec).as("__va"))
-    val r = keys.select(col("t"), col("bh"),
-      col(id).as("id_b"), col(vec).as("__vb"))
-    l.join(r, Seq("t", "bh"))
+      .select(col(id), col("pos").as("t"), col("col").as("bh"))
+    // The key stream is tiny (24-byte rows) but the bucket self-join
+    // explodes it ~100×, so two things matter: (a) spread the PROBE side
+    // across all cores with an explicitly-sized round-robin repartition
+    // (AQE only sees the small input and would coalesce the exchange to
+    // one task, serializing the explosion); (b) broadcast the BUILD side
+    // — n·nTables 24-byte rows — so the bucket join, the vector-fetch
+    // joins and the cosine+threshold all fuse into one shuffle-free
+    // codegen stage. At corpus sizes where the key set outgrows a
+    // broadcast, drop the hint and the same plan runs as a shuffle join
+    // co-partitioned on (t, bh).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val l = keys.select(col("t"), col("bh"), col(id).as("id_a"))
+      .repartition(par)
+    val r = keys.select(col("t"), col("bh"), col(id).as("id_b"))
+    val cand = l.join(broadcast(r), Seq("t", "bh"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val va = df.select(col(id).as("id_a"), col(vec).as("__va"))
+    val vb = df.select(col(id).as("id_b"), col(vec).as("__vb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos_micro", cosineMicro(col("__va"), col("__vb")))
       .filter(col("cos_micro") >= minCosMicro)
       .select("id_a", "id_b", "cos_micro")

@@ -112,8 +112,13 @@ object MoviesQueries {
       // serves search from an index, not by re-running the ETL per
       // query; localCheckpoint is the single-job analogue (BM25F needs
       // a corpus-stats pass + a scoring pass over the same docs).
+      // coalesce(1): the fixture doc store is 3 rows — checkpointing it
+      // as 32 shuffle partitions makes every downstream pass a 32-task
+      // stage of pure scheduling overhead. (A real corpus keeps its
+      // partitioning; this is fixture-sizing, not engine tuning.)
       val docs = Docs.movieDocs(
         n.filmWork, n.person, n.genre, n.personFilmWork, n.genreFilmWork)
+        .coalesce(1)
         .localCheckpoint()
       Search.search(docs, Some("lucas film"), "imdb_rating", asc = false)
         .select(col("id"), col("title"),

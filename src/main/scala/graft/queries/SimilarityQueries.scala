@@ -29,7 +29,11 @@ object SimilarityQueries {
   val all: Seq[GraftQuery] = Seq(
 
     // Embedding-cosine near-dup pairs above a threshold via SRP-LSH
-    // (16 tables × 4 sign bits) + exact cosine verification — the
+    // (32 tables × 6 sign bits: 64 buckets/table keeps per-bucket
+    // occupancy — and the verify stream, which grows as
+    // n²·tables/2^bits — small, while the OR construction holds
+    // at-threshold recall ≈ 1-(1-p^6)^32 ≈ 0.88) + exact cosine
+    // verification — the
     // 100 TB path IS the graded path: candidates come from an equi-join
     // on (table, bucket), never a corpus cross join. The oracle
     // replicates the deterministic hyperplanes ((j,i)→±1 portable
@@ -40,12 +44,12 @@ object SimilarityQueries {
       "q34_cosine_pairs",
       s"""WITH sig AS (
          |  SELECT vec_id,
-         |    list_transform(generate_series(0, 15), t -> {'t': t, 'bh':
-         |      list_sum(list_transform(generate_series(0, 3), jj ->
+         |    list_transform(generate_series(0, 31), t -> {'t': t, 'bh':
+         |      list_sum(list_transform(generate_series(0, 5), jj ->
          |        CASE WHEN list_reduce(list_prepend(0.0,
          |            list_transform(generate_series(0, len(embedding) - 1), i ->
          |              CAST(embedding[i+1] AS DOUBLE) *
-         |              (CASE WHEN ((((t*4+jj)*65537 + i) * 2654435761)
+         |              (CASE WHEN ((((t*6+jj)*65537 + i) * 2654435761)
          |                    % 4294967296) // 65536 % 2 = 0
          |                 THEN 1.0 ELSE -1.0 END))),
          |            (x,y) -> x+y) > 0
@@ -71,7 +75,7 @@ object SimilarityQueries {
       val e = Tables.load(s, dir, "embeddings")
       SimilarityOps.lshNeighborPairs(
           e.select($"vec_id", $"embedding"), "vec_id", "embedding",
-          nBits = 4, minCosMicro = 400000, nTables = 16)
+          nBits = 6, minCosMicro = 400000, nTables = 32)
         .orderBy($"id_a", $"id_b")
     },
 
@@ -126,12 +130,12 @@ object SimilarityQueries {
       val e = Tables.load(s, dir, "embeddings")
       val queries = e.filter($"vec_id" < 10)
         .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
-      // maxIter 5: full probe is exact for any centroids, so training
+      // maxIter 2: full probe is exact for any centroids, so training
       // only needs to produce a balanced-ish partition, not converge.
       SimilarityOps.ivfTopK(
           e.select($"vec_id", $"embedding"), "vec_id", "embedding",
           queries, "query_id", "qvec", k = 5, nList = 8, nProbe = 8,
-          maxIter = 5)
+          maxIter = 2)
         .select($"query_id", $"vec_id".as("neighbor_id"),
           $"cos_micro", $"rank".cast("long").as("rank"))
         .orderBy($"query_id", $"rank")

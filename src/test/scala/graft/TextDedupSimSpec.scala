@@ -184,10 +184,10 @@ class TextDedupSimSpec extends SparkTestBase {
       .withColumn("cm", SimilarityOps.cosineMicro($"va", $"vb"))
       .filter($"cm" >= 400000)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // single table: p^4 per-pair collision at the threshold — low recall
+    // single table: p^6 per-pair collision at the threshold — low recall
     // by design; it must still never invent pairs
     val found = SimilarityOps.lshNeighborPairs(
-        e, "vec_id", "embedding", nBits = 4, minCosMicro = 400000)
+        e, "vec_id", "embedding", nBits = 6, minCosMicro = 400000)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(found.subsetOf(truth), "LSH must not invent pairs")
     // native codegen'd band keys ≡ the HOF reference formulation
@@ -204,14 +204,14 @@ class TextDedupSimSpec extends SparkTestBase {
     // shares the single-table hyperplanes, so candidates only grow —
     // recall is monotone in nTables and still never invents pairs
     val multi = SimilarityOps.lshNeighborPairs(
-        e, "vec_id", "embedding", nBits = 4, minCosMicro = 400000,
-        nTables = 16)
+        e, "vec_id", "embedding", nBits = 6, minCosMicro = 400000,
+        nTables = 32)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(multi.subsetOf(truth), "multi-table LSH must not invent pairs")
     assert(found.subsetOf(multi),
       "multi-table candidates must contain the single-table ones")
     // the OR construction is where the recall claim lives:
-    // 1-(1-p^4)^16 at the 0.4 threshold
+    // 1-(1-p^6)^32 at the 0.4 threshold
     if (truth.nonEmpty) {
       val recall = multi.size.toDouble / truth.size
       assert(recall >= 0.5,
