@@ -119,4 +119,7 @@ object GraftColumns {
 
   def srpBands(vec: Column, nTables: Int, bitsPerTable: Int): Column =
     B.column(SrpBands(B.expression(vec), nTables, bitsPerTable))
+
+  def zInterleave(a: Column, b: Column, bits: Int): Column =
+    B.column(ZInterleave(B.expression(a), B.expression(b), bits))
 }

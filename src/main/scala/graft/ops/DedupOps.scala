@@ -111,8 +111,15 @@ object DedupOps {
     val exploded = df
       .select(col(id), explode(lshBandKeys(col(sig), bands, rows)).as("bk"))
       .select(col(id), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
     exploded.groupBy(col("band"), col("bh"))
       .agg(collect_list(col(id)).as("ids"))
+      // explicit repartition before the quadratic in-list explode: the
+      // posting-list stream is small (AQE would coalesce it to one
+      // task) but the pair generation blows it up ~|bucket|× — pin the
+      // parallelism so the explosion spreads (same fix as
+      // SimilarityOps.lshNeighborPairs).
+      .repartition(par)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
@@ -183,6 +190,8 @@ object DedupOps {
     val lists = inv.groupBy(col("sh"))
       .agg(collect_list(struct(col(id).as("id"), col("n"))).as("ds"))
     lists
+      // pin parallelism before the Σfreq² explode (see lshCandidatePairs)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a.id") < col("b.id") &&

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: multi-dimensional clustering for scan
+  * pruning. See functions.ZInterleave for the scale rationale.
+  */
+object LayoutOps {
+
+  /** Codegen'd Morton key over the low `bits` bits of two long columns. */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    graft.functions.GraftColumns.zInterleave(a, b, bits)
+
+  /** HOF reference formulation of the same fold (CodegenFallback —
+    * keeps the native expression honest in ZValueSpec; doubles are
+    * exact for every intermediate < 2^53, and 2·bits ≤ 62 keeps the
+    * result inside that).
+    */
+  def zValueHof(a: Column, b: Column, bits: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(bits - 1)), lit(0L),
+      (acc, i) => {
+        val p = pow(lit(2.0), i)
+        val bitA = (floor(a.cast("double") / p).cast("long") % 2) *
+          pow(lit(2.0), i * 2).cast("long")
+        val bitB = (floor(b.cast("double") / p).cast("long") % 2) *
+          pow(lit(2.0), i * 2 + 1).cast("long")
+        acc + bitA + bitB
+      })
+
+  /** Range-partition and sort a table by its Morton key so file-level
+    * min/max statistics become selective on BOTH dimensions — call
+    * before a partitioned write (the Z-ORDER OPTIMIZE primitive).
+    */
+  def zorderBy(
+      df: DataFrame, a: String, b: String, bits: Int,
+      numFiles: Int): DataFrame =
+    df.withColumn("__z", zValue(col(a), col(b), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{LayoutOps, SessionOps}
+
+/** Analytics-extension conformance suite: batch sessionization,
+  * per-group top-k, CUBE grouping analytics, Z-order clustering keys.
+  * Determinism contract per NOTES: total ORDER BY, integer micros /
+  * cents, no raw timestamps or doubles in output.
+  */
+object AnalyticsQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Batch sessionization (gaps-and-islands; the batch face of the
+    // streaming flatMapGroupsWithState sessionizer — equivalence
+    // cross-checked in SessionOpsSpec). 4-hour inactivity gap.
+    GraftQuery(
+      "q55_sessionize",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events),
+        |x AS (
+        |  SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS prev_ts
+        |  FROM e),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR ts_us - prev_ts > 14400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM x),
+        |z AS (
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS BIGINT) AS session_idx
+        |  FROM y)
+        |SELECT user_id, session_idx,
+        |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+        |  COUNT(*) AS n_events, CAST(SUM(value_c) AS BIGINT) AS value_c
+        |FROM z GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          $"value")
+      SessionOps.sessionize(
+          e, "user_id", "ts_us", gapUs = 4L * 3600 * 1000000,
+          tieCol = "event_id", valueCol = "value")
+        .orderBy($"user_id", $"session_idx")
+    },
+
+    // Exact per-group top-k (top 3 users per event type by activity):
+    // two-level aggregate first (map-side combine collapses the event
+    // stream to |type × user| rows), THEN a window rank over the small
+    // aggregated stream — never a global sort of raw events.
+    GraftQuery(
+      "q56_topk_per_group",
+      """WITH c AS (
+        |  SELECT event_type, user_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, user_id) AS rk
+        |  FROM c)
+        |SELECT event_type, user_id, n, value_c, rk
+        |FROM r WHERE rk <= 3
+        |ORDER BY event_type, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val counts = Tables.load(s, dir, "events")
+        .groupBy($"event_type", $"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100, 0).cast("long")).as("value_c"))
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"n".desc, $"user_id".asc)
+      counts
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .orderBy($"event_type", $"rk")
+    },
+
+    // CUBE over (event_type, hour-of-day): all four grouping layers in
+    // one pass (Catalyst expands to a single shuffle with a grouping-id
+    // column — not four scans). grouping_id() disambiguates real NULLs
+    // from subtotal rows; hour derives from integer micros so both
+    // engines bucket identically.
+    GraftQuery(
+      "q57_cube",
+      """WITH e AS (
+        |  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr,
+        |    CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events)
+        |SELECT event_type, hr,
+        |  CAST(GROUPING(event_type, hr) AS BIGINT) AS gid,
+        |  COUNT(*) AS n, CAST(SUM(value_c) AS BIGINT) AS value_c
+        |FROM e GROUP BY CUBE (event_type, hr)
+        |ORDER BY gid, event_type NULLS FIRST, hr NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select($"event_type",
+          // `div` = integer division (Spark's `/` on longs is double)
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hr"),
+          round($"value" * 100, 0).cast("long").as("value_c"))
+        .cube($"event_type", $"hr")
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+          sum($"value_c").as("value_c"))
+        .orderBy($"gid", $"event_type".asc_nulls_first,
+          $"hr".asc_nulls_first)
+    },
+
+    // Z-order (Morton) clustering key over (part, supplier): the
+    // multi-dim layout primitive, oracle-checked bit-for-bit. The
+    // rollup groups by z-prefix (top-level quadrants of the curve) to
+    // keep output bounded at any SF while hashing every row's key.
+    GraftQuery(
+      "q58_zorder",
+      """WITH z AS (
+        |  SELECT CAST(list_sum(list_transform(generate_series(0, 20), i ->
+        |      (((l_partkey >> i) & 1) << (2*i)) +
+        |      (((l_suppkey >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zval
+        |  FROM lineitem)
+        |SELECT zval >> 18 AS z_quadrant,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(zval % 1000003) AS BIGINT) AS z_check,
+        |  MIN(zval) AS z_min, MAX(zval) AS z_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .select(LayoutOps.zValue($"l_partkey", $"l_suppkey", 21).as("zval"))
+        .groupBy(shiftright($"zval", 18).as("z_quadrant"))
+        .agg(count(lit(1)).as("n"),
+          sum($"zval" % 1000003L).as("z_check"),
+          min($"zval").as("z_min"), max($"zval").as("z_max"))
+        .orderBy($"z_quadrant")
+    })
+}

@@ -57,7 +57,14 @@ object EventStreamOps {
     * EVENT-time inactivity gap: a session closes once the stream's
     * watermark passes lastEvent + gap (deterministic — no wall-clock
     * dependence; Spark's no-data batches fire the timeouts as the
-    * watermark advances). State per key is O(1) — counters only.
+    * watermark advances), OR mid-batch when the gap between two of the
+    * batch's own events exceeds the gap — so a catch-up replay that
+    * delivers days of history in one micro-batch still splits sessions
+    * exactly like the live stream (and like the batch formulation,
+    * ops.SessionOps — cross-checked in SessionOpsSpec). State per key
+    * is O(1) — counters only. Events arriving out of order ACROSS
+    * batches (older than the open session's lastTs) merge into it —
+    * size the watermark delay to the disorder horizon.
     */
   def sessionize(
       events: Dataset[Event],
@@ -76,15 +83,29 @@ object EventStreamOps {
             Iterator(SessionOut(userId, s.count, s.totalValue,
               ended_by_timeout = true))
           } else {
-            val evs = rows.toSeq
-            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-            val next = SessionState(
-              prev.count + evs.size,
-              prev.totalValue + evs.map(_.value).sum,
-              math.max(prev.lastTs, evs.map(_.ts.getTime).max))
-            state.update(next)
-            state.setTimeoutTimestamp(next.lastTs + gapMs)
-            Iterator.empty
+            val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs > gapMs =>
+                  closed += SessionOut(userId, s.count, s.totalValue,
+                    ended_by_timeout = false)
+                  cur = Some(SessionState(1L, e.value, t))
+                case Some(s) =>
+                  cur = Some(SessionState(
+                    s.count + 1, s.totalValue + e.value,
+                    math.max(s.lastTs, t)))
+                case None =>
+                  cur = Some(SessionState(1L, e.value, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.result().iterator
           }
       }
   }
