@@ -122,4 +122,7 @@ object GraftColumns {
 
   def zInterleave(a: Column, b: Column, bits: Int): Column =
     B.column(ZInterleave(B.expression(a), B.expression(b), bits))
+
+  def analyzeText(text: Column): Column =
+    B.column(AnalyzeText(B.expression(text)))
 }

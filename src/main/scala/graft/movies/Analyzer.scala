@@ -74,9 +74,20 @@ object Analyzer {
   }
 
   /** Full analysis: text → array of analyzed (stemmed, stopped) tokens.
-    * Null-safe: null text → [].
+    * Null-safe: null text → []. Hot path: the fused native expression
+    * (functions.AnalyzeText); [[analyzeHof]] is the layered Column
+    * reference formulation it is equivalence-checked against.
     */
   def analyze(text: Column): Column =
+    coalesce(
+      graft.functions.GraftColumns.analyzeText(text),
+      array().cast("array<string>"))
+
+  /** Layered Column/UDF reference formulation (tokenize HOF → stopword
+    * isin filter → stemmer UDF) — slower but independent; keeps the
+    * native expression honest in AnalyzeNativeSpec.
+    */
+  def analyzeHof(text: Column): Column =
     coalesce(
       stemUdf(removeStopwords(tokenizeCol(text))),
       array().cast("array<string>"))
