@@ -120,39 +120,47 @@ object SimilarityOps {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nList: Int, nProbe: Int, seed: Long = 42L,
       maxIter: Int = 20, sampleFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
     import org.apache.spark.sql.expressions.Window
 
-    val toVec = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
-    val corpusFeat = corpus.withColumn("__features", toVec(col(corpusVec)))
-    // Train on a sample: centroid quality needs a representative sketch
-    // of the distribution, not the full corpus — at 10^9 vectors you
-    // train on ~10^6. Results stay exact at full probe regardless;
-    // partial-probe recall depends only mildly on centroid quality.
-    val trainSet =
-      if (sampleFraction >= 1.0) corpusFeat
-      else corpusFeat.sample(withReplacement = false, sampleFraction, seed)
-    // Random init: k-means|| costs ~5 extra full passes for an init
-    // quality that only nudges partial-probe recall; with the exact
-    // re-rank inside probed cells, random + a few Lloyd iterations is
-    // the standard IVF training recipe (FAISS trains on samples the
-    // same way).
-    val model = new KMeans()
-      .setK(nList).setSeed(seed).setMaxIter(maxIter)
-      .setInitMode("random")
-      .setFeaturesCol("__features")
-      .fit(trainSet)
-    val assigned = model.transform(corpusFeat)
-      .withColumnRenamed("prediction", "__cell")
-      .drop("__features")
+    // Train on a bounded sample COLLECTED TO THE DRIVER and run Lloyd
+    // locally: centroid quality needs a representative sketch of the
+    // distribution, not the full corpus — at 10^9 vectors you train on
+    // ~10^5-10^6 sampled rows, and nList×dim centroids are a few KB.
+    // Driver-local training costs zero cluster jobs per iteration
+    // (distributed Lloyd pays a full pass per iteration to move
+    // centroids a few KB); results stay exact at full probe regardless,
+    // and partial-probe recall depends only mildly on centroid quality
+    // (FAISS trains on samples the same way).
+    val sampled =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, sampleFraction, seed)
+    val train: Array[Array[Double]] = sampled
+      .select(col(corpusVec)).limit(65536).collect()
+      .map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
+    val centers = SimilarityOps.localLloyd(train, nList, maxIter, seed)
+
+    // nearest-centroid cell assignment: one streaming pass, centroids
+    // ride inside the closure (a few KB per task)
+    val assignUdf = udf((v: Seq[Float]) => {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centers.length) {
+        val ctr = centers(c)
+        var d = 0.0; var i = 0
+        val n = math.min(ctr.length, v.length)
+        while (i < n) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
+    val assigned = corpus.withColumn("__cell", assignUdf(col(corpusVec)))
 
     // centroid table: tiny (nList rows) → broadcast into the probe join
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+    val centroids = centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.map(_.toFloat)) }
       .toDF("__cell", "__center")
 
     val probes = queries
@@ -254,5 +262,51 @@ object SimilarityOps {
       .filter(col("cos_micro") >= minCosMicro)
       .select("id_a", "id_b", "cos_micro")
       .distinct()
+  }
+
+  /** Seeded driver-local Lloyd iterations over a sampled train set
+    * (squared-Euclidean). Deterministic; an empty cluster keeps its
+    * previous center. Used by [[ivfTopK]] — see its scaladoc for why
+    * training is a driver-side sketch operation.
+    */
+  def localLloyd(
+      train: Array[Array[Double]], k: Int, maxIter: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(train.nonEmpty, "k-means needs a non-empty train sample")
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(train.indices.toList).take(math.min(k, train.length))
+    val centers = Array.tabulate(math.min(k, train.length))(i =>
+      train(init(i)).clone())
+    val dim = train(0).length
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Long](centers.length)
+      train.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centers.length) {
+          val ctr = centers(c)
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+      }
+      var c = 0
+      while (c < centers.length) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centers(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centers
   }
 }
