@@ -101,6 +101,54 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Decode → nearest-neighbor resize → feature-extract, partition-wise:
+    * emits (media_id, width, height, n_channels, mean_luma_milli) for
+    * the RESIZED (dw × dh) image. Destination pixel (x, y, c) samples
+    * source pixel (⌊x·sw/dw⌋, ⌊y·sh/dh⌋, c) — the standard
+    * nearest-neighbor kernel, computed over the decoder's pixel output
+    * so a real codec slots in unchanged (same boundary as
+    * [[decodeImageFeatures]]). Resampling arithmetic is integer-exact
+    * and replicated by the q59 oracle.
+    *
+    * Scale: identical mapPartitions shape to decode — blobs never leave
+    * the executor, output is a narrow feature row per record.
+    */
+  def resizeImageFeatures(records: DataFrame, dw: Int, dh: Int): DataFrame = {
+    require(dw > 0 && dh > 0, "target dims must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_channels", IntegerType),
+      StructField("mean_luma_milli", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    records.select("media_id", "blob").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getString(0)
+        val blob = r.getAs[Array[Byte]](1)
+        if (blob == null) Row(id, null, null, null, null)
+        else {
+          val d = DecodeStub.decodeImage(blob)
+          val nPx = dw * dh * d.nChannels
+          var sum = 0L
+          var j = 0
+          while (j < nPx) {
+            val c = j % d.nChannels
+            val x = (j / d.nChannels) % dw
+            val y = (j / d.nChannels) / dw
+            val sx = x * d.width / dw
+            val sy = y * d.height / dh
+            val src = (sy * d.width + sx) * d.nChannels + c
+            sum += math.round(d.pixels(src) * 255f)
+            j += 1
+          }
+          val luma = if (nPx == 0) 0L else (1000L * sum) / (255L * nPx)
+          Row(id, dw, dh, d.nChannels, luma)
+        }
+      }
+    }(enc)
+  }
+
   /** ==== STUB ==== Deterministic fake audio decoder (same swap-point
     * contract as [[DecodeStub.decodeImage]]: replace the body with a
     * real PCM/codec read, keep `Array[Byte] => DecodedAudio`).

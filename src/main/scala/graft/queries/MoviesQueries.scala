@@ -177,5 +177,51 @@ object MoviesQueries {
           sum(col("width").cast("long")).as("sum_w"),
           sum(col("height").cast("long")).as("sum_h"))
         .orderBy(col("media_type"))
+    },
+
+    // Multimodal resize: decode → nearest-neighbor 4×4 resample →
+    // feature rollup. The oracle replicates the stub decode AND the
+    // resampling kernel (dst (x,y,c) ← src (⌊x·sw/4⌋, ⌊y·sh/4⌋, c)) in
+    // pure integer SQL, so the resize math is hash-checked end to end.
+    GraftQuery(
+      "q59_multimodal_resize",
+      """WITH m AS (
+        |  SELECT i,
+        |    CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(16 + (i % 16) AS INTEGER) AS len
+        |  FROM generate_series(0, 299) t(i)),
+        |b AS (
+        |  SELECT media_type, len,
+        |    list_transform(generate_series(0, len - 1),
+        |      j -> CAST((i*31 + j*7) % 127 AS BIGINT)) AS bytes
+        |  FROM m),
+        |f AS (
+        |  SELECT media_type, len, bytes,
+        |    CAST(1 + (bytes[1] % 8) AS BIGINT) AS w,
+        |    CAST(1 + (bytes[len] % 8) AS BIGINT) AS h
+        |  FROM b),
+        |g AS (
+        |  SELECT media_type,
+        |    (1000 * CAST(list_sum(list_transform(
+        |        generate_series(0, 47),
+        |        j -> bytes[CAST((((((j // 3) // 4) * h // 4) * w
+        |                          + ((j // 3) % 4) * w // 4) * 3
+        |                         + (j % 3)) % len AS INTEGER) + 1]))
+        |      AS BIGINT)) // (255 * 48) AS luma
+        |  FROM f)
+        |SELECT media_type, COUNT(*) AS n,
+        |  CAST(SUM(luma) AS BIGINT) AS sum_luma
+        |FROM g GROUP BY media_type ORDER BY media_type""".stripMargin) {
+      (s, _) =>
+      import graft.ops.MultimodalOps
+      val media = MultimodalOps.syntheticMedia(s, 300)
+      val feats = MultimodalOps.resizeImageFeatures(media, 4, 4)
+      media.select(col("media_id"), col("meta.media_type").as("media_type"))
+        .join(feats, "media_id")
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("mean_luma_milli")).as("sum_luma"))
+        .orderBy(col("media_type"))
     })
 }

@@ -26,6 +26,40 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.map(_.toString).sorted === again.map(_.toString).sorted)
   }
 
+  test("resizeImageFeatures: nearest-neighbor resample matches a direct " +
+       "reference computation; null blob degrades; identity-size resize " +
+       "preserves luma") {
+    val withNull = media.unionByName(
+      Seq(("m_null", null.asInstanceOf[Array[Byte]]))
+        .toDF("media_id", "blob")
+        .withColumn("meta", lit(null).cast(MultimodalOps.MediaMeta)))
+    val out = MultimodalOps.resizeImageFeatures(withNull, 4, 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("m_null").isNullAt(4))
+    // reference recompute in plain Scala against the decoded pixels
+    val blobs = media.select("media_id", "blob").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    blobs.foreach { case (id, blob) =>
+      val d = MultimodalOps.DecodeStub.decodeImage(blob)
+      var sum = 0L
+      for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3) {
+        val sx = x * d.width / 4; val sy = y * d.height / 4
+        sum += math.round(d.pixels((sy * d.width + sx) * 3 + c) * 255f)
+      }
+      val expect = (1000L * sum) / (255L * 48)
+      assert(out(id).getLong(4) === expect, s"resize luma mismatch for $id")
+      assert(out(id).getInt(1) === 4 && out(id).getInt(2) === 4)
+    }
+    // identity resize: a wxh image resized to (w,h) keeps its luma
+    val one = media.limit(1).collect().head
+    val d = MultimodalOps.DecodeStub.decodeImage(one.getAs[Array[Byte]]("blob"))
+    val idLuma = MultimodalOps.resizeImageFeatures(
+      media.limit(1), d.width, d.height).collect().head.getLong(4)
+    val decLuma = MultimodalOps.decodeImageFeatures(
+      media.limit(1)).collect().head.getLong(4)
+    assert(idLuma === decLuma)
+  }
+
   test("sampleFrameOffsets: evenly spaced deterministic offsets, " +
        "videos only") {
     val frames = MultimodalOps.sampleFrameOffsets(media, 4)
