@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.GraphOps
+
+class GraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("connectedComponents: a long chain (diameter > 2) collapses to " +
+       "one component labeled by its min node") {
+    // chain 1-2-3-4-5-6-7 plus separate pair (10, 11): min-label needs
+    // multiple propagation rounds to cross the chain
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L), (6L, 7L),
+      (10L, 11L)
+    ).toDF("id_a", "id_b")
+    val cc = GraphOps.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    (1L to 7L).foreach(n => assert(cc(n) === 1L, s"node $n"))
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+  }
+
+  test("dropNearDuplicates keeps the min id per cluster and every " +
+       "unpaired row") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a'"), (3L, "a''"), // cluster {1,2,3}
+      (7L, "b"), (9L, "b'"),              // cluster {7,9}
+      (5L, "unique")                      // no pairs
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val kept = GraphOps.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 5L, 7L))
+  }
+
+  test("connectedComponents is deterministic across reruns") {
+    val edges = Seq((3L, 9L), (9L, 4L), (12L, 15L)).toDF("id_a", "id_b")
+    val a = GraphOps.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val b = GraphOps.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+    assert(a === Seq((3L, 3L), (4L, 3L), (9L, 3L), (12L, 12L), (15L, 12L)))
+  }
+}
