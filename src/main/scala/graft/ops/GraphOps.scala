@@ -33,6 +33,12 @@ object GraphOps {
     var labels = e.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
+    // Convergence probe: labels only ever DECREASE, so the label sum is
+    // strictly monotone until the fixpoint — comparing one scalar per
+    // round replaces a join-against-previous with a cheap aggregate.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(30,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -42,12 +48,10 @@ object GraphOps {
       val next = labels.union(msgs)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("component", "__old"), Seq("id"))
-        .filter(col("component") =!= col("__old"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     require(converged,
