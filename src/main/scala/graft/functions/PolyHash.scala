@@ -92,9 +92,43 @@ object GraftFunctions {
         s"graft_shingle_hash(text, n): n must be an INT literal, got $other")
     })
 
+  private def intLit(e: Expression, fn: String, arg: String): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an INT literal, got $other")
+    }
+
+  /** `graft_srp_bands(vec, nTables, bitsPerTable)` — table/bit counts
+    * are structural (plan-time) parameters.
+    */
+  val srpBandsDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_srp_bands"),
+    new ExpressionInfo(classOf[SrpBands].getName, "graft_srp_bands"),
+    (children: Seq[Expression]) => SrpBands(children.head,
+      intLit(children(1), "graft_srp_bands", "nTables"),
+      intLit(children(2), "graft_srp_bands", "bitsPerTable")))
+
+  /** `graft_analyze(text)` — the fused ru/en analyzer. */
+  val analyzeDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_analyze"),
+    new ExpressionInfo(classOf[AnalyzeText].getName, "graft_analyze"),
+    (children: Seq[Expression]) => AnalyzeText(children.head))
+
+  /** `graft_zinterleave(a, b, bits)` — bit width is structural. */
+  val zInterleaveDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_zinterleave"),
+    new ExpressionInfo(classOf[ZInterleave].getName, "graft_zinterleave"),
+    (children: Seq[Expression]) => ZInterleave(children.head, children(1),
+      intLit(children(2), "graft_zinterleave", "bits")))
+
   def descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] =
-    Seq(polyHashDescriptor, CosineMicro.descriptor, shingleHashDescriptor)
+    Seq(polyHashDescriptor, CosineMicro.descriptor, shingleHashDescriptor,
+      srpBandsDescriptor, analyzeDescriptor, zInterleaveDescriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { d =>

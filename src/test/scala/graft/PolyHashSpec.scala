@@ -7,6 +7,22 @@ import graft.ops.TextOps
 class PolyHashSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("all native expressions are SQL-registered and callable via expr") {
+    GraftFunctions.register(spark)
+    val row = Seq(("star wars", Seq(1.0f, -2.0f), 5L, 3L))
+      .toDF("t", "v", "a", "b")
+      .select(
+        expr("graft_analyze(t)").as("toks"),
+        expr("graft_srp_bands(v, 2, 3)").as("bands"),
+        expr("graft_zinterleave(a, b, 21)").as("z"),
+        expr("graft_cosine_micro(v, v)").as("cos"))
+      .head()
+    assert(row.getSeq[String](0) === Seq("star", "war"))
+    assert(row.getSeq[Long](1).length === 2)
+    assert(row.getLong(2) === 27L)
+    assert(row.getLong(3) === 1000000L)
+  }
+
   test("expression matches the HOF composition on real text, " +
        "stays inside WholeStageCodegen, and handles null/empty") {
     GraftFunctions.register(spark)
