@@ -14,7 +14,8 @@ object SparkEntry {
   def allQueries: Seq[GraftQuery] =
     RelationalQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ SearchQueries.all ++
-      TemporalQueries.all ++ MoviesQueries.all ++ AnalyticsQueries.all
+      TemporalQueries.all ++ MoviesQueries.all ++ AnalyticsQueries.all ++
+      CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -149,6 +149,22 @@ object TextOps {
   def shingleHashesHof(text: Column, n: Int): Column =
     array_distinct(transform(wordShingles(text, n), polyHash(_)))
 
+  /** Within-document repetition in per-mille: the fraction of n-gram
+    * shingle OCCURRENCES that are repeats of an earlier shingle —
+    * (total - distinct) * 1000 div total, 0 for docs shorter than n
+    * tokens. The standard boilerplate/spam signal (Gopher-family
+    * repetition rules): high values mean the document repeats itself.
+    * Pure per-row expression over the native shingle hasher.
+    */
+  def repetitionScoreMilli(text: Column, n: Int): Column = {
+    val all = graft.functions.GraftColumns.shingleHash(text, n)
+    val total = size(all).cast("long")
+    when(total === 0L, lit(0L))
+      .otherwise(intDiv(
+        (total - size(array_distinct(all)).cast("long")) * lit(1000L),
+        total))
+  }
+
   /** Language-ID by marker-token voting: the language whose marker list
     * hits the document's token set most often wins; zero-hit docs resolve
     * to "und", ties to the lexicographically greatest language code

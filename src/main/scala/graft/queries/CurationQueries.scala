@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{CurationOps, IdOps, TextOps}
+
+/** Corpus-curation conformance suite over `documents`: repetition
+  * scoring, benchmark decontamination, deterministic stratified
+  * sampling, and scale-safe contiguous id assignment — the steps
+  * between dedup and training-set assembly.
+  */
+object CurationQueries {
+
+  private val ShingleN = 3
+
+  // Non-distinct / distinct shingle-hash fragments, kept in lockstep
+  // with TextOps.shingleHashes (same arithmetic as DedupQueries).
+  private val DuckShingleList =
+    """list_transform(
+      |    list_transform(generate_series(1, len(string_split_regex(text,'\s+'))-2),
+      |      i -> array_to_string(string_split_regex(text,'\s+')[i:i+2], ' ')),
+      |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(string_split(s,''), c -> ascii(c))),
+      |         (a,x) -> (a*31+x)%1000000007))""".stripMargin
+
+  // polyHash of an ASCII string, mod 1000 — the stratified-sample dial.
+  private def duckHashMod1000(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($expr, ''), c -> ascii(c))),
+       |   (a,x) -> (a*31+x)%1000000007) % 1000""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Within-document repetition (Gopher-family boilerplate signal):
+    // fraction of shingle occurrences that repeat an earlier shingle.
+    GraftQuery(
+      "q61_repetition",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $DuckShingleList AS hashes FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(hashes) AS BIGINT) AS total_shingles,
+         |  CAST(len(list_distinct(hashes)) AS BIGINT) AS distinct_shingles,
+         |  CASE WHEN len(hashes) = 0 THEN 0
+         |    ELSE ((len(hashes) - len(list_distinct(hashes))) * 1000)
+         |         // len(hashes) END AS repetition_pm
+         |FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val all = graft.functions.GraftColumns.shingleHash($"text", ShingleN)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          size(all).cast("long").as("total_shingles"),
+          size(array_distinct(all)).cast("long").as("distinct_shingles"),
+          TextOps.repetitionScoreMilli($"text", ShingleN)
+            .as("repetition_pm"))
+        .orderBy($"doc_id")
+    },
+
+    // Benchmark decontamination: distinct-shingle overlap between each
+    // training doc and a (broadcast) eval corpus — docs with shared
+    // n-grams leak test data. Eval set here: doc_id < 10.
+    GraftQuery(
+      "q62_decontaminate",
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct($DuckShingleList) AS hashes
+         |  FROM documents),
+         |ev AS (SELECT DISTINCT unnest(hashes) AS h FROM sh WHERE doc_id < 10),
+         |tr AS (SELECT doc_id, unnest(hashes) AS h FROM sh WHERE doc_id >= 10)
+         |SELECT doc_id, COUNT(*) AS n_shared
+         |FROM tr JOIN ev USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      CurationOps.evalOverlap(
+          docs.filter($"doc_id" >= 10), "doc_id", "text",
+          docs.filter($"doc_id" < 10), "text", ShingleN)
+        .orderBy($"doc_id")
+    },
+
+    // Deterministic stratified sampling (data mixing): per-language
+    // keep rates, survival a pure function of (doc_id, salt, lang).
+    GraftQuery(
+      "q63_stratified_sample",
+      s"""WITH kept AS (
+         |  SELECT lang, doc_id FROM documents
+         |  WHERE ${duckHashMod1000("CAST(doc_id AS VARCHAR) || ':mix1'")}
+         |    < CASE lang WHEN 'de' THEN 1000 WHEN 'en' THEN 300
+         |                WHEN 'es' THEN 500 WHEN 'fr' THEN 750
+         |                WHEN 'zh' THEN 100 ELSE 0 END)
+         |SELECT lang, COUNT(*) AS n,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      CurationOps.stratifiedSample(
+          Tables.load(s, dir, "documents"), "doc_id", "lang", "mix1",
+          Map("de" -> 1000, "en" -> 300, "es" -> 500, "fr" -> 750,
+            "zh" -> 100))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"), sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang")
+    },
+
+    // Contiguous 0-based global ids without a single-reducer window:
+    // range-partition + sort + per-partition offsets (IdOps). The
+    // oracle is the single-reducer row_number the op replaces.
+    GraftQuery(
+      "q64_contiguous_ids",
+      """SELECT row_number() OVER (ORDER BY doc_id) - 1 AS new_id, doc_id
+        |FROM documents ORDER BY new_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      IdOps.contiguousIds(
+          Tables.load(s, dir, "documents").select($"doc_id"),
+          "new_id", "doc_id")
+        .orderBy($"new_id")
+    })
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{CurationOps, IdOps}
+
+class CurationOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("stratifiedSample: deterministic, rate-monotone (lower-rate " +
+       "sample is a subset), unknown groups get the default") {
+    def ids(rate: Int) = CurationOps.stratifiedSample(
+        docs, "doc_id", "lang", "mix1", Map("en" -> rate))
+      .filter($"lang" === "en").select("doc_id").as[Long].collect().toSet
+    val s300 = ids(300)
+    val s700 = ids(700)
+    assert(s300 === ids(300), "same salt+rate must re-deal identically")
+    assert(s300.subsetOf(s700),
+      "hash-threshold sampling must be monotone in the rate")
+    assert(ids(1000).size ===
+      docs.filter($"lang" === "en").count().toInt)
+    // groups without a rate fall to defaultPerMille = 0 -> dropped
+    val kept = CurationOps.stratifiedSample(
+      docs, "doc_id", "lang", "mix1", Map("en" -> 1000))
+    assert(kept.select("lang").distinct().as[String].collect().toSeq ===
+      Seq("en"))
+  }
+
+  test("evalOverlap counts distinct shared shingles, planted fixture") {
+    val eval = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "alpha beta gamma epsilon"),     // shares "alpha beta gamma"
+      (11L, "zeta eta theta iota"),          // no overlap
+      (12L, "alpha beta gamma delta prime")  // shares 2 shingles
+    ).toDF("doc_id", "text")
+    val got = CurationOps.evalOverlap(train, "doc_id", "text", eval, "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 1L, 12L -> 2L))
+  }
+
+  test("contiguousIds: dense 0-based ids equal to the total-order rank, " +
+       "deterministic across reruns") {
+    val df = docs.select($"doc_id")
+    val a = IdOps.contiguousIds(df, "new_id", "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.map(_._1).toSeq === a.indices.map(_.toLong).toSeq, "dense ids")
+    assert(a.map(_._2).toSeq === a.map(_._2).toSeq.sorted,
+      "ids follow the doc_id order")
+    val b = IdOps.contiguousIds(df, "new_id", "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+}
