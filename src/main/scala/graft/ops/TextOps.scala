@@ -165,6 +165,27 @@ object TextOps {
         total))
   }
 
+  /** PII scrubbing: replace emails and URLs with typed placeholder
+    * tokens. Patterns are RE2-safe (character classes only — no
+    * lookaround, no backreferences), so the same pattern text runs
+    * identically under Java regex (Spark codegen) and RE2 (DuckDB
+    * oracle, other engines). Order matters: emails first, or the URL
+    * pattern would eat `user@host` tails inside mailto-style strings.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern: String = "https?://[^ \\t\\n]+"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      UrlPattern, "<URL>")
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(UrlPattern), lit(0)))
+
   /** Language-ID by marker-token voting: the language whose marker list
     * hits the document's token set most often wins; zero-hit docs resolve
     * to "und", ties to the lexicographically greatest language code

@@ -99,6 +99,47 @@ object CurationQueries {
         .orderBy($"lang")
     },
 
+    // PII scrubbing: inject deterministic emails/URLs (the synthetic
+    // corpus has none), redact, and hash the redacted text — both
+    // engines construct, match, and replace with the same RE2-safe
+    // patterns, so the scrubber itself is what the hash checks.
+    GraftQuery(
+      "q65_redact_pii",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |    '@example.com or https://site' || doc_id || '.org/x now' AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      'https?://[^ \t\n]+', '<URL>', 'g') AS rt,
+        |    len(regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |    len(regexp_extract_all(t, 'https?://[^ \t\n]+')) AS n_urls
+        |  FROM seeded)
+        |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+        |  CAST(n_urls AS BIGINT) AS n_urls,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(rt, ''), c -> ascii(c))),
+        |    (a,x) -> (a*31+x)%1000000007) AS redacted_hash
+        |FROM red ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val seeded = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com or https://site"), $"doc_id".cast("string"),
+            lit(".org/x now")).as("t"))
+      seeded.select($"doc_id",
+          TextOps.emailCount($"t").cast("long").as("n_emails"),
+          TextOps.urlCount($"t").cast("long").as("n_urls"),
+          TextOps.polyHash(TextOps.redactPii($"t")).as("redacted_hash"))
+        .orderBy($"doc_id")
+    },
+
     // Contiguous 0-based global ids without a single-reducer window:
     // range-partition + sort + per-partition offsets (IdOps). The
     // oracle is the single-reducer row_number the op replaces.

@@ -32,6 +32,36 @@ class GraphOpsSpec extends SparkTestBase {
     assert(kept === Array(1L, 5L, 7L))
   }
 
+  test("connectedComponents matches a union-find referee on seeded " +
+       "random graphs") {
+    // plain-Scala referee: weighted-ish union-find with path compression
+    def referee(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id labeling: union toward the smaller root keeps root = min
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(60)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      val expected = referee(edges)
+      val got = GraphOps.connectedComponents(
+          edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("connectedComponents is deterministic across reruns") {
     val edges = Seq((3L, 9L), (9L, 4L), (12L, 15L)).toDF("id_a", "id_b")
     val a = GraphOps.connectedComponents(edges, "id_a", "id_b")

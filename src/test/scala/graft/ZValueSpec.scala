@@ -21,6 +21,22 @@ class ZValueSpec extends SparkTestBase {
     assert(out(5).isNullAt(0), "null input must propagate")
   }
 
+  test("zInterleave roundtrip: de-interleaving the Morton key recovers " +
+       "both inputs exactly (bijectivity over the bit budget)") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(200)(
+      (rnd.nextLong().abs % (1L << 21), rnd.nextLong().abs % (1L << 21)))
+    pairs.foreach { case (a, b) =>
+      val z = graft.functions.ZInterleave.compute(a, b, 21)
+      var (ra, rb) = (0L, 0L)
+      (0 until 21).foreach { i =>
+        ra |= ((z >> (2 * i)) & 1L) << i
+        rb |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(ra === a && rb === b, s"roundtrip failed for ($a, $b)")
+    }
+  }
+
   test("native zInterleave matches the HOF fold on the real key space") {
     val mismatch = Tables.load(spark, sfDir, "lineitem")
       .select($"l_partkey".as("a"), $"l_suppkey".as("b"))
