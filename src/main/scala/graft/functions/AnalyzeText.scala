@@ -53,9 +53,12 @@ object AnalyzeText {
     graft.movies.Analyzer.EnglishStop ++ graft.movies.Analyzer.RussianStop
 
   def compute(s: UTF8String): ArrayData = {
-    // toLowerCase on the JVM String: the exact fallback Spark's Lower
-    // takes for non-ASCII input, so native ≡ Column on cyrillic too
-    val toks = TokenBoundary.split(s.toString.toLowerCase, -1)
+    // Locale.ROOT: Spark's Lower is locale-independent (ASCII fast path,
+    // root-locale slow path), so a default-locale lowercase here would
+    // break the native ≡ Column equivalence on a tr/az-locale JVM
+    // ("FILM" → "fılm"). ROOT matches Spark on ASCII and cyrillic both.
+    val toks = TokenBoundary.split(
+      s.toString.toLowerCase(java.util.Locale.ROOT), -1)
     val out = new java.util.ArrayList[Any](toks.length)
     var i = 0
     while (i < toks.length) {

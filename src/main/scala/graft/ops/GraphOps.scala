@@ -33,11 +33,17 @@ object GraphOps {
     var labels = e.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
-    // Convergence probe: labels only ever DECREASE, so the label sum is
-    // strictly monotone until the fixpoint — comparing one scalar per
-    // round replaces a join-against-previous with a cheap aggregate.
+    // Convergence probe: one scalar aggregate per round (no
+    // join-against-previous). The id set is fixed across rounds, so the
+    // (id, component) multiset fingerprint — a sum of 64-bit row hashes,
+    // widened to decimal so the sum can't wrap — changes iff any label
+    // changed, up to a 2^-64 hash-collision risk per round. Hashing (not
+    // summing the label itself) keeps the probe correct for ANY id type:
+    // a numeric cast would be NULL for string ids, making every round
+    // "converged" after one propagation step.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(30,0)"))).head.getDecimal(0)
+      df.agg(sum(xxhash64(col("id"), col("component"))
+        .cast("decimal(30,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

@@ -131,11 +131,20 @@ object SimilarityOps {
     // centroids a few KB); results stay exact at full probe regardless,
     // and partial-probe recall depends only mildly on centroid quality
     // (FAISS trains on samples the same way).
+    // The cap is enforced with a HASH-ORDERED top-k, not a bare limit():
+    // an unordered limit takes the head of the first partition(s) — on a
+    // clustered corpus that trains centroids on one region of the space
+    // and starves partial-probe recall. Ordering by a 64-bit row hash is
+    // a uniform pseudo-random draw across all partitions, runs as
+    // TakeOrderedAndProject (per-partition heap, no global sort), and is
+    // deterministic regardless of partition layout.
     val sampled =
       if (sampleFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, sampleFraction, seed)
     val train: Array[Array[Double]] = sampled
-      .select(col(corpusVec)).limit(65536).collect()
+      .select(col(corpusVec))
+      .orderBy(xxhash64(col(corpusVec), lit(seed)).asc)
+      .limit(65536).collect()
       .map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
     val centers = SimilarityOps.localLloyd(train, nList, maxIter, seed)
 
@@ -232,27 +241,39 @@ object SimilarityOps {
     */
   def lshNeighborPairs(
       df: DataFrame, id: String, vec: String, nBits: Int,
-      minCosMicro: Long, nTables: Int = 1): DataFrame = {
+      minCosMicro: Long, nTables: Int = 1,
+      broadcastKeys: Option[Boolean] = None): DataFrame = {
     // native codegen'd band keys; position in the array IS the table id
     val keys = df
       .select(col(id), posexplode(
         graft.functions.GraftColumns.srpBands(col(vec), nTables, nBits)))
       .select(col(id), col("pos").as("t"), col("col").as("bh"))
-    // The key stream is tiny (24-byte rows) but the bucket self-join
+    // The key stream is small (24-byte rows) but the bucket self-join
     // explodes it ~100×, so two things matter: (a) spread the PROBE side
-    // across all cores with an explicitly-sized round-robin repartition
-    // (AQE only sees the small input and would coalesce the exchange to
-    // one task, serializing the explosion); (b) broadcast the BUILD side
-    // — n·nTables 24-byte rows — so the bucket join, the vector-fetch
-    // joins and the cosine+threshold all fuse into one shuffle-free
-    // codegen stage. At corpus sizes where the key set outgrows a
-    // broadcast, drop the hint and the same plan runs as a shuffle join
-    // co-partitioned on (t, bh).
+    // across all cores with an explicitly-sized repartition (AQE only
+    // sees the small input and would coalesce the exchange to one task,
+    // serializing the explosion); (b) when the key stream fits, broadcast
+    // the BUILD side — n·nTables 24-byte rows — so the bucket join, the
+    // vector-fetch joins and the cosine+threshold all fuse into one
+    // shuffle-free codegen stage. The broadcast is GATED: it grows
+    // linearly with the corpus and would hit Spark's broadcast cap /
+    // driver memory at scale, so past a plan-stats threshold (or when the
+    // caller forces broadcastKeys = Some(false)) the same plan runs as a
+    // shuffle join explicitly co-partitioned on (t, bh) — AQE-proof on
+    // both sides.
     val par = df.sparkSession.sparkContext.defaultParallelism
     val l = keys.select(col("t"), col("bh"), col(id).as("id_a"))
-      .repartition(par)
     val r = keys.select(col("t"), col("bh"), col(id).as("id_b"))
-    val cand = l.join(broadcast(r), Seq("t", "bh"))
+    val useBroadcast = broadcastKeys.getOrElse {
+      // Catalyst's size estimate for the key stream: cheap (no job) and
+      // conservative enough for a yes/no on a 64 MB build side.
+      r.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20)
+    }
+    val cand = (if (useBroadcast)
+        l.repartition(par).join(broadcast(r), Seq("t", "bh"))
+      else
+        l.repartition(par, col("t"), col("bh")).join(
+          r.repartition(par, col("t"), col("bh")), Seq("t", "bh")))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     val va = df.select(col(id).as("id_a"), col(vec).as("__va"))

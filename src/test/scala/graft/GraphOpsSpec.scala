@@ -19,6 +19,22 @@ class GraphOpsSpec extends SparkTestBase {
     assert(cc(10L) === 10L && cc(11L) === 10L)
   }
 
+  test("connectedComponents works for STRING ids (chain needs multiple " +
+       "rounds — regression: numeric-cast probe declared convergence " +
+       "after one round on non-numeric ids)") {
+    // doc-id-shaped string keys; chain a-b-c-d-e has diameter 4, so a
+    // premature fixpoint would leave e labeled c (one hop) instead of a
+    val edges = Seq(
+      ("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-d", "doc-c"),
+      ("doc-d", "doc-e"), ("img-9", "img-7")
+    ).toDF("id_a", "id_b")
+    val cc = GraphOps.connectedComponents(edges, "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    Seq("doc-a", "doc-b", "doc-c", "doc-d", "doc-e")
+      .foreach(n => assert(cc(n) === "doc-a", s"node $n"))
+    assert(cc("img-7") === "img-7" && cc("img-9") === "img-7")
+  }
+
   test("dropNearDuplicates keeps the min id per cluster and every " +
        "unpaired row") {
     val docs = Seq(

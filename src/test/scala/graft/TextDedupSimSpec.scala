@@ -218,4 +218,27 @@ class TextDedupSimSpec extends SparkTestBase {
         s"multi-table recall $recall too low (${multi.size}/${truth.size})")
     }
   }
+
+  test("lshNeighborPairs shuffle path (broadcast gated off) produces the " +
+       "same pairs as the broadcast path, with no BroadcastExchange") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val bcast = SimilarityOps.lshNeighborPairs(
+      e, "vec_id", "embedding", nBits = 6, minCosMicro = 400000,
+      nTables = 8, broadcastKeys = Some(true))
+    val shuffled = SimilarityOps.lshNeighborPairs(
+      e, "vec_id", "embedding", nBits = 6, minCosMicro = 400000,
+      nTables = 8, broadcastKeys = Some(false))
+    // No FORCED broadcast of the corpus-sized key stream (a hint would
+    // override size checks at any scale and hit the broadcast cap).
+    // Spark may still auto-broadcast genuinely-small sides here — that's
+    // runtime sizing, which is exactly the behavior we want.
+    val analyzed = shuffled.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"gated-off path must not carry a broadcast hint:\n$analyzed")
+    val a = bcast.select("id_a", "id_b", "cos_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = shuffled.select("id_a", "id_b", "cos_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a === b, "broadcast and shuffle candidate plans must agree")
+  }
 }
