@@ -35,6 +35,47 @@ object CurationOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Cross-document paragraph deduplication (the C4 rule: drop every
+    * repeated occurrence of a line/paragraph ACROSS the whole corpus,
+    * keeping only its globally-first occurrence by (id, position)).
+    *
+    * Scale shape: explode to (id, idx, line), then ONE aggregation —
+    * `min(struct(id, idx))` grouped by line — picks each line's first
+    * occurrence. min is algebraic, so map-side partial aggregation
+    * absorbs the hot keys (site-wide boilerplate appears in millions of
+    * docs; a row_number window over `partition by line` would funnel
+    * every occurrence of the hottest line through one task — this
+    * formulation never materializes more than one (line, min) pair per
+    * map partition). Reassembly is a second keyed aggregation on id.
+    *
+    * Returns (idCol, textCol, n_kept); documents whose every line was
+    * seen earlier disappear from the output (zero kept lines).
+    */
+  def dedupParagraphsGlobal(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(
+      col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__idx", "__line")))
+    val firsts = lines
+      .groupBy(col("__line"))
+      .agg(min(struct(col(idCol), col("__idx"))).as("__first"))
+      .select(
+        col("__first")(idCol).as(idCol),
+        col("__first")("__idx").as("__idx"),
+        col("__line"))
+    firsts
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__idx"), col("__line")))),
+            _.getField("__line")),
+          sep).as(textCol),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Deterministic stratified sampling: row survives iff
     * hash(key:salt) mod 1000 < ratePerMille(group). The data-mixing
     * primitive ("keep 30% of web, all of books"): a pure function of

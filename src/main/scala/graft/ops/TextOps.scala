@@ -186,6 +186,21 @@ object TextOps {
   def urlCount(text: Column): Column =
     size(regexp_extract_all(text, lit(UrlPattern), lit(0)))
 
+  /** Within-document line deduplication (C4-style boilerplate removal):
+    * keep only the FIRST occurrence of each line, preserving order —
+    * repeated nav/footer/CTA lines inside one page collapse to one.
+    * Pure per-row expression (no shuffle): a line survives iff its
+    * index is the array's first occurrence of that value. Quadratic in
+    * lines-per-doc, which is bounded; corpus size doesn't enter.
+    * Cross-document boilerplate is [[CurationOps.dedupParagraphsGlobal]].
+    */
+  def dedupLines(text: Column, sep: String = "\n"): Column = {
+    val ls = split(text, java.util.regex.Pattern.quote(sep))
+    array_join(
+      filter(ls, (x, i) => array_position(ls, x) === (i + lit(1)).cast("long")),
+      sep)
+  }
+
   /** Language-ID by marker-token voting: the language whose marker list
     * hits the document's token set most often wins; zero-hit docs resolve
     * to "und", ties to the lexicographically greatest language code

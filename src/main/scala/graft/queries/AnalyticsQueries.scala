@@ -134,5 +134,55 @@ object AnalyticsQueries {
           sum($"zval" % 1000003L).as("z_check"),
           min($"zval").as("z_min"), max($"zval").as("z_max"))
         .orderBy($"z_quadrant")
+    },
+
+    // Skew-salted two-phase collect_list (SkewOps.saltedCollectList):
+    // `lang` has ~5 values over the whole corpus — the canonical hot
+    // aggregation key where partial-agg can't shrink a non-algebraic
+    // aggregate's shuffle. The salted plan must equal the plain
+    // groupBy row-for-row; the oracle IS the plain groupBy.
+    GraftQuery(
+      "q66_salted_agg",
+      """SELECT lang,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      graft.ops.SkewOps.saltedCollectList(
+          Tables.load(s, dir, "documents").select($"lang", $"doc_id"),
+          "lang", "doc_id", nSalts = 8)
+        .select($"lang",
+          array_join(transform($"doc_ids", _.cast("string")), ",")
+            .as("doc_ids"),
+          size($"doc_ids").cast("long").as("n"))
+        .orderBy($"lang")
+    },
+
+    // Skew-salted equi-join (SkewOps.saltedEquiJoin): l_returnflag has
+    // 3 values, so a plain shuffle join puts ~1/3 of the fact table on
+    // one task; the salted plan spreads each hot key over 16 partitions
+    // deterministically and must reproduce the plain join exactly.
+    GraftQuery(
+      "q67_salted_join",
+      """WITH d AS (
+        |  SELECT l_returnflag, COUNT(*) AS flag_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(MAX(d.flag_rows) AS BIGINT) AS flag_rows
+        |FROM lineitem l JOIN d USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_quantity".cast("long").as("l_quantity"))
+      val dim = li.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("flag_rows"))
+      graft.ops.SkewOps.saltedEquiJoin(li, dim, Seq("l_returnflag"), 16)
+        .groupBy($"l_returnflag")
+        .agg(sum($"l_quantity").as("sum_qty"),
+          max($"flag_rows").as("flag_rows"))
+        .orderBy($"l_returnflag")
     })
 }

@@ -140,6 +140,86 @@ object CurationQueries {
         .orderBy($"doc_id")
     },
 
+    // Within-document line dedup (C4-style boilerplate collapse): the
+    // corpus has no newlines, so both engines construct the same 5-line
+    // page — repeated CTA boilerplate around two unique content slices —
+    // then keep only first occurrences. The hash checks the kept text.
+    GraftQuery(
+      "q68_line_dedup",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    ['Subscribe to our newsletter', substr(text, 1, 40),
+        |     'Subscribe to our newsletter', substr(text, 41, 40),
+        |     'Subscribe to our newsletter'] AS ls
+        |  FROM documents),
+        |ded AS (
+        |  SELECT doc_id, ls,
+        |    list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept
+        |  FROM seeded)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_before,
+        |  CAST(len(kept) AS BIGINT) AS n_after,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(array_to_string(kept, chr(10)), ''),
+        |      c -> ascii(c))),
+        |    (a,x) -> (a*31+x)%1000000007) AS dedup_hash
+        |FROM ded ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val B = "Subscribe to our newsletter"
+      val t = concat_ws("\n", lit(B), substring($"text", 1, 40), lit(B),
+        substring($"text", 41, 40), lit(B))
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          size(split(t, "\n")).cast("long").as("n_before"),
+          size(split(TextOps.dedupLines(t), "\n")).cast("long")
+            .as("n_after"),
+          TextOps.polyHash(TextOps.dedupLines(t)).as("dedup_hash"))
+        .orderBy($"doc_id")
+    },
+
+    // Cross-corpus paragraph dedup (the C4 rule: a repeated line
+    // anywhere in the corpus survives only at its globally-first
+    // (doc_id, position)). Spark side is the algebraic-min formulation
+    // (map-side combine absorbs the boilerplate hot key); the oracle
+    // spells the same semantics with a row_number window — fine for
+    // DuckDB at check scale, skew-unsafe at corpus scale.
+    GraftQuery(
+      "q69_paragraph_dedup",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    ['Subscribe to our newsletter', substr(text, 1, 40),
+        |     'Subscribe to our newsletter', substr(text, 41, 40),
+        |     'Subscribe to our newsletter'] AS ls
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ls))) AS idx,
+        |    unnest(ls) AS line
+        |  FROM seeded),
+        |ranked AS (
+        |  SELECT doc_id, idx, line, row_number() OVER (
+        |    PARTITION BY line ORDER BY doc_id, idx) AS rn
+        |  FROM lines),
+        |kept AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY idx) AS t
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(t, ''), c -> ascii(c))),
+        |    (a,x) -> (a*31+x)%1000000007) AS text_hash
+        |FROM kept ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val B = "Subscribe to our newsletter"
+      val seeded = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          concat_ws("\n", lit(B), substring($"text", 1, 40), lit(B),
+            substring($"text", 41, 40), lit(B)).as("t"))
+      CurationOps.dedupParagraphsGlobal(seeded, "doc_id", "t")
+        .select($"doc_id", $"n_kept",
+          TextOps.polyHash($"t").as("text_hash"))
+        .orderBy($"doc_id")
+    },
+
     // Contiguous 0-based global ids without a single-reducer window:
     // range-partition + sort + per-partition offsets (IdOps). The
     // oracle is the single-reducer row_number the op replaces.

@@ -39,6 +39,31 @@ class CurationOpsSpec extends SparkTestBase {
     assert(got === Map(10L -> 1L, 12L -> 2L))
   }
 
+  test("dedupLines keeps first occurrences in order; unique docs pass " +
+       "through unchanged") {
+    import graft.ops.TextOps
+    val got = Seq(
+      "nav\ncontent A\nnav\ncontent B\nnav",
+      "only\nunique\nlines",
+      "x\nx\nx"
+    ).toDF("t").select(TextOps.dedupLines($"t").as("d"))
+      .as[String].collect().toSeq
+    assert(got === Seq(
+      "nav\ncontent A\ncontent B", "only\nunique\nlines", "x"))
+  }
+
+  test("dedupParagraphsGlobal keeps each line only at its globally-first " +
+       "(id, position); fully-duplicate docs vanish") {
+    val docs = Seq(
+      (1L, "boiler\nalpha\nboiler"),
+      (2L, "boiler\nbeta"),
+      (3L, "alpha\nbeta") // every line seen earlier -> doc vanishes
+    ).toDF("doc_id", "t")
+    val got = CurationOps.dedupParagraphsGlobal(docs, "doc_id", "t")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "boiler\nalpha", 2L), (2L, "beta", 1L)))
+  }
+
   test("contiguousIds: dense 0-based ids equal to the total-order rank, " +
        "deterministic across reruns") {
     val df = docs.select($"doc_id")
