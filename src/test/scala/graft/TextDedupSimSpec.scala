@@ -219,6 +219,35 @@ class TextDedupSimSpec extends SparkTestBase {
     }
   }
 
+  test("IVF partial probe keeps recall on a cluster-ordered corpus " +
+       "(regression: head-of-partition training sampled one cluster)") {
+    // 8 tight clusters, rows ORDERED by cluster — the worst case for a
+    // bare limit() train sample, which would see only the first
+    // cluster(s) and leave partial-probe cell routing meaningless.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 1024).map { i =>
+      val c = i / 128 // cluster id, contiguous blocks
+      val center = Array.tabulate(16)(d =>
+        if (d == c * 2) 10.0f else if (d == c * 2 + 1) -10.0f else 0.0f)
+      val v = center.map(x => x + rnd.nextFloat() * 0.5f)
+      (i.toLong, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding").coalesce(2)
+    val queries = corpus.filter($"vec_id" % 128 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = asSet(SimilarityOps.bruteForceTopK(
+      corpus, "vec_id", "embedding", queries, "query_id", "qvec", k = 5))
+    val partial = asSet(SimilarityOps.ivfTopK(
+      corpus, "vec_id", "embedding", queries, "query_id", "qvec",
+      k = 5, nList = 8, nProbe = 2))
+    val recall = partial.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"partial-probe recall $recall on clustered corpus — training " +
+        "sample is not seeing all clusters")
+  }
+
   test("lshNeighborPairs shuffle path (broadcast gated off) produces the " +
        "same pairs as the broadcast path, with no BroadcastExchange") {
     val e = Tables.load(spark, sfDir, "embeddings")
