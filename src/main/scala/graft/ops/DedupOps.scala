@@ -126,6 +126,37 @@ object DedupOps {
       .distinct()
   }
 
+  /** Candidate near-dup pairs for an INCREMENTAL batch: every pair with
+    * at least one side in `delta` — (delta × corpus) candidates via an
+    * equi-join of delta band keys against corpus band keys, plus
+    * within-delta pairs. The accumulated corpus NEVER self-joins: this
+    * is the daily-increment shape at 100 TB, where re-pairing the whole
+    * corpus per batch is quadratic-over-time, but checking the new
+    * batch against the corpus's (band, bh) index — precomputable and
+    * storable as a table — costs |delta|-proportional work. Corpus and
+    * delta id sets must be disjoint. Returns (id_a, id_b), id_a < id_b.
+    */
+  def lshCandidatePairsIncremental(
+      corpus: DataFrame, delta: DataFrame, id: String, sig: String,
+      bands: Int, rows: Int): DataFrame = {
+    def keys(df: DataFrame, as: String) = df
+      .select(col(id), explode(lshBandKeys(col(sig), bands, rows)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bh").as("bh"),
+        col(id).as(as))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    // co-partition both key streams explicitly: the bucket join's output
+    // explodes ~|bucket|× over its input, and AQE (sizing from the small
+    // inputs) would coalesce the exchange under it to one task
+    val cross = keys(corpus, "__cid")
+      .repartition(par, col("band"), col("bh"))
+      .join(keys(delta, "__did").repartition(par, col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(least(col("__cid"), col("__did")).as("id_a"),
+        greatest(col("__cid"), col("__did")).as("id_b"))
+    cross.union(lshCandidatePairs(delta, id, sig, bands, rows))
+      .distinct()
+  }
+
   /** Jaccard similarity in per-mille (integer-exact) between two distinct
     * element arrays: |a∩b| * 1000 div |a∪b|.
     */

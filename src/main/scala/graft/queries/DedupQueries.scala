@@ -128,6 +128,41 @@ object DedupQueries {
         .orderBy($"id_a", $"id_b")
     },
 
+    // Incremental dedup: candidate pairs touching a NEW batch
+    // (doc_id >= 400) against the accumulated corpus (< 400) — the
+    // corpus never self-joins. Same MinHash/banding arithmetic as q32;
+    // the oracle is q32's pair set restricted to pairs with a delta
+    // side, which is exactly what the incremental operator must emit.
+    GraftQuery(
+      "q70_incremental_dedup",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $DuckShingleHashes AS hashes FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, list_transform(generate_series(0, 15), j ->
+         |    coalesce(list_min(list_transform(hashes,
+         |      h -> ((2*j+1)*h + j*j+7) % 4294967311)), 4294967311)) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+         |      (a,x) -> (a*31 + x%1000000007) % 1000000007) AS bh
+         |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |WHERE a.doc_id >= 400 OR b.doc_id >= 400
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+      val sig = DedupOps.minhashSignatures(sh, "doc_id", "hashes", 16)
+      DedupOps.lshCandidatePairsIncremental(
+          sig.filter($"doc_id" < 400), sig.filter($"doc_id" >= 400),
+          "doc_id", "sig", bands = 4, rows = 4)
+        .orderBy($"id_a", $"id_b")
+    },
+
     // Near-dup CLUSTERS: the q31 pair stage feeds connected components
     // (iterated min-label propagation — the map-reduce CC algorithm),
     // rolled up per cluster. The oracle computes the same transitive

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Degenerate-input sweep: every pair-generating / iterative operator
+  * must return an EMPTY (not failing, not null-row) result on empty
+  * input — at 100 TB, per-partition emptiness is routine (a filter that
+  * matched nothing upstream, an empty date partition), so operators are
+  * exercised with zero rows constantly even when the corpus is huge.
+  */
+class EmptyInputSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val noDocs =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val noVecs =
+    Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+
+  test("dedup family returns empty on an empty corpus") {
+    assert(DedupOps.dropExactDuplicates(noDocs, "doc_id", "text")
+      .count() === 0)
+    val sh = noDocs.select($"doc_id",
+      TextOps.shingleHashes($"text", 3).as("sh"))
+    assert(DedupOps.sharedShingleCountsBounded(sh, "doc_id", "sh", 500)
+      .count() === 0)
+    assert(DedupOps.jaccardSimilarPairs(sh, "doc_id", "sh", 500)
+      .count() === 0)
+    val sig = DedupOps.minhashSignatures(sh, "doc_id", "sh", 8)
+    assert(sig.count() === 0)
+    assert(DedupOps.lshCandidatePairs(sig, "doc_id", "sig", 4, 2)
+      .count() === 0)
+  }
+
+  test("connectedComponents and dropNearDuplicates handle empty graphs") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(GraphOps.connectedComponents(noPairs, "id_a", "id_b")
+      .count() === 0)
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    // no pairs -> nothing is a duplicate -> everything survives
+    assert(GraphOps.dropNearDuplicates(docs, "doc_id", noPairs)
+      .count() === 2)
+  }
+
+  test("similarity family returns empty on an empty corpus or query set") {
+    assert(SimilarityOps.lshNeighborPairs(
+      noVecs, "vec_id", "embedding", nBits = 4, minCosMicro = 0,
+      nTables = 2).count() === 0)
+    val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val noQueries = Seq.empty[(Long, Seq[Float])].toDF("query_id", "qvec")
+    assert(SimilarityOps.bruteForceTopK(
+      corpus, "vec_id", "embedding", noQueries, "query_id", "qvec",
+      k = 3).count() === 0)
+  }
+
+  test("curation family: empty input and all-duplicate input") {
+    assert(CurationOps.dedupParagraphsGlobal(noDocs, "doc_id", "text")
+      .count() === 0)
+    assert(CurationOps.evalOverlap(
+      noDocs, "doc_id", "text", noDocs, "text", 3).count() === 0)
+    assert(CurationOps.stratifiedSample(
+      noDocs, "doc_id", "text", "s", Map("en" -> 500)).count() === 0)
+    // text shorter than the shingle width -> zero shingles, no pairs
+    val tiny = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    val sh = tiny.select($"doc_id",
+      TextOps.shingleHashes($"text", 3).as("sh"))
+    assert(DedupOps.sharedShingleCountsBounded(sh, "doc_id", "sh", 500)
+      .count() === 0)
+  }
+}

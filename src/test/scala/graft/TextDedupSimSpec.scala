@@ -219,6 +219,22 @@ class TextDedupSimSpec extends SparkTestBase {
     }
   }
 
+  test("incremental LSH pairs == full-corpus pairs restricted to pairs " +
+       "touching the delta") {
+    import graft.ops.DedupOps
+    val sh = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", TextOps.shingleHashes($"text", 3).as("hashes"))
+    val sig = DedupOps.minhashSignatures(sh, "doc_id", "hashes", 16)
+    val full = DedupOps.lshCandidatePairs(sig, "doc_id", "sig", 4, 4)
+      .as[(Long, Long)].collect().toSet
+    val expected = full.filter(p => p._1 >= 300 || p._2 >= 300)
+    val got = DedupOps.lshCandidatePairsIncremental(
+        sig.filter($"doc_id" < 300), sig.filter($"doc_id" >= 300),
+        "doc_id", "sig", 4, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("IVF partial probe keeps recall on a cluster-ordered corpus " +
        "(regression: head-of-partition training sampled one cluster)") {
     // 8 tight clusters, rows ORDERED by cluster — the worst case for a
