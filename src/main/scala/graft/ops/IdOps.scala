@@ -38,4 +38,63 @@ object IdOps {
       StructType(StructField(idName, LongType, nullable = false) +:
         sorted.schema.fields.toIndexedSeq))
   }
+
+  /** Sequence packing (the "concatenate, then split every `budget`
+    * tokens" step that turns a curated corpus into fixed-length training
+    * sequences): gives each document its global token offset in the
+    * corpus concatenation ordered by `orderCols`, and the id of the
+    * training sequence its first token lands in
+    * (`seqIdName = tokenStart div budget`).
+    *
+    * A `SUM(n) OVER (ORDER BY …)` window is the one-reducer trap again;
+    * same cure as [[contiguousIds]]: range-partition by the order key,
+    * sort within partitions, ONE small pass for per-partition token
+    * totals (collected — #partitions rows), then a partition-local
+    * prefix sum seeded with the partition's offset. Offsets are pure
+    * arithmetic over the total order, so results are deterministic and
+    * oracle-checkable against the window formulation.
+    *
+    * `tokenCol` must be a non-null LongType column (cast upstream).
+    */
+  def packIntoSequences(
+      df: DataFrame, tokenCol: String, budget: Long,
+      offsetName: String, seqIdName: String,
+      orderCols: String*): DataFrame = {
+    require(orderCols.nonEmpty, "packIntoSequences needs a total order")
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(
+        spark.sparkContext.defaultParallelism,
+        orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val tokenIdx = sorted.schema.fieldIndex(tokenCol)
+    val rdd = sorted.rdd
+    // pass 1: per-partition token totals (tiny: one row per partition;
+    // the second pass reuses the range shuffle's map outputs, the same
+    // two-job profile as zipWithIndex in contiguousIds)
+    val partSums = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(tokenIdx))
+        Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    // pass 2: partition-local prefix sum seeded by the global offset
+    val withOffsets = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        val start = acc
+        acc += r.getLong(tokenIdx)
+        Row.fromSeq(start +: (start / budget) +: r.toSeq)
+      }
+    }
+    spark.createDataFrame(
+      withOffsets,
+      StructType(
+        StructField(offsetName, LongType, nullable = false) +:
+          StructField(seqIdName, LongType, nullable = false) +:
+          sorted.schema.fields.toIndexedSeq))
+  }
 }

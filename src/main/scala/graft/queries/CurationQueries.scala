@@ -220,6 +220,37 @@ object CurationQueries {
         .orderBy($"doc_id")
     },
 
+    // Sequence packing: concatenate the corpus in doc_id order, split
+    // every 2048 tokens — each doc gets its global token offset and the
+    // id of the training sequence its first token lands in. The oracle
+    // is the single-reducer running-sum window the op replaces with
+    // range-partitioned per-partition prefix sums.
+    GraftQuery(
+      "q71_sequence_packing",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(text, '\s+')) AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS token_start
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(token_start AS BIGINT) AS token_start,
+        |  CAST(token_start // 2048 AS BIGINT) AS seq_id
+        |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.tokenCount($"text").cast("long").as("n_tok"))
+      IdOps.packIntoSequences(
+          t, "n_tok", 2048L, "token_start", "seq_id", "doc_id")
+        .select($"doc_id", $"n_tok", $"token_start", $"seq_id")
+        .orderBy($"doc_id")
+    },
+
     // Contiguous 0-based global ids without a single-reducer window:
     // range-partition + sort + per-partition offsets (IdOps). The
     // oracle is the single-reducer row_number the op replaces.

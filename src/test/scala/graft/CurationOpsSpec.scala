@@ -64,6 +64,30 @@ class CurationOpsSpec extends SparkTestBase {
     assert(got === Seq((1L, "boiler\nalpha", 2L), (2L, "beta", 1L)))
   }
 
+  test("packIntoSequences: offsets are the exclusive prefix sum in the " +
+       "total order; sequence ids advance every `budget` tokens") {
+    import graft.ops.TextOps
+    val t = docs.select($"doc_id",
+      TextOps.tokenCount($"text").cast("long").as("n_tok"))
+    val got = IdOps.packIntoSequences(
+        t, "n_tok", 100L, "token_start", "seq_id", "doc_id")
+      .select("doc_id", "n_tok", "token_start", "seq_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // referee: plain Scala scan over the doc_id order
+    var acc = 0L
+    got.foreach { case (id, n, start, seq) =>
+      assert(start === acc, s"doc $id offset")
+      assert(seq === acc / 100L, s"doc $id seq")
+      acc += n
+    }
+    // rerun is identical (pure function of the total order)
+    val again = IdOps.packIntoSequences(
+        t, "n_tok", 100L, "token_start", "seq_id", "doc_id")
+      .select("doc_id", "n_tok", "token_start", "seq_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === again.toSeq)
+  }
+
   test("contiguousIds: dense 0-based ids equal to the total-order rank, " +
        "deterministic across reruns") {
     val df = docs.select($"doc_id")
