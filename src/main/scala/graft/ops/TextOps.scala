@@ -186,6 +186,22 @@ object TextOps {
   def urlCount(text: Column): Column =
     size(regexp_extract_all(text, lit(UrlPattern), lit(0)))
 
+  /** URL canonicalization (web-corpus dedup key): lowercase the
+    * scheme://host prefix (path and query stay case-sensitive per RFC
+    * 3986), strip the #fragment, drop utm_* tracking parameters, and
+    * tidy dangling separators. All steps are RE2-safe regex rewrites
+    * (character classes only), so the same pattern text runs
+    * identically under Java regex and RE2 — canonical URLs are
+    * engine-portable join/dedup keys.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val prefix = regexp_extract(url, "^[A-Za-z]+://[^/?#]*", 0)
+    val rest = url.substr(length(prefix) + lit(1), lit(1 << 30))
+    val noFrag = regexp_replace(rest, "#.*", "")
+    val noUtm = regexp_replace(noFrag, "utm_[A-Za-z_]+=[^&#]*&?", "")
+    concat(lower(prefix), regexp_replace(noUtm, "[?&]+$", ""))
+  }
+
   /** Within-document line deduplication (C4-style boilerplate removal):
     * keep only the FIRST occurrence of each line, preserving order —
     * repeated nav/footer/CTA lines inside one page collapse to one.

@@ -220,6 +220,48 @@ object CurationQueries {
         .orderBy($"doc_id")
     },
 
+    // URL canonicalization: the corpus has no URLs, so both engines
+    // construct the same messy URL (uppercase scheme/host, utm_*
+    // tracking params, fragment) and must normalize it to the same
+    // canonical string — the web-corpus dedup/join key. Per-host
+    // rollup of distinct canonical URLs rides along.
+    GraftQuery(
+      "q72_url_canonicalize",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.COM/Article' || CAST(doc_id AS VARCHAR) ||
+        |    '?utm_source=feed&ref=' || CAST(doc_id % 3 AS VARCHAR) ||
+        |    '&utm_campaign=x#sec' AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]*', 0)) ||
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      substr(url,
+        |        len(regexp_extract(url, '^[A-Za-z]+://[^/?#]*', 0)) + 1),
+        |      '#.*', ''),
+        |      'utm_[A-Za-z_]+=[^&#]*&?', '', 'g'),
+        |      '[?&]+$', '') AS canonical_url,
+        |    lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]*', 0))
+        |      AS scheme_host
+        |  FROM u)
+        |SELECT doc_id, canonical_url, scheme_host
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val u = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          concat(lit("HTTPS://WWW.Site"), ($"doc_id" % 7).cast("string"),
+            lit(".COM/Article"), $"doc_id".cast("string"),
+            lit("?utm_source=feed&ref="), ($"doc_id" % 3).cast("string"),
+            lit("&utm_campaign=x#sec")).as("url"))
+      u.select($"doc_id",
+          TextOps.canonicalizeUrl($"url").as("canonical_url"),
+          lower(regexp_extract($"url", "^[A-Za-z]+://[^/?#]*", 0))
+            .as("scheme_host"))
+        .orderBy($"doc_id")
+    },
+
     // Sequence packing: concatenate the corpus in doc_id order, split
     // every 2048 tokens — each doc gets its global token offset and the
     // id of the training sequence its first token lands in. The oracle

@@ -64,6 +64,23 @@ class CurationOpsSpec extends SparkTestBase {
     assert(got === Seq((1L, "boiler\nalpha", 2L), (2L, "beta", 1L)))
   }
 
+  test("canonicalizeUrl: host lowercased, path case kept, fragment and " +
+       "utm params stripped, separators tidied") {
+    import graft.ops.TextOps
+    val got = Seq(
+      "HTTPS://WWW.Example.COM/Path/Page?utm_source=x&id=5&utm_term=y#frag",
+      "http://site.org/a?utm_campaign=z",
+      "https://plain.net/KeepCase",
+      "ftp://Host.Net/File?x=1#f"
+    ).toDF("u").select(TextOps.canonicalizeUrl($"u")).as[String]
+      .collect().toSeq
+    assert(got === Seq(
+      "https://www.example.com/Path/Page?id=5",
+      "http://site.org/a",
+      "https://plain.net/KeepCase",
+      "ftp://host.net/File?x=1"))
+  }
+
   test("packIntoSequences: offsets are the exclusive prefix sum in the " +
        "total order; sequence ids advance every `budget` tokens") {
     import graft.ops.TextOps
