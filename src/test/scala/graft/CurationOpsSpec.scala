@@ -64,6 +64,28 @@ class CurationOpsSpec extends SparkTestBase {
     assert(got === Seq((1L, "boiler\nalpha", 2L), (2L, "beta", 1L)))
   }
 
+  test("dedupParagraphsGlobal matches a plain-Scala referee on seeded " +
+       "random corpora (heavy cross-doc line collisions)") {
+    (1 to 3).foreach { trial =>
+      val rnd = new scala.util.Random(trial * 7L)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+      val docs = (0 until 40).map { id =>
+        val lines = Seq.fill(1 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        (id.toLong, lines.mkString("\n"))
+      }
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = docs.flatMap { case (id, t) =>
+        val kept = t.split("\n", -1).filter(seen.add)
+        if (kept.nonEmpty) Some((id, kept.mkString("\n"), kept.length.toLong))
+        else None
+      }
+      val got = CurationOps.dedupParagraphsGlobal(
+          docs.toDF("doc_id", "t"), "doc_id", "t")
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(got === expected.sortBy(_._1), s"trial $trial")
+    }
+  }
+
   test("canonicalizeUrl: host lowercased, path case kept, fragment and " +
        "utm params stripped, separators tidied") {
     import graft.ops.TextOps
