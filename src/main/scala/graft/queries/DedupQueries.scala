@@ -156,7 +156,13 @@ object DedupQueries {
       val sh = Tables.load(s, dir, "documents")
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+      // Materialize the signatures once: in the incremental-dedup shape
+      // the corpus's signature/band index is a STORED table (that's the
+      // point — the daily batch joins against it), so the corpus-keys,
+      // delta-keys and within-delta branches must not each recompute
+      // the shingle+minhash scan from source.
       val sig = DedupOps.minhashSignatures(sh, "doc_id", "hashes", 16)
+        .localCheckpoint()
       DedupOps.lshCandidatePairsIncremental(
           sig.filter($"doc_id" < 400), sig.filter($"doc_id" >= 400),
           "doc_id", "sig", bands = 4, rows = 4)
