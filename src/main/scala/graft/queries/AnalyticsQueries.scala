@@ -12,7 +12,27 @@ import graft.ops.{LayoutOps, SessionOps}
   */
 object AnalyticsQueries {
 
+  // Identical SQL text runs on both engines (the q52 pattern): Spark
+  // plans GROUPING SETS as one expand+aggregate pass, DuckDB is the
+  // oracle. gid disambiguates which set each output row belongs to.
+  private val GroupingSetsSql =
+    """SELECT lang, source,
+      |  CAST(2*GROUPING(lang) + GROUPING(source) AS BIGINT) AS gid,
+      |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang), (source), ())
+      |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+
+    // Explicit GROUPING SETS (the third grouping-analytics face next to
+    // ROLLUP q46 and CUBE q57): per-lang totals + per-source totals +
+    // grand total in ONE aggregation pass, via the SQL face.
+    GraftQuery("q73_grouping_sets", GroupingSetsSql) { (s, dir) =>
+      graft.Tables.load(s, dir, "documents")
+        .createOrReplaceTempView("documents")
+      s.sql(GroupingSetsSql)
+    },
 
     // Batch sessionization (gaps-and-islands; the batch face of the
     // streaming flatMapGroupsWithState sessionizer — equivalence
