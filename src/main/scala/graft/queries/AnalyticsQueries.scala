@@ -156,6 +156,89 @@ object AnalyticsQueries {
         .orderBy($"z_quadrant")
     },
 
+    // Time-series gap filling with forward fill (the imputation
+    // classic): per-user daily rollup, a dense user × day spine from
+    // the data's global day range, then last-non-null carried forward.
+    // Spine generation is a broadcast of ONE bounds row; the fill is a
+    // running window per user — no self-joins, no per-day scans.
+    GraftQuery(
+      "q74_forward_fill",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events),
+        |daily AS (
+        |  SELECT user_id, day, CAST(SUM(value_c) AS BIGINT) AS value_c
+        |  FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (
+        |  SELECT u.user_id, d.day
+        |  FROM (SELECT DISTINCT user_id FROM e) u
+        |  CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day
+        |              FROM b) d),
+        |j AS (
+        |  SELECT s.user_id, s.day, daily.value_c
+        |  FROM spine s LEFT JOIN daily
+        |    ON s.user_id = daily.user_id AND s.day = daily.day)
+        |SELECT user_id, day,
+        |  COALESCE(last_value(value_c IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |    AS filled
+        |FROM j ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select($"user_id",
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          round($"value" * 100, 0).cast("long").as("value_c"))
+      val daily = e.groupBy($"user_id", $"day")
+        .agg(sum($"value_c").as("value_c"))
+      val bounds = e.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val spine = e.select($"user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left_outer")
+        .select($"user_id", $"day",
+          coalesce(last($"value_c", ignoreNulls = true).over(w), lit(0L))
+            .as("filled"))
+        .orderBy($"user_id", $"day")
+    },
+
+    // FULL OUTER join (reconciliation shape): per-nation high-balance
+    // customer counts vs high-balance supplier counts — thresholds
+    // chosen so BOTH sides have exclusive keys, exercising both
+    // null-extension branches.
+    GraftQuery(
+      "q75_full_outer",
+      """WITH c AS (
+        |  SELECT c_nationkey AS k, COUNT(*) AS n_cust
+        |  FROM customer WHERE c_acctbal > 9950 GROUP BY 1),
+        |s AS (
+        |  SELECT s_nationkey AS k, COUNT(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+        |SELECT COALESCE(c.k, s.k) AS nationkey,
+        |  CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+        |  CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.k = s.k
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val c = Tables.load(s, dir, "customer")
+        .filter($"c_acctbal" > 9950)
+        .groupBy($"c_nationkey".as("ck"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables.load(s, dir, "supplier")
+        .filter($"s_acctbal" > 9000)
+        .groupBy($"s_nationkey".as("sk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, $"ck" === $"sk", "full_outer")
+        .select(coalesce($"ck", $"sk").as("nationkey"),
+          coalesce($"n_cust", lit(0L)).as("n_cust"),
+          coalesce($"n_supp", lit(0L)).as("n_supp"))
+        .orderBy($"nationkey")
+    },
+
     // Skew-salted two-phase collect_list (SkewOps.saltedCollectList):
     // `lang` has ~5 values over the whole corpus — the canonical hot
     // aggregation key where partial-agg can't shrink a non-algebraic

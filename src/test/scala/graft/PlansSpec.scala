@@ -71,7 +71,10 @@ class PlansSpec extends SparkTestBase {
     // table (k×nList rows — the corpus itself joins by cell equi-key).
     // Everything else — notably near-dup pair generation — must reach
     // candidates through equi-joins (LSH buckets, posting lists, cells).
-    val bnljSanctioned = Set("q35_ann_topk", "q37_ivf_topk")
+    // q74's cross join broadcasts a ONE-row min/max bounds aggregate to
+    // build the date spine — constant-size by construction.
+    val bnljSanctioned =
+      Set("q35_ann_topk", "q37_ivf_topk", "q74_forward_fill")
     for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
