@@ -76,6 +76,42 @@ object CurationOps {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Corpus-relative quality filtering: keep the documents whose integer
+    * score is at or above the corpus's descending nearest-rank
+    * percentile threshold for `keepPerMille` (e.g. 400 = keep the top
+    * ~40%, ties at the threshold included — so the kept count can
+    * exceed the target by the tie width, never undershoot it).
+    *
+    * Scale shape: the threshold comes from a HISTOGRAM of the score
+    * (one map-side-combined groupBy over a domain of ≤ a few hundred
+    * distinct integer values — collected rows are bounded by the score
+    * DOMAIN, not the corpus), then one codegen'd filter pass. The
+    * row_number-over-everything formulation this replaces funnels the
+    * corpus through one reducer. `scoreCol` must be low-cardinality
+    * integer (our quality scores are 0-100 by construction).
+    */
+  def qualityPercentileFilter(
+      df: DataFrame, scoreCol: String, keepPerMille: Int): DataFrame = {
+    require(keepPerMille > 0 && keepPerMille <= 1000,
+      "keepPerMille must be in (0, 1000]")
+    val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Long]("n")))
+      .sortBy(-_._1)
+    val total = hist.map(_._2).sum
+    if (total == 0L) df
+    else {
+      val k = math.max(1L, (total * keepPerMille + 999) / 1000)
+      var cum = 0L
+      var threshold = Long.MinValue
+      val it = hist.iterator
+      while (cum < k && it.hasNext) {
+        val (s, n) = it.next(); cum += n; threshold = s
+      }
+      df.filter(col(scoreCol) >= threshold)
+    }
+  }
+
   /** Deterministic stratified sampling: row survives iff
     * hash(key:salt) mod 1000 < ratePerMille(group). The data-mixing
     * primitive ("keep 30% of web, all of books"): a pure function of

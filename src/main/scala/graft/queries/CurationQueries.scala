@@ -220,6 +220,70 @@ object CurationQueries {
         .orderBy($"doc_id")
     },
 
+    // Vocabulary construction: exact corpus-wide token top-k (the input
+    // to BPE/tokenizer training). Explode → count (map-side combine
+    // collapses the token stream to |vocab| rows) → TakeOrdered top-50
+    // with a total order.
+    GraftQuery(
+      "q76_vocab_topk",
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+        |ORDER BY n DESC, token LIMIT 50""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(explode(TextOps.tokenize($"text")).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token".asc)
+        .limit(50)
+    },
+
+    // Corpus-relative quality filter: keep the top ~40% of documents by
+    // integer quality score, ties at the threshold included. The
+    // threshold comes from a bounded score HISTOGRAM (domain 0-100) —
+    // never a row_number over the whole corpus; the oracle computes the
+    // same descending nearest-rank threshold with a window over the
+    // 101-row histogram.
+    GraftQuery(
+      "q77_quality_filter",
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(text, '\s+')) AS n_tok,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        t -> t IN ('a','the'))) AS n_stop,
+        |    list_sum(list_transform(string_split_regex(text, '\s+'),
+        |        t -> len(t))) AS sum_len
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN n_tok BETWEEN 50 AND 1000 THEN 40
+        |          WHEN n_tok >= 10 THEN 20 ELSE 0 END)
+        |  + (CASE WHEN (n_stop*1000)//n_tok BETWEEN 10 AND 400 THEN 30
+        |          WHEN (n_stop*1000)//n_tok > 0 THEN 15 ELSE 0 END)
+        |  + (CASE WHEN (sum_len*1000)//n_tok BETWEEN 3000 AND 8000 THEN 30
+        |          WHEN (sum_len*1000)//n_tok BETWEEN 2000 AND 10000 THEN 15
+        |          ELSE 0 END) AS score
+        |  FROM scored),
+        |h AS (SELECT score, COUNT(*) AS n FROM s GROUP BY score),
+        |c AS (SELECT score, SUM(n) OVER (ORDER BY score DESC) AS cum FROM h),
+        |tot AS (SELECT SUM(n) AS total FROM h),
+        |thr AS (
+        |  SELECT MAX(score) AS t FROM c, tot
+        |  WHERE cum >= GREATEST(1, (total*400 + 999)//1000))
+        |SELECT doc_id, CAST(score AS BIGINT) AS score
+        |FROM s, thr WHERE score >= t
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val scored = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.qualityScore($"text", Seq("a", "the")).as("score"))
+      CurationOps.qualityPercentileFilter(scored, "score", 400)
+        .select($"doc_id", $"score")
+        .orderBy($"doc_id")
+    },
+
     // URL canonicalization: the corpus has no URLs, so both engines
     // construct the same messy URL (uppercase scheme/host, utm_*
     // tracking params, fragment) and must normalize it to the same

@@ -64,6 +64,23 @@ class CurationOpsSpec extends SparkTestBase {
     assert(got === Seq((1L, "boiler\nalpha", 2L), (2L, "beta", 1L)))
   }
 
+  test("qualityPercentileFilter: nearest-rank threshold, ties kept, " +
+       "never undershoots the target") {
+    // scores: 90 ×2, 70 ×3, 50 ×5 — top 40% of 10 = 4 rows → threshold
+    // falls on 70; ties at 70 are all kept → 5 rows
+    val df = (Seq.fill(2)(90L) ++ Seq.fill(3)(70L) ++ Seq.fill(5)(50L))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "score")
+    val kept = CurationOps.qualityPercentileFilter(df, "score", 400)
+      .select("score").as[Long].collect().sorted
+    assert(kept === Array(70L, 70L, 70L, 90L, 90L))
+    // keep-all and keep-top-1
+    assert(CurationOps.qualityPercentileFilter(df, "score", 1000)
+      .count() === 10)
+    assert(CurationOps.qualityPercentileFilter(df, "score", 1)
+      .select("score").as[Long].collect().forall(_ === 90L))
+  }
+
   test("dedupParagraphsGlobal matches a plain-Scala referee on seeded " +
        "random corpora (heavy cross-doc line collisions)") {
     (1 to 3).foreach { trial =>
