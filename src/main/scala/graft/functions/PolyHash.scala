@@ -117,6 +117,13 @@ object GraftFunctions {
     new ExpressionInfo(classOf[AnalyzeText].getName, "graft_analyze"),
     (children: Seq[Expression]) => AnalyzeText(children.head))
 
+  /** `graft_nfc(text)` — Unicode NFC normalization. */
+  val nfcDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+    (children: Seq[Expression]) => NfcNormalize(children.head))
+
   /** `graft_zinterleave(a, b, bits)` — bit width is structural. */
   val zInterleaveDescriptor: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
@@ -128,7 +135,8 @@ object GraftFunctions {
   def descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] =
     Seq(polyHashDescriptor, CosineMicro.descriptor, shingleHashDescriptor,
-      srpBandsDescriptor, analyzeDescriptor, zInterleaveDescriptor)
+      srpBandsDescriptor, analyzeDescriptor, zInterleaveDescriptor,
+      nfcDescriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { d =>
@@ -159,4 +167,7 @@ object GraftColumns {
 
   def analyzeText(text: Column): Column =
     B.column(AnalyzeText(B.expression(text)))
+
+  def nfcNormalize(text: Column): Column =
+    B.column(NfcNormalize(B.expression(text)))
 }

@@ -84,6 +84,15 @@ object TextOps {
   def normalize(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
+  /** Unicode NFC normalization (native codegen'd expression) — run it
+    * BEFORE [[normalize]]/[[exactKey]] hashing on multilingual corpora:
+    * composed (é) vs decomposed (e + combining acute) spellings of the
+    * same text otherwise produce different dedup keys. Standard-defined,
+    * so it matches any other engine's NFC codepoint-for-codepoint.
+    */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.GraftColumns.nfcNormalize(text)
+
   /** Count of tokens that are stopwords (membership against a small
     * broadcast-literal list; for big lists use a broadcast join instead).
     */

@@ -220,6 +220,40 @@ object CurationQueries {
         .orderBy($"doc_id")
     },
 
+    // Unicode NFC normalization: the ASCII corpus gets a decomposed-
+    // unicode suffix (e + combining acute, i + combining diaeresis)
+    // appended identically by both engines; NFC must compose them to
+    // the same codepoints (len shrinks by 2; the hash pins the exact
+    // output). NFC is Unicode-standard-defined, so the native
+    // expression and DuckDB's nfc_normalize agree codepoint-for-
+    // codepoint — which is exactly the property dedup keys need.
+    GraftQuery(
+      "q78_nfc_normalize",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    text || ' Caf' || chr(101) || chr(769) ||
+        |    ' na' || chr(105) || chr(776) || 've' AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM seeded)
+        |SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS len_raw,
+        |  CAST(len(nt) AS BIGINT) AS len_nfc,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(nt, ''), c -> ascii(c))),
+        |    (a,x) -> (a*31+x)%1000000007) AS nfc_hash
+        |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val suffix = " Caf" + "e" + 0x0301.toChar +
+        " na" + "i" + 0x0308.toChar + "ve"
+      val seeded = Tables.load(s, dir, "documents")
+        .select($"doc_id", concat($"text", lit(suffix)).as("t"))
+      seeded.select($"doc_id",
+          length($"t").cast("long").as("len_raw"),
+          length(TextOps.nfcNormalize($"t")).cast("long").as("len_nfc"),
+          TextOps.polyHash(TextOps.nfcNormalize($"t")).as("nfc_hash"))
+        .orderBy($"doc_id")
+    },
+
     // Vocabulary construction: exact corpus-wide token top-k (the input
     // to BPE/tokenizer training). Explode → count (map-side combine
     // collapses the token stream to |vocab| rows) → TakeOrdered top-50
