@@ -287,5 +287,280 @@ object AnalyticsQueries {
         .agg(sum($"l_quantity").as("sum_qty"),
           max($"flag_rows").as("flag_rows"))
         .orderBy($"l_returnflag")
+    },
+
+    // Unpivot / melt (wide → long): the inverse of q49's pivot. Spark
+    // plans `unpivot` as a single Expand (one pass over the fact table,
+    // no union of N scans) — the oracle spells the same relation as the
+    // portable UNION ALL form. Money stays integer cents per the
+    // determinism contract.
+    GraftQuery(
+      "q79_unpivot",
+      """WITH m AS (
+        |  SELECT l_returnflag, 'quantity' AS metric,
+        |    CAST(round(l_quantity*100) AS BIGINT) AS cents FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'extendedprice',
+        |    CAST(round(l_extendedprice*100) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'discount',
+        |    CAST(round(l_discount*100) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'tax',
+        |    CAST(round(l_tax*100) AS BIGINT) FROM lineitem)
+        |SELECT l_returnflag, metric, CAST(SUM(cents) AS BIGINT) AS total_c,
+        |  COUNT(*) AS n
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag",
+          round($"l_quantity" * 100, 0).cast("long").as("quantity"),
+          round($"l_extendedprice" * 100, 0).cast("long")
+            .as("extendedprice"),
+          round($"l_discount" * 100, 0).cast("long").as("discount"),
+          round($"l_tax" * 100, 0).cast("long").as("tax"))
+        .unpivot(
+          Array($"l_returnflag"),
+          Array($"quantity", $"extendedprice", $"discount", $"tax"),
+          "metric", "cents")
+        .groupBy($"l_returnflag", $"metric")
+        .agg(sum($"cents").as("total_c"), count(lit(1)).as("n"))
+        .orderBy($"l_returnflag", $"metric")
+    },
+
+    // Window-function conformance sweep: ntile / percent_rank /
+    // cume_dist / lead / frame-bounded first+last over each customer's
+    // order history. One window partitioning serves every function (a
+    // single sort+shuffle in the plan). Rank fractions travel as
+    // round(1e6×) BIGINT — partition sizes here (~10 orders/customer)
+    // can't land a ×1e6 fraction on an exact .5, so both engines round
+    // identically.
+    GraftQuery(
+      "q80_window_suite",
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+        |    epoch_us(o_orderdate) AS od_us
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_custkey, o_orderkey, price_c,
+        |    row_number()   OVER win AS rn,
+        |    ntile(4)       OVER win AS quartile,
+        |    CAST(round(percent_rank() OVER win * 1000000) AS BIGINT)
+        |      AS pct_rank_ppm,
+        |    CAST(round(cume_dist()    OVER win * 1000000) AS BIGINT)
+        |      AS cume_ppm,
+        |    lead(price_c)  OVER win AS next_price_c,
+        |    first_value(price_c) OVER (win ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND UNBOUNDED FOLLOWING) AS first_c,
+        |    last_value(price_c)  OVER (win ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND UNBOUNDED FOLLOWING) AS last_c
+        |  FROM o
+        |  WINDOW win AS (PARTITION BY o_custkey ORDER BY od_us, o_orderkey))
+        |SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, price_c,
+        |  CAST(quartile AS BIGINT) AS quartile, pct_rank_ppm, cume_ppm,
+        |  next_price_c, first_c, last_c
+        |FROM w WHERE o_custkey % 50 = 0
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val win = Window.partitionBy($"o_custkey")
+        .orderBy($"od_us".asc, $"o_orderkey".asc)
+      val full = win.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          round($"o_totalprice" * 100, 0).cast("long").as("price_c"),
+          // o_orderdate is TIMESTAMP_NTZ in parquet; the UTC session tz
+          // makes the cast to TIMESTAMP a no-op shift, matching epoch_us.
+          unix_micros($"o_orderdate".cast("timestamp")).as("od_us"))
+        .select($"o_custkey",
+          row_number().over(win).cast("long").as("rn"),
+          $"o_orderkey", $"price_c",
+          ntile(4).over(win).cast("long").as("quartile"),
+          round(percent_rank().over(win) * 1000000, 0).cast("long")
+            .as("pct_rank_ppm"),
+          round(cume_dist().over(win) * 1000000, 0).cast("long")
+            .as("cume_ppm"),
+          lead($"price_c", 1).over(win).as("next_price_c"),
+          first_value($"price_c").over(full).as("first_c"),
+          last_value($"price_c").over(full).as("last_c"))
+        .filter($"o_custkey" % 50 === 0)
+        .orderBy($"o_custkey", $"rn")
+    },
+
+    // Exact interpolated quantiles (percentile_cont): quartiles of the
+    // price distribution per return flag. Both engines use the same
+    // a + (b−a)·frac linear interpolation; over integer cents at
+    // quarter fractions the result ×4 is an exact integer in IEEE
+    // double, so it travels as BIGINT with no rounding at all.
+    GraftQuery(
+      "q81_quantiles",
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents) * 4
+        |    AS BIGINT) AS p25_qc,
+        |  CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY cents) * 4
+        |    AS BIGINT) AS p50_qc,
+        |  CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY cents) * 4
+        |    AS BIGINT) AS p75_qc,
+        |  COUNT(*) AS n
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag",
+          round($"l_extendedprice" * 100, 0).cast("long").as("cents"))
+        .groupBy($"l_returnflag")
+        .agg(
+          (percentile($"cents", lit(0.25)) * 4).cast("long").as("p25_qc"),
+          (percentile($"cents", lit(0.5)) * 4).cast("long").as("p50_qc"),
+          (percentile($"cents", lit(0.75)) * 4).cast("long").as("p75_qc"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Schemaless JSON via the VARIANT type (Spark 4): parse_json once,
+    // typed variant_get extraction — no up-front schema, unlike q11's
+    // from_json(schema). The binary variant encoding never leaves the
+    // plan; only the extracted BIGINT travels. Oracle is DuckDB's
+    // json_extract over the same strings.
+    GraftQuery(
+      "q82_variant_json",
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, k // 10 AS k_decade,
+        |  COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select($"event_type",
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy($"event_type", expr("k div 10").as("k_decade"))
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type", $"k_decade")
+    },
+
+    // Conditional-aggregate sweep: count_if / bool_or / bool_and /
+    // max_by in one partial-aggregable pass. max_by's ordering key is
+    // cents×1e7 + orderkey, which only ties when both cents AND the
+    // payload (the orderkey itself) coincide — so ties can't produce
+    // divergent answers between engines.
+    GraftQuery(
+      "q83_conditional_agg",
+      """WITH l AS (
+        |  SELECT l_linestatus, l_orderkey, l_returnflag, l_quantity,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+        |    CAST(round(l_discount*10000) AS BIGINT) AS disc_bp
+        |  FROM lineitem)
+        |SELECT l_linestatus, COUNT(*) AS n,
+        |  CAST(count_if(disc_bp > 500) AS BIGINT) AS n_deep_disc,
+        |  bool_or(l_returnflag = 'R') AS has_return,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  max_by(l_orderkey, cents * 10000000 + l_orderkey)
+        |    AS priciest_order
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .select($"l_linestatus", $"l_orderkey", $"l_returnflag",
+          $"l_quantity",
+          round($"l_extendedprice" * 100, 0).cast("long").as("cents"),
+          round($"l_discount" * 10000, 0).cast("long").as("disc_bp"))
+        .groupBy($"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          count_if($"disc_bp" > 500).as("n_deep_disc"),
+          bool_or($"l_returnflag" === "R").as("has_return"),
+          bool_and($"l_quantity" > 0).as("all_positive"),
+          max_by($"l_orderkey", $"cents" * 10000000L + $"l_orderkey")
+            .as("priciest_order"))
+        .orderBy($"l_linestatus")
+    },
+
+    // Correlated scalar subqueries (the SQL face Catalyst de-correlates
+    // into aggregate joins): orders at more than 2× their customer's
+    // average price. The comparison is cross-multiplied into exact
+    // integer arithmetic (price_c × n > 2 × sum_c) so no engine's AVG
+    // fold order can flip a boundary row. Identical SQL text runs on
+    // both engines (q73 pattern).
+    GraftQuery("q84_correlated_subquery", AnalyticsSql.CorrelatedSubquery) {
+      (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(AnalyticsSql.CorrelatedSubquery)
+    },
+
+    // Exact integer moments: the engine-portable way to ship variance /
+    // covariance / correlation. Floating stddev/corr aggregates are
+    // fold-order-dependent and can't hash-match across engines; the
+    // raw power sums over integer cents/basis-points are exact and
+    // algebraic (one map-side-combined pass), and n·Σx²−(Σx)² etc.
+    // derive the statistics losslessly downstream.
+    GraftQuery(
+      "q85_moment_sums",
+      """WITH l AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity*100) AS BIGINT) AS x,
+        |    CAST(round(l_discount*10000) AS BIGINT) AS y
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+        |  CAST(SUM(x*x) AS BIGINT) AS sum_x2,
+        |  CAST(SUM(y*y) AS BIGINT) AS sum_y2,
+        |  CAST(SUM(x*y) AS BIGINT) AS sum_xy,
+        |  CAST(COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS BIGINT) AS var_num_x
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag",
+          round($"l_quantity" * 100, 0).cast("long").as("x"),
+          round($"l_discount" * 10000, 0).cast("long").as("y"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sum_x"), sum($"y").as("sum_y"),
+          sum($"x" * $"x").as("sum_x2"), sum($"y" * $"y").as("sum_y2"),
+          sum($"x" * $"y").as("sum_xy"))
+        .select($"l_returnflag", $"n", $"sum_x", $"sum_y", $"sum_x2",
+          $"sum_y2", $"sum_xy",
+          ($"n" * $"sum_x2" - $"sum_x" * $"sum_x").as("var_num_x"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop): a dense
+    // 24-hour spine generated by recursion, LEFT JOINed to the event
+    // stream so silent hours surface as zero rows — the recursive
+    // sibling of q74's sequence() spine. Identical SQL text on both
+    // engines, ANSI EXTRACT for the hour bucket.
+    GraftQuery("q86_recursive_cte", AnalyticsSql.RecursiveHours) {
+      (s, dir) =>
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(AnalyticsSql.RecursiveHours)
     })
+}
+
+/** SQL texts that run verbatim on BOTH engines (Spark executes them and
+  * DuckDB oracles them) — keep to the common ANSI surface. */
+private object AnalyticsSql {
+  val CorrelatedSubquery: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+      |FROM orders o
+      |WHERE CAST(round(o_totalprice*100) AS BIGINT) *
+      |    (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |  > 2 * (SELECT CAST(SUM(CAST(round(o2.o_totalprice*100) AS BIGINT))
+      |           AS BIGINT)
+      |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val RecursiveHours: String =
+    """WITH RECURSIVE hours(h) AS (
+      |  SELECT CAST(0 AS BIGINT)
+      |  UNION ALL
+      |  SELECT h + 1 FROM hours WHERE h < 23)
+      |SELECT h.h AS hr, COUNT(e.event_id) AS n_events
+      |FROM hours h LEFT JOIN events e ON EXTRACT(HOUR FROM e.ts) = h.h
+      |GROUP BY h.h ORDER BY h.h""".stripMargin
 }
