@@ -83,4 +83,28 @@ object TemporalOps {
           matchedTsCol.map(n => col("__rpack").getField("__rts").as(n))
             .toSeq: _*)
   }
+
+  /** Incremental rollup maintenance: merge a stored pre-aggregated
+    * rollup with a freshly aggregated delta, without rescanning the
+    * history. Both inputs carry the SAME schema — `keys` plus
+    * summable state columns (`sumCols`) — and the merge is just
+    * re-aggregation of the partials: sum-of-sums, sum-of-counts.
+    *
+    * This is the 100 TB pattern for any algebraic aggregate: keep
+    * (sum, count, min/max…) as the stored state, derive avg & co at
+    * read time, and each refresh touches only the delta partition.
+    * Non-algebraic state (distinct sets, exact medians) can't be
+    * maintained this way — use sketches or recompute.
+    *
+    * The merged result is bit-identical to aggregating the full input
+    * in one pass (addition is associative over BIGINT state) — which
+    * is exactly what the conformance oracle checks.
+    */
+  def mergeRollup(
+      prev: DataFrame, delta: DataFrame,
+      keys: Seq[String], sumCols: Seq[String]): DataFrame =
+    prev.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
 }

@@ -538,6 +538,94 @@ object AnalyticsQueries {
       (s, dir) =>
       Tables.load(s, dir, "events").createOrReplaceTempView("events")
       s.sql(AnalyticsSql.RecursiveHours)
+    },
+
+    // RANGE-frame window (value-based, not row-based): 7-day trailing
+    // spend per customer. RANGE includes ALL peer rows at equal order
+    // keys, so the trailing sum is deterministic even when two orders
+    // share a timestamp — the property ROWS frames lack. Still one
+    // sort+shuffle.
+    GraftQuery(
+      "q87_range_frame",
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+        |    epoch_us(o_orderdate) AS od_us
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, od_us, price_c,
+        |  CAST(SUM(price_c) OVER (PARTITION BY o_custkey ORDER BY od_us
+        |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS trail7d_c
+        |FROM o WHERE o_custkey % 50 = 0
+        |ORDER BY o_custkey, od_us, o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val win = Window.partitionBy($"o_custkey").orderBy($"od_us".asc)
+        .rangeBetween(-604800000000L, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          round($"o_totalprice" * 100, 0).cast("long").as("price_c"),
+          unix_micros($"o_orderdate".cast("timestamp")).as("od_us"))
+        .filter($"o_custkey" % 50 === 0)
+        .select($"o_custkey", $"o_orderkey", $"od_us", $"price_c",
+          sum($"price_c").over(win).as("trail7d_c"))
+        .orderBy($"o_custkey", $"od_us", $"o_orderkey")
+    },
+
+    // Fuzzy key matching (edit distance): the scale-correct shape is
+    // aggregate-to-dictionary FIRST — the distinct name dictionary is
+    // vocabulary-sized regardless of corpus size — then self-pair the
+    // tiny dictionary under levenshtein ≤ 3. Only the dictionary ever
+    // crosses itself; the fact table never does.
+    GraftQuery(
+      "q88_fuzzy_match",
+      """WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM names a JOIN names b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val names = Tables.load(s, dir, "part").select($"p_name").distinct()
+      val a = names.select($"p_name".as("name_a"))
+      val b = names.select($"p_name".as("name_b"))
+      a.join(b, $"name_a" < $"name_b")
+        .filter(levenshtein($"name_a", $"name_b") <= 3)
+        .select($"name_a", $"name_b",
+          levenshtein($"name_a", $"name_b").cast("long").as("dist"))
+        .orderBy($"name_a", $"name_b")
+    },
+
+    // Incremental rollup maintenance (TemporalOps.mergeRollup): the
+    // trailing week's events are aggregated as a delta and merged into
+    // the pre-aggregated history by re-summing partials — no history
+    // rescan at refresh time. The oracle is the full one-pass
+    // recompute, which the algebraic merge must equal bit-for-bit.
+    // The week boundary comes from a 1-row max-day aggregate broadcast
+    // (q74's bounds pattern — sanctioned BNLJ, constant-size build).
+    GraftQuery(
+      "q89_incremental_rollup",
+      """WITH e AS (
+        |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events)
+        |SELECT user_id, CAST(SUM(value_c) AS BIGINT) AS value_c,
+        |  COUNT(*) AS n
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select($"user_id",
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          round($"value" * 100, 0).cast("long").as("value_c"))
+      val bounds = e.agg(max($"day").as("max_day"))
+      val tagged = e.crossJoin(broadcast(bounds))
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"user_id")
+          .agg(sum($"value_c").as("value_c"), count(lit(1)).as("n"))
+      val prevAgg = rollup(tagged.filter($"day" <= $"max_day" - 7))
+      val deltaAgg = rollup(tagged.filter($"day" > $"max_day" - 7))
+      graft.ops.TemporalOps
+        .mergeRollup(prevAgg, deltaAgg, Seq("user_id"),
+          Seq("value_c", "n"))
+        .orderBy($"user_id")
     })
 }
 

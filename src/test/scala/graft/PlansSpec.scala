@@ -72,9 +72,14 @@ class PlansSpec extends SparkTestBase {
     // Everything else — notably near-dup pair generation — must reach
     // candidates through equi-joins (LSH buckets, posting lists, cells).
     // q74's cross join broadcasts a ONE-row min/max bounds aggregate to
-    // build the date spine — constant-size by construction.
+    // build the date spine — constant-size by construction; q89 reuses
+    // the same 1-row bounds pattern for its week cutoff. q88 self-pairs
+    // the DISTINCT name dictionary under an inequality — the dictionary
+    // is vocabulary-sized regardless of corpus size (the fact table
+    // never crosses itself).
     val bnljSanctioned =
-      Set("q35_ann_topk", "q37_ivf_topk", "q74_forward_fill")
+      Set("q35_ann_topk", "q37_ivf_topk", "q74_forward_fill",
+        "q88_fuzzy_match", "q89_incremental_rollup")
     for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
