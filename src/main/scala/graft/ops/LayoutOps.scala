@@ -40,4 +40,22 @@ object LayoutOps {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+
+  /** Hive-style partitioned write: one directory per value of
+    * `partCol`, repartitioned by it first so each partition directory
+    * is written by the tasks that own its rows (without this, every
+    * task writes a file into every directory — the small-files
+    * explosion: tasks × partitions files).
+    *
+    * Reads that filter on `partCol` then prune whole directories at
+    * planning time (`PartitionFilters` in the scan, no file I/O at
+    * all for pruned values) — the coarse-grained complement to
+    * zorderBy's file-level min/max pruning. Use for low-cardinality
+    * columns only (lang, date, source); high-cardinality partition
+    * keys recreate the small-files problem at directory granularity.
+    */
+  def writePartitioned(
+      df: DataFrame, path: String, partCol: String): Unit =
+    df.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
 }

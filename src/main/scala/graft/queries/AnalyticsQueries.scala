@@ -626,6 +626,29 @@ object AnalyticsQueries {
         .mergeRollup(prevAgg, deltaAgg, Seq("user_id"),
           Seq("value_c", "n"))
         .orderBy($"user_id")
+    },
+
+    // Hive-style partitioned layout round trip: write documents
+    // partitioned by lang (LayoutOps.writePartitioned), read back with
+    // a lang filter — the scan prunes whole directories at planning
+    // time (PartitionFilters; asserted in PlansSpec) — and aggregate.
+    // The oracle is the same aggregate over the ORIGINAL table, so the
+    // gate checks full write→read fidelity, not just the plan shape.
+    GraftQuery(
+      "q90_partition_pruning",
+      """SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang IN ('en', 'ru')
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = s"/tmp/graft_q90_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.ops.LayoutOps.writePartitioned(
+        Tables.load(s, dir, "documents"), path, "lang")
+      s.read.parquet(path)
+        .filter($"lang".isin("en", "ru"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("total_chars"))
+        .orderBy($"source")
     })
 }
 

@@ -150,4 +150,21 @@ object EventStreamOps {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-static enrichment: left-join each micro-batch against a
+    * static dimension on `key`, keeping streamed rows with no dim match
+    * (null-extended) rather than dropping them mid-flight.
+    *
+    * Scale shape: the static side is broadcast once per micro-batch
+    * planning (no state store involvement, no watermark needed — the
+    * static side never changes mid-query; restart the query to pick up
+    * a refreshed dim snapshot). For dims too big to broadcast, Spark
+    * falls back to a per-batch shuffle join automatically — the hint is
+    * advisory, not forced.
+    */
+  def enrichWithDim(
+      events: DataFrame,
+      dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
 }

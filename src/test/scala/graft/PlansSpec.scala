@@ -95,6 +95,24 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned layout: a lang filter over writePartitioned output " +
+       "prunes directories at planning time, not with a row filter") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_part_spec").toString
+    graft.ops.LayoutOps.writePartitioned(
+      Tables.load(spark, sfDir, "documents"), path, "lang")
+    val p = spark.read.parquet(path)
+      .filter(col("lang") === "en")
+      .groupBy(col("source")).count()
+      .queryExecution.executedPlan.toString
+    // the lang predicate must land in PartitionFilters (directory
+    // pruning — zero I/O for other langs), not in PushedFilters /
+    // post-scan Filter (which would still enumerate every file)
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined, p)
+    assert(!"Filter [^\n]*lang".r.findFirstIn(p).isDefined, p)
+  }
+
   test("native expressions keep their stages in whole-stage codegen") {
     val p = Tables.load(spark, sfDir, "documents")
       .select(graft.ops.TextOps.fingerprint($"text").as("fp"))

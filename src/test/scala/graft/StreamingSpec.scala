@@ -133,4 +133,29 @@ class StreamingSpec extends SparkTestBase {
       assert(!rows.exists(r => r._1 == 2L), rows) // cross-user never joins
     } finally q.stop()
   }
+
+  test("stream-static enrichment: dim attributes attach per micro-batch; " +
+       "unmatched streamed rows survive null-extended") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "gold"), (11L, "basic"))
+      .toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val q = EventStreamOps.enrichWithDim(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, 10, "click", 1.0, ts(10)),
+        Event(2, 99, "click", 1.0, ts(20))) // no dim row
+      q.processAllAvailable()
+      mem.addData(Event(3, 11, "view", 1.0, ts(30))) // second batch joins too
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select($"event_id", $"tier").as[(Long, Option[String])]
+        .collect().toMap
+      assert(rows(1L) === Some("gold"))
+      assert(rows(2L) === None)    // left-outer: kept, null-extended
+      assert(rows(3L) === Some("basic"))
+    } finally q.stop()
+  }
 }

@@ -125,6 +125,21 @@ class TemporalOpsSpec extends SparkTestBase {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("mergeRollup: empty delta is identity; empty prev equals delta; " +
+       "disjoint keys union through") {
+    val prev = Seq((1L, 10L, 2L), (2L, 5L, 1L)).toDF("k", "v", "n")
+    val delta = Seq((2L, 3L, 1L), (3L, 7L, 4L)).toDF("k", "v", "n")
+    val empty = prev.limit(0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    assert(rows(TemporalOps.mergeRollup(prev, empty, Seq("k"), Seq("v", "n")))
+      === Seq((1L, 10L, 2L), (2L, 5L, 1L)))
+    assert(rows(TemporalOps.mergeRollup(empty, delta, Seq("k"), Seq("v", "n")))
+      === Seq((2L, 3L, 1L), (3L, 7L, 4L)))
+    assert(rows(TemporalOps.mergeRollup(prev, delta, Seq("k"), Seq("v", "n")))
+      === Seq((1L, 10L, 2L), (2L, 8L, 2L), (3L, 7L, 4L)))
+  }
+
   private def unix_micros(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.unix_micros(c)
 }
