@@ -133,4 +133,44 @@ object CurationOps {
       lit(1000L))
     df.filter(h < rate)
   }
+
+  /** Per-key cap (hot-domain downsampling): keep at most `maxN` rows
+    * per value of `keyCol`, chosen deterministically as the `maxN`
+    * smallest portable hashes of `idCol` — i.e. a fixed uniform random
+    * sample per key, stable across runs, partitionings, and engines.
+    * The web-corpus rule: no single domain may dominate the training
+    * mix.
+    *
+    * Scale shape: a single row_number over `keyCol` funnels each hot
+    * key through ONE task — a domain with 10⁸ pages serializes. This
+    * runs the classic two-level exact top-N instead: rows first rank
+    * within (key, hash-bucket) sub-partitions — `nBuckets`-way
+    * parallel even for one key — and only the ≤ nBuckets×maxN
+    * per-bucket survivors reach the per-key rank. The global top-maxN
+    * is a subset of the per-bucket top-maxNs, so the two-phase result
+    * is EXACTLY the single-window result (the conformance oracle is
+    * that single window).
+    *
+    * Ordering is total — (hash, id) — so ties in the hash can't make
+    * the kept set ambiguous.
+    */
+  def capPerKey(
+      df: DataFrame, keyCol: String, idCol: String, maxN: Int,
+      salt: String, nBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextOps.polyHash(
+      concat(col(idCol).cast("string"), lit(":" + salt)))
+    val withH = df.withColumn("__h", h)
+      .withColumn("__b", pmod(col("__h"), lit(nBuckets.toLong)))
+    val local = Window.partitionBy(col(keyCol), col("__b"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    val global = Window.partitionBy(col(keyCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    withH
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= maxN)
+      .withColumn("__gr", row_number().over(global))
+      .filter(col("__gr") <= maxN)
+      .drop("__h", "__b", "__lr", "__gr")
+  }
 }

@@ -23,11 +23,15 @@ object CurationQueries {
       |          list_transform(string_split(s,''), c -> ascii(c))),
       |         (a,x) -> (a*31+x)%1000000007))""".stripMargin
 
-  // polyHash of an ASCII string, mod 1000 — the stratified-sample dial.
-  private def duckHashMod1000(expr: String): String =
+  // polyHash of an ASCII string — DuckDB replica of the native fold.
+  private def duckPolyHash(expr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(string_split($expr, ''), c -> ascii(c))),
-       |   (a,x) -> (a*31+x)%1000000007) % 1000""".stripMargin
+       |   (a,x) -> (a*31+x)%1000000007)""".stripMargin
+
+  // polyHash of an ASCII string, mod 1000 — the stratified-sample dial.
+  private def duckHashMod1000(expr: String): String =
+    duckPolyHash(expr) + " % 1000"
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -403,5 +407,34 @@ object CurationQueries {
           Tables.load(s, dir, "documents").select($"doc_id"),
           "new_id", "doc_id")
         .orderBy($"new_id")
+    },
+
+    // Per-key cap / hot-domain downsampling (CurationOps.capPerKey):
+    // at most 10 docs per source, picked as the 10 smallest portable
+    // id hashes — a stable uniform sample per key. The op runs the
+    // skew-proof two-level top-N (rank within hash buckets first, then
+    // over the ≤ buckets×N survivors); the oracle is the one-window
+    // formulation the two-phase plan must equal exactly.
+    GraftQuery(
+      "q91_domain_cap",
+      s"""WITH h AS (
+         |  SELECT source, doc_id,
+         |    ${duckPolyHash("CAST(doc_id AS VARCHAR) || ':cap1'")} AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY h, doc_id) AS rk
+         |  FROM h)
+         |SELECT source, COUNT(*) AS n_kept,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         |FROM r WHERE rk <= 10 GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      CurationOps.capPerKey(
+          Tables.load(s, dir, "documents"),
+          "source", "doc_id", maxN = 10, salt = "cap1", nBuckets = 8)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_ids"))
+        .orderBy($"source")
     })
 }

@@ -156,4 +156,28 @@ class CurationOpsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().sortBy(_._1)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("capPerKey: two-phase bucketed top-N equals the single-window " +
+       "referee; caps above the group size keep everything") {
+    import org.apache.spark.sql.expressions.Window
+    def referee(maxN: Int) = {
+      val h = graft.ops.TextOps.polyHash(
+        concat($"doc_id".cast("string"), lit(":cap1")))
+      val w = Window.partitionBy($"source")
+        .orderBy(h.asc, $"doc_id".asc)
+      docs.withColumn("__rk", row_number().over(w))
+        .filter($"__rk" <= maxN).drop("__rk")
+        .select("doc_id").as[Long].collect().toSet
+    }
+    for (maxN <- Seq(1, 7, 10); nBuckets <- Seq(1, 3, 8)) {
+      val capped = CurationOps.capPerKey(
+          docs, "source", "doc_id", maxN, "cap1", nBuckets)
+        .select("doc_id").as[Long].collect().toSet
+      assert(capped === referee(maxN),
+        s"maxN=$maxN nBuckets=$nBuckets diverges from the single window")
+    }
+    val all = CurationOps.capPerKey(
+      docs, "source", "doc_id", maxN = 1000000, "cap1", nBuckets = 8)
+    assert(all.count() === docs.count(), "over-cap must be identity")
+  }
 }
