@@ -560,5 +560,32 @@ object RelationalQueries {
         .agg(atQ(0.5).as("p50_c"), atQ(0.9).as("p90_c"),
           atQ(0.99).as("p99_c"), max($"n").as("n"))
         .orderBy($"event_type")
+    },
+
+    // Correlated EXISTS / NOT EXISTS — the SQL face of q03/q04's
+    // DataFrame semi/anti joins. Catalyst rewrites both predicates into
+    // one semi- plus one anti-join on the correlation key; identical
+    // SQL text runs on both engines (q73 pattern).
+    GraftQuery("q92_exists_sql", RelationalSql.ExistsNotExists) {
+      (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(RelationalSql.ExistsNotExists)
     })
+}
+
+/** SQL texts that run verbatim on BOTH engines (q73 pattern). */
+private object RelationalSql {
+  val ExistsNotExists: String =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o2
+      |    WHERE o2.o_custkey = c.c_custkey
+      |      AND o2.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
 }

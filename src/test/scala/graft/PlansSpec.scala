@@ -113,6 +113,42 @@ class PlansSpec extends SparkTestBase {
     assert(!"Filter [^\n]*lang".r.findFirstIn(p).isDefined, p)
   }
 
+  test("runtime bloom filter: a selective dim predicate injects a bloom " +
+       "probe into the fact scan side of a shuffle join") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // force a shuffle join and drop the size gates so the rewrite
+      // fires at test scale; at 100 TB the defaults (10 MB creation /
+      // 10 GB application side) gate it to genuinely selective dims
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold", "0")
+      val li = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+      val supp = Tables.load(spark, sfDir, "supplier")
+        .filter(col("s_nationkey") === 3) // selective creation side
+        .select(col("s_suppkey"))
+      val p = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_suppkey")).count()
+        .queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("native expressions keep their stages in whole-stage codegen") {
     val p = Tables.load(spark, sfDir, "documents")
       .select(graft.ops.TextOps.fingerprint($"text").as("fp"))

@@ -35,4 +35,37 @@ class SkewOpsSpec extends SparkTestBase {
     assert(out("hot") === (1L to 500L))
     assert(out("cold") === Seq(1L))
   }
+
+  test("AQE skew join: the runtime re-planner splits a hot partition " +
+       "without manual salting (the complement to saltedEquiJoin)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // force a sort-merge join and make "skewed" reachable at test
+      // scale: any partition over 32 KiB counts as skewed
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val hot = (1 to 60000).map(i =>
+        (if (i % 100 == 0) i.toLong % 7 else 0L,
+          "payload-%06d".format(i))).toDF("k", "pay")
+      val dim = (0L to 6L).map(k => (k, s"dim$k")).toDF("k", "d")
+      val joined = hot.join(dim, Seq("k"))
+      joined.collect() // run so AQE finalizes the plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
