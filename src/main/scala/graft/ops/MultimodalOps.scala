@@ -36,20 +36,31 @@ object MultimodalOps {
     StructField("blob", BinaryType),
     StructField("meta", MediaMeta)))
 
-  /** ==== STUB ==== Deterministic fake decoder.
-    *
-    * Swap point for a real codec (javax.imageio / ffmpeg bindings): keep
-    * the signature `Array[Byte] => DecodedImage` and the mapPartitions
-    * plumbing below works unchanged. The fake derives every field from
-    * the blob bytes so tests are deterministic and engine behavior
-    * (nulls, sizes, batching) is exercised honestly.
+  /** Decoded image contract shared by the real and stub decoders:
+    * row-major (y, x, c) float pixels in [0,1], c ∈ {r,g,b}.
     */
   final case class DecodedImage(
       width: Int, height: Int, nChannels: Int, pixels: Array[Float])
 
+  /** Image decode dispatch. PNG/JPEG/BMP/GIF go through the REAL JDK
+    * codec ([[MediaCodecs.decodeImage]], javax.imageio — q93 hash-checks
+    * the PNG round trip against a DuckDB recomputation). Formats the JDK
+    * can't read (mp4/webp/...) fall back to the deterministic fake below
+    * — the remaining swap point for ffmpeg-style bindings on a real
+    * cluster.
+    */
   object DecodeStub {
-    def decodeImage(blob: Array[Byte]): DecodedImage = {
-      // ==== STUB: replace with a real image decode ====
+    def decodeImage(blob: Array[Byte]): DecodedImage =
+      if (MediaCodecs.isJdkImage(blob)) {
+        val d = MediaCodecs.decodeImage(blob)
+        if (d != null) d else fakeDecode(blob)
+      } else fakeDecode(blob)
+
+    /** ==== STUB (non-JDK formats only) ==== derives every field from
+      * the blob bytes so tests are deterministic and engine behavior
+      * (nulls, sizes, batching) is exercised honestly.
+      */
+    private def fakeDecode(blob: Array[Byte]): DecodedImage = {
       val w = 1 + (math.abs(blob.headOption.getOrElse(0: Byte).toInt) % 8)
       val h = 1 + (math.abs(blob.lastOption.getOrElse(0: Byte).toInt) % 8)
       val px = Array.tabulate(w * h * 3)(i =>
@@ -149,22 +160,66 @@ object MultimodalOps {
     }(enc)
   }
 
-  /** ==== STUB ==== Deterministic fake audio decoder (same swap-point
-    * contract as [[DecodeStub.decodeImage]]: replace the body with a
-    * real PCM/codec read, keep `Array[Byte] => DecodedAudio`).
+  /** Audio decode dispatch: WAV goes through the REAL JDK codec
+    * ([[MediaCodecs.decodeWavPcm16]], javax.sound.sampled — q94
+    * hash-checks the PCM16 round trip); other formats (flac/mp3/...)
+    * fall back to the deterministic fake — the remaining swap point.
     */
   final case class DecodedAudio(
       sampleRate: Int, nSamples: Int, samples: Array[Float])
 
   object AudioDecodeStub {
-    def decodeAudio(blob: Array[Byte]): DecodedAudio = {
-      // ==== STUB: replace with a real audio decode ====
+    def decodeAudio(blob: Array[Byte]): DecodedAudio =
+      if (MediaCodecs.isWav(blob)) {
+        val d = MediaCodecs.decodeWavPcm16(blob)
+        if (d == null) fakeDecode(blob)
+        else DecodedAudio(d.sampleRate, d.samples.length,
+          d.samples.map(_ / 32768f))
+      } else fakeDecode(blob)
+
+    /** ==== STUB (non-JDK formats only) ==== */
+    private def fakeDecode(blob: Array[Byte]): DecodedAudio = {
       val sr = 8000 + (math.abs(blob.headOption.getOrElse(0: Byte).toInt) % 3) * 4000
       val n = math.max(1, blob.length * 4)
       val samples = Array.tabulate(n)(i =>
         (blob(i % blob.length).toInt % 64) / 64f)
       DecodedAudio(sr, n, samples)
     }
+  }
+
+  /** Exact-integer audio features over REAL WAV PCM16 decode: emits
+    * (media_id, sample_rate, n_samples, energy) with
+    * energy = Σ sample² over the signed 16-bit samples — integer math
+    * end to end, so the value is engine-portable (q94 recomputes it in
+    * DuckDB from the generating formula; the WAV container round trip
+    * is what's under test). Non-WAV / undecodable blobs yield nulls.
+    */
+  def decodeAudioEnergy(records: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("energy", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    records.select("media_id", "blob").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getString(0)
+        val blob = r.getAs[Array[Byte]](1)
+        val d = if (blob == null || !MediaCodecs.isWav(blob)) null
+                else MediaCodecs.decodeWavPcm16(blob)
+        if (d == null) Row(id, null, null, null)
+        else {
+          var energy = 0L
+          var i = 0
+          while (i < d.samples.length) {
+            val s = d.samples(i).toLong
+            energy += s * s
+            i += 1
+          }
+          Row(id, d.sampleRate, d.samples.length, energy)
+        }
+      }
+    }(enc)
   }
 
   /** Decode + feature-extract audio blobs partition-wise: emits
@@ -216,6 +271,48 @@ object MultimodalOps {
     records.filter(
       col("meta.media_type") === "image" &&
         col("meta.width").between(minW, maxW))
+
+  /** Synthesize a table of REAL PNG blobs (encoded with the JDK codec on
+    * executors): image i is w×h with w = 1+(i%8), h = 1+((i·7)%8) and
+    * pixel byte p = (i·31 + p·7) % 256 in row-major (y,x,rgb) order. PNG
+    * is lossless, so decode recovers the formula exactly — the q93
+    * oracle recomputes features from the formula alone.
+    */
+  def syntheticPngMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val w = 1 + (i % 8).toInt
+      val h = 1 + ((i * 7) % 8).toInt
+      val blob = MediaCodecs.encodePng(w, h, p => ((i * 31 + p * 7) % 256).toInt)
+      (s"png$i", blob, w, h)
+    }.toDF("media_id", "blob", "width", "height")
+      .select(col("media_id"), col("blob"),
+        struct(lit("image").as("media_type"), lit("png").as("format"),
+          col("width"), col("height"),
+          lit(null).cast("long").as("duration_ms"),
+          lit(3).as("n_channels")).as("meta"))
+  }
+
+  /** Synthesize a table of REAL WAV PCM16 blobs: clip i has
+    * sample_rate = 8000 + (i%3)·4000, n = 64 + (i%64) samples,
+    * sample t = ((i·31 + t·7) % 2048) − 1024. Lossless container →
+    * decode recovers the formula; q94's oracle recomputes Σ s² from it.
+    */
+  def syntheticWavMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val sr = 8000 + (i % 3).toInt * 4000
+      val len = 64 + (i % 64).toInt
+      val samples = Array.tabulate[Short](len)(t =>
+        (((i * 31 + t * 7) % 2048) - 1024).toShort)
+      val blob = MediaCodecs.encodeWavPcm16(sr, samples)
+      (s"wav$i", blob, sr, len.toLong * 1000 / sr)
+    }.toDF("media_id", "blob", "sample_rate", "duration_ms")
+      .select(col("media_id"), col("blob"),
+        struct(lit("audio").as("media_type"), lit("wav").as("format"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          col("duration_ms"), lit(1).as("n_channels")).as("meta"))
+  }
 
   /** Synthesize a deterministic media table (for tests/demos): blob bytes
     * derived from the id, metadata consistent with the stub decoder.

@@ -223,5 +223,53 @@ object MoviesQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("mean_luma_milli")).as("sum_luma"))
         .orderBy(col("media_type"))
+    },
+
+    // REAL image codec round trip: deterministic pixels → JDK PNG encode
+    // (executor-side) → javax.imageio decode → integer luma features.
+    // PNG is lossless, so the oracle recomputes the features straight
+    // from the pixel formula — any codec bug (channel order, row order,
+    // bit depth, stride) breaks the hash. No stub anywhere on this path.
+    GraftQuery(
+      "q93_png_decode",
+      """WITH m AS (
+        |  SELECT i, 1 + (i % 8) AS w, 1 + ((i*7) % 8) AS h
+        |  FROM generate_series(0, 199) t(i))
+        |SELECT 'png' || CAST(i AS VARCHAR) AS media_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS n_channels,
+        |  (1000 * CAST(list_sum(list_transform(
+        |      generate_series(0, CAST(w*h*3 - 1 AS INTEGER)),
+        |      p -> (i*31 + p*7) % 256)) AS BIGINT))
+        |    // (255 * w*h*3) AS mean_luma_milli
+        |FROM m ORDER BY media_id""".stripMargin) { (s, _) =>
+      import graft.ops.MultimodalOps
+      val media = MultimodalOps.syntheticPngMedia(s, 200)
+      MultimodalOps.decodeImageFeatures(media)
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_channels"), col("mean_luma_milli"))
+        .orderBy(col("media_id"))
+    },
+
+    // REAL audio codec round trip: deterministic PCM16 samples → JDK WAV
+    // encode → javax.sound.sampled decode → exact integer energy (Σ s²).
+    // Same lossless-container argument as q93; the oracle recomputes
+    // energy from the sample formula.
+    GraftQuery(
+      "q94_wav_decode",
+      """WITH m AS (
+        |  SELECT i, CAST(8000 + (i % 3) * 4000 AS INTEGER) AS sample_rate,
+        |         CAST(64 + (i % 64) AS INTEGER) AS n_samples
+        |  FROM generate_series(0, 299) t(i))
+        |SELECT 'wav' || CAST(i AS VARCHAR) AS media_id, sample_rate, n_samples,
+        |  CAST(list_sum(list_transform(
+        |      generate_series(0, CAST(n_samples - 1 AS INTEGER)),
+        |      t2 -> ((i*31 + t2*7) % 2048 - 1024)
+        |            * ((i*31 + t2*7) % 2048 - 1024))) AS BIGINT) AS energy
+        |FROM m ORDER BY media_id""".stripMargin) { (s, _) =>
+      import graft.ops.MultimodalOps
+      val media = MultimodalOps.syntheticWavMedia(s, 300)
+      MultimodalOps.decodeAudioEnergy(media)
+        .orderBy(col("media_id"))
     })
 }

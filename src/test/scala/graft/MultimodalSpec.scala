@@ -95,6 +95,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(rerun.map(_.toString).toSeq === feats.map(_.toString).toSeq)
   }
 
+  test("real PNG codec: encode→decode round trip recovers the exact " +
+       "pixel bytes (lossless), dims from the container") {
+    import graft.ops.MediaCodecs
+    for (i <- 0 until 20) {
+      val w = 1 + i % 8; val h = 1 + (i * 7) % 8
+      val pixel = (p: Int) => (i * 31 + p * 7) % 256
+      val blob = MediaCodecs.encodePng(w, h, pixel)
+      assert(MediaCodecs.isPng(blob))
+      val d = MediaCodecs.decodeImage(blob)
+      assert(d.width === w && d.height === h && d.nChannels === 3)
+      for (p <- 0 until w * h * 3)
+        assert(math.round(d.pixels(p) * 255f) === pixel(p),
+          s"pixel $p of image $i ($w x $h)")
+    }
+    // DecodeStub dispatches PNG blobs to the real codec
+    val blob = MediaCodecs.encodePng(3, 2, p => p * 11 % 256)
+    val viaStub = MultimodalOps.DecodeStub.decodeImage(blob)
+    assert(viaStub.width === 3 && viaStub.height === 2)
+  }
+
+  test("real WAV codec: PCM16 encode→decode round trip is sample-exact, " +
+       "decodeAudioEnergy computes Σs² over real decode") {
+    import graft.ops.MediaCodecs
+    val samples = Array.tabulate[Short](200)(t => ((t * 131) % 2048 - 1024).toShort)
+    val blob = MediaCodecs.encodeWavPcm16(12000, samples)
+    assert(MediaCodecs.isWav(blob))
+    val d = MediaCodecs.decodeWavPcm16(blob)
+    assert(d.sampleRate === 12000)
+    assert(d.samples.toSeq === samples.toSeq)
+    // AudioDecodeStub dispatches WAV to the real codec (float contract)
+    val viaStub = MultimodalOps.AudioDecodeStub.decodeAudio(blob)
+    assert(viaStub.sampleRate === 12000 && viaStub.nSamples === 200)
+    assert(math.round(viaStub.samples(7) * 32768f) === samples(7).toInt)
+    // energy op over a real WAV table
+    val wavs = MultimodalOps.syntheticWavMedia(spark, 10)
+    val en = MultimodalOps.decodeAudioEnergy(wavs).orderBy("media_id").collect()
+    assert(en.length === 10)
+    en.foreach { r =>
+      assert(!r.isNullAt(3) && r.getLong(3) > 0)
+      assert(r.getInt(2) >= 64 && r.getInt(2) < 128)
+    }
+    // non-WAV blob → nulls (no stub leakage into the exact-energy path)
+    val junk = Seq(("x", Array[Byte](1, 2, 3))).toDF("media_id", "blob")
+    val jr = MultimodalOps.decodeAudioEnergy(junk).collect().head
+    assert(jr.isNullAt(1) && jr.isNullAt(3))
+  }
+
   test("metadata filters prune the blob column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     media.write.mode("overwrite").parquet(dir)
