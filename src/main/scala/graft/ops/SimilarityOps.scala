@@ -52,6 +52,29 @@ object SimilarityOps {
   def cosineMicroHof(a: Column, b: Column): Column =
     round(cosine(a, b) * lit(1000000.0), 0).cast("long")
 
+  /** Per-vector symmetric int8 quantization: code_i =
+    * ⌊v_i · 127 ∕ max|v| + 0.5⌋ (zero vector → all-zero codes). The
+    * standard 4× memory compression for billion-vector ANN serving —
+    * codes live in `array<int>` here (kept wide for exact BIGINT
+    * aggregation; storage would cast to tinyint).
+    *
+    * Engine-portable by construction: comparison-only max, one double
+    * multiply/divide in fixed order, and floor(x + 0.5) — every step a
+    * correctly-rounded IEEE op, no round-half-mode divergence (SQL
+    * round() half-away vs Java Math.round half-up disagree at exact
+    * .5 boundaries; floor(x+0.5) is the same everywhere). q97
+    * hash-checks codes against DuckDB recomputing this exact tree.
+    *
+    * Pure per-row codegen'd expression — no shuffle, runs at scan speed.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, v => abs(v)))
+    when(maxAbs === 0 || maxAbs.isNull, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec, v =>
+        floor(v.cast("double") * lit(127.0) / maxAbs.cast("double") + lit(0.5))
+          .cast("int")))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Queries are broadcast (they must be small — the corpus is
     * the big side and streams through one scan at any scale); per-query

@@ -247,4 +247,80 @@ object TextOps {
     val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Training-chunk decomposition: split a document into chunks of at
+    * most `maxTokens` whitespace tokens, consecutive chunks sharing
+    * `overlap` tokens (stride = maxTokens − overlap) — the standard
+    * context-window packing prep for LLM pretraining.
+    *
+    * Chunk k covers token indices [k·stride, k·stride + maxTokens); the
+    * last chunk may be short; every token of every document appears in
+    * at least one chunk (ChunkSpec proves coverage + overlap).
+    *
+    * Scale: pure per-row explode over codegen'd built-ins (sequence/
+    * slice/array_join) — no shuffle, no UDF; output grows by roughly
+    * n_tokens/stride per doc, which is the payload a chunking pass is
+    * supposed to emit. Returns (idCol, chunk_id, n_tokens, chunk_text).
+    */
+  def chunkDocs(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val toks = filter(tokenize(col(textCol)), t => t =!= "")
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // 1 chunk when n <= maxTokens, else 1 + ceil((n−maxTokens)/stride);
+      // `div` keeps it in exact integer arithmetic end to end
+      .withColumn("__nchunks",
+        when(col("__n") <= maxTokens, lit(1L)).otherwise(
+          lit(1L) + expr(s"(__n - $maxTokens + ${stride - 1}) div $stride")))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__nchunks").cast("int") - lit(1)))
+          .as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__toks"), col("chunk_id") * lit(stride) + lit(1),
+          lit(maxTokens)).as("__chunk"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__chunk")).as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
+  /** Per-document top-k TF-IDF terms with an integer, engine-portable
+    * score: score_micro = (1,000,000 · tf · N) ∕ df (integer division) —
+    * linear idf (N/df) instead of ln(N/df) so the gate hash can't drift
+    * on transcendental-function ulps (see the determinism contract in
+    * GraftQuery). Ranking is (score desc, term asc), deterministic under
+    * ties; ln-idf orders terms identically whenever df differs.
+    *
+    * Scale: explode → (doc,term) count with map-side combine; df is a
+    * vocabulary-sized aggregate of the (doc,term) set; N is a 1-row
+    * broadcast; the final per-doc rank partitions by doc_id (no hot key
+    * — every doc is its own partition key).
+    */
+  def tfIdfTopTerms(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(tokenize(col(textCol)), t => t =!= "")
+    val docTerm = df
+      .select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = docTerm.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    // `div` = exact BIGINT division (Spark's `/` on longs is DOUBLE true
+    // division — floor(double) can cross an integer boundary on ulps)
+    val scored = docTerm.join(docFreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score_micro", expr("(1000000 * tf * n_docs) div df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score_micro"), col("rank"))
+  }
 }

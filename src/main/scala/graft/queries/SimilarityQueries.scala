@@ -139,5 +139,42 @@ object SimilarityQueries {
         .select($"query_id", $"vec_id".as("neighbor_id"),
           $"cos_micro", $"rank".cast("long").as("rank"))
         .orderBy($"query_id", $"rank")
+    },
+
+    // Symmetric int8 quantization of the embedding column — the 4×
+    // compression step for billion-vector ANN serving. The FULL code
+    // array travels in the hash (CSV-joined), so every per-dimension
+    // floor(v·127/max|v| + 0.5) is checked bit-for-bit against DuckDB
+    // evaluating the identical IEEE expression tree.
+    GraftQuery(
+      "q97_int8_quantize",
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, v -> abs(v))) AS maxabs
+        |  FROM embeddings),
+        |coded AS (
+        |  SELECT vec_id,
+        |    CASE WHEN maxabs = 0 OR maxabs IS NULL
+        |         THEN list_transform(embedding, v -> 0)
+        |         ELSE list_transform(embedding, v ->
+        |           CAST(floor(CAST(v AS DOUBLE) * 127.0
+        |                      / CAST(maxabs AS DOUBLE) + 0.5) AS INTEGER))
+        |    END AS codes
+        |  FROM q)
+        |SELECT vec_id, CAST(len(codes) AS INTEGER) AS n_dims,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_q,
+        |  array_to_string(codes, ',') AS codes_csv
+        |FROM coded ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "embeddings")
+        .select($"vec_id",
+          SimilarityOps.quantizeInt8($"embedding").as("codes"))
+        .select($"vec_id",
+          size($"codes").as("n_dims"),
+          expr("aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("sum_q"),
+          array_join(transform($"codes", _.cast("string")), ",")
+            .as("codes_csv"))
+        .orderBy($"vec_id")
     })
 }

@@ -231,5 +231,70 @@ object TextQueries {
         .groupBy($"lang", $"guess")
         .agg(count(lit(1)).as("n"))
         .orderBy($"lang", $"guess")
+    },
+
+    // Training-chunk decomposition: 32-token chunks, 8-token overlap
+    // (stride 24). Whole chunk text travels in the hash, so token
+    // boundaries, overlap carry, and tail-chunk clamping are all
+    // gate-checked. Pure per-row explode — no shuffle at any scale.
+    GraftQuery(
+      "q95_chunking",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk,
+        |    CASE WHEN len(tk) <= 32 THEN 1
+        |         ELSE 1 + (len(tk) - 32 + 23) // 24 END AS nchunks
+        |  FROM toks),
+        |e AS (
+        |  SELECT doc_id, tk, CAST(u.k AS INTEGER) AS chunk_id
+        |  FROM c, UNNEST(generate_series(0, nchunks - 1)) AS u(k)),
+        |sl AS (
+        |  SELECT doc_id, chunk_id,
+        |    tk[chunk_id*24 + 1 : chunk_id*24 + 32] AS chunk
+        |  FROM e)
+        |SELECT doc_id, chunk_id, CAST(len(chunk) AS INTEGER) AS n_tokens,
+        |  array_to_string(chunk, ' ') AS chunk_text
+        |FROM sl ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      TextOps.chunkDocs(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          maxTokens = 32, overlap = 8)
+        .orderBy($"doc_id", $"chunk_id")
+    },
+
+    // Per-document top-5 TF-IDF terms with the integer-portable linear
+    // idf score (score_micro = 1e6·tf·N div df — see TextOps scaladoc
+    // for why not ln). tf, df, N, score, and rank all travel in the
+    // hash.
+    GraftQuery(
+      "q96_tfidf_topk",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |dt AS (
+        |  SELECT doc_id, u.term AS term, COUNT(*) AS tf
+        |  FROM toks, UNNEST(tk) AS u(term)
+        |  GROUP BY doc_id, u.term),
+        |d AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT dt.doc_id, dt.term, dt.tf, d.df,
+        |    (1000000 * dt.tf * n.n_docs) // d.df AS score_micro
+        |  FROM dt JOIN d USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, score_micro, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      TextOps.tfIdfTopTerms(
+          Tables.load(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy($"doc_id", $"rank")
     })
 }
