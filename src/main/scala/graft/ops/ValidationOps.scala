@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation (Deequ-style constraint suites).
+  *
+  * A check is (name, aggregate-violation-count expression); a suite of
+  * checks over one table runs in a SINGLE aggregation pass — one scan,
+  * map-side combined, no matter how many checks — then unpivots to one
+  * row per check: (check_name, violations, total, passed).
+  *
+  * At 100 TB this is the shape you want: constraint evaluation rides the
+  * same partial-aggregate machinery as any rollup (no per-check scans,
+  * no driver-side row inspection). Referential-integrity checks need a
+  * second relation, so they run as a LEFT ANTI join counted the same way
+  * and union into the report ([[riViolations]]).
+  */
+object ValidationOps {
+
+  /** violations += 1 where `c` is null. */
+  def notNull(c: Column): Column = sum(when(c.isNull, 1L).otherwise(0L))
+
+  /** violations += 1 where the predicate FAILS (null counts as fail —
+    * SQL three-valued logic would otherwise let nulls slip through).
+    */
+  def satisfies(pred: Column): Column =
+    sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+
+  /** violations = rows − distinct keys (0 ⇔ key is unique). */
+  def unique(cols: Column*): Column =
+    count(lit(1)) - count_distinct(cols.head, cols.tail: _*)
+
+  /** Run a suite of aggregate checks in one pass over `df`. */
+  def runChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    val aggs = checks.map { case (n, c) => c.as(s"v_$n") } :+
+      count(lit(1)).as("__total")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = checks
+      .map { case (n, _) => s"'$n', v_$n" }.mkString(", ")
+    row.select(
+        expr(s"stack(${checks.size}, $stackArgs) AS (check_name, violations)"),
+        col("__total").as("total"))
+      .select(col("check_name"), col("violations"), col("total"),
+        (col("violations") === 0L).as("passed"))
+  }
+
+  /** Referential integrity: rows of `child` whose `childKey` has no
+    * match in `parent.parentKey` (nulls in the child key count as
+    * violations — an FK that is null is a missing reference here; model
+    * nullable FKs by filtering upstream). One LEFT ANTI join — at scale
+    * this is a shuffle (or broadcast, when the parent is a dim) semi
+    * structure, never a row-by-row lookup.
+    */
+  def riViolations(
+      child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, name: String): DataFrame =
+    // LEFT OUTER against the distinct parent keys keeps child
+    // cardinality, so total and violations come from ONE pass (a
+    // count() + anti-join spelling would scan the child twice)
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey)).distinct(),
+        col(childKey) === col(parentKey), "left_outer")
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col(parentKey).isNull, 1L).otherwise(0L)).as("violations"))
+      .select(lit(name).as("check_name"), col("violations"), col("total"),
+        (col("violations") === 0L).as("passed"))
+}

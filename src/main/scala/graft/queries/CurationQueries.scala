@@ -436,5 +436,55 @@ object CurationQueries {
         .groupBy($"source")
         .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_ids"))
         .orderBy($"source")
+    },
+
+    // Declarative data-quality suite (Deequ-style): four constraint
+    // checks over `orders` evaluated in ONE aggregation pass (null,
+    // uniqueness, range, domain) plus a referential-integrity check of
+    // lineitem→orders as a single left-outer pass. The report itself
+    // (violations, totals, pass flags) is the hashed artifact.
+    GraftQuery(
+      "q99_validation",
+      """WITH checks AS (
+        |  SELECT 'o_orderkey_not_null' AS check_name,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS violations,
+        |    COUNT(*) AS total FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey_unique',
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey), COUNT(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice_positive',
+        |    CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0
+        |             ELSE 1 END) AS BIGINT),
+        |    COUNT(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_status_domain',
+        |    CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+        |             THEN 0 ELSE 1 END) AS BIGINT),
+        |    COUNT(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'l_orderkey_ri',
+        |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(*)
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey)
+        |SELECT check_name, violations, total, violations = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.ValidationOps
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      ValidationOps.runChecks(orders, Seq(
+          "o_orderkey_not_null" -> ValidationOps.notNull($"o_orderkey"),
+          "o_orderkey_unique" -> ValidationOps.unique($"o_orderkey"),
+          "o_totalprice_positive" ->
+            ValidationOps.satisfies($"o_totalprice" > 0),
+          "o_status_domain" ->
+            ValidationOps.satisfies($"o_orderstatus".isin("O", "F", "P"))))
+        .unionByName(ValidationOps.riViolations(
+          lineitem, "l_orderkey", orders, "o_orderkey", "l_orderkey_ri"))
+        .orderBy($"check_name")
     })
 }

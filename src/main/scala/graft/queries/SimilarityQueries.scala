@@ -176,5 +176,51 @@ object SimilarityQueries {
           array_join(transform($"codes", _.cast("string")), ",")
             .as("codes_csv"))
         .orderBy($"vec_id")
+    },
+
+    // Quantized ANN serving path: top-k by exact INTEGER dot product
+    // over the int8 codes from q97 — scores are integers, so the whole
+    // ranking (not just a rounded projection of it) is engine-portable
+    // and hash-checked. Plan shape = bruteForceTopK: queries broadcast,
+    // corpus streams, per-query window top-k.
+    GraftQuery(
+      "q98_quantized_topk",
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, v -> abs(v))) AS maxabs
+        |  FROM embeddings),
+        |coded AS (
+        |  SELECT vec_id,
+        |    CASE WHEN maxabs = 0 OR maxabs IS NULL
+        |         THEN list_transform(embedding, v -> 0)
+        |         ELSE list_transform(embedding, v ->
+        |           CAST(floor(CAST(v AS DOUBLE) * 127.0
+        |                      / CAST(maxabs AS DOUBLE) + 0.5) AS INTEGER))
+        |    END AS codes
+        |  FROM q),
+        |scored AS (
+        |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(c.codes)),
+        |      i -> CAST(c.codes[i] AS BIGINT) * qq.codes[i])) AS BIGINT)
+        |      AS score_q
+        |  FROM coded c JOIN coded qq ON c.vec_id != qq.vec_id
+        |  WHERE qq.vec_id < 8),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_q DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, score_q, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      SimilarityOps.quantizedTopK(
+          e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5)
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          $"score_q", $"rank")
+        .orderBy($"query_id", $"rank")
     })
 }
