@@ -58,4 +58,37 @@ object LayoutOps {
       df: DataFrame, path: String, partCol: String): Unit =
     df.repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** Small-files compaction (the OPTIMIZE primitive): rewrite a parquet
+    * directory into ⌈total_bytes ∕ targetFileBytes⌉ evenly-sized files.
+    *
+    * A streaming/CDC sink that commits every few seconds strands
+    * thousands of KB-sized files per day; every downstream scan then
+    * pays one task + one footer read per file. Compaction restores
+    * scan-sized files. `repartition(n)` (round-robin shuffle) rather
+    * than `coalesce(n)`: coalesce skips the shuffle but glues adjacent
+    * input files together, inheriting their skew — compaction's whole
+    * point is predictable file sizes. Returns (filesBefore, filesAfter).
+    *
+    * Writes to `outPath` (never in place — readers of `inPath` are
+    * unaffected until the catalog/symlink flips, the standard
+    * compact-then-swap protocol).
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFileBytes: Long): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parquetFiles = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parquetFiles.map(_.getLen).sum
+    val n = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (parquetFiles.length, after)
+  }
 }

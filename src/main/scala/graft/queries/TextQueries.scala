@@ -296,5 +296,46 @@ object TextQueries {
       TextOps.tfIdfTopTerms(
           Tables.load(s, dir, "documents"), "doc_id", "text", k = 5)
         .orderBy($"doc_id", $"rank")
+    },
+
+    // BPE encoding with a fixed learned-merge list (incl. a fused-symbol
+    // merge sc+a): Spark runs the per-row left-fold (BpeOps.applyMerges,
+    // in-order non-overlapping); the oracle replays the SAME semantics
+    // as string replace over a double-pipe symbol encoding ("||a||b||",
+    // merge = replace('|a||b|','|ab|')) — left-to-right non-overlapping
+    // replace ≡ the fold, and the double separator keeps consecutive
+    // merge sites independent ("abab" fuses twice). Merge LEARNING
+    // (pair-count → argmax loop) is equivalence-tested against a
+    // sequential referee in BpeSpec — argmax-loop results aren't
+    // single-query SQL.
+    GraftQuery(
+      "q100_bpe_encode",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+        |  CAST(list_sum(list_transform(tk, w ->
+        |    len(list_filter(string_split(
+        |      replace(replace(replace(replace(
+        |        '||' || array_to_string(string_split(w, ''), '||') || '||',
+        |        '|s||c|', '|sc|'),
+        |        '|sc||a|', '|sca|'),
+        |        '|a||n|', '|an|'),
+        |        '|t||a|', '|ta|'),
+        |      '||'), x -> x <> '')))) AS BIGINT) AS n_pieces
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.BpeOps
+      val merges = Seq("s" -> "c", "sc" -> "a", "a" -> "n", "t" -> "a")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          filter(split($"text", "\\s+"), t => t =!= "").as("tk"))
+        .select($"doc_id", size($"tk").as("n_tokens"),
+          aggregate(
+            transform($"tk",
+              w => size(BpeOps.applyMerges(w, merges)).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_pieces"))
+        .orderBy($"doc_id")
     })
 }

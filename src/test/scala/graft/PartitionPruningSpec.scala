@@ -49,4 +49,35 @@ class PartitionPruningSpec extends SparkTestBase {
     val got = q.select($"day").as[String].collect().toSet
     assert(got.nonEmpty && got.forall(_ >= "2024-01-28"), got)
   }
+
+  test("compact: many small files rewritten into byte-targeted evenly-" +
+       "sized files; content identical; never fewer than 1 file") {
+    import graft.ops.LayoutOps
+    val smallDir = java.nio.file.Files
+      .createTempDirectory("graft_small").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString + "/out"
+    val src = Tables.load(spark, sfDir, "orders")
+    src.repartition(64).write.mode("overwrite").parquet(smallDir)
+    val fs = new org.apache.hadoop.fs.Path(smallDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs
+      .listStatus(new org.apache.hadoop.fs.Path(smallDir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    // target ~quarter of the data per file → expect ~4 output files
+    val (before, after) =
+      LayoutOps.compact(spark, smallDir, outDir, totalBytes / 4 + 1)
+    assert(before === 64)
+    assert(after >= 1 && after <= 8, s"got $after files")
+    assert(after < before)
+    // content survives the rewrite exactly
+    val a = spark.read.parquet(smallDir).orderBy("o_orderkey").collect()
+    val b = spark.read.parquet(outDir).orderBy("o_orderkey").collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    // degenerate: huge target still yields one file
+    val outDir2 = outDir + "2"
+    val (_, one) = LayoutOps.compact(spark, smallDir, outDir2, Long.MaxValue)
+    assert(one === 1)
+  }
 }

@@ -77,9 +77,13 @@ class PlansSpec extends SparkTestBase {
     // the DISTINCT name dictionary under an inequality — the dictionary
     // is vocabulary-sized regardless of corpus size (the fact table
     // never crosses itself).
+    // q98 is q35's shape over int8 codes: the 8-query broadcast side is
+    // small by construction, the corpus streams. q96 crosses with a
+    // ONE-row corpus-count aggregate (q74's bounds pattern).
     val bnljSanctioned =
       Set("q35_ann_topk", "q37_ivf_topk", "q74_forward_fill",
-        "q88_fuzzy_match", "q89_incremental_rollup")
+        "q88_fuzzy_match", "q89_incremental_rollup", "q96_tfidf_topk",
+        "q98_quantized_topk")
     for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
