@@ -571,6 +571,18 @@ object RelationalQueries {
       t(s, dir, "customer").createOrReplaceTempView("customer")
       t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql(RelationalSql.ExistsNotExists)
+    },
+
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    // suppliers per nation) — Catalyst decorrelates the limit into a
+    // partitioned window rank, not a per-row re-execution; identical
+    // SQL text runs on both engines (q73 pattern). Money compares in
+    // integer cents per the determinism contract.
+    GraftQuery("q101_lateral_topk", RelationalSql.LateralTopK) {
+      (s, dir) =>
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      s.sql(RelationalSql.LateralTopK)
     })
 }
 
@@ -588,4 +600,15 @@ private object RelationalSql {
       |    WHERE o2.o_custkey = c.c_custkey
       |      AND o2.o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
+
+  val LateralTopK: String =
+    """SELECT n.n_name, t.s_name, t.acctbal_cents
+      |FROM nation n, LATERAL (
+      |  SELECT s_name,
+      |    CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+      |  FROM supplier s
+      |  WHERE s.s_nationkey = n.n_nationkey
+      |  ORDER BY acctbal_cents DESC, s_name
+      |  LIMIT 2) t
+      |ORDER BY n.n_name, t.acctbal_cents DESC, t.s_name""".stripMargin
 }

@@ -151,6 +151,65 @@ object EventStreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** TTL-bounded streaming dedup via Spark 4's transformWithState — the
+    * arbitrary-state successor to mapGroupsWithState: typed per-key
+    * state handles (value/list/map) with store-managed TTL, so the
+    * seen-set ages out WITHOUT a watermark on the data (dedup horizon
+    * decouples from event-time disorder — the right contract for
+    * at-least-once CDC feeds, where a replay can arrive arbitrarily
+    * late by event time but duplicates cluster in processing time).
+    *
+    * State: one boolean ValueState per dedup key; RocksDB-backed
+    * (transformWithState requires the RocksDB provider — see
+    * StreamingSpec for the config) and TTL-evicted, so state size
+    * tracks the LIVE horizon, not stream lifetime. First occurrence
+    * of a key is emitted; later rows — same batch or later batches
+    * within the TTL — are suppressed.
+    */
+  final class TtlDedupProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, Event] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(
+        outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Event] =
+      if (seen.exists()) Iterator.empty
+      else { seen.update(true); rows.take(1) }
+  }
+
+  /** Dedup a typed event stream by an arbitrary key with TTL state.
+    *
+    * ttlMs > 0 → ProcessingTime time mode with store-managed TTL.
+    * Caveat: processing-time queries schedule timer micro-batches
+    * continuously — pair with a real trigger interval in production and
+    * don't drive them with processAllAvailable/AvailableNow in tests.
+    * ttlMs <= 0 → TimeMode.None, state never expires (exact dedup —
+    * only for bounded key domains; this is also the deterministic
+    * test-harness mode).
+    */
+  def dedupWithTtlState(
+      events: Dataset[Event],
+      keyFn: Event => String,
+      ttlMs: Long): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(keyFn)
+      .transformWithState(
+        new TtlDedupProcessor(ttlMs),
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Stream-static enrichment: left-join each micro-batch against a
     * static dimension on `key`, keeping streamed rows with no dim match
     * (null-extended) rather than dropping them mid-flight.

@@ -158,4 +158,61 @@ class StreamingSpec extends SparkTestBase {
       assert(rows(3L) === Some("basic"))
     } finally q.stop()
   }
+
+  test("transformWithState dedup: first occurrence emitted, duplicates " +
+       "suppressed within a batch AND across query RESTARTS (RocksDB " +
+       "state restored from checkpoint; TimeMode.None harness mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val conf = spark.conf
+    val savedProvider = conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_tws_ckpt").toString
+    val mem = MemoryStream[Event]
+    // ttlMs = 0 -> TimeMode.None: no timer micro-batches, so
+    // AvailableNow drains pending offsets and terminates
+    // deterministically (ProcessingTime mode schedules timer batches
+    // forever -- see the op's scaladoc). The second run restores the
+    // seen-set from the checkpoint -- cross-RESTART dedup, the
+    // stronger durability property.
+    // parquet sink, not memory: only fault-tolerant sinks support
+    // restart-from-checkpoint, which is the property under test
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_tws_out").toString + "/data"
+    def drain(): Seq[Long] = {
+      val q = EventStreamOps.dedupWithTtlState(
+          mem.toDS(), e => s"${e.user_id}|${e.event_type}",
+          ttlMs = 0L)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).select($"event_id")
+        .as[Long].collect().sorted.toSeq
+    }
+    try {
+      mem.addData(
+        Event(1, 10, "click", 1.0, ts(10)),
+        Event(2, 10, "click", 2.0, ts(11)), // same-batch dup
+        Event(3, 11, "view", 1.0, ts(12)))
+      assert(drain() === Seq(1L, 3L))
+      mem.addData(
+        Event(4, 10, "click", 3.0, ts(500)), // dup vs RESTORED state
+        Event(5, 10, "view", 1.0, ts(501)))  // new key
+      // cumulative file-sink contents: 4 suppressed via restored state
+      assert(drain() === Seq(1L, 3L, 5L))
+    } finally {
+      savedProvider match {
+        case Some(v) => conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
