@@ -173,4 +173,46 @@ object CurationOps {
       .filter(col("__gr") <= maxN)
       .drop("__h", "__b", "__lr", "__gr")
   }
+
+  /** Deterministic data-mixture sampling: downsample each class (source,
+    * domain, language, ...) toward target proportions — the training-mix
+    * step (Pile-style source weighting) between curation and packing.
+    *
+    * `weightsPpm(class)` is the class's target share of `nTarget` rows
+    * in parts-per-million. Per class: rate_ppm = min(1e6,
+    * nTarget·w_ppm ∕ count) in exact integer arithmetic, and a row
+    * survives iff polyhash(key:salt) mod 1e6 < rate_ppm — the same
+    * pure-hash contract as [[stratifiedSample]]/stableSplit, so the
+    * sample is reproducible across runs, partitionings, engines, and
+    * incremental corpus growth (only rate changes re-deal, not layout).
+    * Classes absent from the weight map are dropped (rate 0).
+    *
+    * Shape: one map-side-combined count per class (class-cardinality
+    * aggregate), broadcast back as rates, then a scan-speed hash
+    * filter. Oversubscribed classes (needed > available) cap at keep-
+    * everything; the realized mix then under-represents them — report
+    * via the returned rate column rather than silently resampling
+    * others.
+    */
+  def mixtureSample(
+      df: DataFrame, keyCol: String, classCol: String,
+      weightsPpm: Map[String, Long], nTarget: Long,
+      salt: String): DataFrame = {
+    require(nTarget > 0, "nTarget must be positive")
+    require(weightsPpm.values.forall(_ >= 0), "weights must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weightsPpm.toSeq.toDF(classCol, "__w_ppm")
+    val rates = df.groupBy(col(classCol))
+      .agg(count(lit(1)).as("__c"))
+      .join(w, Seq(classCol))
+      .withColumn("__rate_ppm",
+        least(lit(1000000L), expr(s"($nTarget * __w_ppm) div __c")))
+      .select(col(classCol), col("__rate_ppm"))
+    val h = pmod(TextOps.polyHash(
+      concat(col(keyCol).cast("string"), lit(":" + salt))), lit(1000000L))
+    df.join(broadcast(rates), Seq(classCol))
+      .filter(h < col("__rate_ppm"))
+      .drop("__rate_ppm")
+  }
 }

@@ -472,19 +472,59 @@ object CurationQueries {
         |    ON l.l_orderkey = o.o_orderkey)
         |SELECT check_name, violations, total, violations = 0 AS passed
         |FROM checks ORDER BY check_name""".stripMargin) { (s, dir) =>
+      runValidation(s, dir)
+    },
+
+    // Deterministic data-mixture sampling toward target source shares
+    // (Pile-style weighting): 15 weighted sources (two weight tiers),
+    // 5 unweighted sources dropped; exact-integer rates; pure-hash keep
+    // decision. The kept doc_id sum per source travels in the hash, so
+    // the exact kept SET (not just counts) is gate-checked.
+    GraftQuery(
+      "q102_data_mixture",
+      s"""WITH w(source, w_ppm) AS (VALUES
+         |  ${(0 until 10).map(i => s"('src$i', 60000)").mkString(", ")},
+         |  ${(10 until 15).map(i => s"('src$i', 80000)").mkString(", ")}),
+         |cnt AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+         |r AS (
+         |  SELECT w.source, LEAST(1000000, (300 * w_ppm) // c) AS rate_ppm
+         |  FROM w JOIN cnt ON w.source = cnt.source),
+         |kept AS (
+         |  SELECT d.source, d.doc_id
+         |  FROM documents d JOIN r ON d.source = r.source
+         |  WHERE ${duckPolyHash("CAST(doc_id AS VARCHAR) || ':mix1'")}
+         |        % 1000000 < r.rate_ppm)
+         |SELECT source, COUNT(*) AS n_kept,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
       import s.implicits._
-      import graft.ops.ValidationOps
-      val orders = Tables.load(s, dir, "orders")
-      val lineitem = Tables.load(s, dir, "lineitem")
-      ValidationOps.runChecks(orders, Seq(
-          "o_orderkey_not_null" -> ValidationOps.notNull($"o_orderkey"),
-          "o_orderkey_unique" -> ValidationOps.unique($"o_orderkey"),
-          "o_totalprice_positive" ->
-            ValidationOps.satisfies($"o_totalprice" > 0),
-          "o_status_domain" ->
-            ValidationOps.satisfies($"o_orderstatus".isin("O", "F", "P"))))
-        .unionByName(ValidationOps.riViolations(
-          lineitem, "l_orderkey", orders, "o_orderkey", "l_orderkey_ri"))
-        .orderBy($"check_name")
+      val weights: Map[String, Long] =
+        ((0 until 10).map(i => s"src$i" -> 60000L) ++
+          (10 until 15).map(i => s"src$i" -> 80000L)).toMap
+      CurationOps.mixtureSample(
+          Tables.load(s, dir, "documents"),
+          "doc_id", "source", weights, nTarget = 300L, salt = "mix1")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_ids"))
+        .orderBy($"source")
     })
+
+  private def runValidation(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    import graft.ops.ValidationOps
+    val orders = Tables.load(s, dir, "orders")
+    val lineitem = Tables.load(s, dir, "lineitem")
+    ValidationOps.runChecks(orders, Seq(
+        "o_orderkey_not_null" -> ValidationOps.notNull($"o_orderkey"),
+        "o_orderkey_unique" -> ValidationOps.unique($"o_orderkey"),
+        "o_totalprice_positive" ->
+          ValidationOps.satisfies($"o_totalprice" > 0),
+        "o_status_domain" ->
+          ValidationOps.satisfies($"o_orderstatus".isin("O", "F", "P"))))
+      .unionByName(ValidationOps.riViolations(
+        lineitem, "l_orderkey", orders, "o_orderkey", "l_orderkey_ri"))
+      .orderBy($"check_name")
+  }
 }

@@ -180,4 +180,39 @@ class CurationOpsSpec extends SparkTestBase {
       docs, "source", "doc_id", maxN = 1000000, "cap1", nBuckets = 8)
     assert(all.count() === docs.count(), "over-cap must be identity")
   }
+
+  test("mixtureSample: kept set matches a plain-Scala referee (same hash " +
+       "+ integer rates); unweighted classes dropped; oversubscribed " +
+       "class capped at keep-all; repartition-invariant") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source")
+    val weights: Map[String, Long] =
+      Map("src0" -> 100000L, "src1" -> 900000L, "src2" -> 0L)
+    val nTarget = 40L
+    def polyHash(str: String): Long =
+      str.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    val rows = docs.as[(Long, String)].collect()
+    val counts = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expect = rows.filter { case (id, src) =>
+      weights.get(src).exists { w =>
+        val rate = math.min(1000000L, nTarget * w / counts(src))
+        polyHash(s"$id:mixS") % 1000000L < rate
+      }
+    }.map(_._1).toSet
+    val got = CurationOps.mixtureSample(
+        docs, "doc_id", "source", weights, nTarget, "mixS")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expect)
+    // src1 at 900000 ppm wants 36 of 25 rows -> rate caps at 1e6 (all)
+    val bySrc = rows.filter(r => got(r._1)).groupBy(_._2)
+      .view.mapValues(_.length).toMap
+    assert(bySrc.get("src1").contains(counts("src1").toInt))
+    assert(!bySrc.contains("src2"), "zero-weight class dropped")
+    assert(!bySrc.keys.exists(k => !weights.contains(k)),
+      "unweighted classes dropped")
+    val got7 = CurationOps.mixtureSample(
+        docs.repartition(7), "doc_id", "source", weights, nTarget, "mixS")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got7 === got, "partitioning must not re-deal the sample")
+  }
 }
