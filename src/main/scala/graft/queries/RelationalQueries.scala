@@ -211,7 +211,7 @@ object RelationalQueries {
         |FROM orders o
         |LEFT JOIN (
         |  SELECT l_orderkey,
-        |    string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts,
+        |    string_agg(CAST(l_partkey AS STRING), ',' ORDER BY l_partkey) AS parts,
         |    COUNT(*) AS n_items
         |  FROM lineitem GROUP BY l_orderkey) a
         |ON o.o_orderkey = a.l_orderkey
@@ -473,7 +473,7 @@ object RelationalQueries {
         |    array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
         |      AS roles,
         |    array_to_string(list_sort(list(DISTINCT
-        |      CAST(o_orderkey AS VARCHAR))), ',') AS film_ids
+        |      CAST(o_orderkey AS STRING))), ',') AS film_ids
         |  FROM orders GROUP BY o_custkey) a ON a.o_custkey = c_custkey
         |ORDER BY id""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -502,8 +502,8 @@ object RelationalQueries {
         |LEFT JOIN (
         |  SELECT p_brand,
         |    string_agg(
-        |      CAST(p_partkey AS VARCHAR) || ':' || p_name || ':' ||
-        |        CAST(CAST(round(p_retailprice*100) AS BIGINT) AS VARCHAR),
+        |      CAST(p_partkey AS STRING) || ':' || p_name || ':' ||
+        |        CAST(CAST(round(p_retailprice*100) AS BIGINT) AS STRING),
         |      ',' ORDER BY p_name, p_partkey) AS films
         |  FROM part GROUP BY p_brand) a ON a.p_brand = b.p_brand
         |ORDER BY id""".stripMargin) { (s, dir) =>
@@ -583,6 +583,19 @@ object RelationalQueries {
       t(s, dir, "nation").createOrReplaceTempView("nation")
       t(s, dir, "supplier").createOrReplaceTempView("supplier")
       s.sql(RelationalSql.LateralTopK)
+    },
+
+    // Scalar-function conformance sweep (SURVEY §2.8): 20 string/date/
+    // math built-ins whose semantics are identical across engines, run
+    // as identical SQL text. Functions with engine-varying semantics
+    // are deliberately absent: round() ties (half-up vs half-away)
+    // appear only on positive cents where both agree, no DOW numbering
+    // (engines disagree on week origin), no transcendentals (ulp
+    // drift), dates leave as strings (dtype-sensitive gate).
+    GraftQuery("q103_scalar_suite", RelationalSql.ScalarSuite) {
+      (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(RelationalSql.ScalarSuite)
     })
 }
 
@@ -611,4 +624,33 @@ private object RelationalSql {
       |  ORDER BY acctbal_cents DESC, s_name
       |  LIMIT 2) t
       |ORDER BY n.n_name, t.acctbal_cents DESC, t.s_name""".stripMargin
+
+  val ScalarSuite: String =
+    """SELECT o_orderkey,
+      |  upper(o_orderpriority) AS s_upper,
+      |  lower(o_orderpriority) AS s_lower,
+      |  substr(o_orderpriority, 3) AS s_substr,
+      |  lpad(o_orderstatus, 5, '*') AS s_lpad,
+      |  rpad(o_orderstatus, 5, '.') AS s_rpad,
+      |  split_part(o_orderpriority, '-', 1) AS s_split,
+      |  translate(o_orderpriority, 'AEIOU', 'aeiou') AS s_translate,
+      |  repeat(o_orderstatus, 3) AS s_repeat,
+      |  reverse(o_orderpriority) AS s_reverse,
+      |  left(o_orderpriority, 4) AS s_left,
+      |  right(o_orderpriority, 3) AS s_right,
+      |  CAST(instr(o_orderpriority, '-') AS BIGINT) AS n_instr,
+      |  CAST(length(o_orderpriority) AS BIGINT) AS n_len,
+      |  CAST(levenshtein(o_orderstatus, 'OF') AS BIGINT) AS n_lev,
+      |  concat_ws('#', o_orderstatus, o_orderpriority) AS s_concat,
+      |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING)
+      |    AS d_trunc,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS STRING) AS d_lastday,
+      |  CAST(extract(year FROM o_orderdate) AS BIGINT) AS n_year,
+      |  CAST(extract(day FROM o_orderdate) AS BIGINT) AS n_day,
+      |  abs(CAST(round(o_totalprice * 100) AS BIGINT) - 10000000) AS n_abs,
+      |  greatest(CAST(round(o_totalprice * 100) AS BIGINT), 5000000)
+      |    AS n_greatest,
+      |  least(CAST(o_orderkey AS BIGINT) % 7, 3) AS n_least
+      |FROM orders WHERE o_orderkey < 300
+      |ORDER BY o_orderkey""".stripMargin
 }
