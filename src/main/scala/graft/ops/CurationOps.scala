@@ -194,6 +194,34 @@ object CurationOps {
     * via the returned rate column rather than silently resampling
     * others.
     */
+  /** Corpus-rarity scoring — the integer-portable analogue of unigram
+    * perplexity filtering: score = mean inverse corpus frequency of the
+    * document's tokens, in ppm (token with corpus count c contributes
+    * 1e6 ∕ c; all-rare gibberish → ~1e6, all-boilerplate → ~0). Both
+    * filtering tails are useful: high cut drops OCR noise / random
+    * strings, low cut drops templated boilerplate — same role as an LM
+    * perplexity filter, but exact integer arithmetic end to end (a real
+    * -log p would hash-drift on transcendental ulps; monotonicity in
+    * token frequency is what the filter needs).
+    *
+    * Shape: explode → vocabulary-sized frequency aggregate → equi-join
+    * back (AQE broadcasts it when small) → per-doc mean. No global
+    * window, no rank — scales as two shuffles on (term) and (doc).
+    */
+  def rarityScorePpm(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(TextOps.tokenize(col(textCol)), t => t =!= "")
+    val docTok = df.select(col(idCol), explode(toks).as("__term"))
+    val freq = docTok.groupBy(col("__term"))
+      .agg(count(lit(1)).as("__cnt"))
+    docTok.join(freq, Seq("__term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr("1000000 div __cnt")).as("__sum_inv"))
+      .withColumn("rarity_ppm", expr("__sum_inv div n_tokens"))
+      .drop("__sum_inv")
+  }
+
   def mixtureSample(
       df: DataFrame, keyCol: String, classCol: String,
       weightsPpm: Map[String, Long], nTarget: Long,

@@ -107,4 +107,26 @@ object TemporalOps {
       .groupBy(keys.map(col): _*)
       .agg(sum(col(sumCols.head)).as(sumCols.head),
         sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+
+  /** SCD2 interval build: turn a per-key version log (one row per
+    * version event) into validity intervals — valid_from = the row's
+    * timestamp, valid_to = the NEXT version's timestamp (null while
+    * current), is_current on the open row. The warehousing read shape
+    * for "what was true at time T" joins (pairs with [[asofJoin]],
+    * which consumes exactly such logs).
+    *
+    * One window over (key, ts, tiebreak) — a single shuffle on the key;
+    * the tiebreak column makes interval boundaries deterministic under
+    * same-timestamp versions.
+    */
+  def scd2Intervals(
+      df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

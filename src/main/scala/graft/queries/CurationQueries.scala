@@ -508,6 +508,29 @@ object CurationQueries {
         .groupBy($"source")
         .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_ids"))
         .orderBy($"source")
+    },
+
+    // Corpus-rarity scoring (integer perplexity-filter analogue): mean
+    // inverse corpus token frequency per doc, ppm. Both tails filter:
+    // high = gibberish/OCR noise, low = templated boilerplate.
+    GraftQuery(
+      "q105_rarity_score",
+      """WITH dt AS (
+        |  SELECT doc_id, u.term AS term
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'),
+        |            x -> x <> '') AS tk
+        |        FROM documents) t, UNNEST(tk) AS u(term)),
+        |f AS (SELECT term, COUNT(*) AS cnt FROM dt GROUP BY term)
+        |SELECT dt.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(1000000 // f.cnt) AS BIGINT) // COUNT(*) AS rarity_ppm
+        |FROM dt JOIN f USING (term)
+        |GROUP BY dt.doc_id
+        |ORDER BY dt.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      CurationOps.rarityScorePpm(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
     })
 
   private def runValidation(

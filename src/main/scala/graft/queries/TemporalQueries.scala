@@ -104,5 +104,37 @@ object TemporalQueries {
         .groupBy($"user_id", $"purchase_id")
         .agg(count($"t_us").as("n_clicks"), max($"t_us").as("last_click_us"))
         .orderBy($"user_id", $"purchase_id")
+    },
+
+    // SCD2 interval build: per-customer order-version log → validity
+    // intervals (valid_to = next version's ts, null while current) —
+    // the warehouse read shape that pairs with the as-of join (q43).
+    // Timestamps travel as integer micros; the open interval's null
+    // valid_to and the is_current flag are both in the hash.
+    GraftQuery(
+      "q104_scd2_intervals",
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+        |  epoch_us(o_orderdate) AS valid_from_us,
+        |  lead(epoch_us(o_orderdate), 1) OVER
+        |    (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate, o_orderkey) AS valid_to_us,
+        |  lead(epoch_us(o_orderdate), 1) OVER
+        |    (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, valid_from_us, o_orderkey""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import graft.ops.TemporalOps
+      TemporalOps.scd2Intervals(
+          Tables.load(s, dir, "orders").filter($"o_custkey" < 100),
+          "o_custkey", "o_orderdate", "o_orderkey")
+        .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+          // o_orderdate is TIMESTAMP_NTZ; UTC session tz makes the cast
+          // a no-op reinterpretation (q18's pattern)
+          unix_micros($"valid_from".cast("timestamp")).as("valid_from_us"),
+          unix_micros($"valid_to".cast("timestamp")).as("valid_to_us"),
+          $"is_current")
+        .orderBy($"o_custkey", $"valid_from_us", $"o_orderkey")
     })
 }
