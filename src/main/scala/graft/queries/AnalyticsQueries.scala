@@ -649,6 +649,24 @@ object AnalyticsQueries {
         .groupBy($"source")
         .agg(count(lit(1)).as("n"), sum($"n_chars").as("total_chars"))
         .orderBy($"source")
+    },
+
+    // Fixed-iteration integer PageRank over the order→part reference
+    // graph (importance scoring — the graph-analytics companion to
+    // q60's connected components). Every arithmetic step is BIGINT
+    // `div`, so the DuckDB oracle replays 3 unrolled iterations to the
+    // exact same values — floats would fold-order-drift. Top-100 ranks
+    // (value + id tiebreak) travel in the hash.
+    GraftQuery("q106_pagerank", AnalyticsSql.PageRank3) { (s, dir) =>
+      import s.implicits._
+      val edges = Tables.load(s, dir, "lineitem")
+        .select(
+          concat(lit("o"), $"l_orderkey".cast("string")).as("src"),
+          concat(lit("p"), $"l_partkey".cast("string")).as("dst"))
+        .distinct()
+      graft.ops.GraphOps.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy($"r".desc, $"id")
+        .limit(100)
     })
 }
 
@@ -674,4 +692,44 @@ private object AnalyticsSql {
       |SELECT h.h AS hr, COUNT(e.event_id) AS n_events
       |FROM hours h LEFT JOIN events e ON EXTRACT(HOUR FROM e.ts) = h.h
       |GROUP BY h.h ORDER BY h.h""".stripMargin
+
+  /** DuckDB replay of GraphOps.pageRank at 3 iterations: same BIGINT
+    * division order at every step (base uses mass//N FIRST, contrib is
+    * r//deg then summed, dangling redistributes as dang//N).
+    */
+  val PageRank3: String = {
+    val iterCtes = (1 to 3).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""dang$k AS (
+         |  SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dang FROM $prev
+         |  WHERE id NOT IN (SELECT src FROM deg)),
+         |in$k AS (
+         |  SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS in_sum
+         |  FROM e JOIN deg d ON e.src = d.src JOIN $prev p ON p.id = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT n.id, CAST(
+         |    (SELECT ((1000000 - 850000) * (1000000000000 // p.n)) // 1000000
+         |     FROM params p)
+         |    + (850000 * (COALESCE(i.in_sum, CAST(0 AS BIGINT))
+         |       + (SELECT d.dang // p.n FROM dang$k d, params p)))
+         |      // 1000000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN in$k i ON n.id = i.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT 'o' || CAST(l_orderkey AS STRING) AS src,
+       |    'p' || CAST(l_partkey AS STRING) AS dst
+       |  FROM lineitem),
+       |nodes AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |params AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (
+       |  SELECT id, (SELECT 1000000000000 // p.n FROM params p) AS r
+       |  FROM nodes),
+       |$iterCtes
+       |SELECT id, r FROM r3
+       |ORDER BY r DESC, id LIMIT 100""".stripMargin
+  }
 }

@@ -87,4 +87,32 @@ class GraphOpsSpec extends SparkTestBase {
     assert(a === b)
     assert(a === Seq((3L, 3L), (4L, 3L), (9L, 3L), (12L, 12L), (15L, 12L)))
   }
+
+  test("pageRank: hub outranks leaves, mass approximately conserved " +
+       "(div truncation only), dangling sink absorbs and redistributes, " +
+       "repartition-invariant") {
+    // star into "hub" (dangling sink) + a 2-chain off to the side
+    val edges = Seq(
+      ("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"),
+      ("x", "y")).toDF("src", "dst")
+    val ranks = GraphOps.pageRank(edges, "src", "dst", iters = 3)
+      .as[(String, Long)].collect().toMap
+    val mass = 1000000000000L
+    assert(ranks.size === 7)
+    val hub = ranks("hub")
+    // the hub receives 4 spokes' mass; everything else must rank below
+    assert(ranks.filter(_._1 != "hub").values.forall(_ < hub),
+      ranks.toString)
+    // y receives one spoke -> above sources
+    assert(ranks("y") > ranks("a"))
+    // mass conservation up to div truncation (each div loses < 1 unit
+    // per row per step; 7 nodes x 3 iters x 3 divs is < 100 units, be
+    // generous and allow 1e6 slack on 1e12)
+    val total = ranks.values.sum
+    assert(total <= mass && total > mass - 1000000L, s"total=$total")
+    val again = GraphOps.pageRank(
+        edges.repartition(5), "src", "dst", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(again === ranks, "partitioning must not change integer ranks")
+  }
 }
