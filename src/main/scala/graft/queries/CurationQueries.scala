@@ -531,6 +531,70 @@ object CurationQueries {
       CurationOps.rarityScorePpm(
           Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy($"doc_id")
+    },
+
+    // Training-data pipeline v2 — the round-4 ops COMPOSED end to end:
+    // rarity filter (keep below-median boilerplate+common half) →
+    // 32-token chunking (no overlap) → pack chunks into 256-token
+    // training sequences via range-partitioned prefix sums. Per-seq
+    // chunk counts and token sums travel in the hash, so the whole
+    // chained dataflow (filter set, chunk boundaries, global offsets,
+    // sequence assignment) is checked as one artifact.
+    GraftQuery(
+      "q107_pipeline_v2",
+      """WITH dt AS (
+        |  SELECT doc_id, u.term AS term
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'),
+        |            x -> x <> '') AS tk
+        |        FROM documents) t, UNNEST(tk) AS u(term)),
+        |f AS (SELECT term, COUNT(*) AS cnt FROM dt GROUP BY term),
+        |rar AS (
+        |  SELECT dt.doc_id,
+        |    CAST(SUM(1000000 // f.cnt) AS BIGINT) // COUNT(*) AS rarity_ppm
+        |  FROM dt JOIN f USING (term) GROUP BY dt.doc_id),
+        |kept AS (
+        |  SELECT d.doc_id,
+        |    list_filter(string_split_regex(d.text, '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents d JOIN rar ON d.doc_id = rar.doc_id
+        |  WHERE rar.rarity_ppm < 1105),
+        |c AS (
+        |  SELECT doc_id, tk,
+        |    CASE WHEN len(tk) <= 32 THEN 1
+        |         ELSE 1 + (len(tk) - 32 + 31) // 32 END AS nchunks
+        |  FROM kept),
+        |e AS (
+        |  SELECT doc_id, tk, CAST(u.k AS INTEGER) AS chunk_id
+        |  FROM c, UNNEST(generate_series(0, nchunks - 1)) AS u(k)),
+        |ch AS (
+        |  SELECT doc_id, chunk_id,
+        |    CAST(len(tk[chunk_id*32 + 1 : chunk_id*32 + 32]) AS BIGINT)
+        |      AS n_tok
+        |  FROM e),
+        |o AS (
+        |  SELECT doc_id, chunk_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id, chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS token_start
+        |  FROM ch)
+        |SELECT CAST(token_start // 256 AS BIGINT) AS seq_id,
+        |  COUNT(*) AS n_chunks, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val keptIds = CurationOps.rarityScorePpm(docs, "doc_id", "text")
+        .filter($"rarity_ppm" < 1105).select("doc_id")
+      val chunks = TextOps.chunkDocs(
+          docs.join(keptIds, "doc_id"), "doc_id", "text",
+          maxTokens = 32, overlap = 0)
+        .select($"doc_id", $"chunk_id", $"n_tokens".cast("long").as("n_tok"))
+      IdOps.packIntoSequences(
+          chunks, "n_tok", 256L, "token_start", "seq_id",
+          "doc_id", "chunk_id")
+        .groupBy($"seq_id")
+        .agg(count(lit(1)).as("n_chunks"), sum($"n_tok").as("sum_tokens"))
+        .orderBy($"seq_id")
     })
 
   private def runValidation(
