@@ -92,30 +92,39 @@ object GraphOps {
       iters: Int, dampingPpm: Long = 850000L,
       mass: Long = 1000000000000L): DataFrame = {
     require(iters >= 0 && dampingPpm >= 0 && dampingPpm <= 1000000L)
+    // Static tables checkpoint ONCE; the dangling-mass scalar joins
+    // into the plan as a broadcast 1-row aggregate, so each iteration
+    // is a single action (the checkpoint) — no per-round driver
+    // collect, no recomputed degree aggregate.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     val n = nodes.count()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val danglingIds = nodes
+      .join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint()
+    // degree folds into the edge table once — not re-joined per round
+    val eDeg = e.join(outDeg, Seq("src")).localCheckpoint()
     val base = ((1000000L - dampingPpm) * (mass / n)) / 1000000L
     var ranks = nodes.withColumn("r", lit(mass / n)).localCheckpoint()
     for (_ <- 1 to iters) {
-      val dangling = ranks
-        .join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L))).head.getLong(0)
-      val inSums = e
-        .join(outDeg, Seq("src"))
+      val dang = ranks.join(danglingIds, Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("__dang"))
+      val inSums = eDeg
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .withColumn("c", expr("r div deg"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("in_sum"))
       ranks = nodes.join(inSums, Seq("id"), "left_outer")
+        .crossJoin(broadcast(dang))
         .select(col("id"),
           // BIGINT `div` end to end — Column./ and .divide are DOUBLE
           // true division and would break the integer contract
           expr(s"$base + ($dampingPpm * (coalesce(in_sum, " +
-              s"CAST(0 AS BIGINT)) + ${dangling / n})) div 1000000")
+              s"CAST(0 AS BIGINT)) + __dang div $n)) div 1000000")
             .as("r"))
         .localCheckpoint()
     }

@@ -79,11 +79,14 @@ class PlansSpec extends SparkTestBase {
     // never crosses itself).
     // q98 is q35's shape over int8 codes: the 8-query broadcast side is
     // small by construction, the corpus streams. q96 crosses with a
-    // ONE-row corpus-count aggregate (q74's bounds pattern).
+    // ONE-row corpus-count aggregate (q74's bounds pattern), and q106
+    // crosses each PageRank iteration with its ONE-row dangling-mass
+    // aggregate (same pattern — in-plan scalar instead of a per-round
+    // driver collect).
     val bnljSanctioned =
       Set("q35_ann_topk", "q37_ivf_topk", "q74_forward_fill",
         "q88_fuzzy_match", "q89_incremental_rollup", "q96_tfidf_topk",
-        "q98_quantized_topk")
+        "q98_quantized_topk", "q106_pagerank")
     for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
