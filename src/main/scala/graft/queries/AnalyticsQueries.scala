@@ -667,6 +667,73 @@ object AnalyticsQueries {
       graft.ops.GraphOps.pageRank(edges, "src", "dst", iters = 3)
         .orderBy($"r".desc, $"id")
         .limit(100)
+    },
+
+    // JSONL sink+source round trip (the interchange format of every
+    // data-pipeline handoff): write documents as JSON lines, read back
+    // with an explicit schema (schema-on-read — no inference pass at
+    // scale), aggregate. Oracle runs the same aggregate on the ORIGINAL
+    // table, so the gate checks write→read fidelity of values, not
+    // plan shape (q90's pattern for the partitioned-parquet layout).
+    GraftQuery(
+      "q108_jsonl_roundtrip",
+      """SELECT source, lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_len
+        |FROM documents
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"/tmp/graft_q108_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.load(s, dir, "documents")
+        .write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(path)
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("total_chars"),
+          sum(length($"text")).as("total_len"))
+        .orderBy($"source", $"lang")
+    },
+
+    // CSV sink+source round trip with explicit schema + ISO timestamp
+    // format: numeric, string, and timestamp fidelity all checked via
+    // the original-table oracle (timestamps compare as integer micros).
+    GraftQuery(
+      "q109_csv_roundtrip",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS total_c,
+        |  CAST(SUM(epoch_us(o_orderdate)) AS BIGINT) AS sum_ts_us
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"/tmp/graft_q109_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      Tables.load(s, dir, "orders")
+        .write.mode("overwrite")
+        .option("header", "true").option("timestampNTZFormat", fmt)
+        .csv(path)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampNTZType),
+        StructField("o_orderpriority", StringType)))
+      s.read.schema(schema)
+        .option("header", "true").option("timestampNTZFormat", fmt)
+        .csv(path)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"o_totalprice" * 100, 0).cast("long")).as("total_c"),
+          sum(unix_micros($"o_orderdate".cast("timestamp"))).as("sum_ts_us"))
+        .orderBy($"o_orderstatus")
     })
 }
 
