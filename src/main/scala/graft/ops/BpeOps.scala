@@ -97,9 +97,14 @@ object BpeOps {
   }
 
   /** Tokenize a word column with a learned merge list: split to chars,
-    * then apply each merge in learned order (k chained folds — pure
-    * per-row expression, no shuffle; the runtime path for encoding a
-    * corpus with a trained tokenizer).
+    * then apply each merge in learned order as chained folds — pure
+    * per-row expression, no shuffle.
+    *
+    * Expression depth grows with |merges|, so this is the SMALL-list
+    * encode path (gate demos, ablations, sub-hundred merge tables); a
+    * production tokenizer with 30k+ merges would blow the expression
+    * tree and belongs in a broadcast-trie `mapPartitions` encoder —
+    * same output contract, swap point documented here on purpose.
     */
   def applyMerges(word: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(filter(split(word, ""), s => s =!= "")) {

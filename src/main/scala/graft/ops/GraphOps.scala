@@ -103,6 +103,8 @@ object GraphOps {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     val n = nodes.count()
+    // empty graph → empty ranks (not a divide-by-zero on mass/N)
+    if (n == 0) return nodes.withColumn("r", lit(0L))
     val danglingIds = nodes
       .join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti")
       .localCheckpoint()

@@ -78,6 +78,10 @@ object LayoutOps {
       spark: org.apache.spark.sql.SparkSession, inPath: String,
       outPath: String, targetFileBytes: Long): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(
+      new java.io.File(outPath).getCanonicalPath !=
+        new java.io.File(inPath).getCanonicalPath,
+      "compact never rewrites in place — write to a new dir and swap")
     val fs = new org.apache.hadoop.fs.Path(inPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parquetFiles = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))

@@ -18,32 +18,42 @@ import org.apache.spark.sql.functions._
   */
 object ValidationOps {
 
-  /** violations += 1 where `c` is null. */
-  def notNull(c: Column): Column = sum(when(c.isNull, 1L).otherwise(0L))
+  /** violations += 1 where `c` is null. (Coalesced: an EMPTY table has
+    * zero violations, not a NULL sum — empty partitions are routine.)
+    */
+  def notNull(c: Column): Column =
+    coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L))
 
   /** violations += 1 where the predicate FAILS (null counts as fail —
     * SQL three-valued logic would otherwise let nulls slip through).
     */
   def satisfies(pred: Column): Column =
-    sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+    coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)),
+      lit(0L))
 
   /** violations = rows − distinct keys (0 ⇔ key is unique). */
   def unique(cols: Column*): Column =
     count(lit(1)) - count_distinct(cols.head, cols.tail: _*)
 
-  /** Run a suite of aggregate checks in one pass over `df`. */
+  /** Run a suite of aggregate checks in one pass over `df`.
+    *
+    * Check names are carried as LITERALS (never spliced into SQL text
+    * or used as column identifiers), so any string — quotes, spaces,
+    * dots — is a valid check name.
+    */
   def runChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
-    val aggs = checks.map { case (n, c) => c.as(s"v_$n") } :+
+    val aggs = checks.zipWithIndex.map { case ((_, c), i) => c.as(s"__v$i") } :+
       count(lit(1)).as("__total")
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = checks
-      .map { case (n, _) => s"'$n', v_$n" }.mkString(", ")
-    row.select(
-        expr(s"stack(${checks.size}, $stackArgs) AS (check_name, violations)"),
+    val entries = checks.zipWithIndex.map { case ((n, _), i) =>
+      struct(lit(n).as("check_name"), col(s"__v$i").as("violations"))
+    }
+    row.select(explode(array(entries: _*)).as("e"),
         col("__total").as("total"))
-      .select(col("check_name"), col("violations"), col("total"),
-        (col("violations") === 0L).as("passed"))
+      .select(col("e.check_name").as("check_name"),
+        col("e.violations").as("violations"), col("total"),
+        (col("e.violations") === 0L).as("passed"))
   }
 
   /** Referential integrity: rows of `child` whose `childKey` has no
@@ -64,7 +74,8 @@ object ValidationOps {
         col(childKey) === col(parentKey), "left_outer")
       .agg(
         count(lit(1)).as("total"),
-        sum(when(col(parentKey).isNull, 1L).otherwise(0L)).as("violations"))
+        coalesce(sum(when(col(parentKey).isNull, 1L).otherwise(0L)),
+          lit(0L)).as("violations"))
       .select(lit(name).as("check_name"), col("violations"), col("total"),
         (col("violations") === 0L).as("passed"))
 }

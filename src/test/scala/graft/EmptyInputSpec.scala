@@ -68,4 +68,39 @@ class EmptyInputSpec extends SparkTestBase {
     assert(DedupOps.sharedShingleCountsBounded(sh, "doc_id", "sh", 500)
       .count() === 0)
   }
+
+  test("round-4 ops: empty corpora/graphs/query sets degrade to empty") {
+    // pageRank: empty edge set -> empty ranks, no divide-by-zero on N
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(GraphOps.pageRank(noEdges, "src", "dst", iters = 3)
+      .count() === 0)
+    // chunking / tf-idf / rarity / mixture over an empty corpus
+    assert(TextOps.chunkDocs(noDocs, "doc_id", "text", 32, 8)
+      .count() === 0)
+    assert(TextOps.tfIdfTopTerms(noDocs, "doc_id", "text", 5)
+      .count() === 0)
+    assert(CurationOps.rarityScorePpm(noDocs, "doc_id", "text")
+      .count() === 0)
+    assert(CurationOps.mixtureSample(
+      noDocs, "doc_id", "text", Map("en" -> 500000L), 10L, "s")
+      .count() === 0)
+    // BPE learning on an empty corpus: zero merges, no error
+    assert(BpeOps.learnMerges(noDocs, "text", 5) === Seq.empty)
+    // quantized ANN with an empty query set / empty corpus
+    val corpus = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val noQ = Seq.empty[(Long, Seq[Float])].toDF("query_id", "qvec")
+    assert(SimilarityOps.quantizedTopK(
+      corpus, "vec_id", "embedding", noQ, "query_id", "qvec", 3)
+      .count() === 0)
+    assert(SimilarityOps.quantizedTopK(
+      noVecs, "vec_id", "embedding",
+      corpus.select($"vec_id".as("query_id"), $"embedding".as("qvec")),
+      "query_id", "qvec", 3).count() === 0)
+    // validation on an empty table: checks run, totals are zero, pass
+    val emptyOrders = Seq.empty[(Long, Double)].toDF("k", "price")
+    val rep = ValidationOps.runChecks(emptyOrders,
+      Seq("k_not_null" -> ValidationOps.notNull($"k"))).collect().head
+    assert(rep.getLong(1) === 0L && rep.getLong(2) === 0L &&
+      rep.getBoolean(3))
+  }
 }
