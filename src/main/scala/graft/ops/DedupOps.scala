@@ -274,4 +274,45 @@ object DedupOps {
         jaccardMilli(col("sh_a"), col("sh_b")).as("jaccard_milli"))
       .filter(col("jaccard_milli") >= thresholdMilli)
   }
+
+  /** Exact-substring span removal (the RefinedWeb exact-substring
+    * dedup rule, token granularity): delete every token covered by a
+    * k-token span whose exact text occurs MORE THAN ONCE corpus-wide
+    * (both cross-document AND within-document repeats — both copies
+    * are cut, matching the published rule). Document-level near-dup
+    * removal (MinHash and friends) misses long verbatim quotes inside
+    * otherwise-distinct pages; this is the complementary pass.
+    *
+    * Shape: positional k-shingle hashes (one codegen'd pass; index =
+    * start token), map-side-combined occurrence counts, semi-join of
+    * occurrences against the >1 hash set (AQE splits hot boilerplate
+    * hashes), per-doc duplicated-start lists (bounded by doc length),
+    * then a pure per-row coverage filter — token j survives iff no
+    * duplicated span starts in (j−k, j]. The per-row filter is
+    * O(tokens × dup-starts) worst case, bounded by doc length².
+    */
+  def dropDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "span width must be >= 1")
+    val withSh = df.select(col(idCol),
+      TextOps.tokenize(col(textCol)).as("__toks"),
+      graft.functions.GraftColumns.shingleHash(col(textCol), k).as("__sh"))
+    val occ = withSh.select(col(idCol),
+      posexplode(col("__sh")).as(Seq("start", "h")))
+    val dupH = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val dupStarts = occ.join(dupH, Seq("h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("start")).as("__dups"))
+    withSh.join(dupStarts, Seq(idCol), "left_outer")
+      .withColumn("__dups",
+        coalesce(col("__dups"), array().cast("array<int>")))
+      .withColumn("__kept",
+        filter(col("__toks"), (t, j) =>
+          !exists(col("__dups"), s => s <= j && j < s + lit(k))))
+      .select(col(idCol),
+        size(col("__toks")).as("n_tokens"),
+        size(col("__kept")).as("n_kept"),
+        array_join(col("__kept"), " ").as("cleaned_text"))
+  }
 }

@@ -241,5 +241,45 @@ object DedupQueries {
               transform(TextOps.tokenize($"text"), TextOps.polyHash(_))))
             .as("simhash"))
         .orderBy($"doc_id")
+    },
+
+    // Exact-substring span removal (RefinedWeb rule): any 5-token span
+    // occurring more than once corpus-wide is cut from every document
+    // holding it. The full cleaned text travels in the hash. NB DuckDB
+    // list lambdas with an index arg are 1-based (Spark's 0-based) —
+    // the oracle offsets with j-1.
+    GraftQuery(
+      "q110_span_dedup",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, u.i - 1 AS start,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(array_to_string(tk[u.i:u.i+4], ' '), ''),
+        |        c -> ascii(c))),
+        |      (a, x) -> (a*31 + x) % 1000000007) AS h
+        |  FROM t, UNNEST(generate_series(1, len(tk) - 4)) AS u(i)),
+        |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1),
+        |d AS (
+        |  SELECT doc_id, list(start) AS dups
+        |  FROM sh WHERE h IN (SELECT h FROM dup)
+        |  GROUP BY doc_id),
+        |cleaned AS (
+        |  SELECT t.doc_id, t.tk,
+        |    list_filter(t.tk, (tok, j) ->
+        |      len(list_filter(COALESCE(d.dups, CAST([] AS BIGINT[])),
+        |        s -> s <= j - 1 AND j - 1 < s + 5)) = 0) AS kept
+        |  FROM t LEFT JOIN d ON t.doc_id = d.doc_id)
+        |SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+        |  CAST(len(kept) AS INTEGER) AS n_kept,
+        |  -- array_to_string([]) is NULL in DuckDB, '' in Spark
+        |  COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+        |FROM cleaned ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      DedupOps.dropDuplicatedSpans(
+          Tables.load(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy($"doc_id")
     })
 }

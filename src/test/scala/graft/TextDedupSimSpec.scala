@@ -286,4 +286,31 @@ class TextDedupSimSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(a === b, "broadcast and shuffle candidate plans must agree")
   }
+
+  test("dropDuplicatedSpans: a verbatim cross-doc quote is cut from " +
+       "BOTH holders, a within-doc repeat is cut twice, unique text " +
+       "survives untouched, short docs never produce spans") {
+    val quote = "alpha beta gamma delta epsilon" // one exact 5-token span
+    val docs = Seq(
+      (1L, s"unique one two three $quote tail1 tail2"),
+      (2L, s"other opening words here $quote closer"),
+      (3L, "fully unique document with no repeats at all"),
+      (4L, s"$quote filler1 filler2 filler3 filler4 $quote"),
+      (5L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.DedupOps
+      .dropDuplicatedSpans(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // docs 1 and 2: the quote's 5 tokens vanish, the rest survives
+    assert(out(1L)._3 === "unique one two three tail1 tail2")
+    assert(out(2L)._3 === "other opening words here closer")
+    // untouched doc
+    assert(out(3L)._3 === "fully unique document with no repeats at all")
+    assert(out(3L)._1 === out(3L)._2)
+    // within-doc repeat: both copies cut
+    assert(out(4L)._3 === "filler1 filler2 filler3 filler4")
+    // sub-k doc: no spans possible
+    assert(out(5L)._3 === "tiny doc")
+  }
 }
