@@ -298,6 +298,69 @@ object TextQueries {
         .orderBy($"doc_id", $"rank")
     },
 
+    // Count-min sketch (4×256, portable hashes): build over every
+    // corpus token, probe the true top-20 terms, and gate BOTH the
+    // upper-bound property (est ≥ true for every probe) and the exact
+    // estimate values — deterministic hashes make even the collision
+    // error engine-reproducible, which is what lets an approximate
+    // structure pass an exact hash gate.
+    GraftQuery(
+      "q111_countmin",
+      """WITH tok AS (
+        |  SELECT u.term AS term
+        |  FROM (SELECT list_filter(string_split_regex(text, '\s+'),
+        |          x -> x <> '') AS tk
+        |        FROM documents) t, UNNEST(tk) AS u(term)),
+        |truec AS (SELECT term, COUNT(*) AS true_c FROM tok GROUP BY term),
+        |probes AS (
+        |  SELECT term, true_c FROM (
+        |    SELECT *, row_number() OVER (ORDER BY true_c DESC, term) AS rk
+        |    FROM truec)
+        |  WHERE rk <= 20),
+        |cells AS (
+        |  SELECT g.r,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(term || ':cm1:' || CAST(g.r AS STRING), ''),
+        |        c -> ascii(c))),
+        |      (a, x) -> (a*31 + x) % 1000000007) % 256 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM tok, UNNEST(generate_series(0, 3)) AS g(r)
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT p.term, p.true_c,
+        |    MIN(COALESCE(c.cnt, 0)) AS est_c
+        |  FROM (SELECT term, true_c, u.r AS r,
+        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(
+        |              string_split(term || ':cm1:' || CAST(u.r AS STRING), ''),
+        |              c -> ascii(c))),
+        |            (a, x) -> (a*31 + x) % 1000000007) % 256 AS bucket
+        |        FROM probes, UNNEST(generate_series(0, 3)) AS u(r)) p
+        |  LEFT JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+        |  GROUP BY p.term, p.true_c)
+        |SELECT term, true_c, CAST(est_c AS BIGINT) AS est_c,
+        |  est_c >= true_c AS upper_bound_ok
+        |FROM est ORDER BY term""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.SketchOps
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(filter(TextOps.tokenize($"text"), t => t =!= ""))
+          .as("term"))
+      val truec = toks.groupBy($"term").agg(count(lit(1)).as("true_c"))
+      val probes = truec
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"true_c".desc, $"term")))
+        .filter($"rk" <= 20).drop("rk")
+      val sketch = SketchOps.countMinSketch(toks, "term", 4, 256, "cm1")
+      SketchOps.countMinEstimate(sketch, probes, "term", 4, 256, "cm1")
+        .join(probes, "term")
+        .select($"term", $"true_c", $"est".as("est_c"),
+          ($"est" >= $"true_c").as("upper_bound_ok"))
+        .orderBy($"term")
+    },
+
     // BPE encoding with a fixed learned-merge list (incl. a fused-symbol
     // merge sc+a): Spark runs the per-row left-fold (BpeOps.applyMerges,
     // in-order non-overlapping); the oracle replays the SAME semantics

@@ -49,4 +49,36 @@ class SketchOpsSpec extends SparkTestBase {
         s"$t: approx=${approx(t)} allowed=[${window.min},${window.max}]")
     }
   }
+
+  test("count-min sketch: never under-counts, exact for collision-free " +
+       "terms, and merges algebraically (sketch(A++B) == cellwise " +
+       "sum of sketches)") {
+    import graft.ops.SketchOps
+    val rnd = new scala.util.Random(7)
+    val a = Seq.fill(400)(s"w${rnd.nextInt(30)}").toDF("term")
+    val b = Seq.fill(300)(s"w${rnd.nextInt(50)}").toDF("term")
+    val (d, w, salt) = (4, 64, "cmSpec")
+    val skA = SketchOps.countMinSketch(a, "term", d, w, salt)
+    val skB = SketchOps.countMinSketch(b, "term", d, w, salt)
+    val skAll = SketchOps.countMinSketch(
+      a.unionByName(b), "term", d, w, salt)
+    // algebraic merge: union + re-sum cells equals the one-shot sketch
+    val merged = skA.unionByName(skB)
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    assert(merged.as[(Int, Long, Long)].collect().toSet ===
+      skAll.as[(Int, Long, Long)].collect().toSet)
+    // estimates: upper bound for every term; exact when no collision
+    val truth = a.unionByName(b).groupBy("term").count()
+      .as[(String, Long)].collect().toMap
+    val probes = truth.keys.toSeq.toDF("term")
+    val est = SketchOps.countMinEstimate(
+      skAll, probes, "term", d, w, salt)
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (t, c) =>
+      assert(est(t) >= c, s"under-count for $t")
+    }
+    // with 50 distinct terms in 4x64 buckets most estimates are exact
+    val exact = truth.count { case (t, c) => est(t) == c }
+    assert(exact >= truth.size / 2, s"only $exact/${truth.size} exact")
+  }
 }
