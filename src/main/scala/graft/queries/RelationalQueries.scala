@@ -596,6 +596,44 @@ object RelationalQueries {
       (s, dir) =>
       t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql(RelationalSql.ScalarSuite)
+    },
+
+    // Map-type operators (§2.8 map minting/lookup): per-customer
+    // status→count maps via map_from_entries, read back with
+    // map_keys/map_entries/element_at. Maps can't travel to the gate
+    // (pandas can't sort dict cells — same reason as q17/A6), so the
+    // surface is the entry list sorted and stringified; the DuckDB
+    // oracle computes the identical strings relationally.
+    GraftQuery(
+      "q113_map_funcs",
+      """WITH sc AS (
+        |  SELECT o_custkey, o_orderstatus AS st, COUNT(*) AS cnt
+        |  FROM orders WHERE o_custkey < 50
+        |  GROUP BY o_custkey, o_orderstatus)
+        |SELECT o_custkey,
+        |  CAST(COUNT(*) AS INTEGER) AS n_keys,
+        |  string_agg(st || ':' || CAST(cnt AS STRING), ',' ORDER BY st)
+        |    AS entries_csv,
+        |  string_agg(st, ',' ORDER BY st) AS keys_csv,
+        |  CAST(COALESCE(MAX(CASE WHEN st = 'O' THEN cnt END), 0) AS BIGINT)
+        |    AS n_open
+        |FROM sc GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders").filter($"o_custkey" < 50)
+        .groupBy($"o_custkey", $"o_orderstatus").count()
+        .groupBy($"o_custkey")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct($"o_orderstatus", $"count"))))
+          .as("m"))
+        .select($"o_custkey",
+          size($"m").as("n_keys"),
+          array_join(transform(map_entries($"m"), e =>
+            concat(e.getField("key"), lit(":"),
+              e.getField("value").cast("string"))), ",").as("entries_csv"),
+          array_join(map_keys($"m"), ",").as("keys_csv"),
+          coalesce(element_at($"m", "O"), lit(0L)).as("n_open"))
+        .orderBy($"o_custkey")
     })
 }
 

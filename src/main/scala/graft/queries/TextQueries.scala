@@ -361,6 +361,57 @@ object TextQueries {
         .orderBy($"term")
     },
 
+    // Higher-order-function sweep (§2.8 array lambdas, gated
+    // explicitly): transform / filter / aggregate-fold / zip_with /
+    // exists / forall / array_sort over the token array, all reduced
+    // to integers or booleans. DuckDB's list lambdas mirror each
+    // (NB list_reduce needs the seed prepended; index args are
+    // 1-based there, 0-based in Spark — avoided here entirely).
+    GraftQuery(
+      "q112_hof_suite",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(tk, w -> len(w))) AS BIGINT)
+        |    AS total_len,
+        |  CAST(len(list_filter(tk, w -> len(w) > 4)) AS INTEGER) AS n_long,
+        |  CAST(list_reduce(list_prepend(CAST(1 AS BIGINT),
+        |      list_transform(tk, w -> CAST(len(w) AS BIGINT))),
+        |    (a, x) -> (a * (x + 1)) % 1000003) AS BIGINT) AS len_fold,
+        |  CAST(list_sum(list_transform(
+        |      list_zip(tk, list_reverse_sort(tk)),
+        |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS BIGINT)
+        |    AS n_fixed,
+        |  len(list_filter(tk, w -> w = 'the')) > 0 AS has_the,
+        |  len(list_filter(tk, w -> len(w) >= 1)) = len(tk) AS all_nonempty,
+        |  array_to_string(list_sort(list_distinct(
+        |    list_transform(tk, w -> w[1:1]))), '') AS initials
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tk = filter(TextOps.tokenize($"text"), t => t =!= "")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", tk.as("tk"))
+        .select($"doc_id",
+          aggregate(transform($"tk", w => length(w).cast("long")),
+            lit(0L), (a, x) => a + x).as("total_len"),
+          size(filter($"tk", w => length(w) > 4)).as("n_long"),
+          aggregate(transform($"tk", w => length(w).cast("long")),
+            lit(1L), (a, x) => (a * (x + lit(1L))) % lit(1000003L))
+            .as("len_fold"),
+          aggregate(
+            zip_with($"tk", reverse(array_sort($"tk")),
+              (a, b) => when(a === b, 1L).otherwise(0L)),
+            lit(0L), (a, x) => a + x).as("n_fixed"),
+          exists($"tk", w => w === "the").as("has_the"),
+          forall($"tk", w => length(w) >= 1).as("all_nonempty"),
+          array_join(array_sort(array_distinct(
+            transform($"tk", w => substring(w, 1, 1)))), "")
+            .as("initials"))
+        .orderBy($"doc_id")
+    },
+
     // BPE encoding with a fixed learned-merge list (incl. a fused-symbol
     // merge sc+a): Spark runs the per-row left-fold (BpeOps.applyMerges,
     // in-order non-overlapping); the oracle replays the SAME semantics
