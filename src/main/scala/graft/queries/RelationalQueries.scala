@@ -634,6 +634,51 @@ object RelationalQueries {
           array_join(map_keys($"m"), ",").as("keys_csv"),
           coalesce(element_at($"m", "O"), lit(0L)).as("n_open"))
         .orderBy($"o_custkey")
+    },
+
+    // NULL-semantics suite: nulls group TOGETHER under GROUP BY,
+    // COUNT(col) skips them where COUNT(*) doesn't, aggregates ignore
+    // them, and a null-safe equality join (Spark `<=>` ≡ SQL IS NOT
+    // DISTINCT FROM) matches null probe keys to null rows — the exact
+    // places naive SQL ports silently drop or duplicate rows. Nulls
+    // minted via NULLIF so the same base tables serve.
+    GraftQuery(
+      "q114_null_semantics",
+      """WITH o AS (
+        |  SELECT NULLIF(o_orderstatus, 'P') AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |g AS (
+        |  SELECT COALESCE(st, '<null>') AS st_key,
+        |    COUNT(*) AS n_all, COUNT(st) AS n_nonnull,
+        |    CAST(SUM(price_c) AS BIGINT) AS sum_c
+        |  FROM o GROUP BY st),
+        |probe(st) AS (VALUES ('O'), ('F'), (NULL)),
+        |j AS (
+        |  SELECT COALESCE(p.st, '<null>') AS st_key, COUNT(*) AS n_matched
+        |  FROM probe p JOIN o ON o.st IS NOT DISTINCT FROM p.st
+        |  GROUP BY p.st)
+        |SELECT g.st_key, g.n_all, g.n_nonnull, g.sum_c, j.n_matched
+        |FROM g JOIN j ON g.st_key = j.st_key
+        |ORDER BY g.st_key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val o = t(s, dir, "orders").select(
+        when($"o_orderstatus" === "P", lit(null).cast("string"))
+          .otherwise($"o_orderstatus").as("st"),
+        round($"o_totalprice" * 100, 0).cast("long").as("price_c"))
+      val g = o.groupBy($"st")
+        .agg(count(lit(1)).as("n_all"), count($"st").as("n_nonnull"),
+          sum($"price_c").as("sum_c"))
+        .select(coalesce($"st", lit("<null>")).as("st_key"),
+          $"n_all", $"n_nonnull", $"sum_c")
+      val probe = Seq(Some("O"), Some("F"), None)
+        .toDF("pst")
+      val j = probe.join(o, $"pst" <=> $"st")
+        .groupBy($"pst")
+        .agg(count(lit(1)).as("n_matched"))
+        .select(coalesce($"pst", lit("<null>")).as("st_key"),
+          $"n_matched")
+      g.join(j, "st_key").orderBy($"st_key")
     })
 }
 
