@@ -90,7 +90,9 @@ object BpeOps {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        dict = mergeOnce(dict, a, b).localCheckpoint()
+        val next = mergeOnce(dict, a, b).localCheckpoint()
+        dict.unpersist()   // bound executor storage to 2 dict copies
+        dict = next
       }
     }
     merges.toSeq

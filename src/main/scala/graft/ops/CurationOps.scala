@@ -174,26 +174,6 @@ object CurationOps {
       .drop("__h", "__b", "__lr", "__gr")
   }
 
-  /** Deterministic data-mixture sampling: downsample each class (source,
-    * domain, language, ...) toward target proportions — the training-mix
-    * step (Pile-style source weighting) between curation and packing.
-    *
-    * `weightsPpm(class)` is the class's target share of `nTarget` rows
-    * in parts-per-million. Per class: rate_ppm = min(1e6,
-    * nTarget·w_ppm ∕ count) in exact integer arithmetic, and a row
-    * survives iff polyhash(key:salt) mod 1e6 < rate_ppm — the same
-    * pure-hash contract as [[stratifiedSample]]/stableSplit, so the
-    * sample is reproducible across runs, partitionings, engines, and
-    * incremental corpus growth (only rate changes re-deal, not layout).
-    * Classes absent from the weight map are dropped (rate 0).
-    *
-    * Shape: one map-side-combined count per class (class-cardinality
-    * aggregate), broadcast back as rates, then a scan-speed hash
-    * filter. Oversubscribed classes (needed > available) cap at keep-
-    * everything; the realized mix then under-represents them — report
-    * via the returned rate column rather than silently resampling
-    * others.
-    */
   /** Corpus-rarity scoring — the integer-portable analogue of unigram
     * perplexity filtering: score = mean inverse corpus frequency of the
     * document's tokens, in ppm (token with corpus count c contributes
@@ -222,6 +202,26 @@ object CurationOps {
       .drop("__sum_inv")
   }
 
+  /** Deterministic data-mixture sampling: downsample each class (source,
+    * domain, language, ...) toward target proportions — the training-mix
+    * step (Pile-style source weighting) between curation and packing.
+    *
+    * `weightsPpm(class)` is the class's target share of `nTarget` rows
+    * in parts-per-million. Per class: rate_ppm = min(1e6,
+    * nTarget·w_ppm ∕ count) in exact integer arithmetic, and a row
+    * survives iff polyhash(key:salt) mod 1e6 < rate_ppm — the same
+    * pure-hash contract as [[stratifiedSample]]/stableSplit, so the
+    * sample is reproducible across runs, partitionings, engines, and
+    * incremental corpus growth (only rate changes re-deal, not layout).
+    * Classes absent from the weight map are dropped (rate 0).
+    *
+    * Shape: one map-side-combined count per class (class-cardinality
+    * aggregate), broadcast back as rates, then a scan-speed hash
+    * filter. Oversubscribed classes (needed > available) cap at keep-
+    * everything; the realized mix then under-represents them — report
+    * via the returned rate column rather than silently resampling
+    * others.
+    */
   def mixtureSample(
       df: DataFrame, keyCol: String, classCol: String,
       weightsPpm: Map[String, Long], nTarget: Long,

@@ -55,6 +55,7 @@ object GraphOps {
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .localCheckpoint()
       val nextSum = labelSum(next)
+      labels.unpersist()  // bound executor storage to 2 label copies
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -120,6 +121,7 @@ object GraphOps {
         .withColumn("c", expr("r div deg"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("in_sum"))
+      val prev = ranks
       ranks = nodes.join(inSums, Seq("id"), "left_outer")
         .crossJoin(broadcast(dang))
         .select(col("id"),
@@ -129,6 +131,7 @@ object GraphOps {
               s"CAST(0 AS BIGINT)) + __dang div $n)) div 1000000")
             .as("r"))
         .localCheckpoint()
+      prev.unpersist()    // bound executor storage to 2 rank copies
     }
     ranks
   }

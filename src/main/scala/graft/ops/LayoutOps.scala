@@ -84,15 +84,24 @@ object LayoutOps {
       "compact never rewrites in place — write to a new dir and swap")
     val fs = new org.apache.hadoop.fs.Path(inPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parquetFiles = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    // recursive: partitioned layouts (day=.../part-*.parquet) are the
+    // MAIN compaction customer — a top-level listing would see zero
+    // bytes and glue everything into one file
+    def listParquet(p: String): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.result()
+    }
+    val parquetFiles = listParquet(inPath)
     val totalBytes = parquetFiles.map(_.getLen).sum
     val n = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(inPath).repartition(n)
       .write.mode("overwrite").parquet(outPath)
-    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    (parquetFiles.length, after)
+    (parquetFiles.length, listParquet(outPath).length)
   }
 }

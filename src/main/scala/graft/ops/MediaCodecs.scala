@@ -82,7 +82,10 @@ object MediaCodecs {
     * [0,1] (v/255f per channel) — the [[MultimodalOps.DecodedImage]]
     * contract. Returns null if ImageIO can't parse the bytes.
     */
-  def decodeImage(blob: Array[Byte]): MultimodalOps.DecodedImage = {
+  def decodeImage(blob: Array[Byte]): MultimodalOps.DecodedImage = try {
+    // ImageIO.read returns null only when NO reader claims the bytes;
+    // a claimed-but-corrupt body THROWS — catch both into the null
+    // contract so one truncated image can't fail a whole task
     val img = ImageIO.read(new ByteArrayInputStream(blob))
     if (img == null) null
     else {
@@ -104,7 +107,7 @@ object MediaCodecs {
       }
       MultimodalOps.DecodedImage(w, h, 3, px)
     }
-  }
+  } catch { case _: Exception => null }
 
   /** Encode signed 16-bit mono PCM as a WAV container. */
   def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {

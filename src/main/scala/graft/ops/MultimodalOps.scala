@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   *
   * Media travel as opaque `binary` columns plus typed metadata structs —
   * the lakehouse pattern for multimodal training data. The Spark-side
-  * machinery here (schemas, partition-sized batching, mapPartitions
-  * decode loop, deterministic frame sampling) is real and tested; the
-  * actual codec calls are STUBBED behind `DecodeStub` (this container
-  * ships no image/audio libs) with a clearly marked swap point.
+  * machinery (schemas, partition-sized batching, mapPartitions decode
+  * loop, deterministic frame sampling) is real and tested; decode is
+  * REAL for JDK-codec formats (PNG/JPEG/BMP/GIF via javax.imageio, WAV
+  * PCM16 via javax.sound — see MediaCodecs) and falls back to a
+  * deterministic fake only for formats with no JDK codec (mp4/webp/...),
+  * the clearly marked swap point for ffmpeg-style bindings.
   *
   * Scale: decode runs inside mapPartitions — per-partition sequential,
   * no driver involvement, memory bounded by one batch of blobs; control
@@ -50,11 +52,14 @@ object MultimodalOps {
     * cluster.
     */
   object DecodeStub {
+    /** Returns null for a JDK-format blob the real codec cannot decode
+      * (corrupt/truncated) — fabricating fake features for REAL media
+      * would silently poison downstream stats; the fake path is only
+      * for formats with no JDK codec at all.
+      */
     def decodeImage(blob: Array[Byte]): DecodedImage =
-      if (MediaCodecs.isJdkImage(blob)) {
-        val d = MediaCodecs.decodeImage(blob)
-        if (d != null) d else fakeDecode(blob)
-      } else fakeDecode(blob)
+      if (MediaCodecs.isJdkImage(blob)) MediaCodecs.decodeImage(blob)
+      else fakeDecode(blob)
 
     /** ==== STUB (non-JDK formats only) ==== derives every field from
       * the blob bytes so tests are deterministic and engine behavior
@@ -94,9 +99,9 @@ object MultimodalOps {
       rows.map { r =>
         val id = r.getString(0)
         val blob = r.getAs[Array[Byte]](1)
-        if (blob == null) Row(id, null, null, null, null)
+        val d = if (blob == null) null else DecodeStub.decodeImage(blob)
+        if (d == null) Row(id, null, null, null, null)
         else {
-          val d = DecodeStub.decodeImage(blob)
           val nPx = d.pixels.length
           val luma =
             if (nPx == 0) 0L
@@ -137,9 +142,9 @@ object MultimodalOps {
       rows.map { r =>
         val id = r.getString(0)
         val blob = r.getAs[Array[Byte]](1)
-        if (blob == null) Row(id, null, null, null, null)
+        val d = if (blob == null) null else DecodeStub.decodeImage(blob)
+        if (d == null) Row(id, null, null, null, null)
         else {
-          val d = DecodeStub.decodeImage(blob)
           val nPx = dw * dh * d.nChannels
           var sum = 0L
           var j = 0
@@ -169,10 +174,15 @@ object MultimodalOps {
       sampleRate: Int, nSamples: Int, samples: Array[Float])
 
   object AudioDecodeStub {
+    /** Null (not fake) for a RIFF/WAVE blob outside the mono-PCM16
+      * subset — e.g. a real stereo or 24-bit WAV must surface as
+      * undecodable, never as fabricated samples (same contract as
+      * [[DecodeStub.decodeImage]]).
+      */
     def decodeAudio(blob: Array[Byte]): DecodedAudio =
       if (MediaCodecs.isWav(blob)) {
         val d = MediaCodecs.decodeWavPcm16(blob)
-        if (d == null) fakeDecode(blob)
+        if (d == null) null
         else DecodedAudio(d.sampleRate, d.samples.length,
           d.samples.map(_ / 32768f))
       } else fakeDecode(blob)
@@ -237,9 +247,9 @@ object MultimodalOps {
       rows.map { r =>
         val id = r.getString(0)
         val blob = r.getAs[Array[Byte]](1)
-        if (blob == null) Row(id, null, null, null)
+        val d = if (blob == null) null else AudioDecodeStub.decodeAudio(blob)
+        if (d == null) Row(id, null, null, null)
         else {
-          val d = AudioDecodeStub.decodeAudio(blob)
           val rms = math.sqrt(
             d.samples.map(s => s.toDouble * s).sum / d.samples.length)
           Row(id, d.sampleRate, d.nSamples, (rms * 1000).round)

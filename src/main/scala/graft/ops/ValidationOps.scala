@@ -68,13 +68,16 @@ object ValidationOps {
       parent: DataFrame, parentKey: String, name: String): DataFrame =
     // LEFT OUTER against the distinct parent keys keeps child
     // cardinality, so total and violations come from ONE pass (a
-    // count() + anti-join spelling would scan the child twice)
-    child.select(col(childKey))
-      .join(parent.select(col(parentKey)).distinct(),
-        col(childKey) === col(parentKey), "left_outer")
+    // count() + anti-join spelling would scan the child twice).
+    // The parent key is renamed to a reserved name first — with the
+    // common FK convention childKey == parentKey, raw column refs
+    // would be AMBIGUOUS_REFERENCE across the join.
+    child.select(col(childKey).as("__fk"))
+      .join(parent.select(col(parentKey).as("__pk")).distinct(),
+        col("__fk") === col("__pk"), "left_outer")
       .agg(
         count(lit(1)).as("total"),
-        coalesce(sum(when(col(parentKey).isNull, 1L).otherwise(0L)),
+        coalesce(sum(when(col("__pk").isNull, 1L).otherwise(0L)),
           lit(0L)).as("violations"))
       .select(lit(name).as("check_name"), col("violations"), col("total"),
         (col("violations") === 0L).as("passed"))

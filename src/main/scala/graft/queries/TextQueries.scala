@@ -256,7 +256,9 @@ object TextQueries {
         |    tk[chunk_id*24 + 1 : chunk_id*24 + 32] AS chunk
         |  FROM e)
         |SELECT doc_id, chunk_id, CAST(len(chunk) AS INTEGER) AS n_tokens,
-        |  array_to_string(chunk, ' ') AS chunk_text
+        |  -- COALESCE: DuckDB array_to_string([]) is NULL, Spark's ''
+        |  -- (a 0-token doc still emits one empty chunk)
+        |  COALESCE(array_to_string(chunk, ' '), '') AS chunk_text
         |FROM sl ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       TextOps.chunkDocs(
@@ -386,8 +388,8 @@ object TextQueries {
         |    AS n_fixed,
         |  len(list_filter(tk, w -> w = 'the')) > 0 AS has_the,
         |  len(list_filter(tk, w -> len(w) >= 1)) = len(tk) AS all_nonempty,
-        |  array_to_string(list_sort(list_distinct(
-        |    list_transform(tk, w -> w[1:1]))), '') AS initials
+        |  COALESCE(array_to_string(list_sort(list_distinct(
+        |    list_transform(tk, w -> w[1:1]))), ''), '') AS initials
         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val tk = filter(TextOps.tokenize($"text"), t => t =!= "")
