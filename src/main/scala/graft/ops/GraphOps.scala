@@ -106,34 +106,40 @@ object GraphOps {
     val n = nodes.count()
     // empty graph → empty ranks (not a divide-by-zero on mass/N)
     if (n == 0) return nodes.withColumn("r", lit(0L))
-    val danglingIds = nodes
-      .join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti")
-      .localCheckpoint()
     // degree folds into the edge table once — not re-joined per round
     val eDeg = e.join(outDeg, Seq("src")).localCheckpoint()
     val base = ((1000000L - dampingPpm) * (mass / n)) / 1000000L
-    var ranks = nodes.withColumn("r", lit(mass / n)).localCheckpoint()
+    // the static dangling flag RIDES IN the rank table, so the per-round
+    // dangling-mass aggregate is a scan (no join, no separate id table)
+    var ranks = nodes
+      .join(outDeg.select(col("src").as("id"), lit(false).as("__dg")),
+        Seq("id"), "left_outer")
+      .select(col("id"), lit(mass / n).as("r"),
+        coalesce(col("__dg"), lit(true)).as("__dg"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
-      val dang = ranks.join(danglingIds, Seq("id"), "left_semi")
+      val dang = ranks.filter(col("__dg"))
         .agg(coalesce(sum(col("r")), lit(0L)).as("__dang"))
       val inSums = eDeg
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
         .withColumn("c", expr("r div deg"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("in_sum"))
       val prev = ranks
-      ranks = nodes.join(inSums, Seq("id"), "left_outer")
+      ranks = prev.select(col("id"), col("__dg"))
+        .join(inSums, Seq("id"), "left_outer")
         .crossJoin(broadcast(dang))
         .select(col("id"),
           // BIGINT `div` end to end — Column./ and .divide are DOUBLE
           // true division and would break the integer contract
           expr(s"$base + ($dampingPpm * (coalesce(in_sum, " +
               s"CAST(0 AS BIGINT)) + __dang div $n)) div 1000000")
-            .as("r"))
+            .as("r"),
+          col("__dg"))
         .localCheckpoint()
       prev.unpersist()    // bound executor storage to 2 rank copies
     }
-    ranks
+    ranks.select(col("id"), col("r"))
   }
 
   /** Keep one row per near-dup cluster (the min id), plus every row
