@@ -13,11 +13,10 @@ object Bench {
     // Dev iteration aids (driver ignores them): SPARK_GRAFT_ONLY=q40,q31
     // restricts to named queries; SPARK_GRAFT_REPS=3 times each query N
     // times and reports the minimum (cuts this box's ±2× timing noise).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+    val keep = SparkEntry.onlyFilter()
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) => keep(n) }
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }

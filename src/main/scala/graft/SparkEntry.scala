@@ -29,4 +29,14 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Shared SPARK_GRAFT_ONLY dev-filter contract for Bench and Verify:
+    * comma-separated name PREFIXES; unset → everything. One definition
+    * so the two drivers can't drift.
+    */
+  def onlyFilter(): String => Boolean = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    name => only.forall(_.exists(name.startsWith))
+  }
 }

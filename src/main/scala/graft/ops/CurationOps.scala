@@ -94,7 +94,11 @@ object CurationOps {
       df: DataFrame, scoreCol: String, keepPerMille: Int): DataFrame = {
     require(keepPerMille > 0 && keepPerMille <= 1000,
       "keepPerMille must be in (0, 1000]")
-    val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("n"))
+    // null scores are excluded from BOTH the histogram and the kept set
+    // (the final >= filter drops them anyway); without this a single
+    // null row NPEs the driver-side threshold scan and skews `total`
+    val hist = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol)).agg(count(lit(1)).as("n"))
       .collect()
       .map(r => (r.getAs[Number](0).longValue(), r.getAs[Long]("n")))
       .sortBy(-_._1)

@@ -144,17 +144,29 @@ object DedupOps {
       .select(col("bk.band").as("band"), col("bk.bh").as("bh"),
         col(id).as(as))
     val par = corpus.sparkSession.sparkContext.defaultParallelism
+    // the delta key stream serves BOTH branches — materialize it once
+    // (recomputing lshBandKeys per branch doubled the delta-side work,
+    // which is the |delta|-proportional cost this op exists to bound)
+    val dk = keys(delta, "__did").localCheckpoint()
     // co-partition both key streams explicitly: the bucket join's output
     // explodes ~|bucket|× over its input, and AQE (sizing from the small
     // inputs) would coalesce the exchange under it to one task
     val cross = keys(corpus, "__cid")
       .repartition(par, col("band"), col("bh"))
-      .join(keys(delta, "__did").repartition(par, col("band"), col("bh")),
+      .join(dk.repartition(par, col("band"), col("bh")),
         Seq("band", "bh"))
       .select(least(col("__cid"), col("__did")).as("id_a"),
         greatest(col("__cid"), col("__did")).as("id_b"))
-    cross.union(lshCandidatePairs(delta, id, sig, bands, rows))
-      .distinct()
+    // within-delta pairs from the same materialized keys (posting-list
+    // shape of lshCandidatePairs, minus the recompute)
+    val within = dk
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("__did")).as("ids"))
+      .repartition(par)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    cross.union(within).distinct()
   }
 
   /** Jaccard similarity in per-mille (integer-exact) between two distinct

@@ -207,7 +207,15 @@ object TextOps {
     val prefix = regexp_extract(url, "^[A-Za-z]+://[^/?#]*", 0)
     val rest = url.substr(length(prefix) + lit(1), lit(1 << 30))
     val noFrag = regexp_replace(rest, "#.*", "")
-    val noUtm = regexp_replace(noFrag, "utm_[A-Za-z_]+=[^&#]*&?", "")
+    // utm strip is ANCHORED to a query-param boundary in three steps —
+    // an unanchored "utm_...=[^&#]*" would fire inside the PATH
+    // ("/blog/utm_tips=a/x" → distinct pages collide on one key) and on
+    // mid-token matches ("&xutm_b=2"). Step order handles runs:
+    // 1) every non-first param "&utm_x=v"; 2) a first param followed by
+    // more ("?utm_x=v&" → "?"); 3) a first-and-only param ("?utm_x=v").
+    val noMid = regexp_replace(noFrag, "&utm_[A-Za-z_]+=[^&#]*", "")
+    val noFirst = regexp_replace(noMid, "\\?utm_[A-Za-z_]+=[^&#]*&", "?")
+    val noUtm = regexp_replace(noFirst, "\\?utm_[A-Za-z_]+=[^&#]*$", "")
     concat(lower(prefix), regexp_replace(noUtm, "[?&]+$", ""))
   }
 

@@ -448,8 +448,9 @@ object AnalyticsQueries {
 
     // Conditional-aggregate sweep: count_if / bool_or / bool_and /
     // max_by in one partial-aggregable pass. max_by's ordering key is
-    // cents×1e7 + orderkey, which only ties when both cents AND the
-    // payload (the orderkey itself) coincide — so ties can't produce
+    // cents×1e9 + orderkey — injective while orderkey < 1e9 (true up
+    // to TPC-H sf~600; cents ≤ ~1.1e7 keeps the product < 2^63), so
+    // ties require cents AND the payload to coincide and can't produce
     // divergent answers between engines.
     GraftQuery(
       "q83_conditional_agg",
@@ -462,7 +463,7 @@ object AnalyticsQueries {
         |  CAST(count_if(disc_bp > 500) AS BIGINT) AS n_deep_disc,
         |  bool_or(l_returnflag = 'R') AS has_return,
         |  bool_and(l_quantity > 0) AS all_positive,
-        |  max_by(l_orderkey, cents * 10000000 + l_orderkey)
+        |  max_by(l_orderkey, cents * 1000000000 + l_orderkey)
         |    AS priciest_order
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -476,7 +477,7 @@ object AnalyticsQueries {
           count_if($"disc_bp" > 500).as("n_deep_disc"),
           bool_or($"l_returnflag" === "R").as("has_return"),
           bool_and($"l_quantity" > 0).as("all_positive"),
-          max_by($"l_orderkey", $"cents" * 10000000L + $"l_orderkey")
+          max_by($"l_orderkey", $"cents" * 1000000000L + $"l_orderkey")
             .as("priciest_order"))
         .orderBy($"l_linestatus")
     },
@@ -641,7 +642,10 @@ object AnalyticsQueries {
         |FROM documents WHERE lang IN ('en', 'ru')
         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val path = s"/tmp/graft_q90_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // per-run temp dir: a fixed path raced concurrent Verify/Bench
+      // runs mid-overwrite and leaked /tmp garbage
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q90").toString + "/data"
       graft.ops.LayoutOps.writePartitioned(
         Tables.load(s, dir, "documents"), path, "lang")
       s.read.parquet(path)
@@ -685,7 +689,8 @@ object AnalyticsQueries {
       (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.types._
-      val path = s"/tmp/graft_q108_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q108").toString + "/data"
       Tables.load(s, dir, "documents")
         .write.mode("overwrite").json(path)
       val schema = StructType(Seq(
@@ -713,7 +718,8 @@ object AnalyticsQueries {
       (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.types._
-      val path = s"/tmp/graft_q109_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q109").toString + "/data"
       val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
       Tables.load(s, dir, "orders")
         .write.mode("overwrite")

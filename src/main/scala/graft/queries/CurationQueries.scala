@@ -339,11 +339,14 @@ object CurationQueries {
         |c AS (
         |  SELECT doc_id,
         |    lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]*', 0)) ||
-        |    regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(
         |      substr(url,
         |        len(regexp_extract(url, '^[A-Za-z]+://[^/?#]*', 0)) + 1),
         |      '#.*', ''),
-        |      'utm_[A-Za-z_]+=[^&#]*&?', '', 'g'),
+        |      '&utm_[A-Za-z_]+=[^&#]*', '', 'g'),
+        |      '\?utm_[A-Za-z_]+=[^&#]*&', '?', 'g'),
+        |      '\?utm_[A-Za-z_]+=[^&#]*$', '', 'g'),
         |      '[?&]+$', '') AS canonical_url,
         |    lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]*', 0))
         |      AS scheme_host

@@ -110,14 +110,24 @@ class CurationOpsSpec extends SparkTestBase {
       "HTTPS://WWW.Example.COM/Path/Page?utm_source=x&id=5&utm_term=y#frag",
       "http://site.org/a?utm_campaign=z",
       "https://plain.net/KeepCase",
-      "ftp://Host.Net/File?x=1#f"
+      "ftp://Host.Net/File?x=1#f",
+      // anchoring cases: 'utm_' in the PATH must survive; an embedded
+      // 'xutm_b' param must survive; runs of utm params all strip
+      "https://ex.com/blog/utm_tips=a/page?id=2",
+      "https://ex.com/q?a=1&xutm_b=2",
+      "https://ex.com/r?utm_a=1&utm_b=2&utm_c=3&id=4",
+      "https://ex.com/s?utm_a=1&utm_b=2"
     ).toDF("u").select(TextOps.canonicalizeUrl($"u")).as[String]
       .collect().toSeq
     assert(got === Seq(
       "https://www.example.com/Path/Page?id=5",
       "http://site.org/a",
       "https://plain.net/KeepCase",
-      "ftp://host.net/File?x=1"))
+      "ftp://host.net/File?x=1",
+      "https://ex.com/blog/utm_tips=a/page?id=2",
+      "https://ex.com/q?a=1&xutm_b=2",
+      "https://ex.com/r?id=4",
+      "https://ex.com/s"))
   }
 
   test("packIntoSequences: offsets are the exclusive prefix sum in the " +
