@@ -142,6 +142,50 @@ object GraphOps {
     ranks.select(col("id"), col("r"))
   }
 
+  /** INCREMENTAL connected components: merge a batch of NEW edges into
+    * an existing (id, component) labeling without touching the old
+    * edge set — the daily-increment companion to
+    * [[connectedComponents]] (pairs with DedupOps'
+    * lshCandidatePairsIncremental for dedup-cluster maintenance).
+    *
+    * Key identity: relabeling after new edges only needs the COMPONENT
+    * CONTRACTION graph — map each new edge's endpoints to their current
+    * labels (unseen nodes label themselves), drop intra-component
+    * edges, and run CC on what remains. That graph has one node per
+    * TOUCHED COMPONENT, not per corpus row — a daily delta touches
+    * thousands of clusters, not billions of documents, so the
+    * iterative part runs on a graph ~|delta| regardless of corpus
+    * size; the corpus-sized work is one labels join and one final
+    * remap join. Labels stay canonical (min id): a merged cluster's
+    * new label is the min over its old labels, each of which was a min
+    * id — so merge ≡ full recompute bit-for-bit (GraphOpsSpec proves
+    * it on random graph splits).
+    */
+  def mergeComponents(
+      prevLabels: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val lab = prevLabels.select(col("id"), col("component"))
+    val e = newEdges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+    val compEdges = e
+      .join(lab.select(col("id").as("__a"), col("component").as("__la")),
+        Seq("__a"), "left_outer")
+      .join(lab.select(col("id").as("__b"), col("component").as("__lb")),
+        Seq("__b"), "left_outer")
+      .select(coalesce(col("__la"), col("__a")).as("la"),
+        coalesce(col("__lb"), col("__b")).as("lb"))
+      .filter(col("la") =!= col("lb"))
+    val remap = connectedComponents(compEdges, "la", "lb")
+      .select(col("id").as("__old"), col("component").as("__new"))
+    val newNodes = e.select(col("__a").as("id"))
+      .union(e.select(col("__b").as("id"))).distinct()
+      .join(lab.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    lab.unionByName(newNodes)
+      .join(remap, col("component") === col("__old"), "left_outer")
+      .select(col("id"),
+        coalesce(col("__new"), col("component")).as("component"))
+  }
+
   /** Keep one row per near-dup cluster (the min id), plus every row
     * that appears in no pair — the canonical-doc selection step after
     * candidate generation + verification.

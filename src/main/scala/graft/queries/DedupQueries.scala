@@ -243,6 +243,63 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // INCREMENTAL cluster maintenance: q60's pair graph split into an
+    // "old" batch (both endpoints < 350 — labeled first) and a "delta"
+    // batch (the rest) merged in via the component-contraction graph
+    // (GraphOps.mergeComponents — the iterative part runs on touched
+    // COMPONENTS, not corpus rows). The oracle is the full-recompute
+    // closure over ALL pairs, so merge ≡ recompute is what's gated.
+    GraftQuery(
+      "q115_incremental_cc",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, $DuckShingleHashes AS hashes FROM documents),
+         |inv AS (SELECT doc_id, unnest(hashes) AS h FROM sh),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+         |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(hashes) AS n FROM sh),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM shared
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE (shared*1000)//(sa.n + sb.n - shared) >= 500),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, node) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT src AS doc_id, MIN(node) AS component
+         |  FROM reach GROUP BY src)
+         |SELECT component, COUNT(*) AS n_members,
+         |  MAX(doc_id) AS max_member
+         |FROM comp GROUP BY component
+         |ORDER BY component""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+      val pairs = DedupOps
+        .sharedShingleCountsBounded(sh, "doc_id", "hashes", 500)
+        .select($"id_a", $"id_b",
+          floor($"shared".cast("double") * 1000.0 /
+            ($"n_a" + $"n_b" - $"shared").cast("double")).cast("long")
+            .as("jaccard_milli"))
+        .filter($"jaccard_milli" >= 500)
+        .select($"id_a", $"id_b")
+        .localCheckpoint()
+      val old = pairs.filter($"id_a" < 350 && $"id_b" < 350)
+      val delta = pairs.filter(!($"id_a" < 350 && $"id_b" < 350))
+      val prev = graft.ops.GraphOps.connectedComponents(old, "id_a", "id_b")
+      graft.ops.GraphOps.mergeComponents(prev, delta, "id_a", "id_b")
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_members"),
+          max($"id").as("max_member"))
+        .orderBy($"component")
+    },
+
     // Exact-substring span removal (RefinedWeb rule): any 5-token span
     // occurring more than once corpus-wide is cut from every document
     // holding it. The full cleaned text travels in the hash. NB DuckDB

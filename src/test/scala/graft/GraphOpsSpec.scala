@@ -88,6 +88,36 @@ class GraphOpsSpec extends SparkTestBase {
     assert(a === Seq((3L, 3L), (4L, 3L), (9L, 3L), (12L, 12L), (15L, 12L)))
   }
 
+  test("mergeComponents ≡ full recompute on random graph splits: " +
+       "delta edges bridging old components, brand-new nodes, and " +
+       "intra-component no-ops") {
+    for (seed <- Seq(13, 29, 57)) {
+      val rnd = new scala.util.Random(seed)
+      val all = (1 to 60).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val (oldE, deltaE) = all.partition(_ => rnd.nextBoolean())
+      if (oldE.nonEmpty && deltaE.nonEmpty) {
+        val oldDf = oldE.toDF("id_a", "id_b")
+        val deltaDf = deltaE.toDF("id_a", "id_b")
+        val full = GraphOps.connectedComponents(
+            all.toDF("id_a", "id_b"), "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        val prev = GraphOps.connectedComponents(oldDf, "id_a", "id_b")
+        val merged = GraphOps.mergeComponents(prev, deltaDf, "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        assert(merged === full, s"seed=$seed")
+      }
+    }
+    // empty delta: labels unchanged
+    val prev = GraphOps.connectedComponents(
+      Seq((1L, 2L)).toDF("id_a", "id_b"), "id_a", "id_b")
+    val same = GraphOps.mergeComponents(prev,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(same === Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("pageRank: hub outranks leaves, mass approximately conserved " +
        "(div truncation only), dangling sink absorbs and redistributes, " +
        "repartition-invariant") {
