@@ -98,22 +98,36 @@ object DedupOps {
           (acc, x) => (acc * lit(31L) + x % lit(TextOps.HashPrime))
             % lit(TextOps.HashPrime)).as("bh")))
 
-  /** Candidate near-dup pairs (idA < idB) from LSH banding: explode band
-    * keys and self-join on (band, bandHash). Distributed: one shuffle on
-    * the band key, no cross join.
+  /** Default per-bucket cardinality cap for LSH pair generation. A bucket
+    * this large is by definition one dup cluster (its members all share a
+    * band hash), so all-pairs output adds no connectivity information —
+    * star pairs to the bucket minimum carry the same components at linear
+    * instead of quadratic cost.
     */
-  def lshCandidatePairs(
-      df: DataFrame, id: String, sig: String,
-      bands: Int, rows: Int): DataFrame = {
-    // posting lists per bucket + in-list pair generation (one shuffle
-    // of the band keys, codegen'd explodes) — same shape as
-    // sharedShingleCountsBounded, for the same reason
-    val exploded = df
-      .select(col(id), explode(lshBandKeys(col(sig), bands, rows)).as("bk"))
-      .select(col(id), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    exploded.groupBy(col("band"), col("bh"))
-      .agg(collect_list(col(id)).as("ids"))
+  val DefaultMaxBucket: Int = 1024
+
+  /** (id_a < id_b) pairs within each (band, bh) bucket of `keyed`
+    * (columns: band, bh, `idc`). Buckets with at most `maxBucket` members
+    * produce all pairs via posting lists (one shuffle of the band keys,
+    * codegen'd explodes). Buckets ABOVE the cap — on real web corpora,
+    * boilerplate/empty documents collapse to one signature and would
+    * otherwise build a multi-million-element array row and an N² explode
+    * in one task — instead emit star pairs (bucket-min id ↔ every other
+    * member): no posting array is ever materialized for them, output is
+    * linear in bucket size, and downstream connectivity (the only thing a
+    * candidate-pair stream feeds) is provably identical, since a star
+    * spans the same connected component as the clique.
+    */
+  private def boundedBucketPairs(
+      keyed: DataFrame, idc: String, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must be >= 2")
+    val par = keyed.sparkSession.sparkContext.defaultParallelism
+    val counts = keyed.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__cnt"))
+    val tagged = keyed.join(counts, Seq("band", "bh"))
+    val small = tagged.filter(col("__cnt") <= maxBucket)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col(idc)).as("ids"))
       // explicit repartition before the quadratic in-list explode: the
       // posting-list stream is small (AQE would coalesce it to one
       // task) but the pair generation blows it up ~|bucket|× — pin the
@@ -123,7 +137,30 @@ object DedupOps {
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .distinct()
+    val bigMembers = tagged.filter(col("__cnt") > maxBucket)
+    val bigMin = bigMembers.groupBy(col("band"), col("bh"))
+      .agg(min(col(idc)).as("__m"))
+    val bigStar = bigMembers.join(bigMin, Seq("band", "bh"))
+      .filter(col(idc) =!= col("__m"))
+      .select(col("__m").as("id_a"), col(idc).as("id_b"))
+    small.union(bigStar).distinct()
+  }
+
+  /** Candidate near-dup pairs (idA < idB) from LSH banding: explode band
+    * keys and pair ids sharing a (band, bandHash) bucket. Distributed:
+    * one shuffle on the band key, no cross join; buckets above
+    * `maxBucket` members degrade to star pairs (same connectivity, see
+    * [[boundedBucketPairs]]) so degenerate boilerplate buckets can't OOM
+    * a task.
+    */
+  def lshCandidatePairs(
+      df: DataFrame, id: String, sig: String,
+      bands: Int, rows: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val exploded = df
+      .select(col(id), explode(lshBandKeys(col(sig), bands, rows)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    boundedBucketPairs(exploded, id, maxBucket)
   }
 
   /** Candidate near-dup pairs for an INCREMENTAL batch: every pair with
@@ -138,7 +175,8 @@ object DedupOps {
     */
   def lshCandidatePairsIncremental(
       corpus: DataFrame, delta: DataFrame, id: String, sig: String,
-      bands: Int, rows: Int): DataFrame = {
+      bands: Int, rows: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     def keys(df: DataFrame, as: String) = df
       .select(col(id), explode(lshBandKeys(col(sig), bands, rows)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bh").as("bh"),
@@ -148,24 +186,31 @@ object DedupOps {
     // (recomputing lshBandKeys per branch doubled the delta-side work,
     // which is the |delta|-proportional cost this op exists to bound)
     val dk = keys(delta, "__did").localCheckpoint()
+    // Bound the corpus side per bucket BEFORE the join: a corpus bucket
+    // above `maxBucket` is a dup cluster the corpus's own dedup pass has
+    // already linked internally, so pairing each delta id with one
+    // representative (the bucket-min corpus id) yields the same
+    // downstream connectivity as pairing it with all members — and keeps
+    // the join output |delta|-proportional instead of
+    // |delta|×|hot-bucket|.
+    val ck = keys(corpus, "__cid")
+    val ckCounts = ck.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__cid")).as("__rep"))
+    val ckBounded = ck.join(ckCounts, Seq("band", "bh"))
+      .filter(col("__cnt") <= maxBucket || col("__cid") === col("__rep"))
+      .select(col("band"), col("bh"), col("__cid"))
     // co-partition both key streams explicitly: the bucket join's output
     // explodes ~|bucket|× over its input, and AQE (sizing from the small
     // inputs) would coalesce the exchange under it to one task
-    val cross = keys(corpus, "__cid")
+    val cross = ckBounded
       .repartition(par, col("band"), col("bh"))
       .join(dk.repartition(par, col("band"), col("bh")),
         Seq("band", "bh"))
       .select(least(col("__cid"), col("__did")).as("id_a"),
         greatest(col("__cid"), col("__did")).as("id_b"))
-    // within-delta pairs from the same materialized keys (posting-list
-    // shape of lshCandidatePairs, minus the recompute)
-    val within = dk
-      .groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("__did")).as("ids"))
-      .repartition(par)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    // within-delta pairs from the same materialized keys (bounded
+    // posting-list shape of lshCandidatePairs, minus the recompute)
+    val within = boundedBucketPairs(dk, "__did", maxBucket)
     cross.union(within).distinct()
   }
 
@@ -222,27 +267,48 @@ object DedupOps {
     */
   def sharedShingleCountsBounded(
       df: DataFrame, id: String, shingles: String,
-      thresholdMilli: Int): DataFrame = {
+      thresholdMilli: Int,
+      maxPosting: Int = DefaultMaxBucket): DataFrame = {
     // Posting lists instead of a self-join: group the inverted index by
     // shingle once, then generate in-list pairs with two codegen'd
     // explodes — one shuffle of the postings (vs two join sides), same
     // Σfreq² pair stream, pruned by the length-ratio bound before the
-    // pair aggregation.
+    // pair aggregation. Shingles hotter than `maxPosting` (stopword-like
+    // boilerplate on a web corpus) would build an OOM-sized posting
+    // array in one row, so they route through a self-equi-join instead:
+    // no array is materialized and AQE's skew-join split spreads the hot
+    // key across tasks. Unlike the LSH star-pair degradation, this keeps
+    // the output EXACT for any `maxPosting` — `shared` counts feed the
+    // Jaccard value, so dropping pairs would change similarity answers.
     val inv = df.select(col(id), explode(col(shingles)).as("sh"),
       size(col(shingles)).as("n"))
-    val lists = inv.groupBy(col("sh"))
+    val counts = inv.groupBy(col("sh")).agg(count(lit(1)).as("__cnt"))
+    val tagged = inv.join(counts, Seq("sh"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    def ratioOk(na: Column, nb: Column): Column =
+      least(na, nb) * 1000 >= lit(thresholdMilli.toLong) * greatest(na, nb)
+    val small = tagged.filter(col("__cnt") <= maxPosting)
+      .groupBy(col("sh"))
       .agg(collect_list(struct(col(id).as("id"), col("n"))).as("ds"))
-    lists
       // pin parallelism before the Σfreq² explode (see lshCandidatePairs)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .repartition(par)
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.id") < col("b.id") &&
-        least(col("a.n"), col("b.n")) * 1000 >=
-          lit(thresholdMilli.toLong) * greatest(col("a.n"), col("b.n")))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .filter(col("a.id") < col("b.id") && ratioOk(col("a.n"), col("b.n")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+    val hot = tagged.filter(col("__cnt") > maxPosting)
+      .select(col("sh"), col(id), col("n"))
+    val hotPairs = hot
+      .select(col("sh"), col(id).as("id_a"), col("n").as("n_a"))
+      .join(hot.select(col("sh"), col(id).as("id_b"), col("n").as("n_b")),
+        Seq("sh"))
+      .filter(col("id_a") < col("id_b") && ratioOk(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+    small.union(hotPairs)
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"),
-        first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
   }
 
   /** EXACT Jaccard-threshold pairs via prefix filtering (the PPJoin-family

@@ -287,6 +287,79 @@ class TextDedupSimSpec extends SparkTestBase {
     assert(a === b, "broadcast and shuffle candidate plans must agree")
   }
 
+  test("LSH hot buckets degrade to star pairs: a planted 10k-id " +
+       "degenerate bucket completes with linear output, not an N² " +
+       "explode or a >10⁶-element array row") {
+    // 10k docs with IDENTICAL signatures — the boilerplate/empty-doc
+    // pathology on a web corpus: one bucket per band holding the whole
+    // batch. All-pairs would be ~5·10⁷ rows from a single collected
+    // 10k-element posting array; the star degradation emits 9 999.
+    val sigLit = array((0 until 16).map(j => lit(j.toLong * 7L + 1L)): _*)
+    val df = spark.range(10000).select($"id", sigLit.as("sig"))
+    val pairs = DedupOps.lshCandidatePairs(df, "id", "sig", 4, 4)
+    val got = pairs.as[(Long, Long)].collect()
+    assert(got.length === 9999)
+    assert(got.forall(_._1 === 0L), "star pairs must anchor at the min id")
+    assert(got.map(_._2).toSet === (1L until 10000L).toSet)
+    // connectivity is what a candidate stream feeds — still one cluster
+    val comps = graft.ops.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+      .select("component").distinct().count()
+    assert(comps === 1L)
+  }
+
+  test("star-capped LSH pairs keep connected components identical to " +
+       "all-pairs on mixed bucket sizes") {
+    // 3 clusters of distinct sizes (8, 5, 2 members) via identical
+    // signatures per cluster; cap=4 forces the size-8 cluster through
+    // the star path while the others stay all-pairs.
+    val rows = (0 until 15).map { i =>
+      val c = if (i < 8) 0 else if (i < 13) 1 else 2
+      (i.toLong, (0 until 16).map(j => (c * 997 + j * 31 + 5).toLong))
+    }
+    val df = rows.toDF("id", "sig")
+    val full = DedupOps.lshCandidatePairs(df, "id", "sig", 4, 4,
+      maxBucket = Int.MaxValue)
+    val capped = DedupOps.lshCandidatePairs(df, "id", "sig", 4, 4,
+      maxBucket = 4)
+    def comps(p: org.apache.spark.sql.DataFrame) =
+      graft.ops.GraphOps.connectedComponents(p, "id_a", "id_b")
+        .as[(Long, Long)].collect().toSet
+    assert(comps(capped) === comps(full))
+    assert(capped.count() < full.count(),
+      "the cap must actually reduce the pair stream")
+  }
+
+  test("incremental LSH with a hot corpus bucket stays " +
+       "|delta|-proportional and keeps delta↔cluster connectivity") {
+    val sigLit = array((0 until 16).map(j => lit(j.toLong * 3L + 2L)): _*)
+    val corpus = spark.range(6000).select($"id", sigLit.as("sig"))
+    val delta = spark.range(6000, 10000).select($"id", sigLit.as("sig"))
+    val pairs = DedupOps.lshCandidatePairsIncremental(
+      corpus, delta, "id", "sig", 4, 4, maxBucket = 1024)
+    val got = pairs.as[(Long, Long)].collect()
+    // cross: every delta id ↔ the corpus bucket representative (min id
+    // 0) = 4000 pairs; within-delta star: 3999 pairs. No |corpus|×
+    // |delta| product.
+    assert(got.length === 7999)
+    assert(got.count(_._1 === 0L) === 4000)
+    assert(got.count(p => p._1 === 6000L && p._2 > 6000L) === 3999)
+  }
+
+  test("sharedShingleCountsBounded hot-posting self-join route is " +
+       "EXACTLY the posting-list result (real documents, tiny cap)") {
+    val sh = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", TextOps.shingleHashes($"text", 3).as("hashes"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "shared", "n_a", "n_b")
+        .as[(Long, Long, Long, Int, Int)].collect().toSet
+    val unbounded = asSet(DedupOps.sharedShingleCountsBounded(
+      sh, "doc_id", "hashes", 300, maxPosting = Int.MaxValue))
+    // cap 3 forces most shingles through the hot self-join route
+    val hybrid = asSet(DedupOps.sharedShingleCountsBounded(
+      sh, "doc_id", "hashes", 300, maxPosting = 3))
+    assert(hybrid === unbounded)
+  }
+
   test("dropDuplicatedSpans: a verbatim cross-doc quote is cut from " +
        "BOTH holders, a within-doc repeat is cut twice, unique text " +
        "survives untouched, short docs never produce spans") {
