@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 /** Distributed BPE (byte-pair-encoding) merge learning — tokenizer
   * training as a Spark pipeline.
@@ -72,9 +73,14 @@ object BpeOps {
   def mergeOnce(dict: DataFrame, a: String, b: String): DataFrame =
     dict.select(mergeFold(col("symbols"), a, b).as("symbols"), col("weight"))
 
-  /** Learn `k` merges from a corpus. Returns the ordered merge list —
-    * the tokenizer artifact. Stops early if no pair remains (every word
-    * fused to one symbol).
+  /** Learn `k` merges from a corpus, one Spark round per merge. Returns
+    * the ordered merge list — the tokenizer artifact. Stops early if no
+    * pair remains (every word fused to one symbol).
+    *
+    * This is the ALL-DISTRIBUTED demo path: fine for ablation-sized k,
+    * but a production 32k-merge vocabulary would be 32k sequential
+    * cluster rounds on a dict that fits in driver memory — use
+    * [[learnMergesLocal]] for that (identical output, one corpus pass).
     */
   def learnMerges(
       df: DataFrame, textCol: String, k: Int): Seq[(String, String)] = {
@@ -98,18 +104,182 @@ object BpeOps {
     merges.toSeq
   }
 
+  /** PRODUCTION merge learning: one distributed corpus pass builds the
+    * word dictionary (vocabulary-sized regardless of corpus size — 10⁸
+    * distinct words at web scale, not 10¹² tokens), the dict is pulled
+    * to the driver (a BOUNDED collect, guarded by `maxVocab`), and the
+    * merge loop runs locally with incremental pair-count maintenance —
+    * no per-merge cluster round, so a 32k-merge vocabulary costs one
+    * Spark job plus seconds of driver CPU instead of 32k sequential
+    * scheduler round-trips.
+    *
+    * Output is IDENTICAL to [[learnMerges]] (same counts, same
+    * count-desc-then-lexicographic tie-break, same in-order
+    * non-overlapping rewrite); BpeSpec proves both against the
+    * sequential referee.
+    */
+  def learnMergesLocal(
+      df: DataFrame, textCol: String, k: Int,
+      maxVocab: Int = 8000000): Seq[(String, String)] = {
+    require(k >= 0, "k must be >= 0")
+    val rows = wordDict(df, textCol).limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"word dictionary exceeds maxVocab=$maxVocab — raise the cap " +
+        "(driver memory permitting) or pre-filter rare words")
+    val words = rows.map(r =>
+      (r.getSeq[String](0).toArray, r.getLong(1)))
+    learnMergesSequential(words, k)
+  }
+
+  /** Driver-local BPE trainer over a word dictionary: incremental
+    * pair-count updates (only words containing the merged pair are
+    * rewritten, found via a pair→word posting index) and a
+    * lazy-deletion priority queue for the argmax — the standard
+    * efficient trainer shape, O(Σ rewrites · word length) overall
+    * instead of O(k · vocab) full rescans.
+    */
+  private[ops] def learnMergesSequential(
+      words: Array[(Array[String], Long)], k: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val syms = words.map(_._1.to(mutable.ArrayBuffer))
+    val weight = words.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val postings = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def bump(p: (String, String), w: Long, i: Int): Unit = {
+      val c = counts.getOrElse(p, 0L) + w
+      if (c <= 0L) counts.remove(p) else counts(p) = c
+      if (w > 0) postings.getOrElseUpdate(p, mutable.Set.empty) += i
+    }
+    for (i <- words.indices; j <- 0 until syms(i).length - 1)
+      bump((syms(i)(j), syms(i)(j + 1)), weight(i), i)
+    // max by (count desc, a asc, b asc) with lazy deletion: every count
+    // change pushes a fresh entry; stale entries are skipped on pop by
+    // re-checking against the live map.
+    // PriorityQueue pops the ordering's MAX; the wanted entry is the
+    // MIN of (-w, a, b), so reverse that ordering.
+    val ord = Ordering.by[(Long, String, String), (Long, String, String)] {
+      case (w, a, b) => (-w, a, b)
+    }.reverse
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    counts.foreach { case ((a, b), w) => heap.enqueue((w, a, b)) }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.size < k && heap.nonEmpty) {
+      val (w, a, b) = heap.dequeue()
+      if (counts.get((a, b)).contains(w)) {
+        merges += ((a, b))
+        val touched = mutable.Set.empty[(String, String)]
+        val holders = postings.remove((a, b)).getOrElse(mutable.Set.empty)
+        for (i <- holders) {
+          val s = syms(i)
+          // subtract the word's old pair contributions, rewrite
+          // in-order non-overlapping, add the new ones
+          if (s.length > 1 &&
+              (0 until s.length - 1).exists(j => s(j) == a && s(j + 1) == b)) {
+            for (j <- 0 until s.length - 1) {
+              bump((s(j), s(j + 1)), -weight(i), i)
+              touched += ((s(j), s(j + 1)))
+            }
+            val out = mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < s.length) {
+              if (j + 1 < s.length && s(j) == a && s(j + 1) == b) {
+                out += (a + b); j += 2
+              } else { out += s(j); j += 1 }
+            }
+            syms(i) = out
+            for (j <- 0 until out.length - 1) {
+              bump((out(j), out(j + 1)), weight(i), i)
+              touched += ((out(j), out(j + 1)))
+            }
+          }
+        }
+        counts.remove((a, b))
+        touched.foreach { p =>
+          counts.get(p).foreach(c => heap.enqueue((c, p._1, p._2)))
+        }
+      }
+    }
+    merges.toSeq
+  }
+
   /** Tokenize a word column with a learned merge list: split to chars,
     * then apply each merge in learned order as chained folds — pure
     * per-row expression, no shuffle.
     *
     * Expression depth grows with |merges|, so this is the SMALL-list
     * encode path (gate demos, ablations, sub-hundred merge tables); a
-    * production tokenizer with 30k+ merges would blow the expression
-    * tree and belongs in a broadcast-trie `mapPartitions` encoder —
-    * same output contract, swap point documented here on purpose.
+    * production tokenizer with 30k+ merges belongs in
+    * [[encodeWithMerges]] — a broadcast rank-table `mapPartitions`
+    * encoder with the same output contract, cost independent of
+    * |merges|.
     */
   def applyMerges(word: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(filter(split(word, ""), s => s =!= "")) {
       case (syms, (a, b)) => mergeFold(syms, a, b)
     }
+
+  /** Encode one word against a merge-rank table: repeatedly find the
+    * LOWEST-RANK pair present and rewrite all its in-order
+    * non-overlapping occurrences. For any TRAINED merge list (each
+    * merge's parts are single chars or earlier fusions — the only lists
+    * training can emit) this is exactly the chained-fold semantics of
+    * [[applyMerges]]: a later merge can never create an occurrence of
+    * an earlier pair that the fold would have missed, because the
+    * earlier pair's parts already existed when it was learned. BpeSpec
+    * checks the equivalence on trained lists and on a 30k-entry table.
+    */
+  private[ops] def encodeWord(
+      word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var s = word.split("").filter(_.nonEmpty)
+    var done = false
+    while (!done && s.length > 1) {
+      var best = Int.MaxValue
+      var bi = -1
+      var j = 0
+      while (j < s.length - 1) {
+        val r = ranks.getOrElse((s(j), s(j + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = j }
+        j += 1
+      }
+      if (bi < 0) done = true
+      else {
+        val (a, b) = (s(bi), s(bi + 1))
+        val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        s = out.toArray
+      }
+    }
+    s.toSeq
+  }
+
+  /** PRODUCTION encode: append a `pieces` array column tokenizing
+    * `wordCol` with a learned merge table of ANY size. The table ships
+    * once per executor as a broadcast rank map and rows encode in a
+    * `mapPartitions` pass — per-word cost scales with word length (the
+    * per-round pair scan), NOT with |merges|, where the chained-fold
+    * [[applyMerges]] builds a |merges|-deep expression tree and breaks
+    * past a few hundred entries. Null words yield null pieces.
+    */
+  def encodeWithMerges(
+      df: DataFrame, wordCol: String, merges: Seq[(String, String)],
+      outCol: String = "pieces"): DataFrame = {
+    val schema = df.schema
+      .add(outCol, ArrayType(StringType, containsNull = false))
+    val idx = df.schema.fieldIndex(wordCol)
+    val bc = df.sparkSession.sparkContext
+      .broadcast(merges.zipWithIndex.toMap)
+    df.mapPartitions { it =>
+      val ranks = bc.value
+      it.map { r =>
+        val w = r.getString(idx)
+        val pieces = if (w == null) null else encodeWord(w, ranks)
+        Row.fromSeq(r.toSeq :+ pieces)
+      }
+    }(Encoders.row(schema))
+  }
 }

@@ -71,6 +71,73 @@ class BpeSpec extends SparkTestBase {
     assert(got7 === expect)
   }
 
+  test("learnMergesLocal ≡ sequential referee at k=1000 on a real corpus " +
+       "sample, and ≡ the distributed learner on its k=8 prefix") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+      .select($"text").cache()
+    val words = docs
+      .select(explode(split($"text", "\\s+")).as("w"))
+      .filter($"w" =!= "").groupBy($"w").count()
+      .as[(String, Long)].collect().toMap
+    val expect = refereeMerges(words, 1000)
+    val got = BpeOps.learnMergesLocal(docs, "text", 1000)
+    assert(got === expect)
+    // the distributed round-per-merge learner agrees on a short prefix
+    // (running it for 1000 rounds is exactly the cost this path removes)
+    assert(BpeOps.learnMerges(docs, "text", 8) === expect.take(8))
+  }
+
+  test("encodeWithMerges ≡ applyMerges on a trained multi-level merge " +
+       "list over real words, including null handling") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(120)
+      .select($"text").cache()
+    val merges = BpeOps.learnMergesLocal(docs, "text", 64)
+    assert(merges.size === 64)
+    val words = docs
+      .select(explode(split($"text", "\\s+")).as("word"))
+      .filter($"word" =!= "").distinct().limit(400)
+      .unionByName(Seq[String](null).toDF("word"))
+    val both = BpeOps.encodeWithMerges(words, "word", merges, "fast")
+      .withColumn("expr", when($"word".isNotNull,
+        BpeOps.applyMerges($"word", merges)))
+    assert(both.filter(not($"fast" <=> $"expr")).count() === 0)
+    assert(both.filter($"word".isNull).select($"fast".isNull)
+      .as[Boolean].head())
+  }
+
+  test("encodeWithMerges handles a 30k-entry merge table (the " +
+       "production tokenizer size applyMerges' expression tree cannot)") {
+    // all ordered pairs over 174 chars = 30102 merges, every part a
+    // single char — a well-formed table by construction
+    val alphabet = (0 until 174).map(i => ('Ѐ' + i).toChar.toString)
+    val merges: Seq[(String, String)] =
+      for (a <- alphabet; b <- alphabet if a != b) yield (a, b)
+    assert(merges.size > 30000)
+    val rnd = new scala.util.Random(11)
+    val wordsSeq = (0 until 50).map { _ =>
+      (0 until (3 + rnd.nextInt(40)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+    }
+    // referee: plain-Scala chained folds in learned order
+    val rank = merges.zipWithIndex.toMap
+    def refEncode(w: String): Vector[String] =
+      merges.zipWithIndex.foldLeft(
+        w.split("").filter(_.nonEmpty).toVector) {
+        case (s, ((a, b), r)) =>
+          // skip merges whose parts can't be present (fold over 30k
+          // entries per word is the referee's cost, not the engine's)
+          if (s.exists(_ == a)) mergeSeq(s, a, b) else s
+      }
+    val got = BpeOps.encodeWithMerges(
+        wordsSeq.toDF("word").repartition(4), "word", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector)
+      .toMap
+    wordsSeq.distinct.foreach { w =>
+      assert(got(w) === refEncode(w), s"pieces for '$w'")
+      assert(got(w).mkString === w, "concatenation invariant")
+    }
+  }
+
   test("applyMerges: encoding each distinct word with the learned list " +
        "reproduces the trained dictionary's final symbol sequences") {
     val corpus = Seq("banana bandana ban anna banana ban").toDF("text")
