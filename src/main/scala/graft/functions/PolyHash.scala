@@ -170,4 +170,7 @@ object GraftColumns {
 
   def nfcNormalize(text: Column): Column =
     B.column(NfcNormalize(B.expression(text)))
+
+  def argMinCell(vec: Column, centers: Array[Array[Double]]): Column =
+    B.column(ArgMinCell(B.expression(vec), centers))
 }

@@ -201,22 +201,12 @@ object SimilarityOps {
       .map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
     val centers = SimilarityOps.localLloyd(train, nList, maxIter, seed)
 
-    // nearest-centroid cell assignment: one streaming pass, centroids
-    // ride inside the closure (a few KB per task)
-    val assignUdf = udf((v: Seq[Float]) => {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < centers.length) {
-        val ctr = centers(c)
-        var d = 0.0; var i = 0
-        val n = math.min(ctr.length, v.length)
-        while (i < n) { val t = v(i) - ctr(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    })
-    val assigned = corpus.withColumn("__cell", assignUdf(col(corpusVec)))
+    // nearest-centroid cell assignment: one streaming pass over the
+    // corpus through the native codegen'd expression (no UDF
+    // serialization boundary on the corpus-sized pass); centroids ride
+    // as a plan reference object (a few KB per task binary)
+    val assigned = corpus.withColumn("__cell",
+      graft.functions.GraftColumns.argMinCell(col(corpusVec), centers))
 
     // centroid table: tiny (nList rows) → broadcast into the probe join
     val spark = corpus.sparkSession

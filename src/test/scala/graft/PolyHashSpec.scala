@@ -88,6 +88,44 @@ class PolyHashSpec extends SparkTestBase {
     assert(tNat <= tHof * 1.5, f"native $tNat%.3f vs hof $tHof%.3f")
   }
 
+  test("ArgMinCell matches a plain-Scala referee on real embeddings, " +
+       "stays inside WholeStageCodegen, and handles nulls and ties") {
+    import graft.functions.GraftColumns
+    val rnd = new scala.util.Random(3)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    def referee(v: Seq[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- centers.indices) {
+        val ctr = centers(c)
+        var d = 0.0
+        for (i <- 0 until math.min(ctr.length, v.length))
+          d += (v(i) - ctr(i)) * (v(i) - ctr(i))
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val got = e.select($"vec_id",
+        GraftColumns.argMinCell($"embedding", centers).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    val vecs = e.as[(Long, Seq[Float])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) === referee(v), s"cell for vec $id")
+    }
+    // whole-stage codegen keeps the corpus pass fused
+    val plan = e.select(GraftColumns.argMinCell($"embedding", centers))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_argmin_cell"),
+      s"not codegen'd:\n$plan")
+    // ties go to the lowest index (duplicate centroids), nulls stay null
+    val dup = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    val edge = Seq(Some(Seq(1.0f, 0.0f)), None).toDF("v")
+      .select(GraftColumns.argMinCell($"v", dup)).collect()
+    assert(edge(0).getInt(0) === 0)
+    assert(edge(1).isNullAt(0))
+  }
+
   test("native cosineMicro matches the HOF fold bit-for-bit on real " +
        "embeddings, including self-similarity") {
     import graft.ops.SimilarityOps
