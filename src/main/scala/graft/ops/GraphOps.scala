@@ -67,6 +67,78 @@ object GraphOps {
     labels
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond" — public algorithm): converges in O(log n)
+    * rounds on ANY graph, vs O(diameter) for [[connectedComponents]]'s
+    * min-label propagation. Near-dup clusters are shallow, so min-label
+    * wins there; reach for this variant when components can be DEEP —
+    * reply chains, citation paths, session graphs — where diameter
+    * grows with data size and label propagation's round count grows
+    * with it.
+    *
+    * Per round, with edges kept canonically as (a > b):
+    *  - large-star: every node u connects its LARGER neighbors to the
+    *    minimum of its neighborhood (incl. u) — one groupBy(min) + one
+    *    equi-join over the symmetrized edges;
+    *  - small-star: every node u connects its smaller neighbors (and
+    *    itself) to that minimum — same shape over the canonical edges.
+    * Both emit strictly-canonical edges, so no orientation pass is
+    * needed; neither builds a neighbor LIST (no collect_list — hot
+    * nodes stream through aggregates, the same hazard the LSH star cap
+    * guards). Fixpoint = the edge multiset hash is stable, at which
+    * point the edge set IS the star forest (leaf → component-min root).
+    *
+    * Output contract identical to [[connectedComponents]]: (id,
+    * component = min reachable id) for every non-isolated node;
+    * GraphOpsSpec proves equivalence on random graphs.
+    */
+  def connectedComponentsStar(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    var e = edges
+      .select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("a"),
+        least(col("x"), col("y")).as("b"))
+      .distinct().localCheckpoint()
+    def edgeSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(xxhash64(col("a"), col("b"))
+        .cast("decimal(30,0)"))).head.getDecimal(0)
+    var prevSum = edgeSum(e)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val lmin = sym.groupBy(col("u")).agg(min(col("v")).as("mnv"))
+      val large = sym.join(lmin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"),
+          least(col("mnv"), col("u")).as("b"))
+        .distinct()
+      // small-star over the (a > b) canonical edges: group by the larger
+      // endpoint; m = min smaller-neighbor (m < a by construction)
+      val smin = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val withMin = large.join(smin, Seq("a"))
+      val next = withMin.select(col("a"), col("m").as("b"))
+        .union(withMin.filter(col("b") =!= col("m"))
+          .select(col("b").as("a"), col("m").as("b")))
+        .distinct().localCheckpoint()
+      val nextSum = edgeSum(next)
+      e.unpersist() // bound executor storage to 2 edge copies
+      e = next
+      converged = nextSum == prevSum // null == null covers the empty graph
+      prevSum = nextSum
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    e.select(col("a").as("id"), col("b").as("component"))
+      .union(e.select(col("b").as("id"), col("b").as("component")))
+      .distinct()
+  }
+
   /** Fixed-iteration PageRank in exact integer arithmetic — importance
     * scoring over reference graphs (citation/link/co-occurrence), the
     * graph-analytics companion to [[connectedComponents]].
@@ -91,8 +163,41 @@ object GraphOps {
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampingPpm: Long = 850000L,
+      mass: Long = 1000000000000L): DataFrame =
+    pageRankLoop(edges, srcCol, dstCol, iters, dampingPpm, mass,
+      tolerance = None)
+
+  /** CONVERGENCE-PROBED PageRank: same exact integer arithmetic as
+    * [[pageRank]] (bit-identical ranks for any round the two both
+    * execute), but iterating until the L∞ rank movement between rounds
+    * is at most `tolerance` mass units — the contract for callers that
+    * need "ranks stopped moving" rather than a fixed round count.
+    * Integer ranks make the probe itself deterministic: the same input
+    * converges after the same round on any partitioning. Costs one
+    * max-abs-diff aggregate per round (a join of consecutive rank
+    * tables on id) on top of the fixed-round plan.
+    */
+  def pageRankConverged(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      tolerance: Long, maxIter: Int = 50, dampingPpm: Long = 850000L,
       mass: Long = 1000000000000L): DataFrame = {
+    require(tolerance >= 0, "tolerance must be >= 0")
+    pageRankLoop(edges, srcCol, dstCol, maxIter, dampingPpm, mass,
+      tolerance = Some(tolerance))
+  }
+
+  private def pageRankLoop(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampingPpm: Long, mass: Long,
+      tolerance: Option[Long]): DataFrame = {
     require(iters >= 0 && dampingPpm >= 0 && dampingPpm <= 1000000L)
+    // dampingPpm * (in_sum + dang div n) must not wrap: in_sum and the
+    // dangling share are each bounded by the total mass, so the factor
+    // in the worst case is ppm(1e6) * 2*mass — fail loudly instead of
+    // silently corrupting ranks for an oversized caller-supplied mass.
+    require(mass > 0 && mass <= Long.MaxValue / 2000000L,
+      s"mass=$mass out of range: ppm-scaled rank arithmetic overflows " +
+        s"Long above ${Long.MaxValue / 2000000L}")
     // Static tables checkpoint ONCE; the dangling-mass scalar joins
     // into the plan as a broadcast 1-row aggregate, so each iteration
     // is a single action (the checkpoint) — no per-round driver
@@ -117,7 +222,9 @@ object GraphOps {
       .select(col("id"), lit(mass / n).as("r"),
         coalesce(col("__dg"), lit(true)).as("__dg"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    var iter = 0
+    var converged = false
+    while (iter < iters && !converged) {
       val dang = ranks.filter(col("__dg"))
         .agg(coalesce(sum(col("r")), lit(0L)).as("__dang"))
       val inSums = eDeg
@@ -137,8 +244,22 @@ object GraphOps {
             .as("r"),
           col("__dg"))
         .localCheckpoint()
+      tolerance.foreach { tol =>
+        // L∞ movement probe: deterministic because the ranks are exact
+        // integers — the same input converges on the same round under
+        // any partitioning
+        val maxMove = prev.select(col("id"), col("r").as("__pr"))
+          .join(ranks.select(col("id"), col("r")), Seq("id"))
+          .agg(coalesce(max(abs(col("r") - col("__pr"))), lit(0L)))
+          .head.getLong(0)
+        converged = maxMove <= tol
+      }
       prev.unpersist()    // bound executor storage to 2 rank copies
+      iter += 1
     }
+    require(tolerance.isEmpty || converged || iters == 0,
+      s"pageRankConverged did not reach tolerance in $iters rounds — " +
+        "raise maxIter or loosen the tolerance")
     ranks.select(col("id"), col("r"))
   }
 

@@ -118,6 +118,67 @@ class GraphOpsSpec extends SparkTestBase {
     assert(same === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("connectedComponentsStar ≡ min-label connectedComponents on " +
+       "seeded random graphs and string ids") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(60)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("id_a", "id_b")
+      val expected = GraphOps.connectedComponents(df, "id_a", "id_b")
+        .as[(Long, Long)].collect().toSet
+      val got = GraphOps.connectedComponentsStar(df, "id_a", "id_b")
+        .as[(Long, Long)].collect().toSet
+      assert(got === expected, s"seed $seed")
+    }
+    val strEdges = Seq(
+      ("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-d", "doc-c"),
+      ("doc-d", "doc-e"), ("img-9", "img-7")).toDF("id_a", "id_b")
+    val cc = GraphOps.connectedComponentsStar(strEdges, "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    Seq("doc-a", "doc-b", "doc-c", "doc-d", "doc-e")
+      .foreach(n => assert(cc(n) === "doc-a", s"node $n"))
+    assert(cc("img-7") === "img-7" && cc("img-9") === "img-7")
+  }
+
+  test("connectedComponentsStar collapses a 1000-node chain in O(log n) " +
+       "rounds (min-label would need ~999)") {
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // maxIter = 12 doubles as the round-count assertion: the require
+    // inside fires if contraction hasn't converged by then
+    val cc = GraphOps.connectedComponentsStar(chain, "id_a", "id_b",
+        maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(cc.length === 1000)
+    assert(cc.forall(_._2 === 0L))
+  }
+
+  test("pageRankConverged: tolerance-0 run reaches the integer fixpoint " +
+       "(≡ a long fixed-round run), and oversized mass fails loudly") {
+    val edges = Seq(
+      ("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"),
+      ("x", "y")).toDF("src", "dst")
+    val converged = GraphOps.pageRankConverged(
+        edges, "src", "dst", tolerance = 0L, maxIter = 100)
+      .as[(String, Long)].collect().toMap
+    // integer ranks reach an exact fixpoint; a long fixed run lands there
+    val fixed = GraphOps.pageRank(edges, "src", "dst", iters = 60)
+      .as[(String, Long)].collect().toMap
+    assert(converged === fixed)
+    // the probe is deterministic under repartition
+    val again = GraphOps.pageRankConverged(
+        edges.repartition(5), "src", "dst", tolerance = 0L, maxIter = 100)
+      .as[(String, Long)].collect().toMap
+    assert(again === converged)
+    // ppm-scaled arithmetic would wrap above Long.MaxValue/2e6 — guarded
+    val err = intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, "src", "dst", iters = 1,
+        mass = Long.MaxValue / 1000L)
+    }
+    assert(err.getMessage.contains("overflows"))
+  }
+
   test("pageRank: hub outranks leaves, mass approximately conserved " +
        "(div truncation only), dangling sink absorbs and redistributes, " +
        "repartition-invariant") {
