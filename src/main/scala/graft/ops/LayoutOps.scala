@@ -78,12 +78,18 @@ object LayoutOps {
       spark: org.apache.spark.sql.SparkSession, inPath: String,
       outPath: String, targetFileBytes: Long): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    require(
-      new java.io.File(outPath).getCanonicalPath !=
-        new java.io.File(inPath).getCanonicalPath,
-      "compact never rewrites in place — write to a new dir and swap")
     val fs = new org.apache.hadoop.fs.Path(inPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // never-in-place guard on QUALIFIED Hadoop paths: all IO here goes
+    // through the FileSystem API (hdfs://, s3a://, file:), where
+    // java.io.File canonicalization is meaningless — two spellings of
+    // the same remote dir would both pass a local-File comparison
+    val outFs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(
+      fs.makeQualified(new org.apache.hadoop.fs.Path(inPath)) !=
+        outFs.makeQualified(new org.apache.hadoop.fs.Path(outPath)),
+      "compact never rewrites in place — write to a new dir and swap")
     // recursive: partitioned layouts (day=.../part-*.parquet) are the
     // MAIN compaction customer — a top-level listing would see zero
     // bytes and glue everything into one file

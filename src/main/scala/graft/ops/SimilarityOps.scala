@@ -83,26 +83,36 @@ object SimilarityOps {
     *
     * Same plan shape as [[bruteForceTopK]]: queries broadcast, corpus
     * streams through one scan, per-query window top-k. Self-matches
-    * (same id) are excluded.
+    * (same id) are excluded; candidates whose code dimension differs
+    * from the query's are dropped (a mixed-dim dot product is
+    * meaningless — previously it scored NULL and silently ranked
+    * last). Ids are aliased internally, so corpus and query id columns
+    * MAY share a name (natural for self-queries); on a name collision
+    * the corpus id is returned as `<idCol>_corpus`.
     */
   def quantizedTopK(
       corpus: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
       queries: org.apache.spark.sql.DataFrame, qIdCol: String, qVecCol: String,
       k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cc = corpus.select(col(idCol), quantizeInt8(col(vecCol)).as("__codes"))
-    val qc = queries.select(col(qIdCol), quantizeInt8(col(qVecCol)).as("__qcodes"))
-    val scored = cc.join(broadcast(qc), col(idCol) =!= col(qIdCol))
+    val outIdCol = if (idCol == qIdCol) s"${idCol}_corpus" else idCol
+    val cc = corpus.select(col(idCol).as("__cid"),
+      quantizeInt8(col(vecCol)).as("__codes"))
+    val qc = queries.select(col(qIdCol).as("__qid"),
+      quantizeInt8(col(qVecCol)).as("__qcodes"))
+    val scored = cc.join(broadcast(qc), col("__cid") =!= col("__qid"))
+      .filter(size(col("__codes")) === size(col("__qcodes")))
       .withColumn("score_q",
         aggregate(
           zip_with(col("__codes"), col("__qcodes"),
             (a, b) => a.cast("long") * b.cast("long")),
           lit(0L), (acc, x) => acc + x))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("score_q").desc, col(idCol).asc)
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("score_q").desc, col("__cid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), col("score_q"), col("rank"))
+      .select(col("__qid").as(qIdCol), col("__cid").as(outIdCol),
+        col("score_q"), col("rank"))
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus

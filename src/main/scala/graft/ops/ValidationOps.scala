@@ -31,7 +31,14 @@ object ValidationOps {
     coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)),
       lit(0L))
 
-  /** violations = rows − distinct keys (0 ⇔ key is unique). */
+  /** violations = rows − distinct keys (0 ⇔ key is unique among
+    * non-null keys AND no row has a null key). NULL semantics:
+    * `count_distinct` skips rows whose key column(s) are all null, so
+    * EVERY null-key row counts as a violation — even a single one.
+    * That is the strict reading for a uniqueness check on a key column
+    * (a null key can't be proven unique); pair with [[notNull]] when
+    * null keys should surface as their own named check instead.
+    */
   def unique(cols: Column*): Column =
     count(lit(1)) - count_distinct(cols.head, cols.tail: _*)
 

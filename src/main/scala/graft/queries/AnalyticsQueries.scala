@@ -23,6 +23,23 @@ object AnalyticsQueries {
       |GROUP BY GROUPING SETS ((lang), (source), ())
       |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
+  /** Per-run scratch dir for sink round-trip queries, deleted on JVM
+    * exit: a fixed path raced concurrent Verify/Bench runs
+    * mid-overwrite, but bare createTempDirectory leaked a full table
+    * copy into /tmp per run — the shutdown hook walks and removes it.
+    */
+  private def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString + "/data"
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // Explicit GROUPING SETS (the third grouping-analytics face next to
@@ -642,10 +659,7 @@ object AnalyticsQueries {
         |FROM documents WHERE lang IN ('en', 'ru')
         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       import s.implicits._
-      // per-run temp dir: a fixed path raced concurrent Verify/Bench
-      // runs mid-overwrite and leaked /tmp garbage
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q90").toString + "/data"
+      val path = scratchDir("graft_q90")
       graft.ops.LayoutOps.writePartitioned(
         Tables.load(s, dir, "documents"), path, "lang")
       s.read.parquet(path)
@@ -689,8 +703,7 @@ object AnalyticsQueries {
       (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.types._
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q108").toString + "/data"
+      val path = scratchDir("graft_q108")
       Tables.load(s, dir, "documents")
         .write.mode("overwrite").json(path)
       val schema = StructType(Seq(
@@ -718,8 +731,7 @@ object AnalyticsQueries {
       (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.types._
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q109").toString + "/data"
+      val path = scratchDir("graft_q109")
       val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
       Tables.load(s, dir, "orders")
         .write.mode("overwrite")

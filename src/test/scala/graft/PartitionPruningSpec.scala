@@ -79,5 +79,11 @@ class PartitionPruningSpec extends SparkTestBase {
     val outDir2 = outDir + "2"
     val (_, one) = LayoutOps.compact(spark, smallDir, outDir2, Long.MaxValue)
     assert(one === 1)
+    // never-in-place guard compares QUALIFIED Hadoop paths, so scheme'd
+    // or differently-spelled aliases of the same dir are caught too
+    for (alias <- Seq(smallDir, s"file:$smallDir", smallDir + "/."))
+      intercept[IllegalArgumentException] {
+        LayoutOps.compact(spark, smallDir, alias, 1024L)
+      }
   }
 }

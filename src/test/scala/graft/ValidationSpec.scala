@@ -67,4 +67,40 @@ class ValidationSpec extends SparkTestBase {
       assert(top.getLong(1) % 2 === q % 2, s"cluster recall for q=$q")
     }
   }
+
+  test("quantizedTopK: corpus and query id columns may share a name " +
+       "(self-query), and mixed-dim candidates are dropped, not " +
+       "null-ranked") {
+    val vecs = (0 until 10).map(i =>
+      (i.toLong, Array(1f + i, 2f, 3f))).toDF("vec_id", "embedding")
+    // same column names on both sides — previously an ambiguous-
+    // reference analysis failure
+    val out = SimilarityOps.quantizedTopK(
+      vecs, "vec_id", "embedding",
+      vecs.limit(2), "vec_id", "embedding", k = 3)
+    assert(out.columns.toSeq ===
+      Seq("vec_id", "vec_id_corpus", "score_q", "rank"))
+    val rows = out.collect()
+    assert(rows.length === 6)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    // a dim-2 intruder never scores against dim-3 queries
+    val mixed = vecs.unionByName(
+      Seq((99L, Array(9f, 9f))).toDF("vec_id", "embedding"))
+    val got = SimilarityOps.quantizedTopK(
+        mixed, "vec_id", "embedding",
+        vecs.limit(2), "vec_id", "embedding", k = 100)
+      .filter($"vec_id_corpus" === 99L).count()
+    assert(got === 0L)
+  }
+
+  test("unique: every null-key row counts as a violation (documented " +
+       "strict semantics), non-null duplicates count as rows - distinct") {
+    import graft.ops.ValidationOps
+    val df = Seq(Some(1L), Some(2L), Some(2L), None, None)
+      .toDF("k")
+    val r = ValidationOps.runChecks(df,
+      Seq("k_unique" -> ValidationOps.unique($"k"))).head
+    // 5 rows, 2 distinct non-null keys -> 3 violations (dup 2 + both nulls)
+    assert(r.getLong(1) === 3L)
+  }
 }
