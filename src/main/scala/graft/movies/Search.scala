@@ -48,13 +48,13 @@ object Search {
     * (term, field) per row — at corpus scale the stemmer was the
     * query-path bottleneck, not the arithmetic.
     */
-  private def withAnalyzed(docs: DataFrame, fields: Seq[String]): DataFrame =
+  private[movies] def withAnalyzed(docs: DataFrame, fields: Seq[String]): DataFrame =
     fields.foldLeft(docs)((d, f) =>
       d.withColumn(s"__toks_$f", analyzedField(f)))
 
-  private def toks(f: String): Column = col(s"__toks_$f")
+  private[movies] def toks(f: String): Column = col(s"__toks_$f")
 
-  private def dropAnalyzed(df: DataFrame, fields: Seq[String]): DataFrame =
+  private[movies] def dropAnalyzed(df: DataFrame, fields: Seq[String]): DataFrame =
     df.drop(fields.map(f => s"__toks_$f"): _*)
 
   /** Plain weighted-tf scoring (the first-cut X1 semantics; integer and
@@ -77,7 +77,7 @@ object Search {
       fields)
   }
 
-  private def analyzeQuery(docs: DataFrame, query: String): Seq[String] =
+  private[movies] def analyzeQuery(docs: DataFrame, query: String): Seq[String] =
     docs.sparkSession.range(1)
       .select(Analyzer.analyze(lit(query)).as("t"))
       .head.getSeq[String](0).distinct
@@ -125,12 +125,32 @@ object Search {
         count(lit(1)).as("n_docs")
     val stats = analyzed.agg(statAggs.head, statAggs.tail: _*).head()
     val n = stats.getAs[Long]("n_docs").toDouble
+    val avgdl = fields.map(f =>
+      f -> stats.getAs[Double](s"avgdl_$f")).toMap
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      t -> stats.getAs[Long](s"df_$i")
+    }.toMap
+    dropAnalyzed(
+      analyzed
+        .withColumn("score", bm25f(terms, fields, weights, avgdl, dfs, n))
+        .filter(col("score") > 0),
+      fields)
+  }
 
-    val total = terms.zipWithIndex.map { case (t, i) =>
-      val df = stats.getAs[Long](s"df_$i").toDouble
+  /** The BM25F scoring column over pre-analyzed `__toks_*` columns,
+    * given driver-held corpus stats — shared by the one-shot [[score]]
+    * and the stats-cached [[SearchIndex]], so the two paths cannot
+    * drift arithmetically.
+    */
+  private[movies] def bm25f(
+      terms: Seq[String], fields: Seq[String], weights: Map[String, Int],
+      avgdls: Map[String, Double], dfs: Map[String, Long],
+      n: Double): Column =
+    terms.map { t =>
+      val df = dfs.getOrElse(t, 0L).toDouble
       val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
       val tfTilde = fields.map { f =>
-        val avgdl = math.max(stats.getAs[Double](s"avgdl_$f"), 1e-9)
+        val avgdl = math.max(avgdls(f), 1e-9)
         val dl = size(toks(f)).cast("double")
         val tf = size(filter(toks(f), x => x === lit(t))).cast("double")
         lit(weights(f).toDouble) * tf /
@@ -138,10 +158,6 @@ object Search {
       }.reduce(_ + _)
       lit(idf) * tfTilde / (lit(K1) + tfTilde)
     }.reduce(_ + _)
-    dropAnalyzed(
-      analyzed.withColumn("score", total).filter(col("score") > 0),
-      fields)
-  }
 
   /** Full search-API semantics (api.py:63-111): optional query, sort
     * (id | title | imdb_rating, asc|desc), limit/offset pagination.

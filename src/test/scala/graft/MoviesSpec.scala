@@ -160,6 +160,43 @@ class MoviesSpec extends SparkTestBase {
     assert((page1 ++ page2).distinct.length === 3)
   }
 
+  test("SearchIndex: repeated searches reuse the hoisted corpus stats " +
+       "(no per-query stats aggregate) and rank identically to the " +
+       "one-shot scorer") {
+    val docs = Docs.movieDocs(norm.filmWork, norm.person, norm.genre,
+      norm.personFilmWork, norm.genreFilmWork)
+    val idx = SearchIndex.build(docs)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"score").as[(String, Double)].collect()
+        .sortBy(_._1).toSeq
+    // bit-identical scores to the one-shot path on several queries,
+    // including an unknown term (df = 0) and a repeated query
+    for (q <- Seq("star wars", "George Lucas", "explosion",
+        "star nonexistentterm", "star wars"))
+      assert(ranked(idx.score(q)) === ranked(Search.score(docs, q)), q)
+    // the stats are hoisted: a REPEATED query (terms memoized) runs
+    // strictly fewer Spark jobs than the one-shot scorer, which pays
+    // its corpus-stats aggregate every call
+    def countJobs(group: String)(f: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try f finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    idx.score("star wars").collect() // warm the term cache
+    val indexed = countJobs("idx_search")(idx.score("star wars").collect())
+    val oneShot = countJobs("oneshot_search")(
+      Search.score(docs, "star wars").collect())
+    assert(indexed < oneShot,
+      s"indexed search ran $indexed jobs vs one-shot $oneShot — " +
+        "stats aggregate not hoisted")
+    // index-backed full API face behaves like Search.search
+    val viaIdx = idx.search(Some("star wars"), "imdb_rating", asc = false)
+      .select("id").as[String].collect()
+    val viaSearch = Search.search(docs, Some("star wars"), "imdb_rating",
+      asc = false).select("id").as[String].collect()
+    assert(viaIdx.toSeq === viaSearch.toSeq)
+  }
+
   test("russian snowball: inflected forms stem to the published roots") {
     val cases = Seq(
       // noun case endings fold to one root
