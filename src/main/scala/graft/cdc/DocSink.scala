@@ -32,6 +32,14 @@ import org.apache.spark.sql.DataFrame
   *    }}}
   *    `es.mapping.id` is exactly the `_id=doc.id` of the reference's
   *    helpers.bulk call, so idempotence semantics carry over unchanged.
+  *
+  * Retries: the reference wraps every connector call in an
+  * exponential-backoff decorator (postgres_to_es/utils.py:19-53).
+  * Executor-side transient faults are already covered by Spark task
+  * retries; for driver-visible connector failures wrap sink calls in
+  * `JdbcIO.withRetry` — safe precisely BECAUSE this contract is
+  * idempotent upsert-by-id, so a partially-applied failed attempt
+  * replays harmlessly.
   */
 trait DocSink {
 

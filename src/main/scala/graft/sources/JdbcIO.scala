@@ -36,11 +36,57 @@ object JdbcIO {
     p
   }
 
+  /** Exponential-backoff retry policy for driver-side connector
+    * actions — parity with the reference's backoff decorator
+    * (postgres_to_es/utils.py:19-53: start sleep, ×2 factor, 10 s
+    * border). `maxAttempts` counts the first try.
+    */
+  final case class RetryPolicy(
+      maxAttempts: Int = 5,
+      initialBackoffMs: Long = 100L,
+      maxBackoffMs: Long = 10000L,
+      factor: Double = 2.0) {
+    require(maxAttempts >= 1 && initialBackoffMs >= 0 &&
+      maxBackoffMs >= initialBackoffMs && factor >= 1.0,
+      s"invalid retry policy: $this")
+  }
+
+  /** Run a driver-side connector action with retries. Spark's own task
+    * retries already cover executor-side transient faults mid-job; this
+    * wrapper covers failures Spark does NOT retry — the driver-visible
+    * connection setup / DDL / whole-action errors a flaky database
+    * throws (the reference wraps every Postgres/ES/Redis call the same
+    * way). Only non-fatal exceptions retry; the last failure rethrows.
+    *
+    * CAUTION: the wrapped action re-runs WHOLE — pair with idempotent
+    * sinks (DocSink's upsert-by-id contract, SaveMode.Overwrite) so a
+    * partially-applied failed attempt is harmless on replay.
+    */
+  def withRetry[T](policy: RetryPolicy = RetryPolicy())(f: => T): T = {
+    var attempt = 1
+    var backoff = policy.initialBackoffMs
+    var result: Option[T] = None
+    while (result.isEmpty) {
+      try result = Some(f)
+      catch {
+        case scala.util.control.NonFatal(e)
+            if attempt < policy.maxAttempts =>
+          Thread.sleep(backoff)
+          backoff = math.min(
+            (backoff * policy.factor).toLong, policy.maxBackoffMs)
+          attempt += 1
+      }
+    }
+    result.get
+  }
+
   /** Full-table (or pushdown-narrowed) scan over one connection. */
   def read(
       spark: SparkSession, url: String, table: String,
-      options: Map[String, String] = Map.empty): DataFrame =
-    spark.read.jdbc(url, table, props(options))
+      options: Map[String, String] = Map.empty,
+      retry: Option[RetryPolicy] = None): DataFrame =
+    retry.fold(spark.read.jdbc(url, table, props(options)))(p =>
+      withRetry(p)(spark.read.jdbc(url, table, props(options))))
 
   /** Parallel range scan: `numPartitions` concurrent connections, each
     * reading `[lower, upper)` stripes of `partitionCol` (must be
@@ -53,10 +99,16 @@ object JdbcIO {
     spark.read.jdbc(
       url, table, partitionCol, lower, upper, numPartitions, props(options))
 
-  /** Append/overwrite batch insert sink (S4). */
+  /** Append/overwrite batch insert sink (S4). `retry` wraps the whole
+    * write action ([[withRetry]]'s idempotence caveat applies: use with
+    * Overwrite, or Append only when a replayed batch is acceptable /
+    * deduplicated downstream).
+    */
   def write(
       df: DataFrame, url: String, table: String,
       mode: SaveMode = SaveMode.ErrorIfExists,
-      options: Map[String, String] = Map.empty): Unit =
-    df.write.mode(mode).jdbc(url, table, props(options))
+      options: Map[String, String] = Map.empty,
+      retry: Option[RetryPolicy] = None): Unit =
+    retry.fold(df.write.mode(mode).jdbc(url, table, props(options)))(p =>
+      withRetry(p)(df.write.mode(mode).jdbc(url, table, props(options))))
 }

@@ -96,4 +96,41 @@ class GoldenJdbcSpec extends SparkTestBase {
     JdbcIO.write(n.genre, url, "genre", SaveMode.Overwrite)
     assert(JdbcIO.read(spark, url, "genre").count() === n.genre.count())
   }
+
+  test("connector retry: transient failures recover with exponential " +
+       "backoff; a retried Derby write still succeeds and a retried " +
+       "persistent failure exhausts its attempts") {
+    // withRetry machinery: succeeds on attempt 3, two backoffs slept
+    val policy = JdbcIO.RetryPolicy(
+      maxAttempts = 5, initialBackoffMs = 20L, maxBackoffMs = 1000L)
+    var calls = 0
+    val t0 = System.nanoTime()
+    val got = JdbcIO.withRetry(policy) {
+      calls += 1
+      if (calls < 3) sys.error(s"transient #$calls")
+      "ok"
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(got === "ok" && calls === 3)
+    assert(elapsedMs >= 60, s"expected >= 20+40ms of backoff, got $elapsedMs")
+
+    // retried JDBC round trip against real Derby
+    val dir = Files.createTempDirectory("graft_derby_retry").toString
+    val url = s"jdbc:derby:$dir/retrydb;create=true"
+    val df = spark.range(10).toDF("id")
+    JdbcIO.write(df, url, "t_retry", retry = Some(policy))
+    assert(JdbcIO.read(spark, url, "t_retry", retry = Some(policy))
+      .count() === 10)
+
+    // a persistent failure (table exists + ErrorIfExists) retries
+    // maxAttempts times, sleeps between them, then rethrows
+    val t1 = System.nanoTime()
+    intercept[Exception] {
+      JdbcIO.write(df, url, "t_retry",
+        retry = Some(JdbcIO.RetryPolicy(
+          maxAttempts = 2, initialBackoffMs = 50L, maxBackoffMs = 100L)))
+    }
+    val failedMs = (System.nanoTime() - t1) / 1000000
+    assert(failedMs >= 50, s"one 50ms backoff expected, got $failedMs")
+  }
 }
