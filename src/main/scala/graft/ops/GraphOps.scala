@@ -111,12 +111,14 @@ object GraphOps {
     while (iter < maxIter && !converged) {
       val sym = e.select(col("a").as("u"), col("b").as("v"))
         .union(e.select(col("b").as("u"), col("a").as("v")))
+      // no dedup here: each (u,v) direction emits at most once, the
+      // min-aggregate below absorbs duplicates, and the round's single
+      // distinct on `next` canonicalizes — one less shuffle per round
       val lmin = sym.groupBy(col("u")).agg(min(col("v")).as("mnv"))
       val large = sym.join(lmin, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("a"),
           least(col("mnv"), col("u")).as("b"))
-        .distinct()
       // small-star over the (a > b) canonical edges: group by the larger
       // endpoint; m = min smaller-neighbor (m < a by construction)
       val smin = large.groupBy(col("a")).agg(min(col("b")).as("m"))

@@ -752,6 +752,35 @@ object AnalyticsQueries {
           sum(round($"o_totalprice" * 100, 0).cast("long")).as("total_c"),
           sum(unix_micros($"o_orderdate".cast("timestamp"))).as("sum_ts_us"))
         .orderBy($"o_orderstatus")
+    },
+
+    // ORC sink+source round trip (the third interchange format next to
+    // q108 JSONL and q109 CSV): columnar, self-describing schema, so
+    // the read-back needs no schema-on-read declaration. Oracle runs
+    // the same aggregate over the ORIGINAL table — write→read value
+    // fidelity is what's gated.
+    GraftQuery(
+      "q117_orc_roundtrip",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_c,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = scratchDir("graft_q117")
+      Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus", $"l_quantity",
+          $"l_extendedprice")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"l_quantity" * 100, 0).cast("long")).as("sum_qty_c"),
+          sum(round($"l_extendedprice" * 100, 0).cast("long"))
+            .as("sum_price_c"))
+        .orderBy($"l_returnflag", $"l_linestatus")
     })
 }
 

@@ -338,5 +338,33 @@ object DedupQueries {
       DedupOps.dropDuplicatedSpans(
           Tables.load(s, dir, "documents"), "doc_id", "text", k = 5)
         .orderBy($"doc_id")
+    },
+
+    // DEEP-component connected components via large-star/small-star
+    // contraction (GraphOps.connectedComponentsStar, O(log n) rounds):
+    // per-user event chains — each event linked to the user's next —
+    // have diameter = events-per-user, the regime where q60's min-label
+    // propagation would pay one round per hop. The oracle needs no
+    // recursive closure at all: a chain's component is exactly its
+    // user's MIN event id (single-event users have no edges and drop),
+    // which is what makes the deep case cheaply and exactly gateable.
+    GraftQuery(
+      "q116_chain_components",
+      """SELECT MIN(event_id) AS component,
+        |  COUNT(*) AS n_members, MAX(event_id) AS max_member
+        |FROM events GROUP BY user_id HAVING COUNT(*) > 1
+        |ORDER BY component""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val edges = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id",
+          lead($"event_id", 1).over(w).as("next_id"))
+        .filter($"next_id".isNotNull)
+        .select($"event_id".as("id_a"), $"next_id".as("id_b"))
+      graft.ops.GraphOps.connectedComponentsStar(edges, "id_a", "id_b")
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_members"), max($"id").as("max_member"))
+        .orderBy($"component")
     })
 }
