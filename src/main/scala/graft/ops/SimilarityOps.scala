@@ -115,6 +115,52 @@ object SimilarityOps {
         col("score_q"), col("rank"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023 —
+    * published algorithm): assign every vector to its nearest-centroid
+    * CELL, then compare pairs ONLY within a cell and keep those with
+    * cosine ≥ `thresholdMicro`. The clustering is what makes semantic
+    * dedup tractable at corpus scale — candidate pairs are Σ|cell|²,
+    * bounded by the cluster granularity, never the corpus n²; at 10⁹
+    * vectors you raise the centroid count so cells stay ~10³-10⁴ rows.
+    *
+    * Centroids come from the caller (train via [[localLloyd]] on a
+    * bounded sample like ivfTopK does, or pass fixed centroids for
+    * reproducible runs); assignment is the codegen'd ArgMinCell corpus
+    * pass. The within-cell self-join is an equi-join on the cell id —
+    * AQE's skew split spreads a hot cell, and the join never crosses
+    * cells. Returns (cell, id_a < id_b, cos_micro).
+    */
+  def semanticDedupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centers: Array[Array[Double]], thresholdMicro: Long): DataFrame = {
+    val assigned = corpus.select(col(idCol),
+      col(vecCol),
+      graft.functions.GraftColumns.argMinCell(col(vecCol), centers)
+        .as("cell"))
+    val l = assigned.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val r = assigned.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_micro", cosineMicro(col("__va"), col("__vb")))
+      .filter(col("cos_micro") >= thresholdMicro)
+      .select(col("cell"), col("id_a"), col("id_b"), col("cos_micro"))
+  }
+
+  /** SemDeDup finisher: keep one representative (min id) per linked
+    * within-cell near-dup component, plus every unpaired row — the
+    * embedding-space sibling of the MinHash dedup pipeline
+    * (pairs → connected components → canonical selection).
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centers: Array[Array[Double]], thresholdMicro: Long): DataFrame =
+    GraphOps.dropNearDuplicates(
+      corpus, idCol,
+      semanticDedupPairs(corpus, idCol, vecCol, centers, thresholdMicro),
+      "id_a", "id_b")
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Queries are broadcast (they must be small — the corpus is
     * the big side and streams through one scan at any scale); per-query

@@ -222,5 +222,64 @@ object SimilarityQueries {
         .select($"query_id", $"vec_id".as("neighbor_id"),
           $"score_q", $"rank")
         .orderBy($"query_id", $"rank")
+    },
+
+    // SemDeDup-style semantic dedup (SimilarityOps.semanticDedup):
+    // FIXED 8 one-hot-ish centroids (8.0 at dim c*8) make the
+    // clustering oracle-replayable — every row's nearest-centroid cell
+    // (ArgMinCell: sequential squared-diff fold, ties to lowest index)
+    // travels in the hash along with its kept/dropped flag after
+    // within-cell cosine linking + min-id component selection. The
+    // oracle replays assignment via the same index-order fold, the
+    // pair threshold via the exact cosMicro tree, and the component
+    // closure via a recursive CTE.
+    GraftQuery(
+      "q118_semantic_dedup",
+      s"""WITH RECURSIVE assign AS (
+         |  SELECT vec_id, embedding,
+         |    (SELECT c FROM (
+         |       SELECT c, list_reduce(list_prepend(0.0,
+         |         list_transform(generate_series(1, len(embedding)), i ->
+         |           (CAST(embedding[i] AS DOUBLE) -
+         |              CASE WHEN i = c*8+1 THEN 8.0 ELSE 0.0 END)
+         |           * (CAST(embedding[i] AS DOUBLE) -
+         |              CASE WHEN i = c*8+1 THEN 8.0 ELSE 0.0 END))),
+         |         (x,y)->x+y) AS dist
+         |       FROM (SELECT unnest(generate_series(0, 7)) AS c))
+         |     ORDER BY dist, c LIMIT 1) AS cell
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${duckCosMicro("a", "b")} >= 500000),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, node) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT src AS vid, MIN(node) AS component
+         |  FROM reach GROUP BY src)
+         |SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+         |  COALESCE(s.vec_id = c.component, TRUE) AS kept
+         |FROM assign s LEFT JOIN comp c ON c.vid = s.vec_id
+         |ORDER BY s.vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val centers = Array.tabulate(8)(c =>
+        Array.tabulate(64)(i => if (i == c * 8) 8.0 else 0.0))
+      val e = Tables.load(s, dir, "embeddings")
+      val assigned = e.select($"vec_id",
+        graft.functions.GraftColumns.argMinCell($"embedding", centers)
+          .cast("long").as("cell"))
+      val kept = SimilarityOps.semanticDedup(
+          e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+          centers, 500000L)
+        .select($"vec_id", lit(true).as("kept"))
+      assigned.join(kept, Seq("vec_id"), "left_outer")
+        .select($"vec_id", $"cell",
+          coalesce($"kept", lit(false)).as("kept"))
+        .orderBy($"vec_id")
     })
 }

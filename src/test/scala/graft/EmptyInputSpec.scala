@@ -103,4 +103,43 @@ class EmptyInputSpec extends SparkTestBase {
     assert(rep.getLong(1) === 0L && rep.getLong(2) === 0L &&
       rep.getBoolean(3))
   }
+
+  test("round-5 ops: empty inputs degrade to empty, not errors") {
+    // star CC on an empty graph: converges immediately, empty labels
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(GraphOps.connectedComponentsStar(noPairs, "id_a", "id_b")
+      .count() === 0)
+    // self-loop-only graph: no inter-node edges, empty labels
+    assert(GraphOps.connectedComponentsStar(
+      Seq((3L, 3L)).toDF("id_a", "id_b"), "id_a", "id_b").count() === 0)
+    // convergence-probed PageRank on an empty graph
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(GraphOps.pageRankConverged(noEdges, "src", "dst",
+      tolerance = 0L).count() === 0)
+    // local BPE training on an empty corpus: zero merges
+    assert(BpeOps.learnMergesLocal(noDocs, "text", 5) === Seq.empty)
+    // trie encoder on an empty frame and an empty merge list
+    assert(BpeOps.encodeWithMerges(
+      noDocs.select($"text".as("word")), "word", Seq.empty).count() === 0)
+    val pieces = BpeOps.encodeWithMerges(
+      Seq("ab").toDF("word"), "word", Seq.empty)
+      .head.getSeq[String](1)
+    assert(pieces === Seq("a", "b"))
+    // SearchIndex over an empty corpus: build succeeds, queries empty
+    val emptyDocs = Seq.empty[(String, String, String, Double,
+        Seq[String], Seq[String], Seq[String], Seq[String])]
+      .toDF("id", "title", "description", "imdb_rating",
+        "genres_names", "actors_names", "writers_names", "directors_names")
+    val idx = graft.movies.SearchIndex.build(emptyDocs)
+    assert(idx.score("anything").count() === 0)
+    assert(idx.search(None).count() === 0)
+    // bounded LSH helpers with a sub-2 cap are rejected loudly
+    val sig = DedupOps.minhashSignatures(
+      noDocs.select($"doc_id", TextOps.shingleHashes($"text", 3).as("sh")),
+      "doc_id", "sh", 8)
+    intercept[IllegalArgumentException] {
+      DedupOps.lshCandidatePairs(sig, "doc_id", "sig", 4, 2, maxBucket = 1)
+        .count()
+    }
+  }
 }

@@ -360,6 +360,31 @@ class TextDedupSimSpec extends SparkTestBase {
     assert(hybrid === unbounded)
   }
 
+  test("semanticDedup: planted embedding clones collapse to the min id " +
+       "per component, pairs never cross cells, singletons survive") {
+    val centers = Array(
+      Array(10.0, 0.0, 0.0, 0.0), Array(0.0, 10.0, 0.0, 0.0))
+    val a = Array(9.5f, 0.1f, 0.0f, 0.2f)    // cell 0
+    val a2 = Array(9.4f, 0.1f, 0.05f, 0.2f)  // clone of a
+    val b = Array(0.2f, 9.8f, 0.1f, 0.0f)    // cell 1
+    val b2 = Array(0.2f, 9.7f, 0.1f, 0.05f)  // clone of b
+    val solo = Array(0.0f, 8.0f, 6.0f, 0.0f) // cell 1, unlike b
+    val df = Seq(
+      (1L, a.toSeq), (2L, a2.toSeq), (3L, a.toSeq),
+      (10L, b.toSeq), (11L, b2.toSeq), (20L, solo.toSeq)
+    ).toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.semanticDedupPairs(
+      df, "vec_id", "embedding", centers, 990000L)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet
+    // the a-clique links transitively, b-pair links, nothing crosses
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    val kept = SimilarityOps.semanticDedup(
+        df, "vec_id", "embedding", centers, 990000L)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 10L, 20L))
+  }
+
   test("dropDuplicatedSpans: a verbatim cross-doc quote is cut from " +
        "BOTH holders, a within-doc repeat is cut twice, unique text " +
        "survives untouched, short docs never produce spans") {
