@@ -165,6 +165,73 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Perceptual average-hash (the classic aHash — public algorithm) per
+    * image: decode → nearest-neighbor 8×8 downsample (same integer
+    * kernel as [[resizeImageFeatures]]) → integer gray per cell (sum of
+    * the three rounded channel bytes, 0..765) → threshold each cell at
+    * the integer mean (strictly greater ⇒ 1) → 64 bits packed row-major
+    * (bit j = y·8+x). Near-identical images (recompressed, lightly
+    * edited) land within a few hamming bits; exact-equal hashes give a
+    * shuffle-key dedup primitive for the image modality, completing the
+    * text (MinHash) / embedding (SemDeDup) dedup family.
+    *
+    * The 64 bits travel as two BIGINT halves (`ahash_hi` bits 63..32,
+    * `ahash_lo` 31..0) — bit 63 in one signed BIGINT would overflow the
+    * oracle's integer arithmetic. All math is integer-exact behind the
+    * decoder boundary, so the q119 oracle replays it from the synthetic
+    * pixel formula while Spark decodes the real PNG bytes.
+    * Undecodable/null blobs yield null hashes. Same mapPartitions
+    * shape as decode: blobs never leave the executor.
+    */
+  def imageAHash(records: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", StringType),
+      StructField("ahash_hi", LongType),
+      StructField("ahash_lo", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    records.select("media_id", "blob").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getString(0)
+        val blob = r.getAs[Array[Byte]](1)
+        val d = if (blob == null) null else DecodeStub.decodeImage(blob)
+        if (d == null) Row(id, null, null)
+        else {
+          val gray = new Array[Long](64)
+          var sum = 0L
+          var j = 0
+          while (j < 64) {
+            val x = j % 8
+            val y = j / 8
+            val sx = x * d.width / 8
+            val sy = y * d.height / 8
+            val base = (sy * d.width + sx) * d.nChannels
+            var g = 0L
+            var c = 0
+            while (c < d.nChannels) {
+              g += math.round(d.pixels(base + c) * 255f)
+              c += 1
+            }
+            gray(j) = g
+            sum += g
+            j += 1
+          }
+          val mean = sum / 64L
+          var hi = 0L
+          var lo = 0L
+          j = 0
+          while (j < 64) {
+            if (gray(j) > mean) {
+              if (j < 32) lo |= 1L << j
+              else hi |= 1L << (j - 32)
+            }
+            j += 1
+          }
+          Row(id, hi, lo)
+        }
+      }
+    }(enc)
+  }
+
   /** Audio decode dispatch: WAV goes through the REAL JDK codec
     * ([[MediaCodecs.decodeWavPcm16]], javax.sound.sampled — q94
     * hash-checks the PCM16 round trip); other formats (flac/mp3/...)

@@ -271,5 +271,42 @@ object MoviesQueries {
       val media = MultimodalOps.syntheticWavMedia(s, 300)
       MultimodalOps.decodeAudioEnergy(media)
         .orderBy(col("media_id"))
+    },
+
+    // Image perceptual hash (aHash) — the image-modality dedup key,
+    // completing the text/embedding/image dedup family. Spark decodes
+    // the REAL PNG bytes, NN-downsamples to 8×8 (q59's integer kernel),
+    // grays each cell (sum of rounded channel bytes), thresholds at the
+    // integer mean, and packs 64 bits into two BIGINT halves; the
+    // oracle replays the identical integer math straight from the
+    // synthetic pixel formula — so both the codec round trip AND the
+    // hash arithmetic are hash-checked.
+    GraftQuery(
+      "q119_image_ahash",
+      """WITH m AS (
+        |  SELECT i, 1 + (i % 8) AS w, 1 + ((i*7) % 8) AS h
+        |  FROM generate_series(0, 199) t(i)),
+        |g AS (
+        |  SELECT i,
+        |    list_transform(generate_series(0, 63), j ->
+        |      CAST(list_sum(list_transform(generate_series(0, 2), c ->
+        |        (i*31 + ((((j // 8) * h // 8) * w + ((j % 8) * w // 8))
+        |                 * 3 + c) * 7) % 256)) AS BIGINT)) AS gray
+        |  FROM m),
+        |s AS (SELECT i, gray,
+        |  CAST(list_sum(gray) AS BIGINT) // 64 AS mean FROM g)
+        |SELECT 'png' || CAST(i AS VARCHAR) AS media_id,
+        |  CAST(list_sum(list_transform(generate_series(32, 63), j ->
+        |    CASE WHEN gray[j+1] > mean
+        |      THEN CAST(pow(2, j - 32) AS BIGINT) ELSE 0 END)) AS BIGINT)
+        |    AS ahash_hi,
+        |  CAST(list_sum(list_transform(generate_series(0, 31), j ->
+        |    CASE WHEN gray[j+1] > mean
+        |      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)
+        |    AS ahash_lo
+        |FROM s ORDER BY media_id""".stripMargin) { (s, _) =>
+      import graft.ops.MultimodalOps
+      MultimodalOps.imageAHash(MultimodalOps.syntheticPngMedia(s, 200))
+        .orderBy(col("media_id"))
     })
 }

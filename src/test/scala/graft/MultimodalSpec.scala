@@ -142,6 +142,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(jr.isNullAt(1) && jr.isNullAt(3))
   }
 
+  test("imageAHash: identical images hash identically, a light edit " +
+       "stays within a few hamming bits, unrelated images differ, " +
+       "null blob -> null hash") {
+    import graft.ops.MediaCodecs
+    def gradient(p: Int): Int = (p / 3) % 256          // smooth ramp
+    def edited(p: Int): Int =                          // one corner nudged
+      if (p < 6) math.min(255, gradient(p) + 12) else gradient(p)
+    def noise(p: Int): Int = (p * 137 + 41) % 256      // unrelated texture
+    val rows = Seq(
+      ("a", MediaCodecs.encodePng(16, 16, gradient)),
+      ("a_copy", MediaCodecs.encodePng(16, 16, gradient)),
+      ("a_edit", MediaCodecs.encodePng(16, 16, edited)),
+      ("other", MediaCodecs.encodePng(16, 16, noise)),
+      ("broken", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "blob")
+    val got = MultimodalOps.imageAHash(rows).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+    assert(got("a") === got("a_copy"), "identical bytes must collide")
+    assert(got("broken") === None)
+    def hamming(x: (Long, Long), y: (Long, Long)): Int =
+      java.lang.Long.bitCount(x._1 ^ y._1) +
+        java.lang.Long.bitCount(x._2 ^ y._2)
+    val near = hamming(got("a").get, got("a_edit").get)
+    val far = hamming(got("a").get, got("other").get)
+    assert(near <= 8, s"light edit moved $near bits")
+    assert(far > near, s"unrelated image ($far bits) must differ more " +
+      s"than the edit ($near bits)")
+  }
+
   test("metadata filters prune the blob column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     media.write.mode("overwrite").parquet(dir)
