@@ -325,6 +325,64 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Audio fingerprint — the audio-modality dedup key (energy-delta
+    * sign bits, the Haitsma–Kalker robust-hash shape, public): decode →
+    * non-overlapping windows of `windowSamples` PCM16 samples → exact
+    * integer energy Σs² per window → bit k set iff window k+1's energy
+    * exceeds window k's (k < 63). Re-encodes and lightly processed
+    * copies keep most delta signs, identical clips collide exactly —
+    * the shuffle-key primitive for audio dedup, completing the
+    * text/embedding/image/audio family. Emits (media_id, n_windows,
+    * fp_bits); non-WAV/undecodable/null blobs yield null; clips shorter
+    * than two windows fingerprint as 0 with their (0|1) window count.
+    * Works on the RAW signed 16-bit samples (MediaCodecs.decodeWavPcm16
+    * — the [[decodeAudioEnergy]] path, NOT the normalized-float stub
+    * contract) so energies are integer-exact and q120's oracle replays
+    * them from the WAV sample formula while Spark decodes real bytes.
+    */
+  def audioFingerprint(
+      records: DataFrame, windowSamples: Int): DataFrame = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", StringType),
+      StructField("n_windows", IntegerType),
+      StructField("fp_bits", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    records.select("media_id", "blob").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getString(0)
+        val blob = r.getAs[Array[Byte]](1)
+        val d = if (blob == null || !MediaCodecs.isWav(blob)) null
+                else MediaCodecs.decodeWavPcm16(blob)
+        if (d == null) Row(id, null, null)
+        else {
+          val nw = d.samples.length / windowSamples
+          val energy = new Array[Long](nw)
+          var w = 0
+          while (w < nw) {
+            var e = 0L
+            var t = w * windowSamples
+            val end = t + windowSamples
+            while (t < end) {
+              val s = d.samples(t).toLong
+              e += s * s
+              t += 1
+            }
+            energy(w) = e
+            w += 1
+          }
+          var fp = 0L
+          var k = 0
+          while (k < nw - 1 && k < 63) {
+            if (energy(k + 1) > energy(k)) fp |= 1L << k
+            k += 1
+          }
+          Row(id, nw, fp)
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic frame sampling for video blobs: pick `n` frame offsets
     * evenly across duration_ms (metadata-only — no decode), exploded to
     * one row per sampled frame. Columnar end-to-end.

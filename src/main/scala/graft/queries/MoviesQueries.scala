@@ -308,5 +308,36 @@ object MoviesQueries {
       import graft.ops.MultimodalOps
       MultimodalOps.imageAHash(MultimodalOps.syntheticPngMedia(s, 200))
         .orderBy(col("media_id"))
+    },
+
+    // Audio fingerprint (energy-delta sign bits) — q119's audio twin:
+    // Spark decodes the REAL WAV bytes, windows the PCM16 samples,
+    // takes exact integer energies, and packs sign-of-delta bits; the
+    // oracle replays the identical arithmetic from the sample formula.
+    GraftQuery(
+      "q120_audio_fingerprint",
+      """WITH m AS (
+        |  SELECT i, CAST(64 + (i % 64) AS INTEGER) AS n
+        |  FROM generate_series(0, 299) t(i)),
+        |e AS (
+        |  SELECT i, n // 16 AS nw,
+        |    list_transform(generate_series(0, n // 16 - 1), w ->
+        |      CAST(list_sum(list_transform(generate_series(0, 15), s ->
+        |        ((i*31 + (w*16 + s)*7) % 2048 - 1024)
+        |        * ((i*31 + (w*16 + s)*7) % 2048 - 1024))) AS BIGINT))
+        |      AS energy
+        |  FROM m)
+        |SELECT 'wav' || CAST(i AS VARCHAR) AS media_id,
+        |  CAST(nw AS INTEGER) AS n_windows,
+        |  CAST(list_sum(list_transform(
+        |      generate_series(1, CAST(nw - 1 AS INTEGER)), k ->
+        |    CASE WHEN energy[k+1] > energy[k]
+        |      THEN CAST(pow(2, k - 1) AS BIGINT) ELSE 0 END)) AS BIGINT)
+        |    AS fp_bits
+        |FROM e ORDER BY media_id""".stripMargin) { (s, _) =>
+      import graft.ops.MultimodalOps
+      MultimodalOps.audioFingerprint(
+          MultimodalOps.syntheticWavMedia(s, 300), windowSamples = 16)
+        .orderBy(col("media_id"))
     })
 }

@@ -173,6 +173,35 @@ class MultimodalSpec extends SparkTestBase {
       s"than the edit ($near bits)")
   }
 
+  test("audioFingerprint: identical clips collide, a lightly scaled " +
+       "copy keeps most delta signs, non-WAV and short clips degrade") {
+    import graft.ops.MediaCodecs
+    def tone(t: Int): Short = (((t * 37) % 1200) - 600).toShort
+    val base = Array.tabulate[Short](256)(tone)
+    // 10% quieter copy: energies scale ~uniformly, delta SIGNS survive
+    val scaled = base.map(s => (s * 9 / 10).toShort)
+    val rows = Seq(
+      ("a", MediaCodecs.encodeWavPcm16(8000, base)),
+      ("a_copy", MediaCodecs.encodeWavPcm16(8000, base)),
+      ("a_quiet", MediaCodecs.encodeWavPcm16(8000, scaled)),
+      ("tiny", MediaCodecs.encodeWavPcm16(8000, base.take(20))),
+      ("not_wav", Array[Byte](1, 2, 3)),
+      ("broken", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "blob")
+    val got = MultimodalOps.audioFingerprint(rows, windowSamples = 16)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getInt(1), r.getLong(2)))))
+      .toMap
+    assert(got("a") === got("a_copy"), "identical clips must collide")
+    assert(got("broken") === None && got("not_wav") === None)
+    assert(got("tiny") === Some((1, 0L)), "sub-2-window clip → fp 0")
+    val (nw, fpA) = got("a").get
+    assert(nw === 16)
+    val fpQ = got("a_quiet").get._2
+    val moved = java.lang.Long.bitCount(fpA ^ fpQ)
+    assert(moved <= 4, s"light volume change moved $moved delta signs")
+  }
+
   test("metadata filters prune the blob column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     media.write.mode("overwrite").parquet(dir)
