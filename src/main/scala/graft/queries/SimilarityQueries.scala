@@ -281,5 +281,79 @@ object SimilarityQueries {
         .select($"vec_id", $"cell",
           coalesce($"kept", lit(false)).as("kept"))
         .orderBy($"vec_id")
+    },
+
+    // Hybrid retrieval fusion via Reciprocal Rank Fusion (Cormack et
+    // al. 2009 — public): a lexical signal (term-count over tokens) and
+    // a semantic signal (cosine to an in-data query vector) each
+    // produce a TOP-100 ranked list; fusion scores are
+    // Σ floor(1e6/(60+rank)) over the lists a doc appears in — integer
+    // division end to end, so both engines agree bit-for-bit. The
+    // top-k-then-fuse shape IS the scale path: each signal's candidate
+    // set is bounded (TakeOrdered, no global materialized rank of the
+    // corpus), and the fuse joins two 100-row lists regardless of
+    // corpus size.
+    GraftQuery(
+      "q121_hybrid_rrf",
+      s"""WITH lex AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |        x -> x = 'spark')) +
+         |      len(list_filter(string_split_regex(text, '\\s+'),
+         |        x -> x = 'query')) +
+         |      len(list_filter(string_split_regex(text, '\\s+'),
+         |        x -> x = 'join')) AS BIGINT) AS lex
+         |  FROM documents),
+         |lr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY lex DESC, doc_id)
+         |    AS r_lex
+         |  FROM lex ORDER BY lex DESC, doc_id LIMIT 100),
+         |sem AS (
+         |  SELECT a.vec_id AS doc_id,
+         |    CAST(${duckCosMicro("a", "b")} AS BIGINT) AS cm
+         |  FROM embeddings a, embeddings b WHERE b.vec_id = 0),
+         |sr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cm DESC, doc_id)
+         |    AS r_sem
+         |  FROM sem ORDER BY cm DESC, doc_id LIMIT 100),
+         |fused AS (
+         |  SELECT COALESCE(lr.doc_id, sr.doc_id) AS doc_id,
+         |    CAST(lr.r_lex AS BIGINT) AS r_lex,
+         |    CAST(sr.r_sem AS BIGINT) AS r_sem,
+         |    COALESCE(1000000 // (60 + lr.r_lex), 0) +
+         |      COALESCE(1000000 // (60 + sr.r_sem), 0) AS rrf
+         |  FROM lr FULL OUTER JOIN sr ON lr.doc_id = sr.doc_id)
+         |SELECT doc_id, r_lex, r_sem, CAST(rrf AS BIGINT) AS rrf
+         |FROM fused ORDER BY rrf DESC, doc_id LIMIT 50""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.{SimilarityOps, TextOps}
+      val terms = Seq("spark", "query", "join")
+      val lexScore = terms.map(t =>
+        size(filter(TextOps.tokenize($"text"), x => x === lit(t)))
+          .cast("long")).reduce(_ + _)
+      val lr = Tables.load(s, dir, "documents")
+        .select($"doc_id", lexScore.as("lex"))
+        .orderBy($"lex".desc, $"doc_id").limit(100)
+        .withColumn("r_lex",
+          row_number().over(Window.orderBy($"lex".desc, $"doc_id"))
+            .cast("long"))
+        .select($"doc_id", $"r_lex")
+      val e = Tables.load(s, dir, "embeddings")
+      val qvec = e.filter($"vec_id" === 0L).select($"embedding".as("qvec"))
+      val sr = e.crossJoin(broadcast(qvec))
+        .select($"vec_id".as("doc_id"),
+          SimilarityOps.cosineMicro($"embedding", $"qvec").as("cm"))
+        .orderBy($"cm".desc, $"doc_id").limit(100)
+        .withColumn("r_sem",
+          row_number().over(Window.orderBy($"cm".desc, $"doc_id"))
+            .cast("long"))
+        .select($"doc_id", $"r_sem")
+      lr.join(sr, Seq("doc_id"), "full_outer")
+        .select($"doc_id", $"r_lex", $"r_sem",
+          (coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + r_sem)"), lit(0L))).as("rrf"))
+        .orderBy($"rrf".desc, $"doc_id").limit(50)
     })
 }
