@@ -132,20 +132,60 @@ object SimilarityOps {
     */
   def semanticDedupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      centers: Array[Array[Double]], thresholdMicro: Long): DataFrame = {
+      centers: Array[Array[Double]], thresholdMicro: Long,
+      maxCell: Int = 4096, hotNTables: Int = 16,
+      hotBits: Int = 12): DataFrame = {
+    require(maxCell >= 2, "maxCell must be >= 2")
     val assigned = corpus.select(col(idCol),
       col(vecCol),
       graft.functions.GraftColumns.argMinCell(col(vecCol), centers)
         .as("cell"))
-    val l = assigned.select(col("cell"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"))
-    val r = assigned.select(col("cell"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"))
-    l.join(r, Seq("cell"))
+    val counts = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__cnt"))
+    val tagged = assigned.join(counts, Seq("cell"))
+    // cells within the cap: exact all-pairs (the published SemDeDup
+    // shape — Σ|cell|² bounded by cluster granularity)
+    def pairsOf(df: DataFrame): DataFrame = {
+      val l = df.select(col("cell"), col(idCol).as("id_a"),
+        col(vecCol).as("__va"))
+      val r = df.select(col("cell"), col(idCol).as("id_b"),
+        col(vecCol).as("__vb"))
+      l.join(r, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos_micro", cosineMicro(col("__va"), col("__vb")))
+        .filter(col("cos_micro") >= thresholdMicro)
+        .select(col("cell"), col("id_a"), col("id_b"), col("cos_micro"))
+    }
+    val small = pairsOf(tagged.filter(col("__cnt") <= maxCell))
+    // Cells ABOVE the cap — a boilerplate/zero-vector pathology would
+    // otherwise explode |cell|² in one join key. Unlike the LSH star
+    // degradation (valid there because LSH pairs feed connectivity
+    // only), star pairs are WRONG here: a cell is a coarse cluster,
+    // not a dup clique, so its members must still be TESTED pairwise.
+    // Instead, hot cells sub-bucket by SRP-LSH bands within the cell
+    // and only band-collisions get the exact cosine test — for the
+    // near-identical vectors semantic dedup targets (cos ≈ 1), the
+    // per-table collision probability (1 − θ/π)^bits stays ≈ 1, so the
+    // OR-construction recall is ~1 while the quadratic blowup dies.
+    val hot = tagged.filter(col("__cnt") > maxCell)
+      .select(col("cell"), col(idCol), col(vecCol),
+        explode(srpBandKeys(col(vecCol), hotNTables, hotBits)).as("bk"))
+      .select(col("cell"), col(idCol), col(vecCol),
+        col("bk.t").as("t"), col("bk.bh").as("bh"))
+    val hl = hot.select(col("cell"), col("t"), col("bh"),
+      col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val hr = hot.select(col("cell"), col("t"), col("bh"),
+      col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    // cosine first, THEN distinct on the narrow output columns: a pair
+    // colliding in k tables re-scores k times (cheap codegen'd loop),
+    // which beats shuffling the vectors through a wide distinct
+    val hotPairs = hl.join(hr, Seq("cell", "t", "bh"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_micro", cosineMicro(col("__va"), col("__vb")))
       .filter(col("cos_micro") >= thresholdMicro)
       .select(col("cell"), col("id_a"), col("id_b"), col("cos_micro"))
+      .distinct()
+    small.union(hotPairs)
   }
 
   /** SemDeDup finisher: keep one representative (min id) per linked

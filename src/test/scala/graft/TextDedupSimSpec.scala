@@ -385,6 +385,41 @@ class TextDedupSimSpec extends SparkTestBase {
     assert(kept === Array(1L, 10L, 20L))
   }
 
+  test("semanticDedup hot cells: an oversized cell routes through SRP " +
+       "sub-buckets, still finds the planted clones, and never invents " +
+       "pairs") {
+    val centers = Array(Array(10.0, 0.0, 0.0, 0.0))
+    val rnd = new scala.util.Random(5)
+    // one degenerate cell (single centroid → everything lands in it):
+    // 60 direction-diverse docs + 3 planted near-identical clones;
+    // cap 16 forces every pair through the SRP route
+    val base = Array(9.0f, 0.3f, -0.2f, 0.5f)
+    val rows =
+      (0 until 60).map(i => (100L + i,
+        Array.tabulate(4)(_ => rnd.nextFloat() * 10f - 5f).toSeq)) ++
+      Seq((1L, base.toSeq),
+        (2L, base.map(x => x * 1.001f).toSeq),
+        (3L, base.map(x => x * 0.999f).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = SimilarityOps.semanticDedupPairs(
+        df, "vec_id", "embedding", centers, 999000L,
+        maxCell = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val hot = SimilarityOps.semanticDedupPairs(
+        df, "vec_id", "embedding", centers, 999000L,
+        maxCell = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(hot.subsetOf(exact), "SRP route must never invent pairs")
+    // near-identical clones (cos ≈ 1) collide in some band w.h.p. —
+    // the recall claim the hot route rests on
+    assert(hot.contains((1L, 2L)) && hot.contains((1L, 3L)) &&
+      hot.contains((2L, 3L)), s"clone pairs missing from $hot")
+    val kept = SimilarityOps.semanticDedup(
+        df, "vec_id", "embedding", centers, 999000L)
+      .count()
+    assert(kept >= 60, "non-duplicates must survive")
+  }
+
   test("dropDuplicatedSpans: a verbatim cross-doc quote is cut from " +
        "BOTH holders, a within-doc repeat is cut twice, unique text " +
        "survives untouched, short docs never produce spans") {
