@@ -781,6 +781,47 @@ object AnalyticsQueries {
           sum(round($"l_extendedprice" * 100, 0).cast("long"))
             .as("sum_price_c"))
         .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // Schema evolution on read (the lakehouse append reality: an early
+    // batch lacks columns a later batch has): two parquet batches with
+    // different column sets land in one directory; mergeSchema=true
+    // reads the union schema, null-extending the old batch. The oracle
+    // replays the same union with explicit NULLs from the original
+    // table — write→read fidelity AND null-extension semantics gated.
+    GraftQuery(
+      "q122_schema_evolution",
+      """WITH old_batch AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(NULL AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |new_batch AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |unioned AS (
+        |  SELECT * FROM old_batch UNION ALL SELECT * FROM new_batch)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  COUNT(price_c) AS n_priced,
+        |  CAST(COALESCE(SUM(price_c), 0) AS BIGINT) AS total_c
+        |FROM unioned GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = scratchDir("graft_q122")
+      val orders = Tables.load(s, dir, "orders")
+      orders.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_orderstatus")
+        .write.mode("overwrite").parquet(path)
+      orders.filter($"o_orderkey" % 2 === 1)
+        .select($"o_orderkey", $"o_orderstatus",
+          round($"o_totalprice" * 100, 0).cast("long").as("price_c"))
+        .write.mode("append").parquet(path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count($"price_c").as("n_priced"),
+          coalesce(sum($"price_c"), lit(0L)).as("total_c"))
+        .orderBy($"o_orderstatus")
     })
 }
 
