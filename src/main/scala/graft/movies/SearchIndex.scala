@@ -35,6 +35,13 @@ final class SearchIndex private (
   private val dfCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  /** Driver-memory bound for the term-df memo: a long-lived server
+    * seeing unbounded distinct queries must not grow the cache
+    * forever. Eviction is a full clear (the memo is a pure cache —
+    * re-misses just re-read the checkpointed vocabulary table).
+    */
+  private val MaxCachedTerms = 1 << 20
+
   /** df for each term: cache hits are free; misses resolve in one
     * filter-collect against the materialized vocabulary table (reads
     * the checkpoint, never re-analyzes the corpus).
@@ -45,6 +52,7 @@ final class SearchIndex private (
       val fetched = dfTable
         .filter(col("term").isin(missing: _*))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (dfCache.size + missing.size > MaxCachedTerms) dfCache.clear()
       missing.foreach(t => dfCache.put(t, fetched.getOrElse(t, 0L)))
     }
     terms.map(t => t -> dfCache(t)).toMap

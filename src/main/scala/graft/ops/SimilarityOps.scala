@@ -167,11 +167,14 @@ object SimilarityOps {
     // near-identical vectors semantic dedup targets (cos ≈ 1), the
     // per-table collision probability (1 − θ/π)^bits stays ≈ 1, so the
     // OR-construction recall is ~1 while the quadratic blowup dies.
+    // native codegen'd band keys (index = table id via posexplode) —
+    // the HOF srpBandKeys is CodegenFallback and this pass is
+    // hot-cell-sized; equivalence is spec-checked in TextDedupSimSpec
     val hot = tagged.filter(col("__cnt") > maxCell)
       .select(col("cell"), col(idCol), col(vecCol),
-        explode(srpBandKeys(col(vecCol), hotNTables, hotBits)).as("bk"))
-      .select(col("cell"), col(idCol), col(vecCol),
-        col("bk.t").as("t"), col("bk.bh").as("bh"))
+        posexplode(graft.functions.GraftColumns
+          .srpBands(col(vecCol), hotNTables, hotBits))
+          .as(Seq("t", "bh")))
     val hl = hot.select(col("cell"), col("t"), col("bh"),
       col(idCol).as("id_a"), col(vecCol).as("__va"))
     val hr = hot.select(col("cell"), col("t"), col("bh"),
