@@ -412,6 +412,31 @@ object CurationQueries {
         .orderBy($"new_id")
     },
 
+    // Deterministic global shuffle (training-data order randomization):
+    // rank rows by a Knuth multiplicative hash of the id — the same
+    // seed always yields the same permutation on any cluster layout,
+    // and changing the salt reshuffles. Distributed via q64's
+    // range-partition contiguousIds (no single-reducer window); the
+    // oracle is the one-window formulation over the same hash.
+    GraftQuery(
+      "q123_deterministic_shuffle",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    (doc_id * 2654435761 + 12345) % 4294967296 AS hk
+        |  FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY hk, doc_id) - 1 AS BIGINT)
+        |    AS shuffle_rank,
+        |  doc_id
+        |FROM h ORDER BY shuffle_rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val h = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          (($"doc_id" * 2654435761L + 12345L) % 4294967296L).as("hk"))
+      IdOps.contiguousIds(h, "shuffle_rank", "hk", "doc_id")
+        .select($"shuffle_rank", $"doc_id")
+        .orderBy($"shuffle_rank")
+    },
+
     // Per-key cap / hot-domain downsampling (CurationOps.capPerKey):
     // at most 10 docs per source, picked as the 10 smallest portable
     // id hashes — a stable uniform sample per key. The op runs the
