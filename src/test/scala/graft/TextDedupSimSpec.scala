@@ -307,6 +307,31 @@ class TextDedupSimSpec extends SparkTestBase {
     assert(comps === 1L)
   }
 
+  test("bucket-capped LSH pairs preserve connected components for ANY " +
+       "cap (randomized corpora and caps)") {
+    import graft.ops.GraphOps
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // random signatures drawn from a small palette → bucket sizes
+      // from singleton to hot, varied across seeds
+      val nPalette = 2 + rnd.nextInt(5)
+      val palette = Array.fill(nPalette)(
+        Seq.fill(16)(rnd.nextLong().abs % 1000L))
+      val rows = (0 until 80).map(i =>
+        (i.toLong, palette(rnd.nextInt(nPalette))))
+      val df = rows.toDF("id", "sig")
+      val full = DedupOps.lshCandidatePairs(df, "id", "sig", 4, 4,
+        maxBucket = Int.MaxValue)
+      val cap = 2 + rnd.nextInt(20)
+      val capped = DedupOps.lshCandidatePairs(df, "id", "sig", 4, 4,
+        maxBucket = cap)
+      def comps(p: org.apache.spark.sql.DataFrame) =
+        GraphOps.connectedComponents(p, "id_a", "id_b")
+          .as[(Long, Long)].collect().toSet
+      assert(comps(capped) === comps(full), s"seed=$seed cap=$cap")
+    }
+  }
+
   test("star-capped LSH pairs keep connected components identical to " +
        "all-pairs on mixed bucket sizes") {
     // 3 clusters of distinct sizes (8, 5, 2 members) via identical
