@@ -82,11 +82,12 @@ class PlansSpec extends SparkTestBase {
     // ONE-row corpus-count aggregate (q74's bounds pattern), and q106
     // crosses each PageRank iteration with its ONE-row dangling-mass
     // aggregate (same pattern — in-plan scalar instead of a per-round
-    // driver collect).
+    // driver collect). q121 crosses the embeddings scan with its
+    // ONE-row query vector (the same in-plan scalar pattern).
     val bnljSanctioned =
       Set("q35_ann_topk", "q37_ivf_topk", "q74_forward_fill",
         "q88_fuzzy_match", "q89_incremental_rollup", "q96_tfidf_topk",
-        "q98_quantized_topk", "q106_pagerank")
+        "q98_quantized_topk", "q106_pagerank", "q121_hybrid_rrf")
     for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
