@@ -173,4 +173,13 @@ object GraftColumns {
 
   def argMinCell(vec: Column, centers: Array[Array[Double]]): Column =
     B.column(ArgMinCell(B.expression(vec), centers))
+
+  /** Exact BIGINT integral division (SQL `div`). `Column./` is DOUBLE true
+    * division; this stays on the integer path at any magnitude, matching
+    * DuckDB's `//` — required by the cross-engine determinism contract
+    * wherever operands can exceed 2^53.
+    */
+  def longDiv(a: Column, b: Column): Column =
+    B.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      B.expression(a), B.expression(b)))
 }

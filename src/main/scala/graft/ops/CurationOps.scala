@@ -247,4 +247,102 @@ object CurationOps {
       .filter(h < col("__rate_ppm"))
       .drop("__rate_ppm")
   }
+
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007): deterministic
+    * weighted sampling without replacement. Each key draws a pseudo-
+    * uniform u ∈ [1, 1e6] from the portable hash of (key:salt) and gets
+    * priority w·1e6 div u; the sample is the top-k by priority — items
+    * are included with probability increasing in weight, and the scheme
+    * supports unbiased subset-sum estimation (w_i or the (k+1)-th
+    * priority threshold, whichever is larger).
+    *
+    * 100 TB shape: top-k plans as TakeOrderedAndProject — per-partition
+    * heaps + one k-row merge at the driver, no global sort. The
+    * deterministic u makes the sample reproducible across engines, runs,
+    * and partitionings.
+    */
+  def prioritySample(
+      df: DataFrame, keyCol: String, weightCol: String,
+      salt: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df
+      .withColumn("__u", pmod(TextOps.polyHash(
+        concat(col(keyCol).cast("string"), lit(":" + salt))),
+        lit(1000000L)) + 1)
+      .withColumn("priority", graft.functions.GraftColumns.longDiv(
+        col(weightCol).cast("long") * lit(1000000L), col("__u")))
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+      .drop("__u")
+  }
+
+  /** Hashed token-bucket counts of a corpus: (bucket, ct) over
+    * occurrences (with multiplicity), plus the total under `__n` on
+    * every row — the sufficient statistics for DSIR-style importance
+    * weighting. dim bounds the table size regardless of corpus size.
+    */
+  def bucketFreqs(
+      docs: DataFrame, textCol: String, dim: Int,
+      salt: String): DataFrame =
+    docs
+      .select(explode(
+        ClassifierOps.featureBuckets(col(textCol), dim, salt)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("ct"))
+
+  /** DSIR-style importance ratios (Xie et al. 2023, integer log-free
+    * variant): per observed source bucket,
+    * `ratio_micro = 1e6·p_target div p_source` with both proportions in
+    * add-one-smoothed micros (`p = 1e6·(ct+1) div (N+dim)`). Buckets
+    * unseen in the target get the smoothed floor. The two-step micro
+    * form keeps every product ≤ ~1e12 at any corpus size (a direct
+    * cross-multiplied ratio would overflow BIGINT at 100 TB token
+    * counts). Output: (bucket, ratio_micro) — at most dim rows,
+    * broadcastable by construction.
+    */
+  def importanceRatios(
+      target: DataFrame, source: DataFrame, textCol: String,
+      dim: Int, salt: String): DataFrame = {
+    val div = graft.functions.GraftColumns.longDiv _
+    val tN = bucketFreqs(target, textCol, dim, salt)
+      .agg(sum(col("ct")).as("__nt"))
+    val sN = bucketFreqs(source, textCol, dim, salt)
+      .agg(sum(col("ct")).as("__ns"))
+    bucketFreqs(source, textCol, dim, salt)
+      .withColumnRenamed("ct", "ct_s")
+      .join(bucketFreqs(target, textCol, dim, salt)
+        .withColumnRenamed("ct", "ct_t"), Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(tN)).crossJoin(broadcast(sN))
+      .select(col("bucket"),
+        div(lit(1000000L) *
+            div(lit(1000000L) * (coalesce(col("ct_t"), lit(0L)) + 1L),
+              col("__nt") + lit(dim.toLong)),
+          greatest(
+            div(lit(1000000L) * (col("ct_s") + 1L),
+              col("__ns") + lit(dim.toLong)), lit(1L))).as("ratio_micro"))
+  }
+
+  /** Score documents by mean hashed-bucket importance ratio (micros) —
+    * the DSIR data-selection signal: high scores mean the document's
+    * token distribution looks like the target domain. One explode +
+    * one broadcast join (ratio table ≤ dim rows) + per-doc re-agg;
+    * docs with no tokens score 0.
+    */
+  def dsirScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      ratios: DataFrame, dim: Int, salt: String): DataFrame = {
+    val scored = docs
+      .select(col(idCol), explode(
+        ClassifierOps.featureBuckets(col(textCol), dim, salt)).as("bucket"))
+      .join(broadcast(ratios), Seq("bucket"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("ratio_micro"), lit(0L))).as("__sr"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(graft.functions.GraftColumns.longDiv(
+          col("__sr"), col("n_feats")), lit(0L)).as("score_micro"))
+  }
 }

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftColumns
+
+/** Statistical n-gram language-model training and scoring — the CCNet /
+  * RedPajama-style "perplexity filter" stage of a pre-training data
+  * pipeline: train a smoothed bigram model on a (reference or self)
+  * corpus, score every document by its mean token-transition
+  * probability, and filter on the score.
+  *
+  * Determinism contract: no floats. The Laplace-smoothed probability of
+  * each bigram occurrence is held in integer micros
+  * (`1e6·(c(w1,w2)+1) div (c(w1)+V)`), and a document's score is the
+  * integer mean over its bigram occurrences — a monotone proxy for
+  * (negative) perplexity at fixed document length that two engines
+  * replay bit-for-bit (exact `div` end to end; see
+  * [[GraftColumns.longDiv]]).
+  *
+  * 100 TB shape:
+  *   - training is two map-side-combined `groupBy` passes over the
+  *     exploded bigram stream (bigram counts + context counts) and one
+  *     model-sized equi-join — the model is a stored table, never
+  *     collected to the driver;
+  *   - scoring is ONE shuffle equi-join of the document bigram stream
+  *     against the model on (w1, w2) — the model carries its context
+  *     count so no second join is needed — plus the per-document
+  *     re-aggregation. The vocabulary size rides along as a broadcast
+  *     1-row aggregate (same pattern as q96's corpus-size scalar);
+  *   - unseen bigrams (scoring a corpus the model wasn't trained on)
+  *     degrade gracefully: a missing (w1, w2) row scores
+  *     `1e6·1 div (0+V)` — uniform backoff over the vocabulary. For
+  *     self-scoring (the conformance gate) every bigram is present.
+  */
+object LmOps {
+
+  /** Non-empty whitespace tokens — matches the oracle's
+    * `list_filter(string_split_regex(text,'\s+'), t -> t <> '')`.
+    */
+  private def toks(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Adjacent-token pairs of one document, in order, with multiplicity;
+    * empty array for documents of fewer than two tokens.
+    */
+  private def bigramArray(text: Column): Column = {
+    val tk = toks(text)
+    when(size(tk) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(
+        sequence(lit(1), size(tk) - 1),
+        i => struct(
+          element_at(tk, i).as("w1"),
+          element_at(tk, i + 1).as("w2"))))
+  }
+
+  /** Exploded bigram occurrences: one row per adjacent token pair per
+    * document (with multiplicity). Columns: idCol, w1, w2.
+    */
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(bigramArray(col(textCol))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+
+  /** Train a Laplace-smoothed bigram model: (w1, w2, cb, cu) where cb is
+    * the bigram count and cu the context count (occurrences of w1 as a
+    * bigram head). The context count is denormalized onto each bigram row
+    * at train time (model-sized join) so scoring needs a single lookup
+    * join.
+    */
+  def bigramModel(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = bigrams(docs, idCol, textCol)
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cc = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    bc.join(cc, Seq("w1"))
+  }
+
+  /** Corpus vocabulary size as a 1-row frame (distinct tokens) — kept
+    * in-plan for a broadcast crossJoin at score time rather than a
+    * driver collect.
+    */
+  def vocabSize(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(toks(col(textCol))).as("__t"))
+      .agg(count_distinct(col("__t")).as("__v"))
+
+  /** Score documents by mean smoothed bigram probability in micros.
+    * Output: idCol, n_bigrams (occurrences), score_micro — documents
+    * with fewer than two tokens score 0 with n_bigrams 0.
+    */
+  def scoreByBigramLm(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, vocab: DataFrame): DataFrame = {
+    val scored = bigrams(docs, idCol, textCol)
+      .join(model, Seq("w1", "w2"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        GraftColumns.longDiv(
+          lit(1000000L) * (coalesce(col("cb"), lit(0L)) + lit(1L)),
+          coalesce(col("cu"), lit(0L)) + col("__v")).as("__p"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__p")).as("__sp"))
+    docs
+      .select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(GraftColumns.longDiv(col("__sp"), col("n_bigrams")), lit(0L))
+          .as("score_micro"))
+  }
+}

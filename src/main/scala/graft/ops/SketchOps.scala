@@ -16,11 +16,25 @@ import org.apache.spark.sql.functions._
   */
 object SketchOps {
 
-  /** Row-r bucket of a term: portable hash of (term:salt:r) mod w. */
+  /** Nonlinear mix: h² mod p (same prime as the polynomial hash). A
+    * plain polynomial hash has ROW-INVARIANT differences — for two
+    * same-length inputs, h_r(a) − h_r(b) depends only on where they
+    * differ, not on the row/hash-index prefix — so two terms would
+    * collide in every row or in none and the min-over-rows (or
+    * all-k-bits test) would add nothing. Squaring breaks the additive
+    * structure: h_a² − h_b² = (h_a − h_b)(h_a + h_b), and the sum DOES
+    * vary with the prefix. Stays in BIGINT: h < 1e9+7 ⇒ h² < 1e18.
+    */
+  private def mix(h: Column): Column = pmod(h * h, lit(1000000007L))
+
+  /** Row-r bucket of a term: mixed portable hash of (r:salt:term) mod
+    * w. The row index is a PREFIX (suffixing it would make the d row
+    * hashes consecutive integers).
+    */
   private def bucket(
       term: Column, r: Column, w: Int, salt: String): Column =
-    pmod(TextOps.polyHash(
-      concat(term, lit(s":$salt:"), r.cast("string"))), lit(w.toLong))
+    pmod(mix(TextOps.polyHash(
+      concat(r.cast("string"), lit(s":$salt:"), term))), lit(w.toLong))
 
   /** Build a d×w count-min sketch over a term column: one exploded
     * pass (d copies per term occurrence), one map-side-combined
@@ -55,4 +69,76 @@ object SketchOps {
       .join(broadcast(sketch), Seq("r", "bucket"), "left_outer")
       .groupBy(col(termCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  // ---------------------------------------------------------------- bloom
+
+  /** r-th bit position of a key in an m-bit bloom filter: portable hash
+    * of (r:salt:key) mod m — identical on build and probe side, so the
+    * filter has NO false negatives by construction (false positives are
+    * pruned by the exact join that follows). r is a prefix and the hash
+    * is [[mix]]ed for the same independence reasons as [[bucket]]:
+    * suffixing r would make the k bit positions consecutive (an
+    * effectively 1-hash filter), and an unmixed polynomial would give
+    * same-length keys row-invariant bit differences.
+    */
+  private def bloomBit(
+      key: Column, r: Column, mBits: Int, salt: String): Column =
+    pmod(mix(TextOps.polyHash(
+      concat(r.cast("string"), lit(s":$salt:"), key.cast("string")))),
+      lit(mBits.toLong))
+
+  /** 1L << i for i in 0..63 — literal mask table so the probe needs no
+    * variable-shift expression (Spark's shiftleft takes only literal
+    * shifts).
+    */
+  private val WordMasks: Array[Long] = Array.tabulate(64)(i => 1L << i)
+
+  /** Build an m-bit / k-hash bloom filter over a key column, as packed
+    * 64-bit words. One exploded pass (k rows per key) + one
+    * map-side-combined `bit_or` aggregate. The driver collect is bounded
+    * BY CONSTRUCTION at mBits/64 longs — the size of the filter itself,
+    * independent of build-side cardinality (at ~10 bits/key a 100M-key
+    * dimension is a 125 MB filter: executor-shippable where the
+    * dimension's row data is not).
+    */
+  def bloomBuild(
+      keys: DataFrame, keyCol: String,
+      mBits: Int, numHash: Int, salt: String): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0,
+      "mBits must be a positive multiple of 64")
+    require(numHash > 0, "numHash must be positive")
+    val cells = keys
+      .select(col(keyCol).as("__k"),
+        explode(sequence(lit(0), lit(numHash - 1))).as("__r"))
+      .select(bloomBit(col("__k"), col("__r"), mBits, salt).as("__bit"))
+      .select(
+        shiftright(col("__bit").cast("int"), 6).as("__w"),
+        element_at(typedLit(WordMasks),
+          (pmod(col("__bit"), lit(64L)) + 1).cast("int")).as("__m"))
+      .groupBy(col("__w"))
+      .agg(bit_or(col("__m")).as("__bits"))
+      .collect()
+    val words = new Array[Long](mBits / 64)
+    cells.foreach(row => words(row.getInt(0)) = row.getLong(1))
+    words
+  }
+
+  /** Membership probe against a built filter: all k bits set. A pure
+    * per-row expression over the literal word array — runs inside the
+    * scan stage, so a fact table is pruned BEFORE its shuffle (semi-join
+    * reduction): only rows that can possibly match travel to the join.
+    */
+  def bloomMightContain(
+      key: Column, words: Array[Long], numHash: Int,
+      salt: String): Column = {
+    require(words.nonEmpty && numHash > 0, "empty filter or no hashes")
+    val w = typedLit(words)
+    forall(sequence(lit(0), lit(numHash - 1)), r => {
+      val bit = bloomBit(key, r, words.length * 64, salt)
+      val word = element_at(w, shiftright(bit.cast("int"), 6) + 1)
+      val mask = element_at(typedLit(WordMasks),
+        (pmod(bit, lit(64L)) + 1).cast("int"))
+      word.bitwiseAND(mask) =!= lit(0L)
+    })
+  }
 }

@@ -623,6 +623,105 @@ object CurationQueries {
         .groupBy($"seq_id")
         .agg(count(lit(1)).as("n_chunks"), sum($"n_tok").as("sum_tokens"))
         .orderBy($"seq_id")
+    },
+
+    // Corpus snapshot diff (data versioning): classify every doc key
+    // across two snapshots as added/removed/changed/unchanged so an
+    // incremental pipeline re-processes only the delta. Both sides
+    // reduce to (key, md5) before the full-outer shuffle — document
+    // bodies never travel (SnapshotOps scaladoc). The oracle replays
+    // the same classification by direct text comparison: hash-compare
+    // and content-compare must agree.
+    GraftQuery(
+      "q127_snapshot_diff",
+      """WITH snap_a AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+        |snap_b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT COALESCE(snap_a.doc_id, snap_b.doc_id) AS doc_id,
+        |  CASE WHEN snap_a.doc_id IS NULL THEN 'added'
+        |       WHEN snap_b.doc_id IS NULL THEN 'removed'
+        |       WHEN snap_a.text = snap_b.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM snap_a FULL OUTER JOIN snap_b
+        |  ON snap_a.doc_id = snap_b.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.SnapshotOps
+      val docs = Tables.load(s, dir, "documents")
+      val oldSnap = docs.filter($"doc_id" % 13 =!= 0)
+        .select($"doc_id", $"text")
+      val newSnap = docs.filter($"doc_id" % 11 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 7 === 0, concat($"text", lit(" rev2")))
+            .otherwise($"text").as("text"))
+      SnapshotOps.diffStatus(oldSnap, newSnap, Seq("doc_id"), Seq("text"))
+        .orderBy($"doc_id")
+    },
+
+    // Priority sampling (Duffield-Lund-Thorup): deterministic weighted
+    // top-k without replacement — u from the portable hash, priority =
+    // w*1e6 div u, plans as TakeOrderedAndProject (no global sort).
+    GraftQuery(
+      "q128_priority_sample",
+      s"""WITH pri AS (
+         |  SELECT doc_id,
+         |    (n_chars * 1000000) //
+         |      ((${duckPolyHash("CAST(doc_id AS VARCHAR) || ':ps1'")}
+         |        % 1000000) + 1) AS priority
+         |  FROM documents)
+         |SELECT doc_id, priority FROM pri
+         |ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      CurationOps.prioritySample(
+          Tables.load(s, dir, "documents"), "doc_id", "n_chars", "ps1", 20)
+        .select($"doc_id", $"priority")
+        .orderBy($"priority".desc, $"doc_id")
+    },
+
+    // DSIR-style importance weighting (hashed-bucket target/source
+    // frequency ratios, integer log-free variant): score every doc by
+    // how target-like (here: lang='en') its token distribution is.
+    // Ratio table <= dim rows by construction => broadcast join.
+    GraftQuery(
+      "q129_dsir_score",
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    ${duckPolyHash("u.t || ':ds1'")} % 4096 AS b
+         |  FROM toks, UNNEST(tk) AS u(t)),
+         |tf AS (SELECT b, COUNT(*) AS ct_t FROM f WHERE lang = 'en' GROUP BY b),
+         |sf AS (SELECT b, COUNT(*) AS ct_s FROM f GROUP BY b),
+         |tn AS (SELECT CAST(SUM(ct_t) AS BIGINT) AS nt FROM tf),
+         |sn AS (SELECT CAST(SUM(ct_s) AS BIGINT) AS ns FROM sf),
+         |r AS (
+         |  SELECT sf.b,
+         |    (1000000 * ((1000000 * (COALESCE(tf.ct_t, 0) + 1))
+         |        // (tn.nt + 4096)))
+         |      // GREATEST((1000000 * (sf.ct_s + 1)) // (sn.ns + 4096), 1)
+         |      AS ratio_micro
+         |  FROM sf LEFT JOIN tf USING (b) CROSS JOIN tn CROSS JOIN sn),
+         |s AS (
+         |  SELECT f.doc_id, COUNT(*) AS n_feats,
+         |    CAST(SUM(r.ratio_micro) AS BIGINT) AS sr
+         |  FROM f JOIN r ON f.b = r.b GROUP BY f.doc_id)
+         |SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+         |  COALESCE(CAST(s.sr // s.n_feats AS BIGINT), 0) AS score_micro
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val ratios = CurationOps.importanceRatios(
+        docs.filter($"lang" === "en"), docs, "text", 4096, "ds1")
+      CurationOps.dsirScore(docs, "doc_id", "text", ratios, 4096, "ds1")
+        .orderBy($"doc_id")
     })
 
   private def runValidation(

@@ -679,6 +679,39 @@ object RelationalQueries {
         .select(coalesce($"pst", lit("<null>")).as("st_key"),
           $"n_matched")
       g.join(j, "st_key").orderBy($"st_key")
+    },
+
+    // Bloom-pruned join (semi-join reduction): build a 16Ki-bit / 3-hash
+    // portable bloom filter over the filtered dimension's keys (driver
+    // collect bounded at 256 longs — the filter itself), prune the fact
+    // scan with a pure per-row membership expression BEFORE the shuffle,
+    // then exact-join to drop false positives. No false negatives by
+    // construction (same hash both sides), so the result is identical to
+    // the plain join — which is exactly what the oracle checks. At scale
+    // this ships ~10 bits/dimension-key to the fact scan instead of
+    // shuffling the full fact table (SketchOps.bloomBuild scaladoc).
+    GraftQuery(
+      "q126_bloom_join",
+      """SELECT c.c_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_c
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_acctbal > 9000
+        |GROUP BY c.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.SketchOps
+      val dim = t(s, dir, "customer").filter($"c_acctbal" > 9000)
+      val bloom = SketchOps.bloomBuild(
+        dim.select($"c_custkey"), "c_custkey",
+        mBits = 1 << 14, numHash = 3, salt = "bl1")
+      t(s, dir, "orders")
+        .filter(SketchOps.bloomMightContain($"o_custkey", bloom, 3, "bl1"))
+        .join(dim, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents($"o_totalprice")).as("revenue_c"))
+        .orderBy($"c_custkey")
     })
 }
 

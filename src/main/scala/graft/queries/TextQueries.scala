@@ -320,25 +320,29 @@ object TextQueries {
         |    FROM truec)
         |  WHERE rk <= 20),
         |cells AS (
-        |  SELECT g.r,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(
-        |        string_split(term || ':cm1:' || CAST(g.r AS STRING), ''),
-        |        c -> ascii(c))),
-        |      (a, x) -> (a*31 + x) % 1000000007) % 256 AS bucket,
+        |  SELECT r, ((h * h) % 1000000007) % 256 AS bucket,
         |    COUNT(*) AS cnt
-        |  FROM tok, UNNEST(generate_series(0, 3)) AS g(r)
+        |  FROM (
+        |    SELECT g.r AS r,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(
+        |          string_split(CAST(g.r AS STRING) || ':cm1:' || term, ''),
+        |          c -> ascii(c))),
+        |        (a, x) -> (a*31 + x) % 1000000007) AS h
+        |    FROM tok, UNNEST(generate_series(0, 3)) AS g(r))
         |  GROUP BY 1, 2),
         |est AS (
         |  SELECT p.term, p.true_c,
         |    MIN(COALESCE(c.cnt, 0)) AS est_c
-        |  FROM (SELECT term, true_c, u.r AS r,
+        |  FROM (SELECT term, true_c, r,
+        |          ((h * h) % 1000000007) % 256 AS bucket
+        |        FROM (SELECT term, true_c, u.r AS r,
         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
         |            list_transform(
-        |              string_split(term || ':cm1:' || CAST(u.r AS STRING), ''),
+        |              string_split(CAST(u.r AS STRING) || ':cm1:' || term, ''),
         |              c -> ascii(c))),
-        |            (a, x) -> (a*31 + x) % 1000000007) % 256 AS bucket
-        |        FROM probes, UNNEST(generate_series(0, 3)) AS u(r)) p
+        |            (a, x) -> (a*31 + x) % 1000000007) AS h
+        |        FROM probes, UNNEST(generate_series(0, 3)) AS u(r))) p
         |  LEFT JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
         |  GROUP BY p.term, p.true_c)
         |SELECT term, true_c, CAST(est_c AS BIGINT) AS est_c,
@@ -452,6 +456,83 @@ object TextQueries {
             transform($"tk",
               w => size(BpeOps.applyMerges(w, merges)).cast("long")),
             lit(0L), (a, x) => a + x).as("n_pieces"))
+        .orderBy($"doc_id")
+    },
+
+    // Bigram language-model scoring (CCNet-style perplexity filter):
+    // train a Laplace-smoothed bigram model on the corpus, score every
+    // doc by mean transition probability in integer micros. One
+    // model-lookup equi-join at score time; vocab rides as a broadcast
+    // 1-row aggregate (LmOps scaladoc for the 100 TB shape).
+    GraftQuery(
+      "q124_bigram_lm",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)),
+        |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+        |cc AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY 1),
+        |v AS (
+        |  SELECT COUNT(DISTINCT u.t) AS vs
+        |  FROM toks, UNNEST(tk) AS u(t)),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    (1000000 * (bc.cb + 1)) // (cc.cu + v.vs) AS p_micro
+        |  FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(p_micro) AS BIGINT) AS sp
+        |  FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(CAST(agg.sp // agg.n_bigrams AS BIGINT), 0) AS score_micro
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.LmOps
+      val docs = Tables.load(s, dir, "documents")
+      LmOps.scoreByBigramLm(docs, "doc_id", "text",
+          LmOps.bigramModel(docs, "doc_id", "text"),
+          LmOps.vocabSize(docs, "text"))
+        .orderBy($"doc_id")
+    },
+
+    // Hashed-feature linear classifier (fastText-style quality model
+    // APPLICATION): dim-4096 hashing trick, integer-micro weights as a
+    // literal array, score = pure per-row aggregate HOF — the whole
+    // model runs inside the scan stage, zero shuffles (ClassifierOps).
+    GraftQuery(
+      "q125_hashed_classifier",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(u.t || ':qw1', ''),
+        |        c -> ascii(c))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) % 4096 AS b
+        |  FROM toks, UNNEST(tk) AS u(t)),
+        |s AS (
+        |  SELECT doc_id, COUNT(*) AS n_feats,
+        |    CAST(SUM(((b * 2654435761) % 2001) - 1000) AS BIGINT) AS sw
+        |  FROM f GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_feats, 0) AS n_feats,
+        |  COALESCE(s.sw, 0) + 250 AS score_micro,
+        |  CASE WHEN COALESCE(s.sw, 0) + 250 > 0
+        |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS label
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.ClassifierOps
+      ClassifierOps.classify(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          ClassifierOps.knuthWeights(4096), biasMicro = 250L, salt = "qw1")
         .orderBy($"doc_id")
     })
 }

@@ -225,4 +225,59 @@ class CurationOpsSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(got7 === got, "partitioning must not re-deal the sample")
   }
+
+  test("prioritySample: matches the driver-side referee, favors " +
+       "weight, and is partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    // two weight classes: ids 0-199 weigh 1, ids 200-399 weigh 1000
+    val df = (0L until 400L).map(i => (i, if (i < 200) 1L else 1000L))
+      .toDF("id", "w")
+    def polyHash(str: String): Long =
+      str.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    val referee = (0L until 400L).map { i =>
+      val w = if (i < 200) 1L else 1000L
+      val u = polyHash(s"$i:pz") % 1000000L + 1
+      (i, w * 1000000L / u)
+    }.sortBy { case (id, p) => (-p, id) }.take(50)
+    val got = CurationOps.prioritySample(df, "id", "w", "pz", 50)
+      .select($"id", $"priority").as[(Long, Long)].collect().toSeq
+    assert(got === referee)
+    // the heavy class should dominate the sample
+    assert(got.count(_._1 >= 200L) > 40, s"heavy class underrepresented")
+    val got13 = CurationOps.prioritySample(
+        df.repartition(13), "id", "w", "pz", 50)
+      .select($"id", $"priority").as[(Long, Long)].collect().toSeq
+    assert(got13 === got, "partitioning must not re-deal the sample")
+  }
+
+  test("dsirScore: documents from the target domain outscore " +
+       "off-domain documents on average") {
+    import org.apache.spark.sql.functions._
+    // target-domain docs speak one vocabulary, off-domain another;
+    // mixed docs sit in between.
+    val mk = (i: Long, words: Seq[String]) =>
+      (i, words.mkString(" "), if (i < 20) "tgt" else "other")
+    val tgtWords = Seq("alpha", "beta", "gamma", "delta")
+    val offWords = Seq("omega", "sigma", "kappa", "theta")
+    val docs = ((0L until 20L).map(i =>
+        mk(i, Seq.fill(10)(tgtWords((i % 4).toInt)))) ++
+      (20L until 40L).map(i =>
+        mk(i, Seq.fill(10)(offWords((i % 4).toInt)))))
+      .toDF("doc_id", "text", "dom")
+    val ratios = CurationOps.importanceRatios(
+      docs.filter($"dom" === "tgt"), docs, "text", 512, "dz")
+    val scored = CurationOps.dsirScore(docs, "doc_id", "text", ratios, 512, "dz")
+      .join(docs.select($"doc_id", $"dom"), "doc_id")
+    val avg = scored.groupBy($"dom")
+      .agg(org.apache.spark.sql.functions.avg($"score_micro").as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(avg("tgt") > 3 * avg("other"),
+      s"target docs must dominate: $avg")
+    // empty doc scores zero and survives
+    val withEmpty = docs.unionByName(Seq((99L, "", "other")).toDF("doc_id", "text", "dom"))
+    val z = CurationOps.dsirScore(withEmpty, "doc_id", "text", ratios, 512, "dz")
+      .filter($"doc_id" === 99L).select($"n_feats", $"score_micro")
+      .as[(Long, Long)].head()
+    assert(z === ((0L, 0L)))
+  }
 }

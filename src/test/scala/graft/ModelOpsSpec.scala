@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Model-application + corpus-maintenance ops added in round 5:
+  * bigram-LM scoring (LmOps), hashed linear classifier (ClassifierOps),
+  * bloom-pruned joins (SketchOps.bloom*), snapshot diff (SnapshotOps).
+  * The conformance gates (q123–q126) hash-check values against DuckDB;
+  * these tests pin the semantic properties the gates can't see —
+  * no-false-negative guarantees, pruning effectiveness, referee
+  * equivalence on hand-computable fixtures.
+  */
+class ModelOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- LM
+
+  test("bigram LM: hand-computed smoothed probabilities on a tiny " +
+       "corpus (referee equivalence)") {
+    import graft.ops.LmOps
+    // corpus: "a b a b" and "a b c". bigrams: (a,b)x3, (b,a)x1, (b,c)x1.
+    // contexts: a->3, b->2. vocab = {a,b,c} = 3.
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val model = LmOps.bigramModel(docs, "doc_id", "text")
+    val got = LmOps.scoreByBigramLm(docs, "doc_id", "text", model,
+        LmOps.vocabSize(docs, "text"))
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect()
+    // p(ab) = 1e6*(3+1)/(3+3) = 666666; p(ba) = 1e6*(1+1)/(2+3) = 400000
+    // p(bc) = 1e6*(1+1)/(2+3) = 400000
+    // doc1: (666666 + 400000 + 666666) / 3 = 577777
+    // doc2: (666666 + 400000) / 2 = 533333
+    assert(got.toSeq === Seq((1L, 3L, 577777L), (2L, 2L, 533333L)))
+  }
+
+  test("bigram LM: docs shorter than two tokens score 0 and survive " +
+       "(no dropped rows)") {
+    import graft.ops.LmOps
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
+    val got = LmOps.scoreByBigramLm(docs, "doc_id", "text",
+        LmOps.bigramModel(docs, "doc_id", "text"),
+        LmOps.vocabSize(docs, "text"))
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect()
+    assert(got.length === 3)
+    assert(got(0) === ((1L, 0L, 0L)) && got(1) === ((2L, 0L, 0L)))
+    assert(got(2)._2 === 1L && got(2)._3 > 0L)
+  }
+
+  test("bigram LM: unseen bigrams back off to uniform 1e6/(0+V) " +
+       "instead of failing") {
+    import graft.ops.LmOps
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text") // V = 2
+    val eval = Seq((9L, "q z")).toDF("doc_id", "text")
+    val got = LmOps.scoreByBigramLm(eval, "doc_id", "text",
+        LmOps.bigramModel(train, "doc_id", "text"),
+        LmOps.vocabSize(train, "text"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((9L, 1L, 500000L))) // 1e6*1/(0+2)
+  }
+
+  // -------------------------------------------------------- classifier
+
+  test("hashed linear classifier: score equals brute-force driver " +
+       "replay of the same hash/weights (referee equivalence)") {
+    import graft.ops.ClassifierOps
+    val dim = 64
+    val w = ClassifierOps.knuthWeights(dim)
+    val docs = Seq((1L, "the quick brown fox"), (2L, "lazy dog"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = ClassifierOps.classify(docs, "doc_id", "text", w, 100L, "t1")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_feats", $"score_micro").as[(Long, Long, Long)]
+      .collect()
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    def score(text: String): (Long, Long) = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      (toks.length.toLong,
+        100L + toks.map(t => w((polyHash(t + ":t1") % dim).toInt)).sum)
+    }
+    got.foreach { case (id, n, s) =>
+      val text = Map(1L -> "the quick brown fox", 2L -> "lazy dog", 3L -> "")(id)
+      assert((n, s) === score(text), s"doc $id")
+    }
+  }
+
+  test("hashed linear classifier: stacked salts decorrelate (same doc, " +
+       "different feature namespaces give different scores)") {
+    import graft.ops.ClassifierOps
+    val w = ClassifierOps.knuthWeights(1024)
+    val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val s1 = ClassifierOps.classify(docs, "doc_id", "text", w, 0L, "saltA")
+      .select($"score_micro").as[Long].head()
+    val s2 = ClassifierOps.classify(docs, "doc_id", "text", w, 0L, "saltB")
+      .select($"score_micro").as[Long].head()
+    assert(s1 !== s2)
+  }
+
+  // ------------------------------------------------------------- bloom
+
+  test("bloom filter: zero false negatives on every inserted key, and " +
+       "FP rate on disjoint probes stays near theory") {
+    import graft.ops.SketchOps
+    val keys = (0L until 2000L).map(k => s"key$k").toDF("k")
+    val bloom = SketchOps.bloomBuild(keys, "k", 1 << 15, 3, "bt")
+    val probesIn = keys
+    val inHits = probesIn
+      .filter(SketchOps.bloomMightContain($"k", bloom, 3, "bt")).count()
+    assert(inHits === 2000L, "false negative — must be impossible")
+    val probesOut = (0L until 10000L).map(k => s"other$k").toDF("k")
+    val fpHits = probesOut
+      .filter(SketchOps.bloomMightContain($"k", bloom, 3, "bt")).count()
+    // m/n = 16.4 bits/key, k=3 => theoretical FP ~ 0.55%; allow 4x.
+    assert(fpHits < 220L, s"FP rate too high: $fpHits/10000")
+  }
+
+  test("bloom-pruned join == plain join on testdata (pruning is " +
+       "semantically transparent), and the filter actually prunes") {
+    import graft.ops.SketchOps
+    val orders = Tables.load(spark, sfDir, "orders")
+    val dim = Tables.load(spark, sfDir, "customer")
+      .filter($"c_acctbal" > 9000)
+    val bloom = SketchOps.bloomBuild(
+      dim.select($"c_custkey"), "c_custkey", 1 << 14, 3, "bj")
+    val pruned = orders
+      .filter(SketchOps.bloomMightContain($"o_custkey", bloom, 3, "bj"))
+    val got = pruned.join(dim, $"o_custkey" === $"c_custkey").count()
+    val want = orders.join(dim, $"o_custkey" === $"c_custkey").count()
+    assert(got === want)
+    // the pruned fact stream must be a small superset of true matches
+    val total = orders.count()
+    val kept = pruned.count()
+    assert(kept < total / 2, s"filter kept $kept of $total — not pruning")
+    assert(kept >= want, "pruned stream lost a true match")
+  }
+
+  // ----------------------------------------------------- snapshot diff
+
+  test("snapshot diff: added/removed/changed/unchanged classification " +
+       "on a hand-built pair of snapshots, null-safe content") {
+    import graft.ops.SnapshotOps
+    val oldSnap = Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, Option("c")),
+      (4L, None)).toDF("id", "body")
+    val newSnap = Seq(
+      (2L, Option("b")), (3L, Option("CHANGED")), (4L, Option("")),
+      (5L, Option("new"))).toDF("id", "body")
+    val got = SnapshotOps
+      .diffStatus(oldSnap, newSnap, Seq("id"), Seq("body"))
+      .orderBy($"id").as[(Long, String)].collect().toSeq
+    assert(got === Seq(
+      1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "changed", // NULL -> "" must read as changed, not unchanged
+      5L -> "added"))
+  }
+
+  test("snapshot diff: identical snapshots are all-unchanged (hash " +
+       "compare introduces no spurious deltas at sf0.001)") {
+    import graft.ops.SnapshotOps
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang")
+    val statuses = SnapshotOps
+      .diffStatus(docs, docs, Seq("doc_id"), Seq("text", "lang"))
+      .groupBy($"status").count().as[(String, Long)].collect().toMap
+    assert(statuses.keySet === Set("unchanged"))
+    assert(statuses("unchanged") === docs.count())
+  }
+}

@@ -83,11 +83,16 @@ class PlansSpec extends SparkTestBase {
     // crosses each PageRank iteration with its ONE-row dangling-mass
     // aggregate (same pattern — in-plan scalar instead of a per-round
     // driver collect). q121 crosses the embeddings scan with its
-    // ONE-row query vector (the same in-plan scalar pattern).
+    // ONE-row query vector (the same in-plan scalar pattern). q124
+    // crosses the bigram stream with its ONE-row vocabulary-size
+    // aggregate, and q129 crosses the (≤dim-row) bucket-frequency
+    // table with its two ONE-row corpus-total aggregates — all three
+    // are the q96 scalar pattern.
     val bnljSanctioned =
       Set("q35_ann_topk", "q37_ivf_topk", "q74_forward_fill",
         "q88_fuzzy_match", "q89_incremental_rollup", "q96_tfidf_topk",
-        "q98_quantized_topk", "q106_pagerank", "q121_hybrid_rrf")
+        "q98_quantized_topk", "q106_pagerank", "q121_hybrid_rrf",
+        "q124_bigram_lm", "q129_dsir_score")
     for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
