@@ -304,14 +304,16 @@ object CurationOps {
       target: DataFrame, source: DataFrame, textCol: String,
       dim: Int, salt: String): DataFrame = {
     val div = graft.functions.GraftColumns.longDiv _
-    val tN = bucketFreqs(target, textCol, dim, salt)
-      .agg(sum(col("ct")).as("__nt"))
-    val sN = bucketFreqs(source, textCol, dim, salt)
-      .agg(sum(col("ct")).as("__ns"))
-    bucketFreqs(source, textCol, dim, salt)
-      .withColumnRenamed("ct", "ct_s")
-      .join(bucketFreqs(target, textCol, dim, salt)
-        .withColumnRenamed("ct", "ct_t"), Seq("bucket"), "left_outer")
+    // One corpus pass per side: the frequency tables are ≤ dim rows BY
+    // CONSTRUCTION, so materializing them (localCheckpoint) is bounded
+    // and everything downstream — totals, the ratio join, the eventual
+    // broadcast — reads the dim-row tables, never the corpus again.
+    val tf = bucketFreqs(target, textCol, dim, salt).localCheckpoint()
+    val sf = bucketFreqs(source, textCol, dim, salt).localCheckpoint()
+    val tN = tf.agg(sum(col("ct")).as("__nt"))
+    val sN = sf.agg(sum(col("ct")).as("__ns"))
+    sf.withColumnRenamed("ct", "ct_s")
+      .join(tf.withColumnRenamed("ct", "ct_t"), Seq("bucket"), "left_outer")
       .crossJoin(broadcast(tN)).crossJoin(broadcast(sN))
       .select(col("bucket"),
         div(lit(1000000L) *
@@ -330,19 +332,21 @@ object CurationOps {
     */
   def dsirScore(
       docs: DataFrame, idCol: String, textCol: String,
-      ratios: DataFrame, dim: Int, salt: String): DataFrame = {
-    val scored = docs
-      .select(col(idCol), explode(
+      ratios: DataFrame, dim: Int, salt: String): DataFrame =
+    // explode_OUTER keeps token-less documents as one null-bucket row:
+    // every document survives in ONE corpus pass (no join-back scan);
+    // the null row matches nothing in the ratio table, count(bucket)
+    // skips it, and the all-null sum coalesces to score 0.
+    docs
+      .select(col(idCol), explode_outer(
         ClassifierOps.featureBuckets(col(textCol), dim, salt)).as("bucket"))
       .join(broadcast(ratios), Seq("bucket"), "left_outer")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"),
-        sum(coalesce(col("ratio_micro"), lit(0L))).as("__sr"))
-    docs.select(col(idCol))
-      .join(scored, Seq(idCol), "left_outer")
+      .agg(count(col("bucket")).as("n_feats"),
+        sum(when(col("bucket").isNotNull,
+          coalesce(col("ratio_micro"), lit(0L)))).as("__sr"))
       .select(col(idCol),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("n_feats"),
         coalesce(graft.functions.GraftColumns.longDiv(
           col("__sr"), col("n_feats")), lit(0L)).as("score_micro"))
-  }
 }

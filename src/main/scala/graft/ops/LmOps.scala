@@ -69,9 +69,15 @@ object LmOps {
     * join.
     */
   def bigramModel(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = bigrams(docs, idCol, textCol)
-    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val cc = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    // ONE corpus pass: the bigram-count table is materialized
+    // (localCheckpoint — distributed, model-sized; the stored-model
+    // shape a production pipeline would persist to a table), and the
+    // context counts derive from it (cu = Σ_w2 cb) instead of a second
+    // pass over the corpus.
+    val bc = bigrams(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
+    val cc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
     bc.join(cc, Seq("w1"))
   }
 
@@ -90,22 +96,25 @@ object LmOps {
     */
   def scoreByBigramLm(
       docs: DataFrame, idCol: String, textCol: String,
-      model: DataFrame, vocab: DataFrame): DataFrame = {
-    val scored = bigrams(docs, idCol, textCol)
+      model: DataFrame, vocab: DataFrame): DataFrame =
+    // explode_OUTER keeps <2-token documents as a single null-bigram row,
+    // so every document survives in ONE corpus pass — no join-back scan.
+    // The null row contributes nothing: count(w1) skips it, the guarded
+    // __p stays null, and the all-null sum coalesces to score 0.
+    docs
+      .select(col(idCol), explode_outer(bigramArray(col(textCol))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
       .join(model, Seq("w1", "w2"), "left_outer")
       .crossJoin(broadcast(vocab))
-      .select(col(idCol),
-        GraftColumns.longDiv(
-          lit(1000000L) * (coalesce(col("cb"), lit(0L)) + lit(1L)),
-          coalesce(col("cu"), lit(0L)) + col("__v")).as("__p"))
+      .select(col(idCol), col("w1"),
+        when(col("w1").isNotNull,
+          GraftColumns.longDiv(
+            lit(1000000L) * (coalesce(col("cb"), lit(0L)) + lit(1L)),
+            coalesce(col("cu"), lit(0L)) + col("__v"))).as("__p"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__p")).as("__sp"))
-    docs
-      .select(col(idCol))
-      .join(scored, Seq(idCol), "left_outer")
+      .agg(count(col("w1")).as("n_bigrams"), sum(col("__p")).as("__sp"))
       .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("n_bigrams"),
         coalesce(GraftColumns.longDiv(col("__sp"), col("n_bigrams")), lit(0L))
           .as("score_micro"))
-  }
 }
