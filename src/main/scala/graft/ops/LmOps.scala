@@ -81,6 +81,23 @@ object LmOps {
     bc.join(cc, Seq("w1"))
   }
 
+  /** Merge two bigram models (trained with [[bigramModel]] on disjoint
+    * or overlapping corpus shards): bigram counts add, and context
+    * counts re-derive from the merged bigram table — so
+    * `merge(model(A), model(B)) == model(A ∪ B)` exactly. This is what
+    * makes training incremental at 100 TB: shards/days train
+    * independently and fold together with one model-sized aggregation,
+    * never re-touching the corpus.
+    */
+  def mergeBigramModels(m1: DataFrame, m2: DataFrame): DataFrame = {
+    val bc = m1.select(col("w1"), col("w2"), col("cb"))
+      .unionByName(m2.select(col("w1"), col("w2"), col("cb")))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cb")).as("cb"))
+      .localCheckpoint()
+    val cc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    bc.join(cc, Seq("w1"))
+  }
+
   /** Corpus vocabulary size as a 1-row frame (distinct tokens) — kept
     * in-plan for a broadcast crossJoin at score time rather than a
     * driver collect.

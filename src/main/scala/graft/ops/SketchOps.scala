@@ -123,6 +123,18 @@ object SketchOps {
     words
   }
 
+  /** Merge two bloom filters built with the same (mBits, numHash, salt):
+    * element-wise OR. Build per shard / per day / per partition and OR
+    * the words together — the merged filter is EXACTLY the filter of
+    * the union (bit_or is associative and commutative), which is what
+    * makes the structure incremental at 100 TB.
+    */
+  def bloomMerge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a.length == b.length,
+      "filters must share mBits (and be built with the same numHash/salt)")
+    Array.tabulate(a.length)(i => a(i) | b(i))
+  }
+
   /** Membership probe against a built filter: all k bits set. A pure
     * per-row expression over the literal word array — runs inside the
     * scan stage, so a fact table is pruned BEFORE its shuffle (semi-join

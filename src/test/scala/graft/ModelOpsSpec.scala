@@ -58,6 +58,20 @@ class ModelOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((9L, 1L, 500000L))) // 1e6*1/(0+2)
   }
 
+  test("bigram LM: sharded training merges exactly — " +
+       "merge(model(A), model(B)) == model(A ++ B)") {
+    import graft.ops.LmOps
+    val a = Seq((1L, "a b a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val b = Seq((3L, "a b c"), (4L, "c d c")).toDF("doc_id", "text")
+    val merged = LmOps.mergeBigramModels(
+        LmOps.bigramModel(a, "doc_id", "text"),
+        LmOps.bigramModel(b, "doc_id", "text"))
+      .as[(String, String, Long, Long)].collect().toSet
+    val direct = LmOps.bigramModel(a.unionByName(b), "doc_id", "text")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(merged === direct)
+  }
+
   // -------------------------------------------------------- classifier
 
   test("hashed linear classifier: score equals brute-force driver " +
@@ -112,6 +126,18 @@ class ModelOpsSpec extends SparkTestBase {
       .filter(SketchOps.bloomMightContain($"k", bloom, 3, "bt")).count()
     // m/n = 16.4 bits/key, k=3 => theoretical FP ~ 0.55%; allow 4x.
     assert(fpHits < 220L, s"FP rate too high: $fpHits/10000")
+  }
+
+  test("bloom filters merge algebraically: OR of per-shard filters " +
+       "equals the filter of the union") {
+    import graft.ops.SketchOps
+    val a = (0L until 500L).map(k => s"s$k").toDF("k")
+    val b = (400L until 900L).map(k => s"s$k").toDF("k")
+    val merged = SketchOps.bloomMerge(
+      SketchOps.bloomBuild(a, "k", 1 << 12, 3, "bm"),
+      SketchOps.bloomBuild(b, "k", 1 << 12, 3, "bm"))
+    val direct = SketchOps.bloomBuild(a.unionByName(b), "k", 1 << 12, 3, "bm")
+    assert(merged.toSeq === direct.toSeq)
   }
 
   test("bloom-pruned join == plain join on testdata (pruning is " +
