@@ -265,6 +265,8 @@ object CurationOps {
       df: DataFrame, keyCol: String, weightCol: String,
       salt: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!df.columns.contains("priority") && !df.columns.contains("__u"),
+      "input already has a priority/__u column")
     df
       .withColumn("__u", pmod(TextOps.polyHash(
         concat(col(keyCol).cast("string"), lit(":" + salt))),

@@ -19,10 +19,11 @@ import graft.functions.GraftColumns
   * [[GraftColumns.longDiv]]).
   *
   * 100 TB shape:
-  *   - training is two map-side-combined `groupBy` passes over the
-  *     exploded bigram stream (bigram counts + context counts) and one
-  *     model-sized equi-join — the model is a stored table, never
-  *     collected to the driver;
+  *   - training is ONE map-side-combined `groupBy` pass over the
+  *     exploded bigram stream (the materialized bigram-count table);
+  *     context counts and the model join derive from that table — the
+  *     model is a stored table, never collected to the driver, and
+  *     shard models fold via [[mergeBigramModels]];
   *   - scoring is ONE shuffle equi-join of the document bigram stream
   *     against the model on (w1, w2) — the model carries its context
   *     count so no second join is needed — plus the per-document
@@ -54,13 +55,20 @@ object LmOps {
           element_at(tk, i + 1).as("w2"))))
   }
 
+  /** Column names the LM frames mint; the id column must not collide. */
+  private val Reserved =
+    Set("w1", "w2", "cb", "cu", "__bg", "__p", "__sp", "__v",
+      "n_bigrams", "score_micro")
+
   /** Exploded bigram occurrences: one row per adjacent token pair per
     * document (with multiplicity). Columns: idCol, w1, w2.
     */
-  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(!Reserved(idCol), s"idCol '$idCol' collides with LM columns")
     docs
       .select(col(idCol), explode(bigramArray(col(textCol))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+  }
 
   /** Train a Laplace-smoothed bigram model: (w1, w2, cb, cu) where cb is
     * the bigram count and cu the context count (occurrences of w1 as a
@@ -113,7 +121,8 @@ object LmOps {
     */
   def scoreByBigramLm(
       docs: DataFrame, idCol: String, textCol: String,
-      model: DataFrame, vocab: DataFrame): DataFrame =
+      model: DataFrame, vocab: DataFrame): DataFrame = {
+    require(!Reserved(idCol), s"idCol '$idCol' collides with LM columns")
     // explode_OUTER keeps <2-token documents as a single null-bigram row,
     // so every document survives in ONE corpus pass — no join-back scan.
     // The null row contributes nothing: count(w1) skips it, the guarded
@@ -134,4 +143,5 @@ object LmOps {
         col("n_bigrams"),
         coalesce(GraftColumns.longDiv(col("__sp"), col("n_bigrams")), lit(0L))
           .as("score_micro"))
+  }
 }

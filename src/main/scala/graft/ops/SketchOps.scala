@@ -107,7 +107,12 @@ object SketchOps {
     require(mBits > 0 && mBits % 64 == 0,
       "mBits must be a positive multiple of 64")
     require(numHash > 0, "numHash must be positive")
+    // NULL keys are dropped: they can never match an equi-join anyway,
+    // and a null hash would otherwise propagate into the word index
+    // (NPE at collect). The probe side is consistent — mightContain of
+    // a NULL key is NULL, which a filter drops.
     val cells = keys
+      .filter(col(keyCol).isNotNull)
       .select(col(keyCol).as("__k"),
         explode(sequence(lit(0), lit(numHash - 1))).as("__r"))
       .select(bloomBit(col("__k"), col("__r"), mBits, salt).as("__bit"))

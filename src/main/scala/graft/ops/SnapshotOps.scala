@@ -36,6 +36,8 @@ object SnapshotOps {
       keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && compareCols.nonEmpty,
       "need key and compare columns")
+    require(!keyCols.exists(Set("status", "__h_old", "__h_new")),
+      "key columns collide with diffStatus output/internal names")
     def slim(df: DataFrame, tag: String): DataFrame =
       df.select(keyCols.map(col) :+
         contentHash(compareCols.map(col)).as(s"__h_$tag"): _*)
