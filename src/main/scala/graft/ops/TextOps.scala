@@ -158,6 +158,25 @@ object TextOps {
   def shingleHashesHof(text: Column, n: Int): Column =
     array_distinct(transform(wordShingles(text, n), polyHash(_)))
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): the minimum shingle hash of every sliding
+    * window of `w` consecutive n-gram shingle hashes, deduplicated.
+    * Guarantees any shared token run of length ≥ w+n−1 between two
+    * documents shares at least one fingerprint while keeping only
+    * ~2/(w+1) of the hashes — the robust middle ground between the full
+    * shingle set (MinHash input) and a single whole-document hash.
+    * Pure per-row expression over the native shingle hasher; empty
+    * array for documents shorter than n tokens.
+    */
+  def winnowingFingerprints(text: Column, n: Int, w: Int): Column = {
+    require(w >= 1, "window must be >= 1")
+    val hs = graft.functions.GraftColumns.shingleHash(text, n)
+    when(size(hs) <= 0, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), greatest(size(hs) - lit(w - 1), lit(1))),
+        i => array_min(slice(hs, i, lit(w))))))
+  }
+
   /** Within-document repetition in per-mille: the fraction of n-gram
     * shingle OCCURRENCES that are repeats of an earlier shingle —
     * (total - distinct) * 1000 div total, 0 for docs shorter than n

@@ -366,5 +366,48 @@ object DedupQueries {
         .groupBy($"component")
         .agg(count(lit(1)).as("n_members"), max($"id").as("max_member"))
         .orderBy($"component")
+    },
+
+    // Winnowing fingerprints (Schleimer et al. 2003, MOSS): min shingle
+    // hash per sliding window of 4, deduplicated — any shared run of
+    // >= w+n-1 = 6 tokens shares a fingerprint, at ~2/(w+1) the storage
+    // of the full shingle set. Order-free scalars (count/sum/min/max of
+    // the fingerprint set) make the set gate-checkable without pinning
+    // either engine's distinct ordering.
+    GraftQuery(
+      "q130_winnowing",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_transform(
+        |        generate_series(1, len(string_split_regex(text,'\s+'))-2),
+        |        i -> array_to_string(
+        |          string_split_regex(text,'\s+')[i:i+2], ' ')),
+        |      s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(string_split(s,''), c -> ascii(c))),
+        |           (a,x) -> (a*31+x)%1000000007)) AS hs
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        |         ELSE list_distinct(list_transform(
+        |           generate_series(1, greatest(len(hs) - 3, 1)),
+        |           i -> list_min(hs[i:i+3]))) END AS f
+        |  FROM sh)
+        |SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fp,
+        |  COALESCE(CAST(list_sum(f) AS BIGINT), 0) AS fp_sum,
+        |  COALESCE(list_min(f), -1) AS fp_min,
+        |  COALESCE(list_max(f), -1) AS fp_max
+        |FROM fp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val fp = TextOps.winnowingFingerprints($"text", ShingleN, 4)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", fp.as("f"))
+        .select($"doc_id",
+          size($"f").cast("long").as("n_fp"),
+          aggregate($"f", lit(0L), (a, x) => a + x).as("fp_sum"),
+          coalesce(array_min($"f"), lit(-1L)).as("fp_min"),
+          coalesce(array_max($"f"), lit(-1L)).as("fp_max"))
+        .orderBy($"doc_id")
     })
 }

@@ -471,4 +471,28 @@ class TextDedupSimSpec extends SparkTestBase {
     // sub-k doc: no spans possible
     assert(out(5L)._3 === "tiny doc")
   }
+
+  test("winnowing fingerprints: any shared run of >= w+n-1 tokens " +
+       "shares a fingerprint; short docs are empty; density ~2/(w+1)") {
+    import org.apache.spark.sql.functions._
+    val (n, w) = (3, 4)
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 = w+n-1 tokens
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight $shared nine ten eleven twelve"),
+      (3L, "completely different words entirely here now"),
+      (4L, "too few")).toDF("doc_id", "text")
+    val fps = docs
+      .select($"doc_id",
+        TextOps.winnowingFingerprints($"text", n, w).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty,
+      "guarantee violated: shared 6-token run, no shared fingerprint")
+    assert(fps(3L).toSet.intersect(fps(1L).toSet).isEmpty)
+    assert(fps(4L).isEmpty, "doc shorter than n tokens must be empty")
+    // density: fingerprints are a strict subset of the shingle set
+    val nSh = docs.filter($"doc_id" === 1L)
+      .select(size(TextOps.shingleHashes($"text", n))).head.getInt(0)
+    assert(fps(1L).size < nSh, "winnowing must thin the shingle set")
+  }
 }
