@@ -170,11 +170,18 @@ object TextOps {
     */
   def winnowingFingerprints(text: Column, n: Int, w: Int): Column = {
     require(w >= 1, "window must be >= 1")
-    val hs = graft.functions.GraftColumns.shingleHash(text, n)
-    when(size(hs) <= 0, array().cast("array<bigint>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), greatest(size(hs) - lit(w - 1), lit(1))),
-        i => array_min(slice(hs, i, lit(w))))))
+    // The hash array is BOUND as a lambda variable (transform over a
+    // 1-element wrapper array) so the window loop reads a materialized
+    // value — an expression referenced inside the inner lambda would be
+    // re-hashed per window, making the per-document cost quadratic.
+    val perDoc = transform(
+      array(graft.functions.GraftColumns.shingleHash(text, n)),
+      hs =>
+        when(size(hs) <= 0, array().cast("array<bigint>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), greatest(size(hs) - lit(w - 1), lit(1))),
+            i => array_min(slice(hs, i, lit(w)))))))
+    element_at(perDoc, 1)
   }
 
   /** Within-document repetition in per-mille: the fraction of n-gram
