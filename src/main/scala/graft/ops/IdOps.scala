@@ -97,4 +97,43 @@ object IdOps {
           StructField(seqIdName, LongType, nullable = false) +:
           sorted.schema.fields.toIndexedSeq))
   }
+
+  /** Length-bucketed batch assembly (padding-minimizing batching for
+    * inference/training): bucket documents by `lenCol div bucketWidth`,
+    * order (len, id) within each bucket, and cut batches of `batchSize`
+    * documents — similar-length docs batch together, so per-batch
+    * padding waste (batch_max − each) stays small.
+    *
+    * Scale shape: a `row_number() OVER (PARTITION BY bucket)` window
+    * sorts each bucket on ONE reducer — a skewed length distribution
+    * (most of a web corpus is short) funnels most of the corpus through
+    * one task. Instead: ONE global contiguous rank over
+    * (bucket, len, id) via [[contiguousIds]] (range-partitioned,
+    * multi-reducer), then batch = (rank − bucket's first rank) div
+    * batchSize. The bucket-start table is ≤ maxLen/bucketWidth rows —
+    * broadcastable by construction. Restricted to a bucket, the global
+    * order is exactly (len, id), so the derived batch ids equal the
+    * per-bucket row_number formulation (the oracle replays that).
+    *
+    * Output: input columns + bucketName + batchName.
+    */
+  def bucketedBatches(
+      df: DataFrame, lenCol: String, idCol: String,
+      bucketWidth: Long, batchSize: Long,
+      bucketName: String, batchName: String): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0,
+      "bucketWidth and batchSize must be positive")
+    val div = graft.functions.GraftColumns.longDiv _
+    val bucketed = df.withColumn(bucketName,
+      div(col(lenCol).cast("long"), lit(bucketWidth)))
+    val ranked = contiguousIds(
+      bucketed, "__rank", bucketName, lenCol, idCol)
+    val starts = ranked.groupBy(col(bucketName))
+      .agg(min(col("__rank")).as("__b0"))
+    ranked
+      .join(broadcast(starts), Seq(bucketName))
+      .withColumn(batchName,
+        div(col("__rank") - col("__b0"), lit(batchSize)))
+      .drop("__rank", "__b0")
+  }
 }

@@ -722,6 +722,97 @@ object CurationQueries {
         docs.filter($"lang" === "en"), docs, "text", 4096, "ds1")
       CurationOps.dsirScore(docs, "doc_id", "text", ratios, 4096, "ds1")
         .orderBy($"doc_id")
+    },
+
+    // Token-budget selection: keep the highest-quality documents whose
+    // tokens fit a global budget — greedy by (quality desc, id) with
+    // exact global token offsets. The one-reducer SUM OVER window is
+    // replaced by IdOps' range-partitioned prefix sums; the oracle
+    // replays the window formulation.
+    GraftQuery(
+      "q131_token_budget",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(text, '\s+')) AS n_tok,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x IN ('a','the'))) AS n_stop,
+        |    list_sum(list_transform(string_split_regex(text, '\s+'),
+        |        x -> len(x))) AS sum_len
+        |  FROM documents),
+        |pts AS (
+        |  SELECT doc_id, n_tok,
+        |    (CASE WHEN n_tok BETWEEN 50 AND 1000 THEN 40
+        |          WHEN n_tok >= 10 THEN 20 ELSE 0 END)
+        |  + (CASE WHEN (n_stop*1000)//n_tok BETWEEN 10 AND 400 THEN 30
+        |          WHEN (n_stop*1000)//n_tok > 0 THEN 15 ELSE 0 END)
+        |  + (CASE WHEN (sum_len*1000)//n_tok BETWEEN 3000 AND 8000 THEN 30
+        |          WHEN (sum_len*1000)//n_tok BETWEEN 2000 AND 10000 THEN 15
+        |          ELSE 0 END) AS q
+        |  FROM t),
+        |o AS (
+        |  SELECT doc_id, n_tok, q,
+        |    COALESCE(CAST(SUM(n_tok) OVER (ORDER BY q DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS token_start
+        |  FROM pts)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  token_start,
+        |  CASE WHEN token_start + n_tok <= 20000
+        |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
+        |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val scored = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.tokenCount($"text").cast("long").as("n_tok"),
+          TextOps.qualityScore($"text", Seq("a", "the")).as("q"))
+        .withColumn("__negq", -$"q")
+      IdOps.packIntoSequences(scored, "n_tok", 20000L,
+          "token_start", "__seq", "__negq", "doc_id")
+        .select($"doc_id", $"n_tok", $"token_start",
+          when($"token_start" + $"n_tok" <= 20000L, lit(1L))
+            .otherwise(lit(0L)).as("kept"))
+        .orderBy($"doc_id")
+    },
+
+    // Length-bucketed batch assembly (padding-minimizing batching):
+    // batches of 8 similar-length docs per 32-token length bucket,
+    // assigned WITHOUT a per-bucket row_number window (IdOps scaladoc —
+    // global contiguous rank minus broadcast bucket starts). The oracle
+    // replays the window formulation the op provably equals.
+    GraftQuery(
+      "q132_length_batching",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(text, '\s+')) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tok, n_tok // 32 AS bucket FROM t),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY bucket ORDER BY n_tok, doc_id) - 1 AS rn
+        |  FROM b),
+        |g AS (
+        |  SELECT bucket, rn // 8 AS batch_id, COUNT(*) AS n_docs,
+        |    MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+        |    CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        |  FROM r GROUP BY 1, 2)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(batch_id AS BIGINT) AS batch_id, n_docs,
+        |  CAST(min_tok AS BIGINT) AS min_tok,
+        |  CAST(max_tok AS BIGINT) AS max_tok,
+        |  CAST(n_docs * max_tok - sum_tok AS BIGINT) AS waste
+        |FROM g ORDER BY bucket, batch_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.load(s, dir, "documents")
+        .select($"doc_id", TextOps.tokenCount($"text").cast("long").as("n_tok"))
+      IdOps.bucketedBatches(t, "n_tok", "doc_id", 32L, 8L, "bucket", "batch_id")
+        .groupBy($"bucket", $"batch_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_tok").as("min_tok"),
+          max($"n_tok").as("max_tok"),
+          sum($"n_tok").as("sum_tok"))
+        .select($"bucket", $"batch_id", $"n_docs", $"min_tok", $"max_tok",
+          ($"n_docs" * $"max_tok" - $"sum_tok").as("waste"))
+        .orderBy($"bucket", $"batch_id")
     })
 
   private def runValidation(

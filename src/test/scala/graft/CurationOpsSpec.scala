@@ -250,6 +250,37 @@ class CurationOpsSpec extends SparkTestBase {
     assert(got13 === got, "partitioning must not re-deal the sample")
   }
 
+  test("bucketedBatches: equals the per-bucket row_number referee and " +
+       "is partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.IdOps
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 500L).map(i => (i, 5L + rnd.nextInt(200).toLong))
+      .toDF("id", "len")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      IdOps.bucketedBatches(d, "len", "id", 32L, 8L, "bucket", "batch")
+        .select($"id", $"bucket", $"batch")
+        .as[(Long, Long, Long)].collect()
+        .map { case (i, b, t) => i -> (b, t) }.toMap
+    val got = run(df)
+    // referee: per-bucket rank by (len, id), batch = rank div 8
+    val rows = df.as[(Long, Long)].collect()
+    val referee = rows.groupBy(_._2 / 32).toSeq.flatMap { case (b, grp) =>
+      grp.sortBy(r => (r._2, r._1)).zipWithIndex.map { case ((id, _), rn) =>
+        id -> ((b, rn.toLong / 8))
+      }
+    }.toMap
+    assert(got === referee)
+    assert(run(df.repartition(13)) === got,
+      "partitioning must not re-deal batches")
+    // padding quality: every batch spans at most one 32-token bucket
+    val spans = IdOps.bucketedBatches(df, "len", "id", 32L, 8L, "bucket", "batch")
+      .groupBy($"bucket", $"batch")
+      .agg((max($"len") - min($"len")).as("spread"))
+      .agg(max($"spread")).as[Long].head()
+    assert(spans < 32L, s"batch length spread $spans >= bucket width")
+  }
+
   test("dsirScore: documents from the target domain outscore " +
        "off-domain documents on average") {
     import org.apache.spark.sql.functions._
