@@ -248,6 +248,44 @@ object CurationOps {
       .drop("__rate_ppm")
   }
 
+  /** Deterministic source-weighted UPSAMPLING (epoch mixing — the
+    * "2.7 epochs of source A" step of a pre-training data recipe, the
+    * complement of [[mixtureSample]]'s down-sampling): every document
+    * of class c repeats `factorsPpm(c)/1e6` times — full copies for the
+    * integer part, plus one extra copy when the document's hash lands
+    * under the fractional part. Survival and copy count are pure
+    * functions of (key, salt, class), so the expanded corpus is
+    * identical across runs, engines, and partitionings. Classes absent
+    * from the factor map are dropped (same contract as mixtureSample);
+    * a `copy_id` column (1-based) distinguishes replicas for
+    * downstream shuffling/salting.
+    *
+    * Scale: one broadcast join (factor table = #classes rows) + one
+    * explode; output grows by exactly the recipe factor — no shuffle.
+    */
+  def upsampleMixture(
+      df: DataFrame, keyCol: String, classCol: String,
+      factorsPpm: Map[String, Long], salt: String): DataFrame = {
+    require(factorsPpm.values.forall(_ >= 0), "factors must be >= 0")
+    require(!df.columns.contains("copy_id"),
+      "input already has a copy_id column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val div = graft.functions.GraftColumns.longDiv _
+    val f = factorsPpm.toSeq.toDF(classCol, "__f_ppm")
+    val h = pmod(TextOps.polyHash(
+      concat(col(keyCol).cast("string"), lit(":" + salt))), lit(1000000L))
+    df.join(broadcast(f), Seq(classCol))
+      .withColumn("__copies",
+        div(col("__f_ppm"), lit(1000000L)) +
+          when(h < pmod(col("__f_ppm"), lit(1000000L)), lit(1L))
+            .otherwise(lit(0L)))
+      .filter(col("__copies") > 0)
+      .withColumn("copy_id",
+        explode(sequence(lit(1L), col("__copies"))))
+      .drop("__f_ppm", "__copies")
+  }
+
   /** Priority sampling (Duffield–Lund–Thorup, JACM 2007): deterministic
     * weighted sampling without replacement. Each key draws a pseudo-
     * uniform u ∈ [1, 1e6] from the portable hash of (key:salt) and gets

@@ -724,6 +724,46 @@ object CurationQueries {
         .orderBy($"doc_id")
     },
 
+    // Deterministic epoch upsampling (the "2.5 epochs of English" data
+    // recipe step): full copies from the integer part of the per-class
+    // factor, one extra hash-gated copy from the fractional part; zh
+    // factor 0 drops the class, fr 0.5 exercises the pure-fractional
+    // path. Checksum over (doc_id, copy_id) pins the exact replica set.
+    GraftQuery(
+      "q133_epoch_upsample",
+      s"""WITH c AS (
+         |  SELECT doc_id, lang,
+         |    CASE lang WHEN 'en' THEN 2500000 WHEN 'de' THEN 1000000
+         |              WHEN 'es' THEN 1700000 WHEN 'fr' THEN 500000
+         |              WHEN 'zh' THEN 0 ELSE 0 END AS fppm,
+         |    ${duckPolyHash("CAST(doc_id AS VARCHAR) || ':up1'")}
+         |      % 1000000 AS h
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, lang,
+         |    fppm // 1000000
+         |      + CASE WHEN h < fppm % 1000000 THEN 1 ELSE 0 END AS copies
+         |  FROM c),
+         |e AS (
+         |  SELECT doc_id, lang, u.copy_id
+         |  FROM n, UNNEST(generate_series(1, copies)) AS u(copy_id)
+         |  WHERE copies > 0)
+         |SELECT lang, COUNT(*) AS n_rows,
+         |  COUNT(DISTINCT doc_id) AS n_docs,
+         |  CAST(SUM(doc_id * copy_id) AS BIGINT) AS checksum
+         |FROM e GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      CurationOps.upsampleMixture(
+          Tables.load(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 2500000L, "de" -> 1000000L, "es" -> 1700000L,
+            "fr" -> 500000L, "zh" -> 0L), "up1")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"doc_id").as("n_docs"),
+          sum($"doc_id" * $"copy_id").as("checksum"))
+        .orderBy($"lang")
+    },
+
     // Token-budget selection: keep the highest-quality documents whose
     // tokens fit a global budget — greedy by (quality desc, id) with
     // exact global token offsets. The one-reducer SUM OVER window is

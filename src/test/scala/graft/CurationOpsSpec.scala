@@ -226,6 +226,34 @@ class CurationOpsSpec extends SparkTestBase {
     assert(got7 === got, "partitioning must not re-deal the sample")
   }
 
+  test("upsampleMixture: copy counts match the driver referee " +
+       "(integer + hash-gated fractional part), zero-factor classes " +
+       "drop, and expansion is partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 300L).map(i => (i, s"cls${i % 3}"))
+      .toDF("id", "cls")
+    val factors = Map("cls0" -> 2300000L, "cls1" -> 700000L, "cls2" -> 0L)
+    def polyHash(str: String): Long =
+      str.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    val referee = (0L until 300L).flatMap { i =>
+      val f = factors(s"cls${i % 3}")
+      val copies = f / 1000000L +
+        (if (polyHash(s"$i:upS") % 1000000L < f % 1000000L) 1L else 0L)
+      (1L to copies).map(c => (i, c))
+    }.toSet
+    val got = CurationOps.upsampleMixture(docs, "id", "cls", factors, "upS")
+      .select($"id", $"copy_id").as[(Long, Long)].collect().toSet
+    assert(got === referee)
+    assert(!got.exists(_._1 % 3 == 2), "zero-factor class must drop")
+    // cls0 at 2.3 epochs: every doc at least twice
+    val cls0 = got.filter(_._1 % 3 == 0).groupBy(_._1).view.mapValues(_.size)
+    assert(cls0.values.forall(_ >= 2))
+    val got7 = CurationOps.upsampleMixture(
+        docs.repartition(7), "id", "cls", factors, "upS")
+      .select($"id", $"copy_id").as[(Long, Long)].collect().toSet
+    assert(got7 === got)
+  }
+
   test("prioritySample: matches the driver-side referee, favors " +
        "weight, and is partitioning-invariant") {
     import org.apache.spark.sql.functions._
