@@ -142,4 +142,42 @@ class EmptyInputSpec extends SparkTestBase {
         .count()
     }
   }
+
+  test("round-5 model/curation ops return empty (or all-zero) on " +
+       "empty input") {
+    // bigram LM: empty corpus -> empty model, empty scores, vocab 0
+    val model = LmOps.bigramModel(noDocs, "doc_id", "text")
+    assert(model.count() === 0)
+    assert(LmOps.scoreByBigramLm(noDocs, "doc_id", "text", model,
+      LmOps.vocabSize(noDocs, "text")).count() === 0)
+    // classifier: empty frame in, empty frame out
+    assert(ClassifierOps.classify(noDocs, "doc_id", "text",
+      ClassifierOps.knuthWeights(64), 0L, "e1").count() === 0)
+    // bloom: empty build side -> all-zero filter that matches nothing
+    val bloom = SketchOps.bloomBuild(
+      noDocs.select($"doc_id"), "doc_id", 256, 3, "e2")
+    assert(bloom.forall(_ === 0L))
+    assert(Seq(1L, 2L).toDF("doc_id")
+      .filter(SketchOps.bloomMightContain($"doc_id", bloom, 3, "e2"))
+      .count() === 0)
+    // snapshot diff: both empty -> empty; one empty -> all added/removed
+    assert(SnapshotOps.diffStatus(noDocs, noDocs,
+      Seq("doc_id"), Seq("text")).count() === 0)
+    val one = Seq((1L, "x")).toDF("doc_id", "text")
+    assert(SnapshotOps.diffStatus(noDocs, one, Seq("doc_id"), Seq("text"))
+      .select($"status").as[String].collect().toSeq === Seq("added"))
+    // sampling/upsampling/batching: empty in, empty out
+    assert(CurationOps.prioritySample(
+      noDocs.withColumn("w", lit(1L)), "doc_id", "w", "e3", 5).count() === 0)
+    assert(CurationOps.upsampleMixture(noDocs, "doc_id", "text",
+      Map("x" -> 1000000L), "e4").count() === 0)
+    assert(IdOps.bucketedBatches(
+      noDocs.withColumn("len", lit(1L)), "len", "doc_id", 32L, 8L,
+      "bucket", "batch").count() === 0)
+    // DSIR: empty target AND source -> empty ratio table, zero scores
+    val ratios = CurationOps.importanceRatios(noDocs, noDocs, "text", 64, "e5")
+    assert(ratios.count() === 0)
+    assert(CurationOps.dsirScore(one, "doc_id", "text", ratios, 64, "e5")
+      .select($"score_micro").as[Long].head() === 0L)
+  }
 }
