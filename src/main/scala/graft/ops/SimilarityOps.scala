@@ -472,4 +472,88 @@ object SimilarityOps {
     }
     centers
   }
+
+  // ------------------------------------------------------------------ PQ
+
+  /** Train product-quantization codebooks: split the vector space into
+    * `m` contiguous subspaces and run driver-local Lloyd in each
+    * ([[localLloyd]] — training is a sketch operation over a bounded
+    * sample, same argument as [[ivfTopK]]). Returns m sub-codebooks of
+    * k centroids each. `train` vectors must share a dimension divisible
+    * by m.
+    */
+  def trainPqCodebooks(
+      train: Array[Array[Double]], m: Int, k: Int, maxIter: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    require(train.nonEmpty, "PQ training needs a non-empty sample")
+    val dim = train(0).length
+    require(m > 0 && dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val slice = train.map(v => v.slice(s * sub, (s + 1) * sub))
+      localLloyd(slice, k, maxIter, seed + s)
+    }
+  }
+
+  /** PQ-encode a vector column: one nearest-codeword id per subspace
+    * (native [[graft.functions.ArgMinCell]] per slice — first-minimum
+    * tie-break, replayable). Output: array<int> of length m. At serving
+    * time the corpus stores ONLY these codes — m bytes/vector at k≤256
+    * versus 4·dim bytes of floats (a 128-dim float corpus compresses
+    * 64×), which is what makes 100 TB of raw vectors memory-resident.
+    */
+  def pqEncode(
+      vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    require(codebooks.nonEmpty, "need at least one sub-codebook")
+    val sub = codebooks(0)(0).length
+    array(codebooks.zipWithIndex.map { case (cb, s) =>
+      graft.functions.GraftColumns
+        .argMinCell(slice(vec, s * sub + 1, sub), cb).cast("int")
+    }: _*)
+  }
+
+  /** Per-query ADC lookup table in integer micros:
+    * `lut(s)(c) = floor(1e6 * dot(query_subspace_s, codeword_sc))`.
+    * m·k longs, computed on the driver in microseconds and shipped to
+    * executors as literals — the query never touches the corpus scan as
+    * data.
+    */
+  def pqLut(
+      query: Array[Double],
+      codebooks: Array[Array[Array[Double]]]): Array[Array[Long]] = {
+    val sub = codebooks(0)(0).length
+    require(query.length == codebooks.length * sub,
+      "query dim must equal m * subDim")
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map { cw =>
+        var d = 0.0
+        var i = 0
+        while (i < sub) { d += query(s * sub + i) * cw(i); i += 1 }
+        math.floor(1e6 * d).toLong
+      }
+    }
+  }
+
+  /** ADC top-k over a PQ-coded corpus: score = Σ_s lut(s)(code_s) —
+    * pure integer adds over the code column with the LUT as literal
+    * arrays, inside whole-stage codegen; top-k plans as
+    * TakeOrderedAndProject. The standard serving pattern: ADC shortlist
+    * here, exact re-rank of the few survivors by fetching their full
+    * vectors (compose with [[cosineMicro]]).
+    */
+  def pqAdcTopK(
+      codes: DataFrame, idCol: String, codesCol: String,
+      lutMicro: Array[Array[Long]], k: Int): DataFrame = {
+    require(lutMicro.nonEmpty && k > 0, "need LUT rows and positive k")
+    require(!codes.columns.contains("adc_score"),
+      "input already has an adc_score column")
+    val score = lutMicro.zipWithIndex.map { case (lut, s) =>
+      element_at(typedLit(lut),
+        element_at(col(codesCol), s + 1) + lit(1))
+    }.reduce(_ + _)
+    codes
+      .withColumn("adc_score", score)
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(k)
+  }
 }

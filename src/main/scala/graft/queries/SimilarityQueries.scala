@@ -355,5 +355,70 @@ object SimilarityQueries {
           (coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)) +
             coalesce(expr("1000000 div (60 + r_sem)"), lit(0L))).as("rrf"))
         .orderBy($"rrf".desc, $"doc_id").limit(50)
+    },
+
+    // Product quantization (PQ) ADC serving: corpus stored as m=2
+    // nearest-codeword codes per vector, query reduced to a driver-side
+    // integer LUT, score = pure integer adds over the code column.
+    // Gate uses FIXED integer-valued codebooks and query (the q118
+    // pattern) so DuckDB replays encode (argmin, first-min tie-break)
+    // and scoring exactly; production codebooks come from
+    // trainPqCodebooks (per-subspace driver Lloyd).
+    GraftQuery(
+      "q134_pq_adc",
+      """WITH cw AS (SELECT unnest(generate_series(0, 3)) AS c),
+        |code AS (
+        |  SELECT vec_id,
+        |    (SELECT c FROM (
+        |       SELECT c, list_reduce(list_prepend(0.0,
+        |         list_transform(embedding[1:32], (v, i) ->
+        |           (CAST(v AS DOUBLE) - (((c*7 + (i-1)) % 5) - 2))
+        |           * (CAST(v AS DOUBLE) - (((c*7 + (i-1)) % 5) - 2)))),
+        |         (x,y)->x+y) AS dist
+        |       FROM (SELECT unnest(generate_series(0, 3)) AS c))
+        |     ORDER BY dist, c LIMIT 1) AS code0,
+        |    (SELECT c FROM (
+        |       SELECT c, list_reduce(list_prepend(0.0,
+        |         list_transform(embedding[33:64], (v, i) ->
+        |           (CAST(v AS DOUBLE) - (((31 + c*7 + (i-1)) % 5) - 2))
+        |           * (CAST(v AS DOUBLE) - (((31 + c*7 + (i-1)) % 5) - 2)))),
+        |         (x,y)->x+y) AS dist
+        |       FROM (SELECT unnest(generate_series(0, 3)) AS c))
+        |     ORDER BY dist, c LIMIT 1) AS code1
+        |  FROM embeddings),
+        |l0 AS (
+        |  SELECT c, CAST(1000000 * list_sum(
+        |    list_transform(generate_series(1, 32), i ->
+        |      ((((i-1)*3) % 7) - 3) * (((c*7 + (i-1)) % 5) - 2)))
+        |    AS BIGINT) AS v
+        |  FROM cw),
+        |l1 AS (
+        |  SELECT c, CAST(1000000 * list_sum(
+        |    list_transform(generate_series(1, 32), i ->
+        |      ((((32 + i - 1)*3) % 7) - 3) * (((31 + c*7 + (i-1)) % 5) - 2)))
+        |    AS BIGINT) AS v
+        |  FROM cw)
+        |SELECT vec_id, CAST(code0 AS BIGINT) AS code0,
+        |  CAST(code1 AS BIGINT) AS code1,
+        |  l0.v + l1.v AS adc_score
+        |FROM code JOIN l0 ON l0.c = code.code0 JOIN l1 ON l1.c = code.code1
+        |ORDER BY adc_score DESC, vec_id LIMIT 50""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      // fixed codebooks: cb(s)(c)(i) = ((s*31 + c*7 + i) mod 5) - 2;
+      // fixed query: q(g) = ((g*3) mod 7) - 3 over the 64 global dims
+      val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+        Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
+      val query = Array.tabulate(64)(g => ((g * 3) % 7 - 3).toDouble)
+      val lut = SimilarityOps.pqLut(query, codebooks)
+      val codes = Tables.load(s, dir, "embeddings")
+        .select($"vec_id",
+          SimilarityOps.pqEncode($"embedding", codebooks).as("codes"))
+      SimilarityOps.pqAdcTopK(codes, "vec_id", "codes", lut, 50)
+        .select($"vec_id",
+          element_at($"codes", 1).cast("long").as("code0"),
+          element_at($"codes", 2).cast("long").as("code1"),
+          $"adc_score")
+        .orderBy($"adc_score".desc, $"vec_id")
     })
 }

@@ -472,6 +472,45 @@ class TextDedupSimSpec extends SparkTestBase {
     assert(out(5L)._3 === "tiny doc")
   }
 
+  test("PQ: trained codebooks — codes referee-match driver argmin per " +
+       "subspace, and the ADC shortlist catches the exact dot-product " +
+       "winners") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.SimilarityOps
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").orderBy($"vec_id")
+    val vecs = e.as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    val train = vecs.toSeq.sortBy(_._1).map(_._2).toArray
+    val cbs = SimilarityOps.trainPqCodebooks(train, m = 8, k = 16,
+      maxIter = 5, seed = 42L)
+    // codes match a driver-side argmin referee (first-min tie-break)
+    val codes = e.select($"vec_id",
+      SimilarityOps.pqEncode($"embedding", cbs).as("codes"))
+    codes.limit(10).as[(Long, Seq[Int])].collect().foreach {
+      case (id, cs) =>
+        val v = vecs(id)
+        cs.zipWithIndex.foreach { case (code, s) =>
+          val sub = v.slice(s * 8, s * 8 + 8)
+          val best = cbs(s).zipWithIndex.minBy { case (cw, ci) =>
+            (cw.zip(sub).map(p => (p._2 - p._1) * (p._2 - p._1)).sum, ci)
+          }._2
+          assert(code === best, s"vec $id subspace $s")
+        }
+    }
+    // serving sanity: the ADC top-20 shortlist contains at least one of
+    // the exact dot-product top-3 for a corpus query vector
+    val query = vecs(0L)
+    val lut = SimilarityOps.pqLut(query, cbs)
+    val short = SimilarityOps.pqAdcTopK(codes, "vec_id", "codes", lut, 20)
+      .select($"vec_id").as[Long].collect().toSet
+    val exactTop3 = vecs.toSeq.map { case (id, v) =>
+      id -> v.zip(query).map(p => p._1 * p._2).sum
+    }.sortBy { case (id, d) => (-d, id) }.take(3).map(_._1)
+    assert(exactTop3.exists(short.contains),
+      s"ADC shortlist $short missed all of exact top-3 $exactTop3")
+  }
+
   test("winnowing fingerprints: any shared run of >= w+n-1 tokens " +
        "shares a fingerprint; short docs are empty; density ~2/(w+1)") {
     import org.apache.spark.sql.functions._
