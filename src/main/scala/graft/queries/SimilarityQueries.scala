@@ -420,5 +420,90 @@ object SimilarityQueries {
           element_at($"codes", 2).cast("long").as("code1"),
           $"adc_score")
         .orderBy($"adc_score".desc, $"vec_id")
+    },
+
+    // The full PQ serving read path: ADC shortlist of 50 over the coded
+    // corpus (integer adds only), then EXACT cosine re-rank of the
+    // survivors against the real query vector (corpus vec 0; its LUT is
+    // built from a 1-row driver collect — the per-query serving cost).
+    // Compression answers the scan, exactness answers the final
+    // ranking; the oracle replays shortlist + re-rank end to end.
+    GraftQuery(
+      "q135_pq_rerank",
+      """WITH code AS (
+        |  SELECT vec_id,
+        |    (SELECT c FROM (
+        |       SELECT c, list_reduce(list_prepend(0.0,
+        |         list_transform(embedding[1:32], (v, i) ->
+        |           (CAST(v AS DOUBLE) - (((c*7 + (i-1)) % 5) - 2))
+        |           * (CAST(v AS DOUBLE) - (((c*7 + (i-1)) % 5) - 2)))),
+        |         (x,y)->x+y) AS dist
+        |       FROM (SELECT unnest(generate_series(0, 3)) AS c))
+        |     ORDER BY dist, c LIMIT 1) AS code0,
+        |    (SELECT c FROM (
+        |       SELECT c, list_reduce(list_prepend(0.0,
+        |         list_transform(embedding[33:64], (v, i) ->
+        |           (CAST(v AS DOUBLE) - (((31 + c*7 + (i-1)) % 5) - 2))
+        |           * (CAST(v AS DOUBLE) - (((31 + c*7 + (i-1)) % 5) - 2)))),
+        |         (x,y)->x+y) AS dist
+        |       FROM (SELECT unnest(generate_series(0, 3)) AS c))
+        |     ORDER BY dist, c LIMIT 1) AS code1
+        |  FROM embeddings),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |l0 AS (
+        |  SELECT c, CAST(floor(1000000 * list_reduce(list_prepend(0.0,
+        |    list_transform(qe[1:32], (v, i) ->
+        |      CAST(v AS DOUBLE) * (((c*7 + (i-1)) % 5) - 2))),
+        |    (x,y)->x+y)) AS BIGINT) AS v
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS c), qv),
+        |l1 AS (
+        |  SELECT c, CAST(floor(1000000 * list_reduce(list_prepend(0.0,
+        |    list_transform(qe[33:64], (v, i) ->
+        |      CAST(v AS DOUBLE) * (((31 + c*7 + (i-1)) % 5) - 2))),
+        |    (x,y)->x+y)) AS BIGINT) AS v
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS c), qv),
+        |short AS (
+        |  SELECT vec_id, l0.v + l1.v AS adc_score
+        |  FROM code JOIN l0 ON l0.c = code.code0 JOIN l1 ON l1.c = code.code1
+        |  ORDER BY adc_score DESC, vec_id LIMIT 50)
+        |SELECT s.vec_id,
+        |  CAST(round(1000000.0 * (
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(generate_series(1, len(a.embedding)),
+        |        i -> CAST(a.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))),
+        |      (x,y)->x+y)
+        |    / (sqrt(list_reduce(list_prepend(0.0,
+        |        list_transform(generate_series(1, len(a.embedding)),
+        |          i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))),
+        |        (x,y)->x+y))
+        |     * sqrt(list_reduce(list_prepend(0.0,
+        |        list_transform(generate_series(1, len(q.embedding)),
+        |          i -> CAST(q.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))),
+        |        (x,y)->x+y))))) AS BIGINT) AS cos_micro
+        |FROM short s
+        |JOIN embeddings a ON a.vec_id = s.vec_id
+        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY cos_micro DESC, s.vec_id LIMIT 10""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+        Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
+      val e = Tables.load(s, dir, "embeddings")
+      // per-query serving cost: ONE 1-row collect to build the LUT
+      val qvec = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val lut = SimilarityOps.pqLut(qvec, codebooks)
+      val codes = e.select($"vec_id",
+        SimilarityOps.pqEncode($"embedding", codebooks).as("codes"))
+      val short = SimilarityOps.pqAdcTopK(codes, "vec_id", "codes", lut, 50)
+        .select($"vec_id")
+      val qdf = broadcast(e.filter($"vec_id" === 0L)
+        .select($"embedding".as("__qe")))
+      short.join(e, Seq("vec_id"))
+        .crossJoin(qdf)
+        .select($"vec_id",
+          SimilarityOps.cosineMicro($"embedding", $"__qe").as("cos_micro"))
+        .orderBy($"cos_micro".desc, $"vec_id")
+        .limit(10)
     })
 }

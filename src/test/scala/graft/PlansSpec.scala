@@ -92,7 +92,8 @@ class PlansSpec extends SparkTestBase {
       Set("q35_ann_topk", "q37_ivf_topk", "q74_forward_fill",
         "q88_fuzzy_match", "q89_incremental_rollup", "q96_tfidf_topk",
         "q98_quantized_topk", "q106_pagerank", "q121_hybrid_rrf",
-        "q124_bigram_lm", "q129_dsir_score")
+        "q124_bigram_lm", "q129_dsir_score",
+        "q135_pq_rerank") // 1-row query-vector crossJoin (q121 pattern)
     for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
