@@ -235,11 +235,14 @@ object DedupQueries {
          |FROM th ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
+        // pre-bind the token-hash array: simhash32's 32 bit-loops each
+        // re-evaluate their input, so an embedded expression would
+        // re-tokenize the text 32x per row
         .select($"doc_id",
-          DedupOps.simhash32(
-            array_distinct(
-              transform(TextOps.tokenize($"text"), TextOps.polyHash(_))))
-            .as("simhash"))
+          array_distinct(
+            transform(TextOps.tokenize($"text"), TextOps.polyHash(_)))
+            .as("__th"))
+        .select($"doc_id", DedupOps.simhash32($"__th").as("simhash"))
         .orderBy($"doc_id")
     },
 
