@@ -321,4 +321,55 @@ object GraphOps {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Per-node triangle counts via degree-ordered edge orientation
+    * (Cohen's MapReduce triangle algorithm / the compact-forward
+    * family): orient every undirected edge from its lower-(degree, id)
+    * endpoint to the higher one, build wedges by self-joining oriented
+    * edges on their source, and close each wedge with one more
+    * oriented-edge equi-join.
+    *
+    * Why orientation matters at scale: wedges from a node are
+    * quadratic in its OUT-degree, and orienting toward higher degree
+    * caps every out-degree at O(√m) — a celebrity node with 10⁷
+    * neighbors contributes no wedges at all (all its edges point IN),
+    * where the naive neighbor self-join would explode quadratically.
+    * Every step is an equi-join; no adjacency lists are materialized.
+    *
+    * Output: (node, tri_count) for every node in at least one
+    * triangle; each triangle contributes to its three corners.
+    */
+  def triangleCounts(
+      edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val deg = und
+      .select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // (degree, id) is a total order on nodes; orient low -> high
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+      when(aLower, col("a")).otherwise(col("b")).as("src"),
+      when(aLower, col("b")).otherwise(col("a")).as("dst"),
+      when(aLower, col("db")).otherwise(col("da")).as("ddst"))
+    // wedges (src; v, w) with k(v) < k(w) close iff oriented edge v->w
+    // exists — the closure join hits at most once per wedge.
+    val w1 = o.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
+    val w2 = o.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
+    val wedges = w1.join(w2, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val closed = wedges
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    closed
+      .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_count"))
+  }
 }

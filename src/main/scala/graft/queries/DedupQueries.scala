@@ -371,6 +371,42 @@ object DedupQueries {
         .orderBy($"component")
     },
 
+    // Triangle counting over the part co-occurrence graph (parts
+    // appearing in the same high-quantity order) via degree-ordered
+    // orientation — wedge generation is bounded by out-degree O(sqrt m),
+    // so hub nodes cannot explode the self-join (GraphOps scaladoc).
+    // The oracle counts the same triangles with a canonical a<b<c
+    // triple join; every triangle credits its three corners.
+    GraftQuery(
+      "q136_triangle_counts",
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+        |pp AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+        |    greatest(a.l_partkey, b.l_partkey) AS b
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM pp e1 JOIN pp e2 ON e2.a = e1.b
+        |  JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT u.n AS node FROM tri, UNNEST([x, y, z]) AS u(n)),
+        |cnt AS (SELECT node, COUNT(*) AS tri_count FROM nodes GROUP BY node)
+        |SELECT node, tri_count FROM cnt
+        |ORDER BY tri_count DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .filter($"l_quantity" >= 45)
+        .select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("x").join(li.as("y"),
+          $"x.l_orderkey" === $"y.l_orderkey" &&
+            $"x.l_partkey" =!= $"y.l_partkey")
+        .select($"x.l_partkey".as("pa"), $"y.l_partkey".as("pb"))
+      graft.ops.GraphOps.triangleCounts(pairs, "pa", "pb")
+        .orderBy($"tri_count".desc, $"node")
+        .limit(20)
+    },
+
     // Winnowing fingerprints (Schleimer et al. 2003, MOSS): min shingle
     // hash per sliding window of 4, deduplicated — any shared run of
     // >= w+n-1 = 6 tokens shares a fingerprint, at ~2/(w+1) the storage

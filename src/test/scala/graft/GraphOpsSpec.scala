@@ -206,4 +206,39 @@ class GraphOpsSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(again === ranks, "partitioning must not change integer ranks")
   }
+
+  test("triangleCounts: matches a brute-force referee on a random " +
+       "graph, K4 and star fixtures behave, duplicate/reversed edges " +
+       "collapse") {
+    import org.apache.spark.sql.functions._
+    // K4: 4 triangles, every node in 3; edges given in mixed order and
+    // with duplicates/reversals
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (3L, 4L), (2L, 4L), (4L, 2L)).toDF("a", "b")
+    val gotK4 = GraphOps.triangleCounts(k4, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(gotK4 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // star graph: the hub has every edge but zero triangles
+    val star = (1L to 50L).map(i => (0L, i)).toDF("a", "b")
+    assert(GraphOps.triangleCounts(star, "a", "b").count() === 0)
+    // random graph referee
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 600).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val und = edges.map(e => (e._1 min e._2, e._1 max e._2)).toSet
+    val refCounts = collection.mutable.Map[Long, Long]()
+    val ns = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    for (i <- ns.indices; j <- i + 1 until ns.length;
+         k <- j + 1 until ns.length) {
+      val (x, y, z) = (ns(i), ns(j), ns(k))
+      if (und((x, y)) && und((y, z)) && und((x, z))) {
+        Seq(x, y, z).foreach(n =>
+          refCounts(n) = refCounts.getOrElse(n, 0L) + 1L)
+      }
+    }
+    val got = GraphOps.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === refCounts.toMap)
+  }
 }
