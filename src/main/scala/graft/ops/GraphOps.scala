@@ -322,6 +322,106 @@ object GraphOps {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** K-core decomposition by iterative peeling: repeatedly drop nodes
+    * of degree < k (and their edges) until every remaining node has at
+    * least k neighbors within the survivor set — the standard
+    * graph-density filter (a node in the k-core has k independent
+    * in-core endorsements, robust to the long tail of weakly-attached
+    * spam/boilerplate nodes that degree alone can't separate).
+    *
+    * Per round: one symmetrized degree aggregate + two semi-joins
+    * (keep edges whose BOTH endpoints survive) — all key-partitioned,
+    * scaling with |E|; no adjacency lists. Peeling only ever REMOVES
+    * edges, so the edge count is a monotone convergence probe (stable
+    * count ⇔ fixpoint — no hashing needed), one scalar action per
+    * round. Rounds are data-dependent but short in practice: each
+    * round strips a full "shell" of weakly-attached nodes.
+    *
+    * Peeling is idempotent at the fixpoint — extra rounds are no-ops —
+    * which is what lets a fixed-unroll SQL oracle (q137) replay a
+    * convergence-probed run exactly: any unroll depth ≥ the actual
+    * round count yields the identical survivor set.
+    *
+    * Output: (node, deg) for every k-core member, deg = its degree
+    * WITHIN the core (≥ k by construction).
+    */
+  def kCore(
+      edges: DataFrame, aCol: String, bCol: String, k: Int,
+      maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct().localCheckpoint()
+    def degrees(df: DataFrame): DataFrame = df
+      .select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    var prevCount = e.count()
+    var iter = 0
+    var converged = prevCount == 0L
+    while (iter < maxIter && !converged) {
+      val keep = degrees(e).filter(col("d") >= k).select(col("n"))
+      val next = e
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val nextCount = next.count()
+      e.unpersist()   // bound executor storage to 2 edge copies
+      e = next
+      converged = nextCount == prevCount
+      prevCount = nextCount
+      iter += 1
+    }
+    require(converged,
+      s"kCore did not converge in $maxIter rounds — raise maxIter")
+    degrees(e).select(col("n").as("node"), col("d").as("deg"))
+  }
+
+  /** Multi-source BFS over an undirected graph: hop distance from the
+    * nearest seed, capped at `rounds` (nodes farther than `rounds` —
+    * or unreachable — are absent from the output). The curation
+    * signal behind seed-based quality propagation: start from a
+    * trusted seed set (curated domains, verified authors) and keep
+    * documents within a small graph distance of it.
+    *
+    * Fixed-round integer relaxation (the q106 PageRank contract, not
+    * a fixpoint probe): round r sets dist = min(dist, neighbor dist
+    * + 1), so after R rounds every distance ≤ R is exact — which is
+    * the whole output, making a fixed-unroll SQL oracle replay the
+    * result bit-for-bit. Per round: one equi-join (frontier→edges) +
+    * one min-aggregate, key-partitioned shuffles scaling with |E|;
+    * localCheckpoint per round truncates the iterative lineage.
+    *
+    * Output: (id, dist) with 0 ≤ dist ≤ rounds; seeds not present in
+    * `edges` still appear at dist 0.
+    */
+  def seedDistances(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct().localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val msgs = e
+        .join(dist.select(col("id").as("a"), col("dist")), Seq("a"))
+        .select(col("b").as("id"), (col("dist") + 1L).as("dist"))
+      val next = dist.union(msgs)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      dist.unpersist()  // bound executor storage to 2 frontier copies
+      dist = next
+      r += 1
+    }
+    dist
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation
     * (Cohen's MapReduce triangle algorithm / the compact-forward
     * family): orient every undirected edge from its lower-(degree, id)

@@ -407,6 +407,53 @@ object DedupQueries {
         .limit(20)
     },
 
+    // K-core decomposition of the same co-occurrence graph: peel
+    // degree-<3 shells until fixpoint, report the per-degree histogram
+    // of the surviving 3-core (the graph-density filter that strips
+    // weakly-attached tail nodes). The Spark side probes convergence;
+    // the oracle unrolls 10 peel rounds — peeling is idempotent at the
+    // fixpoint (measured 5 rounds at sf0.01), so any unroll depth past
+    // convergence replays the identical survivor set.
+    GraftQuery("q137_kcore", DedupSql.KCore10) { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .filter($"l_quantity" >= 45)
+        .select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("x").join(li.as("y"),
+          $"x.l_orderkey" === $"y.l_orderkey" &&
+            $"x.l_partkey" =!= $"y.l_partkey")
+        .select($"x.l_partkey".as("pa"), $"y.l_partkey".as("pb"))
+      graft.ops.GraphOps.kCore(pairs, "pa", "pb", k = 3)
+        .groupBy($"deg")
+        .agg(count(lit(1)).as("n_nodes"), sum($"node").as("node_sum"))
+        .orderBy($"deg")
+    },
+
+    // Multi-source BFS over the customer–supplier bipartite graph
+    // (who-traded-with-whom): hop distance from a trusted seed set
+    // (nation-3 customers), capped at 4 — the seed-based quality
+    // propagation signal (documents/domains within small graph
+    // distance of curated seeds). Node ids disambiguate the two
+    // partitions arithmetically (2·cust vs 2·supp+1) so the oracle
+    // replays the exact same id space; fixed rounds make every
+    // reported distance exact (q106 fixed-round contract).
+    GraftQuery("q138_seed_bfs", DedupSql.SeedBfs4) { (s, dir) =>
+      import s.implicits._
+      val edges = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).cast("long").as("a"),
+          ($"l_suppkey" * 2 + 1).cast("long").as("b"))
+        .distinct()
+      val seeds = Tables.load(s, dir, "customer")
+        .filter($"c_nationkey" === 3)
+        .select(($"c_custkey" * 2).cast("long").as("s"))
+      graft.ops.GraphOps.seedDistances(edges, "a", "b", seeds, "s", 4)
+        .groupBy($"dist")
+        .agg(count(lit(1)).as("n_nodes"), sum($"id").as("id_sum"))
+        .orderBy($"dist")
+    },
+
     // Winnowing fingerprints (Schleimer et al. 2003, MOSS): min shingle
     // hash per sliding window of 4, deduplicated — any shared run of
     // >= w+n-1 = 6 tokens shares a fingerprint, at ~2/(w+1) the storage
@@ -449,4 +496,80 @@ object DedupQueries {
           coalesce(array_max($"f"), lit(-1L)).as("fp_max"))
         .orderBy($"doc_id")
     })
+}
+
+/** Unrolled-iteration DuckDB replays for the graph gates — same
+  * pattern as AnalyticsSql.PageRank3: the oracle executes a fixed
+  * number of rounds of the identical integer relaxation.
+  */
+private object DedupSql {
+
+  /** 10 unrolled peel rounds of the 3-core over the q136 part
+    * co-occurrence graph. Peeling is idempotent once stable (measured
+    * 5 rounds at sf0.01), so 10 rounds replay the convergence-probed
+    * GraphOps.kCore survivor set exactly.
+    */
+  val KCore10: String = {
+    val rounds = (1 to 10).map { r =>
+      val prev = s"e${r - 1}"
+      // MATERIALIZED: DuckDB inlines plain CTEs, and each round
+      // references the previous one 3× — inlining would compound to
+      // 3^10 scans of the base table (observed as fd exhaustion)
+      s"""d$r AS MATERIALIZED (
+         |  SELECT n, COUNT(*) AS c FROM (
+         |    SELECT a AS n FROM $prev UNION ALL SELECT b FROM $prev)
+         |  GROUP BY n),
+         |k$r AS MATERIALIZED (SELECT n FROM d$r WHERE c >= 3),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $prev e
+         |  JOIN k$r x ON e.a = x.n JOIN k$r y ON e.b = y.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+       |    greatest(a.l_partkey, b.l_partkey) AS b
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |$rounds,
+       |core AS (
+       |  SELECT n AS node, COUNT(*) AS deg FROM (
+       |    SELECT a AS n FROM e10 UNION ALL SELECT b FROM e10)
+       |  GROUP BY n)
+       |SELECT deg, COUNT(*) AS n_nodes,
+       |  CAST(SUM(node) AS BIGINT) AS node_sum
+       |FROM core GROUP BY deg ORDER BY deg""".stripMargin
+  }
+
+  /** 4 unrolled min-relaxation rounds of multi-source BFS from
+    * nation-3 customers over the customer–supplier bipartite graph
+    * (ids 2·cust / 2·supp+1) — replays GraphOps.seedDistances at
+    * rounds = 4 exactly.
+    */
+  val SeedBfs4: String = {
+    val rounds = (1 to 4).map { r =>
+      val prev = s"d${r - 1}"
+      s"""d$r AS (
+         |  SELECT id, MIN(dist) AS dist FROM (
+         |    SELECT id, dist FROM $prev
+         |    UNION ALL
+         |    SELECT e.b AS id, p.dist + 1 AS dist
+         |    FROM e JOIN $prev p ON e.a = p.id)
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS a,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS b
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (
+       |  SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+       |d0 AS (
+       |  SELECT DISTINCT CAST(c_custkey * 2 AS BIGINT) AS id,
+       |    CAST(0 AS BIGINT) AS dist
+       |  FROM customer WHERE c_nationkey = 3),
+       |$rounds
+       |SELECT dist, COUNT(*) AS n_nodes,
+       |  CAST(SUM(id) AS BIGINT) AS id_sum
+       |FROM d4 GROUP BY dist ORDER BY dist""".stripMargin
+  }
 }

@@ -207,6 +207,74 @@ class GraphOpsSpec extends SparkTestBase {
     assert(again === ranks, "partitioning must not change integer ranks")
   }
 
+  test("kCore: matches an iterative-peel referee on a random graph, " +
+       "clique survives while a dangling path strips, high k empties") {
+    // K5 (every node degree 4) with a path 100-101-102 hanging off
+    // node 1: the path peels away at k=2 round by round, the clique
+    // survives intact
+    val k5 = (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j))
+    val g = (k5 ++ Seq((1L, 100L), (100L, 101L), (101L, 102L))).toDF("a", "b")
+    val got2 = GraphOps.kCore(g, "a", "b", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
+    assert(GraphOps.kCore(g, "a", "b", k = 5).count() === 0)
+    // random graph referee: peel with plain collections until stable
+    val rnd = new scala.util.Random(31)
+    val edges = (0 until 400).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    def refCore(k: Int): Map[Long, Long] = {
+      var und = edges.map(e => (e._1 min e._2, e._1 max e._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = und.filter(e => keep(e._1) && keep(e._2))
+        changed = next != und
+        und = next
+      }
+      und.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    }
+    for (k <- Seq(2, 4, 7)) {
+      val got = GraphOps.kCore(edges.toDF("a", "b"), "a", "b", k)
+        .as[(Long, Long)].collect().toMap
+      assert(got === refCore(k), s"k=$k")
+    }
+  }
+
+  test("seedDistances: matches a BFS referee capped at rounds, " +
+       "isolated seeds appear at 0, far nodes are absent") {
+    // path 1-2-3-4-5-6, seed {1}: dist_i = i-1, capped at rounds=3
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val seeds1 = Seq(1L).toDF("s")
+    val got = GraphOps.seedDistances(path, "a", "b", seeds1, "s", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // a seed with no edges still reports dist 0
+    val lone = GraphOps.seedDistances(path, "a", "b",
+      Seq(99L).toDF("s"), "s", 2).as[(Long, Long)].collect().toMap
+    assert(lone(99L) === 0L)
+    // random graph + multi-seed referee
+    val rnd = new scala.util.Random(47)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val seedSet = Set(3L, 44L, 71L)
+    var ref = seedSet.map(_ -> 0L).toMap
+    for (r <- 1 to 4) {
+      val frontier = ref.filter(_._2 == r - 1).keySet
+      val nbrs = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+      ref = ref ++ nbrs.filterNot(ref.contains).map(_ -> r.toLong)
+    }
+    val gotR = GraphOps.seedDistances(edges.toDF("a", "b"), "a", "b",
+      seedSet.toSeq.toDF("s"), "s", 4).as[(Long, Long)].collect().toMap
+    assert(gotR === ref)
+  }
+
   test("triangleCounts: matches a brute-force referee on a random " +
        "graph, K4 and star fixtures behave, duplicate/reversed edges " +
        "collapse") {
