@@ -25,9 +25,13 @@ import graft.functions.GraftColumns
   */
 object ClassifierOps {
 
-  /** Non-empty whitespace tokens (matches the oracle's list_filter). */
+  /** Non-empty whitespace tokens (matches the oracle's list_filter).
+    * NULL text degrades to the empty token array — so a NULL document
+    * scores exactly the bias with n_feats 0 instead of propagating NULL
+    * through the score and a -1 through size().
+    */
   private def toksNonEmpty(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    filter(split(coalesce(text, lit("")), "\\s+"), t => t =!= "")
 
   /** Hashed feature buckets of each token occurrence (with
     * multiplicity): `pmod(polyHash(token || ':' || salt), dim)`. The

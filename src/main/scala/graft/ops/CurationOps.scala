@@ -286,13 +286,21 @@ object CurationOps {
       .drop("__f_ppm", "__copies")
   }
 
-  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007): deterministic
-    * weighted sampling without replacement. Each key draws a pseudo-
-    * uniform u ∈ [1, 1e6] from the portable hash of (key:salt) and gets
-    * priority w·1e6 div u; the sample is the top-k by priority — items
-    * are included with probability increasing in weight, and the scheme
-    * supports unbiased subset-sum estimation (w_i or the (k+1)-th
-    * priority threshold, whichever is larger).
+  /** Priority sampling (inspired by Duffield–Lund–Thorup, JACM 2007):
+    * deterministic weighted sampling without replacement. Each key draws
+    * a pseudo-uniform u ∈ [1, 1e6] from the portable hash of (key:salt)
+    * and gets priority w·1e6 div u; the sample is the top-k by priority
+    * — items are included with probability increasing in weight. (Only
+    * the top-k rows are returned, so the (k+1)-th-priority threshold
+    * that DLT subset-sum *estimation* needs is not part of this output;
+    * this operator is the selection step only.)
+    *
+    * Weights must be in [0, Long.MaxValue/1e6 ≈ 9.2e12] — a row outside
+    * that domain raises an error rather than silently wrapping BIGINT.
+    * The priority itself is computed in two steps
+    * (`(w div u)·1e6 + ((w mod u)·1e6) div u`, algebraically equal to
+    * `w·1e6 div u`) so no intermediate product overflows anywhere in
+    * the valid domain.
     *
     * 100 TB shape: top-k plans as TakeOrderedAndProject — per-partition
     * heaps + one k-row merge at the driver, no global sort. The
@@ -305,12 +313,20 @@ object CurationOps {
     require(k > 0, "k must be positive")
     require(!df.columns.contains("priority") && !df.columns.contains("__u"),
       "input already has a priority/__u column")
+    val div = graft.functions.GraftColumns.longDiv _
+    val maxW = Long.MaxValue / 1000000L
+    val w = col(weightCol).cast("long")
+    val u = col("__u")
     df
       .withColumn("__u", pmod(TextOps.polyHash(
         concat(col(keyCol).cast("string"), lit(":" + salt))),
         lit(1000000L)) + 1)
-      .withColumn("priority", graft.functions.GraftColumns.longDiv(
-        col(weightCol).cast("long") * lit(1000000L), col("__u")))
+      .withColumn("priority",
+        when(w < 0 || w > maxW, raise_error(concat(
+          lit(s"prioritySample: weight out of [0, $maxW]: "),
+          w.cast("string"))))
+          .otherwise(
+            div(w, u) * lit(1000000L) + div(pmod(w, u) * lit(1000000L), u)))
       .orderBy(col("priority").desc, col(keyCol))
       .limit(k)
       .drop("__u")
@@ -350,8 +366,11 @@ object CurationOps {
     // broadcast — reads the dim-row tables, never the corpus again.
     val tf = bucketFreqs(target, textCol, dim, salt).localCheckpoint()
     val sf = bucketFreqs(source, textCol, dim, salt).localCheckpoint()
-    val tN = tf.agg(sum(col("ct")).as("__nt"))
-    val sN = sf.agg(sum(col("ct")).as("__ns"))
+    // coalesce: an EMPTY corpus must yield total 0 (sum over zero rows
+    // is NULL), so the smoothed proportions degrade to the add-one
+    // floor instead of NULLing every ratio in the output table.
+    val tN = tf.agg(coalesce(sum(col("ct")), lit(0L)).as("__nt"))
+    val sN = sf.agg(coalesce(sum(col("ct")), lit(0L)).as("__ns"))
     sf.withColumnRenamed("ct", "ct_s")
       .join(tf.withColumnRenamed("ct", "ct_t"), Seq("bucket"), "left_outer")
       .crossJoin(broadcast(tN)).crossJoin(broadcast(sN))

@@ -347,7 +347,20 @@ object GraphOps {
     */
   def kCore(
       edges: DataFrame, aCol: String, bCol: String, k: Int,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    kCoreWithRounds(edges, aCol, bCol, k, maxIter)._1
+
+  /** [[kCore]] plus the observed peel-round count (rounds to reach the
+    * fixpoint, INCLUDING the final no-change probe round). The round
+    * count is data-dependent, so a fixed-unroll oracle replay is only
+    * valid when its unroll depth covers the observed count — callers
+    * gating against such an oracle should assert
+    * `rounds <= unrollDepth` to turn a too-shallow oracle into a loud
+    * failure instead of a silent hash divergence.
+    */
+  def kCoreWithRounds(
+      edges: DataFrame, aCol: String, bCol: String, k: Int,
+      maxIter: Int = 50): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
     var e = edges
       .select(least(col(aCol), col(bCol)).as("a"),
@@ -375,7 +388,7 @@ object GraphOps {
     }
     require(converged,
       s"kCore did not converge in $maxIter rounds — raise maxIter")
-    degrees(e).select(col("n").as("node"), col("d").as("deg"))
+    (degrees(e).select(col("n").as("node"), col("d").as("deg")), iter)
   }
 
   /** Multi-source BFS over an undirected graph: hop distance from the

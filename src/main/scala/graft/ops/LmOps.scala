@@ -24,15 +24,19 @@ import graft.functions.GraftColumns
   *     context counts and the model join derive from that table — the
   *     model is a stored table, never collected to the driver, and
   *     shard models fold via [[mergeBigramModels]];
-  *   - scoring is ONE shuffle equi-join of the document bigram stream
-  *     against the model on (w1, w2) — the model carries its context
-  *     count so no second join is needed — plus the per-document
-  *     re-aggregation. The vocabulary size rides along as a broadcast
-  *     1-row aggregate (same pattern as q96's corpus-size scalar);
+  *   - scoring is TWO equi-joins of the document bigram stream: one on
+  *     (w1, w2) for the bigram count, one on w1 against the
+  *     vocabulary-sized context table for the true Laplace denominator —
+  *     plus the per-document re-aggregation. The vocabulary size rides
+  *     along as a broadcast 1-row aggregate (same pattern as q96's
+  *     corpus-size scalar);
   *   - unseen bigrams (scoring a corpus the model wasn't trained on)
-  *     degrade gracefully: a missing (w1, w2) row scores
-  *     `1e6·1 div (0+V)` — uniform backoff over the vocabulary. For
-  *     self-scoring (the conformance gate) every bigram is present.
+  *     degrade with TRUE Laplace backoff: a missing (w1, w2) row whose
+  *     context w1 is in the model scores `1e6·1 div (c(w1)+V)` (the
+  *     normalized conditional), and only a fully-unknown w1 falls back
+  *     to the uniform `1e6·1 div (0+V)`. For self-scoring (the
+  *     conformance gate) every bigram is present, so the scores are
+  *     identical to the single-join form.
   */
 object LmOps {
 
@@ -61,7 +65,7 @@ object LmOps {
   /** Column names the LM frames mint; the id column must not collide. */
   private val Reserved =
     Set("w1", "w2", "cb", "cu", "__bg", "__tk", "__p", "__sp", "__v",
-      "n_bigrams", "score_micro")
+      "__cu1", "n_bigrams", "score_micro")
 
   /** Exploded bigram occurrences: one row per adjacent token pair per
     * document (with multiplicity). Columns: idCol, w1, w2.
@@ -122,11 +126,22 @@ object LmOps {
   /** Score documents by mean smoothed bigram probability in micros.
     * Output: idCol, n_bigrams (occurrences), score_micro — documents
     * with fewer than two tokens score 0 with n_bigrams 0.
+    *
+    * Laplace backoff is exact for cross-corpus scoring: the context
+    * count c(w1) is joined separately on w1 (vocabulary-sized table
+    * derived from the model), so an unseen bigram whose head w1 IS in
+    * the model scores `1e6·1 div (c(w1)+V)` — the properly-normalized
+    * conditional — rather than the uniform `1e6·1 div (0+V)` that a
+    * single denormalized-model join would give. Self-scoring results
+    * are unchanged (every bigram row matches, carrying the same cu).
     */
   def scoreByBigramLm(
       docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, vocab: DataFrame): DataFrame = {
     require(!Reserved(idCol), s"idCol '$idCol' collides with LM columns")
+    // Per-head context counts: the model denormalizes cu onto every
+    // (w1, w2) row, so one distinct-by-w1 pass recovers the table.
+    val ctx = model.groupBy(col("w1")).agg(max(col("cu")).as("__cu1"))
     // explode_OUTER keeps <2-token documents as a single null-bigram row,
     // so every document survives in ONE corpus pass — no join-back scan.
     // The null row contributes nothing: count(w1) skips it, the guarded
@@ -135,13 +150,15 @@ object LmOps {
       .select(col(idCol), toks(col(textCol)).as("__tk"))
       .select(col(idCol), explode_outer(bigramArrayOf(col("__tk"))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
-      .join(model, Seq("w1", "w2"), "left_outer")
+      .join(model.select(col("w1"), col("w2"), col("cb")),
+        Seq("w1", "w2"), "left_outer")
+      .join(ctx, Seq("w1"), "left_outer")
       .crossJoin(broadcast(vocab))
       .select(col(idCol), col("w1"),
         when(col("w1").isNotNull,
           GraftColumns.longDiv(
             lit(1000000L) * (coalesce(col("cb"), lit(0L)) + lit(1L)),
-            coalesce(col("cu"), lit(0L)) + col("__v"))).as("__p"))
+            coalesce(col("__cu1"), lit(0L)) + col("__v"))).as("__p"))
       .groupBy(col(idCol))
       .agg(count(col("w1")).as("n_bigrams"), sum(col("__p")).as("__sp"))
       .select(col(idCol),

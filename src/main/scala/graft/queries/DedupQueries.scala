@@ -423,7 +423,14 @@ object DedupQueries {
           $"x.l_orderkey" === $"y.l_orderkey" &&
             $"x.l_partkey" =!= $"y.l_partkey")
         .select($"x.l_partkey".as("pa"), $"y.l_partkey".as("pb"))
-      graft.ops.GraphOps.kCore(pairs, "pa", "pb", k = 3)
+      val (core, rounds) =
+        graft.ops.GraphOps.kCoreWithRounds(pairs, "pa", "pb", k = 3)
+      // The oracle unrolls exactly 10 peel rounds; a gate scale that
+      // needed more would replay a pre-fixpoint survivor set — fail
+      // loudly here instead of hash-diverging silently.
+      require(rounds <= 10,
+        s"kCore took $rounds rounds but the q137 oracle unrolls 10")
+      core
         .groupBy($"deg")
         .agg(count(lit(1)).as("n_nodes"), sum($"node").as("node_sum"))
         .orderBy($"deg")

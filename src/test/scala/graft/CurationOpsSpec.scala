@@ -278,6 +278,50 @@ class CurationOpsSpec extends SparkTestBase {
     assert(got13 === got, "partitioning must not re-deal the sample")
   }
 
+  test("prioritySample: near-max weights compute exactly (two-step " +
+       "scaling, no intermediate overflow) and bad weights fail loudly") {
+    import org.apache.spark.sql.functions._
+    def polyHash(str: String): Long =
+      str.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    val maxW = Long.MaxValue / 1000000L
+    // w*1e6 would wrap BIGINT for these weights; the two-step form must
+    // still equal the exact BigInt referee.
+    val df = (0L until 10L).map(i => (i, maxW - i)).toDF("id", "w")
+    val got = CurationOps.prioritySample(df, "id", "w", "ov", 10)
+      .select($"id", $"priority").as[(Long, Long)].collect().toMap
+    (0L until 10L).foreach { i =>
+      val u = BigInt(polyHash(s"$i:ov") % 1000000L + 1)
+      val want = (BigInt(maxW - i) * 1000000 / u).toLong
+      assert(got(i) === want, s"id $i")
+    }
+    // out-of-domain weights raise instead of silently wrapping
+    val bad = Seq((1L, Long.MaxValue), (2L, 5L)).toDF("id", "w")
+    val ex = intercept[Exception] {
+      CurationOps.prioritySample(bad, "id", "w", "ov", 2).collect()
+    }
+    assert(ex.getMessage.contains("weight out of") ||
+      ex.getCause != null, s"unexpected: ${ex.getMessage}")
+    val neg = Seq((1L, -3L)).toDF("id", "w")
+    intercept[Exception] {
+      CurationOps.prioritySample(neg, "id", "w", "ov", 1).collect()
+    }
+  }
+
+  test("importanceRatios: empty TARGET corpus degrades to the smoothed " +
+       "floor on every bucket — never a NULL ratio") {
+    import org.apache.spark.sql.functions._
+    val source = Seq((1L, "alpha beta gamma"), (2L, "beta beta"))
+      .toDF("doc_id", "text")
+    val empty = source.filter($"doc_id" < 0)
+    val ratios = CurationOps.importanceRatios(empty, source, "text", 64, "et")
+      .select($"bucket", $"ratio_micro").as[(Long, Option[Long])].collect()
+    assert(ratios.nonEmpty)
+    assert(ratios.forall(_._2.isDefined), "NULL ratio_micro leaked")
+    // p_t = 1e6*1/(0+64) = 15625 for every bucket; p_s varies — the
+    // ratio is the smoothed floor, positive and finite.
+    assert(ratios.forall(_._2.get > 0L))
+  }
+
   test("bucketedBatches: equals the per-bucket row_number referee and " +
        "is partitioning-invariant") {
     import org.apache.spark.sql.functions._

@@ -58,6 +58,21 @@ class ModelOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((9L, 1L, 500000L))) // 1e6*1/(0+2)
   }
 
+  test("bigram LM: unseen bigram with a SEEN head takes the true " +
+       "Laplace value 1e6/(c(w1)+V), not the uniform floor") {
+    import graft.ops.LmOps
+    // train "a b a b": c(a,b)=2, c(b,a)=1; contexts a->2, b->1; V=2.
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val eval = Seq((9L, "a z")).toDF("doc_id", "text")
+    val got = LmOps.scoreByBigramLm(eval, "doc_id", "text",
+        LmOps.bigramModel(train, "doc_id", "text"),
+        LmOps.vocabSize(train, "text"))
+      .as[(Long, Long, Long)].collect()
+    // (a,z) unseen but a IS a model context: 1e6*(0+1)/(2+2) = 250000
+    // (a denormalized-model-only join would have given 1e6/(0+2)=500000)
+    assert(got.toSeq === Seq((9L, 1L, 250000L)))
+  }
+
   test("bigram LM: sharded training merges exactly — " +
        "merge(model(A), model(B)) == model(A ++ B)") {
     import graft.ops.LmOps
@@ -96,6 +111,20 @@ class ModelOpsSpec extends SparkTestBase {
       val text = Map(1L -> "the quick brown fox", 2L -> "lazy dog", 3L -> "")(id)
       assert((n, s) === score(text), s"doc $id")
     }
+  }
+
+  test("hashed linear classifier: NULL text degrades to the bias " +
+       "(n_feats 0, no NULL/-1 leakage)") {
+    import graft.ops.ClassifierOps
+    val w = ClassifierOps.knuthWeights(64)
+    val docs = Seq((1L, Option("a b")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = ClassifierOps.classify(docs, "doc_id", "text", w, 7L, "nz")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_feats", $"score_micro", $"label")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got(1) === ((2L, 0L, 7L, 1L)), "NULL doc must score the bias")
+    assert(got(0)._2 === 2L)
   }
 
   test("hashed linear classifier: stacked salts decorrelate (same doc, " +
