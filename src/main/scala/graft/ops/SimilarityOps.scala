@@ -556,4 +556,89 @@ object SimilarityOps {
       .orderBy(col("adc_score").desc, col(idCol))
       .limit(k)
   }
+
+  // -------------------------------------------------------------- IVF×PQ
+
+  /** Build the STORED IVF-PQ index table — the billion-vector serving
+    * layout: one row per corpus vector holding only its IVF cell id
+    * (nearest centroid, [[graft.functions.ArgMinCell]]) and its m PQ
+    * codes. At k≤256 codewords that's 4+m bytes of payload per vector
+    * versus 4·dim of floats; persist it partitioned/bucketed BY CELL so
+    * a serve-time cell predicate prunes at the scan (file/row-group
+    * skip), never touching unprobed cells.
+    */
+  def ivfPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col(idCol),
+      graft.functions.GraftColumns.argMinCell(col(vecCol), centers)
+        .cast("int").as("cell"),
+      pqEncode(col(vecCol), codebooks).as("codes"))
+
+  /** Route a query vector to its `nProbe` nearest IVF cells by
+    * squared-L2 distance to the centroids, ties to the lower cell id —
+    * the same sequential-fold arithmetic as ArgMinCell, evaluated on
+    * the driver (nList·dim multiply-adds: microseconds), so an oracle
+    * replaying the fold in SQL routes identically.
+    */
+  def ivfRoute(
+      query: Array[Double], centers: Array[Array[Double]],
+      nProbe: Int): Seq[Int] = {
+    require(nProbe > 0 && nProbe <= centers.length,
+      s"nProbe must be in [1, ${centers.length}]")
+    centers.zipWithIndex.map { case (ctr, c) =>
+      require(ctr.length == query.length, "query/centroid dim mismatch")
+      var d = 0.0
+      var i = 0
+      while (i < ctr.length) { val t = query(i) - ctr(i); d += t * t; i += 1 }
+      (d, c)
+    }.sortBy(identity).take(nProbe).map(_._2).toSeq
+  }
+
+  /** The composed IVF×PQ read path — what a production billion-vector
+    * store actually serves (neither IVF-with-exact-scan nor
+    * whole-corpus ADC alone):
+    *
+    *   1. ROUTE (driver, µs): query → `nProbe` nearest cells
+    *      ([[ivfRoute]]); per-query cost independent of corpus size.
+    *   2. PRUNE + ADC (cluster, one scan of the PROBED cells only): a
+    *      plain `cell IN (...)` predicate over the stored index — it
+    *      reaches the parquet scan as a pushed filter when the index is
+    *      persisted partitioned/bucketed by cell — then
+    *      `adc_score = Σ_s lut(s)(code_s)` integer adds in-scan and a
+    *      TakeOrderedAndProject shortlist ([[pqAdcTopK]]).
+    *   3. RE-RANK (cluster, `shortlist` rows): fetch the survivors'
+    *      full vectors by id equi-join and rank by exact cosine against
+    *      the query (a literal — the query never shuffles as data).
+    *
+    * Compute scales with nProbe/nList of the corpus for the scan and
+    * with `shortlist` for the exact math; nProbe = nList and
+    * shortlist ≥ corpus degenerates to exact brute force (spec-checked).
+    *
+    * `index` is the [[ivfPqIndex]] table (id, cell, codes); `vectors`
+    * is the full-vector table consulted only for the ≤`shortlist`-row
+    * re-rank fetch.
+    */
+  def ivfPqTopK(
+      index: DataFrame, idCol: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      query: Array[Double], centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val probed = ivfRoute(query, centers, nProbe)
+    val lut = pqLut(query, codebooks)
+    val pruned = index.filter(col("cell").isin(probed: _*))
+    val short = pqAdcTopK(pruned, idCol, "codes", lut, shortlist)
+      .select(col(idCol), col("cell"), col("adc_score"))
+    val qlit = typedLit(query.map(_.toFloat))
+    short
+      .join(vectors.select(col(vecIdCol).as(idCol), col(vecCol).as("__v")),
+        Seq(idCol))
+      .select(col(idCol), col("cell"), col("adc_score"),
+        cosineMicro(col("__v"), qlit).as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col(idCol))
+      .limit(k)
+  }
 }

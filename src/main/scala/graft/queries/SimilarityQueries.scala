@@ -505,5 +505,119 @@ object SimilarityQueries {
           SimilarityOps.cosineMicro($"embedding", $"__qe").as("cos_micro"))
         .orderBy($"cos_micro".desc, $"vec_id")
         .limit(10)
+    },
+
+    // The COMPOSED IVF×PQ read path — what a billion-vector store
+    // actually serves (neither q37's IVF-with-exact-scan nor q134's
+    // whole-corpus ADC alone): route the query to nProbe=2 of 8 cells
+    // (driver-side squared-L2 to the fixed q118 centroids), ADC-score
+    // ONLY rows in probed cells (the stored (id, cell, codes) index is
+    // pruned by a plain cell predicate BEFORE any scoring — PlansSpec
+    // asserts the parquet pushdown), shortlist 50, then exact-cosine
+    // re-rank against the real query vector (corpus vec 0; LUT+route
+    // from its 1-row collect). Fixed centroids + q134 codebooks keep
+    // every stage — route, assign, encode, LUT, ADC, re-rank —
+    // bit-replayable in DuckDB.
+    GraftQuery(
+      "q139_ivfpq_serve",
+      """WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |assign AS (
+        |  SELECT vec_id, embedding,
+        |    (SELECT c FROM (
+        |       SELECT c, list_reduce(list_prepend(0.0,
+        |         list_transform(generate_series(1, len(embedding)), i ->
+        |           (CAST(embedding[i] AS DOUBLE) -
+        |              CASE WHEN i = c*8+1 THEN 8.0 ELSE 0.0 END)
+        |           * (CAST(embedding[i] AS DOUBLE) -
+        |              CASE WHEN i = c*8+1 THEN 8.0 ELSE 0.0 END))),
+        |         (x,y)->x+y) AS dist
+        |       FROM (SELECT unnest(generate_series(0, 7)) AS c))
+        |     ORDER BY dist, c LIMIT 1) AS cell
+        |  FROM embeddings),
+        |route AS (
+        |  SELECT c AS cell FROM (
+        |    SELECT c, list_reduce(list_prepend(0.0,
+        |      list_transform(generate_series(1, len(qe)), i ->
+        |        (CAST(qe[i] AS DOUBLE) -
+        |           CASE WHEN i = c*8+1 THEN 8.0 ELSE 0.0 END)
+        |        * (CAST(qe[i] AS DOUBLE) -
+        |           CASE WHEN i = c*8+1 THEN 8.0 ELSE 0.0 END))),
+        |      (x,y)->x+y) AS dist
+        |    FROM (SELECT unnest(generate_series(0, 7)) AS c), qv)
+        |  ORDER BY dist, c LIMIT 2),
+        |probed AS (
+        |  SELECT a.vec_id, a.embedding, a.cell
+        |  FROM assign a JOIN route r ON a.cell = r.cell),
+        |code AS (
+        |  SELECT vec_id, cell,
+        |    (SELECT c FROM (
+        |       SELECT c, list_reduce(list_prepend(0.0,
+        |         list_transform(embedding[1:32], (v, i) ->
+        |           (CAST(v AS DOUBLE) - (((c*7 + (i-1)) % 5) - 2))
+        |           * (CAST(v AS DOUBLE) - (((c*7 + (i-1)) % 5) - 2)))),
+        |         (x,y)->x+y) AS dist
+        |       FROM (SELECT unnest(generate_series(0, 3)) AS c))
+        |     ORDER BY dist, c LIMIT 1) AS code0,
+        |    (SELECT c FROM (
+        |       SELECT c, list_reduce(list_prepend(0.0,
+        |         list_transform(embedding[33:64], (v, i) ->
+        |           (CAST(v AS DOUBLE) - (((31 + c*7 + (i-1)) % 5) - 2))
+        |           * (CAST(v AS DOUBLE) - (((31 + c*7 + (i-1)) % 5) - 2)))),
+        |         (x,y)->x+y) AS dist
+        |       FROM (SELECT unnest(generate_series(0, 3)) AS c))
+        |     ORDER BY dist, c LIMIT 1) AS code1
+        |  FROM probed),
+        |l0 AS (
+        |  SELECT c, CAST(floor(1000000 * list_reduce(list_prepend(0.0,
+        |    list_transform(qe[1:32], (v, i) ->
+        |      CAST(v AS DOUBLE) * (((c*7 + (i-1)) % 5) - 2))),
+        |    (x,y)->x+y)) AS BIGINT) AS v
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS c), qv),
+        |l1 AS (
+        |  SELECT c, CAST(floor(1000000 * list_reduce(list_prepend(0.0,
+        |    list_transform(qe[33:64], (v, i) ->
+        |      CAST(v AS DOUBLE) * (((31 + c*7 + (i-1)) % 5) - 2))),
+        |    (x,y)->x+y)) AS BIGINT) AS v
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS c), qv),
+        |short AS (
+        |  SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+        |    l0.v + l1.v AS adc_score
+        |  FROM code JOIN l0 ON l0.c = code.code0 JOIN l1 ON l1.c = code.code1
+        |  ORDER BY adc_score DESC, vec_id LIMIT 50)
+        |SELECT s.vec_id, s.cell, s.adc_score,
+        |  CAST(round(1000000.0 * (
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(generate_series(1, len(a.embedding)),
+        |        i -> CAST(a.embedding[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))),
+        |      (x,y)->x+y)
+        |    / (sqrt(list_reduce(list_prepend(0.0,
+        |        list_transform(generate_series(1, len(a.embedding)),
+        |          i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))),
+        |        (x,y)->x+y))
+        |     * sqrt(list_reduce(list_prepend(0.0,
+        |        list_transform(generate_series(1, len(q.qe)),
+        |          i -> CAST(q.qe[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))),
+        |        (x,y)->x+y))))) AS BIGINT) AS cos_micro
+        |FROM short s
+        |JOIN embeddings a ON a.vec_id = s.vec_id
+        |CROSS JOIN qv q
+        |ORDER BY cos_micro DESC, s.vec_id LIMIT 10""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val centers = Array.tabulate(8)(c =>
+        Array.tabulate(64)(i => if (i == c * 8) 8.0 else 0.0))
+      val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+        Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
+      val e = Tables.load(s, dir, "embeddings")
+      // per-query serving cost: ONE 1-row collect drives route + LUT
+      val qvec = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val index = SimilarityOps.ivfPqIndex(
+        e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+        centers, codebooks)
+      SimilarityOps.ivfPqTopK(
+          index, "vec_id", e, "vec_id", "embedding",
+          qvec, centers, codebooks, nProbe = 2, shortlist = 50, k = 10)
+        .orderBy($"cos_micro".desc, $"vec_id")
     })
 }

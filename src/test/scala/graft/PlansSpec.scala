@@ -48,6 +48,48 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p)
   }
 
+  test("ivfPq serving: the stored-index scan is cell-pruned BEFORE " +
+       "scoring (pushed cell predicate + partition pruning)") {
+    import graft.ops.SimilarityOps
+    val centers = Array.tabulate(8)(c =>
+      Array.tabulate(64)(i => if (i == c * 8) 8.0 else 0.0))
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+      Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq_index").toString
+    // the stored serving layout: (id, cell, codes) partitioned by cell
+    SimilarityOps.ivfPqIndex(
+        e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+        centers, codebooks)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val qvec = e.filter($"vec_id" === 0L).select($"embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toArray
+    val served = SimilarityOps.ivfPqTopK(
+      index, "vec_id", e, "vec_id", "embedding",
+      qvec, centers, codebooks, nProbe = 2, shortlist = 50, k = 10)
+    val p = served.queryExecution.executedPlan.toString
+    // partition-pruned scan: only the 2 probed of 8 cell directories read
+    assert(p.contains("PartitionFilters") && p.contains("cell"), p)
+    val scan = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p)
+    assert(scan.exists(_.contains("cell")), p)
+    // and the executed scan must actually skip unprobed partitions
+    val probed = SimilarityOps.ivfRoute(qvec, centers, 2).toSet
+    val scannedCells = index
+      .filter($"cell".isin(probed.toSeq: _*))
+      .select($"cell").distinct().as[Int].collect().toSet
+    assert(scannedCells.subsetOf(probed))
+    // result matches the unpartitioned in-memory index path bit-for-bit
+    val inMem = SimilarityOps.ivfPqTopK(
+      SimilarityOps.ivfPqIndex(
+        e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+        centers, codebooks),
+      "vec_id", e, "vec_id", "embedding",
+      qvec, centers, codebooks, nProbe = 2, shortlist = 50, k = 10)
+    assert(served.collect().toSeq === inMem.collect().toSeq)
+  }
+
   test("q03 semi join stays a semi join (no inner-join row explosion)") {
     val p = plan("q03_semi_join")
     assert(p.contains("LeftSemi"), p)

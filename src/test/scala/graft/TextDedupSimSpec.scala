@@ -175,6 +175,48 @@ class TextDedupSimSpec extends SparkTestBase {
     assert(recall >= 0.5, s"ivf recall too low: $recall")
   }
 
+  test("IVF×PQ serving: full probe + corpus-wide shortlist degenerates " +
+       "to exact cosine top-k; partial probe keeps recall") {
+    import graft.ops.SimilarityOps
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val corpus = e.select($"vec_id", $"embedding")
+    val n = corpus.count().toInt
+    val qvec = e.filter($"vec_id" === 3L).select($"embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toArray
+    // trained centroids/codebooks (driver-local, deterministic seed)
+    val train = corpus.orderBy($"vec_id").limit(256).collect()
+      .map(_.getSeq[Float](1).iterator.map(_.toDouble).toArray)
+    val centers = SimilarityOps.localLloyd(train, 8, 10, 7L)
+    val codebooks = SimilarityOps.trainPqCodebooks(train, 4, 16, 10, 7L)
+    val index = SimilarityOps.ivfPqIndex(
+      corpus, "vec_id", "embedding", centers, codebooks)
+    // exact ground truth: brute cosine of every corpus vector vs qvec
+    val qlit = typedLit(qvec.map(_.toFloat))
+    val exact = corpus
+      .select($"vec_id", SimilarityOps.cosineMicro($"embedding", qlit).as("cm"))
+      .orderBy($"cm".desc, $"vec_id").limit(10)
+      .as[(Long, Long)].collect().toSeq
+    // degenerate: probe ALL cells, shortlist the WHOLE corpus → exact
+    val full = SimilarityOps.ivfPqTopK(
+        index, "vec_id", corpus, "vec_id", "embedding",
+        qvec, centers, codebooks, nProbe = 8, shortlist = n, k = 10)
+      .select($"vec_id", $"cos_micro").as[(Long, Long)].collect().toSeq
+    assert(full === exact)
+    // partial probe: 4 of 8 cells, shortlist 200. On this NOISE-LIKE
+    // fixture (uniform random vectors) the true top-10 cosine margins
+    // are tiny, so PQ distortion demands a generous shortlist — that's
+    // the documented dial: ADC is a prefilter, the exact re-rank
+    // recovers ranking within it. Recall loss here is dominated by
+    // cell pruning (~half the probed mass), not ADC.
+    val partial = SimilarityOps.ivfPqTopK(
+        index, "vec_id", corpus, "vec_id", "embedding",
+        qvec, centers, codebooks, nProbe = 4, shortlist = 200, k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = partial.intersect(exact.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.5, s"ivfpq recall too low: $recall")
+    assert(partial.contains(3L), "query's own vector must surface")
+  }
+
   test("SRP-LSH neighbor pairs reach high recall on real near pairs") {
     val e = Tables.load(spark, sfDir, "embeddings")
     // ground truth: all pairs with cosine >= 0.40 (brute force at sf0.001)
