@@ -177,35 +177,71 @@ object DedupOps {
       corpus: DataFrame, delta: DataFrame, id: String, sig: String,
       bands: Int, rows: Int,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    def keys(df: DataFrame, as: String) = df
-      .select(col(id), explode(lshBandKeys(col(sig), bands, rows)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.bh").as("bh"),
-        col(id).as(as))
     val par = corpus.sparkSession.sparkContext.defaultParallelism
+    // co-partition the in-memory corpus keys explicitly: the bucket
+    // join's output explodes ~|bucket|× over its input, and AQE (sizing
+    // from the small inputs) would coalesce the exchange under it to
+    // one task. (The STORED-index path skips this — bucketed layout IS
+    // the partitioning; see lshCandidatePairsIncrementalIndexed.)
+    val ck = lshBandKeyTable(corpus, id, sig, bands, rows)
+      .repartition(par, col("band"), col("bh"))
+    lshCandidatePairsIncrementalIndexed(
+      ck, delta, id, sig, bands, rows, maxBucket)
+  }
+
+  /** The corpus (band, bh, id) key table — the STORED LSH index schema.
+    * Persist it bucketed+sorted on (band, bh)
+    * ([[BucketingOps.writeBucketed]], bucket count ≈ cluster
+    * parallelism) and every corpus-side step of the incremental probe —
+    * the hot-bucket bounding aggregate, the bound semi-join back, the
+    * delta equi-join — runs WITHOUT shuffling the corpus: only the
+    * |delta|-sized key stream moves (PlansSpec asserts the no-exchange
+    * corpus subtree). Rebuild cost is one |corpus| pass, paid once per
+    * index refresh, not per batch.
+    */
+  def lshBandKeyTable(
+      df: DataFrame, id: String, sig: String,
+      bands: Int, rows: Int): DataFrame = df
+    .select(col(id), explode(lshBandKeys(col(sig), bands, rows)).as("bk"))
+    .select(col("bk.band").as("band"), col("bk.bh").as("bh"), col(id))
+
+  /** [[lshCandidatePairsIncremental]] against a PRECOMPUTED corpus key
+    * table (`corpusKeys`: band, bh, `id` — the [[lshBandKeyTable]]
+    * schema, typically a stored bucketed table). The daily-increment
+    * shape at 100 TB: the corpus is never re-shingled, re-hashed, or —
+    * when the index is bucketed on (band, bh) — even re-shuffled; the
+    * delta side alone pays a shuffle to meet the index's layout.
+    */
+  def lshCandidatePairsIncrementalIndexed(
+      corpusKeys: DataFrame, delta: DataFrame, id: String, sig: String,
+      bands: Int, rows: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // the delta key stream serves BOTH branches — materialize it once
     // (recomputing lshBandKeys per branch doubled the delta-side work,
     // which is the |delta|-proportional cost this op exists to bound)
-    val dk = keys(delta, "__did").localCheckpoint()
+    val dk = lshBandKeyTable(delta, id, sig, bands, rows)
+      .withColumnRenamed(id, "__did").localCheckpoint()
     // Bound the corpus side per bucket BEFORE the join: a corpus bucket
     // above `maxBucket` is a dup cluster the corpus's own dedup pass has
     // already linked internally, so pairing each delta id with one
     // representative (the bucket-min corpus id) yields the same
     // downstream connectivity as pairing it with all members — and keeps
     // the join output |delta|-proportional instead of
-    // |delta|×|hot-bucket|.
-    val ck = keys(corpus, "__cid")
+    // |delta|×|hot-bucket|. On a bucketed index both the aggregate and
+    // the join back read co-partitioned scans — no corpus shuffle.
+    val ck = corpusKeys
+      .select(col("band"), col("bh"), col(id).as("__cid"))
     val ckCounts = ck.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("__cnt"), min(col("__cid")).as("__rep"))
     val ckBounded = ck.join(ckCounts, Seq("band", "bh"))
       .filter(col("__cnt") <= maxBucket || col("__cid") === col("__rep"))
       .select(col("band"), col("bh"), col("__cid"))
-    // co-partition both key streams explicitly: the bucket join's output
-    // explodes ~|bucket|× over its input, and AQE (sizing from the small
-    // inputs) would coalesce the exchange under it to one task
+    // No explicit repartition here: the corpus side's partitioning (its
+    // bucketed layout, or the caller's repartition on the in-memory
+    // path) already satisfies the join's distribution, so Catalyst
+    // shuffles only the delta stream to meet it.
     val cross = ckBounded
-      .repartition(par, col("band"), col("bh"))
-      .join(dk.repartition(par, col("band"), col("bh")),
-        Seq("band", "bh"))
+      .join(dk, Seq("band", "bh"))
       .select(least(col("__cid"), col("__did")).as("id_a"),
         greatest(col("__cid"), col("__did")).as("id_b"))
     // within-delta pairs from the same materialized keys (bounded

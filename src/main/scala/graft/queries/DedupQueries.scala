@@ -156,15 +156,23 @@ object DedupQueries {
       val sh = Tables.load(s, dir, "documents")
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
-      // Materialize the signatures once: in the incremental-dedup shape
-      // the corpus's signature/band index is a STORED table (that's the
-      // point — the daily batch joins against it), so the corpus-keys,
-      // delta-keys and within-delta branches must not each recompute
-      // the shingle+minhash scan from source.
+      // Materialize the signatures once, then demonstrate the REAL
+      // incremental shape end to end: the corpus's (band, bh, id) key
+      // table is a STORED parquet table, bucketed+sorted on (band, bh)
+      // — the daily batch probes it without the corpus being
+      // re-shingled, re-hashed, or re-shuffled (the bucketed layout IS
+      // the join partitioning; PlansSpec asserts the corpus subtree
+      // has no exchange). Index build cost is one corpus pass, paid at
+      // index-refresh time, not per batch.
       val sig = DedupOps.minhashSignatures(sh, "doc_id", "hashes", 16)
         .localCheckpoint()
-      DedupOps.lshCandidatePairsIncremental(
-          sig.filter($"doc_id" < 400), sig.filter($"doc_id" >= 400),
+      graft.ops.BucketingOps.writeBucketed(
+        DedupOps.lshBandKeyTable(
+          sig.filter($"doc_id" < 400), "doc_id", "sig",
+          bands = 4, rows = 4),
+        "graft_q70_lsh_idx", Seq("band", "bh"), nBuckets = 8)
+      DedupOps.lshCandidatePairsIncrementalIndexed(
+          s.table("graft_q70_lsh_idx"), sig.filter($"doc_id" >= 400),
           "doc_id", "sig", bands = 4, rows = 4)
         .orderBy($"id_a", $"id_b")
     },

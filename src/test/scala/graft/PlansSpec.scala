@@ -90,6 +90,68 @@ class PlansSpec extends SparkTestBase {
     assert(served.collect().toSeq === inMem.collect().toSeq)
   }
 
+  test("incremental LSH dedup against the STORED bucketed index: the " +
+       "corpus side is never shuffled (bucket-join pruning)") {
+    import graft.ops.{BucketingOps, DedupOps, TextOps}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sh = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", TextOps.shingleHashes($"text", 3).as("hashes"))
+    val sig = DedupOps.minhashSignatures(sh, "doc_id", "hashes", 16)
+      .localCheckpoint()
+    BucketingOps.writeBucketed(
+      DedupOps.lshBandKeyTable(
+        sig.filter($"doc_id" < 400), "doc_id", "sig", bands = 4, rows = 4),
+      "graft_plansspec_lsh_idx", Seq("band", "bh"), nBuckets = 4)
+    val pairs = DedupOps.lshCandidatePairsIncrementalIndexed(
+      spark.table("graft_plansspec_lsh_idx"),
+      sig.filter($"doc_id" >= 400), "doc_id", "sig", bands = 4, rows = 4)
+    // AQE off so the executed plan is a concrete tree we can walk;
+    // broadcasts off so the corpus side can't dodge the assertion by
+    // being broadcast at toy scale — at 100 TB it never would be
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = pairs.queryExecution.executedPlan
+      // the index is read as a bucketed scan...
+      val bucketScans = plan.collect {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }
+      assert(bucketScans.nonEmpty, plan.toString)
+      // ...and every join input that carries corpus rows reaches its
+      // join WITHOUT a shuffle: the bucketed layout satisfies the
+      // (band, bh) distribution for the bounding aggregate, the bound
+      // join-back, and the delta probe alike. (The final distinct over
+      // the emitted PAIRS may shuffle — that stream is |candidates|,
+      // not |corpus|.)
+      def hasBucketScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collectFirst {
+          case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+        }.isDefined
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.nonEmpty, plan.toString)
+      val corpusSideShuffles = joins.flatMap(_.children)
+        .filter(hasBucketScan)
+        .flatMap(_.collect { case s: ShuffleExchangeExec => s })
+      assert(corpusSideShuffles.isEmpty,
+        s"corpus-side shuffle found:\n$plan")
+      // and the indexed path emits exactly the recompute path's pairs
+      val direct = DedupOps.lshCandidatePairsIncremental(
+          sig.filter($"doc_id" < 400), sig.filter($"doc_id" >= 400),
+          "doc_id", "sig", bands = 4, rows = 4)
+        .as[(Long, Long)].collect().toSet
+      val got = pairs.as[(Long, Long)].collect().toSet
+      assert(got === direct)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("q03 semi join stays a semi join (no inner-join row explosion)") {
     val p = plan("q03_semi_join")
     assert(p.contains("LeftSemi"), p)
