@@ -158,4 +158,78 @@ object SketchOps {
       word.bitwiseAND(mask) =!= lit(0L)
     })
   }
+
+  // ------------------------------------------------------------ quantiles
+
+  /** Deterministic bottom-k quantile sketch: keep the `k` rows whose
+    * mixed portable hash of the KEY is smallest — a uniform
+    * pseudo-random value sample that, unlike the built-in KLL behind
+    * `percentile_approx` (engine-specific internals, spec-only), is
+    *
+    *   (a) deterministic across engines, runs, and partitionings (the
+    *       priority is pure arithmetic on the key, so the sample is
+    *       hash-checkable — the q111 count-min trick applied to
+    *       quantiles);
+    *   (b) algebraically mergeable:
+    *       `bottomK(A ∪ B) == bottomK(bottomK(A) ∪ bottomK(B))` exactly
+    *       (the k smallest priorities of the union survive any shard
+    *       split), so shards/days sketch independently and fold with
+    *       [[mergeQuantileSketches]] — never re-touching the data;
+    *   (c) fixed-size: k rows no matter the input cardinality.
+    *
+    * Plans as TakeOrderedAndProject (per-partition heaps + one k-row
+    * driver merge, no global sort). Estimation error is the standard
+    * uniform-sample bound (~1/√k rank error); raise k to tighten.
+    * Output: (__pri, `valueCol`).
+    */
+  def quantileSketch(
+      df: DataFrame, keyCol: String, valueCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k > 0, "sketch size must be positive")
+    df.select(
+        mix(TextOps.polyHash(
+          concat(col(keyCol).cast("string"), lit(s":$salt")))).as("__pri"),
+        col(valueCol))
+      .orderBy(col("__pri"), col(valueCol))
+      .limit(k)
+  }
+
+  /** Fold two bottom-k sketches built with the same (k, salt): union
+    * and re-take the bottom k. Exact — the merged sketch is the sketch
+    * of the concatenated input.
+    */
+  def mergeQuantileSketches(
+      a: DataFrame, b: DataFrame, valueCol: String, k: Int): DataFrame =
+    a.unionByName(b)
+      .orderBy(col("__pri"), col(valueCol))
+      .limit(k)
+
+  /** Quantile point estimates from a sketch: the value at integer rank
+    * `(n−1)·q_ppm div 1e6` of the value-sorted sample (the
+    * "nearest-rank, lower" policy — integer-exact, engine-replayable,
+    * no interpolation). Output: (q_ppm, est), one row per requested
+    * quantile. The single-partition window is over the k-row sample,
+    * never the data.
+    */
+  def quantileEstimates(
+      sketch: DataFrame, valueCol: String,
+      quantilesPpm: Seq[Long]): DataFrame = {
+    require(quantilesPpm.nonEmpty &&
+      quantilesPpm.forall(q => q >= 0L && q <= 1000000L),
+      "quantiles must be in [0, 1e6] ppm")
+    import org.apache.spark.sql.expressions.Window
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val div = graft.functions.GraftColumns.longDiv _
+    val ranked = sketch
+      .select(col(valueCol).as("__v"))
+      .withColumn("__rk",
+        row_number().over(Window.orderBy(col("__v"))).cast("long") - 1L)
+    val n = sketch.agg(count(lit(1)).as("__n"))
+    val qs = quantilesPpm.toDF("q_ppm")
+    ranked.crossJoin(broadcast(n))
+      .join(broadcast(qs),
+        col("__rk") === div((col("__n") - 1L) * col("q_ppm"), lit(1000000L)))
+      .select(col("q_ppm"), col("__v").as("est"))
+  }
 }

@@ -405,6 +405,49 @@ object AnalyticsQueries {
         .orderBy($"o_custkey", $"rn")
     },
 
+    // Deterministic bottom-k quantile SKETCH (SketchOps.quantileSketch):
+    // a 256-row uniform sample by mixed portable key hash — the q111
+    // count-min trick applied to quantiles: unlike percentile_approx's
+    // engine-specific KLL, the sample (and hence every estimate, down
+    // to the integer rank policy) is bit-replayable in DuckDB, while
+    // keeping the sketch property that matters at 100 TB: fixed k-row
+    // size, TakeOrderedAndProject build, algebraic shard merge
+    // (spec-checked in SketchOpsSpec).
+    GraftQuery(
+      "q140_quantile_sketch",
+      """WITH pri AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    (h * h) % 1000000007 AS pri
+        |  FROM (
+        |    SELECT o_totalprice,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(
+        |          string_split(CAST(o_orderkey AS VARCHAR) || ':qs1', ''),
+        |          c -> ascii(c))),
+        |        (a, x) -> (a*31 + x) % 1000000007) AS h
+        |    FROM orders)),
+        |samp AS (SELECT cents FROM pri ORDER BY pri, cents LIMIT 256),
+        |sorted AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS rk
+        |  FROM samp),
+        |nn AS (SELECT COUNT(*) AS n FROM samp),
+        |qs AS (SELECT CAST(unnest([10000, 250000, 500000, 750000,
+        |  990000]) AS BIGINT) AS q_ppm)
+        |SELECT qs.q_ppm, s.cents AS est
+        |FROM qs CROSS JOIN nn
+        |JOIN sorted s ON s.rk = ((nn.n - 1) * qs.q_ppm) // 1000000
+        |ORDER BY q_ppm""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.SketchOps
+      val vals = Tables.load(s, dir, "orders")
+        .select($"o_orderkey", floor($"o_totalprice" * 100).as("cents"))
+      val sk = SketchOps.quantileSketch(
+        vals, "o_orderkey", "cents", k = 256, salt = "qs1")
+      SketchOps.quantileEstimates(sk, "cents",
+          Seq(10000L, 250000L, 500000L, 750000L, 990000L))
+        .orderBy($"q_ppm")
+    },
+
     // Exact interpolated quantiles (percentile_cont): quartiles of the
     // price distribution per return flag. Both engines use the same
     // a + (b−a)·frac linear interpolation; over integer cents at

@@ -81,4 +81,45 @@ class SketchOpsSpec extends SparkTestBase {
     val exact = truth.count { case (t, c) => est(t) == c }
     assert(exact >= truth.size / 2, s"only $exact/${truth.size} exact")
   }
+
+  test("quantile sketch: shard merge equals the one-shot sketch exactly, " +
+       "estimates are rank-accurate and partitioning-invariant") {
+    import graft.ops.SketchOps
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select($"o_orderkey", floor($"o_totalprice" * 100).as("cents"))
+    val (k, salt) = (256, "qt")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val whole = SketchOps.quantileSketch(orders, "o_orderkey", "cents", k, salt)
+    // algebraic merge: per-shard bottom-k folds to the whole's bottom-k
+    val shards = (0 until 3).map(i =>
+      SketchOps.quantileSketch(
+        orders.filter($"o_orderkey" % 3 === i), "o_orderkey", "cents",
+        k, salt))
+    val merged = shards.reduce(
+      SketchOps.mergeQuantileSketches(_, _, "cents", k))
+    assert(rows(merged) === rows(whole))
+    // partitioning-invariant build
+    assert(rows(SketchOps.quantileSketch(
+      orders.repartition(13), "o_orderkey", "cents", k, salt)) ===
+      rows(whole))
+    // rank accuracy: each estimate's TRUE rank within ~4/sqrt(k) of the
+    // requested quantile (uniform-sample bound, generous constant)
+    val n = orders.count()
+    val qs = Seq(100000L, 500000L, 900000L)
+    val est = SketchOps.quantileEstimates(whole, "cents", qs)
+      .as[(Long, Long)].collect().toMap
+    qs.foreach { q =>
+      val trueRankPpm = orders.filter($"cents" <= est(q)).count() *
+        1000000L / n
+      val tol = (4.0 / math.sqrt(k) * 1000000L).toLong
+      assert(math.abs(trueRankPpm - q) <= tol,
+        s"q=$q est=${est(q)} landed at rank $trueRankPpm ppm")
+    }
+    // estimates are monotone in q
+    val all = SketchOps.quantileEstimates(
+        whole, "cents", Seq(10000L, 250000L, 500000L, 750000L, 990000L))
+      .orderBy($"q_ppm").as[(Long, Long)].collect().map(_._2)
+    assert(all.sameElements(all.sorted))
+  }
 }
