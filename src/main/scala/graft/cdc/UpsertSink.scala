@@ -13,10 +13,24 @@ import org.apache.spark.sql.functions._
   * (dynamic partition overwrite): merge = union(new, old ∖ new-ids)
   * within those buckets. At 100 TB the rewrite cost per tick is
   * O(affected buckets), not O(store); raise nBuckets with corpus size.
+  *
+  * `retry`: exponential-backoff policy for the DRIVER-side sink actions
+  * (the whole upsert/delete including its file ops) — the engine-side
+  * parity of the reference wrapping every ES bulk call in its backoff
+  * decorator (postgres_to_es/utils.py:19-53). Whole-action replay is
+  * safe precisely because the sink contract is idempotent upsert-by-id;
+  * Spark's own task retries cover executor-side faults mid-job, this
+  * covers the failures Spark does not retry. Fault-injection-tested in
+  * CdcSpec.
   */
 final class UpsertSink(
     spark: SparkSession, dir: String, val idCol: String,
-    nBuckets: Int = 64) extends DocSink {
+    nBuckets: Int = 64,
+    retry: Option[graft.sources.JdbcIO.RetryPolicy] = None)
+    extends DocSink {
+
+  private def withSinkRetry[T](f: => T): T =
+    retry.fold(f)(p => graft.sources.JdbcIO.withRetry(p)(f))
 
   private def bucket(c: org.apache.spark.sql.Column) =
     pmod(xxhash64(c), lit(nBuckets))
@@ -32,8 +46,11 @@ final class UpsertSink(
     * requested id rewrite — O(affected buckets), not O(store). Ids not
     * present are ignored. Idempotent: replaying a delete is a no-op.
     */
-  def delete(ids: DataFrame): Unit = {
-    if (!storeExists) return
+  def delete(ids: DataFrame): Unit = withSinkRetry {
+    if (storeExists) deleteExisting(ids)
+  }
+
+  private def deleteExisting(ids: DataFrame): Unit = {
     val victims = ids.select(col(idCol)).distinct()
       .withColumn("bucket", bucket(col(idCol)))
     val affected = victims.select("bucket").distinct()
@@ -66,12 +83,15 @@ final class UpsertSink(
   }
 
   /** Upsert `docs` (unique by idCol — enforce upstream) into the store. */
-  def upsert(docs: DataFrame): Unit = {
+  def upsert(docs: DataFrame): Unit = withSinkRetry {
     val incoming = docs.withColumn("bucket", bucket(col(idCol)))
-    if (!storeExists) {
+    if (!storeExists)
       incoming.write.partitionBy("bucket").parquet(dir)
-      return
-    }
+    else
+      upsertExisting(incoming)
+  }
+
+  private def upsertExisting(incoming: DataFrame): Unit = {
     val affected = incoming.select("bucket").distinct()
       .collect().map(_.getAs[Number](0).intValue()).sorted
     if (affected.isEmpty) return

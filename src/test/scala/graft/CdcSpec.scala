@@ -250,4 +250,59 @@ class CdcSpec extends SparkTestBase {
     val v2 = sink.read().get.orderBy("id").as[(String, Int)].collect()
     assert(v2 === Array(("a", 1), ("b", 20), ("c", 3), ("d", 4)))
   }
+
+  test("sink retry absorbs a transient driver-visible fault: first " +
+       "attempt throws, second succeeds, store state correct (T8)") {
+    import graft.sources.JdbcIO
+    val dir = tmp()
+    // poison expression: the FIRST evaluation anywhere throws (the
+    // connection-reset moment the reference's backoff decorator exists
+    // for — postgres_to_es/utils.py:19-53); later evaluations pass
+    // values through untouched. local[*] shares the JVM, so the flag is
+    // visible to tasks, and task maxFailures=1 turns the throw into a
+    // driver-visible job failure — exactly what JdbcIO.withRetry covers.
+    def poisoned(df: DataFrame): DataFrame = {
+      val p = udf { (v: Int) =>
+        if (!CdcSpecFault.fired.getAndSet(true))
+          throw new RuntimeException("injected transient fault")
+        v
+      }
+      df.withColumn("v", p(col("v")))
+    }
+    val sink = new UpsertSink(spark, s"$dir/store", "id", nBuckets = 4,
+      retry = Some(JdbcIO.RetryPolicy(maxAttempts = 3, initialBackoffMs = 1)))
+    sink.upsert(Seq(("a", 1), ("b", 2)).toDF("id", "v"))
+    CdcSpecFault.fired.set(false)
+    sink.upsert(poisoned(Seq(("b", 20), ("c", 3)).toDF("id", "v")))
+    assert(CdcSpecFault.fired.get, "fault never fired — test is vacuous")
+    assert(sink.read().get.orderBy("id").as[(String, Int)].collect() ===
+      Array(("a", 1), ("b", 20), ("c", 3)))
+    // delete path retries the same way (poison IS the id column, so it
+    // can't be pruned away)
+    CdcSpecFault.fired.set(false)
+    val pid = udf { (s: String) =>
+      if (!CdcSpecFault.fired.getAndSet(true))
+        throw new RuntimeException("injected transient fault")
+      s
+    }
+    val del = Seq("b").toDF("id0").select(pid(col("id0")).as("id"))
+    sink.delete(del)
+    assert(CdcSpecFault.fired.get, "delete fault never fired")
+    assert(sink.read().get.orderBy("id").as[(String, Int)].collect() ===
+      Array(("a", 1), ("c", 3)))
+    // without a policy the same fault surfaces (retry, not luck)
+    CdcSpecFault.fired.set(false)
+    val bare = new UpsertSink(spark, s"$dir/store2", "id", nBuckets = 4)
+    bare.upsert(Seq(("x", 1)).toDF("id", "v"))
+    intercept[Exception] {
+      bare.upsert(poisoned(Seq(("y", 2)).toDF("id", "v")))
+    }
+  }
+}
+
+/** Shared one-shot fault flag for the retry fault-injection test (object
+  * scope so executor threads in local mode see the same instance).
+  */
+object CdcSpecFault {
+  val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
