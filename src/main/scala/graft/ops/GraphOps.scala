@@ -188,10 +188,37 @@ object GraphOps {
       tolerance = Some(tolerance))
   }
 
+  /** PERSONALIZED PageRank (topic-sensitive PageRank, Haveliwala 2002):
+    * the restart vector is the SEED SET instead of uniform — both the
+    * (1−d) teleport share and the dangling-mass redistribution return
+    * to the seeds (uniformly across them), so rank measures proximity
+    * to the seeds rather than global importance. The seed-based quality
+    * propagation companion to [[seedDistances]]: distances give hops
+    * from trusted seeds, PPR gives a flow-weighted endorsement score.
+    *
+    * Same exact integer arithmetic and per-round plan as [[pageRank]]
+    * (one checkpoint per round, in-plan dangling scalar, BIGINT `div`
+    * end to end), same FIXED-round contract — which is what lets a
+    * fixed-unroll SQL oracle (q141) replay it bit-for-bit. Seeds not
+    * present in the graph are ignored; at least one seed must be a
+    * graph node. Nodes start at 0 (seeds at mass/|S|), so after R
+    * rounds a node's rank reflects paths of length ≤ R from the seeds
+    * — unreached nodes hold rank 0.
+    */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int,
+      dampingPpm: Long = 850000L,
+      mass: Long = 1000000000000L): DataFrame =
+    pageRankLoop(edges, srcCol, dstCol, iters, dampingPpm, mass,
+      tolerance = None,
+      seeds = Some(seeds.select(col(seedCol).as("id")).distinct()))
+
   private def pageRankLoop(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampingPpm: Long, mass: Long,
-      tolerance: Option[Long]): DataFrame = {
+      tolerance: Option[Long],
+      seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 0 && dampingPpm >= 0 && dampingPpm <= 1000000L)
     // dampingPpm * (in_sum + dang div n) must not wrap: in_sum and the
     // dangling share are each bounded by the total mass, so the factor
@@ -213,16 +240,49 @@ object GraphOps {
     val n = nodes.count()
     // empty graph → empty ranks (not a divide-by-zero on mass/N)
     if (n == 0) return nodes.withColumn("r", lit(0L))
+    // seed handling: restrict to seeds that ARE graph nodes; the
+    // restart denominator is |S ∩ nodes|
+    val seedIds = seeds.map(_.join(nodes, Seq("id"), "left_semi")
+      .localCheckpoint())
+    val sOpt = seedIds.map(_.count())
+    sOpt.foreach(s => require(s > 0, "no seed is a graph node"))
     // degree folds into the edge table once — not re-joined per round
     val eDeg = e.join(outDeg, Seq("src")).localCheckpoint()
-    val base = ((1000000L - dampingPpm) * (mass / n)) / 1000000L
+    // restart terms: uniform over N, or (personalized) over the seeds —
+    // the seed flag rides in the rank table like the dangling flag
+    val baseCase = sOpt match {
+      case Some(s) =>
+        val baseS = ((1000000L - dampingPpm) * (mass / s)) / 1000000L
+        s"(CASE WHEN __sd THEN CAST($baseS AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END)"
+      case None =>
+        s"CAST(${((1000000L - dampingPpm) * (mass / n)) / 1000000L} " +
+          "AS BIGINT)"
+    }
+    val dangShare = sOpt match {
+      case Some(s) =>
+        s"(CASE WHEN __sd THEN __dang div $s ELSE CAST(0 AS BIGINT) END)"
+      case None => s"__dang div $n"
+    }
     // the static dangling flag RIDES IN the rank table, so the per-round
     // dangling-mass aggregate is a scan (no join, no separate id table)
-    var ranks = nodes
+    val flagged = nodes
       .join(outDeg.select(col("src").as("id"), lit(false).as("__dg")),
         Seq("id"), "left_outer")
-      .select(col("id"), lit(mass / n).as("r"),
-        coalesce(col("__dg"), lit(true)).as("__dg"))
+      .withColumn("__dg", coalesce(col("__dg"), lit(true)))
+    val withSd = seedIds match {
+      case Some(sd) => flagged
+        .join(sd.withColumn("__sd0", lit(true)), Seq("id"), "left_outer")
+        .withColumn("__sd", coalesce(col("__sd0"), lit(false)))
+        .drop("__sd0")
+      case None => flagged.withColumn("__sd", lit(false))
+    }
+    val initR = sOpt match {
+      case Some(s) => when(col("__sd"), lit(mass / s)).otherwise(lit(0L))
+      case None    => lit(mass / n)
+    }
+    var ranks = withSd
+      .select(col("id"), initR.as("r"), col("__dg"), col("__sd"))
       .localCheckpoint()
     var iter = 0
     var converged = false
@@ -235,16 +295,16 @@ object GraphOps {
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("in_sum"))
       val prev = ranks
-      ranks = prev.select(col("id"), col("__dg"))
+      ranks = prev.select(col("id"), col("__dg"), col("__sd"))
         .join(inSums, Seq("id"), "left_outer")
         .crossJoin(broadcast(dang))
         .select(col("id"),
           // BIGINT `div` end to end — Column./ and .divide are DOUBLE
           // true division and would break the integer contract
-          expr(s"$base + ($dampingPpm * (coalesce(in_sum, " +
-              s"CAST(0 AS BIGINT)) + __dang div $n)) div 1000000")
+          expr(s"$baseCase + ($dampingPpm * (coalesce(in_sum, " +
+              s"CAST(0 AS BIGINT)) + $dangShare)) div 1000000")
             .as("r"),
-          col("__dg"))
+          col("__dg"), col("__sd"))
         .localCheckpoint()
       tolerance.foreach { tol =>
         // L∞ movement probe: deterministic because the ranks are exact

@@ -730,6 +730,30 @@ object AnalyticsQueries {
         .limit(100)
     },
 
+    // PERSONALIZED PageRank (topic-sensitive restart): teleport AND
+    // dangling mass return to a trusted seed set (orders with key
+    // % 97 = 0) instead of uniformly — rank becomes flow-weighted
+    // proximity to the seeds (the quality-propagation companion to
+    // q138's seed distances). Same integer loop as q106 — BIGINT `div`
+    // everywhere — so the oracle unrolls the same 3 rounds with the
+    // seed-conditional restart terms and replays bit-for-bit.
+    GraftQuery("q141_personalized_pagerank", AnalyticsSql.PprSeeded3) {
+      (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val edges = li.select(
+          concat(lit("o"), $"l_orderkey".cast("string")).as("src"),
+          concat(lit("p"), $"l_partkey".cast("string")).as("dst"))
+        .distinct()
+      val seeds = li.filter($"l_orderkey" % 97 === 0)
+        .select(concat(lit("o"), $"l_orderkey".cast("string")).as("seed"))
+        .distinct()
+      graft.ops.GraphOps.personalizedPageRank(
+          edges, "src", "dst", seeds, "seed", iters = 3)
+        .orderBy($"r".desc, $"id")
+        .limit(100)
+    },
+
     // JSONL sink+source round trip (the interchange format of every
     // data-pipeline handoff): write documents as JSON lines, read back
     // with an explicit schema (schema-on-read — no inference pass at
@@ -925,6 +949,56 @@ private object AnalyticsSql {
        |params AS (SELECT COUNT(*) AS n FROM nodes),
        |r0 AS (
        |  SELECT id, (SELECT 1000000000000 // p.n FROM params p) AS r
+       |  FROM nodes),
+       |$iterCtes
+       |SELECT id, r FROM r3
+       |ORDER BY r DESC, id LIMIT 100""".stripMargin
+  }
+
+  /** DuckDB replay of GraphOps.personalizedPageRank at 3 iterations:
+    * the PageRank3 loop with seed-conditional restart — base and
+    * dangling shares go to the seed set (mass//S), non-seeds get 0,
+    * ranks start at mass//S on seeds and 0 elsewhere.
+    */
+  val PprSeeded3: String = {
+    val iterCtes = (1 to 3).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""dang$k AS (
+         |  SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dang FROM $prev
+         |  WHERE id NOT IN (SELECT src FROM deg)),
+         |in$k AS (
+         |  SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS in_sum
+         |  FROM e JOIN deg d ON e.src = d.src JOIN $prev p ON p.id = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT n.id, CAST(
+         |    (CASE WHEN n.id IN (SELECT id FROM seeds)
+         |       THEN (SELECT ((1000000 - 850000) * (1000000000000 // p.s))
+         |               // 1000000 FROM params p)
+         |       ELSE 0 END)
+         |    + (850000 * (COALESCE(i.in_sum, CAST(0 AS BIGINT))
+         |       + (CASE WHEN n.id IN (SELECT id FROM seeds)
+         |            THEN (SELECT d.dang // p.s FROM dang$k d, params p)
+         |            ELSE 0 END)))
+         |      // 1000000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN in$k i ON n.id = i.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT 'o' || CAST(l_orderkey AS STRING) AS src,
+       |    'p' || CAST(l_partkey AS STRING) AS dst
+       |  FROM lineitem),
+       |nodes AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |seeds AS (
+       |  SELECT DISTINCT 'o' || CAST(l_orderkey AS STRING) AS id
+       |  FROM lineitem WHERE l_orderkey % 97 = 0),
+       |params AS (SELECT COUNT(*) AS s FROM seeds),
+       |r0 AS (
+       |  SELECT id, CASE WHEN id IN (SELECT id FROM seeds)
+       |    THEN (SELECT 1000000000000 // p.s FROM params p)
+       |    ELSE CAST(0 AS BIGINT) END AS r
        |  FROM nodes),
        |$iterCtes
        |SELECT id, r FROM r3

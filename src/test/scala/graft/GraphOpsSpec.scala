@@ -207,6 +207,48 @@ class GraphOpsSpec extends SparkTestBase {
     assert(again === ranks, "partitioning must not change integer ranks")
   }
 
+  test("personalizedPageRank: seeds-everywhere equals uniform pageRank " +
+       "bit-for-bit; seed mass stays on the seeds' side of a " +
+       "disconnected graph; repartition-invariant") {
+    // two disconnected components: a star into hub1, and a 2-chain
+    val edges = Seq(
+      ("a", "hub"), ("b", "hub"), ("c", "hub"),
+      ("x", "y")).toDF("src", "dst")
+    val allNodes = Seq("a", "b", "c", "hub", "x", "y").toDF("seed")
+    // restart over ALL nodes == uniform PageRank (same denominators,
+    // same init, same per-round arithmetic)
+    val uniform = GraphOps.pageRank(edges, "src", "dst", iters = 3)
+      .as[(String, Long)].collect().toMap
+    val seededAll = GraphOps.personalizedPageRank(
+        edges, "src", "dst", allNodes, "seed", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(seededAll === uniform)
+    // seeds only in the star component: the chain component never
+    // receives mass — its ranks are exactly 0
+    val ppr = GraphOps.personalizedPageRank(
+        edges, "src", "dst", Seq("a", "b").toDF("seed"), "seed", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(ppr("x") === 0L && ppr("y") === 0L, ppr.toString)
+    assert(ppr("hub") > 0L, "seed outflow must reach the hub")
+    assert(ppr("a") > ppr("c"), "non-seed source must rank below a seed")
+    // seeds outside the graph are ignored; empty effective set fails
+    val withGhost = GraphOps.personalizedPageRank(
+        edges, "src", "dst", Seq("a", "b", "ghost").toDF("seed"), "seed",
+        iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(withGhost === ppr)
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(
+        edges, "src", "dst", Seq("ghost").toDF("seed"), "seed", iters = 3)
+    }
+    // partitioning must not change integer ranks
+    val again = GraphOps.personalizedPageRank(
+        edges.repartition(5), "src", "dst",
+        Seq("a", "b").toDF("seed"), "seed", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(again === ppr)
+  }
+
   test("kCore: matches an iterative-peel referee on a random graph, " +
        "clique survives while a dangling path strips, high k empties") {
     // K5 (every node degree 4) with a path 100-101-102 hanging off
