@@ -332,6 +332,74 @@ object CurationOps {
       .drop("__u")
   }
 
+  /** A-ES weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * 2006), integer-exact: each key draws a pseudo-uniform
+    * u = v/2^20 (v = mixed portable hash + 1 ∈ [1, 2^20]) and gets the
+    * exponential-jitter key `E/w` where E = −log2(u) — the top-k by
+    * SMALLEST key is distributed exactly as k sequential weighted
+    * draws without replacement (A-ES keys u^(1/w) largest ⇔ −log2(u)/w
+    * smallest; the ln↔log2 base change is a global constant that
+    * cancels in the ordering). This is the true-WOR companion to
+    * [[prioritySample]] (whose w·1e6/u priorities implement the
+    * Duffield–Lund–Thorup scheme — a different inclusion law).
+    *
+    * NO transcendental functions: −log2(u) is computed in Q20 fixed
+    * point by the classic normalize-then-20-square-steps binary-log
+    * recurrence — pure integer multiply/divide/compare, so any engine
+    * replays every key bit-for-bit (the q142 oracle runs the identical
+    * recurrence in SQL). Per-row cost is 20 integer steps regardless
+    * of the weight's magnitude (the naive max-of-w-hashes equivalent
+    * is O(w)).
+    *
+    * key = ((20−p)·2^20 − frac) · 1e6 div w, where p = ⌊log2 v⌋ and
+    * frac = 20 square-step bits; E ≤ 20·2^20 so the product never
+    * nears Long range. Weights must be ≥ 1 (raises otherwise). Top-k
+    * plans as TakeOrderedAndProject. Output: input columns + aes_key,
+    * k rows with the smallest (aes_key, keyCol).
+    */
+  def weightedSampleAes(
+      df: DataFrame, keyCol: String, weightCol: String,
+      salt: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(!df.columns.contains("aes_key") && !df.columns.contains("__v"),
+      "input already has an aes_key/__v column")
+    val div = graft.functions.GraftColumns.longDiv _
+    val q30 = 1073741824L  // 2^30
+    val q31 = 2147483648L  // 2^31
+    val h = TextOps.polyHash(
+      concat(col(keyCol).cast("string"), lit(":" + salt)))
+    val v = pmod(pmod(h * h, lit(1000000007L)), lit(1048576L)) + 1L
+    val w = col(weightCol).cast("long")
+    val p = (length(bin(col("__v"))) - 1).cast("long")
+    // normalize v to Q30 in [2^30, 2^31): y0 = v · 2^(30−p); p ≤ 20 so
+    // the power-of-two factor is exact in double and the cast is exact
+    val y0 = (col("__v") * pow(lit(2.0), lit(30L) - p).cast("long"))
+    // 20 binary-log square steps: y ← y² (Q30); overflow past 2 shifts
+    // out one integer bit and records a 1 in the fraction accumulator
+    val stepped = aggregate(
+      sequence(lit(1), lit(20)),
+      struct(y0.as("y"), lit(0L).as("acc")),
+      (s, _) => {
+        val y2 = div(s.getField("y") * s.getField("y"), lit(q30))
+        when(y2 >= q31,
+          struct(div(y2, lit(2L)).as("y"),
+            (s.getField("acc") * 2L + 1L).as("acc")))
+          .otherwise(
+            struct(y2.as("y"), (s.getField("acc") * 2L).as("acc")))
+      })
+    val eQ20 = (lit(20L) - p) * lit(1048576L) - stepped.getField("acc")
+    df
+      .withColumn("__v", v)
+      .withColumn("aes_key",
+        when(w < 1L, raise_error(concat(
+          lit("weightedSampleAes: weight must be >= 1, got "),
+          w.cast("string"))))
+          .otherwise(div(eQ20 * lit(1000000L), w)))
+      .orderBy(col("aes_key"), col(keyCol))
+      .limit(k)
+      .drop("__v")
+  }
+
   /** Hashed token-bucket counts of a corpus: (bucket, ct) over
     * occurrences (with multiplicity), plus the total under `__n` on
     * every row — the sufficient statistics for DSIR-style importance

@@ -683,6 +683,54 @@ object CurationQueries {
         .orderBy($"priority".desc, $"doc_id")
     },
 
+    // A-ES weighted sampling WITHOUT replacement (Efraimidis-Spirakis):
+    // exponential-jitter keys -log2(u)/w, smallest-k — true sequential
+    // weighted draws, the WOR companion to q128's DLT priorities. The
+    // binary log is Q20 FIXED POINT (normalize by bit length, then 20
+    // integer square-steps) — no transcendentals anywhere, so the
+    // oracle replays every key bit-for-bit with the same integer
+    // recurrence in SQL.
+    GraftQuery(
+      "q142_weighted_sample",
+      s"""WITH base AS (
+         |  SELECT doc_id, n_chars + 1 AS w,
+         |    ((h * h) % 1000000007) % 1048576 + 1 AS v
+         |  FROM (
+         |    SELECT doc_id, n_chars,
+         |      ${duckPolyHash("CAST(doc_id AS VARCHAR) || ':aes1'")} AS h
+         |    FROM documents)),
+         |norm AS (
+         |  SELECT doc_id, w, v,
+         |    length(printf('%b', v)) - 1 AS p
+         |  FROM base),
+         |logs AS (
+         |  SELECT doc_id, w, p,
+         |    list_reduce(
+         |      list_prepend(
+         |        {'y': v * CAST(pow(2, 30 - p) AS BIGINT),
+         |         'acc': CAST(0 AS BIGINT)},
+         |        list_transform(generate_series(1, 20), i ->
+         |          {'y': CAST(0 AS BIGINT), 'acc': CAST(0 AS BIGINT)})),
+         |      (s, t) -> CASE
+         |        WHEN ((s.y * s.y) // 1073741824) >= 2147483648
+         |        THEN {'y': ((s.y * s.y) // 1073741824) // 2,
+         |              'acc': s.acc * 2 + 1}
+         |        ELSE {'y': (s.y * s.y) // 1073741824,
+         |              'acc': s.acc * 2} END) AS st
+         |  FROM norm)
+         |SELECT doc_id, CAST(w AS BIGINT) AS w,
+         |  CAST((((20 - p) * 1048576 - st.acc) * 1000000) // w AS BIGINT)
+         |    AS aes_key
+         |FROM logs
+         |ORDER BY aes_key, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", ($"n_chars" + 1L).cast("long").as("w"))
+      CurationOps.weightedSampleAes(docs, "doc_id", "w", "aes1", 25)
+        .select($"doc_id", $"w", $"aes_key")
+        .orderBy($"aes_key", $"doc_id")
+    },
+
     // DSIR-style importance weighting (hashed-bucket target/source
     // frequency ratios, integer log-free variant): score every doc by
     // how target-like (here: lang='en') its token distribution is.

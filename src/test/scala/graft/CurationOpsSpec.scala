@@ -307,6 +307,51 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("weightedSampleAes: keys match an exact driver-side fixed-point " +
+       "referee, inclusion is monotone in weight, WOR, partitioning-" +
+       "invariant, bad weights fail loudly") {
+    import org.apache.spark.sql.functions._
+    def polyHash(str: String): Long =
+      str.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    // exact replica of the Q20 binary-log recurrence
+    def aesKey(id: Long, w: Long, salt: String): Long = {
+      val h = polyHash(s"$id:$salt")
+      val v = (h * h % 1000000007L) % 1048576L + 1
+      val p = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      var y = v << (30 - p)
+      var acc = 0L
+      (1 to 20).foreach { _ =>
+        y = (y * y) >> 30
+        if (y >= (1L << 31)) { y >>= 1; acc = acc * 2 + 1 }
+        else acc = acc * 2
+      }
+      ((20L - p) * 1048576L - acc) * 1000000L / w
+    }
+    // two weight classes: ids 0-199 weigh 1, ids 200-399 weigh 50
+    val df = (0L until 400L).map(i => (i, if (i < 200) 1L else 50L))
+      .toDF("id", "w")
+    val got = CurationOps.weightedSampleAes(df, "id", "w", "az", 100)
+      .select($"id", $"aes_key").as[(Long, Long)].collect().toSeq
+    val referee = (0L until 400L)
+      .map(i => (i, aesKey(i, if (i < 200) 1L else 50L, "az")))
+      .sortBy { case (id, key) => (key, id) }.take(100)
+    assert(got === referee)
+    // WOR: no id repeats; heavy class dominates the sample
+    assert(got.map(_._1).distinct.size === got.size)
+    assert(got.count(_._1 >= 200L) > 80,
+      s"heavy class underrepresented: ${got.count(_._1 >= 200L)}/100")
+    // partitioning must not re-deal the sample
+    val got13 = CurationOps.weightedSampleAes(
+        df.repartition(13), "id", "w", "az", 100)
+      .select($"id", $"aes_key").as[(Long, Long)].collect().toSeq
+    assert(got13 === got)
+    // weights < 1 raise instead of corrupting keys
+    intercept[Exception] {
+      CurationOps.weightedSampleAes(
+        Seq((1L, 0L)).toDF("id", "w"), "id", "w", "az", 1).collect()
+    }
+  }
+
   test("importanceRatios: empty TARGET corpus degrades to the smoothed " +
        "floor on every bucket — never a NULL ratio") {
     import org.apache.spark.sql.functions._
