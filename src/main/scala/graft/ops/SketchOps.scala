@@ -226,10 +226,14 @@ object SketchOps {
       .withColumn("__rk",
         row_number().over(Window.orderBy(col("__v"))).cast("long") - 1L)
     val n = sketch.agg(count(lit(1)).as("__n"))
-    val qs = quantilesPpm.toDF("q_ppm")
-    ranked.crossJoin(broadcast(n))
-      .join(broadcast(qs),
-        col("__rk") === div((col("__n") - 1L) * col("q_ppm"), lit(1000000L)))
+    // resolve each quantile to its target rank FIRST (|quantiles| rows ×
+    // a broadcast 1-row scalar), then EQUI-join the ranked sample on the
+    // rank — a hash join, not a nested-loop condition join
+    val targets = quantilesPpm.toDF("q_ppm")
+      .crossJoin(broadcast(n))
+      .select(col("q_ppm"),
+        div((col("__n") - 1L) * col("q_ppm"), lit(1000000L)).as("__rk"))
+    ranked.join(broadcast(targets), Seq("__rk"))
       .select(col("q_ppm"), col("__v").as("est"))
   }
 }

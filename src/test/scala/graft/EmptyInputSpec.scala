@@ -180,4 +180,32 @@ class EmptyInputSpec extends SparkTestBase {
     assert(CurationOps.dsirScore(one, "doc_id", "text", ratios, 64, "e5")
       .select($"score_micro").as[Long].head() === 0L)
   }
+
+  test("round-6 ops degrade on empty input: quantile sketch, A-ES " +
+       "sample, IVF-PQ serving over an empty index") {
+    import graft.ops.{CurationOps, SimilarityOps, SketchOps}
+    val noRows = Seq.empty[(Long, Long)].toDF("id", "v")
+    // quantile sketch: empty in, empty out; merge of empties is empty;
+    // estimates over an empty sketch are empty (no rank exists)
+    val sk = SketchOps.quantileSketch(noRows, "id", "v", 16, "e6")
+    assert(sk.count() === 0)
+    assert(SketchOps.mergeQuantileSketches(sk, sk, "v", 16).count() === 0)
+    assert(SketchOps.quantileEstimates(sk, "v", Seq(500000L)).count() === 0)
+    // A-ES sample: empty in, empty out
+    assert(CurationOps.weightedSampleAes(
+      noRows.withColumn("w", lit(1L)), "id", "w", "e7", 5).count() === 0)
+    // IVF-PQ: an empty index serves an empty result (route still works)
+    val centers = Array.tabulate(2)(c =>
+      Array.tabulate(4)(i => if (i == c * 2) 4.0 else 0.0))
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(2)(c =>
+      Array.tabulate(2)(i => (sp + c + i).toDouble)))
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    val emptyIdx = SimilarityOps.ivfPqIndex(
+      noVecs, "id", "vec", centers, codebooks)
+    assert(emptyIdx.count() === 0)
+    assert(SimilarityOps.ivfPqTopK(
+      emptyIdx, "id", noVecs, "id", "vec",
+      Array(1.0, 0.0, 0.0, 0.0), centers, codebooks,
+      nProbe = 1, shortlist = 5, k = 5).count() === 0)
+  }
 }
