@@ -204,6 +204,8 @@ object SketchOps {
       .orderBy(col("__pri"), col(valueCol))
       .limit(k)
 
+  // ------------------------------------------------------------ quantiles
+
   /** Quantile point estimates from a sketch: the value at integer rank
     * `(n−1)·q_ppm div 1e6` of the value-sorted sample (the
     * "nearest-rank, lower" policy — integer-exact, engine-replayable,
@@ -235,5 +237,97 @@ object SketchOps {
         div((col("__n") - 1L) * col("q_ppm"), lit(1000000L)).as("__rk"))
     ranked.join(broadcast(targets), Seq("__rk"))
       .select(col("q_ppm"), col("__v").as("est"))
+  }
+
+  // ---------------------------------------------------------- cardinality
+
+  /** Hash-space size of the portable mixed hash: values lie in [0, M).
+    * The KMV estimator reads a hash as a uniform draw from this range.
+    */
+  private val HashSpace = 1000000007L
+
+  /** KMV (k-minimum-values) distinct-count sketch per group: the k
+    * smallest DISTINCT mixed portable hashes of the key within each
+    * group — the cardinality companion to [[countMinSketch]]
+    * (frequencies) and [[quantileSketch]] (ranks). Like those, it
+    * trades the built-in HLL++ (`approx_count_distinct`, spec-only:
+    * engine-specific registers) for a structure that is
+    *
+    *   (a) deterministic across engines/runs/partitionings — the kept
+    *       hashes are pure arithmetic on the keys, so the sketch AND
+    *       the estimate are hash-checkable (q143);
+    *   (b) exactly mergeable: the k smallest distinct hashes of A ∪ B
+    *       are recoverable from the two per-shard sketches
+    *       ([[mergeKmvSketches]]), so shards/days sketch independently;
+    *   (c) fixed-size: ≤ k rows per group regardless of cardinality.
+    *
+    * Scale shape: one distinct-shuffle on (group, hash), then per-group
+    * bottom-k in TWO window passes — pass 1 ranks within (group,
+    * hash mod `fanout`) so no single task ever sorts more than
+    * ~distinct/fanout rows (a 100M-distinct hot group is a real input
+    * at 100 TB), pass 2 ranks the ≤ fanout·k survivors per group. The
+    * two-level result equals the single-level bottom-k exactly (every
+    * globally-kept hash is also within its sub-bucket's bottom-k — the
+    * merge property applied internally). Output: groupCols + __h.
+    */
+  def kmvSketch(
+      df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int, salt: String, fanout: Int = 32): DataFrame = {
+    require(k > 0 && fanout > 0, "k and fanout must be positive")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (use a literal group for a global sketch)")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val h = mix(TextOps.polyHash(
+      concat(col(keyCol).cast("string"), lit(s":$salt"))))
+    val distinctHashes = df
+      .filter(col(keyCol).isNotNull)
+      .select(g :+ h.as("__h"): _*)
+      .distinct()
+    bottomKPerGroup(bottomKPerGroup(distinctHashes, groupCols, k,
+      Window.partitionBy((g :+ pmod(col("__h"), lit(fanout.toLong))): _*)
+        .orderBy(col("__h"))),
+      groupCols, k,
+      Window.partitionBy(g: _*).orderBy(col("__h")))
+  }
+
+  private def bottomKPerGroup(
+      df: DataFrame, groupCols: Seq[String], k: Int,
+      win: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    df.withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+
+  /** Fold two KMV sketches built with the same (keyCol, k, salt): union,
+    * re-distinct (the same key may survive in both shards), and re-take
+    * the bottom k per group. Exact — the merged sketch is the sketch of
+    * the concatenated input.
+    */
+  def mergeKmvSketches(
+      a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bottomKPerGroup(a.unionByName(b).distinct(), groupCols, k,
+      Window.partitionBy(groupCols.map(col): _*).orderBy(col("__h")))
+  }
+
+  /** Distinct-count estimates from a KMV sketch: per group, if fewer
+    * than k hashes were kept the count is EXACT (every distinct hash
+    * survived); otherwise the standard KMV estimator
+    * `(k−1)·M div h_(k)` — the k-th smallest of n uniform draws on
+    * [0, M) sits near k·M/n, so inverting it estimates n with ~1/√k
+    * relative error. Integer division end-to-end; engine-replayable.
+    * Output: groupCols + (n_kept, est_distinct).
+    */
+  def kmvEstimate(
+      sketch: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    val div = graft.functions.GraftColumns.longDiv _
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__kth"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(div(lit((k - 1L) * HashSpace),
+            greatest(col("__kth"), lit(1L)))))
+      .drop("__kth")
   }
 }

@@ -448,6 +448,51 @@ object AnalyticsQueries {
         .orderBy($"q_ppm")
     },
 
+    // KMV (k-minimum-values) distinct-count sketch per group
+    // (SketchOps.kmvSketch): the k smallest distinct key hashes per
+    // group — the cardinality member of the deterministic-sketch family
+    // (q111 frequencies, q140 ranks). Unlike approx_count_distinct's
+    // HLL++ registers (engine-specific, spec-only) the kept hashes are
+    // pure arithmetic on the keys, so the (k−1)·M div h_k estimate is
+    // bit-replayable in DuckDB. Fixed ≤k rows per group, exact
+    // algebraic shard merge, two-level bottom-k build (no task ever
+    // sorts a hot group's full distinct set) — spec-checked in
+    // SketchOpsSpec.
+    GraftQuery(
+      "q143_kmv_distinct",
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderpriority, (ph * ph) % 1000000007 AS h
+        |  FROM (
+        |    SELECT o_orderpriority,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(
+        |          string_split(CAST(o_custkey AS VARCHAR) || ':kmv1', ''),
+        |          c -> ascii(c))),
+        |        (a, x) -> (a*31 + x) % 1000000007) AS ph
+        |    FROM orders)),
+        |rk AS (
+        |  SELECT o_orderpriority, h,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY h)
+        |      AS rk
+        |  FROM h),
+        |sk AS (SELECT o_orderpriority, h FROM rk WHERE rk <= 128)
+        |SELECT o_orderpriority, COUNT(*) AS n_kept,
+        |  CASE WHEN COUNT(*) < 128 THEN COUNT(*)
+        |       ELSE (CAST(127 AS BIGINT) * 1000000007)
+        |         // GREATEST(MAX(h), 1) END
+        |    AS est_distinct
+        |FROM sk GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.SketchOps
+      val orders = Tables.load(s, dir, "orders")
+        .select($"o_orderpriority", $"o_custkey")
+      val sk = SketchOps.kmvSketch(
+        orders, Seq("o_orderpriority"), "o_custkey", k = 128,
+        salt = "kmv1")
+      SketchOps.kmvEstimate(sk, Seq("o_orderpriority"), k = 128)
+        .orderBy($"o_orderpriority")
+    },
+
     // Exact interpolated quantiles (percentile_cont): quartiles of the
     // price distribution per return flag. Both engines use the same
     // a + (b−a)·frac linear interpolation; over integer cents at

@@ -122,4 +122,60 @@ class SketchOpsSpec extends SparkTestBase {
       .orderBy($"q_ppm").as[(Long, Long)].collect().map(_._2)
     assert(all.sameElements(all.sorted))
   }
+
+  test("KMV distinct sketch: shard merge equals the one-shot sketch, " +
+       "two-level build is fanout- and partitioning-invariant, exact " +
+       "below k, and the estimator lands within the 1/sqrt(k) band") {
+    import graft.ops.SketchOps
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select($"o_orderpriority", $"o_custkey")
+    val (k, salt) = (128, "kmvSpec")
+    val groups = Seq("o_orderpriority")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long)].collect().toSet
+    val whole = SketchOps.kmvSketch(orders, groups, "o_custkey", k, salt)
+    // fixed size: at most k kept hashes per group
+    val sizes = whole.groupBy($"o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ <= k))
+    // algebraic merge: shard sketches fold to the whole's sketch
+    val shards = (0 until 3).map(i =>
+      SketchOps.kmvSketch(
+        orders.filter($"o_custkey" % 3 === i), groups, "o_custkey",
+        k, salt))
+    val merged = shards.reduce(
+      SketchOps.mergeKmvSketches(_, _, groups, k))
+    assert(rows(merged) === rows(whole))
+    // the two-level bottom-k is invariant in fanout and partitioning
+    assert(rows(SketchOps.kmvSketch(
+      orders, groups, "o_custkey", k, salt, fanout = 1)) === rows(whole))
+    assert(rows(SketchOps.kmvSketch(
+      orders.repartition(13), groups, "o_custkey", k, salt)) ===
+      rows(whole))
+    // estimator accuracy: within 4/sqrt(k) relative error of the truth
+    // (the standard KMV band, generous constant for one draw)
+    val truth = orders.groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("d"))
+      .as[(String, Long)].collect().toMap
+    val est = SketchOps.kmvEstimate(whole, groups, k)
+      .select($"o_orderpriority", $"est_distinct")
+      .as[(String, Long)].collect().toMap
+    val tol = 4.0 / math.sqrt(k)
+    truth.foreach { case (g, d) =>
+      assert(math.abs(est(g) - d).toDouble / d <= tol,
+        s"$g: est=${est(g)} true=$d")
+    }
+    // exact-below-k: a group with fewer than k distinct keys reports
+    // its true cardinality (every distinct hash survived)
+    val small = orders.filter($"o_custkey" < 50)
+    val smallEst = SketchOps.kmvEstimate(
+        SketchOps.kmvSketch(small, groups, "o_custkey", k, salt),
+        groups, k)
+      .select($"o_orderpriority", $"est_distinct")
+      .as[(String, Long)].collect().toMap
+    val smallTruth = small.groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(smallEst === smallTruth)
+  }
 }
