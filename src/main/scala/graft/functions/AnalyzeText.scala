@@ -11,10 +11,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * en+ru stopword removal → per-script stemming (Porter en / Snowball
   * ru), identical to movies.Analyzer's Column formulation (which
   * layers a CodegenFallback `filter` HOF, an isin filter over ~115
-  * literals, and a stemmer UDF — three interpreted hops with
-  * per-row ser/de). This fuses the pipeline into whole-stage codegen
-  * as one static call; the equivalence is spec-checked over the golden
-  * ru/en corpus (AnalyzeNativeSpec).
+  * literals, and the per-token StemTokens expression). This fuses the
+  * pipeline into whole-stage codegen as one static call; the
+  * equivalence is spec-checked over the golden ru/en corpus
+  * (AnalyzeNativeSpec).
   *
   * At corpus scale the analyzer runs once per (field × document) in
   * the BM25F stats and scoring passes (Search.withAnalyzed) — it IS

@@ -124,6 +124,13 @@ object GraftFunctions {
     new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
     (children: Seq[Expression]) => NfcNormalize(children.head))
 
+  /** `graft_stem_tokens(arr)` — per-token en/ru stemming. */
+  val stemTokensDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_stem_tokens"),
+    new ExpressionInfo(classOf[StemTokens].getName, "graft_stem_tokens"),
+    (children: Seq[Expression]) => StemTokens(children.head))
+
   /** `graft_zinterleave(a, b, bits)` — bit width is structural. */
   val zInterleaveDescriptor: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
@@ -136,7 +143,7 @@ object GraftFunctions {
       Seq[Expression] => Expression)] =
     Seq(polyHashDescriptor, CosineMicro.descriptor, shingleHashDescriptor,
       srpBandsDescriptor, analyzeDescriptor, zInterleaveDescriptor,
-      nfcDescriptor)
+      nfcDescriptor, stemTokensDescriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { d =>
@@ -170,6 +177,9 @@ object GraftColumns {
 
   def nfcNormalize(text: Column): Column =
     B.column(NfcNormalize(B.expression(text)))
+
+  def stemTokens(arr: Column): Column =
+    B.column(StemTokens(B.expression(arr)))
 
   def argMinCell(vec: Column, centers: Array[Array[Double]]): Column =
     B.column(ArgMinCell(B.expression(vec), centers))

@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   *
   * Applied identically to documents and queries so matching happens in
   * analyzed-token space (X3). Tokenize/lower/stopwords are pure Column
-  * expressions; stemming is a scalar UDF over each token (pure Scala,
-  * no external deps — SURVEY §7.2 allows UDF here, with a Catalyst
-  * Expression as later polish if profiling demands).
+  * expressions; stemming is the native StemTokens expression over each
+  * token (pure Scala, no external deps, codegen'd — the SURVEY §7.2
+  * escalation done).
   */
 object Analyzer {
 
@@ -59,9 +59,6 @@ object Analyzer {
       porterStem(noPoss)
     } else tok
 
-  private val stemUdf = udf((toks: Seq[String]) =>
-    if (toks == null) Seq.empty[String] else toks.map(stemToken))
-
   /** Lowercase + tokenize on non-letter/digit boundaries (unicode-aware),
     * dropping empties. Pure Column expression.
     */
@@ -83,13 +80,17 @@ object Analyzer {
       graft.functions.GraftColumns.analyzeText(text),
       array().cast("array<string>"))
 
-  /** Layered Column/UDF reference formulation (tokenize HOF → stopword
-    * isin filter → stemmer UDF) — slower but independent; keeps the
-    * native expression honest in AnalyzeNativeSpec.
+  /** Layered Column reference formulation (tokenize HOF → stopword
+    * isin filter → per-token native stem) — independent layering around
+    * the shared stem kernel; keeps the fused expression honest in
+    * AnalyzeNativeSpec. The stem stage is the StemTokens expression
+    * (was the engine's last scalar UDF — same kernel, no per-row
+    * Seq[String] ser/de).
     */
   def analyzeHof(text: Column): Column =
     coalesce(
-      stemUdf(removeStopwords(tokenizeCol(text))),
+      graft.functions.GraftColumns.stemTokens(
+        removeStopwords(tokenizeCol(text))),
       array().cast("array<string>"))
 }
 

@@ -31,6 +31,27 @@ class AnalyzeNativeSpec extends SparkTestBase {
       s"divergence: ${diff.collect().mkString("; ")}")
   }
 
+  test("StemTokens: SQL registration, per-script stemming, null " +
+       "array and null elements") {
+    graft.functions.GraftFunctions.register(spark)
+    // per-script behavior matches the driver-side kernel
+    val toks = Seq(Seq("running", "войны", "x2"))
+    val out = toks.toDF("a")
+      .selectExpr("graft_stem_tokens(a) AS s")
+      .as[Seq[String]].head()
+    assert(out === toks.head.map(Analyzer.stemToken))
+    // null array → null (the Column face is wrapped in coalesce upstream)
+    val nullArr = spark.sql(
+      "SELECT graft_stem_tokens(CAST(NULL AS ARRAY<STRING>)) AS s")
+      .collect().head
+    assert(nullArr.isNullAt(0))
+    // null elements pass through
+    val withNull = spark.sql(
+      "SELECT graft_stem_tokens(array('films', NULL)) AS s")
+      .collect().head.getSeq[String](0)
+    assert(withNull === Seq(Analyzer.stemToken("films"), null))
+  }
+
   test("native analyze ≡ layered formulation on the golden corpus") {
     val movies = spark.read.json(
       getClass.getResource("/legacy/movies.jsonl").getPath)
