@@ -330,4 +330,51 @@ object SketchOps {
             greatest(col("__kth"), lit(1L)))))
       .drop("__kth")
   }
+
+  /** Set-operation estimates from two KMV sketches built with the same
+    * (keyCol, k, salt) — the theta-sketch read path (Beyer et al. 2007;
+    * the Apache DataSketches theta family): per group,
+    *
+    *   - merge to the union's bottom-k U (exact, [[mergeKmvSketches]]);
+    *   - `n_shared` = hashes of U present in BOTH input sketches. Every
+    *     h ∈ U is below both sides' retention thresholds (U's hashes
+    *     are the globally smallest), so membership of h in A's sketch ⇔
+    *     membership of the key in corpus A — U is a uniform distinct-key
+    *     sample of A∪B with known intersection marks;
+    *   - `est_union` = the [[kmvEstimate]] estimator on U (exact below
+    *     k), `jaccard_ppm` = n_shared·1e6 div |U|, `est_intersection` =
+    *     n_shared·est_union div |U| (all exact below k).
+    *
+    * Distinct-set overlap between corpora at a fixed k-row cost per
+    * group — the cardinality-level contamination / coverage readout
+    * (doc-level removal is q62's semi-join; this prices the overlap
+    * without the join). Output: groupCols + (n_kept, n_shared,
+    * est_union, est_intersection, jaccard_ppm).
+    */
+  def kmvSetEstimate(
+      a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val div = graft.functions.GraftColumns.longDiv _
+    val keyCols = groupCols :+ "__h"
+    val u = mergeKmvSketches(a, b, groupCols, k)
+    val marked = u
+      .join(a.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .join(b.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_shared"))
+    u.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__kth"))
+      .join(marked, groupCols, "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("est_union",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(div(lit((k - 1L) * HashSpace),
+            greatest(col("__kth"), lit(1L)))))
+      .withColumn("est_intersection",
+        div(col("n_shared") * col("est_union"), col("n_kept")))
+      .withColumn("jaccard_ppm",
+        div(col("n_shared") * lit(1000000L), col("n_kept")))
+      .select((groupCols.map(col) ++ Seq(col("n_kept"), col("n_shared"),
+        col("est_union"), col("est_intersection"), col("jaccard_ppm"))): _*)
+  }
 }

@@ -493,6 +493,83 @@ object AnalyticsQueries {
         .orderBy($"o_orderpriority")
     },
 
+    // KMV set operations (SketchOps.kmvSetEstimate): union /
+    // intersection / Jaccard estimates between two corpora from their
+    // bottom-k sketches alone — the theta-sketch read path. Here: how
+    // much do the urgent and high-priority customer SETS overlap, per
+    // order status? At 100 TB this prices corpus overlap
+    // (contamination, coverage) at a fixed k-row cost per group with no
+    // key-level join of the corpora (doc-level removal stays q62's
+    // semi-join). The merged bottom-k is a uniform distinct-key sample
+    // of the union whose members are checkable against each side's
+    // sketch, so the shared fraction estimates Jaccard; everything is
+    // integer arithmetic on portable hashes → bit-replayable in DuckDB
+    // (exact below k; the small P status exercises that path).
+    GraftQuery(
+      "q144_kmv_set_ops",
+      """WITH src AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(CAST(o_custkey AS VARCHAR) || ':kmv2', ''),
+        |        c -> ascii(c))),
+        |      (a, x) -> (a*31 + x) % 1000000007) AS ph
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |ha AS (
+        |  SELECT DISTINCT o_orderstatus, (ph * ph) % 1000000007 AS h
+        |  FROM src WHERE o_orderpriority = '1-URGENT'),
+        |hb AS (
+        |  SELECT DISTINCT o_orderstatus, (ph * ph) % 1000000007 AS h
+        |  FROM src WHERE o_orderpriority = '2-HIGH'),
+        |ska AS (SELECT o_orderstatus, h FROM (
+        |  SELECT o_orderstatus, h,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) rk
+        |  FROM ha) WHERE rk <= 128),
+        |skb AS (SELECT o_orderstatus, h FROM (
+        |  SELECT o_orderstatus, h,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) rk
+        |  FROM hb) WHERE rk <= 128),
+        |u AS (SELECT o_orderstatus, h FROM (
+        |  SELECT o_orderstatus, h,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) rk
+        |  FROM (SELECT o_orderstatus, h FROM ska
+        |        UNION SELECT o_orderstatus, h FROM skb))
+        |  WHERE rk <= 128),
+        |agg AS (
+        |  SELECT u.o_orderstatus, COUNT(*) AS n_kept,
+        |    CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |    MAX(u.h) AS kth
+        |  FROM u
+        |  LEFT JOIN ska a
+        |    ON a.o_orderstatus = u.o_orderstatus AND a.h = u.h
+        |  LEFT JOIN skb b
+        |    ON b.o_orderstatus = u.o_orderstatus AND b.h = u.h
+        |  GROUP BY 1),
+        |est AS (
+        |  SELECT o_orderstatus, n_kept, n_shared,
+        |    CASE WHEN n_kept < 128 THEN n_kept
+        |         ELSE (CAST(127 AS BIGINT) * 1000000007)
+        |           // GREATEST(kth, 1) END AS est_union
+        |  FROM agg)
+        |SELECT o_orderstatus, n_kept, n_shared, est_union,
+        |  (n_shared * est_union) // n_kept AS est_intersection,
+        |  (n_shared * 1000000) // n_kept AS jaccard_ppm
+        |FROM est ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.SketchOps
+      val orders = Tables.load(s, dir, "orders")
+        .select($"o_orderstatus", $"o_orderpriority", $"o_custkey")
+      def sketch(prio: String) = SketchOps.kmvSketch(
+        orders.filter($"o_orderpriority" === prio),
+        Seq("o_orderstatus"), "o_custkey", k = 128, salt = "kmv2")
+      SketchOps.kmvSetEstimate(
+          sketch("1-URGENT"), sketch("2-HIGH"),
+          Seq("o_orderstatus"), k = 128)
+        .orderBy($"o_orderstatus")
+    },
+
     // Exact interpolated quantiles (percentile_cont): quartiles of the
     // price distribution per return flag. Both engines use the same
     // a + (b−a)·frac linear interpolation; over integer cents at

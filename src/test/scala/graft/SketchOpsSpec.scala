@@ -178,4 +178,52 @@ class SketchOpsSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(smallEst === smallTruth)
   }
+
+  test("KMV set estimate: union/intersection/Jaccard land within the " +
+       "1/sqrt(k) band and are exact below k") {
+    import graft.ops.SketchOps
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select($"o_orderstatus", $"o_orderpriority", $"o_custkey")
+    val (k, salt) = (128, "kmvSetSpec")
+    val groups = Seq("o_orderstatus")
+    def corpus(prio: String) =
+      orders.filter($"o_orderpriority" === prio)
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      SketchOps.kmvSketch(df, groups, "o_custkey", k, salt)
+    def truthSets(df: org.apache.spark.sql.DataFrame) =
+      df.select($"o_orderstatus", $"o_custkey").distinct()
+        .as[(String, Long)].collect().groupBy(_._1)
+        .map { case (g, xs) => g -> xs.map(_._2).toSet }
+    val (ta, tb) = (truthSets(corpus("1-URGENT")), truthSets(corpus("2-HIGH")))
+    val est = SketchOps.kmvSetEstimate(
+        sketch(corpus("1-URGENT")), sketch(corpus("2-HIGH")), groups, k)
+      .select($"o_orderstatus", $"est_union", $"est_intersection")
+      .as[(String, Long, Long)].collect()
+    assert(est.nonEmpty)
+    val tol = 4.0 / math.sqrt(k)
+    est.foreach { case (g, eu, ei) =>
+      val (u, i) = ((ta(g) | tb(g)).size, (ta(g) & tb(g)).size)
+      assert(math.abs(eu - u).toDouble / u <= tol, s"$g union: $eu vs $u")
+      // intersection error compounds (Jaccard x union) — wider band,
+      // absolute in units of the union size
+      assert(math.abs(ei - i).toDouble / u <= 2 * tol,
+        s"$g inter: $ei vs $i")
+    }
+    // exact-below-k: restrict both corpora to < k distinct keys
+    val sm = orders.filter($"o_custkey" < 50)
+    def smCorpus(prio: String) = sm.filter($"o_orderpriority" === prio)
+    val (sa, sb) = (truthSets(smCorpus("1-URGENT")), truthSets(smCorpus("2-HIGH")))
+    SketchOps.kmvSetEstimate(
+        sketch(smCorpus("1-URGENT")), sketch(smCorpus("2-HIGH")), groups, k)
+      .select($"o_orderstatus", $"est_union", $"est_intersection",
+        $"jaccard_ppm")
+      .as[(String, Long, Long, Long)].collect()
+      .foreach { case (g, eu, ei, jp) =>
+        val (ua, ub) = (sa.getOrElse(g, Set.empty), sb.getOrElse(g, Set.empty))
+        val (u, i) = ((ua | ub).size.toLong, (ua & ub).size.toLong)
+        assert(eu === u, s"$g union")
+        assert(ei === i, s"$g inter")
+        assert(jp === i * 1000000L / u, s"$g jaccard")
+      }
+  }
 }
