@@ -377,4 +377,94 @@ object SketchOps {
       .select((groupCols.map(col) ++ Seq(col("n_kept"), col("n_shared"),
         col("est_union"), col("est_intersection"), col("jaccard_ppm"))): _*)
   }
+
+  // -------------------------------------------------------- heavy hitters
+
+  /** Misra–Gries heavy-hitters summary per group: the top-k keys by
+    * count, each carrying its count REDUCED by the (k+1)-th largest
+    * count in the group (the MG threshold; keys that don't clear it are
+    * dropped). The frequency-TOP member of the deterministic sketch
+    * family ([[countMinSketch]] point frequencies, [[kmvSketch]]
+    * cardinality, [[quantileSketch]] ranks) — this is the offline
+    * canonical form of the Misra–Gries stream summary, with the same
+    * guarantees (n = group's total count):
+    *
+    *   - `cnt_lb` never over-counts: cnt_lb ≤ true count;
+    *   - under-count is bounded: true − cnt_lb ≤ n/(k+1) (the k+1
+    *     keys at or above the threshold each contribute ≥ t to n);
+    *   - completeness: every key with true count > n/(k+1) is present.
+    *
+    * Unlike a plain top-k, the summary is MERGEABLE with those bounds
+    * intact (Agarwal et al. 2012, "Mergeable Summaries"): sum counters
+    * key-wise, re-threshold ([[mergeMgSketches]]) — shards/days
+    * summarize independently and fold without re-touching the data.
+    * No hashing anywhere, so the sketch is bit-replayable in plain SQL
+    * (q145). Fixed ≤ k rows per group. Output: groupCols + (keyCol,
+    * cnt_lb).
+    *
+    * Scale shape: exact counts are one map-side-combined shuffle; the
+    * (k+1)-ranking is TWO window passes — pass 1 ranks within (group,
+    * key-hash mod `fanout`) so no task ever sorts a hot group's full
+    * vocabulary (a 100M-term group is a real input at 100 TB), pass 2
+    * ranks the ≤ fanout·(k+1) survivors per group. Two-level ≡
+    * single-level exactly: the global top-(k+1) under the total order
+    * (count desc, key asc) is contained in every sub-bucket's
+    * top-(k+1) under the same order.
+    */
+  def mgSketch(
+      df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int, fanout: Int = 32): DataFrame = {
+    require(k > 0 && fanout > 0, "k and fanout must be positive")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (use a literal group for a global summary)")
+    mgThreshold(
+      df.filter(col(keyCol).isNotNull)
+        .groupBy((groupCols :+ keyCol).map(col): _*)
+        .agg(count(lit(1)).as("__c")),
+      groupCols, keyCol, k, fanout)
+  }
+
+  /** Fold two MG summaries built with the same (keyCol, k): sum
+    * counters key-wise, re-apply the (k+1)-th-largest threshold. The
+    * error bounds compound additively and stay ≤ n_total/(k+1) — the
+    * mergeable-summaries fold, not an exact recovery of the one-shot
+    * summary (unlike the KMV/bottom-k merges, MG discards mass by
+    * design).
+    */
+  def mergeMgSketches(
+      a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      keyCol: String, k: Int, fanout: Int = 32): DataFrame =
+    mgThreshold(
+      a.unionByName(b)
+        .groupBy((groupCols :+ keyCol).map(col): _*)
+        .agg(sum(col("cnt_lb")).as("__c")),
+      groupCols, keyCol, k, fanout)
+
+  /** Shared MG reduction over a (groupCols, keyCol, __c) count table:
+    * two-level top-(k+1) by (__c desc, key asc), subtract the rank-
+    * (k+1) count, keep the strictly-positive survivors of ranks 1..k.
+    */
+  private def mgThreshold(
+      counts: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int, fanout: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val sub = pmod(mix(TextOps.polyHash(col(keyCol).cast("string"))),
+      lit(fanout.toLong))
+    val ord = Seq(col("__c").desc, col(keyCol).asc)
+    val top = counts
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(g :+ sub: _*).orderBy(ord: _*)))
+      .filter(col("__rk") <= k + 1).drop("__rk")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(g: _*).orderBy(ord: _*)))
+      .filter(col("__rk") <= k + 1)
+    val t = coalesce(
+      max(when(col("__rk") === k + 1, col("__c")))
+        .over(Window.partitionBy(g: _*)), lit(0L))
+    top.withColumn("__t", t)
+      .filter(col("__rk") <= k && col("__c") - col("__t") > 0)
+      .select(g ++ Seq(col(keyCol),
+        (col("__c") - col("__t")).as("cnt_lb")): _*)
+  }
 }

@@ -570,6 +570,47 @@ object AnalyticsQueries {
         .orderBy($"o_orderstatus")
     },
 
+    // Misra–Gries heavy hitters (SketchOps.mgSketch): top-k tokens per
+    // language with counts reduced by the (k+1)-th largest count — the
+    // offline canonical MG summary. Unlike q76's exact global top-k,
+    // this is the bounded-memory MERGEABLE form (Agarwal et al. 2012):
+    // shards/days summarize to ≤ k rows per group and fold by
+    // counter-sum + re-threshold with the n/(k+1) error bound intact —
+    // the per-group vocabulary readout that stays fixed-size at 100 TB.
+    // No hashing anywhere: the summary is a pure function of exact
+    // counts under (count desc, token asc), so DuckDB replays it
+    // bit-for-bit with plain window SQL. Two-level ranking build (no
+    // task sorts a group's full vocabulary) — spec-checked in
+    // SketchOpsSpec.
+    GraftQuery(
+      "q145_heavy_hitters",
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT lang, token, c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, token)
+        |      AS rk
+        |  FROM cnt),
+        |t AS (
+        |  SELECT lang,
+        |    COALESCE(MAX(CASE WHEN rk = 33 THEN c END),
+        |             CAST(0 AS BIGINT)) AS t
+        |  FROM rk WHERE rk <= 33 GROUP BY 1)
+        |SELECT rk.lang, token, c - t AS cnt_lb
+        |FROM rk JOIN t ON rk.lang = t.lang
+        |WHERE rk <= 32 AND c - t > 0
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.{SketchOps, TextOps}
+      val toks = Tables.load(s, dir, "documents")
+        .select($"lang", explode(TextOps.tokenize($"text")).as("token"))
+      SketchOps.mgSketch(toks, Seq("lang"), "token", k = 32)
+        .orderBy($"lang", $"token")
+    },
+
     // Exact interpolated quantiles (percentile_cont): quartiles of the
     // price distribution per return flag. Both engines use the same
     // a + (b−a)·frac linear interpolation; over integer cents at

@@ -226,4 +226,56 @@ class SketchOpsSpec extends SparkTestBase {
         assert(jp === i * 1000000L / u, s"$g jaccard")
       }
   }
+
+  test("Misra-Gries heavy hitters: matches the offline canonical form, " +
+       "is fanout/partitioning invariant, and the shard merge keeps " +
+       "the mergeable-summaries bounds") {
+    import graft.ops.{SketchOps, TextOps}
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs
+      .select($"lang", explode(TextOps.tokenize($"text")).as("token"))
+    val k = 16
+    val groups = Seq("lang")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long)].collect().toSet
+    val whole = SketchOps.mgSketch(toks, groups, "token", k)
+    // driver referee: exact counts -> canonical offline MG per group
+    val counts = toks.groupBy($"lang", $"token")
+      .agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+    val ref = counts.groupBy(_._1).toSeq.flatMap { case (g, xs) =>
+      val sorted = xs.map { case (_, t, c) => (t, c) }
+        .sortBy { case (t, c) => (-c, t) }
+      val thr = if (sorted.length > k) sorted(k)._2 else 0L
+      sorted.take(k).collect {
+        case (t, c) if c - thr > 0 => (g, t, c - thr)
+      }
+    }.toSet
+    assert(rows(whole) === ref)
+    assert(ref.groupBy(_._1).values.forall(_.size <= k))
+    // two-level build is invariant in fanout and input partitioning
+    assert(rows(SketchOps.mgSketch(
+      toks, groups, "token", k, fanout = 1)) === ref)
+    assert(rows(SketchOps.mgSketch(
+      toks.repartition(13), groups, "token", k)) === ref)
+    // shard merge: counters never over-count, under-count bounded by
+    // n/(k+1), and every key heavier than n/(k+1) survives (the
+    // mergeable-summaries guarantees; merge is NOT exact recovery)
+    def shard(i: Int) = docs.filter($"doc_id" % 3 === i)
+      .select($"lang", explode(TextOps.tokenize($"text")).as("token"))
+    val merged = (0 until 3)
+      .map(i => SketchOps.mgSketch(shard(i), groups, "token", k))
+      .reduce(SketchOps.mergeMgSketches(_, _, groups, "token", k))
+    val est = rows(merged).map { case (g, t, c) => (g, t) -> c }.toMap
+    val truth = counts.map { case (g, t, c) => (g, t) -> c }.toMap
+    val n = counts.groupBy(_._1)
+      .map { case (g, xs) => g -> xs.map(_._3).sum }
+    assert(est.keySet.subsetOf(truth.keySet))
+    est.foreach { case (kt, c) => assert(c <= truth(kt), s"$kt over") }
+    truth.foreach { case ((g, t), c) =>
+      val bound = n(g).toDouble / (k + 1)
+      val under = c - est.getOrElse((g, t), 0L)
+      assert(under.toDouble <= bound, s"$g/$t under=$under bound=$bound")
+    }
+  }
 }
