@@ -192,12 +192,18 @@ class PlansSpec extends SparkTestBase {
     // aggregate, and q129 crosses the (≤dim-row) bucket-frequency
     // table with its two ONE-row corpus-total aggregates — all three
     // are the q96 scalar pattern.
+    // q140 crosses the |quantiles|-row literal target table with the
+    // ONE-row count aggregate of the k-row sketch (both constant-size
+    // by construction — the rank join itself is an equi-join), and
+    // q141 is q106's loop: one ONE-row dangling/seed-mass scalar cross
+    // per iteration.
     val bnljSanctioned =
       Set("q35_ann_topk", "q37_ivf_topk", "q74_forward_fill",
         "q88_fuzzy_match", "q89_incremental_rollup", "q96_tfidf_topk",
         "q98_quantized_topk", "q106_pagerank", "q121_hybrid_rrf",
         "q124_bigram_lm", "q129_dsir_score",
-        "q135_pq_rerank") // 1-row query-vector crossJoin (q121 pattern)
+        "q135_pq_rerank", // 1-row query-vector crossJoin (q121 pattern)
+        "q140_quantile_sketch", "q141_personalized_pagerank")
     for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
