@@ -239,6 +239,87 @@ object SketchOps {
       .select(col("q_ppm"), col("__v").as("est"))
   }
 
+  /** Per-group [[quantileSketch]]: keep the k rows with the smallest
+    * mixed key hash WITHIN EACH GROUP — grouped percentiles (doc-length
+    * p50/p95 per language, latency quantiles per tenant) at a fixed
+    * k-row cost per group. Same properties as the global form:
+    * deterministic (hash-checkable), exactly mergeable per group
+    * ([[mergeQuantileSketchesGrouped]]), fixed-size. The global form
+    * plans TakeOrderedAndProject; per group that becomes TWO window
+    * passes — pass 1 ranks within (group, __pri mod `fanout`) so no
+    * task ever sorts a hot group's full row set, pass 2 ranks the ≤
+    * fanout·k survivors (the [[kmvSketch]] build shape; two-level ≡
+    * single-level because the order (__pri, value) restricted to any
+    * sub-bucket preserves the global bottom-k). Output: groupCols +
+    * (__pri, `valueCol`).
+    */
+  def quantileSketchGrouped(
+      df: DataFrame, groupCols: Seq[String], keyCol: String,
+      valueCol: String, k: Int, salt: String,
+      fanout: Int = 32): DataFrame = {
+    require(k > 0 && fanout > 0, "k and fanout must be positive")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (use quantileSketch for a global sample)")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val pri = mix(TextOps.polyHash(
+      concat(col(keyCol).cast("string"), lit(s":$salt")))).as("__pri")
+    val ord = Seq(col("__pri").asc, col(valueCol).asc)
+    df.select(g :+ pri :+ col(valueCol): _*)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(g :+ pmod(col("__pri"), lit(fanout.toLong)): _*)
+          .orderBy(ord: _*)))
+      .filter(col("__rk") <= k).drop("__rk")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(g: _*).orderBy(ord: _*)))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Fold two grouped sketches built with the same (keyCol, k, salt):
+    * union, re-take the per-group bottom k. Exact, like the global
+    * merge.
+    */
+  def mergeQuantileSketchesGrouped(
+      a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    a.unionByName(b)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("__pri"), col(valueCol))))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Per-group quantile point estimates from a grouped sketch — the
+    * [[quantileEstimates]] nearest-rank-lower policy applied within
+    * each group. The target table is |groups| × |quantiles| rows
+    * (group counts crossed with the literal quantile list — both
+    * bounded), and the rank join is an equi-join on (group, rank).
+    * Output: groupCols + (q_ppm, est).
+    */
+  def quantileEstimatesGrouped(
+      sketch: DataFrame, groupCols: Seq[String], valueCol: String,
+      quantilesPpm: Seq[Long]): DataFrame = {
+    require(quantilesPpm.nonEmpty &&
+      quantilesPpm.forall(q => q >= 0L && q <= 1000000L),
+      "quantiles must be in [0, 1e6] ppm")
+    import org.apache.spark.sql.expressions.Window
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val div = graft.functions.GraftColumns.longDiv _
+    val g = groupCols.map(col)
+    val ranked = sketch
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(g: _*).orderBy(col(valueCol)))
+        .cast("long") - 1L)
+    val targets = sketch.groupBy(g: _*).agg(count(lit(1)).as("__n"))
+      .crossJoin(broadcast(quantilesPpm.toDF("q_ppm")))
+      .select(g :+ col("q_ppm") :+
+        div((col("__n") - 1L) * col("q_ppm"), lit(1000000L)).as("__rk"): _*)
+    ranked.join(targets, groupCols :+ "__rk")
+      .select(g ++ Seq(col("q_ppm"), col(valueCol).as("est")): _*)
+  }
+
   // ---------------------------------------------------------- cardinality
 
   /** Hash-space size of the portable mixed hash: values lie in [0, M).

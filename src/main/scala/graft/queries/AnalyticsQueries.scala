@@ -448,6 +448,57 @@ object AnalyticsQueries {
         .orderBy($"q_ppm")
     },
 
+    // Per-group quantile sketch (SketchOps.quantileSketchGrouped):
+    // q140's deterministic bottom-k hash sample WITHIN each group —
+    // doc-length p25/p50/p75/p95 per language at a fixed 128-row cost
+    // per group. The build is the two-level window shape (no task
+    // sorts a hot group's full row set), the merge is exact per group,
+    // and the nearest-rank-lower estimates are integer arithmetic on
+    // portable hashes → bit-replayable in DuckDB. Spec-checked in
+    // SketchOpsSpec (merge ≡ whole, invariance, rank accuracy,
+    // exact-below-k).
+    GraftQuery(
+      "q146_grouped_quantiles",
+      """WITH pri AS (
+        |  SELECT lang, n_chars, (h * h) % 1000000007 AS pri
+        |  FROM (
+        |    SELECT lang, n_chars,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(
+        |          string_split(CAST(doc_id AS VARCHAR) || ':qg1', ''),
+        |          c -> ascii(c))),
+        |        (a, x) -> (a*31 + x) % 1000000007) AS h
+        |    FROM documents)),
+        |samp AS (
+        |  SELECT lang, n_chars FROM (
+        |    SELECT lang, n_chars,
+        |      row_number() OVER (PARTITION BY lang ORDER BY pri, n_chars)
+        |        AS rk
+        |    FROM pri) WHERE rk <= 128),
+        |sorted AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1
+        |      AS rk
+        |  FROM samp),
+        |nn AS (SELECT lang, COUNT(*) AS n FROM samp GROUP BY 1),
+        |qs AS (SELECT CAST(unnest([250000, 500000, 750000, 950000])
+        |  AS BIGINT) AS q_ppm)
+        |SELECT s.lang, qs.q_ppm, s.n_chars AS est
+        |FROM nn CROSS JOIN qs
+        |JOIN sorted s ON s.lang = nn.lang
+        |  AND s.rk = ((nn.n - 1) * qs.q_ppm) // 1000000
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.SketchOps
+      val docs = Tables.load(s, dir, "documents")
+        .select($"lang", $"doc_id", $"n_chars")
+      val sk = SketchOps.quantileSketchGrouped(
+        docs, Seq("lang"), "doc_id", "n_chars", k = 128, salt = "qg1")
+      SketchOps.quantileEstimatesGrouped(sk, Seq("lang"), "n_chars",
+          Seq(250000L, 500000L, 750000L, 950000L))
+        .orderBy($"lang", $"q_ppm")
+    },
+
     // KMV (k-minimum-values) distinct-count sketch per group
     // (SketchOps.kmvSketch): the k smallest distinct key hashes per
     // group — the cardinality member of the deterministic-sketch family

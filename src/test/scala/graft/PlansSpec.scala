@@ -203,7 +203,10 @@ class PlansSpec extends SparkTestBase {
         "q98_quantized_topk", "q106_pagerank", "q121_hybrid_rrf",
         "q124_bigram_lm", "q129_dsir_score",
         "q135_pq_rerank", // 1-row query-vector crossJoin (q121 pattern)
-        "q140_quantile_sketch", "q141_personalized_pagerank")
+        "q140_quantile_sketch", "q141_personalized_pagerank",
+        // q146 crosses the |groups|-row count table with the literal
+        // quantile list — both bounded; the rank join is an equi-join
+        "q146_grouped_quantiles")
     for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")

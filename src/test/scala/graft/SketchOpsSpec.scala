@@ -227,6 +227,73 @@ class SketchOpsSpec extends SparkTestBase {
       }
   }
 
+  test("grouped quantile sketch: shard merge equals the one-shot sketch " +
+       "exactly, build is fanout/partitioning invariant, estimates are " +
+       "rank-accurate per group, and exact below k") {
+    import graft.ops.SketchOps
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"lang", $"doc_id", $"n_chars")
+    val (k, salt) = (128, "qgSpec")
+    val groups = Seq("lang")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"lang", $"__pri", $"n_chars")
+        .as[(String, Long, Long)].collect().toSet
+    val whole = SketchOps.quantileSketchGrouped(
+      docs, groups, "doc_id", "n_chars", k, salt)
+    val sizes = whole.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ <= k))
+    // exact per-group merge of shard sketches
+    val merged = (0 until 3)
+      .map(i => SketchOps.quantileSketchGrouped(
+        docs.filter($"doc_id" % 3 === i), groups, "doc_id", "n_chars",
+        k, salt))
+      .reduce(SketchOps.mergeQuantileSketchesGrouped(
+        _, _, groups, "n_chars", k))
+    assert(rows(merged) === rows(whole))
+    // invariance in fanout and input partitioning
+    assert(rows(SketchOps.quantileSketchGrouped(
+      docs, groups, "doc_id", "n_chars", k, salt, fanout = 1)) ===
+      rows(whole))
+    assert(rows(SketchOps.quantileSketchGrouped(
+      docs.repartition(13), groups, "doc_id", "n_chars", k, salt)) ===
+      rows(whole))
+    // per-group rank accuracy: the estimate's true rank lands within
+    // ~4/sqrt(k) of the requested quantile
+    val qs = Seq(250000L, 500000L, 750000L)
+    val est = SketchOps.quantileEstimatesGrouped(
+        whole, groups, "n_chars", qs)
+      .as[(String, Long, Long)].collect()
+    val byLang = docs.select($"lang", $"n_chars")
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (g, xs) => g -> xs.map(_._2).sorted }
+    val tol = 4.0 / math.sqrt(k)
+    est.foreach { case (g, q, v) =>
+      val vals = byLang(g)
+      val rank = vals.count(_ <= v).toDouble / vals.length
+      val lo = vals.count(_ < v).toDouble / vals.length
+      val target = q / 1e6
+      assert(lo - tol <= target && target <= rank + tol,
+        s"$g q=$q est=$v rank=[$lo,$rank]")
+    }
+    // exact below k: a group smaller than k keeps every row, so the
+    // estimate IS the nearest-rank-lower percentile of the truth
+    val small = docs.filter($"doc_id" < 100)
+    val smallEst = SketchOps.quantileEstimatesGrouped(
+        SketchOps.quantileSketchGrouped(
+          small, groups, "doc_id", "n_chars", k, salt),
+        groups, "n_chars", qs)
+      .as[(String, Long, Long)].collect()
+    val smallTruth = small.select($"lang", $"n_chars")
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (g, xs) => g -> xs.map(_._2).sorted }
+    smallEst.foreach { case (g, q, v) =>
+      val vals = smallTruth(g)
+      val expected = vals(((vals.length - 1).toLong * q / 1000000L).toInt)
+      assert(v === expected, s"$g q=$q")
+    }
+  }
+
   test("Misra-Gries heavy hitters: matches the offline canonical form, " +
        "is fanout/partitioning invariant, and the shard merge keeps " +
        "the mergeable-summaries bounds") {
