@@ -424,29 +424,42 @@ object SketchOps {
     *     sample of A∪B with known intersection marks;
     *   - `est_union` = the [[kmvEstimate]] estimator on U (exact below
     *     k), `jaccard_ppm` = n_shared·1e6 div |U|, `est_intersection` =
-    *     n_shared·est_union div |U| (all exact below k).
+    *     n_shared·est_union div |U| (all exact below k);
+    *   - `containment_a_ppm` = n_shared·1e6 div n_a where n_a = U
+    *     members present in A's sketch (and symmetrically b) — the
+    *     ASYMMETRIC overlap "what fraction of A's distinct keys are in
+    *     B", the standard benchmark-decontamination readout (an eval
+    *     set fully contained in a training corpus has containment 1
+    *     but near-zero Jaccard). n_a/n_kept is itself the
+    *     |A|/|A∪B| fraction on the uniform sample, so the ratio
+    *     n_shared/n_a estimates |A∩B|/|A|.
     *
     * Distinct-set overlap between corpora at a fixed k-row cost per
     * group — the cardinality-level contamination / coverage readout
     * (doc-level removal is q62's semi-join; this prices the overlap
     * without the join). Output: groupCols + (n_kept, n_shared,
-    * est_union, est_intersection, jaccard_ppm).
+    * est_union, est_intersection, jaccard_ppm, containment_a_ppm,
+    * containment_b_ppm).
     */
   def kmvSetEstimate(
       a: DataFrame, b: DataFrame, groupCols: Seq[String],
       k: Int): DataFrame = {
     val div = graft.functions.GraftColumns.longDiv _
     val keyCols = groupCols :+ "__h"
+    val g = groupCols.map(col)
     val u = mergeKmvSketches(a, b, groupCols, k)
-    val marked = u
-      .join(a.select(keyCols.map(col): _*), keyCols, "left_semi")
-      .join(b.select(keyCols.map(col): _*), keyCols, "left_semi")
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_shared"))
-    u.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__kth"))
-      .join(marked, groupCols, "left")
-      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+    // one row per (group, hash) in each sketch by construction, so the
+    // left joins are 1:1 lookups and the flags are exact membership
+    u.join(a.select(keyCols.map(col): _*)
+          .withColumn("__ina", lit(1L)), keyCols, "left")
+      .join(b.select(keyCols.map(col): _*)
+          .withColumn("__inb", lit(1L)), keyCols, "left")
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__kth"),
+        sum(coalesce(col("__ina"), lit(0L))).as("n_a"),
+        sum(coalesce(col("__inb"), lit(0L))).as("n_b"),
+        sum(when(col("__ina").isNotNull && col("__inb").isNotNull, 1L)
+          .otherwise(0L)).as("n_shared"))
       .withColumn("est_union",
         when(col("n_kept") < k, col("n_kept"))
           .otherwise(div(lit((k - 1L) * HashSpace),
@@ -455,8 +468,17 @@ object SketchOps {
         div(col("n_shared") * col("est_union"), col("n_kept")))
       .withColumn("jaccard_ppm",
         div(col("n_shared") * lit(1000000L), col("n_kept")))
-      .select((groupCols.map(col) ++ Seq(col("n_kept"), col("n_shared"),
-        col("est_union"), col("est_intersection"), col("jaccard_ppm"))): _*)
+      .withColumn("containment_a_ppm",
+        when(col("n_a") > 0L,
+          div(col("n_shared") * lit(1000000L), col("n_a")))
+          .otherwise(lit(0L)))
+      .withColumn("containment_b_ppm",
+        when(col("n_b") > 0L,
+          div(col("n_shared") * lit(1000000L), col("n_b")))
+          .otherwise(lit(0L)))
+      .select((g ++ Seq(col("n_kept"), col("n_shared"),
+        col("est_union"), col("est_intersection"), col("jaccard_ppm"),
+        col("containment_a_ppm"), col("containment_b_ppm"))): _*)
   }
 
   // -------------------------------------------------------- heavy hitters

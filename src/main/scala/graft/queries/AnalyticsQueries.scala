@@ -591,6 +591,10 @@ object AnalyticsQueries {
         |  SELECT u.o_orderstatus, COUNT(*) AS n_kept,
         |    CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |    CAST(SUM(CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
         |    MAX(u.h) AS kth
         |  FROM u
         |  LEFT JOIN ska a
@@ -599,14 +603,18 @@ object AnalyticsQueries {
         |    ON b.o_orderstatus = u.o_orderstatus AND b.h = u.h
         |  GROUP BY 1),
         |est AS (
-        |  SELECT o_orderstatus, n_kept, n_shared,
+        |  SELECT o_orderstatus, n_kept, n_shared, n_a, n_b,
         |    CASE WHEN n_kept < 128 THEN n_kept
         |         ELSE (CAST(127 AS BIGINT) * 1000000007)
         |           // GREATEST(kth, 1) END AS est_union
         |  FROM agg)
         |SELECT o_orderstatus, n_kept, n_shared, est_union,
         |  (n_shared * est_union) // n_kept AS est_intersection,
-        |  (n_shared * 1000000) // n_kept AS jaccard_ppm
+        |  (n_shared * 1000000) // n_kept AS jaccard_ppm,
+        |  CASE WHEN n_a > 0 THEN (n_shared * 1000000) // n_a
+        |       ELSE 0 END AS containment_a_ppm,
+        |  CASE WHEN n_b > 0 THEN (n_shared * 1000000) // n_b
+        |       ELSE 0 END AS containment_b_ppm
         |FROM est ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.ops.SketchOps

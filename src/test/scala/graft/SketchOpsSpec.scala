@@ -197,17 +197,23 @@ class SketchOpsSpec extends SparkTestBase {
     val (ta, tb) = (truthSets(corpus("1-URGENT")), truthSets(corpus("2-HIGH")))
     val est = SketchOps.kmvSetEstimate(
         sketch(corpus("1-URGENT")), sketch(corpus("2-HIGH")), groups, k)
-      .select($"o_orderstatus", $"est_union", $"est_intersection")
-      .as[(String, Long, Long)].collect()
+      .select($"o_orderstatus", $"est_union", $"est_intersection",
+        $"containment_a_ppm")
+      .as[(String, Long, Long, Long)].collect()
     assert(est.nonEmpty)
     val tol = 4.0 / math.sqrt(k)
-    est.foreach { case (g, eu, ei) =>
+    est.foreach { case (g, eu, ei, ca) =>
       val (u, i) = ((ta(g) | tb(g)).size, (ta(g) & tb(g)).size)
       assert(math.abs(eu - u).toDouble / u <= tol, s"$g union: $eu vs $u")
       // intersection error compounds (Jaccard x union) — wider band,
       // absolute in units of the union size
       assert(math.abs(ei - i).toDouble / u <= 2 * tol,
         s"$g inter: $ei vs $i")
+      // containment = |A∩B|/|A| as a ratio of two sample counts —
+      // same compounded band
+      val caTrue = i.toDouble / ta(g).size
+      assert(math.abs(ca / 1e6 - caTrue) <= 2 * tol,
+        s"$g containment: ${ca / 1e6} vs $caTrue")
     }
     // exact-below-k: restrict both corpora to < k distinct keys
     val sm = orders.filter($"o_custkey" < 50)
@@ -216,14 +222,18 @@ class SketchOpsSpec extends SparkTestBase {
     SketchOps.kmvSetEstimate(
         sketch(smCorpus("1-URGENT")), sketch(smCorpus("2-HIGH")), groups, k)
       .select($"o_orderstatus", $"est_union", $"est_intersection",
-        $"jaccard_ppm")
-      .as[(String, Long, Long, Long)].collect()
-      .foreach { case (g, eu, ei, jp) =>
+        $"jaccard_ppm", $"containment_a_ppm", $"containment_b_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .foreach { case (g, eu, ei, jp, ca, cb) =>
         val (ua, ub) = (sa.getOrElse(g, Set.empty), sb.getOrElse(g, Set.empty))
         val (u, i) = ((ua | ub).size.toLong, (ua & ub).size.toLong)
         assert(eu === u, s"$g union")
         assert(ei === i, s"$g inter")
         assert(jp === i * 1000000L / u, s"$g jaccard")
+        assert(ca === (if (ua.isEmpty) 0L else i * 1000000L / ua.size),
+          s"$g containment a")
+        assert(cb === (if (ub.isEmpty) 0L else i * 1000000L / ub.size),
+          s"$g containment b")
       }
   }
 
