@@ -878,6 +878,39 @@ object AnalyticsQueries {
         .orderBy($"name_a", $"name_b")
     },
 
+    // Sorted-neighborhood blocking (BlockingOps.sortedNeighborhoodPairs;
+    // Hernández & Stolfo 1998): entity-resolution candidates from
+    // PROXIMITY IN SORT ORDER — O(n·w) pairs instead of q88's O(n²)
+    // all-pairs conformance shape. The ranking is the q64 contiguous-id
+    // op (range-partitioned, multi-reducer) and the window condition is
+    // an adjacent-block EQUI-join (block = rank div w), never an
+    // inequality join over the corpus. Same match predicate as q88
+    // (levenshtein ≤ 3) so the two gates contrast the blocking recall
+    // against the exhaustive baseline on identical data.
+    GraftQuery(
+      "q147_sorted_blocking",
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |rk AS (
+        |  SELECT p_name, row_number() OVER (ORDER BY p_name) - 1 AS idx
+        |  FROM names),
+        |pairs AS (
+        |  SELECT a.p_name AS name_a, b.p_name AS name_b
+        |  FROM rk a JOIN rk b
+        |    ON b.idx > a.idx AND b.idx - a.idx <= 5)
+        |SELECT name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM pairs WHERE levenshtein(name_a, name_b) <= 3
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.BlockingOps
+      val names = Tables.load(s, dir, "part").select($"p_name").distinct()
+      BlockingOps.sortedNeighborhoodPairs(names, 5, "p_name")
+        .filter(levenshtein($"p_name_a", $"p_name_b") <= 3)
+        .select($"p_name_a".as("name_a"), $"p_name_b".as("name_b"),
+          levenshtein($"p_name_a", $"p_name_b").cast("long").as("dist"))
+        .orderBy($"name_a", $"name_b")
+    },
+
     // Incremental rollup maintenance (TemporalOps.mergeRollup): the
     // trailing week's events are aggregated as a delta and merged into
     // the pre-aggregated history by re-summing partials — no history
