@@ -6,6 +6,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    Tables.validate(spark, sfDir) // fail fast on testdata schema drift
     // Warm the session (codegen, shuffle infra, parquet footer cache, JIT)
     // with one untimed pass over every query, then time the steady-state
     // pass. First-execution codegen costs seconds per query shape and would

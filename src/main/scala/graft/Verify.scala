@@ -9,17 +9,24 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
+    Tables.validate(spark, sfDir) // fail fast on testdata schema drift
     new java.io.File(outDir).mkdirs()
     // Dev iteration aid (driver ignores it): SPARK_GRAFT_ONLY=q79,q80
     // restricts the dump to named queries, same contract as Bench.
     val keep = SparkEntry.onlyFilter()
+    // A failed query must be a loud FAIL in the driver's correctness file,
+    // never silent absence (VERDICT r6 #2): collect per-query errors and
+    // dump them as _errors.json alongside the results; also exit nonzero.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (n, _) => keep(n) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] FAIL $name: $msg")
+        errors(name) = msg.linesIterator.take(3).mkString(" | ")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,6 +45,14 @@ object Verify {
       .filter { case (n, _) => keep(n) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

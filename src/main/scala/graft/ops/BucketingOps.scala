@@ -50,6 +50,31 @@ object BucketingOps {
       .saveAsTable(table)
   }
 
+  /** APPEND `df` into an existing bucketed table, preserving the bucket
+    * layout: rows are repartitioned by the same Murmur3 hash before the
+    * write, so each append adds one correctly-hashed file per touched
+    * bucket and downstream joins/aggs on the bucket key stay
+    * exchange-free. This is the index-REFRESH primitive: maintaining a
+    * stored index costs one |delta| pass, not a corpus rebuild.
+    *
+    * Note the sorted-scan caveat: a multi-file bucket loses the
+    * sorted-within-bucket guarantee, so plans over an appended table may
+    * re-Sort before a merge join — but never re-Exchange, which is the
+    * cost that scales with the corpus. Compact back to one file per
+    * bucket (a [[writeBucketed]] rebuild) on whatever cadence the sort
+    * matters.
+    */
+  def appendBucketed(
+      df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int, sorted: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.col
+    val aligned = df.repartition(nBuckets, bucketCols.map(col): _*)
+    val w = aligned.write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sorted) w.sortBy(bucketCols.head, bucketCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Equi-join of two same-bucketed tables on the bucket key. With both
     * sides bucketed `nBuckets` on `keys`, the plan is a SortMergeJoin
     * (or shuffled hash join) whose children are bare scans — no

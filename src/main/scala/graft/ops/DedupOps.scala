@@ -205,6 +205,23 @@ object DedupOps {
     .select(col(id), explode(lshBandKeys(col(sig), bands, rows)).as("bk"))
     .select(col("bk.band").as("band"), col("bk.bh").as("bh"), col(id))
 
+  /** Incremental REFRESH of a stored [[lshBandKeyTable]] index: fold an
+    * accepted delta's (band, bh, id) keys into the bucketed table via
+    * [[BucketingOps.appendBucketed]]. After the append the index is
+    * pair-set-equivalent to a from-scratch rebuild over corpus∪delta
+    * (same key rows, same bucket hashing — spec-checked in
+    * BucketingSpec), so the maintenance cost of the q70 serving path
+    * drops from one |corpus| pass per refresh to one |delta| pass per
+    * accepted batch. Compact with [[BucketingOps.writeBucketed]] when
+    * file counts warrant.
+    */
+  def refreshLshIndex(
+      table: String, acceptedDelta: DataFrame, id: String, sig: String,
+      bands: Int, rows: Int, nBuckets: Int): Unit =
+    BucketingOps.appendBucketed(
+      lshBandKeyTable(acceptedDelta, id, sig, bands, rows),
+      table, Seq("band", "bh"), nBuckets)
+
   /** [[lshCandidatePairsIncremental]] against a PRECOMPUTED corpus key
     * table (`corpusKeys`: band, bh, `id` — the [[lshBandKeyTable]]
     * schema, typically a stored bucketed table). The daily-increment

@@ -23,10 +23,9 @@ class FileStreamSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       streamDir.resolve("part-0.parquet"))
 
-    val streamEvents = spark.readStream
+    val streamEvents = Tables.normalizeTs(spark.readStream
       .schema(schema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .parquet(streamDir.toString))
 
     val q = EventStreamOps.tumblingCounts(
         streamEvents, windowDur = "1 day", watermarkDelay = "1 minute")

@@ -152,6 +152,72 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("LSH index REFRESH: appended index ≡ rebuilt index (pair set), " +
+       "and the corpus side still never shuffles") {
+    import graft.ops.{BucketingOps, DedupOps, TextOps}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sh = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", TextOps.shingleHashes($"text", 3).as("hashes"))
+    val sig = DedupOps.minhashSignatures(sh, "doc_id", "hashes", 16)
+      .localCheckpoint()
+    // day 0: index the sub-300 corpus; day 1: accept [300, 400) and
+    // REFRESH the stored index with one |delta| pass (no corpus pass)
+    BucketingOps.writeBucketed(
+      DedupOps.lshBandKeyTable(
+        sig.filter($"doc_id" < 300), "doc_id", "sig", bands = 4, rows = 4),
+      "graft_refresh_lsh_idx", Seq("band", "bh"), nBuckets = 4)
+    DedupOps.refreshLshIndex(
+      "graft_refresh_lsh_idx",
+      sig.filter($"doc_id" >= 300 && $"doc_id" < 400),
+      "doc_id", "sig", bands = 4, rows = 4, nBuckets = 4)
+    // the appended index must hold exactly a from-scratch rebuild's keys
+    BucketingOps.writeBucketed(
+      DedupOps.lshBandKeyTable(
+        sig.filter($"doc_id" < 400), "doc_id", "sig", bands = 4, rows = 4),
+      "graft_refresh_lsh_full", Seq("band", "bh"), nBuckets = 4)
+    val keysOf = (t: String) => spark.table(t)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(keysOf("graft_refresh_lsh_idx") ===
+      keysOf("graft_refresh_lsh_full"))
+    // day 2 probe against the appended index: same pairs as the rebuilt
+    // index, and the corpus side of every join is still exchange-free
+    // (multi-file buckets may re-Sort — a |bucket| cost — but never
+    // re-shuffle, the |corpus| cost)
+    val probe = sig.filter($"doc_id" >= 400)
+    val pairs = DedupOps.lshCandidatePairsIncrementalIndexed(
+      spark.table("graft_refresh_lsh_idx"), probe,
+      "doc_id", "sig", bands = 4, rows = 4)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = pairs.queryExecution.executedPlan
+      def hasBucketScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collectFirst {
+          case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+        }.isDefined
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.nonEmpty, plan.toString)
+      val corpusSideShuffles = joins.flatMap(_.children)
+        .filter(hasBucketScan)
+        .flatMap(_.collect { case s: ShuffleExchangeExec => s })
+      assert(corpusSideShuffles.isEmpty,
+        s"corpus-side shuffle found:\n$plan")
+      val viaRebuilt = DedupOps.lshCandidatePairsIncrementalIndexed(
+          spark.table("graft_refresh_lsh_full"), probe,
+          "doc_id", "sig", bands = 4, rows = 4)
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.as[(Long, Long)].collect().toSet === viaRebuilt)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("q03 semi join stays a semi join (no inner-join row explosion)") {
     val p = plan("q03_semi_join")
     assert(p.contains("LeftSemi"), p)

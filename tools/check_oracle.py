@@ -29,6 +29,10 @@ def main(sf_dir, out_dir):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    err_path = f"{out_dir}/_errors.json"
+    if os.path.exists(err_path):
+        for name, msg in sorted(json.load(open(err_path)).items()):
+            print(f"FAIL {name}: Spark-side exception: {msg[:300]}")
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         res_dir = f"{out_dir}/{name}"
