@@ -70,6 +70,65 @@ object SketchOps {
       .groupBy(col(termCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** Per-group [[countMinSketch]] — one d×w sketch per group key
+    * (per-language term frequencies, per-tenant event counts), built in
+    * ONE exploded pass with the group columns folded into the cell key.
+    * Unlike the grouped quantile build there is no two-level window
+    * trick to need: the cell aggregate is already algebraic, so Spark's
+    * partial aggregation IS the per-shard build and the final merge —
+    * a hot group costs a wider partial map, never a single-task sort.
+    * Output: groupCols + (r, bucket, cnt); ≤ |groups|·d·w rows.
+    */
+  def countMinSketchGrouped(
+      terms: DataFrame, groupCols: Seq[String], termCol: String,
+      d: Int, w: Int, salt: String): DataFrame = {
+    require(d > 0 && w > 0, "sketch dims must be positive")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (use countMinSketch for a global sketch)")
+    val g = groupCols.map(col)
+    terms
+      .select(g :+ col(termCol).as("__t"): _*)
+      .withColumn("r", explode(sequence(lit(0), lit(d - 1))))
+      .select(g ++ Seq(col("r"),
+        bucket(col("__t"), col("r"), w, salt).as("bucket")): _*)
+      .groupBy(g ++ Seq(col("r"), col("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group point estimates: est(g, t) = min over rows of
+    * cell(g, r, h_r(t)). The join is an equi-join on (group, r,
+    * bucket); the sketch side is ≤ |groups|·d·w rows — broadcastable
+    * for any realistic group count, but left to Catalyst/AQE here
+    * since |groups| is data-dependent. Hash-independent of the group
+    * (same salt ⇒ same buckets per term across groups), so cross-group
+    * estimates are comparable.
+    */
+  def countMinEstimateGrouped(
+      sketch: DataFrame, probes: DataFrame, groupCols: Seq[String],
+      termCol: String, d: Int, w: Int, salt: String): DataFrame = {
+    val g = groupCols.map(col)
+    probes
+      .select(g :+ col(termCol): _*)
+      .withColumn("r", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("bucket", bucket(col(termCol), col("r"), w, salt))
+      .join(sketch, groupCols ++ Seq("r", "bucket"), "left_outer")
+      .groupBy(g :+ col(termCol): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Fold two grouped sketches built with the same (d, w, salt): union
+    * and re-sum cells per (group, r, bucket). Exact/algebraic — the
+    * merged sketch is cell-identical to a one-shot build over the
+    * concatenated inputs (spec-checked per group in SketchOpsSpec).
+    */
+  def mergeCountMinSketchesGrouped(
+      a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    a.unionByName(b)
+      .groupBy(g ++ Seq(col("r"), col("bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   // ---------------------------------------------------------------- bloom
 
   /** r-th bit position of a key in an m-bit bloom filter: portable hash

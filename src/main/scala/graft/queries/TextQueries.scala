@@ -367,6 +367,85 @@ object TextQueries {
         .orderBy($"term")
     },
 
+    // Grouped count-min (SketchOps.countMinSketchGrouped): one 4×256
+    // sketch per language — per-language term frequencies, the grouped
+    // member of the frequency-sketch family (q111 global CM, q145 MG,
+    // q146 grouped quantiles). The build folds the group key into the
+    // cell aggregate (algebraic, so partial aggregation is the shard
+    // build — no hot-group sort), the per-group merge law is
+    // spec-checked in SketchOpsSpec, and probes are each language's
+    // true top-10 terms so the gate checks both the upper-bound
+    // property and exact cell values per group.
+    GraftQuery(
+      "q148_grouped_countmin",
+      """WITH tok AS (
+        |  SELECT lang, u.term AS term
+        |  FROM (SELECT lang, list_filter(string_split_regex(text, '\s+'),
+        |          x -> x <> '') AS tk
+        |        FROM documents) t, UNNEST(tk) AS u(term)),
+        |truec AS (
+        |  SELECT lang, term, COUNT(*) AS true_c FROM tok GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT lang, term, true_c FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang
+        |      ORDER BY true_c DESC, term) AS rk
+        |    FROM truec)
+        |  WHERE rk <= 10),
+        |cells AS (
+        |  SELECT lang, r, ((h * h) % 1000000007) % 256 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM (
+        |    SELECT lang, g.r AS r,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(
+        |          string_split(CAST(g.r AS STRING) || ':cmg1:' || term, ''),
+        |          c -> ascii(c))),
+        |        (a, x) -> (a*31 + x) % 1000000007) AS h
+        |    FROM tok, UNNEST(generate_series(0, 3)) AS g(r))
+        |  GROUP BY 1, 2, 3),
+        |est AS (
+        |  SELECT p.lang, p.term, p.true_c,
+        |    MIN(COALESCE(c.cnt, 0)) AS est_c
+        |  FROM (SELECT lang, term, true_c, r,
+        |          ((h * h) % 1000000007) % 256 AS bucket
+        |        FROM (SELECT lang, term, true_c, u.r AS r,
+        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(
+        |              string_split(CAST(u.r AS STRING) || ':cmg1:' || term,
+        |                ''),
+        |              c -> ascii(c))),
+        |            (a, x) -> (a*31 + x) % 1000000007) AS h
+        |        FROM probes, UNNEST(generate_series(0, 3)) AS u(r))) p
+        |  LEFT JOIN cells c ON c.lang = p.lang AND c.r = p.r
+        |    AND c.bucket = p.bucket
+        |  GROUP BY 1, 2, 3)
+        |SELECT lang, term, true_c, CAST(est_c AS BIGINT) AS est_c,
+        |  est_c >= true_c AS upper_bound_ok
+        |FROM est ORDER BY lang, term""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.SketchOps
+      val toks = Tables.load(s, dir, "documents")
+        .select($"lang",
+          explode(filter(TextOps.tokenize($"text"), t => t =!= ""))
+            .as("term"))
+      val truec = toks.groupBy($"lang", $"term")
+        .agg(count(lit(1)).as("true_c"))
+      val probes = truec
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"lang").orderBy($"true_c".desc, $"term")))
+        .filter($"rk" <= 10).drop("rk")
+      val sketch = SketchOps.countMinSketchGrouped(
+        toks, Seq("lang"), "term", 4, 256, "cmg1")
+      SketchOps.countMinEstimateGrouped(
+          sketch, probes.select($"lang", $"term"),
+          Seq("lang"), "term", 4, 256, "cmg1")
+        .join(probes, Seq("lang", "term"))
+        .select($"lang", $"term", $"true_c", $"est".as("est_c"),
+          ($"est" >= $"true_c").as("upper_bound_ok"))
+        .orderBy($"lang", $"term")
+    },
+
     // Higher-order-function sweep (§2.8 array lambdas, gated
     // explicitly): transform / filter / aggregate-fold / zip_with /
     // exists / forall / array_sort over the token array, all reduced

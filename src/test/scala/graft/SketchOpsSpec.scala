@@ -82,6 +82,45 @@ class SketchOpsSpec extends SparkTestBase {
     assert(exact >= truth.size / 2, s"only $exact/${truth.size} exact")
   }
 
+  test("grouped count-min: per-group merge law holds, each group's " +
+       "sketch equals a solo build on that group, estimates upper-bound") {
+    import graft.ops.SketchOps
+    val rnd = new scala.util.Random(11)
+    val langs = Seq("en", "ru", "de")
+    def mk(n: Int, terms: Int) = Seq.fill(n)(
+      (langs(rnd.nextInt(3)), s"w${rnd.nextInt(terms)}")).toDF("lang", "term")
+    val a = mk(500, 30)
+    val b = mk(400, 45)
+    val (d, w, salt) = (4, 64, "cmgSpec")
+    val skA = SketchOps.countMinSketchGrouped(a, Seq("lang"), "term", d, w, salt)
+    val skB = SketchOps.countMinSketchGrouped(b, Seq("lang"), "term", d, w, salt)
+    val skAll = SketchOps.countMinSketchGrouped(
+      a.unionByName(b), Seq("lang"), "term", d, w, salt)
+    // merge law per group: union + re-sum ≡ one-shot build
+    val merged = SketchOps.mergeCountMinSketchesGrouped(skA, skB, Seq("lang"))
+    assert(merged.as[(String, Int, Long, Long)].collect().toSet ===
+      skAll.as[(String, Int, Long, Long)].collect().toSet)
+    // group isolation: the "en" slice of the grouped sketch is exactly
+    // the global sketch of the "en" rows alone (same salt ⇒ same cells)
+    val enSolo = SketchOps.countMinSketch(
+      a.unionByName(b).filter($"lang" === "en"), "term", d, w, salt)
+    assert(skAll.filter($"lang" === "en").drop("lang")
+      .as[(Int, Long, Long)].collect().toSet ===
+      enSolo.as[(Int, Long, Long)].collect().toSet)
+    // estimates: never under-count within any group
+    val truth = a.unionByName(b).groupBy("lang", "term").count()
+      .as[(String, String, Long)].collect()
+    val probes = truth.map { case (l, t, _) => (l, t) }.toSeq
+      .toDF("lang", "term")
+    val est = SketchOps.countMinEstimateGrouped(
+      skAll, probes, Seq("lang"), "term", d, w, salt)
+      .as[(String, String, Long)].collect()
+      .map { case (l, t, e) => (l, t) -> e }.toMap
+    truth.foreach { case (l, t, c) =>
+      assert(est((l, t)) >= c, s"under-count for ($l, $t)")
+    }
+  }
+
   test("quantile sketch: shard merge equals the one-shot sketch exactly, " +
        "estimates are rank-accurate and partitioning-invariant") {
     import graft.ops.SketchOps
