@@ -342,6 +342,68 @@ object RelationalQueries {
         .select($"event_id", $"user_id", tsUs.as("ts_us"))
     },
 
+    // CDC END-TO-END (S3+S5+S7+T2 composed — the reference's whole
+    // incremental loop, postgres_to_es/daemon.py:90-129 source →
+    // :358-381 sink, in ONE oracle-checked gate): three keyset ticks
+    // drive Keyset.nextBatch over events (file-backed CursorStore
+    // between ticks, as a restart would), each batch reduces to
+    // latest-per-user and upserts into an UpsertSink store; tick 2 is
+    // REPLAYED before tick 3 to prove effectively-once (the idempotent
+    // upsert absorbs the duplicate delivery). The final store must
+    // equal latest-per-user over the first 360 events in (ts, id)
+    // order — which is what the oracle computes directly. q42/q15 gate
+    // the pieces; this gates their composition.
+    GraftQuery(
+      "q149_cdc_end_to_end",
+      """WITH ordered AS (
+        |  SELECT *, lpad(CAST(event_id AS VARCHAR), 12, '0') AS did,
+        |    row_number() OVER (
+        |      ORDER BY epoch_us(ts), lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |      AS rn
+        |  FROM events),
+        |prefix AS (SELECT * FROM ordered WHERE rn <= 360),
+        |latest AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(round(value*100) AS BIGINT) AS value_c,
+        |    epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, did DESC) AS rk
+        |  FROM prefix)
+        |SELECT user_id, event_id, event_type, value_c, ts_us
+        |FROM latest WHERE rk = 1
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.cdc.{Keyset, UpsertSink}
+      val e = t(s, dir, "events")
+        .withColumn("did", lpad($"event_id".cast("string"), 12, "0"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cdc_e2e").toString
+      val store = new UpsertSink(s, s"$tmp/store", "user_id", nBuckets = 8)
+      val cursors = new Keyset.CursorStore(s"$tmp/cursors")
+      val latestInBatch = Window.partitionBy($"user_id")
+        .orderBy(unix_micros($"ts").desc, $"did".desc)
+      def tick(): DataFrame = {
+        val cur = cursors.load("events") // file round-trip = restart-safe
+        val (batch, next) = Keyset.nextBatch(e, "ts", "did", cur, 120)
+        val docs = batch
+          .withColumn("rk", row_number().over(latestInBatch))
+          .filter($"rk" === 1).drop("rk")
+          .localCheckpoint() // pin the batch: the store must not re-scan
+        store.upsert(docs)
+        cursors.save("events", next)
+        docs
+      }
+      tick()
+      val t2 = tick()
+      store.upsert(t2) // duplicate delivery of tick 2: must be a no-op
+      tick()
+      store.read().get
+        .select($"user_id", $"event_id", $"event_type",
+          cents($"value").as("value_c"), unix_micros($"ts").as("ts_us"))
+        .orderBy($"user_id")
+    },
+
     // S5/T2 batch analogue: idempotent upsert = keep latest row per key
     // (what the ES bulk-upsert by doc id converges to).
     GraftQuery(

@@ -101,4 +101,45 @@ class CdcStreamSpec extends SparkTestBase {
         "person rename must refresh the affected movie doc")
     } finally q.stop()
   }
+
+  test("q149 cross-check: the batch 3-tick keyset loop equals the DSv2 " +
+       "KeysetSource stream draining the same event prefix") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = Files.createTempDirectory("graft_cdc_e2e_x").toString
+    // stage q149's exact input: the first 360 events in (ts, did) order
+    val e = Tables.load(spark, sfDir, "events")
+      .withColumn("did", lpad($"event_id".cast("string"), 12, "0"))
+    e.orderBy(unix_micros($"ts").asc, $"did".asc).limit(360)
+      .write.parquet(s"$dir/events_prefix")
+    val sink = new UpsertSink(spark, s"$dir/store", "user_id", 4)
+    val latestInBatch = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts").desc, $"did".desc)
+    val q = spark.readStream
+      .format(classOf[KeysetSourceProvider].getName)
+      .option("path", s"$dir/events_prefix")
+      .option("tsCol", "ts")
+      .option("idCol", "did")
+      .option("batchSize", "120") // q149's tick size → 3 micro-batches
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = batch
+          .withColumn("rk", row_number().over(latestInBatch))
+          .filter(col("rk") === 1).drop("rk")
+          .localCheckpoint()
+        sink.upsert(docs)
+      }
+      .start() // default trigger: processAllAvailable drains the prefix
+    try q.processAllAvailable() finally q.stop()
+    val streamed = sink.read().get
+      .select($"user_id", $"event_id", $"event_type",
+        round($"value" * 100, 0).cast("long").as("value_c"),
+        unix_micros($"ts").as("ts_us"))
+      .orderBy($"user_id")
+      .collect().toSeq
+    val batchLoop = SparkEntry.queries("q149_cdc_end_to_end")(spark, sfDir)
+      .collect().toSeq
+    assert(streamed === batchLoop)
+  }
 }
