@@ -73,6 +73,13 @@ object BucketingOps {
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sorted) w.sortBy(bucketCols.head, bucketCols.tail: _*) else w)
       .saveAsTable(table)
+    // Readers resolve V1 tables through a per-session cached plan whose
+    // file listing predates this append; invalidate so the next
+    // spark.table(table) on THIS session sees the new files. NB each
+    // session caches independently — a reader on another session (e.g.
+    // the outer session while this append ran inside foreachBatch's
+    // clone) must refreshTable itself or re-resolve in a fresh session.
+    df.sparkSession.catalog.refreshTable(table)
   }
 
   /** Equi-join of two same-bucketed tables on the bucket key. With both

@@ -576,6 +576,24 @@ object SimilarityOps {
         .cast("int").as("cell"),
       pqEncode(col(vecCol), codebooks).as("codes"))
 
+  /** Incremental REFRESH of a stored [[ivfPqIndex]] layout (a parquet
+    * dir partitioned by cell): encode the accepted delta with the SAME
+    * frozen centroids/codebooks and append — new files land inside the
+    * existing `cell=N` directories, so serve-time partition pruning
+    * ([[ivfPqTopK]]'s cell predicate) is untouched and the appended
+    * index is row-identical to a from-scratch rebuild over
+    * corpus∪delta (spec-checked in PlansSpec). Cost: one |delta| map
+    * pass, no corpus read. Re-training centers/codebooks (a drifted
+    * corpus) is a separate, deliberate rebuild — quantization must
+    * stay frozen between refreshes or old codes become undecodable.
+    */
+  def refreshIvfPqIndex(
+      dir: String, delta: DataFrame, idCol: String, vecCol: String,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Unit =
+    ivfPqIndex(delta, idCol, vecCol, centers, codebooks)
+      .write.mode("append").partitionBy("cell").parquet(dir)
+
   /** Route a query vector to its `nProbe` nearest IVF cells by
     * squared-L2 distance to the centroids, ties to the lower cell id —
     * the same sequential-fold arithmetic as ArgMinCell, evaluated on

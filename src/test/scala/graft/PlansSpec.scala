@@ -90,6 +90,48 @@ class PlansSpec extends SparkTestBase {
     assert(served.collect().toSeq === inMem.collect().toSeq)
   }
 
+  test("IVF×PQ index REFRESH: delta append under frozen quantization ≡ " +
+       "full rebuild, and serving still prunes to the probed cells") {
+    import graft.ops.SimilarityOps
+    val centers = Array.tabulate(8)(c =>
+      Array.tabulate(64)(i => if (i == c * 8) 8.0 else 0.0))
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+      Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq_refresh").toString
+    // day 0: index vec_id < 300; day 1: accept [300, ∞) as the delta
+    SimilarityOps.ivfPqIndex(
+        e.filter($"vec_id" < 300).select($"vec_id", $"embedding"),
+        "vec_id", "embedding", centers, codebooks)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    SimilarityOps.refreshIvfPqIndex(
+      dir, e.filter($"vec_id" >= 300).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", centers, codebooks)
+    val appended = spark.read.parquet(dir)
+    // appended ≡ rebuilt row set (codes compared as strings — arrays)
+    val rebuilt = SimilarityOps.ivfPqIndex(
+      e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      centers, codebooks)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"cell", concat_ws(",", $"codes").as("c"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(rows(appended) === rows(rebuilt))
+    // serving over the appended dir: still partition-pruned, and
+    // bit-identical to the in-memory index over corpus∪delta
+    val qvec = e.filter($"vec_id" === 0L).select($"embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toArray
+    val served = SimilarityOps.ivfPqTopK(
+      appended, "vec_id", e, "vec_id", "embedding",
+      qvec, centers, codebooks, nProbe = 2, shortlist = 50, k = 10)
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"), p)
+    val inMem = SimilarityOps.ivfPqTopK(
+      rebuilt, "vec_id", e, "vec_id", "embedding",
+      qvec, centers, codebooks, nProbe = 2, shortlist = 50, k = 10)
+    assert(served.collect().toSeq === inMem.collect().toSeq)
+  }
+
   test("incremental LSH dedup against the STORED bucketed index: the " +
        "corpus side is never shuffled (bucket-join pruning)") {
     import graft.ops.{BucketingOps, DedupOps, TextOps}

@@ -215,4 +215,61 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("streaming incremental dedup: per-batch probe of the stored LSH " +
+       "index then index REFRESH accumulates exactly the one-shot pair " +
+       "set (the production daily-increment loop, as a real stream)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import graft.ops.{BucketingOps, DedupOps, TextOps}
+    val big = 1 << 20 // bound off: exactness is the point of this test
+    val sig = DedupOps.minhashSignatures(
+        Tables.load(spark, sfDir, "documents")
+          .select($"doc_id", TextOps.shingleHashes($"text", 3).as("hashes")),
+        "doc_id", "hashes", 16)
+      .localCheckpoint()
+    val idx = "graft_streamdedup_lsh_idx"
+    BucketingOps.writeBucketed(
+      DedupOps.lshBandKeyTable(
+        sig.filter($"doc_id" < 300), "doc_id", "sig", bands = 4, rows = 4),
+      idx, Seq("band", "bh"), nBuckets = 4)
+    val accepted = scala.collection.mutable.Set[(Long, Long)]()
+    accepted ++= DedupOps.lshCandidatePairs(
+        sig.filter($"doc_id" < 300), "doc_id", "sig", 4, 4, big)
+      .as[(Long, Long)].collect()
+    // the arriving-docs stream: one parquet file per accepted batch
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_streamdedup").toString
+    val sigSchema = sig.schema
+    def stage(lo: Long, hi: Long): Unit = sig
+      .filter($"doc_id" >= lo && $"doc_id" < hi)
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    stage(300, 400)
+    val q = spark.readStream.schema(sigSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pinned = batch.localCheckpoint()
+        // read the index through the BATCH's session: foreachBatch runs
+        // in a session clone, and V1 table plans (file listings) are
+        // cached per session — the outer session's cache would serve a
+        // listing that predates the previous batch's refresh
+        accepted ++= DedupOps.lshCandidatePairsIncrementalIndexed(
+            batch.sparkSession.table(idx), pinned, "doc_id", "sig", 4, 4, big)
+          .as[(Long, Long)].collect()
+        DedupOps.refreshLshIndex(idx, pinned, "doc_id", "sig", 4, 4, 4)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      stage(400, 500)
+      q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = DedupOps.lshCandidatePairs(
+        sig.filter($"doc_id" < 500), "doc_id", "sig", 4, 4, big)
+      .as[(Long, Long)].collect().toSet
+    assert(accepted.toSet === oneShot)
+  }
 }
