@@ -364,6 +364,35 @@ object DedupOps {
         first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
   }
 
+  /** ASYMMETRIC containment pairs: C(A→B) = |A∩B| div |A| over DISTINCT
+    * shingle sets, kept when either direction reaches `thresholdMilli`.
+    * This is the dedup relation Jaccard structurally misses: a short
+    * doc wholly quoted inside a long one (boilerplate wrapper, quoted
+    * reply, excerpt) has jaccard ≈ |A|/|B| → 0 as B grows, but
+    * containment C(A→B) = 1. No length-ratio prune applies — the
+    * asymmetric pairs are exactly the ones a ratio bound would drop —
+    * so the pair stream is the exact posting-list Σfreq² shape of
+    * [[sharedShingleCountsBounded]] at threshold 0 (hot postings still
+    * route through the skew-safe equi-join). Integer per-mille, exact.
+    * Returns (id_a, id_b, shared, n_a, n_b, cont_a_milli, cont_b_milli).
+    */
+  def containmentPairs(
+      df: DataFrame, id: String, shingles: String,
+      thresholdMilli: Int,
+      maxPosting: Int = DefaultMaxBucket): DataFrame = {
+    require(thresholdMilli >= 0 && thresholdMilli <= 1000,
+      "threshold is per-mille")
+    val sets = df.select(col(id),
+      array_distinct(col(shingles)).as("__set"))
+    val div = graft.functions.GraftColumns.longDiv _
+    sharedShingleCountsBounded(sets, id, "__set", thresholdMilli = 0,
+        maxPosting = maxPosting)
+      .withColumn("cont_a_milli", div(col("shared") * 1000L, col("n_a")))
+      .withColumn("cont_b_milli", div(col("shared") * 1000L, col("n_b")))
+      .filter(col("cont_a_milli") >= thresholdMilli ||
+        col("cont_b_milli") >= thresholdMilli)
+  }
+
   /** EXACT Jaccard-threshold pairs via prefix filtering (the PPJoin-family
     * optimization): two sets with jaccard ≥ t must share an element among
     * each one's first `|S| - ceil(t*|S|) + 1` elements in any global

@@ -13,6 +13,10 @@ object CurationQueries {
 
   private val ShingleN = 3
 
+  // q150 profiles the engine-portable-rendering columns of `documents`
+  // (integers/strings — float formatting differs across engines).
+  private val ProfileCols = Seq("doc_id", "lang", "n_chars", "source")
+
   // Non-distinct / distinct shingle-hash fragments, kept in lockstep
   // with TextOps.shingleHashes (same arithmetic as DedupQueries).
   private val DuckShingleList =
@@ -901,6 +905,35 @@ object CurationQueries {
         .select($"bucket", $"batch_id", $"n_docs", $"min_tok", $"max_tok",
           ($"n_docs" * $"max_tok" - $"sum_tok").as("waste"))
         .orderBy($"bucket", $"batch_id")
+    },
+
+    // Table profiler (ProfileOps.profile): per-column row/null/distinct
+    // counts, min/max, top-3 values — ALL columns in ONE corpus pass
+    // (each row explodes to c (column, value) structs, map-side
+    // combined; the only fine-keyed shuffle is the distinct-value
+    // stream; top-k via the two-level window so no task sorts a hot
+    // column's full distinct set). The oracle profiles the same columns
+    // with per-column scalar subqueries — same stats, engine-portable
+    // string renderings (integer/string columns only by design).
+    GraftQuery(
+      "q150_table_profile",
+      ProfileCols.map { c =>
+        s"""SELECT '$c' AS "column",
+           |  (SELECT COUNT(*) FROM documents) AS n_rows,
+           |  (SELECT COUNT(*) FROM documents WHERE $c IS NULL) AS n_nulls,
+           |  (SELECT COUNT(DISTINCT CAST($c AS VARCHAR)) FROM documents
+           |     WHERE $c IS NOT NULL) AS n_distinct,
+           |  (SELECT MIN(CAST($c AS VARCHAR)) FROM documents) AS min_val,
+           |  (SELECT MAX(CAST($c AS VARCHAR)) FROM documents) AS max_val,
+           |  (SELECT string_agg(val || ':' || cnt, '|' ORDER BY rk)
+           |   FROM (SELECT CAST($c AS VARCHAR) AS val, COUNT(*) AS cnt,
+           |           row_number() OVER (ORDER BY COUNT(*) DESC,
+           |             CAST($c AS VARCHAR)) AS rk
+           |         FROM documents WHERE $c IS NOT NULL
+           |         GROUP BY 1) WHERE rk <= 3) AS top3""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")) { (s, dir) =>
+      graft.ops.ProfileOps.profile(
+        Tables.load(s, dir, "documents"), ProfileCols)
     })
 
   private def runValidation(

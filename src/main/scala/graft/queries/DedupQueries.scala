@@ -177,6 +177,45 @@ object DedupQueries {
         .orderBy($"id_a", $"id_b")
     },
 
+    // ASYMMETRIC containment dedup: C(A→B) = |A∩B| div |A| per mille,
+    // pairs kept when either direction ≥ 600 — the subset/excerpt
+    // relation Jaccard structurally misses (a short doc quoted inside
+    // a long one has jaccard ≈ |A|/|B| → 0 but containment 1000). The
+    // pair stream is q31's exact posting-list shape WITHOUT the
+    // length-ratio bound (asymmetric pairs are exactly what that bound
+    // drops); hot postings still route skew-safe. Integer-exact, so
+    // the oracle replays the same arithmetic.
+    GraftQuery(
+      "q151_containment_dedup",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $DuckShingleHashes AS s FROM documents),
+         |inv AS (SELECT doc_id, unnest(s) AS h FROM sh),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+         |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+         |SELECT id_a, id_b, shared,
+         |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         |  (shared*1000)//sa.n AS cont_a_milli,
+         |  (shared*1000)//sb.n AS cont_b_milli
+         |FROM shared
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE (shared*1000)//sa.n >= 600 OR (shared*1000)//sb.n >= 600
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+      DedupOps.containmentPairs(sh, "doc_id", "hashes",
+          thresholdMilli = 600)
+        .select($"id_a", $"id_b", $"shared",
+          $"n_a".cast("long").as("n_a"), $"n_b".cast("long").as("n_b"),
+          $"cont_a_milli", $"cont_b_milli")
+        .orderBy($"id_a", $"id_b")
+    },
+
     // Near-dup CLUSTERS: the q31 pair stage feeds connected components
     // (iterated min-label propagation — the map-reduce CC algorithm),
     // rolled up per cluster. The oracle computes the same transitive

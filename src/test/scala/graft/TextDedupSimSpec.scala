@@ -576,4 +576,44 @@ class TextDedupSimSpec extends SparkTestBase {
       .select(size(TextOps.shingleHashes($"text", n))).head.getInt(0)
     assert(fps(1L).size < nSh, "winnowing must thin the shingle set")
   }
+
+  test("containment pairs: brute-force referee, catches the subset " +
+       "relation jaccard misses, and is partitioning-invariant") {
+    import graft.ops.DedupOps
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, short), (2L, long), (3L, "zeta eta theta iota kappa"),
+      (4L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (5L, (100 to 140).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val sh = docs.select($"doc_id",
+      TextOps.shingleHashes($"text", 3).as("hashes"))
+    val got = DedupOps.containmentPairs(sh, "doc_id", "hashes", 900)
+      .select($"id_a", $"id_b", $"cont_a_milli", $"cont_b_milli")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // 1 ⊂ 2: containment of the SHORT side is 1000 though jaccard is
+    // ~3/41 — the pair q31's threshold machinery would never emit
+    assert(got((1L, 2L))._1 === 1000L)
+    assert(got((1L, 4L)) === ((1000L, 1000L))) // exact dup, both ways
+    assert(got((2L, 4L))._2 === 1000L)
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 5L)))
+    // brute-force referee over every pair at a low threshold
+    val sets = sh.select($"doc_id", array_distinct($"hashes").as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys; if a < b
+      shared = sets(a).toSet.intersect(sets(b).toSet).size.toLong
+      ca = shared * 1000 / sets(a).size
+      cb = shared * 1000 / sets(b).size
+      if ca >= 100 || cb >= 100
+    } yield (a, b) -> ((shared, ca, cb))).toMap
+    val gotAll = DedupOps.containmentPairs(
+        sh.repartition(7), "doc_id", "hashes", 100, maxPosting = 2)
+      .select($"id_a", $"id_b", $"shared", $"cont_a_milli", $"cont_b_milli")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(gotAll === expected) // exact even with hot postings routed
+  }
 }
