@@ -192,4 +192,44 @@ object GraftColumns {
   def longDiv(a: Column, b: Column): Column =
     B.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       B.expression(a), B.expression(b)))
+
+  /** Q20 fixed-point binary log of a positive BIGINT: ⌊log2(v)·2^20⌋-ish
+    * via the classic normalize-then-square recurrence — the GENERAL form
+    * of the A-ES sampler's −log2(u) kernel (CurationOps.weightedSampleAes
+    * scaladoc): p = bitlength(v)−1, y normalized to Q30 in [2^30, 2^31),
+    * then 20 square steps each emitting one fraction bit; result =
+    * p·2^20 + frac. NO transcendentals — pure integer multiply / divide
+    * / compare, so any engine replays every bit (the q153 oracle runs
+    * the identical recurrence in SQL).
+    *
+    * Normalization: p ≤ 30 shifts v UP exactly; p > 30 shifts DOWN,
+    * truncating below the top 31 bits — deterministic and replayed
+    * identically cross-engine (documented precision: ~2^-20 relative,
+    * plus sub-top-31-bit truncation for v ≥ 2^31). The variable shift
+    * uses a literal power-of-two table + element_at (Spark's shift
+    * functions take only literal distances).
+    */
+  def binLog2Q20(v: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val q30 = 1073741824L  // 2^30
+    val q31 = 2147483648L  // 2^31
+    val pows: Array[Long] = Array.tabulate(63)(i => 1L << i)
+    val p = (length(bin(v)) - 1).cast("long")
+    val y0 = when(p <= 30L, v * element_at(typedLit(pows), (lit(31L) - p).cast("int")))
+      .otherwise(longDiv(v, element_at(typedLit(pows), (p - lit(29L)).cast("int"))))
+    val stepped = aggregate(
+      sequence(lit(1), lit(20)),
+      struct(y0.as("y"), lit(0L).as("acc")),
+      (s, _) => {
+        val y2 = longDiv(s.getField("y") * s.getField("y"), lit(q30))
+        when(y2 >= q31,
+          struct(longDiv(y2, lit(2L)).as("y"),
+            (s.getField("acc") * 2L + 1L).as("acc")))
+          .otherwise(
+            struct(y2.as("y"), (s.getField("acc") * 2L).as("acc")))
+      })
+    when(v <= 0L, raise_error(concat(
+      lit("binLog2Q20: need v >= 1, got "), v.cast("string"))))
+      .otherwise(p * lit(1048576L) + stepped.getField("acc"))
+  }
 }

@@ -166,4 +166,46 @@ object LmOps {
         coalesce(GraftColumns.longDiv(col("__sp"), col("n_bigrams")), lit(0L))
           .as("score_micro"))
   }
+
+  /** Pointwise mutual information per bigram, Q20 fixed point — the
+    * collocation/association readout over the corpus LM stats:
+    *
+    *   PMI = log2 p(w1,w2) − log2 p(w1) − log2 p(w2)
+    *       = log2 cb + 2·log2 Nt − log2 Nb − log2 c1 − log2 c2
+    *
+    * computed as FIVE separate [[GraftColumns.binLog2Q20]] calls (never
+    * the product form `cb·Nt²/(Nb·c1·c2)`, whose numerator overflows
+    * Long at web-corpus counts). No transcendentals — the q153 oracle
+    * replays the identical integer recurrence in SQL.
+    *
+    * Scale: unigram and bigram counts are map-side-combined aggregates;
+    * the two count totals are 1-row aggregates of the MODEL-sized count
+    * tables (never a second corpus pass) broadcast in-plan; the c1/c2
+    * attach is two equi-joins against the vocab-sized unigram table.
+    * `minCount` prunes the bigram table BEFORE the joins — rare-pair
+    * PMI is noise (famously explodes for hapax pairs) and would
+    * dominate the join input.
+    */
+  def pmiBigrams(
+      docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1L, "minCount must be >= 1")
+    val lg = GraftColumns.binLog2Q20 _
+    val uc = docs.select(explode(toks(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint()
+    val nt = uc.agg(sum(col("cu")).as("__nt"))
+    val bc = bigrams(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
+    val nb = bc.agg(sum(col("cb")).as("__nb"))
+    bc.filter(col("cb") >= minCount)
+      .join(uc.select(col("t").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .join(uc.select(col("t").as("w2"), col("cu").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nt))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("cb"), col("c1"), col("c2"),
+        (lg(col("cb")) + lit(2L) * lg(col("__nt")) - lg(col("__nb"))
+          - lg(col("c1")) - lg(col("c2"))).as("pmi_q20"))
+  }
 }

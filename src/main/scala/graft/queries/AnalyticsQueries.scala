@@ -911,6 +911,72 @@ object AnalyticsQueries {
         .orderBy($"name_a", $"name_b")
     },
 
+    // Fellegi–Sunter record-pair scoring (LinkageOps) — the decision
+    // stage after q147's blocking: per-field agreement (levenshtein ≤
+    // d, nulls never agree) × literal integer-milli log-odds weights →
+    // match / possible / nonmatch. Candidates here are each customer
+    // paired with a deterministically dirtied copy (name typo by key
+    // mod 3, truncated address by mod 2, wrong phone by mod 5), so all
+    // three decisions appear and the oracle replays the same
+    // perturbation, comparators, and sums.
+    GraftQuery(
+      "q152_linkage_score",
+      """WITH b AS (
+        |  SELECT c_custkey,
+        |    c_name AS name_a, c_mktsegment AS seg_a,
+        |    CAST(CAST(round(c_acctbal*100) AS BIGINT) AS VARCHAR) AS acct_a,
+        |    CASE c_custkey % 3 WHEN 0 THEN c_name
+        |      WHEN 1 THEN c_name || 'x' ELSE c_name || 'zzzz' END AS name_b,
+        |    CASE c_custkey % 2 WHEN 0 THEN c_mktsegment
+        |      ELSE 'UNKNOWN' END AS seg_b,
+        |    CASE c_custkey % 5 WHEN 0
+        |      THEN CAST(CAST(round(c_acctbal*100) AS BIGINT) AS VARCHAR)
+        |      ELSE CAST(CAST(round(c_acctbal*100) AS BIGINT) + 1 AS VARCHAR)
+        |      END AS acct_b
+        |  FROM customer),
+        |sc AS (
+        |  SELECT c_custkey,
+        |    levenshtein(name_a, name_b) <= 1 AS agree_name,
+        |    levenshtein(seg_a, seg_b) <= 0 AS agree_seg,
+        |    levenshtein(acct_a, acct_b) <= 0 AS agree_acct
+        |  FROM b),
+        |t AS (
+        |  SELECT *,
+        |    (CASE WHEN agree_name THEN 4000 ELSE -2000 END +
+        |     CASE WHEN agree_seg THEN 3000 ELSE -1500 END +
+        |     CASE WHEN agree_acct THEN 2500 ELSE -500 END) AS score_milli
+        |  FROM sc)
+        |SELECT c_custkey, agree_name, agree_seg, agree_acct,
+        |  CAST(score_milli AS BIGINT) AS score_milli,
+        |  CASE WHEN score_milli >= 6000 THEN 'match'
+        |       WHEN score_milli <= 0 THEN 'nonmatch'
+        |       ELSE 'possible' END AS decision
+        |FROM t ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.LinkageOps
+      import graft.ops.LinkageOps.FieldRule
+      val m3 = $"c_custkey" % 3
+      val cents = round($"c_acctbal" * 100, 0).cast("long")
+      val pairs = Tables.load(s, dir, "customer").select($"c_custkey",
+        $"c_name".as("name_a"), $"c_mktsegment".as("seg_a"),
+        cents.cast("string").as("acct_a"),
+        when(m3 === 0, $"c_name")
+          .when(m3 === 1, concat($"c_name", lit("x")))
+          .otherwise(concat($"c_name", lit("zzzz"))).as("name_b"),
+        when($"c_custkey" % 2 === 0, $"c_mktsegment")
+          .otherwise(lit("UNKNOWN")).as("seg_b"),
+        when($"c_custkey" % 5 === 0, cents.cast("string"))
+          .otherwise((cents + 1L).cast("string")).as("acct_b"))
+      LinkageOps.fellegiSunterScore(pairs, Seq(
+          FieldRule("name", "name_a", "name_b", 1, 4000L, -2000L),
+          FieldRule("seg", "seg_a", "seg_b", 0, 3000L, -1500L),
+          FieldRule("acct", "acct_a", "acct_b", 0, 2500L, -500L)),
+        upperMilli = 6000L, lowerMilli = 0L)
+        .select($"c_custkey", $"agree_name", $"agree_seg",
+          $"agree_acct", $"score_milli", $"decision")
+        .orderBy($"c_custkey")
+    },
+
     // Incremental rollup maintenance (TemporalOps.mergeRollup): the
     // trailing week's events are aggregated as a delta and merged into
     // the pre-aggregated history by re-summing partials — no history

@@ -579,6 +579,93 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // Bigram PMI (LmOps.pmiBigrams): collocation strength in Q20 fixed
+    // point — log2 cb + 2·log2 Nt − log2 Nb − log2 c1 − log2 c2, each
+    // log the integer normalize-then-20-square-steps recurrence
+    // (GraftColumns.binLog2Q20 — the general form of q142's A-ES
+    // kernel), five separate logs so no product nears Long range at
+    // any corpus size. The oracle replays the identical recurrence, so
+    // even the Q20 rounding is hash-checked.
+    GraftQuery(
+      "q153_pmi_bigrams", {
+      val pows = (0 until 63).map(i => (1L << i).toString)
+        .mkString("[", ", ", "]")
+      // The 20 square steps are UNROLLED as chained CTEs of plain
+      // column arithmetic: DuckDB 1.0.0's vectorized list_reduce with
+      // a branching struct lambda silently miscomputes some rows on
+      // mixed chunks (found by this gate's hash mismatch — per-row
+      // probes were correct, full-pipeline values were not), while
+      // scalar CASE over columns vectorizes correctly.
+      val steps = (1 to 20).map { i =>
+        s"""l$i AS (
+           |  SELECT w1, w2, which, p,
+           |    CASE WHEN (y*y)//1073741824 >= 2147483648
+           |      THEN ((y*y)//1073741824)//2
+           |      ELSE (y*y)//1073741824 END AS y,
+           |    CASE WHEN (y*y)//1073741824 >= 2147483648
+           |      THEN acc*2 + 1 ELSE acc*2 END AS acc
+           |  FROM l${i - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |uni AS (
+        |  SELECT u.t AS t, COUNT(*) AS cu
+        |  FROM toks, UNNEST(tk) AS u(t) GROUP BY 1),
+        |bg AS (
+        |  SELECT tk[g.i] AS w1, tk[g.i + 1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)),
+        |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+        |nt AS (SELECT CAST(SUM(cu) AS BIGINT) AS nt FROM uni),
+        |nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM bc),
+        |j AS (
+        |  SELECT bc.w1, bc.w2, bc.cb, u1.cu AS c1, u2.cu AS c2,
+        |    nt.nt, nb.nb
+        |  FROM bc JOIN uni u1 ON u1.t = bc.w1
+        |  JOIN uni u2 ON u2.t = bc.w2
+        |  CROSS JOIN nt CROSS JOIN nb
+        |  WHERE bc.cb >= 20),
+        |args AS (
+        |  SELECT w1, w2, 'cb' AS which, cb AS v FROM j
+        |  UNION ALL SELECT w1, w2, 'c1', c1 FROM j
+        |  UNION ALL SELECT w1, w2, 'c2', c2 FROM j
+        |  UNION ALL SELECT w1, w2, 'nt', nt FROM j
+        |  UNION ALL SELECT w1, w2, 'nb', nb FROM j),
+        |l0 AS (
+        |  -- the % 2147483648 clamp is IDENTITY on the taken branch
+        |  -- (v < 2^31 when p <= 30); it bounds the eagerly-evaluated
+        |  -- untaken branch, which must not overflow INT64
+        |  SELECT w1, w2, which, p, CAST(0 AS BIGINT) AS acc,
+        |    CASE WHEN p <= 30
+        |      THEN (v % 2147483648) * pows[31 - least(greatest(p, 0), 30)]
+        |      ELSE v // pows[least(p, 62) - 29] END AS y
+        |  FROM (SELECT *, length(printf('%b', v)) - 1 AS p,
+        |          $pows AS pows
+        |        FROM args)),
+        |$steps,
+        |lg AS (SELECT w1, w2, which, p * 1048576 + acc AS l FROM l20),
+        |piv AS (
+        |  SELECT w1, w2,
+        |    MAX(CASE WHEN which = 'cb' THEN l END) AS l_cb,
+        |    MAX(CASE WHEN which = 'c1' THEN l END) AS l_c1,
+        |    MAX(CASE WHEN which = 'c2' THEN l END) AS l_c2,
+        |    MAX(CASE WHEN which = 'nt' THEN l END) AS l_nt,
+        |    MAX(CASE WHEN which = 'nb' THEN l END) AS l_nb
+        |  FROM lg GROUP BY 1, 2)
+        |SELECT j.w1, j.w2, j.cb, j.c1, j.c2,
+        |  CAST(piv.l_cb + 2*piv.l_nt - piv.l_nb - piv.l_c1 - piv.l_c2
+        |    AS BIGINT) AS pmi_q20
+        |FROM j JOIN piv ON j.w1 = piv.w1 AND j.w2 = piv.w2
+        |ORDER BY j.w1, j.w2""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.LmOps
+      LmOps.pmiBigrams(Tables.load(s, dir, "documents"),
+          "doc_id", "text", minCount = 20L)
+        .orderBy($"w1", $"w2")
+    },
+
     // Hashed-feature linear classifier (fastText-style quality model
     // APPLICATION): dim-4096 hashing trick, integer-micro weights as a
     // literal array, score = pure per-row aggregate HOF — the whole

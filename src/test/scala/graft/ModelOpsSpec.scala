@@ -73,6 +73,42 @@ class ModelOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((9L, 1L, 250000L)))
   }
 
+  test("bigram PMI: hand-checked Q20 values on a tiny corpus, " +
+       "minCount prunes, partitioning-invariant") {
+    import graft.ops.LmOps
+    // corpus "a b a b c a b": tokens a×3 b×3 c×1, Nt=7; bigrams
+    // (a,b)×3 (b,a)×1 (b,c)×1 (c,a)×1, Nb=6
+    val docs = Seq((1L, "a b a b c a b")).toDF("doc_id", "text")
+    def ref(v: Long): Long = {
+      val p = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      var y = if (p <= 30) v << (30 - p) else v >> (p - 30)
+      var acc = 0L
+      for (_ <- 1 to 20) {
+        val y2 = (y * y) >> 30
+        if (y2 >= (1L << 31)) { y = y2 / 2; acc = acc * 2 + 1 }
+        else { y = y2; acc = acc * 2 }
+      }
+      p.toLong * (1L << 20) + acc
+    }
+    def pmi(cb: Long, c1: Long, c2: Long) =
+      ref(cb) + 2 * ref(7L) - ref(6L) - ref(c1) - ref(c2)
+    val got = LmOps.pmiBigrams(docs, "doc_id", "text", minCount = 1L)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.keys.toSet ===
+      Set(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")))
+    assert(got(("a", "b")) === (("a", "b", 3L, 3L, 3L, pmi(3, 3, 3))))
+    assert(got(("b", "c")) === (("b", "c", 1L, 3L, 1L, pmi(1, 3, 1))))
+    // minCount prunes BEFORE scoring
+    val pruned = LmOps.pmiBigrams(docs, "doc_id", "text", minCount = 2L)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(pruned.map(r => (r._1, r._2)).toSet === Set(("a", "b")))
+    // partitioning never changes a deterministic integer result
+    val re = LmOps.pmiBigrams(docs.repartition(5), "doc_id", "text", 1L)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(re === got.values.toSet)
+  }
+
   test("bigram LM: sharded training merges exactly — " +
        "merge(model(A), model(B)) == model(A ++ B)") {
     import graft.ops.LmOps

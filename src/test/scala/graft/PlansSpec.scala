@@ -314,7 +314,11 @@ class PlansSpec extends SparkTestBase {
         "q140_quantile_sketch", "q141_personalized_pagerank",
         // q146 crosses the |groups|-row count table with the literal
         // quantile list — both bounded; the rank join is an equi-join
-        "q146_grouped_quantiles")
+        "q146_grouped_quantiles",
+        // q153 crosses the bigram table with its TWO 1-row total-count
+        // aggregates (Nt, Nb — the q96 scalar pattern); the c1/c2
+        // attaches are equi-joins on the unigram table
+        "q153_pmi_bigrams")
     for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")

@@ -142,4 +142,40 @@ class PolyHashSpec extends SparkTestBase {
       .as[Long].collect()
     assert(self === Array(1000000L))
   }
+
+  test("binLog2Q20 matches an exact integer referee across magnitudes, " +
+       "is exact on powers of two, and rejects non-positive input") {
+    import graft.functions.GraftColumns
+    def ref(v: Long): Long = {
+      val p = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      var y = if (p <= 30) v << (30 - p) else v >> (p - 30)
+      var acc = 0L
+      for (_ <- 1 to 20) {
+        val y2 = (y * y) >> 30
+        if (y2 >= (1L << 31)) { y = y2 / 2; acc = acc * 2 + 1 }
+        else { y = y2; acc = acc * 2 }
+      }
+      p.toLong * (1L << 20) + acc
+    }
+    val vs = Seq(1L, 2L, 3L, 7L, 1000L, 1048575L, 1048576L,
+      2147483647L, 2147483648L, 1000000007L * 1000L,
+      (1L << 62) - 1, 1L << 62)
+    val got = vs.toDF("v")
+      .select(GraftColumns.binLog2Q20($"v")).as[Long].collect()
+    assert(got.toSeq === vs.map(ref))
+    // powers of two are exact: log2(2^k) = k exactly in Q20
+    for (k <- Seq(0, 1, 10, 31, 62)) {
+      assert(ref(1L << k) === k.toLong * (1L << 20), s"2^$k")
+    }
+    // ~2^-20 relative accuracy vs floating log2 on shift-up inputs
+    for (v <- Seq(3L, 1000L, 999999937L)) {
+      val err = math.abs(ref(v) / 1048576.0 - math.log(v.toDouble) / math.log(2))
+      assert(err < 1e-5, s"v=$v err=$err")
+    }
+    val e = intercept[Exception] {
+      Seq(0L).toDF("v")
+        .select(GraftColumns.binLog2Q20($"v")).collect()
+    }
+    assert(e.getMessage.contains("binLog2Q20"))
+  }
 }
