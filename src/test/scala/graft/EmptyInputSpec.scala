@@ -208,4 +208,31 @@ class EmptyInputSpec extends SparkTestBase {
       Array(1.0, 0.0, 0.0, 0.0), centers, codebooks,
       nProbe = 1, shortlist = 5, k = 5).count() === 0)
   }
+
+  test("round-7 ops degrade on empty input: grouped count-min, profile, " +
+       "containment pairs, linkage scoring, PMI") {
+    import graft.ops.LinkageOps.FieldRule
+    val noTerms = Seq.empty[(String, String)].toDF("lang", "term")
+    val sk = SketchOps.countMinSketchGrouped(
+      noTerms, Seq("lang"), "term", 2, 8, "e7g")
+    assert(sk.count() === 0)
+    assert(SketchOps.mergeCountMinSketchesGrouped(sk, sk, Seq("lang"))
+      .count() === 0)
+    assert(SketchOps.countMinEstimateGrouped(
+      sk, Seq(("en", "x")).toDF("lang", "term"), Seq("lang"),
+      "term", 2, 8, "e7g").collect().map(_.getLong(2)).toSeq === Seq(0L))
+    // profile of zero rows is empty (the family contract: empty in,
+    // empty out — no group keys exist to hang zero-count rows on)
+    assert(ProfileOps.profile(
+      Seq.empty[(Long, String)].toDF("id", "v"), Seq("id", "v"))
+      .count() === 0)
+    val noSh = Seq.empty[(Long, Seq[Long])].toDF("doc_id", "hashes")
+    assert(DedupOps.containmentPairs(noSh, "doc_id", "hashes", 500)
+      .count() === 0)
+    val noPairs = Seq.empty[(String, String)].toDF("a_f", "b_f")
+    assert(LinkageOps.fellegiSunterScore(noPairs,
+      Seq(FieldRule("f", "a_f", "b_f", 0, 1000L, -1000L)),
+      500L, -500L).count() === 0)
+    assert(LmOps.pmiBigrams(noDocs, "doc_id", "text", 1L).count() === 0)
+  }
 }
