@@ -56,4 +56,33 @@ object BlockingOps {
         col("__idx_b") - col("__idx_a") <= window)
       .drop("__jblk", "__idx_a", "__idx_b")
   }
+
+  /** MULTI-PASS sorted-neighborhood blocking (the full Hernández–Stolfo
+    * method): one [[sortedNeighborhoodPairs]] pass per sort-key list,
+    * results unioned and de-duplicated. A single sort key misses true
+    * pairs whose difference lands early in the key (a typo in the
+    * first character moves a record far away in the sort); passes over
+    * complementary keys (name, reversed name, phonetic key, zip+street)
+    * each catch what the others scatter. Cost is additive in passes —
+    * each pass is the same O(n·w) rank + adjacent-block equi-join —
+    * and the union/distinct dedups cross-pass repeats of the same
+    * unordered pair (pairs are canonicalized on the given `idCol` so
+    * the two orientations a pair can take in different sort orders
+    * collapse).
+    */
+  def sortedNeighborhoodPairsMultiPass(
+      df: DataFrame, window: Int, idCol: String,
+      passes: Seq[Seq[String]]): DataFrame = {
+    require(passes.nonEmpty, "need at least one pass")
+    val perPass = passes.map { ord =>
+      val p = sortedNeighborhoodPairs(df, window, ord: _*)
+      // canonical orientation: the lower id is always the _a side
+      val flip = col(s"${idCol}_b") < col(s"${idCol}_a")
+      p.select(df.columns.flatMap(c => Seq(
+        when(flip, col(s"${c}_b")).otherwise(col(s"${c}_a")).as(s"${c}_a"),
+        when(flip, col(s"${c}_a")).otherwise(col(s"${c}_b")).as(s"${c}_b")
+      )): _*)
+    }
+    perPass.reduce(_.unionByName(_)).distinct()
+  }
 }

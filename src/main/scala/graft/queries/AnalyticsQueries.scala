@@ -977,6 +977,122 @@ object AnalyticsQueries {
         .orderBy($"c_custkey")
     },
 
+    // MULTI-PASS sorted-neighborhood blocking (the full
+    // Hernández–Stolfo method): q147's single name-sorted pass plus a
+    // reversed-name pass — a typo early in the key scatters a true
+    // pair in one sort order but not the other; the union/distinct of
+    // both passes is the recall fix. Pairs canonicalized on the name
+    // so cross-pass orientations collapse.
+    GraftQuery(
+      "q154_multipass_blocking",
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |r1 AS (
+        |  SELECT p_name, row_number() OVER (ORDER BY p_name) - 1 AS idx
+        |  FROM names),
+        |r2 AS (
+        |  SELECT p_name,
+        |    row_number() OVER (ORDER BY reverse(p_name)) - 1 AS idx
+        |  FROM names),
+        |p1 AS (
+        |  SELECT a.p_name AS x, b.p_name AS y
+        |  FROM r1 a JOIN r1 b ON b.idx > a.idx AND b.idx - a.idx <= 5),
+        |p2 AS (
+        |  SELECT a.p_name AS x, b.p_name AS y
+        |  FROM r2 a JOIN r2 b ON b.idx > a.idx AND b.idx - a.idx <= 5),
+        |u AS (
+        |  SELECT DISTINCT least(x, y) AS name_a, greatest(x, y) AS name_b
+        |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2))
+        |SELECT name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM u WHERE levenshtein(name_a, name_b) <= 3
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.BlockingOps
+      val names = Tables.load(s, dir, "part").select($"p_name").distinct()
+        .withColumn("rev", reverse($"p_name"))
+      BlockingOps.sortedNeighborhoodPairsMultiPass(
+          names, 5, "p_name", Seq(Seq("p_name"), Seq("rev")))
+        .filter(levenshtein($"p_name_a", $"p_name_b") <= 3)
+        .select($"p_name_a".as("name_a"), $"p_name_b".as("name_b"),
+          levenshtein($"p_name_a", $"p_name_b").cast("long").as("dist"))
+        .orderBy($"name_a", $"name_b")
+    },
+
+    // ENTITY RESOLUTION END-TO-END: block → score → cluster in one
+    // gate (the ER composition finisher, like q149 for CDC). A dirty
+    // customer set (every third customer duplicated with a name typo
+    // and offset id) goes through sorted-neighborhood blocking (q147),
+    // Fellegi–Sunter match scoring (q152), and connected components
+    // over the accepted match pairs (q60's CC) → entity ids. The
+    // oracle replays blocking rank-windows, scoring sums, and the
+    // transitive closure as a recursive CTE.
+    GraftQuery(
+      "q155_er_pipeline",
+      """WITH RECURSIVE base AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS seg,
+        |    CAST(CAST(round(c_acctbal*100) AS BIGINT) AS VARCHAR) AS acct
+        |  FROM customer WHERE c_custkey < 300),
+        |dirty AS (
+        |  SELECT id, name, seg, acct FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000, name || 'x', seg, acct FROM base
+        |  WHERE id % 3 = 0),
+        |rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY name, id) - 1 AS idx
+        |  FROM dirty),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    a.name AS name_a, b.name AS name_b, a.seg AS seg_a,
+        |    b.seg AS seg_b, a.acct AS acct_a, b.acct AS acct_b
+        |  FROM rk a JOIN rk b ON b.idx > a.idx AND b.idx - a.idx <= 10),
+        |m AS (
+        |  SELECT id_a, id_b FROM cand
+        |  WHERE (CASE WHEN levenshtein(name_a, name_b) <= 1
+        |           THEN 4000 ELSE -2000 END +
+        |         CASE WHEN levenshtein(seg_a, seg_b) <= 0
+        |           THEN 3000 ELSE -1500 END +
+        |         CASE WHEN levenshtein(acct_a, acct_b) <= 0
+        |           THEN 2500 ELSE -500 END) >= 6000),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM m
+        |  UNION SELECT id_b, id_a FROM m),
+        |reach(src, node) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+        |comp AS (SELECT src AS id, MIN(node) AS entity
+        |  FROM reach GROUP BY src)
+        |SELECT entity, COUNT(*) AS n_members, MAX(id) AS max_member
+        |FROM comp GROUP BY entity ORDER BY entity""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import graft.ops.{BlockingOps, GraphOps, LinkageOps}
+      import graft.ops.LinkageOps.FieldRule
+      val base = Tables.load(s, dir, "customer")
+        .filter($"c_custkey" < 300)
+        .select($"c_custkey".as("id"), $"c_name".as("name"),
+          $"c_mktsegment".as("seg"),
+          round($"c_acctbal" * 100, 0).cast("long").cast("string")
+            .as("acct"))
+      val dirty = base.unionByName(base.filter($"id" % 3 === 0)
+        .select(($"id" + 1000000L).as("id"),
+          concat($"name", lit("x")).as("name"), $"seg", $"acct"))
+      val cand = BlockingOps.sortedNeighborhoodPairs(
+        dirty, 10, "name", "id")
+      val matches = LinkageOps.fellegiSunterScore(cand, Seq(
+          FieldRule("name", "name_a", "name_b", 1, 4000L, -2000L),
+          FieldRule("seg", "seg_a", "seg_b", 0, 3000L, -1500L),
+          FieldRule("acct", "acct_a", "acct_b", 0, 2500L, -500L)),
+        upperMilli = 6000L, lowerMilli = 0L)
+        .filter($"decision" === "match")
+        .select($"id_a", $"id_b")
+      GraphOps.connectedComponents(matches, "id_a", "id_b")
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_members"), max($"id").as("max_member"))
+        .select($"component".as("entity"), $"n_members", $"max_member")
+        .orderBy($"entity")
+    },
+
     // Incremental rollup maintenance (TemporalOps.mergeRollup): the
     // trailing week's events are aggregated as a delta and merged into
     // the pre-aggregated history by re-summing partials — no history

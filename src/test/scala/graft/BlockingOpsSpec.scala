@@ -52,4 +52,26 @@ class BlockingOpsSpec extends SparkTestBase {
         names.withColumn("__idx", lit(1L)), 5, "p_name")
     }
   }
+
+  test("multi-pass blocking: union of the per-pass pair sets with " +
+       "canonical orientation, and the reversed-key pass recovers a " +
+       "pair a leading typo scatters") {
+    // 'aaaa9' vs 'zaaa9': a FIRST-character difference — far apart in
+    // the forward sort, adjacent in the reversed sort
+    val rows = Seq("aaaa9", "bcde1", "fghi2", "jklm3", "nopq4",
+      "rstu5", "vwxy6", "zaaa9")
+      .toDF("name").withColumn("rev", reverse($"name"))
+    val fwd = BlockingOps.sortedNeighborhoodPairs(rows, 1, "name")
+      .select($"name_a", $"name_b").as[(String, String)].collect().toSet
+    assert(!fwd.contains(("aaaa9", "zaaa9")))
+    val multi = BlockingOps.sortedNeighborhoodPairsMultiPass(
+        rows, 1, "name", Seq(Seq("name"), Seq("rev")))
+      .select($"name_a", $"name_b").as[(String, String)].collect().toSet
+    assert(multi.contains(("aaaa9", "zaaa9")))
+    // equivalence with the hand-built union (canonicalized on name)
+    val rev = BlockingOps.sortedNeighborhoodPairs(rows, 1, "rev")
+      .select(least($"name_a", $"name_b"), greatest($"name_a", $"name_b"))
+      .as[(String, String)].collect().toSet
+    assert(multi === (fwd ++ rev))
+  }
 }
