@@ -382,6 +382,31 @@ object GraphOps {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] with a QUALITY-AWARE survivor: keep the row
+    * with the highest `scoreCol` (ties to the lower id) per near-dup
+    * cluster instead of the arbitrary min-id member — the production
+    * curation policy (a cluster of a clean original and its truncated/
+    * mangled copies should keep the clean one, which min-id cannot
+    * guarantee). Rows in no pair survive untouched. The per-cluster
+    * pick is a window over the CLUSTERED rows only — |paired ids|, not
+    * |corpus| — partitioned by component, so no task sees more than
+    * one cluster's rows.
+    */
+  def dropNearDuplicatesByScore(
+      df: DataFrame, idCol: String, scoreCol: String, pairs: DataFrame,
+      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val losers = connectedComponents(pairs, srcCol, dstCol)
+      .withColumnRenamed("id", idCol)
+      .join(df.select(col(idCol), col(scoreCol).as("__s")), Seq(idCol))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("__s").desc, col(idCol).asc)))
+      .filter(col("__rk") > 1)
+      .select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** K-core decomposition by iterative peeling: repeatedly drop nodes
     * of degree < k (and their edges) until every remaining node has at
     * least k neighbors within the survivor set — the standard

@@ -216,6 +216,62 @@ object DedupQueries {
         .orderBy($"id_a", $"id_b")
     },
 
+    // Quality-aware dedup survivor (GraphOps.dropNearDuplicatesByScore):
+    // q60's clusters, but each cluster keeps its HIGHEST-n_chars member
+    // (ties to the lower id) instead of the arbitrary min id — the
+    // production curation policy: a cluster of an original and its
+    // truncated copies must keep the original, which min-id cannot
+    // guarantee. Unpaired docs survive untouched. The oracle replays
+    // closure + per-component window pick.
+    GraftQuery(
+      "q156_dedup_keep_best",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, $DuckShingleHashes AS hashes FROM documents),
+         |inv AS (SELECT doc_id, unnest(hashes) AS h FROM sh),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+         |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(hashes) AS n FROM sh),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM shared
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE (shared*1000)//(sa.n + sb.n - shared) >= 500),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, node) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT src AS doc_id, MIN(node) AS component
+         |  FROM reach GROUP BY src),
+         |ranked AS (
+         |  SELECT c.doc_id,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY d.n_chars DESC, c.doc_id) AS rk
+         |  FROM comp c JOIN documents d USING (doc_id)),
+         |losers AS (SELECT doc_id FROM ranked WHERE rk > 1)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val sh = docs.select($"doc_id",
+        TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+      val pairs = DedupOps
+        .sharedShingleCountsBounded(sh, "doc_id", "hashes", 500)
+        .select($"id_a", $"id_b",
+          floor($"shared".cast("double") * 1000.0 /
+            ($"n_a" + $"n_b" - $"shared").cast("double")).cast("long")
+            .as("jm"))
+        .filter($"jm" >= 500).select($"id_a", $"id_b")
+      graft.ops.GraphOps.dropNearDuplicatesByScore(
+          docs.select($"doc_id", $"n_chars"), "doc_id", "n_chars", pairs)
+        .orderBy($"doc_id")
+    },
+
     // Near-dup CLUSTERS: the q31 pair stage feeds connected components
     // (iterated min-label propagation — the map-reduce CC algorithm),
     // rolled up per cluster. The oracle computes the same transitive

@@ -48,6 +48,20 @@ class GraphOpsSpec extends SparkTestBase {
     assert(kept === Array(1L, 5L, 7L))
   }
 
+  test("dropNearDuplicatesByScore keeps the HIGHEST-score member per " +
+       "cluster (ties to the lower id), unpaired rows survive") {
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L), // cluster {1,2,3}: 2 wins
+      (7L, 5L), (9L, 5L),              // cluster {7,9}: tie → 7 wins
+      (5L, 1L)                         // no pairs: survives
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val kept = GraphOps.dropNearDuplicatesByScore(
+        docs, "doc_id", "quality", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 5L, 7L)) // min-id would have kept 1, not 2
+  }
+
   test("connectedComponents matches a union-find referee on seeded " +
        "random graphs") {
     // plain-Scala referee: weighted-ish union-find with path compression
