@@ -476,4 +476,102 @@ object CurationOps {
         col("n_feats"),
         coalesce(graft.functions.GraftColumns.longDiv(
           col("__sr"), col("n_feats")), lit(0L)).as("score_micro"))
+
+  /** Blocklist filtering (the bad-word/bad-domain curation stage): per
+    * document, count token occurrences that hit a blocklist TABLE and
+    * keep documents whose hit ratio stays at or below
+    * `maxRatioMilli` per mille of their token count.
+    *
+    * The blocklist is a relation, not a regex alternation: a
+    * million-entry list joins as an ordinary (broadcast when small,
+    * shuffled when not) equi-join on the token, where a compiled
+    * `term1|term2|…` pattern degrades linearly in list size per row
+    * and can't be pushed into a join at all. Exact-token semantics
+    * (not substring) — blocklists of words/domains are token-shaped;
+    * substring policies belong to redactPii-style scan expressions.
+    *
+    * One corpus pass: explode_outer keeps token-less documents (0
+    * hits, always kept); hits counted with map-side combine on the
+    * doc-id shuffle. Output: (id, n_tokens, hits, hit_ratio_milli,
+    * kept) — callers filter on `kept`; emitting the flag keeps the
+    * decision auditable (the reject stream is the complement).
+    */
+  def blocklistFilter(
+      docs: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, termCol: String,
+      maxRatioMilli: Long): DataFrame = {
+    require(maxRatioMilli >= 0, "ratio is per-mille")
+    val div = graft.functions.GraftColumns.longDiv _
+    val bl = blocklist.select(col(termCol).as("__term")).distinct()
+    docs
+      .select(col(idCol),
+        explode_outer(TextOps.tokenize(col(textCol))).as("__tok"))
+      .join(bl, col("__tok") === col("__term"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(col("__tok")).as("n_tokens"),
+        count(col("__term")).as("hits"))
+      .select(col(idCol), col("n_tokens"), col("hits"),
+        // token-less docs (null/empty text) are 0-hit, ratio 0 — a bare
+        // div would raise DIVIDE_BY_ZERO under ANSI mode
+        when(col("n_tokens") > 0, div(col("hits") * 1000L, col("n_tokens")))
+          .otherwise(lit(0L)).as("hit_ratio_milli"))
+      .withColumn("kept", col("hit_ratio_milli") <= maxRatioMilli)
+  }
+
+  /** Robust per-group winsorization: clip each row's value into
+    * [median − k·MAD, median + k·MAD] of its group (MAD = median
+    * absolute deviation — the robust outlier fence; mean ± k·σ moves
+    * with the very outliers it should fence off, median/MAD doesn't).
+    *
+    * Exact medians WITHOUT sorting any group's raw rows: both median
+    * passes run over the per-group VALUE HISTOGRAM — groupBy(group,
+    * value) with map-side combine collapses the rows, then the
+    * cumulative-count window walks distinct values only (bounded by
+    * the value domain, not the row count: a billion-row group with
+    * 50k distinct cents values windows over 50k rows). Nearest-rank-
+    * lower on (n+1) div 2, the q140/q146 rank policy.
+    *
+    * `valueCol` must already be integer units (cents/micros — the
+    * determinism contract). Output: input columns + (med, mad,
+    * clipped) where clipped = least(greatest(v, lo), hi).
+    */
+  def robustClip(
+      df: DataFrame, groupCol: String, valueCol: String,
+      k: Long = 3L): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    val withMed = df.join(
+      histogramMedian(df, groupCol, valueCol)
+        .withColumnRenamed("__median", "med"), Seq(groupCol))
+    val dev = withMed.withColumn("__dev",
+      abs(col(valueCol) - col("med")))
+    val withMad = dev.join(
+      histogramMedian(dev, groupCol, "__dev")
+        .withColumnRenamed("__median", "mad"), Seq(groupCol))
+    withMad
+      .withColumn("clipped",
+        least(greatest(col(valueCol), col("med") - lit(k) * col("mad")),
+          col("med") + lit(k) * col("mad")))
+      .drop("__dev")
+  }
+
+  /** Exact per-group median over the value histogram (nearest-rank-
+    * lower at (n+1) div 2): one map-side-combined groupBy collapses
+    * rows to (group, value, cnt), one window walks each group's
+    * DISTINCT values in order. Returns (group, __median).
+    */
+  private def histogramMedian(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(groupCol))
+    hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(tot))
+      .filter(col("__cum") >= graft.functions.GraftColumns.longDiv(
+        col("__n") + 1, lit(2L)))
+      .groupBy(col(groupCol)).agg(min(col("__v")).as("__median"))
+  }
 }

@@ -393,6 +393,133 @@ object DedupOps {
         col("cont_b_milli") >= thresholdMilli)
   }
 
+  /** Per-pair tf-histogram statistics over a MULTISET feature column —
+    * the shared kernel of [[weightedJaccardPairs]] and
+    * [[sparseCosinePairs]]. The input column keeps duplicate features
+    * (e.g. the raw native shingle stream, NOT `array_distinct`'d):
+    * term frequency is the weight, so boilerplate that repeats inside a
+    * document counts with its multiplicity — what the set-based q31/q151
+    * measures deliberately flatten.
+    *
+    * Shape: one groupBy builds the (id, feature, tf) histogram with
+    * map-side combine; per-doc totals (Σtf, Σtf²) ride along on the
+    * posting structs like the sizes in [[sharedShingleCountsBounded]];
+    * postings hotter than `maxPosting` route through the skew-safe
+    * self-equi-join (AQE skew split) instead of a one-row posting
+    * array; parallelism is pinned before the Σfreq² explode (AQE sizes
+    * from the tiny key stream otherwise). `ratioMilli` prunes pairs
+    * whose Σtf totals differ by more than the bound BEFORE the pair
+    * aggregation — valid for weighted Jaccard (wj ≤ totMin/totMax),
+    * pass 0 when the caller's measure has no such bound.
+    *
+    * Returns (id_a, id_b, min_sum, dot, tot_a, tot_b, n2_a, n2_b):
+    * Σ min(tf_a,tf_b), Σ tf_a·tf_b, and the per-doc Σtf / Σtf².
+    */
+  def histogramPairStats(
+      df: DataFrame, id: String, features: String,
+      ratioMilli: Int = 0,
+      maxPosting: Int = DefaultMaxBucket): DataFrame = {
+    val hist = df.select(col(id), explode(col(features)).as("__f"))
+      .groupBy(col(id), col("__f"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = hist.groupBy(col(id))
+      .agg(sum(col("tf")).as("tot"),
+        sum(col("tf") * col("tf")).as("n2"))
+    val tagged = hist.join(stats, Seq(id))
+    val dfreq = hist.groupBy(col("__f")).agg(count(lit(1)).as("__cnt"))
+    val posts = tagged.join(dfreq, Seq("__f"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    def ratioOk(ta: Column, tb: Column): Column =
+      least(ta, tb) * 1000 >= lit(ratioMilli.toLong) * greatest(ta, tb)
+    def pairCols(a: Column, b: Column): Seq[Column] = Seq(
+      a.getField(id).as("id_a"), b.getField(id).as("id_b"),
+      least(a.getField("tf"), b.getField("tf")).as("__min"),
+      (a.getField("tf") * b.getField("tf")).as("__prod"),
+      a.getField("tot").as("tot_a"), b.getField("tot").as("tot_b"),
+      a.getField("n2").as("n2_a"), b.getField("n2").as("n2_b"))
+    val entry = struct(col(id).as(id), col("tf"), col("tot"), col("n2"))
+    val small = posts.filter(col("__cnt") <= maxPosting)
+      .groupBy(col("__f"))
+      .agg(collect_list(entry).as("ds"))
+      .repartition(par)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a").getField(id) < col("b").getField(id) &&
+        ratioOk(col("a").getField("tot"), col("b").getField("tot")))
+      .select(pairCols(col("a"), col("b")): _*)
+    val hot = posts.filter(col("__cnt") > maxPosting)
+      .select(col("__f"), entry.as("e"))
+    val hotPairs = hot.select(col("__f"), col("e").as("a"))
+      .join(hot.select(col("__f"), col("e").as("b")), Seq("__f"))
+      .filter(col("a").getField(id) < col("b").getField(id) &&
+        ratioOk(col("a").getField("tot"), col("b").getField("tot")))
+      .select(pairCols(col("a"), col("b")): _*)
+    small.union(hotPairs)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__min")).as("min_sum"),
+        sum(col("__prod")).as("dot"),
+        first(col("tot_a")).as("tot_a"), first(col("tot_b")).as("tot_b"),
+        first(col("n2_a")).as("n2_a"), first(col("n2_b")).as("n2_b"))
+  }
+
+  /** Weighted (multiset) Jaccard near-dup pairs: wj = Σ min(tf_a,tf_b)
+    * / Σ max(tf_a,tf_b) over the shingle HISTOGRAMS. Identity
+    * Σ max = tot_a + tot_b − Σ min turns the denominator into two
+    * ride-along scalars, so only matching features ever join. The
+    * multiset view scores a doc that repeats a boilerplate block n
+    * times differently from one containing it once — set Jaccard
+    * (q31) cannot tell them apart. The Σtf length-ratio bound prunes
+    * before pair aggregation (wj ≥ t ⇒ totMin/totMax ≥ t). Integer
+    * per-mille, exact. Returns (id_a, id_b, min_sum, tot_a, tot_b,
+    * wj_milli) at wj_milli ≥ `thresholdMilli`.
+    */
+  def weightedJaccardPairs(
+      df: DataFrame, id: String, features: String,
+      thresholdMilli: Int,
+      maxPosting: Int = DefaultMaxBucket): DataFrame = {
+    require(thresholdMilli >= 0 && thresholdMilli <= 1000,
+      "threshold is per-mille")
+    val div = graft.functions.GraftColumns.longDiv _
+    histogramPairStats(df, id, features,
+        ratioMilli = thresholdMilli, maxPosting = maxPosting)
+      .withColumn("wj_milli", div(col("min_sum") * 1000L,
+        col("tot_a") + col("tot_b") - col("min_sum")))
+      .filter(col("wj_milli") >= thresholdMilli)
+      .select("id_a", "id_b", "min_sum", "tot_a", "tot_b", "wj_milli")
+  }
+
+  /** Sparse-vector cosine pairs via the inverted index (the
+    * feature-hashed CountVectorizer path): documents as tf vectors over
+    * hashed features, cosine through the posting-list join — only
+    * features present in BOTH documents contribute to the dot product,
+    * so compute scales with Σ df² over the feature vocabulary, never
+    * corpus n² (q34's dense BNLJ shape). Works on any integer-weight
+    * multiset column; compose with `pmod(shingleHash, dim)` for a
+    * fixed-dimension hashing-trick vectorization.
+    *
+    * Determinism: cosine is compared SQUARED in integer ppm —
+    * cos²·1e6 = dot²·1e6 div (Σtf_a²·Σtf_b²) — monotone in cosine for
+    * nonnegative weights, so thresholding cos² ≥ t² ≡ cos ≥ t with no
+    * sqrt in the plan and no floating point anywhere. Long-safe while
+    * n2_a·n2_b ≤ 9.2e12, i.e. per-doc token counts into the millions.
+    * Returns (id_a, id_b, dot, n2_a, n2_b, cos2_ppm) at cos2_ppm ≥
+    * `thresholdPpm`.
+    */
+  def sparseCosinePairs(
+      df: DataFrame, id: String, features: String,
+      thresholdPpm: Int,
+      maxPosting: Int = DefaultMaxBucket): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000,
+      "threshold is ppm of cos²")
+    val div = graft.functions.GraftColumns.longDiv _
+    histogramPairStats(df, id, features,
+        ratioMilli = 0, maxPosting = maxPosting)
+      .withColumn("cos2_ppm", div(col("dot") * col("dot") * 1000000L,
+        col("n2_a") * col("n2_b")))
+      .filter(col("cos2_ppm") >= thresholdPpm)
+      .select("id_a", "id_b", "dot", "n2_a", "n2_b", "cos2_ppm")
+  }
+
   /** EXACT Jaccard-threshold pairs via prefix filtering (the PPJoin-family
     * optimization): two sets with jaccard ≥ t must share an element among
     * each one's first `|S| - ceil(t*|S|) + 1` elements in any global

@@ -520,6 +520,120 @@ object GraphOps {
     dist
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection: labels start as node ids; each round every node adopts
+    * the most frequent label among its NEIGHBORS, ties to the smallest
+    * label. Unlike [[connectedComponents]] (where any label spreads to
+    * the whole component), labels here COMPETE by frequency, so dense
+    * regions keep their own majority label and the graph partitions
+    * into communities — on a connected graph the two results genuinely
+    * differ from round 2 on.
+    *
+    * Deterministic by construction: synchronous updates (no visit
+    * order), smallest-label tie-break, FIXED rounds — the q106
+    * contract, so a fixed-unroll SQL oracle replays it exactly.
+    * (Async LPA with random visit order — the paper's variant — is
+    * not reproducible across engines; the synchronous form is the
+    * standard determinization.)
+    *
+    * Per round: one equi-join (labels→edges), one map-side-combined
+    * (node, label) count, and an ALGEBRAIC argmax — min(struct(−cnt,
+    * label)) — instead of a per-node window, so a hub node's million
+    * neighbor labels reduce via partial aggregation, never a one-task
+    * sort. Isolated nodes keep their own label (left join + coalesce).
+    *
+    * Output: (id, label) after `rounds` rounds.
+    */
+  def labelPropagation(
+      edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val und = edges
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(edges.select(col(bCol).as("a"), col(aCol).as("b")))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct().localCheckpoint()
+    val nodes = und.select(col("a").as("id")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("id"))
+    var r = 0
+    while (r < rounds) {
+      val votes = und
+        .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a").as("id"), col("label"))
+        .agg(count(lit(1)).as("__cnt"))
+      val picked = votes
+        .groupBy(col("id"))
+        .agg(min(struct((-col("__cnt")).as("nc"), col("label").as("l")))
+          .as("__best"))
+        .select(col("id"), col("__best.l").as("__new"))
+      labels = labels.join(picked, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint()
+      r += 1
+    }
+    labels
+  }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) in exact integer
+    * arithmetic: per round auth(n) = Σ_{m→n} hub(m) then hub(n) =
+    * Σ_{n→m} auth(m), each vector renormalized to `scale` ppm of its
+    * MAXIMUM. L∞ normalization instead of Kleinberg's L2: dividing a
+    * vector by a positive scalar preserves every score ratio and
+    * therefore the ranking — and it keeps the whole loop in BIGINT
+    * `div` (no sqrt), so a fixed-round SQL oracle replays it
+    * bit-for-bit (the q106 determinism contract).
+    *
+    * Per round: two equi-joins (scores→edges) + two map-side-combined
+    * sum aggregates, all key-partitioned shuffles scaling with |E|;
+    * the normalization maximum enters the plan as a broadcast 1-row
+    * aggregate (no driver collect). Rounds are FIXED and small, so the
+    * loop composes as one declarative plan — no per-round action at
+    * all, unlike [[pageRank]]'s checkpoint-per-round (whose round
+    * count is larger and lineage growth real).
+    *
+    * Overflow: scores ≤ scale after each normalization, so a sum is
+    * ≤ scale·maxDegree — Long-safe while |E| ≤ 9.2e18/scale (9.2e12
+    * at the default ppm scale).
+    *
+    * Output: (id, hub_ppm, auth_ppm) over all nodes. On a bipartite
+    * graph (e.g. buyer→supplier) hubs rank the source side and
+    * authorities the destination side; the other side's score is 0.
+    */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(scale > 0, "scale must be positive")
+    val div = graft.functions.GraftColumns.longDiv _
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    def normalize(scores: DataFrame): DataFrame = {
+      val mx = scores.agg(max(col("score")).as("__mx"))
+      scores.crossJoin(broadcast(mx))
+        .select(col("id"),
+          when(col("__mx") > 0, div(col("score") * scale, col("__mx")))
+            .otherwise(lit(0L)).as("score"))
+    }
+    def pull(scores: DataFrame, from: String, to: String): DataFrame = {
+      val sums = e
+        .join(scores.select(col("id").as(from), col("score")), Seq(from))
+        .groupBy(col(to).as("id")).agg(sum(col("score")).as("score"))
+      normalize(nodes.join(sums, Seq("id"), "left")
+        .select(col("id"), coalesce(col("score"), lit(0L)).as("score")))
+    }
+    var hub = nodes.select(col("id"), lit(scale).as("score"))
+    var auth = nodes.select(col("id"), lit(0L).as("score"))
+    for (_ <- 1 to rounds) {
+      auth = pull(hub, from = "src", to = "dst")
+      hub = pull(auth, from = "dst", to = "src")
+    }
+    hub.select(col("id"), col("score").as("hub_ppm"))
+      .join(auth.select(col("id"), col("score").as("auth_ppm")), Seq("id"))
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation
     * (Cohen's MapReduce triangle algorithm / the compact-forward
     * family): orient every undirected edge from its lower-(degree, id)

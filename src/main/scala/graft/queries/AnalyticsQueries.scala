@@ -1326,6 +1326,95 @@ object AnalyticsQueries {
           count($"price_c").as("n_priced"),
           coalesce(sum($"price_c"), lit(0L)).as("total_c"))
         .orderBy($"o_orderstatus")
+    },
+
+    // HITS hubs & authorities (GraphOps.hits) over the buyer→supplier
+    // bipartite graph: authorities rank suppliers by endorsement from
+    // strong buyers, hubs rank buyers by breadth of strong suppliers —
+    // the mutually-recursive companion to q106's PageRank. Exact
+    // integer loop (L∞ ppm normalization per half-round — a positive
+    // scalar divide, so rankings match Kleinberg's L2 form) lets the
+    // oracle unroll 2 rounds bit-for-bit. Top-10 per side; ids are
+    // 'c'/'s'-prefixed (the key spaces collide numerically).
+    GraftQuery("q162_hits", AnalyticsSql.Hits2) { (s, dir) =>
+      import s.implicits._
+      val edges = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(
+          concat(lit("c"), $"o_custkey".cast("string")).as("src"),
+          concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
+      val sc = graft.ops.GraphOps.hits(edges, "src", "dst", rounds = 2)
+      def side(tpe: String, scoreCol: String, prefix: String) = {
+        val top = sc.filter($"id".startsWith(prefix))
+          .select($"id".as("node_id"), col(scoreCol).as("score_ppm"))
+          .orderBy($"score_ppm".desc, $"node_id").limit(10)
+        // rank window runs over the 10 TakeOrdered survivors only —
+        // bounded by construction (the q121 pattern), never all nodes
+        top.select(lit(tpe).as("node_type"), $"node_id", $"score_ppm",
+          row_number().over(Window
+            .orderBy($"score_ppm".desc, $"node_id")).cast("long")
+            .as("rank"))
+      }
+      side("supplier", "auth_ppm", "s")
+        .union(side("customer", "hub_ppm", "c"))
+        .orderBy($"node_type", $"rank")
+    },
+
+    // Robust per-group winsorization (CurationOps.robustClip): clip
+    // event values into median ± 3·MAD of their event type — the
+    // outlier fence that doesn't move with the outliers (mean ± kσ
+    // does). Both medians are exact yet computed over the per-group
+    // VALUE HISTOGRAM (distinct cents values), so no task ever sorts a
+    // group's raw rows. Gate reads the per-group clip summary.
+    GraftQuery(
+      "q163_robust_clip",
+      """WITH v AS (
+        |  SELECT event_type,
+        |    CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+        |hist AS (
+        |  SELECT event_type, value_c, COUNT(*) AS c FROM v GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, value_c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY value_c) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM hist),
+        |med AS (
+        |  SELECT event_type, MIN(value_c) AS med FROM cum
+        |  WHERE cum >= (n+1)//2 GROUP BY 1),
+        |d AS (
+        |  SELECT v.event_type, value_c, ABS(value_c - med) AS dev, med
+        |  FROM v JOIN med USING (event_type)),
+        |dh AS (
+        |  SELECT event_type, dev, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |dcum AS (
+        |  SELECT event_type, dev,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM dh),
+        |mad AS (
+        |  SELECT event_type, MIN(dev) AS mad FROM dcum
+        |  WHERE cum >= (n+1)//2 GROUP BY 1)
+        |SELECT d.event_type, COUNT(*) AS n,
+        |  MIN(d.med) AS med_c, MIN(mad.mad) AS mad_c,
+        |  COUNT(*) FILTER (value_c < med - 3*mad) AS n_lo,
+        |  COUNT(*) FILTER (value_c > med + 3*mad) AS n_hi,
+        |  CAST(SUM(LEAST(GREATEST(value_c, med - 3*mad),
+        |    med + 3*mad)) AS BIGINT) AS sum_clipped_c
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select($"event_type",
+          round($"value" * 100, 0).cast("long").as("value_c"))
+      graft.ops.CurationOps.robustClip(e, "event_type", "value_c", k = 3)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          min($"med").as("med_c"), min($"mad").as("mad_c"),
+          count(when($"value_c" < $"med" - $"mad" * 3, 1)).as("n_lo"),
+          count(when($"value_c" > $"med" + $"mad" * 3, 1)).as("n_hi"),
+          sum($"clipped").as("sum_clipped_c"))
+        .orderBy($"event_type")
     })
 }
 
@@ -1356,6 +1445,48 @@ private object AnalyticsSql {
     * division order at every step (base uses mass//N FIRST, contrib is
     * r//deg then summed, dangling redistributes as dang//N).
     */
+  /** 2 unrolled HITS rounds over the buyer→supplier graph, integer
+    * ppm with L∞ normalization — replays GraphOps.hits bit-for-bit.
+    */
+  val Hits2: String =
+    """WITH e AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |a1s AS (SELECT dst AS id, CAST(SUM(CAST(1000000 AS BIGINT)) AS BIGINT) AS s
+      |        FROM e GROUP BY 1),
+      |a1 AS (SELECT n.id, COALESCE(a1s.s, 0) AS s
+      |       FROM nodes n LEFT JOIN a1s USING (id)),
+      |a1n AS (SELECT id, s*1000000//(SELECT MAX(s) FROM a1) AS s FROM a1),
+      |h1s AS (SELECT e.src AS id, CAST(SUM(a.s) AS BIGINT) AS s
+      |        FROM e JOIN a1n a ON a.id = e.dst GROUP BY 1),
+      |h1 AS (SELECT n.id, COALESCE(h1s.s, 0) AS s
+      |       FROM nodes n LEFT JOIN h1s USING (id)),
+      |h1n AS (SELECT id, s*1000000//(SELECT MAX(s) FROM h1) AS s FROM h1),
+      |a2s AS (SELECT e.dst AS id, CAST(SUM(h.s) AS BIGINT) AS s
+      |        FROM e JOIN h1n h ON h.id = e.src GROUP BY 1),
+      |a2 AS (SELECT n.id, COALESCE(a2s.s, 0) AS s
+      |       FROM nodes n LEFT JOIN a2s USING (id)),
+      |a2n AS (SELECT id, s*1000000//(SELECT MAX(s) FROM a2) AS s FROM a2),
+      |h2s AS (SELECT e.src AS id, CAST(SUM(a.s) AS BIGINT) AS s
+      |        FROM e JOIN a2n a ON a.id = e.dst GROUP BY 1),
+      |h2 AS (SELECT n.id, COALESCE(h2s.s, 0) AS s
+      |       FROM nodes n LEFT JOIN h2s USING (id)),
+      |h2n AS (SELECT id, s*1000000//(SELECT MAX(s) FROM h2) AS s FROM h2),
+      |sc AS (SELECT n.id, h.s AS hub_ppm, a.s AS auth_ppm
+      |       FROM nodes n JOIN h2n h USING (id) JOIN a2n a USING (id))
+      |SELECT * FROM (
+      |  SELECT 'supplier' AS node_type, id AS node_id,
+      |    auth_ppm AS score_ppm,
+      |    CAST(row_number() OVER (ORDER BY auth_ppm DESC, id) AS BIGINT)
+      |      AS rank
+      |  FROM sc WHERE id LIKE 's%'
+      |  UNION ALL
+      |  SELECT 'customer', id, hub_ppm,
+      |    CAST(row_number() OVER (ORDER BY hub_ppm DESC, id) AS BIGINT)
+      |  FROM sc WHERE id LIKE 'c%') t
+      |WHERE rank <= 10 ORDER BY node_type, rank""".stripMargin
+
   val PageRank3: String = {
     val iterCtes = (1 to 3).map { k =>
       val prev = if (k == 1) "r0" else s"r${k - 1}"

@@ -934,6 +934,36 @@ object CurationQueries {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")) { (s, dir) =>
       graft.ops.ProfileOps.profile(
         Tables.load(s, dir, "documents"), ProfileCols)
+    },
+
+    // Blocklist filtering (CurationOps.blocklistFilter): per-doc hit
+    // counts against a blocklist TABLE (equi-join — a million-entry
+    // list stays a join, where a regex alternation degrades linearly
+    // per row), keep docs at ≤ 60‰ hit ratio. Exact-token semantics;
+    // the kept flag stays in the output so the reject stream is the
+    // auditable complement.
+    GraftQuery(
+      "q161_blocklist",
+      """WITH t AS (
+        |  SELECT doc_id, u.tok AS tok
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'),
+        |            x -> x <> '') AS tk
+        |        FROM documents) s, UNNEST(tk) AS u(tok)),
+        |bl AS (SELECT * FROM (VALUES ('error'), ('slow')) AS b(term)),
+        |h AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(bl.term) AS hits
+        |  FROM t LEFT JOIN bl ON t.tok = bl.term GROUP BY 1)
+        |SELECT doc_id, n_tokens, hits,
+        |  (hits*1000)//n_tokens AS hit_ratio_milli,
+        |  (hits*1000)//n_tokens <= 60 AS kept
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val blocklist = Seq("error", "slow").toDF("term")
+      CurationOps.blocklistFilter(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          blocklist, "term", maxRatioMilli = 60L)
+        .orderBy($"doc_id")
     })
 
   private def runValidation(

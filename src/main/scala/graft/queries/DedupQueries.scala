@@ -27,6 +27,16 @@ object DedupQueries {
       |          list_transform(string_split(s,''), c -> ascii(c))),
       |         (a,x) -> (a*31+x)%1000000007)))""".stripMargin
 
+  // Multiset variant (no list_distinct): term frequency is the weight
+  // for the histogram measures (q157/q158).
+  private val DuckShingleHashesMulti =
+    """list_transform(
+      |    list_transform(generate_series(1, len(string_split_regex(text,'\s+'))-2),
+      |      i -> array_to_string(string_split_regex(text,'\s+')[i:i+2], ' ')),
+      |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(string_split(s,''), c -> ascii(c))),
+      |         (a,x) -> (a*31+x)%1000000007))""".stripMargin
+
   private val DuckTokenHashes =
     """list_distinct(list_transform(string_split_regex(text,'\s+'),
       |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -270,6 +280,81 @@ object DedupQueries {
       graft.ops.GraphOps.dropNearDuplicatesByScore(
           docs.select($"doc_id", $"n_chars"), "doc_id", "n_chars", pairs)
         .orderBy($"doc_id")
+    },
+
+    // Weighted (multiset) Jaccard pairs (DedupOps.weightedJaccardPairs):
+    // shingle HISTOGRAMS instead of sets — Σmin(tf)/Σmax(tf), with the
+    // denominator folded to two ride-along totals. Catches repeated-
+    // boilerplate structure the set-based q31 flattens. Posting-list
+    // join on the shingle hash; Σtf ratio bound prunes pre-aggregation.
+    GraftQuery(
+      "q157_weighted_jaccard",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $DuckShingleHashesMulti AS s FROM documents),
+         |hist AS (
+         |  SELECT doc_id, u.h AS h, COUNT(*) AS tf
+         |  FROM sh, UNNEST(s) AS u(h) GROUP BY 1, 2),
+         |stats AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tot FROM hist GROUP BY 1),
+         |pair AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS min_sum
+         |  FROM hist a JOIN hist b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, min_sum, sa.tot AS tot_a, sb.tot AS tot_b,
+         |  (min_sum*1000)//(sa.tot + sb.tot - min_sum) AS wj_milli
+         |FROM pair
+         |JOIN stats sa ON sa.doc_id = id_a
+         |JOIN stats sb ON sb.doc_id = id_b
+         |WHERE (min_sum*1000)//(sa.tot + sb.tot - min_sum) >= 500
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          graft.functions.GraftColumns.shingleHash($"text", ShingleN)
+            .as("feats"))
+      DedupOps.weightedJaccardPairs(sh, "doc_id", "feats",
+          thresholdMilli = 500)
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // Sparse cosine pairs via the inverted index
+    // (DedupOps.sparseCosinePairs): feature-hashed tf vectors (shingle
+    // hash mod 4096 — the hashing-trick CountVectorizer), cosine
+    // compared SQUARED in integer ppm so no sqrt/floating point enters
+    // the plan. The sparse scale path next to q34's dense-vector BNLJ:
+    // compute is Σdf² over the feature vocabulary, never corpus n².
+    GraftQuery(
+      "q158_sparse_cosine",
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_transform($DuckShingleHashesMulti, h -> h % 4096) AS s
+         |  FROM documents),
+         |hist AS (
+         |  SELECT doc_id, u.h AS h, COUNT(*) AS tf
+         |  FROM sh, UNNEST(s) AS u(h) GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 FROM hist GROUP BY 1),
+         |pair AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+         |  FROM hist a JOIN hist b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, dot, sa.n2 AS n2_a, sb.n2 AS n2_b,
+         |  (dot*dot*1000000)//(sa.n2 * sb.n2) AS cos2_ppm
+         |FROM pair
+         |JOIN stats sa ON sa.doc_id = id_a
+         |JOIN stats sb ON sb.doc_id = id_b
+         |WHERE (dot*dot*1000000)//(sa.n2 * sb.n2) >= 490000
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          transform(
+            graft.functions.GraftColumns.shingleHash($"text", ShingleN),
+            h => pmod(h, lit(4096L))).as("feats"))
+      DedupOps.sparseCosinePairs(sh, "doc_id", "feats",
+          thresholdPpm = 490000)
+        .orderBy($"id_a", $"id_b")
     },
 
     // Near-dup CLUSTERS: the q31 pair stage feeds connected components

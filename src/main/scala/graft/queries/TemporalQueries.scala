@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{RangeJoinOps, TemporalOps}
+import graft.ops.{FunnelOps, RangeJoinOps, TemporalOps}
 
 /** Temporal/window conformance suite over `events`.
   *
@@ -15,6 +15,80 @@ import graft.ops.{RangeJoinOps, TemporalOps}
 object TemporalQueries {
 
   val all: Seq[GraftQuery] = Seq(
+
+    // Ordered funnel (FunnelOps.funnel): per user, the earliest
+    // view → click → purchase chain where each step is strictly after
+    // the previous one and within 24 h of the FIRST view (conversion
+    // window anchored at entry). Greedy-earliest chain semantics; each
+    // stage is one filtered min-agg / key equi-join — raw events never
+    // travel past the first shuffle.
+    GraftQuery(
+      "q159_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+        |s1 AS (
+        |  SELECT user_id, MIN(tu) AS ts_1_us
+        |  FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT s1.user_id, ts_1_us,
+        |    MIN(CASE WHEN e.tu > ts_1_us
+        |          AND e.tu <= ts_1_us + 86400000000 THEN e.tu END)
+        |      AS ts_2_us
+        |  FROM s1 LEFT JOIN e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT s2.user_id, ts_1_us, ts_2_us,
+        |    MIN(CASE WHEN e.tu > ts_2_us
+        |          AND e.tu <= ts_1_us + 86400000000 THEN e.tu END)
+        |      AS ts_3_us
+        |  FROM s2 LEFT JOIN e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, ts_1_us, ts_2_us, ts_3_us,
+        |  1 + CAST(ts_2_us IS NOT NULL AS INTEGER)
+        |    + CAST(ts_3_us IS NOT NULL AS INTEGER) AS stage
+        |FROM s3 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("tu"))
+      FunnelOps.funnel(e, "user_id", "tu", "event_type",
+          stages = Seq("view", "click", "purchase"),
+          horizonUs = 86400000000L)
+        .orderBy($"user_id")
+    },
+
+    // Cohort retention (FunnelOps.cohortRetention): users cohorted by
+    // the DAY of their first purchase, matrix of distinct-day activity
+    // at day offsets (forward-looking). date_trunc day + exact datediff
+    // div — no timestamp arithmetic crosses the engines.
+    GraftQuery(
+      "q160_retention",
+      """WITH f AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_d
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS p
+        |  FROM events),
+        |m AS (
+        |  SELECT cohort_d, date_diff('day', cohort_d, p) AS period_offset,
+        |    COUNT(*) AS active
+        |  FROM f JOIN a USING (user_id)
+        |  WHERE p >= cohort_d GROUP BY 1, 2),
+        |sz AS (SELECT cohort_d, COUNT(*) AS cohort_size FROM f GROUP BY 1)
+        |SELECT strftime(m.cohort_d, '%Y-%m-%d') AS cohort,
+        |  CAST(period_offset AS BIGINT) AS period_offset, active,
+        |  cohort_size, (active*1000)//cohort_size AS retention_milli
+        |FROM m JOIN sz USING (cohort_d)
+        |ORDER BY cohort, period_offset""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      FunnelOps.cohortRetention(e, "user_id", "ts", unit = "day",
+          cohortFilter = Some($"event_type" === "purchase"))
+        .orderBy($"cohort", $"period_offset")
+    },
 
     // As-of join: every purchase paired with the user's latest click at
     // or before it (left-outer). DuckDB's native ASOF JOIN is the

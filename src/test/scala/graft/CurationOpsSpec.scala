@@ -428,4 +428,49 @@ class CurationOpsSpec extends SparkTestBase {
       .as[(Long, Long)].head()
     assert(z === ((0L, 0L)))
   }
+
+  test("blocklistFilter: occurrence counts (not distinct terms), ratio " +
+       "threshold, null text survives, duplicate blocklist rows collapse") {
+    val fixture = Seq(
+      (1L, "bad word bad"),       // 2 hits / 3 tokens = 666‰ → dropped
+      (2L, "all clean here now"), // 0 hits → kept
+      (3L, "one bad in twenty a b c d e f g h i j k l m n o p"),
+      (4L, null.asInstanceOf[String]) // no tokens → 0/0 → kept
+    ).toDF("doc_id", "text")
+    val bl = Seq("bad", "bad", "evil").toDF("term") // dup row collapses
+    val got = CurationOps.blocklistFilter(
+        fixture, "doc_id", "text", bl, "term", maxRatioMilli = 100L)
+      .select($"doc_id", $"n_tokens", $"hits", $"hit_ratio_milli", $"kept")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 2L, 666L, false)))
+    assert(got(2L) === ((2L, 4L, 0L, 0L, true)))
+    assert(got(3L) === ((3L, 20L, 1L, 50L, true))) // 50‰ ≤ 100‰
+    assert(got(4L) === ((4L, 0L, 0L, 0L, true)))
+    assert(got.size === 4) // one row per input doc, always
+  }
+
+  test("robustClip: hand-computed median/MAD fences; clip only acts " +
+       "outside them; partitioning-invariant") {
+    // group g1 = [1,2,3,100]: n=4 → rank (4+1) div 2 = 2 → med 2;
+    // deviations [1,0,1,98] → rank 2 → mad 1; fences [-1, 5] → 100→5
+    // group g2 = [10,50,90]: med 50, deviations [40,0,40] → mad 40;
+    // fences [-70, 170] → nothing clips
+    val fx = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 100L),
+      ("g2", 10L), ("g2", 50L), ("g2", 90L)).toDF("g", "v")
+    Seq(1, 5).foreach { p =>
+      val got = CurationOps.robustClip(fx.repartition(p), "g", "v", k = 3)
+        .select($"g", $"v", $"med", $"mad", $"clipped")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(got === Set(
+        ("g1", 1L, 2L, 1L, 1L), ("g1", 2L, 2L, 1L, 2L),
+        ("g1", 3L, 2L, 1L, 3L), ("g1", 100L, 2L, 1L, 5L),
+        ("g2", 10L, 50L, 40L, 10L), ("g2", 50L, 50L, 40L, 50L),
+        ("g2", 90L, 50L, 40L, 90L)), s"partitions=$p")
+    }
+    // k=0 clips everything to the median
+    val k0 = CurationOps.robustClip(fx, "g", "v", k = 0)
+      .filter($"g" === "g1").select($"clipped").as[Long].collect().toSet
+    assert(k0 === Set(2L))
+  }
 }

@@ -235,4 +235,33 @@ class EmptyInputSpec extends SparkTestBase {
       500L, -500L).count() === 0)
     assert(LmOps.pmiBigrams(noDocs, "doc_id", "text", 1L).count() === 0)
   }
+
+  test("round-7 batch-2 operators return empty (or all-kept) on empty " +
+       "inputs") {
+    val noFeats = Seq.empty[(Long, Seq[Long])].toDF("id", "feats")
+    assert(DedupOps.weightedJaccardPairs(noFeats, "id", "feats", 500)
+      .count() === 0)
+    assert(DedupOps.sparseCosinePairs(noFeats, "id", "feats", 490000)
+      .count() === 0)
+    val noEvents =
+      Seq.empty[(Long, Long, String)].toDF("user_id", "tu", "event_type")
+    assert(FunnelOps.funnel(noEvents, "user_id", "tu", "event_type",
+      Seq("view", "click"), 1000L).count() === 0)
+    val noTsEvents = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+    assert(FunnelOps.cohortRetention(noTsEvents, "user_id", "ts", "day",
+      Some(col("event_type") === "purchase")).count() === 0)
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(GraphOps.hits(noEdges, "src", "dst", rounds = 2).count() === 0)
+    // blocklist: empty docs → empty; empty BLOCKLIST → every doc kept
+    val bl = Seq("bad").toDF("term")
+    assert(CurationOps.blocklistFilter(noDocs, "doc_id", "text",
+      bl, "term", 100L).count() === 0)
+    val docs = Seq((1L, "all clean")).toDF("doc_id", "text")
+    val keptAll = CurationOps.blocklistFilter(docs, "doc_id", "text",
+      Seq.empty[String].toDF("term"), "term", 0L)
+    assert(keptAll.filter(col("kept")).count() === 1)
+    assert(CurationOps.robustClip(
+      Seq.empty[(String, Long)].toDF("g", "v"), "g", "v").count() === 0)
+  }
 }

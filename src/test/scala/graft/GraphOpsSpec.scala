@@ -365,4 +365,40 @@ class GraphOpsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got === refCounts.toMap)
   }
+
+  test("hits: hand-computed 2-round values on a bipartite fixture; " +
+       "pure sides score 0 on the other axis") {
+    // c1→{s1,s2}, c2→{s1}. Round 1: a(s1)=2e6, a(s2)=1e6 → norm
+    // (1e6, 5e5); h(c1)=1.5e6, h(c2)=1e6 → norm (1e6, 666666).
+    // Round 2: a(s1)=1666666, a(s2)=1e6 → (1e6, 600000);
+    // h(c1)=1.6e6, h(c2)=1e6 → (1e6, 625000).
+    val edges = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"))
+      .toDF("src", "dst")
+    val got = GraphOps.hits(edges, "src", "dst", rounds = 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("c1") === ((1000000L, 0L)))
+    assert(got("c2") === ((625000L, 0L)))
+    assert(got("s1") === ((0L, 1000000L)))
+    assert(got("s2") === ((0L, 600000L)))
+  }
+
+  test("hits: duplicate edges collapse; partitioning-invariant; " +
+       "general (non-bipartite) graphs give every node both scores") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val dup = (base ++ base ++ base).toDF("src", "dst")
+    val a = GraphOps.hits(dup, "src", "dst", rounds = 3)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val b = GraphOps.hits(
+        base.toDF("src", "dst").repartition(7), "src", "dst", rounds = 3)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a === b)
+    // cycle + chord: node 1 points at 2 and 3, node 3 is pointed at by
+    // 1 and 2 — the top hub/authority must be 1/3 respectively
+    val byId = a.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L)._1 === 1000000L) // strongest hub
+    assert(byId(3L)._2 === 1000000L) // strongest authority
+    assert(a.forall(r => r._2 >= 0 && r._2 <= 1000000L &&
+      r._3 >= 0 && r._3 <= 1000000L))
+  }
 }

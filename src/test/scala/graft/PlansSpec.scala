@@ -318,7 +318,11 @@ class PlansSpec extends SparkTestBase {
         // q153 crosses the bigram table with its TWO 1-row total-count
         // aggregates (Nt, Nb — the q96 scalar pattern); the c1/c2
         // attaches are equi-joins on the unigram table
-        "q153_pmi_bigrams")
+        "q153_pmi_bigrams",
+        // q162 crosses each HITS half-round's score table with its
+        // ONE-row max aggregate (the q106 in-plan-scalar pattern: L∞
+        // normalization without a per-round driver collect)
+        "q162_hits")
     for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")

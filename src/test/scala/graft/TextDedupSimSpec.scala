@@ -616,4 +616,73 @@ class TextDedupSimSpec extends SparkTestBase {
       .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
     assert(gotAll === expected) // exact even with hot postings routed
   }
+
+  test("weightedJaccardPairs: hand values, multiset-vs-set distinction, " +
+       "brute-force referee, exact under hot-posting routing") {
+    // A=[1,1,2], B=[1,2,2]: Σmin = 1+1 = 2, tots 3/3 → wj = 2000/4 = 500
+    // C=[7,7,7,7], D=[7]: SET jaccard is 1000, weighted = 1000/4 = 250
+    val fx = Seq(
+      (1L, Seq(1L, 1L, 2L)), (2L, Seq(1L, 2L, 2L)),
+      (3L, Seq(7L, 7L, 7L, 7L)), (4L, Seq(7L))
+    ).toDF("id", "feats")
+    val got = DedupOps.weightedJaccardPairs(fx, "id", "feats", 0)
+      .select($"id_a", $"id_b", $"wj_milli")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) === 500L)
+    assert(got((3L, 4L)) === 250L) // set-based measures report 1000 here
+    // referee: every pair of pseudo-random multisets, driver-computed
+    val rnd = new scala.util.Random(7)
+    val ms = (1L to 12L).map(i =>
+      i -> Seq.fill(3 + rnd.nextInt(8))(rnd.nextInt(5).toLong)).toMap
+    val expected = (for {
+      a <- ms.keys; b <- ms.keys; if a < b
+      ha = ms(a).groupBy(identity).map { case (k, v) => k -> v.size }
+      hb = ms(b).groupBy(identity).map { case (k, v) => k -> v.size }
+      minSum = (ha.keySet ++ hb.keySet).toSeq
+        .map(k => math.min(ha.getOrElse(k, 0), hb.getOrElse(k, 0))).sum
+      if minSum > 0
+      wj = minSum * 1000L / (ms(a).size + ms(b).size - minSum)
+    } yield (a, b) -> wj).toMap
+    val gotAll = DedupOps.weightedJaccardPairs(
+        ms.toSeq.toDF("id", "feats").repartition(5), "id", "feats", 0,
+        maxPosting = 1) // every posting takes the hot route
+      .select($"id_a", $"id_b", $"wj_milli")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(gotAll === expected)
+  }
+
+  test("sparseCosinePairs: hand value and brute-force referee across " +
+       "partitionings") {
+    // A=[1,1,2], B=[1,2,2]: dot = 2·1+1·2 = 4, n2 = 5/5 → cos² ppm =
+    // 16e6/25 = 640000
+    val fx = Seq((1L, Seq(1L, 1L, 2L)), (2L, Seq(1L, 2L, 2L)))
+      .toDF("id", "feats")
+    val one = DedupOps.sparseCosinePairs(fx, "id", "feats", 0)
+      .select($"cos2_ppm").as[Long].head()
+    assert(one === 640000L)
+    val rnd = new scala.util.Random(11)
+    val ms = (1L to 12L).map(i =>
+      i -> Seq.fill(3 + rnd.nextInt(8))(rnd.nextInt(5).toLong)).toMap
+    val expected = (for {
+      a <- ms.keys; b <- ms.keys; if a < b
+      ha = ms(a).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      hb = ms(b).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      dot = (ha.keySet ++ hb.keySet).toSeq
+        .map(k => ha.getOrElse(k, 0L) * hb.getOrElse(k, 0L)).sum
+      if dot > 0
+      n2a = ha.values.map(v => v * v).sum
+      n2b = hb.values.map(v => v * v).sum
+      c2 = dot * dot * 1000000L / (n2a * n2b)
+    } yield (a, b) -> c2).toMap
+    Seq(1, 3, 7).foreach { p =>
+      val got = DedupOps.sparseCosinePairs(
+          ms.toSeq.toDF("id", "feats").repartition(p), "id", "feats", 0)
+        .select($"id_a", $"id_b", $"cos2_ppm")
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === expected, s"partitions=$p")
+    }
+  }
 }
