@@ -1328,6 +1328,53 @@ object AnalyticsQueries {
         .orderBy($"o_orderstatus")
     },
 
+    // Item-item association lift (AssocOps.itemLift): market-basket
+    // pairs from a self-equi-join on the ORDER key (stream bounded by
+    // basket size, never corpus n²), supports via item equi-joins, N
+    // as an in-plan 1-row scalar. lift > 1e6 ⇔ co-occurrence beats
+    // independence.
+    GraftQuery(
+      "q164_item_lift",
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |co AS (
+        |  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS co
+        |  FROM op a JOIN op b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |c AS (SELECT i, COUNT(*) AS c FROM op GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT b) AS n FROM op)
+        |SELECT item_a, item_b, co, ca.c AS c_a, cb.c AS c_b,
+        |  (co*n.n*1000000)//(ca.c*cb.c) AS lift_ppm
+        |FROM co
+        |JOIN c ca ON ca.i = item_a
+        |JOIN c cb ON cb.i = item_b
+        |CROSS JOIN n
+        |ORDER BY item_a, item_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.ops.AssocOps.itemLift(
+          Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minCo = 3L)
+        .orderBy($"item_a", $"item_b")
+    },
+
+    // Synchronous label propagation (GraphOps.labelPropagation) over
+    // the part co-occurrence graph: 2 rounds, smallest-label
+    // tie-break. Labels COMPETE by neighbor frequency — from round 2
+    // this genuinely diverges from connected components (q60/q116).
+    // The per-node argmax is the algebraic min(struct(−cnt, label)),
+    // map-side combinable — no per-node window, hub-safe.
+    GraftQuery("q165_label_propagation", AnalyticsSql.Lpa2) { (s, dir) =>
+      import s.implicits._
+      val op = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey".as("b"), $"l_partkey".as("i")).distinct()
+      val pairs = op.select($"b", $"i".as("pa"))
+        .join(op.select($"b", $"i".as("pb")), Seq("b"))
+        .filter($"pa" < $"pb")
+        .select($"pa", $"pb").distinct()
+      graft.ops.GraphOps.labelPropagation(pairs, "pa", "pb", rounds = 2)
+        .orderBy($"id")
+    },
+
     // HITS hubs & authorities (GraphOps.hits) over the buyer→supplier
     // bipartite graph: authorities rank suppliers by endorsement from
     // strong buyers, hubs rank buyers by breadth of strong suppliers —
@@ -1445,6 +1492,32 @@ private object AnalyticsSql {
     * division order at every step (base uses mass//N FIRST, contrib is
     * r//deg then summed, dangling redistributes as dang//N).
     */
+  /** 2 unrolled synchronous-LPA rounds over the part co-occurrence
+    * graph — replays GraphOps.labelPropagation exactly (neighbor-label
+    * frequency argmax, smallest-label tie-break; the oracle's
+    * row_number pick ≡ the engine's algebraic min(struct(−cnt,label))).
+    */
+  val Lpa2: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |pairs AS (
+      |  SELECT a.i AS pa, b.i AS pb
+      |  FROM op a JOIN op b ON a.b = b.b AND a.i < b.i GROUP BY 1, 2),
+      |e AS (SELECT pa AS a, pb AS b FROM pairs
+      |      UNION SELECT pb, pa FROM pairs),
+      |v1 AS (SELECT a AS id, b AS label, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |l1 AS (SELECT id, label FROM (
+      |    SELECT id, label,
+      |      row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rk
+      |    FROM v1) t WHERE rk = 1),
+      |v2 AS (SELECT e.a AS id, l1.label, COUNT(*) AS c
+      |       FROM e JOIN l1 ON l1.id = e.b GROUP BY 1, 2),
+      |l2 AS (SELECT id, label FROM (
+      |    SELECT id, label,
+      |      row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rk
+      |    FROM v2) t WHERE rk = 1)
+      |SELECT id, label FROM l2 ORDER BY id""".stripMargin
+
   /** 2 unrolled HITS rounds over the buyer→supplier graph, integer
     * ppm with L∞ normalization — replays GraphOps.hits bit-for-bit.
     */

@@ -90,6 +90,88 @@ object TemporalQueries {
         .orderBy($"cohort", $"period_offset")
     },
 
+    // Last-touch attribution: every purchase credited to the user's
+    // latest preceding click's campaign channel (props.k mod 5), no
+    // click → 'organic'; revenue rollup per channel. The as-of join is
+    // TemporalOps.asofJoin's union+window carry (ONE shuffle — no
+    // per-purchase probe join); the channel rides the carried struct.
+    GraftQuery(
+      "q166_attribution",
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS cts,
+        |    'ch' || (CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 5)
+        |      AS channel
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.user_id, p.ts_us, p.value_c, c.channel
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.ts_us >= c.cts)
+        |SELECT COALESCE(channel, 'organic') AS channel,
+        |  COUNT(*) AS n_purchases, CAST(SUM(value_c) AS BIGINT) AS revenue_c
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val e = Tables.load(s, dir, "events")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("ts_us"),
+          round($"value" * 100, 0).cast("long").as("value_c"))
+      val kSchema = StructType(Seq(StructField("k", LongType)))
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", unix_micros($"ts").as("click_ts_us"),
+          concat(lit("ch"),
+            (from_json($"props", kSchema).getField("k") % 5)
+              .cast("string")).as("channel"))
+      TemporalOps.asofJoin(purchases, clicks,
+          Seq("user_id"), "ts_us", "click_ts_us")
+        .select(coalesce($"channel", lit("organic")).as("channel"),
+          $"value_c")
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum($"value_c").as("revenue_c"))
+        .orderBy($"channel")
+    },
+
+    // Freshness-weighted scoring: per user, event value decayed by a
+    // step half-life (factor = 1e6 >> weeks-of-age, shift clamped so
+    // it can never wrap Java's mod-64 shift) against the corpus max
+    // date — the max enters as an in-plan 1-row broadcast scalar.
+    // Integer shifts replay exactly; a float exp() would not.
+    GraftQuery(
+      "q167_time_decay",
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events),
+        |mx AS (SELECT MAX(d) AS mxd FROM e),
+        |w AS (
+        |  SELECT user_id, value_c,
+        |    (CAST(1000000 AS BIGINT)
+        |      >> LEAST(date_diff('day', d, mxd)//7, 20)) AS factor
+        |  FROM e CROSS JOIN mx)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(value_c) AS BIGINT) AS raw_c,
+        |  CAST(SUM(value_c*factor) AS BIGINT) AS decayed_micro_c
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select($"user_id", to_date($"ts").as("d"),
+          round($"value" * 100, 0).cast("long").as("value_c"))
+      val mx = e.agg(max($"d").as("__mx"))
+      e.crossJoin(broadcast(mx))
+        .withColumn("factor", expr(
+          "shiftright(CAST(1000000 AS BIGINT), " +
+            "CAST(least(datediff(__mx, d) DIV 7, 20) AS INT))"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value_c").as("raw_c"),
+          sum($"value_c" * $"factor").as("decayed_micro_c"))
+        .orderBy($"user_id")
+    },
+
     // As-of join: every purchase paired with the user's latest click at
     // or before it (left-outer). DuckDB's native ASOF JOIN is the
     // oracle for TemporalOps.asofJoin's union+window formulation.

@@ -263,5 +263,9 @@ class EmptyInputSpec extends SparkTestBase {
     assert(keptAll.filter(col("kept")).count() === 1)
     assert(CurationOps.robustClip(
       Seq.empty[(String, Long)].toDF("g", "v"), "g", "v").count() === 0)
+    val noBaskets = Seq.empty[(Long, Long)].toDF("b", "i")
+    assert(AssocOps.itemLift(noBaskets, "b", "i", minCo = 1).count() === 0)
+    assert(GraphOps.labelPropagation(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", 2).count() === 0)
   }
 }

@@ -366,6 +366,54 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got === refCounts.toMap)
   }
 
+  test("labelPropagation: labels compete by frequency — two dense " +
+       "communities keep distinct labels where CC would merge them") {
+    // K4 on {1,2,3,4} + K4 on {10,11,12,13} + bridge 4–10: one
+    // component, but each clique's majority label holds on round 2
+    def k4(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (k4(Seq(1L, 2L, 3L, 4L)) ++
+      k4(Seq(10L, 11L, 12L, 13L)) :+ ((4L, 10L))).toDF("a", "b")
+    val lpa = GraphOps.labelPropagation(edges, "a", "b", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    val cc = GraphOps.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size === 1) // CC: one component
+    // LPA: the second clique's nodes all carry a label from their own
+    // clique, never label 1
+    Seq(11L, 12L, 13L).foreach(n => assert(lpa(n) >= 10L, s"node $n"))
+    assert(Seq(1L, 2L, 3L).forall(n => lpa(n) <= 4L))
+    assert(lpa.values.toSet.size > 1) // genuinely more than one community
+  }
+
+  test("labelPropagation: driver-computed synchronous referee with " +
+       "min-label tie-break, partitioning-invariant; rounds=0 is " +
+       "the identity labeling") {
+    val rnd = new scala.util.Random(17)
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2)
+    val und = edges.flatMap(e => Seq(e, e.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var ref = adj.keys.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      ref = ref.map { case (n, _) =>
+        val votes = adj(n).map(ref).groupBy(identity)
+          .map { case (l, v) => (l, v.size) }
+        n -> votes.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }
+    }
+    Seq(1, 6).foreach { p =>
+      val got = GraphOps.labelPropagation(
+          edges.toDF("a", "b").repartition(p), "a", "b", rounds = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got === ref, s"partitions=$p")
+    }
+    val id0 = GraphOps.labelPropagation(edges.toDF("a", "b"), "a", "b", 0)
+      .as[(Long, Long)].collect().toMap
+    assert(id0.forall { case (n, l) => n === l })
+  }
+
   test("hits: hand-computed 2-round values on a bipartite fixture; " +
        "pure sides score 0 on the other axis") {
     // c1→{s1,s2}, c2→{s1}. Round 1: a(s1)=2e6, a(s2)=1e6 → norm

@@ -322,7 +322,11 @@ class PlansSpec extends SparkTestBase {
         // q162 crosses each HITS half-round's score table with its
         // ONE-row max aggregate (the q106 in-plan-scalar pattern: L∞
         // normalization without a per-round driver collect)
-        "q162_hits")
+        "q162_hits",
+        // q164 crosses the pair stream with its ONE-row basket-count
+        // aggregate, q167 the event scan with its ONE-row max-date
+        // aggregate — both the q96 scalar pattern
+        "q164_item_lift", "q167_time_decay")
     for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
