@@ -554,6 +554,37 @@ object CurationOps {
       .drop("__dev")
   }
 
+  /** Per-group percentile-rank normalization (score calibration): each
+    * row gets pct_ppm = strictly-below-count · 1e6 div group size —
+    * the rank transform that makes a quality threshold comparable
+    * ACROSS groups (a 0.7-quantile cut means the same thing in every
+    * language, where a raw-score cut does not; per-language percentile
+    * gates are the standard multilingual curation calibration).
+    *
+    * Same scale shape as [[robustClip]]: the cumulative window walks
+    * the per-group VALUE HISTOGRAM (distinct values), never raw rows;
+    * the per-row attach is one (group, value) equi-join back. Exact,
+    * integer, deterministic — ties share a pct_ppm by construction.
+    *
+    * Output: input columns + pct_ppm ∈ [0, 1e6).
+    */
+  def percentileNormalize(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val div = graft.functions.GraftColumns.longDiv _
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(groupCol))
+    val pct = hist
+      .withColumn("__below", sum(col("__c")).over(w) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(tot))
+      .select(col(groupCol), col(valueCol),
+        div(col("__below") * 1000000L, col("__n")).as("pct_ppm"))
+    df.join(pct, Seq(groupCol, valueCol))
+  }
+
   /** Exact per-group median over the value histogram (nearest-rank-
     * lower at (n+1) div 2): one map-side-combined groupBy collapses
     * rows to (group, value, cnt), one window walks each group's

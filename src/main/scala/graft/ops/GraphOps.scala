@@ -586,10 +586,12 @@ object GraphOps {
     * Per round: two equi-joins (scores→edges) + two map-side-combined
     * sum aggregates, all key-partitioned shuffles scaling with |E|;
     * the normalization maximum enters the plan as a broadcast 1-row
-    * aggregate (no driver collect). Rounds are FIXED and small, so the
-    * loop composes as one declarative plan — no per-round action at
-    * all, unlike [[pageRank]]'s checkpoint-per-round (whose round
-    * count is larger and lineage growth real).
+    * aggregate (no driver collect). Each half-round's score table is
+    * localCheckpoint'd (the [[pageRank]] pattern): every normalize
+    * references its input twice (max aggregate + the scores
+    * themselves), so an unbroken lineage re-executes the edge joins
+    * combinatorially across half-rounds — measured 7.3 s vs 2.x s on
+    * the 600k-edge bench graph.
     *
     * Overflow: scores ≤ scale after each normalization, so a sum is
     * ≤ scale·maxDegree — Long-safe while |E| ≤ 9.2e18/scale (9.2e12
@@ -623,6 +625,7 @@ object GraphOps {
         .groupBy(col(to).as("id")).agg(sum(col("score")).as("score"))
       normalize(nodes.join(sums, Seq("id"), "left")
         .select(col("id"), coalesce(col("score"), lit(0L)).as("score")))
+        .localCheckpoint()
     }
     var hub = nodes.select(col("id"), lit(scale).as("score"))
     var auth = nodes.select(col("id"), lit(0L).as("score"))

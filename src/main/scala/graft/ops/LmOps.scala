@@ -208,4 +208,40 @@ object LmOps {
         (lg(col("cb")) + lit(2L) * lg(col("__nt")) - lg(col("__nb"))
           - lg(col("c1")) - lg(col("c2"))).as("pmi_q20"))
   }
+
+  /** Skip-gram co-occurrence pairs (the word2vec context window,
+    * counted): unordered token pairs within `window` positions of each
+    * other, canonicalized (w_a ≤ w_b). Where [[pmiBigrams]] sees only
+    * ADJACENT pairs, the window catches collocations that tolerate
+    * interveners ("strong … tea").
+    *
+    * Scale shape: positions meet through an EQUI-join on
+    * (doc, pos + offset) with the offsets 1..window exploded — cost is
+    * |tokens|·window, linear in the corpus — never a |pos_a − pos_b| ≤
+    * w inequality join (per-doc quadratic, the sorted-blocking lesson
+    * of q147). Counts are map-side combined on the canonical pair key.
+    *
+    * Output: (w_a, w_b, cnt) with w_a ≤ w_b (self-pairs from repeated
+    * tokens included — they are genuine co-occurrences).
+    */
+  def skipgramCounts(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val pos = docs
+      .select(col(idCol).as("__d"),
+        posexplode(toks(col(textCol))).as(Seq("__p", "__t")))
+    val shifted = pos.select(col("__d"),
+        explode(sequence(lit(1), lit(window))).as("__off"),
+        col("__p"), col("__t"))
+      .select(col("__d"), (col("__p") + col("__off")).as("__p2"),
+        col("__t").as("__tl"))
+    shifted
+      .join(pos.select(col("__d"), col("__p").as("__p2"),
+        col("__t").as("__tr")), Seq("__d", "__p2"))
+      .select(least(col("__tl"), col("__tr")).as("w_a"),
+        greatest(col("__tl"), col("__tr")).as("w_b"))
+      .groupBy(col("w_a"), col("w_b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

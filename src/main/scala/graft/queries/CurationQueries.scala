@@ -964,6 +964,36 @@ object CurationQueries {
           Tables.load(s, dir, "documents"), "doc_id", "text",
           blocklist, "term", maxRatioMilli = 60L)
         .orderBy($"doc_id")
+    },
+
+    // Percentile-rank normalization (CurationOps.percentileNormalize):
+    // per-language percentile of doc length — the calibration that
+    // makes one quality threshold mean the same thing in every
+    // language. Exact integer rank transform over the per-group VALUE
+    // HISTOGRAM (the q163 shape): the window walks distinct values,
+    // never raw rows; ties share a pct_ppm by construction.
+    GraftQuery(
+      "q168_percentile_norm",
+      """WITH h AS (
+        |  SELECT lang, n_chars, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |p AS (
+        |  SELECT lang, n_chars,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) - c AS below,
+        |    SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM h)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  CAST((below*1000000)//n AS BIGINT) AS pct_ppm
+        |FROM documents d
+        |JOIN p ON p.lang = d.lang AND p.n_chars = d.n_chars
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      CurationOps.percentileNormalize(
+          Tables.load(s, dir, "documents")
+            .select($"doc_id", $"lang", $"n_chars"),
+          "lang", "n_chars")
+        .select($"doc_id", $"lang", $"n_chars", $"pct_ppm")
+        .orderBy($"doc_id")
     })
 
   private def runValidation(

@@ -172,6 +172,46 @@ object TemporalQueries {
         .orderBy($"user_id")
     },
 
+    // CUSUM change detection (SeriesOps.cusum) on per-type daily event
+    // counts — the ingestion watchdog. The sequential-looking
+    // recurrence s_t = max(0, s_{t−1} + (x_t − target)) is computed as
+    // cum_t − min(0, running-min cum): two plain window passes over
+    // the per-period rollup, no stateful scan — so the oracle replays
+    // it with the same two windows.
+    GraftQuery(
+      "q169_cusum_anomaly",
+      """WITH s AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, SUM(x) OVER (PARTITION BY event_type)
+        |    // COUNT(*) OVER (PARTITION BY event_type) AS target
+        |  FROM s),
+        |c AS (
+        |  SELECT *, SUM(x - target)
+        |    OVER (PARTITION BY event_type ORDER BY d) AS cum
+        |  FROM t),
+        |m AS (
+        |  SELECT *, LEAST(MIN(cum)
+        |    OVER (PARTITION BY event_type ORDER BY d), 0) AS runmin
+        |  FROM c)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x,
+        |  CAST(target AS BIGINT) AS target,
+        |  CAST(cum - runmin AS BIGINT) AS cusum,
+        |  (cum - runmin)*1000 > 500*target AS flagged
+        |FROM m ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val daily = Tables.load(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.SeriesOps.cusum(daily, "event_type", "d", "x",
+          kMilli = 500L)
+        .select($"event_type", date_format($"d", "yyyy-MM-dd").as("day"),
+          $"x", $"target", $"cusum", $"flagged")
+        .orderBy($"event_type", $"day")
+    },
+
     // As-of join: every purchase paired with the user's latest click at
     // or before it (left-outer). DuckDB's native ASOF JOIN is the
     // oracle for TemporalOps.asofJoin's union+window formulation.

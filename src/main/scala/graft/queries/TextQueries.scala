@@ -700,5 +700,53 @@ object TextQueries {
           Tables.load(s, dir, "documents"), "doc_id", "text",
           ClassifierOps.knuthWeights(4096), biasMicro = 250L, salt = "qw1")
         .orderBy($"doc_id")
+    },
+
+    // Skip-gram co-occurrence association (LmOps.skipgramCounts): token
+    // pairs within a ±3 window — the word2vec context stats, catching
+    // collocations with interveners that adjacent-bigram PMI (q153)
+    // misses. Positions meet through an EQUI-join on (doc, pos+offset)
+    // with offsets exploded — |tokens|·window cost, never a position
+    // inequality join. Top-50 pairs by count with integer lift.
+    GraftQuery(
+      "q170_skipgram_assoc",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, u.i AS p, tk[u.i] AS t
+        |  FROM toks, UNNEST(generate_series(1, len(tk))) AS u(i)),
+        |pr AS (
+        |  SELECT LEAST(a.t, b.t) AS w_a, GREATEST(a.t, b.t) AS w_b,
+        |    COUNT(*) AS cnt
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.p >= a.p + 1 AND b.p <= a.p + 3
+        |  GROUP BY 1, 2),
+        |uc AS (SELECT t, COUNT(*) AS c FROM pos GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM uc)
+        |SELECT w_a, w_b, cnt, ca.c AS c_a, cb.c AS c_b,
+        |  (cnt*nt.nt*1000000)//(ca.c*cb.c) AS lift_ppm
+        |FROM pr
+        |JOIN uc ca ON ca.t = w_a
+        |JOIN uc cb ON cb.t = w_b
+        |CROSS JOIN nt
+        |ORDER BY cnt DESC, w_a, w_b LIMIT 50""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val div = graft.functions.GraftColumns.longDiv _
+      val uc = docs
+        .select(explode(filter(split($"text", "\\s+"), t => t =!= ""))
+          .as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("c"))
+      val nt = uc.agg(sum($"c").as("__nt"))
+      graft.ops.LmOps.skipgramCounts(docs, "doc_id", "text", window = 3)
+        .join(uc.select($"t".as("w_a"), $"c".as("c_a")), Seq("w_a"))
+        .join(uc.select($"t".as("w_b"), $"c".as("c_b")), Seq("w_b"))
+        .crossJoin(broadcast(nt))
+        .select($"w_a", $"w_b", $"cnt", $"c_a", $"c_b",
+          div($"cnt" * $"__nt" * 1000000L, $"c_a" * $"c_b")
+            .as("lift_ppm"))
+        .orderBy($"cnt".desc, $"w_a", $"w_b").limit(50)
     })
 }

@@ -473,4 +473,37 @@ class CurationOpsSpec extends SparkTestBase {
       .filter($"g" === "g1").select($"clipped").as[Long].collect().toSet
     assert(k0 === Set(2L))
   }
+
+  test("percentileNormalize: strictly-below ranks, ties share a " +
+       "pct_ppm, groups calibrate independently, referee across " +
+       "partitionings") {
+    // g1 = [10, 20, 20, 40]: below-counts 0,1,1,3 → 0, 250000,
+    // 250000, 750000; g2 = [5, 6]: 0, 500000
+    val fx = Seq(("g1", 10L), ("g1", 20L), ("g1", 20L), ("g1", 40L),
+      ("g2", 5L), ("g2", 6L)).toDF("g", "v")
+    val got = CurationOps.percentileNormalize(fx, "g", "v")
+      .select($"g", $"v", $"pct_ppm")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("g1", 10L, 0L), ("g1", 20L, 250000L),
+      ("g1", 40L, 750000L), ("g2", 5L, 0L), ("g2", 6L, 500000L)))
+    // row multiplicity is preserved (the tie appears twice)
+    assert(CurationOps.percentileNormalize(fx, "g", "v").count() === 6L)
+    // referee on pseudo-random data across partitionings
+    val rnd = new scala.util.Random(13)
+    val rows = for (g <- Seq("x", "y"); _ <- 1 to 50)
+      yield (g, rnd.nextInt(12).toLong)
+    val expected = rows.groupBy(_._1).flatMap { case (g, v) =>
+      val vs = v.map(_._2)
+      vs.distinct.map(x =>
+        (g, x) -> vs.count(_ < x).toLong * 1000000L / vs.size)
+    }
+    Seq(1, 7).foreach { p =>
+      val got2 = CurationOps.percentileNormalize(
+          rows.toDF("g", "v").repartition(p), "g", "v")
+        .select($"g", $"v", $"pct_ppm")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got2.map(r => (r._1, r._2) -> r._3).toMap === expected,
+        s"partitions=$p")
+    }
+  }
 }

@@ -256,4 +256,44 @@ class ModelOpsSpec extends SparkTestBase {
     assert(statuses.keySet === Set("unchanged"))
     assert(statuses("unchanged") === docs.count())
   }
+
+  test("skipgramCounts: hand-counted window pairs; window=1 ≡ " +
+       "canonicalized bigrams; self-pairs from repeats; " +
+       "partitioning-invariant") {
+    import graft.ops.LmOps
+    // "a b c a": window 2 position pairs (1,2)(1,3)(2,3)(2,4)(3,4) →
+    // tokens ab ac bc ba ca → canonical ab:2 ac:1 bc:1 ac:1 → and
+    // (1,3)=ac, (2,4)=ba→ab, (3,4)=ca→ac: ab 2, ac 2, bc 1
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val w2 = LmOps.skipgramCounts(docs, "doc_id", "text", window = 2)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(w2 === Map(("a", "b") -> 2L, ("a", "c") -> 2L,
+      ("b", "c") -> 1L))
+    // window=1 is exactly the adjacent-bigram multiset, canonicalized
+    val big = LmOps.bigrams(docs, "doc_id", "text")
+      .select(least($"w1", $"w2").as("a"), greatest($"w1", $"w2").as("b"))
+      .groupBy($"a", $"b").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val w1 = LmOps.skipgramCounts(docs, "doc_id", "text", window = 1)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(w1 === big)
+    // repeated token inside the window → genuine self-pair
+    val rep = LmOps.skipgramCounts(
+        Seq((1L, "x y x")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(rep(("x", "x")) === 1L && rep(("x", "y")) === 2L)
+    // pairs never cross documents; partitioning-invariant
+    val two = Seq((1L, "p q"), (2L, "q r")).toDF("doc_id", "text")
+    Seq(1, 5).foreach { p =>
+      val got = LmOps.skipgramCounts(two.repartition(p),
+          "doc_id", "text", 3)
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === Map(("p", "q") -> 1L, ("q", "r") -> 1L), s"p=$p")
+    }
+  }
 }

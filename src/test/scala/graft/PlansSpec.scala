@@ -325,8 +325,9 @@ class PlansSpec extends SparkTestBase {
         "q162_hits",
         // q164 crosses the pair stream with its ONE-row basket-count
         // aggregate, q167 the event scan with its ONE-row max-date
-        // aggregate — both the q96 scalar pattern
-        "q164_item_lift", "q167_time_decay")
+        // aggregate, q170 the pair table with its ONE-row token-total
+        // aggregate — all the q96 scalar pattern
+        "q164_item_lift", "q167_time_decay", "q170_skipgram_assoc")
     for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
