@@ -540,6 +540,60 @@ object SketchOps {
         col("containment_a_ppm"), col("containment_b_ppm"))): _*)
   }
 
+  /** Join-cardinality estimation from a KMV key sample — the optimizer
+    * statistic that decides join strategy BEFORE paying for the join
+    * (|A ⋈ B| can be orders of magnitude above both inputs under
+    * many-to-many keys; knowing that early is what picks shuffle
+    * strategy, skew handling, or an early abort at 100 TB).
+    *
+    * Estimator: the merged bottom-k sketch of A∪B's distinct key
+    * hashes is a uniform distinct-key sample at exact rate
+    * n_kept / U (U = the KMV union estimate). |A ⋈ B| = Σ_keys
+    * ca(k)·cb(k), so the sample's Σ ca·cb scales by U div n_kept.
+    * Per-key multiplicities attach by joining the ≤k-row sample to the
+    * two per-key count tables ON THE KEY HASH (the hash is a pure
+    * function of the key, so both engines replay it; a colliding pair
+    * would merge two keys' counts deterministically — at M = 1e9+7 and
+    * optimizer-grade accuracy, ignorable). Below k kept the estimate
+    * is EXACT automatically (sample rate 1).
+    *
+    * Cost: two distinct-shuffles + two map-side-combined count
+    * aggregates + joins against a ≤k-row side — never the join itself.
+    * Output (one row): n_kept, est_union, sum_prod_sampled, est_join.
+    */
+  def kmvJoinCardinality(
+      a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      k: Int, salt: String): DataFrame = {
+    val div = graft.functions.GraftColumns.longDiv _
+    def keyed(df: DataFrame, key: String) = df
+      .filter(col(key).isNotNull)
+      .select(col(key).as("__k")).withColumn("__g", lit("all"))
+    val ska = kmvSketch(keyed(a, aKey), Seq("__g"), "__k", k, salt)
+    val skb = kmvSketch(keyed(b, bKey), Seq("__g"), "__k", k, salt)
+    val u = mergeKmvSketches(ska, skb, Seq("__g"), k)
+    def hashCounts(df: DataFrame, key: String) = df
+      .filter(col(key).isNotNull)
+      .groupBy(mix(TextOps.polyHash(
+        concat(col(key).cast("string"), lit(s":$salt")))).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+    u
+      .join(hashCounts(a, aKey).withColumnRenamed("__c", "__ca"),
+        Seq("__h"), "left")
+      .join(hashCounts(b, bKey).withColumnRenamed("__c", "__cb"),
+        Seq("__h"), "left")
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__kth"),
+        coalesce(sum(coalesce(col("__ca"), lit(0L)) *
+          coalesce(col("__cb"), lit(0L))), lit(0L))
+          .as("sum_prod_sampled"))
+      .withColumn("est_union",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(div(lit((k - 1L) * HashSpace),
+            greatest(col("__kth"), lit(1L)))))
+      .select(col("n_kept"), col("est_union"), col("sum_prod_sampled"),
+        div(col("sum_prod_sampled") * col("est_union"),
+          greatest(col("n_kept"), lit(1L))).as("est_join"))
+  }
+
   // -------------------------------------------------------- heavy hitters
 
   /** Misra–Gries heavy-hitters summary per group: the top-k keys by

@@ -448,6 +448,142 @@ object AnalyticsQueries {
         .orderBy($"q_ppm")
     },
 
+    // Equi-depth range-partition planning (the q140 sketch put to its
+    // production use): split points from the deterministic quantile
+    // sketch, then every row assigned bucket = #boundaries strictly
+    // below its value — the exact computation that plans range
+    // partitions / sort-merge split points at 100 TB without a global
+    // sort. The per-bucket rollup proves near-equal depth; boundaries
+    // enter the plan as ONE broadcast 1-row sorted array.
+    GraftQuery(
+      "q171_equidepth_buckets",
+      """WITH pri AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    (h * h) % 1000000007 AS pri
+        |  FROM (
+        |    SELECT o_totalprice,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(
+        |          string_split(CAST(o_orderkey AS VARCHAR) || ':qs1', ''),
+        |          c -> ascii(c))),
+        |        (a, x) -> (a*31 + x) % 1000000007) AS h
+        |    FROM orders)),
+        |samp AS (SELECT cents FROM pri ORDER BY pri, cents LIMIT 256),
+        |sorted AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS rk
+        |  FROM samp),
+        |nn AS (SELECT COUNT(*) AS n FROM samp),
+        |qs AS (SELECT CAST(unnest([250000, 500000, 750000]) AS BIGINT)
+        |  AS q_ppm),
+        |bs AS (
+        |  SELECT list(est ORDER BY est) AS bs FROM (
+        |    SELECT s.cents AS est
+        |    FROM qs CROSS JOIN nn
+        |    JOIN sorted s ON s.rk = ((nn.n - 1) * qs.q_ppm) // 1000000)),
+        |vals AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(len(list_filter(bs.bs, b -> b < cents)) AS BIGINT)
+        |    AS bucket,
+        |  COUNT(*) AS n, MIN(cents) AS min_c, MAX(cents) AS max_c
+        |FROM vals CROSS JOIN bs
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.SketchOps
+      val vals = Tables.load(s, dir, "orders")
+        .select($"o_orderkey", floor($"o_totalprice" * 100).as("cents"))
+      val sk = SketchOps.quantileSketch(
+        vals, "o_orderkey", "cents", k = 256, salt = "qs1")
+      val bounds = SketchOps.quantileEstimates(sk, "cents",
+          Seq(250000L, 500000L, 750000L))
+        .agg(sort_array(collect_list($"est")).as("__bs"))
+      vals.crossJoin(broadcast(bounds))
+        .select($"cents",
+          size(filter($"__bs", b => b < $"cents")).cast("long")
+            .as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"), min($"cents").as("min_c"),
+          max($"cents").as("max_c"))
+        .orderBy($"bucket")
+    },
+
+    // Join-cardinality estimation (SketchOps.kmvJoinCardinality): the
+    // optimizer statistic — estimate |views ⋈ purchases on user| from
+    // a merged bottom-64 KMV key sample with per-key multiplicity
+    // products, NEVER running the join; gate carries the estimate AND
+    // the exact size so the error itself is hash-checked.
+    GraftQuery(
+      "q172_join_cardinality",
+      """WITH va AS (SELECT user_id FROM events WHERE event_type='view'),
+        |pb AS (SELECT user_id FROM events WHERE event_type='purchase'),
+        |ha AS (
+        |  SELECT DISTINCT (h*h) % 1000000007 AS h FROM (
+        |    SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(CAST(user_id AS VARCHAR) || ':jc1', ''),
+        |        c -> ascii(c))),
+        |      (a, x) -> (a*31 + x) % 1000000007) AS h
+        |    FROM va)),
+        |hb AS (
+        |  SELECT DISTINCT (h*h) % 1000000007 AS h FROM (
+        |    SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(CAST(user_id AS VARCHAR) || ':jc1', ''),
+        |        c -> ascii(c))),
+        |      (a, x) -> (a*31 + x) % 1000000007) AS h
+        |    FROM pb)),
+        |u AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+        |      ORDER BY h LIMIT 64),
+        |ca AS (
+        |  SELECT (h*h) % 1000000007 AS h, COUNT(*) AS c FROM (
+        |    SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(CAST(user_id AS VARCHAR) || ':jc1', ''),
+        |        c -> ascii(c))),
+        |      (a, x) -> (a*31 + x) % 1000000007) AS h
+        |    FROM va) GROUP BY 1),
+        |cb AS (
+        |  SELECT (h*h) % 1000000007 AS h, COUNT(*) AS c FROM (
+        |    SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(CAST(user_id AS VARCHAR) || ':jc1', ''),
+        |        c -> ascii(c))),
+        |      (a, x) -> (a*31 + x) % 1000000007) AS h
+        |    FROM pb) GROUP BY 1),
+        |est AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    MAX(u.h) AS kth,
+        |    CAST(COALESCE(SUM(COALESCE(ca.c, 0) * COALESCE(cb.c, 0)), 0)
+        |      AS BIGINT) AS sum_prod_sampled
+        |  FROM u LEFT JOIN ca ON ca.h = u.h LEFT JOIN cb ON cb.h = u.h),
+        |scaled AS (
+        |  SELECT n_kept,
+        |    CASE WHEN n_kept < 64 THEN n_kept
+        |      ELSE (CAST(63 AS BIGINT) * 1000000007) // GREATEST(kth, 1) END
+        |      AS est_union,
+        |    sum_prod_sampled
+        |  FROM est),
+        |exact AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_join
+        |  FROM va JOIN pb ON va.user_id = pb.user_id)
+        |SELECT n_kept, est_union, sum_prod_sampled,
+        |  (sum_prod_sampled * est_union) // GREATEST(n_kept, 1)
+        |    AS est_join,
+        |  exact_join
+        |FROM scaled CROSS JOIN exact""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.SketchOps
+      val e = Tables.load(s, dir, "events")
+      val views = e.filter($"event_type" === "view")
+      val purchases = e.filter($"event_type" === "purchase")
+      val est = SketchOps.kmvJoinCardinality(
+        views, "user_id", purchases, "user_id", k = 64, salt = "jc1")
+      val exact = views.select($"user_id")
+        .join(purchases.select($"user_id"), Seq("user_id"))
+        .agg(count(lit(1)).as("exact_join"))
+      est.crossJoin(broadcast(exact))
+    },
+
     // Per-group quantile sketch (SketchOps.quantileSketchGrouped):
     // q140's deterministic bottom-k hash sample WITHIN each group —
     // doc-length p25/p50/p75/p95 per language at a fixed 128-row cost

@@ -327,7 +327,11 @@ class PlansSpec extends SparkTestBase {
         // aggregate, q167 the event scan with its ONE-row max-date
         // aggregate, q170 the pair table with its ONE-row token-total
         // aggregate — all the q96 scalar pattern
-        "q164_item_lift", "q167_time_decay", "q170_skipgram_assoc")
+        "q164_item_lift", "q167_time_decay", "q170_skipgram_assoc",
+        // q171 crosses the scan with its ONE-row sorted-boundary array
+        // (range-partition planning — the q96 scalar pattern); q172
+        // crosses two ONE-row aggregates (estimate × exact count)
+        "q171_equidepth_buckets", "q172_join_cardinality")
     for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")

@@ -394,4 +394,38 @@ class SketchOpsSpec extends SparkTestBase {
       assert(under.toDouble <= bound, s"$g/$t under=$under bound=$bound")
     }
   }
+
+  test("kmvJoinCardinality: EXACT below k; within ~3/sqrt(k) above it; " +
+       "disjoint keys estimate 0; partitioning-invariant") {
+    import graft.ops.SketchOps
+    import org.apache.spark.sql.functions.col
+    // 12 distinct keys < k=64 → the sample holds every key → exact
+    val a = (1 to 200).map(i => i % 12).toDF("ka")
+    val b = (1 to 150).map(i => i % 10).toDF("kb")
+    val exactSmall = (0 until 12).map(ka =>
+      (1 to 200).count(_ % 12 == ka).toLong *
+        (1 to 150).count(x => x % 10 == ka && ka < 10).toLong).sum
+    val got = SketchOps.kmvJoinCardinality(a, "ka", b, "kb", 64, "t1")
+      .select("n_kept", "est_join").as[(Long, Long)].head()
+    assert(got._1 < 64 && got._2 === exactSmall)
+    // 500 distinct many-to-many keys > k → estimator path; band check
+    val rnd = new scala.util.Random(3)
+    val bigA = (1 to 4000).map(_ => rnd.nextInt(500)).toDF("ka")
+    val bigB = (1 to 3000).map(_ => rnd.nextInt(400)).toDF("kb")
+    val exact = bigA.join(bigB, col("ka") === col("kb")).count()
+    Seq(1, 9).foreach { p =>
+      val e = SketchOps.kmvJoinCardinality(
+          bigA.repartition(p), "ka", bigB.repartition(p), "kb",
+          k = 128, salt = "t2")
+        .select("est_join").as[Long].head()
+      assert(math.abs(e - exact).toDouble / exact < 3.0 / math.sqrt(128),
+        s"est=$e exact=$exact partitions=$p")
+    }
+    // disjoint key spaces → every sampled product is 0
+    val d1 = (1 to 50).map(i => i).toDF("ka")
+    val d2 = (1 to 50).map(i => i + 1000).toDF("kb")
+    val dj = SketchOps.kmvJoinCardinality(d1, "ka", d2, "kb", 32, "t3")
+      .select("est_join").as[Long].head()
+    assert(dj === 0L)
+  }
 }
