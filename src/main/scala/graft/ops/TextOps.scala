@@ -357,4 +357,21 @@ object TextOps {
       .select(col(idCol), col("term"), col("tf"), col("df"),
         col("score_micro"), col("rank"))
   }
+
+  /** Keyword-in-context (KWIC) snippet: the ±`window` tokens around
+    * the FIRST occurrence of `term`, joined with spaces — search-hit
+    * highlighting as a pure per-row expression (no shuffle, stays in
+    * the scan stage). Returns a struct (pos, snippet): pos is the
+    * 1-based token position, 0 with a null snippet when the term is
+    * absent. Slice bounds clamp at both ends.
+    */
+  def kwicSnippet(text: Column, term: Column, window: Int): Column = {
+    require(window >= 0, "window must be >= 0")
+    val tk = filter(tokenize(text), t => t =!= "")
+    val pos = array_position(tk, term)
+    val start = greatest(pos - window, lit(1L))
+    val snippet = when(pos > 0,
+      array_join(slice(tk, start, pos + window - start + 1), " "))
+    struct(pos.as("pos"), snippet.as("snippet"))
+  }
 }

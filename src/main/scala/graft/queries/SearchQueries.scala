@@ -125,5 +125,108 @@ object SearchQueries {
           count(lit(1)).as("n_orders"),
           sum(round($"o_totalprice" * 100, 0).cast("long")).as("total_c"))
         .orderBy($"month")
+    },
+
+    // KWIC snippet extraction (TextOps.kwicSnippet): ±3 tokens around
+    // the first 'merge' hit — search-result highlighting as a pure
+    // per-row expression in the scan stage (no shuffle, no UDF).
+    GraftQuery(
+      "q173_kwic_snippets",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |      AS tk
+        |  FROM documents),
+        |p AS (SELECT doc_id, list_position(tk, 'merge') AS pos, tk
+        |      FROM tk)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  array_to_string(tk[GREATEST(pos - 3, 1):pos + 3], ' ')
+        |    AS snippet
+        |FROM p WHERE pos > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.kwicSnippet($"text", lit("merge"), window = 3)
+            .as("__s"))
+        .select($"doc_id", $"__s.pos".as("pos"),
+          $"__s.snippet".as("snippet"))
+        .filter($"pos" > 0)
+        .orderBy($"doc_id")
+    },
+
+    // Phrase / proximity search (SearchOps.phraseMatches): 'table'
+    // followed by 'value' within slop 2 — ES match_phrase semantics
+    // through EQUI-joins on (doc, pos+offset) with offsets exploded
+    // (the q170 shape), never a per-document position cross join.
+    GraftQuery(
+      "q174_phrase_search",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |      AS tk
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, u.i - 1 AS p, tk[u.i] AS t
+        |  FROM tk, UNNEST(generate_series(1, len(tk))) AS u(i)),
+        |a AS (SELECT doc_id, p FROM pos WHERE t = 'table'),
+        |b AS (SELECT doc_id, p FROM pos WHERE t = 'value')
+        |SELECT a.doc_id, COUNT(*) AS n_matches,
+        |  CAST(MIN(a.p) AS BIGINT) AS first_pos
+        |FROM a JOIN b
+        |  ON b.doc_id = a.doc_id AND b.p BETWEEN a.p + 1 AND a.p + 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.ops.SearchOps.phraseMatches(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("table", "value"), slop = 2)
+        .select($"doc_id", $"n_matches",
+          $"first_pos".cast("long").as("first_pos"))
+        .orderBy($"doc_id")
+    },
+
+    // SymSpell fuzzy term lookup (SearchOps.symspellMatches): typo'd
+    // queries against the corpus vocabulary via the single-deletion-
+    // neighborhood EQUI-join + Levenshtein verify — identical results
+    // to q88's exhaustive distance filter at index cost ×(len+1) per
+    // term, no |queries|×|dictionary| cross. 'hsah' exercises the
+    // verify stage: neighborhoods intersect but distance is 2.
+    GraftQuery(
+      "q175_symspell",
+      """WITH vocab AS (
+        |  SELECT DISTINCT u.t AS term
+        |  FROM (SELECT list_filter(string_split_regex(text, '\s+'),
+        |          x -> x <> '') AS tk FROM documents) s,
+        |    UNNEST(tk) AS u(t)),
+        |q AS (SELECT unnest(['tble', 'vlue', 'scann', 'joinn', 'merge',
+        |  'hsah', 'pat', 'xyz']) AS query),
+        |dk AS (
+        |  SELECT term, unnest(list_distinct(list_concat([term],
+        |    list_transform(generate_series(1, len(term)),
+        |      i -> substr(term, 1, i-1) || substr(term, i+1, len(term))))))
+        |    AS k
+        |  FROM vocab),
+        |qk AS (
+        |  SELECT query, unnest(list_distinct(list_concat([query],
+        |    list_transform(generate_series(1, len(query)),
+        |      i -> substr(query, 1, i-1) || substr(query, i+1, len(query))))))
+        |    AS k
+        |  FROM q),
+        |cand AS (
+        |  SELECT DISTINCT query, term FROM qk JOIN dk USING (k)
+        |  WHERE ABS(len(query) - len(term)) <= 1)
+        |SELECT query, term,
+        |  CAST(levenshtein(query, term) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(query, term) <= 1
+        |ORDER BY query, term""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val vocab = Tables.load(s, dir, "documents")
+        .select(explode(filter(split($"text", "\\s+"), t => t =!= ""))
+          .as("term"))
+        .distinct()
+      val queries = Seq("tble", "vlue", "scann", "joinn", "merge",
+        "hsah", "pat", "xyz").toDF("query")
+      graft.ops.SearchOps.symspellMatches(vocab, "term", queries, "query")
+        .select($"query", $"term", $"dist".cast("long").as("dist"))
+        .orderBy($"query", $"term")
     })
 }

@@ -267,5 +267,10 @@ class EmptyInputSpec extends SparkTestBase {
     assert(AssocOps.itemLift(noBaskets, "b", "i", minCo = 1).count() === 0)
     assert(GraphOps.labelPropagation(
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", 2).count() === 0)
+    assert(SearchOps.phraseMatches(noDocs, "doc_id", "text",
+      Seq("a", "b"), 2).count() === 0)
+    assert(SearchOps.symspellMatches(
+      Seq.empty[String].toDF("term"), "term",
+      Seq("q").toDF("query"), "query").count() === 0)
   }
 }
