@@ -590,6 +590,58 @@ object CurationOps {
     * rows to (group, value, cnt), one window walks each group's
     * DISTINCT values in order. Returns (group, __median).
     */
+  /** KL(P‖Q) domain-shift score between two corpora over hashed token
+    * buckets (the DSIR feature space, [[bucketFreqs]]), in Q20 fixed
+    * point: with add-one smoothing ap = cp_b+1, aq = cq_b+1,
+    * denP = Np+dim, denQ = Nq+dim,
+    * `KL = Σ_b (ap/denP)·log2((ap·denQ)/(aq·denP))`, every log a
+    * separate [[graft.functions.GraftColumns.binLog2Q20]] call (q153
+    * rule: no product near Long range at any corpus size) and the
+    * division deferred to the final total so all per-bucket state is
+    * integer-exact.
+    *
+    * Output: one row per bucket 0..dim−1 (including unseen buckets —
+    * smoothing gives them mass, so dropping them would bias the
+    * divergence): (bucket, cp, cq, l_q20) plus the corpus-level
+    * `kl_q20 = Σ ap·l_q20 div denP` attached as an in-plan 1-row
+    * scalar. Monitors ingestion drift / quantifies domain shift
+    * between data recipes; `klDivergenceQ20(p,q) ≠ klDivergenceQ20(q,p)`
+    * by design (use the symmetrized sum if needed).
+    *
+    * Scale design: two corpus passes (one per side) reduce to dim-row
+    * frequency tables; everything downstream joins/aggregates ≤ dim
+    * rows. The totals ride as broadcast 1-row aggregates.
+    */
+  def klDivergenceQ20(
+      p: DataFrame, q: DataFrame, textCol: String,
+      dim: Int, salt: String): DataFrame = {
+    val lg = graft.functions.GraftColumns.binLog2Q20 _
+    val div = graft.functions.GraftColumns.longDiv _
+    val pf = bucketFreqs(p, textCol, dim, salt).localCheckpoint()
+    val qf = bucketFreqs(q, textCol, dim, salt).localCheckpoint()
+    val spine = p.sparkSession.range(dim.toLong)
+      .select(col("id").cast("long").as("bucket"))
+    val np = pf.agg(coalesce(sum(col("ct")), lit(0L)).as("__np"))
+    val nq = qf.agg(coalesce(sum(col("ct")), lit(0L)).as("__nq"))
+    val terms = spine
+      .join(pf.withColumnRenamed("ct", "cp"), Seq("bucket"), "left_outer")
+      .join(qf.withColumnRenamed("ct", "cq"), Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+      .select(col("bucket"),
+        coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"),
+        col("__np"), col("__nq"))
+      .withColumn("l_q20",
+        lg(col("cp") + 1L) + lg(col("__nq") + dim.toLong) -
+          lg(col("cq") + 1L) - lg(col("__np") + dim.toLong))
+    val total = terms
+      .agg(div(sum((col("cp") + 1L) * col("l_q20")),
+        max(col("__np")) + dim.toLong).as("kl_q20"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bucket"), col("cp"), col("cq"), col("l_q20"),
+        col("kl_q20"))
+  }
+
   private def histogramMedian(
       df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -602,4 +602,100 @@ object DedupOps {
         size(col("__kept")).as("n_kept"),
         array_join(col("__kept"), " ").as("cleaned_text"))
   }
+
+  /** Per-row band keys for [[hammingNeighborPairs]]: the signature's
+    * `totalBits` bits split into `maxDist + 1` near-equal contiguous
+    * bands, each emitted as a (band, bv) struct. By the pigeonhole
+    * principle, two signatures within Hamming distance `maxDist` differ
+    * in at most `maxDist` bands, so they agree EXACTLY on at least one —
+    * equi-joining on (band, bv) is a candidate generator with NO recall
+    * loss (unlike MinHash banding, which is probabilistic).
+    */
+  private[ops] def hammingBandKeys(
+      bits: Column, maxDist: Int, totalBits: Int): Column = {
+    val nBands = maxDist + 1
+    array((0 until nBands).map { b =>
+      val lo = b * totalBits / nBands
+      val hi = (b + 1) * totalBits / nBands
+      val mask = if (hi - lo >= 63) -1L else (1L << (hi - lo)) - 1L
+      struct(lit(b).as("band"),
+        shiftrightunsigned(bits, lo).bitwiseAND(lit(mask)).as("bv"))
+    }: _*)
+  }
+
+  /** Exact Hamming-ball pairs over a packed bit-signature column (SimHash
+    * / aHash / audio-fingerprint dedup keys) via multi-index pigeonhole
+    * banding (Manku et al. 2007 simhash dedup; Norouzi et al. 2012 MIH):
+    * candidates from per-band equi-joins, verified with the exact
+    * `bit_count(a XOR b) <= maxDist`. Returns (id_a, id_b, dist) with
+    * id_a < id_b, every qualifying pair exactly once.
+    *
+    * Scale design: index cost is (maxDist+1) keys/row; the candidate
+    * stream is Σ|bucket|² over band buckets, never corpus n². Low-entropy
+    * corpora make band buckets hot, so buckets above `hotCap` rows are
+    * REFINED, not clique-joined: within a bucket the band's bits agree
+    * exactly, so all ≤ maxDist differing bits lie in the remaining
+    * bits — compacting those and banding them again is a second exact
+    * pigeonhole level. One refinement level is built here (the recursion
+    * depth is a dial; each level multiplies keys by maxDist+1 and
+    * divides bucket entropy); sub-buckets still hot after refinement
+    * clique-join with the verify filter fused into the same stage.
+    */
+  def hammingNeighborPairs(
+      df: DataFrame, id: String, bits: String, maxDist: Int,
+      totalBits: Int = 32, hotCap: Int = 64): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1 (0 = exact-key groupBy)")
+    require(totalBits >= maxDist + 1 && totalBits <= 63,
+      s"totalBits must be in [${maxDist + 1}, 63]")
+    val nBands = maxDist + 1
+    val keyed = df
+      .select(col(id).as("__hid"), col(bits).as("__hbits"),
+        explode(hammingBandKeys(col(bits), maxDist, totalBits)).as("__k"))
+      .select(col("__hid"), col("__hbits"),
+        col("__k.band").as("__band"), col("__k.bv").as("__bv"))
+    val sizes = keyed.groupBy(col("__band"), col("__bv"))
+      .agg(count(lit(1)).as("__n"))
+    val withSize = keyed.join(sizes, Seq("__band", "__bv"))
+    def verifiedPairs(t: DataFrame, joinKeys: Seq[String]): DataFrame = {
+      val l = t.select(joinKeys.map(col) ++ Seq(
+        col("__hid").as("id_a"), col("__hbits").as("__ba")): _*)
+      val r = t.select(joinKeys.map(col) ++ Seq(
+        col("__hid").as("id_b"), col("__hbits").as("__bb")): _*)
+      l.join(r, joinKeys)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("__ba").bitwiseXOR(col("__bb")))
+            .cast("long").as("dist"))
+        .filter(col("dist") <= maxDist)
+    }
+    val cold = verifiedPairs(withSize.filter(col("__n") <= hotCap),
+      Seq("__band", "__bv"))
+    // Hot buckets: compact the bits OUTSIDE the agreeing band
+    // (low part | high part shifted down) and band the compacted value
+    // again. The band index is data-dependent, so the compaction is a
+    // literal-per-branch conditional chain over the (small) band count.
+    val hot = withSize.filter(col("__n") > hotCap)
+    val remWidth = (0 until nBands).map { b =>
+      val lo = b * totalBits / nBands
+      val hi = (b + 1) * totalBits / nBands
+      totalBits - (hi - lo)
+    }.min // equal-split bands differ by <=1 bit; min width keeps keys valid
+    val rem = (0 until nBands).foldLeft(lit(0L)) { (acc, b) =>
+      val lo = b * totalBits / nBands
+      val hi = (b + 1) * totalBits / nBands
+      val lowMask = if (lo == 0) 0L else (1L << lo) - 1L
+      val compact = col("__hbits").bitwiseAND(lit(lowMask))
+        .bitwiseOR(shiftleft(shiftrightunsigned(col("__hbits"), hi), lo))
+      when(col("__band") === b, compact).otherwise(acc)
+    }
+    val hotRefined = hot
+      .withColumn("__k2",
+        explode(hammingBandKeys(rem, maxDist, remWidth)))
+      .select(col("__band"), col("__bv"),
+        col("__k2.band").as("__band2"), col("__k2.bv").as("__bv2"),
+        col("__hid"), col("__hbits"))
+    val hotPairs = verifiedPairs(hotRefined,
+      Seq("__band", "__bv", "__band2", "__bv2"))
+    cold.union(hotPairs).distinct()
+  }
 }

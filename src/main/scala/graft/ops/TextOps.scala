@@ -200,6 +200,35 @@ object TextOps {
         total))
   }
 
+  /** Per-document Shannon entropy of the token-frequency distribution in
+    * Q20 fixed point (bits × 2^20): H = log2(n) − (Σ c·log2(c)) div n
+    * over per-token occurrence counts c — the algebraic rearrangement of
+    * −Σ (c/n)·log2(c/n) that keeps every intermediate an integer. Each
+    * log is [[graft.functions.GraftColumns.binLog2Q20]] (the q142/q153
+    * normalize-then-square integer recurrence), so any engine replays
+    * every bit. Low entropy = repetitive/boilerplate text (the
+    * information-theoretic complement of [[repetitionScoreMilli]]'s
+    * n-gram repeat fraction); the degenerate all-same-token document
+    * scores exactly 0.
+    *
+    * Scale design: a PURE per-row expression — the whole signal runs
+    * inside the scan stage, no shuffle, no (doc, token) exploded
+    * aggregation. Per-row cost is O(distinct × tokens) for the counts
+    * plus 20 integer steps per distinct token for the logs.
+    */
+  def tokenEntropyQ20(text: Column): Column = {
+    val toks = tokenize(text)
+    val counts = transform(array_distinct(toks), t =>
+      size(filter(toks, x => x === t)).cast("long"))
+    val sumCLogC = aggregate(counts, lit(0L), (acc, c) =>
+      acc + when(c <= 1L, lit(0L))
+        .otherwise(c * graft.functions.GraftColumns.binLog2Q20(c)))
+    val n = size(toks).cast("long")
+    when(n <= 0L, lit(0L))
+      .otherwise(graft.functions.GraftColumns.binLog2Q20(n) -
+        intDiv(sumCLogC, n))
+  }
+
   /** PII scrubbing: replace emails and URLs with typed placeholder
     * tokens. Patterns are RE2-safe (character classes only — no
     * lookaround, no backreferences), so the same pattern text runs

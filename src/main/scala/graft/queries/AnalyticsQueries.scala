@@ -1598,6 +1598,48 @@ object AnalyticsQueries {
           count(when($"value_c" > $"med" + $"mad" * 3, 1)).as("n_hi"),
           sum($"clipped").as("sum_clipped_c"))
         .orderBy($"event_type")
+    },
+
+    // Exact ROC curve + Mann-Whitney AUC (EvalOps.rocAnalysis) for a
+    // "is this document English?" scorer using n_chars as the score —
+    // the threshold-selection readout for every curation classifier
+    // (q125/q124). Runs over the score VALUE HISTOGRAM (the q163
+    // pattern: the ordered walk covers distinct scores, never raw
+    // rows); AUC has exact midrank tie handling via the ×2-scaled
+    // integer form, attached to every row as an in-plan 1-row scalar.
+    GraftQuery(
+      "q179_roc_auc",
+      """WITH h AS (
+        |  SELECT n_chars AS score,
+        |    COUNT(*) FILTER (lang = 'en') AS pos,
+        |    COUNT(*) FILTER (lang <> 'en') AS neg
+        |  FROM documents GROUP BY 1),
+        |pts AS (
+        |  SELECT score, pos, neg,
+        |    SUM(pos) OVER (ORDER BY score DESC) AS tp,
+        |    SUM(neg) OVER (ORDER BY score DESC) AS fp
+        |  FROM h),
+        |tot AS (
+        |  SELECT CAST(SUM(pos) AS BIGINT) AS p,
+        |    CAST(SUM(neg) AS BIGINT) AS n FROM h),
+        |auc AS (
+        |  SELECT CAST(SUM(pos * (2*(tot.n - fp) + neg)) * 1000000
+        |      // (2 * MIN(tot.p) * MIN(tot.n)) AS BIGINT) AS auc_ppm
+        |  FROM pts CROSS JOIN tot)
+        |SELECT CAST(score AS BIGINT) AS score,
+        |  CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(tp * 1000000 // tot.p AS BIGINT) AS tpr_ppm,
+        |  CAST(fp * 1000000 // tot.n AS BIGINT) AS fpr_ppm,
+        |  auc.auc_ppm
+        |FROM pts CROSS JOIN tot CROSS JOIN auc
+        |ORDER BY score""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.ops.EvalOps.rocAnalysis(
+          Tables.load(s, dir, "documents")
+            .select($"n_chars", ($"lang" === "en").as("is_en")),
+          "n_chars", "is_en")
+        .orderBy($"score")
     })
 }
 

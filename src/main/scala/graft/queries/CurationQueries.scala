@@ -994,6 +994,84 @@ object CurationQueries {
           "lang", "n_chars")
         .select($"doc_id", $"lang", $"n_chars", $"pct_ppm")
         .orderBy($"doc_id")
+    },
+
+    // KL(P‖Q) domain-shift score (CurationOps.klDivergenceQ20) between
+    // the English and non-English document slices over the dim-64 DSIR
+    // hashed-token feature space — the ingestion-drift / data-recipe
+    // divergence monitor. Add-one smoothing over ALL dim buckets
+    // (unseen ones included), four separate Q20 integer logs per bucket
+    // (q153 rule: no product near Long range at any corpus size), the
+    // division deferred to the corpus-level total, which rides every
+    // row as an in-plan 1-row scalar. The oracle replays the identical
+    // recurrence via the unrolled chained-CTE log.
+    GraftQuery(
+      "q178_kl_divergence",
+      s"""WITH bp AS (
+         |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(u.t || ':kl1', ''),
+         |        c -> ascii(c))),
+         |      (a, x) -> (a*31+x)%1000000007) % 64 AS bucket,
+         |    COUNT(*) AS cp
+         |  FROM (SELECT list_filter(string_split_regex(text, '\\s+'),
+         |          t -> t <> '') AS tk
+         |        FROM documents WHERE lang = 'en') s,
+         |    UNNEST(tk) AS u(t)
+         |  GROUP BY 1),
+         |bq AS (
+         |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(u.t || ':kl1', ''),
+         |        c -> ascii(c))),
+         |      (a, x) -> (a*31+x)%1000000007) % 64 AS bucket,
+         |    COUNT(*) AS cq
+         |  FROM (SELECT list_filter(string_split_regex(text, '\\s+'),
+         |          t -> t <> '') AS tk
+         |        FROM documents WHERE lang <> 'en') s,
+         |    UNNEST(tk) AS u(t)
+         |  GROUP BY 1),
+         |np AS (SELECT COALESCE(CAST(SUM(cp) AS BIGINT), 0) AS np FROM bp),
+         |nq AS (SELECT COALESCE(CAST(SUM(cq) AS BIGINT), 0) AS nq FROM bq),
+         |spine AS (
+         |  SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS bucket),
+         |j AS (
+         |  SELECT spine.bucket, COALESCE(bp.cp, 0) AS cp,
+         |    COALESCE(bq.cq, 0) AS cq
+         |  FROM spine LEFT JOIN bp USING (bucket)
+         |  LEFT JOIN bq USING (bucket)),
+         |args AS (
+         |  SELECT bucket, 'ap' AS which, cp + 1 AS v FROM j
+         |  UNION ALL SELECT bucket, 'aq', cq + 1 FROM j
+         |  UNION ALL SELECT -1, 'np', np + 64 FROM np
+         |  UNION ALL SELECT -1, 'nq', nq + 64 FROM nq),
+         |${DuckLog2Q20.ctes("bucket", "which")},
+         |lg AS (SELECT bucket, which, p * 1048576 + acc AS l FROM l20),
+         |gl AS (SELECT
+         |    MAX(CASE WHEN which = 'np' THEN l END) AS l_np,
+         |    MAX(CASE WHEN which = 'nq' THEN l END) AS l_nq
+         |  FROM lg WHERE bucket = -1),
+         |piv AS (SELECT bucket,
+         |    MAX(CASE WHEN which = 'ap' THEN l END) AS l_ap,
+         |    MAX(CASE WHEN which = 'aq' THEN l END) AS l_aq
+         |  FROM lg WHERE bucket >= 0 GROUP BY 1),
+         |terms AS (
+         |  SELECT j.bucket, j.cp, j.cq,
+         |    piv.l_ap + gl.l_nq - piv.l_aq - gl.l_np AS l_q20
+         |  FROM j JOIN piv USING (bucket) CROSS JOIN gl),
+         |tot AS (
+         |  SELECT CAST(SUM((cp + 1) * l_q20) AS BIGINT)
+         |    // (MIN(np.np) + 64) AS kl_q20
+         |  FROM terms CROSS JOIN np)
+         |SELECT CAST(terms.bucket AS BIGINT) AS bucket, terms.cp,
+         |  terms.cq, CAST(terms.l_q20 AS BIGINT) AS l_q20,
+         |  CAST(tot.kl_q20 AS BIGINT) AS kl_q20
+         |FROM terms CROSS JOIN tot ORDER BY bucket""".stripMargin) {
+        (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      CurationOps.klDivergenceQ20(
+          docs.filter($"lang" === "en"), docs.filter($"lang" =!= "en"),
+          "text", dim = 64, salt = "kl1")
+        .orderBy($"bucket")
     })
 
   private def runValidation(

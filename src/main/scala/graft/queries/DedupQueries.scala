@@ -690,6 +690,47 @@ object DedupQueries {
           coalesce(array_min($"f"), lit(-1L)).as("fp_min"),
           coalesce(array_max($"f"), lit(-1L)).as("fp_max"))
         .orderBy($"doc_id")
+    },
+
+    // Exact Hamming-ball pairs over the q33 SimHash signatures via
+    // multi-index pigeonhole banding (DedupOps.hammingNeighborPairs):
+    // candidates from (band, bandValue) equi-joins — maxDist+1 bands
+    // means any pair within distance maxDist agrees exactly on one — with
+    // hot band buckets refined by a second exact pigeonhole level over
+    // the compacted remaining bits (this corpus's clustered signatures
+    // exercise the hot path for real at hotCap=64). The oracle is the
+    // brute-force O(n²) bit_count(xor) scan — identical pair set because
+    // banding is EXACT (no recall loss), unlike probabilistic MinHash.
+    GraftQuery(
+      "q176_hamming_pairs",
+      s"""WITH th AS (
+         |  SELECT doc_id, $DuckTokenHashes AS hashes FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(generate_series(0, 31), i ->
+         |      CASE WHEN list_sum(list_transform(hashes,
+         |          h -> ((h // CAST(pow(2,i) AS BIGINT)) % 2) * 2 - 1)) > 0
+         |        THEN CAST(pow(2,i) AS BIGINT) ELSE 0 END)) AS BIGINT)
+         |      AS simhash
+         |  FROM th)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sigs = Tables.load(s, dir, "documents")
+        // pre-bind the token-hash array (q33 note: simhash32's bit loops
+        // re-evaluate their input)
+        .select($"doc_id",
+          array_distinct(
+            transform(TextOps.tokenize($"text"), TextOps.polyHash(_)))
+            .as("__th"))
+        .select($"doc_id", DedupOps.simhash32($"__th").as("simhash"))
+      DedupOps.hammingNeighborPairs(sigs, "doc_id", "simhash",
+          maxDist = 1, totalBits = 32, hotCap = 64)
+        .select($"id_a", $"id_b", $"dist".cast("long").as("dist"))
+        .orderBy($"id_a", $"id_b")
     })
 }
 

@@ -332,5 +332,120 @@ object TemporalQueries {
           unix_micros($"valid_to".cast("timestamp")).as("valid_to_us"),
           $"is_current")
         .orderBy($"o_custkey", $"valid_from_us", $"o_orderkey")
+    },
+
+    // Time-weighted average price (TWAP): per event type, each value
+    // holds until the next observation (lead window), weighted by its
+    // holding duration in seconds; the final observation carries zero
+    // weight (no forward interval). twap_c = Σ value_c·dur_s div Σ dur_s
+    // — the step-function integral in exact integer arithmetic, one
+    // key-partitioned window + one rollup (no shuffle beyond the key).
+    GraftQuery(
+      "q180_twap",
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, value_c,
+        |    (lead(ts_us, 1) OVER (PARTITION BY event_type
+        |       ORDER BY ts_us, value_c) - ts_us) // 1000000 AS dur_s
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n_obs,
+        |  CAST(SUM(COALESCE(dur_s, 0)) AS BIGINT) AS total_s,
+        |  CAST(SUM(value_c * COALESCE(dur_s, 0))
+        |    // SUM(COALESCE(dur_s, 0)) AS BIGINT) AS twap_c
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"ts_us", $"value_c")
+      val d = Tables.load(s, dir, "events")
+        .select($"event_type", unix_micros($"ts").as("ts_us"),
+          round($"value" * 100, 0).cast("long").as("value_c"))
+        .withColumn("dur_s",
+          coalesce(div(lead($"ts_us", 1).over(w) - $"ts_us",
+            lit(1000000L)), lit(0L)))
+      d.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_obs"),
+          sum($"dur_s").as("total_s"),
+          // a single-observation group has zero holding time: NULL twap
+          // (matches DuckDB's NULL on // 0; ANSI Spark would throw)
+          when(sum($"dur_s") > 0L,
+            div(sum($"value_c" * $"dur_s"), sum($"dur_s")))
+            .as("twap_c"))
+        .orderBy($"event_type")
+    },
+
+    // Linear multi-touch attribution (complements q166's last-touch):
+    // every click in the 24h window before a purchase shares the credit
+    // equally — credit = 1e6 div n_clicks micros per click, rolled up
+    // per campaign channel. The window match is RangeJoinOps
+    // .intervalJoin's bin-bucketed EQUI-join (purchase intervals
+    // exploded to hour bins), never a per-user position inequality
+    // join; unmatched purchases fall to 'organic' via an anti-join.
+    GraftQuery(
+      "q181_linear_attribution",
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS pts,
+        |    CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS cts,
+        |    'ch' || (CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 5)
+        |      AS channel
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.user_id, p.pts, p.value_c, c.channel
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.cts >= p.pts - 86400000000 AND c.cts <= p.pts),
+        |nm AS (SELECT user_id, pts, COUNT(*) AS n FROM m GROUP BY 1, 2),
+        |credits AS (
+        |  SELECT m.channel, 1000000 // nm.n AS credit_micro,
+        |    m.value_c // nm.n AS value_share_c
+        |  FROM m JOIN nm ON nm.user_id = m.user_id AND nm.pts = m.pts
+        |  UNION ALL
+        |  SELECT 'organic', 1000000, p.value_c
+        |  FROM p ANTI JOIN m ON m.user_id = p.user_id AND m.pts = p.pts)
+        |SELECT channel, COUNT(*) AS n_touches,
+        |  CAST(SUM(credit_micro) AS BIGINT) AS credit_micro,
+        |  CAST(SUM(value_share_c) AS BIGINT) AS value_share_c
+        |FROM credits GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val div = graft.functions.GraftColumns.longDiv _
+      val e = Tables.load(s, dir, "events")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("pts"),
+          round($"value" * 100, 0).cast("long").as("value_c"),
+          (unix_micros($"ts") - 86400000000L).as("w_start"),
+          unix_micros($"ts").as("w_end"))
+      val kSchema = StructType(Seq(StructField("k", LongType)))
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", unix_micros($"ts").as("cts"),
+          concat(lit("ch"),
+            (from_json($"props", kSchema).getField("k") % 5)
+              .cast("string")).as("channel"))
+      val matched = graft.ops.RangeJoinOps.intervalJoin(
+          clicks, purchases, Seq("user_id"), "cts", "w_start", "w_end",
+          binWidth = 3600000000L)
+        .select($"user_id", $"pts", $"value_c", $"channel")
+      val perPurchase = matched.groupBy($"user_id", $"pts")
+        .agg(count(lit(1)).as("__n"))
+      val credits = matched
+        .join(perPurchase, Seq("user_id", "pts"))
+        .select($"channel", div(lit(1000000L), $"__n").as("credit_micro"),
+          div($"value_c", $"__n").as("value_share_c"))
+        .unionByName(purchases
+          .join(matched.select($"user_id", $"pts").distinct(),
+            Seq("user_id", "pts"), "left_anti")
+          .select(lit("organic").as("channel"),
+            lit(1000000L).as("credit_micro"),
+            $"value_c".as("value_share_c")))
+      credits.groupBy($"channel")
+        .agg(count(lit(1)).as("n_touches"),
+          sum($"credit_micro").as("credit_micro"),
+          sum($"value_share_c").as("value_share_c"))
+        .orderBy($"channel")
     })
 }

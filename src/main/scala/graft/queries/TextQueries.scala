@@ -748,5 +748,42 @@ object TextQueries {
           div($"cnt" * $"__nt" * 1000000L, $"c_a" * $"c_b")
             .as("lift_ppm"))
         .orderBy($"cnt".desc, $"w_a", $"w_b").limit(50)
+    },
+
+    // Per-document token-distribution Shannon entropy in Q20 fixed point
+    // (TextOps.tokenEntropyQ20): H = log2(n) − (Σ c·log2 c) div n — a
+    // PURE per-row expression (zero shuffles; the whole signal runs in
+    // the scan stage), each log the integer normalize-then-square
+    // recurrence. The oracle replays the identical recurrence via the
+    // unrolled chained-CTE form (q153 rule) over the per-token count
+    // table, so even the Q20 rounding is hash-checked.
+    GraftQuery(
+      "q177_token_entropy",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, t, COUNT(*) AS cnt
+         |  FROM toks, UNNEST(tk) AS u(t) GROUP BY 1, 2),
+         |args AS (
+         |  SELECT doc_id, 'c' AS which, cnt AS v FROM c WHERE cnt >= 2
+         |  UNION ALL
+         |  SELECT doc_id, 'n', CAST(len(tk) AS BIGINT) FROM toks),
+         |${DuckLog2Q20.ctes("doc_id", "which")},
+         |lg AS (SELECT doc_id, which, v, p * 1048576 + acc AS l FROM l20),
+         |sc AS (
+         |  SELECT doc_id, CAST(SUM(v * l) AS BIGINT) AS sclc
+         |  FROM lg WHERE which = 'c' GROUP BY 1),
+         |ln AS (SELECT doc_id, l AS l_n, v AS n FROM lg WHERE which = 'n')
+         |SELECT ln.doc_id AS doc_id,
+         |  CAST(ln.l_n - COALESCE(sc.sclc, 0) // ln.n AS BIGINT)
+         |    AS entropy_q20
+         |FROM ln LEFT JOIN sc ON sc.doc_id = ln.doc_id
+         |ORDER BY ln.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          graft.ops.TextOps.tokenEntropyQ20($"text").as("entropy_q20"))
+        .orderBy($"doc_id")
     })
 }
