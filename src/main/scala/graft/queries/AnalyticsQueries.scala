@@ -1640,6 +1640,69 @@ object AnalyticsQueries {
             .select($"n_chars", ($"lang" === "en").as("is_en")),
           "n_chars", "is_en")
         .orderBy($"score")
+    },
+
+    // Per-group AUC (EvalOps.rocAucGrouped): q179's Mann-Whitney
+    // statistic PARTITIONED by source — per-slice model monitoring with
+    // no global ordered window at any scale (the histogram walk runs
+    // per group key). Single-class groups yield NULL, in the hash.
+    GraftQuery(
+      "q182_grouped_auc",
+      """WITH h AS (
+        |  SELECT source, n_chars AS score,
+        |    COUNT(*) FILTER (lang = 'en') AS pos,
+        |    COUNT(*) FILTER (lang <> 'en') AS neg
+        |  FROM documents GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT source, pos, neg,
+        |    SUM(neg) OVER (PARTITION BY source ORDER BY score DESC)
+        |      AS fp,
+        |    SUM(neg) OVER (PARTITION BY source) AS n
+        |  FROM h)
+        |SELECT source, CAST(SUM(pos) AS BIGINT) AS pos,
+        |  CAST(MIN(n) AS BIGINT) AS neg,
+        |  CASE WHEN SUM(pos) > 0 AND MIN(n) > 0 THEN
+        |    CAST(SUM(pos * (2*(n - fp) + neg)) * 1000000
+        |      // (2 * SUM(pos) * MIN(n)) AS BIGINT) END AS auc_ppm
+        |FROM pts GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      graft.ops.EvalOps.rocAucGrouped(
+          Tables.load(s, dir, "documents")
+            .select($"source", $"n_chars", ($"lang" === "en").as("is_en")),
+          "source", "n_chars", "is_en")
+        .orderBy($"source")
+    },
+
+    // XML sink+source round trip (Spark 4's built-in XML data source):
+    // write documents as <doc> rows, read back with an explicit schema
+    // (schema-on-read — no inference pass), aggregate; the oracle runs
+    // the same aggregate on the ORIGINAL table (q108's pattern), so the
+    // gate checks write→read value fidelity through XML escaping.
+    GraftQuery(
+      "q186_xml_roundtrip",
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_len,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = scratchDir("graft_q186")
+      Tables.load(s, dir, "documents")
+        .write.mode("overwrite").option("rootTag", "docs")
+        .option("rowTag", "doc").format("xml").save(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).option("rowTag", "doc").format("xml").load(path)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("total_chars"),
+          sum(length($"text")).as("total_len"),
+          sum($"doc_id").as("id_sum"))
+        .orderBy($"lang")
     })
 }
 

@@ -1072,6 +1072,45 @@ object CurationQueries {
           docs.filter($"lang" === "en"), docs.filter($"lang" =!= "en"),
           "text", dim = 64, salt = "kl1")
         .orderBy($"bucket")
+    },
+
+    // Poisson bootstrap (EvalOps.poissonBootstrapMeans): 32 derandomized
+    // Poisson(1) resamples of the corpus in ONE pass — replica
+    // multiplicities from the literal inverse-CDF of a portable hash of
+    // (doc_id, replica, salt), so any engine/run/partitioning draws the
+    // identical resample; the replica-mean spread is the sampling
+    // uncertainty of the corpus mean-doc-length. A naive bootstrap
+    // rescans the corpus B times and needs a global index for
+    // with-replacement draws.
+    GraftQuery(
+      "q185_poisson_bootstrap",
+      """WITH r AS (
+        |  SELECT CAST(unnest(generate_series(0, 31)) AS BIGINT)
+        |    AS replica),
+        |w AS (
+        |  SELECT r.replica, d.n_chars,
+        |    CAST(len(list_filter([367879, 735758, 919698, 981011,
+        |        996340, 999405, 999916, 999989, 999998],
+        |      c -> c <= list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(
+        |            CAST(d.doc_id AS VARCHAR) || ':'
+        |              || CAST(r.replica AS VARCHAR) || ':bs1', ''),
+        |            x -> ascii(x))),
+        |          (a, x) -> (a*31+x) % 1000000007) % 1000000))
+        |      AS BIGINT) AS wgt
+        |  FROM documents d CROSS JOIN r)
+        |SELECT replica, CAST(SUM(wgt) AS BIGINT) AS n_eff,
+        |  CAST(SUM(wgt * n_chars) AS BIGINT) AS value_sum,
+        |  CASE WHEN SUM(wgt) > 0 THEN
+        |    CAST(SUM(wgt * n_chars) * 1000 // SUM(wgt) AS BIGINT)
+        |  END AS mean_milli
+        |FROM w GROUP BY replica ORDER BY replica""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      graft.ops.EvalOps.poissonBootstrapMeans(
+          Tables.load(s, dir, "documents").select($"doc_id", $"n_chars"),
+          "doc_id", "n_chars", replicas = 32, salt = "bs1")
+        .orderBy($"replica")
     })
 
   private def runValidation(

@@ -447,5 +447,90 @@ object TemporalQueries {
           sum($"credit_micro").as("credit_micro"),
           sum($"value_share_c").as("value_share_c"))
         .orderBy($"channel")
+    },
+
+    // Spark's NATIVE session_window operator (batch face): 30-minute
+    // inactivity gap per user, window = [first event, last event + gap)
+    // — the engine-native form of q55's hand-built gaps-and-islands
+    // sessionization (SessionOps), gated so the built-in operator's
+    // exact session-boundary semantics are hash-checked too. The
+    // oracle replays it as the classic lag/cumsum island detection.
+    GraftQuery(
+      "q183_session_window",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts_us, value_c,
+        |    CASE WHEN lag(ts_us) OVER
+        |        (PARTITION BY user_id ORDER BY ts_us) IS NULL
+        |      OR ts_us - lag(ts_us) OVER
+        |        (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts_us, value_c,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |      AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+        |  CAST(MAX(ts_us) + 1800000000 AS BIGINT) AS session_end_us,
+        |  COUNT(*) AS n_events, CAST(SUM(value_c) AS BIGINT) AS value_c
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select($"user_id", $"ts",
+          round($"value" * 100, 0).cast("long").as("value_c"))
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), sum($"value_c").as("value_c"))
+        .select($"user_id",
+          unix_micros($"sw.start").as("session_start_us"),
+          unix_micros($"sw.end").as("session_end_us"),
+          $"n_events", $"value_c")
+        .orderBy($"user_id", $"session_start_us")
+    },
+
+    // Rolling 7-day distinct actives per day (DAU/WAU-style): each
+    // (user, active-day) pair votes for the 7 report days it covers —
+    // a bounded ×7 explode into an EQUI-grouped distinct count, never
+    // a day-range inequality join and never a sliding distinct window
+    // (distinct doesn't decompose over frames). Report days restricted
+    // to observed days via a semi-join.
+    GraftQuery(
+      "q184_rolling_actives",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)
+        |    AS d
+        |  FROM events),
+        |spine AS (SELECT DISTINCT d AS day FROM ud),
+        |ex AS (
+        |  SELECT user_id, d + CAST(u.i AS INTEGER) AS day
+        |  FROM ud, UNNEST(generate_series(0, 6)) AS u(i)),
+        |r AS (
+        |  SELECT day, COUNT(DISTINCT user_id) AS active_7d
+        |  FROM ex SEMI JOIN spine USING (day) GROUP BY 1),
+        |d1 AS (SELECT d AS day, COUNT(*) AS active_1d FROM ud GROUP BY 1)
+        |SELECT strftime(r.day, '%Y-%m-%d') AS day, d1.active_1d,
+        |  r.active_7d
+        |FROM r JOIN d1 ON d1.day = r.day
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ud = Tables.load(s, dir, "events")
+        .select($"user_id", to_date($"ts").as("d")).distinct()
+      val spine = ud.select($"d".as("day")).distinct()
+      val rolling = ud
+        .select($"user_id",
+          explode(sequence($"d", date_add($"d", 6))).as("day"))
+        .join(spine, Seq("day"), "left_semi")
+        .groupBy($"day")
+        .agg(countDistinct($"user_id").as("active_7d"))
+      val daily = ud.groupBy($"d".as("day"))
+        .agg(count(lit(1)).as("active_1d"))
+      rolling.join(daily, Seq("day"))
+        .select(date_format($"day", "yyyy-MM-dd").as("day"),
+          $"active_1d", $"active_7d")
+        .orderBy($"day")
     })
 }

@@ -51,6 +51,67 @@ class EvalOpsSpec extends SparkTestBase {
     assert(auc(rows).contains(expected))
   }
 
+  test("grouped AUC: each slice equals the solo computation on it") {
+    val rnd = new scala.util.Random(19)
+    val rows = Seq.tabulate(500)(i =>
+      ("g" + (i % 4), rnd.nextInt(15).toLong, rnd.nextBoolean()))
+    val grouped = EvalOps.rocAucGrouped(
+        rows.toDF("g", "score", "label"), "g", "score", "label")
+      .collect()
+      .map(r => r.getString(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(grouped.keySet == Set("g0", "g1", "g2", "g3"))
+    grouped.foreach { case (g, a) =>
+      assert(a == auc(rows.filter(_._1 == g).map(t => (t._2, t._3))),
+        s"group $g")
+    }
+  }
+
+  test("grouped AUC: a single-class group is NULL without poisoning others") {
+    val rows = Seq(("a", 3L, true), ("a", 1L, false),
+      ("b", 5L, true), ("b", 2L, true))
+    val out = EvalOps.rocAucGrouped(
+        rows.toDF("g", "score", "label"), "g", "score", "label")
+      .collect().map(r => r.getString(0) -> Option(r.get(3))).toMap
+    assert(out("a").contains(1000000L) && out("b").isEmpty)
+  }
+
+  test("poisson bootstrap: exact driver referee + partitioning invariance") {
+    def polyRef(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    val rows = Seq.tabulate(300)(i => (i.toLong, (i % 37).toLong * 3))
+    val expected = (0 until 8).map { b =>
+      val ws = rows.map { case (id, v) =>
+        val u = polyRef(s"$id:$b:s1") % 1000000L
+        (EvalOps.PoissonCdfPpm.count(_ <= u).toLong, v)
+      }
+      val nEff = ws.map(_._1).sum
+      val vs = ws.map { case (w, v) => w * v }.sum
+      (b.toLong, nEff, vs, vs * 1000L / nEff)
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = EvalOps.poissonBootstrapMeans(
+          rows.toDF("id", "v").repartition(parts), "id", "v",
+          replicas = 8, salt = "s1")
+        .orderBy("replica")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("poisson bootstrap: mean multiplicity concentrates near 1") {
+    val rows = Seq.tabulate(1000)(i => (i.toLong, 1L))
+    val effs = EvalOps.poissonBootstrapMeans(
+        rows.toDF("id", "v"), "id", "v", replicas = 16, salt = "conc")
+      .collect().map(_.getAs[Long]("n_eff"))
+    assert(effs.length == 16)
+    // Poisson(1) sum over 1000 rows: sd ≈ 32, so ±5 sd ≈ ±160
+    assert(effs.forall(e => e > 840 && e < 1160),
+      s"n_eff out of band: ${effs.mkString(",")}")
+  }
+
   test("curve is a valid staircase: cumulative, bounded, complete") {
     val rnd = new scala.util.Random(7)
     val rows = Seq.tabulate(300)(_ =>

@@ -92,4 +92,45 @@ class SessionOpsSpec extends SparkTestBase {
     assert(streamed === batch,
       "streaming and batch sessionization must agree on closed sessions")
   }
+
+  test("Spark's native session_window agrees with SessionOps.sessionize") {
+    val rnd = new scala.util.Random(17)
+    val gapUs = 1800L * 1000000L
+    val rows = Seq.tabulate(600) { i =>
+      (i.toLong, (i % 23).toLong,
+        // clustered arrivals so multi-event sessions actually form
+        1700000000000000L + (i % 23) * 3600000000L +
+          rnd.nextInt(6) * 600000000L + rnd.nextInt(1000000),
+        rnd.nextDouble() * 10)
+    } ++ Seq(
+      // boundary pins (probed): diff == gap MERGES in native
+      // session_window, SessionOps, and the q183 oracle alike;
+      // diff == gap + 1us splits
+      (9000L, 900L, 1700000000000000L, 1.0),
+      (9001L, 900L, 1700000000000000L + gapUs, 1.0),
+      (9002L, 901L, 1700000000000000L, 1.0),
+      (9003L, 901L, 1700000000000000L + gapUs + 1L, 1.0))
+    val df = rows.toDF("event_id", "user_id", "ts_us", "value")
+    val native = df
+      .select($"user_id", timestamp_micros($"ts_us").as("ts"),
+        round($"value" * 100, 0).cast("long").as("value_c"))
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum($"value_c").as("value_c"))
+      .select($"user_id", unix_micros($"sw.start").as("session_start_us"),
+        (unix_micros($"sw.end") - gapUs).as("session_end_us"),
+        $"n_events", $"value_c")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val ours = SessionOps.sessionize(df, "user_id", "ts_us", gapUs,
+        tieCol = "event_id", valueCol = "value")
+      .select($"user_id", $"session_start_us", $"session_end_us",
+        $"n_events", $"value_c")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(native.nonEmpty && native.exists(_._4 > 1))
+    assert(native === ours,
+      "native session_window must produce the identical session set")
+    val u900 = native.filter(_._1 == 900L)
+    assert(u900.length == 1 && u900.head._4 == 2L,
+      "diff == gap must merge")
+    assert(native.count(_._1 == 901L) == 2, "diff == gap + 1us must split")
+  }
 }
