@@ -152,4 +152,156 @@ object EvalOps {
         when(col("n_eff") > 0L,
           div(col("value_sum") * 1000L, col("n_eff"))).as("mean_milli"))
   }
+
+  /** Precision / recall / F1 at every threshold — [[rocAnalysis]]'s
+    * companion over the same score VALUE HISTOGRAM (one row per
+    * distinct score, predict-positive-when-≥): P = tp/(tp+fp),
+    * R = tp/pos_total, and F1 via its pair-count identity
+    * `F1 = 2·tp / (2·tp + fp + fn)` — one exact integral division,
+    * no rounded-P/rounded-R recombination. All counts cumulative from
+    * the top; ppm scaling; guarded divisors → NULL on empty classes.
+    * Output: (score, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm).
+    */
+  def prCurve(
+      df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val div = graft.functions.GraftColumns.longDiv _
+    val hist = df
+      .groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("neg"))
+    val wDesc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = hist.agg(
+      coalesce(sum(col("pos")), lit(0L)).as("__p"))
+    def safeDiv(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =
+      when(den > 0L, div(num, den))
+    hist
+      .withColumn("tp", sum(col("pos")).over(wDesc))
+      .withColumn("fp", sum(col("neg")).over(wDesc))
+      .crossJoin(broadcast(totals))
+      .select(col("score"), col("tp"), col("fp"),
+        (col("__p") - col("tp")).as("fn"),
+        safeDiv(col("tp") * 1000000L, col("tp") + col("fp"))
+          .as("precision_ppm"),
+        safeDiv(col("tp") * 1000000L, col("__p")).as("recall_ppm"),
+        safeDiv(lit(2L) * col("tp") * 1000000L,
+          lit(2L) * col("tp") + col("fp") + (col("__p") - col("tp")))
+          .as("f1_ppm"))
+  }
+
+  /** Host-side replica of `GraftColumns.binLog2Q20`'s integer
+    * recurrence (PolyHashSpec's referee) — used to PRECOMPUTE literal
+    * position-discount tables for [[ndcgAtK]] at plan-build time, so
+    * both engines consume identical literals instead of re-deriving
+    * logs at run time for what are only k small constants.
+    */
+  private[graft] def log2Q20Host(v: Long): Long = {
+    require(v >= 1, s"log2Q20Host needs v >= 1, got $v")
+    val p = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    var y = if (p <= 30) v << (30 - p) else v >> (p - 30)
+    var acc = 0L
+    for (_ <- 1 to 20) {
+      val y2 = (y * y) >> 30
+      if (y2 >= (1L << 31)) { y = y2 / 2; acc = acc * 2 + 1 }
+      else { y = y2; acc = acc * 2 }
+    }
+    p.toLong * (1L << 20) + acc
+  }
+
+  /** Position-discount weights for [[ndcgAtK]]: w(i) = 1e6·2^20 div
+    * log2Q20(i+1) for 1-based rank i — w(1) = 1e6 exactly (log2(2) is
+    * exact in Q20), monotone decreasing, integer.
+    */
+  private[graft] def ndcgWeights(k: Int): Array[Long] =
+    Array.tabulate(k)(i =>
+      (1000000L << 20) / log2Q20Host(i.toLong + 2L))
+
+  /** NDCG@k ranking quality per query group (search/reranker eval,
+    * the ranking complement to the classification metrics above):
+    * DCG = Σ_{i≤k} rel_i · w(i) with the Q20-log literal discounts of
+    * [[ndcgWeights]]; IDCG re-ranks the same rows by relevance
+    * (graded, integer ≥ 0); ndcg_ppm = DCG·1e6 div IDCG, NULL when the
+    * group has no relevant row. `tieCol` pins both orderings totally so
+    * every engine ranks identically.
+    *
+    * Two per-group row_number windows + one domain-sized aggregate.
+    * Scale: group size is the CANDIDATE-SET size (a reranker's few
+    * hundred rows), not the corpus; for corpus-wide groups cut to the
+    * top rows per group first (q56's TakeOrdered-per-group shape) —
+    * only ranks ≤ k contribute.
+    * Output: (group, n_rows, dcg_micro, idcg_micro, ndcg_ppm).
+    */
+  def ndcgAtK(
+      df: DataFrame, groupCol: String, scoreCol: String, relCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, "k in [1, 100]")
+    val div = graft.functions.GraftColumns.longDiv _
+    val weights = typedLit(ndcgWeights(k))
+    val wSys = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val wIdeal = Window.partitionBy(col(groupCol))
+      .orderBy(col(relCol).desc, col(tieCol).asc)
+    df
+      .withColumn("__rs", row_number().over(wSys))
+      .withColumn("__ri", row_number().over(wIdeal))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__rs") <= k,
+          col(relCol).cast("long") * element_at(weights, col("__rs")))
+          .otherwise(0L)).as("dcg_micro"),
+        sum(when(col("__ri") <= k,
+          col(relCol).cast("long") * element_at(weights, col("__ri")))
+          .otherwise(0L)).as("idcg_micro"))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_micro") > 0L,
+          div(col("dcg_micro") * 1000000L, col("idcg_micro"))))
+  }
+
+  /** Pearson chi-square independence test over two categorical columns
+    * (feature association / dataset-drift screening): one
+    * map-side-combined groupBy reduces the corpus to the |A|×|B|
+    * contingency table; margins and N ride as window aggregates over
+    * that DOMAIN-sized table; per cell, expected count e·1000 =
+    * r·c·1000 div N and contribution χ²·1000 ≈ (o·1000 − e_milli)²
+    * div e_milli — pure integer, engine-replayable (milli scaling
+    * bounds: exact-enough to 1e-3 relative while keeping
+    * (N·1000)² &lt; 2^63, i.e. N ≲ 3e6; coarsen the scaling or bucket
+    * counts beyond that). The total and Cramér's V² (ppm, χ²/(N·(min
+    * dim − 1))) attach as an in-plan 1-row scalar (q179 pattern).
+    * Output: one row per cell (a, b, o, e_milli, cell_chi2_milli,
+    * chi2_milli, dof, cramers_v2_ppm).
+    */
+  def chiSquareIndependence(
+      df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val div = graft.functions.GraftColumns.longDiv _
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val wA = Window.partitionBy(col("a"))
+    val wB = Window.partitionBy(col("b"))
+    val wAll = Window.partitionBy()
+    val scored = cells
+      .withColumn("__r", sum(col("o")).over(wA))
+      .withColumn("__c", sum(col("o")).over(wB))
+      .withColumn("__n", sum(col("o")).over(wAll))
+      .withColumn("__na", size(collect_set(col("a")).over(wAll)).cast("long"))
+      .withColumn("__nb", size(collect_set(col("b")).over(wAll)).cast("long"))
+      .withColumn("e_milli", div(col("__r") * col("__c") * 1000L, col("__n")))
+      .withColumn("__d", col("o") * 1000L - col("e_milli"))
+      .withColumn("cell_chi2_milli",
+        when(col("e_milli") > 0L,
+          div(col("__d") * col("__d"), col("e_milli"))).otherwise(0L))
+    val tot = scored.agg(
+      sum(col("cell_chi2_milli")).as("chi2_milli"),
+      ((max(col("__na")) - 1L) * (max(col("__nb")) - 1L)).as("dof"),
+      when(max(col("__n")) * (least(max(col("__na")), max(col("__nb"))) - 1L) > 0L,
+        div(sum(col("cell_chi2_milli")) * 1000L,
+          max(col("__n")) * (least(max(col("__na")), max(col("__nb"))) - 1L)))
+        .as("cramers_v2_ppm"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("o"), col("e_milli"),
+        col("cell_chi2_milli"), col("chi2_milli"), col("dof"),
+        col("cramers_v2_ppm"))
+  }
 }

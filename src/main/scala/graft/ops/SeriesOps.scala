@@ -54,4 +54,108 @@ object SeriesOps {
       .withColumn("flagged",
         col("cusum") * 1000L > lit(kMilli) * col("target"))
   }
+
+  /** Per-series ordinary-least-squares trend over a period rollup:
+    * slope/intercept from the four sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) — ONE map-side-combined aggregation per
+    * series, no window, no matrix library:
+    *
+    *   slope·1e6     = (n·Σxy − Σx·Σy)·1e6 div (n·Σx² − Σx·Σx)
+    *   intercept·1e6 = (Σy·1e6 − slope_micro·Σx) div n
+    *
+    * All-integer (div truncates toward zero identically on Spark and
+    * DuckDB, negatives included), so any engine replays every bit.
+    * Degenerate series (a single distinct x) → NULL slope/intercept.
+    * Intercept reuses the ROUNDED slope (documented; keeps the whole
+    * result integral instead of carrying a rational pair).
+    *
+    * Input: ONE row per (series, x) — aggregate first (the q169
+    * contract). Overflow bound: |n·Σxy| &lt; 2^63 needs
+    * n·max|x|·Σ|y| &lt; 9.2e18 — a 3-year daily rollup (n≈1000,
+    * x≈1000) holds to Σ|y| ≈ 9e12; rescale y upstream beyond that.
+    */
+  def olsTrend(
+      perPeriod: DataFrame, seriesCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val div = graft.functions.GraftColumns.longDiv _
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    perPeriod
+      .groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
+      .withColumn("__den", col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("slope_micro",
+        when(col("__den") > 0L,
+          div((col("n") * col("__sxy") - col("__sx") * col("__sy")) * 1000000L,
+            col("__den"))))
+      .withColumn("intercept_micro",
+        when(col("__den") > 0L,
+          div(col("__sy") * 1000000L - col("slope_micro") * col("__sx"),
+            col("n"))))
+      .select(col(seriesCol), col("n"), col("slope_micro"),
+        col("intercept_micro"))
+  }
+
+  /** Theil–Sen robust trend: the exact LOWER MEDIAN of all pairwise
+    * slopes (y₂−y₁)·1000 div (x₂−x₁) over x₁ &lt; x₂ — the estimator a
+    * single corrupted period cannot drag (breakdown point ≈ 29%,
+    * Sen 1968), where OLS follows any outlier.
+    *
+    * Scale shape: pairs come from a per-series SELF-EQUI-JOIN on the
+    * period rollup — O(d²) in the PERIOD-DOMAIN size d (days in range),
+    * never the event volume, the same domain-not-corpus contract as
+    * [[cusum]]. The median picks row ⌈m/2⌉ of the per-series slope
+    * ordering (window over m = O(d²) rollup-pair rows).
+    * Output: (series, n_pairs, slope_milli).
+    */
+  def theilSenSlope(
+      perPeriod: DataFrame, seriesCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val div = graft.functions.GraftColumns.longDiv _
+    val a = perPeriod.select(col(seriesCol).as("__s"),
+      col(xCol).cast("long").as("__x1"), col(yCol).cast("long").as("__y1"))
+    val b = perPeriod.select(col(seriesCol).as("__s"),
+      col(xCol).cast("long").as("__x2"), col(yCol).cast("long").as("__y2"))
+    val slopes = a.join(b, Seq("__s"))
+      .where(col("__x1") < col("__x2"))
+      .select(col("__s"),
+        div((col("__y2") - col("__y1")) * 1000L, col("__x2") - col("__x1"))
+          .as("__slope"))
+    val w = Window.partitionBy(col("__s")).orderBy(col("__slope"))
+    val wAll = Window.partitionBy(col("__s"))
+    slopes
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .where(col("__rn") === div(col("__m") + 1L, lit(2L)))
+      .select(col("__s").as(seriesCol), col("__m").as("n_pairs"),
+        col("__slope").as("slope_milli"))
+  }
+
+  /** First-order Markov transition matrix over an ordered event stream:
+    * per key, each event hands off to its successor (lead over a TOTAL
+    * per-key order — ties broken by `tieCol`, so every engine sees the
+    * same successor), then one map-side-combined count per
+    * (from, to) pair; row-normalized probability in ppm via the
+    * per-from-state total as a ride-along window aggregate over the
+    * STATE-DOMAIN-sized count table (|states|² rows, never the corpus).
+    * Output: (from_state, to_state, n, p_ppm).
+    */
+  def transitionMatrix(
+      df: DataFrame, keyCol: String, orderCol: String, tieCol: String,
+      stateCol: String): DataFrame = {
+    val div = graft.functions.GraftColumns.longDiv _
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieCol))
+    val pairs = df
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from_state"))
+    pairs
+      .withColumn("p_ppm", div(col("n") * 1000000L,
+        sum(col("n")).over(wFrom)))
+      .select(col("from_state"), col("to_state"), col("n"), col("p_ppm"))
+  }
 }

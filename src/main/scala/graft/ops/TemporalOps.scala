@@ -129,4 +129,46 @@ object TemporalOps {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Interval-union coverage: merge overlapping/touching [start, end)
+    * intervals per key and report the union — n_islands and total
+    * covered length — the "total active time" / "total on-call
+    * coverage" readout that double-counting Σ(end−start) gets wrong.
+    *
+    * Classic island detection as TWO window passes over one per-key
+    * shuffle: a running max of prior ends (rowsBetween −∞..−1) marks a
+    * new island exactly when start &gt; every earlier end (start-sorted
+    * ⇒ earlier rows are the only overlap candidates); the island id is
+    * the running sum of those break flags; islands then aggregate to
+    * (min start, max end). Touching intervals (start == prev end)
+    * MERGE — [start, end) semantics. Deterministic under same-start
+    * rows: the running max is order-insensitive within ties because
+    * max is commutative over the tied prefix... with the end column as
+    * secondary sort the prefix set itself is order-pinned.
+    *
+    * Input columns must be integral (epoch seconds/micros). Output:
+    * one row per key: (key, n_intervals, n_islands, covered).
+    */
+  def intervalUnion(
+      df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol).asc, col(endCol).asc)
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("__prevEnd", max(col(endCol)).over(prev))
+      .withColumn("__break",
+        when(col("__prevEnd").isNull || col(startCol) > col("__prevEnd"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__break")).over(run))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(count(lit(1)).as("__n"), min(col(startCol)).as("__s"),
+        max(col(endCol)).as("__e"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__e") - col("__s")).as("covered"))
+  }
 }

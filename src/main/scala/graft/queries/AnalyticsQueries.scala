@@ -1703,6 +1703,142 @@ object AnalyticsQueries {
           sum(length($"text")).as("total_len"),
           sum($"doc_id").as("id_sum"))
         .orderBy($"lang")
+    },
+
+    // NDCG@10 ranking quality per source (EvalOps.ndcgAtK) — the
+    // ranking complement to the q179/q182 classification metrics:
+    // system ranking by n_chars, graded relevance from lang
+    // (en=2, de=1, else 0), discounts from the SHARED Q20-log literal
+    // table (EvalOps.ndcgWeights — both engines consume the identical
+    // precomputed integers, the q185 Poisson-table pattern; w(1) is
+    // exactly 1e6). Two per-group row_number windows over the
+    // candidate-set-sized groups; ties pinned by doc_id on both sides.
+    GraftQuery(
+      "q191_ndcg",
+      s"""WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1 ELSE 0 END
+        |      AS rel,
+        |    ${graft.ops.EvalOps.ndcgWeights(10)
+                 .mkString("[", ", ", "]")} AS w
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, rel, w,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rs,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY rel DESC, doc_id) AS ri
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN rs <= 10 THEN rel * w[rs] ELSE 0 END)
+        |    AS BIGINT) AS dcg_micro,
+        |  CAST(SUM(CASE WHEN ri <= 10 THEN rel * w[ri] ELSE 0 END)
+        |    AS BIGINT) AS idcg_micro,
+        |  CASE WHEN SUM(CASE WHEN ri <= 10 THEN rel * w[ri] ELSE 0 END)
+        |      > 0 THEN
+        |    CAST(SUM(CASE WHEN rs <= 10 THEN rel * w[rs] ELSE 0 END)
+        |        * 1000000
+        |      // SUM(CASE WHEN ri <= 10 THEN rel * w[ri] ELSE 0 END)
+        |      AS BIGINT)
+        |  END AS ndcg_ppm
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      graft.ops.EvalOps.ndcgAtK(
+          Tables.load(s, dir, "documents")
+            .select($"source", $"doc_id", $"n_chars",
+              when($"lang" === "en", 2L).when($"lang" === "de", 1L)
+                .otherwise(0L).as("rel")),
+          "source", "n_chars", "rel", "doc_id", k = 10)
+        .orderBy($"source")
+    },
+
+    // Precision/recall/F1 sweep (EvalOps.prCurve) — q179's histogram
+    // walk with the retrieval-facing metrics; F1 via its pair-count
+    // identity 2tp/(2tp+fp+fn) as ONE exact integral division, never
+    // a rounded-P/rounded-R recombination.
+    GraftQuery(
+      "q192_pr_curve",
+      """WITH h AS (
+        |  SELECT n_chars AS score,
+        |    COUNT(*) FILTER (lang = 'en') AS pos,
+        |    COUNT(*) FILTER (lang <> 'en') AS neg
+        |  FROM documents GROUP BY 1),
+        |pts AS (
+        |  SELECT score,
+        |    SUM(pos) OVER (ORDER BY score DESC) AS tp,
+        |    SUM(neg) OVER (ORDER BY score DESC) AS fp
+        |  FROM h),
+        |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p FROM h)
+        |SELECT CAST(score AS BIGINT) AS score, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp,
+        |  CAST(tot.p - tp AS BIGINT) AS fn,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    CAST(tp*1000000 // (tp + fp) AS BIGINT) END AS precision_ppm,
+        |  CASE WHEN tot.p > 0 THEN
+        |    CAST(tp*1000000 // tot.p AS BIGINT) END AS recall_ppm,
+        |  CASE WHEN 2*tp + fp + (tot.p - tp) > 0 THEN
+        |    CAST(2*tp*1000000 // (2*tp + fp + (tot.p - tp)) AS BIGINT)
+        |  END AS f1_ppm
+        |FROM pts CROSS JOIN tot ORDER BY score""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      graft.ops.EvalOps.prCurve(
+          Tables.load(s, dir, "documents")
+            .select($"n_chars", ($"lang" === "en").as("is_en")),
+          "n_chars", "is_en")
+        .orderBy($"score")
+    },
+
+    // Pearson chi-square independence of lang × source
+    // (EvalOps.chiSquareIndependence) — the categorical drift/
+    // association screen: one map-side-combined groupBy reduces the
+    // corpus to the |A|×|B| contingency table, margins ride as window
+    // aggregates over that domain-sized table, per-cell χ²·1000 in
+    // pure integer milli arithmetic; total + dof + Cramér's V² attach
+    // as an in-plan 1-row scalar (q179 pattern).
+    GraftQuery(
+      "q193_chi_square",
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, COUNT(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |dims AS (
+        |  SELECT COUNT(DISTINCT a) AS na, COUNT(DISTINCT b) AS nb
+        |  FROM cells),
+        |m AS (
+        |  SELECT a, b, o,
+        |    SUM(o) OVER (PARTITION BY a) AS r,
+        |    SUM(o) OVER (PARTITION BY b) AS c,
+        |    SUM(o) OVER () AS n
+        |  FROM cells),
+        |sc AS (
+        |  SELECT a, b, o, n, r*c*1000 // n AS e_milli,
+        |    CASE WHEN r*c*1000 // n > 0 THEN
+        |      (o*1000 - r*c*1000 // n) * (o*1000 - r*c*1000 // n)
+        |        // (r*c*1000 // n)
+        |    ELSE 0 END AS cell
+        |  FROM m),
+        |tot AS (
+        |  SELECT CAST(SUM(cell) AS BIGINT) AS chi2_milli,
+        |    CAST((MIN(dims.na) - 1) * (MIN(dims.nb) - 1) AS BIGINT)
+        |      AS dof,
+        |    CASE WHEN MIN(sc.n)
+        |        * (LEAST(MIN(dims.na), MIN(dims.nb)) - 1) > 0 THEN
+        |      CAST(SUM(cell) * 1000
+        |        // (MIN(sc.n)
+        |           * (LEAST(MIN(dims.na), MIN(dims.nb)) - 1)) AS BIGINT)
+        |    END AS cramers_v2_ppm
+        |  FROM sc CROSS JOIN dims)
+        |SELECT a, b, CAST(o AS BIGINT) AS o,
+        |  CAST(e_milli AS BIGINT) AS e_milli,
+        |  CAST(cell AS BIGINT) AS cell_chi2_milli,
+        |  tot.chi2_milli, tot.dof, tot.cramers_v2_ppm
+        |FROM sc CROSS JOIN tot ORDER BY a, b""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      graft.ops.EvalOps.chiSquareIndependence(
+          Tables.load(s, dir, "documents"), "lang", "source")
+        .orderBy($"a", $"b")
     })
 }
 

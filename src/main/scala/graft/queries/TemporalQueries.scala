@@ -532,5 +532,149 @@ object TemporalQueries {
         .select(date_format($"day", "yyyy-MM-dd").as("day"),
           $"active_1d", $"active_7d")
         .orderBy($"day")
+    },
+
+    // Per-series OLS trend (SeriesOps.olsTrend): daily event counts per
+    // type regressed on the epoch-day index from the four sufficient
+    // statistics — ONE map-side-combined aggregation per series, no
+    // window, no matrix math; slope/intercept in exact integer micros
+    // (div truncation matches across engines, negatives included).
+    GraftQuery(
+      "q187_ols_trend",
+      """WITH r AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(day) AS sx,
+        |    SUM(y) AS sy, SUM(day*y) AS sxy, SUM(day*day) AS sxx
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n*sxx - sx*sx > 0 THEN
+        |    CAST((n*sxy - sx*sy)*1000000 // (n*sxx - sx*sx) AS BIGINT)
+        |  END AS slope_micro,
+        |  CASE WHEN n*sxx - sx*sx > 0 THEN
+        |    CAST((sy*1000000
+        |        - ((n*sxy - sx*sy)*1000000 // (n*sxx - sx*sx))*sx)
+        |      // n AS BIGINT)
+        |  END AS intercept_micro
+        |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val rollup = Tables.load(s, dir, "events")
+        .select($"event_type",
+          div(unix_micros($"ts"), lit(86400000000L)).as("day"))
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("y"))
+      graft.ops.SeriesOps.olsTrend(rollup, "event_type", "day", "y")
+        .orderBy($"event_type")
+    },
+
+    // Theil-Sen robust trend (SeriesOps.theilSenSlope): the exact lower
+    // median of all pairwise slopes over the same daily rollup — the
+    // estimator one corrupted day cannot drag where q187's OLS follows
+    // any outlier. Pairs self-equi-join the PERIOD-DOMAIN rollup
+    // (O(days²), never event volume); the median picks row ⌈m/2⌉ of the
+    // per-series slope ordering.
+    GraftQuery(
+      "q188_theil_sen",
+      """WITH r AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    (b.y - a.y)*1000 // (b.day - a.day) AS slope
+        |  FROM r a JOIN r b ON a.event_type = b.event_type
+        |    AND a.day < b.day),
+        |q AS (
+        |  SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS m
+        |  FROM p)
+        |SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+        |  CAST(slope AS BIGINT) AS slope_milli
+        |FROM q WHERE rn = (m + 1) // 2
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val rollup = Tables.load(s, dir, "events")
+        .select($"event_type",
+          div(unix_micros($"ts"), lit(86400000000L)).as("day"))
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("y"))
+      graft.ops.SeriesOps.theilSenSlope(rollup, "event_type", "day", "y")
+        .orderBy($"event_type")
+    },
+
+    // First-order Markov transition matrix (SeriesOps.transitionMatrix):
+    // per-user event-type handoffs via ONE lead window over a total
+    // per-key order (ties pinned by event_id), counts map-side combined,
+    // row-normalized in ppm over the |states|²-row count table — the
+    // clickstream "what happens after X" readout.
+    GraftQuery(
+      "q189_markov_transitions",
+      """WITH o AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type AS from_state, next_type AS to_state,
+        |    COUNT(*) AS n
+        |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+        |  CAST(n*1000000 // SUM(n) OVER (PARTITION BY from_state)
+        |    AS BIGINT) AS p_ppm
+        |FROM c ORDER BY from_state, to_state""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select($"user_id", unix_micros($"ts").as("tu"), $"event_id",
+          $"event_type")
+      graft.ops.SeriesOps.transitionMatrix(
+          e, "user_id", "tu", "event_id", "event_type")
+        .orderBy($"from_state", $"to_state")
+    },
+
+    // Interval-union coverage (TemporalOps.intervalUnion): per user,
+    // merge the overlapping [event, event + 30 min) activity intervals
+    // and report the union — islands + total covered seconds — the
+    // "total active time" readout that double-counting Σ(end − start)
+    // gets wrong. Two window passes over one per-key shuffle.
+    GraftQuery(
+      "q190_interval_coverage",
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS s,
+        |    epoch_us(ts) // 1000000 + 1800 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM iv),
+        |b AS (
+        |  SELECT user_id, s, e,
+        |    SUM(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, island, COUNT(*) AS cnt, MIN(s) AS ms,
+        |    MAX(e) AS me
+        |  FROM b GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_intervals,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(me - ms) AS BIGINT) AS covered
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val iv = Tables.load(s, dir, "events")
+        .select($"user_id",
+          div(unix_micros($"ts"), lit(1000000L)).as("s"))
+        .withColumn("e", $"s" + 1800L)
+      graft.ops.TemporalOps.intervalUnion(iv, "user_id", "s", "e")
+        .orderBy($"user_id")
     })
 }

@@ -133,4 +133,100 @@ class EvalOpsSpec extends SparkTestBase {
     }
     assert(tp == p && fp == n)
   }
+
+  test("prCurve: hand-computed precision/recall/F1, and F1 equals the " +
+       "pair-count identity (never rounded-P/rounded-R recombination)") {
+    // scores: pos {5,3}, neg {4}: thresholds 5,4,3
+    val got = EvalOps.prCurve(
+        Seq((5L, true), (4L, false), (3L, true)).toDF("score", "label"),
+        "score", "label")
+      .orderBy($"score".desc)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (5L, 1L, 0L, 1L, 1000000L, 500000L, 666666L),
+      (4L, 1L, 1L, 1L, 500000L, 500000L, 500000L),
+      (3L, 2L, 1L, 0L, 666666L, 1000000L, 800000L)))
+    // referee on random data: f1 == 2tp*1e6 div (2tp+fp+fn) exactly
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.tabulate(300)(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(3) == 0))
+    EvalOps.prCurve(rows.toDF("score", "label"), "score", "label")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .foreach { case (_, tp2, fp2, fn2, _, _, f1) =>
+        assert(f1 === 2 * tp2 * 1000000L / (2 * tp2 + fp2 + fn2))
+      }
+  }
+
+  test("ndcgAtK: the system ranking equal to the ideal scores exactly " +
+       "1e6; a fully inverted ranking scores below; double referee") {
+    // group g: rels 3,2,1 — perfect when score order matches rel order
+    val perfect = Seq(("g", 30L, 3L, 1L), ("g", 20L, 2L, 2L),
+      ("g", 10L, 1L, 3L))
+    val inverted = Seq(("g", 10L, 3L, 1L), ("g", 20L, 2L, 2L),
+      ("g", 30L, 1L, 3L))
+    def run(rows: Seq[(String, Long, Long, Long)]) =
+      EvalOps.ndcgAtK(rows.toDF("g", "score", "rel", "id"),
+          "g", "score", "rel", "id", k = 10)
+        .as[(String, Long, Long, Long, Long)].head()
+    assert(run(perfect)._5 === 1000000L)
+    val inv = run(inverted)
+    assert(inv._5 < 1000000L && inv._5 > 0L)
+    // double-precision referee within Q20 rounding slack (≤ ~20 ppm)
+    val w = (1 to 3).map(i => 1e6 / (math.log(i + 1) / math.log(2)))
+    val dcg = 1L * w(0) + 2 * w(1) + 3 * w(2)
+    val idcg = 3 * w(0) + 2 * w(1) + 1 * w(2)
+    val expected = dcg / idcg * 1e6
+    assert(math.abs(inv._5 - expected) < 100,
+      s"got ${inv._5}, referee $expected")
+  }
+
+  test("ndcgAtK: only the top k contribute; zero-relevance group " +
+       "yields NULL ndcg; ties pinned by the tiebreak column") {
+    // k=1: only the best-scored row counts, ideal takes the max rel
+    val rows = Seq(("g", 10L, 1L, 1L), ("g", 20L, 0L, 2L))
+    val k1 = EvalOps.ndcgAtK(rows.toDF("g", "score", "rel", "id"),
+        "g", "score", "rel", "id", k = 1)
+      .select($"dcg_micro", $"idcg_micro", $"ndcg_ppm")
+      .as[(Long, Long, Option[Long])].head()
+    assert(k1 === ((0L, 1000000L, Some(0L))))
+    val zero = EvalOps.ndcgAtK(
+        Seq(("z", 1L, 0L, 1L)).toDF("g", "score", "rel", "id"),
+        "g", "score", "rel", "id", k = 5)
+      .select($"ndcg_ppm").as[Option[Long]].head()
+    assert(zero.isEmpty)
+    // score ties: tiebreak asc decides rank on both system and ideal
+    val tied = Seq(("t", 10L, 2L, 1L), ("t", 10L, 0L, 2L))
+    val tg = EvalOps.ndcgAtK(tied.toDF("g", "score", "rel", "id"),
+        "g", "score", "rel", "id", k = 1)
+      .select($"ndcg_ppm").as[Option[Long]].head()
+    assert(tg === Some(1000000L)) // id 1 (rel 2) ranks first in both
+  }
+
+  test("chiSquareIndependence: exactly proportional table gives zero " +
+       "chi2; hand-computed 2x2; margins and dof correct") {
+    // perfectly independent 2x2: rows 10/30 in both columns
+    val ind = Seq.fill(10)(("a1", "b1")) ++ Seq.fill(30)(("a1", "b2")) ++
+      Seq.fill(10)(("a2", "b1")) ++ Seq.fill(30)(("a2", "b2"))
+    val gi = EvalOps.chiSquareIndependence(
+        ind.toDF("x", "y"), "x", "y")
+      .select($"chi2_milli", $"dof", $"cramers_v2_ppm").distinct()
+      .as[(Long, Long, Long)].head()
+    assert(gi === ((0L, 1L, 0L)))
+    // dependent 2x2: [30,10;10,30], N=80, margins all 40
+    // e = 20 for every cell, chi2 = 4*(10^2/20) = 20 -> 20000 milli
+    val dep = Seq.fill(30)(("a1", "b1")) ++ Seq.fill(10)(("a1", "b2")) ++
+      Seq.fill(10)(("a2", "b1")) ++ Seq.fill(30)(("a2", "b2"))
+    val gd = EvalOps.chiSquareIndependence(
+        dep.toDF("x", "y"), "x", "y")
+      .orderBy($"a", $"b").collect()
+    assert(gd.length === 4)
+    val first = gd.head
+    assert(first.getLong(2) === 30L) // o
+    assert(first.getLong(3) === 20000L) // e_milli
+    assert(first.getLong(4) === 5000L) // (10*1000)^2 / 20000
+    assert(gd.forall(_.getLong(5) === 20000L)) // total chi2_milli
+    assert(gd.forall(_.getLong(6) === 1L)) // dof
+    // V^2 = chi2/(N*(min-1)) = 20/80 = 0.25 -> 250000 ppm
+    assert(gd.forall(_.getLong(7) === 250000L))
+  }
 }

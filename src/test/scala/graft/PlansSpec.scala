@@ -331,20 +331,31 @@ class PlansSpec extends SparkTestBase {
         // q171 crosses the scan with its ONE-row sorted-boundary array
         // (range-partition planning — the q96 scalar pattern); q172
         // crosses two ONE-row aggregates (estimate × exact count)
-        "q171_equidepth_buckets", "q172_join_cardinality")
+        "q171_equidepth_buckets", "q172_join_cardinality",
+        // q179/q192 cross the distinct-score histogram with its ONE-row
+        // class-totals aggregate (and q179 a second 1-row AUC scalar);
+        // q193 crosses the |A|×|B|-cell contingency table with its
+        // ONE-row total/dof/V² aggregate — all the q96 scalar pattern
+        "q179_roc_auc", "q192_pr_curve", "q193_chi_square",
+        // q178 crosses the dim-row bucket-frequency tables with their
+        // TWO ONE-row corpus-total aggregates (q129's exact shape)
+        "q178_kl_divergence")
+    // collect ALL offenders before failing — a one-at-a-time assert
+    // hides the second offender behind the first across long re-runs
+    val offenses = scala.collection.mutable.ListBuffer.empty[String]
     for ((name, p) <- plans) {
-      assert(!p.contains("CartesianProduct"),
-        s"$name plans a CartesianProduct:\n$p")
-      if (!bnljSanctioned(name))
-        assert(!p.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a BroadcastNestedLoopJoin over corpus-sized inputs:\n$p")
+      if (p.contains("CartesianProduct"))
+        offenses += s"$name plans a CartesianProduct"
+      if (!bnljSanctioned(name) && p.contains("BroadcastNestedLoopJoin"))
+        offenses += s"$name plans an unsanctioned BroadcastNestedLoopJoin"
       // wide-table pruning: any lineitem (16 cols) scan must project < 10
       "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
         .map(_.group(1)).filter(_.contains("l_extendedprice")).foreach { rs =>
-          assert(rs.split(",").length < 10,
-            s"$name reads too much of lineitem: $rs")
+          if (rs.split(",").length >= 10)
+            offenses += s"$name reads too much of lineitem: $rs"
         }
     }
+    assert(offenses.isEmpty, offenses.mkString("\n"))
   }
 
   test("partitioned layout: a lang filter over writePartitioned output " +

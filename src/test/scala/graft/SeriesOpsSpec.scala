@@ -61,4 +61,62 @@ class SeriesOpsSpec extends SparkTestBase {
       .as[(String, Long, Long, Long, Long, Boolean)].head()
     assert(one === (("a", 1L, 7L, 7L, 0L, false)))
   }
+
+  test("olsTrend: exact on a perfect line, NULL on a single point, " +
+       "and matches the closed-form fractions on a hand fixture") {
+    // y = 3x + 10 exactly
+    val line = (1L to 5L).map(x => ("line", x, 3 * x + 10))
+    // hand fixture: (0,1),(1,3),(2,2) -> slope = 1/2, intercept = 3/2
+    val hand = Seq(("hand", 0L, 1L), ("hand", 1L, 3L), ("hand", 2L, 2L))
+    val single = Seq(("one", 4L, 9L))
+    val got = SeriesOps.olsTrend(
+        series((line ++ hand ++ single): _*), "s", "p", "x")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got("line") === ((5L, Some(3000000L), Some(10000000L))))
+    assert(got("hand") === ((3L, Some(500000L), Some(1500000L))))
+    assert(got("one") === ((1L, None, None)))
+  }
+
+  test("theilSenSlope: one corrupted period drags OLS but not the " +
+       "pairwise-slope median; exact lower-median semantics") {
+    // y = 2x for 11 periods, except one wild outlier at the endpoint
+    // (an outlier at the mean x would leave OLS slope untouched)
+    val rows = (1L to 11L).map(x =>
+      ("r", x, if (x == 11L) 1000L else 2 * x))
+    val ts = SeriesOps.theilSenSlope(series(rows: _*), "s", "p", "x")
+      .as[(String, Long, Long)].head()
+    assert(ts._2 === 55L) // C(11,2) pairs
+    assert(ts._3 === 2000L) // robust: exactly slope 2 in milli
+    val ols = SeriesOps.olsTrend(series(rows: _*), "s", "p", "x")
+      .select($"slope_micro").as[Long].head()
+    assert(math.abs(ols - 2000000L) > 1000000L,
+      s"OLS should be dragged by the outlier, got $ols")
+    // exact lower median on an even pair count: slopes {1,2,3} from
+    // points (0,0),(1,1),(2,3) -> pairs (0,1)=1000,(1,2)=2000,(0,2)=1500
+    // sorted [1000,1500,2000], lower median = row (3+1)/2 = 2 -> 1500
+    val even = SeriesOps.theilSenSlope(
+        series(("e", 0L, 0L), ("e", 1L, 1L), ("e", 2L, 3L)), "s", "p", "x")
+      .as[(String, Long, Long)].head()
+    assert(even === (("e", 3L, 1500L)))
+  }
+
+  test("transitionMatrix: hand-counted handoffs, per-state ppm " +
+       "normalization, and tie order pinned by the tiebreak column") {
+    val df = Seq(
+      // user 1: A -> B -> A -> C  (ties on t=2 pinned by id)
+      (1L, 1L, 10L, "A"), (1L, 2L, 20L, "B"), (1L, 2L, 21L, "A"),
+      (1L, 3L, 30L, "C"),
+      // user 2: A -> B
+      (2L, 1L, 40L, "A"), (2L, 2L, 50L, "B"))
+      .toDF("k", "t", "id", "st")
+    val got = SeriesOps.transitionMatrix(df, "k", "t", "id", "st")
+      .orderBy($"from_state", $"to_state")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // transitions: A->B ×2, B->A ×1, A->C ×1 (from the tie: B then A,
+    // so B->A and A->C)
+    assert(got === Seq(
+      ("A", "B", 2L, 666666L), ("A", "C", 1L, 333333L),
+      ("B", "A", 1L, 1000000L)))
+  }
 }

@@ -140,6 +140,56 @@ class TemporalOpsSpec extends SparkTestBase {
       === Seq((1L, 10L, 2L), (2L, 8L, 2L), (3L, 7L, 4L)))
   }
 
+  test("intervalUnion: overlapping intervals merge, touching intervals " +
+       "merge ([start,end) semantics), disjoint stay islands, and " +
+       "covered length never double-counts") {
+    val iv = Seq(
+      // key a: [0,10) ∪ [5,20) ∪ [20,25) -> one island [0,25);
+      //        [40,50) disjoint -> second island
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 20L, 25L), ("a", 40L, 50L),
+      // key b: nested [0,100) ⊃ [10,20) ⊃ [12,14) -> one island, 100
+      ("b", 0L, 100L), ("b", 10L, 20L), ("b", 12L, 14L),
+      // key c: exact duplicates collapse into one island
+      ("c", 3L, 7L), ("c", 3L, 7L))
+      .toDF("k", "s", "e")
+    val got = TemporalOps.intervalUnion(iv, "k", "s", "e")
+      .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", 4L, 2L, 35L), ("b", 3L, 1L, 100L), ("c", 2L, 1L, 4L)))
+    // naive Σ(end-start) would say 40 for key a — the double count
+    assert(got.head._4 < 40L)
+  }
+
+  test("intervalUnion: result is partitioning-invariant and ignores " +
+       "input row order") {
+    val rnd = new scala.util.Random(7)
+    val rows = for (k <- Seq("x", "y"); _ <- 1 to 50) yield {
+      val s = rnd.nextInt(1000).toLong
+      (k, s, s + 1 + rnd.nextInt(60).toLong)
+    }
+    val base = TemporalOps.intervalUnion(
+        rows.toDF("k", "s", "e"), "k", "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val shuffled = TemporalOps.intervalUnion(
+        scala.util.Random.shuffle(rows).toDF("k", "s", "e")
+          .repartition(7), "k", "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(base === shuffled)
+    // referee: driver-side sweep per key
+    val expected = rows.groupBy(_._1).map { case (k, v) =>
+      val sorted = v.map(t => (t._2, t._3)).sorted
+      var islands = List.empty[(Long, Long)]
+      for ((s, e) <- sorted) islands match {
+        case (is, ie) :: rest if s <= ie =>
+          islands = (is, math.max(ie, e)) :: rest
+        case _ => islands = (s, e) :: islands
+      }
+      (k, v.size.toLong, islands.size.toLong,
+        islands.map(i => i._2 - i._1).sum)
+    }.toSet
+    assert(base === expected)
+  }
+
   private def unix_micros(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.unix_micros(c)
 }
