@@ -520,6 +520,45 @@ object GraphOps {
     dist
   }
 
+  /** Weighted seed distances — Bellman–Ford relaxation with a fixed
+    * round count, the min-PLUS form of [[seedDistances]] (cheapest
+    * cost to reach each node within ≤ `rounds` hops from any seed).
+    * Nonnegative integer weights; undirected (each edge relaxes both
+    * ways). Per round: one key-partitioned join + min-combine —
+    * shuffles scale with |E|, state with |reached nodes|; fixed rounds
+    * keep every reported cost exact and engine-replayable (the q138/
+    * q106 fixed-round contract — no data-dependent convergence probe
+    * in the gate path).
+    */
+  def weightedSeedDistances(
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(wCol).cast("long").as("w"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b"),
+        col(wCol).cast("long").as("w")))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("id")).distinct()
+      .withColumn("cost", lit(0L)).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val msgs = e
+        .join(dist.select(col("id").as("a"), col("cost")), Seq("a"))
+        .select(col("b").as("id"), (col("cost") + col("w")).as("cost"))
+      val next = dist.union(msgs)
+        .groupBy(col("id")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint()
+      dist.unpersist()
+      dist = next
+      r += 1
+    }
+    dist
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) for community
     * detection: labels start as node ids; each round every node adopts
     * the most frequent label among its NEIGHBORS, ties to the smallest

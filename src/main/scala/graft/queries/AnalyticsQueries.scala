@@ -12,6 +12,31 @@ import graft.ops.{LayoutOps, SessionOps}
   */
 object AnalyticsQueries {
 
+  /** Benford first-digit probabilities, floored ppm:
+    * ⌊log10(1 + 1/d)·1e6⌋ for d = 1..9 — fixed public constants,
+    * consumed as identical literals by both engines (q185 pattern).
+    */
+  val BenfordPpm: Array[Long] = Array(
+    301029L, 176091L, 124938L, 96910L, 79181L,
+    66946L, 57991L, 51152L, 45757L)
+
+  /** RBO@50 per-member suffix weights, p = 0.9 (Webber et al. 2010):
+    * w_d = (1−p)·p^(d−1) in ppm via the integer recurrence
+    * w₁ = 100000, w_{d+1} = w_d·9 div 10; c_d = w_d·1000 div d; and
+    * S_m = Σ_{d=m..50} c_d. A doc ranked a in list A and b in list B
+    * is inside both depth-d prefixes iff max(a,b) ≤ d, so its total
+    * contribution to Σ_d w_d·|A_d∩B_d|/d is exactly S_max(a,b) —
+    * turning truncated RBO into ONE table lookup per joint doc.
+    */
+  val RboSuffixMilli: Array[Long] = {
+    val w = Iterator.iterate(100000L)(x => x * 9 / 10).take(50).toArray
+    val c = Array.tabulate(50)(i => w(i) * 1000 / (i + 1))
+    val s = new Array[Long](50)
+    var acc = 0L
+    for (i <- 49 to 0 by -1) { acc += c(i); s(i) = acc }
+    s
+  }
+
   // Identical SQL text runs on both engines (the q52 pattern): Spark
   // plans GROUPING SETS as one expand+aggregate pass, DuckDB is the
   // oracle. gid disambiguates which set each output row belongs to.
@@ -1839,6 +1864,111 @@ object AnalyticsQueries {
       graft.ops.EvalOps.chiSquareIndependence(
           Tables.load(s, dir, "documents"), "lang", "source")
         .orderBy($"a", $"b")
+    },
+
+    // Benford first-digit screen (fraud/synthetic-data quality check):
+    // leading digit of the order price in cents vs the Benford ppm
+    // literals, χ²-style deviation per digit in pure integer
+    // arithmetic, total attached as an in-plan 1-row scalar. One
+    // groupBy to a ≤9-row table; everything after is domain-sized.
+    GraftQuery(
+      "q198_benford",
+      s"""WITH c AS (
+        |  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c
+        |  FROM orders),
+        |d AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+        |      AS digit,
+        |    COUNT(*) AS n
+        |  FROM c WHERE c >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM d),
+        |s AS (
+        |  SELECT digit, n, n*1000000 // t.t AS obs_ppm,
+        |    ${AnalyticsQueries.BenfordPpm.mkString("[", ", ", "]")}
+        |      [digit] AS exp_ppm
+        |  FROM d CROSS JOIN t),
+        |dev AS (
+        |  SELECT digit, CAST(n AS BIGINT) AS n,
+        |    CAST(obs_ppm AS BIGINT) AS obs_ppm,
+        |    CAST(exp_ppm AS BIGINT) AS exp_ppm,
+        |    CAST((obs_ppm - exp_ppm)*(obs_ppm - exp_ppm) // exp_ppm
+        |      AS BIGINT) AS dev
+        |  FROM s),
+        |tot AS (
+        |  SELECT CAST(SUM(dev) AS BIGINT) AS benford_stat FROM dev)
+        |SELECT digit, n, obs_ppm, exp_ppm, dev, tot.benford_stat
+        |FROM dev CROSS JOIN tot ORDER BY digit""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val exp = typedLit(AnalyticsQueries.BenfordPpm)
+      val digits = Tables.load(s, dir, "orders")
+        .select(round($"o_totalprice" * 100, 0).cast("long").as("c"))
+        .where($"c" >= 1L)
+        .select(substring($"c".cast("string"), 1, 1).cast("long")
+          .as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum($"n").as("__t"))
+      val dev = digits.crossJoin(broadcast(tot))
+        .select($"digit", $"n",
+          div($"n" * 1000000L, $"__t").as("obs_ppm"),
+          element_at(exp, $"digit".cast("int")).as("exp_ppm"))
+        .withColumn("dev",
+          div(($"obs_ppm" - $"exp_ppm") * ($"obs_ppm" - $"exp_ppm"),
+            $"exp_ppm"))
+      val stat = dev.agg(sum($"dev").as("benford_stat"))
+      dev.crossJoin(broadcast(stat)).orderBy($"digit")
+    },
+
+    // Rank-biased overlap (Webber 2010) between two corpus rankings —
+    // "how much do two ranking functions agree, top-weighted": by
+    // n_chars vs by token count, truncated at depth 50, p = 0.9. Each
+    // side is a TakeOrdered top-50 (never a global row_number at
+    // scale); the joint doc's contribution is ONE literal-table lookup
+    // (RboSuffixMilli) — the Σ_d w_d·|A_d∩B_d|/d double sum folded
+    // per-doc at plan-build time.
+    GraftQuery(
+      "q199_rbo",
+      s"""WITH base AS (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split_regex(text, '\\s+')) AS n_tok
+        |  FROM documents),
+        |ta AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS ra
+        |  FROM base ORDER BY n_chars DESC, doc_id LIMIT 50),
+        |tb AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rb
+        |  FROM base ORDER BY n_tok DESC, doc_id LIMIT 50),
+        |j AS (
+        |  SELECT GREATEST(ra, rb) AS m,
+        |    ${AnalyticsQueries.RboSuffixMilli.mkString("[", ", ", "]")}
+        |      AS s
+        |  FROM ta JOIN tb USING (doc_id))
+        |SELECT COUNT(*) AS n_joint,
+        |  CAST(COALESCE(SUM(s[m]), 0) // 1000 AS BIGINT) AS rbo_ppm
+        |FROM j""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val suffix = typedLit(AnalyticsQueries.RboSuffixMilli)
+      val base = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"n_chars",
+          size(graft.ops.TextOps.tokenize($"text")).cast("long")
+            .as("n_tok"))
+      val wa = Window.orderBy($"n_chars".desc, $"doc_id")
+      val ta = base.orderBy($"n_chars".desc, $"doc_id").limit(50)
+        .withColumn("ra", row_number().over(wa))
+        .select($"doc_id", $"ra")
+      val wb = Window.orderBy($"n_tok".desc, $"doc_id")
+      val tb = base.orderBy($"n_tok".desc, $"doc_id").limit(50)
+        .withColumn("rb", row_number().over(wb))
+        .select($"doc_id", $"rb")
+      ta.join(tb, Seq("doc_id"))
+        .select(greatest($"ra", $"rb").as("m"))
+        .agg(count(lit(1)).as("n_joint"),
+          div(coalesce(sum(element_at(suffix, $"m".cast("int"))),
+            lit(0L)), lit(1000L)).as("rbo_ppm"))
     })
 }
 

@@ -649,6 +649,31 @@ object DedupQueries {
         .orderBy($"dist")
     },
 
+    // Weighted seed distances — Bellman–Ford min-plus relaxation over
+    // the same bipartite trade graph, weights = the cheapest observed
+    // quantity on each (customer, supplier) edge. 4 fixed relaxation
+    // rounds from the nation-3 seed set (cheapest ≤4-hop reach); per
+    // round ONE key-partitioned join + min-combine, shuffles scale
+    // with |E| (q138's unweighted walk generalized; q106 fixed-round
+    // contract keeps every cost exact and engine-replayable).
+    GraftQuery("q196_bellman_ford", DedupSql.BellmanFord4) { (s, dir) =>
+      import s.implicits._
+      val edges = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).cast("long").as("a"),
+          ($"l_suppkey" * 2 + 1).cast("long").as("b"),
+          $"l_quantity".cast("long").as("w"))
+      val seeds = Tables.load(s, dir, "customer")
+        .filter($"c_nationkey" === 3)
+        .select(($"c_custkey" * 2).cast("long").as("s"))
+      graft.ops.GraphOps.weightedSeedDistances(
+          edges, "a", "b", "w", seeds, "s", 4)
+        .groupBy($"cost")
+        .agg(count(lit(1)).as("n_nodes"), sum($"id").as("id_sum"))
+        .orderBy($"cost")
+    },
+
     // Winnowing fingerprints (Schleimer et al. 2003, MOSS): min shingle
     // hash per sliding window of 4, deduplicated — any shared run of
     // >= w+n-1 = 6 tokens shares a fingerprint, at ~2/(w+1) the storage
@@ -807,5 +832,40 @@ private object DedupSql {
        |SELECT dist, COUNT(*) AS n_nodes,
        |  CAST(SUM(id) AS BIGINT) AS id_sum
        |FROM d4 GROUP BY dist ORDER BY dist""".stripMargin
+  }
+
+  /** q196: 4 unrolled Bellman–Ford relaxation rounds (min-plus form of
+    * [[SeedBfs4]]); parallel edges min-combine before the loop, exactly
+    * as `GraphOps.weightedSeedDistances` does.
+    */
+  val BellmanFord4: String = {
+    val rounds = (1 to 4).map { r =>
+      val prev = s"d${r - 1}"
+      s"""d$r AS (
+         |  SELECT id, MIN(cost) AS cost FROM (
+         |    SELECT id, cost FROM $prev
+         |    UNION ALL
+         |    SELECT e.b AS id, p.cost + e.w AS cost
+         |    FROM e JOIN $prev p ON e.a = p.id)
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT CAST(o_custkey * 2 AS BIGINT) AS a,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS b,
+       |    CAST(l_quantity AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (
+       |  SELECT a, b, MIN(w) AS w FROM (
+       |    SELECT a, b, w FROM e0
+       |    UNION ALL SELECT b AS a, a AS b, w FROM e0)
+       |  GROUP BY 1, 2),
+       |d0 AS (
+       |  SELECT DISTINCT CAST(c_custkey * 2 AS BIGINT) AS id,
+       |    CAST(0 AS BIGINT) AS cost
+       |  FROM customer WHERE c_nationkey = 3),
+       |$rounds
+       |SELECT cost, COUNT(*) AS n_nodes,
+       |  CAST(SUM(id) AS BIGINT) AS id_sum
+       |FROM d4 GROUP BY cost ORDER BY cost""".stripMargin
   }
 }

@@ -14,6 +14,15 @@ import graft.ops.{FunnelOps, RangeJoinOps, TemporalOps}
   */
 object TemporalQueries {
 
+  /** α = 0.3 EWMA lag weights in ppm, 8 taps: w₀ = 300000,
+    * w_{j+1} = w_j·7 div 10 — a pure integer recurrence, so both
+    * engines consume identical literals (the q185 table pattern).
+    * (Declared before `all`: the q195 oracle string interpolates it
+    * at object init.)
+    */
+  val EwmaWeightsPpm: Array[Long] =
+    Iterator.iterate(300000L)(x => x * 7 / 10).take(8).toArray
+
   val all: Seq[GraftQuery] = Seq(
 
     // Ordered funnel (FunnelOps.funnel): per user, the earliest
@@ -676,5 +685,136 @@ object TemporalQueries {
         .withColumn("e", $"s" + 1800L)
       graft.ops.TemporalOps.intervalUnion(iv, "user_id", "s", "e")
         .orderBy($"user_id")
+    },
+
+    // Position-based (U-shaped 40/20/40) multi-touch attribution —
+    // completes the attribution family (q166 last-touch, q181 linear,
+    // q167 time-decay): first and last click before a purchase get
+    // 40% credit each, middles share the remaining 20%; n=1 → 100%,
+    // n=2 → 50/50. Same bin-bucketed interval EQUI-join as q181; the
+    // per-purchase rank is a window over the purchase's own clicks
+    // (basket-sized, never corpus-sized).
+    GraftQuery(
+      "q194_position_attribution",
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS pts,
+        |    CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS cts,
+        |    'ch' || (CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 5)
+        |      AS channel
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.user_id, p.pts, p.value_c, c.channel, c.cts,
+        |    c.click_id
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.cts >= p.pts - 86400000000 AND c.cts <= p.pts),
+        |rk AS (
+        |  SELECT channel, value_c,
+        |    row_number() OVER (PARTITION BY user_id, pts
+        |      ORDER BY cts, click_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id, pts) AS n
+        |  FROM m),
+        |credits AS (
+        |  SELECT channel,
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN rn = 1 OR rn = n THEN 400000
+        |         ELSE 200000 // (n - 2) END AS credit_micro
+        |  FROM rk
+        |  UNION ALL
+        |  SELECT 'organic', 1000000
+        |  FROM p ANTI JOIN m ON m.user_id = p.user_id AND m.pts = p.pts)
+        |SELECT channel, COUNT(*) AS n_touches,
+        |  CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
+        |FROM credits GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val div = graft.functions.GraftColumns.longDiv _
+      val e = Tables.load(s, dir, "events")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("pts"),
+          round($"value" * 100, 0).cast("long").as("value_c"),
+          (unix_micros($"ts") - 86400000000L).as("w_start"),
+          unix_micros($"ts").as("w_end"))
+      val kSchema = StructType(Seq(StructField("k", LongType)))
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", unix_micros($"ts").as("cts"),
+          $"event_id".as("click_id"),
+          concat(lit("ch"),
+            (from_json($"props", kSchema).getField("k") % 5)
+              .cast("string")).as("channel"))
+      val matched = graft.ops.RangeJoinOps.intervalJoin(
+          clicks, purchases, Seq("user_id"), "cts", "w_start", "w_end",
+          binWidth = 3600000000L)
+        .select($"user_id", $"pts", $"channel", $"cts", $"click_id")
+      val wRank = Window.partitionBy($"user_id", $"pts")
+        .orderBy($"cts", $"click_id")
+      val wAll = Window.partitionBy($"user_id", $"pts")
+      val credits = matched
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .select($"channel",
+          when($"n" === 1L, 1000000L)
+            .when($"n" === 2L, 500000L)
+            .when($"rn" === 1 || $"rn" === $"n", 400000L)
+            .otherwise(div(lit(200000L), $"n" - 2L)).as("credit_micro"))
+        .unionByName(purchases
+          .join(matched.select($"user_id", $"pts").distinct(),
+            Seq("user_id", "pts"), "left_anti")
+          .select(lit("organic").as("channel"),
+            lit(1000000L).as("credit_micro")))
+      credits.groupBy($"channel")
+        .agg(count(lit(1)).as("n_touches"),
+          sum($"credit_micro").as("credit_micro"))
+        .orderBy($"channel")
+    },
+
+    // Truncated EWMA smoothing: s(d) = Σ_{j=0..7} w_j · x(d−j) div 1000
+    // with the exact integer weight recurrence w_0 = 300000 ppm,
+    // w_{j+1} = w_j·7 div 10 (α = 0.3 — most-recent-heavy smoothing).
+    // NO sequential recurrence and NO window: each observed day votes
+    // for the ≤ 8 report days it covers (the q184 bounded-explode
+    // shape), restricted to observed days — one explode + one groupBy,
+    // embarrassingly parallel at any scale. Early days smooth over
+    // partial windows; n_terms says how partial.
+    GraftQuery(
+      "q195_ewma",
+      s"""WITH r AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT ${TemporalQueries.EwmaWeightsPpm
+                 .mkString("[", ", ", "]")} AS w),
+        |ex AS (
+        |  SELECT event_type, day + u.j AS rday, y, w.w[u.j + 1] AS wj
+        |  FROM r CROSS JOIN w, UNNEST(generate_series(0, 7)) AS u(j)),
+        |spine AS (SELECT DISTINCT event_type, day FROM r)
+        |SELECT ex.event_type, CAST(ex.rday AS BIGINT) AS day,
+        |  COUNT(*) AS n_terms,
+        |  CAST(SUM(y * wj) // 1000 AS BIGINT) AS ewma_milli
+        |FROM ex JOIN spine ON spine.event_type = ex.event_type
+        |  AND spine.day = ex.rday
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val rollup = Tables.load(s, dir, "events")
+        .select($"event_type",
+          div(unix_micros($"ts"), lit(86400000000L)).as("day"))
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint() // two consumers (votes + spine), tiny table
+      val votes = rollup
+        .select($"event_type", $"day", $"y",
+          posexplode(typedLit(TemporalQueries.EwmaWeightsPpm)))
+        .select($"event_type", ($"day" + $"pos").as("day"), $"y",
+          $"col".as("wj"))
+      val spine = rollup.select($"event_type", $"day")
+      votes.join(spine, Seq("event_type", "day"))
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("n_terms"),
+          div(sum($"y" * $"wj"), lit(1000L)).as("ewma_milli"))
+        .orderBy($"event_type", $"day")
     })
 }

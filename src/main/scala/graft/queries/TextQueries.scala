@@ -785,5 +785,51 @@ object TextQueries {
         .select($"doc_id",
           graft.ops.TextOps.tokenEntropyQ20($"text").as("entropy_q20"))
         .orderBy($"doc_id")
+    },
+
+    // Cross-source vocabulary similarity (corpus-mix audit): Jaccard
+    // over each source's DISTINCT token set, all source pairs. The
+    // pair stream comes from a posting-style equi-join on token (the
+    // q31 shape) but the pair space is DOMAIN-sized (|sources|² —
+    // ~hundreds even when each source holds billions of docs), so a
+    // universal stopword's posting row fans out to at most |sources|²
+    // pairs, never corpus². One distinct-shuffle + one token equi-join.
+    GraftQuery(
+      "q197_source_similarity",
+      """WITH tok AS (
+        |  SELECT DISTINCT source,
+        |    unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |sz AS (SELECT source, COUNT(*) AS nv FROM tok GROUP BY 1),
+        |p AS (
+        |  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+        |  FROM tok a JOIN tok b USING (token)
+        |  WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT s1, s2, CAST(inter AS BIGINT) AS inter,
+        |  CAST(n1.nv AS BIGINT) AS nv1, CAST(n2.nv AS BIGINT) AS nv2,
+        |  CAST(inter * 1000000 // (n1.nv + n2.nv - inter) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM p JOIN sz n1 ON n1.source = p.s1
+        |  JOIN sz n2 ON n2.source = p.s2
+        |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val tok = Tables.load(s, dir, "documents")
+        .select($"source",
+          explode(graft.ops.TextOps.tokenize($"text")).as("token"))
+        .distinct()
+        .localCheckpoint() // three consumers of one tiny distinct set
+      val sz = tok.groupBy($"source").agg(count(lit(1)).as("nv"))
+      val pairs = tok.select($"source".as("s1"), $"token")
+        .join(tok.select($"source".as("s2"), $"token"), Seq("token"))
+        .where($"s1" < $"s2")
+        .groupBy($"s1", $"s2").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sz.select($"source".as("s1"), $"nv".as("nv1")), Seq("s1"))
+        .join(sz.select($"source".as("s2"), $"nv".as("nv2")), Seq("s2"))
+        .select($"s1", $"s2", $"inter", $"nv1", $"nv2",
+          div($"inter" * 1000000L, $"nv1" + $"nv2" - $"inter")
+            .as("jaccard_ppm"))
+        .orderBy($"s1", $"s2")
     })
 }

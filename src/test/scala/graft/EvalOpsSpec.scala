@@ -229,4 +229,45 @@ class EvalOpsSpec extends SparkTestBase {
     // V^2 = chi2/(N*(min-1)) = 20/80 = 0.25 -> 250000 ppm
     assert(gd.forall(_.getLong(7) === 250000L))
   }
+
+  test("RBO suffix-table identity: sum of per-doc S[max(ra,rb)] equals " +
+       "the literal double sum over depths (random rankings), and " +
+       "identical rankings score the full truncated mass") {
+    val s = graft.queries.AnalyticsQueries.RboSuffixMilli
+    val w = Iterator.iterate(100000L)(x => x * 9 / 10).take(50).toArray
+    val cd = Array.tabulate(50)(i => w(i) * 1000 / (i + 1))
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 20) {
+      // two top-50 rankings over a 120-doc universe
+      val docs = rnd.shuffle((1 to 120).toList)
+      val a = rnd.shuffle(docs).take(50).zipWithIndex
+        .map { case (d, i) => d -> (i + 1) }.toMap
+      val b = rnd.shuffle(docs).take(50).zipWithIndex
+        .map { case (d, i) => d -> (i + 1) }.toMap
+      val direct = (1 to 50).map { d =>
+        val inter = a.count { case (doc, ra) =>
+          ra <= d && b.get(doc).exists(_ <= d) }
+        cd(d - 1) * inter
+      }.sum
+      val folded = a.keySet.intersect(b.keySet)
+        .toSeq.map(doc => s(math.max(a(doc), b(doc)) - 1)).sum
+      assert(folded === direct)
+    }
+    // identical rankings: RBO ≈ sum of all w_d (truncated mass; the
+    // c_d = w_d·1000 div d truncation costs < d per term, so the folded
+    // total sits within a couple of ppm below Σw)
+    val ident = (1 to 50).map(d => s(d - 1)).sum / 1000
+    assert(ident <= w.sum && ident >= w.sum - 2)
+    assert(w.sum > 990000L && w.sum < 1000000L)
+  }
+
+  test("Benford literals: each is floor(log10(1+1/d)*1e6) and the " +
+       "distribution sums to ~1e6") {
+    val b = graft.queries.AnalyticsQueries.BenfordPpm
+    for (d <- 1 to 9) {
+      val exact = math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong
+      assert(b(d - 1) === exact, s"digit $d")
+    }
+    assert(b.sum >= 999990L && b.sum <= 1000000L)
+  }
 }

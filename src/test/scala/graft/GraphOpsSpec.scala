@@ -449,4 +449,44 @@ class GraphOpsSpec extends SparkTestBase {
     assert(a.forall(r => r._2 >= 0 && r._2 <= 1000000L &&
       r._3 >= 0 && r._3 <= 1000000L))
   }
+
+  test("weightedSeedDistances: a cheap long path beats an expensive " +
+       "short one within the hop budget but not beyond it; parallel " +
+       "edges min-combine; Bellman-Ford referee on a random graph") {
+    import org.apache.spark.sql.functions._
+    // seed 1; direct 1-4 costs 10, detour 1-2-3-4 costs 3×1
+    val g = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    def run(edges: Seq[(Long, Long, Long)], rounds: Int) =
+      GraphOps.weightedSeedDistances(edges.toDF("a", "b", "w"),
+        "a", "b", "w", Seq(1L).toDF("s"), "s", rounds)
+        .as[(Long, Long)].collect().toMap
+    assert(run(g, 3)(4L) === 3L) // detour found within 3 hops
+    assert(run(g, 1)(4L) === 10L) // hop budget 1: only the direct edge
+    // a cheaper parallel copy of the direct edge wins immediately
+    assert(run(g :+ ((1L, 4L, 2L)), 1)(4L) === 2L)
+    // random-graph referee: rounds-capped Bellman-Ford on the driver
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 250).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong,
+        (1 + rnd.nextInt(9)).toLong)).filter(e => e._1 != e._2)
+    val undirected = edges ++ edges.map(e => (e._2, e._1, e._3))
+    val minEdge = undirected.groupBy(e => (e._1, e._2))
+      .map { case (k, xs) => (k._1, k._2, xs.map(_._3).min) }.toSeq
+    val seeds = Set(5L, 17L)
+    var ref = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val relaxed = minEdge.flatMap { case (a, b, w) =>
+        ref.get(a).map(d => b -> (d + w))
+      }.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).min }
+      ref = (ref.keySet ++ relaxed.keySet).map { n =>
+        n -> math.min(ref.getOrElse(n, Long.MaxValue),
+          relaxed.getOrElse(n, Long.MaxValue))
+      }.toMap
+    }
+    val got = GraphOps.weightedSeedDistances(
+        edges.toDF("a", "b", "w"), "a", "b", "w",
+        seeds.toSeq.toDF("s"), "s", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === ref)
+  }
 }

@@ -339,7 +339,10 @@ class PlansSpec extends SparkTestBase {
         "q179_roc_auc", "q192_pr_curve", "q193_chi_square",
         // q178 crosses the dim-row bucket-frequency tables with their
         // TWO ONE-row corpus-total aggregates (q129's exact shape)
-        "q178_kl_divergence")
+        "q178_kl_divergence",
+        // q198 crosses the ≤9-row digit table with its ONE-row total
+        // and the result with its ONE-row Benford-stat aggregate
+        "q198_benford")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
