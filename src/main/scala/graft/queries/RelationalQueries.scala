@@ -774,6 +774,120 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(cents($"o_totalprice")).as("revenue_c"))
         .orderBy($"c_custkey")
+    },
+
+    // Referential-integrity audit across the whole star schema: per FK
+    // relation, child row count, orphan count (anti-join against the
+    // parent key set) and orphan rate in ppm — the ingest-QA gate a
+    // warehouse runs after every load. Each relation is one DISTINCT
+    // on the parent key + one anti-join; relations union to a
+    // 5-row report.
+    GraftQuery(
+      "q201_ref_integrity",
+      """WITH rels AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS rel,
+        |    (SELECT COUNT(*) FROM lineitem) AS n_child,
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |      AS n_orphan
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  UNION ALL
+        |  SELECT 'customer.c_nationkey->nation',
+        |    (SELECT COUNT(*) FROM customer),
+        |    (SELECT COUNT(*) FROM customer
+        |     WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)))
+        |SELECT rel, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_orphan AS BIGINT) AS n_orphan,
+        |  CAST(n_orphan * 1000000 // n_child AS BIGINT) AS orphan_ppm
+        |FROM rels ORDER BY rel""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      def audit(relName: String, child: org.apache.spark.sql.DataFrame,
+          fk: String, parent: org.apache.spark.sql.DataFrame,
+          pk: String) = {
+        val keys = child.select(col(fk))
+        val orphans = keys.join(parent.select(col(pk)),
+          col(fk) === col(pk), "left_anti")
+        keys.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))
+          .select(lit(relName).as("rel"), $"n_child", $"n_orphan",
+            div($"n_orphan" * 1000000L, $"n_child").as("orphan_ppm"))
+      }
+      val li = t(s, dir, "lineitem")
+      audit("lineitem.l_orderkey->orders", li, "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey")
+        .unionByName(audit("lineitem.l_partkey->part", li, "l_partkey",
+          t(s, dir, "part"), "p_partkey"))
+        .unionByName(audit("lineitem.l_suppkey->supplier", li,
+          "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(audit("orders.o_custkey->customer",
+          t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"))
+        .unionByName(audit("customer.c_nationkey->nation",
+          t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"))
+        .orderBy($"rel")
+    },
+
+    // Id-sequence gap audit (ingestion completeness): bucket the id
+    // domain into 1000-wide ranges; a bucket's missing count is its
+    // in-domain span minus its present distinct ids — pure groupBy
+    // arithmetic, NO ordered window over the corpus-sized id stream
+    // (the global-window lead/lag shape would serialize; the bucket
+    // report is exact and localizes every hole to a 1000-id range).
+    // Domain bounds ride as an in-plan 1-row scalar.
+    GraftQuery(
+      "q202_id_gaps",
+      """WITH ids AS (
+        |  SELECT DISTINCT event_id AS id FROM events
+        |  WHERE event_id % 97 <> 13),
+        |b AS (
+        |  SELECT id // 1000 AS bucket, COUNT(*) AS present
+        |  FROM ids GROUP BY 1),
+        |t AS (SELECT MIN(id) AS lo, MAX(id) AS hi FROM ids),
+        |spans AS (
+        |  SELECT bucket, present,
+        |    LEAST(hi, bucket * 1000 + 999)
+        |      - GREATEST(lo, bucket * 1000) + 1 AS span
+        |  FROM b CROSS JOIN t)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(span AS BIGINT) AS span,
+        |  CAST(present AS BIGINT) AS present,
+        |  CAST(span - present AS BIGINT) AS missing
+        |FROM spans WHERE span - present > 0
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      // the shipped ids are dense 0..N-1: drop a deterministic ~1% so
+      // the audit demonstrably localizes real holes (id % 97 == 13)
+      val ids = t(s, dir, "events")
+        .where($"event_id" % 97L =!= 13L)
+        .select($"event_id".as("id")).distinct()
+      val buckets = ids.groupBy(div($"id", lit(1000L)).as("bucket"))
+        .agg(count(lit(1)).as("present"))
+      val bounds = ids.agg(min($"id").as("lo"), max($"id").as("hi"))
+      buckets.crossJoin(broadcast(bounds))
+        .select($"bucket",
+          (least($"hi", $"bucket" * 1000L + 999L) -
+            greatest($"lo", $"bucket" * 1000L) + 1L).as("span"),
+          $"present")
+        .withColumn("missing", $"span" - $"present")
+        .where($"missing" > 0L)
+        .orderBy($"bucket")
     })
 }
 

@@ -619,5 +619,70 @@ object SimilarityQueries {
           index, "vec_id", e, "vec_id", "embedding",
           qvec, centers, codebooks, nProbe = 2, shortlist = 50, k = 10)
         .orderBy($"cos_micro".desc, $"vec_id")
+    },
+
+    // Per-label embedding centroids + pairwise class separability —
+    // the "are my classes actually separated in embedding space"
+    // audit before training a classifier on them. Components quantize
+    // to integer MILLI first (floor(v·1000 + 0.5), the q97 rule) so
+    // every per-(label, dim) sum is order-independent integer math —
+    // no float accumulation anywhere; the corpus reduces to
+    // |labels|·dim rows in one map-side-combined pass; centroid pairs
+    // and norms are domain-sized equi-joins. cos² in ppm with the
+    // sign carried separately (the q158 no-sqrt form).
+    GraftQuery(
+      "q205_label_centroids",
+      """WITH comp AS (
+        |  SELECT label, u.i AS dim,
+        |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT) AS c
+        |  FROM embeddings,
+        |    UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        |cent AS (
+        |  SELECT label, dim, SUM(c) // COUNT(*) AS m
+        |  FROM comp GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT label, SUM(m*m) AS nn FROM cent GROUP BY 1),
+        |dots AS (
+        |  SELECT a.label AS la, b.label AS lb, SUM(a.m * b.m) AS dot
+        |  FROM cent a JOIN cent b ON a.dim = b.dim
+        |  WHERE a.label < b.label GROUP BY 1, 2)
+        |SELECT CAST(la AS BIGINT) AS la, CAST(lb AS BIGINT) AS lb,
+        |  CAST(CASE WHEN dot < 0 THEN -1 ELSE 1 END AS BIGINT)
+        |    AS dot_sign,
+        |  CASE WHEN na.nn * nb.nn // 1000000 > 0 THEN
+        |    CAST(dot * dot // (na.nn * nb.nn // 1000000) AS BIGINT)
+        |  END AS cos2_ppm
+        |FROM dots JOIN norms na ON na.label = dots.la
+        |  JOIN norms nb ON nb.label = dots.lb
+        |ORDER BY la, lb""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val cent = Tables.load(s, dir, "embeddings")
+        .select($"label".cast("long").as("label"),
+          posexplode($"embedding"))
+        .select($"label", ($"pos" + 1).as("dim"),
+          floor($"col".cast("double") * 1000 + 0.5).cast("long").as("c"))
+        .groupBy($"label", $"dim")
+        .agg(div(sum($"c"), count(lit(1))).as("m"))
+        .localCheckpoint() // feeds norms + both pair sides
+      val norms = cent.groupBy($"label").agg(sum($"m" * $"m").as("nn"))
+      val dots = cent.select($"label".as("la"), $"dim", $"m".as("ma"))
+        .join(cent.select($"label".as("lb"), $"dim", $"m".as("mb")),
+          Seq("dim"))
+        .where($"la" < $"lb")
+        .groupBy($"la", $"lb").agg(sum($"ma" * $"mb").as("dot"))
+      dots
+        .join(norms.select($"label".as("la"), $"nn".as("na")), Seq("la"))
+        .join(norms.select($"label".as("lb"), $"nn".as("nb")), Seq("lb"))
+        .select($"la", $"lb",
+          when($"dot" < 0L, -1L).otherwise(1L).as("dot_sign"),
+          // dot²·1e6 would overflow BIGINT at plausible norms — divide
+          // the norm product down by 1e6 instead (identical truncation
+          // on both engines; ppm-scale result, q204's scaled form)
+          when(div($"na" * $"nb", lit(1000000L)) > 0L,
+            div($"dot" * $"dot", div($"na" * $"nb", lit(1000000L))))
+            .as("cos2_ppm"))
+        .orderBy($"la", $"lb")
     })
 }

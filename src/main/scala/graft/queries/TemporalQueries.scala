@@ -816,5 +816,110 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n_terms"),
           div(sum($"y" * $"wj"), lit(1000L)).as("ewma_milli"))
         .orderBy($"event_type", $"day")
+    },
+
+    // Dense-spine zero fill: per (type, day) counts INCLUDING explicit
+    // zero rows for silent days — the report shape dashboards and
+    // downstream window math need (q74 forward-fills VALUES; this
+    // fills PERIODS). Spine = distinct types × distinct days — both
+    // DOMAIN-sized, so the cross is a broadcast of bounded dims, never
+    // a corpus product; counts attach by left join + coalesce 0.
+    GraftQuery(
+      "q203_zero_fill",
+      """WITH r AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n
+        |  FROM events WHERE event_type <> 'error' GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT event_type FROM r),
+        |days AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day
+        |  FROM events)
+        |SELECT t.event_type, CAST(d.day AS BIGINT) AS day,
+        |  CAST(COALESCE(r.n, 0) AS BIGINT) AS n
+        |FROM types t CROSS JOIN days d
+        |LEFT JOIN r ON r.event_type = t.event_type AND r.day = d.day
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val e = Tables.load(s, dir, "events")
+        .select($"event_type",
+          div(unix_micros($"ts"), lit(86400000000L)).as("day"))
+        .localCheckpoint() // feeds rollup + both spine dims
+      // 'error' events excluded from the ROLLUP but not the day spine:
+      // guarantees genuinely missing (type, day) cells exist to fill
+      val rollup = e.where($"event_type" =!= "error")
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+      val types = rollup.select($"event_type").distinct()
+      val days = e.select($"day").distinct()
+      types.crossJoin(broadcast(days))
+        .join(rollup, Seq("event_type", "day"), "left")
+        .select($"event_type", $"day", coalesce($"n", lit(0L)).as("n"))
+        .orderBy($"event_type", $"day")
+    },
+
+    // Lag-k autocovariance/autocorrelation of the daily count series,
+    // k = 1..7: pairs (x_t, x_{t+k}) meet through an EQUI-join on
+    // day+k (offsets exploded — the q170 position-join shape, never a
+    // self-inequality join); per (type, k) the five sufficient sums
+    // reduce in one map-side-combined pass. cov_milli is exact
+    // integer; r2 is the scaled-division form (both engines replay
+    // the identical truncation steps).
+    GraftQuery(
+      "q204_autocorr",
+      """WITH r AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type, u.k, a.y AS ya, b.y AS yb
+        |  FROM r a, UNNEST(generate_series(1, 7)) AS u(k)
+        |  JOIN r b ON b.event_type = a.event_type
+        |    AND b.day = a.day + u.k),
+        |s AS (
+        |  SELECT event_type, k, COUNT(*) AS n, SUM(ya) AS sa,
+        |    SUM(yb) AS sb, SUM(ya*yb) AS sab, SUM(ya*ya) AS saa,
+        |    SUM(yb*yb) AS sbb
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, CAST(k AS BIGINT) AS k,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST((n*sab - sa*sb) * 1000 // (n*n) AS BIGINT) AS cov_milli,
+        |  CASE WHEN ((n*saa - sa*sa) // 1000) * ((n*sbb - sb*sb) // 1000)
+        |        // 1000000 > 0 THEN
+        |    CAST(CASE WHEN n*sab - sa*sb < 0 THEN -1 ELSE 1 END
+        |      * (((n*sab - sa*sb) // 1000) * ((n*sab - sa*sb) // 1000))
+        |      // (((n*saa - sa*sa) // 1000) * ((n*sbb - sb*sb) // 1000)
+        |         // 1000000) AS BIGINT)
+        |  END AS r2_signed_ppm
+        |FROM s ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val r = Tables.load(s, dir, "events")
+        .select($"event_type",
+          div(unix_micros($"ts"), lit(86400000000L)).as("day"))
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint() // both sides of the lag join
+      val a = r.select($"event_type", $"day", $"y".as("ya"),
+          explode(sequence(lit(1L), lit(7L))).as("k"))
+        .withColumn("bday", $"day" + $"k")
+      val stats = a
+        .join(r.select($"event_type", $"day".as("bday"), $"y".as("yb")),
+          Seq("event_type", "bday"))
+        .groupBy($"event_type", $"k")
+        .agg(count(lit(1)).as("n"), sum($"ya").as("sa"),
+          sum($"yb").as("sb"), sum($"ya" * $"yb").as("sab"),
+          sum($"ya" * $"ya").as("saa"), sum($"yb" * $"yb").as("sbb"))
+      val num = $"n" * $"sab" - $"sa" * $"sb"
+      val va = $"n" * $"saa" - $"sa" * $"sa"
+      val vb = $"n" * $"sbb" - $"sb" * $"sb"
+      val denScaled = div(div(va, lit(1000L)) * div(vb, lit(1000L)),
+        lit(1000000L))
+      stats.select($"event_type", $"k", $"n",
+          div(num * 1000L, $"n" * $"n").as("cov_milli"),
+          when(denScaled > 0L,
+            (when(num < 0L, -1L).otherwise(1L)) *
+              div(div(num, lit(1000L)) * div(num, lit(1000L)), denScaled))
+            .as("r2_signed_ppm"))
+        .orderBy($"event_type", $"k")
     })
 }

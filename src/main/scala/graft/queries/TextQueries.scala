@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.TextOps
@@ -831,5 +832,46 @@ object TextQueries {
           div($"inter" * 1000000L, $"nv1" + $"nv2" - $"inter")
             .as("jaccard_ppm"))
         .orderBy($"s1", $"s2")
+    },
+
+    // Stratified k-fold assignment (cross-validation splits): fold =
+    // (hash-ordered rank within stratum) mod 5 — EXACT per-stratum
+    // balance (sizes differ by ≤ 1), unlike q48's hash-mod split
+    // (whose balance is only statistical). The rank is a per-stratum
+    // window ordered by the portable polyHash (ties by id) — exact
+    // balance fundamentally needs a per-stratum total order, which is
+    // the right cost for the op's domain: CV folds are cut on LABELED
+    // EVAL sets (thousands of rows), not the raw corpus — q48/q63 are
+    // the corpus-scale splitters.
+    GraftQuery(
+      "q200_kfold_split",
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(CAST(doc_id AS VARCHAR) || ':fold1', ''),
+        |        c -> ascii(c))),
+        |      (a,x) -> (a*31+x)%1000000007) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    (row_number() OVER (PARTITION BY lang
+        |      ORDER BY hv, doc_id) - 1) % 5 AS fold
+        |  FROM h)
+        |SELECT lang, CAST(fold AS BIGINT) AS fold, COUNT(*) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"lang")
+        .orderBy($"hv", $"doc_id")
+      Tables.load(s, dir, "documents")
+        .select($"lang", $"doc_id",
+          TextOps.polyHash(concat($"doc_id".cast("string"),
+            lit(":fold1"))).as("hv"))
+        .withColumn("fold",
+          ((row_number().over(w) - 1) % 5).cast("long"))
+        .groupBy($"lang", $"fold")
+        .agg(count(lit(1)).as("n"), sum($"doc_id").as("id_sum"))
+        .orderBy($"lang", $"fold")
     })
 }

@@ -342,7 +342,12 @@ class PlansSpec extends SparkTestBase {
         "q178_kl_divergence",
         // q198 crosses the ≤9-row digit table with its ONE-row total
         // and the result with its ONE-row Benford-stat aggregate
-        "q198_benford")
+        "q198_benford",
+        // q201 crosses pairs of ONE-row audit counts per relation;
+        // q202 crosses the bucket table with its ONE-row id-domain
+        // bounds; q203's spine is a broadcast cross of two DOMAIN-
+        // sized dims (types × days) — never a corpus product
+        "q201_ref_integrity", "q202_id_gaps", "q203_zero_fill")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
