@@ -1969,6 +1969,59 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_joint"),
           div(coalesce(sum(element_at(suffix, $"m".cast("int"))),
             lit(0L)), lit(1000L)).as("rbo_ppm"))
+    },
+
+    // Gains/lift table (score-decile model readout): fixed-width score
+    // buckets, per-bucket empirical positive rate and lift vs the base
+    // rate, cumulative capture walking from the top bucket down — the
+    // campaign-targeting chart. One corpus pass to the ≤10-row bucket
+    // table; rates/lift/capture are windows over that domain, no
+    // corpus-sized window anywhere.
+    GraftQuery(
+      "q207_gains_lift",
+      """WITH b AS (
+        |  SELECT LEAST(n_chars // 100, 9) AS bin,
+        |    COUNT(*) AS n,
+        |    COUNT(*) FILTER (lang = 'en') AS pos
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT bin, n, pos,
+        |    SUM(n) OVER (ORDER BY bin DESC) AS cum_n,
+        |    SUM(pos) OVER (ORDER BY bin DESC) AS cum_pos,
+        |    SUM(n) OVER () AS tn, SUM(pos) OVER () AS tp
+        |  FROM b)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  CAST(pos AS BIGINT) AS pos,
+        |  CAST(pos * 1000000 // n AS BIGINT) AS rate_ppm,
+        |  CASE WHEN tp > 0 THEN
+        |    CAST(pos * tn * 1000 // (n * tp) AS BIGINT) END AS lift_milli,
+        |  CASE WHEN tp > 0 THEN
+        |    CAST(cum_pos * 1000000 // tp AS BIGINT) END AS capture_ppm,
+        |  CAST(cum_n * 1000000 // tn AS BIGINT) AS depth_ppm
+        |FROM w ORDER BY bin""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val b = Tables.load(s, dir, "documents")
+        .select(least(div($"n_chars", lit(100L)), lit(9L)).as("bin"),
+          ($"lang" === "en").as("is_en"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"is_en", 1L).otherwise(0L)).as("pos"))
+      val wCum = Window.orderBy($"bin".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      b.withColumn("cum_n", sum($"n").over(wCum))
+        .withColumn("cum_pos", sum($"pos").over(wCum))
+        .withColumn("tn", sum($"n").over(wAll))
+        .withColumn("tp", sum($"pos").over(wAll))
+        .select($"bin", $"n", $"pos",
+          div($"pos" * 1000000L, $"n").as("rate_ppm"),
+          when($"tp" > 0L, div($"pos" * $"tn" * 1000L, $"n" * $"tp"))
+            .as("lift_milli"),
+          when($"tp" > 0L, div($"cum_pos" * 1000000L, $"tp"))
+            .as("capture_ppm"),
+          div($"cum_n" * 1000000L, $"tn").as("depth_ppm"))
+        .orderBy($"bin")
     })
 }
 

@@ -1111,6 +1111,133 @@ object CurationQueries {
           Tables.load(s, dir, "documents").select($"doc_id", $"n_chars"),
           "doc_id", "n_chars", replicas = 32, salt = "bs1")
         .orderBy($"replica")
+    },
+
+    // Bootstrap confidence interval for the corpus mean — q185's
+    // derandomized Poisson bootstrap COMPOSED with exact nearest-rank
+    // quantiles over the 64-row replica-mean table (2.5% / 50% /
+    // 97.5%): the full uncertainty-quantification readout in one gate.
+    // The quantile window runs over B rows — constant-size whatever
+    // the corpus.
+    GraftQuery(
+      "q206_bootstrap_ci",
+      """WITH r AS (
+        |  SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT)
+        |    AS replica),
+        |w AS (
+        |  SELECT r.replica, d.n_chars,
+        |    CAST(len(list_filter([367879, 735758, 919698, 981011,
+        |        996340, 999405, 999916, 999989, 999998],
+        |      c -> c <= list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(
+        |            CAST(d.doc_id AS VARCHAR) || ':'
+        |              || CAST(r.replica AS VARCHAR) || ':ci1', ''),
+        |            x -> ascii(x))),
+        |          (a, x) -> (a*31+x) % 1000000007) % 1000000))
+        |      AS BIGINT) AS wgt
+        |  FROM documents d CROSS JOIN r),
+        |m AS (
+        |  SELECT replica,
+        |    CASE WHEN SUM(wgt) > 0 THEN
+        |      CAST(SUM(wgt * n_chars) * 1000 // SUM(wgt) AS BIGINT)
+        |    END AS mean_milli
+        |  FROM w GROUP BY replica),
+        |q AS (
+        |  SELECT mean_milli,
+        |    row_number() OVER (ORDER BY mean_milli, replica) AS rn
+        |  FROM m)
+        |SELECT CAST(64 AS BIGINT) AS n_replicas,
+        |  MAX(CASE WHEN rn = 2 THEN mean_milli END) AS lo_milli,
+        |  MAX(CASE WHEN rn = 32 THEN mean_milli END) AS med_milli,
+        |  MAX(CASE WHEN rn = 63 THEN mean_milli END) AS hi_milli
+        |FROM q""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val means = graft.ops.EvalOps.poissonBootstrapMeans(
+        Tables.load(s, dir, "documents").select($"doc_id", $"n_chars"),
+        "doc_id", "n_chars", replicas = 64, salt = "ci1")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"mean_milli", $"replica")
+      means
+        .withColumn("rn", row_number().over(w))
+        .agg(count(lit(1)).as("n_replicas"),
+          max(when($"rn" === 2, $"mean_milli")).as("lo_milli"),
+          max(when($"rn" === 32, $"mean_milli")).as("med_milli"),
+          max(when($"rn" === 63, $"mean_milli")).as("hi_milli"))
+    },
+
+    // Mutual information MI(event_type; day-of-week) in Q20 bits — the
+    // feature-relevance screen next to q178's KL and q193's χ²:
+    // contribution c_ij·(lg c_ij + lg N − lg r_i − lg c_j), each lg the
+    // Q20 integer recurrence (four separate logs, q153 rule: nothing
+    // nears Long range); the corpus reduces to the |types|×7 cell
+    // table in one pass, margins ride as domain-sized windows,
+    // mi_microbits attaches as an in-plan 1-row scalar. The oracle
+    // runs ONE unrolled log chain over a tagged union of every value
+    // needing a log (the q178 pattern).
+    GraftQuery(
+      "q208_mutual_info",
+      s"""WITH base AS (
+         |  SELECT event_type AS i,
+         |    (epoch_us(ts) // 86400000000) % 7 AS j
+         |  FROM events),
+         |cells AS (SELECT i, j, COUNT(*) AS c FROM base GROUP BY 1, 2),
+         |rs AS (SELECT i, CAST(SUM(c) AS BIGINT) AS v
+         |       FROM cells GROUP BY 1),
+         |cs AS (SELECT j, CAST(SUM(c) AS BIGINT) AS v
+         |       FROM cells GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS v FROM cells),
+         |args AS (
+         |  SELECT 'c' AS which, i, j, c AS v FROM cells
+         |  UNION ALL SELECT 'r', i, -1, v FROM rs
+         |  UNION ALL SELECT 'l', '', j, v FROM cs
+         |  UNION ALL SELECT 'n', '', -1, v FROM nt),
+         |${DuckLog2Q20.ctes("which", "i", "j")},
+         |lg AS (SELECT which, i, j, p * 1048576 + acc AS l FROM l20),
+         |gl AS (SELECT l AS l_n FROM lg WHERE which = 'n'),
+         |terms AS (
+         |  SELECT cells.i, cells.j, cells.c,
+         |    cells.c * (lc.l + gl.l_n - lr.l - ll.l) AS contrib_q20
+         |  FROM cells
+         |  JOIN lg lc ON lc.which = 'c' AND lc.i = cells.i
+         |    AND lc.j = cells.j
+         |  JOIN lg lr ON lr.which = 'r' AND lr.i = cells.i
+         |  JOIN lg ll ON ll.which = 'l' AND ll.j = cells.j
+         |  CROSS JOIN gl),
+         |tot AS (
+         |  SELECT CAST(SUM(contrib_q20) * 1000000
+         |      // (MIN(nt.v) * 1048576) AS BIGINT) AS mi_microbits
+         |  FROM terms CROSS JOIN nt)
+         |SELECT i AS event_type, CAST(j AS BIGINT) AS dow,
+         |  CAST(c AS BIGINT) AS c,
+         |  CAST(contrib_q20 AS BIGINT) AS contrib_q20,
+         |  tot.mi_microbits
+         |FROM terms CROSS JOIN tot
+         |ORDER BY event_type, dow""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val div = graft.functions.GraftColumns.longDiv _
+      val lg = graft.functions.GraftColumns.binLog2Q20 _
+      val cells = Tables.load(s, dir, "events")
+        .select($"event_type".as("i"),
+          pmod(div(unix_micros($"ts"), lit(86400000000L)), lit(7L))
+            .as("j"))
+        .groupBy($"i", $"j").agg(count(lit(1)).as("c"))
+      val wi = Window.partitionBy($"i")
+      val wj = Window.partitionBy($"j")
+      val wAll = Window.partitionBy()
+      val terms = cells
+        .withColumn("__r", sum($"c").over(wi))
+        .withColumn("__cj", sum($"c").over(wj))
+        .withColumn("__n", sum($"c").over(wAll))
+        .withColumn("contrib_q20",
+          $"c" * (lg($"c") + lg($"__n") - lg($"__r") - lg($"__cj")))
+      val tot = terms.agg(
+        div(sum($"contrib_q20") * 1000000L, min($"__n") * 1048576L)
+          .as("mi_microbits"))
+      terms.crossJoin(broadcast(tot))
+        .select($"i".as("event_type"), $"j".as("dow"), $"c",
+          $"contrib_q20", $"mi_microbits")
+        .orderBy($"event_type", $"dow")
     })
 
   private def runValidation(

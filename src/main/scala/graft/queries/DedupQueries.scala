@@ -674,6 +674,49 @@ object DedupQueries {
         .orderBy($"cost")
     },
 
+    // Graph neighborhood features (GNN/quality-propagation feature
+    // prep): per node — degree, neighbor-degree sum/max, and mean
+    // neighbor degree in milli. Degrees fold from the distinct edge
+    // table in one pass; the neighbor aggregate is ONE equi-join of
+    // the edge table against the degree table (|E| rows) — never an
+    // adjacency-list build, never a 2-hop materialization.
+    GraftQuery(
+      "q210_graph_features",
+      """WITH e0 AS (
+        |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS a,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS b
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |deg AS (SELECT a AS id, COUNT(*) AS deg FROM e GROUP BY 1)
+        |SELECT e.a AS id, CAST(MIN(da.deg) AS BIGINT) AS deg,
+        |  CAST(SUM(db.deg) AS BIGINT) AS nbr_deg_sum,
+        |  CAST(MAX(db.deg) AS BIGINT) AS nbr_deg_max,
+        |  CAST(SUM(db.deg) * 1000 // MIN(da.deg) AS BIGINT)
+        |    AS nbr_deg_mean_milli
+        |FROM e JOIN deg da ON da.id = e.a
+        |  JOIN deg db ON db.id = e.b
+        |GROUP BY e.a ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val e0 = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).cast("long").as("a"),
+          ($"l_suppkey" * 2 + 1).cast("long").as("b"))
+        .distinct()
+      val e = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+        .localCheckpoint() // feeds the degree fold and the join probe
+      val deg = e.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+      e.join(deg.select($"id".as("a"), $"deg".as("da")), Seq("a"))
+        .join(deg.select($"id".as("b"), $"deg".as("db")), Seq("b"))
+        .groupBy($"a".as("id"))
+        .agg(min($"da").as("deg"), sum($"db").as("nbr_deg_sum"),
+          max($"db").as("nbr_deg_max"))
+        .withColumn("nbr_deg_mean_milli",
+          div($"nbr_deg_sum" * 1000L, $"deg"))
+        .orderBy($"id")
+    },
+
     // Winnowing fingerprints (Schleimer et al. 2003, MOSS): min shingle
     // hash per sliding window of 4, deduplicated — any shared run of
     // >= w+n-1 = 6 tokens shares a fingerprint, at ~2/(w+1) the storage

@@ -921,5 +921,60 @@ object TemporalQueries {
               div(div(num, lit(1000L)) * div(num, lit(1000L)), denScaled))
             .as("r2_signed_ppm"))
         .orderBy($"event_type", $"k")
+    },
+
+    // Top session paths (clickstream sequence mining): sessionize by
+    // 30-min gaps (q183's islands), concatenate each session's
+    // event-type sequence in (ts, event_id) order, count paths, top 20
+    // with a total order. The path build is an order-free aggregation:
+    // collect structs, array_sort (total struct order), then project —
+    // no order-sensitive collect_list anywhere; path cardinality is
+    // bounded by session length.
+    GraftQuery(
+      "q209_session_paths",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+        |    OR ts_us - lag(ts_us) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |        > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS sid
+        |  FROM m),
+        |paths AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY ts_us, event_id)
+        |      AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM paths GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val sess = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          $"event_type")
+        .withColumn("is_new",
+          when(lag($"ts_us", 1).over(w).isNull ||
+            $"ts_us" - lag($"ts_us", 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum($"is_new").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy($"user_id", $"sid")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(
+              struct($"ts_us", $"event_id", $"event_type"))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy($"n_sessions".desc, $"path")
+        .limit(20)
     })
 }

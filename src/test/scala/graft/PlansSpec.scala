@@ -347,7 +347,10 @@ class PlansSpec extends SparkTestBase {
         // q202 crosses the bucket table with its ONE-row id-domain
         // bounds; q203's spine is a broadcast cross of two DOMAIN-
         // sized dims (types × days) — never a corpus product
-        "q201_ref_integrity", "q202_id_gaps", "q203_zero_fill")
+        "q201_ref_integrity", "q202_id_gaps", "q203_zero_fill",
+        // q208 crosses the |types|×7 cell table with its ONE-row
+        // mi-total aggregate (q96 scalar pattern)
+        "q208_mutual_info")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
