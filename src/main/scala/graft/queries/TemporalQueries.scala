@@ -976,5 +976,227 @@ object TemporalQueries {
         .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
         .orderBy($"n_sessions".desc, $"path")
         .limit(20)
+    },
+
+    // Forecast-accuracy readout (MAE / sMAPE / pinball): naive
+    // previous-observation forecast over the per-type daily series,
+    // scored with the three standard loss families in exact integer
+    // arithmetic — pinball at q=0.9 is max(900·e, −100·e) milli, the
+    // asymmetric loss a quantile forecaster is graded on. One lag
+    // window over the domain-sized rollup + one rollup.
+    GraftQuery(
+      "q211_forecast_eval",
+      """WITH r AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, y,
+        |    lag(y) OVER (PARTITION BY event_type ORDER BY day) AS yhat
+        |  FROM r),
+        |e AS (
+        |  SELECT event_type, y, yhat, y - yhat AS err
+        |  FROM f WHERE yhat IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(abs(err)) * 1000 // COUNT(*) AS BIGINT) AS mae_milli,
+        |  CAST(SUM(CASE WHEN y + yhat > 0 THEN
+        |      abs(err) * 2000000 // (y + yhat) ELSE 0 END)
+        |    // COUNT(*) AS BIGINT) AS smape_ppm,
+        |  CAST(SUM(GREATEST(err * 900, err * -100)) // COUNT(*)
+        |    AS BIGINT) AS pinball90_milli
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val e = Tables.load(s, dir, "events")
+        .select($"event_type",
+          div(unix_micros($"ts"), lit(86400000000L)).as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+        .withColumn("yhat", lag($"y", 1).over(w))
+        .where($"yhat".isNotNull)
+        .withColumn("err", $"y" - $"yhat")
+      e.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          div(sum(abs($"err")) * 1000L, count(lit(1))).as("mae_milli"),
+          div(sum(when($"y" + $"yhat" > 0L,
+            div(abs($"err") * 2000000L, $"y" + $"yhat")).otherwise(0L)),
+            count(lit(1))).as("smape_ppm"),
+          div(sum(greatest($"err" * 900L, $"err" * -100L)),
+            count(lit(1))).as("pinball90_milli"))
+        .orderBy($"event_type")
+    },
+
+    // A/B test readout: users split into arms by id parity, converted
+    // = any ≥$150 purchase (plain any-purchase saturates — every user
+    // buys eventually); the 2×2 arm × converted contingency through
+    // EvalOps.chiSquareIndependence — the two-proportion z² test IS
+    // this χ² (z² = χ² on a 2×2), so the q193 machinery gives the
+    // significance readout with zero new math. One per-user reduction
+    // + a 4-row domain table.
+    GraftQuery(
+      "q213_ab_test",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    'arm' || CAST(user_id % 2 AS VARCHAR) AS a,
+        |    CASE WHEN MAX(CASE WHEN event_type = 'purchase'
+        |        AND round(value*100) >= 15000
+        |      THEN 1 ELSE 0 END) = 1 THEN 'yes' ELSE 'no' END AS b
+        |  FROM events GROUP BY user_id),
+        |cells AS (SELECT a, b, COUNT(*) AS o FROM u GROUP BY 1, 2),
+        |dims AS (
+        |  SELECT COUNT(DISTINCT a) AS na, COUNT(DISTINCT b) AS nb
+        |  FROM cells),
+        |m AS (
+        |  SELECT a, b, o,
+        |    SUM(o) OVER (PARTITION BY a) AS r,
+        |    SUM(o) OVER (PARTITION BY b) AS c,
+        |    SUM(o) OVER () AS n
+        |  FROM cells),
+        |sc AS (
+        |  SELECT a, b, o, n, r*c*1000 // n AS e_milli,
+        |    CASE WHEN r*c*1000 // n > 0 THEN
+        |      (o*1000 - r*c*1000 // n) * (o*1000 - r*c*1000 // n)
+        |        // (r*c*1000 // n)
+        |    ELSE 0 END AS cell
+        |  FROM m),
+        |tot AS (
+        |  SELECT CAST(SUM(cell) AS BIGINT) AS chi2_milli,
+        |    CAST((MIN(dims.na) - 1) * (MIN(dims.nb) - 1) AS BIGINT)
+        |      AS dof,
+        |    CASE WHEN MIN(sc.n)
+        |        * (LEAST(MIN(dims.na), MIN(dims.nb)) - 1) > 0 THEN
+        |      CAST(SUM(cell) * 1000
+        |        // (MIN(sc.n)
+        |           * (LEAST(MIN(dims.na), MIN(dims.nb)) - 1)) AS BIGINT)
+        |    END AS cramers_v2_ppm
+        |  FROM sc CROSS JOIN dims)
+        |SELECT a, b, CAST(o AS BIGINT) AS o,
+        |  CAST(e_milli AS BIGINT) AS e_milli,
+        |  CAST(cell AS BIGINT) AS cell_chi2_milli,
+        |  tot.chi2_milli, tot.dof, tot.cramers_v2_ppm
+        |FROM sc CROSS JOIN tot ORDER BY a, b""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val u = Tables.load(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase" &&
+            round($"value" * 100, 0) >= 15000, 1L).otherwise(0L))
+          .as("conv"))
+        .select(concat(lit("arm"), pmod($"user_id", lit(2L))).as("arm"),
+          when($"conv" === 1L, "yes").otherwise("no").as("converted"))
+      graft.ops.EvalOps.chiSquareIndependence(u, "arm", "converted")
+        .orderBy($"a", $"b")
+    },
+
+    // Kaplan–Meier survival of signup→purchase conversion time,
+    // censored at a 7-day horizon: the churn/time-to-event readout.
+    // Product-limit survival is a PRODUCT of ratios — computed in
+    // LOG space as Σ (lg(n−d) − lg n) over event days with the Q20
+    // integer log recurrence, so the whole curve is exact integers
+    // (engine-replayable where a float product never would be). The
+    // corpus reduces to the per-day (events, censored) histogram; the
+    // at-risk walk and the log-sum are windows over that ≤8-row
+    // domain. If a day ever exhausts the risk set (n == d, S → 0) the
+    // log is undefined: the clamp keeps arithmetic total and the `ok`
+    // flag NULLs the curve from that day on (not reachable with a
+    // censoring horizon).
+    GraftQuery(
+      "q214_kaplan_meier",
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+         |s0 AS (
+         |  SELECT user_id, MIN(tu) AS sts FROM e
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |j AS (
+         |  SELECT s0.user_id, MIN(s0.sts) AS sts,
+         |    MIN(CASE WHEN p.tu >= s0.sts THEN p.tu END) AS pts
+         |  FROM s0 LEFT JOIN (SELECT user_id, tu FROM e
+         |                     WHERE event_type = 'purchase') p
+         |    ON p.user_id = s0.user_id
+         |  GROUP BY 1),
+         |dur AS (
+         |  SELECT CASE WHEN pts IS NOT NULL
+         |        AND pts - sts <= 604800000000
+         |      THEN (pts - sts) // 86400000000 ELSE 7 END AS day,
+         |    CASE WHEN pts IS NOT NULL AND pts - sts <= 604800000000
+         |      THEN 1 ELSE 0 END AS ev
+         |  FROM j),
+         |hist AS (
+         |  SELECT day, CAST(SUM(ev) AS BIGINT) AS d,
+         |    CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+         |  FROM dur GROUP BY 1),
+         |h2 AS (
+         |  SELECT day, d, c,
+         |    CAST(SUM(d + c) OVER ()
+         |      - COALESCE(SUM(d + c) OVER (ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |        0) AS BIGINT) AS n_risk
+         |  FROM hist),
+         |args AS (
+         |  SELECT day, 'a' AS which, GREATEST(n_risk - d, 1) AS v
+         |  FROM h2 WHERE d > 0
+         |  UNION ALL SELECT day, 'b', n_risk FROM h2 WHERE d > 0),
+         |${DuckLog2Q20.ctes("day", "which")},
+         |lg AS (SELECT day, which, p * 1048576 + acc AS l FROM l20),
+         |piv AS (
+         |  SELECT day,
+         |    MAX(CASE WHEN which = 'a' THEN l END)
+         |      - MAX(CASE WHEN which = 'b' THEN l END) AS dl
+         |  FROM lg GROUP BY 1),
+         |fin AS (
+         |  SELECT h2.day, h2.n_risk, h2.d, h2.c,
+         |    SUM(COALESCE(piv.dl, 0)) OVER (ORDER BY h2.day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS logs_raw,
+         |    MIN(CASE WHEN h2.d > 0 THEN h2.n_risk - h2.d ELSE 1 END)
+         |      OVER (ORDER BY h2.day
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS ok
+         |  FROM h2 LEFT JOIN piv USING (day))
+         |SELECT CAST(day AS BIGINT) AS day, n_risk, d, c,
+         |  CASE WHEN ok >= 1 THEN CAST(logs_raw AS BIGINT) END
+         |    AS logs_q20
+         |FROM fin ORDER BY day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val lg = graft.functions.GraftColumns.binLog2Q20 _
+      val horizonUs = 7L * 86400000000L
+      val e = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("tu"))
+      val signups = e.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"tu").as("sts"))
+      val joined = signups
+        .join(e.filter($"event_type" === "purchase")
+          .select($"user_id", $"tu"), Seq("user_id"), "left")
+        .groupBy($"user_id")
+        .agg(min($"sts").as("sts"),
+          min(when($"tu" >= $"sts", $"tu")).as("pts"))
+      val isEvent = $"pts".isNotNull && $"pts" - $"sts" <= horizonUs
+      val hist = joined
+        .select(
+          when(isEvent, div($"pts" - $"sts", lit(86400000000L)))
+            .otherwise(7L).as("day"),
+          when(isEvent, 1L).otherwise(0L).as("ev"))
+        .groupBy($"day")
+        .agg(sum($"ev").as("d"), sum(lit(1L) - $"ev").as("c"))
+      val wOrd = Window.orderBy($"day")
+      val wPrior = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wAll = Window.partitionBy()
+      hist
+        .withColumn("n_risk",
+          sum($"d" + $"c").over(wAll) -
+            coalesce(sum($"d" + $"c").over(wPrior), lit(0L)))
+        .withColumn("ok",
+          min(when($"d" > 0L, $"n_risk" - $"d").otherwise(1L))
+            .over(wCum))
+        .withColumn("logs_q20",
+          when($"ok" >= 1L,
+            sum(when($"d" > 0L,
+              lg(greatest($"n_risk" - $"d", lit(1L))) - lg($"n_risk"))
+              .otherwise(0L)).over(wCum)))
+        .select($"day", $"n_risk", $"d", $"c", $"logs_q20")
+        .orderBy($"day")
     })
 }

@@ -273,4 +273,30 @@ class EmptyInputSpec extends SparkTestBase {
       Seq.empty[String].toDF("term"), "term",
       Seq("q").toDF("query"), "query").count() === 0)
   }
+
+  test("round-7 batch-3 operators degrade on empty input") {
+    import graft.ops.{EvalOps, SeriesOps, TemporalOps}
+    val noSeries = Seq.empty[(String, Long, Long)].toDF("s", "p", "x")
+    assert(SeriesOps.olsTrend(noSeries, "s", "p", "x").count() === 0)
+    assert(SeriesOps.theilSenSlope(noSeries, "s", "p", "x")
+      .count() === 0)
+    val noStates = Seq.empty[(Long, Long, Long, String)]
+      .toDF("k", "t", "id", "st")
+    assert(SeriesOps.transitionMatrix(noStates, "k", "t", "id", "st")
+      .count() === 0)
+    assert(TemporalOps.intervalUnion(
+      Seq.empty[(String, Long, Long)].toDF("k", "s", "e"),
+      "k", "s", "e").count() === 0)
+    val noScores = Seq.empty[(Long, Boolean)].toDF("score", "label")
+    assert(EvalOps.prCurve(noScores, "score", "label").count() === 0)
+    assert(EvalOps.ndcgAtK(
+      Seq.empty[(String, Long, Long, Long)].toDF("g", "sc", "rel", "id"),
+      "g", "sc", "rel", "id", 5).count() === 0)
+    assert(EvalOps.chiSquareIndependence(
+      Seq.empty[(String, String)].toDF("a", "b"), "a", "b")
+      .count() === 0)
+    assert(GraphOps.weightedSeedDistances(
+      Seq.empty[(Long, Long, Long)].toDF("a", "b", "w"), "a", "b", "w",
+      Seq(1L).toDF("s"), "s", 2).count() === 1) // the seed itself
+  }
 }
