@@ -169,6 +169,9 @@ object GraftColumns {
   def srpBands(vec: Column, nTables: Int, bitsPerTable: Int): Column =
     B.column(SrpBands(B.expression(vec), nTables, bitsPerTable))
 
+  def simhash32(tokenHashes: Column): Column =
+    B.column(SimHash32(B.expression(tokenHashes)))
+
   def zInterleave(a: Column, b: Column, bits: Int): Column =
     B.column(ZInterleave(B.expression(a), B.expression(b), bits))
 

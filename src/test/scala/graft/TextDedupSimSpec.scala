@@ -141,6 +141,28 @@ class TextDedupSimSpec extends SparkTestBase {
     assert(near <= 8, s"near-dup hamming too high: $near")
   }
 
+  test("simhash32: native expression ≡ layered HOF referee on corpus " +
+       "docs and edge arrays (empty, single, all-ones)") {
+    def tokenHashes(c: org.apache.spark.sql.Column) =
+      array_distinct(transform(TextOps.tokenize(c), TextOps.polyHash(_)))
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(tokenHashes($"text").as("th"))
+    val mism = docs.select(
+        DedupOps.simhash32($"th").as("a"),
+        DedupOps.simhash32Hof($"th").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(mism === 0)
+    val edge = Seq(
+      Seq.empty[Long], Seq(0L), Seq((1L << 32) - 1),
+      Seq(5L, 5L, 2L), Seq(1000000006L, 999999999L))
+      .toDF("th")
+    val got = edge.select(
+        DedupOps.simhash32($"th").as("a"),
+        DedupOps.simhash32Hof($"th").as("b"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+  }
+
   test("cosine: identical vectors → 1e6 micro; orthogonal → 0") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
