@@ -139,11 +139,18 @@ object GraftFunctions {
     (children: Seq[Expression]) => ZInterleave(children.head, children(1),
       intLit(children(2), "graft_zinterleave", "bits")))
 
+  /** `graft_simhash32(array<bigint>)` — native SimHash. */
+  val simHashDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash32"),
+    new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
+    (children: Seq[Expression]) => SimHash32(children.head))
+
   def descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] =
     Seq(polyHashDescriptor, CosineMicro.descriptor, shingleHashDescriptor,
       srpBandsDescriptor, analyzeDescriptor, zInterleaveDescriptor,
-      nfcDescriptor, stemTokensDescriptor)
+      nfcDescriptor, stemTokensDescriptor, simHashDescriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { d =>

@@ -54,13 +54,15 @@ class PolyHashSpec extends SparkTestBase {
        "shingle n must be a literal") {
     GraftFunctions.register(spark)
     val r = spark.sql(
-      """SELECT graft_polyhash('abc') AS h,
+      """SELECT graft_simhash32(array(CAST(5 AS BIGINT))) AS sh,
+        |  graft_polyhash('abc') AS h,
         |  graft_cosine_micro(array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
         |                     array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))) AS c,
         |  graft_shingle_hash('a b c d', 3) AS s""".stripMargin).head
-    assert(r.getLong(0) === 96354L)
-    assert(r.getLong(1) === 1000000L)
-    assert(r.getSeq[Long](2).length === 2) // shingles: "a b c", "b c d"
+    assert(r.getLong(0) === 5L) // single hash: simhash == the hash
+    assert(r.getLong(1) === 96354L)
+    assert(r.getLong(2) === 1000000L)
+    assert(r.getSeq[Long](3).length === 2) // shingles: "a b c", "b c d"
     val err = intercept[Exception] {
       spark.sql("SELECT graft_shingle_hash('a b', 1 + 2)").head
     }
