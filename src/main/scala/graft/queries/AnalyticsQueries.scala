@@ -2022,6 +2022,52 @@ object AnalyticsQueries {
             .as("capture_ppm"),
           div($"cum_n" * 1000000L, $"tn").as("depth_ppm"))
         .orderBy($"bin")
+    },
+
+    // Per-(type, day) SLA bands: exact nearest-rank p50/p95 of the
+    // event value over the per-group VALUE HISTOGRAM (the q163/q168
+    // contract: the cumulative walk covers each group's distinct cents
+    // values, never its raw rows) — the latency-dashboard readout.
+    GraftQuery(
+      "q218_sla_bands",
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type, day, v, COUNT(*) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT event_type, day, v, c,
+        |    SUM(c) OVER (PARTITION BY event_type, day ORDER BY v)
+        |      AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type, day) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |  CAST(MIN(n) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN v END) AS BIGINT)
+        |    AS p50_c,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 95 THEN v END) AS BIGINT)
+        |    AS p95_c
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val h = Tables.load(s, dir, "events")
+        .select($"event_type",
+          div(unix_micros($"ts"), lit(86400000000L)).as("day"),
+          round($"value" * 100, 0).cast("long").as("v"))
+        .groupBy($"event_type", $"day", $"v")
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy($"event_type", $"day").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy($"event_type", $"day")
+      h.withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wAll))
+        .groupBy($"event_type", $"day")
+        .agg(min($"n").as("n"),
+          min(when($"cum" * 100L >= $"n" * 50L, $"v")).as("p50_c"),
+          min(when($"cum" * 100L >= $"n" * 95L, $"v")).as("p95_c"))
+        .orderBy($"event_type", $"day")
     })
 }
 

@@ -888,6 +888,79 @@ object RelationalQueries {
         .withColumn("missing", $"span" - $"present")
         .where($"missing" > 0L)
         .orderBy($"bucket")
+    },
+
+    // Join-key skew profile (shuffle-planning diagnosis): for a join
+    // key column, the key-multiplicity distribution — nearest-rank
+    // p50/p90/p99/max over the MULTIPLICITY HISTOGRAM (two nested
+    // domain reductions: corpus → per-key counts → counts-of-counts;
+    // no corpus-sized window) — plus the top-5 hot keys. The readout
+    // that decides salting/broadcast before a 100 TB join.
+    GraftQuery(
+      "q217_skew_profile",
+      """WITH k AS (
+        |  SELECT l_partkey AS key, COUNT(*) AS m
+        |  FROM lineitem GROUP BY 1),
+        |hist AS (SELECT m, COUNT(*) AS nk FROM k GROUP BY 1),
+        |c AS (
+        |  SELECT m, nk,
+        |    SUM(nk) OVER (ORDER BY m) AS cum,
+        |    SUM(nk) OVER () AS n
+        |  FROM hist),
+        |qs AS (
+        |  SELECT
+        |    MIN(CASE WHEN cum * 100 >= n * 50 THEN m END) AS p50,
+        |    MIN(CASE WHEN cum * 100 >= n * 90 THEN m END) AS p90,
+        |    MIN(CASE WHEN cum * 100 >= n * 99 THEN m END) AS p99,
+        |    MAX(m) AS mx
+        |  FROM c),
+        |hot AS (
+        |  SELECT key, m,
+        |    row_number() OVER (ORDER BY m DESC, key) AS r
+        |  FROM k),
+        |rows_ AS (
+        |  SELECT 'p50' AS metric, CAST(-1 AS BIGINT) AS key,
+        |    CAST(p50 AS BIGINT) AS v FROM qs
+        |  UNION ALL SELECT 'p90', -1, p90 FROM qs
+        |  UNION ALL SELECT 'p99', -1, p99 FROM qs
+        |  UNION ALL SELECT 'pmax', -1, mx FROM qs
+        |  UNION ALL SELECT 'hot' || CAST(r AS VARCHAR), key, m
+        |  FROM hot WHERE r <= 5)
+        |SELECT metric, CAST(key AS BIGINT) AS key, CAST(v AS BIGINT) AS v
+        |FROM rows_ ORDER BY metric, key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val k = t(s, dir, "lineitem")
+        .groupBy($"l_partkey".as("key")).agg(count(lit(1)).as("m"))
+      val hist = k.groupBy($"m").agg(count(lit(1)).as("nk"))
+      val wCum = Window.orderBy($"m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val c = hist
+        .withColumn("cum", sum($"nk").over(wCum))
+        .withColumn("n", sum($"nk").over(wAll))
+      val qs = c.agg(
+        min(when($"cum" * 100L >= $"n" * 50L, $"m")).as("p50"),
+        min(when($"cum" * 100L >= $"n" * 90L, $"m")).as("p90"),
+        min(when($"cum" * 100L >= $"n" * 99L, $"m")).as("p99"),
+        max($"m").as("mx"))
+      val hot = k
+        .withColumn("r", row_number().over(Window.orderBy($"m".desc, $"key")))
+        .where($"r" <= 5)
+      val qRows = qs.select(explode(array(
+          struct(lit("p50").as("metric"), lit(-1L).as("key"),
+            $"p50".as("v")),
+          struct(lit("p90").as("metric"), lit(-1L).as("key"),
+            $"p90".as("v")),
+          struct(lit("p99").as("metric"), lit(-1L).as("key"),
+            $"p99".as("v")),
+          struct(lit("pmax").as("metric"), lit(-1L).as("key"),
+            $"mx".as("v")))).as("s"))
+        .select($"s.metric", $"s.key", $"s.v")
+      qRows.unionByName(hot.select(
+          concat(lit("hot"), $"r".cast("string")).as("metric"),
+          $"key", $"m".as("v")))
+        .orderBy($"metric", $"key")
     })
 }
 

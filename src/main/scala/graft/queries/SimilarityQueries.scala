@@ -684,5 +684,56 @@ object SimilarityQueries {
             div($"dot" * $"dot", div($"na" * $"nb", lit(1000000L))))
             .as("cos2_ppm"))
         .orderBy($"la", $"lb")
+    },
+
+    // Random-projection dimensionality reduction (Achlioptas 2003 ±1
+    // JL transform): 64-dim float embeddings → 16 integer components
+    // via a HASH-DERIVED sign matrix R[i][j] = ±1 from the parity of
+    // the portable polyhash of "rp1:i:j" — no materialized matrix, no
+    // randomness to ship; any engine (and any executor) regenerates
+    // the identical projection. Components quantize to integer milli
+    // first (q205 rule) so the contraction is exact integer sums. The
+    // whole transform is one explode(dims)×explode(16) + groupBy —
+    // embarrassingly parallel, and the 16× blowup is the OUTPUT
+    // dimensionality, not a shuffle amplification.
+    GraftQuery(
+      "q215_random_projection",
+      """WITH comp AS (
+        |  SELECT vec_id, u.i AS j,
+        |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT) AS c
+        |  FROM embeddings,
+        |    UNNEST(generate_series(1, len(embedding))) AS u(i)
+        |  WHERE vec_id < 100),
+        |proj AS (
+        |  SELECT vec_id, o.i AS i,
+        |    CAST(SUM((
+        |      (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(
+        |          'rp1:' || CAST(o.i AS VARCHAR) || ':'
+        |            || CAST(j AS VARCHAR), ''),
+        |          ch -> ascii(ch))),
+        |        (a, x) -> (a*31+x) % 1000000007) % 2) * 2 - 1) * c)
+        |      AS BIGINT) AS v
+        |  FROM comp, UNNEST(generate_series(0, 15)) AS o(i)
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, CAST(i AS BIGINT) AS i, v
+        |FROM proj ORDER BY vec_id, i""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ph = graft.functions.GraftColumns.polyHash _
+      val comp = Tables.load(s, dir, "embeddings")
+        .where($"vec_id" < 100L)
+        .select($"vec_id", posexplode($"embedding"))
+        .select($"vec_id", ($"pos" + 1).as("j"),
+          floor($"col".cast("double") * 1000 + 0.5).cast("long").as("c"))
+      comp
+        .select($"vec_id", $"j", $"c",
+          explode(sequence(lit(0L), lit(15L))).as("i"))
+        .withColumn("sign",
+          pmod(ph(concat(lit("rp1:"), $"i".cast("string"), lit(":"),
+            $"j".cast("string"))), lit(2L)) * 2L - 1L)
+        .groupBy($"vec_id", $"i")
+        .agg(sum($"sign" * $"c").as("v"))
+        .orderBy($"vec_id", $"i")
     })
 }

@@ -1198,5 +1198,69 @@ object TemporalQueries {
               .otherwise(0L)).over(wCum)))
         .select($"day", $"n_risk", $"d", $"c", $"logs_q20")
         .orderBy($"day")
+    },
+
+    // Rolling 7-day distinct actives via MERGEABLE KMV sketches — the
+    // bounded-state companion to q184's exact explode: each day keeps
+    // a bottom-64 user-hash sketch; a report day's 7-day estimate
+    // merges the 7 daily sketches (explode the K-ROW sketches, not the
+    // (user, day) pairs — state per day is 64 rows whatever the
+    // traffic) and re-takes the bottom 64. Exact below k, ~1/√k
+    // relative error above, deterministic integers throughout.
+    GraftQuery(
+      "q216_rolling_kmv",
+      """WITH d AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |    (ph * ph) % 1000000007 AS h
+        |  FROM (
+        |    SELECT ts,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(
+        |          string_split(CAST(user_id AS VARCHAR) || ':rk1', ''),
+        |          c -> ascii(c))),
+        |        (a, x) -> (a*31 + x) % 1000000007) AS ph
+        |    FROM events)),
+        |rk AS (
+        |  SELECT day, h,
+        |    row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+        |  FROM d),
+        |sk AS (SELECT day, h FROM rk WHERE rk <= 64),
+        |spine AS (SELECT DISTINCT day FROM sk),
+        |ex AS (
+        |  SELECT DISTINCT day + u.j AS day, h
+        |  FROM sk, UNNEST(generate_series(0, 6)) AS u(j)),
+        |vote AS (SELECT ex.day, ex.h FROM ex SEMI JOIN spine USING (day)),
+        |mrk AS (
+        |  SELECT day, h,
+        |    row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+        |  FROM vote),
+        |m AS (SELECT day, h FROM mrk WHERE rk <= 64)
+        |SELECT CAST(day AS BIGINT) AS day, COUNT(*) AS n_kept,
+        |  CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+        |       ELSE (CAST(63 AS BIGINT) * 1000000007)
+        |         // GREATEST(MAX(h), 1) END AS est_active_7d
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.SketchOps
+      val div = graft.functions.GraftColumns.longDiv _
+      val daily = SketchOps.kmvSketch(
+        Tables.load(s, dir, "events")
+          .select(div(unix_micros($"ts"), lit(86400000000L)).as("day"),
+            $"user_id"),
+        Seq("day"), "user_id", k = 64, salt = "rk1")
+      val spine = daily.select($"day").distinct()
+      val voted = daily
+        .select($"day", $"__h",
+          explode(sequence(lit(0L), lit(6L))).as("j"))
+        .select(($"day" + $"j").as("day"), $"__h")
+        .distinct()
+        .join(spine, Seq("day"), "left_semi")
+      val w = Window.partitionBy($"day").orderBy($"__h")
+      val merged = voted
+        .withColumn("__rk", row_number().over(w))
+        .filter($"__rk" <= 64).drop("__rk")
+      SketchOps.kmvEstimate(merged, Seq("day"), k = 64)
+        .withColumnRenamed("est_distinct", "est_active_7d")
+        .orderBy($"day")
     })
 }
