@@ -642,6 +642,57 @@ object CurationOps {
         col("kl_q20"))
   }
 
+  /** Population stability index (the industry-standard drift monitor,
+    * symmetric where [[klDivergenceQ20]] is directional):
+    * `PSI = Σ_b (p_b − q_b)·log2(p_b/q_b)` over the same hashed-bucket
+    * feature space, add-one smoothed, in Q20 bits. Integer form:
+    * per-bucket contribution `(ap·denQ − aq·denP)·l_q20` with
+    * l_q20 = lg ap + lg denQ − lg aq − lg denP (four separate Q20
+    * logs, the q153 rule); the division by denP·denQ is deferred to
+    * the final total, so every per-bucket value is exact and the
+    * contribution is always ≥ 0 (both factors share sign).
+    * Output: (bucket, cp, cq, l_q20, contrib, psi_q20) with psi_q20
+    * an in-plan 1-row scalar.
+    *
+    * Overflow bound: Σ_b ap·denQ·|l| ≤ denP·denQ·63·2^20 needs
+    * denP·denQ ≲ 1.4e11 — fine to ~300M tokens per side; rescale the
+    * bucket counts upstream beyond that (the ratio PSI depends on is
+    * scale-free).
+    */
+  def psiQ20(
+      p: DataFrame, q: DataFrame, textCol: String,
+      dim: Int, salt: String): DataFrame = {
+    val lg = graft.functions.GraftColumns.binLog2Q20 _
+    val div = graft.functions.GraftColumns.longDiv _
+    val pf = bucketFreqs(p, textCol, dim, salt).localCheckpoint()
+    val qf = bucketFreqs(q, textCol, dim, salt).localCheckpoint()
+    val spine = p.sparkSession.range(dim.toLong)
+      .select(col("id").cast("long").as("bucket"))
+    val np = pf.agg(coalesce(sum(col("ct")), lit(0L)).as("__np"))
+    val nq = qf.agg(coalesce(sum(col("ct")), lit(0L)).as("__nq"))
+    val terms = spine
+      .join(pf.withColumnRenamed("ct", "cp"), Seq("bucket"), "left_outer")
+      .join(qf.withColumnRenamed("ct", "cq"), Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+      .select(col("bucket"),
+        coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"),
+        col("__np"), col("__nq"))
+      .withColumn("l_q20",
+        lg(col("cp") + 1L) + lg(col("__nq") + dim.toLong) -
+          lg(col("cq") + 1L) - lg(col("__np") + dim.toLong))
+      .withColumn("contrib",
+        ((col("cp") + 1L) * (col("__nq") + dim.toLong) -
+          (col("cq") + 1L) * (col("__np") + dim.toLong)) * col("l_q20"))
+    val total = terms
+      .agg(div(sum(col("contrib")),
+        (max(col("__np")) + dim.toLong) *
+          (max(col("__nq")) + dim.toLong)).as("psi_q20"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bucket"), col("cp"), col("cq"), col("l_q20"),
+        col("contrib"), col("psi_q20"))
+  }
+
   private def histogramMedian(
       df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -2068,6 +2068,60 @@ object AnalyticsQueries {
           min(when($"cum" * 100L >= $"n" * 50L, $"v")).as("p50_c"),
           min(when($"cum" * 100L >= $"n" * 95L, $"v")).as("p95_c"))
         .orderBy($"event_type", $"day")
+    },
+
+    // Trimmed mean (drop the bottom/top 5% of ROWS per group) — the
+    // robust location estimate that, unlike q163's winsorize, discards
+    // the tails entirely. Rank-trimming over the VALUE HISTOGRAM: per
+    // distinct value, the kept multiplicity is the overlap of its rank
+    // interval (cum−c, cum] with (lo, hi] — pure integer interval
+    // arithmetic over the per-group walk, never a corpus row_number.
+    GraftQuery(
+      "q220_trimmed_mean",
+      """WITH c AS (
+        |  SELECT l_returnflag AS f,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |h AS (SELECT f, v, COUNT(*) AS c FROM c GROUP BY 1, 2),
+        |w AS (
+        |  SELECT f, v, c,
+        |    SUM(c) OVER (PARTITION BY f ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY f) AS n
+        |  FROM h),
+        |k AS (
+        |  SELECT f, v, c, cum, n,
+        |    n * 5 // 100 AS lo, n * 95 // 100 AS hi
+        |  FROM w)
+        |SELECT f AS l_returnflag, CAST(MIN(n) AS BIGINT) AS n,
+        |  CAST(MIN(hi) - MIN(lo) AS BIGINT) AS kept,
+        |  CAST(SUM(v * GREATEST(0, LEAST(cum, hi)
+        |      - GREATEST(cum - c, lo)))
+        |    // (MIN(hi) - MIN(lo)) AS BIGINT) AS trimmed_mean_c,
+        |  CAST(SUM(v * c) // MIN(n) AS BIGINT) AS mean_c
+        |FROM k GROUP BY f ORDER BY f""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val h = Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag".as("f"),
+          round($"l_extendedprice" * 100, 0).cast("long").as("v"))
+        .groupBy($"f", $"v").agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy($"f").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy($"f")
+      h.withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wAll))
+        .withColumn("lo", div($"n" * 5L, lit(100L)))
+        .withColumn("hi", div($"n" * 95L, lit(100L)))
+        .groupBy($"f")
+        .agg(min($"n").as("n"),
+          (min($"hi") - min($"lo")).as("kept"),
+          div(sum($"v" * greatest(lit(0L),
+            least($"cum", $"hi") - greatest($"cum" - $"c", $"lo"))),
+            min($"hi") - min($"lo")).as("trimmed_mean_c"),
+          div(sum($"v" * $"c"), min($"n")).as("mean_c"))
+        .select($"f".as("l_returnflag"), $"n", $"kept",
+          $"trimmed_mean_c", $"mean_c")
+        .orderBy($"l_returnflag")
     })
 }
 

@@ -1074,6 +1074,84 @@ object CurationQueries {
         .orderBy($"bucket")
     },
 
+    // Population stability index (CurationOps.psiQ20) — the symmetric
+    // industry drift monitor next to q178's directional KL, same
+    // hashed-bucket feature space and Q20 log machinery; per-bucket
+    // contribution (ap·denQ − aq·denP)·l is always ≥ 0 and exact, the
+    // denP·denQ division deferred to the 1-row total.
+    GraftQuery(
+      "q219_psi",
+      s"""WITH bp AS (
+         |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(u.t || ':psi1', ''),
+         |        c -> ascii(c))),
+         |      (a, x) -> (a*31+x)%1000000007) % 64 AS bucket,
+         |    COUNT(*) AS cp
+         |  FROM (SELECT list_filter(string_split_regex(text, '\\s+'),
+         |          t -> t <> '') AS tk
+         |        FROM documents WHERE lang = 'en') s,
+         |    UNNEST(tk) AS u(t)
+         |  GROUP BY 1),
+         |bq AS (
+         |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(u.t || ':psi1', ''),
+         |        c -> ascii(c))),
+         |      (a, x) -> (a*31+x)%1000000007) % 64 AS bucket,
+         |    COUNT(*) AS cq
+         |  FROM (SELECT list_filter(string_split_regex(text, '\\s+'),
+         |          t -> t <> '') AS tk
+         |        FROM documents WHERE lang <> 'en') s,
+         |    UNNEST(tk) AS u(t)
+         |  GROUP BY 1),
+         |np AS (SELECT COALESCE(CAST(SUM(cp) AS BIGINT), 0) AS np FROM bp),
+         |nq AS (SELECT COALESCE(CAST(SUM(cq) AS BIGINT), 0) AS nq FROM bq),
+         |spine AS (
+         |  SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS bucket),
+         |j AS (
+         |  SELECT spine.bucket, COALESCE(bp.cp, 0) AS cp,
+         |    COALESCE(bq.cq, 0) AS cq
+         |  FROM spine LEFT JOIN bp USING (bucket)
+         |  LEFT JOIN bq USING (bucket)),
+         |args AS (
+         |  SELECT bucket, 'ap' AS which, cp + 1 AS v FROM j
+         |  UNION ALL SELECT bucket, 'aq', cq + 1 FROM j
+         |  UNION ALL SELECT -1, 'np', np + 64 FROM np
+         |  UNION ALL SELECT -1, 'nq', nq + 64 FROM nq),
+         |${DuckLog2Q20.ctes("bucket", "which")},
+         |lg AS (SELECT bucket, which, p * 1048576 + acc AS l FROM l20),
+         |gl AS (SELECT
+         |    MAX(CASE WHEN which = 'np' THEN l END) AS l_np,
+         |    MAX(CASE WHEN which = 'nq' THEN l END) AS l_nq
+         |  FROM lg WHERE bucket = -1),
+         |piv AS (SELECT bucket,
+         |    MAX(CASE WHEN which = 'ap' THEN l END) AS l_ap,
+         |    MAX(CASE WHEN which = 'aq' THEN l END) AS l_aq
+         |  FROM lg WHERE bucket >= 0 GROUP BY 1),
+         |terms AS (
+         |  SELECT j.bucket, j.cp, j.cq,
+         |    piv.l_ap + gl.l_nq - piv.l_aq - gl.l_np AS l_q20,
+         |    ((j.cp + 1) * (nq.nq + 64) - (j.cq + 1) * (np.np + 64))
+         |      * (piv.l_ap + gl.l_nq - piv.l_aq - gl.l_np) AS contrib
+         |  FROM j JOIN piv USING (bucket) CROSS JOIN gl
+         |  CROSS JOIN np CROSS JOIN nq),
+         |tot AS (
+         |  SELECT CAST(SUM(contrib)
+         |      // ((MIN(np.np) + 64) * (MIN(nq.nq) + 64)) AS BIGINT)
+         |    AS psi_q20
+         |  FROM terms CROSS JOIN np CROSS JOIN nq)
+         |SELECT CAST(terms.bucket AS BIGINT) AS bucket, terms.cp,
+         |  terms.cq, CAST(terms.l_q20 AS BIGINT) AS l_q20,
+         |  CAST(terms.contrib AS BIGINT) AS contrib, tot.psi_q20
+         |FROM terms CROSS JOIN tot ORDER BY bucket""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      CurationOps.psiQ20(
+          docs.filter($"lang" === "en"), docs.filter($"lang" =!= "en"),
+          "text", dim = 64, salt = "psi1")
+        .orderBy($"bucket")
+    },
+
     // Poisson bootstrap (EvalOps.poissonBootstrapMeans): 32 derandomized
     // Poisson(1) resamples of the corpus in ONE pass — replica
     // multiplicities from the literal inverse-CDF of a portable hash of

@@ -961,6 +961,67 @@ object RelationalQueries {
           concat(lit("hot"), $"r".cast("string")).as("metric"),
           $"key", $"m".as("v")))
         .orderBy($"metric", $"key")
+    },
+
+    // RFM customer segmentation (recency / frequency / monetary
+    // quintiles): per-customer metrics in one orders pass, each metric
+    // percentile-ranked via CurationOps.percentileNormalize (the
+    // strictly-below rule over the VALUE HISTOGRAM — q168's contract,
+    // no corpus row_number), quintile = pct·5 div 1e6 + 1; segments
+    // roll up to ≤125 rows. Corpus max date rides as an in-plan 1-row
+    // scalar.
+    GraftQuery(
+      "q221_rfm",
+      """WITH gmax AS (
+        |  SELECT MAX(epoch_us(o_orderdate)) AS mt FROM orders),
+        |m AS (
+        |  SELECT o_custkey AS ck,
+        |    (gmax.mt - MAX(epoch_us(o_orderdate))) // 86400000000
+        |      AS rec,
+        |    COUNT(*) AS f,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+        |      AS BIGINT) AS mon
+        |  FROM orders CROSS JOIN gmax GROUP BY ck, gmax.mt),
+        |n_ AS (SELECT COUNT(*) AS n FROM m),
+        |p AS (
+        |  SELECT ck,
+        |    (RANK() OVER (ORDER BY rec) - 1) * 1000000 // n_.n AS rp,
+        |    (RANK() OVER (ORDER BY f) - 1) * 1000000 // n_.n AS fp,
+        |    (RANK() OVER (ORDER BY mon) - 1) * 1000000 // n_.n AS mp
+        |  FROM m CROSS JOIN n_),
+        |q AS (
+        |  SELECT ck, rp * 5 // 1000000 + 1 AS rq,
+        |    fp * 5 // 1000000 + 1 AS fq, mp * 5 // 1000000 + 1 AS mq
+        |  FROM p)
+        |SELECT CAST(rq AS BIGINT) AS rq, CAST(fq AS BIGINT) AS fq,
+        |  CAST(mq AS BIGINT) AS mq, COUNT(*) AS n_customers,
+        |  CAST(SUM(ck) AS BIGINT) AS ck_sum
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import graft.ops.CurationOps
+      val div = graft.functions.GraftColumns.longDiv _
+      val orders = t(s, dir, "orders")
+        .select($"o_custkey".as("ck"),
+          // NTZ → session-TZ reinterpretation (UTC session: a no-op,
+          // the q18 pattern) so unix_micros resolves
+          unix_micros($"o_orderdate".cast("timestamp")).as("od"),
+          cents($"o_totalprice").as("vc"))
+      val gmax = orders.agg(max($"od").as("__mt"))
+      val m = orders.crossJoin(broadcast(gmax))
+        .groupBy($"ck")
+        .agg(div(min($"__mt") - max($"od"), lit(86400000000L)).as("rec"),
+          count(lit(1)).as("f"), sum($"vc").as("mon"))
+        .withColumn("g", lit(1L))
+      def quint(df: org.apache.spark.sql.DataFrame, c: String,
+          out: String) =
+        CurationOps.percentileNormalize(df, "g", c)
+          .withColumn(out, div($"pct_ppm" * 5L, lit(1000000L)) + 1L)
+          .drop("pct_ppm")
+      val q3 = quint(quint(quint(m, "rec", "rq"), "f", "fq"), "mon", "mq")
+      q3.groupBy($"rq", $"fq", $"mq")
+        .agg(count(lit(1)).as("n_customers"), sum($"ck").as("ck_sum"))
+        .orderBy($"rq", $"fq", $"mq")
     })
 }
 

@@ -350,7 +350,13 @@ class PlansSpec extends SparkTestBase {
         "q201_ref_integrity", "q202_id_gaps", "q203_zero_fill",
         // q208 crosses the |types|×7 cell table with its ONE-row
         // mi-total aggregate (q96 scalar pattern)
-        "q208_mutual_info")
+        "q208_mutual_info",
+        // q219 is q178's exact cross shape (two 1-row totals + the
+        // 1-row PSI scalar); q221 crosses orders with its ONE-row
+        // max-date aggregate (q167 pattern)
+        "q219_psi", "q221_rfm",
+        // q213 is q193's chi-square machinery (1-row total cross)
+        "q213_ab_test")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
