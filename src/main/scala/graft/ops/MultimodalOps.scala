@@ -232,6 +232,49 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Image → patch-embedding prep: decode, nearest-neighbor downsample
+    * to a dw×dh grid (the exact integer kernel of [[imageAHash]] /
+    * [[resizeImageFeatures]]), emit one row per cell with the integer
+    * gray value (sum of rounded channel bytes, 0..765) — the flattened
+    * fixed-length vector a vision tower consumes, in the exploded
+    * (id, dim, value) layout the embedding ops already speak (q205's
+    * centroid math, q215's projection, ANN ingest all take it).
+    * Undecodable/null blobs emit nothing (the quarantine stream is the
+    * decode gate's job, q41). Same mapPartitions contract: blobs never
+    * leave the executor.
+    */
+  def imagePatchVector(
+      records: DataFrame, dw: Int, dh: Int): DataFrame = {
+    require(dw > 0 && dh > 0, "target dims must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", StringType),
+      StructField("p", IntegerType),
+      StructField("gray", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    records.select("media_id", "blob").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getString(0)
+        val blob = r.getAs[Array[Byte]](1)
+        val d = if (blob == null) null else DecodeStub.decodeImage(blob)
+        if (d == null) Iterator.empty
+        else (0 until dw * dh).iterator.map { j =>
+          val x = j % dw
+          val y = j / dw
+          val sx = x * d.width / dw
+          val sy = y * d.height / dh
+          val base = (sy * d.width + sx) * d.nChannels
+          var g = 0L
+          var c = 0
+          while (c < d.nChannels) {
+            g += math.round(d.pixels(base + c) * 255f)
+            c += 1
+          }
+          Row(id, j, g)
+        }
+      }
+    }(enc)
+  }
+
   /** Audio decode dispatch: WAV goes through the REAL JDK codec
     * ([[MediaCodecs.decodeWavPcm16]], javax.sound.sampled — q94
     * hash-checks the PCM16 round trip); other formats (flac/mp3/...)

@@ -2122,6 +2122,61 @@ object AnalyticsQueries {
         .select($"f".as("l_returnflag"), $"n", $"kept",
           $"trimmed_mean_c", $"mean_c")
         .orderBy($"l_returnflag")
+    },
+
+    // Two-sample Kolmogorov-Smirnov statistic (distribution-shift
+    // test, the nonparametric complement to q193's categorical χ²):
+    // D = max |F1(x) − F2(x)| over the MERGED VALUE HISTOGRAM,
+    // computed exactly as max |cum1·n2 − cum2·n1| in cross-multiplied
+    // integers (no fraction ever rounded before the max); one ordered
+    // walk over distinct values, never raw rows. Reports D in ppm and
+    // the value attaining it.
+    GraftQuery(
+      "q224_ks_test",
+      """WITH h AS (
+        |  SELECT n_chars AS v,
+        |    COUNT(*) FILTER (lang = 'en') AS c1,
+        |    COUNT(*) FILTER (lang <> 'en') AS c2
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT v,
+        |    SUM(c1) OVER (ORDER BY v) AS cum1,
+        |    SUM(c2) OVER (ORDER BY v) AS cum2,
+        |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+        |  FROM h),
+        |d AS (
+        |  SELECT v, n1, n2,
+        |    abs(cum1 * n2 - cum2 * n1) AS ds
+        |  FROM w),
+        |mx AS (SELECT MAX(ds) AS mds FROM d)
+        |SELECT CAST(MIN(n1) AS BIGINT) AS n1,
+        |  CAST(MIN(n2) AS BIGINT) AS n2,
+        |  CAST(MIN(mx.mds) * 1000000 // (MIN(n1) * MIN(n2)) AS BIGINT)
+        |    AS ks_ppm,
+        |  CAST(MIN(CASE WHEN ds = mx.mds THEN v END) AS BIGINT)
+        |    AS v_at_max
+        |FROM d CROSS JOIN mx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val h = Tables.load(s, dir, "documents")
+        .groupBy($"n_chars".as("v"))
+        .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("c1"),
+          sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("c2"))
+      val wCum = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val d = h
+        .withColumn("cum1", sum($"c1").over(wCum))
+        .withColumn("cum2", sum($"c2").over(wCum))
+        .withColumn("n1", sum($"c1").over(wAll))
+        .withColumn("n2", sum($"c2").over(wAll))
+        .withColumn("ds", abs($"cum1" * $"n2" - $"cum2" * $"n1"))
+      val mx = d.agg(max($"ds").as("mds"))
+      d.crossJoin(broadcast(mx))
+        .agg(min($"n1").as("n1"), min($"n2").as("n2"),
+          div(min($"mds") * 1000000L, min($"n1") * min($"n2"))
+            .as("ks_ppm"),
+          min(when($"ds" === $"mds", $"v")).as("v_at_max"))
     })
 }
 

@@ -310,6 +310,33 @@ object MoviesQueries {
         .orderBy(col("media_id"))
     },
 
+    // Image → patch-embedding prep (MultimodalOps.imagePatchVector):
+    // REAL PNG decode → nearest-neighbor 4×4 grid → 16 integer gray
+    // cells per image in the exploded (id, dim, value) layout the
+    // embedding ops consume (q205/q215/ANN). Spark decodes the actual
+    // bytes; the oracle replays the identical integer kernel from the
+    // synthetic pixel formula (the q119 contract).
+    GraftQuery(
+      "q222_patch_embed",
+      """WITH m AS (
+        |  SELECT i, 1 + (i % 8) AS w, 1 + ((i*7) % 8) AS h
+        |  FROM generate_series(0, 199) t(i)),
+        |g AS (
+        |  SELECT i, u.j AS p,
+        |    CAST(list_sum(list_transform(generate_series(0, 2), c ->
+        |      (i*31 + ((((u.j // 4) * h // 4) * w
+        |               + ((u.j % 4) * w // 4)) * 3 + c) * 7) % 256))
+        |      AS BIGINT) AS gray
+        |  FROM m, UNNEST(generate_series(0, 15)) AS u(j))
+        |SELECT 'png' || CAST(i AS VARCHAR) AS media_id,
+        |  CAST(p AS INTEGER) AS p, gray
+        |FROM g ORDER BY media_id, p""".stripMargin) { (s, _) =>
+      import graft.ops.MultimodalOps
+      MultimodalOps.imagePatchVector(
+          MultimodalOps.syntheticPngMedia(s, 200), dw = 4, dh = 4)
+        .orderBy(col("media_id"), col("p"))
+    },
+
     // Audio fingerprint (energy-delta sign bits) — q119's audio twin:
     // Spark decodes the REAL WAV bytes, windows the PCM16 samples,
     // takes exact integer energies, and packs sign-of-delta bits; the

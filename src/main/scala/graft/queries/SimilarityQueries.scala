@@ -735,5 +735,47 @@ object SimilarityQueries {
         .groupBy($"vec_id", $"i")
         .agg(sum($"sign" * $"c").as("v"))
         .orderBy($"vec_id", $"i")
+    },
+
+    // Distributed matrix multiply as a JOIN — Y = X·W with the weight
+    // matrix a TABLE (j, i, w), not a literal: the canonical
+    // linear-algebra-on-relational-ops shape (X exploded to (id, j,
+    // x_j), equi-join on j, map-side-combined Σ per (id, i)). At scale
+    // W broadcasts (model-as-table, the q125 pattern) and the corpus
+    // streams; shuffle is one (id, i) combine. Weights here come from
+    // a deterministic integer formula materialized through a spine so
+    // the join is real.
+    GraftQuery(
+      "q223_matmul",
+      """WITH x AS (
+        |  SELECT vec_id, u.i AS j,
+        |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT) AS c
+        |  FROM embeddings,
+        |    UNNEST(generate_series(1, len(embedding))) AS u(i)
+        |  WHERE vec_id < 100),
+        |wm AS (
+        |  SELECT j.j, o.i,
+        |    CAST((o.i * 13 + j.j * 7) % 11 - 5 AS BIGINT) AS w
+        |  FROM UNNEST(generate_series(1, 64)) AS j(j),
+        |    UNNEST(generate_series(0, 7)) AS o(i))
+        |SELECT x.vec_id, CAST(wm.i AS BIGINT) AS i,
+        |  CAST(SUM(x.c * wm.w) AS BIGINT) AS y
+        |FROM x JOIN wm ON wm.j = x.j
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val x = Tables.load(s, dir, "embeddings")
+        .where($"vec_id" < 100L)
+        .select($"vec_id", posexplode($"embedding"))
+        .select($"vec_id", ($"pos" + 1).as("j"),
+          floor($"col".cast("double") * 1000 + 0.5).cast("long").as("c"))
+      val wm = s.range(1, 65).select($"id".as("j"))
+        .crossJoin(broadcast(s.range(0, 8).select($"id".as("i"))))
+        .select($"j", $"i",
+          (pmod($"i" * 13L + $"j" * 7L, lit(11L)) - 5L).as("w"))
+      x.join(broadcast(wm), Seq("j"))
+        .groupBy($"vec_id", $"i")
+        .agg(sum($"c" * $"w").as("y"))
+        .orderBy($"vec_id", $"i")
     })
 }

@@ -356,7 +356,11 @@ class PlansSpec extends SparkTestBase {
         // max-date aggregate (q167 pattern)
         "q219_psi", "q221_rfm",
         // q213 is q193's chi-square machinery (1-row total cross)
-        "q213_ab_test")
+        "q213_ab_test",
+        // q223 broadcasts the 512-row weight TABLE (model-as-table,
+        // constant size); q224 crosses the value histogram with its
+        // ONE-row max-D aggregate (q96 scalar pattern)
+        "q223_matmul", "q224_ks_test")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
