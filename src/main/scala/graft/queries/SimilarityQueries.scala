@@ -777,5 +777,50 @@ object SimilarityQueries {
         .groupBy($"vec_id", $"i")
         .agg(sum($"c" * $"w").as("y"))
         .orderBy($"vec_id", $"i")
+    },
+
+    // Hard-negative mining for contrastive training: per anchor, the
+    // top-3 HIGHEST-cosine candidates with a DIFFERENT label from a
+    // bounded broadcast candidate pool — the negatives that actually
+    // teach a bi-encoder. The pool-bounded broadcast NLJ is the
+    // operator's definition (q35's sanction argument); per-anchor rank
+    // windows are pool-sized. Exact integer cosines (cosineMicro).
+    GraftQuery(
+      "q225_hard_negatives",
+      s"""WITH a AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  WHERE vec_id < 50),
+         |p AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  WHERE vec_id >= 100 AND vec_id < 164),
+         |scored AS (
+         |  SELECT a.vec_id AS anchor_id, p.vec_id AS neg_id,
+         |    CAST(${duckCosMicro("a", "p")} AS BIGINT) AS cos_micro
+         |  FROM a JOIN p ON a.label <> p.label),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cos_micro DESC, neg_id) AS rank
+         |  FROM scored)
+         |SELECT anchor_id, neg_id, cos_micro,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY anchor_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, dir, "embeddings")
+      val anchors = e.where($"vec_id" < 50L)
+        .select($"vec_id".as("anchor_id"), $"embedding".as("ae"),
+          $"label".as("al"))
+      val pool = e.where($"vec_id" >= 100L && $"vec_id" < 164L)
+        .select($"vec_id".as("neg_id"), $"embedding".as("pe"),
+          $"label".as("pl"))
+      val w = Window.partitionBy($"anchor_id")
+        .orderBy($"cos_micro".desc, $"neg_id")
+      anchors.join(broadcast(pool), $"al" =!= $"pl")
+        .select($"anchor_id", $"neg_id",
+          SimilarityOps.cosineMicro($"ae", $"pe").as("cos_micro"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where($"rank" <= 3L)
+        .orderBy($"anchor_id", $"rank")
     })
 }

@@ -873,5 +873,122 @@ object TextQueries {
         .groupBy($"lang", $"fold")
         .agg(count(lit(1)).as("n"), sum($"doc_id").as("id_sum"))
         .orderBy($"lang", $"fold")
+    },
+
+    // T5/UL2-style span corruption prep: tokens partition into 3-token
+    // blocks; block b of doc d is masked iff polyhash("d:b:sc1") % 5
+    // == 0 — STATELESS mask selection (no sequential scan, any engine
+    // and any partitioning picks identical spans); the k-th masked
+    // block (per-doc order) becomes sentinel <Xk>. Emits the
+    // (input_text, target_text) pair pretraining consumes: input =
+    // unmasked tokens with one sentinel at each masked block's start,
+    // target = sentinel + its hidden tokens. Assembly is order-free
+    // (sort-by-position aggregation, the q209 rule).
+    GraftQuery(
+      "q226_span_corruption",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+        |      AS tk
+        |  FROM documents WHERE doc_id < 100),
+        |pos AS (
+        |  SELECT doc_id, u.i - 1 AS pos, tk[u.i] AS tok,
+        |    (u.i - 1) // 3 AS b
+        |  FROM toks, UNNEST(generate_series(1, len(tk))) AS u(i)),
+        |blocks AS (
+        |  SELECT DISTINCT doc_id, b,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |        CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)
+        |          || ':sc1', ''),
+        |        c -> ascii(c))),
+        |      (a, x) -> (a*31+x) % 1000000007) % 5 = 0 AS masked
+        |  FROM pos),
+        |mk AS (
+        |  SELECT doc_id, b,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY b) AS k
+        |  FROM blocks WHERE masked),
+        |pieces AS (
+        |  SELECT p.doc_id, p.pos, p.tok AS piece
+        |  FROM pos p JOIN blocks bl
+        |    ON bl.doc_id = p.doc_id AND bl.b = p.b
+        |  WHERE NOT bl.masked
+        |  UNION ALL
+        |  SELECT doc_id, b * 3, '<X' || CAST(k AS VARCHAR) || '>'
+        |  FROM mk),
+        |inp AS (
+        |  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text
+        |  FROM pieces GROUP BY 1),
+        |tpieces AS (
+        |  SELECT mk.doc_id, mk.b, -1 AS pos,
+        |    '<X' || CAST(mk.k AS VARCHAR) || '>' AS piece
+        |  FROM mk
+        |  UNION ALL
+        |  SELECT p.doc_id, p.b, p.pos, p.tok
+        |  FROM pos p JOIN blocks bl
+        |    ON bl.doc_id = p.doc_id AND bl.b = p.b
+        |  WHERE bl.masked),
+        |tgt AS (
+        |  SELECT doc_id,
+        |    string_agg(piece, ' ' ORDER BY b, pos) AS target_text,
+        |    COUNT(*) FILTER (pos = -1) AS n_masked
+        |  FROM tpieces GROUP BY 1)
+        |SELECT t.doc_id, CAST(COALESCE(tgt.n_masked, 0) AS BIGINT)
+        |    AS n_masked,
+        |  COALESCE(inp.input_text, '') AS input_text,
+        |  COALESCE(tgt.target_text, '') AS target_text
+        |FROM toks t LEFT JOIN inp USING (doc_id)
+        |LEFT JOIN tgt USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val div = graft.functions.GraftColumns.longDiv _
+      val docs = Tables.load(s, dir, "documents")
+        .where($"doc_id" < 100L)
+      val pos = docs
+        .select($"doc_id", posexplode(TextOps.tokenize($"text")))
+        .where($"col" =!= "")
+        .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("tok"))
+      // tokenize keeps empties at split edges; re-rank positions over
+      // the FILTERED stream so they match the oracle's list_filter
+      val wPos = Window.partitionBy($"doc_id").orderBy($"pos")
+      val posF = pos
+        .withColumn("pos", (row_number().over(wPos) - 1).cast("long"))
+        .withColumn("b", div($"pos", lit(3L)))
+      val blocks = posF.select($"doc_id", $"b").distinct()
+        .withColumn("masked",
+          pmod(TextOps.polyHash(concat($"doc_id".cast("string"), lit(":"),
+            $"b".cast("string"), lit(":sc1"))), lit(5L)) === 0L)
+      val wB = Window.partitionBy($"doc_id").orderBy($"b")
+      val mk = blocks.where($"masked")
+        .withColumn("k", row_number().over(wB).cast("long"))
+      val pieces = posF.join(blocks, Seq("doc_id", "b"))
+        .where(!$"masked")
+        .select($"doc_id", $"pos", $"tok".as("piece"))
+        .unionByName(mk.select($"doc_id", ($"b" * 3L).as("pos"),
+          concat(lit("<X"), $"k".cast("string"), lit(">")).as("piece")))
+      val inp = pieces.groupBy($"doc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct($"pos", $"piece"))),
+          x => x.getField("piece")), " ").as("input_text"))
+      val tpieces = mk
+        .select($"doc_id", $"b", lit(-1L).as("pos"),
+          concat(lit("<X"), $"k".cast("string"), lit(">")).as("piece"))
+        .unionByName(posF.join(blocks, Seq("doc_id", "b"))
+          .where($"masked")
+          .select($"doc_id", $"b", $"pos", $"tok".as("piece")))
+      val tgt = tpieces.groupBy($"doc_id")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct($"b", $"pos", $"piece"))),
+            x => x.getField("piece")), " ").as("target_text"),
+          sum(when($"pos" === -1L, 1L).otherwise(0L)).as("n_masked"))
+      docs.select($"doc_id")
+        .join(inp, Seq("doc_id"), "left")
+        .join(tgt, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_masked", lit(0L)).as("n_masked"),
+          coalesce($"input_text", lit("")).as("input_text"),
+          coalesce($"target_text", lit("")).as("target_text"))
+        .orderBy($"doc_id")
     })
 }

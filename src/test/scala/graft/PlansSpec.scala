@@ -360,7 +360,10 @@ class PlansSpec extends SparkTestBase {
         // q223 broadcasts the 512-row weight TABLE (model-as-table,
         // constant size); q224 crosses the value histogram with its
         // ONE-row max-D aggregate (q96 scalar pattern)
-        "q223_matmul", "q224_ks_test")
+        "q223_matmul", "q224_ks_test",
+        // q225's label-inequality join broadcasts the 64-row candidate
+        // pool — bounded by construction (the q35 sanction argument)
+        "q225_hard_negatives")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
