@@ -2177,6 +2177,70 @@ object AnalyticsQueries {
           div(min($"mds") * 1000000L, min($"n1") * min($"n2"))
             .as("ks_ppm"),
           min(when($"ds" === $"mds", $"v")).as("v_at_max"))
+    },
+
+    // Cross-group quantile matching (batch-effect / shard-calibration
+    // correction): map every group value to the POOLED value at the
+    // same quantile — per (group, value): strictly-below group rank →
+    // pooled rank r = below·N div n_g + 1 → the pooled value whose
+    // cumulative rank interval [cum−c+1, cum] contains r. The rank
+    // lookup is RangeJoinOps.intervalJoin's bin-bucketed EQUI-join
+    // over the rank space (never a per-row inequality join); both
+    // histograms are domain-sized.
+    GraftQuery(
+      "q228_quantile_matching",
+      """WITH g AS (
+        |  SELECT lang, n_chars AS v, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |gw AS (
+        |  SELECT lang, v, c,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY v) - c AS below,
+        |    SUM(c) OVER (PARTITION BY lang) AS ng
+        |  FROM g),
+        |p AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents
+        |      GROUP BY 1),
+        |pw AS (
+        |  SELECT v AS mv, c,
+        |    SUM(c) OVER (ORDER BY v) - c + 1 AS lo,
+        |    SUM(c) OVER (ORDER BY v) AS hi,
+        |    SUM(c) OVER () AS n
+        |  FROM p),
+        |pts AS (
+        |  SELECT lang, v, below * (SELECT MIN(n) FROM pw) // ng + 1
+        |    AS r
+        |  FROM gw)
+        |SELECT pts.lang, CAST(pts.v AS BIGINT) AS v,
+        |  CAST(pts.r AS BIGINT) AS r, CAST(pw.mv AS BIGINT) AS mapped_v
+        |FROM pts JOIN pw ON pts.r >= pw.lo AND pts.r <= pw.hi
+        |ORDER BY lang, v""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val docs = Tables.load(s, dir, "documents")
+        .select($"lang", $"n_chars".as("v"))
+        .localCheckpoint() // both histograms in one pass each
+      val wCumG = Window.partitionBy($"lang").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAllG = Window.partitionBy($"lang")
+      val gw = docs.groupBy($"lang", $"v").agg(count(lit(1)).as("c"))
+        .withColumn("below", sum($"c").over(wCumG) - $"c")
+        .withColumn("ng", sum($"c").over(wAllG))
+      val wCumP = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAllP = Window.partitionBy()
+      val pw = docs.groupBy($"v").agg(count(lit(1)).as("c"))
+        .withColumn("hi", sum($"c").over(wCumP))
+        .withColumn("lo", $"hi" - $"c" + 1L)
+        .withColumn("n", sum($"c").over(wAllP))
+        .select($"v".as("mv"), $"lo", $"hi", $"n")
+      val nScalar = pw.agg(min($"n").as("__n"))
+      val pts = gw.crossJoin(broadcast(nScalar))
+        .select($"lang", $"v",
+          (div($"below" * $"__n", $"ng") + 1L).as("r"))
+      graft.ops.RangeJoinOps.intervalJoin(
+          pts, pw.select($"mv", $"lo", $"hi"), Seq.empty,
+          "r", "lo", "hi", binWidth = 64L)
+        .select($"lang", $"v", $"r", $"mv".as("mapped_v"))
+        .orderBy($"lang", $"v")
     })
 }
 

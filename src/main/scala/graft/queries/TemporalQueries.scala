@@ -1262,5 +1262,60 @@ object TemporalQueries {
       SketchOps.kmvEstimate(merged, Seq("day"), k = 64)
         .withColumnRenamed("est_distinct", "est_active_7d")
         .orderBy($"day")
+    },
+
+    // Rolling 7-day regression slope (trend monitoring) WITHOUT an
+    // ordered window: each observed day votes its (x, y) point into
+    // the ≤7 report windows it belongs to (the q184/q195 bounded
+    // explode), x RE-CENTERED to the window offset 6−j so the
+    // sufficient sums stay tiny (slope is shift-invariant); per
+    // (type, report day) one map-side-combined q187 reduction. A
+    // window-function rolling regression would serialize each series —
+    // this shape is embarrassingly parallel at any scale.
+    GraftQuery(
+      "q227_rolling_ols",
+      """WITH r AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT r.event_type, r.day + u.j AS rday, 6 - u.j AS x, r.y
+        |  FROM r, UNNEST(generate_series(0, 6)) AS u(j)),
+        |s AS (
+        |  SELECT v.event_type, v.rday AS day, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+        |    SUM(x*x) AS sxx
+        |  FROM v SEMI JOIN r ON r.event_type = v.event_type
+        |    AND r.day = v.rday
+        |  GROUP BY 1, 2)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |  CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n*sxx - sx*sx > 0 THEN
+        |    CAST((n*sxy - sx*sy)*1000000 // (n*sxx - sx*sx) AS BIGINT)
+        |  END AS slope_micro
+        |FROM s ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val r = Tables.load(s, dir, "events")
+        .select($"event_type",
+          div(unix_micros($"ts"), lit(86400000000L)).as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+        .localCheckpoint() // votes + spine
+      val votes = r
+        .select($"event_type", $"day", $"y",
+          explode(sequence(lit(0L), lit(6L))).as("j"))
+        .select($"event_type", ($"day" + $"j").as("day"),
+          (lit(6L) - $"j").as("x"), $"y")
+        .join(r.select($"event_type", $"day"), Seq("event_type", "day"),
+          "left_semi")
+      val st = votes.groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+          sum($"x" * $"x").as("sxx"))
+      st.select($"event_type", $"day", $"n",
+          when($"n" * $"sxx" - $"sx" * $"sx" > 0L,
+            div(($"n" * $"sxy" - $"sx" * $"sy") * 1000000L,
+              $"n" * $"sxx" - $"sx" * $"sx")).as("slope_micro"))
+        .orderBy($"event_type", $"day")
     })
 }

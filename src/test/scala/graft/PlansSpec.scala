@@ -363,7 +363,10 @@ class PlansSpec extends SparkTestBase {
         "q223_matmul", "q224_ks_test",
         // q225's label-inequality join broadcasts the 64-row candidate
         // pool — bounded by construction (the q35 sanction argument)
-        "q225_hard_negatives")
+        "q225_hard_negatives",
+        // q228 crosses the group histogram with the ONE-row pooled-N
+        // aggregate (q96 scalar pattern)
+        "q228_quantile_matching")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
