@@ -990,5 +990,56 @@ object TextQueries {
           coalesce($"input_text", lit("")).as("input_text"),
           coalesce($"target_text", lit("")).as("target_text"))
         .orderBy($"doc_id")
+    },
+
+    // Cross-source duplicate provenance (dedup DIAGNOSTICS — which
+    // sources feed each other's near-duplicates): per ORDERED source
+    // pair, how many of source A's distinct LEADING-3-TOKEN
+    // fingerprints (the shared-template/boilerplate-prefix signal;
+    // whole-text fps are q22/q30's exact-dup key, which this corpus
+    // never shares across sources) also appear in source B, as a rate
+    // of A's prefix vocabulary. The q197 posting shape on the
+    // fingerprint domain — pair space |sources|², never corpus².
+    GraftQuery(
+      "q229_dup_provenance",
+      """WITH fp AS (
+        |  SELECT DISTINCT source,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(array_to_string(
+        |          list_filter(string_split_regex(text, '\s+'),
+        |            t -> t <> '')[1:3], ' '), ''), c -> ascii(c))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |  FROM documents),
+        |sz AS (SELECT source, COUNT(*) AS nf FROM fp GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    COUNT(*) AS shared
+        |  FROM fp a JOIN fp b USING (fp)
+        |  WHERE a.source <> b.source GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(sz.nf AS BIGINT) AS n_a,
+        |  CAST(shared AS BIGINT) AS shared,
+        |  CAST(shared * 1000000 // sz.nf AS BIGINT) AS rate_ppm
+        |FROM sh JOIN sz ON sz.source = sh.src_a
+        |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val fp = Tables.load(s, dir, "documents")
+        .select($"source",
+          TextOps.polyHash(array_join(
+            slice(filter(TextOps.tokenize($"text"), t => t =!= ""), 1, 3),
+            " ")).as("fp"))
+        .distinct()
+        .localCheckpoint() // sizes + both posting sides
+      val sz = fp.groupBy($"source").agg(count(lit(1)).as("nf"))
+      fp.select($"source".as("src_a"), $"fp")
+        .join(fp.select($"source".as("src_b"), $"fp"), Seq("fp"))
+        .where($"src_a" =!= $"src_b")
+        .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("shared"))
+        .join(sz.select($"source".as("src_a"), $"nf".as("n_a")),
+          Seq("src_a"))
+        .select($"src_a", $"src_b", $"n_a", $"shared",
+          div($"shared" * 1000000L, $"n_a").as("rate_ppm"))
+        .orderBy($"src_a", $"src_b")
     })
 }
