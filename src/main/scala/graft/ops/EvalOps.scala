@@ -132,7 +132,21 @@ object EvalOps {
     */
   def poissonBootstrapMeans(
       df: DataFrame, idCol: String, valueCol: String, replicas: Int,
-      salt: String): DataFrame = {
+      salt: String): DataFrame =
+    poissonBootstrapMeansGrouped(
+      df.withColumn("__g", lit(1L)), "__g", idCol, valueCol,
+      replicas, salt).drop("__g")
+
+  /** Per-group [[poissonBootstrapMeans]] (per-slice uncertainty in the
+    * same single corpus pass): the replica draw is STILL keyed on
+    * (id, replica, salt) alone, so a row's multiplicity is identical
+    * whichever slicing consumes it — slices of one bootstrap, not
+    * independent bootstraps per group.
+    * Output: (group, replica, n_eff, value_sum, mean_milli).
+    */
+  def poissonBootstrapMeansGrouped(
+      df: DataFrame, groupCol: String, idCol: String, valueCol: String,
+      replicas: Int, salt: String): DataFrame = {
     require(replicas >= 1, "need at least one replica")
     val div = graft.functions.GraftColumns.longDiv _
     val cdf = typedLit(PoissonCdfPpm)
@@ -141,13 +155,14 @@ object EvalOps {
         concat(col(idCol).cast("string"), lit(":"),
           col("replica").cast("string"), lit(":" + salt))),
       lit(1000000L))
-    df.select(col(idCol), col(valueCol).cast("long").as("__v"),
+    df.select(col(groupCol), col(idCol),
+        col(valueCol).cast("long").as("__v"),
         explode(sequence(lit(0), lit(replicas - 1))).as("replica"))
       .withColumn("__w", size(filter(cdf, c => c <= u)).cast("long"))
-      .groupBy(col("replica"))
+      .groupBy(col(groupCol), col("replica"))
       .agg(sum(col("__w")).as("n_eff"),
         sum(col("__w") * col("__v")).as("value_sum"))
-      .select(col("replica").cast("long").as("replica"),
+      .select(col(groupCol), col("replica").cast("long").as("replica"),
         col("n_eff"), col("value_sum"),
         when(col("n_eff") > 0L,
           div(col("value_sum") * 1000L, col("n_eff"))).as("mean_milli"))

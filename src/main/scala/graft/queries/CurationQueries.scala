@@ -1233,6 +1233,7 @@ object CurationQueries {
       val means = graft.ops.EvalOps.poissonBootstrapMeans(
         Tables.load(s, dir, "documents").select($"doc_id", $"n_chars"),
         "doc_id", "n_chars", replicas = 64, salt = "ci1")
+      // (global form — the grouped variant is q232's gate)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy($"mean_milli", $"replica")
       means
@@ -1241,6 +1242,43 @@ object CurationQueries {
           max(when($"rn" === 2, $"mean_milli")).as("lo_milli"),
           max(when($"rn" === 32, $"mean_milli")).as("med_milli"),
           max(when($"rn" === 63, $"mean_milli")).as("hi_milli"))
+    },
+
+    // Per-group Poisson bootstrap (EvalOps.poissonBootstrapMeansGrouped)
+    // — per-slice uncertainty from the SAME single corpus pass: the
+    // replica draw keys on (id, replica, salt) alone, so each group's
+    // replicas are slices of one bootstrap (comparable across groups),
+    // not independent resamples.
+    GraftQuery(
+      "q232_grouped_bootstrap",
+      """WITH r AS (
+        |  SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT)
+        |    AS replica),
+        |w AS (
+        |  SELECT d.lang, r.replica, d.n_chars,
+        |    CAST(len(list_filter([367879, 735758, 919698, 981011,
+        |        996340, 999405, 999916, 999989, 999998],
+        |      c -> c <= list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(
+        |            CAST(d.doc_id AS VARCHAR) || ':'
+        |              || CAST(r.replica AS VARCHAR) || ':gb1', ''),
+        |            x -> ascii(x))),
+        |          (a, x) -> (a*31+x) % 1000000007) % 1000000))
+        |      AS BIGINT) AS wgt
+        |  FROM documents d CROSS JOIN r)
+        |SELECT lang, replica, CAST(SUM(wgt) AS BIGINT) AS n_eff,
+        |  CAST(SUM(wgt * n_chars) AS BIGINT) AS value_sum,
+        |  CASE WHEN SUM(wgt) > 0 THEN
+        |    CAST(SUM(wgt * n_chars) * 1000 // SUM(wgt) AS BIGINT)
+        |  END AS mean_milli
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      graft.ops.EvalOps.poissonBootstrapMeansGrouped(
+          Tables.load(s, dir, "documents")
+            .select($"lang", $"doc_id", $"n_chars"),
+          "lang", "doc_id", "n_chars", replicas = 16, salt = "gb1")
+        .orderBy($"lang", $"replica")
     },
 
     // Mutual information MI(event_type; day-of-week) in Q20 bits — the

@@ -1022,6 +1022,49 @@ object RelationalQueries {
       q3.groupBy($"rq", $"fq", $"mq")
         .agg(count(lit(1)).as("n_customers"), sum($"ck").as("ck_sum"))
         .orderBy($"rq", $"fq", $"mq")
+    },
+
+    // 2-D skyline / Pareto front (minimize price, maximize size —
+    // "best value for money" over parts): the classic dominance query
+    // WITHOUT the n² dominance join — in 2-D a row is on the skyline
+    // iff its size beats every STRICTLY-CHEAPER row's max size (one
+    // RANGE-frame running max over the price order) and nothing at its
+    // own price has more size (one equal-price max). Two windows over
+    // the dimension table; equal (price, size) ties are mutually
+    // non-dominating and all kept.
+    GraftQuery(
+      "q230_skyline",
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(round(p_retailprice*100) AS BIGINT) AS price_c,
+        |    CAST(p_size AS BIGINT) AS size
+        |  FROM part),
+        |w AS (
+        |  SELECT p_partkey, price_c, size,
+        |    MAX(size) OVER (ORDER BY price_c
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS best_cheaper,
+        |    MAX(size) OVER (PARTITION BY price_c) AS best_here
+        |  FROM p)
+        |SELECT p_partkey, price_c, size
+        |FROM w
+        |WHERE (best_cheaper IS NULL OR size > best_cheaper)
+        |  AND size = best_here
+        |ORDER BY price_c, p_partkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val p = t(s, dir, "part")
+        .select($"p_partkey", cents($"p_retailprice").as("price_c"),
+          $"p_size".cast("long").as("size"))
+      val wRange = Window.orderBy($"price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wPrice = Window.partitionBy($"price_c")
+      p.withColumn("best_cheaper", max($"size").over(wRange))
+        .withColumn("best_here", max($"size").over(wPrice))
+        .where(($"best_cheaper".isNull || $"size" > $"best_cheaper") &&
+          $"size" === $"best_here")
+        .select($"p_partkey", $"price_c", $"size")
+        .orderBy($"price_c", $"p_partkey")
     })
 }
 

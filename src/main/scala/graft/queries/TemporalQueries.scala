@@ -1317,5 +1317,70 @@ object TemporalQueries {
             div(($"n" * $"sxy" - $"sx" * $"sy") * 1000000L,
               $"n" * $"sxx" - $"sx" * $"sx")).as("slope_micro"))
         .orderBy($"event_type", $"day")
+    },
+
+    // Mann-Kendall trend test (the nonparametric significance
+    // companion to q188's Theil-Sen slope — the pair ship together in
+    // every monitoring stack): S = Σ_{i<j} sign(y_j − y_i) over the
+    // period-DOMAIN pair join, plus the tie-corrected variance times
+    // 18 (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) — an exact integer, no /18
+    // rounding). |S| large vs √var ⇒ monotone trend.
+    GraftQuery(
+      "q231_mann_kendall",
+      """WITH r AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.y > a.y THEN 1
+        |                  WHEN b.y < a.y THEN -1 ELSE 0 END)
+        |      AS BIGINT) AS s
+        |  FROM r a JOIN r b ON a.event_type = b.event_type
+        |    AND a.day < b.day
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |    CAST(COALESCE(SUM(t*(t-1)*(2*t+5)), 0) AS BIGINT) AS tt
+        |  FROM (SELECT event_type, y, COUNT(*) AS t FROM r
+        |        GROUP BY 1, 2)
+        |  WHERE t > 1 GROUP BY 1),
+        |nn AS (SELECT event_type, COUNT(*) AS n FROM r GROUP BY 1)
+        |SELECT nn.event_type, CAST(nn.n AS BIGINT) AS n, s.s,
+        |  CAST(nn.n*(nn.n-1)*(2*nn.n+5) - COALESCE(ties.tt, 0)
+        |    AS BIGINT) AS var18,
+        |  CAST(CASE WHEN s.s > 0 THEN 1 WHEN s.s < 0 THEN -1 ELSE 0
+        |    END AS BIGINT) AS direction
+        |FROM nn JOIN s USING (event_type)
+        |LEFT JOIN ties USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val r = Tables.load(s, dir, "events")
+        .select($"event_type",
+          div(unix_micros($"ts"), lit(86400000000L)).as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+        .localCheckpoint() // pair join + tie histogram + n
+      val a = r.select($"event_type", $"day".as("da"), $"y".as("ya"))
+      val b = r.select($"event_type", $"day".as("db"), $"y".as("yb"))
+      val sTab = a.join(b, Seq("event_type"))
+        .where($"da" < $"db")
+        .groupBy($"event_type")
+        .agg(sum(when($"yb" > $"ya", 1L).when($"yb" < $"ya", -1L)
+          .otherwise(0L)).as("s"))
+      val ties = r.groupBy($"event_type", $"y")
+        .agg(count(lit(1)).as("t"))
+        .where($"t" > 1L)
+        .groupBy($"event_type")
+        .agg(sum($"t" * ($"t" - 1L) * ($"t" * 2L + 5L)).as("tt"))
+      val nn = r.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      nn.join(sTab, Seq("event_type"))
+        .join(ties, Seq("event_type"), "left")
+        .select($"event_type", $"n", $"s",
+          ($"n" * ($"n" - 1L) * ($"n" * 2L + 5L) -
+            coalesce($"tt", lit(0L))).as("var18"),
+          when($"s" > 0L, 1L).when($"s" < 0L, -1L).otherwise(0L)
+            .as("direction"))
+        .orderBy($"event_type")
     })
 }
