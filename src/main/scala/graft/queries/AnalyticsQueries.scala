@@ -2241,6 +2241,92 @@ object AnalyticsQueries {
           "r", "lo", "hi", binWidth = 64L)
         .select($"lang", $"v", $"r", $"mv".as("mapped_v"))
         .orderBy($"lang", $"v")
+    },
+
+    // Per-group KS drift (each slice vs the REST of the corpus — the
+    // q182 per-slice move applied to q224): the exact D needs every
+    // group's CDF evaluated at EVERY merged value, so the walk runs
+    // over the groups × distinct-values DOMAIN SPINE (a broadcast
+    // cross of two bounded dims, q203's shape), with the group CDF
+    // carried by a per-group cumulative over the zero-filled spine.
+    // Cross-multiplied integers as in q224; one row per group.
+    GraftQuery(
+      "q233_grouped_ks",
+      """WITH h AS (
+        |  SELECT lang, n_chars AS v, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |vs AS (SELECT DISTINCT n_chars AS v FROM documents),
+        |langs AS (SELECT DISTINCT lang FROM documents),
+        |ga AS (
+        |  SELECT v, SUM(c) AS ca FROM h GROUP BY 1),
+        |gaw AS (
+        |  SELECT v, SUM(ca) OVER (ORDER BY v) AS cum_all,
+        |    SUM(ca) OVER () AS n
+        |  FROM ga),
+        |sp AS (
+        |  SELECT l.lang, s.v, COALESCE(h.c, 0) AS c0
+        |  FROM langs l CROSS JOIN vs s
+        |  LEFT JOIN h ON h.lang = l.lang AND h.v = s.v),
+        |w AS (
+        |  SELECT sp.lang, sp.v,
+        |    SUM(sp.c0) OVER (PARTITION BY sp.lang ORDER BY sp.v)
+        |      AS cumg,
+        |    SUM(sp.c0) OVER (PARTITION BY sp.lang) AS ng,
+        |    gaw.cum_all, gaw.n
+        |  FROM sp JOIN gaw ON gaw.v = sp.v),
+        |d AS (
+        |  SELECT lang, v, ng, n,
+        |    abs(cumg * (n - ng) - (cum_all - cumg) * ng) AS ds
+        |  FROM w),
+        |mx AS (SELECT lang, MAX(ds) AS mds FROM d GROUP BY 1)
+        |SELECT d.lang, CAST(MIN(d.ng) AS BIGINT) AS ng,
+        |  CAST(MIN(d.n) - MIN(d.ng) AS BIGINT) AS n_rest,
+        |  CASE WHEN MIN(d.ng) > 0 AND MIN(d.ng) < MIN(d.n) THEN
+        |    CAST(MIN(mx.mds) * 1000000
+        |      // (MIN(d.ng) * (MIN(d.n) - MIN(d.ng))) AS BIGINT)
+        |  END AS ks_ppm,
+        |  CAST(MIN(CASE WHEN d.ds = mx.mds THEN d.v END) AS BIGINT)
+        |    AS v_at_max
+        |FROM d JOIN mx ON mx.lang = d.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val docs = Tables.load(s, dir, "documents")
+        .select($"lang", $"n_chars".as("v"))
+        .localCheckpoint() // three histogram consumers
+      val h = docs.groupBy($"lang", $"v").agg(count(lit(1)).as("c"))
+      val vs = docs.select($"v").distinct()
+      val langs = docs.select($"lang").distinct()
+      val wCumA = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAllA = Window.partitionBy()
+      val gaw = docs.groupBy($"v").agg(count(lit(1)).as("ca"))
+        .withColumn("cum_all", sum($"ca").over(wCumA))
+        .withColumn("n", sum($"ca").over(wAllA))
+        .select($"v", $"cum_all", $"n")
+      val sp = langs.crossJoin(broadcast(vs))
+        .join(h, Seq("lang", "v"), "left")
+        .select($"lang", $"v", coalesce($"c", lit(0L)).as("c0"))
+      val wCumG = Window.partitionBy($"lang").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAllG = Window.partitionBy($"lang")
+      val d = sp
+        .withColumn("cumg", sum($"c0").over(wCumG))
+        .withColumn("ng", sum($"c0").over(wAllG))
+        .join(gaw, Seq("v"))
+        .withColumn("ds",
+          abs($"cumg" * ($"n" - $"ng") -
+            ($"cum_all" - $"cumg") * $"ng"))
+      val mx = d.groupBy($"lang").agg(max($"ds").as("mds"))
+      d.join(mx, Seq("lang"))
+        .groupBy($"lang")
+        .agg(min($"ng").as("ng"),
+          (min($"n") - min($"ng")).as("n_rest"),
+          when(min($"ng") > 0L && min($"ng") < min($"n"),
+            div(min($"mds") * 1000000L,
+              min($"ng") * (min($"n") - min($"ng")))).as("ks_ppm"),
+          min(when($"ds" === $"mds", $"v")).as("v_at_max"))
+        .orderBy($"lang")
     })
 }
 

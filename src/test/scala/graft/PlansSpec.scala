@@ -366,7 +366,10 @@ class PlansSpec extends SparkTestBase {
         "q225_hard_negatives",
         // q228 crosses the group histogram with the ONE-row pooled-N
         // aggregate (q96 scalar pattern)
-        "q228_quantile_matching")
+        "q228_quantile_matching",
+        // q233's spine is a broadcast cross of two DOMAIN-sized dims
+        // (langs × distinct values — q203's sanction argument)
+        "q233_grouped_ks")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
