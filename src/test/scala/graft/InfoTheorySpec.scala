@@ -95,4 +95,41 @@ class InfoTheorySpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("bucket")).sorted.toSeq ==
       (0L until 64L).toSeq)
   }
+
+  test("PSI(P ‖ P) is exactly zero — every contribution's count factor " +
+       "vanishes; shifted corpora give strictly positive PSI with all " +
+       "contributions nonnegative") {
+    val docs = Seq("alpha beta gamma", "beta beta delta", "gamma alpha")
+      .toDF("text")
+    val self = CurationOps.psiQ20(docs, docs, "text", dim = 32, "ps")
+      .collect()
+    assert(self.forall(_.getAs[Long]("contrib") == 0L))
+    assert(self.forall(_.getAs[Long]("psi_q20") == 0L))
+    val q = Seq("epsilon zeta", "zeta epsilon eta").toDF("text")
+    val shifted = CurationOps.psiQ20(docs, q, "text", dim = 32, "ps")
+      .collect()
+    assert(shifted.forall(_.getAs[Long]("contrib") >= 0L))
+    assert(shifted.head.getAs[Long]("psi_q20") > 0L)
+  }
+
+  test("grouped Poisson bootstrap slices one corpus-wide resample: " +
+       "per-replica group sums equal the global bootstrap exactly") {
+    import graft.ops.EvalOps
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(300)(i =>
+      ("g" + (i % 3), i.toLong, rnd.nextInt(500).toLong))
+    val df = rows.toDF("g", "id", "v")
+    val grouped = EvalOps.poissonBootstrapMeansGrouped(
+        df, "g", "id", "v", replicas = 8, salt = "gb")
+      .groupBy($"replica")
+      .agg(org.apache.spark.sql.functions.sum($"n_eff").as("n_eff"),
+        org.apache.spark.sql.functions.sum($"value_sum").as("value_sum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val global = EvalOps.poissonBootstrapMeans(
+        df, "id", "v", replicas = 8, salt = "gb")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(grouped === global)
+  }
 }
