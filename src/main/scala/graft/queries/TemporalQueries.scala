@@ -1382,5 +1382,64 @@ object TemporalQueries {
           when($"s" > 0L, 1L).when($"s" < 0L, -1L).otherwise(0L)
             .as("direction"))
         .orderBy($"event_type")
+    },
+
+    // Cohort LTV accumulation curve (revenue companion to q160's
+    // retention COUNTS): per signup-week cohort, cumulative purchase
+    // revenue by week offset and revenue-per-cohort-user — one
+    // (user → cohort) reduction, one purchase equi-join, then windows
+    // over the cohorts × offsets DOMAIN table.
+    GraftQuery(
+      "q234_ltv_curve",
+      """WITH s AS (
+        |  SELECT user_id,
+        |    MIN(epoch_us(ts) // 604800000000) AS ws
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |coh AS (SELECT ws, COUNT(*) AS n_users FROM s GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, epoch_us(e.ts) // 604800000000 AS wk,
+        |    CAST(round(e.value*100) AS BIGINT) AS vc
+        |  FROM events e WHERE e.event_type = 'purchase'),
+        |r AS (
+        |  SELECT s.ws, p.wk - s.ws AS off, SUM(p.vc) AS rev
+        |  FROM p JOIN s ON s.user_id = p.user_id
+        |  WHERE p.wk >= s.ws GROUP BY 1, 2),
+        |c AS (
+        |  SELECT ws, off, rev,
+        |    SUM(rev) OVER (PARTITION BY ws ORDER BY off) AS cum_rev
+        |  FROM r)
+        |SELECT CAST(c.ws AS BIGINT) AS cohort_week,
+        |  CAST(c.off AS BIGINT) AS week_offset,
+        |  CAST(coh.n_users AS BIGINT) AS n_users,
+        |  CAST(c.rev AS BIGINT) AS rev_c,
+        |  CAST(c.cum_rev AS BIGINT) AS cum_rev_c,
+        |  CAST(c.cum_rev * 1000 // coh.n_users AS BIGINT)
+        |    AS ltv_per_user_milli
+        |FROM c JOIN coh ON coh.ws = c.ws
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val e = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type",
+          div(unix_micros($"ts"), lit(604800000000L)).as("wk"),
+          round($"value" * 100, 0).cast("long").as("vc"))
+        .localCheckpoint() // signup + purchase branches
+      val su = e.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"wk").as("ws"))
+      val coh = su.groupBy($"ws").agg(count(lit(1)).as("n_users"))
+      val r = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"wk", $"vc")
+        .join(su, Seq("user_id"))
+        .where($"wk" >= $"ws")
+        .groupBy($"ws", ($"wk" - $"ws").as("off"))
+        .agg(sum($"vc").as("rev"))
+      val wCum = Window.partitionBy($"ws").orderBy($"off")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      r.withColumn("cum_rev", sum($"rev").over(wCum))
+        .join(coh, Seq("ws"))
+        .select($"ws".as("cohort_week"), $"off".as("week_offset"),
+          $"n_users", $"rev".as("rev_c"), $"cum_rev".as("cum_rev_c"),
+          div($"cum_rev" * 1000L, $"n_users").as("ltv_per_user_milli"))
+        .orderBy($"cohort_week", $"week_offset")
     })
 }
