@@ -2327,6 +2327,101 @@ object AnalyticsQueries {
               min($"ng") * (min($"n") - min($"ng")))).as("ks_ppm"),
           min(when($"ds" === $"mds", $"v")).as("v_at_max"))
         .orderBy($"lang")
+    },
+
+    // Decision-theoretic threshold selection: the score threshold
+    // maximizing expected profit 5·tp − 1·fp (value-weighted confusion
+    // costs) over the q179/q192 cumulative histogram walk — the step
+    // AFTER the curves: curves describe, this DECIDES. argmax with a
+    // deterministic tiebreak (highest threshold attaining the max);
+    // everything over the distinct-score domain.
+    GraftQuery(
+      "q235_threshold_opt",
+      """WITH h AS (
+        |  SELECT n_chars AS score,
+        |    COUNT(*) FILTER (lang = 'en') AS pos,
+        |    COUNT(*) FILTER (lang <> 'en') AS neg
+        |  FROM documents GROUP BY 1),
+        |pts AS (
+        |  SELECT score,
+        |    SUM(pos) OVER (ORDER BY score DESC) AS tp,
+        |    SUM(neg) OVER (ORDER BY score DESC) AS fp
+        |  FROM h),
+        |scored AS (
+        |  SELECT score, tp, fp, 5*tp - fp AS profit FROM pts),
+        |mx AS (SELECT MAX(profit) AS mp FROM scored)
+        |SELECT CAST(MAX(CASE WHEN profit = mx.mp THEN score END)
+        |    AS BIGINT) AS best_threshold,
+        |  CAST(MIN(mx.mp) AS BIGINT) AS best_profit,
+        |  CAST(MAX(CASE WHEN profit = mx.mp THEN tp END) AS BIGINT)
+        |    AS tp_at_best,
+        |  CAST(MAX(CASE WHEN profit = mx.mp THEN fp END) AS BIGINT)
+        |    AS fp_at_best
+        |FROM scored CROSS JOIN mx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val h = Tables.load(s, dir, "documents")
+        .groupBy($"n_chars".as("score"))
+        .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("pos"),
+          sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("neg"))
+      val wDesc = Window.orderBy($"score".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = h
+        .withColumn("tp", sum($"pos").over(wDesc))
+        .withColumn("fp", sum($"neg").over(wDesc))
+        .withColumn("profit", lit(5L) * $"tp" - $"fp")
+      val mx = scored.agg(max($"profit").as("mp"))
+      scored.crossJoin(broadcast(mx))
+        .agg(max(when($"profit" === $"mp", $"score"))
+            .as("best_threshold"),
+          min($"mp").as("best_profit"),
+          max(when($"profit" === $"mp", $"tp")).as("tp_at_best"),
+          max(when($"profit" === $"mp", $"fp")).as("fp_at_best"))
+    },
+
+    // Mean reciprocal rank (search-eval companion to q191's NDCG):
+    // per source, the first relevant doc's rank in the n_chars-desc
+    // ordering → rr_ppm = 1e6 div rank; plus the corpus MRR as an
+    // in-plan 1-row scalar. Rank windows per group, ties pinned.
+    GraftQuery(
+      "q238_mrr",
+      """WITH r AS (
+        |  SELECT source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk,
+        |    lang = 'en' AS rel
+        |  FROM documents),
+        |fr AS (
+        |  SELECT source, MIN(CASE WHEN rel THEN rk END) AS first_rel
+        |  FROM r GROUP BY 1),
+        |rr AS (
+        |  SELECT source, first_rel,
+        |    CASE WHEN first_rel IS NOT NULL
+        |      THEN 1000000 // first_rel END AS rr_ppm
+        |  FROM fr),
+        |m AS (
+        |  SELECT CAST(SUM(COALESCE(rr_ppm, 0)) // COUNT(*) AS BIGINT)
+        |    AS mrr_ppm
+        |  FROM rr)
+        |SELECT rr.source, CAST(rr.first_rel AS BIGINT) AS first_rel,
+        |  CAST(rr.rr_ppm AS BIGINT) AS rr_ppm, m.mrr_ppm
+        |FROM rr CROSS JOIN m ORDER BY rr.source""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val w = Window.partitionBy($"source")
+        .orderBy($"n_chars".desc, $"doc_id")
+      val fr = Tables.load(s, dir, "documents")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy($"source")
+        .agg(min(when($"lang" === "en", $"rk")).as("first_rel"))
+        .withColumn("rr_ppm",
+          when($"first_rel".isNotNull, div(lit(1000000L), $"first_rel")))
+      val m = fr.agg(
+        div(sum(coalesce($"rr_ppm", lit(0L))), count(lit(1)))
+          .as("mrr_ppm"))
+      fr.crossJoin(broadcast(m))
+        .select($"source", $"first_rel", $"rr_ppm", $"mrr_ppm")
+        .orderBy($"source")
     })
 }
 

@@ -1065,6 +1065,41 @@ object RelationalQueries {
           $"size" === $"best_here")
         .select($"p_partkey", $"price_c", $"size")
         .orderBy($"price_c", $"p_partkey")
+    },
+
+    // Incremental JOIN-view maintenance (ΔV = ΔA ⋈ B for an
+    // append-only fact): the denormalized order-customer view is
+    // materialized for the base orders, then a late-arriving order
+    // delta joins the dimension ALONE and unions in — |Δ| join cost
+    // per refresh, never a re-join of the base (the materialized-view
+    // law next to q89's rollup merge and q115's incremental CC). The
+    // oracle computes the FULL join from scratch: incremental ≡
+    // recomputed is exactly the gate.
+    GraftQuery(
+      "q237_incremental_join",
+      """SELECT c.c_mktsegment, o.o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o.o_totalprice*100) AS BIGINT))
+        |    AS BIGINT) AS revenue_c
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val customer = t(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment")
+      val orders = t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+          cents($"o_totalprice").as("vc"))
+      def joined(o: org.apache.spark.sql.DataFrame) =
+        o.join(customer, $"c_custkey" === $"o_custkey")
+          .select($"c_mktsegment", $"o_orderstatus", $"vc")
+      // the materialized base view — checkpointed so the incremental
+      // path demonstrably does NOT re-execute the base join
+      val baseView = joined(orders.where($"o_orderkey" % 5L =!= 0L))
+        .localCheckpoint()
+      val delta = orders.where($"o_orderkey" % 5L === 0L)
+      baseView.unionByName(joined(delta))
+        .groupBy($"c_mktsegment", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum($"vc").as("revenue_c"))
+        .orderBy($"c_mktsegment", $"o_orderstatus")
     })
 }
 

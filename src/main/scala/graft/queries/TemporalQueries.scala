@@ -1441,5 +1441,50 @@ object TemporalQueries {
           $"n_users", $"rev".as("rev_c"), $"cum_rev".as("cum_rev_c"),
           div($"cum_rev" * 1000L, $"n_users").as("ltv_per_user_milli"))
         .orderBy($"cohort_week", $"week_offset")
+    },
+
+    // Positional event-pattern matching (MATCH_RECOGNIZE-lite): "a
+    // view followed by a purchase within the next 3 EVENTS" per user —
+    // by position, not time (the q159 funnel is the time-window form).
+    // Positions from one per-user rank window; the pattern is an
+    // EQUI-join on (user, pos + offset) with offsets 1..3 exploded
+    // (the q170/q174 position-join shape — never an inequality join).
+    GraftQuery(
+      "q236_event_pattern",
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pos
+        |  FROM events),
+        |m AS (
+        |  SELECT a.user_id, a.pos AS view_pos,
+        |    b.pos - a.pos AS gap
+        |  FROM p a, UNNEST(generate_series(1, 3)) AS u(j)
+        |  JOIN p b ON b.user_id = a.user_id AND b.pos = a.pos + u.j
+        |  WHERE a.event_type = 'view' AND b.event_type = 'purchase')
+        |SELECT user_id, COUNT(*) AS n_patterns,
+        |  CAST(MIN(view_pos) AS BIGINT) AS first_view_pos,
+        |  CAST(SUM(gap) AS BIGINT) AS gap_sum
+        |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wp = Window.partitionBy($"user_id")
+        .orderBy($"ts_us", $"event_id")
+      val p = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type",
+          unix_micros($"ts").as("ts_us"), $"event_id")
+        .withColumn("pos", row_number().over(wp).cast("long"))
+        .localCheckpoint() // both pattern sides
+      val a = p.where($"event_type" === "view")
+        .select($"user_id", $"pos".as("view_pos"),
+          explode(sequence(lit(1L), lit(3L))).as("j"))
+        .withColumn("bpos", $"view_pos" + $"j")
+      val b = p.where($"event_type" === "purchase")
+        .select($"user_id", $"pos".as("bpos"))
+      a.join(b, Seq("user_id", "bpos"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_patterns"),
+          min($"view_pos").as("first_view_pos"),
+          sum($"j").as("gap_sum"))
+        .orderBy($"user_id")
     })
 }

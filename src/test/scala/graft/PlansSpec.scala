@@ -369,7 +369,11 @@ class PlansSpec extends SparkTestBase {
         "q228_quantile_matching",
         // q233's spine is a broadcast cross of two DOMAIN-sized dims
         // (langs × distinct values — q203's sanction argument)
-        "q233_grouped_ks")
+        "q233_grouped_ks",
+        // q235 crosses the score histogram with its ONE-row max-profit
+        // aggregate; q238 crosses the per-source table with the
+        // ONE-row MRR aggregate (q96 scalar pattern)
+        "q235_threshold_opt", "q238_mrr")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
