@@ -325,6 +325,75 @@ object GraphOps {
     ranks.select(col("id"), col("r"))
   }
 
+  /** WEIGHTED PageRank: rank flows along each edge in proportion to
+    * its positive integer weight's share of the source's total
+    * outgoing weight — `transfer = (r·w) div wsum` instead of
+    * [[pageRank]]'s uniform `r div deg`; everything else is the same
+    * audited integer loop (one checkpoint action per round, dangling
+    * mass as an in-plan broadcast 1-row scalar, BIGINT `div` end to
+    * end, fixed rounds ⇒ fixed-unroll SQL oracles replay it
+    * bit-for-bit). Parallel edges weight-combine before the loop.
+    *
+    * Overflow contract: r·w must stay under 2^63 — with rank bounded
+    * by `mass`, keep mass · max(weight) < 9.2e18 (the default 1e12
+    * mass allows weights to ~9e6; rescale weights upstream beyond
+    * that — only their RATIOS per source matter).
+    */
+  def weightedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      iters: Int, dampingPpm: Long = 850000L,
+      mass: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0 && dampingPpm >= 0 && dampingPpm <= 1000000L)
+    require(mass > 0 && mass <= Long.MaxValue / 2000000L,
+      s"mass=$mass out of range (see pageRank)")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("w") > 0L)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("r", lit(0L))
+    val baseCase =
+      s"CAST(${((1000000L - dampingPpm) * (mass / n)) / 1000000L} " +
+        "AS BIGINT)"
+    val eW = e.join(outW, Seq("src")).localCheckpoint()
+    val flagged = nodes
+      .join(outW.select(col("src").as("id"), lit(false).as("__dg")),
+        Seq("id"), "left_outer")
+      .withColumn("__dg", coalesce(col("__dg"), lit(true)))
+    var ranks = flagged
+      .select(col("id"), lit(mass / n).as("r"), col("__dg"))
+      .localCheckpoint()
+    var iter = 0
+    while (iter < iters) {
+      val dang = ranks.filter(col("__dg"))
+        .agg(coalesce(sum(col("r")), lit(0L)).as("__dang"))
+      val inSums = eW
+        .join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
+        .withColumn("c", expr("(r * w) div wsum"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("c")).as("in_sum"))
+      val prev = ranks
+      ranks = prev.select(col("id"), col("__dg"))
+        .join(inSums, Seq("id"), "left_outer")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          expr(s"$baseCase + ($dampingPpm * (coalesce(in_sum, " +
+              s"CAST(0 AS BIGINT)) + __dang div $n)) div 1000000")
+            .as("r"),
+          col("__dg"))
+        .localCheckpoint()
+      prev.unpersist()
+      iter += 1
+    }
+    ranks.select(col("id"), col("r"))
+  }
+
   /** INCREMENTAL connected components: merge a batch of NEW edges into
     * an existing (id, component) labeling without touching the old
     * edge set — the daily-increment companion to

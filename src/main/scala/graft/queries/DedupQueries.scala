@@ -674,6 +674,26 @@ object DedupQueries {
         .orderBy($"cost")
     },
 
+    // WEIGHTED PageRank (GraphOps.weightedPageRank): rank flows in
+    // proportion to each edge's share of its source's outgoing weight
+    // (total traded quantity on the cust→supp edge) — q106's audited
+    // integer loop with (r·w) div wsum transfer; 2 fixed rounds so the
+    // oracle unrolls it bit-for-bit; top-25 by rank with a total order.
+    GraftQuery("q239_weighted_pagerank", DedupSql.WeightedPr2) {
+      (s, dir) =>
+      import s.implicits._
+      val edges = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).cast("long").as("a"),
+          ($"l_suppkey" * 2 + 1).cast("long").as("b"),
+          $"l_quantity".cast("long").as("w"))
+      graft.ops.GraphOps.weightedPageRank(edges, "a", "b", "w",
+          iters = 2)
+        .orderBy($"r".desc, $"id")
+        .limit(25)
+    },
+
     // Graph neighborhood features (GNN/quality-propagation feature
     // prep): per node — degree, neighbor-degree sum/max, and mean
     // neighbor degree in milli. Degrees fold from the distinct edge
@@ -910,5 +930,47 @@ private object DedupSql {
        |SELECT cost, COUNT(*) AS n_nodes,
        |  CAST(SUM(id) AS BIGINT) AS id_sum
        |FROM d4 GROUP BY cost ORDER BY cost""".stripMargin
+  }
+
+  /** q239: 2 unrolled weighted-PageRank rounds — (r·w) div wsum
+    * transfer, dangling mass back uniformly, the exact integer steps
+    * of `GraphOps.weightedPageRank` (base term computed from the
+    * runtime node count with the same division order).
+    */
+  val WeightedPr2: String = {
+    val mass = 1000000000000L
+    val rounds = (1 to 2).map { k =>
+      val p = s"r${k - 1}"
+      s"""dg${k - 1} AS (
+         |  SELECT COALESCE(SUM(r), 0) AS dang FROM $p WHERE dg),
+         |i${k - 1} AS (
+         |  SELECT e0.b AS id, SUM((r.r * e0.w) // ow.wsum) AS s
+         |  FROM e0 JOIN ow USING (a) JOIN $p r ON r.id = e0.a
+         |  GROUP BY 1),
+         |r$k AS (
+         |  SELECT r.id,
+         |    CAST((150000 * ($mass // nn.n)) // 1000000
+         |      + (850000 * (COALESCE(i.s, 0) + d.dang // nn.n))
+         |        // 1000000 AS BIGINT) AS r,
+         |    r.dg
+         |  FROM $p r LEFT JOIN i${k - 1} i USING (id)
+         |  CROSS JOIN dg${k - 1} d CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT CAST(o_custkey * 2 AS BIGINT) AS a,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS b,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |ow AS (SELECT a, CAST(SUM(w) AS BIGINT) AS wsum
+       |       FROM e0 GROUP BY 1),
+       |nodes AS (SELECT a AS id FROM e0 UNION SELECT b FROM e0),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (
+       |  SELECT id, CAST($mass // nn.n AS BIGINT) AS r,
+       |    id NOT IN (SELECT a FROM ow) AS dg
+       |  FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT id, r FROM r2 ORDER BY r DESC, id LIMIT 25""".stripMargin
   }
 }

@@ -450,6 +450,27 @@ class GraphOpsSpec extends SparkTestBase {
       r._3 >= 0 && r._3 <= 1000000L))
   }
 
+  test("weightedPageRank: uniform weights reproduce unweighted pageRank " +
+       "bit-for-bit (floor((r·c)/(c·deg)) = floor(r/deg)); asymmetric " +
+       "weights shift rank toward the heavy edge") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    val edges = (0 until 200).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val uni = edges.map(e => (e._1, e._2, 7L)).toDF("a", "b", "w")
+    val got = GraphOps.weightedPageRank(uni, "a", "b", "w", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val ref = GraphOps.pageRank(edges.toDF("a", "b"), "a", "b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === ref)
+    // star: 1 -> {2, 3} with weight 9:1 — node 2 must outrank node 3
+    val star = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("a", "b", "w")
+    val r = GraphOps.weightedPageRank(star, "a", "b", "w", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r(2L) > r(3L))
+  }
+
   test("weightedSeedDistances: a cheap long path beats an expensive " +
        "short one within the hop budget but not beyond it; parallel " +
        "edges min-combine; Bellman-Ford referee on a random graph") {
