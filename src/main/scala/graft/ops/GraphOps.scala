@@ -325,6 +325,49 @@ object GraphOps {
     ranks.select(col("id"), col("r"))
   }
 
+  /** Time-respecting reachability (temporal BFS): a node is reached at
+    * time t if some edge (a, b, t) has t ≥ the time a was reached —
+    * paths must move forward in time (contact networks, contagion
+    * through trades; Holme & Saramäki 2012). Fixed-round frontier
+    * relaxation carrying the EARLIEST arrival time per node — the
+    * min-combine loop of [[weightedSeedDistances]] with the edge's own
+    * timestamp as the relaxed value and the t ≥ arrival(a) gate on the
+    * join. Seeds start at `startT`. Per round one key-partitioned join
+    * + min-combine; |E|-scaling shuffles, fixed rounds ⇒
+    * engine-replayable.
+    */
+  def temporalReach(
+      edges: DataFrame, srcCol: String, dstCol: String, tCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int,
+      startT: Long = 0L): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(tCol).cast("long").as("t"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b"),
+        col(tCol).cast("long").as("t")))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .groupBy(col("a"), col("b"), col("t")).agg(count(lit(1)).as("__d"))
+      .drop("__d")
+      .localCheckpoint()
+    var reach = seeds.select(col(seedCol).as("id")).distinct()
+      .withColumn("arr", lit(startT)).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val msgs = e
+        .join(reach.select(col("id").as("a"), col("arr")), Seq("a"))
+        .where(col("t") >= col("arr"))
+        .select(col("b").as("id"), col("t").as("arr"))
+      val next = reach.union(msgs)
+        .groupBy(col("id")).agg(min(col("arr")).as("arr"))
+        .localCheckpoint()
+      reach.unpersist()
+      reach = next
+      r += 1
+    }
+    reach
+  }
+
   /** WEIGHTED PageRank: rank flows along each edge in proportion to
     * its positive integer weight's share of the source's total
     * outgoing weight — `transfer = (r·w) div wsum` instead of

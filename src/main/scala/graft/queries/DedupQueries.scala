@@ -674,6 +674,33 @@ object DedupQueries {
         .orderBy($"cost")
     },
 
+    // Time-respecting reachability (GraphOps.temporalReach): contagion
+    // through the trade graph — each hop's order date must be ≥ the
+    // time the previous node was reached (Holme & Saramäki temporal
+    // paths; a static BFS overcounts by ignoring edge ordering). 3
+    // fixed relaxation rounds carrying each node's EARLIEST arrival
+    // day from the nation-3 seed set; arrival-day rollup.
+    GraftQuery("q241_temporal_reach", DedupSql.TemporalReach3) {
+      (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val edges = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).cast("long").as("a"),
+          ($"l_suppkey" * 2 + 1).cast("long").as("b"),
+          div(unix_micros($"o_orderdate".cast("timestamp")),
+            lit(86400000000L)).as("t"))
+      val seeds = Tables.load(s, dir, "customer")
+        .filter($"c_nationkey" === 3)
+        .select(($"c_custkey" * 2).cast("long").as("s"))
+      graft.ops.GraphOps.temporalReach(
+          edges, "a", "b", "t", seeds, "s", rounds = 3)
+        .groupBy($"arr")
+        .agg(count(lit(1)).as("n_nodes"), sum($"id").as("id_sum"))
+        .orderBy($"arr")
+    },
+
     // WEIGHTED PageRank (GraphOps.weightedPageRank): rank flows in
     // proportion to each edge's share of its source's outgoing weight
     // (total traded quantity on the cust→supp edge) — q106's audited
@@ -972,5 +999,39 @@ private object DedupSql {
        |  FROM nodes CROSS JOIN nn),
        |$rounds
        |SELECT id, r FROM r2 ORDER BY r DESC, id LIMIT 25""".stripMargin
+  }
+
+  /** q241: 3 unrolled time-respecting relaxation rounds — each hop's
+    * edge time must be ≥ the arrival time of its source; min-arrival
+    * combine per node (`GraphOps.temporalReach`'s exact steps).
+    */
+  val TemporalReach3: String = {
+    val rounds = (1 to 3).map { k =>
+      val p = s"r${k - 1}"
+      s"""r$k AS (
+         |  SELECT id, MIN(arr) AS arr FROM (
+         |    SELECT id, arr FROM $p
+         |    UNION ALL
+         |    SELECT e.b AS id, e.t AS arr
+         |    FROM e JOIN $p p ON e.a = p.id AND e.t >= p.arr)
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS a,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS b,
+       |    epoch_us(o_orderdate) // 86400000000 AS t
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (
+       |  SELECT DISTINCT a, b, t FROM (
+       |    SELECT a, b, t FROM e0
+       |    UNION ALL SELECT b AS a, a AS b, t FROM e0)),
+       |r0 AS (
+       |  SELECT DISTINCT CAST(c_custkey * 2 AS BIGINT) AS id,
+       |    CAST(0 AS BIGINT) AS arr
+       |  FROM customer WHERE c_nationkey = 3),
+       |$rounds
+       |SELECT CAST(arr AS BIGINT) AS arr, COUNT(*) AS n_nodes,
+       |  CAST(SUM(id) AS BIGINT) AS id_sum
+       |FROM r3 GROUP BY arr ORDER BY arr""".stripMargin
   }
 }

@@ -1100,6 +1100,82 @@ object RelationalQueries {
         .groupBy($"c_mktsegment", $"o_orderstatus")
         .agg(count(lit(1)).as("n"), sum($"vc").as("revenue_c"))
         .orderBy($"c_mktsegment", $"o_orderstatus")
+    },
+
+    // Revenue-concentration readout: exact Gini coefficient over the
+    // per-customer revenue VALUE HISTOGRAM (2·Σ rank·x expands to
+    // Σ v·c·(2·cum_before + c + 1) per distinct value — no corpus
+    // row_number; the q163 histogram contract), Herfindahl index from
+    // ppm shares, and the top-10% revenue share from the rank-trim
+    // interval arithmetic of q220. One row.
+    GraftQuery(
+      "q240_concentration",
+      """WITH m AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT rev AS v, COUNT(*) AS c FROM m GROUP BY 1),
+        |w AS (
+        |  SELECT v, c,
+        |    SUM(c) OVER (ORDER BY v) - c AS cumb,
+        |    SUM(c) OVER () AS n, SUM(v*c) OVER () AS sx
+        |  FROM h),
+        |g AS (
+        |  SELECT MIN(n) AS n, MIN(sx) AS sx,
+        |    CAST(SUM(v * c * (2*cumb + c + 1)) AS BIGINT) AS s2,
+        |    CAST(SUM(CASE WHEN cumb + c > n - (n // 10)
+        |      THEN v * (cumb + c - GREATEST(cumb, n - (n // 10)))
+        |      ELSE 0 END) AS BIGINT) AS top_rev
+        |  FROM w),
+        |hh AS (
+        |  SELECT CAST(SUM(((m.rev * 1000000 // g.sx)
+        |      * (m.rev * 1000000 // g.sx)) // 1000000) AS BIGINT)
+        |    AS hhi_ppm
+        |  FROM m CROSS JOIN g)
+        |SELECT CAST(g.n AS BIGINT) AS n_customers,
+        |  CAST(g.sx AS BIGINT) AS total_rev_c,
+        |  CASE WHEN g.n * g.sx // 1000000 > 0 THEN
+        |    CAST((g.s2 - (g.n + 1) * g.sx)
+        |      // (g.n * g.sx // 1000000) AS BIGINT)
+        |  END AS gini_ppm,
+        |  hh.hhi_ppm,
+        |  CAST(g.top_rev * 1000000 // g.sx AS BIGINT)
+        |    AS top_decile_share_ppm
+        |FROM g CROSS JOIN hh""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val div = graft.functions.GraftColumns.longDiv _
+      val m = t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum(cents($"o_totalprice")).as("rev"))
+        .localCheckpoint() // histogram + HHI share scan
+      val wCum = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val w = m.groupBy($"rev".as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cumb", sum($"c").over(wCum) - $"c")
+        .withColumn("n", sum($"c").over(wAll))
+        .withColumn("sx", sum($"v" * $"c").over(wAll))
+      val cut = $"n" - div($"n", lit(10L))
+      val g = w.agg(min($"n").as("n"), min($"sx").as("sx"),
+        sum($"v" * $"c" * (lit(2L) * $"cumb" + $"c" + 1L)).as("s2"),
+        sum(when($"cumb" + $"c" > cut,
+          $"v" * ($"cumb" + $"c" - greatest($"cumb", cut)))
+          .otherwise(0L)).as("top_rev"))
+      val hh = m.crossJoin(broadcast(g))
+        .agg(sum(div(
+          div($"rev" * 1000000L, $"sx") * div($"rev" * 1000000L, $"sx"),
+          lit(1000000L))).as("hhi_ppm"))
+      g.crossJoin(broadcast(hh))
+        .select($"n".as("n_customers"), $"sx".as("total_rev_c"),
+          // (s2 − (n+1)sx)·1e6 overflows Long at realistic revenue
+          // totals — scale the denominator down instead (q205 form)
+          when(div($"n" * $"sx", lit(1000000L)) > 0L,
+            div($"s2" - ($"n" + 1L) * $"sx",
+              div($"n" * $"sx", lit(1000000L)))).as("gini_ppm"),
+          $"hhi_ppm",
+          div($"top_rev" * 1000000L, $"sx").as("top_decile_share_ppm"))
     })
 }
 
