@@ -325,6 +325,45 @@ object GraphOps {
     ranks.select(col("id"), col("r"))
   }
 
+  /** Threshold cascade (Watts 2002 / bootstrap percolation): a node
+    * ACTIVATES when at least `k` distinct neighbors are active —
+    * complex contagion, where [[seedDistances]]' BFS is the k = 1
+    * simple case. Fixed synchronous rounds; returns (id, rnd) with
+    * rnd the FIRST round each node activated (seeds at 0). Per round:
+    * one edge-against-active join + a distinct-count per candidate +
+    * an anti-join against the already-active set — all key-partitioned,
+    * |E|-scaling.
+    */
+  def thresholdCascade(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct().localCheckpoint()
+    var active = seeds.select(col(seedCol).as("id")).distinct()
+      .withColumn("rnd", lit(0L)).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val newly = e
+        .join(active.select(col("id").as("a")), Seq("a"))
+        .groupBy(col("b").as("id"))
+        .agg(countDistinct(col("a")).as("__na"))
+        .where(col("__na") >= k.toLong)
+        .join(active.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(r + 1L).as("rnd"))
+      val next = active.union(newly).localCheckpoint()
+      active.unpersist()
+      active = next
+      r += 1
+    }
+    active
+  }
+
   /** Time-respecting reachability (temporal BFS): a node is reached at
     * time t if some edge (a, b, t) has t ≥ the time a was reached —
     * paths must move forward in time (contact networks, contagion

@@ -674,6 +674,97 @@ object DedupQueries {
         .orderBy($"cost")
     },
 
+    // Threshold cascade (GraphOps.thresholdCascade, Watts 2002):
+    // complex contagion — a node activates only when ≥ 2 DISTINCT
+    // neighbors are active (q138's BFS is the k = 1 simple case); 3
+    // synchronous rounds from the nation-3 seeds, first-activation
+    // round per node, rollup by round.
+    GraftQuery("q242_cascade", DedupSql.Cascade3) { (s, dir) =>
+      import s.implicits._
+      val edges = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).cast("long").as("a"),
+          ($"l_suppkey" * 2 + 1).cast("long").as("b"))
+        .distinct()
+      val seeds = Tables.load(s, dir, "customer")
+        .filter($"c_nationkey" === 3)
+        .select(($"c_custkey" * 2).cast("long").as("s"))
+      graft.ops.GraphOps.thresholdCascade(
+          edges, "a", "b", seeds, "s", k = 2, rounds = 3)
+        .groupBy($"rnd")
+        .agg(count(lit(1)).as("n_nodes"), sum($"id").as("id_sum"))
+        .orderBy($"rnd")
+    },
+
+    // Degree assortativity (does the trade graph wire hubs to hubs?):
+    // Pearson correlation of endpoint degrees over the DIRECTED stub
+    // list — one degree fold + one edge equi-join + the q204
+    // sufficient-stats reduction (cov exact integer milli, r² via the
+    // scaled division with sign). One row.
+    GraftQuery(
+      "q243_assortativity",
+      """WITH e0 AS (
+        |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS a,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS b
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |deg AS (SELECT a AS id, COUNT(*) AS d FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT da.d AS x, db.d AS y
+        |  FROM e JOIN deg da ON da.id = e.a
+        |  JOIN deg db ON db.id = e.b),
+        |s AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+        |  FROM p)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST((n*sxy - sx*sy) * 1000 // (n*n) AS BIGINT) AS cov_milli,
+        |  CASE WHEN ((n*sxx - sx*sx) // 100000000)
+        |        * ((n*syy - sy*sy) // 100000000) // 1000000 > 0 THEN
+        |    CAST(CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END
+        |      * (((n*sxy - sx*sy) // 100000000)
+        |         * ((n*sxy - sx*sy) // 100000000))
+        |      // (((n*sxx - sx*sx) // 100000000)
+        |         * ((n*syy - sy*sy) // 100000000) // 1000000)
+        |      AS BIGINT)
+        |  END AS r2_signed_ppm
+        |FROM s""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val e0 = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).cast("long").as("a"),
+          ($"l_suppkey" * 2 + 1).cast("long").as("b"))
+        .distinct()
+      val e = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+        .localCheckpoint() // degree fold + stub probe
+      val deg = e.groupBy($"a".as("id")).agg(count(lit(1)).as("d"))
+      val st = e
+        .join(deg.select($"id".as("a"), $"d".as("x")), Seq("a"))
+        .join(deg.select($"id".as("b"), $"d".as("y")), Seq("b"))
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      val num = $"n" * $"sxy" - $"sx" * $"sy"
+      val vx = $"n" * $"sxx" - $"sx" * $"sx"
+      val vy = $"n" * $"syy" - $"sy" * $"sy"
+      // degree sums dwarf q204's daily counts: scale by 1e8 so the
+      // squared numerator stays inside Long (identical truncation on
+      // both engines; r2 = num^2*1e6/(vx*vy) up to the scaling)
+      val denScaled = div(
+        div(vx, lit(100000000L)) * div(vy, lit(100000000L)),
+        lit(1000000L))
+      st.select($"n",
+        div(num * 1000L, $"n" * $"n").as("cov_milli"),
+        when(denScaled > 0L,
+          (when(num < 0L, -1L).otherwise(1L)) *
+            div(div(num, lit(100000000L)) * div(num, lit(100000000L)),
+              denScaled))
+          .as("r2_signed_ppm"))
+    },
+
     // Time-respecting reachability (GraphOps.temporalReach): contagion
     // through the trade graph — each hop's order date must be ≥ the
     // time the previous node was reached (Holme & Saramäki temporal
@@ -999,6 +1090,38 @@ private object DedupSql {
        |  FROM nodes CROSS JOIN nn),
        |$rounds
        |SELECT id, r FROM r2 ORDER BY r DESC, id LIMIT 25""".stripMargin
+  }
+
+  /** q242: 3 unrolled threshold-cascade rounds — a node joins when ≥ 2
+    * DISTINCT neighbors are already active, tagged with its first
+    * activation round (`GraphOps.thresholdCascade`'s exact steps).
+    */
+  val Cascade3: String = {
+    val rounds = (1 to 3).map { k =>
+      val p = s"a${k - 1}"
+      s"""a$k AS (
+         |  SELECT id, rnd FROM $p
+         |  UNION ALL
+         |  SELECT t.id, CAST($k AS BIGINT) AS rnd FROM (
+         |    SELECT e.b AS id, COUNT(DISTINCT e.a) AS na
+         |    FROM e JOIN $p p ON e.a = p.id
+         |    GROUP BY e.b) t
+         |  WHERE t.na >= 2
+         |    AND t.id NOT IN (SELECT id FROM $p))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS a,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS b
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+       |a0 AS (
+       |  SELECT DISTINCT CAST(c_custkey * 2 AS BIGINT) AS id,
+       |    CAST(0 AS BIGINT) AS rnd
+       |  FROM customer WHERE c_nationkey = 3),
+       |$rounds
+       |SELECT CAST(rnd AS BIGINT) AS rnd, COUNT(*) AS n_nodes,
+       |  CAST(SUM(id) AS BIGINT) AS id_sum
+       |FROM a3 GROUP BY rnd ORDER BY rnd""".stripMargin
   }
 
   /** q241: 3 unrolled time-respecting relaxation rounds — each hop's

@@ -450,6 +450,32 @@ class GraphOpsSpec extends SparkTestBase {
       r._3 >= 0 && r._3 <= 1000000L))
   }
 
+  test("thresholdCascade: one active neighbor never fires a k=2 node, " +
+       "two do; rounds cap the spread; k=1 reproduces BFS reachability") {
+    // seeds {1, 2}; node 3 sees both (fires round 1); node 4 sees only
+    // 3 (one neighbor — never fires at k=2); node 5 sees 3 and 1
+    // (fires round 2, after 3 activates)
+    val g = Seq((1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L), (1L, 5L))
+      .toDF("a", "b")
+    val seeds = Seq(1L, 2L).toDF("s")
+    val got = GraphOps.thresholdCascade(g, "a", "b", seeds, "s",
+        k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 5L -> 2L))
+    // rounds = 1 stops before node 5
+    val r1 = GraphOps.thresholdCascade(g, "a", "b", seeds, "s",
+        k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    // k = 1 is plain BFS reachability (rounds = hop bound)
+    val bfs = GraphOps.thresholdCascade(g, "a", "b", seeds, "s",
+        k = 1, rounds = 4)
+      .as[(Long, Long)].collect().toMap.keySet
+    val ref = GraphOps.seedDistances(g, "a", "b", seeds, "s", 4)
+      .as[(Long, Long)].collect().toMap.keySet
+    assert(bfs === ref)
+  }
+
   test("weightedPageRank: uniform weights reproduce unweighted pageRank " +
        "bit-for-bit (floor((r·c)/(c·deg)) = floor(r/deg)); asymmetric " +
        "weights shift rank toward the heavy edge") {
