@@ -1281,6 +1281,48 @@ object CurationQueries {
         .orderBy($"lang", $"replica")
     },
 
+    // Per-user behavioral entropy (q177's information signal lifted
+    // from a per-row array to GROUPED counts): H_u = lg N_u −
+    // (Σ c·lg c) div N_u in Q20 bits over each user's event-type
+    // distribution — low entropy = a bot hammering one action, high =
+    // diverse engagement. One count reduction + per-row Q20 logs; the
+    // oracle runs one tagged-union log chain (q208 pattern).
+    GraftQuery(
+      "q244_user_entropy",
+      s"""WITH c AS (
+         |  SELECT user_id AS u, event_type AS t, COUNT(*) AS v
+         |  FROM events GROUP BY 1, 2),
+         |nu AS (SELECT u, CAST(SUM(v) AS BIGINT) AS n
+         |       FROM c GROUP BY 1),
+         |args AS (
+         |  SELECT 'c' AS which, u, t, v FROM c
+         |  UNION ALL SELECT 'n', u, '', n FROM nu),
+         |${DuckLog2Q20.ctes("which", "u", "t")},
+         |lg AS (SELECT which, u, t, p * 1048576 + acc AS l FROM l20),
+         |s AS (
+         |  SELECT c.u, SUM(c.v * lc.l) AS cs
+         |  FROM c JOIN lg lc ON lc.which = 'c' AND lc.u = c.u
+         |    AND lc.t = c.t
+         |  GROUP BY 1)
+         |SELECT nu.u AS user_id, nu.n AS n_events,
+         |  CAST(ln.l - (s.cs // nu.n) AS BIGINT) AS entropy_q20
+         |FROM nu JOIN s ON s.u = nu.u
+         |JOIN lg ln ON ln.which = 'n' AND ln.u = nu.u
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val lg = graft.functions.GraftColumns.binLog2Q20 _
+      val c = Tables.load(s, dir, "events")
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("v"))
+      c.withColumn("cl", $"v" * lg($"v"))
+        .groupBy($"user_id")
+        .agg(sum($"v").as("n_events"), sum($"cl").as("cs"))
+        .select($"user_id", $"n_events",
+          (lg($"n_events") - div($"cs", $"n_events")).as("entropy_q20"))
+        .orderBy($"user_id")
+    },
+
     // Mutual information MI(event_type; day-of-week) in Q20 bits — the
     // feature-relevance screen next to q178's KL and q193's χ²:
     // contribution c_ij·(lg c_ij + lg N − lg r_i − lg c_j), each lg the

@@ -1041,5 +1041,33 @@ object TextQueries {
         .select($"src_a", $"src_b", $"n_a", $"shared",
           div($"shared" * 1000000L, $"n_a").as("rate_ppm"))
         .orderBy($"src_a", $"src_b")
+    },
+
+    // Type-token ratio (lexical diversity, the classic companion to
+    // q177's entropy — low TTR = repetitive/templated text): a pure
+    // per-row expression in the scan stage, zero shuffles.
+    GraftQuery(
+      "q245_ttr",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |      AS tk
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
+        |  CASE WHEN len(tk) > 0 THEN
+        |    CAST(len(list_distinct(tk)) * 1000000 // len(tk) AS BIGINT)
+        |  END AS ttr_ppm
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          filter(TextOps.tokenize($"text"), x => x =!= "").as("tk"))
+        .select($"doc_id", size($"tk").cast("long").as("n_tok"),
+          size(array_distinct($"tk")).cast("long").as("n_types"))
+        .withColumn("ttr_ppm",
+          when($"n_tok" > 0L, div($"n_types" * 1000000L, $"n_tok")))
+        .orderBy($"doc_id")
     })
 }
