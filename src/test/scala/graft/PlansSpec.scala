@@ -373,7 +373,10 @@ class PlansSpec extends SparkTestBase {
         // q235 crosses the score histogram with its ONE-row max-profit
         // aggregate; q238 crosses the per-source table with the
         // ONE-row MRR aggregate (q96 scalar pattern)
-        "q235_threshold_opt", "q238_mrr")
+        "q235_threshold_opt", "q238_mrr",
+        // q240 crosses the revenue scan with its ONE-row Gini
+        // aggregates and the result with the ONE-row HHI aggregate
+        "q240_concentration")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
