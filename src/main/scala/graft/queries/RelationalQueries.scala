@@ -1176,6 +1176,42 @@ object RelationalQueries {
               div($"n" * $"sx", lit(1000000L)))).as("gini_ppm"),
           $"hhi_ppm",
           div($"top_rev" * 1000000L, $"sx").as("top_decile_share_ppm"))
+    },
+
+    // Deterministic argmax WITHOUT a join or window: max(struct(v, k))
+    // — the struct's lexicographic order makes "the key holding the
+    // max value, ties to the larger key" a plain map-side-combinable
+    // aggregate (built-in max_by's tie behavior is NONDETERMINISTIC —
+    // this idiom is the hash-stable form; the oracle replays it as a
+    // rank-1 window with the identical total order).
+    GraftQuery(
+      "q246_argmax",
+      """WITH c AS (
+        |  SELECT l_returnflag AS f, l_orderkey,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT f, l_orderkey, price_c,
+        |    row_number() OVER (PARTITION BY f
+        |      ORDER BY price_c DESC, l_orderkey DESC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY f) AS n
+        |  FROM c)
+        |SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  price_c AS top_price_c,
+        |  CAST(l_orderkey AS BIGINT) AS top_orderkey
+        |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_returnflag".as("f"), $"l_orderkey",
+          cents($"l_extendedprice").as("price_c"))
+        .groupBy($"f")
+        .agg(count(lit(1)).as("n"),
+          max(struct($"price_c", $"l_orderkey")).as("__m"))
+        .select($"f".as("l_returnflag"), $"n",
+          $"__m.price_c".as("top_price_c"),
+          $"__m.l_orderkey".cast("long").as("top_orderkey"))
+        .orderBy($"l_returnflag")
     })
 }
 
