@@ -1486,5 +1486,34 @@ object TemporalQueries {
           min($"view_pos").as("first_view_pos"),
           sum($"j").as("gap_sum"))
         .orderBy($"user_id")
+    },
+
+    // Weekday activity profile (the seasonality fingerprint q208's MI
+    // and q196's dow-residuals consume): per (type, day-of-week) the
+    // ppm share of that type's weekly activity — one groupBy to the
+    // |types|×7 domain plus a per-type window over it.
+    GraftQuery(
+      "q247_weekday_profile",
+      """WITH c AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY event_type)
+        |    AS BIGINT) AS share_ppm
+        |FROM c ORDER BY event_type, dow""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val w = Window.partitionBy($"event_type")
+      Tables.load(s, dir, "events")
+        .select($"event_type",
+          pmod(div(unix_micros($"ts"), lit(86400000000L)), lit(7L))
+            .as("dow"))
+        .groupBy($"event_type", $"dow").agg(count(lit(1)).as("n"))
+        .withColumn("share_ppm",
+          div($"n" * 1000000L, sum($"n").over(w)))
+        .orderBy($"event_type", $"dow")
     })
 }
