@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,18 +21,46 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    val results = ordered.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // A failing query is a loud per-query error record, never a fake
+    // timing (VERDICT r7 #3): timings and errors are disjoint keys.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = ordered.flatMap { case (name, fn) =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(3).mkString(" | "))
+          None
+        }
       }
-      name -> times.min
+      if (times.isEmpty) None else Some(name -> times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def qesc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => qesc(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => qesc(k) + ":" + qesc(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    // stdout is the driver contract, but the driver records only a 2 KB
+    // tail — also write the full line as a file artifact (mirrors
+    // Verify's _errors.json pattern) so per-query numbers for the whole
+    // suite survive machine-readable. Override path via env.
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "_bench.json")
+    Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"[bench] ${errors.size} queries FAILED: " + errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -22,6 +22,15 @@ object Tables {
     // the NTZ→TZ cast is instant-preserving and matches DuckDB's
     // epoch_us() on the same file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Read TIMESTAMP(isAdjustedToUTC=false) columns as session-TZ
+    // TimestampType AT THE SCAN instead of inferring TIMESTAMP_NTZ and
+    // casting after: a cast above the scan attribute blocks parquet
+    // filter pushdown, and the keyset CDC boundary predicate
+    // (cdc/Keyset.nextBatch) must prune row groups at scale. Under the
+    // pinned UTC session TZ the two readings are value-identical
+    // (PlansSpec asserts PushedFilters on a ts-range events scan;
+    // A0DriftSpec asserts value equivalence across encodings).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeTs(df) else df
   }
@@ -62,6 +71,11 @@ object Tables {
         // legacy nanos-as-long; integer DIV avoids double-precision loss
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType =>
+        // Robustness branch only: `load` disables NTZ inference so the
+        // scan already yields TimestampType (no cast above the scan
+        // attribute → parquet pushdown survives). A caller that read the
+        // file without that conf still normalizes correctly here, at the
+        // cost of pushdown through the cast.
         df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => df
       case other =>

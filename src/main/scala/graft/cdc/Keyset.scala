@@ -41,12 +41,33 @@ object Keyset {
       idCol: String,
       cursor: Cursor,
       limit: Int): (DataFrame, Cursor) = {
+    // Boundary predicate compares the ts ATTRIBUTE against TIMESTAMP
+    // literals — not unix_micros(ts) against longs. A function call over
+    // the attribute is never translated to a source filter, so the
+    // unix_micros form read every row group on every tick; the literal
+    // form reaches parquet PushedFilters (min/max row-group pruning) and
+    // a JDBC WHERE clause alike. The leading `ts >= cursor` conjunct is
+    // implied by the keyset Or but stated separately: when idCol is a
+    // DERIVED column (q149 pads event_id), the Or as a whole is
+    // untranslatable, while the redundant conjunct alone still prunes
+    // row groups. Ordering on timestamps is ordering on their micros, so
+    // batch contents and cursor advance are unchanged. (PlansSpec
+    // "keyset scan pushes the ts boundary" asserts the pushdown.)
+    // The synthetic Zero cursor (Long.MinValue micros) cannot appear as
+    // a timestamp literal — filter translation converts literals to
+    // java.sql.Timestamp and the Julian rebase overflows. Its boundary
+    // is vacuous anyway (everything qualifies), so skip the filter; real
+    // cursors always carry a representable data timestamp.
     val tsMicros = unix_micros(col(tsCol))
-    val batch = table
-      .filter(
-        (tsMicros === cursor.tsMicros && col(idCol) > cursor.lastId) ||
-          tsMicros > cursor.tsMicros)
-      .orderBy(tsMicros.asc, col(idCol).asc)
+    val curTs = timestamp_micros(lit(cursor.tsMicros))
+    val bounded =
+      if (cursor.tsMicros == Long.MinValue)
+        table.filter(col(tsCol).isNotNull) // boundary form also drops null ts
+      else table.filter(col(tsCol) >= curTs &&
+        ((col(tsCol) === curTs && col(idCol) > cursor.lastId) ||
+          col(tsCol) > curTs))
+    val batch = bounded
+      .orderBy(col(tsCol).asc, col(idCol).asc)
       .limit(limit)
     val last = batch
       .select(tsMicros.as("__ts"), col(idCol).as("__id"))

@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * Scale design: everything here runs over the score VALUE HISTOGRAM
   * (the q163/q168 pattern) — one map-side-combined aggregation reduces
   * the corpus to |distinct scores| rows, and the ordered cumulative
-  * walks that domain, never raw rows. A billion-document eval set with
-  * integer scores costs one shuffle to the histogram; if the score
-  * domain itself is huge (raw micros), equi-depth bucket the scores
-  * first (q171) — the curve is then exact per bucket boundary.
+  * walks that domain, never raw rows. The walk itself is a
+  * range-partitioned prefix sum ([[IdOps.prefixSums]]), NOT a global
+  * ordered window — so even an unbounded score domain (raw micros,
+  * growing with the corpus) never funnels through one reducer. The
+  * per-group variants partition by the group key instead.
   */
 object EvalOps {
 
@@ -42,13 +43,15 @@ object EvalOps {
       .agg(
         sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("neg"))
-    // ordered walk over DISTINCT scores (domain-sized, not corpus-sized;
-    // see object scaladoc for the huge-domain mitigation)
-    val wDesc = Window.orderBy(col("score").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pts = hist
-      .withColumn("tp", sum(col("pos")).over(wDesc))
-      .withColumn("fp", sum(col("neg")).over(wDesc))
+    // ordered walk over DISTINCT scores as a range-partitioned prefix
+    // sum (IdOps.prefixSums): exact, and parallel-reducer even when the
+    // score domain itself grows with the corpus (raw micros) — no
+    // global ordered window exists at any scale. Descending convention
+    // via the negated key.
+    val pts = IdOps.prefixSums(
+        hist.withColumn("__ns", -col("score")),
+        Seq("pos", "neg"), Seq("tp", "fp"), inclusive = true, "__ns")
+      .drop("__ns")
     val totals = hist.agg(
       coalesce(sum(col("pos")), lit(0L)).as("__p"),
       coalesce(sum(col("neg")), lit(0L)).as("__n"))
@@ -185,16 +188,17 @@ object EvalOps {
       .agg(
         sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("neg"))
-    val wDesc = Window.orderBy(col("score").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = hist.agg(
       coalesce(sum(col("pos")), lit(0L)).as("__p"))
     def safeDiv(num: org.apache.spark.sql.Column,
         den: org.apache.spark.sql.Column) =
       when(den > 0L, div(num, den))
-    hist
-      .withColumn("tp", sum(col("pos")).over(wDesc))
-      .withColumn("fp", sum(col("neg")).over(wDesc))
+    // same range-partitioned descending walk as rocAnalysis — no global
+    // ordered window even on an unbounded score domain
+    IdOps.prefixSums(
+        hist.withColumn("__ns", -col("score")),
+        Seq("pos", "neg"), Seq("tp", "fp"), inclusive = true, "__ns")
+      .drop("__ns")
       .crossJoin(broadcast(totals))
       .select(col("score"), col("tp"), col("fp"),
         (col("__p") - col("tp")).as("fn"),

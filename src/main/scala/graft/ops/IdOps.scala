@@ -98,6 +98,92 @@ object IdOps {
           sorted.schema.fields.toIndexedSeq))
   }
 
+  /** Range-partitioned running sums — the scale-safe replacement for
+    * `SUM(x) OVER (ORDER BY …)` when the ordered domain is UNBOUNDED
+    * (grows with the corpus: revenue values, merged length histograms).
+    * A global ordered window funnels every row through one reducer; this
+    * computes the same exact values with parallel reducers: range
+    * -partition by the order key, sort within partitions, one tiny pass
+    * for per-partition totals (collected — #partitions × k longs), then
+    * a partition-local prefix sum seeded with the partition's offsets.
+    *
+    * Computes k running sums in ONE pass (`valueCols(i)` → `sumNames(i)`).
+    * `inclusive = false` gives the exclusive form (sum of strictly
+    * -preceding rows). `orderCols` must be a total order; value columns
+    * must be non-null LongType (cast upstream).
+    */
+  def prefixSums(
+      df: DataFrame, valueCols: Seq[String], sumNames: Seq[String],
+      inclusive: Boolean, orderCols: String*): DataFrame =
+    prefixFold(df, valueCols, sumNames, inclusive, 0L, _ + _,
+      nullableOut = false, orderCols: _*)
+
+  /** Range-partitioned running MAX — `MAX(x) OVER (ORDER BY …)` without
+    * the one-reducer global window (the skyline / best-so-far shape).
+    * Same mechanics as [[prefixSums]] with the max monoid; the exclusive
+    * form yields NULL on rows with no predecessor (SQL's empty-frame
+    * MAX), which is why the output columns are nullable.
+    */
+  def prefixMaxes(
+      df: DataFrame, valueCols: Seq[String], maxNames: Seq[String],
+      inclusive: Boolean, orderCols: String*): DataFrame =
+    prefixFold(df, valueCols, maxNames, inclusive, Long.MinValue,
+      math.max, nullableOut = !inclusive, orderCols: _*)
+
+  private def prefixFold(
+      df: DataFrame, valueCols: Seq[String], outNames: Seq[String],
+      inclusive: Boolean, zero: Long, op: (Long, Long) => Long,
+      nullableOut: Boolean, orderCols: String*): DataFrame = {
+    require(orderCols.nonEmpty, "prefix fold needs a total order")
+    require(valueCols.nonEmpty && valueCols.length == outNames.length,
+      "valueCols and outNames must align")
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(
+        spark.sparkContext.defaultParallelism,
+        orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val idxs = valueCols.map(sorted.schema.fieldIndex).toArray
+    val k = idxs.length
+    val rdd = sorted.rdd
+    // pass 1: per-partition fold totals (tiny: #partitions × k longs);
+    // pass 2 reuses the range shuffle's map outputs (two-job profile,
+    // same as contiguousIds/packIntoSequences)
+    val partFolds = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val s = Array.fill(k)(zero)
+        it.foreach { r =>
+          var j = 0
+          while (j < k) { s(j) = op(s(j), r.getLong(idxs(j))); j += 1 }
+        }
+        Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partFolds.scanLeft(Array.fill(k)(zero)) { (acc, s) =>
+      Array.tabulate(k)(j => op(acc(j), s(j)))
+    }
+    val withFolds = rdd.mapPartitionsWithIndex { (i, it) =>
+      val acc = offsets(i).clone()
+      it.map { r =>
+        val out = new Array[Any](k)
+        var j = 0
+        while (j < k) {
+          val v = r.getLong(idxs(j))
+          val pre = if (inclusive) op(acc(j), v) else acc(j)
+          out(j) = if (nullableOut && pre == zero) null else pre
+          acc(j) = op(acc(j), v)
+          j += 1
+        }
+        Row.fromSeq(out.toIndexedSeq ++ r.toSeq)
+      }
+    }
+    spark.createDataFrame(
+      withFolds,
+      StructType(
+        outNames.map(n => StructField(n, LongType, nullable = nullableOut))
+          .toIndexedSeq ++ sorted.schema.fields))
+  }
+
   /** Length-bucketed batch assembly (padding-minimizing batching for
     * inference/training): bucket documents by `lenCol div bucketWidth`,
     * order (len, id) within each bucket, and cut batches of `batchSize`

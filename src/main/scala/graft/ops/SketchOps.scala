@@ -282,6 +282,8 @@ object SketchOps {
     val spark = sketch.sparkSession
     import spark.implicits._
     val div = graft.functions.GraftColumns.longDiv _
+    // bounded-domain contract: the global rank window runs over the
+    // SKETCH (≤ k rows by construction), never the corpus
     val ranked = sketch
       .select(col(valueCol).as("__v"))
       .withColumn("__rk",

@@ -1398,9 +1398,15 @@ object AnalyticsQueries {
       import org.apache.spark.sql.types._
       val path = scratchDir("graft_q109")
       val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      // Pin BOTH timestamp formats on the write: o_orderdate reads as
+      // session-TZ TimestampType since Tables.load disabled NTZ
+      // inference (UTC session ⇒ identical wall-time strings either
+      // way), and the NTZ option alone would leave the LTZ default
+      // format in play.
       Tables.load(s, dir, "orders")
         .write.mode("overwrite")
         .option("header", "true").option("timestampNTZFormat", fmt)
+        .option("timestampFormat", fmt)
         .csv(path)
       val schema = StructType(Seq(
         StructField("o_orderkey", LongType),
@@ -1956,6 +1962,8 @@ object AnalyticsQueries {
         .select($"doc_id", $"n_chars",
           size(graft.ops.TextOps.tokenize($"text")).cast("long")
             .as("n_tok"))
+      // bounded-domain contract: the rank windows run AFTER limit(50)
+      // (TakeOrdered cuts in parallel; the window sees ≤50 rows)
       val wa = Window.orderBy($"n_chars".desc, $"doc_id")
       val ta = base.orderBy($"n_chars".desc, $"doc_id").limit(50)
         .withColumn("ra", row_number().over(wa))
@@ -2007,6 +2015,8 @@ object AnalyticsQueries {
         .groupBy($"bin")
         .agg(count(lit(1)).as("n"),
           sum(when($"is_en", 1L).otherwise(0L)).as("pos"))
+      // bounded-domain contract: the global windows walk the 10 fixed
+      // decile BINS (least(… div 100, 9)), never the corpus
       val wCum = Window.orderBy($"bin".desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy()
@@ -2158,18 +2168,20 @@ object AnalyticsQueries {
         |FROM d CROSS JOIN mx""".stripMargin) { (s, dir) =>
       import s.implicits._
       val div = graft.functions.GraftColumns.longDiv _
+      // The merged value domain grows with the corpus — global ordered
+      // windows would serialize the histogram through one reducer at
+      // scale. Range-partitioned prefix sums (both CDFs in ONE pass) +
+      // broadcast 1-row totals compute identical exact values with
+      // parallel reducers (VERDICT r7 #2; oracle keeps the windows).
       val h = Tables.load(s, dir, "documents")
         .groupBy($"n_chars".as("v"))
         .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("c1"),
           sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("c2"))
-      val wCum = Window.orderBy($"v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
-      val d = h
-        .withColumn("cum1", sum($"c1").over(wCum))
-        .withColumn("cum2", sum($"c2").over(wCum))
-        .withColumn("n1", sum($"c1").over(wAll))
-        .withColumn("n2", sum($"c2").over(wAll))
+      val tot = h.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+      val d = graft.ops.IdOps
+        .prefixSums(h, Seq("c1", "c2"), Seq("cum1", "cum2"),
+          inclusive = true, "v")
+        .crossJoin(broadcast(tot))
         .withColumn("ds", abs($"cum1" * $"n2" - $"cum2" * $"n1"))
       val mx = d.agg(max($"ds").as("mds"))
       d.crossJoin(broadcast(mx))
@@ -2224,13 +2236,15 @@ object AnalyticsQueries {
       val gw = docs.groupBy($"lang", $"v").agg(count(lit(1)).as("c"))
         .withColumn("below", sum($"c").over(wCumG) - $"c")
         .withColumn("ng", sum($"c").over(wAllG))
-      val wCumP = Window.orderBy($"v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAllP = Window.partitionBy()
-      val pw = docs.groupBy($"v").agg(count(lit(1)).as("c"))
-        .withColumn("hi", sum($"c").over(wCumP))
+      // pooled CDF over the unbounded value domain: range-partitioned
+      // prefix sum + broadcast 1-row total, not a global ordered window
+      // (VERDICT r7 #2 class)
+      val pw0 = docs.groupBy($"v").agg(count(lit(1)).as("c"))
+      val totP = pw0.agg(sum($"c").as("n"))
+      val pw = graft.ops.IdOps
+        .prefixSums(pw0, Seq("c"), Seq("hi"), inclusive = true, "v")
         .withColumn("lo", $"hi" - $"c" + 1L)
-        .withColumn("n", sum($"c").over(wAllP))
+        .crossJoin(broadcast(totP))
         .select($"v".as("mv"), $"lo", $"hi", $"n")
       val nScalar = pw.agg(min($"n").as("__n"))
       val pts = gw.crossJoin(broadcast(nScalar))
@@ -2297,12 +2311,15 @@ object AnalyticsQueries {
       val h = docs.groupBy($"lang", $"v").agg(count(lit(1)).as("c"))
       val vs = docs.select($"v").distinct()
       val langs = docs.select($"lang").distinct()
-      val wCumA = Window.orderBy($"v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAllA = Window.partitionBy()
-      val gaw = docs.groupBy($"v").agg(count(lit(1)).as("ca"))
-        .withColumn("cum_all", sum($"ca").over(wCumA))
-        .withColumn("n", sum($"ca").over(wAllA))
+      // pooled CDF: range-partitioned prefix sum + broadcast total, not
+      // a global ordered window over the unbounded value domain
+      // (VERDICT r7 #2 class); the per-lang walks below stay windows —
+      // they are PARTITIONED by lang
+      val gaw0 = docs.groupBy($"v").agg(count(lit(1)).as("ca"))
+      val totA = gaw0.agg(sum($"ca").as("n"))
+      val gaw = graft.ops.IdOps
+        .prefixSums(gaw0, Seq("ca"), Seq("cum_all"), inclusive = true, "v")
+        .crossJoin(broadcast(totA))
         .select($"v", $"cum_all", $"n")
       val sp = langs.crossJoin(broadcast(vs))
         .join(h, Seq("lang", "v"), "left")
@@ -2363,11 +2380,14 @@ object AnalyticsQueries {
         .groupBy($"n_chars".as("score"))
         .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("pos"),
           sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("neg"))
-      val wDesc = Window.orderBy($"score".desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val scored = h
-        .withColumn("tp", sum($"pos").over(wDesc))
-        .withColumn("fp", sum($"neg").over(wDesc))
+      // descending cumulative counts via range-partitioned prefix sums
+      // (negated key) — the score domain grows with the corpus, so no
+      // global ordered window (VERDICT r7 #2 class; oracle keeps the
+      // window formulation)
+      val scored = graft.ops.IdOps.prefixSums(
+          h.withColumn("__ns", -$"score"),
+          Seq("pos", "neg"), Seq("tp", "fp"), inclusive = true, "__ns")
+        .drop("__ns")
         .withColumn("profit", lit(5L) * $"tp" - $"fp")
       val mx = scored.agg(max($"profit").as("mp"))
       scored.crossJoin(broadcast(mx))

@@ -1380,6 +1380,8 @@ object CurationQueries {
           pmod(div(unix_micros($"ts"), lit(86400000000L)), lit(7L))
             .as("j"))
         .groupBy($"i", $"j").agg(count(lit(1)).as("c"))
+      // bounded-domain contract: windows run over the contingency CELLS
+      // (|event_type| × 7 weekday rows), never the corpus
       val wi = Window.partitionBy($"i")
       val wj = Window.partitionBy($"j")
       val wAll = Window.partitionBy()

@@ -336,8 +336,12 @@ object RelationalQueries {
       val tsUs = unix_micros($"ts")
       val ts0 = e.filter($"event_id" === 42)
         .agg(max(unix_micros($"ts"))).head.getLong(0)
-      e.filter(tsUs > ts0 || (tsUs === ts0 && $"event_id" > 42))
-        .orderBy(tsUs.asc, $"event_id".asc)
+      // ts attribute vs TIMESTAMP literal (not unix_micros(ts) vs long):
+      // the pushable form — same shape as cdc.Keyset.nextBatch, where
+      // PlansSpec asserts the parquet PushedFilters.
+      val ts0Ts = timestamp_micros(lit(ts0))
+      e.filter($"ts" > ts0Ts || ($"ts" === ts0Ts && $"event_id" > 42))
+        .orderBy($"ts".asc, $"event_id".asc)
         .limit(100)
         .select($"event_id", $"user_id", tsUs.as("ts_us"))
     },
@@ -932,19 +936,25 @@ object RelationalQueries {
       import org.apache.spark.sql.expressions.Window
       val k = t(s, dir, "lineitem")
         .groupBy($"l_partkey".as("key")).agg(count(lit(1)).as("m"))
+      // multiplicity-histogram CDF: the distinct-multiplicity domain
+      // grows with the corpus — range-partitioned prefix sum +
+      // broadcast total, not a global ordered window (VERDICT r7 #2
+      // class)
       val hist = k.groupBy($"m").agg(count(lit(1)).as("nk"))
-      val wCum = Window.orderBy($"m")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
-      val c = hist
-        .withColumn("cum", sum($"nk").over(wCum))
-        .withColumn("n", sum($"nk").over(wAll))
+      val totH = hist.agg(sum($"nk").as("n"))
+      val c = graft.ops.IdOps
+        .prefixSums(hist, Seq("nk"), Seq("cum"), inclusive = true, "m")
+        .crossJoin(broadcast(totH))
       val qs = c.agg(
         min(when($"cum" * 100L >= $"n" * 50L, $"m")).as("p50"),
         min(when($"cum" * 100L >= $"n" * 90L, $"m")).as("p90"),
         min(when($"cum" * 100L >= $"n" * 99L, $"m")).as("p99"),
         max($"m").as("mx"))
+      // top-5 hot keys: TakeOrdered limit FIRST (parallel reducers),
+      // then rank within the 5 surviving rows — the global row_number
+      // window only ever sees a bounded input
       val hot = k
+        .orderBy($"m".desc, $"key").limit(5)
         .withColumn("r", row_number().over(Window.orderBy($"m".desc, $"key")))
         .where($"r" <= 5)
       val qRows = qs.select(explode(array(
@@ -1056,11 +1066,17 @@ object RelationalQueries {
       val p = t(s, dir, "part")
         .select($"p_partkey", cents($"p_retailprice").as("price_c"),
           $"p_size".cast("long").as("size"))
-      val wRange = Window.orderBy($"price_c")
-        .rangeBetween(Window.unboundedPreceding, -1)
-      val wPrice = Window.partitionBy($"price_c")
-      p.withColumn("best_cheaper", max($"size").over(wRange))
-        .withColumn("best_here", max($"size").over(wPrice))
+      // best-so-far over the strictly-cheaper prefix: exclusive prefix
+      // MAX over the price VALUE HISTOGRAM (range-partitioned, NULL on
+      // the cheapest price = SQL's empty-frame MAX), equi-joined back —
+      // the global range window walked every part row through one
+      // reducer on a price domain that grows with the corpus (VERDICT
+      // r7 #2 class)
+      val hist = p.groupBy($"price_c").agg(max($"size").as("best_here"))
+      val cum = graft.ops.IdOps.prefixMaxes(
+        hist, Seq("best_here"), Seq("best_cheaper"),
+        inclusive = false, "price_c")
+      p.join(cum, Seq("price_c"))
         .where(($"best_cheaper".isNull || $"size" > $"best_cheaper") &&
           $"size" === $"best_here")
         .select($"p_partkey", $"price_c", $"size")
@@ -1144,19 +1160,22 @@ object RelationalQueries {
         |    AS top_decile_share_ppm
         |FROM g CROSS JOIN hh""".stripMargin) { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val div = graft.functions.GraftColumns.longDiv _
       val m = t(s, dir, "orders")
         .groupBy($"o_custkey")
         .agg(sum(cents($"o_totalprice")).as("rev"))
         .localCheckpoint() // histogram + HHI share scan
-      val wCum = Window.orderBy($"v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
-      val w = m.groupBy($"rev".as("v")).agg(count(lit(1)).as("c"))
-        .withColumn("cumb", sum($"c").over(wCum) - $"c")
-        .withColumn("n", sum($"c").over(wAll))
-        .withColumn("sx", sum($"v" * $"c").over(wAll))
+      // The revenue-value domain grows with the corpus — a global
+      // `SUM OVER (ORDER BY v)` window (and the `OVER ()` totals)
+      // would funnel the whole histogram through one reducer at scale.
+      // Range-partitioned prefix sum + broadcast 1-row totals compute
+      // the identical exact values with parallel reducers (VERDICT r7
+      // #2; the oracle keeps the window formulation).
+      val h = m.groupBy($"rev".as("v")).agg(count(lit(1)).as("c"))
+      val tot = h.agg(sum($"c").as("n"), sum($"v" * $"c").as("sx"))
+      val w = graft.ops.IdOps
+        .prefixSums(h, Seq("c"), Seq("cumb"), inclusive = false, "v")
+        .crossJoin(broadcast(tot))
       val cut = $"n" - div($"n", lit(10L))
       val g = w.agg(min($"n").as("n"), min($"sx").as("sx"),
         sum($"v" * $"c" * (lit(2L) * $"cumb" + $"c" + 1L)).as("s2"),

@@ -333,6 +333,8 @@ object SimilarityQueries {
       val lexScore = terms.map(t =>
         size(filter(TextOps.tokenize($"text"), x => x === lit(t)))
           .cast("long")).reduce(_ + _)
+      // bounded-domain contract: both rank windows run AFTER limit(100)
+      // (TakeOrdered cuts in parallel; each window sees ≤100 rows)
       val lr = Tables.load(s, dir, "documents")
         .select($"doc_id", lexScore.as("lex"))
         .orderBy($"lex".desc, $"doc_id").limit(100)

@@ -1179,6 +1179,8 @@ object TemporalQueries {
           when(isEvent, 1L).otherwise(0L).as("ev"))
         .groupBy($"day")
         .agg(sum($"ev").as("d"), sum(lit(1L) - $"ev").as("c"))
+      // bounded-domain contract: the global windows walk the DAY spine
+      // (8 rows: days 0-7 + censored bucket), never the corpus
       val wOrd = Window.orderBy($"day")
       val wPrior = wOrd.rowsBetween(Window.unboundedPreceding, -1)
       val wCum = wOrd.rowsBetween(Window.unboundedPreceding,

@@ -356,10 +356,10 @@ object TextQueries {
         .select(explode(filter(TextOps.tokenize($"text"), t => t =!= ""))
           .as("term"))
       val truec = toks.groupBy($"term").agg(count(lit(1)).as("true_c"))
-      val probes = truec
-        .withColumn("rk", row_number().over(
-          Window.orderBy($"true_c".desc, $"term")))
-        .filter($"rk" <= 20).drop("rk")
+      // top-20 via TakeOrdered (parallel reducers) — a global
+      // row_number window would serialize the corpus-growing vocabulary
+      // through one task
+      val probes = truec.orderBy($"true_c".desc, $"term").limit(20)
       val sketch = SketchOps.countMinSketch(toks, "term", 4, 256, "cm1")
       SketchOps.countMinEstimate(sketch, probes, "term", 4, 256, "cm1")
         .join(probes, "term")

@@ -158,11 +158,20 @@ private final class KeysetMicroBatchStream(
       case mr: ReadMaxRows => math.min(mr.maxRows(), maxRows.toLong).toInt
       case _ => maxRows
     }
-    val tsM = unix_micros(col(tsCol))
-    val batch = table
-      .filter(
-        (tsM === c.tsMicros && col(idCol) > c.lastId) || tsM > c.tsMicros)
-      .orderBy(tsM.asc, col(idCol).asc)
+    // ts attribute vs TIMESTAMP literal (not unix_micros(ts) vs long) so
+    // the boundary predicate reaches parquet PushedFilters — row-group
+    // pruning is the whole point of keyset pagination at scale (same
+    // rewrite as cdc/Keyset.nextBatch; PlansSpec asserts it there).
+    // Zero offset (Long.MinValue micros) is not representable as a
+    // java.sql.Timestamp during filter translation — and its boundary is
+    // vacuous; see cdc.Keyset.nextBatch.
+    val cTs = timestamp_micros(lit(c.tsMicros))
+    val bounded =
+      if (c.tsMicros == Long.MinValue) table.filter(col(tsCol).isNotNull)
+      else table.filter(col(tsCol) >= cTs &&
+        ((col(tsCol) === cTs && col(idCol) > c.lastId) || col(tsCol) > cTs))
+    val batch = bounded
+      .orderBy(col(tsCol).asc, col(idCol).asc)
       .limit(n)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val rows = batch.queryExecution.executedPlan.executeCollect()
@@ -193,12 +202,19 @@ private final class KeysetMicroBatchStream(
         // Replay after restart: the cache died with the previous driver,
         // so re-read the offset range from the live table (at-least-once;
         // see consistency contract above).
-        val tsM = unix_micros(col(tsCol))
+        // s may be the Zero offset (first-batch replay) — vacuous lower
+        // bound, and unrepresentable as a timestamp literal; e always
+        // carries a real data timestamp (s == e returned early above).
+        val sTs = timestamp_micros(lit(s.tsMicros))
+        val eTs = timestamp_micros(lit(e.tsMicros))
+        val lower =
+          if (s.tsMicros == Long.MinValue) col(tsCol).isNotNull
+          else col(tsCol) >= sTs &&
+            ((col(tsCol) === sTs && col(idCol) > s.lastId) || col(tsCol) > sTs)
         val batch = table
-          .filter(
-            ((tsM === s.tsMicros && col(idCol) > s.lastId) || tsM > s.tsMicros) &&
-              ((tsM === e.tsMicros && col(idCol) <= e.lastId) || tsM < e.tsMicros))
-          .orderBy(tsM.asc, col(idCol).asc)
+          .filter(lower && col(tsCol) <= eTs &&
+            ((col(tsCol) === eTs && col(idCol) <= e.lastId) || col(tsCol) < eTs))
+          .orderBy(col(tsCol).asc, col(idCol).asc)
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         Array(KeysetRowsPartition(
           batch.queryExecution.executedPlan.executeCollect()))

@@ -48,6 +48,41 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p)
   }
 
+  test("keyset CDC scan pushes the ts boundary predicate to the parquet " +
+       "scan (row-group pruning per tick — the scale contract of keyset " +
+       "pagination)") {
+    import graft.cdc.Keyset
+    val e = Tables.load(spark, sfDir, "events")
+    // A real mid-table cursor (a trivially-true Zero boundary could be
+    // legally elided by the optimizer and prove nothing).
+    val mid = e.agg(expr("max(unix_micros(ts))")).head.getLong(0) - 1000000L
+    // (a) idCol is a plain scan attribute → the whole Or is pushable
+    val (batch, _) = Keyset.nextBatch(
+      e.withColumn("eid", $"event_id".cast("string")),
+      "ts", "eid", Keyset.Cursor(mid, "42"), 50)
+    val p = batch.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).mkString(";")
+    assert(pushed.contains("GreaterThanOrEqual(ts,"),
+      s"ts boundary not pushed to the events scan: [$pushed]\n$p")
+    // (b) q149's shape: idCol DERIVED (lpad over event_id) — the Or leg
+    // is untranslatable, but the redundant ts>=cursor conjunct must
+    // still reach the scan and prune row groups.
+    val (batch2, _) = Keyset.nextBatch(
+      e.withColumn("did", lpad($"event_id".cast("string"), 12, "0")),
+      "ts", "did", Keyset.Cursor(mid, "000000000042"), 50)
+    val p2 = batch2.queryExecution.executedPlan.toString
+    val pushed2 = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p2).map(_.group(1)).mkString(";")
+    assert(pushed2.contains("GreaterThanOrEqual(ts,"),
+      s"ts bound not pushed under a derived idCol: [$pushed2]\n$p2")
+    // The events scan itself must be cast-free: ts reads natively as
+    // TimestampType (Tables.load disables NTZ inference), so no
+    // normalize-cast sits between predicates and the scan attribute.
+    assert(e.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("ivfPq serving: the stored-index scan is cell-pruned BEFORE " +
        "scoring (pushed cell predicate + partition pruning)") {
     import graft.ops.SimilarityOps
@@ -376,7 +411,11 @@ class PlansSpec extends SparkTestBase {
         "q235_threshold_opt", "q238_mrr",
         // q240 crosses the revenue scan with its ONE-row Gini
         // aggregates and the result with the ONE-row HHI aggregate
-        "q240_concentration")
+        "q240_concentration",
+        // q217 crosses the multiplicity histogram with its ONE-row
+        // total-count aggregate (q96 scalar pattern — replaced the
+        // global OVER () window when the CDF moved to prefixSums)
+        "q217_skew_profile")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
