@@ -41,10 +41,24 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 }
 
 object SimHash32 {
+  /** Null elements: in the HOF referee (`simhash32Hof`) a null element
+    * nulls every per-bit sum, `when(null > 0, …)` falls to the
+    * otherwise(0) branch, and the signature collapses to 0 — the same
+    * all-zero collapse SrpBands documents. Mirror that exactly (one
+    * null scan up front) so native ≡ HOF holds on EVERY input, not just
+    * null-free arrays (TextDedupSimSpec has the null-element case;
+    * ADVICE r7: getLong on a null slot silently read 0 into the sums
+    * before, which produced a DIFFERENT signature than the referee).
+    */
   def compute(hashes: ArrayData): Long = {
     val sums = new Array[Int](32)
     val n = hashes.numElements()
     var k = 0
+    while (k < n) {
+      if (hashes.isNullAt(k)) return 0L
+      k += 1
+    }
+    k = 0
     while (k < n) {
       val h = hashes.getLong(k)
       var i = 0

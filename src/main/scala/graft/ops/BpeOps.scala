@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpointer._
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
@@ -85,7 +86,7 @@ object BpeOps {
   def learnMerges(
       df: DataFrame, textCol: String, k: Int): Seq[(String, String)] = {
     require(k >= 0, "k must be >= 0")
-    var dict = wordDict(df, textCol).localCheckpoint()
+    var dict = wordDict(df, textCol).graftCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.size < k && !exhausted) {
@@ -96,7 +97,7 @@ object BpeOps {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        val next = mergeOnce(dict, a, b).localCheckpoint()
+        val next = mergeOnce(dict, a, b).graftCheckpoint()
         dict.unpersist()   // bound executor storage to 2 dict copies
         dict = next
       }

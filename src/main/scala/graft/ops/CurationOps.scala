@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpointer._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -432,8 +433,8 @@ object CurationOps {
     // CONSTRUCTION, so materializing them (localCheckpoint) is bounded
     // and everything downstream — totals, the ratio join, the eventual
     // broadcast — reads the dim-row tables, never the corpus again.
-    val tf = bucketFreqs(target, textCol, dim, salt).localCheckpoint()
-    val sf = bucketFreqs(source, textCol, dim, salt).localCheckpoint()
+    val tf = bucketFreqs(target, textCol, dim, salt).graftCheckpoint()
+    val sf = bucketFreqs(source, textCol, dim, salt).graftCheckpoint()
     // coalesce: an EMPTY corpus must yield total 0 (sum over zero rows
     // is NULL), so the smoothed proportions degrade to the add-one
     // floor instead of NULLing every ratio in the output table.
@@ -617,8 +618,8 @@ object CurationOps {
       dim: Int, salt: String): DataFrame = {
     val lg = graft.functions.GraftColumns.binLog2Q20 _
     val div = graft.functions.GraftColumns.longDiv _
-    val pf = bucketFreqs(p, textCol, dim, salt).localCheckpoint()
-    val qf = bucketFreqs(q, textCol, dim, salt).localCheckpoint()
+    val pf = bucketFreqs(p, textCol, dim, salt).graftCheckpoint()
+    val qf = bucketFreqs(q, textCol, dim, salt).graftCheckpoint()
     val spine = p.sparkSession.range(dim.toLong)
       .select(col("id").cast("long").as("bucket"))
     val np = pf.agg(coalesce(sum(col("ct")), lit(0L)).as("__np"))
@@ -664,8 +665,8 @@ object CurationOps {
       dim: Int, salt: String): DataFrame = {
     val lg = graft.functions.GraftColumns.binLog2Q20 _
     val div = graft.functions.GraftColumns.longDiv _
-    val pf = bucketFreqs(p, textCol, dim, salt).localCheckpoint()
-    val qf = bucketFreqs(q, textCol, dim, salt).localCheckpoint()
+    val pf = bucketFreqs(p, textCol, dim, salt).graftCheckpoint()
+    val qf = bucketFreqs(q, textCol, dim, salt).graftCheckpoint()
     val spine = p.sparkSession.range(dim.toLong)
       .select(col("id").cast("long").as("bucket"))
     val np = pf.agg(coalesce(sum(col("ct")), lit(0L)).as("__np"))

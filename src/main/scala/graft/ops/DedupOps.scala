@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpointer._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -237,7 +238,7 @@ object DedupOps {
     // (recomputing lshBandKeys per branch doubled the delta-side work,
     // which is the |delta|-proportional cost this op exists to bound)
     val dk = lshBandKeyTable(delta, id, sig, bands, rows)
-      .withColumnRenamed(id, "__did").localCheckpoint()
+      .withColumnRenamed(id, "__did").graftCheckpoint()
     // Bound the corpus side per bucket BEFORE the join: a corpus bucket
     // above `maxBucket` is a dup cluster the corpus's own dedup pass has
     // already linked internally, so pairing each delta id with one
@@ -669,7 +670,13 @@ object DedupOps {
     require(totalBits >= maxDist + 1 && totalBits <= 63,
       s"totalBits must be in [${maxDist + 1}, 63]")
     val nBands = maxDist + 1
+    // distinct guards duplicate (id, bits) input rows: without it both
+    // the cross expansion and the intra-value clique join would emit
+    // each id pair once per duplicate row (the row-level predecessor
+    // ended in a final distinct; the value-level rewrite must dedup its
+    // membership table instead — ADVICE r7)
     val members = df.select(col(bits).as("__v"), col(id).as("__gid"))
+      .distinct()
     val vdf = members.select(col("__v")).distinct()
     val keyed = vdf
       .select(col("__v"),

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpointer._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -29,10 +30,10 @@ object GraphOps {
       maxIter: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .localCheckpoint()
+      .graftCheckpoint()
     var labels = e.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint()
+      .graftCheckpoint()
     // Convergence probe: one scalar aggregate per round (no
     // join-against-previous). The id set is fixed across rounds, so the
     // (id, component) multiset fingerprint — a sum of 64-bit row hashes,
@@ -53,7 +54,7 @@ object GraphOps {
         .select(col("b").as("id"), col("component"))
       val next = labels.union(msgs)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val nextSum = labelSum(next)
       labels.unpersist()  // bound executor storage to 2 label copies
       labels = next
@@ -101,7 +102,7 @@ object GraphOps {
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("a"),
         least(col("x"), col("y")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().graftCheckpoint()
     def edgeSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(xxhash64(col("a"), col("b"))
         .cast("decimal(30,0)"))).head.getDecimal(0)
@@ -126,7 +127,7 @@ object GraphOps {
       val next = withMin.select(col("a"), col("m").as("b"))
         .union(withMin.filter(col("b") =!= col("m"))
           .select(col("b").as("a"), col("m").as("b")))
-        .distinct().localCheckpoint()
+        .distinct().graftCheckpoint()
       val nextSum = edgeSum(next)
       e.unpersist() // bound executor storage to 2 edge copies
       e = next
@@ -232,22 +233,22 @@ object GraphOps {
     // is a single action (the checkpoint) — no per-round driver
     // collect, no recomputed degree aggregate.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("id"))).distinct().graftCheckpoint()
     val n = nodes.count()
     // empty graph → empty ranks (not a divide-by-zero on mass/N)
     if (n == 0) return nodes.withColumn("r", lit(0L))
     // seed handling: restrict to seeds that ARE graph nodes; the
     // restart denominator is |S ∩ nodes|
     val seedIds = seeds.map(_.join(nodes, Seq("id"), "left_semi")
-      .localCheckpoint())
+      .graftCheckpoint())
     val sOpt = seedIds.map(_.count())
     sOpt.foreach(s => require(s > 0, "no seed is a graph node"))
     // degree folds into the edge table once — not re-joined per round
-    val eDeg = e.join(outDeg, Seq("src")).localCheckpoint()
+    val eDeg = e.join(outDeg, Seq("src")).graftCheckpoint()
     // restart terms: uniform over N, or (personalized) over the seeds —
     // the seed flag rides in the rank table like the dangling flag
     val baseCase = sOpt match {
@@ -283,7 +284,7 @@ object GraphOps {
     }
     var ranks = withSd
       .select(col("id"), initR.as("r"), col("__dg"), col("__sd"))
-      .localCheckpoint()
+      .graftCheckpoint()
     var iter = 0
     var converged = false
     while (iter < iters && !converged) {
@@ -305,7 +306,7 @@ object GraphOps {
               s"CAST(0 AS BIGINT)) + $dangShare)) div 1000000")
             .as("r"),
           col("__dg"), col("__sd"))
-        .localCheckpoint()
+        .graftCheckpoint()
       tolerance.foreach { tol =>
         // L∞ movement probe: deterministic because the ranks are exact
         // integers — the same input converges on the same round under
@@ -344,9 +345,9 @@ object GraphOps {
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct().localCheckpoint()
+      .distinct().graftCheckpoint()
     var active = seeds.select(col(seedCol).as("id")).distinct()
-      .withColumn("rnd", lit(0L)).localCheckpoint()
+      .withColumn("rnd", lit(0L)).graftCheckpoint()
     var r = 0
     while (r < rounds) {
       val newly = e
@@ -356,7 +357,7 @@ object GraphOps {
         .where(col("__na") >= k.toLong)
         .join(active.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), lit(r + 1L).as("rnd"))
-      val next = active.union(newly).localCheckpoint()
+      val next = active.union(newly).graftCheckpoint()
       active.unpersist()
       active = next
       r += 1
@@ -388,9 +389,9 @@ object GraphOps {
       .filter(col("a") =!= col("b") && col("a").isNotNull)
       .groupBy(col("a"), col("b"), col("t")).agg(count(lit(1)).as("__d"))
       .drop("__d")
-      .localCheckpoint()
+      .graftCheckpoint()
     var reach = seeds.select(col(seedCol).as("id")).distinct()
-      .withColumn("arr", lit(startT)).localCheckpoint()
+      .withColumn("arr", lit(startT)).graftCheckpoint()
     var r = 0
     while (r < rounds) {
       val msgs = e
@@ -399,7 +400,7 @@ object GraphOps {
         .select(col("b").as("id"), col("t").as("arr"))
       val next = reach.union(msgs)
         .groupBy(col("id")).agg(min(col("arr")).as("arr"))
-        .localCheckpoint()
+        .graftCheckpoint()
       reach.unpersist()
       reach = next
       r += 1
@@ -433,24 +434,24 @@ object GraphOps {
         col(wCol).cast("long").as("w"))
       .filter(col("w") > 0L)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("id"))).distinct().graftCheckpoint()
     val n = nodes.count()
     if (n == 0) return nodes.withColumn("r", lit(0L))
     val baseCase =
       s"CAST(${((1000000L - dampingPpm) * (mass / n)) / 1000000L} " +
         "AS BIGINT)"
-    val eW = e.join(outW, Seq("src")).localCheckpoint()
+    val eW = e.join(outW, Seq("src")).graftCheckpoint()
     val flagged = nodes
       .join(outW.select(col("src").as("id"), lit(false).as("__dg")),
         Seq("id"), "left_outer")
       .withColumn("__dg", coalesce(col("__dg"), lit(true)))
     var ranks = flagged
       .select(col("id"), lit(mass / n).as("r"), col("__dg"))
-      .localCheckpoint()
+      .graftCheckpoint()
     var iter = 0
     while (iter < iters) {
       val dang = ranks.filter(col("__dg"))
@@ -469,7 +470,7 @@ object GraphOps {
               s"CAST(0 AS BIGINT)) + __dang div $n)) div 1000000")
             .as("r"),
           col("__dg"))
-        .localCheckpoint()
+        .graftCheckpoint()
       prev.unpersist()
       iter += 1
     }
@@ -602,7 +603,7 @@ object GraphOps {
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct().localCheckpoint()
+      .distinct().graftCheckpoint()
     def degrees(df: DataFrame): DataFrame = df
       .select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -614,7 +615,7 @@ object GraphOps {
       val next = e
         .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint()
+        .graftCheckpoint()
       val nextCount = next.count()
       e.unpersist()   // bound executor storage to 2 edge copies
       e = next
@@ -653,9 +654,9 @@ object GraphOps {
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct().localCheckpoint()
+      .distinct().graftCheckpoint()
     var dist = seeds.select(col(seedCol).as("id")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).graftCheckpoint()
     var r = 0
     while (r < rounds) {
       val msgs = e
@@ -663,7 +664,7 @@ object GraphOps {
         .select(col("b").as("id"), (col("dist") + 1L).as("dist"))
       val next = dist.union(msgs)
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .graftCheckpoint()
       dist.unpersist()  // bound executor storage to 2 frontier copies
       dist = next
       r += 1
@@ -692,9 +693,9 @@ object GraphOps {
         col(wCol).cast("long").as("w")))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
       .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
-      .localCheckpoint()
+      .graftCheckpoint()
     var dist = seeds.select(col(seedCol).as("id")).distinct()
-      .withColumn("cost", lit(0L)).localCheckpoint()
+      .withColumn("cost", lit(0L)).graftCheckpoint()
     var r = 0
     while (r < rounds) {
       val msgs = e
@@ -702,7 +703,7 @@ object GraphOps {
         .select(col("b").as("id"), (col("cost") + col("w")).as("cost"))
       val next = dist.union(msgs)
         .groupBy(col("id")).agg(min(col("cost")).as("cost"))
-        .localCheckpoint()
+        .graftCheckpoint()
       dist.unpersist()
       dist = next
       r += 1
@@ -742,8 +743,8 @@ object GraphOps {
       .select(col(aCol).as("a"), col(bCol).as("b"))
       .union(edges.select(col(bCol).as("a"), col(aCol).as("b")))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct().localCheckpoint()
-    val nodes = und.select(col("a").as("id")).distinct().localCheckpoint()
+      .distinct().graftCheckpoint()
+    val nodes = und.select(col("a").as("id")).distinct().graftCheckpoint()
     var labels = nodes.withColumn("label", col("id"))
     var r = 0
     while (r < rounds) {
@@ -758,7 +759,7 @@ object GraphOps {
         .select(col("id"), col("__best.l").as("__new"))
       labels = labels.join(picked, Seq("id"), "left")
         .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
-        .localCheckpoint()
+        .graftCheckpoint()
       r += 1
     }
     labels
@@ -799,9 +800,9 @@ object GraphOps {
     val div = graft.functions.GraftColumns.longDiv _
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint()
+      .distinct().graftCheckpoint()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("id"))).distinct().graftCheckpoint()
     def normalize(scores: DataFrame): DataFrame = {
       val mx = scores.agg(max(col("score")).as("__mx"))
       scores.crossJoin(broadcast(mx))
@@ -815,7 +816,7 @@ object GraphOps {
         .groupBy(col(to).as("id")).agg(sum(col("score")).as("score"))
       normalize(nodes.join(sums, Seq("id"), "left")
         .select(col("id"), coalesce(col("score"), lit(0L)).as("score")))
-        .localCheckpoint()
+        .graftCheckpoint()
     }
     var hub = nodes.select(col("id"), lit(scale).as("score"))
     var auth = nodes.select(col("id"), lit(0L).as("score"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpointer._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftColumns
@@ -92,7 +93,7 @@ object LmOps {
     // pass over the corpus.
     val bc = bigrams(docs, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val cc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
     bc.join(cc, Seq("w1"))
   }
@@ -109,7 +110,7 @@ object LmOps {
     val bc = m1.select(col("w1"), col("w2"), col("cb"))
       .unionByName(m2.select(col("w1"), col("w2"), col("cb")))
       .groupBy(col("w1"), col("w2")).agg(sum(col("cb")).as("cb"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val cc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
     bc.join(cc, Seq("w1"))
   }
@@ -193,11 +194,11 @@ object LmOps {
     val lg = GraftColumns.binLog2Q20 _
     val uc = docs.select(explode(toks(col(textCol))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("cu"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val nt = uc.agg(sum(col("cu")).as("__nt"))
     val bc = bigrams(docs, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val nb = bc.agg(sum(col("cb")).as("__nb"))
     bc.filter(col("cb") >= minCount)
       .join(uc.select(col("t").as("w1"), col("cu").as("c1")), Seq("w1"))

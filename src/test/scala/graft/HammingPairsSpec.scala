@@ -75,6 +75,20 @@ class HammingPairsSpec extends SparkTestBase {
     assert(rows == 0L)
   }
 
+  test("duplicate (id, bits) input rows do not duplicate output pairs " +
+       "(ADVICE r7: the value-level rewrite dedups its membership table)") {
+    val base = Seq.tabulate(20)(i => (i.toLong, (i % 4).toLong))
+    val dup = base ++ base ++ base.take(7) // heavy row duplication
+    val rows = DedupOps.hammingNeighborPairs(
+        dup.toDF("id", "bits"), "id", "bits", maxDist = 3,
+        totalBits = 32, hotCap = 4)
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("n"))
+      .filter($"n" > 1).count()
+    assert(rows == 0L)
+    assert(run(dup, 3, 32, 4) == brute(base, 3),
+      "pair SET must equal the deduplicated input's pairs")
+  }
+
   test("partitioning invariance") {
     val rnd = new scala.util.Random(1)
     val sigs = Seq.tabulate(150)(i => (i.toLong, rnd.nextLong() & 0xFFFFL))

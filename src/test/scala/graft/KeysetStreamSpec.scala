@@ -93,4 +93,60 @@ class KeysetStreamSpec extends SparkTestBase {
     assert(got === Array("f1", "f2", "f2a", "f9"),
       "restart must resume from the cursor (no re-delivery, no loss)")
   }
+
+  test("mid-stream kill + restart-from-checkpoint: a micro-batch that " +
+       "dies after a PARTIAL upsert is replayed whole on restart and the " +
+       "store converges to the exact batch-loop state (the q149 " +
+       "semantics under the real engine trigger; reference restart " +
+       "behavior daemon.py:104-126)") {
+    import org.apache.spark.sql.functions.col
+    import graft.cdc.UpsertSink
+    val dir = Files.createTempDirectory("graft_ks_kill").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_ks_kill_ckpt").toString
+    val storeDir = Files.createTempDirectory("graft_ks_kill_store").toString
+    val rows = (1 to 9).map(i => (f"r$i%02d", s"v$i", ts(100L * i)))
+    rows.toDF("id", "title", "updated_at").write.parquet(dir)
+    val store = new UpsertSink(spark, s"$storeDir/s", "id", nBuckets = 4)
+
+    // crash injection: the SECOND micro-batch upserts only its first row,
+    // then dies — a partial sink write, the worst restart case. armed is
+    // a file flag so the restarted run (fresh lambda instances) sees it.
+    val armedFlag = java.nio.file.Paths.get(storeDir, "armed")
+    Files.createFile(armedFlag)
+    def start() = readKeyset(dir, batchSize = 3)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch.select(col("id"), col("title"), col("updated_at"))
+        if (batchId == 1 && Files.exists(armedFlag)) {
+          store.upsert(docs.orderBy(col("id")).limit(1))
+          Files.delete(armedFlag) // crash exactly once
+          throw new RuntimeException("injected executor-side crash")
+        }
+        store.upsert(docs)
+      }
+      .start()
+
+    val q1 = start()
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    assert(died.getMessage.contains("injected") ||
+      Option(died.getCause).exists(_.getMessage.contains("injected")))
+    // the crash left a partial batch-1 upsert behind (r04 only)
+    val mid = store.read().get.select("id").as[String].collect().sorted
+    assert(mid.length < rows.length && mid.contains("r04"),
+      s"expected a partial store, got ${mid.mkString(",")}")
+
+    // restart from the SAME checkpoint: the engine replays batch 1 in
+    // full; the idempotent upsert absorbs the duplicate r04, and the
+    // drain continues to the end of the table
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val fin = store.read().get
+      .select("id", "title").as[(String, String)].collect().sorted.toSeq
+    assert(fin === rows.map(r => (r._1, r._2)).sorted,
+      "restarted stream must converge to the exact one-shot state")
+  }
 }
