@@ -223,6 +223,66 @@ object DedupOps {
       lshBandKeyTable(acceptedDelta, id, sig, bands, rows),
       table, Seq("band", "bh"), nBuckets)
 
+  private def tombstonePath(
+      spark: org.apache.spark.sql.SparkSession, table: String): String =
+    spark.conf.get("spark.sql.warehouse.dir") + "/" + table +
+      "__tombstones"
+
+  /** DELETE from a stored LSH index (right-to-be-forgotten /
+    * retraction): append the ids to a tombstone side table — one
+    * |request| write, no index rewrite. A bucketed table cannot drop
+    * rows in place, and the id's key rows are scattered across ~bands
+    * buckets, so an eager rewrite would touch most of the index;
+    * tombstoning defers that cost to [[compactLshIndex]].
+    *
+    * Readers go through [[activeLshIndex]], which anti-joins the
+    * tombstones as a BROADCAST (corpus side keeps its bucketed layout,
+    * zero added exchanges). Contract: tombstone count between
+    * compactions stays broadcast-sized (deletion requests are rare and
+    * small next to the corpus); compact on whatever cadence the
+    * tombstone table grows.
+    */
+  def removeFromLshIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      deletedIds: DataFrame, id: String): Unit =
+    deletedIds.select(col(id)).distinct()
+      .write.mode("append").parquet(tombstonePath(spark, table))
+
+  /** The index minus its tombstones — what every probe should read.
+    * Broadcast anti-join: the bucketed corpus scan streams through
+    * unshuffled (PlansSpec-checked on the q70 serving path).
+    */
+  def activeLshIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      id: String): DataFrame = {
+    val idx = spark.table(table)
+    val p = new org.apache.hadoop.fs.Path(tombstonePath(spark, table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) idx
+    else idx.join(
+      broadcast(spark.read.parquet(p.toString).select(col(id)).distinct()),
+      Seq(id), "left_anti")
+  }
+
+  /** Fold tombstones into the layout: rewrite the index without the
+    * deleted rows (one bounded |index| pass — the same cost class as a
+    * [[BucketingOps.writeBucketed]] compaction, which this also is) and
+    * clear the tombstone table. After compaction the index is
+    * file-identical to a from-scratch rebuild over corpus∖deleted
+    * (BucketingSpec-checked).
+    */
+  def compactLshIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      id: String, nBuckets: Int): Unit = {
+    // materialize BEFORE the rewrite: writeBucketed drops the table
+    // this plan reads from
+    val active = Checkpointer.checkpoint(activeLshIndex(spark, table, id))
+    BucketingOps.writeBucketed(active, table, Seq("band", "bh"), nBuckets)
+    val p = new org.apache.hadoop.fs.Path(tombstonePath(spark, table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
   /** [[lshCandidatePairsIncremental]] against a PRECOMPUTED corpus key
     * table (`corpusKeys`: band, bh, `id` — the [[lshBandKeyTable]]
     * schema, typically a stored bucketed table). The daily-increment

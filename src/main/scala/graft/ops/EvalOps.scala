@@ -237,6 +237,15 @@ object EvalOps {
     Array.tabulate(k)(i =>
       (1000000L << 20) / log2Q20Host(i.toLong + 2L))
 
+  /** Adamic–Adar basket weights for [[GraphOps.bipartiteLinkScores]]:
+    * 1-based entry s = 1e6·2^20 div log2Q20(s) for basket size s ≥ 2
+    * (entry 1 is an unused 0 — size-1 baskets emit no wedges). Literal
+    * on both engines, same idiom as [[ndcgWeights]].
+    */
+  private[graft] def aaWeightsMicro(maxBasket: Int): Array[Long] =
+    Array.tabulate(maxBasket)(i =>
+      if (i == 0) 0L else (1000000L << 20) / log2Q20Host(i + 1L))
+
   /** NDCG@k ranking quality per query group (search/reranker eval,
     * the ranking complement to the classification metrics above):
     * DCG = Σ_{i≤k} rel_i · w(i) with the Q20-log literal discounts of

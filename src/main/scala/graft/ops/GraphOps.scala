@@ -878,4 +878,62 @@ object GraphOps {
       .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri_count"))
   }
+
+  /** Link-prediction scores over a bipartite basket graph (order→item,
+    * doc→entity, user→topic): for every right-node pair sharing at
+    * least one left node ("basket"), the three classic similarity
+    * signals —
+    *
+    *  - `cn`: common-neighbor count (#shared baskets),
+    *  - `aa_micro`: Adamic–Adar in micro units with a base-2 log,
+    *    Σ_baskets 1e6 div log2(basket size) — rare (small) baskets
+    *    weigh more; exact integer via a literal Q20-log weight table
+    *    indexed by basket size (bounded by `maxBasket`, so the table is
+    *    a constant — the q191 NDCG-weights pattern),
+    *  - `jaccard_ppm`: cn·1e6 div (deg_a + deg_b − cn) over the kept
+    *    edge set.
+    *
+    * Scale shape: candidate generation is the WEDGE equi-join on the
+    * basket id — Σ basket² rows, bounded by `maxBasket`·|E| because
+    * oversized baskets are dropped whole (the honest hot-center cap: a
+    * boilerplate basket shared by 10⁶ items predicts nothing and would
+    * alone emit 10¹² wedges). Degrees attach as two posting-count
+    * equi-joins. No adjacency lists materialize. Size-1 baskets emit no
+    * wedges (and log2(1) = 0 never divides).
+    *
+    * Output: (id_a, id_b, cn, aa_micro, jaccard_ppm), id_a < id_b.
+    */
+  def bipartiteLinkScores(
+      edges: DataFrame, leftCol: String, rightCol: String,
+      maxBasket: Int = 64): DataFrame = {
+    require(maxBasket >= 2 && maxBasket <= 100000,
+      "maxBasket in [2, 100000]")
+    val div = graft.functions.GraftColumns.longDiv _
+    val e = edges
+      .select(col(leftCol).as("__l"), col(rightCol).as("__r"))
+      .filter(col("__l").isNotNull && col("__r").isNotNull)
+      .distinct()
+    val bsize = e.groupBy(col("__l")).agg(count(lit(1)).as("__bs"))
+    val kept = e.join(bsize, Seq("__l"))
+      .filter(col("__bs") >= 2 && col("__bs") <= maxBasket)
+    // literal AA weight table: w(s) = 1e6·2^20 div log2Q20(s) — the
+    // same host-precomputed-literals idiom as EvalOps.ndcgWeights, so
+    // the oracle consumes identical integers
+    val weights = typedLit(EvalOps.aaWeightsMicro(maxBasket))
+    val deg = kept.groupBy(col("__r")).agg(count(lit(1)).as("__d"))
+    val e1 = kept.select(col("__l"), col("__r").as("id_a"), col("__bs"))
+    val e2 = kept.select(col("__l"), col("__r").as("id_b"))
+    e1.join(e2, Seq("__l"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__w", element_at(weights, col("__bs").cast("int")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("cn"), sum(col("__w")).as("aa_micro"))
+      .join(deg.select(col("__r").as("id_a"), col("__d").as("__da")),
+        Seq("id_a"))
+      .join(deg.select(col("__r").as("id_b"), col("__d").as("__db")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cn"), col("aa_micro"),
+        div(col("cn") * 1000000L, col("__da") + col("__db") - col("cn"))
+          .as("jaccard_ppm"))
+  }
 }

@@ -659,4 +659,79 @@ object SimilarityOps {
       .orderBy(col("cos_micro").desc, col(idCol))
       .limit(k)
   }
+
+  /** Maximal Marginal Relevance re-ranking (diversity-aware top-k —
+    * the retrieval stage that keeps near-duplicate passages from
+    * crowding a context window): greedily pick k candidates maximizing
+    * `λ·rel − (1e6−λ)·maxSimToSelected` in exact integer micro units
+    * (ties to the lower id, so every engine picks identically).
+    *
+    * Contract: `candidates` is a BOUNDED shortlist (an ANN/brute-force
+    * top-N cut upstream — MMR re-ranks retrieval output, it does not
+    * scan corpora). Each of the k rounds is one TakeOrdered(1) pick +
+    * one broadcast 1-row cross join updating the running max-similarity
+    * column — k·|candidates| cosine evaluations total, the textbook
+    * cost; per-round checkpoint keeps the lineage flat. First pick has
+    * maxSim = 0, i.e. pure relevance.
+    *
+    * Output: (rank, id, rel, max_sim_micro, score) for the k picks in
+    * selection order — `score` is the value that won the round.
+    */
+  def mmrTopK(
+      candidates: DataFrame, idCol: String, embCol: String,
+      relCol: String, k: Int, lambdaPpm: Long): DataFrame = {
+    require(k >= 1 && k <= 1000, "k in [1, 1000]")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      "lambdaPpm in [0, 1e6]")
+    val spark = candidates.sparkSession
+    var pool = candidates
+      .select(col(idCol).as("__id"), col(embCol).as("__e"),
+        col(relCol).cast("long").as("__rel"))
+      .withColumn("__ms", lit(0L))
+    val picks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Any, Long, Long, Long)] // rank, id, rel, ms, score
+    var i = 0
+    while (i < k) {
+      val scored = pool.withColumn("__score",
+        lit(lambdaPpm) * col("__rel") -
+          lit(1000000L - lambdaPpm) * col("__ms"))
+      val top = scored
+        .orderBy(col("__score").desc, col("__id").asc)
+        .limit(1).collect()
+      if (top.isEmpty) { i = k } // pool exhausted
+      else {
+        val r = top.head
+        picks += ((i + 1L, r.get(0), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        val pick = spark.createDataFrame(
+          java.util.Collections.singletonList(
+            org.apache.spark.sql.Row(r.get(1))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__pe",
+              pool.schema("__e").dataType))))
+        pool = Checkpointer.checkpoint(
+          pool.filter(col("__id") =!= lit(r.get(0)))
+            .crossJoin(broadcast(pick))
+            .withColumn("__ms",
+              greatest(col("__ms"), cosineMicro(col("__e"), col("__pe"))))
+            .drop("__pe"))
+        i += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      picks.map(p => org.apache.spark.sql.Row(
+        p._1, p._2, p._3, p._4, p._5)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("id",
+          candidates.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("rel",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("max_sim_micro",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 }

@@ -937,7 +937,54 @@ object DedupQueries {
           maxDist = 1, totalBits = 32, hotCap = 64)
         .select($"id_a", $"id_b", $"dist".cast("long").as("dist"))
         .orderBy($"id_a", $"id_b")
+    },
+
+    // Link prediction over the order→part basket graph
+    // (GraphOps.bipartiteLinkScores): common-neighbor count, integer
+    // Adamic–Adar (Σ 1e6 div log2(basket) — literal Q20-log weight
+    // table, the q191 idiom), and posting-Jaccard per co-purchased part
+    // pair. Candidate generation is the wedge equi-join on the order id
+    // with oversized baskets dropped whole (hot-center cap — never
+    // fires on ≤7-line TPC-H orders, spec-covered separately); top-100
+    // by (aa, ids) travels in the hash.
+    GraftQuery(
+      "q248_link_prediction",
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |bs AS (SELECT o, COUNT(*) AS bsz FROM e GROUP BY o),
+         |kept AS (
+         |  SELECT e.o, e.p, bs.bsz FROM e JOIN bs USING (o)
+         |  WHERE bsz BETWEEN 2 AND 64),
+         |wt(bsz, w) AS (VALUES ${DedupQueries.AaWeightValues}),
+         |pairs AS (
+         |  SELECT a.p AS id_a, b.p AS id_b, COUNT(*) AS cn,
+         |    CAST(SUM(wt.w) AS BIGINT) AS aa_micro
+         |  FROM kept a JOIN kept b ON a.o = b.o AND a.p < b.p
+         |  JOIN wt ON wt.bsz = a.bsz
+         |  GROUP BY 1, 2),
+         |deg AS (SELECT p, COUNT(*) AS d FROM kept GROUP BY p)
+         |SELECT id_a, id_b, CAST(cn AS BIGINT) AS cn, aa_micro,
+         |  CAST(cn * 1000000 // (da.d + db.d - cn) AS BIGINT)
+         |    AS jaccard_ppm
+         |FROM pairs JOIN deg da ON da.p = id_a JOIN deg db ON db.p = id_b
+         |ORDER BY aa_micro DESC, id_a, id_b LIMIT 100""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      graft.ops.GraphOps.bipartiteLinkScores(
+          Tables.load(s, dir, "lineitem")
+            .select($"l_orderkey", $"l_partkey"),
+          "l_orderkey", "l_partkey", maxBasket = 64)
+        .orderBy($"aa_micro".desc, $"id_a", $"id_b")
+        .limit(100)
     })
+
+  /** (bsz, weight) literal rows shared verbatim by the Spark op (via
+    * `EvalOps.aaWeightsMicro`) and the q248 oracle SQL.
+    */
+  private[queries] lazy val AaWeightValues: String = {
+    val w = graft.ops.EvalOps.aaWeightsMicro(64)
+    (2 to 64).map(s => s"($s, ${w(s - 1)})").mkString(", ")
+  }
 }
 
 /** Unrolled-iteration DuckDB replays for the graph gates — same

@@ -824,5 +824,62 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w).cast("long"))
         .where($"rank" <= 3L)
         .orderBy($"anchor_id", $"rank")
+    },
+
+    // MMR diversity re-ranking (SimilarityOps.mmrTopK): greedy
+    // λ·rel − (1−λ)·maxSimToSelected over a top-20 relevance shortlist,
+    // k = 5, λ = 0.7 — exact integer micro scores, ties to the lower
+    // id. The oracle unrolls the five greedy rounds as chained CTEs
+    // (argmax → pool minus pick → running GREATEST max-sim), the same
+    // fixed-round replay idiom as PageRank3. The 1-row pick cross joins
+    // are the q96 scalar pattern (PlansSpec sanction).
+    GraftQuery(
+      "q249_mmr_rerank",
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT c.vec_id AS id, c.embedding,
+         |    CAST(${duckCosMicro("c", "q")} AS BIGINT) AS rel
+         |  FROM embeddings c CROSS JOIN q WHERE c.vec_id != 0
+         |  ORDER BY rel DESC, id LIMIT 20),
+         |p0 AS (SELECT id, embedding, rel, CAST(0 AS BIGINT) AS ms
+         |       FROM cand),
+         |${SimilarityQueries.mmrRoundsSql(5, 700000L)}
+         |SELECT * FROM (
+         |  ${(1 to 5).map(i =>
+             s"SELECT CAST($i AS BIGINT) AS rank, id, rel, " +
+               s"ms AS max_sim_micro, score FROM s$i")
+             .mkString(" UNION ALL ")})
+         |ORDER BY rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      val qv = e.filter($"vec_id" === 0L).select($"embedding".as("qvec"))
+      val cand = e.filter($"vec_id" =!= 0L)
+        .crossJoin(broadcast(qv))
+        .select($"vec_id", $"embedding",
+          SimilarityOps.cosineMicro($"embedding", $"qvec").as("rel"))
+        .orderBy($"rel".desc, $"vec_id").limit(20)
+      SimilarityOps.mmrTopK(cand, "vec_id", "embedding", "rel",
+          k = 5, lambdaPpm = 700000L)
+        .select($"rank", $"id".cast("long").as("id"), $"rel",
+          $"max_sim_micro", $"score")
+        .orderBy($"rank")
     })
+
+  /** Unrolled MMR rounds for the q249 oracle: round i picks the
+    * (score, id)-argmax from pool i−1, then folds the pick's cosine
+    * into every survivor's running max.
+    */
+  private[queries] def mmrRoundsSql(k: Int, lambdaPpm: Long): String =
+    (1 to k).map { i =>
+      val prev = s"p${i - 1}"
+      s"""s$i AS (
+         |  SELECT id, embedding, rel, ms,
+         |    $lambdaPpm * rel - ${1000000L - lambdaPpm} * ms AS score
+         |  FROM $prev ORDER BY score DESC, id LIMIT 1),
+         |p$i AS (
+         |  SELECT p.id, p.embedding, p.rel,
+         |    GREATEST(p.ms, CAST(${duckCosMicro("p", "s")} AS BIGINT))
+         |      AS ms
+         |  FROM $prev p CROSS JOIN s$i s WHERE p.id != s.id)""".stripMargin
+    }.mkString(",\n")
 }

@@ -537,6 +537,35 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got === ref)
   }
 
+  test("bipartiteLinkScores: hand-computed CN/AA/Jaccard on a small " +
+       "basket fixture; size-1 baskets emit nothing; the basket cap " +
+       "drops oversized baskets WHOLE (degrees included)") {
+    val edges = Seq(
+      ("o1", "a"), ("o1", "b"), ("o1", "c"),
+      ("o2", "a"), ("o2", "b"),
+      ("o3", "b"), ("o3", "c"), ("o3", "d"),
+      ("o4", "x") // size-1: no wedges, no degree contribution
+    ).toDF("o", "p")
+    val w = graft.ops.EvalOps.aaWeightsMicro(64)
+    val w2 = w(1); val w3 = w(2)
+    assert(w2 === 1000000L, "log2(2) is exact in Q20")
+    val got = GraphOps.bipartiteLinkScores(edges, "o", "p")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got(("a", "b")) === ((2L, w3 + w2, 666666L)))
+    assert(got(("a", "c")) === ((1L, w3, 333333L)))
+    assert(got(("b", "c")) === ((2L, 2 * w3, 666666L)))
+    assert(got(("b", "d")) === ((1L, w3, 333333L)))
+    assert(got(("c", "d")) === ((1L, w3, 500000L)))
+    assert(got.size === 5)
+    // cap = 2: both size-3 baskets drop whole; only o2 survives, and
+    // the Jaccard degrees shrink with it (a and b now have degree 1)
+    val capped = GraphOps.bipartiteLinkScores(edges, "o", "p",
+        maxBasket = 2)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(capped.toSeq === Seq(("a", "b", 1L, w2, 1000000L)))
+  }
+
   test("reliable-checkpoint mode: with a configured checkpoint dir the " +
        "iterative loops write REAL reliable checkpoints (executor-loss " +
        "-safe) and produce bit-identical results to local mode") {

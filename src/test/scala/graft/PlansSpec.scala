@@ -295,6 +295,87 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("LSH index DELETE (right-to-be-forgotten): tombstoned probe ≡ " +
+       "rebuild-without-deleted, the corpus side still never shuffles, " +
+       "and compaction folds the tombstones into the layout") {
+    import graft.ops.{BucketingOps, DedupOps, TextOps}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sh = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", TextOps.shingleHashes($"text", 3).as("hashes"))
+    val sig = DedupOps.minhashSignatures(sh, "doc_id", "hashes", 16)
+      .localCheckpoint()
+    BucketingOps.writeBucketed(
+      DedupOps.lshBandKeyTable(
+        sig.filter($"doc_id" < 400), "doc_id", "sig", bands = 4, rows = 4),
+      "graft_del_lsh_idx", Seq("band", "bh"), nBuckets = 4)
+    // forget every doc_id ≡ 0 (mod 7) — ids that DO participate in pairs
+    val deleted = sig.filter($"doc_id" < 400 && $"doc_id" % 7 === 0)
+      .select($"doc_id")
+    DedupOps.removeFromLshIndex(spark, "graft_del_lsh_idx",
+      deleted, "doc_id")
+    // reference: a from-scratch index over corpus ∖ deleted
+    BucketingOps.writeBucketed(
+      DedupOps.lshBandKeyTable(
+        sig.filter($"doc_id" < 400 && $"doc_id" % 7 =!= 0),
+        "doc_id", "sig", bands = 4, rows = 4),
+      "graft_del_lsh_ref", Seq("band", "bh"), nBuckets = 4)
+    val active = DedupOps.activeLshIndex(spark, "graft_del_lsh_idx",
+      "doc_id")
+    val keyset = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"band", $"bh", $"doc_id")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(keyset(active) === keyset(spark.table("graft_del_lsh_ref")))
+    // probing the tombstoned index = probing the rebuilt one, and the
+    // broadcast anti-join adds no corpus-side ShuffleExchange
+    val probe = sig.filter($"doc_id" >= 400)
+    val pairs = DedupOps.lshCandidatePairsIncrementalIndexed(
+      active, probe, "doc_id", "sig", bands = 4, rows = 4)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = pairs.queryExecution.executedPlan
+      def hasBucketScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collectFirst {
+          case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+        }.isDefined
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      // only shuffles whose own subtree carries the bucketed corpus
+      // scan count — the tombstone distinct's |deleted|-sized exchange
+      // under the broadcast side is not a corpus shuffle
+      val corpusSideShuffles = joins.flatMap(_.children)
+        .filter(hasBucketScan)
+        .flatMap(_.collect {
+          case s: ShuffleExchangeExec if hasBucketScan(s) => s
+        })
+      assert(corpusSideShuffles.isEmpty,
+        s"corpus-side shuffle found:\n$plan")
+      val viaRef = DedupOps.lshCandidatePairsIncrementalIndexed(
+          spark.table("graft_del_lsh_ref"), probe,
+          "doc_id", "sig", bands = 4, rows = 4)
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.as[(Long, Long)].collect().toSet === viaRef)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+    // compaction: layout now equals the reference index, tombstones
+    // cleared (activeLshIndex reads the bare table again)
+    DedupOps.compactLshIndex(spark, "graft_del_lsh_idx", "doc_id",
+      nBuckets = 4)
+    assert(keyset(spark.table("graft_del_lsh_idx")) ===
+      keyset(spark.table("graft_del_lsh_ref")))
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val tomb = new org.apache.hadoop.fs.Path(
+      warehouse + "/graft_del_lsh_idx__tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(tomb), "compaction must clear the tombstones")
+  }
+
   test("q03 semi join stays a semi join (no inner-join row explosion)") {
     val p = plan("q03_semi_join")
     assert(p.contains("LeftSemi"), p)
@@ -415,7 +496,11 @@ class PlansSpec extends SparkTestBase {
         // q217 crosses the multiplicity histogram with its ONE-row
         // total-count aggregate (q96 scalar pattern — replaced the
         // global OVER () window when the CDF moved to prefixSums)
-        "q217_skew_profile")
+        "q217_skew_profile",
+        // q249 crosses the ≤20-row candidate shortlist with the 1-row
+        // query vector and, per MMR round, with the 1-row pick (q121
+        // pattern; rounds are k=5 by construction)
+        "q249_mmr_rerank")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
