@@ -249,6 +249,42 @@ object CurationOps {
       .drop("__rate_ppm")
   }
 
+  /** Temperature-smoothed mixture sampling at α = 0.5 (the standard
+    * multilingual rebalancing: target share ∝ count^α flattens the
+    * head without exploding the tail — α = 0.5 makes the smoothing an
+    * exact integer sqrt, no transcendental drift): class keep-rate =
+    * min(1e6, nTarget·√c_i·1e6 div (Σ_j √c_j · c_i)) ppm, keep
+    * decision the same pure (key, salt) hash as [[mixtureSample]].
+    *
+    * √ is floor(IEEE sqrt(double)) — exact floor for any count below
+    * 2^50 (sqrt of an exact small integer is correctly rounded and an
+    * irrational true root sits ≥ 1/(2√c) from the nearest integer,
+    * far beyond the ulp), so both engines derive identical rates.
+    * Class spine is |classes|-sized; totals attach as a broadcast
+    * 1-row aggregate.
+    */
+  def temperatureMixtureSample(
+      df: DataFrame, keyCol: String, classCol: String, nTarget: Long,
+      salt: String): DataFrame = {
+    require(nTarget > 0, "nTarget must be positive")
+    val div = graft.functions.GraftColumns.longDiv _
+    val sq = df.groupBy(col(classCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__s", floor(sqrt(col("__c").cast("double")))
+        .cast("long"))
+    val tot = sq.agg(sum(col("__s")).as("__ts"))
+    val rates = sq.crossJoin(broadcast(tot))
+      .withColumn("__rate_ppm", least(lit(1000000L),
+        div(lit(nTarget) * col("__s") * 1000000L,
+          col("__ts") * col("__c"))))
+      .select(col(classCol), col("__rate_ppm"))
+    val h = pmod(TextOps.polyHash(
+      concat(col(keyCol).cast("string"), lit(":" + salt))), lit(1000000L))
+    df.join(broadcast(rates), Seq(classCol))
+      .filter(h < col("__rate_ppm"))
+      .drop("__rate_ppm")
+  }
+
   /** Deterministic source-weighted UPSAMPLING (epoch mixing — the
     * "2.7 epochs of source A" step of a pre-training data recipe, the
     * complement of [[mixtureSample]]'s down-sampling): every document
@@ -708,5 +744,128 @@ object CurationOps {
       .filter(col("__cum") >= graft.functions.GraftColumns.longDiv(
         col("__n") + 1, lit(2L)))
       .groupBy(col(groupCol)).agg(min(col("__v")).as("__median"))
+  }
+
+  /** Gopher-family repetition filters (Rae et al. 2021 §A1.1, the
+    * duplicate-n-gram half of [[gopherQualityFlags]]): per document,
+    *
+    *  - `top2_frac_milli`: characters covered by the most frequent word
+    *    2-gram (count × gram length, space included) per mille of total
+    *    word characters — boilerplate loops repeat one phrase;
+    *  - `dup3_frac_milli`: characters in word 3-grams occurring ≥ 2
+    *    times (count × gram length summed over such grams) per mille —
+    *    broader templating.
+    *
+    * Exact integer definition (stated here because published
+    * implementations differ on overlap accounting: this one counts
+    * count × len per gram, not deduplicated character spans). Shape:
+    * explode → map-side-combined (doc, gram) counts → one argmax/sum
+    * aggregate back to the doc — two key-partitioned shuffles, no
+    * per-doc quadratic HOFs. Thresholds (top2 > 200‰, dup3 > 100‰ →
+    * drop) follow the paper.
+    */
+  def repetitionStats(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val div = graft.functions.GraftColumns.longDiv _
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+    val base = df.select(col(idCol), col(textCol))
+      .withColumn("__w", words)
+      .withColumn("__chars",
+        aggregate(col("__w"), lit(0L), (acc, w) => acc + length(w)))
+      .select(col(idCol), col("__w"), col("__chars"))
+    def gramCounts(n: Int) = base
+      .select(col(idCol), col("__chars"),
+        explode(when(size(col("__w")) >= n,
+          transform(sequence(lit(1), size(col("__w")) - lit(n - 1)),
+            i => concat_ws(" ", slice(col("__w"), i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"), min(col("__chars")).as("__chars"))
+    // top 2-gram by (count, gram) — the q246 struct-argmax idiom, ties
+    // to the lexicographically LARGER gram (hash-stable on any engine)
+    val top2 = gramCounts(2)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__c"), col("__g"))).as("__m"),
+        min(col("__chars")).as("__chars"))
+      .select(col(idCol),
+        (col("__m.__c") * length(col("__m.__g"))).as("__t2chars"),
+        col("__chars"))
+    val dup3 = gramCounts(3)
+      .filter(col("__c") >= 2L)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c") * length(col("__g"))).as("__d3chars"))
+    base.select(col(idCol), col("__chars"))
+      .join(top2.drop("__chars"), Seq(idCol), "left")
+      .join(dup3, Seq(idCol), "left")
+      .select(col(idCol),
+        col("__chars").as("word_chars"),
+        when(col("__chars") > 0L, div(
+          coalesce(col("__t2chars"), lit(0L)) * 1000L, col("__chars")))
+          .otherwise(0L).as("top2_frac_milli"),
+        when(col("__chars") > 0L, div(
+          coalesce(col("__d3chars"), lit(0L)) * 1000L, col("__chars")))
+          .otherwise(0L).as("dup3_frac_milli"))
+      .withColumn("keep",
+        col("top2_frac_milli") <= 200L && col("dup3_frac_milli") <= 100L)
+  }
+
+  /** Gopher-family composite quality rules (Rae et al. 2021 §A1.1 —
+    * the third published rule set next to the C4 (q68/q69) and
+    * RefinedWeb (q110) gates): per-document boolean flags for the seven
+    * classic filters, all exact integer/string arithmetic so every
+    * engine evaluates identically —
+    *
+    *  - `ok_words`: 50 ≤ word count ≤ 100 000
+    *  - `ok_mean_wlen`: mean word length in [3, 10] chars (milli-exact)
+    *  - `ok_symbol`: words containing '#' or '...' ≤ 10% of words
+    *  - `ok_bullet`: ≤ 10% of non-blank lines start with a bullet
+    *  - `ok_ellipsis`: ≤ 30% of non-blank lines end with '...'
+    *  - `ok_alpha`: ≥ 80% of words contain an ASCII letter
+    *  - `ok_stop`: ≥ 2 distinct stop words present
+    *
+    * plus `keep` = all seven. One projection pass, no shuffle — the
+    * rules run inside the scan stage (line-less documents pass the line
+    * rules vacuously: 0 ≤ 0).
+    */
+  def gopherQualityFlags(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val div = graft.functions.GraftColumns.longDiv _
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+    val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    val out = df.select(col(idCol), col(textCol))
+      .withColumn("__w", words)
+      .withColumn("__l", lines)
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("__chars",
+        aggregate(col("__w"), lit(0L), (acc, w) => acc + length(w)))
+      .withColumn("mean_wlen_milli",
+        when(col("n_words") > 0L,
+          div(col("__chars") * 1000L, col("n_words"))).otherwise(0L))
+      .withColumn("__sym", size(filter(col("__w"),
+        w => w.contains("#") || w.contains("..."))).cast("long"))
+      .withColumn("__alpha", size(filter(col("__w"),
+        w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("__nl", size(col("__l")).cast("long"))
+      .withColumn("__bul", size(filter(col("__l"), l =>
+        substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("long"))
+      .withColumn("__ell", size(filter(col("__l"),
+        l => rtrim(l).endsWith("..."))).cast("long"))
+      .withColumn("__stop", size(array_intersect(
+        transform(col("__w"), w => lower(w)),
+        typedLit(stop))).cast("long"))
+    out.select(col(idCol),
+      col("n_words"), col("mean_wlen_milli"),
+      (col("n_words") >= 50L && col("n_words") <= 100000L).as("ok_words"),
+      col("mean_wlen_milli").between(3000L, 10000L).as("ok_mean_wlen"),
+      (col("__sym") * 10L <= col("n_words")).as("ok_symbol"),
+      (col("__bul") * 10L <= col("__nl")).as("ok_bullet"),
+      (col("__ell") * 10L <= col("__nl") * 3L).as("ok_ellipsis"),
+      (col("__alpha") * 10L >= col("n_words") * 8L).as("ok_alpha"),
+      (col("__stop") >= 2L).as("ok_stop"))
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_wlen") && col("ok_symbol") &&
+          col("ok_bullet") && col("ok_ellipsis") && col("ok_alpha") &&
+          col("ok_stop"))
   }
 }

@@ -1398,6 +1398,171 @@ object CurationQueries {
         .select($"i".as("event_type"), $"j".as("dow"), $"c",
           $"contrib_q20", $"mi_microbits")
         .orderBy($"event_type", $"dow")
+    },
+
+    // Gopher-family composite quality rules (Rae et al. 2021 — the
+    // third published rule set next to C4 q68/q69 and RefinedWeb q110):
+    // seven per-doc boolean filters + keep, all integer/string-exact
+    // (CurationOps.gopherQualityFlags). The line rules are exercised
+    // for real by deterministic seeding: every 5th doc gets a bullet
+    // line prepended, every 7th an ellipsis line appended — both
+    // engines build the same text.
+    GraftQuery(
+      "q250_gopher_rules",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN '- promo bullet' || chr(10)
+        |      ELSE '' END) || text ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'to be continued...'
+        |      ELSE '' END) AS t
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(t, '\s+'), w -> w <> '') AS w,
+        |    list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS l
+        |  FROM seeded),
+        |m AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CASE WHEN len(w) > 0 THEN
+        |      CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)
+        |        * 1000 // len(w)
+        |    ELSE 0 END AS mean_wlen_milli,
+        |    len(list_filter(w, x -> contains(x, '#')
+        |      OR contains(x, '...'))) AS sym,
+        |    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS alpha,
+        |    len(l) AS nl,
+        |    len(list_filter(l, x -> starts_with(ltrim(x), '-')
+        |      OR starts_with(ltrim(x), '*')
+        |      OR starts_with(ltrim(x), '•'))) AS bul,
+        |    len(list_filter(l, x -> ends_with(rtrim(x), '...'))) AS ell,
+        |    len(list_filter(['the','be','to','of','and','that','have',
+        |      'with'], s -> list_contains(
+        |        list_transform(w, x -> lower(x)), s))) AS stp
+        |  FROM feat)
+        |SELECT doc_id, n_words,
+        |  CAST(mean_wlen_milli AS BIGINT) AS mean_wlen_milli,
+        |  n_words BETWEEN 50 AND 100000 AS ok_words,
+        |  mean_wlen_milli BETWEEN 3000 AND 10000 AS ok_mean_wlen,
+        |  sym * 10 <= n_words AS ok_symbol,
+        |  bul * 10 <= nl AS ok_bullet,
+        |  ell * 10 <= nl * 3 AS ok_ellipsis,
+        |  alpha * 10 >= n_words * 8 AS ok_alpha,
+        |  stp >= 2 AS ok_stop,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND (mean_wlen_milli BETWEEN 3000 AND 10000)
+        |    AND sym * 10 <= n_words AND bul * 10 <= nl
+        |    AND ell * 10 <= nl * 3 AND alpha * 10 >= n_words * 8
+        |    AND stp >= 2 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val seeded = Tables.load(s, dir, "documents")
+        .select($"doc_id", concat(
+          when($"doc_id" % 5 === 0, lit("- promo bullet\n"))
+            .otherwise(lit("")),
+          $"text",
+          when($"doc_id" % 7 === 0, lit("\nto be continued..."))
+            .otherwise(lit(""))).as("t"))
+      CurationOps.gopherQualityFlags(seeded, "doc_id", "t")
+        .orderBy($"doc_id")
+    },
+
+    // Gopher repetition filters (CurationOps.repetitionStats): top
+    // 2-gram and duplicate-3-gram character fractions per doc, exact
+    // integer milli. Every 4th doc gets a repeated phrase appended so
+    // both filters fire for real on this corpus; argmax ties resolve
+    // by the q246 struct idiom on both engines.
+    GraftQuery(
+      "q251_repetition_filter",
+      """WITH seeded AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 4 = 0
+        |    THEN repeat(' click here to win', 8) ELSE '' END AS t
+        |  FROM documents),
+        |wl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS w
+        |  FROM seeded),
+        |chars AS (
+        |  SELECT doc_id, w,
+        |    COALESCE(CAST(list_sum(list_transform(w, x -> len(x)))
+        |      AS BIGINT), 0) AS wc
+        |  FROM wl),
+        |g2 AS (
+        |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        |  FROM chars, unnest(generate_series(1, len(w) - 1)) AS u(i)
+        |  WHERE len(w) >= 2),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        |t2 AS (
+        |  SELECT doc_id, c * len(g) AS t2chars FROM (
+        |    SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY c DESC, g DESC) AS rk
+        |    FROM c2) WHERE rk = 1),
+        |g3 AS (
+        |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |  FROM chars, unnest(generate_series(1, len(w) - 2)) AS u(i)
+        |  WHERE len(w) >= 3),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+        |d3 AS (
+        |  SELECT doc_id, CAST(SUM(c * len(g)) AS BIGINT) AS d3chars
+        |  FROM c3 WHERE c >= 2 GROUP BY 1)
+        |SELECT chars.doc_id, wc AS word_chars,
+        |  CASE WHEN wc > 0 THEN COALESCE(t2chars, 0) * 1000 // wc
+        |    ELSE 0 END AS top2_frac_milli,
+        |  CASE WHEN wc > 0 THEN COALESCE(d3chars, 0) * 1000 // wc
+        |    ELSE 0 END AS dup3_frac_milli,
+        |  (CASE WHEN wc > 0 THEN COALESCE(t2chars, 0) * 1000 // wc
+        |     ELSE 0 END) <= 200
+        |  AND (CASE WHEN wc > 0 THEN COALESCE(d3chars, 0) * 1000 // wc
+        |     ELSE 0 END) <= 100 AS keep
+        |FROM chars
+        |LEFT JOIN t2 ON t2.doc_id = chars.doc_id
+        |LEFT JOIN d3 ON d3.doc_id = chars.doc_id
+        |ORDER BY chars.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val seeded = Tables.load(s, dir, "documents")
+        .select($"doc_id", concat($"text",
+          when($"doc_id" % 4 === 0,
+            concat_ws("", (1 to 8).map(_ =>
+              lit(" click here to win")): _*)).otherwise(lit("")))
+          .as("t"))
+      CurationOps.repetitionStats(seeded, "doc_id", "t")
+        .orderBy($"doc_id")
+    },
+
+    // Temperature-smoothed mixture at α = 0.5
+    // (CurationOps.temperatureMixtureSample): per-lang keep-rates
+    // ∝ √count — the multilingual head-flattening recipe — realized
+    // with the q102 pure-hash keep. Exact kept SET per lang travels in
+    // the hash (n + id-sum).
+    GraftQuery(
+      "q252_temperature_mix",
+      s"""WITH cnt AS (
+         |  SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+         |sq AS (
+         |  SELECT lang, c,
+         |    CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS s
+         |  FROM cnt),
+         |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS ts FROM sq),
+         |r AS (
+         |  SELECT lang,
+         |    LEAST(1000000, (400 * s * 1000000) // (ts * c)) AS rate_ppm
+         |  FROM sq CROSS JOIN tot),
+         |kept AS (
+         |  SELECT d.lang, d.doc_id
+         |  FROM documents d JOIN r ON d.lang = r.lang
+         |  WHERE ${duckPolyHash("CAST(doc_id AS VARCHAR) || ':temp1'")}
+         |        % 1000000 < r.rate_ppm)
+         |SELECT lang, COUNT(*) AS n_kept,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      CurationOps.temperatureMixtureSample(
+          Tables.load(s, dir, "documents"),
+          "doc_id", "lang", nTarget = 400L, salt = "temp1")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang")
     })
 
   private def runValidation(

@@ -506,4 +506,75 @@ class CurationOpsSpec extends SparkTestBase {
         s"partitions=$p")
     }
   }
+  test("gopherQualityFlags: hand-checked rule flags — a healthy doc " +
+       "keeps, bullet/symbol/short docs fail their specific rule, and " +
+       "line-less docs pass the line rules vacuously") {
+    val good = (("the quick brown fox jumps over and that have with " * 6)
+      .trim) // 60 words, all alpha, two+ stopwords, no lines
+    val bullets = "- one\n- two\n- three\nplain line of text here"
+    val symbols = ("tag# " * 60).trim
+    val short = "tiny doc"
+    val rows = Seq((1L, good), (2L, bullets), (3L, symbols), (4L, short))
+      .toDF("id", "t")
+    val got = CurationOps.gopherQualityFlags(rows, "id", "t")
+      .orderBy($"id").collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep"), byId(1L).toString)
+    assert(!byId(2L).getAs[Boolean]("ok_bullet"), byId(2L).toString)
+    assert(!byId(3L).getAs[Boolean]("ok_symbol"), byId(3L).toString)
+    assert(!byId(4L).getAs[Boolean]("ok_words"), byId(4L).toString)
+    // good doc has no newline: 1 non-blank line, 0 bullets -> vacuous
+    assert(byId(1L).getAs[Boolean]("ok_bullet"))
+    // word count exact: 60
+    assert(byId(1L).getAs[Long]("n_words") === 60L)
+  }
+
+  test("repetitionStats: hand-computed top-2-gram and dup-3-gram " +
+       "fractions; unique text scores 0; sub-2-word docs are zeros") {
+    // "a b a b a b": words=6, chars=6; 2-grams: "a b"x3, "b a"x2 ->
+    // top2 = 3*3=9 chars -> 1500 milli of 6; 3-grams: "a b a"x2,
+    // "b a b"x2 -> dup3 = 4*5=20 -> 3333 milli
+    val rows = Seq(
+      (1L, "a b a b a b"),
+      (2L, "every word here is totally unique"),
+      (3L, "solo")).toDF("id", "t")
+    val got = CurationOps.repetitionStats(rows, "id", "t")
+      .orderBy($"id")
+      .select($"id", $"word_chars", $"top2_frac_milli",
+        $"dup3_frac_milli", $"keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got(0) === ((1L, 6L, 1500L, 3333L, false)))
+    // unique text: every 2-gram count 1 — argmax ties to the
+    // lexicographically largest gram, "word here" (9 chars of 28 word
+    // chars = 321‰). NB the top2 rule intentionally over-fires on tiny
+    // docs (one bigram IS a large char fraction) — the length rule
+    // (gopherQualityFlags ok_words ≥ 50) screens those first.
+    assert(got(1) === ((2L, 28L, 321L, 0L, false)))
+    assert(got(2) === ((3L, 4L, 0L, 0L, true)))
+  }
+
+  test("temperatureMixtureSample: rates follow sqrt-count shares (head " +
+       "flattened vs proportional), keep set is a pure hash function " +
+       "(partitioning-invariant)") {
+    val rows = (1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 1000).map(i => (i.toLong, "small"))
+    val df = rows.toDF("id", "cls")
+    val kept = CurationOps.temperatureMixtureSample(
+        df, "id", "cls", nTarget = 200L, salt = "s1")
+      .select($"id").as[Long].collect().toSet
+    // expected rates: sqrt(900)=30, sqrt(100)=10, ts=40
+    // big: 200*30*1e6/(40*900) = 166666 ppm; small: 200*10*1e6/(40*100)
+    // = 500000 ppm -> small's keep-rate is 3x big's (flattening), where
+    // proportional sampling would give both 200000 ppm
+    val keptBig = kept.count(_ <= 900L)
+    val keptSmall = kept.size - keptBig
+    assert(keptSmall > keptBig / 4,
+      s"flattening must oversample the tail: $keptSmall vs $keptBig")
+    Seq(1, 13).foreach { p =>
+      val again = CurationOps.temperatureMixtureSample(
+          df.repartition(p), "id", "cls", nTarget = 200L, salt = "s1")
+        .select($"id").as[Long].collect().toSet
+      assert(again === kept, s"partitions=$p")
+    }
+  }
 }

@@ -500,7 +500,10 @@ class PlansSpec extends SparkTestBase {
         // q249 crosses the ≤20-row candidate shortlist with the 1-row
         // query vector and, per MMR round, with the 1-row pick (q121
         // pattern; rounds are k=5 by construction)
-        "q249_mmr_rerank")
+        "q249_mmr_rerank",
+        // q252 crosses the |classes|-row spine with its ONE-row
+        // √-count total (q96 scalar pattern)
+        "q252_temperature_mix")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
