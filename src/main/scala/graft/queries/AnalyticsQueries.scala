@@ -12,6 +12,14 @@ import graft.ops.{LayoutOps, SessionOps}
   */
 object AnalyticsQueries {
 
+  // polyHash of an ASCII string — DuckDB replica of the native fold
+  // (kept in lockstep with TextOps.polyHash; same helper as
+  // CurationQueries').
+  private[queries] def duckPolyHash(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($expr, ''), c -> ascii(c))),
+       |   (a,x) -> (a*31+x)%1000000007)""".stripMargin
+
   /** Benford first-digit probabilities, floored ppm:
     * ⌊log10(1 + 1/d)·1e6⌋ for d = 1..9 — fixed public constants,
     * consumed as identical literals by both engines (q185 pattern).
@@ -2442,6 +2450,89 @@ object AnalyticsQueries {
       fr.crossJoin(broadcast(m))
         .select($"source", $"first_rel", $"rr_ppm", $"mrr_ppm")
         .orderBy($"source")
+    },
+
+    // Cohen's kappa inter-rater agreement (label-quality eval for
+    // annotation pipelines): two deterministic raters over documents
+    // (lang = en vs n_chars ≥ 300), exact integer ppm — po, pe from
+    // the 2×2 confusion counts, κ = (po − pe)·1e6 div (1e6 − pe). One
+    // row; one map-side-combined aggregate.
+    GraftQuery(
+      "q253_cohens_kappa",
+      """WITH c AS (
+        |  SELECT
+        |    COUNT(*) FILTER (lang = 'en' AND n_chars >= 300) AS n11,
+        |    COUNT(*) FILTER (lang = 'en' AND n_chars < 300) AS n10,
+        |    COUNT(*) FILTER (lang <> 'en' AND n_chars >= 300) AS n01,
+        |    COUNT(*) FILTER (lang <> 'en' AND n_chars < 300) AS n00,
+        |    COUNT(*) AS n
+        |  FROM documents),
+        |p AS (
+        |  SELECT n11, n10, n01, n00, n,
+        |    (n11 + n00) * 1000000 // n AS po_ppm,
+        |    ((n11 + n10) * (n11 + n01)
+        |      + (n01 + n00) * (n10 + n00)) * 1000000 // (n * n) AS pe_ppm
+        |  FROM c)
+        |SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+        |  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+        |  CAST(po_ppm AS BIGINT) AS po_ppm, CAST(pe_ppm AS BIGINT) AS pe_ppm,
+        |  CASE WHEN pe_ppm < 1000000 THEN
+        |    CAST((po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+        |      AS BIGINT) END AS kappa_ppm
+        |FROM p""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val a = $"lang" === "en"
+      val b = $"n_chars" >= 300L
+      val c = Tables.load(s, dir, "documents").agg(
+        sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("n00"),
+        count(lit(1)).as("n"))
+      c.select($"n11", $"n10", $"n01", $"n00",
+          div(($"n11" + $"n00") * 1000000L, $"n").as("po_ppm"),
+          div((($"n11" + $"n10") * ($"n11" + $"n01") +
+            ($"n01" + $"n00") * ($"n10" + $"n00")) * 1000000L,
+            $"n" * $"n").as("pe_ppm"))
+        .withColumn("kappa_ppm",
+          when($"pe_ppm" < 1000000L,
+            div(($"po_ppm" - $"pe_ppm") * 1000000L,
+              lit(1000000L) - $"pe_ppm")))
+    },
+
+    // Group-aware train/val/test split (leakage-safe data prep: all of
+    // a user's events land in ONE split — the group key is hashed, not
+    // the row): 80/10/10 by pure hash, with the no-leakage property
+    // itself in the gate (n_users summed across splits must equal the
+    // distinct-user count, which the oracle computes independently).
+    GraftQuery(
+      "q254_group_split",
+      s"""WITH tagged AS (
+         |  SELECT user_id, event_id,
+         |    CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT user_id, event_id,
+         |      ${AnalyticsQueries.duckPolyHash(
+               "CAST(user_id AS VARCHAR) || ':split1'")} % 10 AS h
+         |    FROM events))
+         |SELECT split, COUNT(DISTINCT user_id) AS n_users,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(event_id) AS BIGINT) AS sum_event_ids
+         |FROM tagged GROUP BY split ORDER BY split""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val h = pmod(graft.ops.TextOps.polyHash(
+        concat($"user_id".cast("string"), lit(":split1"))), lit(10L))
+      Tables.load(s, dir, "events")
+        .withColumn("split",
+          when(h < 8, "train").when(h === 8, "val").otherwise("test"))
+        .groupBy($"split")
+        .agg(countDistinct($"user_id").as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum($"event_id").as("sum_event_ids"))
+        .orderBy($"split")
     })
 }
 

@@ -1563,6 +1563,50 @@ object CurationQueries {
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
+    },
+
+    // Packing MANIFEST (q71's downstream artifact: what a training
+    // loader actually consumes): per 2048-token sequence, the docs
+    // whose first token lands in it, their count/id range/token mass,
+    // and the sorted local boundary offsets — the attention-mask
+    // reset points — as a comma-joined string (engine-portable array
+    // rendering). Offsets come from the same range-partitioned prefix
+    // sums as q71; the oracle replays the one-reducer window.
+    GraftQuery(
+      "q255_packing_manifest",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(text, '\s+')) AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS ts
+        |  FROM t)
+        |SELECT CAST(ts // 2048 AS BIGINT) AS seq_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tokens_started,
+        |  array_to_string(list(ts % 2048 ORDER BY ts % 2048), ',')
+        |    AS boundaries
+        |FROM o GROUP BY 1 ORDER BY seq_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.tokenCount($"text").cast("long").as("n_tok"))
+      IdOps.packIntoSequences(
+          t, "n_tok", 2048L, "token_start", "seq_id", "doc_id")
+        .withColumn("local", $"token_start" % 2048L)
+        .groupBy($"seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"),
+          sum($"n_tok").as("tokens_started"),
+          array_join(array_sort(collect_list($"local")), ",")
+            .as("boundaries"))
+        .orderBy($"seq_id")
     })
 
   private def runValidation(
