@@ -577,4 +577,54 @@ class CurationOpsSpec extends SparkTestBase {
       assert(again === kept, s"partitions=$p")
     }
   }
+  test("prefixSums/prefixMaxes: random-data referee against the window " +
+       "formulation (inclusive + exclusive, multi-column), " +
+       "partitioning-invariant; empty input yields empty output") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      (i.toLong * 3 % 997, rnd.nextInt(100).toLong,
+        rnd.nextInt(100).toLong - 50L))
+    val df = rows.toDF("k", "a", "b")
+    val wCum = Window.orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPre = Window.orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = df
+      .withColumn("sa", sum($"a").over(wCum))
+      .withColumn("sb", sum($"b").over(wCum))
+      .withColumn("xa", coalesce(sum($"a").over(wPre), lit(0L)))
+      .withColumn("ma", max($"a").over(wPre)) // null on the first row
+      .select($"k", $"sa", $"sb", $"xa", $"ma")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSet
+    Seq(1, 13).foreach { p =>
+      val d = df.repartition(p)
+      val inc = IdOps.prefixSums(d, Seq("a", "b"), Seq("sa", "sb"),
+          inclusive = true, "k")
+        .select($"k", $"sa", $"sb")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val exc = IdOps.prefixSums(d, Seq("a"), Seq("xa"),
+          inclusive = false, "k")
+        .select($"k", $"xa").as[(Long, Long)].collect().toMap
+      val mx = IdOps.prefixMaxes(d, Seq("a"), Seq("ma"),
+          inclusive = false, "k")
+        .select($"k", $"ma").as[(Long, Option[Long])].collect().toMap
+      val got = inc.keySet.map(k =>
+        (k, inc(k)._1, inc(k)._2, exc(k), mx(k)))
+      assert(got === ref, s"partitions=$p")
+    }
+    // inclusive prefix max referee too
+    val wInc = Window.orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val refM = df.withColumn("m", max($"a").over(wInc))
+      .select($"k", $"m").as[(Long, Long)].collect().toMap
+    val gotM = IdOps.prefixMaxes(df, Seq("a"), Seq("m"),
+        inclusive = true, "k")
+      .select($"k", $"m").as[(Long, Long)].collect().toMap
+    assert(gotM === refM)
+    // empty input
+    assert(IdOps.prefixSums(df.filter($"k" < 0), Seq("a"), Seq("s"),
+      inclusive = true, "k").count() === 0L)
+  }
 }
