@@ -828,9 +828,12 @@ object CurationOps {
     * rules vacuously: 0 ≤ 0).
     */
   def gopherQualityFlags(
-      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = Seq(
+        "the", "be", "to", "of", "and", "that", "have", "with"))
+      : DataFrame = {
     val div = graft.functions.GraftColumns.longDiv _
-    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stop = stopwords
     val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
     val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
     val out = df.select(col(idCol), col(textCol))

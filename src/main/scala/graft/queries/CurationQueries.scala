@@ -1607,6 +1607,119 @@ object CurationQueries {
           array_join(array_sort(collect_list($"local")), ",")
             .as("boundaries"))
         .orderBy($"seq_id")
+    },
+
+    // CURATION → PACKING end-to-end (the composition finisher for the
+    // round-8 filter family, like q107/q149/q155 for their pipelines):
+    // Gopher quality rules AND repetition filters over the RAW corpus
+    // select the kept set, which packs into 2048-token sequences with
+    // the q255 manifest readout. Token counts are the filtered word
+    // counts (gopher's n_words) on both engines.
+    GraftQuery(
+      "q256_curation_pipeline",
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '')
+        |      AS w,
+        |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '')
+        |      AS l
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    COALESCE(CAST(list_sum(list_transform(w, x -> len(x)))
+        |      AS BIGINT), 0) AS wc,
+        |    CASE WHEN len(w) > 0 THEN
+        |      CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)
+        |        * 1000 // len(w)
+        |    ELSE 0 END AS mwl,
+        |    len(list_filter(w, x -> contains(x, '#')
+        |      OR contains(x, '...'))) AS sym,
+        |    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS alpha,
+        |    len(l) AS nl,
+        |    len(list_filter(l, x -> starts_with(ltrim(x), '-')
+        |      OR starts_with(ltrim(x), '*')
+        |      OR starts_with(ltrim(x), '•'))) AS bul,
+        |    len(list_filter(l, x -> ends_with(rtrim(x), '...'))) AS ell,
+        |    len(list_filter(['join','hash','row','scan','data','filter',
+        |      'batch','merge'], s -> list_contains(
+        |        list_transform(w, x -> lower(x)), s))) AS stp,
+        |    w
+        |  FROM feat),
+        |g2 AS (
+        |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        |  FROM m, unnest(generate_series(1, len(w) - 1)) AS u(i)
+        |  WHERE len(w) >= 2),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        |t2 AS (
+        |  SELECT doc_id, c * len(g) AS t2chars FROM (
+        |    SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY c DESC, g DESC) AS rk
+        |    FROM c2) WHERE rk = 1),
+        |g3 AS (
+        |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |  FROM m, unnest(generate_series(1, len(w) - 2)) AS u(i)
+        |  WHERE len(w) >= 3),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+        |d3 AS (
+        |  SELECT doc_id, CAST(SUM(c * len(g)) AS BIGINT) AS d3chars
+        |  FROM c3 WHERE c >= 2 GROUP BY 1),
+        |kept AS (
+        |  SELECT m.doc_id, m.n_words
+        |  FROM m
+        |  LEFT JOIN t2 ON t2.doc_id = m.doc_id
+        |  LEFT JOIN d3 ON d3.doc_id = m.doc_id
+        |  WHERE m.n_words BETWEEN 50 AND 100000
+        |    AND m.mwl BETWEEN 3000 AND 10000
+        |    AND m.sym * 10 <= m.n_words
+        |    AND m.bul * 10 <= m.nl
+        |    AND m.ell * 10 <= m.nl * 3
+        |    AND m.alpha * 10 >= m.n_words * 8
+        |    AND m.stp >= 2
+        |    AND (CASE WHEN wc > 0 THEN COALESCE(t2chars, 0) * 1000 // wc
+        |      ELSE 0 END) <= 200
+        |    AND (CASE WHEN wc > 0 THEN COALESCE(d3chars, 0) * 1000 // wc
+        |      ELSE 0 END) <= 100),
+        |o AS (
+        |  SELECT doc_id, n_words,
+        |    COALESCE(SUM(n_words) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS ts
+        |  FROM kept)
+        |SELECT CAST(ts // 2048 AS BIGINT) AS seq_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+        |  CAST(SUM(n_words) AS BIGINT) AS tokens_started,
+        |  array_to_string(list(ts % 2048 ORDER BY ts % 2048), ',')
+        |    AS boundaries
+        |FROM o GROUP BY 1 ORDER BY seq_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      // corpus-appropriate stop list (the conformance corpus is DB
+      // prose — English function words never appear; passing the
+      // domain's own high-frequency terms is exactly how the rule is
+      // deployed on a specialized corpus)
+      val g = CurationOps.gopherQualityFlags(docs, "doc_id", "text",
+          stopwords = Seq("join", "hash", "row", "scan",
+            "data", "filter", "batch", "merge"))
+        .select($"doc_id", $"n_words", $"keep".as("gk"))
+      val r = CurationOps.repetitionStats(docs, "doc_id", "text")
+        .select($"doc_id", $"keep".as("rk"))
+      val kept = g.join(r, Seq("doc_id"))
+        .filter($"gk" && $"rk")
+        .select($"doc_id", $"n_words".as("n_tok"))
+      IdOps.packIntoSequences(
+          kept, "n_tok", 2048L, "token_start", "seq_id", "doc_id")
+        .withColumn("local", $"token_start" % 2048L)
+        .groupBy($"seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"),
+          sum($"n_tok").as("tokens_started"),
+          array_join(array_sort(collect_list($"local")), ",")
+            .as("boundaries"))
+        .orderBy($"seq_id")
     })
 
   private def runValidation(
