@@ -299,4 +299,24 @@ class EmptyInputSpec extends SparkTestBase {
       Seq.empty[(Long, Long, Long)].toDF("a", "b", "w"), "a", "b", "w",
       Seq(1L).toDF("s"), "s", 2).count() === 1) // the seed itself
   }
+
+  test("round-8 operators degrade on empty input") {
+    import graft.ops.{CurationOps, IdOps, SimilarityOps}
+    val noEdges = Seq.empty[(String, String)].toDF("o", "p")
+    assert(GraphOps.bipartiteLinkScores(noEdges, "o", "p").count() === 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("id", "t")
+    assert(CurationOps.gopherQualityFlags(noDocs, "id", "t")
+      .count() === 0)
+    assert(CurationOps.repetitionStats(noDocs, "id", "t").count() === 0)
+    assert(CurationOps.temperatureMixtureSample(
+      Seq.empty[(Long, String)].toDF("id", "cls"), "id", "cls",
+      100L, "s").count() === 0)
+    val noCand = Seq.empty[(Long, Array[Float], Long)]
+      .toDF("id", "emb", "rel")
+    assert(SimilarityOps.mmrTopK(noCand, "id", "emb", "rel",
+      k = 3, lambdaPpm = 500000L).count() === 0)
+    assert(IdOps.prefixMaxes(
+      Seq.empty[(Long, Long)].toDF("k", "v"), Seq("v"), Seq("m"),
+      inclusive = false, "k").count() === 0)
+  }
 }

@@ -770,4 +770,40 @@ class TextDedupSimSpec extends SparkTestBase {
       assert(got === expected, s"partitions=$p")
     }
   }
+  test("mmrTopK: diversity beats equal relevance — with two equally " +
+       "relevant candidates, the one NEAR the first pick loses to the " +
+       "orthogonal one; lambda=1 degenerates to pure relevance order") {
+    // query direction (1,1): B (rel highest) is picked first; A is a
+    // near-duplicate of B, C is orthogonal to B with the SAME relevance
+    // as A -> MMR must pick C second and A last.
+    val cand = Seq(
+      (1L, Array(1f, 0f)),          // A: rel ~707k, cos(A,B) ~ 0.999
+      (2L, Array(0.999f, 0.045f)),  // B: rel ~738k (winner)
+      (3L, Array(0f, 1f))           // C: rel ~707k, cos(C,B) ~ 0.045
+    ).toDF("id", "emb")
+    val q = typedLit(Array(1f, 1f))
+    val scored = cand.withColumn("rel",
+      SimilarityOps.cosineMicro($"emb", q))
+    val got = SimilarityOps.mmrTopK(scored, "id", "emb", "rel",
+        k = 3, lambdaPpm = 700000L)
+      .select($"rank", $"id".cast("long"), $"max_sim_micro")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === Seq(2L, 3L, 1L),
+      s"pick order: ${got.mkString(",")}")
+    assert(got(0)._3 === 0L, "first pick has no diversity penalty")
+    assert(got(1)._3 < 100000L, "C is near-orthogonal to B")
+    assert(got(2)._3 > 900000L, "A is a near-dup of an earlier pick")
+    // lambda = 1e6: pure relevance order (B, then ties by rel/id)
+    val pure = SimilarityOps.mmrTopK(scored, "id", "emb", "rel",
+        k = 3, lambdaPpm = 1000000L)
+      .select($"rank", $"id".cast("long"), $"rel")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val relOrder = scored.select($"id", $"rel")
+      .as[(Long, Long)].collect()
+      .sortBy { case (id, r) => (-r, id) }.map(_._1).toSeq
+    assert(pure.map(_._2).toSeq === relOrder)
+    // k beyond the pool: returns the whole pool, no error
+    assert(SimilarityOps.mmrTopK(scored, "id", "emb", "rel",
+      k = 10, lambdaPpm = 700000L).count() === 3)
+  }
 }
