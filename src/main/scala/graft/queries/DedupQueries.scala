@@ -976,7 +976,7 @@ object DedupQueries {
           "l_orderkey", "l_partkey", maxBasket = 64)
         .orderBy($"aa_micro".desc, $"id_a", $"id_b")
         .limit(100)
-    })
+    }) :+ DedupReportGate
 
   /** (bsz, weight) literal rows shared verbatim by the Spark op (via
     * `EvalOps.aaWeightsMicro`) and the q248 oracle SQL.
@@ -984,6 +984,103 @@ object DedupQueries {
   private[queries] lazy val AaWeightValues: String = {
     val w = graft.ops.EvalOps.aaWeightsMicro(64)
     (2 to 64).map(s => s"($s, ${w(s - 1)})").mkString(", ")
+  }
+
+  /** q257's gate body appended via [[DedupReport]] below. */
+  private[queries] lazy val DedupReportGate: GraftQuery = {
+    // Corpus dedup-rate REPORT (pipeline observability: what a curation
+    // run logs after its dedup stage): q60's pair→component machinery
+    // reduced to corpus metrics — total docs, docs in ≥2-member
+    // clusters, cluster count, removable duplicates, dup rate ppm, and
+    // the cluster-SIZE histogram (bounded domain: sizes). Tagged-union
+    // rows (metric, k, v), the q217 readout shape; the rate row's
+    // 1-row×1-row cross is the q96 scalar pattern.
+    GraftQuery(
+      "q257_dedup_report",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, $DuckShingleHashes AS hashes FROM documents),
+         |inv AS (SELECT doc_id, unnest(hashes) AS h FROM sh),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+         |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(hashes) AS n FROM sh),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM shared
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE (shared*1000)//(sa.n + sb.n - shared) >= 500),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, node) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT src AS doc_id, MIN(node) AS component
+         |  FROM reach GROUP BY src),
+         |cs AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |agg AS (
+         |  SELECT COALESCE(CAST(SUM(sz) AS BIGINT), 0) AS n_clustered,
+         |    COUNT(*) AS n_clusters
+         |  FROM cs),
+         |rows_ AS (
+         |  SELECT 'size_hist' AS metric, sz AS k, COUNT(*) AS v
+         |  FROM cs GROUP BY sz
+         |  UNION ALL SELECT 'n_docs', -1, n_docs FROM tot
+         |  UNION ALL SELECT 'n_clustered', -1, n_clustered FROM agg
+         |  UNION ALL SELECT 'n_clusters', -1, n_clusters FROM agg
+         |  UNION ALL SELECT 'dup_removable', -1,
+         |    n_clustered - n_clusters FROM agg
+         |  UNION ALL SELECT 'dup_rate_ppm', -1,
+         |    (agg.n_clustered - agg.n_clusters) * 1000000 // tot.n_docs
+         |  FROM agg CROSS JOIN tot)
+         |SELECT metric, CAST(k AS BIGINT) AS k, CAST(v AS BIGINT) AS v
+         |FROM rows_ ORDER BY metric, k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val div = graft.functions.GraftColumns.longDiv _
+      val docs = Tables.load(s, dir, "documents")
+      val sh = docs.select($"doc_id",
+        TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+      val pairs = DedupOps
+        .sharedShingleCountsBounded(sh, "doc_id", "hashes", 500)
+        .select($"id_a", $"id_b",
+          floor($"shared".cast("double") * 1000.0 /
+            ($"n_a" + $"n_b" - $"shared").cast("double")).cast("long")
+            .as("jm"))
+        .filter($"jm" >= 500)
+        .select($"id_a", $"id_b")
+      val cs = graft.ops.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy($"component").agg(count(lit(1)).as("sz"))
+        .localCheckpoint() // histogram + scalar consumers
+      val hist = cs.groupBy($"sz")
+        .agg(count(lit(1)).as("v"))
+        .select(lit("size_hist").as("metric"), $"sz".as("k"), $"v")
+      val tot = docs.agg(count(lit(1)).as("n_docs"))
+      val agg = cs.agg(
+        coalesce(sum($"sz"), lit(0L)).as("n_clustered"),
+        count(lit(1)).as("n_clusters"))
+      val scalars = agg.crossJoin(broadcast(tot)).select(
+        $"n_docs", $"n_clustered", $"n_clusters",
+        ($"n_clustered" - $"n_clusters").as("dup_removable"),
+        div(($"n_clustered" - $"n_clusters") * 1000000L, $"n_docs")
+          .as("dup_rate_ppm"))
+      val srows = scalars.select(explode(array(
+          struct(lit("n_docs").as("metric"), lit(-1L).as("k"),
+            $"n_docs".as("v")),
+          struct(lit("n_clustered").as("metric"), lit(-1L).as("k"),
+            $"n_clustered".as("v")),
+          struct(lit("n_clusters").as("metric"), lit(-1L).as("k"),
+            $"n_clusters".as("v")),
+          struct(lit("dup_removable").as("metric"), lit(-1L).as("k"),
+            $"dup_removable".as("v")),
+          struct(lit("dup_rate_ppm").as("metric"), lit(-1L).as("k"),
+            $"dup_rate_ppm".as("v")))).as("r"))
+        .select($"r.metric", $"r.k", $"r.v")
+      hist.unionByName(srows).orderBy($"metric", $"k")
+    }
   }
 }
 

@@ -503,7 +503,10 @@ class PlansSpec extends SparkTestBase {
         "q249_mmr_rerank",
         // q252 crosses the |classes|-row spine with its ONE-row
         // √-count total (q96 scalar pattern)
-        "q252_temperature_mix")
+        "q252_temperature_mix",
+        // q257 crosses its two ONE-row report aggregates (cluster
+        // stats × doc count — q201's audit-counts pattern)
+        "q257_dedup_report")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
