@@ -1069,5 +1069,179 @@ object TextQueries {
         .withColumn("ttr_ppm",
           when($"n_tok" > 0L, div($"n_types" * 1000000L, $"n_tok")))
         .orderBy($"doc_id")
+    },
+
+    // Code-switching / mixed-content detection (curation signal: a doc
+    // whose halves classify differently is spliced content — crawl
+    // concatenation, template + body, bilingual pages): lang-ID each
+    // token HALF with the q23 marker voter, report the (first, second)
+    // guess matrix and the mixed flag. Same deterministic struct-max
+    // tie-break on both engines.
+    GraftQuery(
+      "q258_code_switching",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+        |      AS tk
+        |  FROM documents),
+        |halves AS (
+        |  SELECT doc_id,
+        |    list_distinct(tk[1:len(tk)//2]) AS h1,
+        |    list_distinct(tk[len(tk)//2+1:len(tk)]) AS h2
+        |  FROM toks),
+        |guessed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN b1.hits > 0 THEN b1.lang ELSE 'und' END AS g1,
+        |    CASE WHEN b2.hits > 0 THEN b2.lang ELSE 'und' END AS g2
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_max([
+        |        {'hits': len(list_filter(h1,
+        |            t -> t IN ('spark','stream','batch','window','part'))),
+        |          'lang': 'big'},
+        |        {'hits': len(list_filter(h1,
+        |            t -> t IN ('scan','hash','merge','sort','filter'))),
+        |          'lang': 'exe'},
+        |        {'hits': len(list_filter(h1,
+        |            t -> t IN ('table','query','join','group','order'))),
+        |          'lang': 'sql'}]) AS b1,
+        |      list_max([
+        |        {'hits': len(list_filter(h2,
+        |            t -> t IN ('spark','stream','batch','window','part'))),
+        |          'lang': 'big'},
+        |        {'hits': len(list_filter(h2,
+        |            t -> t IN ('scan','hash','merge','sort','filter'))),
+        |          'lang': 'exe'},
+        |        {'hits': len(list_filter(h2,
+        |            t -> t IN ('table','query','join','group','order'))),
+        |          'lang': 'sql'}]) AS b2
+        |    FROM halves))
+        |SELECT g1, g2, COUNT(*) AS n_docs, g1 <> g2 AS mixed
+        |FROM guessed GROUP BY g1, g2 ORDER BY g1, g2""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val tk = filter(TextOps.tokenize($"text"), x => x =!= "")
+      val halfLen = (size($"tk") / 2).cast("int") // int division on ints
+      val half = Tables.load(s, dir, "documents")
+        .select($"doc_id", tk.as("tk"))
+        .select($"doc_id",
+          array_join(slice($"tk", lit(1), halfLen), " ").as("t1"),
+          array_join(slice($"tk", halfLen + 1, size($"tk")), " ")
+            .as("t2"))
+      half.select(
+          TextOps.langIdByMarkers($"t1", Markers).as("g1"),
+          TextOps.langIdByMarkers($"t2", Markers).as("g2"))
+        .groupBy($"g1", $"g2")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("mixed", $"g1" =!= $"g2")
+        .orderBy($"g1", $"g2")
+    },
+
+    // Fill-in-the-middle transformation (FIM pretraining prep, Bavarian
+    // et al. 2022: reorder each doc to PSM — prefix/suffix/middle with
+    // sentinel tags — so the model learns infilling): deterministic
+    // token split points at n/3 and 2n/3, applied to every doc whose
+    // hash lands under the fim rate (half the corpus here; the rest
+    // passes through unchanged, tagged AR). The whole transformed text
+    // travels in the hash. Pure per-row projection — no shuffle.
+    GraftQuery(
+      "q259_fim_transform",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+        |      AS tk
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, tk, len(tk) AS n,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |        CAST(doc_id AS VARCHAR) || ':fim1', ''), c -> ascii(c))),
+        |      (a,x) -> (a*31+x)%1000000007) % 2 = 0 AS fim
+        |  FROM toks)
+        |SELECT doc_id, fim,
+        |  CASE WHEN fim AND n >= 3 THEN
+        |    '<PRE> ' || array_to_string(tk[1:n//3], ' ') ||
+        |    ' <SUF> ' || array_to_string(tk[2*n//3+1:n], ' ') ||
+        |    ' <MID> ' || array_to_string(tk[n//3+1:2*n//3], ' ')
+        |  ELSE array_to_string(tk, ' ') END AS out_text
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tk = filter(TextOps.tokenize($"text"), x => x =!= "")
+      val base = Tables.load(s, dir, "documents")
+        .select($"doc_id", tk.as("tk"))
+        .withColumn("n", size($"tk"))
+        .withColumn("fim", pmod(TextOps.polyHash(
+          concat($"doc_id".cast("string"), lit(":fim1"))), lit(2L)) === 0L)
+      val third = ($"n" / 3).cast("int")
+      val twoThird = ($"n" * 2 / 3).cast("int")
+      base.select($"doc_id", $"fim",
+          when($"fim" && $"n" >= 3,
+            concat(lit("<PRE> "),
+              array_join(slice($"tk", lit(1), third), " "),
+              lit(" <SUF> "),
+              array_join(slice($"tk", twoThird + 1, size($"tk")), " "),
+              lit(" <MID> "),
+              array_join(slice($"tk", third + 1, twoThird - third), " ")))
+          .otherwise(array_join($"tk", " ")).as("out_text"))
+        .orderBy($"doc_id")
+    },
+
+    // Bigram novelty vs a reference slice (OOV-rate filter: how much of
+    // a doc's phrasing is UNSEEN in the trusted reference corpus — high
+    // novelty = gibberish/noise candidate, zero novelty = boilerplate):
+    // reference = every 10th doc; per remaining doc, the fraction of
+    // its distinct bigrams absent from the reference's bigram
+    // vocabulary, ppm. Inverted-index left-anti shape — the reference
+    // vocabulary joins by bigram hash, never a corpus cross.
+    GraftQuery(
+      "q260_bigram_novelty",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+        |      AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS bs
+        |  FROM toks),
+        |ref AS (
+        |  SELECT DISTINCT u.b FROM bg, unnest(bs) AS u(b)
+        |  WHERE doc_id % 10 = 0),
+        |probe AS (
+        |  SELECT doc_id, u.b FROM bg, unnest(bs) AS u(b)
+        |  WHERE doc_id % 10 <> 0),
+        |scored AS (
+        |  SELECT p.doc_id, COUNT(*) AS n_bigrams,
+        |    COUNT(*) FILTER (ref.b IS NULL) AS novel
+        |  FROM probe p LEFT JOIN ref ON ref.b = p.b
+        |  GROUP BY 1)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(novel AS BIGINT) AS novel,
+        |  CAST(novel * 1000000 // n_bigrams AS BIGINT) AS novelty_ppm
+        |FROM scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val tk = filter(TextOps.tokenize($"text"), x => x =!= "")
+      val bg = Tables.load(s, dir, "documents")
+        .select($"doc_id", tk.as("tk"))
+        .select($"doc_id", array_distinct(
+          when(size($"tk") >= 2, transform(
+            sequence(lit(1), size($"tk") - 1),
+            i => concat(element_at($"tk", i), lit(" "),
+              element_at($"tk", i + 1))))
+            .otherwise(array().cast("array<string>"))).as("bs"))
+      val ref = bg.filter($"doc_id" % 10 === 0)
+        .select(explode($"bs").as("b")).distinct()
+      bg.filter($"doc_id" % 10 =!= 0)
+        .select($"doc_id", explode($"bs").as("b"))
+        .join(ref.withColumn("__hit", lit(1)), Seq("b"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when($"__hit".isNull, 1L).otherwise(0L)).as("novel"))
+        .select($"doc_id", $"n_bigrams", $"novel",
+          div($"novel" * 1000000L, $"n_bigrams").as("novelty_ppm"))
+        .orderBy($"doc_id")
     })
 }
