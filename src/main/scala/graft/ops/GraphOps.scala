@@ -879,6 +879,68 @@ object GraphOps {
       .groupBy(col("node")).agg(count(lit(1)).as("tri_count"))
   }
 
+  /** Deterministic random-walk corpus generation (DeepWalk/node2vec
+    * prep: the walk sequences ARE the training corpus for graph
+    * embeddings): `walksPerNode` walks of `steps` hops from every node,
+    * each hop picking the neighbor at index
+    * `polyHash(start:walk:step:cur:salt) mod degree` of the SORTED
+    * neighbor array — a pure function of (walk identity, position,
+    * current node), so every engine, run, and partitioning emits the
+    * identical corpus (and an oracle can replay the walks hop by hop).
+    *
+    * Scale shape: the adjacency table materializes each node's sorted
+    * neighbor array ONCE, truncated to the `maxDegree` smallest
+    * neighbors (documented hub cap — a celebrity node's walk
+    * distribution is approximated by its first `maxDegree` sorted
+    * neighbors; set it to cover the real degree distribution). Each hop
+    * is one equi-join of the walk frontier (|V|·walksPerNode rows)
+    * against the adjacency — `steps` joins total, no explosion.
+    *
+    * Output: (start, walk, path) with path the space-joined node
+    * sequence of length steps+1.
+    */
+  def randomWalks(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      walksPerNode: Int, steps: Int, salt: String,
+      maxDegree: Int = 1024): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 1000,
+      "walksPerNode in [1, 1000]")
+    require(steps >= 1 && steps <= 50, "steps in [1, 50]")
+    val und = edges
+      .select(col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .groupBy(col("a").as("__cur"))
+      .agg(slice(sort_array(collect_set(col("b"))), 1, maxDegree)
+        .as("__nbrs"))
+      .graftCheckpoint() // reused by every hop
+    var frontier = adj.select(col("__cur").as("__start"))
+      .withColumn("__walk",
+        explode(sequence(lit(0), lit(walksPerNode - 1))))
+      .withColumn("__cur", col("__start"))
+      .withColumn("__path", col("__start"))
+    for (step <- 1 to steps) {
+      val h = pmod(
+        graft.functions.GraftColumns.polyHash(
+          concat(col("__start"), lit(":"),
+            col("__walk").cast("string"), lit(s":$step:"),
+            col("__cur"), lit(":" + salt))),
+        size(col("__nbrs")).cast("long"))
+      frontier = frontier.join(adj, Seq("__cur"))
+        .withColumn("__next",
+          element_at(col("__nbrs"), (h + 1L).cast("int")))
+        .select(col("__start"),
+          col("__walk"),
+          col("__next").as("__cur"),
+          concat(col("__path"), lit(" "), col("__next")).as("__path"))
+    }
+    frontier.select(col("__start").as("start"),
+      col("__walk").cast("long").as("walk"), col("__path").as("path"))
+  }
+
   /** Link-prediction scores over a bipartite basket graph (order→item,
     * doc→entity, user→topic): for every right-node pair sharing at
     * least one left node ("basket"), the three classic similarity

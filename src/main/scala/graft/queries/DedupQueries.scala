@@ -976,6 +976,25 @@ object DedupQueries {
           "l_orderkey", "l_partkey", maxBasket = 64)
         .orderBy($"aa_micro".desc, $"id_a", $"id_b")
         .limit(100)
+    },
+
+    // Deterministic random-walk corpus (GraphOps.randomWalks — the
+    // DeepWalk prep whose output sequences train graph embeddings):
+    // 1 walk × 3 hops from every node of the high-quantity order→part
+    // graph, every hop a pure hash over (walk identity, position,
+    // current node); whole paths travel in the hash. The oracle
+    // replays the three hops with the identical sorted-adjacency +
+    // polyHash arithmetic.
+    GraftQuery("q261_random_walks", DedupSql.RandomWalk3) { (s, dir) =>
+      import s.implicits._
+      val edges = Tables.load(s, dir, "lineitem")
+        .filter($"l_quantity" >= 45)
+        .select(
+          concat(lit("o"), $"l_orderkey".cast("string")).as("a"),
+          concat(lit("p"), $"l_partkey".cast("string")).as("b"))
+      graft.ops.GraphOps.randomWalks(
+          edges, "a", "b", walksPerNode = 1, steps = 3, salt = "rw1")
+        .orderBy($"start", $"walk")
     }) :+ DedupReportGate
 
   /** (bsz, weight) literal rows shared verbatim by the Spark op (via
@@ -1089,6 +1108,46 @@ object DedupQueries {
   * number of rounds of the identical integer relaxation.
   */
 private object DedupSql {
+
+  // polyHash replica (same fold as the other oracles in this file)
+  private def ph(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($expr, ''), c -> ascii(c))),
+       |   (a,x) -> (a*31+x)%1000000007)""".stripMargin
+
+  /** 3 unrolled hops of the deterministic random walk over the
+    * high-quantity order→part bipartite graph — replays
+    * GraphOps.randomWalks hop arithmetic exactly (sorted neighbor
+    * list, polyHash(start:walk:step:cur:salt) mod degree).
+    */
+  val RandomWalk3: String = {
+    def hop(i: Int) = {
+      val prev = s"w${i - 1}"
+      val h = ph(s"w.start || ':' || CAST(w.walk AS VARCHAR) || ':' || " +
+        s"'$i' || ':' || w.cur || ':rw1'")
+      s"""w$i AS (
+         |  SELECT w.start, w.walk,
+         |    adj.nbrs[CAST(($h) % len(adj.nbrs) AS INT) + 1] AS cur,
+         |    w.path || ' ' ||
+         |      adj.nbrs[CAST(($h) % len(adj.nbrs) AS INT) + 1] AS path
+         |  FROM $prev w JOIN adj ON adj.cur = w.cur)""".stripMargin
+    }
+    s"""WITH li AS (
+       |  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
+       |    'p' || CAST(l_partkey AS VARCHAR) AS b
+       |  FROM lineitem WHERE l_quantity >= 45),
+       |e AS (SELECT a, b FROM li UNION SELECT b, a FROM li),
+       |adj AS (
+       |  SELECT a AS cur, list(b ORDER BY b) AS nbrs
+       |  FROM (SELECT DISTINCT a, b FROM e) GROUP BY 1),
+       |w0 AS (
+       |  SELECT cur AS start, 0 AS walk, cur, cur AS path FROM adj),
+       |${hop(1)},
+       |${hop(2)},
+       |${hop(3)}
+       |SELECT start, CAST(walk AS BIGINT) AS walk, path
+       |FROM w3 ORDER BY start, walk""".stripMargin
+  }
 
   /** 10 unrolled peel rounds of the 3-core over the q136 part
     * co-occurrence graph. Peeling is idempotent once stable (measured
