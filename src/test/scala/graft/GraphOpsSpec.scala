@@ -605,4 +605,40 @@ class GraphOpsSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
   }
+  test("randomWalks: every hop follows a real edge, walks are " +
+       "partitioning-invariant, and the maxDegree cap restricts hops " +
+       "to the sorted-neighbor prefix") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 5L), (5L, 1L)
+    ).toDF("a", "b")
+    val und = Seq((1L,2L),(2L,3L),(3L,4L),(4L,1L),(2L,5L),(5L,1L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    def run(parts: Int) = GraphOps.randomWalks(
+        edges.repartition(parts), "a", "b",
+        walksPerNode = 2, steps = 4, salt = "t1")
+      .as[(String, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val w = run(1)
+    assert(w.length === 5 * 2, "every node starts walksPerNode walks")
+    w.foreach { case (start, _, path) =>
+      val hops = path.split(" ").map(_.toLong)
+      assert(hops.length === 5, s"path length: $path")
+      assert(hops.head.toString === start)
+      hops.sliding(2).foreach { case Array(x, y) =>
+        assert(und.contains((x, y)), s"non-edge hop $x->$y in $path")
+      }
+    }
+    assert(run(7).toSeq === w.toSeq, "partitioning must not change walks")
+    // cap = 1: every hop must go to the SMALLEST neighbor
+    val capped = GraphOps.randomWalks(edges, "a", "b",
+        walksPerNode = 1, steps = 2, salt = "t1", maxDegree = 1)
+      .as[(String, Long, String)].collect()
+    val minNbr = und.groupBy(_._1).map { case (n, es) =>
+      n -> es.map(_._2).min }
+    capped.foreach { case (_, _, path) =>
+      val hops = path.split(" ").map(_.toLong)
+      hops.sliding(2).foreach { case Array(x, y) =>
+        assert(y === minNbr(x), s"cap=1 must hop to min neighbor: $path")
+      }
+    }
+  }
 }
