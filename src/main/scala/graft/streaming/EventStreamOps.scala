@@ -140,6 +140,37 @@ object EventStreamOps {
         col("purchase_value"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** LEFT OUTER stream-stream attribution: every purchase emits exactly
+    * once — joined to its in-window clicks when they exist, and
+    * NULL-extended ("organic") otherwise. The null-extended row can
+    * only be emitted once the click-side watermark has passed the end
+    * of the purchase's attribution window (before that a matching click
+    * could still arrive), so organic rows surface with watermark lag —
+    * the documented trade of outer stream joins. State stays bounded by
+    * the same two-watermark horizon as [[clickAttribution]].
+    */
+  def clickAttributionOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowDur: String = "10 minutes",
+      watermarkDelay: String = "2 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowDur") &&
+        col("click_ts") <= col("purchase_ts"),
+      "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_value"), col("purchase_ts"))
+  }
+
   /** Streaming dedup-by-key within the watermark horizon — the streaming
     * face of exact dedup (S5's idempotence applied in-flight).
     */

@@ -134,6 +134,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER attribution: matched purchases join " +
+       "their click; organic purchases emit NULL-extended only after " +
+       "the click watermark passes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreamOps.clickAttributionOuter(
+        clicks.toDF(), purchases.toDF(),
+        windowDur = "1 minute", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Event(10, 1, "click", 0.0, ts(100)))
+      purchases.addData(
+        Event(50, 1, "purchase", 9.99, ts(130)), // matches click 10
+        Event(60, 2, "purchase", 5.00, ts(130))) // organic — no click
+      q.processAllAvailable()
+      val early = spark.table("attrib_outer")
+        .select($"purchase_id").as[Long].collect().toSet
+      assert(!early.contains(60L),
+        "organic row must NOT emit before the watermark closes its window")
+      // advance both watermarks far past purchase 60's window
+      clicks.addData(Event(13, 9, "click", 0.0, ts(1000)))
+      purchases.addData(Event(51, 9, "purchase", 1.0, ts(1000)))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer")
+        .select($"purchase_id", $"click_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(rows.contains((50L, Some(10L))), rows)
+      assert(rows.contains((60L, None)),
+        s"organic purchase must surface null-extended: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: dim attributes attach per micro-batch; " +
        "unmatched streamed rows survive null-extended") {
     implicit val sqlCtx = spark.sqlContext
