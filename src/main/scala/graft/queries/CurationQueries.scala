@@ -565,6 +565,68 @@ object CurationQueries {
         .orderBy($"doc_id")
     },
 
+    // CCNet-style perplexity-bucket mixture readout (Wenzek et al.
+    // 2020: bucket the corpus into head/middle/tail terciles by LM
+    // score and report each bucket's mass — the mixture dial CCNet
+    // tunes): q105's integer rarity score stands in for the LM, and
+    // the tercile boundary comes from the score VALUE HISTOGRAM via a
+    // range-partitioned prefix sum (bucket(v) = cumb·3 div n — every
+    // doc with the same score lands in the same bucket, exact on both
+    // engines; no global ordered window, the r7-#2 contract).
+    GraftQuery(
+      "q262_ccnet_buckets",
+      """WITH dt AS (
+        |  SELECT doc_id, u.term AS term
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'),
+        |            x -> x <> '') AS tk
+        |        FROM documents) t, UNNEST(tk) AS u(term)),
+        |f AS (SELECT term, COUNT(*) AS cnt FROM dt GROUP BY term),
+        |scored AS (
+        |  SELECT dt.doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(1000000 // f.cnt) AS BIGINT) // COUNT(*)
+        |      AS rarity_ppm
+        |  FROM dt JOIN f USING (term)
+        |  GROUP BY dt.doc_id),
+        |h AS (SELECT rarity_ppm AS v, COUNT(*) AS c
+        |      FROM scored GROUP BY 1),
+        |w AS (
+        |  SELECT v, c,
+        |    COALESCE(SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumb,
+        |    SUM(c) OVER () AS n
+        |  FROM h),
+        |b AS (SELECT v,
+        |  CAST(LEAST(2, cumb * 3 // n) AS BIGINT) AS bucket FROM w)
+        |SELECT b.bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(s.rarity_ppm) AS BIGINT) AS min_score,
+        |  CAST(MAX(s.rarity_ppm) AS BIGINT) AS max_score
+        |FROM scored s JOIN b ON b.v = s.rarity_ppm
+        |GROUP BY b.bucket ORDER BY b.bucket""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val scored = CurationOps.rarityScorePpm(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint() // histogram + readout consumers
+      val h = scored.groupBy($"rarity_ppm".as("v"))
+        .agg(count(lit(1)).as("c"))
+      val tot = h.agg(sum($"c").as("n"))
+      val b = IdOps
+        .prefixSums(h, Seq("c"), Seq("cumb"), inclusive = false, "v")
+        .crossJoin(broadcast(tot))
+        .select($"v", least(lit(2L), div($"cumb" * 3L, $"n"))
+          .as("bucket"))
+      scored.join(b, scored("rarity_ppm") === b("v"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("total_tokens"),
+          min($"rarity_ppm").as("min_score"),
+          max($"rarity_ppm").as("max_score"))
+        .orderBy($"bucket")
+    },
+
     // Training-data pipeline v2 — the round-4 ops COMPOSED end to end:
     // rarity filter (keep below-median boilerplate+common half) →
     // 32-token chunking (no overlap) → pack chunks into 256-token

@@ -627,4 +627,25 @@ class CurationOpsSpec extends SparkTestBase {
     assert(IdOps.prefixSums(df.filter($"k" < 0), Seq("a"), Seq("s"),
       inclusive = true, "k").count() === 0L)
   }
+  test("temperatureMixtureSample: EXACT kept set equals a driver-side " +
+       "replica of the rate formula + portable hash") {
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    val rows = (1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 1000).map(i => (i.toLong, "small"))
+    val got = CurationOps.temperatureMixtureSample(
+        rows.toDF("id", "cls"), "id", "cls", nTarget = 200L, salt = "s2")
+      .select($"id").as[Long].collect().toSet
+    // referee: sqrt shares -> per-class ppm rates -> hash keep
+    val counts = rows.groupBy(_._2).map { case (c, v) => c -> v.size }
+    val sq = counts.map { case (c, n) =>
+      c -> math.floor(math.sqrt(n.toDouble)).toLong }
+    val ts = sq.values.sum
+    val rate = counts.map { case (c, n) =>
+      c -> math.min(1000000L, 200L * sq(c) * 1000000L / (ts * n)) }
+    val expected = rows.filter { case (id, c) =>
+      polyHash(s"$id:s2") % 1000000L < rate(c)
+    }.map(_._1).toSet
+    assert(got === expected)
+  }
 }

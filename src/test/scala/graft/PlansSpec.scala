@@ -506,7 +506,10 @@ class PlansSpec extends SparkTestBase {
         "q252_temperature_mix",
         // q257 crosses its two ONE-row report aggregates (cluster
         // stats × doc count — q201's audit-counts pattern)
-        "q257_dedup_report")
+        "q257_dedup_report",
+        // q262 crosses the score histogram with its ONE-row total
+        // (the q240/q217 prefix-fold scalar pattern)
+        "q262_ccnet_buckets")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
