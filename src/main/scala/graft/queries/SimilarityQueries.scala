@@ -13,6 +13,17 @@ import graft.ops.SimilarityOps
   */
 object SimilarityQueries {
 
+  // duckCosMicro over an arbitrary array column name (q263 slices
+  // prefixes into fresh columns).
+  private def duckCosMicroCol(a: String, b: String, c: String): String =
+    s"""round(1000000.0 * (
+       |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a.$c)),
+       |    i -> CAST($a.$c[i] AS DOUBLE)*CAST($b.$c[i] AS DOUBLE))), (x,y)->x+y)
+       |  / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a.$c)),
+       |      i -> CAST($a.$c[i] AS DOUBLE)*CAST($a.$c[i] AS DOUBLE))), (x,y)->x+y))
+       |   * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($b.$c)),
+       |      i -> CAST($b.$c[i] AS DOUBLE)*CAST($b.$c[i] AS DOUBLE))), (x,y)->x+y)))))""".stripMargin
+
   // DuckDB fold-order cosine, kept in lockstep with SimilarityOps.cosine.
   // Bounds derive from len(embedding) — never hardcode the dim, or a
   // generator change silently turns out-of-range subscripts into NULL
@@ -828,6 +839,81 @@ object SimilarityQueries {
 
     // MMR diversity re-ranking (SimilarityOps.mmrTopK): greedy
     // λ·rel − (1−λ)·maxSimToSelected over a top-20 relevance shortlist,
+    // Matryoshka truncation eval (MRL embeddings: how much ANN quality
+    // survives serving from a PREFIX of each vector — the
+    // dimension-vs-cost dial of matryoshka-trained embedders): top-5
+    // neighbors for 10 queries at prefix dims 16 and 32 vs the full
+    // vectors; per (dim, query) the overlap with the full-dim top-5.
+    // Both rankings are exact integer-micro cosines with pinned ties,
+    // so the overlap counts are engine-reproducible.
+    GraftQuery(
+      "q263_matryoshka_eval",
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding,
+         |    embedding[1:16] AS e16, embedding[1:32] AS e32
+         |  FROM embeddings),
+         |full5 AS (
+         |  SELECT * FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(${duckCosMicroCol("q", "c", "embedding")} AS BIGINT)
+         |          DESC, c.vec_id) AS rk
+         |    FROM base q JOIN base c ON q.vec_id != c.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rk <= 5),
+         |p16 AS (
+         |  SELECT * FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(${duckCosMicroCol("q", "c", "e16")} AS BIGINT)
+         |          DESC, c.vec_id) AS rk
+         |    FROM base q JOIN base c ON q.vec_id != c.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rk <= 5),
+         |p32 AS (
+         |  SELECT * FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(${duckCosMicroCol("q", "c", "e32")} AS BIGINT)
+         |          DESC, c.vec_id) AS rk
+         |    FROM base q JOIN base c ON q.vec_id != c.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rk <= 5)
+         |SELECT dim, query_id, COUNT(*) AS n_overlap FROM (
+         |  SELECT CAST(16 AS BIGINT) AS dim, f.query_id
+         |  FROM full5 f JOIN p16 p
+         |    ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+         |  UNION ALL
+         |  SELECT CAST(32 AS BIGINT), f.query_id
+         |  FROM full5 f JOIN p32 p
+         |    ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id)
+         |GROUP BY dim, query_id ORDER BY dim, query_id""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"embedding")
+      def top5(dim: Option[Int]) = {
+        val emb = (c: org.apache.spark.sql.Column) =>
+          dim.fold(c)(d => slice(c, 1, d))
+        SimilarityOps.bruteForceTopK(
+            e.select($"vec_id", emb($"embedding").as("emb")),
+            "vec_id", "emb",
+            e.filter($"vec_id" < 10)
+              .select($"vec_id".as("query_id"),
+                emb($"embedding").as("qvec")),
+            "query_id", "qvec", k = 5)
+          .select($"query_id", $"vec_id".as("neighbor_id"))
+      }
+      val full = top5(None)
+      Seq(16, 32).map { d =>
+        full.join(top5(Some(d)), Seq("query_id", "neighbor_id"))
+          .groupBy($"query_id")
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(lit(d.toLong).as("dim"), $"query_id", $"n_overlap")
+      }.reduce(_ unionByName _)
+        .orderBy($"dim", $"query_id")
+    },
+
     // k = 5, λ = 0.7 — exact integer micro scores, ties to the lower
     // id. The oracle unrolls the five greedy rounds as chained CTEs
     // (argmax → pool minus pick → running GREATEST max-sim), the same

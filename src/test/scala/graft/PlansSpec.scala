@@ -509,7 +509,10 @@ class PlansSpec extends SparkTestBase {
         "q257_dedup_report",
         // q262 crosses the score histogram with its ONE-row total
         // (the q240/q217 prefix-fold scalar pattern)
-        "q262_ccnet_buckets")
+        "q262_ccnet_buckets",
+        // q263 is q35's brute-force shape three times over (10-query
+        // broadcast side, corpus streams)
+        "q263_matryoshka_eval")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
