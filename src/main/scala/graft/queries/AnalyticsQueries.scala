@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{LayoutOps, SessionOps}
+import graft.ops.{IdOps, LayoutOps, SessionOps}
 
 /** Analytics-extension conformance suite: batch sessionization,
   * per-group top-k, CUBE grouping analytics, Z-order clustering keys.
@@ -2533,6 +2533,93 @@ object AnalyticsQueries {
           count(lit(1)).as("n_events"),
           sum($"event_id").as("sum_event_ids"))
         .orderBy($"split")
+    },
+
+    // k-anonymity suppression (privacy-safe aggregate release: a cell
+    // backed by fewer than k distinct users identifies them — suppress
+    // it and account for the suppression): per (event_type, day) cell,
+    // release count + distinct users only when users ≥ 5; suppressed
+    // cells collapse into one audit row. Exact distinct counts —
+    // map-side-combined two-level aggregate, no window.
+    GraftQuery(
+      "q264_k_anonymity",
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n_events,
+        |    COUNT(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_users AS BIGINT) AS n_users
+        |FROM cells WHERE n_users >= 5
+        |UNION ALL
+        |SELECT '__suppressed__', -1,
+        |  CAST(COALESCE(SUM(n_events), 0) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT)
+        |FROM cells WHERE n_users < 5
+        |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val cells = Tables.load(s, dir, "events")
+        .select($"event_type", $"user_id",
+          div(unix_micros($"ts"), lit(86400000000L)).as("day"))
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"))
+        .localCheckpoint() // released + audit consumers
+      val released = cells.filter($"n_users" >= 5)
+      val audit = cells.filter($"n_users" < 5)
+        .agg(coalesce(sum($"n_events"), lit(0L)).as("n_events"),
+          count(lit(1)).as("n_users"))
+        .select(lit("__suppressed__").as("event_type"),
+          lit(-1L).as("day"), $"n_events", $"n_users")
+      released.unionByName(audit).orderBy($"event_type", $"day")
+    },
+
+    // KV-cache prefix-sharing readout (serving-time batching prep:
+    // sort prompts lexicographically and adjacent requests share
+    // radix-tree cache prefixes — this measures the savings within the
+    // first 64 chars, a cache-block-sized window that also bounds the
+    // per-pair cost): docs in (text, id) order, per adjacent pair the
+    // shared prefix length (downward-closed, so count-of-equal-prefixes
+    // = LCP), histogrammed. Global order comes from
+    // IdOps.contiguousIds (range-partitioned, multi-reducer); adjacency
+    // is the rank self-EQUI-join (rank = rank + 1), never a global lag
+    // window. The oracle replays with the one-reducer window rank.
+    GraftQuery(
+      "q265_prefix_sharing",
+      """WITH o AS (
+        |  SELECT text, row_number() OVER (ORDER BY text, doc_id) - 1
+        |    AS rk
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.text AS ta, b.text AS tb
+        |  FROM o a JOIN o b ON b.rk = a.rk + 1),
+        |lcp AS (
+        |  SELECT len(list_filter(
+        |    generate_series(1, LEAST(64, len(ta), len(tb))),
+        |    i -> ta[1:i] = tb[1:i])) AS l
+        |  FROM pairs)
+        |SELECT CAST(l AS BIGINT) AS lcp, COUNT(*) AS n_pairs
+        |FROM lcp GROUP BY l ORDER BY lcp""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ranked = IdOps.contiguousIds(
+        Tables.load(s, dir, "documents").select($"text", $"doc_id"),
+        "rk", "text", "doc_id")
+      val a = ranked.select($"rk", $"text".as("ta"))
+      val b = ranked.select(($"rk" - 1L).as("rk"), $"text".as("tb"))
+      // NB sequence(1, 0) in Spark yields [1, 0] (auto-negative step),
+      // not empty — guard the empty-text bound explicitly
+      val bound = least(lit(64), length($"ta"), length($"tb")).cast("int")
+      a.join(b, Seq("rk"))
+        .select(size(filter(
+          when(bound > 0, sequence(lit(1), bound))
+            .otherwise(array().cast("array<int>")),
+          i => $"ta".substr(lit(1), i) === $"tb".substr(lit(1), i)))
+          .cast("long").as("lcp"))
+        .groupBy($"lcp").agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"lcp")
     })
 }
 
