@@ -949,7 +949,55 @@ object SimilarityQueries {
         .select($"rank", $"id".cast("long").as("id"), $"rel",
           $"max_sim_micro", $"score")
         .orderBy($"rank")
-    })
+    }) :+ RetrievalPipelineGate
+
+  /** RETRIEVAL SERVING end-to-end (the composition finisher for the
+    * similarity family, like q149 for CDC: a user of the engine runs
+    * exactly this chain): IVF index at FULL probe (≡ brute force — the
+    * q37 oracle trick, so the composed result stays SQL-checkable) →
+    * top-20 relevance shortlist → MMR diversification → final 5. The
+    * oracle is the brute-force shortlist feeding the q249 unrolled
+    * greedy rounds.
+    */
+  private[queries] lazy val RetrievalPipelineGate: GraftQuery =
+    GraftQuery(
+      "q266_retrieval_pipeline",
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+         |cand AS (
+         |  SELECT c.vec_id AS id, c.embedding,
+         |    CAST(${duckCosMicro("c", "q")} AS BIGINT) AS rel
+         |  FROM embeddings c CROSS JOIN q WHERE c.vec_id != 7
+         |  ORDER BY rel DESC, id LIMIT 20),
+         |p0 AS (SELECT id, embedding, rel, CAST(0 AS BIGINT) AS ms
+         |       FROM cand),
+         |${SimilarityQueries.mmrRoundsSql(5, 700000L)}
+         |SELECT * FROM (
+         |  ${(1 to 5).map(i =>
+             s"SELECT CAST($i AS BIGINT) AS rank, id, rel, " +
+               s"ms AS max_sim_micro, score FROM s$i")
+             .mkString(" UNION ALL ")})
+         |ORDER BY rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val e = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"embedding")
+      // stage 1: IVF at full probe — centroids from the deterministic
+      // sampled Lloyd, nProbe = nList makes the shortlist exactly the
+      // brute-force top-20 (oracle-checkable composition)
+      val queries = e.filter($"vec_id" === 7L)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      val shortlist = SimilarityOps.ivfTopK(
+          e.filter($"vec_id" =!= 7L), "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 20, nList = 8, nProbe = 8)
+        .select($"vec_id", $"cos_micro".as("rel"))
+      // stage 2: re-attach vectors, diversify with MMR
+      val cand = shortlist.join(e, Seq("vec_id"))
+      SimilarityOps.mmrTopK(cand, "vec_id", "embedding", "rel",
+          k = 5, lambdaPpm = 700000L)
+        .select($"rank", $"id".cast("long").as("id"), $"rel",
+          $"max_sim_micro", $"score")
+        .orderBy($"rank")
+    }
 
   /** Unrolled MMR rounds for the q249 oracle: round i picks the
     * (score, id)-argmax from pool i−1, then folds the pick's cosine

@@ -512,7 +512,10 @@ class PlansSpec extends SparkTestBase {
         "q262_ccnet_buckets",
         // q263 is q35's brute-force shape three times over (10-query
         // broadcast side, corpus streams)
-        "q263_matryoshka_eval")
+        "q263_matryoshka_eval",
+        // q266 composes q37's IVF probe (1-row query cross + centroid
+        // cross) with q249's per-round 1-row MMR picks
+        "q266_retrieval_pipeline")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
