@@ -408,6 +408,42 @@ object RelationalQueries {
         .orderBy($"user_id")
     },
 
+    // The ES BULK WIRE FORMAT (S5's missing live half, made checkable:
+    // no ES server exists here, but the byte-exact `_bulk` request
+    // bodies the reference's helpers.bulk generates —
+    // daemon.py:358-381 — are a pure transformation): action+source
+    // NDJSON per doc, 100-doc batches in id order, md5 of each body in
+    // the hash. A live connector is exactly "POST these strings".
+    GraftQuery(
+      "q267_es_bulk_payload",
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    '{"index":{"_index":"docs","_id":"' || CAST(doc_id AS VARCHAR)
+        |      || '"}}' || chr(10) ||
+        |    '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang
+        |      || '","source":"' || source || '"}' AS lines
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT lines,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS rk
+        |  FROM src)
+        |SELECT rk // 100 AS es_batch, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(lines)) + COUNT(*) AS BIGINT) AS payload_chars,
+        |  md5(string_agg(lines, chr(10) ORDER BY rk) || chr(10))
+        |    AS payload_md5
+        |FROM ranked GROUP BY 1 ORDER BY es_batch""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import graft.cdc.EsBulk
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", concat(
+          lit("{\"doc_id\":"), $"doc_id".cast("string"),
+          lit(",\"lang\":\""), $"lang",
+          lit("\",\"source\":\""), $"source", lit("\"}")).as("sj"))
+      EsBulk.bulkBodies(docs, "docs", "doc_id", "sj", batchSize = 100)
+        .orderBy($"es_batch")
+    },
+
     // S5/T2 batch analogue: idempotent upsert = keep latest row per key
     // (what the ES bulk-upsert by doc id converges to).
     GraftQuery(
