@@ -80,4 +80,97 @@ object ClassifierOps {
           .as("score_micro"))
       .withColumn("label",
         when(col("score_micro") > 0, lit(1L)).otherwise(lit(0L)))
+
+  /** Multinomial Naive Bayes model in Q20 fixed-point binary logs.
+    * `tokenLogs` (label, token, lg_cnt1) holds lg(count+1) for every
+    * OBSERVED (class, token) pair only — Laplace-1 makes the unobserved
+    * pair's numerator lg(0+1) = 0, so absent rows contribute exactly
+    * nothing and the model table stays |observed pairs|-sized (the
+    * per-class denominator factors out of the token sum; see
+    * `nbPredict`). `classStats` (label, prior, den) is |classes| rows:
+    * prior = lg(n_c) − lg(N), den = lg(T_c + V).
+    */
+  final case class NbModel(tokenLogs: DataFrame, classStats: DataFrame)
+
+  /** Train a multinomial NB classifier IN the engine (the training
+    * companion to the apply-only fastText face above — e.g. a language
+    * or domain router learned from a labeled slice of the corpus).
+    *
+    * Everything is map-side-combinable aggregation: token counts per
+    * (class, token), class totals, vocabulary size and doc counts are
+    * one groupBy each; no windows, no iteration — NB's closed-form MLE
+    * is why it is THE classifier you can train on 100 TB in one pass.
+    * Scalars (V, N) fold in as broadcast 1-row aggregates (q96 scalar
+    * pattern). All likelihoods are Q20 integer logs (binLog2Q20), so
+    * scores replay bit-for-bit in any engine with the same recurrence.
+    *
+    * Smoothing: Laplace-1 over the TRAIN vocabulary V; an apply-time
+    * token never seen in ANY class contributes lg(1) − den(c) per
+    * occurrence — the den(c) part rides the per-doc token count, so
+    * fully-OOV tokens still discriminate by class verbosity only
+    * (standard multinomial-NB-with-add-one semantics).
+    */
+  def nbTrain(
+      train: DataFrame, textCol: String, labelCol: String): NbModel = {
+    val lg = GraftColumns.binLog2Q20 _
+    val tok = train.select(col(labelCol).as("label"),
+      explode(toksNonEmpty(col(textCol))).as("token"))
+    val cnt = tok.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val tc = cnt.groupBy(col("label")).agg(sum(col("__c")).as("__tc"))
+    val v = cnt.select(col("token")).distinct()
+      .agg(count(lit(1)).as("__v"))
+    val nc = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__nc"))
+    val n = train.agg(count(lit(1)).as("__n"))
+    val tokenLogs = cnt.select(col("label"), col("token"),
+      lg(col("__c") + 1L).as("lg_cnt1"))
+    val classStats = nc
+      .join(tc, Seq("label"))
+      .crossJoin(broadcast(v)).crossJoin(broadcast(n))
+      .select(col("label"),
+        (lg(col("__nc")) - lg(col("__n"))).as("prior"),
+        lg(col("__tc") + col("__v")).as("den"))
+    NbModel(tokenLogs, classStats)
+  }
+
+  /** Score and label a test frame against an `NbModel`:
+    *
+    *   score(d, c) = prior(c) − ntok(d)·den(c) + Σ_t tf(d,t)·lg_cnt1(c,t)
+    *
+    * (the per-class denominator multiplies out of the token sum, which
+    * is what lets unobserved (c,t) pairs cost nothing). The token-sum
+    * term is ONE equi-join of the doc-token stream against the model
+    * on `token` — inverted-index shaped, never doc×vocab; the dense
+    * (doc × class) grid exists only for the |classes|-row broadcast
+    * cross and the final argmax. Prediction is the q246 struct-max
+    * idiom (ties → lexicographically larger label), map-side
+    * combinable, no window.
+    *
+    * Output: (idCol, predicted, score) — best class + its Q20 score.
+    */
+  def nbPredict(
+      test: DataFrame, idCol: String, textCol: String,
+      model: NbModel): DataFrame = {
+    val toks = test.select(col(idCol),
+      explode(toksNonEmpty(col(textCol))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    val hits = tf
+      .join(model.tokenLogs, Seq("token"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("__tf") * col("lg_cnt1")).as("__hit"))
+    val ntok = test.select(col(idCol),
+      size(toksNonEmpty(col(textCol))).cast("long").as("__nt"))
+    val scored = ntok
+      .crossJoin(broadcast(model.classStats))
+      .join(hits, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        (col("prior") - col("__nt") * col("den") +
+          coalesce(col("__hit"), lit(0L))).as("__score"))
+    scored.groupBy(col(idCol))
+      .agg(max(struct(col("__score"), col("label"))).as("__best"))
+      .select(col(idCol), col("__best.label").as("predicted"),
+        col("__best.__score").as("score"))
+  }
 }

@@ -14,6 +14,45 @@ object SearchOps {
   private def toks(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** Reciprocal-rank fusion (Cormack–Clarke–Buettcher 2009) of N
+    * rankers' shortlists — THE standard hybrid-retrieval merge
+    * (lexical BM25 + embedding ANN feed one fused list in virtually
+    * every RAG serving stack). Each input holds one ranker's top-N per
+    * query as (queryCol, idCol, rankCol rank ≥ 1); an item missing
+    * from a ranker's shortlist contributes 0 — exactly the published
+    * semantics, no sentinel ranks.
+    *
+    *   rrf(q, d) = Σ_rankers ⌊1e6 / (k + rank_r(q,d))⌋    (integer ppm)
+    *
+    * Shape: union → one groupBy(query, id) sum (map-side combinable)
+    * → per-query top-`topK` window. Every stage is bounded by
+    * |queries|·|shortlist|·|rankers|, never the corpus — the corpus
+    * was cut down by the upstream rankers (ANN index / posting lists),
+    * which is what makes the fusion itself corpus-size-free at 100 TB.
+    * Ties break to the smaller id (pinned on both engines).
+    *
+    * Output: (queryCol, idCol, rrf, rank), rank 1..topK per query.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame], queryCol: String, idCol: String,
+      rankCol: String, kRrf: Long = 60L, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kRrf >= 0, "kRrf must be >= 0")
+    val div = graft.functions.GraftColumns.longDiv _
+    val contrib = rankings
+      .map(_.select(col(queryCol), col(idCol),
+        div(lit(1000000L), lit(kRrf) + col(rankCol)).as("__w")))
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+    contrib
+      .groupBy(col(queryCol), col(idCol))
+      .agg(sum(col("__w")).as("rrf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Token positions: (id, __p, __t) with 0-based positions. */
   private def positions(
       docs: DataFrame, idCol: String, textCol: String): DataFrame =

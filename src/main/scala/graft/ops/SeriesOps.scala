@@ -158,4 +158,47 @@ object SeriesOps {
         sum(col("n")).over(wFrom)))
       .select(col("from_state"), col("to_state"), col("n"), col("p_ppm"))
   }
+
+  /** Power iteration toward the chain's stationary distribution over a
+    * `transitionMatrix` output: x₀ uniform ⌊1e6/|states|⌋ ppm, then
+    * x_{t+1}(s′) = Σ_s ⌊x_t(s)·p_ppm(s,s′) / 1e6⌋ for a FIXED round
+    * count — the q106 PageRank discipline (fixed rounds + per-term
+    * integer floors ⇒ any engine replays every round bit-for-bit; a
+    * convergence test would hash-diverge on the edge iteration).
+    *
+    * Each round is one equi-join of the |states|²-bounded edge table
+    * against the |states|-row mass vector plus a groupBy — the domain
+    * is STATE-sized, corpus-free, so rounds cost nothing at any data
+    * scale (the corpus was spent building the transition counts).
+    * States with no outgoing edges leak mass, and the per-term floors
+    * shave ppm crumbs — totals are a readout, not an invariant
+    * (document beats renormalizing: renormalization would divide by a
+    * drifting total and break exact replay).
+    *
+    * Output: (round 1..rounds, state, mass_ppm) — the trajectory, so
+    * callers can see mixing, not just the endpoint.
+    */
+  def stationaryDistribution(
+      trans: DataFrame, fromCol: String, toCol: String,
+      pPpmCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "fixed small round count")
+    val div = graft.functions.GraftColumns.longDiv _
+    val states = trans.select(col(fromCol).as("state"))
+      .union(trans.select(col(toCol).as("state"))).distinct()
+    val k = states.agg(count(lit(1)).as("__k"))
+    var x = states.crossJoin(broadcast(k))
+      .select(col("state"), div(lit(1000000L), col("__k")).as("mass_ppm"))
+    (1 to rounds).map { r =>
+      val nxt = trans
+        .join(x.withColumnRenamed("state", "__from"),
+          col(fromCol) === col("__from"))
+        .select(col(toCol).as("state"),
+          div(col("mass_ppm") * col(pPpmCol), lit(1000000L)).as("__m"))
+        .groupBy(col("state")).agg(sum(col("__m")).as("__nm"))
+      x = states.join(nxt, Seq("state"), "left")
+        .select(col("state"),
+          coalesce(col("__nm"), lit(0L)).as("mass_ppm"))
+      x.select(lit(r.toLong).as("round"), col("state"), col("mass_ppm"))
+    }.reduce(_ unionByName _)
+  }
 }

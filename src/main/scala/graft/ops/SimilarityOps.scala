@@ -225,6 +225,62 @@ object SimilarityOps {
       .select(col(queryId), col(corpusId), col("cos_micro"), col("rank"))
   }
 
+  /** Simplified (centroid-based) silhouette — the standard clustering
+    * QA readout when the classic silhouette's all-pairs distances are
+    * unaffordable (Hruschka et al.'s simplified form: distances to
+    * CENTROIDS, so cost is n·k·dim, never n²):
+    *
+    *   a(i) = ‖x_i − c(own)‖²,  b(i) = min_{other} ‖x_i − c‖²,
+    *   sil_ppm = (b − a)·1e6 div max(a, b, 1)
+    *
+    * Determinism: components quantized to integer millis with the
+    * portable floor(x·1000 + 0.5); centroids are floor-div component
+    * means of those millis; distances are exact integer squared
+    * Euclidean (squared — monotone in the distance, avoids an
+    * irrational sqrt that no integer contract can replay).
+    *
+    * Shape: one n·dim component aggregate for the k·dim centroid
+    * table, then the corpus streams ONCE past the broadcast centroid
+    * arrays (per-row zip_with/aggregate fold — no explode, no shuffle)
+    * into a per-(point, cluster) min-combine. At 100 TB the only
+    * shuffle is the final per-point aggregate of n·k slim rows.
+    *
+    * Output: (idCol, clusterCol, a_sq, b_sq, sil_ppm). Clusters with a
+    * single point get a = 0 (own centroid is the point) — the
+    * simplified-form convention; b is NULL only if k = 1 (caller owns
+    * that degenerate case).
+    */
+  def simplifiedSilhouette(
+      points: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String): DataFrame = {
+    val div = graft.functions.GraftColumns.longDiv _
+    val m = points.select(col(idCol), col(clusterCol).as("__cl"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1000.0) + lit(0.5))
+          .cast("long")).as("__mv"))
+    val comp = m.select(col("__cl"),
+      posexplode(col("__mv")).as(Seq("__j", "__v")))
+    val cent = comp.groupBy(col("__cl").as("__cc"), col("__j"))
+      .agg(div(sum(col("__v")), count(lit(1))).as("__c"))
+      .groupBy(col("__cc"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__j"), col("__c")))),
+        s => s.getField("__c")).as("__cv"))
+    m.join(broadcast(cent))
+      .select(col(idCol), col("__cl"), col("__cc"),
+        aggregate(zip_with(col("__mv"), col("__cv"),
+            (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, d) => acc + d).as("__d2"))
+      .groupBy(col(idCol), col("__cl"))
+      .agg(
+        min(when(col("__cc") === col("__cl"), col("__d2"))).as("a_sq"),
+        min(when(col("__cc") =!= col("__cl"), col("__d2"))).as("b_sq"))
+      .select(col(idCol), col("__cl").as(clusterCol),
+        col("a_sq"), col("b_sq"),
+        div((col("b_sq") - col("a_sq")) * 1000000L,
+          greatest(col("a_sq"), col("b_sq"), lit(1L))).as("sil_ppm"))
+  }
+
   /** Portable (j,i) → ±1 hyperplane component: Knuth multiplicative mix
     * of x = j*65537 + i, sign from bit 16. A linear-form parity here is
     * a trap — odd slope in i alternates the sign with i, making every

@@ -949,6 +949,179 @@ object SimilarityQueries {
         .select($"rank", $"id".cast("long").as("id"), $"rel",
           $"max_sim_micro", $"score")
         .orderBy($"rank")
+    },
+
+    // Hybrid retrieval: reciprocal-rank fusion of a LEXICAL ranker
+    // (distinct-token overlap via the inverted-index posting join —
+    // the q31 shape) and a SEMANTIC ranker (embedding cosine; the
+    // brute-force conformance face of the q266 ANN serving path), each
+    // contributing its top-20 per query, fused as Σ⌊1e6/(60+rank)⌋
+    // (Cormack et al. 2009). Items on one list only score one term —
+    // the published semantics. Both input rankings and the fused order
+    // carry pinned ties, so the whole hybrid stack hash-replays.
+    GraftQuery(
+      "q269_rrf_fusion",
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_distinct(
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+         |      AS tk
+         |  FROM documents),
+         |qt AS (
+         |  SELECT doc_id AS query_id, u.t AS t
+         |  FROM toks, unnest(tk) AS u(t) WHERE doc_id % 100 = 7),
+         |dt AS (SELECT doc_id, u.t AS t FROM toks, unnest(tk) AS u(t)),
+         |ov AS (
+         |  SELECT qt.query_id, dt.doc_id, COUNT(*) AS ov
+         |  FROM qt JOIN dt ON dt.t = qt.t
+         |  WHERE dt.doc_id <> qt.query_id GROUP BY 1, 2),
+         |lex AS (SELECT * FROM (
+         |  SELECT query_id, doc_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY ov DESC, doc_id) AS r
+         |  FROM ov) WHERE r <= 20),
+         |sem AS (SELECT * FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      CAST(${duckCosMicro("q", "c")} AS BIGINT) DESC, c.vec_id)
+         |      AS r
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 100 = 7) WHERE r <= 20),
+         |fused AS (
+         |  SELECT query_id, doc_id, SUM(1000000 // (60 + r)) AS rrf
+         |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT query_id, doc_id, rrf, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fused)
+         |SELECT query_id, doc_id, CAST(rrf AS BIGINT) AS rrf,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM top WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toksD = Tables.load(s, dir, "documents")
+        .select($"doc_id", array_distinct(
+          filter(split($"text", "\\s+"), t => t =!= "")).as("tk"))
+      val qtok = toksD.filter($"doc_id" % 100 === 7)
+        .select($"doc_id".as("query_id"), explode($"tk").as("t"))
+      val dtok = toksD.select($"doc_id", explode($"tk").as("t"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"ov".desc, $"doc_id".asc)
+      val lex = qtok.join(dtok, Seq("t"))
+        .filter($"doc_id" =!= $"query_id")
+        .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("ov"))
+        .withColumn("r", row_number().over(wl)).filter($"r" <= 20)
+        .select($"query_id", $"doc_id", $"r")
+      val e = Tables.load(s, dir, "embeddings")
+      val sem = SimilarityOps.bruteForceTopK(e, "vec_id", "embedding",
+          e.filter($"vec_id" % 100 === 7)
+            .select($"vec_id".as("query_id"), $"embedding".as("qvec")),
+          "query_id", "qvec", k = 20)
+        .select($"query_id", $"vec_id".as("doc_id"), $"rank".as("r"))
+      graft.ops.SearchOps.rrfFuse(Seq(lex, sem),
+          "query_id", "doc_id", "r", kRrf = 60L, topK = 10)
+        .select($"query_id", $"doc_id", $"rrf",
+          $"rank".cast("long").as("rank"))
+        .orderBy($"query_id", $"rank")
+    },
+
+    // Clustering QA: simplified (centroid-based) silhouette over the
+    // labeled embeddings — cohesion/separation per cluster at n·k·dim
+    // cost (the all-pairs classic is unaffordable at corpus scale).
+    // Integer-milli quantization + floor-div centroids + squared
+    // distances keep every value exactly replayable; see
+    // SimilarityOps.simplifiedSilhouette.
+    GraftQuery(
+      "q270_silhouette",
+      """WITH m AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+        |      AS mv
+        |  FROM embeddings),
+        |comp AS (
+        |  SELECT vec_id, label, g.j AS j, mv[g.j] AS v
+        |  FROM m, unnest(generate_series(1, len(mv))) AS g(j)),
+        |cent AS (
+        |  SELECT label AS cc, j, SUM(v) // COUNT(*) AS c
+        |  FROM comp GROUP BY 1, 2),
+        |sq AS (
+        |  SELECT p.vec_id, p.label, c.cc,
+        |    SUM((p.v - c.c) * (p.v - c.c)) AS d2
+        |  FROM comp p JOIN cent c ON c.j = p.j GROUP BY 1, 2, 3),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |    MIN(CASE WHEN cc = label THEN d2 END) AS a,
+        |    MIN(CASE WHEN cc <> label THEN d2 END) AS b
+        |  FROM sq GROUP BY 1, 2),
+        |sil AS (
+        |  SELECT vec_id, label, a, b,
+        |    (b - a) * 1000000 // greatest(a, b, 1) AS s FROM ab)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_sil_ppm,
+        |  CAST(SUM(a) // COUNT(*) AS BIGINT) AS mean_a_sq,
+        |  CAST(SUM(b) // COUNT(*) AS BIGINT) AS mean_b_sq
+        |FROM sil GROUP BY label ORDER BY label""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val e = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"embedding", $"label".cast("long").as("label"))
+      SimilarityOps.simplifiedSilhouette(e, "vec_id", "embedding", "label")
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          div(sum($"sil_ppm"), count(lit(1))).as("mean_sil_ppm"),
+          div(sum($"a_sq"), count(lit(1))).as("mean_a_sq"),
+          div(sum($"b_sq"), count(lit(1))).as("mean_b_sq"))
+        .orderBy($"label")
+    },
+
+    // Contrastive-training data prep: for each anchor, the top-3
+    // same-label neighbors (positives) and top-3 different-label
+    // neighbors (HARD negatives — the highest-cosine wrong-label
+    // items, exactly what contrastive losses want mined). Conformance
+    // face is brute force over the broadcast anchor set; the corpus
+    // path swaps stage 1 for the q266 ANN shortlist and keeps the
+    // label split + per-(anchor, kind) top-k unchanged.
+    GraftQuery(
+      "q271_hard_negatives",
+      s"""WITH a AS (
+         |  SELECT vec_id AS anchor_id, embedding, label
+         |  FROM embeddings WHERE vec_id < 20),
+         |sc AS (
+         |  SELECT a.anchor_id,
+         |    CASE WHEN c.label = a.label THEN 'pos' ELSE 'neg' END
+         |      AS kind,
+         |    c.vec_id AS cand_id,
+         |    CAST(${duckCosMicro("a", "c")} AS BIGINT) AS cos_micro
+         |  FROM embeddings c JOIN a ON c.vec_id <> a.anchor_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id, kind
+         |    ORDER BY cos_micro DESC, cand_id) AS rank
+         |  FROM sc)
+         |SELECT anchor_id, kind, CAST(rank AS BIGINT) AS rank,
+         |  cand_id, cos_micro
+         |FROM r WHERE rank <= 3
+         |ORDER BY anchor_id, kind, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      val anchors = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("anchor_id"), $"embedding".as("avec"),
+          $"label".as("albl"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"anchor_id", $"kind")
+        .orderBy($"cos_micro".desc, $"cand_id".asc)
+      e.join(broadcast(anchors))
+        .filter($"vec_id" =!= $"anchor_id")
+        .select($"anchor_id",
+          when($"label" === $"albl", lit("pos")).otherwise(lit("neg"))
+            .as("kind"),
+          $"vec_id".as("cand_id"),
+          SimilarityOps.cosineMicro($"avec", $"embedding").as("cos_micro"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"anchor_id", $"kind", $"rank".cast("long").as("rank"),
+          $"cand_id", $"cos_micro")
+        .orderBy($"anchor_id", $"kind", $"rank")
     }) :+ RetrievalPipelineGate
 
   /** RETRIEVAL SERVING end-to-end (the composition finisher for the

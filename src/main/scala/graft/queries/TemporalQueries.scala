@@ -646,6 +646,57 @@ object TemporalQueries {
         .orderBy($"from_state", $"to_state")
     },
 
+    // Stationary distribution of the q189 chain by power iteration
+    // (SeriesOps.stationaryDistribution): 3 fixed rounds of
+    // x·P in integer ppm with per-term floors — the q106 PageRank
+    // replay discipline on the |states|²-bounded transition table
+    // (corpus-free rounds). The oracle unrolls all three rounds as
+    // chained CTEs over the q189 oracle's own matrix.
+    GraftQuery(
+      "q272_markov_stationary",
+      """WITH o AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type AS f, next_type AS t, COUNT(*) AS n
+        |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tm AS (
+        |  SELECT f, t, n*1000000 // SUM(n) OVER (PARTITION BY f) AS p
+        |  FROM c),
+        |st AS (SELECT DISTINCT s FROM
+        |  (SELECT f AS s FROM tm UNION SELECT t FROM tm)),
+        |kk AS (SELECT COUNT(*) AS k FROM st),
+        |x0 AS (SELECT s AS state, 1000000 // k AS m FROM st, kk),
+        |a1 AS (SELECT tm.t AS state, SUM(x0.m * tm.p // 1000000) AS m
+        |       FROM tm JOIN x0 ON x0.state = tm.f GROUP BY 1),
+        |x1 AS (SELECT st.s AS state, COALESCE(a1.m, 0) AS m
+        |       FROM st LEFT JOIN a1 ON a1.state = st.s),
+        |a2 AS (SELECT tm.t AS state, SUM(x1.m * tm.p // 1000000) AS m
+        |       FROM tm JOIN x1 ON x1.state = tm.f GROUP BY 1),
+        |x2 AS (SELECT st.s AS state, COALESCE(a2.m, 0) AS m
+        |       FROM st LEFT JOIN a2 ON a2.state = st.s),
+        |a3 AS (SELECT tm.t AS state, SUM(x2.m * tm.p // 1000000) AS m
+        |       FROM tm JOIN x2 ON x2.state = tm.f GROUP BY 1),
+        |x3 AS (SELECT st.s AS state, COALESCE(a3.m, 0) AS m
+        |       FROM st LEFT JOIN a3 ON a3.state = st.s)
+        |SELECT round, state, CAST(m AS BIGINT) AS mass_ppm FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, state, m FROM x1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), state, m FROM x2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), state, m FROM x3)
+        |ORDER BY round, state""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select($"user_id", unix_micros($"ts").as("tu"), $"event_id",
+          $"event_type")
+      val tm = graft.ops.SeriesOps.transitionMatrix(
+        e, "user_id", "tu", "event_id", "event_type")
+      graft.ops.SeriesOps.stationaryDistribution(
+          tm, "from_state", "to_state", "p_ppm", rounds = 3)
+        .orderBy($"round", $"state")
+    },
+
     // Interval-union coverage (TemporalOps.intervalUnion): per user,
     // merge the overlapping [event, event + 30 min) activity intervals
     // and report the union — islands + total covered seconds — the

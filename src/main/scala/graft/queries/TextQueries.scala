@@ -1243,5 +1243,83 @@ object TextQueries {
         .select($"doc_id", $"n_bigrams", $"novel",
           div($"novel" * 1000000L, $"n_bigrams").as("novelty_ppm"))
         .orderBy($"doc_id")
+    },
+
+    // Multinomial Naive Bayes TRAINED IN THE ENGINE (lang router:
+    // train on doc_id%5≠0, predict the held-out 20%, read out the
+    // confusion matrix). Closed-form MLE = one groupBy per statistic —
+    // the one classifier you can train on 100 TB in a single pass; the
+    // apply side is an inverted-index equi-join of the doc-token
+    // stream against the |observed (class,token)|-sized model (the
+    // per-class Laplace denominator factors out of the token sum, so
+    // unobserved pairs cost nothing — see ClassifierOps.nbPredict).
+    // All likelihoods are Q20 integer logs; the oracle replays the
+    // identical recurrence (chained-CTE form) over the tagged-union
+    // arg table and re-derives the argmax as a rank-1 window with the
+    // same (score desc, label desc) total order.
+    GraftQuery(
+      "q268_nb_confusion",
+      s"""WITH tr AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+         |      AS tk
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |te AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+         |      AS tk
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |cnt AS (
+         |  SELECT lang AS c, u.t AS t, COUNT(*) AS cn
+         |  FROM tr, unnest(tk) AS u(t) GROUP BY 1, 2),
+         |tcl AS (SELECT c, SUM(cn) AS tc FROM cnt GROUP BY 1),
+         |vv AS (SELECT COUNT(DISTINCT t) AS v FROM cnt),
+         |ncl AS (SELECT lang AS c, COUNT(*) AS nc FROM tr GROUP BY 1),
+         |ntr AS (SELECT COUNT(*) AS n FROM tr),
+         |args AS (
+         |  SELECT 'cnt' AS which, c, t, cn + 1 AS v FROM cnt
+         |  UNION ALL
+         |  SELECT 'den', c, '', CAST(tcl.tc + vv.v AS BIGINT)
+         |  FROM tcl, vv
+         |  UNION ALL SELECT 'prior', c, '', nc FROM ncl
+         |  UNION ALL SELECT 'nn', '', '', n FROM ntr),
+         |${DuckLog2Q20.ctes("which", "c", "t")},
+         |lg AS (SELECT which, c, t, v, p * 1048576 + acc AS l FROM l20),
+         |model AS (SELECT c, t, l AS lgc FROM lg WHERE which = 'cnt'),
+         |cs AS (
+         |  SELECT pc.c, pc.l - ln.l AS prior, dn.l AS den
+         |  FROM (SELECT c, l FROM lg WHERE which = 'prior') pc
+         |  JOIN (SELECT c, l FROM lg WHERE which = 'den') dn USING (c)
+         |  CROSS JOIN (SELECT l FROM lg WHERE which = 'nn') ln),
+         |tf AS (
+         |  SELECT doc_id, u.t AS t, COUNT(*) AS tf
+         |  FROM te, unnest(tk) AS u(t) GROUP BY 1, 2),
+         |hits AS (
+         |  SELECT tf.doc_id, m.c, SUM(tf.tf * m.lgc) AS hit
+         |  FROM tf JOIN model m ON m.t = tf.t GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT te.doc_id, te.lang, cs.c,
+         |    cs.prior - len(te.tk) * cs.den + COALESCE(h.hit, 0) AS score
+         |  FROM te CROSS JOIN cs
+         |  LEFT JOIN hits h ON h.doc_id = te.doc_id AND h.c = cs.c),
+         |pred AS (
+         |  SELECT doc_id, lang, c AS predicted,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, c DESC) AS rk
+         |  FROM scored)
+         |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM pred WHERE rk = 1
+         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val model = graft.ops.ClassifierOps.nbTrain(
+        docs.filter($"doc_id" % 5 =!= 0), "text", "lang")
+      val test = docs.filter($"doc_id" % 5 === 0)
+      graft.ops.ClassifierOps.nbPredict(test, "doc_id", "text", model)
+        .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
+        .groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"predicted")
     })
 }

@@ -319,4 +319,23 @@ class EmptyInputSpec extends SparkTestBase {
       Seq.empty[(Long, Long)].toDF("k", "v"), Seq("v"), Seq("m"),
       inclusive = false, "k").count() === 0)
   }
+
+  test("round-8 batch-2 operators degrade on empty input") {
+    import graft.ops.{ClassifierOps, SearchOps, SeriesOps, SimilarityOps}
+    val noDocs = Seq.empty[(Long, String, String)]
+      .toDF("id", "text", "lang")
+    val m = ClassifierOps.nbTrain(noDocs, "text", "lang")
+    assert(m.tokenLogs.count() === 0 && m.classStats.count() === 0)
+    assert(ClassifierOps.nbPredict(
+      noDocs.select($"id", $"text"), "id", "text", m).count() === 0)
+    val noRank = Seq.empty[(Long, Long, Long)].toDF("q", "id", "r")
+    assert(SearchOps.rrfFuse(Seq(noRank), "q", "id", "r").count() === 0)
+    val noPts = Seq.empty[(Long, Array[Float], Long)]
+      .toDF("id", "emb", "cl")
+    assert(SimilarityOps.simplifiedSilhouette(
+      noPts, "id", "emb", "cl").count() === 0)
+    val noTrans = Seq.empty[(String, String, Long)].toDF("f", "t", "p")
+    assert(SeriesOps.stationaryDistribution(
+      noTrans, "f", "t", "p", 2).count() === 0)
+  }
 }

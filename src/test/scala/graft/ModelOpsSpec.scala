@@ -296,4 +296,61 @@ class ModelOpsSpec extends SparkTestBase {
       assert(got === Map(("p", "q") -> 1L, ("q", "r") -> 1L), s"p=$p")
     }
   }
+  // ---------------------------------------------------- naive bayes
+
+  test("naive bayes: predictions and Q20 scores equal a full driver " +
+       "replay of the closed-form model (referee equivalence)") {
+    import graft.ops.ClassifierOps
+    val trainDocs = Seq(("a", "x x y"), ("a", "x z"),
+      ("b", "y y"), ("b", "y z z"))
+    val testDocs = Map(1L -> "x x", 2L -> "y y y", 3L -> "q q", 4L -> "")
+    val model = ClassifierOps.nbTrain(
+      trainDocs.toDF("lang", "text"), "text", "lang")
+    val got = ClassifierOps.nbPredict(
+        testDocs.toSeq.toDF("doc_id", "text"), "doc_id", "text", model)
+      .orderBy($"doc_id")
+      .as[(Long, String, Long)].collect()
+
+    val lg = (v: Long) => graft.ops.EvalOps.log2Q20Host(v)
+    def toks(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq
+    val cnt = trainDocs.flatMap { case (c, t) => toks(t).map(c -> _) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val tc = cnt.groupBy(_._1._1)
+      .map { case (c, m) => c -> m.values.sum }
+    val vocab = cnt.keys.map(_._2).toSet.size.toLong
+    val nc = trainDocs.groupBy(_._1)
+      .map { case (c, xs) => c -> xs.size.toLong }
+    def score(text: String, c: String): Long = {
+      val ts = toks(text)
+      lg(nc(c)) - lg(trainDocs.size.toLong) -
+        ts.size.toLong * lg(tc(c) + vocab) +
+        ts.groupBy(identity).map { case (t, xs) =>
+          xs.size.toLong * lg(cnt.getOrElse((c, t), 0L) + 1L) }.sum
+    }
+    got.foreach { case (id, pred, s) =>
+      val best = Seq("a", "b").map(c => (score(testDocs(id), c), c)).max
+      assert((pred, s) === ((best._2, best._1)), s"doc $id")
+    }
+    // sanity on the semantics, not just the replay
+    assert(got.find(_._1 == 1L).get._2 === "a") // x-heavy doc -> class a
+    assert(got.find(_._1 == 2L).get._2 === "b") // y-heavy doc -> class b
+    // empty doc scores the prior alone; equal priors tie to the
+    // lexicographically larger label (q246 struct-max convention)
+    assert(got.find(_._1 == 4L).get._2 === "b")
+  }
+
+  test("naive bayes: fully-OOV docs rank classes by verbosity alone " +
+       "(the factored-out denominator is the only signal)") {
+    import graft.ops.ClassifierOps
+    // class a: 2 train tokens; class b: 5 -> den(a) < den(b), so an
+    // all-unseen doc must score higher under a (same prior mass)
+    val model = ClassifierOps.nbTrain(
+      Seq(("a", "x y"), ("b", "u v w u v")).toDF("lang", "text"),
+      "text", "lang")
+    val got = ClassifierOps.nbPredict(
+        Seq((1L, "zz zz zz")).toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .as[(Long, String, Long)].collect()
+    assert(got.head._2 === "a")
+  }
 }

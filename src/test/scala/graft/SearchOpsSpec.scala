@@ -92,4 +92,29 @@ class SearchOpsSpec extends SparkTestBase {
     assert(got(3L) === ((3L, Some("a b hit"))))
     assert(got(4L) === ((0L, None)))
   }
+
+  test("rrfFuse: hand-computed fusion; single-list items score one " +
+       "term; equal scores tie to the smaller id") {
+    import graft.ops.SearchOps
+    def w(r: Long) = 1000000L / (60L + r)
+    // ranker A: d1@1 d2@2 d3@3; ranker B: d2@1 d4@2
+    val a = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+      .toDF("q", "d", "r")
+    val b = Seq((1L, 2L, 1L), (1L, 4L, 2L)).toDF("q", "d", "r")
+    val got = SearchOps.rrfFuse(Seq(a, b), "q", "d", "r",
+        kRrf = 60L, topK = 10)
+      .orderBy($"rank").select($"d", $"rrf", $"rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got === Seq((2L, w(2) + w(1), 1), (1L, w(1), 2),
+      (4L, w(2), 3), (3L, w(3), 4)))
+    // tie: d5 and d6 each rank 1 on exactly one list -> equal rrf,
+    // smaller id first; topK cuts the tail
+    val ta = Seq((9L, 5L, 1L), (9L, 7L, 2L)).toDF("q", "d", "r")
+    val tb = Seq((9L, 6L, 1L)).toDF("q", "d", "r")
+    val tied = SearchOps.rrfFuse(Seq(ta, tb), "q", "d", "r",
+        kRrf = 60L, topK = 2)
+      .orderBy($"rank").select($"d", $"rank")
+      .as[(Long, Int)].collect().toSeq
+    assert(tied === Seq((5L, 1), (6L, 2)))
+  }
 }

@@ -119,4 +119,33 @@ class SeriesOpsSpec extends SparkTestBase {
       ("A", "B", 2L, 666666L), ("A", "C", 1L, 333333L),
       ("B", "A", 1L, 1000000L)))
   }
+
+  test("stationaryDistribution: symmetric chain stays uniform; " +
+       "absorbing state drains; sink states leak mass (documented)") {
+    import graft.ops.SeriesOps
+    val sym = Seq(("a", "a", 500000L), ("a", "b", 500000L),
+      ("b", "a", 500000L), ("b", "b", 500000L)).toDF("f", "t", "p")
+    val g1 = SeriesOps.stationaryDistribution(sym, "f", "t", "p", 3)
+      .orderBy($"round", $"state").as[(Long, String, Long)]
+      .collect().toSeq
+    assert(g1 === Seq((1L, "a", 500000L), (1L, "b", 500000L),
+      (2L, "a", 500000L), (2L, "b", 500000L),
+      (3L, "a", 500000L), (3L, "b", 500000L)))
+
+    val abs = Seq(("a", "b", 1000000L), ("b", "b", 1000000L))
+      .toDF("f", "t", "p")
+    val g2 = SeriesOps.stationaryDistribution(abs, "f", "t", "p", 2)
+      .orderBy($"round", $"state").as[(Long, String, Long)]
+      .collect().toSeq
+    assert(g2 === Seq((1L, "a", 0L), (1L, "b", 1000000L),
+      (2L, "a", 0L), (2L, "b", 1000000L)))
+
+    // c never transitions out: its round-1 mass disappears in round 2
+    val sink = Seq(("a", "c", 1000000L)).toDF("f", "t", "p")
+    val g3 = SeriesOps.stationaryDistribution(sink, "f", "t", "p", 2)
+      .orderBy($"round", $"state").as[(Long, String, Long)]
+      .collect().toSeq
+    assert(g3 === Seq((1L, "a", 0L), (1L, "c", 500000L),
+      (2L, "a", 0L), (2L, "c", 0L)))
+  }
 }

@@ -806,4 +806,34 @@ class TextDedupSimSpec extends SparkTestBase {
     assert(SimilarityOps.mmrTopK(scored, "id", "emb", "rel",
       k = 10, lambdaPpm = 700000L).count() === 3)
   }
+
+  test("simplified silhouette: hand-computed millis on two separated " +
+       "clusters; single-cluster corpus has NULL separation") {
+    import graft.ops.SimilarityOps
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f), 0L), (2L, Array(0.002f, 0.0f), 0L),
+      (3L, Array(1.0f, 0.0f), 1L), (4L, Array(1.0f, 0.002f), 1L))
+      .toDF("id", "emb", "cl")
+    val got = SimilarityOps.simplifiedSilhouette(pts, "id", "emb", "cl")
+      .orderBy($"id").select($"id", $"a_sq", $"b_sq", $"sil_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // millis: (0,0),(2,0) -> c0=(1,0); (1000,0),(1000,2) -> c1=(1000,1)
+    def sil(a: Long, b: Long) = (b - a) * 1000000L / math.max(a max b, 1L)
+    assert(got === Seq(
+      (1L, 1L, 1000001L, sil(1L, 1000001L)),
+      (2L, 1L, 996005L, sil(1L, 996005L)),
+      (3L, 1L, 998001L, sil(1L, 998001L)),
+      (4L, 1L, 998005L, sil(1L, 998005L))))
+    got.foreach { case (_, _, _, s) => assert(s > 999000L) }
+
+    val one = Seq((1L, Array(0.5f), 0L), (2L, Array(0.7f), 0L))
+      .toDF("id", "emb", "cl")
+    val g1 = SimilarityOps.simplifiedSilhouette(one, "id", "emb", "cl")
+      .orderBy($"id")
+      .select($"id", $"a_sq", $"b_sq", $"sil_ppm")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    // millis 500 and 700 -> centroid 600 -> a = 10000 for both
+    assert(g1 === Seq((1L, 10000L, None, None),
+      (2L, 10000L, None, None)))
+  }
 }
