@@ -332,4 +332,55 @@ object EvalOps {
         col("cell_chi2_milli"), col("chi2_milli"), col("dof"),
         col("cramers_v2_ppm"))
   }
+
+  /** Probability-calibration readout for a ppm-scored binary
+    * classifier: equal-width reliability bins (predicted-probability
+    * mean vs empirical positive rate), Brier score, and expected
+    * calibration error — the "is the score a probability?" audit that
+    * belongs next to the q179 ROC (rank quality says nothing about
+    * calibration; Guo et al. 2017's diagnosis).
+    *
+    * Shape: the corpus reduces to `nBins` rows in ONE map-side
+    * -combined groupBy (bin = ⌊p·nBins/1e6⌋ clamped); Brier rides the
+    * same pass as a global aggregate and both scalars attach as
+    * in-plan broadcast 1-row crosses (q179 pattern). No windows, no
+    * per-row state — bounded-domain by construction.
+    *
+    * Exactness contract: brier_ppm2 = Σ(p − y·1e6)² div N (ppm² units;
+    * Σ of 1e12-bounded terms — Long-safe to N ≈ 9e6, rescale upstream
+    * past that); ece_ppm = Σ_b n_b·|mean_p − pos_rate| div N computed
+    * from the ROUNDED per-bin stats, so every reported number is a
+    * pure integer function of the inputs on any engine.
+    *
+    * Output: one row per non-empty bin (bin, n, mean_p_ppm,
+    * pos_rate_ppm, brier_ppm2, ece_ppm), ordered by caller.
+    */
+  def calibrationBins(
+      scored: DataFrame, probPpmCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val div = graft.functions.GraftColumns.longDiv _
+    val b = scored.select(
+      least(div(col(probPpmCol) * nBins, lit(1000000L)),
+        lit(nBins - 1L)).as("bin"),
+      col(probPpmCol).as("__p"),
+      when(col(labelCol), 1L).otherwise(0L).as("__y"))
+    val bins = b.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      div(sum(col("__p")), count(lit(1))).as("mean_p_ppm"),
+      div(sum(col("__y")) * 1000000L, count(lit(1))).as("pos_rate_ppm"))
+    val brier = b.agg(
+      div(sum((col("__p") - col("__y") * 1000000L) *
+        (col("__p") - col("__y") * 1000000L)), count(lit(1)))
+        .as("brier_ppm2"),
+      count(lit(1)).as("__nt"))
+    val ece = bins.crossJoin(broadcast(brier.select(col("__nt"))))
+      .agg(div(sum(col("n") * abs(col("mean_p_ppm") -
+        col("pos_rate_ppm"))), min(col("__nt"))).as("ece_ppm"))
+    bins
+      .crossJoin(broadcast(brier.select(col("brier_ppm2"))))
+      .crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("mean_p_ppm"),
+        col("pos_rate_ppm"), col("brier_ppm2"), col("ece_ppm"))
+  }
 }

@@ -225,6 +225,55 @@ object SimilarityOps {
       .select(col(queryId), col(corpusId), col("cos_micro"), col("rank"))
   }
 
+  /** Exact integer mean/covariance sufficient statistics of an
+    * embedding column — the one-pass Gram readout that feeds
+    * whitening, PCA-by-external-solver, and drift checks on vector
+    * corpora. Components are quantized to integer millis
+    * (floor(x·1000 + 0.5), the portable rounding), and
+    *
+    *   cov(j,k) = Σ v_j·v_k div n − (Σ v_j div n)·(Σ v_k div n)
+    *
+    * with explicit floor divs (document the crumbs; an exact-rational
+    * covariance can't hash-replay, the floored estimator can).
+    *
+    * Shape: each row explodes to its dim(dim+1)/2 upper-triangle
+    * products which partial-aggregate map-side — the classic
+    * distributed Gram accumulation; the only shuffle carries the
+    * dim²-bounded combined partials, never the corpus. Long-safe
+    * while n·maxMilli² &lt; 2^63 (unit-norm vectors: n ≲ 9e12).
+    *
+    * Output: (j, k, n, cov_milli2) for 1 ≤ j ≤ k ≤ dim.
+    */
+  def embeddingCovariance(
+      points: DataFrame, vecCol: String): DataFrame = {
+    val div = graft.functions.GraftColumns.longDiv _
+    val mv = points.select(transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000.0) + lit(0.5))
+        .cast("long")).as("__mv"))
+    val pairs = mv.select(explode(flatten(transform(
+        sequence(lit(0), size(col("__mv")) - 1),
+        j => transform(sequence(j, size(col("__mv")) - 1),
+          k => struct(
+            (j + 1).cast("long").as("j"), (k + 1).cast("long").as("k"),
+            (element_at(col("__mv"), j + 1) *
+              element_at(col("__mv"), k + 1)).as("vv")))))).as("p"))
+      .select(col("p.j"), col("p.k"), col("p.vv"))
+    val comp = mv.select(posexplode(col("__mv")).as(Seq("__j0", "__v")))
+      .groupBy((col("__j0") + 1).cast("long").as("__j"))
+      .agg(sum(col("__v")).as("__sj"))
+    val n = mv.agg(count(lit(1)).as("__n"))
+    pairs.groupBy(col("j"), col("k")).agg(sum(col("vv")).as("__s"))
+      .join(broadcast(comp.select(col("__j").as("j"),
+        col("__sj").as("__sa"))), Seq("j"))
+      .join(broadcast(comp.select(col("__j").as("k"),
+        col("__sj").as("__sb"))), Seq("k"))
+      .crossJoin(broadcast(n))
+      .select(col("j"), col("k"), col("__n").as("n"),
+        (div(col("__s"), col("__n")) -
+          div(col("__sa"), col("__n")) * div(col("__sb"), col("__n")))
+          .as("cov_milli2"))
+  }
+
   /** Simplified (centroid-based) silhouette — the standard clustering
     * QA readout when the classic silhouette's all-pairs distances are
     * unaffordable (Hruschka et al.'s simplified form: distances to

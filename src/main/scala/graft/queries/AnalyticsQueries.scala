@@ -1681,6 +1681,51 @@ object AnalyticsQueries {
         .orderBy($"score")
     },
 
+    // Calibration audit (EvalOps.calibrationBins) for the same
+    // "is-English" scorer squashed to a pseudo-probability
+    // p_ppm = n·1e6/(n+300): equal-width reliability bins + Brier +
+    // ECE — rank quality (q179 AUC) says nothing about whether the
+    // score IS a probability (Guo et al. 2017). Corpus reduces to
+    // ≤10 bin rows in one map-side-combined pass; Brier/ECE attach as
+    // in-plan 1-row scalars; ECE uses the ROUNDED bin stats so every
+    // number replays exactly.
+    GraftQuery(
+      "q273_calibration",
+      """WITH s AS (
+        |  SELECT n_chars * 1000000 // (n_chars + 300) AS p,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |b AS (SELECT LEAST(p * 10 // 1000000, 9) AS bin, p, y FROM s),
+        |bins AS (
+        |  SELECT bin, COUNT(*) AS n,
+        |    CAST(SUM(p) // COUNT(*) AS BIGINT) AS mean_p_ppm,
+        |    CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT)
+        |      AS pos_rate_ppm
+        |  FROM b GROUP BY 1),
+        |br AS (
+        |  SELECT CAST(SUM((p - y*1000000) * (p - y*1000000))
+        |      // COUNT(*) AS BIGINT) AS brier_ppm2,
+        |    COUNT(*) AS nt
+        |  FROM b),
+        |ec AS (
+        |  SELECT CAST(SUM(n * abs(mean_p_ppm - pos_rate_ppm))
+        |      // MIN(br.nt) AS BIGINT) AS ece_ppm
+        |  FROM bins CROSS JOIN br)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  mean_p_ppm, pos_rate_ppm, br.brier_ppm2, ec.ece_ppm
+        |FROM bins CROSS JOIN br CROSS JOIN ec
+        |ORDER BY bin""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      graft.ops.EvalOps.calibrationBins(
+          Tables.load(s, dir, "documents")
+            .select(
+              div($"n_chars" * 1000000L, $"n_chars" + 300L).as("p_ppm"),
+              ($"lang" === "en").as("is_en")),
+          "p_ppm", "is_en", nBins = 10)
+        .orderBy($"bin")
+    },
+
     // Per-group AUC (EvalOps.rocAucGrouped): q179's Mann-Whitney
     // statistic PARTITIONED by source — per-slice model monitoring with
     // no global ordered window at any scale (the histogram walk runs

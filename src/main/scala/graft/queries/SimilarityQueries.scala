@@ -1122,6 +1122,44 @@ object SimilarityQueries {
         .select($"anchor_id", $"kind", $"rank".cast("long").as("rank"),
           $"cand_id", $"cos_micro")
         .orderBy($"anchor_id", $"kind", $"rank")
+    },
+
+    // One-pass embedding mean/covariance sufficient statistics
+    // (SimilarityOps.embeddingCovariance) — the Gram readout feeding
+    // whitening/PCA/drift checks. Each row explodes to its
+    // dim(dim+1)/2 upper-triangle products which partial-aggregate
+    // map-side; the only shuffle carries dim²-bounded combined
+    // partials. Integer millis + explicit floor divs make the floored
+    // covariance estimator hash-replayable.
+    GraftQuery(
+      "q274_embedding_covariance",
+      """WITH m AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+        |      AS mv
+        |  FROM embeddings),
+        |comp AS (
+        |  SELECT vec_id, g.j AS j, mv[g.j] AS v
+        |  FROM m, unnest(generate_series(1, len(mv))) AS g(j)),
+        |nn AS (SELECT COUNT(*) AS n FROM m),
+        |cs AS (SELECT j, CAST(SUM(v) AS BIGINT) AS sj
+        |       FROM comp GROUP BY 1),
+        |pr AS (
+        |  SELECT a.j AS j, b.j AS k, CAST(SUM(a.v * b.v) AS BIGINT)
+        |    AS s
+        |  FROM comp a JOIN comp b
+        |    ON b.vec_id = a.vec_id AND b.j >= a.j
+        |  GROUP BY 1, 2)
+        |SELECT pr.j AS j, pr.k AS k, CAST(nn.n AS BIGINT) AS n,
+        |  CAST(pr.s // nn.n - (ca.sj // nn.n) * (cb.sj // nn.n)
+        |    AS BIGINT) AS cov_milli2
+        |FROM pr JOIN cs ca ON ca.j = pr.j
+        |  JOIN cs cb ON cb.j = pr.k CROSS JOIN nn
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      SimilarityOps.embeddingCovariance(
+          Tables.load(s, dir, "embeddings"), "embedding")
+        .orderBy($"j", $"k")
     }) :+ RetrievalPipelineGate
 
   /** RETRIEVAL SERVING end-to-end (the composition finisher for the

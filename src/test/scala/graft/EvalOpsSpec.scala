@@ -270,4 +270,32 @@ class EvalOpsSpec extends SparkTestBase {
     }
     assert(b.sum >= 999990L && b.sum <= 1000000L)
   }
+
+  test("calibrationBins: hand-computed bins, Brier and ECE; a " +
+       "perfectly calibrated scorer has near-zero ECE") {
+    import graft.ops.EvalOps
+    // 4 rows in bin 2 (p=250000): 1 positive -> pos_rate 250000 ==
+    // mean_p (perfectly calibrated bin); 2 rows in bin 9 (p=900000):
+    // both positive -> gap 100000
+    val scored = Seq(
+      (250000L, true), (250000L, false), (250000L, false),
+      (250000L, false), (900000L, true), (900000L, true))
+      .toDF("p", "y")
+    val got = EvalOps.calibrationBins(scored, "p", "y", nBins = 10)
+      .orderBy($"bin")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // brier = (3*(250000^2) + (750000^2) + 2*(100000^2)) / 6
+    val brier = (3L * 250000L * 250000L + 750000L * 750000L +
+      2L * 100000L * 100000L) / 6L
+    // ece = (4*|250000-250000| + 2*|900000-1000000|) / 6
+    val ece = (2L * 100000L) / 6L
+    assert(got === Seq(
+      (2L, 4L, 250000L, 250000L, brier, ece),
+      (9L, 2L, 900000L, 1000000L, brier, ece)))
+    // p = 1e6 clamps into the top bin instead of minting bin 10
+    val clamp = EvalOps.calibrationBins(
+        Seq((1000000L, true)).toDF("p", "y"), "p", "y", nBins = 10)
+      .select($"bin").as[Long].collect().toSeq
+    assert(clamp === Seq(9L))
+  }
 }

@@ -515,7 +515,32 @@ class PlansSpec extends SparkTestBase {
         "q263_matryoshka_eval",
         // q266 composes q37's IVF probe (1-row query cross + centroid
         // cross) with q249's per-round 1-row MMR picks
-        "q266_retrieval_pipeline")
+        "q266_retrieval_pipeline",
+        // q268 crosses the test-doc stream with the |classes|-row
+        // broadcast model-stats table (model-as-table, the q223
+        // argument) and nbTrain's class stats with two ONE-row
+        // aggregates (vocab size, train count — q96 scalar pattern)
+        "q268_nb_confusion",
+        // q269's semantic ranker is q35's brute-force shape (5-query
+        // broadcast side, corpus streams)
+        "q269_rrf_fusion",
+        // q270 streams the corpus past the |clusters|-row broadcast
+        // centroid-array table (model-as-table, q223's argument)
+        "q270_silhouette",
+        // q271 is q35's sanction argument: the 20-row anchor set
+        // broadcasts, the corpus streams
+        "q271_hard_negatives",
+        // q272 crosses the |states|-row state table with its ONE-row
+        // count aggregate (q96 scalar pattern); each power-iteration
+        // round is an equi-join on the from-state
+        "q272_markov_stationary",
+        // q273 crosses the ≤nBins-row bin table with its ONE-row
+        // Brier and ECE aggregates (q179's scalar-attach pattern)
+        "q273_calibration",
+        // q274 crosses the dim²-bounded pair-sum table with its
+        // ONE-row corpus-count aggregate (q96 scalar pattern); the
+        // component-sum attaches are equi-joins on j/k
+        "q274_embedding_covariance")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]

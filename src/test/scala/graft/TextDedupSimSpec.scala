@@ -836,4 +836,21 @@ class TextDedupSimSpec extends SparkTestBase {
     assert(g1 === Seq((1L, 10000L, None, None),
       (2L, 10000L, None, None)))
   }
+
+  test("embeddingCovariance: hand-computed floored estimator on a " +
+       "2-dim fixture; upper triangle only") {
+    import graft.ops.SimilarityOps
+    // millis: (1000, 0), (0, 1000), (1000, 1000), (0, 0)
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f)), (4L, Array(0.0f, 0.0f)))
+      .toDF("id", "emb")
+    val got = SimilarityOps.embeddingCovariance(pts, "emb")
+      .orderBy($"j", $"k")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // s11 = 2e6, s12 = 1e6, s22 = 2e6; sj = 2000 each; n = 4
+    // cov = s//4 - (2000//4)^2 = 500000 - 250000
+    assert(got === Seq(
+      (1L, 1L, 4L, 250000L), (1L, 2L, 4L, 0L), (2L, 2L, 4L, 250000L)))
+  }
 }
