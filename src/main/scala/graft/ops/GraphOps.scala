@@ -998,4 +998,56 @@ object GraphOps {
         div(col("cn") * 1000000L, col("__da") + col("__db") - col("cn"))
           .as("jaccard_ppm"))
   }
+
+  /** Newman modularity of a community partition over an undirected
+    * pair graph — the "did the clustering find real structure?" score
+    * for LPA/CC outputs (Q ≈ 0: no better than random wiring; the
+    * 0.3–0.7 band is classic community structure). Exact
+    * single-fraction integer form — per-community floors would drift:
+    *
+    *   Q_ppm = (4m·Σ_c e_c − Σ_c d_c²)·1e6 div (4m²)
+    *
+    * (algebra of Σ_c [e_c/m − (d_c/2m)²] over one denominator).
+    * Long-safe while 4m²·1e6 &lt; 2^63, i.e. m ≲ 1.5e6 edges; rescale
+    * to per-mille above that.
+    *
+    * Shape: degrees in one |E| aggregate, intra-edge counts via two
+    * label equi-joins on the edge list, community rollup map-side
+    * combined; m and Q attach as in-plan broadcast 1-row aggregates
+    * (q96 scalar pattern). Everything scales with |E| + |communities|.
+    *
+    * Input: `pairs` with each undirected edge ONCE (a &lt; b, no
+    * duplicates — q165's pair-graph contract); `labels` with one row
+    * per node. Output: (community, n_nodes, e_intra, d_sum, q_ppm).
+    */
+  def modularity(
+      pairs: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val div = graft.functions.GraftColumns.longDiv _
+    val e = pairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val deg = e.union(e.select(col("__b"), col("__a")))
+      .groupBy(col("__a").as("__id")).agg(count(lit(1)).as("__d"))
+    val lbl = labels.select(col(idCol).as("__id"),
+      col(labelCol).as("community"))
+    val m = e.agg(count(lit(1)).as("__m"))
+    val comm = lbl.join(deg, Seq("__id"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__d")).as("d_sum"))
+    val intra = e
+      .join(lbl.select(col("__id").as("__a"),
+        col("community").as("__ca")), Seq("__a"))
+      .join(lbl.select(col("__id").as("__b"),
+        col("community").as("__cb")), Seq("__b"))
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("e_intra"))
+    val parts = comm.join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"), col("d_sum"))
+    val q = parts.crossJoin(broadcast(m))
+      .agg(div((lit(4L) * min(col("__m")) * sum(col("e_intra")) -
+          sum(col("d_sum") * col("d_sum"))) * 1000000L,
+        lit(4L) * min(col("__m")) * min(col("__m"))).as("q_ppm"))
+    parts.crossJoin(broadcast(q))
+  }
 }

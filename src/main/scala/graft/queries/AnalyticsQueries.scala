@@ -1550,6 +1550,28 @@ object AnalyticsQueries {
         .orderBy($"id")
     },
 
+    // Newman modularity (GraphOps.modularity) of the q165 LPA
+    // communities over the same part co-occurrence graph — the "did
+    // the clustering find real structure?" readout. Exact
+    // single-fraction integer Q (per-community floors would drift);
+    // the oracle reuses q165's own CTE body so both engines score the
+    // IDENTICAL assignment.
+    GraftQuery("q275_modularity", AnalyticsSql.Modularity) { (s, dir) =>
+      import s.implicits._
+      val op = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey".as("b"), $"l_partkey".as("i")).distinct()
+      val pairs = op.select($"b", $"i".as("pa"))
+        .join(op.select($"b", $"i".as("pb")), Seq("b"))
+        .filter($"pa" < $"pb")
+        .select($"pa", $"pb").distinct()
+        .localCheckpoint() // consumed by the LPA rounds AND modularity
+      val labels = graft.ops.GraphOps.labelPropagation(
+        pairs, "pa", "pb", rounds = 2)
+      graft.ops.GraphOps.modularity(
+          pairs, "pa", "pb", labels, "id", "label")
+        .orderBy($"community")
+    },
+
     // HITS hubs & authorities (GraphOps.hits) over the buyer→supplier
     // bipartite graph: authorities rank suppliers by endorsement from
     // strong buyers, hubs rank buyers by breadth of strong suppliers —
@@ -2700,8 +2722,11 @@ private object AnalyticsSql {
     * frequency argmax, smallest-label tie-break; the oracle's
     * row_number pick ≡ the engine's algebraic min(struct(−cnt,label))).
     */
-  val Lpa2: String =
-    """WITH op AS (
+  /** Shared CTE body (op → pairs → e → 2 LPA rounds → l2) so q275's
+    * modularity oracle reuses the IDENTICAL community assignment.
+    */
+  private val LpaCtes: String =
+    """op AS (
       |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
       |pairs AS (
       |  SELECT a.i AS pa, b.i AS pb
@@ -2718,8 +2743,41 @@ private object AnalyticsSql {
       |l2 AS (SELECT id, label FROM (
       |    SELECT id, label,
       |      row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rk
-      |    FROM v2) t WHERE rk = 1)
-      |SELECT id, label FROM l2 ORDER BY id""".stripMargin
+      |    FROM v2) t WHERE rk = 1)""".stripMargin
+
+  val Lpa2: String =
+    s"WITH $LpaCtes\nSELECT id, label FROM l2 ORDER BY id"
+
+  /** q275: Newman modularity of the l2 communities over the same
+    * graph, exact single-fraction integer form
+    * Q_ppm = (4m·Σe_c − Σd_c²)·1e6 // 4m².
+    */
+  val Modularity: String =
+    s"""WITH $LpaCtes,
+       |deg AS (SELECT a AS id, COUNT(*) AS d FROM e GROUP BY 1),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+       |comm AS (
+       |  SELECT l.label AS community, COUNT(*) AS n_nodes,
+       |    CAST(SUM(deg.d) AS BIGINT) AS d_sum
+       |  FROM l2 l JOIN deg ON deg.id = l.id GROUP BY 1),
+       |intra AS (
+       |  SELECT la.label AS community, CAST(COUNT(*) AS BIGINT)
+       |    AS e_intra
+       |  FROM pairs p JOIN l2 la ON la.id = p.pa
+       |    JOIN l2 lb ON lb.id = p.pb
+       |  WHERE la.label = lb.label GROUP BY 1),
+       |prt AS (
+       |  SELECT c.community, c.n_nodes,
+       |    COALESCE(i.e_intra, 0) AS e_intra, c.d_sum
+       |  FROM comm c LEFT JOIN intra i ON i.community = c.community),
+       |qq AS (
+       |  SELECT CAST((4 * mm.m * SUM(e_intra)
+       |      - CAST(SUM(d_sum * d_sum) AS BIGINT)) * 1000000
+       |    // (4 * mm.m * mm.m) AS BIGINT) AS q_ppm
+       |  FROM prt CROSS JOIN mm GROUP BY mm.m)
+       |SELECT community, CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(e_intra AS BIGINT) AS e_intra, d_sum, qq.q_ppm
+       |FROM prt CROSS JOIN qq ORDER BY community""".stripMargin
 
   /** 2 unrolled HITS rounds over the buyer→supplier graph, integer
     * ppm with L∞ normalization — replays GraphOps.hits bit-for-bit.

@@ -338,4 +338,17 @@ class EmptyInputSpec extends SparkTestBase {
     assert(SeriesOps.stationaryDistribution(
       noTrans, "f", "t", "p", 2).count() === 0)
   }
+
+  test("round-8 batch-3 operators degrade on empty input") {
+    import graft.ops.{EvalOps, GraphOps, SimilarityOps}
+    val noScores = Seq.empty[(Long, Boolean)].toDF("p", "y")
+    assert(EvalOps.calibrationBins(noScores, "p", "y").count() === 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("id", "emb")
+    assert(SimilarityOps.embeddingCovariance(noVecs, "emb")
+      .count() === 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val noLbl = Seq.empty[(Long, Long)].toDF("id", "c")
+    assert(GraphOps.modularity(noPairs, "a", "b", noLbl, "id", "c")
+      .count() === 0)
+  }
 }

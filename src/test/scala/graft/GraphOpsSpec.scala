@@ -641,4 +641,26 @@ class GraphOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("modularity: two triangles + bridge under the perfect " +
+       "partition score the textbook 70/196; merged-into-one scores 0") {
+    import graft.ops.GraphOps
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val good = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("id", "c")
+    val got = GraphOps.modularity(pairs, "a", "b", good, "id", "c")
+      .orderBy($"community")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // m=7; e_c=3 each; degrees 2,2,3 per triangle -> d_c=7 each
+    // Q = (4*7*6 - 2*49)*1e6 // (4*49) = 70e6 // 196 = 357142
+    assert(got === Seq((10L, 3L, 3L, 7L, 357142L),
+      (20L, 3L, 3L, 7L, 357142L)))
+    // everything in one community: Q = (4m*m - (2m)^2) / 4m^2 = 0
+    val one = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (5L, 9L),
+      (6L, 9L)).toDF("id", "c")
+    val g1 = GraphOps.modularity(pairs, "a", "b", one, "id", "c")
+      .select($"q_ppm").as[Long].collect().toSeq
+    assert(g1 === Seq(0L))
+  }
 }

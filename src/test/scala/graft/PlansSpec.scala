@@ -540,7 +540,11 @@ class PlansSpec extends SparkTestBase {
         // q274 crosses the dim²-bounded pair-sum table with its
         // ONE-row corpus-count aggregate (q96 scalar pattern); the
         // component-sum attaches are equi-joins on j/k
-        "q274_embedding_covariance")
+        "q274_embedding_covariance",
+        // q275 crosses the |communities|-row rollup with its ONE-row
+        // edge-count and ONE-row Q aggregates (q96 scalar pattern);
+        // the LPA rounds and intra-edge counts are equi-joins
+        "q275_modularity")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
