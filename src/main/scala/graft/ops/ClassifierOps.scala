@@ -111,20 +111,54 @@ object ClassifierOps {
     * (standard multinomial-NB-with-add-one semantics).
     */
   def nbTrain(
-      train: DataFrame, textCol: String, labelCol: String): NbModel = {
-    val lg = GraftColumns.binLog2Q20 _
+      train: DataFrame, textCol: String, labelCol: String): NbModel =
+    nbModel(nbCounts(train, textCol, labelCol))
+
+  /** The model's ALGEBRAIC form — raw (class, token) occurrence counts
+    * plus per-class doc counts. Counts merge by plain addition, which
+    * is what makes NB maintenance incremental: shard-train, union,
+    * sum — no renormalization pass (the log transform happens once, in
+    * `nbModel`). The q89/q237 incremental≡recomputed discipline.
+    */
+  final case class NbCounts(tokenCounts: DataFrame, docCounts: DataFrame)
+
+  def nbCounts(
+      train: DataFrame, textCol: String, labelCol: String): NbCounts = {
     val tok = train.select(col(labelCol).as("label"),
       explode(toksNonEmpty(col(textCol))).as("token"))
-    val cnt = tok.groupBy(col("label"), col("token"))
-      .agg(count(lit(1)).as("__c"))
-    val tc = cnt.groupBy(col("label")).agg(sum(col("__c")).as("__tc"))
+    NbCounts(
+      tok.groupBy(col("label"), col("token"))
+        .agg(count(lit(1)).as("cnt")),
+      train.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("ndocs")))
+  }
+
+  /** Merge count shards (a batch model + a delta, or N shards): union
+    * + sum per key. `nbModel(nbMergeCounts(a, b))` is EXACTLY
+    * `nbTrain` over the concatenated corpora — counts are the
+    * sufficient statistics, so the identity is algebraic, not
+    * approximate (spec-proven in ModelOpsSpec).
+    */
+  def nbMergeCounts(a: NbCounts, b: NbCounts): NbCounts =
+    NbCounts(
+      a.tokenCounts.unionByName(b.tokenCounts)
+        .groupBy(col("label"), col("token"))
+        .agg(sum(col("cnt")).as("cnt")),
+      a.docCounts.unionByName(b.docCounts)
+        .groupBy(col("label")).agg(sum(col("ndocs")).as("ndocs")))
+
+  /** Finalize counts into the Q20 log-space model (see `NbModel`). */
+  def nbModel(counts: NbCounts): NbModel = {
+    val lg = GraftColumns.binLog2Q20 _
+    val cnt = counts.tokenCounts
+    val tc = cnt.groupBy(col("label")).agg(sum(col("cnt")).as("__tc"))
     val v = cnt.select(col("token")).distinct()
       .agg(count(lit(1)).as("__v"))
-    val nc = train.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("__nc"))
-    val n = train.agg(count(lit(1)).as("__n"))
+    val nc = counts.docCounts
+      .select(col("label"), col("ndocs").as("__nc"))
+    val n = counts.docCounts.agg(sum(col("ndocs")).as("__n"))
     val tokenLogs = cnt.select(col("label"), col("token"),
-      lg(col("__c") + 1L).as("lg_cnt1"))
+      lg(col("cnt") + 1L).as("lg_cnt1"))
     val classStats = nc
       .join(tc, Seq("label"))
       .crossJoin(broadcast(v)).crossJoin(broadcast(n))
@@ -132,6 +166,44 @@ object ClassifierOps {
         (lg(col("__nc")) - lg(col("__n"))).as("prior"),
         lg(col("__tc") + col("__v")).as("den"))
     NbModel(tokenLogs, classStats)
+  }
+
+  /** Per-class most-discriminative tokens by Laplace-smoothed log-odds
+    * against the REST of the corpus — the standard "what did the
+    * model learn?" readout (and a corpus-slice keyword extractor):
+    *
+    *   lo(c,t) = [lg(cnt_c+1) − lg(T_c+V)] − [lg(cnt_r+1) − lg(T_r+V)]
+    *
+    * with cnt_r/T_r the complement counts (derived by subtraction from
+    * the token/class totals — no second pass over the corpus). Output:
+    * top `k` per class by (log-odds desc, token), with rank. All Q20
+    * integer; the per-class window runs over the vocabulary-sized
+    * count table, never the corpus.
+    */
+  def nbTopTokens(counts: NbCounts, k: Int): DataFrame = {
+    val lg = GraftColumns.binLog2Q20 _
+    val cnt = counts.tokenCounts
+    val tc = cnt.groupBy(col("label")).agg(sum(col("cnt")).as("__tc"))
+    val tt = cnt.groupBy(col("token")).agg(sum(col("cnt")).as("__tt"))
+    val v = cnt.select(col("token")).distinct()
+      .agg(count(lit(1)).as("__v"))
+    val sumTc = tc.agg(sum(col("__tc")).as("__sum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("log_odds").desc, col("token").asc)
+    cnt
+      .join(tt, Seq("token"))
+      .join(broadcast(tc), Seq("label"))
+      .crossJoin(broadcast(v)).crossJoin(broadcast(sumTc))
+      .select(col("label"), col("token"),
+        ((lg(col("cnt") + 1L) - lg(col("__tc") + col("__v"))) -
+          (lg(col("__tt") - col("cnt") + 1L) -
+            lg(col("__sum") - col("__tc") + col("__v"))))
+          .as("log_odds"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank").cast("long").as("rank"),
+        col("token"), col("log_odds"))
   }
 
   /** Score and label a test frame against an `NbModel`:

@@ -1257,8 +1257,117 @@ object TextQueries {
     // identical recurrence (chained-CTE form) over the tagged-union
     // arg table and re-derives the argmax as a rank-1 window with the
     // same (score desc, label desc) total order.
+    GraftQuery("q268_nb_confusion", TextQueries.NbConfusionSql) {
+      (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val model = graft.ops.ClassifierOps.nbTrain(
+        docs.filter($"doc_id" % 5 =!= 0), "text", "lang")
+      val test = docs.filter($"doc_id" % 5 === 0)
+      graft.ops.ClassifierOps.nbPredict(test, "doc_id", "text", model)
+        .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
+        .groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"predicted")
+    },
+
+    // Incremental NB maintenance (the q89/q237 incremental ≡
+    // recomputed discipline): the model is kept as its ALGEBRAIC
+    // sufficient statistics (ClassifierOps.NbCounts), a delta shard
+    // trains alone and merges by plain count addition, and the oracle
+    // RETRAINS FROM SCRATCH — so merged-model predictions hashing
+    // equal to the full retrain IS the gate. |Δ| maintenance cost per
+    // refresh instead of a corpus re-pass.
+    GraftQuery("q276_nb_incremental", TextQueries.NbConfusionSql) {
+      (s, dir) =>
+      import s.implicits._
+      import graft.ops.ClassifierOps
+      val docs = Tables.load(s, dir, "documents")
+      val merged = ClassifierOps.nbMergeCounts(
+        ClassifierOps.nbCounts(
+          docs.filter($"doc_id" % 5 =!= 0 && $"doc_id" < 400),
+          "text", "lang"),
+        ClassifierOps.nbCounts(
+          docs.filter($"doc_id" % 5 =!= 0 && $"doc_id" >= 400),
+          "text", "lang"))
+      val model = ClassifierOps.nbModel(merged)
+      val test = docs.filter($"doc_id" % 5 === 0)
+      ClassifierOps.nbPredict(test, "doc_id", "text", model)
+        .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
+        .groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"predicted")
+    },
+
+    // Model interpretation / slice-keyword extraction
+    // (ClassifierOps.nbTopTokens): per class, the top-5 tokens by
+    // Laplace-smoothed log-odds against the REST of the corpus —
+    // complement counts derived by subtraction from the token/class
+    // totals, so there is no second corpus pass and the window runs
+    // over the vocabulary-sized count table.
     GraftQuery(
-      "q268_nb_confusion",
+      "q277_nb_top_tokens",
+      s"""WITH tr AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+         |      AS tk
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |cnt AS (
+         |  SELECT lang AS c, u.t AS t, COUNT(*) AS cn
+         |  FROM tr, unnest(tk) AS u(t) GROUP BY 1, 2),
+         |tcl AS (SELECT c, CAST(SUM(cn) AS BIGINT) AS tc
+         |        FROM cnt GROUP BY 1),
+         |ttl AS (SELECT t, CAST(SUM(cn) AS BIGINT) AS tt
+         |        FROM cnt GROUP BY 1),
+         |vv AS (SELECT COUNT(DISTINCT t) AS v FROM cnt),
+         |sm AS (SELECT CAST(SUM(tc) AS BIGINT) AS s FROM tcl),
+         |args AS (
+         |  SELECT 'c' AS which, c, t, cn + 1 AS v FROM cnt
+         |  UNION ALL
+         |  SELECT 'r', cnt.c, cnt.t,
+         |    CAST(ttl.tt - cnt.cn + 1 AS BIGINT)
+         |  FROM cnt JOIN ttl ON ttl.t = cnt.t
+         |  UNION ALL
+         |  SELECT 'dc', c, '', CAST(tcl.tc + vv.v AS BIGINT)
+         |  FROM tcl, vv
+         |  UNION ALL
+         |  SELECT 'dr', c, '', CAST(sm.s - tcl.tc + vv.v AS BIGINT)
+         |  FROM tcl, vv, sm),
+         |${DuckLog2Q20.ctes("which", "c", "t")},
+         |lg AS (SELECT which, c, t, p * 1048576 + acc AS l FROM l20),
+         |lo AS (
+         |  SELECT lc.c AS label, lc.t AS token,
+         |    (lc.l - dc.l) - (lr.l - dr.l) AS log_odds
+         |  FROM (SELECT c, t, l FROM lg WHERE which = 'c') lc
+         |  JOIN (SELECT c, t, l FROM lg WHERE which = 'r') lr
+         |    ON lr.c = lc.c AND lr.t = lc.t
+         |  JOIN (SELECT c, l FROM lg WHERE which = 'dc') dc
+         |    ON dc.c = lc.c
+         |  JOIN (SELECT c, l FROM lg WHERE which = 'dr') dr
+         |    ON dr.c = lc.c),
+         |r AS (
+         |  SELECT label, token, log_odds,
+         |    row_number() OVER (PARTITION BY label
+         |      ORDER BY log_odds DESC, token) AS rank
+         |  FROM lo)
+         |SELECT label, CAST(rank AS BIGINT) AS rank, token, log_odds
+         |FROM r WHERE rank <= 5
+         |ORDER BY label, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val counts = graft.ops.ClassifierOps.nbCounts(
+        Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 5 =!= 0), "text", "lang")
+      graft.ops.ClassifierOps.nbTopTokens(counts, k = 5)
+        .orderBy($"label", $"rank")
+    })
+
+  /** Shared oracle for q268 (batch train) and q276 (incremental merge)
+    * — the full-retrain DuckDB replay; q276 passing against it proves
+    * merged ≡ recomputed.
+    */
+  // lazy: referenced by `all`, which is initialized first in the
+  // object — a strict val here would be null at capture time
+  private lazy val NbConfusionSql: String =
       s"""WITH tr AS (
          |  SELECT doc_id, lang,
          |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
@@ -1309,17 +1418,5 @@ object TextQueries {
          |  FROM scored)
          |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM pred WHERE rk = 1
-         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin) {
-      (s, dir) =>
-      import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-      val model = graft.ops.ClassifierOps.nbTrain(
-        docs.filter($"doc_id" % 5 =!= 0), "text", "lang")
-      val test = docs.filter($"doc_id" % 5 === 0)
-      graft.ops.ClassifierOps.nbPredict(test, "doc_id", "text", model)
-        .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
-        .groupBy($"lang", $"predicted")
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy($"lang", $"predicted")
-    })
+         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
 }

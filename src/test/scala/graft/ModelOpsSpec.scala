@@ -353,4 +353,34 @@ class ModelOpsSpec extends SparkTestBase {
       .as[(Long, String, Long)].collect()
     assert(got.head._2 === "a")
   }
+
+  test("naive bayes: shard-trained counts merge EXACTLY to the full " +
+       "retrain (sufficient-statistics identity)") {
+    import graft.ops.ClassifierOps
+    val full = Seq(("a", "x x y"), ("a", "x z"), ("b", "y y"),
+      ("b", "y z z")).toDF("lang", "text")
+    val s1 = full.filter($"text".startsWith("x"))
+    val s2 = full.filter(!$"text".startsWith("x"))
+    val merged = ClassifierOps.nbMergeCounts(
+      ClassifierOps.nbCounts(s1, "text", "lang"),
+      ClassifierOps.nbCounts(s2, "text", "lang"))
+    val direct = ClassifierOps.nbCounts(full, "text", "lang")
+    def tok(c: ClassifierOps.NbCounts) = c.tokenCounts
+      .as[(String, String, Long)].collect().toSet
+    def doc(c: ClassifierOps.NbCounts) = c.docCounts
+      .as[(String, Long)].collect().toSet
+    assert(tok(merged) === tok(direct))
+    assert(doc(merged) === doc(direct))
+  }
+
+  test("naive bayes: top log-odds tokens surface each class's " +
+       "exclusive vocabulary first") {
+    import graft.ops.ClassifierOps
+    val counts = ClassifierOps.nbCounts(
+      Seq(("a", "aa aa aa shared"), ("b", "bb bb bb shared"))
+        .toDF("lang", "text"), "text", "lang")
+    val got = ClassifierOps.nbTopTokens(counts, k = 1)
+      .select($"label", $"token").as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "aa", "b" -> "bb"))
+  }
 }

@@ -544,7 +544,12 @@ class PlansSpec extends SparkTestBase {
         // q275 crosses the |communities|-row rollup with its ONE-row
         // edge-count and ONE-row Q aggregates (q96 scalar pattern);
         // the LPA rounds and intra-edge counts are equi-joins
-        "q275_modularity")
+        "q275_modularity",
+        // q276 is q268's exact plan shape over merged count shards;
+        // q277 crosses the vocabulary-sized count table with its
+        // ONE-row vocab-size and corpus-total aggregates (q96 scalar
+        // pattern)
+        "q276_nb_incremental", "q277_nb_top_tokens")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
