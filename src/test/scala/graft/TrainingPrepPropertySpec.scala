@@ -76,4 +76,54 @@ class TrainingPrepPropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("round-8 batch-2 ops are partitioning-invariant: NB predictions, " +
+       "RRF fusion, covariance and silhouette values do not depend on " +
+       "physical layout") {
+    import graft.ops.{ClassifierOps, SearchOps, SimilarityOps}
+    val rnd = new scala.util.Random(8)
+    val langs = Seq("aa", "bb", "cc")
+    val docs = (0 until 120).map { i =>
+      val l = langs(i % 3)
+      val toks = (0 until 5 + rnd.nextInt(10))
+        .map(_ => s"$l${rnd.nextInt(6)}")
+      (i.toLong, toks.mkString(" "), l)
+    }.toDF("id", "text", "lang")
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f), (i % 4).toLong)
+    }.toDF("id", "emb", "cl")
+
+    def nbRun(p: Int) = {
+      val d = docs.repartition(p)
+      val m = ClassifierOps.nbTrain(d.filter($"id" % 4 =!= 0),
+        "text", "lang")
+      ClassifierOps.nbPredict(d.filter($"id" % 4 === 0),
+          "id", "text", m)
+        .orderBy($"id").as[(Long, String, Long)].collect().toSeq
+    }
+    assert(nbRun(1) === nbRun(13))
+
+    def covRun(p: Int) = SimilarityOps
+      .embeddingCovariance(vecs.repartition(p), "emb")
+      .orderBy($"j", $"k").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(covRun(1) === covRun(7))
+
+    def silRun(p: Int) = SimilarityOps
+      .simplifiedSilhouette(vecs.repartition(p), "id", "emb", "cl")
+      .orderBy($"id").as[(Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(silRun(1) === silRun(7))
+
+    val ra = (0 until 30).map(i =>
+      (i.toLong % 3, i.toLong, i.toLong / 3 + 1)).toDF("q", "d", "r")
+    val rb = (0 until 30).map(i =>
+      (i.toLong % 3, (i * 7 % 30).toLong, i.toLong / 3 + 1))
+      .toDF("q", "d", "r")
+    def rrfRun(p: Int) = SearchOps
+      .rrfFuse(Seq(ra.repartition(p), rb.repartition(p)),
+        "q", "d", "r", kRrf = 60L, topK = 5)
+      .orderBy($"q", $"rank").as[(Long, Long, Long, Int)]
+      .collect().toSeq
+    assert(rrfRun(1) === rrfRun(5))
+  }
 }
