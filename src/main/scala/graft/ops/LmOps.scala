@@ -47,21 +47,21 @@ object LmOps {
   private def toks(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
-  /** Adjacent-token pairs from a PRE-BOUND token-array column, in
-    * order, with multiplicity; empty array for documents of fewer than
-    * two tokens. `tk` must be a projected attribute, not an embedded
-    * expression: an expression referenced inside the `transform` lambda
-    * is re-evaluated on every element access, turning the per-document
-    * cost quadratic (re-tokenizing the text L times for L bigrams —
-    * measured 30× on the sf0.1 bench before the pre-bind).
+  /** Adjacent-token pairs, in order, with multiplicity; empty array
+    * for documents of fewer than two tokens. zip_with over SHIFTED
+    * SLICES, not transform+element_at: here the token array sits in
+    * argument position and is evaluated once per row, where an
+    * expression referenced inside a `transform` lambda is re-evaluated
+    * on every element access after projection collapse — per-document
+    * cost quadratic (re-tokenizing the text L times for L bigrams;
+    * measured 30× on the sf0.1 bench for the embedded form and ~14×
+    * for element_at even over a pre-bound column, q260 incident).
     */
   private def bigramArrayOf(tk: Column): Column =
-    when(size(tk) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(transform(
-        sequence(lit(1), size(tk) - 1),
-        i => struct(
-          element_at(tk, i).as("w1"),
-          element_at(tk, i + 1).as("w2"))))
+    zip_with(
+      slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+      slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
 
   /** Column names the LM frames mint; the id column must not collide. */
   private val Reserved =

@@ -1224,14 +1224,16 @@ object TextQueries {
       import s.implicits._
       val div = graft.functions.GraftColumns.longDiv _
       val tk = filter(TextOps.tokenize($"text"), x => x =!= "")
+      // zip_with over shifted slices, NOT transform+element_at: the
+      // token array sits in ARGUMENT position (evaluated once per
+      // row), where the element_at form re-tokenizes per element after
+      // projection collapse — measured 9.5 s → 0.7 s at sf0.1.
       val bg = Tables.load(s, dir, "documents")
         .select($"doc_id", tk.as("tk"))
-        .select($"doc_id", array_distinct(
-          when(size($"tk") >= 2, transform(
-            sequence(lit(1), size($"tk") - 1),
-            i => concat(element_at($"tk", i), lit(" "),
-              element_at($"tk", i + 1))))
-            .otherwise(array().cast("array<string>"))).as("bs"))
+        .select($"doc_id", array_distinct(zip_with(
+          slice($"tk", lit(1), greatest(size($"tk") - 1, lit(0))),
+          slice($"tk", lit(2), greatest(size($"tk") - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bs"))
       val ref = bg.filter($"doc_id" % 10 === 0)
         .select(explode($"bs").as("b")).distinct()
       bg.filter($"doc_id" % 10 =!= 0)
