@@ -247,7 +247,12 @@ object SimilarityOps {
   def embeddingCovariance(
       points: DataFrame, vecCol: String): DataFrame = {
     val div = graft.functions.GraftColumns.longDiv _
-    val mv = points.select(transform(col(vecCol),
+    // pin parallelism before the dim²-per-row explode: the input may
+    // arrive as few (or one) scan partitions, and the map-side product
+    // expansion is the whole cost of this op (the DedupOps Σfreq²
+    // discipline — AQE sizes from input bytes, not output)
+    val par = points.sparkSession.sparkContext.defaultParallelism
+    val mv = points.repartition(par).select(transform(col(vecCol),
       x => floor(x.cast("double") * lit(1000.0) + lit(0.5))
         .cast("long")).as("__mv"))
     val pairs = mv.select(explode(flatten(transform(
