@@ -225,6 +225,59 @@ object SimilarityOps {
       .select(col(queryId), col(corpusId), col("cos_micro"), col("rank"))
   }
 
+  /** Margin-based mutual-kNN bitext mining (Artetxe–Schwenk 2019 —
+    * the CCMatrix recipe): candidate parallel pairs across two
+    * language slices are the MUTUAL cosine best matches, scored by
+    * the margin criterion
+    *
+    *   margin_ppm = cos(x,y)·2e6 div (avg_k(x) + avg_k(y))
+    *
+    * where avg_k is each side's mean cosine to its k nearest
+    * cross-lingual neighbors — the normalization that suppresses
+    * hub vectors that are "close to everything".
+    *
+    * Conformance face: the smaller slice broadcasts and all cross
+    * pairs score exactly (the q35 brute-force argument); at corpus
+    * scale stage 1 swaps for the ANN shortlist (q266) per side and
+    * the mutual/margin logic is unchanged — ranks and averages only
+    * ever read each candidate list. Integer micro cosines, floor-div
+    * averages, pinned ties; the pair table is checkpointed once for
+    * its four consumers.
+    *
+    * Output: (leftId, rightId, cos_micro, margin_ppm) for mutual-best
+    * pairs, one row per matched pair.
+    */
+  def bitextMutualPairs(
+      left: DataFrame, leftId: String, leftVec: String,
+      right: DataFrame, rightId: String, rightVec: String,
+      k: Int): DataFrame = {
+    import graft.ops.Checkpointer._
+    import org.apache.spark.sql.expressions.Window
+    val div = graft.functions.GraftColumns.longDiv _
+    val l = left.select(col(leftId).as("__lid"), col(leftVec).as("__lv"))
+    val r = right.select(col(rightId).as("__rid"), col(rightVec).as("__rv"))
+    val wl = Window.partitionBy(col("__lid"))
+      .orderBy(col("cos_micro").desc, col("__rid").asc)
+    val wr = Window.partitionBy(col("__rid"))
+      .orderBy(col("cos_micro").desc, col("__lid").asc)
+    val ranked = l.join(broadcast(r))
+      .select(col("__lid"), col("__rid"),
+        cosineMicro(col("__lv"), col("__rv")).as("cos_micro"))
+      .withColumn("__rl", row_number().over(wl))
+      .withColumn("__rr", row_number().over(wr))
+      .graftCheckpoint()
+    val avgL = ranked.filter(col("__rl") <= k).groupBy(col("__lid"))
+      .agg(div(sum(col("cos_micro")), count(lit(1))).as("__al"))
+    val avgR = ranked.filter(col("__rr") <= k).groupBy(col("__rid"))
+      .agg(div(sum(col("cos_micro")), count(lit(1))).as("__ar"))
+    ranked.filter(col("__rl") === 1 && col("__rr") === 1)
+      .join(avgL, Seq("__lid")).join(avgR, Seq("__rid"))
+      .select(col("__lid").as(leftId), col("__rid").as(rightId),
+        col("cos_micro"),
+        div(col("cos_micro") * 2000000L,
+          greatest(col("__al") + col("__ar"), lit(1L))).as("margin_ppm"))
+  }
+
   /** Exact integer mean/covariance sufficient statistics of an
     * embedding column — the one-pass Gram readout that feeds
     * whitening, PCA-by-external-solver, and drift checks on vector

@@ -1124,6 +1124,60 @@ object SimilarityQueries {
         .orderBy($"anchor_id", $"kind", $"rank")
     },
 
+    // Bitext mining (SimilarityOps.bitextMutualPairs): mutual
+    // cosine-best en↔fr pairs scored by the Artetxe–Schwenk margin
+    // (cos·2e6 / (avg_k(x)+avg_k(y)), k=4) — the CCMatrix
+    // parallel-corpus recipe over the id-aligned embeddings. Brute
+    // force is the conformance face; the ANN shortlist (q266) is the
+    // stage-1 swap at corpus scale.
+    GraftQuery(
+      "q278_bitext_mining",
+      s"""WITH l AS (
+         |  SELECT d.doc_id AS lid, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |  WHERE d.lang = 'en'),
+         |r AS (
+         |  SELECT d.doc_id AS rid, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |  WHERE d.lang = 'fr'),
+         |sc AS (
+         |  SELECT l.lid, r.rid,
+         |    CAST(${duckCosMicro("l", "r")} AS BIGINT) AS cos_micro
+         |  FROM l CROSS JOIN r),
+         |rk AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY lid
+         |      ORDER BY cos_micro DESC, rid) AS rl,
+         |    row_number() OVER (PARTITION BY rid
+         |      ORDER BY cos_micro DESC, lid) AS rr
+         |  FROM sc),
+         |al AS (SELECT lid, CAST(SUM(cos_micro) // COUNT(*) AS BIGINT)
+         |         AS avg_l
+         |       FROM rk WHERE rl <= 4 GROUP BY 1),
+         |ar AS (SELECT rid, CAST(SUM(cos_micro) // COUNT(*) AS BIGINT)
+         |         AS avg_r
+         |       FROM rk WHERE rr <= 4 GROUP BY 1)
+         |SELECT rk.lid AS en_id, rk.rid AS fr_id, rk.cos_micro,
+         |  CAST(rk.cos_micro * 2000000
+         |    // greatest(al.avg_l + ar.avg_r, 1) AS BIGINT)
+         |    AS margin_ppm
+         |FROM rk JOIN al ON al.lid = rk.lid
+         |  JOIN ar ON ar.rid = rk.rid
+         |WHERE rk.rl = 1 AND rk.rr = 1
+         |ORDER BY en_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val e = Tables.load(s, dir, "embeddings")
+      def side(lang: String, idName: String) =
+        docs.filter($"lang" === lang)
+          .join(e, $"vec_id" === $"doc_id")
+          .select($"doc_id".as(idName), $"embedding")
+      SimilarityOps.bitextMutualPairs(
+          side("en", "en_id"), "en_id", "embedding",
+          side("fr", "fr_id"), "fr_id", "embedding", k = 4)
+        .orderBy($"en_id")
+    },
+
     // One-pass embedding mean/covariance sufficient statistics
     // (SimilarityOps.embeddingCovariance) — the Gram readout feeding
     // whitening/PCA/drift checks. Each row explodes to its

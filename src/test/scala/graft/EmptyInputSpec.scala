@@ -350,5 +350,7 @@ class EmptyInputSpec extends SparkTestBase {
     val noLbl = Seq.empty[(Long, Long)].toDF("id", "c")
     assert(GraphOps.modularity(noPairs, "a", "b", noLbl, "id", "c")
       .count() === 0)
+    assert(SimilarityOps.bitextMutualPairs(
+      noVecs, "id", "emb", noVecs, "id", "emb", k = 2).count() === 0)
   }
 }

@@ -549,7 +549,11 @@ class PlansSpec extends SparkTestBase {
         // q277 crosses the vocabulary-sized count table with its
         // ONE-row vocab-size and corpus-total aggregates (q96 scalar
         // pattern)
-        "q276_nb_incremental", "q277_nb_top_tokens")
+        "q276_nb_incremental", "q277_nb_top_tokens",
+        // q278 broadcasts the smaller language slice over the other
+        // (the q35 brute-force conformance argument; ANN shortlist is
+        // the scale path, mutual/margin logic unchanged)
+        "q278_bitext_mining")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]

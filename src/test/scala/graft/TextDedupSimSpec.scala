@@ -853,4 +853,34 @@ class TextDedupSimSpec extends SparkTestBase {
     assert(got === Seq(
       (1L, 1L, 4L, 250000L), (1L, 2L, 4L, 0L), (2L, 2L, 4L, 250000L)))
   }
+
+  test("bitextMutualPairs: mutual best matches only, margin favors " +
+       "isolated pairs over hub-adjacent ones") {
+    import graft.ops.SimilarityOps
+    // l1<->r1 mutual and isolated; l2's best is r1 (taken, not mutual);
+    // r2's best is l1 (not mutual): only (1,1) survives
+    val left = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f))).toDF("lid", "v")
+    val right = Seq(
+      (1L, Array(1.0f, 0.05f, 0.0f)),
+      (2L, Array(0.8f, 0.0f, 0.1f))).toDF("rid", "v")
+    val got = SimilarityOps.bitextMutualPairs(
+        left, "lid", "v", right, "rid", "v", k = 2)
+      .orderBy($"lid")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) === Seq((1L, 1L)))
+    val (_, _, cos, margin) = got.head
+    assert(cos > 990000L)       // near-identical vectors
+    assert(margin > 1000000L)   // above its neighborhood average
+    // a two-sided mutual fixture: disjoint directions pair up 1:1
+    val l2 = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("lid", "v")
+    val r2 = Seq((7L, Array(0.9f, 0.1f)), (8L, Array(0.1f, 0.9f)))
+      .toDF("rid", "v")
+    val g2 = SimilarityOps.bitextMutualPairs(
+        l2, "lid", "v", r2, "rid", "v", k = 2)
+      .orderBy($"lid").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(g2.map(t => (t._1, t._2)) === Seq((1L, 7L), (2L, 8L)))
+  }
 }
