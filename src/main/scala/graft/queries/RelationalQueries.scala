@@ -1267,6 +1267,120 @@ object RelationalQueries {
           $"__m.price_c".as("top_price_c"),
           $"__m.l_orderkey".cast("long").as("top_orderkey"))
         .orderBy($"l_returnflag")
+    },
+
+    // TPC-H Q3 shape (shipping priority): the canonical 3-table
+    // selective join + revenue agg + top-10. Revenue in exact integer
+    // milli-cents (cents·(1000−disc_milli)); broadcast dim (customer
+    // segment slice), shuffle equi-join orders⋈lineitem, TakeOrdered.
+    GraftQuery(
+      "q279_shipping_priority",
+      """SELECT l.l_orderkey,
+        |  CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT) *
+        |    (1000 - CAST(round(l.l_discount*1000) AS BIGINT)))
+        |    AS BIGINT) AS revenue_mc,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+        |  o.o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue_mc DESC, l_orderkey LIMIT 10""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" > lit("1998-06-01").cast("timestamp"))
+        .join(t(s, dir, "orders")
+          .filter($"o_orderdate" < lit("1998-06-01").cast("timestamp")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t(s, dir, "customer")
+          .filter($"c_mktsegment" === "BUILDING")),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("odate"),
+          $"o_orderpriority")
+        .agg(sum(cents($"l_extendedprice") *
+          (lit(1000L) - round($"l_discount" * 1000, 0).cast("long")))
+          .as("revenue_mc"))
+        .select($"l_orderkey", $"revenue_mc", $"odate",
+          $"o_orderpriority")
+        .orderBy($"revenue_mc".desc, $"l_orderkey").limit(10)
+    },
+
+    // TPC-H Q10 shape (returned items): who returned the most revenue
+    // in the window — 4-table join (two broadcast dims), grouped
+    // revenue, top-20.
+    GraftQuery(
+      "q280_returned_items",
+      """SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+        |  CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT) *
+        |    (1000 - CAST(round(l.l_discount*1000) AS BIGINT)))
+        |    AS BIGINT) AS revenue_mc,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM customer c
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_mc DESC, c_custkey LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_returnflag" === "R")
+        .join(t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t(s, dir, "customer")),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name".as("nation"))
+        .agg(sum(cents($"l_extendedprice") *
+          (lit(1000L) - round($"l_discount" * 1000, 0).cast("long")))
+          .as("revenue_mc"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"revenue_mc".desc, $"c_custkey").limit(20)
+    },
+
+    // TPC-H Q18 shape (large-volume customers): HAVING on an order's
+    // total quantity, then a semi-join-shaped join-back for the order
+    // and customer detail — the agg-then-filter-then-rejoin composite.
+    // Quantities in exact deci-units.
+    GraftQuery(
+      "q281_large_volume",
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_quantity*10) AS BIGINT)) AS BIGINT)
+        |      AS qty_d
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(round(l_quantity*10) AS BIGINT)) > 3000)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+        |  CAST(round(o.o_totalprice*100) AS BIGINT) AS total_c,
+        |  big.qty_d
+        |FROM big
+        |JOIN orders o ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY total_c DESC, o_orderkey LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val big = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum(round($"l_quantity" * 10, 0).cast("long")).as("qty_d"))
+        .filter($"qty_d" > 3000L)
+      big
+        .join(t(s, dir, "orders"), $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(t(s, dir, "customer")),
+          $"c_custkey" === $"o_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("odate"),
+          cents($"o_totalprice").as("total_c"), $"qty_d")
+        .orderBy($"total_c".desc, $"o_orderkey").limit(20)
     })
 }
 
