@@ -1381,6 +1381,38 @@ object RelationalQueries {
           date_format($"o_orderdate", "yyyy-MM-dd").as("odate"),
           cents($"o_totalprice").as("total_c"), $"qty_d")
         .orderBy($"total_c".desc, $"o_orderkey").limit(20)
+    },
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // scalar subquery "l_quantity < 0.2·avg(quantity) per part",
+    // decorrelated the way an optimizer must — ONE per-part aggregate
+    // joined back to the fact (never a per-row subquery execution).
+    // Exact integers: deci-unit quantities, floor-div per-part mean,
+    // and 5·qty < mean ⇔ qty < mean/5 without rationals.
+    GraftQuery(
+      "q282_small_qty_revenue",
+      """WITH pavg AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(round(l_quantity*10) AS BIGINT))
+        |      // COUNT(*) AS BIGINT) AS avg_d
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT))
+        |    AS BIGINT) AS revenue_c
+        |FROM lineitem l JOIN pavg p ON p.l_partkey = l.l_partkey
+        |WHERE CAST(round(l.l_quantity*10) AS BIGINT) * 5 < p.avg_d
+        |""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val li = t(s, dir, "lineitem")
+        .select($"l_partkey", $"l_extendedprice",
+          round($"l_quantity" * 10, 0).cast("long").as("qty_d"))
+      val pavg = li.groupBy($"l_partkey")
+        .agg(div(sum($"qty_d"), count(lit(1))).as("avg_d"))
+      li.join(pavg, Seq("l_partkey"))
+        .filter($"qty_d" * 5 < $"avg_d")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(cents($"l_extendedprice")).as("revenue_c"))
     })
 }
 
