@@ -306,4 +306,37 @@ class StreamingSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet
     assert(accepted.toSet === oneShot)
   }
+
+  test("streaming classifier inference: the hashed linear classifier " +
+       "scores a document stream per micro-batch, bit-identical to " +
+       "batch (stateless scan-stage scoring is the streaming-safe " +
+       "serving face; the NB apply with its per-doc aggregate is the " +
+       "batch face)") {
+    import graft.ops.ClassifierOps
+    implicit val sqlCtx = spark.sqlContext
+    val w = ClassifierOps.knuthWeights(64)
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "lazy dog"),
+      (3L, "spark stream batch window"), (4L, ""))
+    val mem = MemoryStream[(Long, String)]
+    val q = ClassifierOps.classify(
+        mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", w, 100L, "t1")
+      .writeStream.format("memory").queryName("scored_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scored_stream")
+        .select($"doc_id", $"n_feats", $"score_micro", $"label")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = ClassifierOps.classify(
+          docs.toDF("doc_id", "text"), "doc_id", "text", w, 100L, "t1")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.size === 4)
+    } finally q.stop()
+  }
 }
