@@ -1782,6 +1782,58 @@ object CurationQueries {
           array_join(array_sort(collect_list($"local")), ",")
             .as("boundaries"))
         .orderBy($"seq_id")
+    },
+
+    // Dataset card (the publishable release summary): per-lang doc
+    // counts, token mass, exact-dup counts (q30's normalized key) and
+    // mean length, as tagged-union (section, lang, value) rows — the
+    // corpus reduces to |langs|·4 rows in ONE map-side-combined pass
+    // per statistic. The shape a dataset release pipeline emits next
+    // to the artifact.
+    GraftQuery(
+      "q283_dataset_card",
+      """WITH base AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS ntok,
+        |    n_chars,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |      AS key
+        |  FROM documents),
+        |agg AS (
+        |  SELECT lang, COUNT(*) AS docs,
+        |    CAST(SUM(ntok) AS BIGINT) AS tokens,
+        |    CAST(COUNT(*) - COUNT(DISTINCT key) AS BIGINT) AS dup_docs,
+        |    CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS avg_chars
+        |  FROM base GROUP BY 1)
+        |SELECT section, lang, value FROM (
+        |  SELECT 'docs' AS section, lang, CAST(docs AS BIGINT) AS value
+        |  FROM agg
+        |  UNION ALL SELECT 'tokens', lang, tokens FROM agg
+        |  UNION ALL SELECT 'dup_docs', lang, dup_docs FROM agg
+        |  UNION ALL SELECT 'avg_chars', lang, avg_chars FROM agg)
+        |ORDER BY section, lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val agg = Tables.load(s, dir, "documents")
+        .select($"lang",
+          size(filter(split($"text", "\\s+"), t => t =!= ""))
+            .cast("long").as("ntok"),
+          $"n_chars",
+          md5(regexp_replace(trim(lower($"text")), "\\s+", " "))
+            .as("key"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("docs"),
+          sum($"ntok").as("tokens"),
+          (count(lit(1)) - countDistinct($"key")).as("dup_docs"),
+          div(sum($"n_chars"), count(lit(1))).as("avg_chars"))
+        .localCheckpoint() // four tagged-union consumers of 5 rows
+      Seq("docs" -> $"docs", "tokens" -> $"tokens",
+          "dup_docs" -> $"dup_docs", "avg_chars" -> $"avg_chars")
+        .map { case (nm, c) =>
+          agg.select(lit(nm).as("section"), $"lang", c.as("value")) }
+        .reduce(_ unionByName _)
+        .orderBy($"section", $"lang")
     })
 
   private def runValidation(
