@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1413,6 +1414,56 @@ object RelationalQueries {
         .filter($"qty_d" * 5 < $"avg_d")
         .agg(count(lit(1)).as("n_lines"),
           sum(cents($"l_extendedprice")).as("revenue_c"))
+    },
+
+    // ABC / Pareto revenue classification: parts ranked by revenue,
+    // cumulative share cut at 80%/95% (inclusive-cum ppm against the
+    // 1-row total). The ranking window runs over the PART domain —
+    // catalog-sized, not corpus-sized (the fact table reduces to one
+    // row per part first; bounded-domain contract). 3-row readout.
+    GraftQuery(
+      "q285_abc_classification",
+      """WITH pr AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+        |      AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS t FROM pr),
+        |cum AS (
+        |  SELECT l_partkey, rev_c,
+        |    CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey)
+        |      * 1000000 // tot.t AS BIGINT) AS cum_ppm
+        |  FROM pr CROSS JOIN tot),
+        |cls AS (
+        |  SELECT CASE WHEN cum_ppm <= 800000 THEN 'A'
+        |              WHEN cum_ppm <= 950000 THEN 'B'
+        |              ELSE 'C' END AS abc, rev_c
+        |  FROM cum)
+        |SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(rev_c) AS BIGINT) AS revenue_c,
+        |  CAST(SUM(rev_c) * 1000000 // MIN(tot.t) AS BIGINT)
+        |    AS share_ppm
+        |FROM cls CROSS JOIN tot
+        |GROUP BY abc ORDER BY abc""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val pr = t(s, dir, "lineitem")
+        .groupBy($"l_partkey")
+        .agg(sum(cents($"l_extendedprice")).as("rev_c"))
+      val tot = pr.agg(sum($"rev_c").as("__t"))
+      val w = Window.orderBy($"rev_c".desc, $"l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pr.crossJoin(broadcast(tot))
+        .withColumn("cum_ppm",
+          div(sum($"rev_c").over(w) * 1000000L, $"__t"))
+        .withColumn("abc",
+          when($"cum_ppm" <= 800000L, "A")
+            .when($"cum_ppm" <= 950000L, "B").otherwise("C"))
+        .groupBy($"abc")
+        .agg(count(lit(1)).as("n_parts"),
+          sum($"rev_c").as("revenue_c"),
+          div(sum($"rev_c") * 1000000L, min($"__t")).as("share_ppm"))
+        .orderBy($"abc")
     })
 }
 

@@ -697,6 +697,35 @@ object TemporalQueries {
         .orderBy($"round", $"state")
     },
 
+    // Month-over-month revenue growth in ppm — the executive trend
+    // readout. The lag window runs over the MONTH SPINE (calendar
+    // -bounded domain, the q203 contract), never the event stream;
+    // first month's growth is NULL (no prior), in the hash.
+    GraftQuery(
+      "q284_mom_growth",
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM orders GROUP BY 1)
+        |SELECT month, rev_c,
+        |  CAST((rev_c - lag(rev_c) OVER (ORDER BY month)) * 1000000
+        |    // lag(rev_c) OVER (ORDER BY month) AS BIGINT)
+        |    AS growth_ppm
+        |FROM m ORDER BY month""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val div = graft.functions.GraftColumns.longDiv _
+      val w = Window.orderBy($"month")
+      Tables.load(s, dir, "orders")
+        .select(date_format($"o_orderdate", "yyyy-MM").as("month"),
+          round($"o_totalprice" * 100, 0).cast("long").as("v"))
+        .groupBy($"month").agg(sum($"v").as("rev_c"))
+        .withColumn("growth_ppm",
+          div(($"rev_c" - lag($"rev_c", 1).over(w)) * 1000000L,
+            lag($"rev_c", 1).over(w)))
+        .orderBy($"month")
+    },
+
     // Interval-union coverage (TemporalOps.intervalUnion): per user,
     // merge the overlapping [event, event + 30 min) activity intervals
     // and report the union — islands + total covered seconds — the

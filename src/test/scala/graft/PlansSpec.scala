@@ -553,7 +553,10 @@ class PlansSpec extends SparkTestBase {
         // q278 broadcasts the smaller language slice over the other
         // (the q35 brute-force conformance argument; ANN shortlist is
         // the scale path, mutual/margin logic unchanged)
-        "q278_bitext_mining")
+        "q278_bitext_mining",
+        // q285 crosses the catalog-sized part-revenue table with its
+        // ONE-row revenue total (q96 scalar pattern)
+        "q285_abc_classification")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
