@@ -1464,6 +1464,41 @@ object RelationalQueries {
           sum($"rev_c").as("revenue_c"),
           div(sum($"rev_c") * 1000000L, min($"__t")).as("share_ppm"))
         .orderBy($"abc")
+    },
+
+    // UNPIVOT (wide → long melt): the inverse of q113's PIVOT —
+    // per-order charge components (price, tax-cents, discount-cents)
+    // melted to (o_orderkey, component, amount_c) rows via `stack`.
+    // Pure per-row projection + explode; zero shuffle besides the
+    // final order.
+    GraftQuery(
+      "q286_unpivot",
+      """SELECT o_orderkey, component, amount_c FROM (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+        |      AS BIGINT) AS price_c,
+        |    CAST(SUM(CAST(round(l_extendedprice*l_tax*100) AS BIGINT))
+        |      AS BIGINT) AS tax_c,
+        |    CAST(SUM(CAST(round(l_extendedprice*l_discount*100)
+        |      AS BIGINT)) AS BIGINT) AS disc_c
+        |  FROM lineitem WHERE l_orderkey < 200 GROUP BY 1)
+        |UNPIVOT (amount_c FOR component IN
+        |  (price_c AS 'price', tax_c AS 'tax', disc_c AS 'discount'))
+        |ORDER BY o_orderkey, component""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" < 200)
+        .groupBy($"l_orderkey".as("o_orderkey"))
+        .agg(
+          sum(cents($"l_extendedprice")).as("price_c"),
+          sum(round($"l_extendedprice" * $"l_tax" * 100, 0).cast("long"))
+            .as("tax_c"),
+          sum(round($"l_extendedprice" * $"l_discount" * 100, 0)
+            .cast("long")).as("disc_c"))
+        .select($"o_orderkey", expr(
+          "stack(3, 'price', price_c, 'tax', tax_c, " +
+            "'discount', disc_c) AS (component, amount_c)"))
+        .orderBy($"o_orderkey", $"component")
     })
 }
 
