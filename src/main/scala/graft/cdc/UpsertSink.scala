@@ -57,7 +57,7 @@ final class UpsertSink(
       .collect().map(_.getAs[Number](0).intValue()).sorted
     if (affected.isEmpty) return
     val existing = spark.read.parquet(dir)
-      .filter(col("bucket").isin(affected.map(Integer.valueOf): _*))
+      .filter(col("bucket").isin(affected.toIndexedSeq.map(Integer.valueOf): _*))
     val keep = existing.join(
       victims.select(col(idCol)), Seq(idCol), "left_anti")
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -96,7 +96,7 @@ final class UpsertSink(
       .collect().map(_.getAs[Number](0).intValue()).sorted
     if (affected.isEmpty) return
     val existing = spark.read.parquet(dir)
-      .filter(col("bucket").isin(affected.map(Integer.valueOf): _*))
+      .filter(col("bucket").isin(affected.toIndexedSeq.map(Integer.valueOf): _*))
     val keep = existing.join(
       incoming.select(col(idCol)), Seq(idCol), "left_anti")
     val merged = keep.unionByName(incoming)

@@ -80,7 +80,7 @@ object Search {
   private[movies] def analyzeQuery(docs: DataFrame, query: String): Seq[String] =
     docs.sparkSession.range(1)
       .select(Analyzer.analyze(lit(query)).as("t"))
-      .head.getSeq[String](0).distinct
+      .head().getSeq[String](0).distinct
 
   private val K1 = 1.2
   private val B = 0.75

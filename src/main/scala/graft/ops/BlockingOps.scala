@@ -45,11 +45,11 @@ object BlockingOps {
     val withIdx = IdOps.contiguousIds(df, "__idx", orderCols: _*)
       .withColumn("__blk", div(col("__idx"), lit(window.toLong)))
     val a = withIdx.select(
-      df.columns.map(c => col(c).as(s"${c}_a")) :+
+      df.columns.toIndexedSeq.map(c => col(c).as(s"${c}_a")) :+
         col("__idx").as("__idx_a") :+
         explode(array(col("__blk"), col("__blk") + 1L)).as("__jblk"): _*)
     val b = withIdx.select(
-      df.columns.map(c => col(c).as(s"${c}_b")) :+
+      df.columns.toIndexedSeq.map(c => col(c).as(s"${c}_b")) :+
         col("__idx").as("__idx_b") :+ col("__blk").as("__jblk"): _*)
     a.join(b, Seq("__jblk"))
       .filter(col("__idx_b") > col("__idx_a") &&
@@ -78,7 +78,7 @@ object BlockingOps {
       val p = sortedNeighborhoodPairs(df, window, ord: _*)
       // canonical orientation: the lower id is always the _a side
       val flip = col(s"${idCol}_b") < col(s"${idCol}_a")
-      p.select(df.columns.flatMap(c => Seq(
+      p.select(df.columns.toIndexedSeq.flatMap(c => Seq(
         when(flip, col(s"${c}_b")).otherwise(col(s"${c}_a")).as(s"${c}_a"),
         when(flip, col(s"${c}_a")).otherwise(col(s"${c}_b")).as(s"${c}_b")
       )): _*)

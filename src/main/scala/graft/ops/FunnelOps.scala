@@ -55,7 +55,7 @@ object FunnelOps {
       val prev = s"ts_${i}_us"
       val cond = col("__t") > col(prev) &&
         col("__t") <= col("ts_1_us") + lit(horizonUs)
-      val carried = cur.columns.map(col)
+      val carried = cur.columns.toIndexedSeq.map(col)
       cur = cur.join(stageStream(t), Seq("__k"), "left")
         .groupBy(carried: _*)
         .agg(min(when(cond, col("__t"))).as(s"ts_${i + 1}_us"))

@@ -44,7 +44,7 @@ object GraphOps {
     // "converged" after one propagation step.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(xxhash64(col("id"), col("component"))
-        .cast("decimal(30,0)"))).head.getDecimal(0)
+        .cast("decimal(30,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -105,7 +105,7 @@ object GraphOps {
       .distinct().graftCheckpoint()
     def edgeSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(xxhash64(col("a"), col("b"))
-        .cast("decimal(30,0)"))).head.getDecimal(0)
+        .cast("decimal(30,0)"))).head().getDecimal(0)
     var prevSum = edgeSum(e)
     var iter = 0
     var converged = false
@@ -314,7 +314,7 @@ object GraphOps {
         val maxMove = prev.select(col("id"), col("r").as("__pr"))
           .join(ranks.select(col("id"), col("r")), Seq("id"))
           .agg(coalesce(max(abs(col("r") - col("__pr"))), lit(0L)))
-          .head.getLong(0)
+          .head().getLong(0)
         converged = maxMove <= tol
       }
       prev.unpersist()    // bound executor storage to 2 rank copies

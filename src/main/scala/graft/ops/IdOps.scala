@@ -30,7 +30,7 @@ object IdOps {
         spark.sparkContext.defaultParallelism,
         orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-    val withIds = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val withIds = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(i +: r.toSeq)
     }
     spark.createDataFrame(

@@ -336,7 +336,7 @@ object RelationalQueries {
       val e = Tables.load(s, dir, "events")
       val tsUs = unix_micros($"ts")
       val ts0 = e.filter($"event_id" === 42)
-        .agg(max(unix_micros($"ts"))).head.getLong(0)
+        .agg(max(unix_micros($"ts"))).head().getLong(0)
       // ts attribute vs TIMESTAMP literal (not unix_micros(ts) vs long):
       // the pushable form — same shape as cdc.Keyset.nextBatch, where
       // PlansSpec asserts the parquet PushedFilters.

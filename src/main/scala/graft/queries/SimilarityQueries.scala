@@ -504,7 +504,7 @@ object SimilarityQueries {
       val e = Tables.load(s, dir, "embeddings")
       // per-query serving cost: ONE 1-row collect to build the LUT
       val qvec = e.filter($"vec_id" === 0L).select($"embedding")
-        .head.getSeq[Float](0).map(_.toDouble).toArray
+        .head().getSeq[Float](0).map(_.toDouble).toArray
       val lut = SimilarityOps.pqLut(qvec, codebooks)
       val codes = e.select($"vec_id",
         SimilarityOps.pqEncode($"embedding", codebooks).as("codes"))
@@ -624,7 +624,7 @@ object SimilarityQueries {
       val e = Tables.load(s, dir, "embeddings")
       // per-query serving cost: ONE 1-row collect drives route + LUT
       val qvec = e.filter($"vec_id" === 0L).select($"embedding")
-        .head.getSeq[Float](0).map(_.toDouble).toArray
+        .head().getSeq[Float](0).map(_.toDouble).toArray
       val index = SimilarityOps.ivfPqIndex(
         e.select($"vec_id", $"embedding"), "vec_id", "embedding",
         centers, codebooks)
