@@ -220,6 +220,10 @@ object ClassifierOps {
     * combinable, no window.
     *
     * Output: (idCol, predicted, score) — best class + its Q20 score.
+    *
+    * Input contract: `idCol` is UNIQUE per row (it keys the per-doc
+    * token aggregation; duplicate ids would merge documents — the
+    * hammingNeighborPairs contract class).
     */
   def nbPredict(
       test: DataFrame, idCol: String, textCol: String,

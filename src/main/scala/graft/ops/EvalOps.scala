@@ -354,6 +354,9 @@ object EvalOps {
     *
     * Output: one row per non-empty bin (bin, n, mean_p_ppm,
     * pos_rate_ppm, brier_ppm2, ece_ppm), ordered by caller.
+    *
+    * Input contract: probPpmCol ∈ [0, 1e6] (a probability; values
+    * outside the range would mint garbage bins — clamp upstream).
     */
   def calibrationBins(
       scored: DataFrame, probPpmCol: String, labelCol: String,

@@ -246,6 +246,10 @@ object SimilarityOps {
     *
     * Output: (leftId, rightId, cos_micro, margin_ppm) for mutual-best
     * pairs, one row per matched pair.
+    *
+    * Input contract: ids UNIQUE within each side (they key the rank
+    * windows), and the two id column names must differ (both appear
+    * in the output).
     */
   def bitextMutualPairs(
       left: DataFrame, leftId: String, leftVec: String,
@@ -296,6 +300,9 @@ object SimilarityOps {
     * while n·maxMilli² &lt; 2^63 (unit-norm vectors: n ≲ 9e12).
     *
     * Output: (j, k, n, cov_milli2) for 1 ≤ j ≤ k ≤ dim.
+    *
+    * Input contract: every vector has the SAME length (ragged rows
+    * would silently skew the shared-n means; enforce upstream).
     */
   def embeddingCovariance(
       points: DataFrame, vecCol: String): DataFrame = {
