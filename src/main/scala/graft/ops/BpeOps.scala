@@ -283,4 +283,72 @@ object BpeOps {
       }
     }(Encoders.row(schema))
   }
+
+  /** Greedy longest-match WordPiece encoding (Wu et al. 2016's
+    * tokenization rule) against a broadcast piece vocabulary — the
+    * greedy sibling of the BPE merge-fold encoder above; together they
+    * cover both mainstream subword families.
+    *
+    * Per word, from position p: take the LONGEST vocab piece matching
+    * at p (lengths maxPiece..1); an unmatched position emits UNK(-1)
+    * and advances one char — the char-fallback variant (SentencePiece
+    * byte-fallback style), which degrades per-position instead of
+    * voiding the whole word (document the difference from the
+    * whole-word-[UNK] BERT convention).
+    *
+    * Shape: the vocabulary ships as a literal map (KBs–MBs — the
+    * hashing-trick argument from the linear classifier), and encoding
+    * is a pure per-row bounded fold (`aggregate` over maxWordLen
+    * steps, each trying maxPiece map lookups) — zero shuffles, runs in
+    * the scan stage; the per-word `rem ≥ l` guard is semantic, not
+    * cosmetic (a truncated substring would otherwise greedy-match a
+    * SHORTER piece through a longer-length probe).
+    *
+    * Contracts: vocab pieces are unique, non-empty, ≤ maxPiece chars;
+    * words longer than maxWordLen encode only their first maxWordLen
+    * fold steps (size the cap to the tokenizer's word-length bound).
+    *
+    * Output: one row per word occurrence — (idCol, word_idx, word,
+    * piece_ids array<long>) in document order.
+    */
+  def wordPieceEncode(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Long)], maxPiece: Int,
+      maxWordLen: Int = 16): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "vocabulary pieces must be unique")
+    require(vocab.forall { case (p, _) =>
+      p.nonEmpty && p.length <= maxPiece },
+      s"pieces must be 1..$maxPiece chars")
+    val vm = typedLit(vocab.toMap)
+    def encodeWord(w: Column): Column = {
+      val init = struct(lit(1L).as("p"),
+        array().cast("array<bigint>").as("ids"))
+      aggregate(
+        sequence(lit(1), lit(maxWordLen)),
+        init,
+        (acc, _) => {
+          val p = acc.getField("p")
+          val ids = acc.getField("ids")
+          val rem = length(w).cast("long") - p + 1L
+          val hits = (maxPiece to 1 by -1).map { l =>
+            l -> when(rem >= l,
+              try_element_at(vm, w.substr(p.cast("int"), lit(l))))
+          }
+          val id = coalesce(hits.map(_._2) :+ lit(-1L): _*)
+          val adv = coalesce(hits.map { case (l, h) =>
+            when(h.isNotNull, lit(l.toLong)) } :+ lit(1L): _*)
+          when(p > length(w).cast("long"), acc)
+            .otherwise(struct((p + adv).as("p"),
+              concat(ids, array(id)).as("ids")))
+        }).getField("ids")
+    }
+    docs
+      .select(col(idCol),
+        posexplode(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+          .as(Seq("word_idx", "word")))
+      .select(col(idCol), col("word_idx").cast("long").as("word_idx"),
+        col("word"), encodeWord(col("word")).as("piece_ids"))
+  }
 }

@@ -1361,12 +1361,103 @@ object TextQueries {
           .filter($"doc_id" % 5 =!= 0), "text", "lang")
       graft.ops.ClassifierOps.nbTopTokens(counts, k = 5)
         .orderBy($"label", $"rank")
+    },
+
+    // Greedy longest-match WordPiece encoding
+    // (BpeOps.wordPieceEncode) — the greedy subword family next to
+    // the BPE merge-fold encoder (q122-class). The whole per-doc
+    // id sequence travels through the hash, so every greedy decision
+    // (length-5 down to char fallback) is engine-checked; the oracle
+    // unrolls the bounded fold as 16 chained CTEs with 5 guarded
+    // vocab lookups per step.
+    GraftQuery("q287_wordpiece", TextQueries.WordPieceSql) { (s, dir) =>
+      import s.implicits._
+      graft.ops.BpeOps.wordPieceEncode(
+          Tables.load(s, dir, "documents").filter($"doc_id" < 100),
+          "doc_id", "text", TextQueries.WpVocab,
+          maxPiece = 5, maxWordLen = 16)
+        .select($"doc_id", $"word_idx",
+          array_join(transform($"piece_ids", x => x.cast("string")), ",")
+            .as("ws"),
+          size($"piece_ids").cast("long").as("np"),
+          size(filter($"piece_ids", x => x === -1L)).cast("long")
+            .as("nu"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"np").as("n_pieces"),
+          sum($"nu").as("n_unk"),
+          array_join(transform(
+            array_sort(collect_list(struct($"word_idx", $"ws"))),
+            x => x.getField("ws")), " ").as("piece_ids"))
+        .orderBy($"doc_id")
     })
 
   /** Shared oracle for q268 (batch train) and q276 (incremental merge)
     * — the full-retrain DuckDB replay; q276 passing against it proves
     * merged ≡ recomputed.
     */
+  /** WordPiece gate vocabulary: the 26 singles (char fallback) plus
+    * multi-char pieces tuned to the synthetic corpus so greedy
+    * longest-match genuinely exercises lengths 2-5.
+    */
+  private[queries] lazy val WpVocab: Seq[(String, Long)] =
+    ('a' to 'z').zipWithIndex.map { case (c, i) =>
+      c.toString -> (i + 1).toLong } ++
+      Seq("qu" -> 30L, "ery" -> 31L, "ta" -> 32L, "ble" -> 33L,
+        "spark" -> 34L, "str" -> 35L, "eam" -> 36L, "wind" -> 37L,
+        "ow" -> 38L, "ord" -> 39L, "er" -> 40L, "cust" -> 41L,
+        "om" -> 42L)
+
+  /** q287 oracle: the greedy fold unrolled as 16 chained CTEs, each
+    * step 5 guarded LEFT JOIN lookups against the VALUES vocabulary
+    * (longest wins via the CASE/COALESCE order — identical to the
+    * engine's coalesce chain).
+    */
+  private lazy val WordPieceSql: String = {
+    val vocabSql = WpVocab.map { case (p, i) => s"('$p', $i)" }
+      .mkString(", ")
+    val joins = (5 to 1 by -1).map { l =>
+      s"""  LEFT JOIN v h$l ON len(s.w) - s.p + 1 >= $l
+         |    AND h$l.piece = substr(s.w, CAST(s.p AS INTEGER), $l)"""
+        .stripMargin
+    }.mkString("\n")
+    val advCase = (5 to 2 by -1)
+      .map(l => s"WHEN h$l.id IS NOT NULL THEN $l").mkString(" ")
+    val steps = (1 to 16).map { n =>
+      s"""s$n AS (
+         |  SELECT s.doc_id, s.wi, s.w,
+         |    CASE WHEN s.p > len(s.w) THEN s.p
+         |         ELSE s.p + CASE $advCase ELSE 1 END END AS p,
+         |    CASE WHEN s.p > len(s.w) THEN s.ids
+         |         ELSE s.ids ||
+         |           (CASE WHEN s.ids = '' THEN '' ELSE ',' END) ||
+         |           CAST(COALESCE(h5.id, h4.id, h3.id, h2.id, h1.id,
+         |             -1) AS VARCHAR) END AS ids
+         |  FROM s${n - 1} s
+         |$joins)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v(piece, id) AS (VALUES $vocabSql),
+       |d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+       |      AS tk
+       |  FROM documents WHERE doc_id < 100),
+       |w AS (
+       |  SELECT doc_id, g.i - 1 AS wi, tk[g.i] AS w
+       |  FROM d, unnest(generate_series(1, len(tk))) AS g(i)),
+       |s0 AS (
+       |  SELECT doc_id, wi, w, CAST(1 AS BIGINT) AS p,
+       |    CAST('' AS VARCHAR) AS ids
+       |  FROM w),
+       |$steps
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(string_split(ids, ','))) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(len(list_filter(string_split(ids, ','),
+       |    x -> x = '-1'))) AS BIGINT) AS n_unk,
+       |  string_agg(ids, ' ' ORDER BY wi) AS piece_ids
+       |FROM s16 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // lazy: referenced by `all`, which is initialized first in the
   // object — a strict val here would be null at capture time
   private lazy val NbConfusionSql: String =

@@ -158,4 +158,46 @@ class BpeSpec extends SparkTestBase {
       assert(s.mkString === w, "concatenation invariant")
     }
   }
+
+  test("wordPieceEncode: greedy longest-match equals a sequential " +
+       "driver referee on hand cases and random words; char fallback " +
+       "emits UNK and advances one") {
+    import graft.ops.BpeOps
+    val vocab = ('a' to 'z').zipWithIndex.map { case (c, i) =>
+      c.toString -> (i + 1).toLong } ++
+      Seq("qu" -> 30L, "ery" -> 31L, "ta" -> 32L, "ble" -> 33L,
+        "spark" -> 34L, "str" -> 35L, "eam" -> 36L, "er" -> 40L)
+    val vm = vocab.toMap
+    def referee(w: String): Seq[Long] = {
+      var p = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (p < w.length) {
+        val l = (5 to 1 by -1).find(l =>
+          p + l <= w.length && vm.contains(w.substring(p, p + l)))
+        out += l.map(n => vm(w.substring(p, p + n))).getOrElse(-1L)
+        p += l.getOrElse(1)
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(287)
+    val alphabet = "abelmqrstuy7"  // includes a non-vocab char '7'
+    val words = Seq("table", "query", "stream", "spark", "er", "x7z") ++
+      (0 until 40).map(_ => (0 until 1 + rnd.nextInt(10))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val got = BpeOps.wordPieceEncode(docs, "id", "text", vocab,
+        maxPiece = 5, maxWordLen = 16)
+      .orderBy($"id")
+      .select($"id", $"word", $"piece_ids")
+      .as[(Long, String, Seq[Long])].collect()
+    got.foreach { case (_, w, ids) =>
+      assert(ids === referee(w), s"word '$w'")
+    }
+    // greedy hand checks
+    val byWord = got.map(g => g._2 -> g._3).toMap
+    assert(byWord("table") === Seq(32L, 33L))
+    assert(byWord("query") === Seq(30L, 31L))
+    assert(byWord("x7z") === Seq(24L, -1L, 26L)) // char, UNK, char
+  }
 }
