@@ -337,6 +337,9 @@ class EmptyInputSpec extends SparkTestBase {
     val noTrans = Seq.empty[(String, String, Long)].toDF("f", "t", "p")
     assert(SeriesOps.stationaryDistribution(
       noTrans, "f", "t", "p", 2).count() === 0)
+    assert(graft.ops.BpeOps.wordPieceEncode(
+      Seq.empty[(Long, String)].toDF("id", "text"), "id", "text",
+      Seq("a" -> 1L), maxPiece = 1).count() === 0)
   }
 
   test("round-8 batch-3 operators degrade on empty input") {
