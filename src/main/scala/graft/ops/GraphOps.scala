@@ -1018,7 +1018,10 @@ object GraphOps {
     *
     * Input: `pairs` with each undirected edge ONCE (a &lt; b, no
     * duplicates — q165's pair-graph contract); `labels` with one row
-    * per node. Output: (community, n_nodes, e_intra, d_sum, q_ppm).
+    * per node. Labeled nodes with no incident edge (isolated) are
+    * KEPT: they count toward n_nodes with d_sum contribution 0
+    * (degrees attach via left join). Output: (community, n_nodes,
+    * e_intra, d_sum, q_ppm).
     */
   def modularity(
       pairs: DataFrame, aCol: String, bCol: String,
@@ -1030,9 +1033,14 @@ object GraphOps {
     val lbl = labels.select(col(idCol).as("__id"),
       col(labelCol).as("community"))
     val m = e.agg(count(lit(1)).as("__m"))
-    val comm = lbl.join(deg, Seq("__id"))
+    // LEFT join + coalesce so degree-0 (isolated) labeled nodes still
+    // count toward n_nodes with d_sum contribution 0 — an inner join
+    // would silently drop them and lose all-isolated communities from
+    // the readout entirely (Q itself is unaffected either way).
+    val comm = lbl.join(deg, Seq("__id"), "left")
       .groupBy(col("community"))
-      .agg(count(lit(1)).as("n_nodes"), sum(col("__d")).as("d_sum"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("__d"), lit(0L))).as("d_sum"))
     val intra = e
       .join(lbl.select(col("__id").as("__a"),
         col("community").as("__ca")), Seq("__a"))

@@ -182,14 +182,24 @@ object SeriesOps {
       trans: DataFrame, fromCol: String, toCol: String,
       pPpmCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 16, "fixed small round count")
+    import graft.ops.Checkpointer._
     val div = graft.functions.GraftColumns.longDiv _
-    val states = trans.select(col(fromCol).as("state"))
-      .union(trans.select(col(toCol).as("state"))).distinct()
+    // checkpoint the |states|²-bounded edge table and the state list
+    // ONCE before the loop: every round (and every branch of the
+    // unioned trajectory) re-reads them, and without the truncation
+    // the corpus-scale upstream that BUILT the transition counts
+    // (q272: a lead-window rollup over events) would re-execute
+    // O(rounds²) times.
+    val edges = trans.select(col(fromCol), col(toCol), col(pPpmCol))
+      .graftCheckpoint()
+    val states = edges.select(col(fromCol).as("state"))
+      .union(edges.select(col(toCol).as("state"))).distinct()
+      .graftCheckpoint()
     val k = states.agg(count(lit(1)).as("__k"))
     var x = states.crossJoin(broadcast(k))
       .select(col("state"), div(lit(1000000L), col("__k")).as("mass_ppm"))
     (1 to rounds).map { r =>
-      val nxt = trans
+      val nxt = edges
         .join(x.withColumnRenamed("state", "__from"),
           col(fromCol) === col("__from"))
         .select(col(toCol).as("state"),

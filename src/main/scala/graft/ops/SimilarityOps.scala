@@ -255,6 +255,9 @@ object SimilarityOps {
       left: DataFrame, leftId: String, leftVec: String,
       right: DataFrame, rightId: String, rightVec: String,
       k: Int): DataFrame = {
+    require(leftId != rightId,
+      s"leftId and rightId must differ (both appear in the output); " +
+        s"got '$leftId' twice")
     import graft.ops.Checkpointer._
     import org.apache.spark.sql.expressions.Window
     val div = graft.functions.GraftColumns.longDiv _
@@ -306,15 +309,21 @@ object SimilarityOps {
     */
   def embeddingCovariance(
       points: DataFrame, vecCol: String): DataFrame = {
+    import graft.ops.Checkpointer._
     val div = graft.functions.GraftColumns.longDiv _
     // pin parallelism before the dim²-per-row explode: the input may
     // arrive as few (or one) scan partitions, and the map-side product
     // expansion is the whole cost of this op (the DedupOps Σfreq²
-    // discipline — AQE sizes from input bytes, not output)
+    // discipline — AQE sizes from input bytes, not output). Project to
+    // the quantized __mv column BEFORE the repartition so the shuffle
+    // carries slim vector rows, not full input rows, and checkpoint mv
+    // once — it feeds three subplans (pairs, comp, n); without the
+    // truncation each would rescan and reshuffle the corpus.
     val par = points.sparkSession.sparkContext.defaultParallelism
-    val mv = points.repartition(par).select(transform(col(vecCol),
+    val mv = points.select(transform(col(vecCol),
       x => floor(x.cast("double") * lit(1000.0) + lit(0.5))
         .cast("long")).as("__mv"))
+      .repartition(par).graftCheckpoint()
     val pairs = mv.select(explode(flatten(transform(
         sequence(lit(0), size(col("__mv")) - 1),
         j => transform(sequence(j, size(col("__mv")) - 1),

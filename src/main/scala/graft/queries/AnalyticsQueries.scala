@@ -2758,8 +2758,8 @@ private object AnalyticsSql {
        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
        |comm AS (
        |  SELECT l.label AS community, COUNT(*) AS n_nodes,
-       |    CAST(SUM(deg.d) AS BIGINT) AS d_sum
-       |  FROM l2 l JOIN deg ON deg.id = l.id GROUP BY 1),
+       |    CAST(SUM(COALESCE(deg.d, 0)) AS BIGINT) AS d_sum
+       |  FROM l2 l LEFT JOIN deg ON deg.id = l.id GROUP BY 1),
        |intra AS (
        |  SELECT la.label AS community, CAST(COUNT(*) AS BIGINT)
        |    AS e_intra

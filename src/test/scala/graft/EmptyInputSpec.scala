@@ -354,6 +354,14 @@ class EmptyInputSpec extends SparkTestBase {
     assert(GraphOps.modularity(noPairs, "a", "b", noLbl, "id", "c")
       .count() === 0)
     assert(SimilarityOps.bitextMutualPairs(
-      noVecs, "id", "emb", noVecs, "id", "emb", k = 2).count() === 0)
+      noVecs.select($"id".as("lid"), $"emb"), "lid", "emb",
+      noVecs.select($"id".as("rid"), $"emb"), "rid", "emb",
+      k = 2).count() === 0)
+    // identical id column names would make the output ambiguous —
+    // the op must fail fast, not return a two-same-name frame
+    intercept[IllegalArgumentException] {
+      SimilarityOps.bitextMutualPairs(
+        noVecs, "id", "emb", noVecs, "id", "emb", k = 2)
+    }
   }
 }

@@ -663,4 +663,21 @@ class GraphOpsSpec extends SparkTestBase {
       .select($"q_ppm").as[Long].collect().toSeq
     assert(g1 === Seq(0L))
   }
+
+  test("modularity: isolated labeled nodes are kept with d_sum " +
+       "contribution 0, and an all-isolated community still appears") {
+    import graft.ops.GraphOps
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    // node 4 is isolated inside community 10; community 30 is ONLY
+    // isolated nodes (5, 6) — both must survive the degree join
+    val lbl = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L),
+      (5L, 30L), (6L, 30L)).toDF("id", "c")
+    val got = GraphOps.modularity(pairs, "a", "b", lbl, "id", "c")
+      .orderBy($"community")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // m=3; community 10: 4 nodes (incl. isolated 4), e=3, d_sum=6;
+    // community 30: 2 nodes, e=0, d_sum=0
+    // Q = (4*3*3 - 36)*1e6 // 36 = 0
+    assert(got === Seq((10L, 4L, 3L, 6L, 0L), (30L, 2L, 0L, 0L, 0L)))
+  }
 }
