@@ -80,6 +80,29 @@ object CosineMicro {
     if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
   }
 
+  /** Scalar twin of [[compute]] over plain double arrays — the same
+    * sequential index-order fold and HALF_UP rounding, for JVM-local
+    * consumers (the grouped-MMR per-group greedy fold, which widens
+    * float inputs to double exactly before calling). Kept adjacent to
+    * [[compute]] so the two loops cannot drift; a spec asserts
+    * equality against the expression on shared fixtures.
+    */
+  def computeD(a: Array[Double], b: Array[Double]): Long = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+    val v = cos * 1000000.0
+    if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+  }
+
   val descriptor: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_cosine_micro"),

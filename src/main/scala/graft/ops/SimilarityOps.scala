@@ -855,6 +855,12 @@ object SimilarityOps {
     *
     * Output: (rank, id, rel, max_sim_micro, score) for the k picks in
     * selection order — `score` is the value that won the round.
+    *
+    * This sequential form is the REFEREE face (one ad-hoc query, each
+    * greedy round visible as a plan): k driver round-trips make it the
+    * wrong shape for serving many queries. Production reranking goes
+    * through [[mmrTopKGrouped]] — queries as a table, one
+    * data-parallel job, spec-proven equal to this form per query.
     */
   def mmrTopK(
       candidates: DataFrame, idCol: String, embCol: String,
@@ -912,5 +918,157 @@ object SimilarityOps {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("score",
           org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Grouped, queries-as-a-table MMR — the SERVING shape of
+    * [[mmrTopK]]: one greedy `λ·rel − (1−λ)·maxSimToSelected` fold PER
+    * QUERY, executed data-parallel across the query dimension with
+    * ZERO per-query driver actions. [[mmrTopK]] costs k driver
+    * round-trips per query and serializes queries through the driver —
+    * fine for one ad-hoc rerank, wrong for a production reranker
+    * serving a batch of queries; here each query's bounded shortlist
+    * lands on one task and the whole batch is one job.
+    *
+    * Contract: per query, `candidates` is a BOUNDED shortlist (an
+    * ANN / brute-force top-N cut upstream — MMR re-ranks retrieval
+    * output, it never scans corpora). `require`d ≤ `maxShortlist` rows
+    * per query so passing a corpus fails fast instead of OOMing a
+    * task. Query and candidate ids must be integral (cast to long);
+    * embeddings float or double arrays (floats widen to double
+    * exactly, so the arithmetic is bit-identical either way).
+    *
+    * The local fold replays [[mmrTopK]]'s exact integer scoring, its
+    * (score desc, id asc) tie rule, and the same
+    * [[graft.functions.CosineMicro]] IEEE fold (scalar twin
+    * `computeD`), so grouped ≡ sequential row-for-row — spec-refereed
+    * per query on every fixture.
+    *
+    * Output: (queryCol, rank, id, rel, max_sim_micro, score) — k rows
+    * per query in selection order (fewer if its pool exhausts).
+    */
+  def mmrTopKGrouped(
+      candidates: DataFrame, queryCol: String, idCol: String,
+      embCol: String, relCol: String, k: Int, lambdaPpm: Long,
+      maxShortlist: Int = 65536): DataFrame = {
+    require(k >= 1 && k <= 1000, "k in [1, 1000]")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      "lambdaPpm in [0, 1e6]")
+    require(queryCol != idCol, "query and id columns must differ")
+    require(maxShortlist >= 1, "maxShortlist must be positive")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val lam = lambdaPpm
+    val oneMinusLam = 1000000L - lambdaPpm
+    val cap = maxShortlist
+    candidates
+      .select(col(queryCol).cast("long"), col(idCol).cast("long"),
+        col(embCol).cast("array<double>"), col(relCol).cast("long"))
+      .as[(Long, Long, Array[Double], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val pool = it.toArray
+        require(pool.length <= cap,
+          s"query $q shortlist has ${pool.length} rows > " +
+            s"maxShortlist=$cap — MMR re-ranks retrieval output, " +
+            "not corpora; cut a top-N upstream")
+        val n = pool.length
+        val ids = new Array[Long](n)
+        val rels = new Array[Long](n)
+        val ms = new Array[Long](n)
+        val done = new Array[Boolean](n)
+        var i = 0
+        while (i < n) { ids(i) = pool(i)._2; rels(i) = pool(i)._4; i += 1 }
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
+        var r = 1
+        var exhausted = false
+        while (r <= k && !exhausted) {
+          var best = -1
+          var bestScore = 0L
+          var bestId = 0L
+          i = 0
+          while (i < n) {
+            if (!done(i)) {
+              val s = lam * rels(i) - oneMinusLam * ms(i)
+              if (best < 0 || s > bestScore ||
+                  (s == bestScore && ids(i) < bestId)) {
+                best = i; bestScore = s; bestId = ids(i)
+              }
+            }
+            i += 1
+          }
+          if (best < 0) exhausted = true
+          else {
+            out += ((q, r.toLong, ids(best), rels(best), ms(best),
+              bestScore))
+            done(best) = true
+            val pe = pool(best)._3
+            var j = 0
+            while (j < n) {
+              if (!done(j)) {
+                val c = graft.functions.CosineMicro
+                  .computeD(pool(j)._3, pe)
+                if (c > ms(j)) ms(j) = c
+              }
+              j += 1
+            }
+            r += 1
+          }
+        }
+        out.result().iterator
+      }
+      .toDF(queryCol, "rank", "id", "rel", "max_sim_micro", "score")
+  }
+
+  /** Multi-query ADC top-k — the SERVING shape of [[pqAdcTopK]]:
+    * queries arrive as a TABLE, each query's `m·k`-entry LUT is built
+    * IN-PLAN on the (small, broadcast) queries side — no per-query
+    * driver collect, no per-query job. `lut(s)(c) = floor(1e6 ·
+    * Σ_i qvec[s·sub+i]·cw[i])` replays [[pqLut]]'s index-order fold
+    * exactly (the HOF `aggregate` accumulates 0.0 + t₁ + t₂ + … in
+    * element order), so multi ≡ N single-query [[pqAdcTopK]] runs
+    * row-for-row — spec-refereed.
+    *
+    * Cost shape: the LUT HOFs are interpreted (CodegenFallback), but
+    * they run once per QUERY row — `m·k·sub` multiply-adds each —
+    * never per corpus row; the corpus-side work stays pure integer
+    * `element_at` adds on the broadcast-joined LUT column, and the
+    * per-query top-k is one window shuffled by query id only. Same
+    * 100 TB story as [[bruteForceTopK]]: the coded corpus streams
+    * through one scan regardless of query count.
+    *
+    * Output: (queryIdCol, idCol, adc_score, rank), k rows per query,
+    * ties to the lower corpus id — [[pqAdcTopK]]'s rule.
+    */
+  def pqAdcTopKMulti(
+      codes: DataFrame, idCol: String, codesCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(codebooks.nonEmpty && k > 0, "need codebooks and positive k")
+    require(queryIdCol != idCol,
+      "query and corpus id columns must differ (both appear in the output)")
+    val sub = codebooks(0)(0).length
+    val lut = array(codebooks.zipWithIndex.map { case (cb, s) =>
+      transform(
+        typedLit(cb.map(_.toSeq).toSeq),
+        cw => floor(lit(1e6) * aggregate(
+          zip_with(
+            slice(col(queryVecCol), s * sub + 1, sub), cw,
+            (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v)).cast("long"))
+    }: _*)
+    val qlut = queries.select(col(queryIdCol), lut.as("__lut"))
+    val score = codebooks.indices.map { s =>
+      element_at(element_at(col("__lut"), s + 1),
+        element_at(col(codesCol), s + 1) + lit(1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("adc_score").desc, col(idCol).asc)
+    codes.join(broadcast(qlut))
+      .withColumn("adc_score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("adc_score"),
+        col("rank").cast("long").as("rank"))
   }
 }

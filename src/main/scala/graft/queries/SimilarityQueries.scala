@@ -918,7 +918,11 @@ object SimilarityQueries {
     // id. The oracle unrolls the five greedy rounds as chained CTEs
     // (argmax → pool minus pick → running GREATEST max-sim), the same
     // fixed-round replay idiom as PageRank3. The 1-row pick cross joins
-    // are the q96 scalar pattern (PlansSpec sanction).
+    // are the q96 scalar pattern (PlansSpec sanction). This gates the
+    // SEQUENTIAL referee face (one ad-hoc query, rounds visible as
+    // plans); the serving shape — queries as a table, zero per-query
+    // driver actions — is mmrTopKGrouped, gated by q288 and composed
+    // into q266.
     GraftQuery(
       "q249_mmr_rerank",
       s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
@@ -1214,6 +1218,139 @@ object SimilarityQueries {
       SimilarityOps.embeddingCovariance(
           Tables.load(s, dir, "embeddings"), "embedding")
         .orderBy($"j", $"k")
+    },
+
+    // GROUPED MMR serving (SimilarityOps.mmrTopKGrouped — the
+    // queries-as-a-table shape of q249): 5 queries, each with its own
+    // brute-force top-20 shortlist, diversified k=5 λ=0.7 in ONE
+    // data-parallel job — zero per-query driver actions; the greedy
+    // fold runs locally inside each query's group. Oracle: the q249
+    // chained-CTE replay generalized per query (argmax → per-qid
+    // row_number()=1, pick-fold join on qid).
+    GraftQuery(
+      "q288_mmr_serve_grouped",
+      s"""WITH cand AS (
+         |  SELECT qid, id, embedding, rel FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS id, c.embedding,
+         |      CAST(${duckCosMicro("c", "q")} AS BIGINT) AS rel,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(${duckCosMicro("c", "q")} AS BIGINT) DESC,
+         |        c.vec_id) AS rn
+         |    FROM embeddings q JOIN embeddings c
+         |      ON c.vec_id != q.vec_id
+         |    WHERE q.vec_id < 5)
+         |  WHERE rn <= 20),
+         |p0 AS (SELECT qid, id, embedding, rel, CAST(0 AS BIGINT) AS ms
+         |       FROM cand),
+         |${SimilarityQueries.mmrGroupedRoundsSql(5, 700000L)}
+         |SELECT * FROM (
+         |  ${(1 to 5).map(i =>
+             s"SELECT qid AS query_id, CAST($i AS BIGINT) AS rank, " +
+               s"id, rel, ms AS max_sim_micro, score FROM s$i")
+             .mkString(" UNION ALL ")})
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 5L)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      val short = SimilarityOps.bruteForceTopK(
+          e, "vec_id", "embedding", queries, "query_id", "qvec", k = 20)
+        .select($"query_id", $"vec_id", $"cos_micro".as("rel"))
+      val cand = short.join(e.select($"vec_id", $"embedding"),
+        Seq("vec_id"))
+      SimilarityOps.mmrTopKGrouped(cand, "query_id", "vec_id",
+          "embedding", "rel", k = 5, lambdaPpm = 700000L)
+        .orderBy($"query_id", $"rank")
+    },
+
+    // BATCHED PQ serving (SimilarityOps.pqAdcTopKMulti — the
+    // queries-as-a-table shape of q135): 5 queries, each LUT built
+    // IN-PLAN on the broadcast queries side (floor(1e6·subspace dot)
+    // replaying pqLut's fold), ADC shortlist 50 per query over the
+    // coded corpus, exact cosine re-rank to top-10 per query — no
+    // per-query collect, no per-query job; the corpus streams through
+    // one scan for all queries. Same fixed q134 codebooks keep every
+    // stage bit-replayable in DuckDB.
+    GraftQuery(
+      "q289_pq_serve_batch",
+      s"""WITH code AS (
+         |  SELECT vec_id,
+         |    (SELECT c FROM (
+         |       SELECT c, list_reduce(list_prepend(0.0,
+         |         list_transform(embedding[1:32], (v, i) ->
+         |           (CAST(v AS DOUBLE) - (((c*7 + (i-1)) % 5) - 2))
+         |           * (CAST(v AS DOUBLE) - (((c*7 + (i-1)) % 5) - 2)))),
+         |         (x,y)->x+y) AS dist
+         |       FROM (SELECT unnest(generate_series(0, 3)) AS c))
+         |     ORDER BY dist, c LIMIT 1) AS code0,
+         |    (SELECT c FROM (
+         |       SELECT c, list_reduce(list_prepend(0.0,
+         |         list_transform(embedding[33:64], (v, i) ->
+         |           (CAST(v AS DOUBLE) - (((31 + c*7 + (i-1)) % 5) - 2))
+         |           * (CAST(v AS DOUBLE) - (((31 + c*7 + (i-1)) % 5) - 2)))),
+         |         (x,y)->x+y) AS dist
+         |       FROM (SELECT unnest(generate_series(0, 3)) AS c))
+         |     ORDER BY dist, c LIMIT 1) AS code1
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qe
+         |       FROM embeddings WHERE vec_id < 5),
+         |l0 AS (
+         |  SELECT query_id, c, CAST(floor(1000000 * list_reduce(
+         |    list_prepend(0.0, list_transform(qe[1:32], (v, i) ->
+         |      CAST(v AS DOUBLE) * (((c*7 + (i-1)) % 5) - 2))),
+         |    (x,y)->x+y)) AS BIGINT) AS v
+         |  FROM qv, (SELECT unnest(generate_series(0, 3)) AS c)),
+         |l1 AS (
+         |  SELECT query_id, c, CAST(floor(1000000 * list_reduce(
+         |    list_prepend(0.0, list_transform(qe[33:64], (v, i) ->
+         |      CAST(v AS DOUBLE) * (((31 + c*7 + (i-1)) % 5) - 2))),
+         |    (x,y)->x+y)) AS BIGINT) AS v
+         |  FROM qv, (SELECT unnest(generate_series(0, 3)) AS c)),
+         |short AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT l0.query_id, code.vec_id,
+         |      row_number() OVER (PARTITION BY l0.query_id
+         |        ORDER BY l0.v + l1.v DESC, code.vec_id) AS rn
+         |    FROM code
+         |    JOIN l0 ON l0.c = code.code0
+         |    JOIN l1 ON l1.query_id = l0.query_id
+         |      AND l1.c = code.code1)
+         |  WHERE rn <= 50),
+         |rr AS (
+         |  SELECT s.query_id, s.vec_id,
+         |    CAST(${duckCosMicro("a", "q")} AS BIGINT) AS cos_micro
+         |  FROM short s
+         |  JOIN embeddings a ON a.vec_id = s.vec_id
+         |  JOIN (SELECT vec_id AS query_id, embedding
+         |        FROM embeddings WHERE vec_id < 5) q
+         |    ON q.query_id = s.query_id)
+         |SELECT query_id, vec_id, cos_micro, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_micro DESC, vec_id) AS BIGINT) AS rank
+         |  FROM rr)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+        Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
+      val e = Tables.load(s, dir, "embeddings")
+      val codes = e.select($"vec_id",
+        SimilarityOps.pqEncode($"embedding", codebooks).as("codes"))
+      val queries = e.filter($"vec_id" < 5L)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      val short = SimilarityOps.pqAdcTopKMulti(codes, "vec_id", "codes",
+          queries, "query_id", "qvec", codebooks, k = 50)
+        .select($"query_id", $"vec_id")
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"cos_micro".desc, $"vec_id".asc)
+      short.join(e.select($"vec_id", $"embedding"), Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select($"query_id", $"vec_id",
+          SimilarityOps.cosineMicro($"embedding", $"qvec").as("cos_micro"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 10L)
+        .orderBy($"query_id", $"rank")
     }) :+ RetrievalPipelineGate
 
   /** RETRIEVAL SERVING end-to-end (the composition finisher for the
@@ -1254,13 +1391,15 @@ object SimilarityQueries {
       val shortlist = SimilarityOps.ivfTopK(
           e.filter($"vec_id" =!= 7L), "vec_id", "embedding",
           queries, "query_id", "qvec", k = 20, nList = 8, nProbe = 8)
-        .select($"vec_id", $"cos_micro".as("rel"))
-      // stage 2: re-attach vectors, diversify with MMR
+        .select($"query_id", $"vec_id", $"cos_micro".as("rel"))
+      // stage 2: re-attach vectors, diversify with MMR — through the
+      // GROUPED serving form (queries-as-a-table, zero per-query
+      // driver actions); with one query the result is the sequential
+      // form's, which q249 still gates as the referee face
       val cand = shortlist.join(e, Seq("vec_id"))
-      SimilarityOps.mmrTopK(cand, "vec_id", "embedding", "rel",
-          k = 5, lambdaPpm = 700000L)
-        .select($"rank", $"id".cast("long").as("id"), $"rel",
-          $"max_sim_micro", $"score")
+      SimilarityOps.mmrTopKGrouped(cand, "query_id", "vec_id",
+          "embedding", "rel", k = 5, lambdaPpm = 700000L)
+        .select($"rank", $"id", $"rel", $"max_sim_micro", $"score")
         .orderBy($"rank")
     }
 
@@ -1280,5 +1419,30 @@ object SimilarityQueries {
          |    GREATEST(p.ms, CAST(${duckCosMicro("p", "s")} AS BIGINT))
          |      AS ms
          |  FROM $prev p CROSS JOIN s$i s WHERE p.id != s.id)""".stripMargin
+    }.mkString(",\n")
+
+  /** [[mmrRoundsSql]] generalized over a `qid` query column for the
+    * grouped serving gate (q288): round i's argmax becomes a per-query
+    * `row_number() = 1` pick, and the max-sim fold joins pick to pool
+    * on qid — the same chained-CTE replay, one greedy instance per
+    * query.
+    */
+  private[queries] def mmrGroupedRoundsSql(k: Int, lambdaPpm: Long): String =
+    (1 to k).map { i =>
+      val prev = s"p${i - 1}"
+      s"""s$i AS (
+         |  SELECT qid, id, embedding, rel, ms, score FROM (
+         |    SELECT qid, id, embedding, rel, ms,
+         |      $lambdaPpm * rel - ${1000000L - lambdaPpm} * ms AS score,
+         |      row_number() OVER (PARTITION BY qid ORDER BY
+         |        $lambdaPpm * rel - ${1000000L - lambdaPpm} * ms DESC,
+         |        id) AS rn
+         |    FROM $prev) WHERE rn = 1),
+         |p$i AS (
+         |  SELECT p.qid, p.id, p.embedding, p.rel,
+         |    GREATEST(p.ms, CAST(${duckCosMicro("p", "s")} AS BIGINT))
+         |      AS ms
+         |  FROM $prev p JOIN s$i s
+         |    ON s.qid = p.qid AND p.id != s.id)""".stripMargin
     }.mkString(",\n")
 }

@@ -883,4 +883,81 @@ class TextDedupSimSpec extends SparkTestBase {
       .orderBy($"lid").as[(Long, Long, Long, Long)].collect().toSeq
     assert(g2.map(t => (t._1, t._2)) === Seq((1L, 7L), (2L, 8L)))
   }
+
+  // deterministic 8-dim embedding fixture shared by the serving-shape
+  // referee tests below
+  private def refEmb(seed: Long): Array[Float] =
+    Array.tabulate(8)(i => (((seed * 31 + i * 17) % 13) - 6).toFloat / 3f)
+
+  test("CosineMicro.computeD scalar twin ≡ the native expression on a " +
+       "pair grid (the grouped-MMR local fold can't drift)") {
+    val pairs = for { a <- 0 until 6; b <- 0 until 6 }
+      yield (refEmb(a), refEmb(b))
+    val viaExpr = pairs.toDF("a", "b")
+      .select(SimilarityOps.cosineMicro($"a", $"b"))
+      .as[Long].collect().toSeq
+    val viaScalar = pairs.map { case (x, y) =>
+      graft.functions.CosineMicro.computeD(
+        x.map(_.toDouble), y.map(_.toDouble))
+    }
+    assert(viaExpr === viaScalar)
+  }
+
+  test("mmrTopKGrouped ≡ sequential mmrTopK per query (referee): " +
+       "3 queries with different pool sizes incl. one smaller than k; " +
+       "corpus misuse trips maxShortlist") {
+    val poolSizes = Map(1L -> 12, 2L -> 7, 3L -> 3)
+    val rows = for {
+      q <- 1L to 3L
+      c <- 0 until poolSizes(q)
+    } yield (q, 100L * q + c, refEmb(q * 97 + c),
+      500000L + (c * 7919L) % 300000L)
+    val cand = rows.toDF("qid", "id", "emb", "rel")
+    val grouped = SimilarityOps.mmrTopKGrouped(cand, "qid", "id",
+        "emb", "rel", k = 5, lambdaPpm = 650000L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val sequential = (1L to 3L).flatMap { q =>
+      SimilarityOps.mmrTopK(cand.filter($"qid" === q), "id", "emb",
+          "rel", k = 5, lambdaPpm = 650000L)
+        .select(lit(q), $"rank", $"id".cast("long"), $"rel",
+          $"max_sim_micro", $"score")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    }.sorted
+    assert(grouped === sequential)
+    // q3's pool (3) is smaller than k=5: the whole pool, no error
+    assert(grouped.count(_._1 === 3L) === 3)
+    // a shortlist above maxShortlist must fail fast inside the task —
+    // MMR re-ranks retrieval output, never corpora
+    val e = intercept[Exception] {
+      SimilarityOps.mmrTopKGrouped(cand, "qid", "id", "emb", "rel",
+        k = 2, lambdaPpm = 650000L, maxShortlist = 5).count()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("maxShortlist"), msgs.take(300))
+  }
+
+  test("pqAdcTopKMulti ≡ N single-query pqAdcTopK runs: the in-plan " +
+       "LUT replays pqLut's fold bit-for-bit") {
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(3)(c =>
+      Array.tabulate(4)(i => ((sp * 13 + c * 5 + i) % 7 - 3) / 2.0)))
+    val corpus = (0 until 20).map(i => (i.toLong, refEmb(i)))
+      .toDF("id", "emb")
+    val codes = corpus.select($"id",
+      SimilarityOps.pqEncode($"emb", codebooks).as("codes"))
+    val queries = (100 until 103).map(i => (i.toLong, refEmb(i)))
+      .toDF("query_id", "qvec")
+    val multi = SimilarityOps.pqAdcTopKMulti(codes, "id", "codes",
+        queries, "query_id", "qvec", codebooks, k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val single = (100 until 103).flatMap { qi =>
+      val lut = SimilarityOps.pqLut(refEmb(qi).map(_.toDouble), codebooks)
+      SimilarityOps.pqAdcTopK(codes, "id", "codes", lut, 4)
+        .select($"id", $"adc_score").as[(Long, Long)].collect().toSeq
+        .zipWithIndex.map { case ((id, sc), r) =>
+          (qi.toLong, id, sc, r + 1L) }
+    }.sorted
+    assert(multi === single)
+  }
 }
