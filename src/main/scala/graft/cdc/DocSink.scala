@@ -12,8 +12,12 @@ import org.apache.spark.sql.DataFrame
   * Implementations:
   *  - [[UpsertSink]] (default): bucketed-parquet native store; rewrites
   *    only affected buckets per upsert/delete.
-  *  - Elasticsearch bind point (no ES dependency in this repo; the
-  *    elasticsearch-hadoop connector plugs straight in):
+  *  - [[EsWire.EsDocSink]] (live wire): POSTs the q267-checked
+  *    [[EsBulk]] `_bulk` bodies over HTTP from executors, with the
+  *    reference's backoff/partial-failure semantics — drilled in
+  *    EsWireSpec against an in-process stub server.
+  *  - elasticsearch-hadoop connector bind point (not a dependency of
+  *    this repo; plugs straight in):
   *    {{{
   *    final class EsDocSink(resource: String, val idCol: String)
   *        extends DocSink {

@@ -6,11 +6,10 @@ import org.apache.spark.sql.functions._
 /** Elasticsearch `_bulk` PAYLOAD assembly — the wire format the
   * reference ships docs with (postgres_to_es/daemon.py:358-381 via
   * `helpers.bulk`: one `{"index":{"_index":…,"_id":…}}` action line +
-  * one source line per doc, batched at `--es-batch`). No ES server
-  * exists in this sandbox, but the payload itself is a pure
-  * deterministic transformation — so the byte-exact request bodies are
-  * oracle-checkable, and a live connector reduces to POSTing them
-  * (the documented [[DocSink]] bind point).
+  * one source line per doc, batched at `--es-batch`). The payload is a
+  * pure deterministic transformation — the byte-exact request bodies
+  * are oracle-checked (q267), and [[EsWire.EsDocSink]] POSTs exactly
+  * these strings over HTTP.
   *
   * Scale shape: batch assignment is the global rank over `idCol` via
   * range-partitioned prefix arithmetic ([[graft.ops.IdOps.contiguousIds]]
@@ -33,30 +32,62 @@ object EsBulk {
         col(idCol).cast("string"), lit("\"}}\n"),
         col(sourceJsonCol)).as("lines"))
 
-  /** Assemble `_bulk` request bodies of `batchSize` docs in `idCol`
-    * order: (es_batch, n_docs, payload_chars, payload_md5). The body
-    * itself is `join(lines, "\n") + "\n"` per batch; the gate carries
-    * its md5 so the byte-exact wire format is what's checked.
+  /** Per-id NDJSON delete action (no source line — the `_bulk` delete
+    * format): `{"delete":{"_index":…,"_id":…}}`.
     */
-  def bulkBodies(
-      df: DataFrame, index: String, idCol: String,
-      sourceJsonCol: String, batchSize: Int): DataFrame = {
+  def deleteActionLines(
+      df: DataFrame, index: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      concat(
+        lit("{\"delete\":{\"_index\":\"" + index + "\",\"_id\":\""),
+        col(idCol).cast("string"), lit("\"}}")).as("lines"))
+
+  /** Shared body construction for every `_bulk` face: global rank over
+    * `idCol` → `es_batch = rank div batchSize` → per-batch body =
+    * `join(lines in rank order, "\n") + "\n"`. One definition so the
+    * oracle-hashed gate ([[bulkBodies]] / q267) and the wire payloads
+    * ([[bulkBodyStrings]] / [[deleteBodyStrings]]) cannot drift.
+    */
+  private def bodiesOf(
+      lines: DataFrame, idCol: String, batchSize: Int): DataFrame = {
     require(batchSize >= 1, "batchSize must be positive")
-    val lines = actionLines(df, index, idCol, sourceJsonCol)
     val ranked = graft.ops.IdOps.contiguousIds(lines, "__rk", idCol)
     val div = graft.functions.GraftColumns.longDiv _
     ranked
       .withColumn("es_batch", div(col("__rk"), lit(batchSize.toLong)))
       .groupBy(col("es_batch"))
       .agg(count(lit(1)).as("n_docs"),
-        md5(concat(array_join(
+        concat(array_join(
           transform(
             array_sort(collect_list(struct(col("__rk"), col("lines")))),
             _.getField("lines")),
-          "\n"), lit("\n"))).as("payload_md5"),
-        (sum(length(col("lines"))) + count(lit(1)))
-          .as("payload_chars"))
-      .select(col("es_batch"), col("n_docs"), col("payload_chars"),
-        col("payload_md5"))
+          "\n"), lit("\n")).as("body"))
   }
+
+  /** The `_bulk` upsert POST payloads themselves:
+    * (es_batch, n_docs, body) — what [[EsWire.EsDocSink]] sends.
+    */
+  def bulkBodyStrings(
+      df: DataFrame, index: String, idCol: String,
+      sourceJsonCol: String, batchSize: Int): DataFrame =
+    bodiesOf(actionLines(df, index, idCol, sourceJsonCol),
+      idCol, batchSize)
+
+  /** The `_bulk` delete POST payloads: (es_batch, n_docs, body). */
+  def deleteBodyStrings(
+      df: DataFrame, index: String, idCol: String,
+      batchSize: Int): DataFrame =
+    bodiesOf(deleteActionLines(df, index, idCol), idCol, batchSize)
+
+  /** Gate-facing digest of [[bulkBodyStrings]]: (es_batch, n_docs,
+    * payload_chars, payload_md5) — the body md5 makes the byte-exact
+    * wire format what's hash-checked (q267).
+    */
+  def bulkBodies(
+      df: DataFrame, index: String, idCol: String,
+      sourceJsonCol: String, batchSize: Int): DataFrame =
+    bulkBodyStrings(df, index, idCol, sourceJsonCol, batchSize)
+      .select(col("es_batch"), col("n_docs"),
+        length(col("body")).cast("long").as("payload_chars"),
+        md5(col("body")).as("payload_md5"))
 }
