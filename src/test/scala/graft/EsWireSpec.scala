@@ -230,6 +230,57 @@ class EsWireSpec extends SparkTestBase {
     } finally stub.stop()
   }
 
+  test("CDC end-to-end over the WIRE (the reference daemon's full " +
+       "shape): keyset ticks → latest-per-key → EsDocSink bulk POSTs, " +
+       "with a replayed tick absorbed idempotently and a transient 503 " +
+       "mid-run retried — final ES store ≡ latest-per-user over the " +
+       "drained prefix") {
+    import graft.cdc.Keyset
+    import org.apache.spark.sql.expressions.Window
+    val stub = new EsStub
+    try {
+      val events = Tables.load(spark, sfDir, "events")
+        .withColumn("did", lpad($"event_id".cast("string"), 12, "0"))
+      val sink = new EsWire.EsDocSink(spark, stub.host, "users",
+        "user_id", batchSize = 50,
+        retry = RetryPolicy(maxAttempts = 4, initialBackoffMs = 1L))
+      val w = Window.partitionBy($"user_id")
+        .orderBy(unix_micros($"ts").desc, $"did".desc)
+      var cur = Keyset.Cursor.Zero
+      def tick(c: Keyset.Cursor): Keyset.Cursor = {
+        val (batch, next) = Keyset.nextBatch(events, "ts", "did", c, 120)
+        sink.upsert(batch.withColumn("rk", row_number().over(w))
+          .filter($"rk" === 1).drop("rk").localCheckpoint())
+        next
+      }
+      cur = tick(cur)
+      val afterT1 = cur
+      stub.failHttpNext = List(503) // transient fault inside tick 2
+      cur = tick(cur)
+      tick(afterT1) // REPLAY tick 2 whole — idempotent upsert absorbs it
+      cur = tick(cur)
+      // oracle: latest value per user over the first 360 events in
+      // (ts, did) order — the q149 expectation, computed independently
+      val expect = events
+        .withColumn("rn", row_number().over(
+          Window.orderBy(unix_micros($"ts").asc, $"did".asc)))
+        .filter($"rn" <= 360)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"user_id".cast("string"), $"event_id")
+        .as[(String, Long)].collect().toMap
+      val got = stub.store.snapshot().collect {
+        case ((idx, id), src) if idx == "users" =>
+          id -> src
+      }
+      assert(got.keySet === expect.keySet)
+      expect.foreach { case (uid, eid) =>
+        assert(got(uid).contains(s"\"event_id\":$eid"),
+          s"user $uid: ${got(uid)}")
+      }
+    } finally stub.stop()
+  }
+
   test("delete removes present ids, IGNORES absent ids (item 404s — " +
        "the DocSink contract), and replays as a no-op") {
     val stub = new EsStub

@@ -556,7 +556,15 @@ class PlansSpec extends SparkTestBase {
         "q278_bitext_mining",
         // q285 crosses the catalog-sized part-revenue table with its
         // ONE-row revenue total (q96 scalar pattern)
-        "q285_abc_classification")
+        "q285_abc_classification",
+        // q288's shortlist builder is q35's brute-force shape (5-query
+        // broadcast side, corpus streams); the MMR folds themselves run
+        // inside MapGroups with zero joins
+        "q288_mmr_serve_grouped",
+        // q289 broadcasts the 5-row query-LUT table over the coded
+        // corpus (model-as-table, q223's argument) and the 5-row query
+        // set over the ≤250-row re-rank shortlist
+        "q289_pq_serve_batch")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
@@ -636,5 +644,66 @@ class PlansSpec extends SparkTestBase {
     // '*(n)' marks WholeStageCodegen; the graft_polyhash projection must
     // carry it (the HOF formulation loses it — PolyHashSpec)
     assert(p.contains("*(1) Project [graft_polyhash"), p)
+  }
+
+  test("grouped MMR serving shape: the whole multi-query rerank is ONE " +
+       "Spark job (zero per-query driver actions), one exchange, a " +
+       "MapGroups fold — vs k jobs PER QUERY for the sequential form") {
+    import graft.ops.SimilarityOps
+    val rows = for { q <- 1L to 5L; c <- 0 until 15 } yield
+      (q, 100L * q + c, Array.tabulate(8)(i =>
+        (((q * 97 + c) * 31 + i * 17) % 13 - 6).toFloat / 3f),
+        500000L + (c * 7919L) % 300000L)
+    val cand = rows.toDF("qid", "id", "emb", "rel")
+      .localCheckpoint() // pin inputs: count only the rerank's own jobs
+    val out = SimilarityOps.mmrTopKGrouped(
+      cand, "qid", "id", "emb", "rel", k = 5, lambdaPpm = 700000L)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("MapGroups"), p)
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"expected exactly one exchange (the groupByKey shuffle):\n$p")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(out.collect().length === 25)
+      // onJobStart fires before a job's first task; by the time the
+      // action returned, every start event for its jobs was posted —
+      // the short sleep only covers listener-bus delivery
+      Thread.sleep(200)
+      // 5 queries × k=5 through the driver-sequenced form would be
+      // ≥25 jobs; the grouped form is one (AQE may add a stage probe)
+      assert(jobs.get() <= 3, s"grouped MMR ran ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("batched PQ serving shape: per-query LUTs ride a broadcast (no " +
+       "per-query collect), the coded corpus scans once, and the " +
+       "per-query top-k is one window shuffle") {
+    import graft.ops.SimilarityOps
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+      Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val codes = e.select($"vec_id",
+      SimilarityOps.pqEncode($"embedding", codebooks).as("codes"))
+    val queries = e.filter($"vec_id" < 5L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val p = SimilarityOps.pqAdcTopKMulti(codes, "vec_id", "codes",
+        queries, "query_id", "qvec", codebooks, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one Window operator (WindowGroupLimit pre-filters are
+    // the efficient per-group top-k, not extra windows)
+    assert("""Window \[""".r.findAllIn(p).size === 1, p)
+    // the coded corpus is scanned exactly once for ALL queries: one
+    // embeddings scan on the codes side + one on the broadcast query
+    // side = 2 total
+    assert("Scan parquet".r.findAllIn(p).size === 2, p)
   }
 }
