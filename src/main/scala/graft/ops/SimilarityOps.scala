@@ -966,11 +966,14 @@ object SimilarityOps {
       .as[(Long, Long, Array[Double], Long)]
       .groupByKey(_._1)
       .flatMapGroups { (q, it) =>
-        val pool = it.toArray
+        // bound BEFORE materializing: take(cap+1) keeps task memory at
+        // cap+1 rows even when a whole corpus lands in one group — the
+        // require must fire before an OOM ever could
+        val pool = it.take(cap + 1).toArray
         require(pool.length <= cap,
-          s"query $q shortlist has ${pool.length} rows > " +
-            s"maxShortlist=$cap — MMR re-ranks retrieval output, " +
-            "not corpora; cut a top-N upstream")
+          s"query $q shortlist exceeds maxShortlist=$cap — MMR " +
+            "re-ranks retrieval output, not corpora; cut a top-N " +
+            "upstream")
         val n = pool.length
         val ids = new Array[Long](n)
         val rels = new Array[Long](n)
