@@ -1050,28 +1050,116 @@ object SimilarityOps {
     require(codebooks.nonEmpty && k > 0, "need codebooks and positive k")
     require(queryIdCol != idCol,
       "query and corpus id columns must differ (both appear in the output)")
+    val qlut = queries.select(col(queryIdCol),
+      pqLutColumn(col(queryVecCol), codebooks).as("__lut"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("adc_score").desc, col(idCol).asc)
+    codes.join(broadcast(qlut))
+      .withColumn("adc_score", adcScoreColumn(codesCol, codebooks.length))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("adc_score"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Per-query ADC LUT as an in-plan COLUMN — [[pqLut]]'s exact fold
+    * (`0.0 + t₁ + t₂ + …` in element order, then `floor(1e6·d)`) over
+    * the codebook literals, evaluated once per QUERY row.
+    */
+  private def pqLutColumn(
+      qv: Column, codebooks: Array[Array[Array[Double]]]): Column = {
     val sub = codebooks(0)(0).length
-    val lut = array(codebooks.zipWithIndex.map { case (cb, s) =>
+    array(codebooks.zipWithIndex.map { case (cb, s) =>
       transform(
         typedLit(cb.map(_.toSeq).toSeq),
         cw => floor(lit(1e6) * aggregate(
           zip_with(
-            slice(col(queryVecCol), s * sub + 1, sub), cw,
+            slice(qv, s * sub + 1, sub), cw,
             (x, y) => x.cast("double") * y),
           lit(0.0), (acc, v) => acc + v)).cast("long"))
     }: _*)
-    val qlut = queries.select(col(queryIdCol), lut.as("__lut"))
-    val score = codebooks.indices.map { s =>
+  }
+
+  /** `Σ_s __lut(s)(code_s)` — integer adds inside the corpus scan. */
+  private def adcScoreColumn(codesCol: String, m: Int): Column =
+    (0 until m).map { s =>
       element_at(element_at(col("__lut"), s + 1),
         element_at(col(codesCol), s + 1) + lit(1))
     }.reduce(_ + _)
-    val w = Window.partitionBy(col(queryIdCol))
+
+  /** Multi-query IVF×PQ serving — the queries-as-a-table shape of
+    * [[ivfPqTopK]] with EVERY per-query stage in-plan: routing
+    * (queries × broadcast nList-row centroid table, the same
+    * sequential-fold squared-L2 as [[ivfRoute]], ties to the lower
+    * cell), LUT build ([[pqLutColumn]] on the broadcast query side),
+    * cell-pruned ADC over the stored index (probe (query, cell) pairs
+    * broadcast-join the index on cell — on a cell-partitioned index
+    * Spark's dynamic partition pruning applies the probe set at the
+    * scan; for static pruning pass the distinct probed-cell set as a
+    * filter), per-query ADC shortlist, exact-cosine re-rank. Zero
+    * per-query driver actions or jobs; spec-refereed ≡ N single-query
+    * [[ivfPqTopK]] runs at full AND partial probe.
+    *
+    * Output: (queryIdCol, idCol, cell, adc_score, cos_micro, rank),
+    * k rows per query.
+    */
+  def ivfPqTopKMulti(
+      index: DataFrame, idCol: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, "shortlist must be at least k")
+    require(nProbe > 0 && nProbe <= centers.length,
+      s"nProbe must be in [1, ${centers.length}]")
+    require(queryIdCol != idCol,
+      "query and corpus id columns must differ (both appear in the output)")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "__ctr")
+    // ROUTE: same IEEE fold as ivfRoute — d = Σ (q_i − c_i)² in index
+    // order; ties to the lower cell id
+    val wd = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__d").asc, col("cell").asc)
+    val probes = queries
+      .join(broadcast(centroids))
+      .withColumn("__d", aggregate(
+        zip_with(col(queryVecCol), col("__ctr"),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("__r", row_number().over(wd))
+      .filter(col("__r") <= nProbe)
+      .select(col(queryIdCol), col("cell"))
+    val qlut = queries.select(col(queryIdCol),
+      pqLutColumn(col(queryVecCol), codebooks).as("__lut"))
+    val probeLut = probes.join(qlut, Seq(queryIdCol))
+    // PRUNE + ADC: one index scan for all queries; candidates = rows
+    // in any query's probed cells, scored per (query, row)
+    val ws = Window.partitionBy(col(queryIdCol))
       .orderBy(col("adc_score").desc, col(idCol).asc)
-    codes.join(broadcast(qlut))
-      .withColumn("adc_score", score)
-      .withColumn("rank", row_number().over(w))
+    val short = index.join(broadcast(probeLut), Seq("cell"))
+      .withColumn("adc_score", adcScoreColumn("codes", codebooks.length))
+      .withColumn("__rk", row_number().over(ws))
+      .filter(col("__rk") <= shortlist)
+      .select(col(queryIdCol), col(idCol), col("cell"),
+        col("adc_score"))
+    // RE-RANK: fetch the ≤ shortlist survivors' full vectors per query
+    val wr = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cos_micro").desc, col(idCol).asc)
+    short
+      .join(vectors.select(col(vecIdCol).as(idCol), col(vecCol).as("__v")),
+        Seq(idCol))
+      .join(broadcast(queries.select(col(queryIdCol),
+        col(queryVecCol).as("__qv"))), Seq(queryIdCol))
+      .withColumn("cos_micro", cosineMicro(col("__v"), col("__qv")))
+      .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("adc_score"),
+      .select(col(queryIdCol), col(idCol), col("cell"),
+        col("adc_score"), col("cos_micro"),
         col("rank").cast("long").as("rank"))
   }
 }

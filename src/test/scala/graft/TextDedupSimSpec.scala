@@ -938,6 +938,41 @@ class TextDedupSimSpec extends SparkTestBase {
     assert(msgs.contains("maxShortlist"), msgs.take(300))
   }
 
+  test("ivfPqTopKMulti ≡ N single-query ivfPqTopK runs at full AND " +
+       "partial probe: in-plan routing/LUT replay ivfRoute/pqLut " +
+       "bit-for-bit over a trained index") {
+    import graft.ops.SimilarityOps
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val corpus = e.select($"vec_id", $"embedding")
+    val train = corpus.orderBy($"vec_id").limit(256).collect()
+      .map(_.getSeq[Float](1).iterator.map(_.toDouble).toArray)
+    val centers = SimilarityOps.localLloyd(train, 8, 10, 7L)
+    val codebooks = SimilarityOps.trainPqCodebooks(train, 4, 16, 10, 7L)
+    val index = SimilarityOps.ivfPqIndex(
+      corpus, "vec_id", "embedding", centers, codebooks).localCheckpoint()
+    val qids = Seq(3L, 11L, 42L)
+    val queries = e.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    for ((nProbe, shortlist) <- Seq((8, 200), (3, 60))) {
+      val multi = SimilarityOps.ivfPqTopKMulti(index, "vec_id",
+          corpus, "vec_id", "embedding", queries, "query_id", "qvec",
+          centers, codebooks, nProbe, shortlist, k = 10)
+        .as[(Long, Long, Int, Long, Long, Long)].collect().toSeq.sorted
+      val single = qids.flatMap { qid =>
+        val qvec = e.filter($"vec_id" === qid).select($"embedding")
+          .head.getSeq[Float](0).map(_.toDouble).toArray
+        SimilarityOps.ivfPqTopK(index, "vec_id",
+            corpus, "vec_id", "embedding",
+            qvec, centers, codebooks, nProbe, shortlist, k = 10)
+          .select($"vec_id", $"cell", $"adc_score", $"cos_micro")
+          .as[(Long, Int, Long, Long)].collect().toSeq
+          .zipWithIndex.map { case ((id, cell, adc, cm), r) =>
+            (qid, id, cell, adc, cm, r + 1L) }
+      }.sorted
+      assert(multi === single, s"nProbe=$nProbe")
+    }
+  }
+
   test("pqAdcTopKMulti ≡ N single-query pqAdcTopK runs: the in-plan " +
        "LUT replays pqLut's fold bit-for-bit") {
     val codebooks = Array.tabulate(2)(sp => Array.tabulate(3)(c =>
