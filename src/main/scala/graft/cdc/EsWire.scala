@@ -40,9 +40,20 @@ object EsWire {
   final case class BulkResult(
       httpStatus: Int, errors: Boolean, items: Seq[ItemResult])
 
-  private lazy val client: HttpClient = HttpClient.newHttpClient()
+  /** Without explicit timeouts a black-holed endpoint (firewall DROP,
+    * half-open socket after ES dies) blocks `client.send` forever and
+    * the retry/backoff machinery never engages — the executor task
+    * wedges with no error. A timeout surfaces as an IOException, i.e.
+    * the retryable connection-fault class [[postBulkChecked]] handles.
+    */
+  val ConnectTimeout: java.time.Duration = java.time.Duration.ofSeconds(10)
+  val RequestTimeout: java.time.Duration = java.time.Duration.ofSeconds(60)
 
-  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(ConnectTimeout).build()
+
+  // thread-safe for readTree; reused — construction is the expensive part
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** One POST of an NDJSON body to a `_bulk` endpoint, response parsed
     * into per-item results. Throws on connection-level failures (the
@@ -51,6 +62,7 @@ object EsWire {
   def postBulk(bulkUrl: String, body: String): BulkResult = {
     val req = HttpRequest.newBuilder(URI.create(bulkUrl))
       .header("Content-Type", "application/x-ndjson")
+      .timeout(RequestTimeout)
       .POST(HttpRequest.BodyPublishers.ofString(body))
       .build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
@@ -178,6 +190,7 @@ object EsWire {
       val req = HttpRequest.newBuilder(
           URI.create(s"$host/$index/_search"))
         .header("Content-Type", "application/json")
+        .timeout(RequestTimeout)
         .POST(HttpRequest.BodyPublishers.ofString(
           "{\"query\":{\"match_all\":{}},\"size\":10000}"))
         .build()

@@ -1003,9 +1003,16 @@ object SimilarityOps {
           else {
             out += ((q, r.toLong, ids(best), rels(best), ms(best),
               bestScore))
-            done(best) = true
-            val pe = pool(best)._3
+            // the sequential face removes EVERY row carrying the
+            // picked id (filter __id =!= pick) — retire all copies so
+            // a duplicate-id shortlist can't re-pick one later
             var j = 0
+            while (j < n) {
+              if (ids(j) == ids(best)) done(j) = true
+              j += 1
+            }
+            val pe = pool(best)._3
+            j = 0
             while (j < n) {
               if (!done(j)) {
                 val c = graft.functions.CosineMicro
@@ -1080,12 +1087,22 @@ object SimilarityOps {
     }: _*)
   }
 
-  /** `Σ_s __lut(s)(code_s)` — integer adds inside the corpus scan. */
+  /** `Σ_s __lut(s)(code_s)` — integer adds inside the corpus scan.
+    * A null sum can only mean a dim/layout mismatch upstream (a query
+    * vector shorter than m·sub nulls its LUT entries via the padded
+    * `zip_with`; a codes array shorter than m, or a code outside
+    * [0, k), nulls the `element_at`) — the driver-side faces `require`
+    * on exactly these, so the in-plan faces fail loudly too instead of
+    * silently ranking nulls. */
   private def adcScoreColumn(codesCol: String, m: Int): Column =
-    (0 until m).map { s =>
-      element_at(element_at(col("__lut"), s + 1),
-        element_at(col(codesCol), s + 1) + lit(1))
-    }.reduce(_ + _)
+    coalesce(
+      (0 until m).map { s =>
+        element_at(element_at(col("__lut"), s + 1),
+          element_at(col(codesCol), s + 1) + lit(1))
+      }.reduce(_ + _),
+      raise_error(lit("PQ ADC dim/layout mismatch: query vector length " +
+        "must equal m*sub and codes must hold m codes in [0, k) — " +
+        "got a null ADC score")))
 
   /** Multi-query IVF×PQ serving — the queries-as-a-table shape of
     * [[ivfPqTopK]] with EVERY per-query stage in-plan: routing
@@ -1122,39 +1139,50 @@ object SimilarityOps {
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "__ctr")
     // ROUTE: same IEEE fold as ivfRoute — d = Σ (q_i − c_i)² in index
-    // order; ties to the lower cell id
+    // order; ties to the lower cell id. The queries subplan executes
+    // ONCE: the probe rows carry the per-query LUT and the
+    // float-narrowed re-rank vector with them (the LUT dominates the
+    // carried width; __qv matches the single face's
+    // typedLit(query.map(_.toFloat)) narrowing bit-for-bit, so
+    // double-valued query columns referee-equal too). A null routing
+    // distance can only mean a query/centroid dim mismatch
+    // (zip_with pads with null) — fail loudly like ivfRoute's require.
     val wd = Window.partitionBy(col(queryIdCol))
       .orderBy(col("__d").asc, col("cell").asc)
-    val probes = queries
+    val probeLut = queries
+      .select(col(queryIdCol), col(queryVecCol).as("__q"),
+        pqLutColumn(col(queryVecCol), codebooks).as("__lut"))
       .join(broadcast(centroids))
-      .withColumn("__d", aggregate(
-        zip_with(col(queryVecCol), col("__ctr"),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, v) => acc + v))
+      .withColumn("__d", coalesce(
+        aggregate(
+          zip_with(col("__q"), col("__ctr"),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v),
+        raise_error(lit("IVF routing dim mismatch: query vector length " +
+          "must equal the centroid dim"))))
       .withColumn("__r", row_number().over(wd))
       .filter(col("__r") <= nProbe)
-      .select(col(queryIdCol), col("cell"))
-    val qlut = queries.select(col(queryIdCol),
-      pqLutColumn(col(queryVecCol), codebooks).as("__lut"))
-    val probeLut = probes.join(qlut, Seq(queryIdCol))
+      .select(col(queryIdCol), col("cell"), col("__lut"),
+        col("__q").cast("array<float>").as("__qv"))
     // PRUNE + ADC: one index scan for all queries; candidates = rows
-    // in any query's probed cells, scored per (query, row)
+    // in any query's probed cells, scored per (query, row). The LUT is
+    // consumed in the scan stage and dropped BEFORE the per-query
+    // window shuffle — shortlist rows shuffle with the slim float
+    // vector only.
     val ws = Window.partitionBy(col(queryIdCol))
       .orderBy(col("adc_score").desc, col(idCol).asc)
     val short = index.join(broadcast(probeLut), Seq("cell"))
       .withColumn("adc_score", adcScoreColumn("codes", codebooks.length))
+      .select(col(queryIdCol), col(idCol), col("cell"),
+        col("adc_score"), col("__qv"))
       .withColumn("__rk", row_number().over(ws))
       .filter(col("__rk") <= shortlist)
-      .select(col(queryIdCol), col(idCol), col("cell"),
-        col("adc_score"))
     // RE-RANK: fetch the ≤ shortlist survivors' full vectors per query
     val wr = Window.partitionBy(col(queryIdCol))
       .orderBy(col("cos_micro").desc, col(idCol).asc)
     short
       .join(vectors.select(col(vecIdCol).as(idCol), col(vecCol).as("__v")),
         Seq(idCol))
-      .join(broadcast(queries.select(col(queryIdCol),
-        col(queryVecCol).as("__qv"))), Seq(queryIdCol))
       .withColumn("cos_micro", cosineMicro(col("__v"), col("__qv")))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)

@@ -995,4 +995,92 @@ class TextDedupSimSpec extends SparkTestBase {
     }.sorted
     assert(multi === single)
   }
+
+  test("mmrTopKGrouped ≡ sequential mmrTopK on a duplicate-id " +
+       "shortlist: picking an id retires EVERY copy (the sequential " +
+       "face's filter semantics), so no id repeats in the output") {
+    // id 101 appears twice (identical row — an upstream union without
+    // dedup); the sequential face can never pick it twice
+    val rows = (0 until 6).map(c =>
+      (1L, 100L + c, refEmb(c + 3), 500000L + c * 40000L)) :+
+      (1L, 101L, refEmb(4), 540000L)
+    val cand = rows.toDF("qid", "id", "emb", "rel")
+    val grouped = SimilarityOps.mmrTopKGrouped(cand, "qid", "id",
+        "emb", "rel", k = 5, lambdaPpm = 600000L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val sequential = SimilarityOps.mmrTopK(cand, "id", "emb", "rel",
+        k = 5, lambdaPpm = 600000L)
+      .select(lit(1L), $"rank", $"id".cast("long"), $"rel",
+        $"max_sim_micro", $"score")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(grouped === sequential)
+    assert(grouped.map(_._3).distinct.size === grouped.size)
+  }
+
+  test("ivfPqTopKMulti ≡ single runs on array<double> queries too: " +
+       "the re-rank narrows the carried query to float exactly like " +
+       "the single face's typedLit(query.map(_.toFloat))") {
+    import graft.ops.SimilarityOps
+    val centers = Array.tabulate(2)(c =>
+      Array.tabulate(8)(i => (c * 2 - 1) * 0.4 + i * 0.05))
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(3)(c =>
+      Array.tabulate(4)(i => ((sp * 13 + c * 5 + i) % 7 - 3) / 2.0)))
+    val corpus = (0 until 24).map(i => (i.toLong, refEmb(i)))
+      .toDF("id", "emb")
+    val index = SimilarityOps.ivfPqIndex(
+      corpus, "id", "emb", centers, codebooks).localCheckpoint()
+    // 0.1 / 0.3 / … are NOT float-representable: double-vs-float
+    // narrowing differences would surface in cos_micro near ties
+    val qvecs = Seq(7L, 9L).map(s =>
+      s -> Array.tabulate(8)(i => 0.1 * (i + 1) + 0.3 * s))
+    val queries = qvecs.toDF("query_id", "qvec")
+    for (nProbe <- Seq(2, 1)) {
+      val multi = SimilarityOps.ivfPqTopKMulti(index, "id",
+          corpus, "id", "emb", queries, "query_id", "qvec",
+          centers, codebooks, nProbe, shortlist = 20, k = 5)
+        .as[(Long, Long, Int, Long, Long, Long)].collect().toSeq.sorted
+      val single = qvecs.flatMap { case (qid, qv) =>
+        SimilarityOps.ivfPqTopK(index, "id", corpus, "id", "emb",
+            qv, centers, codebooks, nProbe, shortlist = 20, k = 5)
+          .select($"id", $"cell", $"adc_score", $"cos_micro")
+          .as[(Long, Int, Long, Long)].collect().toSeq
+          .zipWithIndex.map { case ((id, cell, adc, cm), r) =>
+            (qid, id, cell, adc, cm, r + 1L) }
+      }.sorted
+      assert(multi === single, s"nProbe=$nProbe")
+    }
+  }
+
+  test("multi-query faces fail fast on a dim mismatch instead of " +
+       "ranking null scores (the single faces' require, in-plan)") {
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(3)(c =>
+      Array.tabulate(4)(i => ((sp * 13 + c * 5 + i) % 7 - 3) / 2.0)))
+    val codes = (0 until 8).map(i => (i.toLong, refEmb(i)))
+      .toDF("id", "emb").select($"id",
+        SimilarityOps.pqEncode($"emb", codebooks).as("codes"))
+    val badQ = Seq((1L, Array.fill(7)(0.5f))).toDF("query_id", "qvec")
+    val e1 = intercept[Exception] {
+      SimilarityOps.pqAdcTopKMulti(codes, "id", "codes",
+        badQ, "query_id", "qvec", codebooks, k = 3).count()
+    }
+    val m1 = Iterator.iterate[Throwable](e1)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(m1.contains("dim"), m1.take(300))
+    val centers = Array.tabulate(2)(c => Array.fill(8)(c.toDouble))
+    val corpus = (0 until 8).map(i => (i.toLong, refEmb(i)))
+      .toDF("id", "emb")
+    val index = SimilarityOps.ivfPqIndex(
+      corpus, "id", "emb", centers, codebooks)
+    val e2 = intercept[Exception] {
+      SimilarityOps.ivfPqTopKMulti(index, "id", corpus, "id", "emb",
+        Seq((1L, Array.fill(6)(0.5f))).toDF("query_id", "qvec"),
+        "query_id", "qvec", centers, codebooks,
+        nProbe = 1, shortlist = 5, k = 2).count()
+    }
+    val m2 = Iterator.iterate[Throwable](e2)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(m2.contains("dim mismatch"), m2.take(300))
+  }
 }

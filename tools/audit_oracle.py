@@ -129,15 +129,18 @@ def main(sf_dir, out_dir, n_gates=20, seed=9):
     sample = sorted(rng.sample(sorted(oracles), min(n_gates, len(oracles))))
     n_checks = n_missed = 0
     for name in sample:
+        gate_missed = 0
         for what, caught in audit_gate(con, name, oracles[name],
                                        f"{out_dir}/{name}"):
             n_checks += 1
             if not caught:
                 n_missed += 1
+                gate_missed += 1
                 print(f"MISSED {name}: {what} NOT caught by the compare")
             elif "skipped" in what or what.startswith("empty"):
                 print(f"note   {name}: {what}")
-        print(f"ok     {name}")
+        print(f"{'BAD   ' if gate_missed else 'ok    '} {name}"
+              + (f" ({gate_missed} missed)" if gate_missed else ""))
     print(f"== {len(sample)} gates, {n_checks} perturbations, "
           f"{n_missed} missed ==")
     sys.exit(1 if n_missed else 0)

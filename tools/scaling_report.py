@@ -33,12 +33,19 @@ def main(p1, p2, p4):
     rows = []
     for n in names:
         a, b, c = t1[n], t2[n], t4[n]
-        exp = math.log(c / a) / math.log(4) if a > 0 else float("nan")
-        rows.append((exp, n, a, b, c))
-        print(f"{n:<28}{a:>8.2f}{b:>8.2f}{c:>8.2f}"
-              f"{b / a:>6.2f}{c / a:>6.2f}{exp:>6.2f}")
-    worst = max(rows)
-    print(f"\nhighest exponent: {worst[1]} exp={worst[0]:.2f}")
+        if a > 0 and c > 0:
+            exp = math.log(c / a) / math.log(4)
+            rows.append((exp, n, a, b, c))
+            print(f"{n:<28}{a:>8.2f}{b:>8.2f}{c:>8.2f}"
+                  f"{b / a:>6.2f}{c / a:>6.2f}{exp:>6.2f}")
+        else:
+            # a 0.00s reading carries no scaling signal; keep it out of
+            # the max() too (a NaN there silently mis-selects the worst)
+            print(f"{n:<28}{a:>8.2f}{b:>8.2f}{c:>8.2f}"
+                  f"{'-':>6}{'-':>6}{'-':>6}  (sub-resolution, skipped)")
+    if rows:
+        worst = max(rows)
+        print(f"\nhighest exponent: {worst[1]} exp={worst[0]:.2f}")
 
 
 if __name__ == "__main__":
