@@ -125,8 +125,12 @@ object CdcPipeline {
         if (advanced == cursor) TickResult(consumed = false, 0L)
         else {
           val ids = p.propagate(batch).cache()
+          // rebuild's denorm joins feed BOTH the tick metric (count) and
+          // the sink write — cache so they execute once per tick, not
+          // twice (the inputs are cached table snapshots, but the join
+          // work itself is the expensive part at scale).
+          val docs = rebuild(t, p.target, ids).cache()
           try {
-            val docs = rebuild(t, p.target, ids)
             val sink = p.target match {
               case "movies" => sinks.movies
               case "persons" => sinks.persons
@@ -136,7 +140,7 @@ object CdcPipeline {
             sink.upsert(docs)
             cursors.save(p.name, advanced)
             TickResult(consumed = true, count)
-          } finally { ids.unpersist(); () }
+          } finally { docs.unpersist(); ids.unpersist(); () }
         }
       p.name -> result
     }.toMap

@@ -20,27 +20,43 @@ import org.apache.spark.sql.functions._
   */
 object EsBulk {
 
+  /** Action-line JSON via `to_json` so `_index`/`_id` values carrying
+    * JSON-special characters (quotes, backslashes, control chars) are
+    * escaped per RFC 8259 instead of corrupting the NDJSON frame.
+    * Byte-identical to naive interpolation for safe values (no spaces,
+    * declared key order), which is what q267's oracle renders. A null
+    * id would be silently DROPPED by to_json (ignoreNullFields) and
+    * desynchronize action/source pairing — guard with raise_error.
+    */
+  private def actionJson(
+      verb: String, index: String, idCol: String) = {
+    val id = coalesce(col(idCol).cast("string"),
+      raise_error(lit(s"EsBulk: null $idCol — every doc needs an _id")))
+    to_json(struct(
+      struct(lit(index).as("_index"), id.as("_id")).as(verb)))
+  }
+
   /** Per-doc NDJSON action + source pair. `sourceJson` must already be
-    * a deterministic JSON rendering (same field order both engines).
+    * a deterministic JSON rendering (same field order both engines) and
+    * non-null — a null source would collapse the whole concat to null
+    * and the doc would vanish from its batch body, so it fails fast.
     */
   def actionLines(
       df: DataFrame, index: String, idCol: String,
       sourceJsonCol: String): DataFrame =
     df.select(col(idCol),
       concat(
-        lit("{\"index\":{\"_index\":\"" + index + "\",\"_id\":\""),
-        col(idCol).cast("string"), lit("\"}}\n"),
-        col(sourceJsonCol)).as("lines"))
+        actionJson("index", index, idCol), lit("\n"),
+        coalesce(col(sourceJsonCol),
+          raise_error(lit(s"EsBulk: null $sourceJsonCol source"))))
+        .as("lines"))
 
   /** Per-id NDJSON delete action (no source line — the `_bulk` delete
     * format): `{"delete":{"_index":…,"_id":…}}`.
     */
   def deleteActionLines(
       df: DataFrame, index: String, idCol: String): DataFrame =
-    df.select(col(idCol),
-      concat(
-        lit("{\"delete\":{\"_index\":\"" + index + "\",\"_id\":\""),
-        col(idCol).cast("string"), lit("\"}}")).as("lines"))
+    df.select(col(idCol), actionJson("delete", index, idCol).as("lines"))
 
   /** Shared body construction for every `_bulk` face: global rank over
     * `idCol` → `es_batch = rank div batchSize` → per-batch body =

@@ -32,8 +32,55 @@ object Keyset {
     }
   }
 
+  /** The keyset lower-bound predicate — ONE definition for every face
+    * (this batch primitive, the DSv2 source's admission scan and its
+    * replay path), so the subtle pushdown rewrite below can never
+    * drift between them.
+    *
+    * Boundary compares the ts ATTRIBUTE against TIMESTAMP literals —
+    * not unix_micros(ts) against longs. A function call over the
+    * attribute is never translated to a source filter, so the
+    * unix_micros form read every row group on every tick; the literal
+    * form reaches parquet PushedFilters (min/max row-group pruning)
+    * and a JDBC WHERE clause alike. The leading `ts >= cursor`
+    * conjunct is implied by the keyset Or but stated separately: when
+    * idCol is a DERIVED column (q149 pads event_id), the Or as a whole
+    * is untranslatable, while the redundant conjunct alone still
+    * prunes row groups. (PlansSpec "keyset scan pushes the ts
+    * boundary" asserts the pushdown.) The synthetic Zero cursor
+    * (Long.MinValue micros) cannot appear as a timestamp literal —
+    * filter translation converts literals to java.sql.Timestamp and
+    * the Julian rebase overflows. Its boundary is vacuous anyway
+    * (everything qualifies), so it reduces to the null-ts drop the
+    * boundary form also performs; real cursors always carry a
+    * representable data timestamp.
+    */
+  def lowerBound(
+      tsCol: String, idCol: String,
+      tsMicros: Long, lastId: String): org.apache.spark.sql.Column =
+    if (tsMicros == Long.MinValue) col(tsCol).isNotNull
+    else {
+      val curTs = timestamp_micros(lit(tsMicros))
+      col(tsCol) >= curTs &&
+        ((col(tsCol) === curTs && col(idCol) > lastId) ||
+          col(tsCol) > curTs)
+    }
+
   /** One keyset batch after `cursor`: (batch, advanced cursor).
     * `table` must carry `tsCol` (timestamp) and `idCol` (string-ordered).
+    *
+    * Snapshot contract: the advanced cursor is computed with its own
+    * bounded scan, and the returned batch is LAZY (so its plan stays
+    * inspectable/pushdown-provable and consumers compose it into their
+    * own jobs). The two views agree only while `table` is stable — true
+    * for parquet tables (immutable files per tick), for
+    * [[CdcPipeline]]'s per-tick cached snapshot, and for a JDBC read
+    * inside a repeatable-read transaction. Against a LIVE mutable
+    * source without such a snapshot, a row committed between the two
+    * scans could displace the cursor row past the limit and be skipped
+    * forever — use the DSv2 [[graft.streaming.KeysetSourceProvider]]
+    * face there: it pins each micro-batch to the moment its offset was
+    * computed.
     */
   def nextBatch(
       table: DataFrame,
@@ -41,31 +88,12 @@ object Keyset {
       idCol: String,
       cursor: Cursor,
       limit: Int): (DataFrame, Cursor) = {
-    // Boundary predicate compares the ts ATTRIBUTE against TIMESTAMP
-    // literals — not unix_micros(ts) against longs. A function call over
-    // the attribute is never translated to a source filter, so the
-    // unix_micros form read every row group on every tick; the literal
-    // form reaches parquet PushedFilters (min/max row-group pruning) and
-    // a JDBC WHERE clause alike. The leading `ts >= cursor` conjunct is
-    // implied by the keyset Or but stated separately: when idCol is a
-    // DERIVED column (q149 pads event_id), the Or as a whole is
-    // untranslatable, while the redundant conjunct alone still prunes
-    // row groups. Ordering on timestamps is ordering on their micros, so
-    // batch contents and cursor advance are unchanged. (PlansSpec
-    // "keyset scan pushes the ts boundary" asserts the pushdown.)
-    // The synthetic Zero cursor (Long.MinValue micros) cannot appear as
-    // a timestamp literal — filter translation converts literals to
-    // java.sql.Timestamp and the Julian rebase overflows. Its boundary
-    // is vacuous anyway (everything qualifies), so skip the filter; real
-    // cursors always carry a representable data timestamp.
+    // Ordering on timestamps is ordering on their micros, so batch
+    // contents and cursor advance are unchanged by the literal-form
+    // boundary — see [[lowerBound]] for the pushdown rationale.
     val tsMicros = unix_micros(col(tsCol))
-    val curTs = timestamp_micros(lit(cursor.tsMicros))
-    val bounded =
-      if (cursor.tsMicros == Long.MinValue)
-        table.filter(col(tsCol).isNotNull) // boundary form also drops null ts
-      else table.filter(col(tsCol) >= curTs &&
-        ((col(tsCol) === curTs && col(idCol) > cursor.lastId) ||
-          col(tsCol) > curTs))
+    val bounded = table.filter(
+      lowerBound(tsCol, idCol, cursor.tsMicros, cursor.lastId))
     val batch = bounded
       .orderBy(col(tsCol).asc, col(idCol).asc)
       .limit(limit)

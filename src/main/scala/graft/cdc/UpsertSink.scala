@@ -76,6 +76,15 @@ final class UpsertSink(
         val p = new org.apache.hadoop.fs.Path(s"$dir/bucket=$b")
         if (fs.exists(p)) { fs.delete(p, true); () }
       }
+      // A delete that empties the LAST bucket leaves a directory with no
+      // parquet underneath — spark.read.parquet would throw on it, and
+      // `storeExists` would still claim a store. Collapse to the clean
+      // invariant empty store == no store: read() → None, next upsert
+      // bootstraps fresh.
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val anyBucketLeft = fs.exists(root) && fs.listStatus(root)
+        .exists(_.getPath.getName.startsWith("bucket="))
+      if (!anyBucketLeft) { fs.delete(root, true); () }
     } finally {
       prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
         v => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))

@@ -158,18 +158,11 @@ private final class KeysetMicroBatchStream(
       case mr: ReadMaxRows => math.min(mr.maxRows(), maxRows.toLong).toInt
       case _ => maxRows
     }
-    // ts attribute vs TIMESTAMP literal (not unix_micros(ts) vs long) so
-    // the boundary predicate reaches parquet PushedFilters — row-group
-    // pruning is the whole point of keyset pagination at scale (same
-    // rewrite as cdc/Keyset.nextBatch; PlansSpec asserts it there).
-    // Zero offset (Long.MinValue micros) is not representable as a
-    // java.sql.Timestamp during filter translation — and its boundary is
-    // vacuous; see cdc.Keyset.nextBatch.
-    val cTs = timestamp_micros(lit(c.tsMicros))
-    val bounded =
-      if (c.tsMicros == Long.MinValue) table.filter(col(tsCol).isNotNull)
-      else table.filter(col(tsCol) >= cTs &&
-        ((col(tsCol) === cTs && col(idCol) > c.lastId) || col(tsCol) > cTs))
+    // Shared boundary predicate (cdc.Keyset.lowerBound): ts attribute vs
+    // TIMESTAMP literal so the filter reaches parquet PushedFilters —
+    // row-group pruning is the whole point of keyset pagination at scale.
+    val bounded = table.filter(
+      graft.cdc.Keyset.lowerBound(tsCol, idCol, c.tsMicros, c.lastId))
     val batch = bounded
       .orderBy(col(tsCol).asc, col(idCol).asc)
       .limit(n)
@@ -202,15 +195,12 @@ private final class KeysetMicroBatchStream(
         // Replay after restart: the cache died with the previous driver,
         // so re-read the offset range from the live table (at-least-once;
         // see consistency contract above).
-        // s may be the Zero offset (first-batch replay) — vacuous lower
-        // bound, and unrepresentable as a timestamp literal; e always
-        // carries a real data timestamp (s == e returned early above).
-        val sTs = timestamp_micros(lit(s.tsMicros))
+        // s may be the Zero offset (first-batch replay) — lowerBound
+        // handles it; e always carries a real data timestamp (s == e
+        // returned early above).
         val eTs = timestamp_micros(lit(e.tsMicros))
         val lower =
-          if (s.tsMicros == Long.MinValue) col(tsCol).isNotNull
-          else col(tsCol) >= sTs &&
-            ((col(tsCol) === sTs && col(idCol) > s.lastId) || col(tsCol) > sTs)
+          graft.cdc.Keyset.lowerBound(tsCol, idCol, s.tsMicros, s.lastId)
         val batch = table
           .filter(lower && col(tsCol) <= eTs &&
             ((col(tsCol) === eTs && col(idCol) <= e.lastId) || col(tsCol) < eTs))

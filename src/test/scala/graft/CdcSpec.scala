@@ -160,6 +160,26 @@ class CdcSpec extends SparkTestBase {
     assert(again === Set(survivor))
   }
 
+  test("deleting EVERY doc collapses the store to absent: read() is None " +
+       "(not an unreadable directory), replay is a no-op, and the next " +
+       "upsert bootstraps fresh") {
+    import spark.implicits._
+    val dir = tmp(); seed(dir)
+    val sinks = mkSinks(dir)
+    CdcPipeline.drain(spark, tables(dir), sinks,
+      new Keyset.CursorStore(s"$dir/cursors"), batchSize = 10)
+    val all = sinks.movies.read().get.select($"id").as[String].collect().toSet
+    assert(all.nonEmpty)
+    sinks.movies.delete(all.toSeq.toDF("id"))
+    assert(sinks.movies.read().isEmpty,
+      "an emptied store must read as absent, not throw on an empty dir")
+    sinks.movies.delete(all.toSeq.toDF("id")) // replay against absent store
+    assert(sinks.movies.read().isEmpty)
+    sinks.movies.upsert(Seq(("zz", "fresh")).toDF("id", "title"))
+    assert(sinks.movies.read().get.select($"id").as[String].collect()
+      === Array("zz"))
+  }
+
   test("property: arbitrary batch sizes over ts-colliding change sets " +
        "converge to the same final index state as one-shot processing") {
     for (seed <- Seq(1, 7, 13)) {

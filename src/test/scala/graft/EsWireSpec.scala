@@ -182,6 +182,43 @@ class EsWireSpec extends SparkTestBase {
     } finally stub.stop()
   }
 
+  test("action lines JSON-escape hostile ids (quotes/backslashes/newlines), " +
+       "stay byte-identical to the plain rendering for safe ids, and fail " +
+       "fast on null ids or null sources") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // safe id: bytes must equal the naive interpolation the oracle renders
+    val safe = EsBulk.actionLines(
+        Seq(("42", """{"v":1}""")).toDF("id", "sj"), "docs", "id", "sj")
+      .select($"lines").as[String].head()
+    assert(safe === "{\"index\":{\"_index\":\"docs\",\"_id\":\"42\"}}\n{\"v\":1}")
+    // hostile id: action line must still be ONE line of valid JSON that
+    // round-trips the id (naive interpolation would corrupt the frame)
+    val hostile = "a\"b\\c\nd"
+    val line = EsBulk.actionLines(
+        Seq((hostile, """{"v":2}""")).toDF("id", "sj"), "docs", "id", "sj")
+      .select($"lines").as[String].head()
+    val action = line.substring(0, line.indexOf('\n'))
+    assert(om.readTree(action).path("index").path("_id").asText() === hostile)
+    val del = EsBulk.deleteActionLines(
+        Seq(Tuple1(hostile)).toDF("id"), "docs", "id")
+      .select($"lines").as[String].head()
+    assert(om.readTree(del).path("delete").path("_id").asText() === hostile)
+    // null id / null source: a silent drop would desynchronize the
+    // action/source NDJSON pairing — must raise instead
+    val nullId = intercept[Exception] {
+      EsBulk.actionLines(
+        Seq((null: String, "{}")).toDF("id", "sj"), "docs", "id", "sj")
+        .select($"lines").as[String].head()
+    }
+    assert(causeChain(nullId).contains("EsBulk: null id"))
+    val nullSrc = intercept[Exception] {
+      EsBulk.actionLines(
+        Seq(("7", null: String)).toDF("id", "sj"), "docs", "id", "sj")
+        .select($"lines").as[String].head()
+    }
+    assert(causeChain(nullSrc).contains("EsBulk: null sj"))
+  }
+
   test("HTTP-level 503/429 and a connection abort retry with backoff " +
        "and converge; retries exhausted surfaces the failure") {
     val stub = new EsStub
