@@ -351,4 +351,274 @@ object BpeOps {
       .select(col(idCol), col("word_idx").cast("long").as("word_idx"),
         col("word"), encodeWord(col("word")).as("piece_ids"))
   }
+
+  // ────────────── Unigram LM (SentencePiece family, Kudo 2018) ──────────────
+
+  /** Shared structural contract for a unigram vocabulary literal:
+    * (piece, id, scoreQ20). Scores are integer Q20 log2-probabilities
+    * (≤ 0, [[graft.functions.GraftColumns.binLog2Q20]] scale) so the
+    * whole Viterbi DP is exact BIGINT arithmetic — rankings are
+    * engine-portable, never a float ulp apart.
+    */
+  private def requireUnigramVocab(
+      vocab: Seq[(String, Long, Long)], maxPiece: Int,
+      unkScore: Long): Unit = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "vocabulary pieces must be unique")
+    require(vocab.forall { case (p, _, _) =>
+      p.nonEmpty && p.length <= maxPiece },
+      s"pieces must be 1..$maxPiece chars")
+    require(vocab.forall(_._2 >= 0L),
+      "piece ids must be >= 0 (-1 is reserved for UNK)")
+    require(vocab.forall(_._3 <= 0L) && unkScore <= 0L,
+      "scores are log-probabilities: must be <= 0")
+  }
+
+  /** Viterbi DP over word positions 1..maxWordLen: position i's cell
+    * is the best (score, bl, pid) over every piece that could END at
+    * i — vocab pieces of length 2..maxPiece matching `w[i-l+1..i]`,
+    * plus the always-valid length-1 step (the vocab single, or UNK
+    * `pid = -1` at `unkScore` when the char is out-of-vocabulary —
+    * encoding is total for any input). `bl` is the chosen piece
+    * length (the backpointer). Tie-break: equal score prefers the
+    * LONGER piece — candidates at one position have distinct lengths,
+    * so (score, bl) is a total order and `array_max`'s lexicographic
+    * struct comparison decides deterministically.
+    *
+    * A bounded per-row fold (`aggregate` over maxWordLen steps ×
+    * maxPiece map lookups): zero shuffles, runs inside the scan
+    * stage. Positions past `length(w)` leave the accumulator as-is,
+    * so the result array has exactly `length(w)` cells.
+    */
+  private def unigramDp(
+      w: Column, vm: Column, maxPiece: Int, maxWordLen: Int,
+      unkScore: Long): Column =
+    aggregate(
+      sequence(lit(1), lit(maxWordLen)),
+      array().cast("array<struct<score:bigint,bl:int,pid:bigint>>"),
+      (acc, i) => {
+        // prev(l) only evaluates under an i >= l guard, so the
+        // element_at index is always >= 1 (ANSI-safe)
+        def prev(l: Int) = when(i === l, lit(0L))
+          .otherwise(element_at(acc, (i - l).cast("int"))
+            .getField("score"))
+        val multi = (maxPiece to 2 by -1).map { l =>
+          val hit = try_element_at(vm,
+            w.substr((i - l + 1).cast("int"), lit(l)))
+          when(i >= l && hit.isNotNull,
+            struct((prev(l) + hit.getField("_2")).as("score"),
+              lit(l).as("bl"), hit.getField("_1").as("pid")))
+        }
+        val hit1 = try_element_at(vm, w.substr(i.cast("int"), lit(1)))
+        val single = struct(
+          (prev(1) + coalesce(hit1.getField("_2"), lit(unkScore)))
+            .as("score"),
+          lit(1).as("bl"),
+          coalesce(hit1.getField("_1"), lit(-1L)).as("pid"))
+        val best = array_max(array((multi :+ single): _*))
+        when(i > length(w), acc).otherwise(concat(acc, array(best)))
+      })
+
+  /** Backtrack the DP: from position n, repeatedly step back by the
+    * chosen piece length, prepending its id — n bounded steps. `dp`
+    * MUST be a materialized column attribute, not the DP expression
+    * itself (it is read twice per step — the q260 lambda
+    * re-evaluation trap).
+    */
+  private def unigramBacktrack(
+      dp: Column, n: Column, maxWordLen: Int): Column =
+    aggregate(
+      sequence(lit(1), lit(maxWordLen)),
+      struct(n.as("p"), array().cast("array<bigint>").as("ids")),
+      (st, _) => {
+        val p = st.getField("p")
+        val cell = element_at(dp, p)
+        when(p <= 0, st).otherwise(struct(
+          (p - cell.getField("bl")).as("p"),
+          concat(array(cell.getField("pid")), st.getField("ids"))
+            .as("ids")))
+      }).getField("ids")
+
+  /** Unigram-LM Viterbi encoding (Kudo 2018 — the SentencePiece model
+    * family used by T5/LLaMA-class tokenizers): the third mainstream
+    * subword family next to the BPE merge-fold and greedy WordPiece
+    * encoders above. Unlike both, segmentation is GLOBALLY optimal —
+    * each word becomes the piece sequence maximizing the sum of piece
+    * log-probabilities (integer Q20), found by a Viterbi DP; a
+    * crafted vocabulary where two short pieces outscore one long one
+    * genuinely separates this from greedy longest-match (spec-pinned).
+    *
+    * Contracts: vocabulary per [[requireUnigramVocab]]; words longer
+    * than `maxWordLen` encode their first `maxWordLen` chars (the
+    * [[wordPieceEncode]] truncation contract — the returned `word`
+    * column is the truncated form actually encoded). Null/absent
+    * text yields no rows (posexplode of nothing).
+    *
+    * Output: one row per word occurrence — (idCol, word_idx, word,
+    * piece_ids array<long>, score) in document order, where `score`
+    * is the word's best total log-probability (the unigram-LM
+    * log-likelihood — doubles as a perplexity-style quality signal).
+    */
+  def unigramEncode(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Long, Long)], maxPiece: Int,
+      maxWordLen: Int = 16,
+      unkScore: Long = -30L * 1048576L): DataFrame = {
+    requireUnigramVocab(vocab, maxPiece, unkScore)
+    val vm = typedLit(vocab.map { case (p, id, s) => p -> (id, s) }.toMap)
+    docs
+      .select(col(idCol),
+        posexplode(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+          .as(Seq("word_idx", "word")))
+      .select(col(idCol), col("word_idx").cast("long").as("word_idx"),
+        col("word").substr(lit(1), lit(maxWordLen)).as("word"))
+      .withColumn("__dp",
+        unigramDp(col("word"), vm, maxPiece, maxWordLen, unkScore))
+      .select(col(idCol), col("word_idx"), col("word"),
+        unigramBacktrack(col("__dp"), length(col("word")).cast("int"),
+          maxWordLen).as("piece_ids"),
+        element_at(col("__dp"), length(col("word")).cast("int"))
+          .getField("score").as("score"))
+  }
+
+  /** Corpus → (word, weight) occurrence dictionary — the unigram
+    * trainer's one corpus-sized pass (the [[wordDict]] collapse, kept
+    * as whole words for substring candidate extraction).
+    */
+  def unigramWordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("weight"))
+
+  /** Seed statistics: every 1..maxPiece-char substring of every dict
+    * word, weighted by the word's corpus count. Dict-sized input
+    * (vocabulary-scale at any corpus size), bounded per-word
+    * expansion (≤ len·maxPiece substrings per word).
+    */
+  def unigramSeedCandidates(
+      wordCounts: DataFrame, maxPiece: Int): DataFrame = {
+    val w = col("word")
+    val subs = flatten(array((1 to maxPiece).map { l =>
+      when(length(w) >= l,
+        transform(sequence(lit(1), length(w) - l + 1),
+          p => w.substr(p, lit(l))))
+        .otherwise(array().cast("array<string>"))
+    }: _*))
+    wordCounts.select(explode(subs).as("piece"), col("weight"))
+      .groupBy(col("piece")).agg(sum(col("weight")).as("cnt"))
+  }
+
+  /** Dict-encode face used by the trainer (and by referee specs):
+    * append Viterbi `piece_ids` for `wordCol` under the same
+    * truncation contract as [[unigramEncode]].
+    */
+  private[graft] def unigramEncodeWords(
+      df: DataFrame, wordCol: String, vocab: Seq[(String, Long, Long)],
+      maxPiece: Int, maxWordLen: Int, unkScore: Long): DataFrame = {
+    requireUnigramVocab(vocab, maxPiece, unkScore)
+    val vm = typedLit(vocab.map { case (p, id, s) => p -> (id, s) }.toMap)
+    df.withColumn("__w", col(wordCol).substr(lit(1), lit(maxWordLen)))
+      .withColumn("__dp",
+        unigramDp(col("__w"), vm, maxPiece, maxWordLen, unkScore))
+      .withColumn("piece_ids",
+        unigramBacktrack(col("__dp"), length(col("__w")).cast("int"),
+          maxWordLen))
+      .drop("__w", "__dp")
+  }
+
+  /** Re-score a (piece, count) set as Q20 log2(count/total) via the
+    * host-side binLog2Q20 replica — both engines then consume the
+    * same integer literals (the ndcgWeights idiom).
+    */
+  private def unigramRescore(
+      counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val total = counts.map(_._2).sum
+    counts.map { case (p, c) =>
+      p -> (EvalOps.log2Q20Host(c) - EvalOps.log2Q20Host(total)) }
+  }
+
+  /** Unigram-LM vocabulary training by Viterbi rounds — Kudo 2018's
+    * EM alternation with the E-step's expected counts replaced by
+    * Viterbi-best counts (hard-EM): the deterministic integer
+    * variant — soft-EM forward–backward needs transcendental
+    * log-sum-exp, which is not engine-portable.
+    *
+    *  - Seed: all 1..maxPiece-char substrings of the word dict, kept
+    *    to the top `seedVocab` by corpus count (count desc, piece asc
+    *    tie-break). ALL single chars are always kept regardless of
+    *    budget — they make encoding total.
+    *  - Per round: Viterbi-encode the DICT (never the corpus — the
+    *    wordDict collapse), count piece usage weighted by word
+    *    frequency, keep all singles (usage floored at 1) plus the
+    *    top multis by (usage desc, piece asc) up to
+    *    max(vocabSize, ⌈0.8·current⌉) — SentencePiece's own gradual
+    *    shrink schedule — and re-score survivors as Q20
+    *    log2(usage/total). Multis with zero usage drop immediately.
+    *  - Stops early once the vocabulary is at `vocabSize` and a
+    *    round no longer changes it.
+    *
+    * All distributed work is dict-sized: one encode pass + one
+    * groupBy per round. Driver state is the vocabulary itself
+    * (≤ seedVocab + alphabet entries — the learnMergesLocal
+    * bounded-dict argument). Empty corpus → empty vocabulary.
+    *
+    * Returns (piece, id, scoreQ20) with ids 1..N in piece order —
+    * feed straight to [[unigramEncode]]. UnigramSpec proves the whole
+    * loop ≡ a sequential plain-Scala referee, bit-for-bit.
+    */
+  def unigramTrainViterbi(
+      df: DataFrame, textCol: String, maxPiece: Int, vocabSize: Int,
+      rounds: Int, seedVocab: Int = 4096, maxWordLen: Int = 16,
+      unkScore: Long = -30L * 1048576L): Seq[(String, Long, Long)] = {
+    require(maxPiece >= 1, "maxPiece must be >= 1")
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    require(rounds >= 0, "rounds must be >= 0")
+    require(seedVocab >= vocabSize, "seedVocab must be >= vocabSize")
+    val wc = unigramWordCounts(df, textCol).graftCheckpoint()
+    try {
+      val seed = unigramSeedCandidates(wc, maxPiece).graftCheckpoint()
+      val singles = seed.filter(length(col("piece")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy(_._1)
+      if (singles.isEmpty) return Seq.empty // empty corpus
+      val multisTop = seed.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece").asc)
+        .limit(math.max(0, seedVocab - singles.size))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      seed.unpersist()
+      var cur: Seq[(String, Long)] = unigramRescore(singles ++ multisTop)
+      var round = 0
+      var converged = false
+      while (round < rounds && !converged) {
+        val vocabNow = cur.zipWithIndex.map { case ((p, s), i) =>
+          (p, i.toLong, s) }
+        val pieceOf = vocabNow.map { case (p, i, _) => i -> p }.toMap
+        val usageRows = unigramEncodeWords(wc, "word", vocabNow,
+            maxPiece, maxWordLen, unkScore)
+          .select(explode(col("piece_ids")).as("pid"), col("weight"))
+          .filter(col("pid") >= 0L)
+          .groupBy(col("pid")).agg(sum(col("weight")).as("u"))
+          .collect().map(r => pieceOf(r.getLong(0)) -> r.getLong(1))
+          .toMap
+        val singleKept = singles.map { case (p, _) =>
+          p -> math.max(usageRows.getOrElse(p, 0L), 1L) }
+        val target = math.max(vocabSize,
+          math.ceil(cur.size * 0.8).toInt)
+        val multiKept = cur.collect {
+          case (p, _) if p.length > 1 && usageRows.contains(p) =>
+            p -> usageRows(p) }
+          .sortBy { case (p, u) => (-u, p) }
+          .take(math.max(0, target - singleKept.size))
+        val next = unigramRescore(singleKept ++ multiKept)
+        converged = next.map(_._1).toSet == cur.map(_._1).toSet &&
+          cur.size <= target
+        cur = next
+        round += 1
+      }
+      val scoreOf = cur.toMap
+      cur.map(_._1).sorted.zipWithIndex.map { case (p, i) =>
+        (p, (i + 1).toLong, scoreOf(p)) }
+    } finally { wc.unpersist(); () }
+  }
 }

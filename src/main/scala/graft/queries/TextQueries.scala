@@ -1390,6 +1390,41 @@ object TextQueries {
             array_sort(collect_list(struct($"word_idx", $"ws"))),
             x => x.getField("ws")), " ").as("piece_ids"))
         .orderBy($"doc_id")
+    },
+
+    // Unigram-LM Viterbi encoding (BpeOps.unigramEncode, Kudo 2018 —
+    // the SentencePiece family): the third subword family next to the
+    // BPE merge-fold and greedy WordPiece. Segmentation is globally
+    // OPTIMAL (max-sum of Q20 integer piece log-probs via a Viterbi
+    // DP), and the gate vocabulary plants a case where optimal differs
+    // from greedy ("spa"+"rk" = -8 beats "spark" = -11 — q287's
+    // encoder takes "spark" whole). Full per-doc id sequences AND the
+    // per-doc total log-prob travel through the hash; the oracle
+    // unrolls the DP as 16 position CTEs (GREATEST + longest-wins tie
+    // CASE mirroring the engine's (score, len) struct max) and walks
+    // backpointers with a recursive CTE.
+    GraftQuery("q290_unigram", TextQueries.UnigramSql) { (s, dir) =>
+      import s.implicits._
+      graft.ops.BpeOps.unigramEncode(
+          Tables.load(s, dir, "documents").filter($"doc_id" < 100),
+          "doc_id", "text", TextQueries.UgVocab,
+          maxPiece = 5, maxWordLen = 16)
+        .select($"doc_id", $"word_idx",
+          array_join(transform($"piece_ids", x => x.cast("string")), ",")
+            .as("ws"),
+          size($"piece_ids").cast("long").as("np"),
+          size(filter($"piece_ids", x => x === -1L)).cast("long")
+            .as("nu"),
+          $"score")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"np").as("n_pieces"),
+          sum($"nu").as("n_unk"),
+          array_join(transform(
+            array_sort(collect_list(struct($"word_idx", $"ws"))),
+            x => x.getField("ws")), " ").as("piece_ids"),
+          sum($"score").as("score_sum"))
+        .orderBy($"doc_id")
     })
 
   /** Shared oracle for q268 (batch train) and q276 (incremental merge)
@@ -1456,6 +1491,127 @@ object TextQueries {
        |    x -> x = '-1'))) AS BIGINT) AS n_unk,
        |  string_agg(ids, ' ' ORDER BY wi) AS piece_ids
        |FROM s16 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** q290 gate vocabulary: singles for the whole lowercase alphabet
+    * (weak, -12 Q20 units each) plus multi-char pieces whose scores
+    * make the OPTIMAL segmentation differ from greedy longest-match:
+    * "spark" costs -11 while "spa"+"rk" costs -8, so a greedy encoder
+    * and the Viterbi encoder disagree on the corpus's own vocabulary.
+    * Integer Q20 log-prob scale throughout.
+    */
+  private[queries] lazy val UgVocab: Seq[(String, Long, Long)] = {
+    val q = 1048576L
+    ('a' to 'z').zipWithIndex.map { case (c, i) =>
+      (c.toString, (i + 1).toLong, -12L * q) } ++
+      Seq(("qu", 30L, -3L * q), ("ery", 31L, -4L * q),
+        ("ta", 32L, -3L * q), ("ble", 33L, -4L * q),
+        ("spark", 34L, -11L * q), ("spa", 35L, -4L * q),
+        ("rk", 36L, -4L * q), ("str", 37L, -4L * q),
+        ("eam", 38L, -4L * q), ("wind", 39L, -5L * q),
+        ("ow", 40L, -3L * q), ("ord", 41L, -4L * q),
+        ("er", 42L, -3L * q), ("cust", 43L, -5L * q),
+        ("om", 44L, -3L * q))
+  }
+
+  /** q290 oracle: the Viterbi DP unrolled as 16 position CTEs. At
+    * position i, candidate c_l = best score at i−l plus the score of
+    * the length-l vocab piece ending at i (l = 5..2 guarded by a
+    * LEFT-JOIN hit, coalesced to a −2⁶² sentinel; l = 1 always valid,
+    * falling back to UNK −30·2²⁰ when the char is OOV). The cell is
+    * GREATEST of the candidates with a longest-first tie CASE —
+    * exactly the engine's (score, len) struct max. Backpointers are
+    * walked by a recursive CTE (p → p − bl, prepending the piece id),
+    * and each word's final-position score is summed per doc, so both
+    * the segmentation AND its claimed optimality are engine-checked.
+    */
+  private lazy val UnigramSql: String = {
+    val sent = "-4611686018427387904"
+    val unk = -30L * 1048576L
+    val vocabSql = UgVocab.map { case (p, id, s) => s"('$p', $id, $s)" }
+      .mkString(", ")
+    def bCte(i: Int): String = {
+      val ls = (math.min(5, i) to 1 by -1).toList
+      val prevJoins = ls.map(i - _).filter(_ >= 1)
+        .map(j => s"    JOIN b$j p$j ON p$j.doc_id = w.doc_id AND p$j.wi = w.wi")
+        .mkString("\n")
+      val vJoins = ls.map(l =>
+        s"    LEFT JOIN v h$l ON h$l.piece = substr(w.w, ${i - l + 1}, $l)")
+        .mkString("\n")
+      def prev(l: Int) = if (i == l) "0" else s"p${i - l}.score"
+      val candCols = ls.map { l =>
+        if (l == 1)
+          s"      ${prev(1)} + COALESCE(h1.s, $unk) AS c1,\n" +
+            s"      COALESCE(h1.id, -1) AS i1"
+        else
+          s"      CASE WHEN h$l.id IS NOT NULL THEN ${prev(l)} + h$l.s" +
+            s" ELSE $sent END AS c$l,\n      h$l.id AS i$l"
+      }.mkString(",\n")
+      val cList = ls.map(l => s"c$l").mkString(", ")
+      val iList = ls.map(l => s"i$l").mkString(", ")
+      val blCase =
+        if (ls.size == 1) "1"
+        else "CASE " + ls.init.map(l => s"WHEN c$l = m THEN $l")
+          .mkString(" ") + " ELSE 1 END"
+      val pidCase =
+        if (ls.size == 1) "i1"
+        else "CASE " + ls.init.map(l => s"WHEN c$l = m THEN i$l")
+          .mkString(" ") + " ELSE i1 END"
+      // MATERIALIZED: each b_i is referenced by up to 5 later
+      // positions — default CTE inlining would expand the chain
+      // exponentially (DuckDB runs out of file handles re-scanning
+      // the parquet thousands of times)
+      s"""b$i AS MATERIALIZED (
+         |  SELECT doc_id, wi, m AS score, $blCase AS bl, $pidCase AS pid
+         |  FROM (
+         |    SELECT doc_id, wi, GREATEST($cList) AS m, $cList, $iList
+         |    FROM (
+         |    SELECT w.doc_id, w.wi,
+         |$candCols
+         |    FROM w
+         |$prevJoins
+         |$vJoins
+         |    WHERE len(w.w) >= $i) t0) t1)""".stripMargin
+    }
+    val bCtes = (1 to 16).map(bCte).mkString(",\n")
+    val dpUnion = (1 to 16)
+      .map(i => s"SELECT doc_id, wi, $i AS pos, score, bl, pid FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE v(piece, id, s) AS (VALUES $vocabSql),
+       |d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+       |      AS tk
+       |  FROM documents WHERE doc_id < 100),
+       |w AS MATERIALIZED (
+       |  SELECT doc_id, g.i - 1 AS wi, substr(tk[g.i], 1, 16) AS w
+       |  FROM d, unnest(generate_series(1, len(tk))) AS g(i)),
+       |$bCtes,
+       |dp AS MATERIALIZED (
+       |  $dpUnion),
+       |bt AS (
+       |  SELECT doc_id, wi, len(w) AS p, CAST('' AS VARCHAR) AS ids
+       |  FROM w
+       |  UNION ALL
+       |  SELECT bt.doc_id, bt.wi, bt.p - dp.bl,
+       |    CAST(dp.pid AS VARCHAR) ||
+       |      (CASE WHEN bt.ids = '' THEN '' ELSE ',' END) || bt.ids
+       |  FROM bt JOIN dp ON dp.doc_id = bt.doc_id AND dp.wi = bt.wi
+       |    AND dp.pos = bt.p),
+       |fin AS (
+       |  SELECT b.doc_id, b.wi, b.ids, d2.score AS sc
+       |  FROM bt b
+       |  JOIN w ON w.doc_id = b.doc_id AND w.wi = b.wi
+       |  JOIN dp d2 ON d2.doc_id = b.doc_id AND d2.wi = b.wi
+       |    AND d2.pos = len(w.w)
+       |  WHERE b.p = 0)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(string_split(ids, ','))) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(len(list_filter(string_split(ids, ','),
+       |    x -> x = '-1'))) AS BIGINT) AS n_unk,
+       |  string_agg(ids, ' ' ORDER BY wi) AS piece_ids,
+       |  CAST(SUM(sc) AS BIGINT) AS score_sum
+       |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // lazy: referenced by `all`, which is initialized first in the
