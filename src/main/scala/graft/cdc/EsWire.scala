@@ -200,8 +200,8 @@ object EsWire {
         throw new java.io.IOException(
           s"ES _search failed: http ${resp.statusCode()}")
       else {
-        val hits = mapper.readTree(resp.body())
-          .path("hits").path("hits")
+        val hitsNode = mapper.readTree(resp.body()).path("hits")
+        val hits = hitsNode.path("hits")
         val rows = scala.collection.mutable
           .ArrayBuffer.empty[(String, String)]
         val it = hits.elements()
@@ -210,6 +210,13 @@ object EsWire {
           rows += ((h.path("_id").asText(),
             h.path("_source").toString))
         }
+        // a store past the 10k result window must fail loudly, not
+        // silently under-report — this read is a verification surface
+        val total = hitsNode.path("total").path("value").asLong(-1L)
+        if (total > rows.size)
+          throw new java.io.IOException(
+            s"ES _search window truncated: hits.total=$total > " +
+              s"returned ${rows.size} — use scroll/search_after")
         import spark.implicits._
         Some(rows.toSeq.toDF(idCol, "source_json"))
       }

@@ -15,24 +15,39 @@ import org.apache.spark.sql.functions._
   * untouched docs (they were never in the replayed batch). This sink
   * never mutates or deletes a live file inside a commit:
   *
-  *   dir/MANIFEST                      bucket -> commit pointer table
+  *   dir/MANIFEST-<v>                  bucket -> commit pointer table,
+  *                                     one immutable file per version;
+  *                                     the HIGHEST <v> is current
   *   dir/data/commit-<n>/bucket=<b>/   immutable parquet, one dir per commit
+  *   dir/.stage/                       scratch for the incoming batch
   *
-  * Each upsert/delete writes the merged content of its affected buckets
-  * to a FRESH `commit-<n>` directory, then swaps MANIFEST via
-  * temp-file + atomic rename (the [[Keyset.CursorStore]] pattern;
-  * atomic on HDFS/local — an object store needs a conditional-put
-  * variant). Crash before the swap: the old manifest still references
-  * only old, untouched files — the store is bit-for-bit intact, and the
-  * orphaned commit dir is garbage-collected by the next successful
-  * commit. This is the snapshot-isolation idea of the table formats
-  * (Iceberg/Delta), reduced to the essentials a doc store needs.
+  * Each upsert/delete first STAGES the incoming batch to parquet and
+  * reads it back, so the user's plan is executed exactly once — a
+  * nondeterministic input (sampling, shuffle-order-dependent values)
+  * cannot make the written buckets diverge from the manifest entries.
+  * The merged content of the affected buckets then goes to a FRESH
+  * `commit-<n>` directory, and the new manifest is published by
+  * renaming a temp file to the FRESH name `MANIFEST-<v+1>` — never
+  * deleting or clobbering the live manifest, so the swap is safe even
+  * on filesystems whose rename refuses to replace an existing
+  * destination (HDFS): a crash at ANY point leaves either the old
+  * highest-versioned manifest (old snapshot bit-for-bit intact, the
+  * orphaned commit dir gc'd by the next successful commit) or the new
+  * one (commit complete). This is the snapshot-isolation idea of the
+  * table formats (Iceberg/Delta), reduced to the essentials a doc
+  * store needs.
   *
-  * Scale shape: identical to [[UpsertSink]] — per tick, read + rewrite
-  * is O(affected buckets) not O(store), commit is one rename. read()
-  * plans reference the specific commit dirs current at call time and
-  * stay valid until a LATER commit touches those buckets (single
-  * writer; materialize reads before the next tick commits).
+  * `retainSnapshots` (>= 1) keeps the bucket dirs referenced by the
+  * last N manifest versions alive, so a reader that planned against
+  * version v can still execute while up to N-1 later commits land —
+  * a real snapshot-isolation window instead of "materialize before
+  * the next tick". N = 1 gc's to exactly the live set.
+  *
+  * Scale shape: identical to [[UpsertSink]] — per tick, stage is
+  * O(|batch|) and read + rewrite is O(affected buckets) not O(store);
+  * commit is one rename. read() plans reference the commit dirs
+  * current at call time and stay valid for the next
+  * `retainSnapshots - 1` commits (single writer).
   *
   * `beforeCommit`: test seam — runs after the data write, before the
   * manifest swap (the crash window the design closes).
@@ -40,9 +55,12 @@ import org.apache.spark.sql.functions._
 final class ManifestUpsertSink(
     spark: SparkSession, dir: String, val idCol: String,
     nBuckets: Int = 64,
+    retainSnapshots: Int = 2,
     retry: Option[graft.sources.JdbcIO.RetryPolicy] = None,
     beforeCommit: () => Unit = () => ())
     extends DocSink {
+
+  require(retainSnapshots >= 1, "retainSnapshots must be >= 1")
 
   private def withSinkRetry[T](f: => T): T =
     retry.fold(f)(p => graft.sources.JdbcIO.withRetry(p)(f))
@@ -53,44 +71,63 @@ final class ManifestUpsertSink(
   private def fs = new Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def manifestPath = new Path(dir, "MANIFEST")
   private def dataPath = new Path(dir, "data")
+  private def stagePath = new Path(dir, ".stage")
 
-  /** bucket -> commit name; empty map == absent store. */
+  /** Manifest versions present on disk, ascending. */
+  private def manifestVersions(): Seq[Long] = {
+    val d = new Path(dir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).map(_.getPath.getName).collect {
+      case n if n.startsWith("MANIFEST-") =>
+        n.stripPrefix("MANIFEST-").toLong
+    }.sorted.toSeq
+  }
+
+  private def manifestPath(v: Long) = new Path(dir, s"MANIFEST-$v")
+
+  private def readManifestFile(v: Long): Map[Int, String] = {
+    val in = fs.open(manifestPath(v))
+    val text =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+    val header = if (lines.hasNext) lines.next() else ""
+    require(header == "v1", s"unknown manifest version '$header' at $dir")
+    lines.map { l =>
+      val Array(b, c) = l.split("\t", 2)
+      b.toInt -> c
+    }.toMap
+  }
+
+  /** Current (highest-versioned) manifest; empty map == absent store. */
   private def loadManifest(): Map[Int, String] =
-    if (!fs.exists(manifestPath)) Map.empty
-    else {
-      val in = fs.open(manifestPath)
-      val text =
-        try {
-          val bos = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
-          new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-        } finally in.close()
-      val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-      val header = if (lines.hasNext) lines.next() else ""
-      require(header == "v1", s"unknown manifest version '$header' at $dir")
-      lines.map { l =>
-        val Array(b, c) = l.split("\t", 2)
-        b.toInt -> c
-      }.toMap
-    }
+    manifestVersions().lastOption.fold(Map.empty[Int, String])(readManifestFile)
 
+  /** Test/introspection seam: the live bucket -> commit table. */
+  private[graft] def currentManifest(): Map[Int, String] = loadManifest()
+
+  /** Publish `m` as the next manifest version: temp write + rename to a
+    * FRESH name (never clobbers the live manifest — atomic-enough on
+    * every FS whose rename is atomic for a non-existing destination),
+    * then prune versions beyond the retention window. A crash anywhere
+    * leaves a readable highest-versioned manifest.
+    */
   private def writeManifest(m: Map[Int, String]): Unit = {
-    val tmp = new Path(dir, s".MANIFEST.tmp")
+    val next = manifestVersions().lastOption.fold(0L)(_ + 1L)
+    val tmp = new Path(dir, ".MANIFEST.tmp")
     val body = ("v1" +: m.toSeq.sorted.map { case (b, c) => s"$b\t$c" })
       .mkString("", "\n", "\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, manifestPath)) {
-      // HDFS/local rename refuses to clobber an existing destination —
-      // the swap is delete-then-rename, and a crash between the two
-      // simply re-runs the whole idempotent sink action (retry policy /
-      // CDC replay), which rebuilds tmp and completes the swap.
-      fs.delete(manifestPath, false)
-      require(fs.rename(tmp, manifestPath), s"manifest swap failed at $dir")
-    }
+    require(fs.rename(tmp, manifestPath(next)),
+      s"manifest publish failed at $dir")
+    manifestVersions().dropRight(retainSnapshots)
+      .foreach(v => fs.delete(manifestPath(v), false))
   }
 
   /** Next commit name — scans existing dir names (not the manifest) so
@@ -106,15 +143,19 @@ final class ManifestUpsertSink(
   }
 
   /** Bucket-granular garbage collection, run only after a successful
-    * swap: a `bucket=b` subdir inside commit `c` is live iff the
-    * manifest maps b -> c, so partially-superseded commits shed their
-    * stale bucket copies immediately (storage stays exactly the live
-    * set — without this, a long-running CDC daemon touching a few
-    * buckets per tick would accumulate stale copies unboundedly,
-    * because old commit dirs rarely become FULLY unreferenced).
-    * Crash-orphaned commits (referenced by nothing) go the same way.
+    * publish: a `bucket=b` subdir inside commit `c` is live iff ANY
+    * retained manifest version maps b -> c, so partially-superseded
+    * commits shed bucket copies as they age out of the retention
+    * window (storage stays bounded by `retainSnapshots` snapshots —
+    * without this, a long-running CDC daemon touching a few buckets
+    * per tick would accumulate stale copies unboundedly, because old
+    * commit dirs rarely become FULLY unreferenced). Crash-orphaned
+    * commits (referenced by no retained manifest) go the same way.
     */
-  private def gc(m: Map[Int, String]): Unit =
+  private def gc(): Unit = {
+    val live: Set[(Int, String)] = manifestVersions()
+      .takeRight(retainSnapshots)
+      .flatMap(v => readManifestFile(v).toSeq).toSet
     if (fs.exists(dataPath)) {
       fs.listStatus(dataPath).map(_.getPath).foreach { cp =>
         val commit = cp.getName
@@ -123,7 +164,7 @@ final class ManifestUpsertSink(
           fs.listStatus(cp).foreach { st =>
             val n = st.getPath.getName
             if (n.startsWith("bucket=")) {
-              if (m.get(n.stripPrefix("bucket=").toInt).contains(commit))
+              if (live((n.stripPrefix("bucket=").toInt, commit)))
                 liveLeft = true
               else { fs.delete(st.getPath, true); () }
             } // non-bucket entries (_SUCCESS) are harmless markers
@@ -132,6 +173,7 @@ final class ManifestUpsertSink(
         }
       }
     }
+  }
 
   /** Union of the manifest-referenced dirs, pruned to `buckets` —
     * partition discovery restores the `bucket` column, and the isin
@@ -151,65 +193,72 @@ final class ManifestUpsertSink(
     readBuckets(m, m.keys.toSeq).map(_.drop("bucket"))
   }
 
+  /** Stage `df` (already carrying a `bucket` column) to parquet and
+    * hand back (read-back plan, bucket list from the written layout).
+    * The input plan runs exactly ONCE; everything downstream — the
+    * affected-bucket set, the merge, the commit — reads the frozen
+    * staged copy, so a nondeterministic input cannot make the manifest
+    * diverge from the written data. Also replaces the old driver
+    * `.collect()` of distinct buckets with a directory listing.
+    */
+  private def stage(df: DataFrame): (DataFrame, Seq[Int]) = {
+    fs.delete(stagePath, true)
+    df.write.partitionBy("bucket").parquet(stagePath.toString)
+    val buckets = fs.listStatus(stagePath).map(_.getPath.getName).collect {
+      case n if n.startsWith("bucket=") => n.stripPrefix("bucket=").toInt
+    }.sorted.toSeq
+    (spark.read.parquet(stagePath.toString), buckets)
+  }
+
   /** Upsert `docs` (unique by idCol — enforce upstream). */
   def upsert(docs: DataFrame): Unit = withSinkRetry {
-    val incoming = docs.withColumn("bucket", bucket(col(idCol)))
-    val m = loadManifest()
-    val affected = incoming.select("bucket").distinct()
-      .collect().map(_.getAs[Number](0).intValue()).sorted.toSeq
+    val (staged, affected) = stage(
+      docs.withColumn("bucket", bucket(col(idCol))))
     if (affected.nonEmpty) {
-      val merged = readBuckets(m, affected).fold(incoming) { old =>
-        old.join(incoming.select(col(idCol)), Seq(idCol), "left_anti")
-          .unionByName(incoming)
+      val m = loadManifest()
+      val merged = readBuckets(m, affected).fold(staged) { old =>
+        old.join(staged.select(col(idCol)), Seq(idCol), "left_anti")
+          .unionByName(staged)
       }
       val commit = nextCommit()
       merged.write.partitionBy("bucket")
         .parquet(new Path(dataPath, commit).toString)
       beforeCommit()
-      val updated = m ++ affected.map(_ -> commit)
-      writeManifest(updated)
-      gc(updated)
+      writeManifest(m ++ affected.map(_ -> commit))
+      gc()
     }
+    fs.delete(stagePath, true); ()
   }
 
   /** Targeted delete by id — absent ids ignored, idempotent. A delete
-    * that empties the store removes MANIFEST entirely (empty store ==
-    * no store: read() → None, next upsert bootstraps).
+    * that empties the store publishes an EMPTY manifest (empty
+    * manifest == absent store: read() → None, next upsert bootstraps).
     */
   def delete(ids: DataFrame): Unit = withSinkRetry {
     val m = loadManifest()
-    val affected =
-      if (m.isEmpty) Seq.empty[Int]
-      else {
-        val victims = ids.select(col(idCol)).distinct()
-          .withColumn("bucket", bucket(col(idCol)))
-        victims.select("bucket").distinct()
-          .collect().map(_.getAs[Number](0).intValue()).toSeq
-          .filter(m.contains).sorted
+    if (m.nonEmpty) {
+      val (stagedVictims, victimBuckets) = stage(
+        ids.select(col(idCol)).distinct()
+          .withColumn("bucket", bucket(col(idCol))))
+      val affected = victimBuckets.filter(m.contains)
+      if (affected.nonEmpty) {
+        val kept = readBuckets(m, affected).get
+          .join(stagedVictims.select(col(idCol)), Seq(idCol), "left_anti")
+        val commit = nextCommit()
+        val commitDir = new Path(dataPath, commit)
+        kept.write.partitionBy("bucket").parquet(commitDir.toString)
+        // which buckets survived? — read it off the written layout
+        // instead of paying a second Spark job
+        val keptBuckets = fs.listStatus(commitDir)
+          .map(_.getPath.getName).collect {
+            case n if n.startsWith("bucket=") => n.stripPrefix("bucket=").toInt
+          }.toSet
+        beforeCommit()
+        writeManifest((m -- affected) ++
+          affected.filter(keptBuckets).map(_ -> commit))
+        gc()
       }
-    if (affected.nonEmpty) {
-      val victims = ids.select(col(idCol)).distinct()
-      val kept = readBuckets(m, affected).get
-        .join(victims, Seq(idCol), "left_anti")
-      val commit = nextCommit()
-      val commitDir = new Path(dataPath, commit)
-      kept.write.partitionBy("bucket").parquet(commitDir.toString)
-      // which buckets survived? — read it off the written layout instead
-      // of paying a second Spark job
-      val keptBuckets = fs.listStatus(commitDir)
-        .map(_.getPath.getName).collect {
-          case n if n.startsWith("bucket=") => n.stripPrefix("bucket=").toInt
-        }.toSet
-      beforeCommit()
-      val updated = (m -- affected) ++
-        affected.filter(keptBuckets).map(_ -> commit)
-      if (updated.isEmpty) {
-        fs.delete(manifestPath, false)
-        gc(Map.empty)
-      } else {
-        writeManifest(updated)
-        gc(updated)
-      }
+      fs.delete(stagePath, true); ()
     }
   }
 }

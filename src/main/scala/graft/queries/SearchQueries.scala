@@ -18,7 +18,84 @@ object SearchQueries {
 
   private val QueryTerms = Seq("spark", "query", "window")
 
+  /** Per-run scratch dir for stored-index gates, deleted on JVM exit
+    * (the AnalyticsQueries scratchDir pattern: fixed paths race
+    * concurrent runs, bare temp dirs leak).
+    */
+  private def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString + "/idx"
+  }
+
   val all: Seq[GraftQuery] = Seq(
+
+    // X1 serving shape (VERDICT r9 task #1): posting-pruned BM25F — the
+    // inverted-index candidate semi-join before scoring, the plan ES
+    // runs for the reference's whole search surface. Same fielding as
+    // q36 (title = first 5 whitespace tokens ^4, body = rest ^1) but
+    // the full BM25F arithmetic (document-level idf, field-weighted
+    // saturated tf, k1=1.2 b=0.75) served off the stored PostingIndex;
+    // the oracle recomputes it corpus-wide — equality proves pruning
+    // loses no match and alters no score. Milli-rounded scores so the
+    // engines' double fold orders can't desync the hash (q40 pattern).
+    GraftQuery(
+      "q291_pruned_search",
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |fld AS (
+        |  SELECT doc_id, 'title' AS field, t[1:5] AS tokens FROM tk
+        |  UNION ALL
+        |  SELECT doc_id, 'body' AS field, t[6:] AS tokens FROM tk),
+        |wts(field, w) AS (VALUES ('title', 4.0), ('body', 1.0)),
+        |terms(term) AS (VALUES ('spark'), ('query'), ('window')),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM tk),
+        |stats AS (
+        |  SELECT field, AVG(CAST(len(tokens) AS DOUBLE)) AS avgdl
+        |  FROM fld GROUP BY field),
+        |dfs AS (
+        |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM terms JOIN fld ON list_contains(tokens, term)
+        |  GROUP BY term),
+        |contrib AS (
+        |  SELECT f.doc_id, tr.term,
+        |    SUM(w.w * CAST(len(list_filter(f.tokens, x -> x = tr.term))
+        |              AS DOUBLE)
+        |        / (0.25 + 0.75 * CAST(len(f.tokens) AS DOUBLE)
+        |                 / GREATEST(s.avgdl, 1e-9))) AS tft
+        |  FROM fld f JOIN wts w USING (field) JOIN stats s USING (field)
+        |  CROSS JOIN terms tr
+        |  GROUP BY f.doc_id, tr.term),
+        |score AS (
+        |  SELECT c.doc_id,
+        |    SUM(ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |        * c.tft / (1.2 + c.tft)) AS score
+        |  FROM contrib c JOIN dfs d USING (term) CROSS JOIN n
+        |  GROUP BY c.doc_id)
+        |SELECT doc_id, CAST(round(score * 1000) AS BIGINT) AS score_milli
+        |FROM score WHERE score > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = TextOps.tokenize($"text")
+      val idx = graft.movies.PostingIndex.buildTokenized(
+        Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+        scratchDir("graft_q291_pidx"),
+        tokens = Map(
+          "title" -> slice(toks, 1, 5),
+          "body" -> slice(toks, lit(6), size(toks))),
+        weights = Map("title" -> 4, "body" -> 1),
+        idCol = "doc_id", nTermBuckets = 8, nDocBuckets = 8)
+      idx.scoreTerms(QueryTerms)
+        .select($"doc_id",
+          round($"score" * 1000).cast("long").as("score_milli"))
+        .orderBy($"doc_id")
+    },
 
     // X1/O2/O4: weighted multi-field match + relevance ranking + top-k.
     GraftQuery(

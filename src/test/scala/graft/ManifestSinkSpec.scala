@@ -33,7 +33,8 @@ class ManifestSinkSpec extends SparkTestBase {
   test("upsert-by-id contract: insert, replace, replay no-op, read " +
        "round-trip; absent store reads None") {
     val dir = tmp()
-    val sink = new ManifestUpsertSink(spark, dir, "id", nBuckets = 4)
+    val sink = new ManifestUpsertSink(spark, dir, "id", nBuckets = 4,
+      retainSnapshots = 1)
     assert(sink.read() === None)
     sink.upsert(docs("a" -> "one", "b" -> "two", "c" -> "three"))
     assert(idsOf(sink) === Set("a" -> "one", "b" -> "two", "c" -> "three"))
@@ -47,18 +48,41 @@ class ManifestSinkSpec extends SparkTestBase {
       Set("a" -> "one", "b" -> "TWO", "c" -> "three", "d" -> "four"))
     // every upsert rewrote only affected buckets, and gc keeps the dir
     // set == the manifest's referenced set (no unbounded accumulation)
-    val manifest = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/MANIFEST")))
-    val referenced = manifest.linesIterator.drop(1)
-      .map(_.split("\t")(1)).toSet
+    val referenced = sink.currentManifest().values.toSet
     assert(commitDirs(dir) === referenced)
+  }
+
+  test("nondeterministic input plan: the batch is staged once, so the " +
+       "written buckets and the manifest entries come from the SAME " +
+       "evaluation (a re-evaluating plan cannot desync pointers)") {
+    import org.apache.spark.sql.functions.{col, concat, lit, rand}
+    val dir = tmp()
+    val sink = new ManifestUpsertSink(spark, dir, "id", nBuckets = 8,
+      retainSnapshots = 1)
+    // ids depend on rand(): every evaluation of this plan yields a
+    // DIFFERENT id set, hence different buckets — the r9 sink evaluated
+    // it twice (affected-set collect, then the commit write)
+    val volatile = spark.range(64)
+      .select(concat(lit("id_"), (rand() * 1e9).cast("long")).as("id"),
+        lit("v").as("title"))
+    sink.upsert(volatile)
+    // every manifest pointer must resolve to a written bucket dir and
+    // the store must read back cleanly
+    val m = sink.currentManifest()
+    for ((b, c) <- m)
+      assert(new java.io.File(s"$dir/data/$c/bucket=$b").exists(),
+        s"manifest points at unwritten bucket=$b in $c")
+    assert(sink.read().get.count() === 64L)
+    // and read() serves every staged row: ids are unique per evaluation
+    assert(sink.read().get.select("id").distinct().count() === 64L)
   }
 
   test("targeted delete removes exactly the requested ids (absent ids " +
        "ignored, replay no-op); deleting everything collapses to absent " +
        "and the next upsert bootstraps") {
     val dir = tmp()
-    val sink = new ManifestUpsertSink(spark, dir, "id", nBuckets = 4)
+    val sink = new ManifestUpsertSink(spark, dir, "id", nBuckets = 4,
+      retainSnapshots = 1)
     sink.upsert(docs((1 to 12).map(i => s"x$i" -> s"v$i"): _*))
     val victims = (1 to 11).map(i => s"x$i")
     sink.delete((victims :+ "never_existed").toDF("id"))
@@ -80,7 +104,8 @@ class ManifestSinkSpec extends SparkTestBase {
        "unbounded accumulation under per-tick bucket churn)") {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val dir = tmp()
-    val sink = new ManifestUpsertSink(spark, dir, "id", nBuckets = 4)
+    val sink = new ManifestUpsertSink(spark, dir, "id", nBuckets = 4,
+      retainSnapshots = 1)
     val ids = (1 to 16).map(i => s"d$i")
     // compute each id's bucket the same way the sink does
     val byBucket = ids.toDF("id")
@@ -111,13 +136,15 @@ class ManifestSinkSpec extends SparkTestBase {
        "stays fully readable, recovery replay converges, orphan commit " +
        "dirs are gc'd by the next successful commit") {
     val dir = tmp()
-    val stable = new ManifestUpsertSink(spark, dir, "id", nBuckets = 4)
+    val stable = new ManifestUpsertSink(spark, dir, "id", nBuckets = 4,
+      retainSnapshots = 1)
     stable.upsert(docs("a" -> "one", "b" -> "two", "c" -> "three"))
     val before = idsOf(stable)
     val dirsBefore = commitDirs(dir)
 
     // a sink whose commit step dies AFTER the new data files exist
     val crashing = new ManifestUpsertSink(spark, dir, "id", nBuckets = 4,
+      retainSnapshots = 1,
       beforeCommit = () => throw new RuntimeException("power cut"))
     val boom = intercept[RuntimeException] {
       crashing.upsert(docs("b" -> "TWO", "z" -> "new"))
@@ -135,20 +162,46 @@ class ManifestSinkSpec extends SparkTestBase {
     assert(idsOf(stable) ===
       Set("a" -> "one", "b" -> "TWO", "c" -> "three", "z" -> "new"))
     // gc removed the orphan AND superseded commits: dirs == referenced
-    val manifest = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/MANIFEST")))
-    val referenced = manifest.linesIterator.drop(1)
-      .map(_.split("\t")(1)).toSet
-    assert(commitDirs(dir) === referenced)
+    assert(commitDirs(dir) === stable.currentManifest().values.toSet)
 
     // crash mid-DELETE is equally safe
     val crashingDel = new ManifestUpsertSink(spark, dir, "id", nBuckets = 4,
+      retainSnapshots = 1,
       beforeCommit = () => throw new RuntimeException("power cut"))
     val snap = idsOf(stable)
     intercept[RuntimeException] { crashingDel.delete(Seq("a").toDF("id")) }
     assert(idsOf(stable) === snap)
     stable.delete(Seq("a").toDF("id"))
     assert(idsOf(stable) === snap.filterNot(_._1 == "a"))
+  }
+
+  test("retention window: a reader holding a snapshot-v plan survives " +
+       "retainSnapshots - 1 later commits to the SAME bucket, then ages " +
+       "out; crash-publish never deletes the live manifest before the " +
+       "replacement is durable (fresh-name rename, no clobber)") {
+    val dir = tmp()
+    val sink = new ManifestUpsertSink(spark, dir, "id", nBuckets = 1,
+      retainSnapshots = 3)
+    sink.upsert(docs("a" -> "v1"))
+    // reader plans against snapshot v0 (nBuckets=1: every later commit
+    // rewrites the reader's one bucket — the worst case)
+    val reader = sink.read().get
+    val snapshot = reader.as[(String, String)].collect().toSet
+    sink.upsert(docs("a" -> "v2")) // commit 2
+    sink.upsert(docs("a" -> "v3")) // commit 3 — v0 still retained (last 3)
+    assert(reader.as[(String, String)].collect().toSet === snapshot,
+      "reader plan must survive retainSnapshots - 1 later commits")
+    assert(idsOf(sink) === Set("a" -> "v3"), "current snapshot advanced")
+    // storage is bounded by the window: exactly the last 3 manifests'
+    // referenced dirs survive gc
+    val retained = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("MANIFEST-")).sorted.toSeq
+    assert(retained.size === 3, s"manifest files pruned to window: $retained")
+    sink.upsert(docs("a" -> "v4")) // commit 4 — v0 ages out
+    val c0 = commitDirs(dir)
+    assert(!c0.contains("commit-0"),
+      "snapshot beyond the retention window must be gc'd")
+    assert(c0.size === 3, "exactly the retained snapshots' dirs remain")
   }
 
   test("drop-in DocSink: CdcPipeline drain over manifest sinks matches " +

@@ -197,6 +197,44 @@ class MoviesSpec extends SparkTestBase {
     assert(viaIdx.toSeq === viaSearch.toSeq)
   }
 
+  test("PostingIndex: posting-pruned BM25F is referee-equal to the " +
+       "full-scan scorer — bit-identical score column on every search " +
+       "fixture query — and the reopened index serves identically") {
+    val docs = Docs.movieDocs(norm.filmWork, norm.person, norm.genre,
+      norm.personFilmWork, norm.genreFilmWork)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx").toString
+    val idx = PostingIndex.build(docs, dir,
+      nTermBuckets = 4, nDocBuckets = 4)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"score").as[(String, Double)].collect()
+        .sortBy(_._1).toSeq
+    // the MoviesSpec queries: title boost, person-name across fields,
+    // stemmed match, an unknown term (df = 0), a fully-absent query
+    for (q <- Seq("star wars", "George Lucas", "explosion",
+        "star nonexistentterm", "zzz absentterm", "star wars")) {
+      val pruned = ranked(idx.score(q))
+      assert(pruned === ranked(Search.score(docs, q)), q)
+    }
+    // schema parity with the full-scan face (payload columns + score)
+    assert(idx.score("star wars").columns.toSeq ===
+      Search.score(docs, "star wars").columns.toSeq)
+    // empty / all-stopword queries: empty result, full schema
+    assert(idx.scoreTerms(Nil).collect().isEmpty)
+    // search-API face parity (relevance order, sort, pagination)
+    val viaIdx = idx.search(Some("star wars"), "imdb_rating", asc = false)
+      .select("id").as[String].collect()
+    val viaSearch = Search.search(docs, Some("star wars"), "imdb_rating",
+      asc = false).select("id").as[String].collect()
+    assert(viaIdx.toSeq === viaSearch.toSeq)
+    val browse = idx.search(None, "title", asc = true, page = 2, limit = 2)
+      .select("id").as[String].collect()
+    assert(browse.length === 1)
+    // serving restart: open() resolves stats.json and ranks identically
+    val reopened = PostingIndex.open(spark, dir)
+    assert(ranked(reopened.score("George Lucas")) ===
+      ranked(Search.score(docs, "George Lucas")))
+  }
+
   test("russian snowball: inflected forms stem to the published roots") {
     val cases = Seq(
       // noun case endings fold to one root

@@ -682,6 +682,43 @@ class PlansSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("posting-pruned search serving shape: a selective query reads " +
+       "posting buckets and candidate doc-buckets (PartitionFilters on " +
+       "both scans), joined semi — NOT a full corpus scan per query") {
+    import graft.movies.PostingIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pidx_plan").toString
+    // 100 docs; the probe term appears in exactly ONE document, so the
+    // pruned plan must touch one posting bucket and one doc bucket
+    val corpus = (1 to 100).map(i =>
+      (f"doc_$i%03d", s"filler common words row $i" +
+        (if (i == 37) " needleterm" else ""))).toDF("id", "text")
+    val idx = PostingIndex.buildTokenized(corpus, dir,
+      tokens = Map("text" -> split(col("text"), "\\s+")),
+      weights = Map("text" -> 1), idCol = "id",
+      nTermBuckets = 8, nDocBuckets = 8)
+    val out = idx.scoreTerms(Seq("needleterm"))
+    assert(out.select("id").as[String].collect().toSeq === Seq("doc_037"))
+    val p = out.queryExecution.executedPlan.toString
+    // both stored scans carry partition filters (directory pruning)
+    val dbF = "PartitionFilters: \\[[^\\]]*__db[^\\]]*\\]".r.findFirstIn(p)
+    val tbF = "PartitionFilters: \\[[^\\]]*__tb[^\\]]*\\]".r.findFirstIn(p)
+    assert(dbF.isDefined && tbF.isDefined, p)
+    // ...and prune to exactly the one candidate's bucket / the one
+    // term's bucket (single-value filters: rendered `= b` or `IN (b)`)
+    val Seq(db, tb) = Seq("doc_037" -> 8, "needleterm" -> 8).map {
+      case (v, n) => Seq(v).toDF("v")
+        .select(pmod(xxhash64(col("v")), lit(n)).cast("int"))
+        .head().getInt(0)
+    }
+    assert(dbF.get.contains(s"= $db)") || dbF.get.contains(s"IN ($db)"),
+      s"docs scan not pruned to bucket $db: ${dbF.get}")
+    assert(tbF.get.contains(s"= $tb)") || tbF.get.contains(s"IN ($tb)"),
+      s"postings scan not pruned to bucket $tb: ${tbF.get}")
+    // candidates arrive via a semi join, not a second full pass
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("batched PQ serving shape: per-query LUTs ride a broadcast (no " +
        "per-query collect), the coded corpus scans once, and the " +
        "per-query top-k is one window shuffle") {
