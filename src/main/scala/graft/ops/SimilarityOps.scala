@@ -1126,30 +1126,66 @@ object SimilarityOps {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       centers: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
+      nProbe: Int, shortlist: Int, k: Int): DataFrame =
+    ivfPqServe(index, idCol, vectors, vecIdCol, vecCol,
+      ivfProbeLut(queries, queryIdCol, queryVecCol, centers, codebooks,
+        nProbe),
+      queryIdCol, codebooks, shortlist, k)
+
+  /** Multi-query IVF×PQ over a STORED cell-partitioned index layout
+    * (the [[refreshIvfPqIndex]] dir format): routes the batch in-plan,
+    * then applies the batch's DISTINCT probed-cell set — ONE bounded
+    * collect for the whole batch, ≤ nList values — as a literal
+    * partition filter on the index scan, so the scan reads only the
+    * probed `cell=N` directories (PartitionFilters, planning-time
+    * pruning; PlansSpec asserts it). Still zero per-QUERY jobs: the
+    * routing job is per batch, and its output (≤ |queries|·nProbe
+    * probe rows) is checkpointed so routing never re-executes.
+    */
+  def ivfPqTopKMultiStored(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
       nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+    val probe = ivfProbeLut(queries, queryIdCol, queryVecCol, centers,
+      codebooks, nProbe).localCheckpoint()
+    val cells = probe.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val index = spark.read.parquet(indexDir)
+      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+    ivfPqServe(index, idCol, vectors, vecIdCol, vecCol, probe,
+      queryIdCol, codebooks, shortlist, k)
+  }
+
+  /** ROUTE stage shared by the multi-query faces: same IEEE fold as
+    * ivfRoute — d = Σ (q_i − c_i)² in index order; ties to the lower
+    * cell id. The queries subplan executes ONCE: the probe rows carry
+    * the per-query LUT and the float-narrowed re-rank vector with them
+    * (the LUT dominates the carried width; __qv matches the single
+    * face's typedLit(query.map(_.toFloat)) narrowing bit-for-bit, so
+    * double-valued query columns referee-equal too). A null routing
+    * distance can only mean a query/centroid dim mismatch
+    * (zip_with pads with null) — fail loudly like ivfRoute's require.
+    */
+  private def ivfProbeLut(
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(shortlist >= k, "shortlist must be at least k")
     require(nProbe > 0 && nProbe <= centers.length,
       s"nProbe must be in [1, ${centers.length}]")
-    require(queryIdCol != idCol,
-      "query and corpus id columns must differ (both appear in the output)")
     val spark = queries.sparkSession
     import spark.implicits._
     val centroids = centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "__ctr")
-    // ROUTE: same IEEE fold as ivfRoute — d = Σ (q_i − c_i)² in index
-    // order; ties to the lower cell id. The queries subplan executes
-    // ONCE: the probe rows carry the per-query LUT and the
-    // float-narrowed re-rank vector with them (the LUT dominates the
-    // carried width; __qv matches the single face's
-    // typedLit(query.map(_.toFloat)) narrowing bit-for-bit, so
-    // double-valued query columns referee-equal too). A null routing
-    // distance can only mean a query/centroid dim mismatch
-    // (zip_with pads with null) — fail loudly like ivfRoute's require.
     val wd = Window.partitionBy(col(queryIdCol))
       .orderBy(col("__d").asc, col("cell").asc)
-    val probeLut = queries
+    queries
       .select(col(queryIdCol), col(queryVecCol).as("__q"),
         pqLutColumn(col(queryVecCol), codebooks).as("__lut"))
       .join(broadcast(centroids))
@@ -1164,6 +1200,19 @@ object SimilarityOps {
       .filter(col("__r") <= nProbe)
       .select(col(queryIdCol), col("cell"), col("__lut"),
         col("__q").cast("array<float>").as("__qv"))
+  }
+
+  /** ADC + re-rank stages shared by the multi-query faces. */
+  private def ivfPqServe(
+      index: DataFrame, idCol: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      probeLut: DataFrame, queryIdCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, "shortlist must be at least k")
+    require(queryIdCol != idCol,
+      "query and corpus id columns must differ (both appear in the output)")
     // PRUNE + ADC: one index scan for all queries; candidates = rows
     // in any query's probed cells, scored per (query, row). The LUT is
     // consumed in the scan stage and dropped BEFORE the per-query

@@ -1351,6 +1351,124 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter($"rank" <= 10L)
         .orderBy($"query_id", $"rank")
+    },
+
+    // BATCHED IVF×PQ serving (SimilarityOps.ivfPqTopKMulti — the
+    // composed billion-vector read path at the query dimension,
+    // VERDICT r9 task #2): 5 queries route to nProbe=2 of the 8 fixed
+    // q118 centroids IN-PLAN (broadcast centroid table + per-query
+    // row_number, no driver routing), ADC-score only rows in each
+    // query's probed cells off the stored (id, cell, codes) index,
+    // shortlist 50 per query, exact-cosine re-rank to top-10. Zero
+    // per-query driver actions or jobs. Oracle: q139's end-to-end
+    // replay (assign, route, encode, LUT, ADC, re-rank) generalized
+    // per query via the q289 chained-CTE pattern.
+    GraftQuery(
+      "q292_ivfpq_serve_batch",
+      s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe
+         |       FROM embeddings WHERE vec_id < 5),
+         |assign AS (
+         |  SELECT vec_id, embedding,
+         |    (SELECT c FROM (
+         |       SELECT c, list_reduce(list_prepend(0.0,
+         |         list_transform(generate_series(1, len(embedding)), i ->
+         |           (CAST(embedding[i] AS DOUBLE) -
+         |              CASE WHEN i = c*8+1 THEN 8.0 ELSE 0.0 END)
+         |           * (CAST(embedding[i] AS DOUBLE) -
+         |              CASE WHEN i = c*8+1 THEN 8.0 ELSE 0.0 END))),
+         |         (x,y)->x+y) AS dist
+         |       FROM (SELECT unnest(generate_series(0, 7)) AS c))
+         |     ORDER BY dist, c LIMIT 1) AS cell
+         |  FROM embeddings),
+         |route AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT query_id, c AS cell,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dist, c) AS rn
+         |    FROM (
+         |      SELECT query_id, c, list_reduce(list_prepend(0.0,
+         |        list_transform(generate_series(1, len(qe)), i ->
+         |          (CAST(qe[i] AS DOUBLE) -
+         |             CASE WHEN i = c*8+1 THEN 8.0 ELSE 0.0 END)
+         |          * (CAST(qe[i] AS DOUBLE) -
+         |             CASE WHEN i = c*8+1 THEN 8.0 ELSE 0.0 END))),
+         |        (x,y)->x+y) AS dist
+         |      FROM qv, (SELECT unnest(generate_series(0, 7)) AS c)))
+         |  WHERE rn <= 2),
+         |probed AS (
+         |  SELECT r.query_id, a.vec_id, a.embedding, a.cell
+         |  FROM assign a JOIN route r ON a.cell = r.cell),
+         |code AS (
+         |  SELECT query_id, vec_id, cell,
+         |    (SELECT c FROM (
+         |       SELECT c, list_reduce(list_prepend(0.0,
+         |         list_transform(embedding[1:32], (v, i) ->
+         |           (CAST(v AS DOUBLE) - (((c*7 + (i-1)) % 5) - 2))
+         |           * (CAST(v AS DOUBLE) - (((c*7 + (i-1)) % 5) - 2)))),
+         |         (x,y)->x+y) AS dist
+         |       FROM (SELECT unnest(generate_series(0, 3)) AS c))
+         |     ORDER BY dist, c LIMIT 1) AS code0,
+         |    (SELECT c FROM (
+         |       SELECT c, list_reduce(list_prepend(0.0,
+         |         list_transform(embedding[33:64], (v, i) ->
+         |           (CAST(v AS DOUBLE) - (((31 + c*7 + (i-1)) % 5) - 2))
+         |           * (CAST(v AS DOUBLE) - (((31 + c*7 + (i-1)) % 5) - 2)))),
+         |         (x,y)->x+y) AS dist
+         |       FROM (SELECT unnest(generate_series(0, 3)) AS c))
+         |     ORDER BY dist, c LIMIT 1) AS code1
+         |  FROM probed),
+         |l0 AS (
+         |  SELECT query_id, c, CAST(floor(1000000 * list_reduce(
+         |    list_prepend(0.0, list_transform(qe[1:32], (v, i) ->
+         |      CAST(v AS DOUBLE) * (((c*7 + (i-1)) % 5) - 2))),
+         |    (x,y)->x+y)) AS BIGINT) AS v
+         |  FROM qv, (SELECT unnest(generate_series(0, 3)) AS c)),
+         |l1 AS (
+         |  SELECT query_id, c, CAST(floor(1000000 * list_reduce(
+         |    list_prepend(0.0, list_transform(qe[33:64], (v, i) ->
+         |      CAST(v AS DOUBLE) * (((31 + c*7 + (i-1)) % 5) - 2))),
+         |    (x,y)->x+y)) AS BIGINT) AS v
+         |  FROM qv, (SELECT unnest(generate_series(0, 3)) AS c)),
+         |short AS (
+         |  SELECT query_id, vec_id, cell, adc_score FROM (
+         |    SELECT c.query_id, c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+         |      l0.v + l1.v AS adc_score,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY l0.v + l1.v DESC, c.vec_id) AS rn
+         |    FROM code c
+         |    JOIN l0 ON l0.query_id = c.query_id AND l0.c = c.code0
+         |    JOIN l1 ON l1.query_id = c.query_id AND l1.c = c.code1)
+         |  WHERE rn <= 50),
+         |rr AS (
+         |  SELECT s.query_id, s.vec_id, s.cell, s.adc_score,
+         |    CAST(${duckCosMicro("a", "q")} AS BIGINT) AS cos_micro
+         |  FROM short s
+         |  JOIN embeddings a ON a.vec_id = s.vec_id
+         |  JOIN (SELECT query_id, qe AS embedding FROM qv) q
+         |    ON q.query_id = s.query_id)
+         |SELECT query_id, vec_id, cell, adc_score, cos_micro, rank
+         |FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_micro DESC, vec_id) AS BIGINT) AS rank
+         |  FROM rr)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val centers = Array.tabulate(8)(c =>
+        Array.tabulate(64)(i => if (i == c * 8) 8.0 else 0.0))
+      val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+        Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
+      val e = Tables.load(s, dir, "embeddings")
+      val index = SimilarityOps.ivfPqIndex(
+        e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+        centers, codebooks)
+      val queries = e.filter($"vec_id" < 5L)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      SimilarityOps.ivfPqTopKMulti(
+          index, "vec_id", e, "vec_id", "embedding",
+          queries, "query_id", "qvec", centers, codebooks,
+          nProbe = 2, shortlist = 50, k = 10)
+        .orderBy($"query_id", $"rank")
     }) :+ RetrievalPipelineGate
 
   /** RETRIEVAL SERVING end-to-end (the composition finisher for the

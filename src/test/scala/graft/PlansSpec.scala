@@ -564,7 +564,12 @@ class PlansSpec extends SparkTestBase {
         // q289 broadcasts the 5-row query-LUT table over the coded
         // corpus (model-as-table, q223's argument) and the 5-row query
         // set over the ≤250-row re-rank shortlist
-        "q289_pq_serve_batch")
+        "q289_pq_serve_batch",
+        // q292's router crosses the 5-row query set with the broadcast
+        // 8-row centroid table (model-as-table: |queries|×nList rows,
+        // both sides driver-bounded); ADC join and re-rank fetch are
+        // equi-joins on cell/id
+        "q292_ivfpq_serve_batch")
     // collect ALL offenders before failing — a one-at-a-time assert
     // hides the second offender behind the first across long re-runs
     val offenses = scala.collection.mutable.ListBuffer.empty[String]
@@ -717,6 +722,76 @@ class PlansSpec extends SparkTestBase {
       s"postings scan not pruned to bucket $tb: ${tbF.get}")
     // candidates arrive via a semi join, not a second full pass
     assert(p.contains("LeftSemi"), p)
+  }
+
+  test("batched IVF×PQ serving shape: the probe join partition-prunes " +
+       "the cell-partitioned stored index (no full index scan for a " +
+       "multi-query batch), zero per-query jobs, stored ≡ in-memory") {
+    import graft.ops.SimilarityOps
+    val centers = Array.tabulate(8)(c =>
+      Array.tabulate(64)(i => if (i == c * 8) 8.0 else 0.0))
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+      Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq_multi_index").toString
+    SimilarityOps.ivfPqIndex(
+        e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+        centers, codebooks)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    // 3 queries × nProbe 2 probe ≤ 6 of the 8 cells — pruning must
+    // show even when the batch's routes collectively spread out
+    val queries = e.filter($"vec_id" < 3L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      .localCheckpoint() // pin inputs: count only the serving jobs
+    val served = SimilarityOps.ivfPqTopKMultiStored(
+      spark, dir, "vec_id", e, "vec_id", "embedding",
+      queries, "query_id", "qvec", centers, codebooks,
+      nProbe = 2, shortlist = 50, k = 10)
+    val p = served.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(p)
+    assert(pf.isDefined, p)
+    // the filter's literal cell set == the union of the queries'
+    // routes (driver ivfRoute as the referee of the in-plan routing),
+    // a strict subset of the 8 partitions
+    val expected = queries.select($"qvec").as[Seq[Float]].collect()
+      .flatMap(q =>
+        SimilarityOps.ivfRoute(q.map(_.toDouble).toArray, centers, 2))
+      .toSet
+    val inSet = "IN \\(([-0-9, ]+)\\)".r.findFirstMatchIn(pf.get)
+      .map(_.group(1).split(",").map(_.trim.toInt).toSet)
+      .orElse("= ([0-9]+)\\)".r.findFirstMatchIn(pf.get)
+        .map(m => Set(m.group(1).toInt)))
+    assert(inSet.isDefined, pf.get)
+    assert(inSet.get === expected, s"pruned to ${inSet.get}, routes say $expected")
+    assert(inSet.get.size < 8, "no partition actually pruned")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rows =
+      try { val r = served.collect(); Thread.sleep(200); r }
+      finally spark.sparkContext.removeSparkListener(listener)
+    assert(rows.length === 30)
+    // job count is a constant of the plan (windows, joins, AQE stage
+    // materializations), NOT a function of |queries| — per-query
+    // serving would pay ≥ 3 jobs per query for routes + LUTs alone
+    assert(jobs.get() <= 10, s"batched IVF×PQ ran ${jobs.get()} jobs")
+    // ...and the stored pruned path is row-identical to the in-memory
+    // multi face (which TextDedupSimSpec referees against N single runs)
+    val inMem = SimilarityOps.ivfPqTopKMulti(
+      SimilarityOps.ivfPqIndex(
+        e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+        centers, codebooks),
+      "vec_id", e, "vec_id", "embedding",
+      queries, "query_id", "qvec", centers, codebooks,
+      nProbe = 2, shortlist = 50, k = 10)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    assert(served.orderBy($"query_id", $"rank").collect().toSeq === inMem)
   }
 
   test("batched PQ serving shape: per-query LUTs ride a broadcast (no " +
