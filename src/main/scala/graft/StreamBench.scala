@@ -3,21 +3,37 @@ package graft
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
-/** Sustained-rate readout for the CDC path (round-8 VERDICT task #6):
-  * drain the whole sf events table through both CDC faces at the
-  * reference daemon's own batch-size tunables (daemon.py:397-400,
-  * `--pg-batch`/`--es-batch` default 1000) and report events/s —
+/** Sustained-rate readout for the CDC path (round-8 VERDICT task #6,
+  * extended per round-9 tasks #3/#5): drain the whole sf events table
+  * through the CDC faces at the reference daemon's own batch-size
+  * tunables (daemon.py:397-400, `--pg-batch`/`--es-batch` default
+  * 1000) and report events/s —
   *
   *  - `batch_loop`: the q149 end-to-end shape — Keyset.nextBatch →
   *    latest-per-key reduce → UpsertSink bucket rewrite per tick
   *    (source + transform + sink, the full pipeline rate);
+  *  - `log_sink`: the same loop over [[graft.cdc.LogUpsertSink]] —
+  *    append-only segments, O(|batch|) per tick by construction;
+  *    compaction every 50 ticks is included in the total;
+  *  - `es_wire`: the same loop over [[graft.cdc.EsWire.EsDocSink]]
+  *    POSTing real `_bulk` bodies from executors to an in-process
+  *    [[graft.cdc.EsStub]] — the doc-level sink the O(store) analysis
+  *    recommends (no store rewrite at all; the stub serializes
+  *    requests, so treat the number as a floor);
   *  - `dsv2_parquet`: the engine-trigger face — the DSv2 KeysetSource
   *    micro-batch stream appending to a parquet file sink under a real
   *    streaming checkpoint (source-side sustained rate).
   *
+  * Each batch-loop face also reports `tick_ratio`: mean duration of
+  * its last quarter of ticks over its first quarter — ≈1 means
+  * per-tick cost is FLAT in store size (the log sink's design
+  * property); the UpsertSink's ratio grows with the store (the
+  * documented O(affected buckets)→O(store) trade-off on uniform keys).
+  *
   * Prints one JSON line and writes `_streambench.json`; recorded in
-  * BASELINE.md. Both paths assert they drained exactly the table's
-  * row count — a silent under-delivery can't report a rate.
+  * BASELINE.md. Every path asserts it drained exactly the table's row
+  * count (and the sinks, that they hold exactly the distinct-key
+  * count) — a silent under-delivery can't report a rate.
   */
 object StreamBench {
 
@@ -32,6 +48,7 @@ object StreamBench {
     val events = Tables.load(spark, sfDir, "events")
       .withColumn("did", lpad(col("event_id").cast("string"), 12, "0"))
     val total = events.count()
+    val users = events.select(col("user_id")).distinct().count()
 
     // string-keyed physical copy for the DSv2 source (it watches a
     // parquet dir; the keyset tiebreaker must be a string column)
@@ -39,19 +56,26 @@ object StreamBench {
       Files.createTempDirectory("graft_sb_src").toString + "/events"
     events.write.parquet(srcDir)
 
-    def batchLoop(batchSize: Int): Double = {
-      import graft.cdc.{Keyset, UpsertSink}
+    /** Drain via keyset ticks into `store`; returns (total sec,
+      * per-tick secs). `postTick` runs outside tick timing — the log
+      * face schedules compaction there but its cost still lands in the
+      * total.
+      */
+    def drainLoop(
+        batchSize: Int, store: graft.cdc.DocSink,
+        postTick: Int => Unit = _ => ()): (Double, Vector[Double]) = {
+      import graft.cdc.Keyset
       import org.apache.spark.sql.expressions.Window
-      val tmp = Files.createTempDirectory("graft_sb_loop").toString
-      val store =
-        new UpsertSink(spark, s"$tmp/store", "user_id", nBuckets = 32)
       val w = Window.partitionBy(col("user_id"))
         .orderBy(unix_micros(col("ts")).desc, col("did").desc)
       var cur = Keyset.Cursor.Zero
       var n = 0L
+      var tick = 0
+      val ticks = Vector.newBuilder[Double]
       val t0 = System.nanoTime()
       var done = false
       while (!done) {
+        val tt0 = System.nanoTime()
         val (batch, next) =
           Keyset.nextBatch(events, "ts", "did", cur, batchSize)
         if (next == cur) done = true
@@ -61,11 +85,49 @@ object StreamBench {
           store.upsert(b.withColumn("rk", row_number().over(w))
             .filter(col("rk") === 1).drop("rk"))
           cur = next
+          ticks += (System.nanoTime() - tt0) / 1e9
+          tick += 1
+          postTick(tick)
         }
       }
       val sec = (System.nanoTime() - t0) / 1e9
       require(n == total, s"batch loop drained $n of $total rows")
-      sec
+      (sec, ticks.result())
+    }
+
+    def requireStoreComplete(count: Long, face: String): Unit =
+      require(count == users,
+        s"$face holds $count of $users latest-per-key docs")
+
+    def upsertFace(batchSize: Int): (Double, Vector[Double]) = {
+      val tmp = Files.createTempDirectory("graft_sb_loop").toString
+      val store = new graft.cdc.UpsertSink(
+        spark, s"$tmp/store", "user_id", nBuckets = 32)
+      val r = drainLoop(batchSize, store)
+      requireStoreComplete(store.read().get.count(), "upsert_sink")
+      r
+    }
+
+    def logFace(batchSize: Int): (Double, Vector[Double]) = {
+      val tmp = Files.createTempDirectory("graft_sb_log").toString
+      val store = new graft.cdc.LogUpsertSink(
+        spark, s"$tmp/store", "user_id", nBuckets = 32)
+      val r = drainLoop(batchSize, store,
+        postTick = t => if (t % 50 == 0) store.compact())
+      store.compact()
+      requireStoreComplete(store.read().get.count(), "log_sink")
+      r
+    }
+
+    def esFace(batchSize: Int): (Double, Vector[Double]) = {
+      val stub = new graft.cdc.EsStub
+      try {
+        val store = new graft.cdc.EsWire.EsDocSink(
+          spark, stub.host, "events", "user_id", batchSize = batchSize)
+        val r = drainLoop(batchSize, store)
+        requireStoreComplete(stub.store.size.toLong, "es_wire")
+        r
+      } finally stub.stop()
     }
 
     def dsv2(batchSize: Int): Double = {
@@ -91,15 +153,32 @@ object StreamBench {
       sec
     }
 
+    /** mean(last quarter of ticks) / mean(first quarter): flat == ~1. */
+    def tickRatio(ticks: Vector[Double]): Double = {
+      val q = math.max(1, ticks.length / 4)
+      val first = ticks.take(q).sum / q
+      val last = ticks.takeRight(q).sum / q
+      if (first <= 0) 0.0 else last / first
+    }
+
     val batches = Seq(1000, 10000)
-    val loops = batches.map(b => b -> batchLoop(b))
-    val streams = batches.map(b => b -> dsv2(b))
+    def fmtTicks(r: (Int, (Double, Vector[Double]))) =
+      s""""${r._1}":{"sec":${r._2._1},""" +
+        s""""events_per_sec":${(total / r._2._1).toLong},""" +
+        s""""tick_ratio":${math.round(tickRatio(r._2._2) * 100) / 100.0}}"""
     def fmt(r: (Int, Double)) =
       s""""${r._1}":{"sec":${r._2},""" +
         s""""events_per_sec":${(total / r._2).toLong}}"""
+
+    val loops = batches.map(b => b -> upsertFace(b))
+    val logs = batches.map(b => b -> logFace(b))
+    val es = batches.map(b => b -> esFace(b))
+    val streams = batches.map(b => b -> dsv2(b))
     val json =
-      s"""{"metric":"cdc_throughput","rows":$total,""" +
-        s""""batch_loop":{${loops.map(fmt).mkString(",")}},""" +
+      s"""{"metric":"cdc_throughput","rows":$total,"keys":$users,""" +
+        s""""batch_loop":{${loops.map(fmtTicks).mkString(",")}},""" +
+        s""""log_sink":{${logs.map(fmtTicks).mkString(",")}},""" +
+        s""""es_wire":{${es.map(fmtTicks).mkString(",")}},""" +
         s""""dsv2_parquet":{${streams.map(fmt).mkString(",")}},""" +
         s""""sf":"$sfDir"}"""
     println(json)

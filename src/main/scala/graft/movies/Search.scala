@@ -182,4 +182,78 @@ object Search {
     }
     ordered.offset((page - 1) * limit).limit(limit)
   }
+
+  /** Deep-pagination cursor: the last row of a page, as (score — only
+    * meaningful when a query was given, sort value — None when the row
+    * sorts in the trailing NULL zone, id). Build one with
+    * [[cursorOf]].
+    */
+  final case class SearchAfter(
+      score: Double, sortValue: Option[Any], id: String)
+
+  /** Cursor for the NEXT page after `row` (a row of a [[searchAfter]]
+    * or [[search]] page, schema = doc columns + score).
+    */
+  def cursorOf(row: org.apache.spark.sql.Row, sortField: String): SearchAfter =
+    SearchAfter(
+      score = row.getAs[Double]("score"),
+      sortValue = Option(row.getAs[Any](sortField)),
+      id = row.getAs[String]("id"))
+
+  /** Keyset (`search_after`) pagination — the deep-page face of
+    * [[search]]. Offset pagination re-sorts and SKIPS (page-1)·limit
+    * rows, so page 10⁶ costs a million-row scan past the sort; this
+    * face turns the page boundary into a lexicographic row predicate
+    * on the total order (score desc, sort key with nulls last, id) —
+    * the [[graft.cdc.Keyset.lowerBound]] tuple-predicate pattern on
+    * the search API's sort — so every page is filter + top-`limit`
+    * (TakeOrderedAndProject; the predicate is plain column
+    * comparisons, pushable to the scan). Matches the reference's
+    * pagination intent (api.py:85-86) at scan-bounded cost;
+    * MoviesSpec walks both faces to equality, null zone included.
+    *
+    * `after` = None yields page 1; feed [[cursorOf]] of each page's
+    * last row to get the next. Page walk ≡ [[search]]'s offset walk
+    * because both paginate the SAME total order (ids break all ties).
+    */
+  def searchAfter(
+      docs: DataFrame,
+      query: Option[String],
+      sortField: String = "id",
+      asc: Boolean = true,
+      limit: Int = 50,
+      after: Option[SearchAfter] = None): DataFrame = {
+    require(Seq("id", "title", "imdb_rating").contains(sortField),
+      s"unsupported sort field: $sortField")
+    require(limit > 0, "limit must be positive")
+    val sortCol = if (asc) col(sortField).asc_nulls_last
+                  else col(sortField).desc_nulls_last
+    val base = query.fold(docs.withColumn("score", lit(0.0)))(q =>
+      score(docs, q))
+    val paged = after.fold(base) { cur =>
+      // strictly-after on the (nullable) sort key, honoring the
+      // NULLS LAST zone: any null sorts after every non-null value in
+      // BOTH directions, and within the null zone order falls to id
+      val s = col(sortField)
+      val (sortStrict, sortEqual) = cur.sortValue match {
+        case Some(v) =>
+          ((if (asc) s > lit(v) else s < lit(v)) || s.isNull,
+            s === lit(v))
+        case None => (lit(false), s.isNull)
+      }
+      val tail = sortStrict || (sortEqual && col("id") > lit(cur.id))
+      base.filter(query match {
+        case Some(_) =>
+          col("score") < lit(cur.score) ||
+            (col("score") === lit(cur.score) && tail)
+        case None => tail
+      })
+    }
+    val ordered = query match {
+      case Some(_) =>
+        paged.orderBy(col("score").desc, sortCol, col("id").asc)
+      case None => paged.orderBy(sortCol, col("id").asc)
+    }
+    ordered.limit(limit)
+  }
 }

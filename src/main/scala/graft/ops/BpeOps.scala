@@ -538,6 +538,218 @@ object BpeOps {
       p -> (EvalOps.log2Q20Host(c) - EvalOps.log2Q20Host(total)) }
   }
 
+  // ── Q20 integer log-sum-exp / exp2 (the soft-EM arithmetic) ──
+  //
+  // Soft EM needs Σ of probabilities under log-space scores. We keep
+  // the trainer's exactness discipline by doing BOTH in deterministic
+  // integer Q20: lse(a,b) = max + T_lse(Δ) and 2^(g/Q) = T_exp(frac)»int,
+  // where the two tables are integer literals built once on the host
+  // (StrictMath — bit-identical on every JVM) and shared verbatim by
+  // the engine expressions and the UnigramSpec referee. Quantization
+  // (Δ and frac at 2^14 steps) costs ≤ ~1% per op — irrelevant to EM,
+  // which only needs consistent relative mass — while keeping every
+  // ranking decision exact-integer and engine ≡ referee bit-for-bit.
+
+  private val LseQuantShift = 14 // Q20 diffs quantize to 1/64-bit steps
+
+  /** T_lse(i) = round(Q·log2(1 + 2^(−i/64))): the log-sum-exp
+    * correction for a quantized score difference; 0 past the table.
+    */
+  private[graft] lazy val unigramLseTable: IndexedSeq[Long] =
+    IndexedSeq.tabulate(26 * 64 + 1) { i =>
+      math.round((1L << 20).toDouble *
+        StrictMath.log1p(StrictMath.pow(2.0, -i / 64.0)) /
+        StrictMath.log(2.0))
+    }
+
+  /** T_exp(i) = round(Q·2^(−i/64)) for the fractional part of a
+    * negative Q20 exponent.
+    */
+  private[graft] lazy val unigramExpFracTable: IndexedSeq[Long] =
+    IndexedSeq.tabulate(64)(i =>
+      math.round((1L << 20).toDouble * StrictMath.pow(2.0, -i / 64.0)))
+
+  /** Host replica of the engine's lse — the referee arithmetic. */
+  private[graft] def hostLse(a: Long, b: Long): Long = {
+    val hi = math.max(a, b)
+    val idx = ((hi - math.min(a, b)) >> LseQuantShift).toInt
+    hi + (if (idx < unigramLseTable.length) unigramLseTable(idx) else 0L)
+  }
+
+  /** Host replica of the engine's 2^(g/Q) in Q20 (g clamped ≤ 0). */
+  private[graft] def hostExp2Q20(g: Long): Long = {
+    val m = -math.min(g, 0L)
+    val ip = (m >> 20).toInt
+    if (ip >= 21) 0L
+    else unigramExpFracTable(((m & ((1L << 20) - 1L)) >>
+      LseQuantShift).toInt) >> ip
+  }
+
+  /** Engine lse over nullable candidates: null means "no path". */
+  private def lseCol(a: Column, b: Column): Column =
+    when(a.isNull, b).otherwise(when(b.isNull, a).otherwise {
+      val hi = greatest(a, b)
+      val d = hi - least(a, b)
+      hi + coalesce(
+        try_element_at(typedLit(unigramLseTable),
+          (shiftright(d, LseQuantShift) + 1).cast("int")),
+        lit(0L))
+    })
+
+  private lazy val pow2Lit =
+    typedLit(IndexedSeq.tabulate(22)(1L << _))
+
+  /** Engine 2^(g/Q) in Q20, g clamped ≤ 0 — integer-exact division by
+    * a power-of-two table (variable shifts aren't in the Column API;
+    * the double division is exact: numerator ≤ 2^20).
+    */
+  private def exp2Q20Col(g: Column): Column = {
+    val m = -least(g, lit(0L))
+    val ip = shiftright(m, 20)
+    val fIdx = shiftright(m.bitwiseAND(lit((1L << 20) - 1L)),
+      LseQuantShift)
+    when(ip >= 21, lit(0L)).otherwise(
+      floor(element_at(typedLit(unigramExpFracTable),
+        (fIdx + 1).cast("int")) /
+        element_at(pow2Lit, (ip + 1).cast("int"))).cast("long"))
+  }
+
+  /** Forward pass: α(i) = lse over every piece ending at i of
+    * α(i−l) + s(piece), UNK fallback on the single char — the
+    * [[unigramDp]] lattice with max replaced by lse. Candidate fold
+    * order (length maxPiece..2, then the single) is part of the
+    * arithmetic contract (lse is quantized, so association order
+    * matters) — the UnigramSpec referee folds in the same order.
+    */
+  private def unigramAlpha(
+      w: Column, vm: Column, maxPiece: Int, maxWordLen: Int,
+      unkScore: Long): Column =
+    aggregate(
+      sequence(lit(1), lit(maxWordLen)),
+      array().cast("array<bigint>"),
+      (acc, i) => {
+        def prev(l: Int) = when(i === l, lit(0L))
+          .otherwise(element_at(acc, (i - l).cast("int")))
+        val multi = (maxPiece to 2 by -1).map { l =>
+          val hit = try_element_at(vm,
+            w.substr((i - l + 1).cast("int"), lit(l)))
+          when(i >= l && hit.isNotNull, prev(l) + hit.getField("_2"))
+        }
+        val hit1 = try_element_at(vm, w.substr(i.cast("int"), lit(1)))
+        val single =
+          prev(1) + coalesce(hit1.getField("_2"), lit(unkScore))
+        val a = (multi :+ single).reduce(lseCol)
+        when(i > length(w), acc).otherwise(concat(acc, array(a)))
+      })
+
+  /** Backward pass: β(i) = lse over every piece starting at i+1 of
+    * s(piece) + β(i+l), β(n) = 0. Accumulates in reverse: the result
+    * array's k-th cell (1-based) is β(n−k+1), so β(i) =
+    * cell(n−i+1). Same candidate order contract as [[unigramAlpha]].
+    */
+  private def unigramBeta(
+      w: Column, vm: Column, maxPiece: Int, maxWordLen: Int,
+      unkScore: Long): Column =
+    aggregate(
+      sequence(lit(1), lit(maxWordLen)),
+      array(lit(0L)),
+      (acc, j) => {
+        val n = length(w)
+        def nxt(l: Int) = element_at(acc, (j - l + 1).cast("int"))
+        val multi = (maxPiece to 2 by -1).map { l =>
+          val hit = try_element_at(vm,
+            w.substr((n - j + 1).cast("int"), lit(l)))
+          when(lit(l) <= j && hit.isNotNull, nxt(l) + hit.getField("_2"))
+        }
+        val hit1 = try_element_at(vm,
+          w.substr((n - j + 1).cast("int"), lit(1)))
+        val single =
+          nxt(1) + coalesce(hit1.getField("_2"), lit(unkScore))
+        val b = (multi :+ single).reduce(lseCol)
+        when(j > n, acc).otherwise(concat(acc, array(b)))
+      })
+
+  /** Posterior piece-occurrence masses: for every lattice edge (a
+    * piece of length l ending at position i), γ = α(i−l) + s + β(i) −
+    * Z with Z = α(n), emitted as (pid, 2^γ in Q20) — the word's
+    * expected piece counts before weighting. UNK edges carry
+    * pid = −1 (filtered by the usage aggregation, like hard-EM).
+    * `alpha`/`beta` MUST be materialized column attributes (the q260
+    * lambda re-evaluation trap).
+    */
+  private def unigramGamma(
+      w: Column, vm: Column, alpha: Column, beta: Column,
+      maxPiece: Int, maxWordLen: Int, unkScore: Long): Column = {
+    val n = length(w)
+    val z = element_at(alpha, n.cast("int"))
+    flatten(transform(sequence(lit(1), lit(maxWordLen)), i => {
+      val cands = (1 to maxPiece).map { l =>
+        val hit = try_element_at(vm,
+          w.substr((i - l + 1).cast("int"), lit(l)))
+        val aprev = when(i === l, lit(0L))
+          .otherwise(try_element_at(alpha, (i - l).cast("int")))
+        val s =
+          if (l == 1) coalesce(hit.getField("_2"), lit(unkScore))
+          else hit.getField("_2")
+        val pid =
+          if (l == 1) coalesce(hit.getField("_1"), lit(-1L))
+          else hit.getField("_1")
+        val bv = try_element_at(beta, (n - i + 1).cast("int"))
+        val ok =
+          if (l == 1) i <= n
+          else i <= n && i >= lit(l) && hit.isNotNull
+        when(ok, struct(pid.as("pid"),
+          exp2Q20Col(aprev + s + bv - z).as("c")))
+      }
+      filter(array(cands: _*), e => e.isNotNull)
+    }))
+  }
+
+  /** Soft-EM E-step: expected piece-usage counts over the word dict,
+    * in Q20 fixed point (Σ_words weight · Σ_edges 2^γ). One dict-sized
+    * pass: the α/β folds and the γ emission all run inside the scan
+    * stage; the only shuffle is the |vocab|-sized usage groupBy.
+    */
+  private[graft] def unigramEmUsage(
+      wordCounts: DataFrame, vocab: Seq[(String, Long, Long)],
+      maxPiece: Int, maxWordLen: Int, unkScore: Long): DataFrame = {
+    requireUnigramVocab(vocab, maxPiece, unkScore)
+    val vm = typedLit(vocab.map { case (p, id, s) => p -> (id, s) }.toMap)
+    wordCounts
+      .withColumn("__w", col("word").substr(lit(1), lit(maxWordLen)))
+      .withColumn("__a",
+        unigramAlpha(col("__w"), vm, maxPiece, maxWordLen, unkScore))
+      .withColumn("__b",
+        unigramBeta(col("__w"), vm, maxPiece, maxWordLen, unkScore))
+      .select(col("weight"),
+        explode(unigramGamma(col("__w"), vm, col("__a"), col("__b"),
+          maxPiece, maxWordLen, unkScore)).as("g"))
+      .filter(col("g.pid") >= 0L)
+      .groupBy(col("g.pid").as("pid"))
+      .agg(sum(col("g.c") * col("weight")).as("u"))
+  }
+
+  /** Unigram-LM vocabulary training with SOFT-EM expected counts —
+    * Kudo 2018's actual E-step: forward–backward posterior masses
+    * over the segmentation lattice instead of [[unigramTrainViterbi]]'s
+    * winner-take-all Viterbi counts, in the same exact-integer Q20
+    * arithmetic (quantized lse/exp2 tables above). The divergence this
+    * fixes (UnigramSpec plants it): when two segmentations of a word
+    * tie, hard-EM gives ALL count to the tie-break winner and the
+    * loser's pieces die in one round even when the corpus genuinely
+    * supports both; soft-EM splits the mass, keeping both alive for
+    * the shrink schedule to judge on real evidence. Same seed, shrink
+    * schedule, flooring and convergence rules as the Viterbi face —
+    * which stays the referee (and the q290 encode gate is
+    * training-agnostic, so it is untouched).
+    */
+  def unigramTrainEm(
+      df: DataFrame, textCol: String, maxPiece: Int, vocabSize: Int,
+      rounds: Int, seedVocab: Int = 4096, maxWordLen: Int = 16,
+      unkScore: Long = -30L * 1048576L): Seq[(String, Long, Long)] =
+    unigramTrain(df, textCol, maxPiece, vocabSize, rounds, seedVocab,
+      maxWordLen, unkScore, em = true)
+
   /** Unigram-LM vocabulary training by Viterbi rounds — Kudo 2018's
     * EM alternation with the E-step's expected counts replaced by
     * Viterbi-best counts (hard-EM): the deterministic integer
@@ -570,7 +782,18 @@ object BpeOps {
   def unigramTrainViterbi(
       df: DataFrame, textCol: String, maxPiece: Int, vocabSize: Int,
       rounds: Int, seedVocab: Int = 4096, maxWordLen: Int = 16,
-      unkScore: Long = -30L * 1048576L): Seq[(String, Long, Long)] = {
+      unkScore: Long = -30L * 1048576L): Seq[(String, Long, Long)] =
+    unigramTrain(df, textCol, maxPiece, vocabSize, rounds, seedVocab,
+      maxWordLen, unkScore, em = false)
+
+  /** Shared trainer loop — `em` selects the E-step (soft expected
+    * counts vs Viterbi-best counts); seed, shrink schedule, flooring,
+    * convergence and output shape are identical.
+    */
+  private def unigramTrain(
+      df: DataFrame, textCol: String, maxPiece: Int, vocabSize: Int,
+      rounds: Int, seedVocab: Int, maxWordLen: Int,
+      unkScore: Long, em: Boolean): Seq[(String, Long, Long)] = {
     require(maxPiece >= 1, "maxPiece must be >= 1")
     require(vocabSize >= 1, "vocabSize must be >= 1")
     require(rounds >= 0, "rounds must be >= 0")
@@ -594,11 +817,16 @@ object BpeOps {
         val vocabNow = cur.zipWithIndex.map { case ((p, s), i) =>
           (p, i.toLong, s) }
         val pieceOf = vocabNow.map { case (p, i, _) => i -> p }.toMap
-        val usageRows = unigramEncodeWords(wc, "word", vocabNow,
-            maxPiece, maxWordLen, unkScore)
-          .select(explode(col("piece_ids")).as("pid"), col("weight"))
-          .filter(col("pid") >= 0L)
-          .groupBy(col("pid")).agg(sum(col("weight")).as("u"))
+        val usageDf =
+          if (em) unigramEmUsage(wc, vocabNow, maxPiece, maxWordLen,
+            unkScore)
+          else unigramEncodeWords(wc, "word", vocabNow,
+              maxPiece, maxWordLen, unkScore)
+            .select(explode(col("piece_ids")).as("pid"), col("weight"))
+            .filter(col("pid") >= 0L)
+            .groupBy(col("pid")).agg(sum(col("weight")).as("u"))
+        val usageRows = usageDf
+          .filter(col("u") > 0L) // a posterior mass rounding to 0 == unused
           .collect().map(r => pieceOf(r.getLong(0)) -> r.getLong(1))
           .toMap
         val singleKept = singles.map { case (p, _) =>

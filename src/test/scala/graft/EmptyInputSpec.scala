@@ -54,6 +54,21 @@ class EmptyInputSpec extends SparkTestBase {
       k = 3).count() === 0)
   }
 
+  test("PostingIndex on an empty corpus: builds, scores empty with the " +
+       "full schema, reopens") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pidx_empty").toString
+    val idx = graft.movies.PostingIndex.buildTokenized(
+      noDocs, dir, tokens = Map("text" -> split(col("text"), "\\s+")),
+      weights = Map("text" -> 1), idCol = "doc_id",
+      nTermBuckets = 4, nDocBuckets = 4)
+    val out = idx.scoreTerms(Seq("anything"))
+    assert(out.columns.toSeq === Seq("doc_id", "text", "score"))
+    assert(out.count() === 0)
+    val re = graft.movies.PostingIndex.open(spark, dir)
+    assert(re.scoreTerms(Seq("x")).count() === 0)
+  }
+
   test("curation family: empty input and all-duplicate input") {
     assert(CurationOps.dedupParagraphsGlobal(noDocs, "doc_id", "text")
       .count() === 0)

@@ -197,6 +197,53 @@ class MoviesSpec extends SparkTestBase {
     assert(viaIdx.toSeq === viaSearch.toSeq)
   }
 
+  test("searchAfter: keyset page walk ≡ offset pagination on every " +
+       "sort/direction/query combination, including the NULLS LAST " +
+       "zone (m2 has a null rating) — and each page plans as top-k, " +
+       "not a global sort") {
+    val docs = Docs.movieDocs(norm.filmWork, norm.person, norm.genre,
+      norm.personFilmWork, norm.genreFilmWork)
+    def walk(query: Option[String], sortField: String, asc: Boolean,
+        limit: Int): Seq[Seq[String]] = {
+      val pages = Seq.newBuilder[Seq[String]]
+      var after: Option[Search.SearchAfter] = None
+      var done = false
+      while (!done) {
+        val rows = Search.searchAfter(docs, query, sortField, asc,
+          limit, after).collect()
+        if (rows.isEmpty) done = true
+        else {
+          pages += rows.map(_.getAs[String]("id")).toSeq
+          after = Some(Search.cursorOf(rows.last, sortField))
+          if (rows.length < limit) done = true
+        }
+      }
+      pages.result()
+    }
+    def offsetWalk(query: Option[String], sortField: String, asc: Boolean,
+        limit: Int): Seq[Seq[String]] =
+      Iterator.from(1)
+        .map(p => Search.search(docs, query, sortField, asc, p, limit)
+          .select("id").as[String].collect().toSeq)
+        .takeWhile(_.nonEmpty).toSeq
+    // null-zone crossing: imdb_rating sorts (desc + asc) with m2's
+    // null rating last; limit 1 forces a cursor AT the null boundary
+    for {
+      (q, sf, asc) <- Seq(
+        (None, "imdb_rating", false), (None, "imdb_rating", true),
+        (None, "title", true), (None, "id", false),
+        (Some("lucas film"), "imdb_rating", false),
+        (Some("star wars"), "id", true))
+      limit <- Seq(1, 2)
+    } assert(walk(q, sf, asc, limit) === offsetWalk(q, sf, asc, limit),
+      s"(query=$q, sort=$sf, asc=$asc, limit=$limit)")
+    // page shape: filter + TakeOrderedAndProject — never a global Sort
+    val p = Search.searchAfter(docs, None, "imdb_rating", asc = false,
+        limit = 2, after = Some(Search.SearchAfter(0.0, Some(8.6), "m1")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("PostingIndex: posting-pruned BM25F is referee-equal to the " +
        "full-scan scorer — bit-identical score column on every search " +
        "fixture query — and the reopened index serves identically") {

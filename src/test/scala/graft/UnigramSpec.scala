@@ -171,6 +171,149 @@ class UnigramSpec extends SparkTestBase {
       (p, (i + 1).toLong, scoreOf(p)) }
   }
 
+  // ---- referee: sequential forward–backward E-step with the ENGINE's
+  // own integer tables (BpeOps.hostLse / hostExp2Q20) and candidate
+  // fold order (length maxPiece..2, then the single) ----
+  private def refEmUsage(
+      word0: String, vm: Map[String, (Long, Long)], maxPiece: Int,
+      maxWordLen: Int): Map[Long, Long] = {
+    val w = word0.take(maxWordLen)
+    val n = w.length
+    if (n == 0) return Map.empty
+    def lseAcc(acc: Option[Long], v: Long): Option[Long] =
+      Some(acc.fold(v)(BpeOps.hostLse(_, v)))
+    val alpha = Array.ofDim[Long](n + 1)
+    for (i <- 1 to n) {
+      var acc: Option[Long] = None
+      for (l <- maxPiece to 2 by -1 if i >= l)
+        vm.get(w.substring(i - l, i)).foreach { case (_, s) =>
+          acc = lseAcc(acc, alpha(i - l) + s) }
+      val s1 = vm.get(w.substring(i - 1, i)).map(_._2).getOrElse(Unk)
+      alpha(i) = lseAcc(acc, alpha(i - 1) + s1).get
+    }
+    val beta = Array.ofDim[Long](n + 1)
+    for (i <- n - 1 to 0 by -1) {
+      var acc: Option[Long] = None
+      for (l <- maxPiece to 2 by -1 if i + l <= n)
+        vm.get(w.substring(i, i + l)).foreach { case (_, s) =>
+          acc = lseAcc(acc, s + beta(i + l)) }
+      val s1 = vm.get(w.substring(i, i + 1)).map(_._2).getOrElse(Unk)
+      beta(i) = lseAcc(acc, s1 + beta(i + 1)).get
+    }
+    val z = alpha(n)
+    val usage = scala.collection.mutable.Map
+      .empty[Long, Long].withDefaultValue(0L)
+    for (i <- 1 to n; l <- 1 to math.min(maxPiece, i)) {
+      val hit = vm.get(w.substring(i - l, i))
+      if (l == 1 || hit.isDefined) {
+        val (pid, s) =
+          if (l == 1) hit.getOrElse((-1L, Unk)) else hit.get
+        if (pid >= 0)
+          usage(pid) += BpeOps.hostExp2Q20(alpha(i - l) + s + beta(i) - z)
+      }
+    }
+    usage.toMap
+  }
+
+  private def refTrainEm(
+      texts: Seq[String], maxPiece: Int, vocabSize: Int, rounds: Int,
+      seedVocab: Int, maxWordLen: Int): Seq[(String, Long, Long)] = {
+    val lg = (v: Long) => EvalOps.log2Q20Host(v)
+    val wc = texts.flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    if (wc.isEmpty) return Seq.empty
+    val cand = scala.collection.mutable.Map
+      .empty[String, Long].withDefaultValue(0L)
+    for ((w, n) <- wc; l <- 1 to maxPiece; s <- 0 to w.length - l)
+      cand(w.substring(s, s + l)) += n
+    val singles = cand.toSeq.filter(_._1.length == 1).sortBy(_._1)
+    val multis = cand.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, seedVocab - singles.size))
+    def rescore(cs: Seq[(String, Long)]): Seq[(String, Long)] = {
+      val total = cs.map(_._2).sum
+      cs.map { case (p, c) => p -> (lg(c) - lg(total)) }
+    }
+    var cur = rescore(singles ++ multis)
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      val vocabNow = cur.zipWithIndex.map { case ((p, s), i) =>
+        (p, i.toLong, s) }
+      val vm = vocabNow.map { case (p, id, s) => p -> (id, s) }.toMap
+      val pieceOf = vocabNow.map { case (p, id, _) => id -> p }.toMap
+      val usage = scala.collection.mutable.Map
+        .empty[String, Long].withDefaultValue(0L)
+      for ((w, n) <- wc)
+        refEmUsage(w, vm, maxPiece, maxWordLen).foreach {
+          case (id, u) => usage(pieceOf(id)) += u * n }
+      val singleKept = singles.map { case (p, _) =>
+        p -> math.max(usage.getOrElse(p, 0L), 1L) }
+      val target = math.max(vocabSize, math.ceil(cur.size * 0.8).toInt)
+      val multiKept = cur.collect {
+        case (p, _) if p.length > 1 && usage(p) > 0L => p -> usage(p) }
+        .sortBy { case (p, u) => (-u, p) }
+        .take(math.max(0, target - singleKept.size))
+      val next = rescore(singleKept ++ multiKept)
+      converged = next.map(_._1).toSet == cur.map(_._1).toSet &&
+        cur.size <= target
+      cur = next
+      round += 1
+    }
+    val scoreOf = cur.toMap
+    cur.map(_._1).sorted.zipWithIndex.map { case (p, i) =>
+      (p, (i + 1).toLong, scoreOf(p)) }
+  }
+
+  test("Q20 lse/exp2 integer tables: exact landmarks (lse of equals " +
+       "adds exactly one bit; exp2 of 0/-1 is exact)") {
+    assert(BpeOps.hostLse(-5L << 20, -5L << 20) === -4L << 20)
+    assert(BpeOps.hostExp2Q20(0L) === 1L << 20)
+    assert(BpeOps.hostExp2Q20(-1L << 20) === 1L << 19)
+    assert(BpeOps.hostExp2Q20(-40L << 20) === 0L)
+    // monotone: a bigger gap shrinks the correction
+    assert(BpeOps.hostLse(0L, -1L << 20) > BpeOps.hostLse(0L, -2L << 20))
+  }
+
+  test("unigramTrainEm ≡ sequential forward–backward referee " +
+       "bit-for-bit on a real corpus sample; deterministic under " +
+       "repartition") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(30)
+      .select($"text").cache()
+    val texts = docs.collect().map(_.getString(0)).toSeq
+    val expected = refTrainEm(texts, maxPiece = 4, vocabSize = 110,
+      rounds = 2, seedVocab = 250, maxWordLen = 16)
+    val got = BpeOps.unigramTrainEm(docs, "text", maxPiece = 4,
+      vocabSize = 110, rounds = 2, seedVocab = 250)
+    assert(got === expected)
+    val got2 = BpeOps.unigramTrainEm(docs.repartition(7), "text",
+      maxPiece = 4, vocabSize = 110, rounds = 2, seedVocab = 250)
+    assert(got2 === expected)
+    docs.unpersist()
+  }
+
+  test("the divergence soft-EM fixes (planted): on 'aba', the two " +
+       "segmentations ab+a and a+ba tie — hard-EM gives ALL count to " +
+       "the tie-break winner and kills the loser in one round; soft-EM " +
+       "splits the posterior mass and keeps BOTH pieces alive with " +
+       "equal scores") {
+    val df = Seq("aba aba aba aba").toDF("text")
+    val hard = BpeOps.unigramTrainViterbi(df, "text", maxPiece = 2,
+      vocabSize = 4, rounds = 1, seedVocab = 8)
+    val soft = BpeOps.unigramTrainEm(df, "text", maxPiece = 2,
+      vocabSize = 4, rounds = 1, seedVocab = 8)
+    val hardMultis = hard.map(_._1).filter(_.length > 1).toSet
+    val softMultis = soft.map(_._1).filter(_.length > 1).toSet
+    assert(hardMultis.size === 1 &&
+      (hardMultis === Set("ab") || hardMultis === Set("ba")),
+      s"hard-EM keeps only the tie winner, got $hardMultis")
+    assert(softMultis === Set("ab", "ba"),
+      s"soft-EM must keep both tied pieces, got $softMultis")
+    // symmetric evidence → identical scores
+    val scoreOf = soft.map(t => t._1 -> t._3).toMap
+    assert(scoreOf("ab") === scoreOf("ba"))
+  }
+
   test("unigramTrainViterbi ≡ sequential referee bit-for-bit on a real " +
        "corpus sample; deterministic under repartition") {
     val docs = Tables.load(spark, sfDir, "documents").limit(50)
