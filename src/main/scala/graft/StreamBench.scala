@@ -63,10 +63,11 @@ object StreamBench {
       */
     def drainLoop(
         batchSize: Int, store: graft.cdc.DocSink,
-        postTick: Int => Unit = _ => ()): (Double, Vector[Double]) = {
+        postTick: Int => Unit = _ => (),
+        keyCol: String = "user_id"): (Double, Vector[Double]) = {
       import graft.cdc.Keyset
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
+      val w = Window.partitionBy(col(keyCol))
         .orderBy(unix_micros(col("ts")).desc, col("did").desc)
       var cur = Keyset.Cursor.Zero
       var n = 0L
@@ -170,15 +171,44 @@ object StreamBench {
       s""""${r._1}":{"sec":${r._2},""" +
         s""""events_per_sec":${(total / r._2).toLong}}"""
 
+    // the STORE-GROWTH contrast: keyed by the unique event id the doc
+    // store grows to the full row count across the drain (vs the
+    // bounded user_id key domain), so an O(store)-per-tick sink's
+    // tick_ratio rises through the run while the log sink's stays ~1
+    def upsertHiKey(batchSize: Int): (Double, Vector[Double]) = {
+      val tmp = Files.createTempDirectory("graft_sb_hik_u").toString
+      val store = new graft.cdc.UpsertSink(
+        spark, s"$tmp/store", "did", nBuckets = 32)
+      val r = drainLoop(batchSize, store, keyCol = "did")
+      require(store.read().get.count() == total, "hikey upsert store")
+      r
+    }
+    def logHiKey(batchSize: Int): (Double, Vector[Double]) = {
+      val tmp = Files.createTempDirectory("graft_sb_hik_l").toString
+      val store = new graft.cdc.LogUpsertSink(
+        spark, s"$tmp/store", "did", nBuckets = 32)
+      val r = drainLoop(batchSize, store,
+        postTick = t => if (t % 50 == 0) store.compact(),
+        keyCol = "did")
+      store.compact()
+      require(store.read().get.count() == total, "hikey log store")
+      r
+    }
+
     val loops = batches.map(b => b -> upsertFace(b))
     val logs = batches.map(b => b -> logFace(b))
     val es = batches.map(b => b -> esFace(b))
     val streams = batches.map(b => b -> dsv2(b))
+    val hik = Seq(
+      "batch_loop_hikey" -> (1000 -> upsertHiKey(1000)),
+      "log_sink_hikey" -> (1000 -> logHiKey(1000)))
     val json =
       s"""{"metric":"cdc_throughput","rows":$total,"keys":$users,""" +
         s""""batch_loop":{${loops.map(fmtTicks).mkString(",")}},""" +
         s""""log_sink":{${logs.map(fmtTicks).mkString(",")}},""" +
         s""""es_wire":{${es.map(fmtTicks).mkString(",")}},""" +
+        hik.map { case (k, r) => s""""$k":{${fmtTicks(r)}}""" }
+          .mkString("", ",", ",") +
         s""""dsv2_parquet":{${streams.map(fmt).mkString(",")}},""" +
         s""""sf":"$sfDir"}"""
     println(json)

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   *   dir/postings/__tb=<b>/  (term, id) pairs, hash-partitioned by
   *                           term — a query reads only its own terms'
   *                           buckets (PartitionFilters prune)
-  *   dir/stats.json          N, avgdl per field, weights, column order
+  *   dir/stats.json          N, exact dl sums per field, weights, column order
   *
   * Query path: terms route to posting buckets (driver holds ≤ |terms|
   * hashes), candidate ids come off the pruned posting scan, candidate
@@ -49,11 +49,20 @@ final class PostingIndex private (
     val idCol: String,
     fields: Seq[String],
     weights: Map[String, Int],
-    avgdls: Map[String, Double],
+    sumdls: Map[String, Long],
     nDocs: Long,
     docCols: Seq[String],
     nTermBuckets: Int,
     nDocBuckets: Int) {
+
+  // avgdl derives from EXACT integer token-count sums — the same value
+  // Spark's avg() computes (integral sums are exact in double far past
+  // any real dl total), which is what keeps build + refresh + the
+  // full-scan referee bit-identical: integer sums add associatively,
+  // so refresh(delta) and rebuild(corpus ∪ delta) derive the SAME
+  // double, something incremental float means could never promise.
+  private val avgdls: Map[String, Double] = fields.map(f =>
+    f -> (if (nDocs == 0L) 0.0 else sumdls(f).toDouble / nDocs)).toMap
 
   import PostingIndex.{DocBucketCol, TermBucketCol}
 
@@ -115,6 +124,179 @@ final class PostingIndex private (
       .filter(col("score") > 0)
       .select(outCols: _*)
   }
+
+  /** Batched serving — queries as a TABLE (the round-9/10 multi-query
+    * discipline: zero per-query driver actions or jobs), each row
+    * carrying its own analyzed term array. One pruned posting scan
+    * serves the whole batch; per-(term, doc) BM25F contributions are
+    * computed ONCE and shared across queries (idf·saturated-tf̃ does
+    * not depend on the query beyond term membership), then each
+    * (query, doc) folds its contributions IN THE QUERY'S TERM ORDER —
+    * a sorted in-row fold, not a float groupBy sum — so every score is
+    * bit-identical to [[scoreTerms]] run per query (MoviesSpec walks
+    * the equality). The only driver state is the probed bucket lists
+    * (≤ nTermBuckets + nDocBuckets values).
+    *
+    * idf stays a DRIVER computation — one bounded collect of (term,
+    * df) for the whole batch (≤ the batch's distinct-term vocabulary,
+    * a caller-controlled bound like the grouped-MMR shortlist), then a
+    * broadcast (term, idf) join. Computing `log` in-plan instead is a
+    * genuine 1-ulp trap: codegen'd Math.log JIT-compiles to the C2
+    * intrinsic while the driver's literal uses the library path, and
+    * the two disagree on some inputs — caught by this spec's
+    * bit-equality assertion.
+    *
+    * Output: (queryIdCol, doc columns..., score) — one row per
+    * (query, matching doc); queries with no matching term contribute
+    * no rows (the `score > 0` contract, per query).
+    */
+  def scoreTermsMulti(
+      queries: DataFrame, queryIdCol: String,
+      termsCol: String): DataFrame = {
+    require(queryIdCol != idCol,
+      "query and doc id columns must differ (both appear in the output)")
+    val qterms = queries.select(col(queryIdCol),
+      posexplode(array_distinct(col(termsCol)))
+        .as(Seq("__tidx", "term")))
+    // bucket routing for the whole batch: ≤ nTermBuckets values
+    val tb = qterms
+      .select(pmod(xxhash64(col("term")), lit(nTermBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (tb.isEmpty || nDocs == 0L) return emptyScoredMulti(queries, queryIdCol)
+    val posts = spark.read.parquet(postingsPath)
+      .filter(col(TermBucketCol).isin(tb: _*))
+      .join(qterms.select(col("term")).distinct(), Seq("term"),
+        "left_semi")
+    // per-term idf on the driver (bit-parity with the single face's
+    // math.log literal — see the Scaladoc note), bounded by the
+    // batch's distinct-term vocabulary
+    import spark.implicits._
+    val idfDf = posts.groupBy(col("term")).count()
+      .collect().map { r =>
+        val df = r.getLong(1).toDouble
+        (r.getString(0),
+          math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5)))
+      }.toSeq.toDF("term", "__idf")
+    val candidates = posts.select(col(idCol)).distinct()
+    val candBuckets = candidates
+      .select(pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    def prunedDocs = spark.read.parquet(docsPath)
+      .filter(col(DocBucketCol).isin(candBuckets: _*))
+      .join(candidates, Seq(idCol), "left_semi")
+    val tftCol = fields.map { f =>
+      val avgdl = math.max(avgdls(f), 1e-9)
+      val dl = size(Search.toks(f)).cast("double")
+      val tf = size(filter(Search.toks(f), x => x === col("term")))
+        .cast("double")
+      lit(weights(f).toDouble) * tf /
+        (lit(0.25) + lit(0.75) * dl / lit(avgdl))
+    }.reduce(_ + _)
+    val contribs = posts.join(broadcast(idfDf), Seq("term"))
+      .join(prunedDocs.select((col(idCol) +: fields.map(Search.toks)): _*),
+        Seq(idCol))
+      .withColumn("__tft", tftCol)
+      .select(col("term"), col(idCol),
+        (col("__idf") * col("__tft") / (lit(1.2) + col("__tft")))
+          .as("__contrib"))
+    // per (query, doc): fold contributions in the query's term order —
+    // deterministic association, bit-equal to the single face's Σ_t
+    val scores = qterms.join(contribs, Seq("term"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(collect_list(struct(col("__tidx"), col("__contrib")))
+        .as("__cs"))
+      .withColumn("score",
+        aggregate(array_sort(col("__cs")), lit(0.0),
+          (acc, x) => acc + x.getField("__contrib")))
+      .select(col(queryIdCol), col(idCol), col("score"))
+    scores.join(prunedDocs, Seq(idCol))
+      .select((col(queryIdCol) +: outCols): _*)
+  }
+
+  /** Movies-face batched serving: analyze each query string IN-PLAN
+    * (the same analyzer expression the corpus was built with) and
+    * serve the batch through [[scoreTermsMulti]].
+    */
+  def scoreMulti(
+      queries: DataFrame, queryIdCol: String,
+      queryCol: String): DataFrame =
+    scoreTermsMulti(
+      queries.select(col(queryIdCol),
+        Analyzer.analyze(col(queryCol)).as("__terms")),
+      queryIdCol, "__terms")
+
+  private def emptyScoredMulti(
+      queries: DataFrame, queryIdCol: String): DataFrame =
+    queries.limit(0).select(col(queryIdCol))
+      .crossJoin(spark.read.parquet(docsPath).limit(0)
+        .withColumn("score", lit(0.0)).select(outCols: _*))
+
+  /** APPEND-ONLY index refresh (the [[graft.ops.SimilarityOps
+    * .refreshIvfPqIndex]] pattern): encode the delta with the SAME
+    * token expressions as the build and append into the existing
+    * bucket layouts — new files land inside `__db=b` / `__tb=b` dirs,
+    * so serve-time pruning is untouched. Stats update by EXACT integer
+    * sums, so the refreshed index's scores are bit-identical to a
+    * from-scratch rebuild over corpus ∪ delta (MoviesSpec asserts it).
+    * Contract: delta ids must be NEW (upsert/delete of existing docs
+    * is a rebuild — BM25F's corpus stats make in-place doc replacement
+    * a different, deliberate operation), and the delta plan runs once
+    * (localCheckpoint). Single writer; not crash-atomic (a failed
+    * refresh ⇒ rebuild), unlike the CDC-facing ManifestUpsertSink.
+    */
+  def refresh(
+      newDocs: DataFrame, tokens: Map[String, Column]): PostingIndex = {
+    require(tokens.keySet == weights.keySet,
+      s"token columns ${tokens.keySet} must match weights ${weights.keySet}")
+    require(newDocs.columns.toSeq == docCols,
+      s"delta columns ${newDocs.columns.toSeq} must match the built " +
+        s"corpus's $docCols")
+    if (nDocs == 0L) {
+      // the empty build wrote an unpartitioned placeholder — replace it
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(dir), true)
+      PostingIndex.buildTokenized(newDocs, dir, tokens, weights, idCol,
+        nTermBuckets, nDocBuckets)
+    } else {
+      val analyzed = fields.foldLeft(newDocs)((d, f) =>
+        d.withColumn(s"__toks_$f", tokens(f))).localCheckpoint()
+      val aggs =
+        fields.map(f =>
+          sum(size(Search.toks(f)).cast("long")).as(s"sumdl_$f")) :+
+          count(lit(1)).as("n_docs")
+      val stats = analyzed.agg(aggs.head, aggs.tail: _*).head()
+      val dn = stats.getAs[Long]("n_docs")
+      if (dn == 0L) this
+      else {
+        analyzed
+          .withColumn(DocBucketCol,
+            pmod(xxhash64(col(idCol)), lit(nDocBuckets)))
+          .write.mode("append").partitionBy(DocBucketCol)
+          .parquet(docsPath)
+        analyzed
+          .select(col(idCol), explode(array_distinct(
+            concat(fields.map(Search.toks): _*))).as("term"))
+          .withColumn(TermBucketCol,
+            pmod(xxhash64(col("term")), lit(nTermBuckets)))
+          .write.mode("append").partitionBy(TermBucketCol)
+          .parquet(postingsPath)
+        val m = PostingIndex.Meta(idCol, fields, weights,
+          fields.map(f =>
+            f -> (sumdls(f) + stats.getAs[Long](s"sumdl_$f"))).toMap,
+          nDocs + dn, docCols, nTermBuckets, nDocBuckets)
+        PostingIndex.writeStats(spark, dir, m)
+        PostingIndex.fromMeta(spark, dir, m)
+      }
+    }
+  }
+
+  /** Movies-face refresh: the analyzer token expressions re-derive
+    * from the field names.
+    */
+  def refresh(newDocs: DataFrame): PostingIndex =
+    refresh(newDocs,
+      fields.map(f => f -> Search.analyzedField(f)).toMap)
 
   /** Full search-API semantics over the pruned path ([[Search.search]]
     * contract). query = None is a pure browse: no posting work, the
@@ -191,15 +373,11 @@ object PostingIndex {
     val analyzed = fields.foldLeft(docs)((d, f) =>
       d.withColumn(s"__toks_$f", tokens(f)))
 
-    // one corpus-stats pass (the SearchIndex.build aggregate)
-    val statAggs =
-      fields.map(f => avg(size(Search.toks(f))).as(s"avgdl_$f")) :+
-        count(lit(1)).as("n_docs")
-    val stats = analyzed.agg(statAggs.head, statAggs.tail: _*).head()
-    val n = stats.getAs[Long]("n_docs")
-    val avgdls = fields.map { f =>
-      f -> (if (n == 0L) 0.0 else stats.getAs[Double](s"avgdl_$f"))
-    }.toMap
+    // one corpus-stats pass — EXACT integer dl sums (avg derives in
+    // the constructor; see the avgdls note there)
+    val (stats, n) = sumStats(analyzed, fields)
+    val sumdls = fields.map(f =>
+      f -> (if (n == 0L) 0L else stats.getAs[Long](s"sumdl_$f"))).toMap
 
     // doc store, id-bucketed (empty corpus: keep the schema readable —
     // no partitionBy, the query path early-outs on nDocs == 0)
@@ -219,22 +397,33 @@ object PostingIndex {
         .write.partitionBy(TermBucketCol).parquet(s"$dir/postings")
     }
 
-    writeStats(spark, dir, Meta(idCol, fields, weights, avgdls, n,
-      docCols, nTermBuckets, nDocBuckets))
-    new PostingIndex(spark, dir, idCol, fields, weights, avgdls, n,
+    val meta = Meta(idCol, fields, weights, sumdls, n,
       docCols, nTermBuckets, nDocBuckets)
+    writeStats(spark, dir, meta)
+    fromMeta(spark, dir, meta)
   }
+
+  private def sumStats(analyzed: DataFrame, fields: Seq[String]) = {
+    val aggs =
+      fields.map(f =>
+        sum(size(Search.toks(f)).cast("long")).as(s"sumdl_$f")) :+
+        count(lit(1)).as("n_docs")
+    val stats = analyzed.agg(aggs.head, aggs.tail: _*).head()
+    (stats, stats.getAs[Long]("n_docs"))
+  }
+
+  private[movies] def fromMeta(
+      spark: SparkSession, dir: String, m: Meta): PostingIndex =
+    new PostingIndex(spark, dir, m.idCol, m.fields, m.weights, m.sumdls,
+      m.nDocs, m.docCols, m.nTermBuckets, m.nDocBuckets)
 
   /** Re-open a built index from its directory (serving restarts). */
-  def open(spark: SparkSession, dir: String): PostingIndex = {
-    val m = readStats(spark, dir)
-    new PostingIndex(spark, dir, m.idCol, m.fields, m.weights, m.avgdls,
-      m.nDocs, m.docCols, m.nTermBuckets, m.nDocBuckets)
-  }
+  def open(spark: SparkSession, dir: String): PostingIndex =
+    fromMeta(spark, dir, readStats(spark, dir))
 
-  private case class Meta(
+  private[movies] case class Meta(
       idCol: String, fields: Seq[String], weights: Map[String, Int],
-      avgdls: Map[String, Double], nDocs: Long, docCols: Seq[String],
+      sumdls: Map[String, Long], nDocs: Long, docCols: Seq[String],
       nTermBuckets: Int, nDocBuckets: Int)
 
   // stats.json via jackson (ships with Spark) — a handful of numbers,
@@ -250,8 +439,8 @@ object PostingIndex {
     val ca = root.putArray("docCols"); m.docCols.foreach(ca.add)
     val wo = root.putObject("weights")
     m.fields.foreach(f => wo.put(f, m.weights(f)))
-    val ao = root.putObject("avgdls")
-    m.fields.foreach(f => ao.put(f, m.avgdls(f)))
+    val ao = root.putObject("sumdls")
+    m.fields.foreach(f => ao.put(f, m.sumdls(f)))
     val p = new Path(dir, "stats.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -272,8 +461,8 @@ object PostingIndex {
       fields = fields,
       weights = fields.map(f =>
         f -> root.path("weights").path(f).asInt()).toMap,
-      avgdls = fields.map(f =>
-        f -> root.path("avgdls").path(f).asDouble()).toMap,
+      sumdls = fields.map(f =>
+        f -> root.path("sumdls").path(f).asLong()).toMap,
       nDocs = root.path("nDocs").asLong(),
       docCols = root.path("docCols").elements().asScala.map(_.asText()).toSeq,
       nTermBuckets = root.path("nTermBuckets").asInt(),

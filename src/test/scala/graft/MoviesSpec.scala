@@ -282,6 +282,74 @@ class MoviesSpec extends SparkTestBase {
       ranked(Search.score(docs, "George Lucas")))
   }
 
+  test("PostingIndex.refresh: append-only delta under exact integer " +
+       "dl-sum stats ≡ from-scratch rebuild over corpus ∪ delta, " +
+       "bit-for-bit — and both ≡ the full-scan scorer on the union") {
+    val docs = Docs.movieDocs(norm.filmWork, norm.person, norm.genre,
+      norm.personFilmWork, norm.genreFilmWork).localCheckpoint()
+    val base = docs.filter($"id" =!= "m3")
+    val delta = docs.filter($"id" === "m3")
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"score").as[(String, Double)].collect()
+        .sortBy(_._1).toSeq
+    val dirA = java.nio.file.Files.createTempDirectory("graft_pidx_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_pidx_b").toString
+    val refreshed = PostingIndex
+      .build(base, dirA, nTermBuckets = 4, nDocBuckets = 4)
+      .refresh(delta)
+    val rebuilt = PostingIndex.build(docs, dirB,
+      nTermBuckets = 4, nDocBuckets = 4)
+    for (q <- Seq("star wars", "George Lucas", "explosion",
+        "loud film")) {
+      val r = ranked(refreshed.score(q))
+      assert(r === ranked(rebuilt.score(q)), s"refresh≠rebuild: $q")
+      assert(r === ranked(Search.score(docs, q)), s"refresh≠fullscan: $q")
+    }
+    // delta docs are served (not just counted): m3-only term hits
+    assert(refreshed.score("explosion").select("id").as[String]
+      .collect().toSeq === Seq("m3"))
+    // empty delta is a no-op
+    val same = refreshed.refresh(docs.filter(lit(false)))
+    assert(ranked(same.score("star wars")) ===
+      ranked(Search.score(docs, "star wars")))
+  }
+
+  test("PostingIndex.scoreTermsMulti: one batch, zero per-query jobs' " +
+       "worth of driver actions — per-(term,doc) contributions shared " +
+       "across queries, per-query folds in term order — bit-identical " +
+       "to the single face per query") {
+    val docs = Docs.movieDocs(norm.filmWork, norm.person, norm.genre,
+      norm.personFilmWork, norm.genreFilmWork)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pidx_multi").toString
+    val idx = PostingIndex.build(docs, dir,
+      nTermBuckets = 4, nDocBuckets = 4)
+    val queryStrings = Seq(
+      1L -> "star wars", 2L -> "George Lucas", 3L -> "explosion",
+      4L -> "zzz absentterm", 5L -> "star wars lucas")
+    val out = idx.scoreMulti(queryStrings.toDF("qid", "q"), "qid", "q")
+      .select($"qid", $"id", $"score").as[(Long, String, Double)]
+      .collect().groupBy(_._1)
+      .map { case (k, v) =>
+        k -> v.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+    for ((qid, q) <- queryStrings) {
+      val single = idx.score(q).select($"id", $"score")
+        .as[(String, Double)].collect().sortBy(_._1).toSeq
+      assert(out.getOrElse(qid, Seq.empty) === single,
+        s"multi≠single for query '$q'")
+    }
+    // all-absent-terms query contributes no rows (score>0 per query)
+    assert(!out.contains(4L))
+    // schema: query id + full payload + score
+    val cols = idx.scoreMulti(queryStrings.toDF("qid", "q"), "qid", "q")
+      .columns.toSeq
+    assert(cols.head === "qid" && cols.last === "score" &&
+      cols.contains("title"))
+    // empty batch → empty result, full schema
+    assert(idx.scoreMulti(Seq.empty[(Long, String)].toDF("qid", "q"),
+      "qid", "q").isEmpty)
+  }
+
   test("russian snowball: inflected forms stem to the published roots") {
     val cases = Seq(
       // noun case endings fold to one root

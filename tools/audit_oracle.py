@@ -118,7 +118,7 @@ def audit_gate(con, name: str, sql: str, res_dir: str):
         yield (f"mutate[{c}]", not frames_equal(mutated, duck_df))
 
 
-def main(sf_dir, out_dir, n_gates=20, seed=9):
+def main(sf_dir, out_dir, n_gates=20, seed=9, only=None):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         tname = os.path.basename(p)[: -len(".parquet")]
@@ -126,7 +126,13 @@ def main(sf_dir, out_dir, n_gates=20, seed=9):
             f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     rng = random.Random(seed)
-    sample = sorted(rng.sample(sorted(oracles), min(n_gates, len(oracles))))
+    if only:  # pin specific gates by name prefix (comma list)
+        prefixes = [p.strip() for p in only.split(",") if p.strip()]
+        sample = sorted(n for n in oracles
+                        if any(n.startswith(p) for p in prefixes))
+    else:
+        sample = sorted(
+            rng.sample(sorted(oracles), min(n_gates, len(oracles))))
     n_checks = n_missed = 0
     for name in sample:
         gate_missed = 0
@@ -149,4 +155,5 @@ def main(sf_dir, out_dir, n_gates=20, seed=9):
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2],
          int(sys.argv[3]) if len(sys.argv) > 3 else 20,
-         int(sys.argv[4]) if len(sys.argv) > 4 else 9)
+         int(sys.argv[4]) if len(sys.argv) > 4 else 9,
+         sys.argv[5] if len(sys.argv) > 5 else None)
