@@ -192,7 +192,11 @@ object EsWire {
         .header("Content-Type", "application/json")
         .timeout(RequestTimeout)
         .POST(HttpRequest.BodyPublishers.ofString(
-          "{\"query\":{\"match_all\":{}},\"size\":10000}"))
+          // track_total_hits: without it real ES (≥7.0) caps
+          // hits.total at 10000, which would make the truncation
+          // check below compare 10000 > 10000 and never fire
+          "{\"query\":{\"match_all\":{}},\"size\":10000," +
+            "\"track_total_hits\":true}"))
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() == 404) None
@@ -211,12 +215,16 @@ object EsWire {
             h.path("_source").toString))
         }
         // a store past the 10k result window must fail loudly, not
-        // silently under-report — this read is a verification surface
-        val total = hitsNode.path("total").path("value").asLong(-1L)
-        if (total > rows.size)
+        // silently under-report — this read is a verification surface;
+        // relation=="gte" means the server itself capped the count
+        val totalNode = hitsNode.path("total")
+        val total = totalNode.path("value").asLong(-1L)
+        val capped = totalNode.path("relation").asText("eq") == "gte"
+        if (total > rows.size || (capped && total >= rows.size))
           throw new java.io.IOException(
-            s"ES _search window truncated: hits.total=$total > " +
-              s"returned ${rows.size} — use scroll/search_after")
+            s"ES _search window truncated: hits.total=$total" +
+              (if (capped) "+ (gte)" else "") +
+              s" vs returned ${rows.size} — use scroll/search_after")
         import spark.implicits._
         Some(rows.toSeq.toDF(idCol, "source_json"))
       }

@@ -67,16 +67,20 @@ final class LogUpsertSink(
 
   private case class Seg(seq: Long, op: String, path: Path)
 
-  /** Live log segments, ascending by seq; sweeps crashed (markerless)
-    * segment dirs when `sweep` (writers sweep, readers must not
-    * mutate).
+  /** Live log segments, ascending by seq; sweeps crash debris when
+    * `sweep` (writers sweep, readers must not mutate). Debris is a
+    * segment dir that is MARKERLESS (death mid-write) or marked but
+    * DATALESS (an empty batch's marker landed but the crash hit before
+    * [[writeSegment]]'s cleanup — a dataless dir has no readable
+    * schema, so it must never count as live).
     */
   private def segments(sweep: Boolean = false): Seq[Seg] =
     if (!fs.exists(logPath)) Seq.empty
     else fs.listStatus(logPath).map(_.getPath).flatMap { p =>
       p.getName match {
         case s if s.startsWith("seg-") =>
-          val live = isLive(p)
+          val live = isLive(p) && fs.listStatus(p)
+            .exists(_.getPath.getName.startsWith("part-"))
           if (!live && sweep) { fs.delete(p, true); None }
           else if (!live) None
           else {
@@ -187,14 +191,27 @@ final class LogUpsertSink(
     * already exclude and the next compact sweeps.
     */
   def compact(): Unit = withSinkRetry {
-    // sweep crash debris first: markerless segments AND bases that are
-    // marked but hold no bucket data (a crashed empty-compact attempt)
+    // sweep crash debris first: markerless/dataless segments, bases
+    // that are marked but hold no bucket data (a crashed empty-compact
+    // attempt), and — for a crash AFTER a successful base publish but
+    // before its sweep — segments the current base already folded plus
+    // superseded bases (otherwise that debris would wait for the next
+    // FOLDABLE compact, a storage leak on an idle store)
     segments(sweep = true)
     if (fs.exists(new Path(dir)))
       fs.listStatus(new Path(dir)).map(_.getPath).foreach { p =>
         if (p.getName.startsWith("base-") && !baseHasData(p))
           { fs.delete(p, true); () }
       }
+    currentBase().foreach { case (thru, _) =>
+      segments().filter(_.seq <= thru)
+        .foreach(s => fs.delete(s.path, true))
+      fs.listStatus(new Path(dir)).map(_.getPath).foreach { p =>
+        if (p.getName.startsWith("base-") &&
+            p.getName.stripPrefix("base-").toLong < thru)
+          { fs.delete(p, true); () }
+      }
+    }
     // nothing newer than the current base → nothing to fold
     val foldable =
       segments().exists(_.seq > currentBase().fold(-1L)(_._1))

@@ -74,14 +74,27 @@ final class ManifestUpsertSink(
   private def dataPath = new Path(dir, "data")
   private def stagePath = new Path(dir, ".stage")
 
-  /** Manifest versions present on disk, ascending. */
+  /** Manifest versions present on disk, ascending. A store written by
+    * the pre-versioning layout (a single `MANIFEST` file) migrates in
+    * place — rename to `MANIFEST-0` — instead of silently reading as
+    * absent, which would let the next commit's gc destroy the old
+    * store's only references.
+    */
   private def manifestVersions(): Seq[Long] = {
     val d = new Path(dir)
     if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).map(_.getPath.getName).collect {
-      case n if n.startsWith("MANIFEST-") =>
-        n.stripPrefix("MANIFEST-").toLong
-    }.sorted.toSeq
+    else {
+      val versions = fs.listStatus(d).map(_.getPath.getName).collect {
+        case n if n.startsWith("MANIFEST-") =>
+          n.stripPrefix("MANIFEST-").toLong
+      }.sorted.toSeq
+      val legacy = new Path(dir, "MANIFEST")
+      if (versions.isEmpty && fs.exists(legacy)) {
+        require(fs.rename(legacy, manifestPath(0L)),
+          s"legacy manifest migration failed at $dir")
+        Seq(0L)
+      } else versions
+    }
   }
 
   private def manifestPath(v: Long) = new Path(dir, s"MANIFEST-$v")
@@ -194,52 +207,58 @@ final class ManifestUpsertSink(
   }
 
   /** Stage `df` (already carrying a `bucket` column) to parquet and
-    * hand back (read-back plan, bucket list from the written layout).
+    * hand back (read-back plan, bucket list from the written layout) —
+    * None when the batch was EMPTY (an empty partitioned write leaves
+    * only `_SUCCESS`, which has no readable schema; empty batches are
+    * routine — CdcPipeline ticks can consume rows yet emit zero docs).
     * The input plan runs exactly ONCE; everything downstream — the
     * affected-bucket set, the merge, the commit — reads the frozen
     * staged copy, so a nondeterministic input cannot make the manifest
     * diverge from the written data. Also replaces the old driver
     * `.collect()` of distinct buckets with a directory listing.
     */
-  private def stage(df: DataFrame): (DataFrame, Seq[Int]) = {
+  private def stage(df: DataFrame): Option[(DataFrame, Seq[Int])] = {
     fs.delete(stagePath, true)
     df.write.partitionBy("bucket").parquet(stagePath.toString)
     val buckets = fs.listStatus(stagePath).map(_.getPath.getName).collect {
       case n if n.startsWith("bucket=") => n.stripPrefix("bucket=").toInt
     }.sorted.toSeq
-    (spark.read.parquet(stagePath.toString), buckets)
+    if (buckets.isEmpty) { fs.delete(stagePath, true); None }
+    else Some((spark.read.parquet(stagePath.toString), buckets))
   }
 
-  /** Upsert `docs` (unique by idCol — enforce upstream). */
+  /** Upsert `docs` (unique by idCol — enforce upstream; empty batch ==
+    * no-op).
+    */
   def upsert(docs: DataFrame): Unit = withSinkRetry {
-    val (staged, affected) = stage(
-      docs.withColumn("bucket", bucket(col(idCol))))
-    if (affected.nonEmpty) {
-      val m = loadManifest()
-      val merged = readBuckets(m, affected).fold(staged) { old =>
-        old.join(staged.select(col(idCol)), Seq(idCol), "left_anti")
-          .unionByName(staged)
-      }
-      val commit = nextCommit()
-      merged.write.partitionBy("bucket")
-        .parquet(new Path(dataPath, commit).toString)
-      beforeCommit()
-      writeManifest(m ++ affected.map(_ -> commit))
-      gc()
+    stage(docs.withColumn("bucket", bucket(col(idCol)))).foreach {
+      case (staged, affected) =>
+        val m = loadManifest()
+        val merged = readBuckets(m, affected).fold(staged) { old =>
+          old.join(staged.select(col(idCol)), Seq(idCol), "left_anti")
+            .unionByName(staged)
+        }
+        val commit = nextCommit()
+        merged.write.partitionBy("bucket")
+          .parquet(new Path(dataPath, commit).toString)
+        beforeCommit()
+        writeManifest(m ++ affected.map(_ -> commit))
+        gc()
+        fs.delete(stagePath, true); ()
     }
-    fs.delete(stagePath, true); ()
   }
 
-  /** Targeted delete by id — absent ids ignored, idempotent. A delete
-    * that empties the store publishes an EMPTY manifest (empty
-    * manifest == absent store: read() → None, next upsert bootstraps).
+  /** Targeted delete by id — absent ids ignored, idempotent; empty id
+    * set == no-op. A delete that empties the store publishes an EMPTY
+    * manifest (empty manifest == absent store: read() → None, next
+    * upsert bootstraps).
     */
   def delete(ids: DataFrame): Unit = withSinkRetry {
     val m = loadManifest()
-    if (m.nonEmpty) {
-      val (stagedVictims, victimBuckets) = stage(
-        ids.select(col(idCol)).distinct()
-          .withColumn("bucket", bucket(col(idCol))))
+    if (m.nonEmpty) stage(
+      ids.select(col(idCol)).distinct()
+        .withColumn("bucket", bucket(col(idCol)))).foreach {
+      case (stagedVictims, victimBuckets) =>
       val affected = victimBuckets.filter(m.contains)
       if (affected.nonEmpty) {
         val kept = readBuckets(m, affected).get

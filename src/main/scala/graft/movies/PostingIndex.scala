@@ -71,6 +71,19 @@ final class PostingIndex private (
 
   private def outCols: Seq[Column] = docCols.map(col) :+ col("score")
 
+  /** A corpus can be non-empty yet tokenize to ZERO terms (all
+    * whitespace/stop-words): the postings write then leaves only a
+    * `_SUCCESS` marker — no partition dirs, no readable schema — so
+    * every query path must detect it and serve empty instead of
+    * throwing at the scan.
+    */
+  private def hasPostings: Boolean = {
+    val p = new Path(postingsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith(s"$TermBucketCol="))
+  }
+
   /** Empty result with the exact full-face schema (payload + score). */
   private def emptyScored(): DataFrame =
     spark.read.parquet(docsPath).limit(0)
@@ -99,7 +112,7 @@ final class PostingIndex private (
     */
   def scoreTerms(terms0: Seq[String]): DataFrame = {
     val terms = terms0.distinct
-    if (terms.isEmpty || nDocs == 0L) return emptyScored()
+    if (terms.isEmpty || nDocs == 0L || !hasPostings) return emptyScored()
 
     val posts = spark.read.parquet(postingsPath)
       .filter(col(TermBucketCol).isin(termBuckets(terms): _*) &&
@@ -162,7 +175,8 @@ final class PostingIndex private (
     val tb = qterms
       .select(pmod(xxhash64(col("term")), lit(nTermBuckets)).cast("int"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    if (tb.isEmpty || nDocs == 0L) return emptyScoredMulti(queries, queryIdCol)
+    if (tb.isEmpty || nDocs == 0L || !hasPostings)
+      return emptyScoredMulti(queries, queryIdCol)
     val posts = spark.read.parquet(postingsPath)
       .filter(col(TermBucketCol).isin(tb: _*))
       .join(qterms.select(col("term")).distinct(), Seq("term"),
@@ -308,20 +322,10 @@ final class PostingIndex private (
       asc: Boolean = true,
       page: Int = 1,
       limit: Int = 50): DataFrame = {
-    require(Seq("id", "title", "imdb_rating").contains(sortField),
-      s"unsupported sort field: $sortField")
-    require(page > 0 && limit > 0, "page/limit must be positive")
-    val sortCol = if (asc) col(sortField).asc_nulls_last
-                  else col(sortField).desc_nulls_last
     val base = query.fold(
       spark.read.parquet(docsPath)
         .withColumn("score", lit(0.0)).select(outCols: _*))(score)
-    val ordered = query match {
-      case Some(_) =>
-        base.orderBy(col("score").desc, sortCol, col("id").asc)
-      case None => base.orderBy(sortCol, col("id").asc)
-    }
-    ordered.offset((page - 1) * limit).limit(limit)
+    Search.orderAndPage(base, query.isDefined, sortField, asc, page, limit)
   }
 }
 

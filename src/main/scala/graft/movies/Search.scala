@@ -170,16 +170,28 @@ object Search {
       asc: Boolean = true,
       page: Int = 1,
       limit: Int = 50): DataFrame = {
+    val base = query.fold(docs.withColumn("score", lit(0.0)))(q => score(docs, q))
+    orderAndPage(base, query.isDefined, sortField, asc, page, limit)
+  }
+
+  /** The search API's total order + offset pagination, shared by every
+    * face (full-scan, [[SearchIndex]], [[PostingIndex]]) so the
+    * validation (api.py:68-70's 422 contract), the NULLS LAST rule and
+    * the id tie-break cannot drift between them — [[searchAfter]]'s
+    * cursor predicate depends on all three faces paginating EXACTLY
+    * this order.
+    */
+  private[movies] def orderAndPage(
+      base: DataFrame, hasQuery: Boolean, sortField: String,
+      asc: Boolean, page: Int, limit: Int): DataFrame = {
     require(Seq("id", "title", "imdb_rating").contains(sortField),
       s"unsupported sort field: $sortField") // api.py:68-70 (422 contract)
     require(page > 0 && limit > 0, "page/limit must be positive")
     val sortCol = if (asc) col(sortField).asc_nulls_last
                   else col(sortField).desc_nulls_last
-    val base = query.fold(docs.withColumn("score", lit(0.0)))(q => score(docs, q))
-    val ordered = query match {
-      case Some(_) => base.orderBy(col("score").desc, sortCol, col("id").asc)
-      case None => base.orderBy(sortCol, col("id").asc)
-    }
+    val ordered =
+      if (hasQuery) base.orderBy(col("score").desc, sortCol, col("id").asc)
+      else base.orderBy(sortCol, col("id").asc)
     ordered.offset((page - 1) * limit).limit(limit)
   }
 

@@ -85,20 +85,10 @@ final class SearchIndex private (
       asc: Boolean = true,
       page: Int = 1,
       limit: Int = 50): DataFrame = {
-    require(Seq("id", "title", "imdb_rating").contains(sortField),
-      s"unsupported sort field: $sortField")
-    require(page > 0 && limit > 0, "page/limit must be positive")
-    val sortCol = if (asc) col(sortField).asc_nulls_last
-                  else col(sortField).desc_nulls_last
     val base = query.fold(
       Search.dropAnalyzed(analyzed, fields).withColumn("score", lit(0.0)))(
       q => score(q))
-    val ordered = query match {
-      case Some(_) =>
-        base.orderBy(col("score").desc, sortCol, col("id").asc)
-      case None => base.orderBy(sortCol, col("id").asc)
-    }
-    ordered.offset((page - 1) * limit).limit(limit)
+    Search.orderAndPage(base, query.isDefined, sortField, asc, page, limit)
   }
 }
 

@@ -61,17 +61,8 @@ object AnalyticsQueries {
     * mid-overwrite, but bare createTempDirectory leaked a full table
     * copy into /tmp per run — the shutdown hook walks and removes it.
     */
-  private def scratchDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }))
-    dir.toString + "/data"
-  }
+  private def scratchDir(prefix: String): String =
+    GraftQuery.scratchDir(prefix)
 
   val all: Seq[GraftQuery] = Seq(
 

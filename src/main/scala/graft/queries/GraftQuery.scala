@@ -22,6 +22,24 @@ object GraftQuery {
       build: (SparkSession, String) => DataFrame): GraftQuery =
     GraftQuery(name, build, Some(oracle))
 
+  /** Per-run scratch dir for sink/stored-index round-trip gates,
+    * deleted on JVM exit: a fixed path raced concurrent Verify/Bench
+    * runs mid-overwrite, but bare createTempDirectory leaked a full
+    * table copy into /tmp per run — the shutdown hook walks and
+    * removes it. (Shared by the suites; keep the one implementation.)
+    */
+  private[queries] def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString + "/data"
+  }
+
   def noOracle(name: String)(
       build: (SparkSession, String) => DataFrame): GraftQuery =
     GraftQuery(name, build, None)

@@ -18,22 +18,6 @@ object SearchQueries {
 
   private val QueryTerms = Seq("spark", "query", "window")
 
-  /** Per-run scratch dir for stored-index gates, deleted on JVM exit
-    * (the AnalyticsQueries scratchDir pattern: fixed paths race
-    * concurrent runs, bare temp dirs leak).
-    */
-  private def scratchDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }))
-    dir.toString + "/idx"
-  }
-
   val all: Seq[GraftQuery] = Seq(
 
     // X1 serving shape (VERDICT r9 task #1): posting-pruned BM25F — the
@@ -85,7 +69,7 @@ object SearchQueries {
       val toks = TextOps.tokenize($"text")
       val idx = graft.movies.PostingIndex.buildTokenized(
         Tables.load(s, dir, "documents").select($"doc_id", $"text"),
-        scratchDir("graft_q291_pidx"),
+        GraftQuery.scratchDir("graft_q291_pidx"),
         tokens = Map(
           "title" -> slice(toks, 1, 5),
           "body" -> slice(toks, lit(6), size(toks))),

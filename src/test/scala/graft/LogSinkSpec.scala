@@ -146,6 +146,30 @@ class LogSinkSpec extends SparkTestBase {
         "otherwise the tombstoned doc resurrects")
     sink.upsert(docs("e" -> "five")) // writers tolerate the stale dir
     assert(state(sink) === after + ("e" -> "five"))
+    // a MARKED but DATALESS segment (an empty batch's marker landed,
+    // the crash hit before writeSegment's cleanup) is equally debris:
+    // it has no readable schema, so it must never count as live
+    val dataless = new java.io.File(s"$dir/log/seg-77-u")
+    assert(dataless.mkdirs())
+    assert(new java.io.File(dataless, "_SUCCESS").createNewFile())
+    assert(state(sink) === after + ("e" -> "five"),
+      "dataless marked segment must be invisible")
+    sink.compact()
+    assert(!dataless.exists(), "dataless segment swept by compact")
+    // empty upsert/delete batches are pure no-ops
+    sink.upsert(docs())
+    sink.delete(Seq.empty[String].toDF("id"))
+    assert(state(sink) === after + ("e" -> "five"))
+    // crash AFTER a successful base publish but before its sweep: the
+    // next compact (even with NOTHING new to fold) sweeps the debris
+    sink.compact() // fold everything so the store is base-only
+    val planted = new java.io.File(s"$dir/log/seg-0-u")
+    copy(stash, planted) // an already-folded segment (seq 0 <= thru)
+    assert(state(sink) === after + ("e" -> "five"))
+    sink.compact() // not foldable — must still sweep
+    assert(!planted.exists(),
+      "already-folded debris must be swept by a non-foldable compact")
+    assert(state(sink) === after + ("e" -> "five"))
   }
 
   test("O(|batch|) per tick: an upsert is exactly ONE Spark job and " +

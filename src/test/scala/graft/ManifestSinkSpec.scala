@@ -52,6 +52,21 @@ class ManifestSinkSpec extends SparkTestBase {
     assert(commitDirs(dir) === referenced)
   }
 
+  test("EMPTY batches are no-ops, not crashes: CdcPipeline ticks can " +
+       "consume rows yet emit zero docs (an empty partitioned write " +
+       "has no readable schema — staging must detect it, not read it)") {
+    val dir = tmp()
+    val sink = new ManifestUpsertSink(spark, dir, "id", nBuckets = 4,
+      retainSnapshots = 1)
+    sink.upsert(docs()) // empty upsert on an ABSENT store
+    assert(sink.read() === None)
+    sink.upsert(docs("a" -> "one"))
+    sink.upsert(docs()) // empty upsert on an existing store
+    sink.delete(Seq.empty[String].toDF("id")) // empty delete
+    assert(idsOf(sink) === Set("a" -> "one"))
+    assert(commitDirs(dir) === sink.currentManifest().values.toSet)
+  }
+
   test("nondeterministic input plan: the batch is staged once, so the " +
        "written buckets and the manifest entries come from the SAME " +
        "evaluation (a re-evaluating plan cannot desync pointers)") {
