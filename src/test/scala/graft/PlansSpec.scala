@@ -724,6 +724,51 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("batched posting-search serving shape: the whole query batch " +
+       "rides bucket-pruned posting/doc scans (PartitionFilters on " +
+       "__tb and __db) with a constant job count — not a corpus scan " +
+       "or a routing job per query") {
+    import graft.movies.PostingIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pidx_multi_plan").toString
+    val corpus = (1 to 200).map(i =>
+      (f"doc_$i%03d", s"common words row $i" +
+        (if (i % 7 == 0) " sevenish" else "") +
+        (if (i % 11 == 0) " elevenish" else ""))).toDF("id", "text")
+    val idx = PostingIndex.buildTokenized(corpus, dir,
+      tokens = Map("text" -> split(col("text"), "\\s+")),
+      weights = Map("text" -> 1), idCol = "id",
+      nTermBuckets = 8, nDocBuckets = 8)
+    val queries = Seq(1L -> Seq("sevenish"), 2L -> Seq("elevenish"),
+      3L -> Seq("sevenish", "elevenish"), 4L -> Seq("absentterm"))
+      .toDF("qid", "terms").localCheckpoint()
+    val out = idx.scoreTermsMulti(queries, "qid", "terms")
+    val p = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*__tb".r.findFirstIn(p).isDefined, p)
+    assert("PartitionFilters: \\[[^\\]]*__db".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rows =
+      try { val r = out.collect(); Thread.sleep(200); r }
+      finally spark.sparkContext.removeSparkListener(listener)
+    // 28 sevenish docs (q1), 18 elevenish (q2); q3 matches the union
+    // (docs 77/154 carry both terms → 44 distinct); absent term → 0
+    assert(rows.count(_.getLong(0) == 1L) === 28)
+    assert(rows.count(_.getLong(0) == 2L) === 18)
+    assert(rows.count(_.getLong(0) == 3L) === 44)
+    assert(!rows.exists(_.getLong(0) == 4L))
+    // job count is a constant of the plan, not of |queries| — the
+    // single face costs ≥ 3 driver actions per query
+    assert(jobs.get() <= 10, s"batched posting search ran ${jobs.get()} jobs")
+  }
+
   test("batched IVF×PQ serving shape: the probe join partition-prunes " +
        "the cell-partitioned stored index (no full index scan for a " +
        "multi-query batch), zero per-query jobs, stored ≡ in-memory") {
