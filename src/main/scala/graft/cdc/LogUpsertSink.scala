@@ -132,8 +132,11 @@ final class LogUpsertSink(
     * no store read, per-tick cost O(|batch|) regardless of store size.
     */
   def upsert(docs: DataFrame): Unit = withSinkRetry {
-    require(!docs.columns.contains(SeqCol) && !docs.columns.contains(OpCol),
-      s"$SeqCol/$OpCol are reserved sink columns")
+    require(!docs.columns.contains(SeqCol) && !docs.columns.contains(OpCol)
+        && !docs.columns.contains("bucket"),
+      s"$SeqCol/$OpCol/bucket are reserved sink columns — compact() " +
+        "partitions the base on 'bucket', which would silently clobber " +
+        "a doc column of that name")
     segments(sweep = true) // clear crashed attempts before appending
     writeSegment(docs, nextSeq(), "u")
   }
@@ -190,6 +193,19 @@ final class LogUpsertSink(
     * intact, a crash after it leaves stale segments that readers
     * already exclude and the next compact sweeps.
     */
+  /** Remove everything the base at `thru` supersedes: segments it
+    * already folded and older bases.
+    */
+  private def sweepFolded(thru: Long): Unit = {
+    segments().filter(_.seq <= thru)
+      .foreach(s => fs.delete(s.path, true))
+    fs.listStatus(new Path(dir)).map(_.getPath).foreach { p =>
+      if (p.getName.startsWith("base-") &&
+          p.getName.stripPrefix("base-").toLong < thru)
+        { fs.delete(p, true); () }
+    }
+  }
+
   def compact(): Unit = withSinkRetry {
     // sweep crash debris first: markerless/dataless segments, bases
     // that are marked but hold no bucket data (a crashed empty-compact
@@ -203,15 +219,7 @@ final class LogUpsertSink(
         if (p.getName.startsWith("base-") && !baseHasData(p))
           { fs.delete(p, true); () }
       }
-    currentBase().foreach { case (thru, _) =>
-      segments().filter(_.seq <= thru)
-        .foreach(s => fs.delete(s.path, true))
-      fs.listStatus(new Path(dir)).map(_.getPath).foreach { p =>
-        if (p.getName.startsWith("base-") &&
-            p.getName.stripPrefix("base-").toLong < thru)
-          { fs.delete(p, true); () }
-      }
-    }
+    currentBase().foreach { case (thru, _) => sweepFolded(thru) }
     // nothing newer than the current base → nothing to fold
     val foldable =
       segments().exists(_.seq > currentBase().fold(-1L)(_._1))
@@ -230,15 +238,7 @@ final class LogUpsertSink(
           // the whole store was tombstoned: collapse to absent (empty
           // store == no store — the sink-family invariant)
           fs.delete(new Path(dir), true); ()
-        } else {
-          segments().filter(_.seq <= thru)
-            .foreach(s => fs.delete(s.path, true))
-          fs.listStatus(new Path(dir)).map(_.getPath).foreach { p =>
-            if (p.getName.startsWith("base-") &&
-                p.getName.stripPrefix("base-").toLong < thru)
-              { fs.delete(p, true); () }
-          }
-        }
+        } else sweepFolded(thru)
     }
   }
 }

@@ -74,33 +74,27 @@ final class ManifestUpsertSink(
   private def dataPath = new Path(dir, "data")
   private def stagePath = new Path(dir, ".stage")
 
-  /** Manifest versions present on disk, ascending. A store written by
-    * the pre-versioning layout (a single `MANIFEST` file) migrates in
-    * place — rename to `MANIFEST-0` — instead of silently reading as
-    * absent, which would let the next commit's gc destroy the old
-    * store's only references.
+  /** Manifest versions present on disk, ascending (pure listing —
+    * readers must never mutate the store; see [[loadManifest]] for the
+    * legacy-layout story).
     */
   private def manifestVersions(): Seq[Long] = {
     val d = new Path(dir)
     if (!fs.exists(d)) Seq.empty
-    else {
-      val versions = fs.listStatus(d).map(_.getPath.getName).collect {
-        case n if n.startsWith("MANIFEST-") =>
-          n.stripPrefix("MANIFEST-").toLong
-      }.sorted.toSeq
-      val legacy = new Path(dir, "MANIFEST")
-      if (versions.isEmpty && fs.exists(legacy)) {
-        require(fs.rename(legacy, manifestPath(0L)),
-          s"legacy manifest migration failed at $dir")
-        Seq(0L)
-      } else versions
-    }
+    else fs.listStatus(d).map(_.getPath.getName).collect {
+      case n if n.startsWith("MANIFEST-") =>
+        n.stripPrefix("MANIFEST-").toLong
+    }.sorted.toSeq
   }
 
   private def manifestPath(v: Long) = new Path(dir, s"MANIFEST-$v")
+  private def legacyManifestPath = new Path(dir, "MANIFEST")
 
-  private def readManifestFile(v: Long): Map[Int, String] = {
-    val in = fs.open(manifestPath(v))
+  private def readManifestFile(v: Long): Map[Int, String] =
+    readManifestAt(manifestPath(v))
+
+  private def readManifestAt(p: Path): Map[Int, String] = {
+    val in = fs.open(p)
     val text =
       try {
         val bos = new java.io.ByteArrayOutputStream()
@@ -116,9 +110,18 @@ final class ManifestUpsertSink(
     }.toMap
   }
 
-  /** Current (highest-versioned) manifest; empty map == absent store. */
+  /** Current (highest-versioned) manifest; empty map == absent store.
+    * A store written by the pre-versioning layout (a single `MANIFEST`
+    * file) is read IN PLACE — never silently treated as absent, which
+    * would let the next commit's gc destroy its only references; the
+    * rename to `MANIFEST-0` happens on the WRITE path only, so pure
+    * readers (read-only mounts, concurrent readers) never mutate.
+    */
   private def loadManifest(): Map[Int, String] =
-    manifestVersions().lastOption.fold(Map.empty[Int, String])(readManifestFile)
+    manifestVersions().lastOption.map(readManifestFile).getOrElse {
+      if (fs.exists(legacyManifestPath)) readManifestAt(legacyManifestPath)
+      else Map.empty
+    }
 
   /** Test/introspection seam: the live bucket -> commit table. */
   private[graft] def currentManifest(): Map[Int, String] = loadManifest()
@@ -139,6 +142,11 @@ final class ManifestUpsertSink(
     finally out.close()
     require(fs.rename(tmp, manifestPath(next)),
       s"manifest publish failed at $dir")
+    // writer-side legacy migration: the published version subsumes the
+    // pre-versioning MANIFEST's content (loadManifest read it), so the
+    // old file retires here — never on a read path
+    if (fs.exists(legacyManifestPath))
+      { fs.delete(legacyManifestPath, false); () }
     manifestVersions().dropRight(retainSnapshots)
       .foreach(v => fs.delete(manifestPath(v), false))
   }
@@ -231,6 +239,8 @@ final class ManifestUpsertSink(
     * no-op).
     */
   def upsert(docs: DataFrame): Unit = withSinkRetry {
+    require(!docs.columns.contains("bucket"),
+      "'bucket' is a reserved sink column — the store partitions on it")
     stage(docs.withColumn("bucket", bucket(col(idCol)))).foreach {
       case (staged, affected) =>
         val m = loadManifest()

@@ -93,6 +93,8 @@ final class UpsertSink(
 
   /** Upsert `docs` (unique by idCol — enforce upstream) into the store. */
   def upsert(docs: DataFrame): Unit = withSinkRetry {
+    require(!docs.columns.contains("bucket"),
+      "'bucket' is a reserved sink column — the store partitions on it")
     val incoming = docs.withColumn("bucket", bucket(col(idCol)))
     if (!storeExists)
       incoming.write.partitionBy("bucket").parquet(dir)

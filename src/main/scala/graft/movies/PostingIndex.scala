@@ -195,7 +195,11 @@ final class PostingIndex private (
     val candBuckets = candidates
       .select(pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    def prunedDocs = spark.read.parquet(docsPath)
+    // ONE pruned doc definition carrying tokens AND payload; the two
+    // references below (contribution inputs, final payload attach) are
+    // identical subtrees, so Spark's exchange/scan reuse applies —
+    // never a second candidate derivation
+    val prunedDocs = spark.read.parquet(docsPath)
       .filter(col(DocBucketCol).isin(candBuckets: _*))
       .join(candidates, Seq(idCol), "left_semi")
     val tftCol = fields.map { f =>
@@ -322,6 +326,7 @@ final class PostingIndex private (
       asc: Boolean = true,
       page: Int = 1,
       limit: Int = 50): DataFrame = {
+    Search.validateSearchArgs(sortField, page, limit)
     val base = query.fold(
       spark.read.parquet(docsPath)
         .withColumn("score", lit(0.0)).select(outCols: _*))(score)

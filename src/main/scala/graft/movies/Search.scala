@@ -170,8 +170,20 @@ object Search {
       asc: Boolean = true,
       page: Int = 1,
       limit: Int = 50): DataFrame = {
+    validateSearchArgs(sortField, page, limit)
     val base = query.fold(docs.withColumn("score", lit(0.0)))(q => score(docs, q))
     orderAndPage(base, query.isDefined, sortField, asc, page, limit)
+  }
+
+  /** The 422-contract validation (api.py:68-70), callable BEFORE any
+    * plan work: an invalid request must reject without paying the
+    * scoring face's corpus-stats jobs.
+    */
+  private[movies] def validateSearchArgs(
+      sortField: String, page: Int, limit: Int): Unit = {
+    require(Seq("id", "title", "imdb_rating").contains(sortField),
+      s"unsupported sort field: $sortField")
+    require(page > 0 && limit > 0, "page/limit must be positive")
   }
 
   /** The search API's total order + offset pagination, shared by every
@@ -184,9 +196,7 @@ object Search {
   private[movies] def orderAndPage(
       base: DataFrame, hasQuery: Boolean, sortField: String,
       asc: Boolean, page: Int, limit: Int): DataFrame = {
-    require(Seq("id", "title", "imdb_rating").contains(sortField),
-      s"unsupported sort field: $sortField") // api.py:68-70 (422 contract)
-    require(page > 0 && limit > 0, "page/limit must be positive")
+    validateSearchArgs(sortField, page, limit)
     val sortCol = if (asc) col(sortField).asc_nulls_last
                   else col(sortField).desc_nulls_last
     val ordered =
@@ -235,9 +245,7 @@ object Search {
       asc: Boolean = true,
       limit: Int = 50,
       after: Option[SearchAfter] = None): DataFrame = {
-    require(Seq("id", "title", "imdb_rating").contains(sortField),
-      s"unsupported sort field: $sortField")
-    require(limit > 0, "limit must be positive")
+    validateSearchArgs(sortField, page = 1, limit = limit)
     val sortCol = if (asc) col(sortField).asc_nulls_last
                   else col(sortField).desc_nulls_last
     val base = query.fold(docs.withColumn("score", lit(0.0)))(q =>

@@ -85,6 +85,7 @@ final class SearchIndex private (
       asc: Boolean = true,
       page: Int = 1,
       limit: Int = 50): DataFrame = {
+    Search.validateSearchArgs(sortField, page, limit)
     val base = query.fold(
       Search.dropAnalyzed(analyzed, fields).withColumn("score", lit(0.0)))(
       q => score(q))

@@ -527,15 +527,28 @@ object BpeOps {
       .drop("__w", "__dp")
   }
 
+  /** Q20 log2 over arbitrary-precision counts: drop low bits until the
+    * value fits the 62-bit window log2Q20Host accepts, add the shift
+    * back as whole bits. The dropped bits sit below the Q20 resolution
+    * (≤ 2⁻⁴² relative), so for long-ranged inputs this IS log2Q20Host
+    * — the BigInt range only exists so soft-EM's weighted Q20 masses
+    * cannot silently wrap a Long at corpus scale.
+    */
+  private[graft] def log2Q20Big(v: BigInt): Long = {
+    require(v >= 1, s"log2Q20Big needs v >= 1, got $v")
+    val k = math.max(0, v.bitLength - 62)
+    EvalOps.log2Q20Host((v >> k).toLong) + k.toLong * (1L << 20)
+  }
+
   /** Re-score a (piece, count) set as Q20 log2(count/total) via the
     * host-side binLog2Q20 replica — both engines then consume the
     * same integer literals (the ndcgWeights idiom).
     */
   private def unigramRescore(
-      counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+      counts: Seq[(String, BigInt)]): Seq[(String, Long)] = {
     val total = counts.map(_._2).sum
     counts.map { case (p, c) =>
-      p -> (EvalOps.log2Q20Host(c) - EvalOps.log2Q20Host(total)) }
+      p -> (log2Q20Big(c) - log2Q20Big(total)) }
   }
 
   // ── Q20 integer log-sum-exp / exp2 (the soft-EM arithmetic) ──
@@ -726,7 +739,11 @@ object BpeOps {
           maxPiece, maxWordLen, unkScore)).as("g"))
       .filter(col("g.pid") >= 0L)
       .groupBy(col("g.pid").as("pid"))
-      .agg(sum(col("g.c") * col("weight")).as("u"))
+      // decimal accumulation: weight × Q20 mass per edge, summed over
+      // the dict — a Long would silently wrap once one piece's
+      // weighted mass passes 2⁶³ (≈8.8e12 weighted occurrences)
+      .agg(sum(col("g.c").cast("decimal(38,0)") *
+        col("weight").cast("decimal(38,0)")).as("u"))
   }
 
   /** Unigram-LM vocabulary training with SOFT-EM expected counts —
@@ -810,7 +827,8 @@ object BpeOps {
         .limit(math.max(0, seedVocab - singles.size))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       seed.unpersist()
-      var cur: Seq[(String, Long)] = unigramRescore(singles ++ multisTop)
+      var cur: Seq[(String, Long)] = unigramRescore(
+        (singles ++ multisTop).map { case (p, c) => p -> BigInt(c) })
       var round = 0
       var converged = false
       while (round < rounds && !converged) {
@@ -825,12 +843,18 @@ object BpeOps {
             .select(explode(col("piece_ids")).as("pid"), col("weight"))
             .filter(col("pid") >= 0L)
             .groupBy(col("pid")).agg(sum(col("weight")).as("u"))
+        // EM usage sums DECIMAL (weight × Q20 mass would wrap a Long
+        // once one piece's weighted mass passes 2⁶³ — reachable for
+        // top single-char pieces at the corpus scale this trainer
+        // targets); both faces land in BigInt for the M-step
         val usageRows = usageDf
           .filter(col("u") > 0L) // a posterior mass rounding to 0 == unused
-          .collect().map(r => pieceOf(r.getLong(0)) -> r.getLong(1))
+          .collect().map(r => pieceOf(r.getLong(0)) ->
+            (if (em) BigInt(r.getDecimal(1).toBigInteger)
+             else BigInt(r.getLong(1))))
           .toMap
         val singleKept = singles.map { case (p, _) =>
-          p -> math.max(usageRows.getOrElse(p, 0L), 1L) }
+          p -> usageRows.getOrElse(p, BigInt(0)).max(BigInt(1)) }
         val target = math.max(vocabSize,
           math.ceil(cur.size * 0.8).toInt)
         val multiKept = cur.collect {

@@ -190,6 +190,31 @@ class ManifestSinkSpec extends SparkTestBase {
     assert(idsOf(stable) === snap.filterNot(_._1 == "a"))
   }
 
+  test("legacy single-MANIFEST store: readers read it IN PLACE (no " +
+       "mutation — read-only mounts stay readable), the first write " +
+       "migrates it, and no pre-migration data is lost to gc") {
+    val dir = tmp()
+    val sink = new ManifestUpsertSink(spark, dir, "id", nBuckets = 4,
+      retainSnapshots = 1)
+    sink.upsert(docs("a" -> "one", "b" -> "two", "c" -> "three"))
+    // devolve the store to the pre-versioning layout
+    val v0 = java.nio.file.Paths.get(dir)
+      .resolve(new java.io.File(dir).list()
+        .find(_.startsWith("MANIFEST-")).get)
+    java.nio.file.Files.move(v0, java.nio.file.Paths.get(s"$dir/MANIFEST"))
+    // pure read: content served, legacy file untouched
+    assert(idsOf(sink) === Set("a" -> "one", "b" -> "two", "c" -> "three"))
+    assert(new java.io.File(s"$dir/MANIFEST").exists(),
+      "a read must not mutate the store")
+    // first write migrates AND keeps every pre-migration doc
+    sink.upsert(docs("d" -> "four"))
+    assert(!new java.io.File(s"$dir/MANIFEST").exists(), "legacy retired")
+    assert(idsOf(sink) ===
+      Set("a" -> "one", "b" -> "two", "c" -> "three", "d" -> "four"))
+    assert(commitDirs(dir) === sink.currentManifest().values.toSet,
+      "gc must not touch the legacy snapshot's buckets")
+  }
+
   test("retention window: a reader holding a snapshot-v plan survives " +
        "retainSnapshots - 1 later commits to the SAME bucket, then ages " +
        "out; crash-publish never deletes the live manifest before the " +

@@ -273,6 +273,12 @@ class UnigramSpec extends SparkTestBase {
     assert(BpeOps.hostExp2Q20(-40L << 20) === 0L)
     // monotone: a bigger gap shrinks the correction
     assert(BpeOps.hostLse(0L, -1L << 20) > BpeOps.hostLse(0L, -2L << 20))
+    // BigInt-ranged log2 (the overflow-proof EM usage path): exact on
+    // powers of two past the Long range, and == the Long replica
+    // inside it — the M-step's values are unchanged where Longs fit
+    assert(BpeOps.log2Q20Big(BigInt(1) << 100) === 100L << 20)
+    for (v <- Seq(1L, 7L, 1048576L, (1L << 61) + 12345L))
+      assert(BpeOps.log2Q20Big(BigInt(v)) === EvalOps.log2Q20Host(v), v)
   }
 
   test("unigramTrainEm ≡ sequential forward–backward referee " +
