@@ -11,7 +11,15 @@ import org.apache.spark.sql.DataFrame
   *
   * Implementations:
   *  - [[UpsertSink]] (default): bucketed-parquet native store; rewrites
-  *    only affected buckets per upsert/delete.
+  *    only affected buckets per upsert/delete (dynamic overwrite).
+  *  - [[ManifestUpsertSink]] (crash-safe): snapshot-commit storage —
+  *    staged batches, immutable commit dirs, versioned manifests,
+  *    retention window for lagging readers; same O(affected buckets)
+  *    cost, no mutate-in-place crash window.
+  *  - [[LogUpsertSink]] (O(|batch|) per tick): append-only log
+  *    segments + latest-per-key read view + scheduled compaction —
+  *    the sustained-ingest shape (StreamBench: ~5× the rewrite sinks
+  *    at the reference's own batch sizes).
   *  - [[EsWire.EsDocSink]] (live wire): POSTs the q267-checked
   *    [[EsBulk]] `_bulk` bodies over HTTP from executors, with the
   *    reference's backoff/partial-failure semantics — drilled in
