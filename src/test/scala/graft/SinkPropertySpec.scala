@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import graft.cdc.{DocSink, LogUpsertSink, ManifestUpsertSink, UpsertSink}
+
+/** Differential property drill over the WHOLE parquet sink family:
+  * seeded-random sequences of upsert / targeted-delete / replay /
+  * compact against all three stores at once, each step compared to an
+  * in-memory Map model (the DocSink contract is exactly last-write-wins
+  * by id). The three sinks implement the same contract through three
+  * different storage disciplines (dynamic overwrite, snapshot-commit,
+  * log-structured) — a divergence in ANY of replace semantics, delete
+  * idempotence, replay absorption, empty-batch handling or compaction
+  * equivalence shows up as a model mismatch here without hand-writing
+  * the case.
+  */
+class SinkPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sinkprop").toString
+
+  private def df(rows: Seq[(String, String)]): DataFrame =
+    rows.toDF("id", "title")
+
+  private def contents(s: DocSink): Set[(String, String)] =
+    s.read().map(_.as[(String, String)].collect().toSet)
+      .getOrElse(Set.empty)
+
+  test("random op sequences: UpsertSink ≡ ManifestUpsertSink ≡ " +
+       "LogUpsertSink ≡ the in-memory model at every checkpoint, " +
+       "including replays, empty batches, hot-id churn and compaction") {
+    val rnd = new scala.util.Random(20260815L)
+    val ids = (1 to 12).map(i => s"id_$i")
+    for (run <- 1 to 2) {
+      val model = scala.collection.mutable.Map.empty[String, String]
+      val sinks: Seq[DocSink] = Seq(
+        new UpsertSink(spark, s"${tmp()}/s", "id", nBuckets = 4),
+        new ManifestUpsertSink(spark, s"${tmp()}/s", "id",
+          nBuckets = 4, retainSnapshots = 2),
+        new LogUpsertSink(spark, s"${tmp()}/s", "id", nBuckets = 4))
+      val log = sinks.collectFirst { case l: LogUpsertSink => l }.get
+      var lastBatch: Seq[(String, String)] = Seq.empty
+      def check(step: String): Unit = {
+        val want = model.toSet
+        for (s <- sinks)
+          assert(contents(s) === want,
+            s"run $run after $step: ${s.getClass.getSimpleName} diverged")
+      }
+      for (step <- 1 to 14) {
+        rnd.nextInt(5) match {
+          case 0 | 1 => // upsert a random batch (possibly empty)
+            val batch = rnd.shuffle(ids).take(rnd.nextInt(5))
+              .map(id => id -> s"v${run}_${step}_$id")
+            sinks.foreach(_.upsert(df(batch)))
+            batch.foreach { case (k, v) => model(k) = v }
+            lastBatch = batch
+          case 2 => // targeted delete incl. absent ids
+            val victims = rnd.shuffle(ids).take(rnd.nextInt(4)) :+ "ghost"
+            sinks.foreach(_.delete(victims.toDF("id")))
+            victims.foreach(model.remove)
+          case 3 => // replay the previous upsert batch — must absorb
+            sinks.foreach(_.upsert(df(lastBatch)))
+            lastBatch.foreach { case (k, v) => model(k) = v }
+          case 4 => // fold the log store; the others have no deferral
+            log.compact()
+        }
+        if (step % 4 == 0) check(s"step $step")
+      }
+      log.compact()
+      check("final compact")
+    }
+  }
+}
