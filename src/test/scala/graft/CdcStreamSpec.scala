@@ -112,6 +112,10 @@ class CdcStreamSpec extends SparkTestBase {
     e.orderBy(unix_micros($"ts").asc, $"did".asc).limit(360)
       .write.parquet(s"$dir/events_prefix")
     val sink = new UpsertSink(spark, s"$dir/store", "user_id", 4)
+    // the log-structured sink rides the SAME micro-batches (with a
+    // mid-stream compaction) — the flat-cost store must be a drop-in
+    // under real streaming checkpointing too
+    val logSink = new LogUpsertSink(spark, s"$dir/logstore", "user_id", 4)
     val latestInBatch = Window.partitionBy($"user_id")
       .orderBy(unix_micros($"ts").desc, $"did".desc)
     val q = spark.readStream
@@ -123,15 +127,22 @@ class CdcStreamSpec extends SparkTestBase {
       .load()
       .writeStream
       .option("checkpointLocation", s"$dir/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val docs = batch
           .withColumn("rk", row_number().over(latestInBatch))
           .filter(col("rk") === 1).drop("rk")
           .localCheckpoint()
         sink.upsert(docs)
+        logSink.upsert(docs)
+        if (batchId == 1L) logSink.compact() // mid-stream fold
       }
       .start() // default trigger: processAllAvailable drains the prefix
     try q.processAllAvailable() finally q.stop()
+    logSink.compact()
+    val lcols = logSink.read().get.columns.toIndexedSeq
+    assert(logSink.read().get.toJSON.collect().sorted.toSeq ===
+      sink.read().get.selectExpr(lcols: _*).toJSON.collect().sorted.toSeq,
+      "log sink must equal the rewrite sink under streaming delivery")
     val streamed = sink.read().get
       .select($"user_id", $"event_id", $"event_type",
         round($"value" * 100, 0).cast("long").as("value_c"),
