@@ -185,14 +185,6 @@ final class LogUpsertSink(
       snap.select(docCols.map(col): _*)
     }
 
-  /** Fold the log into a fresh id-bucketed `base-<thru>` and sweep the
-    * folded segments + superseded bases. An empty snapshot collapses
-    * the store to absent (empty store == no store, the sink-family
-    * invariant). Crash-safe: the new base is invisible until its
-    * `_SUCCESS` lands; a crash before that leaves the old base + log
-    * intact, a crash after it leaves stale segments that readers
-    * already exclude and the next compact sweeps.
-    */
   /** Remove everything the base at `thru` supersedes: segments it
     * already folded and older bases.
     */
@@ -206,6 +198,14 @@ final class LogUpsertSink(
     }
   }
 
+  /** Fold the log into a fresh id-bucketed `base-<thru>` and sweep the
+    * folded segments + superseded bases. An empty snapshot collapses
+    * the store to absent (empty store == no store, the sink-family
+    * invariant). Crash-safe: the new base is invisible until its
+    * `_SUCCESS` lands; a crash before that leaves the old base + log
+    * intact, a crash after it leaves stale segments that readers
+    * already exclude and the next compact sweeps.
+    */
   def compact(): Unit = withSinkRetry {
     // sweep crash debris first: markerless/dataless segments, bases
     // that are marked but hold no bucket data (a crashed empty-compact

@@ -142,10 +142,15 @@ final class ManifestUpsertSink(
     finally out.close()
     require(fs.rename(tmp, manifestPath(next)),
       s"manifest publish failed at $dir")
-    // writer-side legacy migration: the published version subsumes the
-    // pre-versioning MANIFEST's content (loadManifest read it), so the
-    // old file retires here — never on a read path
-    if (fs.exists(legacyManifestPath))
+    // writer-side legacy migration: the published versions subsume the
+    // pre-versioning MANIFEST's content (loadManifest read it), but the
+    // legacy snapshot gets the SAME retention window as a versioned one
+    // — it retires only once `retainSnapshots` versioned manifests
+    // exist (until then gc() keeps counting its bucket references as
+    // live, so a concurrent legacy reader is protected exactly like a
+    // reader on any retained snapshot). Never touched on a read path.
+    if (manifestVersions().size >= retainSnapshots &&
+        fs.exists(legacyManifestPath))
       { fs.delete(legacyManifestPath, false); () }
     manifestVersions().dropRight(retainSnapshots)
       .foreach(v => fs.delete(manifestPath(v), false))
@@ -174,9 +179,16 @@ final class ManifestUpsertSink(
     * commits (referenced by no retained manifest) go the same way.
     */
   private def gc(): Unit = {
-    val live: Set[(Int, String)] = manifestVersions()
+    // a still-present legacy MANIFEST counts as a retained snapshot
+    // (writeManifest retires it only once `retainSnapshots` versioned
+    // manifests exist), so its readers keep the same window
+    val legacy: Set[(Int, String)] =
+      if (fs.exists(legacyManifestPath))
+        readManifestAt(legacyManifestPath).toSet
+      else Set.empty
+    val live: Set[(Int, String)] = legacy ++ manifestVersions()
       .takeRight(retainSnapshots)
-      .flatMap(v => readManifestFile(v).toSeq).toSet
+      .flatMap(v => readManifestFile(v).toSeq)
     if (fs.exists(dataPath)) {
       fs.listStatus(dataPath).map(_.getPath).foreach { cp =>
         val commit = cp.getName

@@ -168,15 +168,24 @@ final class PostingIndex private (
       termsCol: String): DataFrame = {
     require(queryIdCol != idCol,
       "query and doc id columns must differ (both appear in the output)")
+    if (nDocs == 0L || !hasPostings) // driver-local, before any job
+      return emptyScoredMulti(queries, queryIdCol)
+    // PIN the analyzed query batch: the plan below references it from
+    // the routing collect, the posting semi-join, the candidate set
+    // and the final fold — unpinned, a nondeterministic queries plan
+    // could route term t to a bucket list that a later evaluation's
+    // terms don't match, silently dropping docs (the
+    // ivfPqTopKMultiStored probe-pinning rule); it also runs the
+    // query analyzer exactly once per batch
     val qterms = queries.select(col(queryIdCol),
       posexplode(array_distinct(col(termsCol)))
         .as(Seq("__tidx", "term")))
+      .localCheckpoint()
     // bucket routing for the whole batch: ≤ nTermBuckets values
     val tb = qterms
       .select(pmod(xxhash64(col("term")), lit(nTermBuckets)).cast("int"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    if (tb.isEmpty || nDocs == 0L || !hasPostings)
-      return emptyScoredMulti(queries, queryIdCol)
+    if (tb.isEmpty) return emptyScoredMulti(queries, queryIdCol)
     val posts = spark.read.parquet(postingsPath)
       .filter(col(TermBucketCol).isin(tb: _*))
       .join(qterms.select(col("term")).distinct(), Seq("term"),
@@ -279,12 +288,10 @@ final class PostingIndex private (
     } else {
       val analyzed = fields.foldLeft(newDocs)((d, f) =>
         d.withColumn(s"__toks_$f", tokens(f))).localCheckpoint()
-      val aggs =
-        fields.map(f =>
-          sum(size(Search.toks(f)).cast("long")).as(s"sumdl_$f")) :+
-          count(lit(1)).as("n_docs")
-      val stats = analyzed.agg(aggs.head, aggs.tail: _*).head()
-      val dn = stats.getAs[Long]("n_docs")
+      // same aggregate as the build (PostingIndex.sumStats) over the
+      // PINNED delta — the refresh ≡ rebuild parity rests on both
+      // paths summing the identical integers
+      val (stats, dn) = PostingIndex.sumStats(analyzed, fields)
       if (dn == 0L) this
       else {
         analyzed
@@ -382,24 +389,34 @@ object PostingIndex {
     val analyzed = fields.foldLeft(docs)((d, f) =>
       d.withColumn(s"__toks_$f", tokens(f)))
 
-    // one corpus-stats pass — EXACT integer dl sums (avg derives in
-    // the constructor; see the avgdls note there)
-    val (stats, n) = sumStats(analyzed, fields)
-    val sumdls = fields.map(f =>
-      f -> (if (n == 0L) 0L else stats.getAs[Long](s"sumdl_$f"))).toMap
-
-    // doc store, id-bucketed (empty corpus: keep the schema readable —
-    // no partitionBy, the query path early-outs on nDocs == 0)
+    // the input plan executes exactly ONCE — the doc-store write; the
+    // stats aggregate AND the postings both derive from the WRITTEN
+    // copy, so a nondeterministic input cannot desync stats.json or
+    // the posting lists from the stored docs (the ManifestUpsertSink
+    // staging discipline), and the analyzer never runs a second
+    // corpus pass. Token arrays round-trip parquet exactly, so the
+    // integer dl sums — hence avgdl — still equal what the full-scan
+    // referee computes over the in-memory plan.
     val withDb = analyzed
       .withColumn(DocBucketCol, pmod(xxhash64(col(idCol)), lit(nDocBuckets)))
-    if (n == 0L) withDb.repartition(1).write.parquet(s"$dir/docs")
-    else withDb.write.partitionBy(DocBucketCol).parquet(s"$dir/docs")
-
-    // postings derive from the WRITTEN doc store (frozen copy), so a
-    // nondeterministic input plan cannot desync postings from docs;
-    // distinct terms per doc ⇒ count(term) == document frequency
+    withDb.write.partitionBy(DocBucketCol).parquet(s"$dir/docs")
+    val fs = new Path(s"$dir/docs")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wroteRows = fs.listStatus(new Path(s"$dir/docs"))
+      .exists(_.getPath.getName.startsWith(s"$DocBucketCol="))
+    if (!wroteRows) {
+      // empty corpus: a partitioned empty write has no readable schema
+      // — replace it with a plain placeholder (limit(0) is row-free
+      // and deterministic), so emptyScored() can still resolve columns
+      fs.delete(new Path(s"$dir/docs"), true)
+      withDb.limit(0).repartition(1).write.parquet(s"$dir/docs")
+    }
+    val stored = spark.read.parquet(s"$dir/docs")
+    val (stats, n) = sumStats(stored, fields)
+    val sumdls = fields.map(f =>
+      f -> (if (n == 0L) 0L else stats.getAs[Long](s"sumdl_$f"))).toMap
     if (n > 0L) {
-      spark.read.parquet(s"$dir/docs")
+      stored
         .select(col(idCol), explode(array_distinct(
           concat(fields.map(Search.toks): _*))).as("term"))
         .withColumn(TermBucketCol, pmod(xxhash64(col("term")), lit(nTermBuckets)))

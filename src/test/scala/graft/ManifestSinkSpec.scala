@@ -208,11 +208,35 @@ class ManifestSinkSpec extends SparkTestBase {
       "a read must not mutate the store")
     // first write migrates AND keeps every pre-migration doc
     sink.upsert(docs("d" -> "four"))
-    assert(!new java.io.File(s"$dir/MANIFEST").exists(), "legacy retired")
+    assert(!new java.io.File(s"$dir/MANIFEST").exists(),
+      "legacy retired (retainSnapshots=1: window already full)")
     assert(idsOf(sink) ===
       Set("a" -> "one", "b" -> "two", "c" -> "three", "d" -> "four"))
     assert(commitDirs(dir) === sink.currentManifest().values.toSet,
       "gc must not touch the legacy snapshot's buckets")
+  }
+
+  test("legacy store under retention: the pre-versioning snapshot gets " +
+       "the SAME retainSnapshots window as a versioned one — a reader " +
+       "holding a legacy plan survives the first post-migration commit") {
+    val dir = tmp()
+    val sink = new ManifestUpsertSink(spark, dir, "id", nBuckets = 1,
+      retainSnapshots = 2)
+    sink.upsert(docs("a" -> "v1")) // nBuckets=1: every commit rewrites
+    val v0 = java.nio.file.Paths.get(dir)
+      .resolve(new java.io.File(dir).list()
+        .find(_.startsWith("MANIFEST-")).get)
+    java.nio.file.Files.move(v0, java.nio.file.Paths.get(s"$dir/MANIFEST"))
+    val reader = sink.read().get // planned against the LEGACY snapshot
+    val snapshot = reader.as[(String, String)].collect().toSet
+    sink.upsert(docs("a" -> "v2")) // migrates; legacy must survive gc
+    assert(new java.io.File(s"$dir/MANIFEST").exists(),
+      "legacy counts as a retained snapshot until the window fills")
+    assert(reader.as[(String, String)].collect().toSet === snapshot,
+      "legacy reader must survive the first post-migration commit")
+    sink.upsert(docs("a" -> "v3")) // window full: legacy ages out
+    assert(!new java.io.File(s"$dir/MANIFEST").exists())
+    assert(idsOf(sink) === Set("a" -> "v3"))
   }
 
   test("retention window: a reader holding a snapshot-v plan survives " +
