@@ -183,7 +183,9 @@ final class LogUpsertSink(
   def read(): Option[DataFrame] =
     snapshotWithMeta().map { case (snap, _, docCols) =>
       snap.select(docCols.map(col): _*)
-    }
+    }.filter(!_.isEmpty) // all-tombstoned-uncompacted folds to empty:
+      // report None like the rewrite sinks' emptied stores, so
+      // read().isDefined means 'store has docs' across the family
 
   /** Remove everything the base at `thru` supersedes: segments it
     * already folded and older bases.

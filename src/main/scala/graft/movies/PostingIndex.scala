@@ -166,8 +166,9 @@ final class PostingIndex private (
   def scoreTermsMulti(
       queries: DataFrame, queryIdCol: String,
       termsCol: String): DataFrame = {
-    require(queryIdCol != idCol,
-      "query and doc id columns must differ (both appear in the output)")
+    require(!docCols.contains(queryIdCol),
+      s"query id column '$queryIdCol' collides with a doc column — " +
+        "both sides appear in the output")
     if (nDocs == 0L || !hasPostings) // driver-local, before any job
       return emptyScoredMulti(queries, queryIdCol)
     // PIN the analyzed query batch: the plan below references it from
@@ -217,14 +218,14 @@ final class PostingIndex private (
       val tf = size(filter(Search.toks(f), x => x === col("term")))
         .cast("double")
       lit(weights(f).toDouble) * tf /
-        (lit(0.25) + lit(0.75) * dl / lit(avgdl))
+        (lit(1 - Search.B) + lit(Search.B) * dl / lit(avgdl))
     }.reduce(_ + _)
     val contribs = posts.join(broadcast(idfDf), Seq("term"))
       .join(prunedDocs.select((col(idCol) +: fields.map(Search.toks)): _*),
         Seq(idCol))
       .withColumn("__tft", tftCol)
       .select(col("term"), col(idCol),
-        (col("__idf") * col("__tft") / (lit(1.2) + col("__tft")))
+        (col("__idf") * col("__tft") / (lit(Search.K1) + col("__tft")))
           .as("__contrib"))
     // per (query, doc): fold contributions in the query's term order —
     // deterministic association, bit-equal to the single face's Σ_t
@@ -326,6 +327,11 @@ final class PostingIndex private (
   /** Full search-API semantics over the pruned path ([[Search.search]]
     * contract). query = None is a pure browse: no posting work, the
     * doc store streams under the sort.
+    *
+    * MOVIES-FACE ONLY: the 422 contract (sortField in
+    * id/title/imdb_rating) and the `id` tie-break are the reference
+    * API's — an index built with a different idCol serves through
+    * [[score]]/[[scoreTerms]]/[[scoreTermsMulti]] instead.
     */
   def search(
       query: Option[String],
@@ -333,6 +339,9 @@ final class PostingIndex private (
       asc: Boolean = true,
       page: Int = 1,
       limit: Int = 50): DataFrame = {
+    require(idCol == "id",
+      "search() is the movies-face API (422 sort contract + 'id' " +
+        s"tie-break); this index's idCol is '$idCol' — use scoreTerms*")
     Search.validateSearchArgs(sortField, page, limit)
     val base = query.fold(
       spark.read.parquet(docsPath)

@@ -82,8 +82,10 @@ object Search {
       .select(Analyzer.analyze(lit(query)).as("t"))
       .head().getSeq[String](0).distinct
 
-  private val K1 = 1.2
-  private val B = 0.75
+  // the BM25F constants, shared with PostingIndex's batched face so a
+  // constant change cannot silently desync the two score expressions
+  private[movies] val K1 = 1.2
+  private[movies] val B = 0.75
 
   /** BM25F multi-field scoring (the SURVEY §7.1.5 upgrade, Robertson's
     * field-weighted BM25): per query term t,

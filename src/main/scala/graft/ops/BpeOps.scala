@@ -592,10 +592,14 @@ object BpeOps {
   /** Host replica of the engine's 2^(g/Q) in Q20 (g clamped ≤ 0). */
   private[graft] def hostExp2Q20(g: Long): Long = {
     val m = -math.min(g, 0L)
-    val ip = (m >> 20).toInt
-    if (ip >= 21) 0L
+    // compare the integer part as a Long BEFORE narrowing: for
+    // |g| ≥ 2^51 an Int truncation of (m >> 20) could wrap negative,
+    // bypass the ≥ 21 guard and feed a negative shift — the engine's
+    // exp2Q20Col compares the Long, so the referee must too
+    val ipL = m >> 20
+    if (ipL >= 21L) 0L
     else unigramExpFracTable(((m & ((1L << 20) - 1L)) >>
-      LseQuantShift).toInt) >> ip
+      LseQuantShift).toInt) >> ipL.toInt
   }
 
   /** Engine lse over nullable candidates: null means "no path". */

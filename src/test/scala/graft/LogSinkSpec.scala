@@ -54,10 +54,12 @@ class LogSinkSpec extends SparkTestBase {
     // a tombstone older than a later re-upsert loses
     sink.upsert(docs("a" -> "back"))
     assert(state(sink) === expect.filterNot(_._1 == "a") + ("a" -> "back"))
-    // total tombstoning: snapshot is empty (schema intact); compaction
-    // collapses the store to ABSENT (the sink-family invariant)
+    // total tombstoning: read() reports None even BEFORE compaction
+    // (parity with the rewrite sinks' emptied stores — read().isDefined
+    // means 'has docs' across the family); compaction then collapses
+    // the store to ABSENT (the sink-family invariant)
     sink.delete(Seq("a", "b", "c", "d").toDF("id"))
-    assert(sink.read().get.isEmpty)
+    assert(sink.read() === None)
     sink.compact()
     assert(sink.read() === None)
     assert(!new java.io.File(dir).exists(), "emptied store fully collapses")
