@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * union of the query terms' posting lists — so pruning to posting
   * candidates changes nothing about results, only about bytes read.
   *
-  * Stored layout (one build pass, immutable; rebuild = re-run build):
+  * Stored layout (base immutable between compactions; maintenance is
+  * log-structured — see below):
   *
   *   dir/docs/__db=<b>/      the analyzed corpus (payload + `__toks_*`
   *                           token columns), hash-partitioned by id —
@@ -27,21 +28,54 @@ import org.apache.spark.sql.functions._
   *   dir/postings/__tb=<b>/  (term, id) pairs, hash-partitioned by
   *                           term — a query reads only its own terms'
   *                           buckets (PartitionFilters prune)
-  *   dir/stats.json          N, exact dl sums per field, weights, column order
+  *   dir/delta/seg-<n>-u/    one [[upsert]] batch: analyzed docs +
+  *                           constant __seq/__op (immutable segment)
+  *   dir/delta/seg-<n>-d/    one [[delete]] batch: tombstoned ids
+  *   dir/stats.json          N, exact dl sums per field, weights,
+  *                           column order, delta seq window
   *
   * Query path: terms route to posting buckets (driver holds ≤ |terms|
   * hashes), candidate ids come off the pruned posting scan, candidate
   * id-buckets (≤ nDocBuckets, a bounded collect) prune the docs scan,
-  * and [[Search.bm25f]] — the same expression as the full-scan faces,
-  * with the same build-time stats — scores only the candidates. Ranks
+  * superseded/tombstoned base versions drop via a broadcast anti-join
+  * on the delta's touched ids, current delta docs join in, and
+  * [[Search.bm25f]] — the same expression as the full-scan faces,
+  * with the same stats — scores only the current candidates. Ranks
   * are bit-identical to [[Search.score]] (MoviesSpec asserts it);
   * PlansSpec asserts both scans carry partition filters.
   *
-  * Scale: per query, work is O(postings of the query's terms +
-  * candidate docs), never O(corpus). df comes from the pruned posting
-  * scan itself (count per term == document frequency, because postings
-  * hold DISTINCT (term, doc) pairs), so no corpus-stats pass at query
-  * time either.
+  * ==Maintenance (the CDC steady state: daemon.py:358-381 upserts a
+  * re-denormalized doc, ES serves the UPDATE ~1 s later)==
+  *
+  * The [[graft.cdc.LogUpsertSink]] discipline applied to the index:
+  * [[upsert]]/[[delete]] append one immutable segment each — cost
+  * O(|batch| + the batch ids' doc-buckets), NEVER O(corpus) — and
+  * update the stats by EXACT INTEGER DELTAS: a replaced/deleted doc's
+  * per-field dl is read from its stored analyzed copy and subtracted,
+  * the new dl added. Integer sums add and subtract associatively, so
+  * a maintained index's scores are bit-identical to a from-scratch
+  * rebuild over the current doc set (floats could never promise
+  * that). Stale base postings of a replaced doc are harmless: they
+  * can only ADD candidates, and a candidate's score comes from its
+  * CURRENT tokens (a candidate with no query term folds to score 0
+  * and drops at the `score > 0` filter) — while candidate LOSS is
+  * impossible because every upsert's current version contributes its
+  * own term membership. Document frequency is therefore derived from
+  * the folded CURRENT candidates (integer-equal to a rebuild's
+  * posting counts), not from raw posting-list lengths.
+  *
+  * [[compact]] folds the delta log into a fresh base layout and drops
+  * tombstones. Contract (same as the log sink's): the delta log stays
+  * small between compactions — serve cost is O(query postings +
+  * candidates + |delta log|); compact on the cadence the log grows.
+  *
+  * Crash safety: upsert/delete write their segment FIRST and publish
+  * it by advancing `thruSeq` in stats.json — a torn write leaves a
+  * segment above the published window, which every reader ignores and
+  * the next writer sweeps. [[compact]] and [[refresh]] are
+  * single-writer and NOT crash-atomic (a failure mid-swap ⇒ rebuild);
+  * the CDC-facing doc stores own the crash-atomic publish
+  * ([[graft.cdc.ManifestUpsertSink]]).
   */
 final class PostingIndex private (
     spark: SparkSession,
@@ -53,23 +87,37 @@ final class PostingIndex private (
     nDocs: Long,
     docCols: Seq[String],
     nTermBuckets: Int,
-    nDocBuckets: Int) {
+    nDocBuckets: Int,
+    thruSeq: Long,
+    foldedSeq: Long) {
 
   // avgdl derives from EXACT integer token-count sums — the same value
   // Spark's avg() computes (integral sums are exact in double far past
-  // any real dl total), which is what keeps build + refresh + the
-  // full-scan referee bit-identical: integer sums add associatively,
-  // so refresh(delta) and rebuild(corpus ∪ delta) derive the SAME
-  // double, something incremental float means could never promise.
+  // any real dl total), which is what keeps build + refresh + upsert +
+  // delete + the full-scan referee bit-identical: integer sums add AND
+  // SUBTRACT associatively, so every maintenance path derives the SAME
+  // double as a rebuild over the current doc set, something
+  // incremental float means could never promise.
   private val avgdls: Map[String, Double] = fields.map(f =>
     f -> (if (nDocs == 0L) 0.0 else sumdls(f).toDouble / nDocs)).toMap
 
-  import PostingIndex.{DocBucketCol, TermBucketCol}
+  import PostingIndex.{DocBucketCol, OpCol, SeqCol, TermBucketCol}
 
   private def docsPath = s"$dir/docs"
   private def postingsPath = s"$dir/postings"
+  private def deltaPath = new Path(dir, "delta")
+
+  private def fs = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def outCols: Seq[Column] = docCols.map(col) :+ col("score")
+
+  /** Doc payload + analyzed token columns — the canonical column list
+    * every folded/unioned doc view selects, so base and delta branches
+    * union by identical schemas.
+    */
+  private def analyzedCols: Seq[Column] =
+    docCols.map(col) ++ fields.map(Search.toks)
 
   /** A corpus can be non-empty yet tokenize to ZERO terms (all
     * whitespace/stop-words): the postings write then leaves only a
@@ -79,16 +127,133 @@ final class PostingIndex private (
     */
   private def hasPostings: Boolean = {
     val p = new Path(postingsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p)
       .exists(_.getPath.getName.startsWith(s"$TermBucketCol="))
   }
 
-  /** Empty result with the exact full-face schema (payload + score). */
-  private def emptyScored(): DataFrame =
-    spark.read.parquet(docsPath).limit(0)
-      .withColumn("score", lit(0.0)).filter(col("score") > 0)
-      .select(outCols: _*)
+  /** An empty build writes an unpartitioned placeholder instead of a
+    * `__db=`-partitioned store (a partitioned empty write has no
+    * readable schema) — bucket-pruned reads must skip it. A
+    * placeholder can never coexist with delta segments: [[upsert]] on
+    * an empty index delegates to a rebuild, [[delete]] no-ops.
+    */
+  private def baseIsPlaceholder: Boolean =
+    !fs.listStatus(new Path(docsPath))
+      .exists(_.getPath.getName.startsWith(s"$DocBucketCol="))
+
+  // ------------------------------------------------------- delta log
+
+  private case class Seg(seq: Long, op: String, path: Path)
+
+  /** Live delta segments, ascending by seq. Live = `_SUCCESS` marker +
+    * data files + seq inside the PUBLISHED window (foldedSeq, thruSeq]
+    * — a segment above thruSeq is a torn write whose stats never
+    * landed, one at-or-below foldedSeq was already folded by a compact
+    * whose sweep crashed. Writers pass `sweep` to delete both kinds of
+    * debris (readers must not mutate).
+    */
+  private def liveSegs(sweep: Boolean = false): Seq[Seg] =
+    if (!fs.exists(deltaPath)) Seq.empty
+    else fs.listStatus(deltaPath).map(_.getPath).flatMap { p =>
+      p.getName match {
+        case s if s.startsWith("seg-") =>
+          val Array(n, op) = s.stripPrefix("seg-").split("-", 2)
+          val seq = n.toLong
+          val wellFormed = fs.exists(new Path(p, "_SUCCESS")) &&
+            fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
+          val live = wellFormed && seq > foldedSeq && seq <= thruSeq
+          if (!live && sweep) { fs.delete(p, true); None }
+          else if (!live) None
+          else Some(Seg(seq, op, p))
+        case _ => None
+      }
+    }.sortBy(_.seq).toSeq
+
+  private def nextSeq(): Long = {
+    val segMax =
+      if (!fs.exists(deltaPath)) -1L
+      else fs.listStatus(deltaPath).map(_.getPath.getName).collect {
+        case s if s.startsWith("seg-") =>
+          s.stripPrefix("seg-").split("-", 2)(0).toLong
+      }.foldLeft(-1L)(math.max)
+    math.max(segMax, thruSeq) + 1L
+  }
+
+  /** Every id the delta log touches (upserted or tombstoned) — the ids
+    * whose BASE version must not serve. Broadcast-sized by the
+    * compaction contract (the log stays small between compactions).
+    */
+  private def touchedIds(segs: Seq[Seg]): Option[DataFrame] =
+    if (segs.isEmpty) None
+    else Some(segs.map(s =>
+        spark.read.parquet(s.path.toString).select(col(idCol)))
+      .reduce(_ union _).distinct())
+
+  /** The delta log's CURRENT docs: latest version per id across the
+    * live segments, tombstones dropped — analyzed rows in
+    * [[analyzedCols]] order. The [[graft.cdc.Snapshot.latestPerKey]]
+    * fold on `__seq`.
+    */
+  private def currentDeltaDocs(segs: Seq[Seg]): Option[DataFrame] =
+    if (segs.isEmpty) None
+    else {
+      // seed the fold with an empty full-schema frame: tombstone
+      // segments carry only (id, seq, op), so a log of ONLY deletes
+      // must still resolve every doc column (as nulls)
+      val zero = spark.read.parquet(docsPath).limit(0)
+        .select(analyzedCols: _*)
+        .withColumn(SeqCol, lit(-1L)).withColumn(OpCol, lit("u"))
+      val all = segs.map(s => spark.read.parquet(s.path.toString))
+        .foldLeft(zero)(_.unionByName(_, allowMissingColumns = true))
+      Some(graft.cdc.Snapshot.latestPerKey(all, idCol, SeqCol, SeqCol)
+        .filter(col(OpCol) === "u")
+        .select(analyzedCols: _*))
+    }
+
+  /** The stored CURRENT versions of `ids` (callers pin `ids`): the
+    * pruned base read minus delta-touched ids, plus the delta log's
+    * live versions — the rows whose integer dl sums a maintenance op
+    * subtracts. Cost: the ids' doc-buckets + the delta log, never the
+    * corpus.
+    */
+  private def currentVersionsOf(
+      ids: DataFrame, segs: Seq[Seg]): DataFrame = {
+    val touched = touchedIds(segs)
+    val base: Option[DataFrame] =
+      if (baseIsPlaceholder) None
+      else {
+        val buckets = ids
+          .select(pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (buckets.isEmpty) None
+        else {
+          val pruned = spark.read.parquet(docsPath)
+            .filter(col(DocBucketCol).isin(buckets: _*))
+            .join(ids, Seq(idCol), "left_semi")
+            .select(analyzedCols: _*)
+          Some(touched.fold(pruned)(t =>
+            pruned.join(broadcast(t), Seq(idCol), "left_anti")))
+        }
+      }
+    val delta = currentDeltaDocs(segs)
+      .map(_.join(ids, Seq(idCol), "left_semi"))
+    (base.toSeq ++ delta.toSeq)
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.read.parquet(docsPath).limit(0)
+        .select(analyzedCols: _*))
+  }
+
+  /** The whole CURRENT corpus (base minus touched, plus delta fold) —
+    * the browse/compaction view. O(base + delta log).
+    */
+  private def currentDocsView(segs: Seq[Seg]): DataFrame = {
+    val base0 = spark.read.parquet(docsPath).select(analyzedCols: _*)
+    val base = touchedIds(segs).fold(base0)(t =>
+      base0.join(broadcast(t), Seq(idCol), "left_anti"))
+    currentDeltaDocs(segs).fold(base)(base.unionByName(_))
+  }
+
+  // ------------------------------------------------------ candidates
 
   /** One tiny driver job (the [[Search.analyzeQuery]] pattern) maps
     * each term to its posting bucket with the ENGINE's own hash — the
@@ -101,6 +266,62 @@ final class PostingIndex private (
       .distinct().collect().map(_.getInt(0)).toSeq
   }
 
+  /** The pruned, folded, CURRENT candidate docs for a term set
+    * (`termsDf`: one `term` column): every current doc containing ≥ 1
+    * of the terms, with analyzed token columns attached — exactly the
+    * rows a rebuilt index's posting lists would name, so df counted
+    * over this set integer-equals a rebuild's posting counts. Base
+    * candidates come off the `tbBuckets`-pruned posting scan
+    * (superseded/tombstoned versions anti-joined out); delta
+    * candidates come from the folded log's own token arrays (the log
+    * is small by the compaction contract — no delta postings needed).
+    * None ⇔ no candidates anywhere.
+    */
+  private def candidateDocs(
+      termsDf: DataFrame, tbBuckets: Seq[Int],
+      segs: Seq[Seg]): Option[DataFrame] = {
+    val touched = touchedIds(segs)
+    val base: Option[DataFrame] =
+      if (!hasPostings || tbBuckets.isEmpty) None
+      else {
+        val posts = spark.read.parquet(postingsPath)
+          .filter(col(TermBucketCol).isin(tbBuckets: _*))
+          .join(termsDf, Seq("term"), "left_semi")
+        val candidates = posts.select(col(idCol)).distinct()
+        // candidate id-buckets: bounded by nDocBuckets, prunes the
+        // doc scan
+        val candBuckets = candidates
+          .select(pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (candBuckets.isEmpty) None
+        else {
+          val pruned = spark.read.parquet(docsPath)
+            .filter(col(DocBucketCol).isin(candBuckets: _*))
+            .join(candidates, Seq(idCol), "left_semi")
+            .select(analyzedCols: _*)
+          Some(touched.fold(pruned)(t =>
+            pruned.join(broadcast(t), Seq(idCol), "left_anti")))
+        }
+      }
+    val deltaCand: Option[DataFrame] = currentDeltaDocs(segs).map { cur =>
+      val matching = cur
+        .select(col(idCol), explode(array_distinct(
+          concat(fields.map(Search.toks): _*))).as("term"))
+        .join(termsDf, Seq("term"), "left_semi")
+        .select(col(idCol)).distinct()
+      cur.join(matching, Seq(idCol), "left_semi")
+    }
+    (base.toSeq ++ deltaCand.toSeq).reduceOption(_ unionByName _)
+  }
+
+  // ---------------------------------------------------------- serve
+
+  /** Empty result with the exact full-face schema (payload + score). */
+  private def emptyScored(): DataFrame =
+    spark.read.parquet(docsPath).limit(0)
+      .withColumn("score", lit(0.0)).filter(col("score") > 0)
+      .select(outCols: _*)
+
   /** BM25F over the posting-pruned candidate set — result-identical to
     * `Search.score(corpus, query)` at posting-join cost.
     */
@@ -112,30 +333,34 @@ final class PostingIndex private (
     */
   def scoreTerms(terms0: Seq[String]): DataFrame = {
     val terms = terms0.distinct
-    if (terms.isEmpty || nDocs == 0L || !hasPostings) return emptyScored()
-
-    val posts = spark.read.parquet(postingsPath)
-      .filter(col(TermBucketCol).isin(termBuckets(terms): _*) &&
-        col("term").isin(terms: _*))
-    // df per term off the pruned posting scan: ≤ |terms| rows
-    val dfs = posts.groupBy(col("term")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (dfs.isEmpty) return emptyScored()
-
-    val candidates = posts.select(col(idCol)).distinct()
-    // candidate id-buckets: bounded by nDocBuckets, prunes the doc scan
-    val candBuckets = candidates
-      .select(pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val pruned = spark.read.parquet(docsPath)
-      .filter(col(DocBucketCol).isin(candBuckets: _*))
-      .join(candidates, Seq(idCol), "left_semi")
-
-    pruned
-      .withColumn("score",
-        Search.bm25f(terms, fields, weights, avgdls, dfs, nDocs.toDouble))
-      .filter(col("score") > 0)
-      .select(outCols: _*)
+    if (terms.isEmpty || nDocs == 0L) return emptyScored()
+    val segs = liveSegs()
+    if (!hasPostings && segs.isEmpty) return emptyScored()
+    import spark.implicits._
+    candidateDocs(terms.toDF("term"), termBuckets(terms), segs) match {
+      case None => emptyScored()
+      case Some(cand) =>
+        // df per term from the folded CURRENT candidates (one bounded
+        // aggregate — every doc containing t is a candidate, so the
+        // count within candidates IS the corpus df, integer-equal to
+        // a rebuild's posting-list lengths)
+        val aggs = terms.zipWithIndex.map { case (t, i) =>
+          sum(when(
+            fields.map(f => array_contains(Search.toks(f), t))
+              .reduce(_ || _), 1L).otherwise(0L)).as(s"df_$i")
+        }
+        val row = cand.agg(aggs.head, aggs.tail: _*).head()
+        val dfs = terms.zipWithIndex.map { case (t, i) =>
+          t -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+        }.toMap
+        if (dfs.values.forall(_ == 0L)) emptyScored()
+        else cand
+          .withColumn("score",
+            Search.bm25f(terms, fields, weights, avgdls, dfs,
+              nDocs.toDouble))
+          .filter(col("score") > 0)
+          .select(outCols: _*)
+    }
   }
 
   /** Batched serving — queries as a TABLE (the round-9/10 multi-query
@@ -149,6 +374,10 @@ final class PostingIndex private (
     * bit-identical to [[scoreTerms]] run per query (MoviesSpec walks
     * the equality). The only driver state is the probed bucket lists
     * (≤ nTermBuckets + nDocBuckets values).
+    *
+    * The (term, doc) pairs and per-term df both derive from the folded
+    * CURRENT candidates (see [[candidateDocs]]) so a maintained index
+    * serves the updated corpus exactly.
     *
     * idf stays a DRIVER computation — one bounded collect of (term,
     * df) for the whole batch (≤ the batch's distinct-term vocabulary,
@@ -169,7 +398,8 @@ final class PostingIndex private (
     require(!docCols.contains(queryIdCol),
       s"query id column '$queryIdCol' collides with a doc column — " +
         "both sides appear in the output")
-    if (nDocs == 0L || !hasPostings) // driver-local, before any job
+    val segs = liveSegs()
+    if (nDocs == 0L || (!hasPostings && segs.isEmpty))
       return emptyScoredMulti(queries, queryIdCol)
     // PIN the analyzed query batch: the plan below references it from
     // the routing collect, the posting semi-join, the candidate set
@@ -187,58 +417,63 @@ final class PostingIndex private (
       .select(pmod(xxhash64(col("term")), lit(nTermBuckets)).cast("int"))
       .distinct().collect().map(_.getInt(0)).toSeq
     if (tb.isEmpty) return emptyScoredMulti(queries, queryIdCol)
-    val posts = spark.read.parquet(postingsPath)
-      .filter(col(TermBucketCol).isin(tb: _*))
-      .join(qterms.select(col("term")).distinct(), Seq("term"),
-        "left_semi")
-    // per-term idf on the driver (bit-parity with the single face's
-    // math.log literal — see the Scaladoc note), bounded by the
-    // batch's distinct-term vocabulary
-    import spark.implicits._
-    val idfDf = posts.groupBy(col("term")).count()
-      .collect().map { r =>
-        val df = r.getLong(1).toDouble
-        (r.getString(0),
-          math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5)))
-      }.toSeq.toDF("term", "__idf")
-    val candidates = posts.select(col(idCol)).distinct()
-    val candBuckets = candidates
-      .select(pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    // ONE pruned doc definition carrying tokens AND payload; the two
-    // references below (contribution inputs, final payload attach) are
-    // identical subtrees, so Spark's exchange/scan reuse applies —
-    // never a second candidate derivation
-    val prunedDocs = spark.read.parquet(docsPath)
-      .filter(col(DocBucketCol).isin(candBuckets: _*))
-      .join(candidates, Seq(idCol), "left_semi")
-    val tftCol = fields.map { f =>
-      val avgdl = math.max(avgdls(f), 1e-9)
-      val dl = size(Search.toks(f)).cast("double")
-      val tf = size(filter(Search.toks(f), x => x === col("term")))
-        .cast("double")
-      lit(weights(f).toDouble) * tf /
-        (lit(1 - Search.B) + lit(Search.B) * dl / lit(avgdl))
-    }.reduce(_ + _)
-    val contribs = posts.join(broadcast(idfDf), Seq("term"))
-      .join(prunedDocs.select((col(idCol) +: fields.map(Search.toks)): _*),
-        Seq(idCol))
-      .withColumn("__tft", tftCol)
-      .select(col("term"), col(idCol),
-        (col("__idf") * col("__tft") / (lit(Search.K1) + col("__tft")))
-          .as("__contrib"))
-    // per (query, doc): fold contributions in the query's term order —
-    // deterministic association, bit-equal to the single face's Σ_t
-    val scores = qterms.join(contribs, Seq("term"))
-      .groupBy(col(queryIdCol), col(idCol))
-      .agg(collect_list(struct(col("__tidx"), col("__contrib")))
-        .as("__cs"))
-      .withColumn("score",
-        aggregate(array_sort(col("__cs")), lit(0.0),
-          (acc, x) => acc + x.getField("__contrib")))
-      .select(col(queryIdCol), col(idCol), col("score"))
-    scores.join(prunedDocs, Seq(idCol))
-      .select((col(queryIdCol) +: outCols): _*)
+    val batchTerms = qterms.select(col("term")).distinct()
+    candidateDocs(batchTerms, tb, segs) match {
+      case None => emptyScoredMulti(queries, queryIdCol)
+      case Some(cand) =>
+        // the CURRENT (term, doc) pairs for the batch vocabulary —
+        // the role raw posting rows played before the index was
+        // updatable, now derived from the folded candidates (same
+        // expression as the build's posting write, so an immutable
+        // index yields the identical pair set)
+        val pairs = cand
+          .select(col(idCol), explode(array_distinct(
+            concat(fields.map(Search.toks): _*))).as("term"))
+          .join(batchTerms, Seq("term"), "left_semi")
+        // per-term idf on the driver (bit-parity with the single
+        // face's math.log literal — see the Scaladoc note), bounded
+        // by the batch's distinct-term vocabulary
+        import spark.implicits._
+        val idfRows = pairs.groupBy(col("term")).count().collect()
+        if (idfRows.isEmpty) return emptyScoredMulti(queries, queryIdCol)
+        val idfDf = idfRows.map { r =>
+          val df = r.getLong(1).toDouble
+          (r.getString(0),
+            math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5)))
+        }.toSeq.toDF("term", "__idf")
+        val tftCol = fields.map { f =>
+          val avgdl = math.max(avgdls(f), 1e-9)
+          val dl = size(Search.toks(f)).cast("double")
+          val tf = size(filter(Search.toks(f), x => x === col("term")))
+            .cast("double")
+          lit(weights(f).toDouble) * tf /
+            (lit(1 - Search.B) + lit(Search.B) * dl / lit(avgdl))
+        }.reduce(_ + _)
+        // `cand` is referenced for pairs, contribution inputs and the
+        // final payload attach — identical subtrees, so Spark's
+        // exchange/scan reuse applies; never a second candidate
+        // derivation
+        val contribs = pairs.join(broadcast(idfDf), Seq("term"))
+          .join(cand.select((col(idCol) +: fields.map(Search.toks)): _*),
+            Seq(idCol))
+          .withColumn("__tft", tftCol)
+          .select(col("term"), col(idCol),
+            (col("__idf") * col("__tft") / (lit(Search.K1) + col("__tft")))
+              .as("__contrib"))
+        // per (query, doc): fold contributions in the query's term
+        // order — deterministic association, bit-equal to the single
+        // face's Σ_t
+        val scores = qterms.join(contribs, Seq("term"))
+          .groupBy(col(queryIdCol), col(idCol))
+          .agg(collect_list(struct(col("__tidx"), col("__contrib")))
+            .as("__cs"))
+          .withColumn("score",
+            aggregate(array_sort(col("__cs")), lit(0.0),
+              (acc, x) => acc + x.getField("__contrib")))
+          .select(col(queryIdCol), col(idCol), col("score"))
+        scores.join(cand, Seq(idCol))
+          .select((col(queryIdCol) +: outCols): _*)
+    }
   }
 
   /** Movies-face batched serving: analyze each query string IN-PLAN
@@ -259,16 +494,19 @@ final class PostingIndex private (
       .crossJoin(spark.read.parquet(docsPath).limit(0)
         .withColumn("score", lit(0.0)).select(outCols: _*))
 
+  // ----------------------------------------------------- maintenance
+
   /** APPEND-ONLY index refresh (the [[graft.ops.SimilarityOps
     * .refreshIvfPqIndex]] pattern): encode the delta with the SAME
-    * token expressions as the build and append into the existing
+    * token expressions as the build and append into the existing BASE
     * bucket layouts — new files land inside `__db=b` / `__tb=b` dirs,
     * so serve-time pruning is untouched. Stats update by EXACT integer
     * sums, so the refreshed index's scores are bit-identical to a
     * from-scratch rebuild over corpus ∪ delta (MoviesSpec asserts it).
-    * Contract: delta ids must be NEW (upsert/delete of existing docs
-    * is a rebuild — BM25F's corpus stats make in-place doc replacement
-    * a different, deliberate operation), and the delta plan runs once
+    * Contract: delta ids must be NEW — never seen by this index,
+    * including never tombstoned (a previously-touched id's base rows
+    * are suppressed by the delta fold; replacing or deleting an
+    * existing doc is [[upsert]]/[[delete]]). The delta plan runs once
     * (localCheckpoint). Single writer; not crash-atomic (a failed
     * refresh ⇒ rebuild), unlike the CDC-facing ManifestUpsertSink.
     */
@@ -279,10 +517,8 @@ final class PostingIndex private (
     require(newDocs.columns.toSeq == docCols,
       s"delta columns ${newDocs.columns.toSeq} must match the built " +
         s"corpus's $docCols")
-    if (nDocs == 0L) {
+    if (nDocs == 0L && liveSegs().isEmpty) {
       // the empty build wrote an unpartitioned placeholder — replace it
-      val fs = new Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new Path(dir), true)
       PostingIndex.buildTokenized(newDocs, dir, tokens, weights, idCol,
         nTermBuckets, nDocBuckets)
@@ -310,7 +546,8 @@ final class PostingIndex private (
         val m = PostingIndex.Meta(idCol, fields, weights,
           fields.map(f =>
             f -> (sumdls(f) + stats.getAs[Long](s"sumdl_$f"))).toMap,
-          nDocs + dn, docCols, nTermBuckets, nDocBuckets)
+          nDocs + dn, docCols, nTermBuckets, nDocBuckets,
+          thruSeq, foldedSeq)
         PostingIndex.writeStats(spark, dir, m)
         PostingIndex.fromMeta(spark, dir, m)
       }
@@ -324,9 +561,130 @@ final class PostingIndex private (
     refresh(newDocs,
       fields.map(f => f -> Search.analyzedField(f)).toMap)
 
+  /** UPSERT-BY-ID without rebuild — the CDC steady state
+    * (daemon.py:358-381: a changed row becomes a re-denormalized doc
+    * becomes an UPDATED search document, served seconds later). Ids
+    * may be new or existing; existing docs are REPLACED: their stored
+    * analyzed copies' integer dl sums are read back (one pruned
+    * bucket read) and subtracted, the batch's added, so the
+    * maintained stats — hence every score — stay bit-identical to a
+    * rebuild over the current doc set. The batch lands as one
+    * immutable log segment; cost O(|batch| + batch-id buckets +
+    * delta log), never O(corpus).
+    *
+    * Contract: `docs` unique by idCol (enforce upstream — the
+    * [[graft.cdc.LogUpsertSink]] rule); single writer. Replaying a
+    * batch is absorbed (subtract == add). Crash-safe: the segment
+    * publishes only when stats.json's seq window advances. Returns
+    * the updated handle — the receiver's stats are stale after this
+    * call.
+    */
+  def upsert(
+      docs: DataFrame, tokens: Map[String, Column]): PostingIndex = {
+    require(tokens.keySet == weights.keySet,
+      s"token columns ${tokens.keySet} must match weights ${weights.keySet}")
+    require(docs.columns.toSeq == docCols,
+      s"batch columns ${docs.columns.toSeq} must match the built " +
+        s"corpus's $docCols")
+    require(!docCols.contains(SeqCol) && !docCols.contains(OpCol),
+      s"$SeqCol/$OpCol are reserved segment columns")
+    if (nDocs == 0L && liveSegs(sweep = true).isEmpty && baseIsPlaceholder) {
+      // empty placeholder index: an upsert IS the first build
+      fs.delete(new Path(dir), true)
+      return PostingIndex.buildTokenized(docs, dir, tokens, weights,
+        idCol, nTermBuckets, nDocBuckets)
+    }
+    val segs = liveSegs(sweep = true)
+    val analyzed = fields.foldLeft(docs)((d, f) =>
+      d.withColumn(s"__toks_$f", tokens(f))).localCheckpoint()
+    val (newStats, newN) = PostingIndex.sumStats(analyzed, fields)
+    if (newN == 0L) return this // empty batch: no segment, no-op
+    val old = currentVersionsOf(analyzed.select(col(idCol)), segs)
+    val (oldStats, oldN) = PostingIndex.sumStats(old, fields)
+    val seq = nextSeq()
+    analyzed
+      .withColumn(SeqCol, lit(seq)).withColumn(OpCol, lit("u"))
+      .write.parquet(new Path(deltaPath, s"seg-$seq-u").toString)
+    val m = PostingIndex.Meta(idCol, fields, weights,
+      fields.map { f =>
+        val sub = if (oldN == 0L) 0L else oldStats.getAs[Long](s"sumdl_$f")
+        f -> (sumdls(f) - sub + newStats.getAs[Long](s"sumdl_$f"))
+      }.toMap,
+      nDocs - oldN + newN, docCols, nTermBuckets, nDocBuckets,
+      thruSeq = seq, foldedSeq = foldedSeq)
+    PostingIndex.writeStats(spark, dir, m)
+    PostingIndex.fromMeta(spark, dir, m)
+  }
+
+  /** Movies-face upsert: the analyzer token expressions re-derive
+    * from the field names.
+    */
+  def upsert(docs: DataFrame): PostingIndex =
+    upsert(docs,
+      fields.map(f => f -> Search.analyzedField(f)).toMap)
+
+  /** DELETE-BY-ID without rebuild (right-to-be-forgotten parity with
+    * [[graft.cdc.UpsertSink.delete]] / the LSH index's tombstones):
+    * the ids that currently exist land as one tombstone segment and
+    * their stored integer dl sums are subtracted; absent ids are
+    * ignored (idempotent). Cost O(|ids| + id buckets + delta log).
+    * Returns the updated handle — the receiver is stale after this.
+    */
+  def delete(ids: DataFrame): PostingIndex = {
+    if (nDocs == 0L) return this // nothing to tombstone
+    val segs = liveSegs(sweep = true)
+    val idsDf = ids.select(col(idCol)).distinct().localCheckpoint()
+    // pin the existing victims: their ids feed the segment write and
+    // their dl sums the stats subtraction — one evaluation for both
+    val old = currentVersionsOf(idsDf, segs).localCheckpoint()
+    val (oldStats, oldN) = PostingIndex.sumStats(old, fields)
+    if (oldN == 0L) return this // none of the ids exist: no-op
+    val seq = nextSeq()
+    old.select(col(idCol))
+      .withColumn(SeqCol, lit(seq)).withColumn(OpCol, lit("d"))
+      .write.parquet(new Path(deltaPath, s"seg-$seq-d").toString)
+    val m = PostingIndex.Meta(idCol, fields, weights,
+      fields.map(f =>
+        f -> (sumdls(f) - oldStats.getAs[Long](s"sumdl_$f"))).toMap,
+      nDocs - oldN, docCols, nTermBuckets, nDocBuckets,
+      thruSeq = seq, foldedSeq = foldedSeq)
+    PostingIndex.writeStats(spark, dir, m)
+    PostingIndex.fromMeta(spark, dir, m)
+  }
+
+  /** Fold the delta log into a fresh base layout (docs re-bucketed,
+    * postings rebuilt from the folded corpus, stats re-derived from
+    * the WRITTEN copy — which the maintained integers already equal)
+    * and drop the segments + tombstones. One O(base + delta) pass,
+    * amortized across the ticks between compactions. Single writer;
+    * NOT crash-atomic (a failure between the staged write and the
+    * swap ⇒ rebuild — same contract as [[refresh]]).
+    */
+  def compact(): PostingIndex = {
+    val segs = liveSegs(sweep = true)
+    if (segs.isEmpty) return this
+    val staging = new Path(dir, "compacting")
+    fs.delete(staging, true)
+    // the staged write READS old base + delta (still on disk) and
+    // derives postings + stats from its own written copy — the
+    // buildTokenized staging discipline
+    val m2 = PostingIndex.writeLayout(spark, currentDocsView(segs),
+      staging.toString, fields, weights, idCol, docCols,
+      nTermBuckets, nDocBuckets, thruSeq = thruSeq, foldedSeq = thruSeq)
+    fs.delete(new Path(docsPath), true)
+    fs.delete(new Path(postingsPath), true)
+    fs.delete(deltaPath, true)
+    fs.rename(new Path(staging, "docs"), new Path(docsPath))
+    if (fs.exists(new Path(staging, "postings")))
+      fs.rename(new Path(staging, "postings"), new Path(postingsPath))
+    fs.delete(staging, true)
+    PostingIndex.writeStats(spark, dir, m2)
+    PostingIndex.fromMeta(spark, dir, m2)
+  }
+
   /** Full search-API semantics over the pruned path ([[Search.search]]
     * contract). query = None is a pure browse: no posting work, the
-    * doc store streams under the sort.
+    * current doc view streams under the sort.
     *
     * MOVIES-FACE ONLY: the 422 contract (sortField in
     * id/title/imdb_rating) and the `id` tie-break are the reference
@@ -344,7 +702,7 @@ final class PostingIndex private (
         s"tie-break); this index's idCol is '$idCol' — use scoreTerms*")
     Search.validateSearchArgs(sortField, page, limit)
     val base = query.fold(
-      spark.read.parquet(docsPath)
+      currentDocsView(liveSegs()).select(docCols.map(col): _*)
         .withColumn("score", lit(0.0)).select(outCols: _*))(score)
     Search.orderAndPage(base, query.isDefined, sortField, asc, page, limit)
   }
@@ -354,6 +712,8 @@ object PostingIndex {
 
   private[movies] val DocBucketCol = "__db"
   private[movies] val TermBucketCol = "__tb"
+  private[movies] val SeqCol = "__seq"
+  private[movies] val OpCol = "__op"
 
   /** Movies face: analyzer-backed fields from [[Search.DefaultWeights]]
     * (or any weights map over string/array<string> doc columns).
@@ -397,30 +757,52 @@ object PostingIndex {
     val docCols = docs.columns.toSeq
     val analyzed = fields.foldLeft(docs)((d, f) =>
       d.withColumn(s"__toks_$f", tokens(f)))
+    val meta = writeLayout(spark, analyzed, dir, fields, weights, idCol,
+      docCols, nTermBuckets, nDocBuckets, thruSeq = -1L, foldedSeq = -1L)
+    writeStats(spark, dir, meta)
+    fromMeta(spark, dir, meta)
+  }
 
-    // the input plan executes exactly ONCE — the doc-store write; the
-    // stats aggregate AND the postings both derive from the WRITTEN
-    // copy, so a nondeterministic input cannot desync stats.json or
-    // the posting lists from the stored docs (the ManifestUpsertSink
-    // staging discipline), and the analyzer never runs a second
-    // corpus pass. Token arrays round-trip parquet exactly, so the
-    // integer dl sums — hence avgdl — still equal what the full-scan
-    // referee computes over the in-memory plan.
+  /** Write a docs + postings layout under `target` from an ALREADY
+    * ANALYZED plan and derive its stats — shared by the initial build
+    * and [[PostingIndex.compact]]'s staged fold.
+    *
+    * The input plan executes exactly ONCE — the doc-store write; the
+    * stats aggregate AND the postings both derive from the WRITTEN
+    * copy, so a nondeterministic input cannot desync stats.json or
+    * the posting lists from the stored docs (the ManifestUpsertSink
+    * staging discipline), and the analyzer never runs a second
+    * corpus pass. Token arrays round-trip parquet exactly, so the
+    * integer dl sums — hence avgdl — still equal what the full-scan
+    * referee computes over the in-memory plan.
+    */
+  private def writeLayout(
+      spark: SparkSession,
+      analyzed: DataFrame,
+      target: String,
+      fields: Seq[String],
+      weights: Map[String, Int],
+      idCol: String,
+      docCols: Seq[String],
+      nTermBuckets: Int,
+      nDocBuckets: Int,
+      thruSeq: Long,
+      foldedSeq: Long): Meta = {
     val withDb = analyzed
       .withColumn(DocBucketCol, pmod(xxhash64(col(idCol)), lit(nDocBuckets)))
-    withDb.write.partitionBy(DocBucketCol).parquet(s"$dir/docs")
-    val fs = new Path(s"$dir/docs")
+    withDb.write.partitionBy(DocBucketCol).parquet(s"$target/docs")
+    val fs = new Path(s"$target/docs")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val wroteRows = fs.listStatus(new Path(s"$dir/docs"))
+    val wroteRows = fs.listStatus(new Path(s"$target/docs"))
       .exists(_.getPath.getName.startsWith(s"$DocBucketCol="))
     if (!wroteRows) {
       // empty corpus: a partitioned empty write has no readable schema
       // — replace it with a plain placeholder (limit(0) is row-free
       // and deterministic), so emptyScored() can still resolve columns
-      fs.delete(new Path(s"$dir/docs"), true)
-      withDb.limit(0).repartition(1).write.parquet(s"$dir/docs")
+      fs.delete(new Path(s"$target/docs"), true)
+      withDb.limit(0).repartition(1).write.parquet(s"$target/docs")
     }
-    val stored = spark.read.parquet(s"$dir/docs")
+    val stored = spark.read.parquet(s"$target/docs")
     val (stats, n) = sumStats(stored, fields)
     val sumdls = fields.map(f =>
       f -> (if (n == 0L) 0L else stats.getAs[Long](s"sumdl_$f"))).toMap
@@ -429,16 +811,13 @@ object PostingIndex {
         .select(col(idCol), explode(array_distinct(
           concat(fields.map(Search.toks): _*))).as("term"))
         .withColumn(TermBucketCol, pmod(xxhash64(col("term")), lit(nTermBuckets)))
-        .write.partitionBy(TermBucketCol).parquet(s"$dir/postings")
+        .write.partitionBy(TermBucketCol).parquet(s"$target/postings")
     }
-
-    val meta = Meta(idCol, fields, weights, sumdls, n,
-      docCols, nTermBuckets, nDocBuckets)
-    writeStats(spark, dir, meta)
-    fromMeta(spark, dir, meta)
+    Meta(idCol, fields, weights, sumdls, n,
+      docCols, nTermBuckets, nDocBuckets, thruSeq, foldedSeq)
   }
 
-  private def sumStats(analyzed: DataFrame, fields: Seq[String]) = {
+  private[movies] def sumStats(analyzed: DataFrame, fields: Seq[String]) = {
     val aggs =
       fields.map(f =>
         sum(size(Search.toks(f)).cast("long")).as(s"sumdl_$f")) :+
@@ -450,7 +829,8 @@ object PostingIndex {
   private[movies] def fromMeta(
       spark: SparkSession, dir: String, m: Meta): PostingIndex =
     new PostingIndex(spark, dir, m.idCol, m.fields, m.weights, m.sumdls,
-      m.nDocs, m.docCols, m.nTermBuckets, m.nDocBuckets)
+      m.nDocs, m.docCols, m.nTermBuckets, m.nDocBuckets,
+      m.thruSeq, m.foldedSeq)
 
   /** Re-open a built index from its directory (serving restarts). */
   def open(spark: SparkSession, dir: String): PostingIndex =
@@ -459,7 +839,8 @@ object PostingIndex {
   private[movies] case class Meta(
       idCol: String, fields: Seq[String], weights: Map[String, Int],
       sumdls: Map[String, Long], nDocs: Long, docCols: Seq[String],
-      nTermBuckets: Int, nDocBuckets: Int)
+      nTermBuckets: Int, nDocBuckets: Int,
+      thruSeq: Long, foldedSeq: Long)
 
   // stats.json via jackson (ships with Spark) — a handful of numbers,
   // exact doubles preserved through Double.toString round-trip
@@ -470,6 +851,8 @@ object PostingIndex {
     root.put("nDocs", m.nDocs)
     root.put("nTermBuckets", m.nTermBuckets)
     root.put("nDocBuckets", m.nDocBuckets)
+    root.put("thruSeq", m.thruSeq)
+    root.put("foldedSeq", m.foldedSeq)
     val fa = root.putArray("fields"); m.fields.foreach(fa.add)
     val ca = root.putArray("docCols"); m.docCols.foreach(ca.add)
     val wo = root.putObject("weights")
@@ -501,6 +884,12 @@ object PostingIndex {
       nDocs = root.path("nDocs").asLong(),
       docCols = root.path("docCols").elements().asScala.map(_.asText()).toSeq,
       nTermBuckets = root.path("nTermBuckets").asInt(),
-      nDocBuckets = root.path("nDocBuckets").asInt())
+      nDocBuckets = root.path("nDocBuckets").asInt(),
+      // pre-maintenance indexes have no seq window: default to the
+      // empty window (no live segments)
+      thruSeq =
+        if (root.has("thruSeq")) root.path("thruSeq").asLong() else -1L,
+      foldedSeq =
+        if (root.has("foldedSeq")) root.path("foldedSeq").asLong() else -1L)
   }
 }

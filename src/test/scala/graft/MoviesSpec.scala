@@ -314,6 +314,108 @@ class MoviesSpec extends SparkTestBase {
       ranked(Search.score(docs, "star wars")))
   }
 
+  test("PostingIndex.upsert/delete: log-structured maintenance ≡ " +
+       "from-scratch rebuild bit-for-bit (scores AND ranking) — " +
+       "replace-then-query, delete-then-query, replay absorption, " +
+       "reopen, torn-write recovery, compaction") {
+    val docs = Docs.movieDocs(norm.filmWork, norm.person, norm.genre,
+      norm.personFilmWork, norm.genreFilmWork).localCheckpoint()
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"score").as[(String, Double)].collect()
+        .sortBy(_._1).toSeq
+    def freshDir() = java.nio.file.Files
+      .createTempDirectory("graft_pidx_upd").toString
+    val queries = Seq("star wars", "George Lucas", "explosion",
+      "quiet film", "renameterm saga")
+    // referee: maintained index vs a REBUILD over the expected corpus
+    // vs the full-scan scorer — all three bit-identical per query
+    def assertEquiv(
+        idx: PostingIndex, corpus: org.apache.spark.sql.DataFrame,
+        label: String): Unit = {
+      val rebuilt = PostingIndex.build(corpus, freshDir(),
+        nTermBuckets = 4, nDocBuckets = 4)
+      for (q <- queries) {
+        val got = ranked(idx.score(q))
+        assert(got === ranked(rebuilt.score(q)), s"$label ≠ rebuild: $q")
+        assert(got === ranked(Search.score(corpus, q)),
+          s"$label ≠ fullscan: $q")
+      }
+    }
+    // start from m1+m2; the UPDATE retitles m1 (old title term must
+    // stop matching, a fresh unique term must match), the same batch
+    // INSERTS m3 — one upsert exercising replace + insert together
+    val m1v2 = docs.filter($"id" === "m1")
+      .withColumn("title", lit("Renamed Saga"))
+      .withColumn("description", lit("A renameterm story."))
+      .localCheckpoint()
+    val batch = m1v2.unionByName(docs.filter($"id" === "m3"))
+      .localCheckpoint()
+    val corpusV2 = docs.filter($"id" === "m2").unionByName(batch)
+      .localCheckpoint()
+    val dir = freshDir()
+    val idx0 = PostingIndex.build(docs.filter($"id" =!= "m3"), dir,
+      nTermBuckets = 4, nDocBuckets = 4)
+    val idx1 = idx0.upsert(batch)
+    assertEquiv(idx1, corpusV2, "upsert")
+    // replace-then-query: the old title's terms no longer hit m1; the
+    // replacement's unique term serves m1 (and only m1)
+    assert(!idx1.score("star wars").select("id").as[String].collect()
+      .contains("m1"))
+    assert(idx1.score("renameterm").select("id").as[String].collect()
+      .toSeq === Seq("m1"))
+    // replay absorption: re-delivering the same batch changes nothing
+    // (subtract == add; the duplicate segment supersedes with equal
+    // content)
+    assertEquiv(idx1.upsert(batch), corpusV2, "replayed upsert")
+    // delete-then-query: m2 vanishes at every probe; stats shrink by
+    // exactly m2's integer dls (scores of survivors == rebuild)
+    val idx2 = idx1.upsert(batch).delete(Seq("m2").toDF("id"))
+    val corpusV3 = corpusV2.filter($"id" =!= "m2").localCheckpoint()
+    assertEquiv(idx2, corpusV3, "delete")
+    assert(!idx2.score("quiet film").select("id").as[String].collect()
+      .contains("m2")) // m3's "Loud Film" still legitimately matches
+    // deleting absent ids is a no-op (idempotent delete)
+    assertEquiv(idx2.delete(Seq("m2", "ghost").toDF("id")), corpusV3,
+      "re-delete")
+    // serving restart mid-maintenance: open() resumes the exact state
+    val reopened = PostingIndex.open(spark, dir)
+    assertEquiv(reopened, corpusV3, "reopen")
+    // batched face over the maintained index == single face per query
+    val multi = reopened.scoreMulti(
+      queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+        .toDF("qid", "q"), "qid", "q")
+      .select($"qid", $"id", $"score").as[(Long, String, Double)]
+      .collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+    for ((q, i) <- queries.zipWithIndex)
+      assert(multi.getOrElse(i.toLong, Seq.empty) ===
+        ranked(reopened.score(q)), s"multi≠single on maintained: $q")
+    // torn-write recovery: a segment whose stats publish never landed
+    // is crash debris — the reopened index serves the PRE-crash state,
+    // and the next maintenance op sweeps and re-applies cleanly
+    val statsPath = java.nio.file.Paths.get(dir, "stats.json")
+    val statsBefore = java.nio.file.Files.readAllBytes(statsPath)
+    val m2back = docs.filter($"id" === "m2").localCheckpoint()
+    reopened.upsert(m2back) // segment + stats land...
+    java.nio.file.Files.write(statsPath, statsBefore) // ...crash: undone
+    // drop the Hadoop local-FS checksum sidecar the byte-restore broke
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, ".stats.json.crc"))
+    val recovered = PostingIndex.open(spark, dir)
+    assertEquiv(recovered, corpusV3, "post-crash (debris ignored)")
+    val healed = recovered.upsert(m2back)
+    assertEquiv(healed, corpusV3.unionByName(m2back), "healed re-upsert")
+    // compaction folds the log into a fresh base — bit-identical
+    // serving, segments gone, and maintenance keeps working after
+    val compacted = healed.compact()
+    assertEquiv(compacted, corpusV3.unionByName(m2back), "compacted")
+    assert(!new java.io.File(s"$dir/delta").exists(),
+      "compaction drops the delta log")
+    assertEquiv(compacted.delete(Seq("m3").toDF("id")),
+      corpusV3.unionByName(m2back).filter($"id" =!= "m3"),
+      "post-compact delete")
+  }
+
   test("PostingIndex.scoreTermsMulti: one batch, zero per-query jobs' " +
        "worth of driver actions — per-(term,doc) contributions shared " +
        "across queries, per-query folds in term order — bit-identical " +

@@ -724,6 +724,32 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("maintained posting-search serving shape: with live delta " +
+       "segments, the BASE scans keep their partition filters (docs " +
+       "pruned by candidate id-buckets, postings by term buckets) and " +
+       "superseded versions drop via a broadcast anti-join — an " +
+       "update never degrades serving to a corpus scan") {
+    import graft.movies.PostingIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pidx_maint_plan").toString
+    val corpus = (1 to 100).map(i =>
+      (f"doc_$i%03d", s"filler common words row $i" +
+        (if (i == 37) " needleterm" else ""))).toDF("id", "text")
+    val tokens = Map("text" -> split(col("text"), "\\s+"))
+    val idx = PostingIndex.buildTokenized(corpus, dir,
+      tokens = tokens, weights = Map("text" -> 1), idCol = "id",
+      nTermBuckets = 8, nDocBuckets = 8)
+      .upsert(Seq(("doc_037", "now a plain row"),
+        ("doc_101", "fresh needleterm row")).toDF("id", "text"), tokens)
+    val out = idx.scoreTerms(Seq("needleterm"))
+    // the old doc_037 version is superseded; the upserted doc_101 hits
+    assert(out.select("id").as[String].collect().toSeq === Seq("doc_101"))
+    val p = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*__db".r.findFirstIn(p).isDefined, p)
+    assert("PartitionFilters: \\[[^\\]]*__tb".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
   test("batched posting-search serving shape: the whole query batch " +
        "rides bucket-pruned posting/doc scans (PartitionFilters on " +
        "__tb and __db) with a constant job count — not a corpus scan " +
