@@ -682,6 +682,18 @@ final class PostingIndex private (
     PostingIndex.fromMeta(spark, dir, m2)
   }
 
+  /** Number of live documents — the maintained N of the BM25F stats
+    * (base + upserted − deleted, exact by construction).
+    */
+  def numDocs: Long = nDocs
+
+  /** The current doc payloads (base minus superseded/tombstoned ids,
+    * plus the delta log's live versions) — the store/browse view,
+    * O(base + delta log).
+    */
+  def currentDocs: DataFrame =
+    currentDocsView(liveSegs()).select(docCols.map(col): _*)
+
   /** Full search-API semantics over the pruned path ([[Search.search]]
     * contract). query = None is a pure browse: no posting work, the
     * current doc view streams under the sort.

@@ -81,6 +81,128 @@ object SearchQueries {
         .orderBy($"doc_id")
     },
 
+    // CDC → SEARCH END-TO-END (S3+S5+S7+T2+X1 composed — the FULL
+    // reference pipeline, daemon.py:90-129 keyset source → :358-381
+    // upsert sink → ES serving the UPDATED document, in ONE
+    // oracle-checked dataflow): three keyset ticks drain events
+    // through a LogUpsertSink doc store AND the updatable
+    // PostingIndex — each tick's latest-per-user docs UPSERT BY ID,
+    // so users active across ticks genuinely REPLACE their search
+    // documents (tick 2 is replayed to prove both stores absorb a
+    // duplicate delivery); a retention pass then DELETES every user
+    // whose final doc is a signup event from both. The gate's output
+    // carries TWO score columns: the maintained index's serve and a
+    // fresh REBUILD over the final sink store — the oracle computes
+    // one BM25F replay (fields: title=[event_type]^4,
+    // body=[event_type, value bucket]^1) over latest-per-user of the
+    // 360-event prefix minus the deleted users, so the hash equality
+    // proves maintained-index ≡ rebuild-over-store ≡ DuckDB at once.
+    // Milli-rounded scores (q291 fold-order guard).
+    GraftQuery(
+      "q293_cdc_search_end_to_end",
+      """WITH ordered AS (
+        |  SELECT *, lpad(CAST(event_id AS VARCHAR), 12, '0') AS did,
+        |    row_number() OVER (
+        |      ORDER BY epoch_us(ts), lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |      AS rn
+        |  FROM events),
+        |prefix AS (SELECT * FROM ordered WHERE rn <= 360),
+        |latest AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(round(value*100) AS BIGINT) AS value_c,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, did DESC) AS rk
+        |  FROM prefix),
+        |store AS (
+        |  SELECT user_id, event_id, event_type, value_c,
+        |    CASE WHEN value_c >= 5000 THEN 'high' ELSE 'low' END AS bucket
+        |  FROM latest WHERE rk = 1 AND event_type <> 'signup'),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM store),
+        |terms(term) AS (VALUES ('click'), ('purchase'), ('high')),
+        |dfs AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+        |  FROM terms JOIN store ON (event_type = term OR bucket = term)
+        |  GROUP BY term),
+        |contrib AS (
+        |  SELECT s0.user_id, s0.event_id, s0.event_type, s0.value_c,
+        |    t.term,
+        |    4.0 * (CASE WHEN s0.event_type = t.term THEN 1.0 ELSE 0.0 END)
+        |    + ((CASE WHEN s0.event_type = t.term THEN 1.0 ELSE 0.0 END)
+        |     + (CASE WHEN s0.bucket = t.term THEN 1.0 ELSE 0.0 END)) AS tft
+        |  FROM store s0 CROSS JOIN terms t),
+        |scored AS (
+        |  SELECT c.user_id, c.event_id, c.event_type, c.value_c,
+        |    SUM(ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |        * c.tft / (1.2 + c.tft)) AS score
+        |  FROM contrib c JOIN dfs d USING (term) CROSS JOIN n
+        |  GROUP BY c.user_id, c.event_id, c.event_type, c.value_c)
+        |SELECT user_id, event_id, event_type, value_c,
+        |  CAST(round(score * 1000) AS BIGINT) AS score_milli_idx,
+        |  CAST(round(score * 1000) AS BIGINT) AS score_milli_store
+        |FROM scored WHERE score > 0 ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.cdc.{Keyset, LogUpsertSink}
+      import graft.movies.PostingIndex
+      val e = Tables.load(s, dir, "events")
+        .withColumn("did", lpad($"event_id".cast("string"), 12, "0"))
+      val tmp = GraftQuery.scratchDir("graft_q293_cdc_search")
+      val sink = new LogUpsertSink(s, s"$tmp/store", "user_id", nBuckets = 8)
+      val cursors = new Keyset.CursorStore(s"$tmp/cursors")
+      val weights = Map("title" -> 4, "body" -> 1)
+      val tokens = Map(
+        "title" -> array(col("event_type")),
+        "body" -> array(col("event_type"),
+          when(col("value_c") >= 5000L, "high").otherwise("low")))
+      val docShape = Seq($"user_id", $"event_id", $"event_type",
+        round($"value" * 100).cast("long").as("value_c"))
+      // bootstrap the index empty: the first tick's upsert IS the build
+      var idx = PostingIndex.buildTokenized(
+        e.limit(0).select(docShape: _*), s"$tmp/index", tokens, weights,
+        idCol = "user_id", nTermBuckets = 8, nDocBuckets = 8)
+      val latestInBatch = Window.partitionBy($"user_id")
+        .orderBy(unix_micros($"ts").desc, $"did".desc)
+      def tick(): org.apache.spark.sql.DataFrame = {
+        val cur = cursors.load("events") // file round-trip = restart-safe
+        val (batch, next) = Keyset.nextBatch(e, "ts", "did", cur, 120)
+        val docs = batch
+          .withColumn("rk", row_number().over(latestInBatch))
+          .filter($"rk" === 1)
+          .select(docShape: _*)
+          .localCheckpoint() // pin: both stores consume the same batch
+        sink.upsert(docs)
+        idx = idx.upsert(docs, tokens)
+        cursors.save("events", next)
+        docs
+      }
+      tick()
+      val t2 = tick()
+      // duplicate delivery of tick 2: both stores must absorb it
+      sink.upsert(t2)
+      idx = idx.upsert(t2, tokens)
+      tick()
+      // retention: users whose CURRENT doc is a signup leave BOTH
+      val victims = sink.read().get
+        .filter($"event_type" === "signup").select($"user_id")
+        .localCheckpoint()
+      sink.delete(victims)
+      idx = idx.delete(victims)
+      val terms = Seq("click", "purchase", "high")
+      val served = idx.scoreTerms(terms)
+        .select($"user_id", $"event_id", $"event_type", $"value_c",
+          round($"score" * 1000).cast("long").as("score_milli_idx"))
+      // referee leg: a fresh index over the final doc store must serve
+      // the identical scores — the hash equality enforces it
+      val rebuilt = PostingIndex.buildTokenized(sink.read().get,
+        s"$tmp/rebuilt", tokens, weights,
+        idCol = "user_id", nTermBuckets = 8, nDocBuckets = 8)
+      val storeScores = rebuilt.scoreTerms(terms)
+        .select($"user_id",
+          round($"score" * 1000).cast("long").as("score_milli_store"))
+      served.join(storeScores, Seq("user_id")).orderBy($"user_id")
+    },
+
     // X1/O2/O4: weighted multi-field match + relevance ranking + top-k.
     GraftQuery(
       "q36_weighted_search",

@@ -218,6 +218,63 @@ class CdcSpec extends SparkTestBase {
     }
   }
 
+  test("CDC → search composition: the movies sink IS an updatable " +
+       "search index (PostingIndexSink) — a title change mid-drain " +
+       "changes SEARCH results on the next tick, the replayed tick is " +
+       "absorbed, and the final index serves bit-identically to a " +
+       "rebuild over the final store") {
+    import graft.movies.{Docs, PostingIndex, PostingIndexSink, Search}
+    val dir = tmp(); seed(dir)
+    val t = tables(dir)
+    // bootstrap the index empty (the movie-doc schema); tick 1's
+    // upsert is the first build
+    val shape = Docs.movieDocs(t.filmWork(), t.person(), t.genre(),
+      t.personFilmWork(), t.genreFilmWork()).limit(0)
+    val idxSink = new PostingIndexSink(PostingIndex.build(
+      shape, s"$dir/search_idx", nTermBuckets = 4, nDocBuckets = 4))
+    val sinks = CdcPipeline.Sinks(
+      movies = idxSink,
+      persons = new UpsertSink(spark, s"$dir/idx_persons", "id", 4),
+      genres = new UpsertSink(spark, s"$dir/idx_genres", "id", 4))
+    val cursors = new Keyset.CursorStore(s"$dir/cursors")
+    CdcPipeline.drain(spark, t, sinks, cursors, batchSize = 10)
+    def hits(q: String) = idxSink.index.score(q)
+      .select("id").as[String].collect().toSeq.sorted
+    assert(hits("star wars") === Seq("f1"))
+    // the UPDATE: retitle f1 — the reference's steady state (a changed
+    // row becomes a re-denormalized doc becomes an UPDATED search
+    // document, served on the next tick)
+    writeTable(dir, "film_work", Seq(
+      ("f1", "Galactic Saga", "Space opera", 8.6, ts(100), ts(250)),
+      ("f2", "Quiet Film", "Slow burn", 6.0, ts(100), ts(100))
+    ).toDF("id", "title", "description", "rating",
+      "created_at", "updated_at"))
+    CdcPipeline.drain(spark, t, sinks, cursors, batchSize = 10)
+    assert(hits("star wars").isEmpty, "stale title must stop matching")
+    assert(hits("galactic saga") === Seq("f1"), "the update is served")
+    // replay the film_work suffix: the index absorbs the duplicate
+    // delivery exactly like the doc sinks (T2 through search serving)
+    cursors.save("film_work.movies", Keyset.Cursor.Zero)
+    CdcPipeline.drain(spark, t, sinks, cursors, batchSize = 10)
+    assert(hits("galactic saga") === Seq("f1"))
+    // maintained index ≡ rebuild over the final store ≡ full scan,
+    // bit-for-bit
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"score").as[(String, Double)].collect()
+        .sortBy(_._1).toSeq
+    val store = idxSink.read().get.localCheckpoint()
+    val rebuilt = PostingIndex.build(store, s"$dir/rebuilt_idx",
+      nTermBuckets = 4, nDocBuckets = 4)
+    for (q <- Seq("galactic saga", "quiet film", "George Lucas")) {
+      val got = ranked(idxSink.index.score(q))
+      assert(got === ranked(rebuilt.score(q)), s"≠ rebuild: $q")
+      assert(got === ranked(Search.score(store, q)), s"≠ fullscan: $q")
+    }
+    // compaction through the sink face preserves serving
+    idxSink.compact()
+    assert(hits("galactic saga") === Seq("f1"))
+  }
+
   test("pipeline is sink-agnostic (S5): an in-memory DocSink converges " +
        "to the same documents as the parquet UpsertSink") {
     // minimal alternative DocSink impl — the shape an ES-backed sink
