@@ -68,6 +68,9 @@ import org.apache.spark.sql.functions._
   * tombstones. Contract (same as the log sink's): the delta log stays
   * small between compactions — serve cost is O(query postings +
   * candidates + |delta log|); compact on the cadence the log grows.
+  * The maintenance semantics follow the shared serving-index contract
+  * ([[graft.ops.IndexMaintenance]], drilled family-differentially in
+  * IndexMaintenanceSpec).
   *
   * Crash safety: upsert/delete write their segment FIRST and publish
   * it by advancing `thruSeq` in stats.json — a torn write leaves a

@@ -223,6 +223,8 @@ object DedupOps {
       lshBandKeyTable(acceptedDelta, id, sig, bands, rows),
       table, Seq("band", "bh"), nBuckets)
 
+  // Maintenance below follows the shared serving-index contract —
+  // invariant table in [[IndexMaintenance]].
   private def tombstonePath(
       spark: org.apache.spark.sql.SparkSession, table: String): String =
     spark.conf.get("spark.sql.warehouse.dir") + "/" + table +

@@ -773,6 +773,112 @@ object SimilarityOps {
     ivfPqIndex(delta, idCol, vecCol, centers, codebooks)
       .write.mode("append").partitionBy("cell").parquet(dir)
 
+  // Maintenance below follows the shared serving-index contract —
+  // invariant table in [[graft.ops.IndexMaintenance]].
+  private def ivfTombstonePath(dir: String): String =
+    dir.stripSuffix("/") + "__tombstones"
+
+  /** DELETE from a stored [[ivfPqIndex]] layout (right-to-be-forgotten
+    * parity with [[graft.cdc.UpsertSink.delete]] and the LSH index's
+    * [[graft.ops.DedupOps.removeFromLshIndex]]): append the ids to a
+    * tombstone side table — one |request| write, no index rewrite. A
+    * deleted vector's rows live in exactly one cell, but an eager
+    * rewrite would still pay a partition rewrite per request;
+    * tombstoning defers that to [[compactIvfPqIndex]].
+    *
+    * Readers go through [[activeIvfPqIndex]] (or the stored probe
+    * face, which applies the same broadcast anti-join AFTER its cell
+    * pruning — zero added exchanges, partition filters intact).
+    * Contract: tombstone count between compactions stays
+    * broadcast-sized; compact on the cadence the table grows.
+    */
+  def removeFromIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      deletedIds: DataFrame, idCol: String): Unit =
+    deletedIds.select(col(idCol)).distinct()
+      .write.mode("append").parquet(ivfTombstonePath(dir))
+
+  /** Anti-join `index` (a scan of the stored layout, possibly already
+    * cell-pruned) against the tombstone table, broadcast — the
+    * index side streams through unshuffled.
+    */
+  private def dropIvfTombstones(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, index: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(ivfTombstonePath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) index
+    else index.join(
+      broadcast(spark.read.parquet(p.toString).select(col(idCol))
+        .distinct()),
+      Seq(idCol), "left_anti")
+  }
+
+  /** The stored index minus its tombstones — what every probe should
+    * read.
+    */
+  def activeIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String): DataFrame =
+    dropIvfTombstones(spark, dir, idCol, spark.read.parquet(dir))
+
+  /** Fold tombstones into the stored layout: rewrite ONLY the affected
+    * cells (the cells that actually hold a tombstoned row — found by
+    * one broadcast semi-join, bounded by nList), via dynamic partition
+    * overwrite; a cell emptied entirely is dropped explicitly, and an
+    * index emptied entirely collapses to absent (the sink-family
+    * invariant). Clears the tombstone table. After compaction the
+    * layout is row-identical to a fresh [[ivfPqIndex]] build over
+    * corpus ∖ deleted (IndexMaintenanceSpec asserts it).
+    */
+  def compactIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tp = new Path(ivfTombstonePath(dir))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) return
+    val tomb = broadcast(
+      spark.read.parquet(tp.toString).select(col(idCol)).distinct())
+    val affected = spark.read.parquet(dir)
+      .join(tomb, Seq(idCol), "left_semi")
+      .select(col("cell")).distinct()
+      .collect().map(_.getAs[Number](0).intValue()).sorted.toSeq
+    if (affected.nonEmpty) {
+      val existing = spark.read.parquet(dir)
+        .filter(col("cell").isin(affected.map(Integer.valueOf): _*))
+      val keep = existing.join(tomb, Seq(idCol), "left_anti")
+      val prev =
+        spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        // localCheckpoint breaks the self-read lineage so the
+        // overwrite doesn't read the files it replaces mid-write;
+        // dynamic overwrite only touches partitions PRESENT in the
+        // output, so fully-emptied cells need the explicit drop below
+        val kept = keep.localCheckpoint(eager = true)
+        val keptCells = kept.select(col("cell")).distinct()
+          .collect().map(_.getAs[Number](0).intValue()).toSet
+        kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cell").parquet(dir)
+        affected.filterNot(keptCells).foreach { c =>
+          val p = new Path(s"$dir/cell=$c")
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
+        val root = new Path(dir)
+        val anyCellLeft = fs.exists(root) && fs.listStatus(root)
+          .exists(_.getPath.getName.startsWith("cell="))
+        if (!anyCellLeft) { fs.delete(root, true); () }
+      } finally {
+        prev.fold(
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+          v => spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", v))
+      }
+    }
+    fs.delete(tp, true); ()
+  }
+
   /** Route a query vector to its `nProbe` nearest IVF cells by
     * squared-L2 distance to the centroids, ties to the lower cell id —
     * the same sequential-fold arithmetic as ArgMinCell, evaluated on
@@ -1154,8 +1260,12 @@ object SimilarityOps {
       codebooks, nProbe).localCheckpoint()
     val cells = probe.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val index = spark.read.parquet(indexDir)
-      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+    // tombstones drop AFTER the cell pruning (broadcast anti-join on
+    // the already-pruned scan — partition filters intact, no added
+    // exchange), so a deleted id never surfaces at any probe depth
+    val index = dropIvfTombstones(spark, indexDir, idCol,
+      spark.read.parquet(indexDir)
+        .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*)))
     ivfPqServe(index, idCol, vectors, vecIdCol, vecCol, probe,
       queryIdCol, codebooks, shortlist, k)
   }

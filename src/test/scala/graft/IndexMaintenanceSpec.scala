@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{BucketingOps, DedupOps, SimilarityOps, TextOps}
+import graft.movies.PostingIndex
+
+/** The shared index-maintenance contract
+  * ([[graft.ops.IndexMaintenance]]) drilled differentially across all
+  * three stored serving-index families at once — the d1c531b sink
+  * pattern applied to indexes: one seeded random sequence of
+  * append / remove / compact ops per family, an in-memory Set as the
+  * live-id model, and at every checkpoint the maintained index must be
+  * equivalent to a FRESH BUILD over the model's live set. A drift in
+  * any of refresh-append equivalence, tombstone invisibility,
+  * compact-folds-exactly, or empty-collapse shows up as a model
+  * mismatch without hand-writing the case.
+  */
+class IndexMaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260815L)
+
+  /** Split 1..240 into an initial corpus + append batches; removals
+    * only ever target live ids and never re-add (the LSH/IVF re-add
+    * restriction — PostingIndex's seq-ordered exception is drilled in
+    * MoviesSpec/CdcSpec).
+    */
+  private def driveOps(
+      appendChunks: Iterator[Seq[Long]],
+      live: scala.collection.mutable.Set[Long],
+      append: Seq[Long] => Unit,
+      remove: Seq[Long] => Unit,
+      compact: () => Unit,
+      check: () => Unit,
+      steps: Int): Unit = {
+    val removed = scala.collection.mutable.Set.empty[Long]
+    for (step <- 1 to steps) {
+      rnd.nextInt(4) match {
+        case 0 | 1 if appendChunks.hasNext =>
+          val chunk = appendChunks.next()
+          append(chunk); live ++= chunk
+        case 2 =>
+          // victims: a random live subset plus one definitely-absent id
+          // (absent ids must be ignored, not crash or mask anything)
+          val victims =
+            rnd.shuffle(live.toSeq).take(rnd.nextInt(4)) :+ 999999L
+          remove(victims.filterNot(removed))
+          live --= victims; removed ++= victims
+        case _ =>
+          compact(); removed.clear() // folded: ids could re-enter now
+      }
+      if (step % 2 == 0 || step == steps) check()
+    }
+  }
+
+  test("LSH band-key index: seeded append/remove/compact drill ≡ " +
+       "fresh build over the live set at every checkpoint") {
+    val sig = DedupOps.minhashSignatures(
+      Tables.load(spark, sfDir, "documents").filter($"doc_id" < 240)
+        .select($"doc_id", TextOps.shingleHashes($"text", 3).as("hashes")),
+      "doc_id", "hashes", 16).localCheckpoint()
+    val table = "graft_maint_lsh"
+    val ids = sig.select($"doc_id").as[Long].collect().sorted
+    val (init, rest) = ids.splitAt(ids.length / 2)
+    val chunks = rest.grouped(math.max(1, rest.length / 4)).map(_.toSeq)
+    val live = scala.collection.mutable.Set(init: _*)
+    BucketingOps.writeBucketed(
+      DedupOps.lshBandKeyTable(
+        sig.join(init.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"),
+        "doc_id", "sig", bands = 4, rows = 4),
+      table, Seq("band", "bh"), nBuckets = 4)
+    def keyset(df: DataFrame) = df.select($"band", $"bh", $"doc_id")
+      .as[(Int, Long, Long)].collect().toSet
+    driveOps(
+      chunks, live,
+      append = ids => DedupOps.refreshLshIndex(table,
+        sig.join(ids.toDF("doc_id"), Seq("doc_id"), "left_semi"),
+        "doc_id", "sig", 4, 4, nBuckets = 4),
+      remove = ids => DedupOps.removeFromLshIndex(spark, table,
+        ids.toDF("doc_id"), "doc_id"),
+      compact = () => DedupOps.compactLshIndex(spark, table, "doc_id", 4),
+      check = () => {
+        val fresh = DedupOps.lshBandKeyTable(
+          sig.join(live.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"),
+          "doc_id", "sig", 4, 4)
+        assert(keyset(DedupOps.activeLshIndex(spark, table, "doc_id"))
+          === keyset(fresh))
+      },
+      steps = 8)
+  }
+
+  test("IVF×PQ stored index: seeded append/remove/compact drill ≡ " +
+       "fresh ivfPqIndex over the live set; a removed id never " +
+       "surfaces at ANY probe depth; compaction rewrites only the " +
+       "affected cells") {
+    val centers = Array.tabulate(4)(c =>
+      Array.tabulate(64)(i => if (i == c * 16) 8.0 else 0.0))
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+      Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .filter($"vec_id" < 240).select($"vec_id", $"embedding")
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maint_ivf").toString + "/idx"
+    val ids = emb.select($"vec_id").as[Long].collect().sorted
+    val (init, rest) = ids.splitAt(ids.length / 2)
+    val chunks = rest.grouped(math.max(1, rest.length / 4)).map(_.toSeq)
+    val live = scala.collection.mutable.Set(init: _*)
+    def ofIds(s: Seq[Long]) =
+      emb.join(s.toDF("vec_id"), Seq("vec_id"), "left_semi")
+    SimilarityOps.ivfPqIndex(ofIds(init.toSeq), "vec_id", "embedding",
+        centers, codebooks)
+      .write.partitionBy("cell").parquet(dir)
+    def rows(df: DataFrame) = df
+      .select($"vec_id", $"cell".cast("int"),
+        concat_ws(",", $"codes".cast("array<string>")))
+      .as[(Long, Int, String)].collect().toSet
+    val queries = emb.orderBy($"vec_id").limit(3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv")).localCheckpoint()
+    driveOps(
+      chunks, live,
+      append = s => SimilarityOps.refreshIvfPqIndex(dir, ofIds(s),
+        "vec_id", "embedding", centers, codebooks),
+      remove = s => SimilarityOps.removeFromIvfPqIndex(spark, dir,
+        s.toDF("vec_id"), "vec_id"),
+      compact = () => SimilarityOps.compactIvfPqIndex(spark, dir,
+        "vec_id"),
+      check = () => {
+        val fresh = SimilarityOps.ivfPqIndex(ofIds(live.toSeq),
+          "vec_id", "embedding", centers, codebooks)
+        assert(rows(SimilarityOps.activeIvfPqIndex(spark, dir, "vec_id"))
+          === rows(fresh))
+        // the PROBE face: at every depth, the stored serve over the
+        // maintained layout ≡ the in-memory multi face over the fresh
+        // index — so a removed id cannot surface anywhere
+        for (nProbe <- Seq(1, 4)) {
+          val got = SimilarityOps.ivfPqTopKMultiStored(spark, dir,
+              "vec_id", ofIds(live.toSeq), "vec_id", "embedding",
+              queries, "qid", "qv", centers, codebooks,
+              nProbe = nProbe, shortlist = 16, k = 5)
+            .select($"qid", $"rank", $"vec_id")
+            .as[(Long, Long, Long)].collect().toSet
+          val ref = SimilarityOps.ivfPqTopKMulti(fresh, "vec_id",
+              ofIds(live.toSeq), "vec_id", "embedding",
+              queries, "qid", "qv", centers, codebooks,
+              nProbe = nProbe, shortlist = 16, k = 5)
+            .select($"qid", $"rank", $"vec_id")
+            .as[(Long, Long, Long)].collect().toSet
+          assert(got === ref, s"stored≠fresh at nProbe=$nProbe")
+          assert(got.forall(t => live.contains(t._3)),
+            s"removed id served at nProbe=$nProbe")
+        }
+      },
+      steps = 8)
+    // affected-cells-only: fold any pending drill tombstones first,
+    // then tombstone ONE id and compare the untouched cell dirs' file
+    // listings across the compact — they must be identical
+    SimilarityOps.compactIvfPqIndex(spark, dir, "vec_id")
+    val victim = live.head
+    val victimCell = SimilarityOps.activeIvfPqIndex(spark, dir, "vec_id")
+      .filter($"vec_id" === victim).select($"cell".cast("int"))
+      .as[Int].head()
+    def listing(cell: Int) = {
+      val d = new java.io.File(s"$dir/cell=$cell")
+      if (!d.exists()) Set.empty[String]
+      else d.list().filter(_.startsWith("part-")).toSet
+    }
+    val before = (0 until 4).filter(_ != victimCell).map(listing)
+    SimilarityOps.removeFromIvfPqIndex(spark, dir,
+      Seq(victim).toDF("vec_id"), "vec_id")
+    SimilarityOps.compactIvfPqIndex(spark, dir, "vec_id")
+    val after = (0 until 4).filter(_ != victimCell).map(listing)
+    assert(after === before, "compaction touched an unaffected cell")
+    assert(spark.read.parquet(dir)
+      .filter($"vec_id" === victim).isEmpty,
+      "compaction left the tombstoned row in the layout")
+  }
+
+  test("PostingIndex: seeded append/remove/compact drill ≡ fresh " +
+       "buildTokenized over the live set (scores bit-for-bit)") {
+    val all = (1L to 240L).map(i =>
+      (i, s"word${i % 13} tag${i % 7} filler common row")).toDF("id", "text")
+      .localCheckpoint()
+    val tokens = Map("text" -> split($"text", "\\s+"))
+    val weights = Map("text" -> 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maint_pidx").toString + "/idx"
+    val ids = (1L to 240L)
+    val (init, rest) = ids.splitAt(ids.length / 2)
+    val chunks = rest.grouped(math.max(1, rest.length / 4)).map(_.toSeq)
+    val live = scala.collection.mutable.Set(init: _*)
+    def ofIds(s: Seq[Long]) =
+      all.join(s.toDF("id"), Seq("id"), "left_semi")
+    var idx = PostingIndex.buildTokenized(ofIds(init.toSeq), dir, tokens,
+      weights, idCol = "id", nTermBuckets = 4, nDocBuckets = 4)
+    def ranked(df: DataFrame) = df.select($"id", $"score")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    driveOps(
+      chunks, live,
+      append = s => idx = idx.upsert(ofIds(s), tokens),
+      remove = s => idx = idx.delete(s.toDF("id")),
+      compact = () => idx = idx.compact(),
+      check = () => {
+        val fresh = PostingIndex.buildTokenized(ofIds(live.toSeq),
+          java.nio.file.Files.createTempDirectory("graft_maint_ref")
+            .toString + "/idx",
+          tokens, weights, idCol = "id",
+          nTermBuckets = 4, nDocBuckets = 4)
+        for (terms <- Seq(Seq("word3", "tag5"), Seq("word11")))
+          assert(ranked(idx.scoreTerms(terms)) ===
+            ranked(fresh.scoreTerms(terms)), s"terms=$terms")
+      },
+      steps = 8)
+  }
+}
