@@ -208,6 +208,11 @@ object SimilarityOps {
     * vectors. Queries are broadcast (they must be small — the corpus is
     * the big side and streams through one scan at any scale); per-query
     * ranking is a window top-k, shuffled by query_id only.
+    *
+    * This is the exact REFEREE/recall-baseline face — it reads the
+    * whole corpus per batch. Serving at scale goes through the pruned
+    * ANN faces ([[ivfTopK]], [[ivfPqTopKMulti]]/[[ivfPqTopKMultiStored]]),
+    * which read only probed cells.
     */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
