@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
   *                           constant __seq/__op (immutable segment)
   *   dir/delta/seg-<n>-d/    one [[delete]] batch: tombstoned ids
   *   dir/stats.json          N, exact dl sums per field, weights,
-  *                           column order, delta seq window
+  *                           column order, delta seq window, layout
+  *                           version (compacts publish docs-<v>/
+  *                           postings-<v> pairs through this file)
   *
   * Query path: terms route to posting buckets (driver holds ≤ |terms|
   * hashes), candidate ids come off the pruned posting scan, candidate
@@ -75,10 +77,13 @@ import org.apache.spark.sql.functions._
   * Crash safety: upsert/delete write their segment FIRST and publish
   * it by advancing `thruSeq` in stats.json — a torn write leaves a
   * segment above the published window, which every reader ignores and
-  * the next writer sweeps. [[compact]] and [[refresh]] are
-  * single-writer and NOT crash-atomic (a failure mid-swap ⇒ rebuild);
-  * the CDC-facing doc stores own the crash-atomic publish
-  * ([[graft.cdc.ManifestUpsertSink]]).
+  * the next writer sweeps. [[compact]] is crash-safe the same way:
+  * the fold lands in fresh VERSIONED `docs-<v>`/`postings-<v>` dirs
+  * and publishes via the stats write, so a torn compact leaves debris
+  * on one side of the publish, never a broken index. Only bulk
+  * [[refresh]] (an in-place base append) means rebuild on a torn
+  * write; the CDC-facing doc stores own the multi-reader crash-atomic
+  * publish ([[graft.cdc.ManifestUpsertSink]]).
   */
 final class PostingIndex private (
     spark: SparkSession,
@@ -92,7 +97,8 @@ final class PostingIndex private (
     nTermBuckets: Int,
     nDocBuckets: Int,
     thruSeq: Long,
-    foldedSeq: Long) {
+    foldedSeq: Long,
+    layoutV: Int) {
 
   // avgdl derives from EXACT integer token-count sums — the same value
   // Spark's avg() computes (integral sums are exact in double far past
@@ -106,8 +112,16 @@ final class PostingIndex private (
 
   import PostingIndex.{DocBucketCol, OpCol, SeqCol, TermBucketCol}
 
-  private def docsPath = s"$dir/docs"
-  private def postingsPath = s"$dir/postings"
+  // layout version 0 keeps the original fixed names (pre-versioning
+  // indexes reopen unchanged); a compact PUBLISHES version v by
+  // writing fresh docs-<v>/postings-<v> dirs and then stats.json —
+  // the point of no return is the one-file stats write, so a torn
+  // compact leaves either the old layout live (new dirs = debris) or
+  // the new one live (old dirs = debris); both kinds sweep later
+  private def docsPath =
+    if (layoutV == 0) s"$dir/docs" else s"$dir/docs-$layoutV"
+  private def postingsPath =
+    if (layoutV == 0) s"$dir/postings" else s"$dir/postings-$layoutV"
   private def deltaPath = new Path(dir, "delta")
 
   private def fs = new Path(dir)
@@ -520,6 +534,7 @@ final class PostingIndex private (
     require(newDocs.columns.toSeq == docCols,
       s"delta columns ${newDocs.columns.toSeq} must match the built " +
         s"corpus's $docCols")
+    requireCurrent()
     if (nDocs == 0L && liveSegs().isEmpty) {
       // the empty build wrote an unpartitioned placeholder — replace it
       fs.delete(new Path(dir), true)
@@ -550,7 +565,7 @@ final class PostingIndex private (
           fields.map(f =>
             f -> (sumdls(f) + stats.getAs[Long](s"sumdl_$f"))).toMap,
           nDocs + dn, docCols, nTermBuckets, nDocBuckets,
-          thruSeq, foldedSeq)
+          thruSeq, foldedSeq, layoutV)
         PostingIndex.writeStats(spark, dir, m)
         PostingIndex.fromMeta(spark, dir, m)
       }
@@ -591,6 +606,7 @@ final class PostingIndex private (
         s"corpus's $docCols")
     require(!docCols.contains(SeqCol) && !docCols.contains(OpCol),
       s"$SeqCol/$OpCol are reserved segment columns")
+    requireCurrent()
     if (nDocs == 0L && liveSegs(sweep = true).isEmpty && baseIsPlaceholder) {
       // empty placeholder index: an upsert IS the first build
       fs.delete(new Path(dir), true)
@@ -614,7 +630,7 @@ final class PostingIndex private (
         f -> (sumdls(f) - sub + newStats.getAs[Long](s"sumdl_$f"))
       }.toMap,
       nDocs - oldN + newN, docCols, nTermBuckets, nDocBuckets,
-      thruSeq = seq, foldedSeq = foldedSeq)
+      thruSeq = seq, foldedSeq = foldedSeq, layoutV = layoutV)
     PostingIndex.writeStats(spark, dir, m)
     PostingIndex.fromMeta(spark, dir, m)
   }
@@ -634,6 +650,7 @@ final class PostingIndex private (
     * Returns the updated handle — the receiver is stale after this.
     */
   def delete(ids: DataFrame): PostingIndex = {
+    requireCurrent()
     if (nDocs == 0L) return this // nothing to tombstone
     val segs = liveSegs(sweep = true)
     val idsDf = ids.select(col(idCol)).distinct().localCheckpoint()
@@ -650,39 +667,83 @@ final class PostingIndex private (
       fields.map(f =>
         f -> (sumdls(f) - oldStats.getAs[Long](s"sumdl_$f"))).toMap,
       nDocs - oldN, docCols, nTermBuckets, nDocBuckets,
-      thruSeq = seq, foldedSeq = foldedSeq)
+      thruSeq = seq, foldedSeq = foldedSeq, layoutV = layoutV)
     PostingIndex.writeStats(spark, dir, m)
     PostingIndex.fromMeta(spark, dir, m)
   }
+
+  /** Writer-side split-brain tripwire: every maintenance op runs off
+    * the handle the PREVIOUS op returned (single writer). A STALE
+    * handle writing would sweep newer published segments as "debris"
+    * and apply its stats deltas against superseded integers — silent
+    * corruption. One tiny stats.json read per op turns that into a
+    * loud error instead.
+    */
+  private def requireCurrent(): Unit = {
+    val m = PostingIndex.readStats(spark, dir)
+    require(
+      m.thruSeq == thruSeq && m.foldedSeq == foldedSeq &&
+        m.layoutV == layoutV,
+      s"stale index handle: published (thru=${m.thruSeq}, folded=" +
+        s"${m.foldedSeq}, layout=${m.layoutV}) vs this handle (thru=" +
+        s"$thruSeq, folded=$foldedSeq, layout=$layoutV) — maintenance " +
+        "ops must use the handle returned by the previous op")
+  }
+
+  /** Delete every `docs-N` / `postings-N` dir that is not the
+    * PUBLISHED layout, plus the unversioned pair when a versioned
+    * layout is live — crash debris from a torn compact (either side
+    * of the stats publish). Writer-only.
+    */
+  private def sweepStaleLayouts(): Unit =
+    fs.listStatus(new Path(dir)).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val stale =
+        (n.startsWith("docs") && s"$dir/$n" != docsPath) ||
+          (n.startsWith("postings") && s"$dir/$n" != postingsPath)
+      if (stale) { fs.delete(p, true); () }
+    }
 
   /** Fold the delta log into a fresh base layout (docs re-bucketed,
     * postings rebuilt from the folded corpus, stats re-derived from
     * the WRITTEN copy — which the maintained integers already equal)
     * and drop the segments + tombstones. One O(base + delta) pass,
-    * amortized across the ticks between compactions. Single writer;
-    * NOT crash-atomic (a failure between the staged write and the
-    * swap ⇒ rebuild — same contract as [[refresh]]).
+    * amortized across the ticks between compactions.
+    *
+    * CRASH-SAFE, like upsert/delete: the fold lands in fresh
+    * `docs-<v>`/`postings-<v>` dirs and publishes atomically via the
+    * stats.json write — a crash before the publish leaves the old
+    * layout serving (the half-written new dirs are debris), a crash
+    * after it leaves the new layout serving (the old dirs + folded
+    * segments are debris); both kinds are swept by the next writer.
+    * Single writer, as all the parquet stores.
     */
-  def compact(): PostingIndex = {
+  def compact(): PostingIndex = compactImpl(sweepAfter = true)
+
+  /** `sweepAfter = false` simulates dying right after the publish —
+    * the MoviesSpec crash drill. */
+  private[graft] def compactImpl(sweepAfter: Boolean): PostingIndex = {
+    requireCurrent()
+    sweepStaleLayouts() // debris from a previously torn compact
     val segs = liveSegs(sweep = true)
     if (segs.isEmpty) return this
-    val staging = new Path(dir, "compacting")
-    fs.delete(staging, true)
-    // the staged write READS old base + delta (still on disk) and
-    // derives postings + stats from its own written copy — the
-    // buildTokenized staging discipline
+    val newV = layoutV + 1
+    // the staged write READS the old base + delta (both untouched
+    // until after the publish) and derives postings + stats from its
+    // own written copy — the buildTokenized staging discipline
     val m2 = PostingIndex.writeLayout(spark, currentDocsView(segs),
-      staging.toString, fields, weights, idCol, docCols,
-      nTermBuckets, nDocBuckets, thruSeq = thruSeq, foldedSeq = thruSeq)
-    fs.delete(new Path(docsPath), true)
-    fs.delete(new Path(postingsPath), true)
-    fs.delete(deltaPath, true)
-    fs.rename(new Path(staging, "docs"), new Path(docsPath))
-    if (fs.exists(new Path(staging, "postings")))
-      fs.rename(new Path(staging, "postings"), new Path(postingsPath))
-    fs.delete(staging, true)
-    PostingIndex.writeStats(spark, dir, m2)
-    PostingIndex.fromMeta(spark, dir, m2)
+      s"$dir/docs-$newV", s"$dir/postings-$newV",
+      fields, weights, idCol, docCols,
+      nTermBuckets, nDocBuckets,
+      thruSeq = thruSeq, foldedSeq = thruSeq, layoutV = newV)
+    PostingIndex.writeStats(spark, dir, m2) // ← the publish
+    val next = PostingIndex.fromMeta(spark, dir, m2)
+    if (sweepAfter) {
+      fs.delete(new Path(docsPath), true)
+      fs.delete(new Path(postingsPath), true)
+      fs.delete(deltaPath, true); ()
+    }
+    next
   }
 
   /** Number of live documents — the maintained N of the BM25F stats
@@ -772,8 +833,9 @@ object PostingIndex {
     val docCols = docs.columns.toSeq
     val analyzed = fields.foldLeft(docs)((d, f) =>
       d.withColumn(s"__toks_$f", tokens(f)))
-    val meta = writeLayout(spark, analyzed, dir, fields, weights, idCol,
-      docCols, nTermBuckets, nDocBuckets, thruSeq = -1L, foldedSeq = -1L)
+    val meta = writeLayout(spark, analyzed, s"$dir/docs", s"$dir/postings",
+      fields, weights, idCol, docCols, nTermBuckets, nDocBuckets,
+      thruSeq = -1L, foldedSeq = -1L, layoutV = 0)
     writeStats(spark, dir, meta)
     fromMeta(spark, dir, meta)
   }
@@ -794,7 +856,8 @@ object PostingIndex {
   private def writeLayout(
       spark: SparkSession,
       analyzed: DataFrame,
-      target: String,
+      docsDir: String,
+      postingsDir: String,
       fields: Seq[String],
       weights: Map[String, Int],
       idCol: String,
@@ -802,22 +865,23 @@ object PostingIndex {
       nTermBuckets: Int,
       nDocBuckets: Int,
       thruSeq: Long,
-      foldedSeq: Long): Meta = {
+      foldedSeq: Long,
+      layoutV: Int): Meta = {
     val withDb = analyzed
       .withColumn(DocBucketCol, pmod(xxhash64(col(idCol)), lit(nDocBuckets)))
-    withDb.write.partitionBy(DocBucketCol).parquet(s"$target/docs")
-    val fs = new Path(s"$target/docs")
+    withDb.write.partitionBy(DocBucketCol).parquet(docsDir)
+    val fs = new Path(docsDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val wroteRows = fs.listStatus(new Path(s"$target/docs"))
+    val wroteRows = fs.listStatus(new Path(docsDir))
       .exists(_.getPath.getName.startsWith(s"$DocBucketCol="))
     if (!wroteRows) {
       // empty corpus: a partitioned empty write has no readable schema
       // — replace it with a plain placeholder (limit(0) is row-free
       // and deterministic), so emptyScored() can still resolve columns
-      fs.delete(new Path(s"$target/docs"), true)
-      withDb.limit(0).repartition(1).write.parquet(s"$target/docs")
+      fs.delete(new Path(docsDir), true)
+      withDb.limit(0).repartition(1).write.parquet(docsDir)
     }
-    val stored = spark.read.parquet(s"$target/docs")
+    val stored = spark.read.parquet(docsDir)
     val (stats, n) = sumStats(stored, fields)
     val sumdls = fields.map(f =>
       f -> (if (n == 0L) 0L else stats.getAs[Long](s"sumdl_$f"))).toMap
@@ -826,10 +890,10 @@ object PostingIndex {
         .select(col(idCol), explode(array_distinct(
           concat(fields.map(Search.toks): _*))).as("term"))
         .withColumn(TermBucketCol, pmod(xxhash64(col("term")), lit(nTermBuckets)))
-        .write.partitionBy(TermBucketCol).parquet(s"$target/postings")
+        .write.partitionBy(TermBucketCol).parquet(postingsDir)
     }
     Meta(idCol, fields, weights, sumdls, n,
-      docCols, nTermBuckets, nDocBuckets, thruSeq, foldedSeq)
+      docCols, nTermBuckets, nDocBuckets, thruSeq, foldedSeq, layoutV)
   }
 
   private[movies] def sumStats(analyzed: DataFrame, fields: Seq[String]) = {
@@ -845,7 +909,7 @@ object PostingIndex {
       spark: SparkSession, dir: String, m: Meta): PostingIndex =
     new PostingIndex(spark, dir, m.idCol, m.fields, m.weights, m.sumdls,
       m.nDocs, m.docCols, m.nTermBuckets, m.nDocBuckets,
-      m.thruSeq, m.foldedSeq)
+      m.thruSeq, m.foldedSeq, m.layoutV)
 
   /** Re-open a built index from its directory (serving restarts). */
   def open(spark: SparkSession, dir: String): PostingIndex =
@@ -855,7 +919,7 @@ object PostingIndex {
       idCol: String, fields: Seq[String], weights: Map[String, Int],
       sumdls: Map[String, Long], nDocs: Long, docCols: Seq[String],
       nTermBuckets: Int, nDocBuckets: Int,
-      thruSeq: Long, foldedSeq: Long)
+      thruSeq: Long, foldedSeq: Long, layoutV: Int)
 
   // stats.json via jackson (ships with Spark) — a handful of numbers,
   // exact doubles preserved through Double.toString round-trip
@@ -868,6 +932,7 @@ object PostingIndex {
     root.put("nDocBuckets", m.nDocBuckets)
     root.put("thruSeq", m.thruSeq)
     root.put("foldedSeq", m.foldedSeq)
+    root.put("layoutV", m.layoutV)
     val fa = root.putArray("fields"); m.fields.foreach(fa.add)
     val ca = root.putArray("docCols"); m.docCols.foreach(ca.add)
     val wo = root.putObject("weights")
@@ -905,6 +970,8 @@ object PostingIndex {
       thruSeq =
         if (root.has("thruSeq")) root.path("thruSeq").asLong() else -1L,
       foldedSeq =
-        if (root.has("foldedSeq")) root.path("foldedSeq").asLong() else -1L)
+        if (root.has("foldedSeq")) root.path("foldedSeq").asLong() else -1L,
+      layoutV =
+        if (root.has("layoutV")) root.path("layoutV").asInt() else 0)
   }
 }

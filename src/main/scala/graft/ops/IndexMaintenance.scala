@@ -51,9 +51,13 @@ package graft.ops
   *     would mask the re-added rows. PostingIndex has no such
   *     restriction — its delta fold is seq-ordered, so a later upsert
   *     beats an earlier tombstone (CdcSpec relies on this).
-  *   - Durability: all three are single-writer; a torn
-  *     refresh/compact means rebuild, EXCEPT PostingIndex
-  *     upsert/delete, whose seq-window publish makes a torn segment
-  *     ignorable debris.
+  *   - Durability: all three are single-writer. PostingIndex
+  *     maintenance is fully crash-safe — upsert/delete publish their
+  *     segment by advancing the seq window in stats.json, compact
+  *     publishes a fresh versioned layout through the same one-file
+  *     write, so a torn op leaves ignorable debris on one side of the
+  *     publish (and a stale WRITER handle trips a loud require
+  *     instead of silently sweeping newer state). LSH/IVF×PQ torn
+  *     compacts mean rebuild (their tables rewrite in place).
   */
 object IndexMaintenance

@@ -366,10 +366,18 @@ class MoviesSpec extends SparkTestBase {
     // replay absorption: re-delivering the same batch changes nothing
     // (subtract == add; the duplicate segment supersedes with equal
     // content)
-    assertEquiv(idx1.upsert(batch), corpusV2, "replayed upsert")
+    val idxReplay = idx1.upsert(batch)
+    assertEquiv(idxReplay, corpusV2, "replayed upsert")
+    // split-brain tripwire: a SUPERSEDED handle must refuse to write
+    // (it would sweep the replay's published segment as debris and
+    // apply stats deltas against stale integers)
+    val staleErr = intercept[IllegalArgumentException] {
+      idx1.upsert(batch)
+    }
+    assert(staleErr.getMessage.contains("stale index handle"))
     // delete-then-query: m2 vanishes at every probe; stats shrink by
     // exactly m2's integer dls (scores of survivors == rebuild)
-    val idx2 = idx1.upsert(batch).delete(Seq("m2").toDF("id"))
+    val idx2 = idxReplay.delete(Seq("m2").toDF("id"))
     val corpusV3 = corpusV2.filter($"id" =!= "m2").localCheckpoint()
     assertEquiv(idx2, corpusV3, "delete")
     assert(!idx2.score("quiet film").select("id").as[String].collect()
@@ -411,9 +419,37 @@ class MoviesSpec extends SparkTestBase {
     assertEquiv(compacted, corpusV3.unionByName(m2back), "compacted")
     assert(!new java.io.File(s"$dir/delta").exists(),
       "compaction drops the delta log")
-    assertEquiv(compacted.delete(Seq("m3").toDF("id")),
-      corpusV3.unionByName(m2back).filter($"id" =!= "m3"),
-      "post-compact delete")
+    val corpusV5 = corpusV3.unionByName(m2back).filter($"id" =!= "m3")
+      .localCheckpoint()
+    val idx5 = compacted.delete(Seq("m3").toDF("id"))
+    assertEquiv(idx5, corpusV5, "post-compact delete")
+    // compact-crash drill, BOTH sides of the versioned publish:
+    // (a) dying right AFTER the stats publish (sweepAfter = false):
+    //     the reopened index serves the NEW layout; the old layout
+    //     dirs + folded segments are debris still on disk
+    val crashed = idx5.compactImpl(sweepAfter = false)
+    assertEquiv(PostingIndex.open(spark, dir), corpusV5,
+      "post-publish compact crash")
+    assert(new java.io.File(s"$dir/delta").exists(),
+      "the crash left the folded segments behind (debris)")
+    // (b) dying BEFORE the publish: a half-written higher-version
+    //     layout dir must be invisible to readers
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "docs-99"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "docs-99", "not-parquet"), "junk")
+    assertEquiv(PostingIndex.open(spark, dir), corpusV5,
+      "pre-publish compact crash (half-written layout ignored)")
+    // the next writer sweeps BOTH kinds of debris and serving goes on
+    val swept = crashed.compact()
+    assertEquiv(swept, corpusV5, "post-crash sweep")
+    val leftover = new java.io.File(dir).list().toSet
+    assert(!leftover.contains("docs-99") && !leftover.contains("docs") &&
+      !leftover.contains("postings"),
+      s"stale layout debris survived the sweep: $leftover")
+    assertEquiv(swept.upsert(docs.filter($"id" === "m3")),
+      corpusV5.unionByName(docs.filter($"id" === "m3")),
+      "maintenance continues on the swept index")
   }
 
   test("PostingIndex.scoreTermsMulti: one batch, zero per-query jobs' " +
