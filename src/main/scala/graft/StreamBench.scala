@@ -195,8 +195,37 @@ object StreamBench {
       r
     }
 
+    // CDC → SEARCH maintenance face (round 11): the drain upserts into
+    // the UPDATABLE PostingIndex through its DocSink face — per-tick
+    // cost = a log-sink tick + the stats-delta reads + one segment
+    // write; tick_ratio ~1 proves maintaining SEARCH serving stays
+    // O(batch) as the store grows (the whole point of the r11 index)
+    def searchIndexFace(batchSize: Int): (Double, Vector[Double]) = {
+      val tmp = Files.createTempDirectory("graft_sb_sidx").toString
+      val tokens = Map(
+        "title" -> array(col("event_type")),
+        "body" -> graft.ops.TextOps.tokenize(col("props")))
+      val sink = new graft.movies.PostingIndexSink(
+        graft.movies.PostingIndex.buildTokenized(
+          events.limit(0), s"$tmp/index", tokens,
+          weights = Map("title" -> 4, "body" -> 1),
+          idCol = "user_id", nTermBuckets = 16, nDocBuckets = 32),
+        tokens = Some(tokens))
+      val r = drainLoop(batchSize, sink,
+        postTick = t => if (t % 50 == 0) sink.compact())
+      sink.compact()
+      requireStoreComplete(sink.read().get.count(), "search_index")
+      // the drained index must actually SERVE: every stored doc holds
+      // its event_type in the title field, so the five types cover all
+      require(sink.index.scoreTerms(Seq(
+          "click", "view", "purchase", "signup", "error")).count() == users,
+        "search serve over the drained index is incomplete")
+      r
+    }
+
     val loops = batches.map(b => b -> upsertFace(b))
     val logs = batches.map(b => b -> logFace(b))
+    val sidx = batches.map(b => b -> searchIndexFace(b))
     val es = batches.map(b => b -> esFace(b))
     val streams = batches.map(b => b -> dsv2(b))
     val hik = Seq(
@@ -206,6 +235,7 @@ object StreamBench {
       s"""{"metric":"cdc_throughput","rows":$total,"keys":$users,""" +
         s""""batch_loop":{${loops.map(fmtTicks).mkString(",")}},""" +
         s""""log_sink":{${logs.map(fmtTicks).mkString(",")}},""" +
+        s""""search_index":{${sidx.map(fmtTicks).mkString(",")}},""" +
         s""""es_wire":{${es.map(fmtTicks).mkString(",")}},""" +
         hik.map { case (k, r) => s""""$k":{${fmtTicks(r)}}""" }
           .mkString("", ",", ",") +

@@ -196,15 +196,32 @@ final class PostingIndex private (
     math.max(segMax, thruSeq) + 1L
   }
 
+  /** Every live segment row in one scan — ONE multi-path mergeSchema
+    * read (the [[graft.cdc.LogUpsertSink]] read shape), NOT a
+    * per-segment union: per-segment plan nodes made every maintenance
+    * op and serve pay O(|log|) planning cost, which the StreamBench
+    * drain showed GROWING tick times between compactions. Tombstone
+    * segments carry only (id, seq, op), so the union against an empty
+    * full-schema seed resolves every doc column (as nulls) even for a
+    * log of only deletes.
+    */
+  private def deltaAll(segs: Seq[Seg]): DataFrame = {
+    val zero = spark.read.parquet(docsPath).limit(0)
+      .select(analyzedCols: _*)
+      .withColumn(SeqCol, lit(-1L)).withColumn(OpCol, lit("u"))
+    zero.unionByName(
+      spark.read.option("mergeSchema", "true")
+        .parquet(segs.map(_.path.toString): _*),
+      allowMissingColumns = true)
+  }
+
   /** Every id the delta log touches (upserted or tombstoned) — the ids
     * whose BASE version must not serve. Broadcast-sized by the
     * compaction contract (the log stays small between compactions).
     */
   private def touchedIds(segs: Seq[Seg]): Option[DataFrame] =
     if (segs.isEmpty) None
-    else Some(segs.map(s =>
-        spark.read.parquet(s.path.toString).select(col(idCol)))
-      .reduce(_ union _).distinct())
+    else Some(deltaAll(segs).select(col(idCol)).distinct())
 
   /** The delta log's CURRENT docs: latest version per id across the
     * live segments, tombstones dropped — analyzed rows in
@@ -213,19 +230,10 @@ final class PostingIndex private (
     */
   private def currentDeltaDocs(segs: Seq[Seg]): Option[DataFrame] =
     if (segs.isEmpty) None
-    else {
-      // seed the fold with an empty full-schema frame: tombstone
-      // segments carry only (id, seq, op), so a log of ONLY deletes
-      // must still resolve every doc column (as nulls)
-      val zero = spark.read.parquet(docsPath).limit(0)
-        .select(analyzedCols: _*)
-        .withColumn(SeqCol, lit(-1L)).withColumn(OpCol, lit("u"))
-      val all = segs.map(s => spark.read.parquet(s.path.toString))
-        .foldLeft(zero)(_.unionByName(_, allowMissingColumns = true))
-      Some(graft.cdc.Snapshot.latestPerKey(all, idCol, SeqCol, SeqCol)
+    else Some(
+      graft.cdc.Snapshot.latestPerKey(deltaAll(segs), idCol, SeqCol, SeqCol)
         .filter(col(OpCol) === "u")
         .select(analyzedCols: _*))
-    }
 
   /** The stored CURRENT versions of `ids` (callers pin `ids`): the
     * pruned base read minus delta-touched ids, plus the delta log's
