@@ -64,7 +64,10 @@ object IndexMaintBench {
     }
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
-      case d: Double => f"$d%.3f"
+      // Locale.ROOT: the f-interpolator honors the default locale, and
+      // a comma-decimal locale would emit unparseable JSON
+      case d: Double =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
       case x => x.toString
     }
     val json = results.map(_.map { case (k, v) => j(k) + ":" + j(v) }

@@ -180,12 +180,18 @@ final class LogUpsertSink(
     Some((snap, maxSeq, docCols))
   }
 
-  def read(): Option[DataFrame] =
+  def read(): Option[DataFrame] = {
+    // all-tombstoned-uncompacted folds to empty: report None like the
+    // rewrite sinks' emptied stores, so read().isDefined means 'store
+    // has docs' across the family. The emptiness probe costs a
+    // snapshot-fold job, so pay it ONLY when a live tombstone segment
+    // makes emptiness possible at all — the common tombstone-free
+    // read stays job-free here.
+    val mayBeEmpty = segments().exists(_.op == "d")
     snapshotWithMeta().map { case (snap, _, docCols) =>
       snap.select(docCols.map(col): _*)
-    }.filter(!_.isEmpty) // all-tombstoned-uncompacted folds to empty:
-      // report None like the rewrite sinks' emptied stores, so
-      // read().isDefined means 'store has docs' across the family
+    }.filter(s => !mayBeEmpty || !s.isEmpty)
+  }
 
   /** Remove everything the base at `thru` supersedes: segments it
     * already folded and older bases.

@@ -150,9 +150,10 @@ final class PostingIndex private (
 
   /** An empty build writes an unpartitioned placeholder instead of a
     * `__db=`-partitioned store (a partitioned empty write has no
-    * readable schema) — bucket-pruned reads must skip it. A
-    * placeholder can never coexist with delta segments: [[upsert]] on
-    * an empty index delegates to a rebuild, [[delete]] no-ops.
+    * readable schema) — bucket-pruned reads must skip it, and every
+    * read path does (a placeholder base simply contributes no rows),
+    * so [[upsert]] can bootstrap an empty index with an ordinary
+    * crash-safe segment.
     */
   private def baseIsPlaceholder: Boolean =
     !fs.listStatus(new Path(docsPath))
@@ -361,6 +362,7 @@ final class PostingIndex private (
     if (terms.isEmpty || nDocs == 0L) return emptyScored()
     val segs = liveSegs()
     if (!hasPostings && segs.isEmpty) return emptyScored()
+    if (segs.isEmpty) return scoreTermsImmutable(terms)
     import spark.implicits._
     candidateDocs(terms.toDF("term"), termBuckets(terms), segs) match {
       case None => emptyScored()
@@ -386,6 +388,38 @@ final class PostingIndex private (
           .filter(col("score") > 0)
           .select(outCols: _*)
     }
+  }
+
+  /** The EMPTY-LOG fast path (fresh build / post-compact — the steady
+    * serving state): df comes straight off the pruned posting scan
+    * (posting count == document frequency, since postings hold
+    * DISTINCT (term, doc) pairs of exactly the current corpus) and
+    * the literal `term IN (...)` keeps parquet row-group pushdown on
+    * the posting scan. Integer-identical to the maintained path's
+    * candidate-fold df — the MoviesSpec maintained-vs-rebuild drills
+    * cross the two paths on every query, so they cannot drift.
+    */
+  private def scoreTermsImmutable(terms: Seq[String]): DataFrame = {
+    val posts = spark.read.parquet(postingsPath)
+      .filter(col(TermBucketCol).isin(termBuckets(terms): _*) &&
+        col("term").isin(terms: _*))
+    // df per term off the pruned posting scan: ≤ |terms| rows
+    val dfs = posts.groupBy(col("term")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (dfs.isEmpty) return emptyScored()
+    val candidates = posts.select(col(idCol)).distinct()
+    // candidate id-buckets: bounded by nDocBuckets, prunes the doc scan
+    val candBuckets = candidates
+      .select(pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = spark.read.parquet(docsPath)
+      .filter(col(DocBucketCol).isin(candBuckets: _*))
+      .join(candidates, Seq(idCol), "left_semi")
+    pruned
+      .withColumn("score",
+        Search.bm25f(terms, fields, weights, avgdls, dfs, nDocs.toDouble))
+      .filter(col("score") > 0)
+      .select(outCols: _*)
   }
 
   /** Batched serving — queries as a TABLE (the round-9/10 multi-query
@@ -443,18 +477,42 @@ final class PostingIndex private (
       .distinct().collect().map(_.getInt(0)).toSeq
     if (tb.isEmpty) return emptyScoredMulti(queries, queryIdCol)
     val batchTerms = qterms.select(col("term")).distinct()
-    candidateDocs(batchTerms, tb, segs) match {
-      case None => emptyScoredMulti(queries, queryIdCol)
-      case Some(cand) =>
-        // the CURRENT (term, doc) pairs for the batch vocabulary —
-        // the role raw posting rows played before the index was
-        // updatable, now derived from the folded candidates (same
-        // expression as the build's posting write, so an immutable
-        // index yields the identical pair set)
-        val pairs = cand
-          .select(col(idCol), explode(array_distinct(
+    // (pairs, candidate docs): with live delta segments, both derive
+    // from the FOLDED current candidates ([[candidateDocs]] — same
+    // expression as the build's posting write, so an immutable index
+    // would yield the identical pair set); with an EMPTY log (fresh
+    // build / post-compact, the steady serving state) raw postings
+    // ARE the current pairs, read straight off the pruned posting
+    // scan — integer-identical df, cheaper scan (the MoviesSpec
+    // maintained-vs-rebuild drills cross the two paths per query)
+    val pairsAndCand: Option[(DataFrame, DataFrame)] =
+      if (segs.isEmpty) {
+        if (!hasPostings) None
+        else {
+          val posts = spark.read.parquet(postingsPath)
+            .filter(col(TermBucketCol).isin(tb: _*))
+            .join(batchTerms, Seq("term"), "left_semi")
+          val candidates = posts.select(col(idCol)).distinct()
+          val candBuckets = candidates
+            .select(pmod(xxhash64(col(idCol)), lit(nDocBuckets))
+              .cast("int"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          if (candBuckets.isEmpty) None
+          else Some((
+            posts.select(col("term"), col(idCol)),
+            spark.read.parquet(docsPath)
+              .filter(col(DocBucketCol).isin(candBuckets: _*))
+              .join(candidates, Seq(idCol), "left_semi")
+              .select(analyzedCols: _*)))
+        }
+      } else candidateDocs(batchTerms, tb, segs).map { cand =>
+        (cand.select(col(idCol), explode(array_distinct(
             concat(fields.map(Search.toks): _*))).as("term"))
-          .join(batchTerms, Seq("term"), "left_semi")
+          .join(batchTerms, Seq("term"), "left_semi"), cand)
+      }
+    pairsAndCand match {
+      case None => emptyScoredMulti(queries, queryIdCol)
+      case Some((pairs, cand)) =>
         // per-term idf on the driver (bit-parity with the single
         // face's math.log literal — see the Scaladoc note), bounded
         // by the batch's distinct-term vocabulary
@@ -543,11 +601,13 @@ final class PostingIndex private (
       s"delta columns ${newDocs.columns.toSeq} must match the built " +
         s"corpus's $docCols")
     requireCurrent()
-    if (nDocs == 0L && liveSegs().isEmpty) {
-      // the empty build wrote an unpartitioned placeholder — replace it
-      fs.delete(new Path(dir), true)
-      PostingIndex.buildTokenized(newDocs, dir, tokens, weights, idCol,
-        nTermBuckets, nDocBuckets)
+    if (baseIsPlaceholder) {
+      // the empty build wrote an unpartitioned placeholder — an
+      // in-place partitioned append would corrupt it. Route through
+      // [[upsert]] (the ids are NEW by this method's contract, so the
+      // semantics coincide) — which also keeps the bootstrap
+      // crash-safe instead of deleting the directory mid-flight.
+      upsert(newDocs, tokens)
     } else {
       val analyzed = fields.foldLeft(newDocs)((d, f) =>
         d.withColumn(s"__toks_$f", tokens(f))).localCheckpoint()
@@ -615,12 +675,12 @@ final class PostingIndex private (
     require(!docCols.contains(SeqCol) && !docCols.contains(OpCol),
       s"$SeqCol/$OpCol are reserved segment columns")
     requireCurrent()
-    if (nDocs == 0L && liveSegs(sweep = true).isEmpty && baseIsPlaceholder) {
-      // empty placeholder index: an upsert IS the first build
-      fs.delete(new Path(dir), true)
-      return PostingIndex.buildTokenized(docs, dir, tokens, weights,
-        idCol, nTermBuckets, nDocBuckets)
-    }
+    sweepStaleLayouts() // layout debris from a torn compact sweeps here
+    // NOTE deliberately NO special case for the empty placeholder
+    // index: the first upsert lands as an ordinary segment over the
+    // placeholder base (every read path handles that state), keeping
+    // the bootstrap crash-safe — a delete-dir-and-rebuild shortcut
+    // would violate this method's publish contract mid-flight
     val segs = liveSegs(sweep = true)
     val analyzed = fields.foldLeft(docs)((d, f) =>
       d.withColumn(s"__toks_$f", tokens(f))).localCheckpoint()
@@ -660,6 +720,7 @@ final class PostingIndex private (
   def delete(ids: DataFrame): PostingIndex = {
     requireCurrent()
     if (nDocs == 0L) return this // nothing to tombstone
+    sweepStaleLayouts() // layout debris from a torn compact sweeps here
     val segs = liveSegs(sweep = true)
     val idsDf = ids.select(col(idCol)).distinct().localCheckpoint()
     // pin the existing victims: their ids feed the segment write and

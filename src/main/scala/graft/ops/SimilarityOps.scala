@@ -798,8 +798,7 @@ object SimilarityOps {
     * broadcast-sized; compact on the cadence the table grows.
     */
   def removeFromIvfPqIndex(
-      spark: org.apache.spark.sql.SparkSession, dir: String,
-      deletedIds: DataFrame, idCol: String): Unit =
+      dir: String, deletedIds: DataFrame, idCol: String): Unit =
     deletedIds.select(col(idCol)).distinct()
       .write.mode("append").parquet(ivfTombstonePath(dir))
 

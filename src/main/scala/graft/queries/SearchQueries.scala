@@ -200,7 +200,12 @@ object SearchQueries {
       val storeScores = rebuilt.scoreTerms(terms)
         .select($"user_id",
           round($"score" * 1000).cast("long").as("score_milli_store"))
-      served.join(storeScores, Seq("user_id")).orderBy($"user_id")
+      // FULL OUTER: a maintained-index ghost row (served-only) or a
+      // lost row (store-only) surfaces as nulls in the other side's
+      // columns and breaks the oracle hash — an inner join would
+      // silently drop exactly the divergence this gate exists to catch
+      served.join(storeScores, Seq("user_id"), "full_outer")
+        .orderBy($"user_id")
     },
 
     // X1/O2/O4: weighted multi-field match + relevance ranking + top-k.

@@ -122,7 +122,7 @@ class IndexMaintenanceSpec extends SparkTestBase {
       chunks, live,
       append = s => SimilarityOps.refreshIvfPqIndex(dir, ofIds(s),
         "vec_id", "embedding", centers, codebooks),
-      remove = s => SimilarityOps.removeFromIvfPqIndex(spark, dir,
+      remove = s => SimilarityOps.removeFromIvfPqIndex(dir,
         s.toDF("vec_id"), "vec_id"),
       compact = () => SimilarityOps.compactIvfPqIndex(spark, dir,
         "vec_id"),
@@ -167,7 +167,7 @@ class IndexMaintenanceSpec extends SparkTestBase {
       else d.list().filter(_.startsWith("part-")).toSet
     }
     val before = (0 until 4).filter(_ != victimCell).map(listing)
-    SimilarityOps.removeFromIvfPqIndex(spark, dir,
+    SimilarityOps.removeFromIvfPqIndex(dir,
       Seq(victim).toDF("vec_id"), "vec_id")
     SimilarityOps.compactIvfPqIndex(spark, dir, "vec_id")
     val after = (0 until 4).filter(_ != victimCell).map(listing)
