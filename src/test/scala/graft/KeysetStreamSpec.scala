@@ -149,4 +149,69 @@ class KeysetStreamSpec extends SparkTestBase {
     assert(fin === rows.map(r => (r._1, r._2)).sorted,
       "restarted stream must converge to the exact one-shot state")
   }
+
+  test("mid-stream kill + restart THROUGH THE SEARCH INDEX: a partial " +
+       "index upsert PUBLISHED by a dying micro-batch is superseded by " +
+       "the replayed whole batch — the restarted drain converges to " +
+       "serving bit-identical to a rebuild over the full table (T2 " +
+       "effectively-once through search serving, with a mid-stream " +
+       "compaction riding the same delivery)") {
+    import org.apache.spark.sql.functions._
+    import graft.movies.{PostingIndex, PostingIndexSink}
+    val dir = Files.createTempDirectory("graft_ks_sidx").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_ks_sidx_ckpt").toString
+    val scratch = Files.createTempDirectory("graft_ks_sidx_store").toString
+    val rows = (1 to 9).map(i =>
+      (f"r$i%02d", s"term${i % 3} filler row", ts(100L * i)))
+    val rowsDf = rows.toDF("id", "title", "updated_at").localCheckpoint()
+    rowsDf.write.parquet(dir)
+    val tokens = Map("title" -> split(col("title"), "\\s+"))
+    val sink = new PostingIndexSink(
+      PostingIndex.buildTokenized(rowsDf.limit(0), s"$scratch/idx",
+        tokens, Map("title" -> 1), idCol = "id",
+        nTermBuckets = 4, nDocBuckets = 4),
+      tokens = Some(tokens))
+    val armedFlag = java.nio.file.Paths.get(scratch, "armed")
+    Files.createFile(armedFlag)
+    def start() = readKeyset(dir, batchSize = 3)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch.select(col("id"), col("title"), col("updated_at"))
+        if (batchId == 1 && Files.exists(armedFlag)) {
+          // the worst case: a SUB-batch lands as a fully-published
+          // index segment, then the tick dies
+          sink.upsert(docs.orderBy(col("id")).limit(1))
+          Files.delete(armedFlag)
+          throw new RuntimeException("injected executor-side crash")
+        }
+        sink.upsert(docs)
+        if (batchId == 2L) sink.compact() // mid-stream fold
+      }
+      .start()
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable(); q1.awaitTermination()
+    }
+    // the partial publish serves r04 but not the rest of its batch
+    val mid = sink.read().get.select("id").as[String].collect().sorted
+    assert(mid.length < rows.length && mid.contains("r04"),
+      s"expected a partial index, got ${mid.mkString(",")}")
+    // restart from the SAME checkpoint: the engine replays batch 1 in
+    // full; the seq-ordered fold absorbs the duplicate r04
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(sink.read().get.select("id").as[String].collect().sorted
+      === rows.map(_._1).sorted.toArray)
+    // serving referee: the crashed-replayed-compacted index scores
+    // bit-identically to a fresh build over the table
+    val rebuilt = PostingIndex.buildTokenized(rowsDf, s"$scratch/ref",
+      tokens, Map("title" -> 1), idCol = "id",
+      nTermBuckets = 4, nDocBuckets = 4)
+    def ranked(df: DataFrame) = df.select($"id", $"score")
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    for (terms <- Seq(Seq("term0"), Seq("term1", "term2"), Seq("filler")))
+      assert(ranked(sink.index.scoreTerms(terms)) ===
+        ranked(rebuilt.scoreTerms(terms)), s"terms=$terms")
+  }
 }
