@@ -452,6 +452,40 @@ class MoviesSpec extends SparkTestBase {
       "maintenance continues on the swept index")
   }
 
+  test("search API over a MAINTAINED index (live delta segments): " +
+       "query + sort + pagination and the pure browse all equal the " +
+       "full-scan Search.search over the current corpus") {
+    val docs = Docs.movieDocs(norm.filmWork, norm.person, norm.genre,
+      norm.personFilmWork, norm.genreFilmWork).localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pidx_api").toString
+    val m1v2 = docs.filter($"id" === "m1")
+      .withColumn("title", lit("Renamed Saga")).localCheckpoint()
+    // maintained state: m3 inserted, m1 replaced, one doc deleted and
+    // re-upserted (a tombstone superseded by a later segment)
+    val idx = PostingIndex
+      .build(docs.filter($"id" =!= "m3"), dir,
+        nTermBuckets = 4, nDocBuckets = 4)
+      .upsert(docs.filter($"id" === "m3"))
+      .upsert(m1v2)
+      .delete(Seq("m2").toDF("id"))
+      .upsert(docs.filter($"id" === "m2"))
+    val corpus = docs.filter($"id" =!= "m1").unionByName(m1v2)
+      .localCheckpoint()
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[String].collect().toSeq
+    for {
+      (q, sf, asc) <- Seq(
+        (None, "title", true), (None, "imdb_rating", false),
+        (Some("film"), "id", true),
+        (Some("renamed saga"), "imdb_rating", false))
+      page <- Seq(1, 2)
+    } assert(
+      ids(idx.search(q, sf, asc, page, limit = 2)) ===
+        ids(Search.search(corpus, q, sf, asc, page, limit = 2)),
+      s"(query=$q, sort=$sf, asc=$asc, page=$page)")
+  }
+
   test("PostingIndex.scoreTermsMulti: one batch, zero per-query jobs' " +
        "worth of driver actions — per-(term,doc) contributions shared " +
        "across queries, per-query folds in term order — bit-identical " +

@@ -6,14 +6,15 @@ import graft.cdc.{DocSink, LogUpsertSink, ManifestUpsertSink, UpsertSink}
 
 /** Differential property drill over the WHOLE parquet sink family:
   * seeded-random sequences of upsert / targeted-delete / replay /
-  * compact against all three stores at once, each step compared to an
+  * compact against all four stores at once, each step compared to an
   * in-memory Map model (the DocSink contract is exactly last-write-wins
-  * by id). The three sinks implement the same contract through three
+  * by id). The four sinks implement the same contract through four
   * different storage disciplines (dynamic overwrite, snapshot-commit,
-  * log-structured) — a divergence in ANY of replace semantics, delete
-  * idempotence, replay absorption, empty-batch handling or compaction
-  * equivalence shows up as a model mismatch here without hand-writing
-  * the case.
+  * log-structured, and the round-11 SEARCH-INDEX face whose store IS
+  * an updatable PostingIndex) — a divergence in ANY of replace
+  * semantics, delete idempotence, replay absorption, empty-batch
+  * handling or compaction equivalence shows up as a model mismatch
+  * here without hand-writing the case.
   */
 class SinkPropertySpec extends SparkTestBase {
   import spark.implicits._
@@ -35,12 +36,23 @@ class SinkPropertySpec extends SparkTestBase {
     val ids = (1 to 12).map(i => s"id_$i")
     for (run <- 1 to 2) {
       val model = scala.collection.mutable.Map.empty[String, String]
+      val pidxTokens = Map("title" ->
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("title"), "\\s+"))
       val sinks: Seq[DocSink] = Seq(
         new UpsertSink(spark, s"${tmp()}/s", "id", nBuckets = 4),
         new ManifestUpsertSink(spark, s"${tmp()}/s", "id",
           nBuckets = 4, retainSnapshots = 2),
-        new LogUpsertSink(spark, s"${tmp()}/s", "id", nBuckets = 4))
+        new LogUpsertSink(spark, s"${tmp()}/s", "id", nBuckets = 4),
+        new graft.movies.PostingIndexSink(
+          graft.movies.PostingIndex.buildTokenized(
+            df(Seq.empty).limit(0), s"${tmp()}/s", pidxTokens,
+            Map("title" -> 1), idCol = "id",
+            nTermBuckets = 4, nDocBuckets = 4),
+          tokens = Some(pidxTokens)))
       val log = sinks.collectFirst { case l: LogUpsertSink => l }.get
+      val pidx = sinks.collectFirst {
+        case p: graft.movies.PostingIndexSink => p }.get
       var lastBatch: Seq[(String, String)] = Seq.empty
       def check(step: String): Unit = {
         val want = model.toSet
@@ -63,13 +75,23 @@ class SinkPropertySpec extends SparkTestBase {
           case 3 => // replay the previous upsert batch — must absorb
             sinks.foreach(_.upsert(df(lastBatch)))
             lastBatch.foreach { case (k, v) => model(k) = v }
-          case 4 => // fold the log store; the others have no deferral
-            log.compact()
+          case 4 => // fold the deferring stores; the others have none
+            log.compact(); pidx.compact()
         }
         if (step % 4 == 0) check(s"step $step")
       }
-      log.compact()
+      log.compact(); pidx.compact()
       check("final compact")
+      // the index sink's store isn't just rows — it must SERVE: every
+      // live doc's title tokens find exactly the model's docs
+      val want = model.toSet
+      if (want.nonEmpty) {
+        val served = pidx.index
+          .scoreTerms(want.map(_._2.split("\\s+").head).toSeq.distinct)
+          .select("id").as[String].collect().toSet
+        assert(served === want.map(_._1),
+          s"run $run: index serve diverged from the model")
+      }
     }
   }
 }
