@@ -851,6 +851,28 @@ final class PostingIndex private (
         .withColumn("score", lit(0.0)).select(outCols: _*))(score)
     Search.orderAndPage(base, query.isDefined, sortField, asc, page, limit)
   }
+
+  /** Keyset (`search_after`) deep pagination over the PRUNED path —
+    * [[Search.searchAfter]]'s contract and cursor predicate (shared
+    * code, so the faces cannot drift), at posting-join cost instead of
+    * a corpus scan per page. MOVIES-FACE ONLY, like [[search]].
+    */
+  def searchAfter(
+      query: Option[String],
+      sortField: String = "id",
+      asc: Boolean = true,
+      limit: Int = 50,
+      after: Option[Search.SearchAfter] = None): DataFrame = {
+    require(idCol == "id",
+      "searchAfter() is the movies-face API (422 sort contract + 'id' " +
+        s"tie-break); this index's idCol is '$idCol' — use scoreTerms*")
+    Search.validateSearchArgs(sortField, page = 1, limit = limit)
+    val base = query.fold(
+      currentDocsView(liveSegs()).select(docCols.map(col): _*)
+        .withColumn("score", lit(0.0)).select(outCols: _*))(score)
+    Search.searchAfterScored(base, query.isDefined, sortField, asc,
+      limit, after)
+  }
 }
 
 object PostingIndex {

@@ -248,10 +248,24 @@ object Search {
       limit: Int = 50,
       after: Option[SearchAfter] = None): DataFrame = {
     validateSearchArgs(sortField, page = 1, limit = limit)
-    val sortCol = if (asc) col(sortField).asc_nulls_last
-                  else col(sortField).desc_nulls_last
     val base = query.fold(docs.withColumn("score", lit(0.0)))(q =>
       score(docs, q))
+    searchAfterScored(base, query.isDefined, sortField, asc, limit, after)
+  }
+
+  /** The cursor predicate + page order over an ALREADY-SCORED frame —
+    * shared with [[PostingIndex.searchAfter]] so the pruned face's
+    * deep pagination cannot drift from this one.
+    */
+  private[movies] def searchAfterScored(
+      base: DataFrame,
+      hasQuery: Boolean,
+      sortField: String,
+      asc: Boolean,
+      limit: Int,
+      after: Option[SearchAfter]): DataFrame = {
+    val sortCol = if (asc) col(sortField).asc_nulls_last
+                  else col(sortField).desc_nulls_last
     val paged = after.fold(base) { cur =>
       // strictly-after on the (nullable) sort key, honoring the
       // NULLS LAST zone: any null sorts after every non-null value in
@@ -264,18 +278,15 @@ object Search {
         case None => (lit(false), s.isNull)
       }
       val tail = sortStrict || (sortEqual && col("id") > lit(cur.id))
-      base.filter(query match {
-        case Some(_) =>
+      base.filter(
+        if (hasQuery)
           col("score") < lit(cur.score) ||
             (col("score") === lit(cur.score) && tail)
-        case None => tail
-      })
+        else tail)
     }
-    val ordered = query match {
-      case Some(_) =>
-        paged.orderBy(col("score").desc, sortCol, col("id").asc)
-      case None => paged.orderBy(sortCol, col("id").asc)
-    }
+    val ordered =
+      if (hasQuery) paged.orderBy(col("score").desc, sortCol, col("id").asc)
+      else paged.orderBy(sortCol, col("id").asc)
     ordered.limit(limit)
   }
 }

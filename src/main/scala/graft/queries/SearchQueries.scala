@@ -181,6 +181,11 @@ object SearchQueries {
       // duplicate delivery of tick 2: both stores must absorb it
       sink.upsert(t2)
       idx = idx.upsert(t2, tokens)
+      // mid-pipeline compaction: fold the first ticks' segments into a
+      // fresh versioned base — the gate then proves compact changes
+      // NOTHING about serving (tick 3 lands as segments on the new
+      // base, so the final serve crosses base + delta)
+      idx = idx.compact()
       tick()
       // retention: users whose CURRENT doc is a signup leave BOTH
       val victims = sink.read().get

@@ -484,6 +484,33 @@ class MoviesSpec extends SparkTestBase {
       ids(idx.search(q, sf, asc, page, limit = 2)) ===
         ids(Search.search(corpus, q, sf, asc, page, limit = 2)),
       s"(query=$q, sort=$sf, asc=$asc, page=$page)")
+    // keyset deep pagination over the pruned MAINTAINED path: cursor
+    // walks page-for-page equal to the full-scan searchAfter face
+    // (shared predicate), limit 1 to cross every boundary incl. the
+    // null-rating zone
+    for ((q, sf, asc) <- Seq(
+        (Some("film"), "imdb_rating", false), (None, "title", true))) {
+      def walk(f: (Option[Search.SearchAfter]) =>
+          org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+        var cur: Option[Search.SearchAfter] = None
+        val pages = Seq.newBuilder[Seq[String]]
+        var go = true
+        while (go) {
+          val rows = f(cur).collect()
+          if (rows.isEmpty) go = false
+          else {
+            pages += rows.map(_.getAs[String]("id")).toSeq
+            cur = Some(Search.cursorOf(rows.last, sf))
+          }
+        }
+        pages.result()
+      }
+      assert(
+        walk(c => idx.searchAfter(q, sf, asc, limit = 1, after = c)) ===
+          walk(c =>
+            Search.searchAfter(corpus, q, sf, asc, limit = 1, after = c)),
+        s"searchAfter walk (query=$q, sort=$sf, asc=$asc)")
+    }
   }
 
   test("PostingIndex.scoreTermsMulti: one batch, zero per-query jobs' " +
