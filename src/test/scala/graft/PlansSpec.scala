@@ -750,6 +750,27 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
   }
 
+  test("pruned deep-pagination page shape: PostingIndex.searchAfter " +
+       "browse pages plan as filter + TakeOrderedAndProject over the " +
+       "current view — never a global Sort") {
+    import graft.movies.{PostingIndex, Search}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pidx_sa_plan").toString
+    val corpus = (1 to 50).map(i =>
+      (f"doc_$i%03d", s"row $i words", 10.0 - i * 0.1))
+      .toDF("id", "title", "imdb_rating")
+    val idx = PostingIndex.buildTokenized(corpus, dir,
+      tokens = Map("title" -> split(col("title"), "\\s+")),
+      weights = Map("title" -> 1), idCol = "id",
+      nTermBuckets = 4, nDocBuckets = 4)
+    val page = idx.searchAfter(None, "imdb_rating", asc = false,
+      limit = 2, after = Some(Search.SearchAfter(0.0, Some(8.6), "doc_014")))
+    assert(page.collect().map(_.getString(0)).toSeq ===
+      Seq("doc_015", "doc_016"))
+    val p = page.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("batched posting-search serving shape: the whole query batch " +
        "rides bucket-pruned posting/doc scans (PartitionFilters on " +
        "__tb and __db) with a constant job count — not a corpus scan " +
