@@ -1242,6 +1242,28 @@ object SimilarityOps {
         nProbe),
       queryIdCol, codebooks, shortlist, k)
 
+  /** Single-query serving over a STORED cell-partitioned layout — the
+    * [[ivfPqTopK]] read path with the dir-facing plumbing and the
+    * maintenance contract applied: route on the driver, prune the scan
+    * to the probed `cell=N` dirs, drop tombstones (broadcast
+    * anti-join), ADC shortlist, exact re-rank. Batched serving goes
+    * through [[ivfPqTopKMultiStored]].
+    */
+  def ivfPqTopKStored(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      query: Array[Double], centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+    val probed = ivfRoute(query, centers, nProbe)
+    val index = dropIvfTombstones(spark, indexDir, idCol,
+      spark.read.parquet(indexDir)
+        .filter(col("cell").isin(probed.map(Integer.valueOf): _*)))
+    ivfPqTopK(index, idCol, vectors, vecIdCol, vecCol, query,
+      centers, codebooks, nProbe, shortlist, k)
+  }
+
   /** Multi-query IVF×PQ over a STORED cell-partitioned index layout
     * (the [[refreshIvfPqIndex]] dir format): routes the batch in-plan,
     * then applies the batch's DISTINCT probed-cell set — ONE bounded

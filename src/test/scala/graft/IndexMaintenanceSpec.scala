@@ -175,6 +175,22 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(spark.read.parquet(dir)
       .filter($"vec_id" === victim).isEmpty,
       "compaction left the tombstoned row in the layout")
+    // single-query stored face: same maintenance contract — equals the
+    // in-memory probe over a fresh index on the survivors
+    live -= victim
+    val qv = emb.filter($"vec_id" === live.head).select($"embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toArray
+    val freshIdx = SimilarityOps.ivfPqIndex(ofIds(live.toSeq),
+      "vec_id", "embedding", centers, codebooks)
+    val single = SimilarityOps.ivfPqTopKStored(spark, dir, "vec_id",
+        ofIds(live.toSeq), "vec_id", "embedding", qv, centers, codebooks,
+        nProbe = 2, shortlist = 16, k = 5)
+      .select($"vec_id").as[Long].collect().toSeq
+    val singleRef = SimilarityOps.ivfPqTopK(freshIdx, "vec_id",
+        ofIds(live.toSeq), "vec_id", "embedding", qv, centers, codebooks,
+        nProbe = 2, shortlist = 16, k = 5)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(single === singleRef && !single.contains(victim))
   }
 
   test("PostingIndex: seeded append/remove/compact drill ≡ fresh " +
