@@ -98,7 +98,8 @@ final class PostingIndex private (
     nDocBuckets: Int,
     thruSeq: Long,
     foldedSeq: Long,
-    layoutV: Int) {
+    layoutV: Int,
+    retained: Seq[(Int, Long)]) {
 
   // avgdl derives from EXACT integer token-count sums — the same value
   // Spark's avg() computes (integral sums are exact in double far past
@@ -163,37 +164,55 @@ final class PostingIndex private (
 
   private case class Seg(seq: Long, op: String, path: Path)
 
+  /** Segments with seq at-or-below this floor are unreferenced by the
+    * current layout AND by every RETAINED previous layout (a retained
+    * layout's readers fold segments in (its foldedSeq, their handle's
+    * thruSeq], and the oldest retained foldedSeq bounds them all) —
+    * sweepable debris. With nothing retained the floor is this
+    * layout's own foldedSeq (the pre-retention behavior).
+    */
+  private def sweepFloor: Long =
+    retained.headOption.map(_._2).getOrElse(foldedSeq)
+
   /** Live delta segments, ascending by seq. Live = `_SUCCESS` marker +
     * data files + seq inside the PUBLISHED window (foldedSeq, thruSeq]
     * — a segment above thruSeq is a torn write whose stats never
-    * landed, one at-or-below foldedSeq was already folded by a compact
-    * whose sweep crashed. Writers pass `sweep` to delete both kinds of
-    * debris (readers must not mutate).
+    * landed; one at-or-below [[sweepFloor]] was folded by a compact
+    * and is no longer needed by any retained layout's readers.
+    * Writers pass `sweep` to delete both kinds of debris plus
+    * malformed `seg-*` names (readers must not mutate); segments in
+    * (sweepFloor, foldedSeq] are not live here but are SPARED — a
+    * reader holding a retained pre-compact handle still folds them.
     */
   private def liveSegs(sweep: Boolean = false): Seq[Seg] =
     if (!fs.exists(deltaPath)) Seq.empty
     else fs.listStatus(deltaPath).map(_.getPath).flatMap { p =>
-      p.getName match {
-        case s if s.startsWith("seg-") =>
-          val Array(n, op) = s.stripPrefix("seg-").split("-", 2)
-          val seq = n.toLong
+      PostingIndex.parseSegName(p.getName) match {
+        case None =>
+          // foreign/malformed seg-* entry: non-live DEBRIS, swept by
+          // writers like a torn segment — never an unreadable index
+          // (ADVICE r11). Non-seg names are left alone entirely.
+          if (sweep && p.getName.startsWith("seg-"))
+            { fs.delete(p, true); () }
+          None
+        case Some((seq, op)) =>
           val wellFormed = fs.exists(new Path(p, "_SUCCESS")) &&
             fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
           val live = wellFormed && seq > foldedSeq && seq <= thruSeq
-          if (!live && sweep) { fs.delete(p, true); None }
+          val debris = !live &&
+            (!wellFormed || seq > thruSeq || seq <= sweepFloor)
+          if (debris && sweep) { fs.delete(p, true); None }
           else if (!live) None
           else Some(Seg(seq, op, p))
-        case _ => None
       }
     }.sortBy(_.seq).toSeq
 
   private def nextSeq(): Long = {
     val segMax =
       if (!fs.exists(deltaPath)) -1L
-      else fs.listStatus(deltaPath).map(_.getPath.getName).collect {
-        case s if s.startsWith("seg-") =>
-          s.stripPrefix("seg-").split("-", 2)(0).toLong
-      }.foldLeft(-1L)(math.max)
+      else fs.listStatus(deltaPath).map(_.getPath.getName)
+        .flatMap(PostingIndex.parseSegName).map(_._1)
+        .foldLeft(-1L)(math.max)
     math.max(segMax, thruSeq) + 1L
   }
 
@@ -633,7 +652,7 @@ final class PostingIndex private (
           fields.map(f =>
             f -> (sumdls(f) + stats.getAs[Long](s"sumdl_$f"))).toMap,
           nDocs + dn, docCols, nTermBuckets, nDocBuckets,
-          thruSeq, foldedSeq, layoutV)
+          thruSeq, foldedSeq, layoutV, retained)
         PostingIndex.writeStats(spark, dir, m)
         PostingIndex.fromMeta(spark, dir, m)
       }
@@ -686,6 +705,16 @@ final class PostingIndex private (
       d.withColumn(s"__toks_$f", tokens(f))).localCheckpoint()
     val (newStats, newN) = PostingIndex.sumStats(analyzed, fields)
     if (newN == 0L) return this // empty batch: no segment, no-op
+    // duplicate-id tripwire (ADVICE r11): both copies would count in
+    // the integer stats while the seq-ordered fold serves only one —
+    // silently breaking maintained ≡ rebuild. One cheap distinct-count
+    // on the already-checkpointed batch turns that into a loud error.
+    val distinctIds = analyzed.select(col(idCol)).distinct().count()
+    require(distinctIds == newN,
+      s"upsert batch must be unique by '$idCol': $newN rows but only " +
+        s"$distinctIds distinct ids — dedupe upstream (the " +
+        "LogUpsertSink rule); duplicates would corrupt nDocs/sumdl " +
+        "integer stats while the seq fold serves one copy")
     val old = currentVersionsOf(analyzed.select(col(idCol)), segs)
     val (oldStats, oldN) = PostingIndex.sumStats(old, fields)
     val seq = nextSeq()
@@ -698,7 +727,8 @@ final class PostingIndex private (
         f -> (sumdls(f) - sub + newStats.getAs[Long](s"sumdl_$f"))
       }.toMap,
       nDocs - oldN + newN, docCols, nTermBuckets, nDocBuckets,
-      thruSeq = seq, foldedSeq = foldedSeq, layoutV = layoutV)
+      thruSeq = seq, foldedSeq = foldedSeq, layoutV = layoutV,
+      retained = retained)
     PostingIndex.writeStats(spark, dir, m)
     PostingIndex.fromMeta(spark, dir, m)
   }
@@ -736,7 +766,8 @@ final class PostingIndex private (
       fields.map(f =>
         f -> (sumdls(f) - oldStats.getAs[Long](s"sumdl_$f"))).toMap,
       nDocs - oldN, docCols, nTermBuckets, nDocBuckets,
-      thruSeq = seq, foldedSeq = foldedSeq, layoutV = layoutV)
+      thruSeq = seq, foldedSeq = foldedSeq, layoutV = layoutV,
+      retained = retained)
     PostingIndex.writeStats(spark, dir, m)
     PostingIndex.fromMeta(spark, dir, m)
   }
@@ -759,39 +790,70 @@ final class PostingIndex private (
         "ops must use the handle returned by the previous op")
   }
 
-  /** Delete every `docs-N` / `postings-N` dir that is not the
-    * PUBLISHED layout, plus the unversioned pair when a versioned
-    * layout is live — crash debris from a torn compact (either side
-    * of the stats publish). Writer-only.
+  /** Delete every `docs[-N]` / `postings[-N]` layout dir that is
+    * neither the PUBLISHED layout nor a RETAINED previous one — crash
+    * debris from a torn compact (either side of the stats publish) or
+    * a layout aged out of the retention window. Matches the EXACT
+    * generated names only (`docs`/`postings`/`docs-<digits>`/
+    * `postings-<digits>`, ADVICE r11): a user-placed `docs_backup`
+    * inside the index dir is never touched. Writer-only.
     */
-  private def sweepStaleLayouts(): Unit =
+  private def sweepStaleLayouts(): Unit = {
+    val keep = (retained.map(_._1) :+ layoutV).toSet
     fs.listStatus(new Path(dir)).map(_.getPath).foreach { p =>
-      val n = p.getName
-      val stale =
-        (n.startsWith("docs") && s"$dir/$n" != docsPath) ||
-          (n.startsWith("postings") && s"$dir/$n" != postingsPath)
-      if (stale) { fs.delete(p, true); () }
+      PostingIndex.layoutVersionOf(p.getName) match {
+        case Some(v) if !keep.contains(v) => fs.delete(p, true); ()
+        case _ => ()
+      }
     }
+  }
+
+  /** Writer-side gc: aged-out layouts + no-longer-referenced folded
+    * segments and malformed debris, in one pass each; a fully-swept
+    * delta dir collapses to absent. */
+  private def sweepAged(): Unit = {
+    sweepStaleLayouts()
+    liveSegs(sweep = true)
+    if (fs.exists(deltaPath) && fs.listStatus(deltaPath).isEmpty)
+      { fs.delete(deltaPath, true); () }
+  }
 
   /** Fold the delta log into a fresh base layout (docs re-bucketed,
     * postings rebuilt from the folded corpus, stats re-derived from
-    * the WRITTEN copy — which the maintained integers already equal)
-    * and drop the segments + tombstones. One O(base + delta) pass,
-    * amortized across the ticks between compactions.
+    * the WRITTEN copy — which the maintained integers already equal).
+    * One O(base + delta) pass, amortized across the ticks between
+    * compactions.
     *
     * CRASH-SAFE, like upsert/delete: the fold lands in fresh
     * `docs-<v>`/`postings-<v>` dirs and publishes atomically via the
     * stats.json write — a crash before the publish leaves the old
     * layout serving (the half-written new dirs are debris), a crash
-    * after it leaves the new layout serving (the old dirs + folded
-    * segments are debris); both kinds are swept by the next writer.
-    * Single writer, as all the parquet stores.
+    * after it leaves the new layout serving.
+    *
+    * READER SNAPSHOT RETENTION (the [[graft.cdc.ManifestUpsertSink]]
+    * `retainSnapshots` contract applied to the index, VERDICT r11
+    * advisory #2): `retainVersions` (≥ 1) is the number of published
+    * layouts kept on disk INCLUDING the new one, so a reader that
+    * opened a pre-compact handle keeps serving — its layout dirs AND
+    * the folded segments its fold references are spared by every
+    * later maintenance op's sweep — until `retainVersions` newer
+    * layouts exist, at which point it ages out (re-open to rebind,
+    * the PostingIndexSink pattern). `retainVersions = 1` gc's to
+    * exactly the live layout (the pre-retention behavior). Single
+    * writer, as all the parquet stores.
     */
-  def compact(): PostingIndex = compactImpl(sweepAfter = true)
+  def compact(
+      retainVersions: Int = PostingIndex.DefaultRetainVersions)
+      : PostingIndex =
+    compactImpl(sweepAfter = true, retainVersions)
 
   /** `sweepAfter = false` simulates dying right after the publish —
     * the MoviesSpec crash drill. */
-  private[graft] def compactImpl(sweepAfter: Boolean): PostingIndex = {
+  private[graft] def compactImpl(
+      sweepAfter: Boolean,
+      retainVersions: Int = PostingIndex.DefaultRetainVersions)
+      : PostingIndex = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
     requireCurrent()
     sweepStaleLayouts() // debris from a previously torn compact
     val segs = liveSegs(sweep = true)
@@ -805,13 +867,13 @@ final class PostingIndex private (
       fields, weights, idCol, docCols,
       nTermBuckets, nDocBuckets,
       thruSeq = thruSeq, foldedSeq = thruSeq, layoutV = newV)
-    PostingIndex.writeStats(spark, dir, m2) // ← the publish
-    val next = PostingIndex.fromMeta(spark, dir, m2)
-    if (sweepAfter) {
-      fs.delete(new Path(docsPath), true)
-      fs.delete(new Path(postingsPath), true)
-      fs.delete(deltaPath, true); ()
-    }
+    // the outgoing layout (this handle's) joins the retained window;
+    // older entries beyond the window age out at the sweep below
+    val m3 = m2.copy(retained =
+      (retained :+ (layoutV, foldedSeq)).takeRight(retainVersions - 1))
+    PostingIndex.writeStats(spark, dir, m3) // ← the publish
+    val next = PostingIndex.fromMeta(spark, dir, m3)
+    if (sweepAfter) next.sweepAged()
     next
   }
 
@@ -881,6 +943,39 @@ object PostingIndex {
   private[movies] val TermBucketCol = "__tb"
   private[movies] val SeqCol = "__seq"
   private[movies] val OpCol = "__op"
+
+  /** Default published-layout retention across [[PostingIndex.compact]]:
+    * the new layout plus one predecessor, so a reader holding a
+    * pre-compact handle survives exactly one compaction cycle.
+    */
+  val DefaultRetainVersions = 2
+
+  /** `seg-<n>-<op>` parsed DEFENSIVELY (ADVICE r11): a foreign or
+    * malformed `seg-*` entry in delta/ is None — non-live debris that
+    * writers sweep — never a MatchError/NumberFormatException turning
+    * stray debris into an unreadable index.
+    */
+  private[movies] def parseSegName(s: String): Option[(Long, String)] =
+    if (!s.startsWith("seg-")) None
+    else s.stripPrefix("seg-").split("-", 2) match {
+      case Array(n, op) if (op == "u" || op == "d") &&
+          n.nonEmpty && n.forall(_.isDigit) =>
+        scala.util.Try(n.toLong).toOption.map((_, op))
+      case _ => None
+    }
+
+  private val LayoutName = "^(?:docs|postings)(?:-(\\d+))?$".r
+
+  /** The layout version a root-dir entry belongs to: `docs`/`postings`
+    * are version 0, `docs-<digits>`/`postings-<digits>` their digits;
+    * anything else — including user-placed names like `docs_backup` —
+    * is None and never swept (ADVICE r11).
+    */
+  private[movies] def layoutVersionOf(n: String): Option[Int] = n match {
+    case LayoutName(null) => Some(0)
+    case LayoutName(v) => scala.util.Try(v.toInt).toOption
+    case _ => None
+  }
 
   /** Movies face: analyzer-backed fields from [[Search.DefaultWeights]]
     * (or any weights map over string/array<string> doc columns).
@@ -1000,7 +1095,7 @@ object PostingIndex {
       spark: SparkSession, dir: String, m: Meta): PostingIndex =
     new PostingIndex(spark, dir, m.idCol, m.fields, m.weights, m.sumdls,
       m.nDocs, m.docCols, m.nTermBuckets, m.nDocBuckets,
-      m.thruSeq, m.foldedSeq, m.layoutV)
+      m.thruSeq, m.foldedSeq, m.layoutV, m.retained)
 
   /** Re-open a built index from its directory (serving restarts). */
   def open(spark: SparkSession, dir: String): PostingIndex =
@@ -1010,7 +1105,11 @@ object PostingIndex {
       idCol: String, fields: Seq[String], weights: Map[String, Int],
       sumdls: Map[String, Long], nDocs: Long, docCols: Seq[String],
       nTermBuckets: Int, nDocBuckets: Int,
-      thruSeq: Long, foldedSeq: Long, layoutV: Int)
+      thruSeq: Long, foldedSeq: Long, layoutV: Int,
+      // previous published layouts still on disk for their readers:
+      // (layout version, that layout's foldedSeq), ascending, at most
+      // retainVersions - 1 entries
+      retained: Seq[(Int, Long)] = Nil)
 
   // stats.json via jackson (ships with Spark) — a handful of numbers,
   // exact doubles preserved through Double.toString round-trip
@@ -1024,6 +1123,10 @@ object PostingIndex {
     root.put("thruSeq", m.thruSeq)
     root.put("foldedSeq", m.foldedSeq)
     root.put("layoutV", m.layoutV)
+    val ra = root.putArray("retained")
+    m.retained.foreach { case (v, f) =>
+      val e = ra.addObject(); e.put("v", v); e.put("foldedSeq", f); ()
+    }
     val fa = root.putArray("fields"); m.fields.foreach(fa.add)
     val ca = root.putArray("docCols"); m.docCols.foreach(ca.add)
     val wo = root.putObject("weights")
@@ -1063,6 +1166,8 @@ object PostingIndex {
       foldedSeq =
         if (root.has("foldedSeq")) root.path("foldedSeq").asLong() else -1L,
       layoutV =
-        if (root.has("layoutV")) root.path("layoutV").asInt() else 0)
+        if (root.has("layoutV")) root.path("layoutV").asInt() else 0,
+      retained = root.path("retained").elements().asScala.map(e =>
+        (e.path("v").asInt(), e.path("foldedSeq").asLong())).toSeq)
   }
 }

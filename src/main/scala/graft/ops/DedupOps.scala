@@ -190,8 +190,8 @@ object DedupOps {
       ck, delta, id, sig, bands, rows, maxBucket)
   }
 
-  /** The corpus (band, bh, id) key table — the STORED LSH index schema.
-    * Persist it bucketed+sorted on (band, bh)
+  /** The corpus (band, bh, id, __seq) key table — the STORED LSH index
+    * schema. Persist it bucketed+sorted on (band, bh)
     * ([[BucketingOps.writeBucketed]], bucket count ≈ cluster
     * parallelism) and every corpus-side step of the incremental probe —
     * the hot-bucket bounding aggregate, the bound semi-join back, the
@@ -199,12 +199,18 @@ object DedupOps {
     * |delta|-sized key stream moves (PlansSpec asserts the no-exchange
     * corpus subtree). Rebuild cost is one |corpus| pass, paid once per
     * index refresh, not per batch.
+    *
+    * `__seq` is the row-version column of the seq-ordered maintenance
+    * discipline (base/refresh rows = [[LshBaseSeq]];
+    * [[upsertIntoLshIndex]] writes replacements at a higher seq) —
+    * VERDICT r11 #1, the PostingIndex rule applied family-wide.
     */
   def lshBandKeyTable(
       df: DataFrame, id: String, sig: String,
       bands: Int, rows: Int): DataFrame = df
     .select(col(id), explode(lshBandKeys(col(sig), bands, rows)).as("bk"))
-    .select(col("bk.band").as("band"), col("bk.bh").as("bh"), col(id))
+    .select(col("bk.band").as("band"), col("bk.bh").as("bh"), col(id),
+      lit(LshBaseSeq).as(LshSeqCol))
 
   /** Incremental REFRESH of a stored [[lshBandKeyTable]] index: fold an
     * accepted delta's (band, bh, id) keys into the bucketed table via
@@ -225,20 +231,58 @@ object DedupOps {
 
   // Maintenance below follows the shared serving-index contract —
   // invariant table in [[IndexMaintenance]].
+
+  /** Row/tombstone version column of the stored LSH index. */
+  val LshSeqCol = "__seq"
+
+  /** Seq of build/refresh ("base") rows — below every allocated op
+    * seq, so a tombstone at any op seq supersedes them. */
+  val LshBaseSeq = -1L
+
   private def tombstonePath(
       spark: org.apache.spark.sql.SparkSession, table: String): String =
     spark.conf.get("spark.sql.warehouse.dir") + "/" + table +
       "__tombstones"
 
+  /** Next maintenance-op seq: one tiny read of the (broadcast-sized)
+    * tombstone table — every seq-allocating op writes its tombstones,
+    * so the table's max IS the high-water mark; [[compactLshIndex]]
+    * clears the table AND resets row seqs to [[LshBaseSeq]], so
+    * restarting at 0 afterwards is safe.
+    */
+  private def nextLshSeq(
+      spark: org.apache.spark.sql.SparkSession, table: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(tombstonePath(spark, table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val r = spark.read.parquet(p.toString)
+        .agg(max(col(LshSeqCol))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+    }
+  }
+
+  /** Legacy-table guard: an index written before the seq discipline
+    * has no `__seq` column — treat its rows as base rows. */
+  private def withLshSeq(df: DataFrame): DataFrame =
+    if (df.columns.contains(LshSeqCol)) df
+    else df.withColumn(LshSeqCol, lit(LshBaseSeq))
+
   /** DELETE from a stored LSH index (right-to-be-forgotten /
-    * retraction): append the ids to a tombstone side table — one
-    * |request| write, no index rewrite. A bucketed table cannot drop
-    * rows in place, and the id's key rows are scattered across ~bands
-    * buckets, so an eager rewrite would touch most of the index;
-    * tombstoning defers that cost to [[compactLshIndex]].
+    * retraction): append the ids to a tombstone side table at a fresh
+    * op seq — one |request| write, no index rewrite. A bucketed table
+    * cannot drop rows in place, and the id's key rows are scattered
+    * across ~bands buckets, so an eager rewrite would touch most of
+    * the index; tombstoning defers that cost to [[compactLshIndex]].
     *
-    * Readers go through [[activeLshIndex]], which anti-joins the
-    * tombstones as a BROADCAST (corpus side keeps its bucketed layout,
+    * Tombstones are SEQ-ORDERED, not an id-set: a read keeps a row iff
+    * the row's seq beats the id's newest tombstone, so a LATER
+    * [[upsertIntoLshIndex]] re-adds a deleted id without waiting for a
+    * compact (the PostingIndex discipline; the r11 "re-add is
+    * UNDEFINED" restriction is gone).
+    *
+    * Readers go through [[activeLshIndex]], which applies the max-seq
+    * filter as a BROADCAST (corpus side keeps its bucketed layout,
     * zero added exchanges). Contract: tombstone count between
     * compactions stays broadcast-sized (deletion requests are rare and
     * small next to the corpus); compact on whatever cadence the
@@ -248,29 +292,73 @@ object DedupOps {
       spark: org.apache.spark.sql.SparkSession, table: String,
       deletedIds: DataFrame, id: String): Unit =
     deletedIds.select(col(id)).distinct()
+      .withColumn(LshSeqCol, lit(nextLshSeq(spark, table)))
       .write.mode("append").parquet(tombstonePath(spark, table))
 
-  /** The index minus its tombstones — what every probe should read.
-    * Broadcast anti-join: the bucketed corpus scan streams through
-    * unshuffled (PlansSpec-checked on the q70 serving path).
+  /** UPSERT-BY-ID into a stored LSH index — a re-shingled document
+    * replaces its band-key rows without a rebuild (the index-agnostic
+    * daemon.py:358-381 replace, VERDICT r11 #1): the batch's keys land
+    * at a fresh op seq and the batch ids are tombstoned AT that seq —
+    * old versions (lower seq) stop serving immediately, the new rows
+    * (seq == tombstone seq) survive the `>=` read rule. Ids may be new
+    * or existing; replay is absorbed (higher seq, equal content).
+    * Cost: O(|batch|) writes (one bucket-aligned append + one
+    * tombstone append), zero corpus reads.
+    *
+    * Contract: `batch` unique by `id` (checked); single writer; torn
+    * op ⇒ rebuild (the per-family durability difference).
+    */
+  def upsertIntoLshIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, id: String, sig: String,
+      bands: Int, rows: Int, nBuckets: Int): Unit = {
+    val seq = nextLshSeq(spark, table)
+    val pinned = Checkpointer.checkpoint(
+      batch.select(col(id), col(sig)))
+    val n = pinned.count()
+    if (n == 0L) return
+    require(pinned.select(col(id)).distinct().count() == n,
+      s"upsert batch must be unique by '$id' — duplicates would " +
+        "serve two versions at one seq")
+    // tombstone FIRST: if the key append is torn, the old version is
+    // already superseded and a replay heals (never two live versions)
+    pinned.select(col(id)).withColumn(LshSeqCol, lit(seq))
+      .write.mode("append").parquet(tombstonePath(spark, table))
+    BucketingOps.appendBucketed(
+      lshBandKeyTable(pinned, id, sig, bands, rows)
+        .withColumn(LshSeqCol, lit(seq)),
+      table, Seq("band", "bh"), nBuckets)
+  }
+
+  /** The index rows whose seq beats their id's newest tombstone — what
+    * every probe should read. Broadcast max-seq filter: the bucketed
+    * corpus scan streams through unshuffled (PlansSpec-checked on the
+    * q70 serving path).
     */
   def activeLshIndex(
       spark: org.apache.spark.sql.SparkSession, table: String,
       id: String): DataFrame = {
-    val idx = spark.table(table)
+    val idx = withLshSeq(spark.table(table))
     val p = new org.apache.hadoop.fs.Path(tombstonePath(spark, table))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) idx
-    else idx.join(
-      broadcast(spark.read.parquet(p.toString).select(col(id)).distinct()),
-      Seq(id), "left_anti")
+    else {
+      val tmax = spark.read.parquet(p.toString)
+        .groupBy(col(id)).agg(max(col(LshSeqCol)).as("__tmax"))
+      idx.join(broadcast(tmax), Seq(id), "left")
+        .filter(col("__tmax").isNull || col(LshSeqCol) >= col("__tmax"))
+        .drop("__tmax")
+    }
   }
 
   /** Fold tombstones into the layout: rewrite the index without the
-    * deleted rows (one bounded |index| pass — the same cost class as a
-    * [[BucketingOps.writeBucketed]] compaction, which this also is) and
-    * clear the tombstone table. After compaction the index is
-    * file-identical to a from-scratch rebuild over corpus∖deleted
+    * superseded rows (one bounded |index| pass — the same cost class
+    * as a [[BucketingOps.writeBucketed]] compaction, which this also
+    * is), reset surviving row seqs to [[LshBaseSeq]] (they are base
+    * rows of the folded layout — what makes clearing the tombstone
+    * table and restarting the seq counter safe) and clear the
+    * tombstone table. After compaction the index is file-identical to
+    * a from-scratch rebuild over the live versions
     * (BucketingSpec-checked).
     */
   def compactLshIndex(
@@ -278,7 +366,9 @@ object DedupOps {
       id: String, nBuckets: Int): Unit = {
     // materialize BEFORE the rewrite: writeBucketed drops the table
     // this plan reads from
-    val active = Checkpointer.checkpoint(activeLshIndex(spark, table, id))
+    val active = Checkpointer.checkpoint(
+      activeLshIndex(spark, table, id)
+        .withColumn(LshSeqCol, lit(LshBaseSeq)))
     BucketingOps.writeBucketed(active, table, Seq("band", "bh"), nBuckets)
     val p = new org.apache.hadoop.fs.Path(tombstonePath(spark, table))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -22,42 +22,60 @@ package graft.ops
   *    compactions:
   *    `removeFromLshIndex` / `PostingIndex.delete` (a tombstone
   *    segment) / `removeFromIvfPqIndex`.
-  * 3. EVERY READ drops tombstones via a broadcast anti-join on the
-  *    index side's existing layout — zero added exchanges, partition
-  *    filters intact; a removed id never surfaces at any probe depth:
+  * 3. UPSERT-BY-ID is well-defined on EVERY family without a compact
+  *    in between — the reference's bulk replace is index-agnostic
+  *    (daemon.py:358-381: `_id=doc.id` into every index it maintains),
+  *    so ours is too. All three use the same SEQ discipline: each
+  *    maintenance op gets a monotone seq; an upsert lands its rows at
+  *    that seq AND tombstones its ids at that seq; a read keeps a row
+  *    iff its seq is ≥ the id's newest tombstone seq (nothing
+  *    tombstoned ⇒ kept). A later upsert therefore beats an earlier
+  *    delete — re-adding a deleted id just works — and replaying a
+  *    batch is absorbed (higher seq, equal content). Cost is
+  *    O(|batch|), never O(corpus):
+  *    `upsertIntoLshIndex` / `PostingIndex.upsert` (seq-ordered log
+  *    segments) / `upsertIntoIvfPqIndex`.
+  * 4. EVERY READ drops superseded versions via a broadcast max-seq
+  *    filter on the index side's existing layout — zero added
+  *    exchanges, partition filters intact; a removed id never
+  *    surfaces at any probe depth:
   *    `activeLshIndex` / the PostingIndex serve fold /
-  *    `activeIvfPqIndex` and the `ivfPqTopKMultiStored` probe.
-  * 4. COMPACT folds tombstones into the layout and clears them; the
-  *    compacted index is equivalent to a fresh build over the
-  *    surviving set. Cost is bounded by what the layout localizes:
-  *    LSH rewrites the bucketed table (band keys of one id scatter
-  *    across ~bands buckets), IVF×PQ rewrites ONLY the affected cells
-  *    (a vector lives in exactly one cell; dynamic partition
-  *    overwrite), PostingIndex folds base + delta log into a fresh
-  *    staged base:
+  *    `activeIvfPqIndex` and the `ivfPqTopK*Stored` probes.
+  * 5. COMPACT folds tombstones into the layout, resets surviving row
+  *    seqs to the family's base seq, and clears the tombstones; the
+  *    compacted index is equivalent to a fresh build over the live
+  *    versions. Cost is bounded by what the layout localizes: LSH
+  *    rewrites the bucketed table (band keys of one id scatter across
+  *    ~bands buckets), IVF×PQ rewrites ONLY the affected cells (a
+  *    vector version lives in exactly one cell, and every seq-carrying
+  *    row's id has a tombstone, so no versioned row hides in an
+  *    unaffected cell; dynamic partition overwrite), PostingIndex
+  *    folds base + delta log into a fresh VERSIONED base:
   *    `compactLshIndex` / `PostingIndex.compact` / `compactIvfPqIndex`.
-  * 5. An index emptied entirely collapses to the family's empty shape
+  * 6. An index emptied entirely collapses to the family's empty shape
   *    (absent dir / placeholder) — never an unreadable directory.
   *
   * ==Per-family differences (deliberate, also spec-checked)==
   *
-  *   - UPDATE-BY-ID exists only on [[graft.movies.PostingIndex]]
-  *     (`upsert` — the CDC steady state; BM25F's corpus stats update
-  *     by exact integer deltas). LSH/IVF×PQ rows are pure functions
-  *     of an immutable (id, payload), so "update" there is
-  *     remove + compact + append, or a rebuild.
-  *   - RE-ADDING a tombstoned id before a compact is UNDEFINED for
-  *     LSH/IVF×PQ: their tombstones are id-sets, so the anti-join
-  *     would mask the re-added rows. PostingIndex has no such
-  *     restriction — its delta fold is seq-ordered, so a later upsert
-  *     beats an earlier tombstone (CdcSpec relies on this).
+  *   - Stats: only PostingIndex maintains corpus statistics (BM25F's
+  *     N and per-field dl sums), updated by exact integer DELTAS so a
+  *     maintained index serves bit-identically to a rebuild; the
+  *     LSH/IVF×PQ rows are pure functions of (id, payload, seq) and
+  *     carry no corpus-level state.
+  *   - Seq storage: PostingIndex allocates seqs through stats.json's
+  *     published window (which also powers its stale-WRITER tripwire);
+  *     LSH/IVF×PQ derive the high-water mark from the tombstone side
+  *     table (every seq-allocating op writes tombstones, and compact
+  *     resets rows to base seq before clearing it).
   *   - Durability: all three are single-writer. PostingIndex
   *     maintenance is fully crash-safe — upsert/delete publish their
   *     segment by advancing the seq window in stats.json, compact
   *     publishes a fresh versioned layout through the same one-file
-  *     write, so a torn op leaves ignorable debris on one side of the
-  *     publish (and a stale WRITER handle trips a loud require
-  *     instead of silently sweeping newer state). LSH/IVF×PQ torn
-  *     compacts mean rebuild (their tables rewrite in place).
+  *     write (retaining the previous `retainVersions - 1` layouts for
+  *     their readers), and a stale WRITER handle trips a loud require.
+  *     LSH/IVF×PQ ops are not torn-write-safe: their upsert writes the
+  *     superseding tombstone FIRST (a torn op can lose the new
+  *     version, never serve two), and a torn compact means rebuild
+  *     (their tables rewrite in place).
   */
 object IndexMaintenance

