@@ -2,15 +2,25 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-/** Index-MAINTENANCE scaling readout (the round-11 updatable
-  * PostingIndex's 100 TB claim, made measurable): for each scale
-  * factor, time the posting index's BUILD (the O(corpus) rebuild a
-  * maintained index avoids), a FIXED-size UPSERT of new docs (must be
-  * ~flat in corpus size — its cost is O(|batch| + batch buckets +
-  * delta log)), a fixed-size DELETE, the SERVE over the maintained
-  * index (live delta segments in the fold), and COMPACT (the
-  * amortized O(base + log) fold). One JSON line per run — the
-  * StreamBench artifact pattern.
+/** Index-MAINTENANCE scaling readout for ALL THREE stored serving-index
+  * families (VERDICT r11 #4 — the LSH and IVF×PQ O(request) remove and
+  * affected-cells compact claims become measured, not just spec'd),
+  * plus the high-df serving-cost study (VERDICT r11 #3).
+  *
+  * Per scale factor and family: BUILD (the O(corpus) rebuild a
+  * maintained index avoids), a FIXED-size UPSERT (must be ~flat in
+  * corpus size — O(|batch|), the seq-tombstone discipline), a
+  * fixed-size REMOVE (O(|request|) tombstone append), the SERVE over
+  * the maintained index (live tombstones/segments in the read), and
+  * COMPACT (the amortized fold), then the compacted serve.
+  *
+  * The `posting_df` rows measure BM25F serving cost vs term document
+  * frequency at 20k/80k/320k docs (sf0.1 replicated ×4/×16/×64 with
+  * disjoint ids): a ~50%-df stopword-grade term's candidate set IS the
+  * half-corpus — posting pruning cannot help, the serve is a corpus
+  * scan by construction — versus a ~0.2%-df selective term whose cost
+  * tracks its posting list. One JSON line per run — the StreamBench
+  * artifact pattern.
   *
   *   SPARK_GRAFT_MAINT_DIRS=/root/testdata/sf0.1,/tmp/scale/sf0.2,...
   *   sbt 'runMain graft.IndexMaintBench'
@@ -25,43 +35,176 @@ object IndexMaintBench {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.movies.PostingIndex
+    import graft.ops.{BucketingOps, DedupOps, SimilarityOps, TextOps}
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val terms = Seq("spark", "query", "window")
-    val results = dirs.map { sf =>
+    val results = scala.collection.mutable.ArrayBuffer.empty[Map[String, Any]]
+
+    for (sf <- dirs) {
       val docs = Tables.load(spark, sf, "documents")
         .select($"doc_id", $"text")
       val n = docs.count()
-      val toks = graft.ops.TextOps.tokenize($"text")
+
+      // ---------------- PostingIndex (the r11 rows, kept comparable)
+      val toks = TextOps.tokenize($"text")
       val tokens = Map(
         "title" -> slice(toks, 1, 5),
         "body" -> slice(toks, lit(6), size(toks)))
       val weights = Map("title" -> 4, "body" -> 1)
-      val dir = Files.createTempDirectory("graft_maintbench").toString + "/idx"
-      var idx: PostingIndex = null
-      val build = timed { idx = PostingIndex.buildTokenized(docs, dir,
-        tokens, weights, idCol = "doc_id",
-        nTermBuckets = 8, nDocBuckets = 8) }
-      // FIXED 128-doc batch (new ids) — upsert cost must not grow
-      // with the corpus behind it
-      val batch = docs.orderBy($"doc_id").limit(128)
-        .select(($"doc_id" + 100000000L).as("doc_id"), $"text")
-        .localCheckpoint()
-      val upsert = timed { idx = idx.upsert(batch, tokens) }
-      // maintained serve: the fold now carries a live delta segment
-      val serveMaint = Seq.fill(2)(
-        timed { idx.scoreTerms(terms).count(); () }).min
-      val delIds = batch.select($"doc_id").limit(64).localCheckpoint()
-      val delete = timed { idx = idx.delete(delIds) }
-      val compact = timed { idx = idx.compact() }
-      val serveCompacted = Seq.fill(2)(
-        timed { idx.scoreTerms(terms).count(); () }).min
-      Map("sf" -> sf, "n_docs" -> n, "build" -> build, "upsert" -> upsert,
-        "delete" -> delete, "serve_maintained" -> serveMaint,
-        "compact" -> compact, "serve_compacted" -> serveCompacted)
+      locally {
+        val dir = Files.createTempDirectory("graft_mb_pidx").toString + "/idx"
+        var idx: PostingIndex = null
+        val build = timed { idx = PostingIndex.buildTokenized(docs, dir,
+          tokens, weights, idCol = "doc_id",
+          nTermBuckets = 8, nDocBuckets = 8) }
+        // FIXED 128-doc batch (new ids) — upsert cost must not grow
+        // with the corpus behind it
+        val batch = docs.orderBy($"doc_id").limit(128)
+          .select(($"doc_id" + 100000000L).as("doc_id"), $"text")
+          .localCheckpoint()
+        val upsert = timed { idx = idx.upsert(batch, tokens) }
+        val serveMaint = Seq.fill(2)(
+          timed { idx.scoreTerms(terms).count(); () }).min
+        val delIds = batch.select($"doc_id").limit(64).localCheckpoint()
+        val delete = timed { idx = idx.delete(delIds) }
+        val compact = timed { idx = idx.compact() }
+        val serveCompacted = Seq.fill(2)(
+          timed { idx.scoreTerms(terms).count(); () }).min
+        results += Map("family" -> "posting", "sf" -> sf, "n_docs" -> n,
+          "build" -> build, "upsert" -> upsert, "delete" -> delete,
+          "serve_maintained" -> serveMaint, "compact" -> compact,
+          "serve_compacted" -> serveCompacted)
+      }
+
+      // ---------------- LSH band-key index (VERDICT r11 #4)
+      locally {
+        val sig = DedupOps.minhashSignatures(
+          docs.select($"doc_id",
+            TextOps.shingleHashes($"text", 3).as("hashes")),
+          "doc_id", "hashes", 16).localCheckpoint()
+        val table = "graft_mb_lsh"
+        val nBuckets = 8
+        val build = timed { BucketingOps.writeBucketed(
+          DedupOps.lshBandKeyTable(sig, "doc_id", "sig", 4, 4),
+          table, Seq("band", "bh"), nBuckets) }
+        // fixed 128-doc upsert (new ids, real signatures)
+        val batch = sig.orderBy($"doc_id").limit(128)
+          .select(($"doc_id" + 100000000L).as("doc_id"), $"sig")
+          .localCheckpoint()
+        val upsert = timed { DedupOps.upsertIntoLshIndex(spark, table,
+          batch, "doc_id", "sig", 4, 4, nBuckets) }
+        // serve = the q70 shape: a fixed 64-doc delta probed against
+        // the ACTIVE (tombstone-filtered) index
+        val delta = docs.orderBy($"doc_id").limit(64)
+          .select(($"doc_id" + 200000000L).as("doc_id"), $"text")
+        val deltaSig = DedupOps.minhashSignatures(
+          delta.select($"doc_id",
+            TextOps.shingleHashes($"text", 3).as("hashes")),
+          "doc_id", "hashes", 16).localCheckpoint()
+        def probe(): Unit = {
+          DedupOps.lshCandidatePairsIncrementalIndexed(
+            DedupOps.activeLshIndex(spark, table, "doc_id"),
+            deltaSig, "doc_id", "sig", 4, 4).count(); ()
+        }
+        val serveMaint0 = Seq.fill(2)(timed(probe())).min
+        val delIds = batch.select($"doc_id").limit(64).localCheckpoint()
+        val remove = timed { DedupOps.removeFromLshIndex(spark, table,
+          delIds, "doc_id") }
+        val serveMaint = Seq.fill(2)(timed(probe())).min
+        val compact = timed { DedupOps.compactLshIndex(spark, table,
+          "doc_id", nBuckets) }
+        val serveCompacted = Seq.fill(2)(timed(probe())).min
+        results += Map("family" -> "lsh", "sf" -> sf, "n_docs" -> n,
+          "build" -> build, "upsert" -> upsert, "delete" -> remove,
+          "serve_upserted" -> serveMaint0,
+          "serve_maintained" -> serveMaint, "compact" -> compact,
+          "serve_compacted" -> serveCompacted)
+      }
+
+      // ---------------- IVF×PQ stored layout (VERDICT r11 #4)
+      locally {
+        val emb = Tables.load(spark, sf, "embeddings")
+          .select($"vec_id", $"embedding")
+        val nVec = emb.count()
+        val centers = Array.tabulate(8)(c =>
+          Array.tabulate(64)(i => if (i == c * 8) 8.0 else 0.0))
+        val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+          Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
+        val dir = Files.createTempDirectory("graft_mb_ivf").toString + "/idx"
+        val build = timed { SimilarityOps.ivfPqIndex(emb,
+            "vec_id", "embedding", centers, codebooks)
+          .write.partitionBy("cell").parquet(dir) }
+        val batch = emb.orderBy($"vec_id").limit(128)
+          .select(($"vec_id" + 100000000L).as("vec_id"), $"embedding")
+          .localCheckpoint()
+        val upsert = timed { SimilarityOps.upsertIntoIvfPqIndex(dir,
+          batch, "vec_id", "embedding", centers, codebooks) }
+        val qvec = emb.orderBy($"vec_id").select($"embedding")
+          .head().getSeq[Float](0).map(_.toDouble).toArray
+        def probe(): Unit = {
+          SimilarityOps.ivfPqTopKStored(spark, dir, "vec_id",
+            emb, "vec_id", "embedding", qvec, centers, codebooks,
+            nProbe = 2, shortlist = 64, k = 10).count(); ()
+        }
+        val serveUpserted = Seq.fill(2)(timed(probe())).min
+        val delIds = batch.select($"vec_id").limit(64).localCheckpoint()
+        val remove = timed { SimilarityOps.removeFromIvfPqIndex(dir,
+          delIds, "vec_id") }
+        val serveMaint = Seq.fill(2)(timed(probe())).min
+        val compact = timed { SimilarityOps.compactIvfPqIndex(spark,
+          dir, "vec_id") }
+        val serveCompacted = Seq.fill(2)(timed(probe())).min
+        results += Map("family" -> "ivfpq", "sf" -> sf, "n_docs" -> nVec,
+          "build" -> build, "upsert" -> upsert, "delete" -> remove,
+          "serve_upserted" -> serveUpserted,
+          "serve_maintained" -> serveMaint, "compact" -> compact,
+          "serve_compacted" -> serveCompacted)
+      }
     }
+
+    // ---------------- high-df serving cost (VERDICT r11 #3): a
+    // stopword-grade term's candidates ≈ corpus/2 — pruning cannot
+    // help; a selective term's cost tracks its posting list. Corpus
+    // ladder: the LAST dir's documents replicated ×4/×16/×64 with
+    // disjoint ids; 'graftcommon' injected on even ids (~50% df),
+    // 'graftrare' on ids ≡ 0 (mod 503) (~0.2% df).
+    locally {
+      val base = Tables.load(spark, dirs.last, "documents")
+        .select($"doc_id", $"text")
+      for (k <- Seq(4, 16, 64)) {
+        val corpus = (0 until k).map(c =>
+            base.select(($"doc_id" + c * 10000000L).as("doc_id"), $"text"))
+          .reduce(_ unionByName _)
+          .select($"doc_id", concat($"text",
+            when($"doc_id" % 2 === 0, " graftcommon").otherwise(""),
+            when($"doc_id" % 503 === 0, " graftrare").otherwise(""))
+            .as("text"))
+        val n = k * 5000L
+        val toks = TextOps.tokenize($"text")
+        val tokens = Map(
+          "title" -> slice(toks, 1, 5),
+          "body" -> slice(toks, lit(6), size(toks)))
+        val dir = Files.createTempDirectory("graft_mb_df").toString + "/idx"
+        var idx: PostingIndex = null
+        val build = timed { idx = PostingIndex.buildTokenized(corpus, dir,
+          tokens, Map("title" -> 4, "body" -> 1), idCol = "doc_id",
+          nTermBuckets = 8, nDocBuckets = 8) }
+        var nCommon = 0L
+        var nRare = 0L
+        val serveCommon = Seq.fill(2)(timed {
+          nCommon = idx.scoreTerms(Seq("graftcommon")).count() }).min
+        val serveRare = Seq.fill(2)(timed {
+          nRare = idx.scoreTerms(Seq("graftrare")).count() }).min
+        results += Map("family" -> "posting_df", "n_docs" -> n,
+          "build" -> build,
+          "serve_common_df" -> serveCommon, "matches_common" -> nCommon,
+          "serve_rare_df" -> serveRare, "matches_rare" -> nRare)
+      }
+    }
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       // Locale.ROOT: the f-interpolator honors the default locale, and

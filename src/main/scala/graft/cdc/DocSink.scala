@@ -45,6 +45,18 @@ import org.apache.spark.sql.DataFrame
   *    `es.mapping.id` is exactly the `_id=doc.id` of the reference's
   *    helpers.bulk call, so idempotence semantics carry over unchanged.
   *
+  * Single writer + stale-handle tripwire: the parquet sinks are
+  * single-writer stores, and a SUPERSEDED handle (one whose store was
+  * advanced by a newer writer — split brain) must refuse to mutate:
+  * it could sweep segments the newer writer published or publish a
+  * manifest that orphans newer commits. [[LogUpsertSink]] and
+  * [[ManifestUpsertSink]] verify their remembered store version
+  * (highest seq / manifest version) against disk before every mutating
+  * op and trip a loud require — the PostingIndex `requireCurrent`
+  * contract applied to the sink family (SinkPropertySpec asserts the
+  * trip). Re-OPENING a handle (a restart) snapshots the current
+  * version and proceeds normally.
+  *
   * Retries: the reference wraps every connector call in an
   * exponential-backoff decorator (postgres_to_es/utils.py:19-53).
   * Executor-side transient faults are already covered by Spark task

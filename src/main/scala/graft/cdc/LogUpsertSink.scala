@@ -117,6 +117,37 @@ final class LogUpsertSink(
     math.max(segMax, currentBase().map(_._1).getOrElse(-1L)) + 1L
   }
 
+  /** The store's highest PUBLISHED seq (live segments + base) — the
+    * split-brain token. Deliberately counts only live state: a torn
+    * own-write (markerless/dataless debris) must not trip the retry
+    * path, and debris sweeps must not move the token.
+    */
+  private def storeVersion(): Long =
+    math.max(segments().map(_.seq).foldLeft(-1L)(math.max),
+      currentBase().map(_._1).getOrElse(-1L))
+
+  // ---- writer-side split-brain tripwire (the PostingIndex
+  // requireCurrent contract, VERDICT r11 #5): remember the store's
+  // published version as of this handle's construction / last own
+  // write; a mutating op on a handle whose store was advanced by
+  // ANOTHER writer's publish would supersede or sweep that writer's
+  // segments — refuse loudly instead. Reads never check (readers can
+  // lag); re-opening the sink snapshots the current version.
+  private var expectedVersion: Long = storeVersion()
+
+  private def requireCurrent(): Unit = {
+    val now = storeVersion()
+    // trip ONLY on an ADVANCE (a publish this handle never saw — a
+    // newer writer). A REGRESSION is this handle's own torn write or
+    // a simulated crash (the store never moves backwards under the
+    // single-writer contract) — a legitimate retry, never a trip.
+    require(now <= expectedVersion,
+      s"stale sink handle at $dir: store is at published seq $now but " +
+        s"this handle last saw $expectedVersion — a newer writer " +
+        "advanced the store (single-writer contract); re-open the " +
+        "sink to resume")
+  }
+
   private def writeSegment(df: DataFrame, seq: Long, op: String): Unit = {
     val p = new Path(logPath, s"seg-$seq-$op")
     df.withColumn(SeqCol, lit(seq)).withColumn(OpCol, lit(op))
@@ -137,8 +168,10 @@ final class LogUpsertSink(
       s"$SeqCol/$OpCol/bucket are reserved sink columns — compact() " +
         "partitions the base on 'bucket', which would silently clobber " +
         "a doc column of that name")
+    requireCurrent()
     segments(sweep = true) // clear crashed attempts before appending
     writeSegment(docs, nextSeq(), "u")
+    expectedVersion = storeVersion()
   }
 
   /** Tombstone-append delete: absent ids ignored (they tombstone
@@ -146,9 +179,11 @@ final class LogUpsertSink(
     * store (parity with [[UpsertSink]]).
     */
   def delete(ids: DataFrame): Unit = withSinkRetry {
+    requireCurrent()
     val exists = currentBase().nonEmpty || segments(sweep = true).exists(_.op == "u")
     if (exists)
       writeSegment(ids.select(col(idCol)).distinct(), nextSeq(), "d")
+    expectedVersion = storeVersion()
   }
 
   /** The current snapshot with meta columns still attached, plus the
@@ -215,6 +250,7 @@ final class LogUpsertSink(
     * already exclude and the next compact sweeps.
     */
   def compact(): Unit = withSinkRetry {
+    requireCurrent()
     // sweep crash debris first: markerless/dataless segments, bases
     // that are marked but hold no bucket data (a crashed empty-compact
     // attempt), and — for a crash AFTER a successful base publish but
@@ -248,5 +284,6 @@ final class LogUpsertSink(
           fs.delete(new Path(dir), true); ()
         } else sweepFolded(thru)
     }
+    expectedVersion = storeVersion()
   }
 }

@@ -126,6 +126,31 @@ final class ManifestUpsertSink(
   /** Test/introspection seam: the live bucket -> commit table. */
   private[graft] def currentManifest(): Map[Int, String] = loadManifest()
 
+  // ---- writer-side split-brain tripwire (the PostingIndex
+  // requireCurrent contract, VERDICT r11 #5): remember the manifest
+  // version as of this handle's construction / last own publish; a
+  // mutating op on a handle whose store was advanced by ANOTHER
+  // writer would publish a manifest built from a superseded snapshot,
+  // silently orphaning the newer writer's commits at the next gc —
+  // refuse loudly instead. Reads never check (retained snapshots
+  // cover lagging readers); re-opening the sink snapshots the
+  // current version.
+  private var expectedVersion: Long =
+    manifestVersions().lastOption.getOrElse(-1L)
+
+  private def requireCurrent(): Unit = {
+    val now = manifestVersions().lastOption.getOrElse(-1L)
+    // trip ONLY on an ADVANCE (a publish this handle never saw — a
+    // newer writer). A REGRESSION is a legacy-layout migration or a
+    // simulated crash (versions never move backwards under the
+    // single-writer contract) — proceed, never trip.
+    require(now <= expectedVersion,
+      s"stale sink handle at $dir: manifest is at version $now but " +
+        s"this handle last saw $expectedVersion — a newer writer " +
+        "advanced the store (single-writer contract); re-open the " +
+        "sink to resume")
+  }
+
   /** Publish `m` as the next manifest version: temp write + rename to a
     * FRESH name (never clobbers the live manifest — atomic-enough on
     * every FS whose rename is atomic for a non-existing destination),
@@ -142,6 +167,10 @@ final class ManifestUpsertSink(
     finally out.close()
     require(fs.rename(tmp, manifestPath(next)),
       s"manifest publish failed at $dir")
+    // the handle's split-brain token advances WITH the publish (not at
+    // op end) so a post-publish failure retried by this same handle —
+    // withSinkRetry's legitimate idempotent replay — never self-trips
+    expectedVersion = next
     // writer-side legacy migration: the published versions subsume the
     // pre-versioning MANIFEST's content (loadManifest read it), but the
     // legacy snapshot gets the SAME retention window as a versioned one
@@ -253,6 +282,7 @@ final class ManifestUpsertSink(
   def upsert(docs: DataFrame): Unit = withSinkRetry {
     require(!docs.columns.contains("bucket"),
       "'bucket' is a reserved sink column — the store partitions on it")
+    requireCurrent()
     stage(docs.withColumn("bucket", bucket(col(idCol)))).foreach {
       case (staged, affected) =>
         val m = loadManifest()
@@ -276,6 +306,7 @@ final class ManifestUpsertSink(
     * upsert bootstraps).
     */
   def delete(ids: DataFrame): Unit = withSinkRetry {
+    requireCurrent()
     val m = loadManifest()
     if (m.nonEmpty) stage(
       ids.select(col(idCol)).distinct()

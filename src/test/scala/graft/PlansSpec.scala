@@ -254,6 +254,7 @@ class PlansSpec extends SparkTestBase {
         sig.filter($"doc_id" < 400), "doc_id", "sig", bands = 4, rows = 4),
       "graft_refresh_lsh_full", Seq("band", "bh"), nBuckets = 4)
     val keysOf = (t: String) => spark.table(t)
+      .select($"band", $"bh", $"doc_id")
       .as[(Int, Long, Long)].collect().toSet
     assert(keysOf("graft_refresh_lsh_idx") ===
       keysOf("graft_refresh_lsh_full"))

@@ -94,4 +94,46 @@ class SinkPropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("stale-writer tripwire (VERDICT r11 #5): a SUPERSEDED " +
+       "LogUpsertSink / ManifestUpsertSink handle refuses every " +
+       "mutating op once a newer writer advanced the store, while a " +
+       "re-opened handle resumes normally — the PostingIndex " +
+       "requireCurrent contract on the sink family") {
+    val mks: Seq[(String, String => DocSink)] = Seq(
+      ("log", d => new LogUpsertSink(spark, d, "id", nBuckets = 4)),
+      ("manifest", d => new ManifestUpsertSink(spark, d, "id",
+        nBuckets = 4, retainSnapshots = 2)))
+    for ((label, mk) <- mks) {
+      val d = s"${tmp()}/s"
+      val h1 = mk(d)
+      h1.upsert(df(Seq("a" -> "v1")))
+      // a restart re-opens the store: the new handle snapshots the
+      // current version and becomes the single writer
+      val h2 = mk(d)
+      h2.upsert(df(Seq("b" -> "v2")))
+      // the superseded handle must trip on EVERY mutating op — its
+      // publish would supersede or orphan h2's commits
+      for (op <- Seq(
+          () => h1.upsert(df(Seq("a" -> "v3"))),
+          () => h1.delete(Seq("a").toDF("id")))) {
+        val err = intercept[IllegalArgumentException](op())
+        assert(err.getMessage.contains("stale sink handle"), label)
+      }
+      // the store is uncorrupted and the live writer keeps going
+      h2.upsert(df(Seq("c" -> "v4")))
+      assert(contents(h2) ===
+        Set("a" -> "v1", "b" -> "v2", "c" -> "v4"), label)
+    }
+    // LogUpsertSink.compact is a mutating op too (it sweeps segments)
+    val d = s"${tmp()}/s"
+    val l1 = new LogUpsertSink(spark, d, "id", nBuckets = 4)
+    l1.upsert(df(Seq("a" -> "v1")))
+    val l2 = new LogUpsertSink(spark, d, "id", nBuckets = 4)
+    l2.upsert(df(Seq("b" -> "v2")))
+    val err = intercept[IllegalArgumentException](l1.compact())
+    assert(err.getMessage.contains("stale sink handle"))
+    l2.compact()
+    assert(contents(l2) === Set("a" -> "v1", "b" -> "v2"))
+  }
 }

@@ -126,13 +126,23 @@ def main(sf_dir, out_dir, n_gates=20, seed=9, only=None):
             f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     rng = random.Random(seed)
+    # Permanently audited set (VERDICT r11 #6): the serving/maintenance
+    # composition gates ride EVERY audit run on top of the rotating
+    # random sample (store-level maintenance perturbations — drop a
+    # delta segment, skip a tombstone, off-by-one a seq — are drilled
+    # Scala-side in MaintPerturbSpec, which proves the SERVE changes;
+    # this file proves the compare catches a changed result frame).
+    PINNED = ("q291", "q292", "q293", "q294", "q70")
     if only:  # pin specific gates by name prefix (comma list)
         prefixes = [p.strip() for p in only.split(",") if p.strip()]
         sample = sorted(n for n in oracles
                         if any(n.startswith(p) for p in prefixes))
     else:
-        sample = sorted(
+        pinned = [n for n in oracles
+                  if any(n.startswith(p) for p in PINNED)]
+        sample = sorted(set(
             rng.sample(sorted(oracles), min(n_gates, len(oracles))))
+            | set(pinned))
     n_checks = n_missed = 0
     for name in sample:
         gate_missed = 0
