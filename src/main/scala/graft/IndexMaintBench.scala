@@ -15,11 +15,13 @@ import java.nio.file.{Files, Paths}
   * COMPACT (the amortized fold), then the compacted serve.
   *
   * The `posting_df` rows measure BM25F serving cost vs term document
-  * frequency at 20k/80k/320k docs (sf0.1 replicated ×4/×16/×64 with
-  * disjoint ids): a ~50%-df stopword-grade term's candidate set IS the
-  * half-corpus — posting pruning cannot help, the serve is a corpus
+  * frequency at ×4/×16/×64 replications of the last dir's documents
+  * (disjoint ids): a ~⅔-df stopword-grade term's candidate set IS most
+  * of the corpus — posting pruning cannot help, the serve is a corpus
   * scan by construction — versus a ~0.2%-df selective term whose cost
-  * tracks its posting list. One JSON line per run — the StreamBench
+  * tracks its posting list, versus the MIXED-query `scoreTermsTopK`
+  * whose max-score pruning must skip the stopword scan (`topk_pruned`
+  * records that it fired). One JSON line per run — the StreamBench
   * artifact pattern.
   *
   *   SPARK_GRAFT_MAINT_DIRS=/root/testdata/sf0.1,/tmp/scale/sf0.2,...
@@ -174,34 +176,53 @@ object IndexMaintBench {
     locally {
       val base = Tables.load(spark, dirs.last, "documents")
         .select($"doc_id", $"text")
+      val baseN = base.count()
       for (k <- Seq(4, 16, 64)) {
+        // 'graftcommon' on ids ≢ 0 (mod 3): df ≈ 2N/3, safely ABOVE the
+        // df ≤ N/2 selective cut (an exactly-half term sits ON the
+        // boundary and counts selective — the rule is ≤)
         val corpus = (0 until k).map(c =>
             base.select(($"doc_id" + c * 10000000L).as("doc_id"), $"text"))
           .reduce(_ unionByName _)
           .select($"doc_id", concat($"text",
-            when($"doc_id" % 2 === 0, " graftcommon").otherwise(""),
+            when($"doc_id" % 3 =!= 0, " graftcommon").otherwise(""),
             when($"doc_id" % 503 === 0, " graftrare").otherwise(""))
             .as("text"))
-        val n = k * 5000L
+        val n = k * baseN
         val toks = TextOps.tokenize($"text")
         val tokens = Map(
           "title" -> slice(toks, 1, 5),
           "body" -> slice(toks, lit(6), size(toks)))
         val dir = Files.createTempDirectory("graft_mb_df").toString + "/idx"
         var idx: PostingIndex = null
+        // bucket counts sized to the box's parallelism (the 100 TB
+        // discipline: buckets ≈ cluster slots) — the build's bucket-
+        // aligned sort shuffle then uses every core
         val build = timed { idx = PostingIndex.buildTokenized(corpus, dir,
           tokens, Map("title" -> 4, "body" -> 1), idCol = "doc_id",
-          nTermBuckets = 8, nDocBuckets = 8) }
+          nTermBuckets = 32, nDocBuckets = 32) }
         var nCommon = 0L
         var nRare = 0L
         val serveCommon = Seq.fill(2)(timed {
           nCommon = idx.scoreTerms(Seq("graftcommon")).count() }).min
         val serveRare = Seq.fill(2)(timed {
           nRare = idx.scoreTerms(Seq("graftrare")).count() }).min
+        // the max-score pruned top-k over the MIXED query: the
+        // stopword-grade term's posting scan is provably skippable
+        // here, so this reading must track the RARE term's cost, not
+        // the corpus (the win scoreTermsTopK exists for)
+        var topkPruned = true
+        val serveTopk = Seq.fill(2)(timed {
+          val (res, fired) = idx.scoreTermsTopKImpl(
+            Seq("graftrare", "graftcommon"), 10)
+          topkPruned &&= fired
+          res.count(); () }).min
         results += Map("family" -> "posting_df", "n_docs" -> n,
           "build" -> build,
           "serve_common_df" -> serveCommon, "matches_common" -> nCommon,
-          "serve_rare_df" -> serveRare, "matches_rare" -> nRare)
+          "serve_rare_df" -> serveRare, "matches_rare" -> nRare,
+          "serve_topk_mixed" -> serveTopk,
+          "topk_pruned" -> topkPruned)
       }
     }
 

@@ -544,14 +544,33 @@ final class PostingIndex private (
     val posts = spark.read.parquet(postingsPath)
       .filter(col(TermBucketCol).isin(termBuckets(selective): _*) &&
         col("term").isin(selective: _*))
-    val candidates = posts.select(col(idCol)).distinct()
-    val candBuckets = candidates
-      .select(pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    if (candBuckets.isEmpty) return fallback()
-    val scored = spark.read.parquet(docsPath)
-      .filter(col(DocBucketCol).isin(candBuckets: _*))
-      .join(candidates, Seq(idCol), "left_semi")
+    // driver-small candidate sets fetch by PUSHED id literals: the doc
+    // store is id-sorted within buckets, so `id IN (...)` skips row
+    // groups — point-lookup IO instead of scanning every candidate
+    // bucket whole (a semi-join never pushes past the scan). One
+    // bounded collect (≤ cap+1 rows); larger sets keep the semi-join.
+    val candRows = posts
+      .select(col(idCol),
+        pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int").as("__b"))
+      .distinct().limit(PostingIndex.CandIdPushdownCap + 1).collect()
+    if (candRows.isEmpty) return fallback()
+    val docsOf =
+      if (candRows.length <= PostingIndex.CandIdPushdownCap) {
+        val buckets = candRows.map(_.getInt(1)).distinct.toSeq
+        val ids = candRows.map(_.get(0)).toSeq
+        spark.read.parquet(docsPath)
+          .filter(col(DocBucketCol).isin(buckets: _*) &&
+            col(idCol).isin(ids: _*))
+      } else {
+        val candidates = posts.select(col(idCol)).distinct()
+        val candBuckets = candidates
+          .select(pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(docsPath)
+          .filter(col(DocBucketCol).isin(candBuckets: _*))
+          .join(candidates, Seq(idCol), "left_semi")
+      }
+    val scored = docsOf
       .withColumn("score",
         Search.bm25f(terms, fields, weights, avgdls, dfs, nDocs.toDouble))
       .filter(col("score") > 0)
@@ -1080,6 +1099,13 @@ object PostingIndex {
     */
   val DefaultRetainVersions = 2
 
+  /** Largest candidate set [[PostingIndex.scoreTermsTopK]] fetches by
+    * pushed id literals (one bounded driver collect; row-group
+    * skipping on the id-sorted doc store) before reverting to the
+    * semi-join fetch.
+    */
+  val CandIdPushdownCap = 8192
+
   /** `seg-<n>-<op>` parsed DEFENSIVELY (ADVICE r11): a foreign or
     * malformed `seg-*` entry in delta/ is None — non-live debris that
     * writers sweep — never a MatchError/NumberFormatException turning
@@ -1187,7 +1213,17 @@ object PostingIndex {
       layoutV: Int): Meta = {
     val withDb = analyzed
       .withColumn(DocBucketCol, pmod(xxhash64(col(idCol)), lit(nDocBuckets)))
-    withDb.write.partitionBy(DocBucketCol).parquet(docsDir)
+    // align writers with bucket dirs (one file per bucket instead of
+    // writers × buckets) and SORT by id within each file: row-group
+    // min/max stats on the id column become tight ranges, so pushed
+    // id predicates (scoreTermsTopK's literal-ids path, point fetches)
+    // skip row groups instead of scanning the whole bucket — the
+    // BucketingOps.writeBucketed discipline applied to the doc store.
+    // Appended refresh files are unsorted (per-file stats still apply);
+    // build and compact — the steady serving states — are sorted.
+    withDb.repartition(nDocBuckets, col(DocBucketCol))
+      .sortWithinPartitions(col(DocBucketCol), col(idCol))
+      .write.partitionBy(DocBucketCol).parquet(docsDir)
     val fs = new Path(docsDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val wroteRows = fs.listStatus(new Path(docsDir))
@@ -1208,6 +1244,12 @@ object PostingIndex {
         .select(col(idCol), explode(array_distinct(
           concat(fields.map(Search.toks): _*))).as("term"))
         .withColumn(TermBucketCol, pmod(xxhash64(col("term")), lit(nTermBuckets)))
+        // sorted by term within each bucket file: the pushed literal
+        // `term IN (...)` skips row groups of a multi-term bucket
+        // instead of scanning it whole (same rationale as the doc
+        // store's id sort above)
+        .repartition(nTermBuckets, col(TermBucketCol))
+        .sortWithinPartitions(col(TermBucketCol), col("term"))
         .write.partitionBy(TermBucketCol).parquet(postingsDir)
       // the (term, df) side table for scoreTermsTopK's max-score
       // pruning, derived from the WRITTEN postings (distinct (term,
