@@ -223,9 +223,69 @@ object StreamBench {
       r
     }
 
+    // CDC → ANN maintenance face (round 12): the drain RE-EMBEDS each
+    // tick's latest-per-user doc and upserts BY ID into a stored
+    // IVF×PQ layout (seq-ordered tombstones + row append per tick,
+    // compaction every 50 ticks) — per-tick cost = one tombstone-table
+    // probe + two O(|batch|) writes; tick_ratio ~1 proves maintaining
+    // ANN serving stays O(batch) as the store grows (the q294
+    // composition, measured as a rate)
+    def annIndexFace(batchSize: Int): (Double, Vector[Double]) = {
+      import graft.ops.SimilarityOps
+      val tmp = Files.createTempDirectory("graft_sb_ann").toString
+      val dir = s"$tmp/ivfpq"
+      val centers = Array.tabulate(4)(c =>
+        Array.tabulate(8)(i => if (i == 2 * c) 6.0 else 0.0))
+      val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(cd =>
+        Array.tabulate(4)(j => ((sp * 5 + cd * 3 + j) % 7 - 3).toDouble)))
+      def embed(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("value_c", round(col("value") * 100).cast("long"))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(7)), i =>
+            (pmod(col("value_c") + (i + 1) * 37 +
+              length(col("event_type")) * 13, lit(97L)) - 48)
+              .cast("float")))
+        .select(col("user_id"), col("embedding"))
+      val store = new graft.cdc.DocSink {
+        val idCol = "user_id"
+        def upsert(docs: org.apache.spark.sql.DataFrame): Unit =
+          SimilarityOps.upsertIntoIvfPqIndex(dir, embed(docs),
+            "user_id", "embedding", centers, codebooks)
+        def delete(ids: org.apache.spark.sql.DataFrame): Unit =
+          SimilarityOps.removeFromIvfPqIndex(dir, ids, idCol)
+        def read(): Option[org.apache.spark.sql.DataFrame] = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) None
+          else Some(SimilarityOps.activeIvfPqIndex(spark, dir, idCol))
+        }
+      }
+      val r = drainLoop(batchSize, store,
+        postTick = t => if (t % 50 == 0)
+          SimilarityOps.compactIvfPqIndex(spark, dir, "user_id"))
+      SimilarityOps.compactIvfPqIndex(spark, dir, "user_id")
+      requireStoreComplete(store.read().get.count(), "ann_index")
+      // the drained index must actually SERVE: a full-depth probe over
+      // the maintained layout returns a full top-10 (vectors for the
+      // re-rank come from the source's own latest-per-user fold)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")).desc, col("did").desc)
+      val vectors = embed(events
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1))
+      val qvec = Array.tabulate(8)(i => ((i + 1) * 19 % 23 - 11).toDouble)
+      require(SimilarityOps.ivfPqTopKStored(spark, dir, "user_id",
+          vectors, "user_id", "embedding", qvec, centers, codebooks,
+          nProbe = 4, shortlist = 100000, k = 10).count() == 10,
+        "ANN serve over the drained index is incomplete")
+      r
+    }
+
     val loops = batches.map(b => b -> upsertFace(b))
     val logs = batches.map(b => b -> logFace(b))
     val sidx = batches.map(b => b -> searchIndexFace(b))
+    val aidx = batches.map(b => b -> annIndexFace(b))
     val es = batches.map(b => b -> esFace(b))
     val streams = batches.map(b => b -> dsv2(b))
     val hik = Seq(
@@ -236,6 +296,7 @@ object StreamBench {
         s""""batch_loop":{${loops.map(fmtTicks).mkString(",")}},""" +
         s""""log_sink":{${logs.map(fmtTicks).mkString(",")}},""" +
         s""""search_index":{${sidx.map(fmtTicks).mkString(",")}},""" +
+        s""""ann_index":{${aidx.map(fmtTicks).mkString(",")}},""" +
         s""""es_wire":{${es.map(fmtTicks).mkString(",")}},""" +
         hik.map { case (k, r) => s""""$k":{${fmtTicks(r)}}""" }
           .mkString("", ",", ",") +

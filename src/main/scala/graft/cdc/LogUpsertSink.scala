@@ -148,7 +148,10 @@ final class LogUpsertSink(
         "sink to resume")
   }
 
-  private def writeSegment(df: DataFrame, seq: Long, op: String): Unit = {
+  /** Returns whether the segment actually landed (false = empty
+    * batch, dropped).
+    */
+  private def writeSegment(df: DataFrame, seq: Long, op: String): Boolean = {
     val p = new Path(logPath, s"seg-$seq-$op")
     df.withColumn(SeqCol, lit(seq)).withColumn(OpCol, lit(op))
       .write.parquet(p.toString)
@@ -156,7 +159,8 @@ final class LogUpsertSink(
     // has no readable schema, so drop it (empty batch == no-op); the
     // check is a free listing, not a second evaluation of the plan
     if (!fs.listStatus(p).exists(_.getPath.getName.startsWith("part-")))
-      { fs.delete(p, true); () }
+      { fs.delete(p, true); false }
+    else true
   }
 
   /** Upsert `docs` (unique by idCol — enforce upstream): ONE write job,
@@ -170,8 +174,11 @@ final class LogUpsertSink(
         "a doc column of that name")
     requireCurrent()
     segments(sweep = true) // clear crashed attempts before appending
-    writeSegment(docs, nextSeq(), "u")
-    expectedVersion = storeVersion()
+    val seq = nextSeq()
+    // the token advances to THIS handle's OWN publish, never by
+    // re-reading disk — re-snapshotting at op end would silently adopt
+    // a concurrent foreign writer's publish and disarm the tripwire
+    if (writeSegment(docs, seq, "u")) expectedVersion = seq
   }
 
   /** Tombstone-append delete: absent ids ignored (they tombstone
@@ -181,9 +188,12 @@ final class LogUpsertSink(
   def delete(ids: DataFrame): Unit = withSinkRetry {
     requireCurrent()
     val exists = currentBase().nonEmpty || segments(sweep = true).exists(_.op == "u")
-    if (exists)
-      writeSegment(ids.select(col(idCol)).distinct(), nextSeq(), "d")
-    expectedVersion = storeVersion()
+    if (exists) {
+      val seq = nextSeq()
+      // own-publish token advance (see upsert)
+      if (writeSegment(ids.select(col(idCol)).distinct(), seq, "d"))
+        expectedVersion = seq
+    }
   }
 
   /** The current snapshot with meta columns still attached, plus the
@@ -284,6 +294,10 @@ final class LogUpsertSink(
           fs.delete(new Path(dir), true); ()
         } else sweepFolded(thru)
     }
-    expectedVersion = storeVersion()
+    // folding preserves the published high-water (base-<thru> replaces
+    // segments whose max seq IS thru), so the token only moves on the
+    // empty-collapse — never re-read from disk (foreign-publish
+    // adoption, see upsert)
+    if (!fs.exists(new Path(dir))) expectedVersion = -1L
   }
 }

@@ -532,6 +532,14 @@ final class PostingIndex private (
     // actually excluded AND something remains to generate candidates
     val (selective, excluded) = present.partition(t => 2L * dfs(t) <= nDocs)
     if (selective.isEmpty || excluded.isEmpty) return fallback()
+    // structural pre-check (review-pass fix): phase-2 candidates are
+    // bounded by Σ df(selective) — below k the safety condition CANNOT
+    // hold, so skip the whole phase instead of paying candidate fetch
+    // + scoring twice (the k-too-large serve was double-cost). The
+    // θ-vs-bound failure still recomputes via the exact fallback: that
+    // re-scoring is selective-posting-bounded — cheap next to the
+    // stopword scan the fallback must pay anyway.
+    if (selective.map(dfs(_)).sum < k) return fallback()
     def idf(t: String): Double = {
       val d = dfs(t).toDouble
       math.log(1.0 + (nDocs.toDouble - d + 0.5) / (d + 0.5))

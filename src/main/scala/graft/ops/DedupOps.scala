@@ -224,10 +224,20 @@ object DedupOps {
     */
   def refreshLshIndex(
       table: String, acceptedDelta: DataFrame, id: String, sig: String,
-      bands: Int, rows: Int, nBuckets: Int): Unit =
+      bands: Int, rows: Int, nBuckets: Int): Unit = {
+    // refreshed rows land at the CURRENT seq high-water mark (max
+    // tombstone seq; base seq when none): they supersede nothing,
+    // survive every EARLIER tombstone — a deleted id re-submitted
+    // through the refresh path serves again instead of being silently
+    // masked (review-pass fix) — and die to every later op. Contract:
+    // delta ids not currently LIVE (replacement is upsertIntoLshIndex).
+    val highWater = math.max(LshBaseSeq,
+      nextLshSeq(acceptedDelta.sparkSession, table) - 1L)
     BucketingOps.appendBucketed(
-      lshBandKeyTable(acceptedDelta, id, sig, bands, rows),
+      lshBandKeyTable(acceptedDelta, id, sig, bands, rows)
+        .withColumn(LshSeqCol, lit(highWater)),
       table, Seq("band", "bh"), nBuckets)
+  }
 
   // Maintenance below follows the shared serving-index contract —
   // invariant table in [[IndexMaintenance]].
@@ -250,17 +260,35 @@ object DedupOps {
     * clears the table AND resets row seqs to [[LshBaseSeq]], so
     * restarting at 0 afterwards is safe.
     */
-  private def nextLshSeq(
-      spark: org.apache.spark.sql.SparkSession, table: String): Long = {
+  /** The tombstone side table with legacy rows normalized: files
+    * written before the seq discipline carry ids only — read with
+    * mergeSchema (broadcast-sized table, footer cost nil) and coalesce
+    * a missing/null `__seq` to 0, preserving legacy semantics exactly
+    * (base rows at seq -1 stay deleted; any new op allocates seq ≥ 1
+    * and supersedes). None ⇔ no tombstones.
+    */
+  private def lshTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(tombstonePath(spark, table))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
+    if (!fs.exists(p)) None
     else {
-      val r = spark.read.parquet(p.toString)
-        .agg(max(col(LshSeqCol))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(p.toString)
+      Some(
+        if (raw.columns.contains(LshSeqCol))
+          raw.withColumn(LshSeqCol, coalesce(col(LshSeqCol), lit(0L)))
+        else raw.withColumn(LshSeqCol, lit(0L)))
     }
   }
+
+  private def nextLshSeq(
+      spark: org.apache.spark.sql.SparkSession, table: String): Long =
+    lshTombstones(spark, table).fold(0L) { t =>
+      val r = t.agg(max(col(LshSeqCol))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+    }
 
   /** Legacy-table guard: an index written before the seq discipline
     * has no `__seq` column — treat its rows as base rows. */
@@ -339,15 +367,15 @@ object DedupOps {
       spark: org.apache.spark.sql.SparkSession, table: String,
       id: String): DataFrame = {
     val idx = withLshSeq(spark.table(table))
-    val p = new org.apache.hadoop.fs.Path(tombstonePath(spark, table))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) idx
-    else {
-      val tmax = spark.read.parquet(p.toString)
-        .groupBy(col(id)).agg(max(col(LshSeqCol)).as("__tmax"))
+    lshTombstones(spark, table).fold(idx) { t =>
+      val tmax = t.groupBy(col(id)).agg(max(col(LshSeqCol)).as("__tmax"))
       idx.join(broadcast(tmax), Seq(id), "left")
         .filter(col("__tmax").isNull || col(LshSeqCol) >= col("__tmax"))
         .drop("__tmax")
+        // normalize to the build schema (the USING-join moved `id`
+        // first): band-key consumers and compact's rewrite both expect
+        // (band, bh, id, __seq) — file-parity with a fresh build
+        .select(col("band"), col("bh"), col(id), col(LshSeqCol))
     }
   }
 

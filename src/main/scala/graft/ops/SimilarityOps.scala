@@ -774,16 +774,30 @@ object SimilarityOps {
     * ([[ivfPqTopK]]'s cell predicate) is untouched and the appended
     * index is row-identical to a from-scratch rebuild over
     * corpus∪delta (spec-checked in PlansSpec). Cost: one |delta| map
-    * pass, no corpus read. Re-training centers/codebooks (a drifted
-    * corpus) is a separate, deliberate rebuild — quantization must
-    * stay frozen between refreshes or old codes become undecodable.
+    * pass, no corpus read (the seq high-water probe is one tiny read
+    * of the broadcast-sized tombstone table). Re-training
+    * centers/codebooks (a drifted corpus) is a separate, deliberate
+    * rebuild — quantization must stay frozen between refreshes or old
+    * codes become undecodable.
+    *
+    * Refreshed rows land at the CURRENT seq high-water mark (the max
+    * tombstone seq; base seq when none), not at base seq: they
+    * supersede nothing, survive every EARLIER tombstone (so a deleted
+    * id re-submitted through the refresh path serves again — the
+    * review-pass fix for the silent masking a base-seq append had),
+    * and die to every later op. Contract: delta ids not currently
+    * LIVE in the index (replacing a live id is [[upsertIntoIvfPqIndex]]).
     */
   def refreshIvfPqIndex(
       dir: String, delta: DataFrame, idCol: String, vecCol: String,
       centers: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]]): Unit =
+      codebooks: Array[Array[Array[Double]]]): Unit = {
+    val highWater =
+      math.max(IvfBaseSeq, nextIvfSeq(delta.sparkSession, dir) - 1L)
     ivfPqIndex(delta, idCol, vecCol, centers, codebooks)
+      .withColumn(IvfSeqCol, lit(highWater))
       .write.mode("append").partitionBy("cell").parquet(dir)
+  }
 
   // Maintenance below follows the shared serving-index contract —
   // invariant table in [[graft.ops.IndexMaintenance]].
@@ -805,17 +819,36 @@ object SimilarityOps {
     * the high-water mark; compact clears the table AND resets all row
     * seqs to [[IvfBaseSeq]], so restarting at 0 afterwards is safe.
     */
-  private def nextIvfSeq(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+  /** The tombstone side table with legacy rows normalized: a table (or
+    * individual files) written before the seq discipline carries ids
+    * only — read with mergeSchema (the table is broadcast-sized, the
+    * footer cost is nil) and coalesce a missing/null `__seq` to 0,
+    * which preserves the legacy semantics exactly: base rows (seq -1)
+    * stay deleted, while any NEW op allocates seq ≥ 1 and supersedes.
+    * None ⇔ no tombstones.
+    */
+  private def ivfTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(ivfTombstonePath(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
+    if (!fs.exists(p)) None
     else {
-      val r = spark.read.parquet(p.toString)
-        .agg(max(col(IvfSeqCol))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(p.toString)
+      Some(
+        if (raw.columns.contains(IvfSeqCol))
+          raw.withColumn(IvfSeqCol, coalesce(col(IvfSeqCol), lit(0L)))
+        else raw.withColumn(IvfSeqCol, lit(0L)))
     }
   }
+
+  private def nextIvfSeq(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    ivfTombstones(spark, dir).fold(0L) { t =>
+      val r = t.agg(max(col(IvfSeqCol))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+    }
 
   /** Legacy-row guard: a layout written before the seq discipline has
     * no `__seq` column — treat its rows as base rows.
@@ -900,19 +933,15 @@ object SimilarityOps {
     */
   private def dropIvfTombstones(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      idCol: String, index: DataFrame): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(ivfTombstonePath(dir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) index
-    else {
-      val tmax = spark.read.parquet(p.toString)
-        .groupBy(col(idCol)).agg(max(col(IvfSeqCol)).as("__tmax"))
+      idCol: String, index: DataFrame): DataFrame =
+    ivfTombstones(spark, dir).fold(index) { t =>
+      val tmax = t.groupBy(col(idCol))
+        .agg(max(col(IvfSeqCol)).as("__tmax"))
       withIvfSeq(index)
         .join(broadcast(tmax), Seq(idCol), "left")
         .filter(col("__tmax").isNull || col(IvfSeqCol) >= col("__tmax"))
         .drop("__tmax")
     }
-  }
 
   /** The stored index minus its tombstones — what every probe should
     * read.
@@ -938,7 +967,7 @@ object SimilarityOps {
     val tp = new Path(ivfTombstonePath(dir))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tp)) return
-    val tmax = broadcast(spark.read.parquet(tp.toString)
+    val tmax = broadcast(ivfTombstones(spark, dir).get
       .groupBy(col(idCol)).agg(max(col(IvfSeqCol)).as("__tmax")))
     // affected = cells holding ANY tombstoned id's rows: dead versions
     // to purge AND live upserted versions whose seq must reset to base

@@ -235,6 +235,63 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(err.getMessage.contains("unique"))
   }
 
+  test("refresh lands at the seq HIGH-WATER mark: a deleted id " +
+       "re-submitted through the REFRESH path serves again (it would " +
+       "be silently masked at base seq — review-pass fix), on both " +
+       "set-tombstone families") {
+    // LSH leg
+    val sig = Seq((1L, Seq(11L, 12L, 13L)), (2L, Seq(21L, 22L, 23L)))
+      .toDF("doc_id", "sig").localCheckpoint()
+    val table = "graft_maint_readd_lsh"
+    BucketingOps.writeBucketed(
+      DedupOps.lshBandKeyTable(sig, "doc_id", "sig", 3, 1),
+      table, Seq("band", "bh"), nBuckets = 2)
+    DedupOps.removeFromLshIndex(spark, table,
+      Seq(2L).toDF("doc_id"), "doc_id")
+    assert(DedupOps.activeLshIndex(spark, table, "doc_id")
+      .filter($"doc_id" === 2L).isEmpty, "delete must hold")
+    DedupOps.refreshLshIndex(table, sig.filter($"doc_id" === 2L),
+      "doc_id", "sig", 3, 1, nBuckets = 2)
+    assert(DedupOps.activeLshIndex(spark, table, "doc_id")
+      .filter($"doc_id" === 2L).count() === 3L,
+      "refresh after remove must re-add (high-water seq)")
+    // ...and a LATER delete still wins over the refreshed rows
+    DedupOps.removeFromLshIndex(spark, table,
+      Seq(2L).toDF("doc_id"), "doc_id")
+    assert(DedupOps.activeLshIndex(spark, table, "doc_id")
+      .filter($"doc_id" === 2L).isEmpty,
+      "a later delete must beat the refreshed rows")
+    // IVF×PQ leg
+    val centers = Array.tabulate(2)(c =>
+      Array.tabulate(8)(i => if (i == 4 * c) 4.0 else 0.0))
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(2)(cd =>
+      Array.tabulate(4)(j => (sp + cd + j).toDouble)))
+    val emb = Seq(
+        (1L, Array.tabulate(8)(i => (i % 3).toFloat).toSeq),
+        (2L, Array.tabulate(8)(i => ((i + 1) % 3).toFloat).toSeq))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maint_readd_ivf").toString + "/idx"
+    SimilarityOps.ivfPqIndex(emb, "vec_id", "embedding",
+        centers, codebooks)
+      .write.partitionBy("cell").parquet(dir)
+    SimilarityOps.removeFromIvfPqIndex(dir,
+      Seq(2L).toDF("vec_id"), "vec_id")
+    assert(SimilarityOps.activeIvfPqIndex(spark, dir, "vec_id")
+      .filter($"vec_id" === 2L).isEmpty)
+    SimilarityOps.refreshIvfPqIndex(dir,
+      emb.filter($"vec_id" === 2L), "vec_id", "embedding",
+      centers, codebooks)
+    assert(SimilarityOps.activeIvfPqIndex(spark, dir, "vec_id")
+      .filter($"vec_id" === 2L).count() === 1L,
+      "refresh after remove must re-add (high-water seq)")
+    SimilarityOps.removeFromIvfPqIndex(dir,
+      Seq(2L).toDF("vec_id"), "vec_id")
+    assert(SimilarityOps.activeIvfPqIndex(spark, dir, "vec_id")
+      .filter($"vec_id" === 2L).isEmpty,
+      "a later delete must beat the refreshed rows")
+  }
+
   test("PostingIndex: seeded append/upsert/remove/compact drill ≡ " +
        "fresh buildTokenized over the live (id → version) model " +
        "(scores bit-for-bit)") {
