@@ -13,7 +13,15 @@ package graft.ops
   *
   * 1. REFRESH-APPEND is one |delta| pass, never a corpus pass, and the
   *    refreshed index serves identically to a from-scratch rebuild
-  *    over corpus ∪ delta:
+  *    over corpus ∪ delta. On LSH/IVF×PQ the appended rows land at the
+  *    CURRENT seq high-water mark — they supersede nothing and die to
+  *    every later op, but survive every EARLIER tombstone, so a
+  *    deleted id re-submitted through the refresh path serves again
+  *    (the contract there is "not currently LIVE", not "never seen").
+  *    PostingIndex.refresh keeps the stricter never-seen-incl.-
+  *    never-tombstoned contract (its base append sits under the delta
+  *    fold's touched-id suppression) — re-adding there is `upsert`,
+  *    its documented CDC path:
   *    `refreshLshIndex` / `PostingIndex.refresh`+`upsert` /
   *    `refreshIvfPqIndex`.
   * 2. REMOVE is an O(|request|) tombstone append — never an index
