@@ -54,10 +54,12 @@ package graft.ops
   *    compacted index is equivalent to a fresh build over the live
   *    versions. Cost is bounded by what the layout localizes: LSH
   *    rewrites the bucketed table (band keys of one id scatter across
-  *    ~bands buckets), IVF×PQ rewrites ONLY the affected cells (a
-  *    vector version lives in exactly one cell, and every seq-carrying
-  *    row's id has a tombstone, so no versioned row hides in an
-  *    unaffected cell; dynamic partition overwrite), PostingIndex
+  *    ~bands buckets), IVF×PQ rewrites ONLY the affected cells — the
+  *    cells holding a tombstoned id's rows UNION the cells holding any
+  *    row above base seq (REFRESH rows land at the high-water seq with
+  *    no tombstone of their own, so the union leg is what guarantees
+  *    every seq > base row is either tombstoned or rewritten; dynamic
+  *    partition overwrite), PostingIndex
   *    folds base + delta log into a fresh VERSIONED base:
   *    `compactLshIndex` / `PostingIndex.compact` / `compactIvfPqIndex`.
   * 6. An index emptied entirely collapses to the family's empty shape

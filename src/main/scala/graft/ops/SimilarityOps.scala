@@ -969,14 +969,25 @@ object SimilarityOps {
     if (!fs.exists(tp)) return
     val tmax = broadcast(ivfTombstones(spark, dir).get
       .groupBy(col(idCol)).agg(max(col(IvfSeqCol)).as("__tmax")))
-    // affected = cells holding ANY tombstoned id's rows: dead versions
-    // to purge AND live upserted versions whose seq must reset to base
-    // (upserted rows always have a same-seq tombstone for their id, so
-    // no seq >= 0 row can hide in an unaffected cell — which is what
-    // makes clearing the table and restarting the seq counter safe)
-    val affected = withIvfSeq(spark.read.parquet(dir))
+    // affected = cells holding ANY tombstoned id's rows (dead versions
+    // to purge, plus live upserted versions) UNION cells holding ANY
+    // row above base seq. The union leg matters for REFRESH rows:
+    // refreshIvfPqIndex lands at the seq high-water mark WITHOUT a
+    // tombstone, so a refreshed id in a cell no tombstoned id touches
+    // would otherwise survive compact with seq >= 0 — and once the
+    // tombstone table is cleared and the counter restarts at 0, a
+    // later remove/upsert of that id allocates a seq its stale row
+    // ties or beats, silently keeping the deleted version serving.
+    // Invariant after this widening: every seq > base row is either
+    // tombstoned or in a cell compact rewrites, so resetting survivors
+    // to base and restarting the counter at 0 is safe.
+    val scanned = withIvfSeq(spark.read.parquet(dir))
+    val affected = scanned
       .join(tmax, Seq(idCol), "left_semi")
-      .select(col("cell")).distinct()
+      .select(col("cell"))
+      .union(scanned.filter(col(IvfSeqCol) > lit(IvfBaseSeq))
+        .select(col("cell")))
+      .distinct()
       .collect().map(_.getAs[Number](0).intValue()).sorted.toSeq
     if (affected.nonEmpty) {
       val existing = withIvfSeq(spark.read.parquet(dir)

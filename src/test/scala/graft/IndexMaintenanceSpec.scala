@@ -292,6 +292,58 @@ class IndexMaintenanceSpec extends SparkTestBase {
       "a later delete must beat the refreshed rows")
   }
 
+  test("IVF×PQ compact rewrites REFRESH rows too: a refreshed id in a " +
+       "cell no tombstoned id touches is reset to base seq, so a " +
+       "post-compact delete (seq counter restarted at 0) still wins — " +
+       "the refresh-row/unaffected-cell seq-reset hole (ADVICE r12)") {
+    // 4 well-separated cells; each id's vector routes to its own cell
+    val centers = Array.tabulate(4)(c =>
+      Array.tabulate(8)(i => if (i == 2 * c) 8.0 else 0.0))
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(2)(cd =>
+      Array.tabulate(4)(j => (sp + cd + j).toDouble)))
+    def vecOf(cell: Int): Seq[Float] =
+      Array.tabulate(8)(i => if (i == 2 * cell) 8.0f else 0.1f).toSeq
+    def ofIds(pairs: (Long, Int)*): DataFrame =
+      pairs.map { case (id, cell) => (id, vecOf(cell)) }
+        .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maint_refresh_hole").toString + "/idx"
+    SimilarityOps.ivfPqIndex(ofIds(1L -> 0, 2L -> 1),
+        "vec_id", "embedding", centers, codebooks)
+      .write.partitionBy("cell").parquet(dir)
+    // tombstone id 1 (cell 0) at seq 0, then refresh NEW id 3 into
+    // cell 2 — a cell no tombstoned id touches; the refresh row lands
+    // at the high-water seq (0) with no tombstone of its own
+    SimilarityOps.removeFromIvfPqIndex(dir,
+      Seq(1L).toDF("vec_id"), "vec_id")
+    SimilarityOps.refreshIvfPqIndex(dir, ofIds(3L -> 2),
+      "vec_id", "embedding", centers, codebooks)
+    SimilarityOps.compactIvfPqIndex(spark, dir, "vec_id")
+    // parity: the compacted layout must be row-identical (incl. seq)
+    // to a fresh build over the live set — i.e. id 3's row was reset
+    // to base seq even though its cell held no tombstoned id
+    def rows(df: DataFrame) = df
+      .select($"vec_id", $"cell".cast("int"), col(SimilarityOps.IvfSeqCol))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(rows(spark.read.parquet(dir)) ===
+      rows(SimilarityOps.ivfPqIndex(ofIds(2L -> 1, 3L -> 2),
+        "vec_id", "embedding", centers, codebooks)),
+      "compact must reset refresh rows in unaffected cells to base seq")
+    // the kill shot: post-compact the counter restarts at 0 — the
+    // delete of the refreshed id must still win
+    SimilarityOps.removeFromIvfPqIndex(dir,
+      Seq(3L).toDF("vec_id"), "vec_id")
+    assert(SimilarityOps.activeIvfPqIndex(spark, dir, "vec_id")
+      .filter($"vec_id" === 3L).isEmpty,
+      "a deleted refreshed id must not keep serving after compact")
+    // and an upsert instead of a delete serves exactly ONE version
+    SimilarityOps.upsertIntoIvfPqIndex(dir, ofIds(2L -> 3),
+      "vec_id", "embedding", centers, codebooks)
+    assert(SimilarityOps.activeIvfPqIndex(spark, dir, "vec_id")
+      .filter($"vec_id" === 2L).count() === 1L,
+      "post-compact upsert must serve exactly one version")
+  }
+
   test("PostingIndex: seeded append/upsert/remove/compact drill ≡ " +
        "fresh buildTokenized over the live (id → version) model " +
        "(scores bit-for-bit)") {
