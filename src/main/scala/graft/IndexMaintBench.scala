@@ -226,6 +226,59 @@ object IndexMaintBench {
       }
     }
 
+    // ---------------- no-compact op LADDER (VERDICT r12 #2): K
+    // consecutive fixed-size maintenance ops with NO compact in
+    // between. Seq allocation is one SeqSidecar JSON read per op, so
+    // late ops must cost what early ops cost (ratio ≈ 1); before the
+    // sidecar, every op re-scanned the mergeSchema-read tombstone dir
+    // — O(K²) file opens across the window, a growing ratio.
+    locally {
+      val docs = Tables.load(spark, dirs.last, "documents")
+        .select($"doc_id", $"text")
+      val kOps = 32
+      def ladder(family: String, op: Int => Unit): Unit = {
+        val times = (0 until kOps).map(i => timed(op(i)))
+        val h = kOps / 4
+        val first = times.take(h).sum / h
+        val last = times.takeRight(h).sum / h
+        results += Map("family" -> (family + "_ladder"),
+          "k_ops" -> kOps, "first_quarter_mean" -> first,
+          "last_quarter_mean" -> last,
+          "op_ratio" -> (last / first))
+      }
+      locally {
+        val sig = DedupOps.minhashSignatures(
+          docs.orderBy($"doc_id").limit(kOps * 32)
+            .select($"doc_id", TextOps.shingleHashes($"text", 3).as("hashes")),
+          "doc_id", "hashes", 16).localCheckpoint()
+        val table = "graft_mb_lsh_ladder"
+        BucketingOps.writeBucketed(
+          DedupOps.lshBandKeyTable(sig, "doc_id", "sig", 4, 4),
+          table, Seq("band", "bh"), nBuckets = 8)
+        ladder("lsh", i => DedupOps.upsertIntoLshIndex(spark, table,
+          sig.orderBy($"doc_id").limit(32)
+            .select(($"doc_id" + (i + 1) * 1000000L).as("doc_id"), $"sig"),
+          "doc_id", "sig", 4, 4, nBuckets = 8))
+      }
+      locally {
+        val emb = Tables.load(spark, dirs.last, "embeddings")
+          .select($"vec_id", $"embedding").localCheckpoint()
+        val centers = Array.tabulate(8)(c =>
+          Array.tabulate(64)(i => if (i == c * 8) 8.0 else 0.0))
+        val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+          Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
+        val dir = Files.createTempDirectory("graft_mb_ivf_ladder")
+          .toString + "/idx"
+        SimilarityOps.ivfPqIndex(emb, "vec_id", "embedding",
+          centers, codebooks).write.partitionBy("cell").parquet(dir)
+        ladder("ivfpq", i => SimilarityOps.upsertIntoIvfPqIndex(dir,
+          emb.orderBy($"vec_id").limit(32)
+            .select(($"vec_id" + (i + 1) * 1000000L).as("vec_id"),
+              $"embedding"),
+          "vec_id", "embedding", centers, codebooks))
+      }
+    }
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       // Locale.ROOT: the f-interpolator honors the default locale, and

@@ -225,14 +225,15 @@ object DedupOps {
   def refreshLshIndex(
       table: String, acceptedDelta: DataFrame, id: String, sig: String,
       bands: Int, rows: Int, nBuckets: Int): Unit = {
-    // refreshed rows land at the CURRENT seq high-water mark (max
-    // tombstone seq; base seq when none): they supersede nothing,
+    // refreshed rows land at the CURRENT seq high-water mark (last
+    // allocated op seq; base seq when none): they supersede nothing,
     // survive every EARLIER tombstone — a deleted id re-submitted
     // through the refresh path serves again instead of being silently
     // masked (review-pass fix) — and die to every later op. Contract:
     // delta ids not currently LIVE (replacement is upsertIntoLshIndex).
-    val highWater = math.max(LshBaseSeq,
-      nextLshSeq(acceptedDelta.sparkSession, table) - 1L)
+    val spark = acceptedDelta.sparkSession
+    val highWater = SeqSidecar.highWater(spark, storePath(spark, table),
+      LshBaseSeq, nextLshSeq(spark, table))
     BucketingOps.appendBucketed(
       lshBandKeyTable(acceptedDelta, id, sig, bands, rows)
         .withColumn(LshSeqCol, lit(highWater)),
@@ -249,17 +250,18 @@ object DedupOps {
     * seq, so a tombstone at any op seq supersedes them. */
   val LshBaseSeq = -1L
 
+  /** Warehouse path of the stored index table — the [[SeqSidecar]]
+    * anchor (the sidecar lives next to the table dir, like the
+    * tombstone side table does).
+    */
+  private def storePath(
+      spark: org.apache.spark.sql.SparkSession, table: String): String =
+    spark.conf.get("spark.sql.warehouse.dir") + "/" + table
+
   private def tombstonePath(
       spark: org.apache.spark.sql.SparkSession, table: String): String =
-    spark.conf.get("spark.sql.warehouse.dir") + "/" + table +
-      "__tombstones"
+    storePath(spark, table) + "__tombstones"
 
-  /** Next maintenance-op seq: one tiny read of the (broadcast-sized)
-    * tombstone table — every seq-allocating op writes its tombstones,
-    * so the table's max IS the high-water mark; [[compactLshIndex]]
-    * clears the table AND resets row seqs to [[LshBaseSeq]], so
-    * restarting at 0 afterwards is safe.
-    */
   /** The tombstone side table with legacy rows normalized: files
     * written before the seq discipline carry ids only — read with
     * mergeSchema (broadcast-sized table, footer cost nil) and coalesce
@@ -283,12 +285,29 @@ object DedupOps {
     }
   }
 
+  /** LEGACY next-seq derive for a pre-sidecar store: a max-aggregate
+    * over the mergeSchema-read tombstone table. Paid at most once per
+    * store — [[SeqSidecar.alloc]] seeds the sidecar from it and every
+    * later op reads the sidecar (one tiny JSON file) instead of
+    * re-scanning the tombstone dir per op (ADVICE r12 #2's O(K²)
+    * file-open aggregate across a K-op no-compact window).
+    */
   private def nextLshSeq(
       spark: org.apache.spark.sql.SparkSession, table: String): Long =
     lshTombstones(spark, table).fold(0L) { t =>
       val r = t.agg(max(col(LshSeqCol))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
     }
+
+  /** Reserve the next maintenance-op seq: sidecar read + bump (O(1)),
+    * legacy tombstone-table derive only for a pre-sidecar store;
+    * [[compactLshIndex]] clears sidecar + tombstones and resets row
+    * seqs to [[LshBaseSeq]], so restarting at 0 afterwards is safe.
+    */
+  private def allocLshSeq(
+      spark: org.apache.spark.sql.SparkSession, table: String): Long =
+    SeqSidecar.alloc(spark, storePath(spark, table),
+      nextLshSeq(spark, table))
 
   /** Legacy-table guard: an index written before the seq discipline
     * has no `__seq` column — treat its rows as base rows. */
@@ -320,7 +339,7 @@ object DedupOps {
       spark: org.apache.spark.sql.SparkSession, table: String,
       deletedIds: DataFrame, id: String): Unit =
     deletedIds.select(col(id)).distinct()
-      .withColumn(LshSeqCol, lit(nextLshSeq(spark, table)))
+      .withColumn(LshSeqCol, lit(allocLshSeq(spark, table)))
       .write.mode("append").parquet(tombstonePath(spark, table))
 
   /** UPSERT-BY-ID into a stored LSH index — a re-shingled document
@@ -340,7 +359,6 @@ object DedupOps {
       spark: org.apache.spark.sql.SparkSession, table: String,
       batch: DataFrame, id: String, sig: String,
       bands: Int, rows: Int, nBuckets: Int): Unit = {
-    val seq = nextLshSeq(spark, table)
     val pinned = Checkpointer.checkpoint(
       batch.select(col(id), col(sig)))
     val n = pinned.count()
@@ -348,6 +366,10 @@ object DedupOps {
     require(pinned.select(col(id)).distinct().count() == n,
       s"upsert batch must be unique by '$id' — duplicates would " +
         "serve two versions at one seq")
+    // reserve AFTER validation (no burned seq on a rejected batch) but
+    // BEFORE any write at the seq — a torn op below leaves the counter
+    // already advanced, so a replay allocates fresh
+    val seq = allocLshSeq(spark, table)
     // tombstone FIRST: if the key append is torn, the old version is
     // already superseded and a replay heals (never two live versions)
     pinned.select(col(id)).withColumn(LshSeqCol, lit(seq))
@@ -401,6 +423,9 @@ object DedupOps {
     val p = new org.apache.hadoop.fs.Path(tombstonePath(spark, table))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) { fs.delete(p, true); () }
+    // all survivors are base rows and the tombstones are gone — the
+    // seq counter restarts at 0 (absent sidecar + absent tombstones)
+    SeqSidecar.clear(spark, storePath(spark, table))
   }
 
   /** [[lshCandidatePairsIncremental]] against a PRECOMPUTED corpus key

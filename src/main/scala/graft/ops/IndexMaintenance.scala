@@ -74,9 +74,10 @@ package graft.ops
   *     carry no corpus-level state.
   *   - Seq storage: PostingIndex allocates seqs through stats.json's
   *     published window (which also powers its stale-WRITER tripwire);
-  *     LSH/IVF×PQ derive the high-water mark from the tombstone side
-  *     table (every seq-allocating op writes tombstones, and compact
-  *     resets rows to base seq before clearing it).
+  *     LSH/IVF×PQ allocate through the [[SeqSidecar]] — one tiny JSON
+  *     read + reserve per op (compact clears it with the tombstones),
+  *     with a one-time legacy derive from the tombstone table for
+  *     stores written before the sidecar existed.
   *   - Durability: all three are single-writer. PostingIndex
   *     maintenance is fully crash-safe — upsert/delete publish their
   *     segment by advancing the seq window in stats.json, compact

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** O(1) seq high-water sidecar for the set-tombstone index families
+  * (LSH band-key table, IVF×PQ cell layout) — the
+  * [[graft.movies.PostingIndex]] stats.json pattern ported to the
+  * families whose only durable maintenance state used to be the
+  * tombstone table itself.
+  *
+  * Why: every seq-allocating op (upsert/remove) and every refresh
+  * high-water probe used to run a max-aggregate job over the
+  * mergeSchema-read tombstone dir — O(|tombstone files|) per op, so a
+  * K-op window between compactions paid O(K²) file opens in aggregate
+  * (ADVICE r12 #2). The sidecar turns allocation into one tiny
+  * deterministic JSON read.
+  *
+  * Protocol (single writer, like the families it serves):
+  *   - `alloc` RESERVES: read next (sidecar, else one legacy derive
+  *     from the tombstone table which then seeds the sidecar), write
+  *     next+1 back, THEN the caller uses the seq. A torn op burns a
+  *     seq — harmless, the counter stays monotone and a replay
+  *     allocates fresh.
+  *   - `highWater` is read-only (the refresh path): last allocated
+  *     seq, or the family's base seq when nothing was ever allocated.
+  *   - compact clears the sidecar together with the tombstone table —
+  *     absent sidecar + absent tombstones ⇒ the counter restarts at 0,
+  *     which the compact invariant (all rows reset to base seq) makes
+  *     safe.
+  *
+  * The sidecar is authoritative once present. Restoring a STALE copy
+  * of it (older than the tombstone table) could re-allocate a used
+  * seq — that is store corruption of the same class as a torn
+  * compact on these families: rebuild. DELETING it is safe: the next
+  * alloc derives from the tombstone table (≥ every allocated seq by
+  * the alloc-before-use order... except a seq burned by a torn op,
+  * whose tombstones never landed — equally unused, so reuse is fine).
+  */
+private[graft] object SeqSidecar {
+
+  private def sidecarPath(store: String): Path =
+    new Path(store.stripSuffix("/") + "__maint.json")
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The persisted next-seq, if a sidecar exists. */
+  def readNext(spark: SparkSession, store: String): Option[Long] = {
+    val p = sidecarPath(store)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val root =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      Some(root.path("nextSeq").asLong())
+    }
+  }
+
+  private def writeNext(
+      spark: SparkSession, store: String, next: Long): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("nextSeq", next)
+    val p = sidecarPath(store)
+    val fs = fsOf(spark, p)
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+  }
+
+  /** Reserve and return the next op seq: sidecar read (one tiny file)
+    * or, for a pre-sidecar store, ONE legacy derive via
+    * `legacyNext` (a max over the tombstone table — paid once, the
+    * sidecar takes over from here). The reservation (next+1) is
+    * persisted BEFORE the caller writes anything at the seq.
+    */
+  def alloc(
+      spark: SparkSession, store: String, legacyNext: => Long): Long = {
+    val next = readNext(spark, store).getOrElse(legacyNext)
+    writeNext(spark, store, next + 1L)
+    next
+  }
+
+  /** Read-only last-allocated seq (the refresh landing mark): one
+    * sidecar read, legacy derive fallback; `base` when nothing was
+    * ever allocated.
+    */
+  def highWater(
+      spark: SparkSession, store: String, base: Long,
+      legacyNext: => Long): Long =
+    math.max(base, readNext(spark, store).getOrElse(legacyNext) - 1L)
+
+  /** Drop the sidecar (compact clears it together with the tombstone
+    * table; empty-collapse drops it with the store).
+    */
+  def clear(spark: SparkSession, store: String): Unit = {
+    val p = sidecarPath(store)
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+}

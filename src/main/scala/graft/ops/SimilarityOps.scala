@@ -774,8 +774,8 @@ object SimilarityOps {
     * ([[ivfPqTopK]]'s cell predicate) is untouched and the appended
     * index is row-identical to a from-scratch rebuild over
     * corpus∪delta (spec-checked in PlansSpec). Cost: one |delta| map
-    * pass, no corpus read (the seq high-water probe is one tiny read
-    * of the broadcast-sized tombstone table). Re-training
+    * pass, no corpus read (the seq high-water probe is one tiny
+    * [[SeqSidecar]] read). Re-training
     * centers/codebooks (a drifted corpus) is a separate, deliberate
     * rebuild — quantization must stay frozen between refreshes or old
     * codes become undecodable.
@@ -792,8 +792,8 @@ object SimilarityOps {
       dir: String, delta: DataFrame, idCol: String, vecCol: String,
       centers: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]]): Unit = {
-    val highWater =
-      math.max(IvfBaseSeq, nextIvfSeq(delta.sparkSession, dir) - 1L)
+    val highWater = SeqSidecar.highWater(delta.sparkSession, dir,
+      IvfBaseSeq, nextIvfSeq(delta.sparkSession, dir))
     ivfPqIndex(delta, idCol, vecCol, centers, codebooks)
       .withColumn(IvfSeqCol, lit(highWater))
       .write.mode("append").partitionBy("cell").parquet(dir)
@@ -813,12 +813,6 @@ object SimilarityOps {
   private def ivfTombstonePath(dir: String): String =
     dir.stripSuffix("/") + "__tombstones"
 
-  /** Next maintenance-op seq for a stored layout: one tiny read of the
-    * (broadcast-sized) tombstone table — every seq-allocating op
-    * (upsert, remove) writes its tombstones, so the table's max seq IS
-    * the high-water mark; compact clears the table AND resets all row
-    * seqs to [[IvfBaseSeq]], so restarting at 0 afterwards is safe.
-    */
   /** The tombstone side table with legacy rows normalized: a table (or
     * individual files) written before the seq discipline carries ids
     * only — read with mergeSchema (the table is broadcast-sized, the
@@ -843,12 +837,29 @@ object SimilarityOps {
     }
   }
 
+  /** LEGACY next-seq derive for a pre-sidecar layout: a max-aggregate
+    * over the mergeSchema-read tombstone table. Paid at most once per
+    * store — [[SeqSidecar.alloc]] seeds the sidecar from it and every
+    * later op reads the sidecar (one tiny JSON file) instead of
+    * re-scanning the tombstone dir per op (ADVICE r12 #2's O(K²)
+    * file-open aggregate across a K-op no-compact window).
+    */
   private def nextIvfSeq(
       spark: org.apache.spark.sql.SparkSession, dir: String): Long =
     ivfTombstones(spark, dir).fold(0L) { t =>
       val r = t.agg(max(col(IvfSeqCol))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
     }
+
+  /** Reserve the next maintenance-op seq: sidecar read + bump (O(1)),
+    * legacy tombstone-table derive only for a pre-sidecar store;
+    * [[compactIvfPqIndex]] clears sidecar + tombstones and resets all
+    * row seqs to [[IvfBaseSeq]], so restarting at 0 afterwards is
+    * safe.
+    */
+  private def allocIvfSeq(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    SeqSidecar.alloc(spark, dir, nextIvfSeq(spark, dir))
 
   /** Legacy-row guard: a layout written before the seq discipline has
     * no `__seq` column — treat its rows as base rows.
@@ -883,7 +894,7 @@ object SimilarityOps {
       dir: String, deletedIds: DataFrame, idCol: String): Unit = {
     val spark = deletedIds.sparkSession
     deletedIds.select(col(idCol)).distinct()
-      .withColumn(IvfSeqCol, lit(nextIvfSeq(spark, dir)))
+      .withColumn(IvfSeqCol, lit(allocIvfSeq(spark, dir)))
       .write.mode("append").parquet(ivfTombstonePath(dir))
   }
 
@@ -907,17 +918,22 @@ object SimilarityOps {
       centers: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]]): Unit = {
     val spark = batch.sparkSession
-    val seq = nextIvfSeq(spark, dir)
     // pin: the encoded batch feeds the tripwire count, the tombstone
     // write and the row write — one evaluation of the caller's plan
-    val enc = ivfPqIndex(batch, idCol, vecCol, centers, codebooks)
-      .withColumn(IvfSeqCol, lit(seq)).localCheckpoint()
-    val n = enc.count()
+    val enc0 = ivfPqIndex(batch, idCol, vecCol, centers, codebooks)
+      .localCheckpoint()
+    val n = enc0.count()
     if (n == 0L) return
-    val ids = enc.select(col(idCol)).distinct()
-    require(ids.count() == n,
+    val ids0 = enc0.select(col(idCol)).distinct()
+    require(ids0.count() == n,
       s"upsert batch must be unique by '$idCol' — duplicates would " +
         "serve two versions at one seq")
+    // reserve AFTER validation (no burned seq on a rejected batch) but
+    // BEFORE any write at the seq — a torn op below leaves the counter
+    // already advanced, so a replay allocates fresh
+    val seq = allocIvfSeq(spark, dir)
+    val enc = enc0.withColumn(IvfSeqCol, lit(seq))
+    val ids = ids0
     // tombstone FIRST: if the row write is torn, the old version is
     // already superseded and a replay heals (never two live versions)
     ids.withColumn(IvfSeqCol, lit(seq))
@@ -1025,7 +1041,10 @@ object SimilarityOps {
             "spark.sql.sources.partitionOverwriteMode", v))
       }
     }
-    fs.delete(tp, true); ()
+    fs.delete(tp, true)
+    // all survivors are base rows and the tombstones are gone — the
+    // seq counter restarts at 0 (absent sidecar + absent tombstones)
+    SeqSidecar.clear(spark, dir)
   }
 
   /** Route a query vector to its `nProbe` nearest IVF cells by

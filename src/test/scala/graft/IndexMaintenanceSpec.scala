@@ -292,6 +292,47 @@ class IndexMaintenanceSpec extends SparkTestBase {
       "a later delete must beat the refreshed rows")
   }
 
+  test("seq sidecar: allocation is one JSON read (no tombstone-table " +
+       "scan per op); deleting the sidecar falls back to the one-time " +
+       "legacy derive from the tombstone table and re-seeds it; " +
+       "compact clears it so the counter restarts at 0") {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val table = "graft_maint_sidecar_lsh"
+    val sidecarPath = new java.io.File(s"$warehouse/$table" + "__maint.json")
+    val sig = Seq((1L, Seq(11L, 12L, 13L)), (2L, Seq(21L, 22L, 23L)),
+        (3L, Seq(31L, 32L, 33L)))
+      .toDF("doc_id", "sig").localCheckpoint()
+    BucketingOps.writeBucketed(
+      DedupOps.lshBandKeyTable(sig, "doc_id", "sig", 3, 1),
+      table, Seq("band", "bh"), nBuckets = 2)
+    assert(!sidecarPath.exists(), "fresh build has no sidecar")
+    // first op: legacy derive (no tombstones -> 0), sidecar seeded to 1
+    DedupOps.removeFromLshIndex(spark, table,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    assert(sidecarPath.exists(), "first op must seed the sidecar")
+    // delete the sidecar: next op must legacy-derive from the
+    // tombstone table (max seq 0 -> next 1) and the re-add still wins
+    assert(sidecarPath.delete())
+    DedupOps.upsertIntoLshIndex(spark, table,
+      sig.filter($"doc_id" === 1L), "doc_id", "sig", 3, 1, nBuckets = 2)
+    assert(sidecarPath.exists(), "legacy derive must re-seed the sidecar")
+    assert(DedupOps.activeLshIndex(spark, table, "doc_id")
+      .filter($"doc_id" === 1L).count() === 3L,
+      "the re-add upsert (legacy-derived seq) must beat the delete")
+    // a later remove allocates above the upsert's seq via the sidecar
+    DedupOps.removeFromLshIndex(spark, table,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    assert(DedupOps.activeLshIndex(spark, table, "doc_id")
+      .filter($"doc_id" === 1L).isEmpty,
+      "a later delete (sidecar-allocated seq) must beat the upsert")
+    // compact clears the sidecar with the tombstones
+    DedupOps.compactLshIndex(spark, table, "doc_id", 2)
+    assert(!sidecarPath.exists(), "compact must clear the sidecar")
+    assert(DedupOps.activeLshIndex(spark, table, "doc_id")
+      .select($"doc_id").distinct().count() === 2L)
+  }
+
   test("IVF×PQ compact rewrites REFRESH rows too: a refreshed id in a " +
        "cell no tombstoned id touches is reset to base seq, so a " +
        "post-compact delete (seq counter restarted at 0) still wins — " +
