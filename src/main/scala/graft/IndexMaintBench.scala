@@ -217,12 +217,32 @@ object IndexMaintBench {
             Seq("graftrare", "graftcommon"), 10)
           topkPruned &&= fired
           res.count(); () }).min
+        // MAINTAINED-state row (VERDICT r12 #1): put the index in the
+        // CDC steady state — one live upsert + one live delete segment
+        // — and serve the same mixed query through scoreTermsTopK. The
+        // pruned branch must still fire (dfs corrected from the live
+        // log) at a cost tracking the rare term + the log, not the
+        // stopword corpus scan.
+        val batch = corpus.orderBy($"doc_id").limit(128)
+          .select(($"doc_id" + 900000000L).as("doc_id"),
+            concat($"text", lit(" graftrare")).as("text"))
+          .localCheckpoint()
+        idx = idx.upsert(batch, tokens)
+        idx = idx.delete(batch.select($"doc_id").limit(64))
+        var topkPrunedMaint = true
+        val serveTopkMaint = Seq.fill(2)(timed {
+          val (res, fired) = idx.scoreTermsTopKImpl(
+            Seq("graftrare", "graftcommon"), 10)
+          topkPrunedMaint &&= fired
+          res.count(); () }).min
         results += Map("family" -> "posting_df", "n_docs" -> n,
           "build" -> build,
           "serve_common_df" -> serveCommon, "matches_common" -> nCommon,
           "serve_rare_df" -> serveRare, "matches_rare" -> nRare,
           "serve_topk_mixed" -> serveTopk,
-          "topk_pruned" -> topkPruned)
+          "topk_pruned" -> topkPruned,
+          "serve_topk_maintained" -> serveTopkMaint,
+          "topk_pruned_maintained" -> topkPrunedMaint)
       }
     }
 

@@ -290,6 +290,46 @@ final class PostingIndex private (
         .select(analyzedCols: _*))
   }
 
+  /** The BASE layout's stored versions of `ids` (bucket-pruned
+    * semi-join; empty on a placeholder base) — regardless of whether
+    * the delta log supersedes them. The top-k df correction subtracts
+    * these rows' term memberships: their base posting entries are
+    * exactly what the serve's touched-id anti-join suppresses.
+    */
+  private def baseVersionsOf(ids: DataFrame): DataFrame = {
+    def empty = spark.read.parquet(docsPath).limit(0)
+      .select(analyzedCols: _*)
+    if (baseIsPlaceholder) empty
+    else {
+      val buckets = ids
+        .select(pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (buckets.isEmpty) empty
+      else spark.read.parquet(docsPath)
+        .filter(col(DocBucketCol).isin(buckets: _*))
+        .join(ids, Seq(idCol), "left_semi")
+        .select(analyzedCols: _*)
+    }
+  }
+
+  /** Per-term document counts over an analyzed doc view — ONE bounded
+    * aggregate (≤ |terms| sums). Shared by the maintained serve's
+    * df-within-candidates fold and the top-k face's delta-log df
+    * corrections, so the two paths cannot drift.
+    */
+  private def termDfsOver(
+      docs: DataFrame, terms: Seq[String]): Map[String, Long] = {
+    val aggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(
+        fields.map(f => array_contains(Search.toks(f), t))
+          .reduce(_ || _), 1L).otherwise(0L)).as(s"df_$i")
+    }
+    val row = docs.agg(aggs.head, aggs.tail: _*).head()
+    terms.zipWithIndex.map { case (t, i) =>
+      t -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+    }.toMap
+  }
+
   /** The whole CURRENT corpus (base minus touched, plus delta fold) —
     * the browse/compaction view. O(base + delta log).
     */
@@ -401,15 +441,7 @@ final class PostingIndex private (
         // aggregate — every doc containing t is a candidate, so the
         // count within candidates IS the corpus df, integer-equal to
         // a rebuild's posting-list lengths)
-        val aggs = terms.zipWithIndex.map { case (t, i) =>
-          sum(when(
-            fields.map(f => array_contains(Search.toks(f), t))
-              .reduce(_ || _), 1L).otherwise(0L)).as(s"df_$i")
-        }
-        val row = cand.agg(aggs.head, aggs.tail: _*).head()
-        val dfs = terms.zipWithIndex.map { case (t, i) =>
-          t -> (if (row.isNullAt(i)) 0L else row.getLong(i))
-        }.toMap
+        val dfs = termDfsOver(cand, terms)
         if (dfs.values.forall(_ == 0L)) emptyScored()
         else cand
           .withColumn("score",
@@ -488,11 +520,19 @@ final class PostingIndex private (
     * scores strictly below Σ_{t∈R} idf_t. So:
     *
     *   1. dfs for ALL query terms come off the vocab-sized [[
-    *      readDfStats]] side table (never the posting lists);
+    *      readDfStats]] side table (never the posting lists), plus —
+    *      on a MAINTAINED index (live delta segments, the CDC steady
+    *      state this face must serve, search_api/api.py:93-100 during
+    *      daemon.py:358-381 upserts) — exact integer corrections
+    *      derived from the delta log for just the query's terms
+    *      (VERDICT r12 #1; see the inline derivation);
     *   2. candidates are generated from the SELECTIVE terms' postings
     *      only (df ≤ N/2) and scored with the FULL query — a candidate
     *      matching a stopword too gets that contribution exactly,
-    *      because scores come from its stored token arrays;
+    *      because scores come from its stored token arrays. On a
+    *      maintained index the candidates are the serve's own folded
+    *      set restricted to the selective terms (base postings minus
+    *      touched ids, plus matching delta docs);
     *   3. the top-k of phase 2 is safe iff k candidates exist AND the
     *      excluded terms' bound Σ idf < the k-th score STRICTLY — a
     *      skipped doc (matching only excluded terms) then can neither
@@ -502,10 +542,11 @@ final class PostingIndex private (
     * (score desc, id) and truncated to k, on both branches — the
     * pruned branch by the bound argument above, the fallback
     * trivially (MoviesSpec referees both, and that the pruned branch
-    * actually fires). Maintained indexes (live delta segments) and
-    * layouts without the side table always take the fallback; the
-    * top-k rows materialize via one bounded localCheckpoint (k ≤ the
-    * serving-API page size class).
+    * actually fires on immutable AND maintained layouts). Layouts
+    * without the side table (legacy, or after a bulk [[refresh]]
+    * invalidates it) always take the fallback; the top-k rows
+    * materialize via one bounded localCheckpoint (k ≤ the serving-API
+    * page size class).
     */
   def scoreTermsTopK(terms0: Seq[String], k: Int): DataFrame =
     scoreTermsTopKImpl(terms0, k)._1
@@ -522,9 +563,36 @@ final class PostingIndex private (
       (scoreTerms(terms).orderBy(col("score").desc, col(idCol)).limit(k),
         false)
     if (terms.isEmpty || nDocs == 0L) return fallback()
-    if (liveSegs().nonEmpty || !hasPostings || !hasDfStats)
-      return fallback()
-    val dfs = terms.map(t => t -> 0L).toMap ++ readDfStats(terms)
+    if (!hasPostings || !hasDfStats) return fallback()
+    val segs = liveSegs()
+    // dfs: the vocab-sized side table (exact for the BASE layout) plus
+    // EXACT integer corrections for the query's terms from the live
+    // delta log — the VERDICT r12 #1 maintained-state path. The
+    // corrections are derived per query instead of persisted per op:
+    // df_current(t) = df_base(t) − |touched ids' BASE versions ∋ t|
+    //                 + |current delta docs ∋ t|,
+    // both counts one bounded aggregate over data the maintained serve
+    // folds anyway (the log is broadcast-small by the compaction
+    // contract), so the serve's cost class is unchanged — and there is
+    // no per-op side-table mutation to keep crash-consistent with the
+    // segment publish (a torn op's segment is ignored by the seq
+    // window, and these corrections read exactly the published window).
+    val dfsBase = terms.map(t => t -> 0L).toMap ++ readDfStats(terms)
+    val dfs: Map[String, Long] =
+      if (segs.isEmpty) dfsBase
+      else {
+        val touched = touchedIds(segs).get
+        val sub = termDfsOver(baseVersionsOf(touched), terms)
+        val add = termDfsOver(currentDeltaDocs(segs).get, terms)
+        terms.map { t =>
+          val d = dfsBase(t) - sub(t) + add(t)
+          require(d >= 0L,
+            s"maintained df for '$t' went negative ($d = ${dfsBase(t)} " +
+              s"- ${sub(t)} + ${add(t)}) — dfstats/base/delta drift; " +
+              "rebuild the index")
+          t -> d
+        }.toMap
+      }
     val present = terms.filter(dfs(_) > 0L)
     if (present.isEmpty) return (emptyScored(), false)
     // selective vs stopword-grade split; idf of every present term is
@@ -546,38 +614,53 @@ final class PostingIndex private (
     }
     val bound = excluded.map(idf).sum
     // phase 2: candidates off the SELECTIVE posting buckets only,
-    // scored with the full query's terms and the side table's dfs —
-    // the same Search.bm25f expression and integer dfs as the full
-    // path, so surviving scores are bit-identical to it
-    val posts = spark.read.parquet(postingsPath)
-      .filter(col(TermBucketCol).isin(termBuckets(selective): _*) &&
-        col("term").isin(selective: _*))
-    // driver-small candidate sets fetch by PUSHED id literals: the doc
-    // store is id-sorted within buckets, so `id IN (...)` skips row
-    // groups — point-lookup IO instead of scanning every candidate
-    // bucket whole (a semi-join never pushes past the scan). One
-    // bounded collect (≤ cap+1 rows); larger sets keep the semi-join.
-    val candRows = posts
-      .select(col(idCol),
-        pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int").as("__b"))
-      .distinct().limit(PostingIndex.CandIdPushdownCap + 1).collect()
-    if (candRows.isEmpty) return fallback()
-    val docsOf =
-      if (candRows.length <= PostingIndex.CandIdPushdownCap) {
-        val buckets = candRows.map(_.getInt(1)).distinct.toSeq
-        val ids = candRows.map(_.get(0)).toSeq
-        spark.read.parquet(docsPath)
-          .filter(col(DocBucketCol).isin(buckets: _*) &&
-            col(idCol).isin(ids: _*))
+    // scored with the full query's terms and the exact dfs — the same
+    // Search.bm25f expression and integers as the full path, so
+    // surviving scores are bit-identical to it
+    val docsOfOpt: Option[DataFrame] =
+      if (segs.nonEmpty) {
+        // MAINTAINED layout: the serve's own candidate fold restricted
+        // to the selective terms — base candidates off their pruned
+        // postings (touched ids anti-joined out) ∪ delta docs matching
+        // a selective term. Every current doc containing a selective
+        // term is in here, which is all the safety argument needs.
+        import spark.implicits._
+        candidateDocs(selective.toDF("term"), termBuckets(selective),
+          segs)
       } else {
-        val candidates = posts.select(col(idCol)).distinct()
-        val candBuckets = candidates
-          .select(pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        spark.read.parquet(docsPath)
-          .filter(col(DocBucketCol).isin(candBuckets: _*))
-          .join(candidates, Seq(idCol), "left_semi")
+        val posts = spark.read.parquet(postingsPath)
+          .filter(col(TermBucketCol).isin(termBuckets(selective): _*) &&
+            col("term").isin(selective: _*))
+        // driver-small candidate sets fetch by PUSHED id literals: the
+        // doc store is id-sorted within buckets, so `id IN (...)`
+        // skips row groups — point-lookup IO instead of scanning every
+        // candidate bucket whole (a semi-join never pushes past the
+        // scan). One bounded collect (≤ cap+1 rows); larger sets keep
+        // the semi-join.
+        val candRows = posts
+          .select(col(idCol),
+            pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int")
+              .as("__b"))
+          .distinct().limit(PostingIndex.CandIdPushdownCap + 1).collect()
+        if (candRows.isEmpty) None
+        else if (candRows.length <= PostingIndex.CandIdPushdownCap) {
+          val buckets = candRows.map(_.getInt(1)).distinct.toSeq
+          val ids = candRows.map(_.get(0)).toSeq
+          Some(spark.read.parquet(docsPath)
+            .filter(col(DocBucketCol).isin(buckets: _*) &&
+              col(idCol).isin(ids: _*)))
+        } else {
+          val candidates = posts.select(col(idCol)).distinct()
+          val candBuckets = candidates
+            .select(pmod(xxhash64(col(idCol)), lit(nDocBuckets))
+              .cast("int"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          Some(spark.read.parquet(docsPath)
+            .filter(col(DocBucketCol).isin(candBuckets: _*))
+            .join(candidates, Seq(idCol), "left_semi"))
+        }
       }
+    val docsOf = docsOfOpt.getOrElse(return fallback())
     val scored = docsOf
       .withColumn("score",
         Search.bm25f(terms, fields, weights, avgdls, dfs, nDocs.toDouble))
