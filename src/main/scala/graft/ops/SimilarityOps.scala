@@ -983,6 +983,14 @@ object SimilarityOps {
     val tp = new Path(ivfTombstonePath(dir))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tp)) return
+    if (!fs.exists(new Path(dir))) {
+      // tombstones but no index (deletes before the first upsert —
+      // the DocSink bootstrap state): nothing to fold, every
+      // tombstoned id has no rows; clear the side state and restart
+      fs.delete(tp, true)
+      SeqSidecar.clear(spark, dir)
+      return
+    }
     val tmax = broadcast(ivfTombstones(spark, dir).get
       .groupBy(col(idCol)).agg(max(col(IvfSeqCol)).as("__tmax")))
     // affected = cells holding ANY tombstoned id's rows (dead versions

@@ -1540,6 +1540,13 @@ object SimilarityQueries {
       val sink = new LogUpsertSink(s, s"$tmp/store", "user_id", nBuckets = 8)
       val cursors = new Keyset.CursorStore(s"$tmp/cursors")
       val idxDir = s"$tmp/ivfpq"
+      // the ANN store driven through its DocSink face (VERDICT r12 #3
+      // — the reference's bulk replace is index-agnostic, so the CDC
+      // loop uses ONE sink contract for the doc store and the vector
+      // index); same underlying seq-tombstone ops, same files, same
+      // oracle hash
+      val annSink = new graft.ops.IvfPqIndexSink(s, idxDir,
+        "user_id", "embedding", centers, codebooks)
       // the re-embedding: 8 small-INTEGER float components derived
       // from the doc's CURRENT content — float-exact, so the DuckDB
       // double replay is bit-identical; a replaced doc's vector
@@ -1562,9 +1569,7 @@ object SimilarityQueries {
           .select(docShape: _*))
           .localCheckpoint() // pin: both stores consume the same batch
         sink.upsert(vecs)
-        SimilarityOps.upsertIntoIvfPqIndex(idxDir,
-          vecs.select($"user_id", $"embedding"), "user_id", "embedding",
-          centers, codebooks)
+        annSink.upsert(vecs)
         cursors.save("events", next)
         vecs
       }
@@ -1573,13 +1578,11 @@ object SimilarityQueries {
       // duplicate delivery of tick 2: both stores must absorb it (the
       // index replay lands at a higher seq with equal content)
       sink.upsert(t2)
-      SimilarityOps.upsertIntoIvfPqIndex(idxDir,
-        t2.select($"user_id", $"embedding"), "user_id", "embedding",
-        centers, codebooks)
+      annSink.upsert(t2)
       // mid-pipeline compaction: fold tombstones into the affected
       // cells, reset seqs — the gate then proves compact changes
       // NOTHING about serving (tick 3 upserts on the folded layout)
-      SimilarityOps.compactIvfPqIndex(s, idxDir, "user_id")
+      annSink.compact()
       tick()
       // retention: users whose CURRENT doc is a signup leave BOTH
       def storeDocs = sink.read().getOrElse(
@@ -1588,7 +1591,7 @@ object SimilarityQueries {
         .filter($"event_type" === "signup").select($"user_id")
         .localCheckpoint()
       sink.delete(victims)
-      SimilarityOps.removeFromIvfPqIndex(idxDir, victims, "user_id")
+      annSink.delete(victims)
       val finalStore = storeDocs.localCheckpoint()
       // ghost/lost counters: the maintained index's live id set must
       // equal the store's exactly (a full-outer on the top-k alone

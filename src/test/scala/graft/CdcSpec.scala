@@ -275,6 +275,90 @@ class CdcSpec extends SparkTestBase {
     assert(hits("galactic saga") === Seq("f1"))
   }
 
+  test("CDC → ANN through the sink face (VERDICT r12 #3): the movies " +
+       "pipeline drives an IvfPqIndexSink (docs re-embedded per tick); " +
+       "an UPDATE moves the doc's vector in the served index, replay " +
+       "absorbs, and the maintained store ≡ a fresh encode of the " +
+       "final docs — compact included") {
+    import graft.ops.{IvfPqIndexSink, SimilarityOps}
+    val dir = tmp(); seed(dir)
+    val t = tables(dir)
+    val centers = Array.tabulate(4)(c =>
+      Array.tabulate(8)(i => if (i == 2 * c) 6.0 else 0.0))
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(cd =>
+      Array.tabulate(4)(j => ((sp * 5 + cd * 3 + j) % 7 - 3).toDouble)))
+    // per-tick re-embedding of the re-denormalized doc (the q294
+    // pattern): title+description feed every component, so a retitle
+    // genuinely moves the vector
+    def embed(d: DataFrame): DataFrame = d.withColumn("embedding",
+      transform(sequence(lit(0), lit(7)), i =>
+        (pmod(xxhash64($"title", coalesce($"description", lit(""))) +
+          i * lit(37L), lit(97L)) - 48).cast("float")))
+    val ivf = new IvfPqIndexSink(spark, s"$dir/ann_idx",
+      "id", "embedding", centers, codebooks)
+    // adapter: the pipeline hands re-denormalized docs to every sink;
+    // this one embeds before indexing (upstream embedding production)
+    val annSink = new DocSink {
+      def idCol: String = "id"
+      def upsert(docs: DataFrame): Unit = ivf.upsert(embed(docs))
+      def delete(ids: DataFrame): Unit = ivf.delete(ids)
+      def read(): Option[DataFrame] = ivf.read()
+    }
+    val docStore = new UpsertSink(spark, s"$dir/doc_store", "id", 4)
+    val fanout = new DocSink {
+      def idCol: String = "id"
+      def upsert(docs: DataFrame): Unit = {
+        val pinned = docs.localCheckpoint()
+        docStore.upsert(pinned); annSink.upsert(pinned)
+      }
+      def delete(ids: DataFrame): Unit = {
+        docStore.delete(ids); annSink.delete(ids)
+      }
+      def read(): Option[DataFrame] = docStore.read()
+    }
+    val sinks = CdcPipeline.Sinks(
+      movies = fanout,
+      persons = new UpsertSink(spark, s"$dir/idx_persons", "id", 4),
+      genres = new UpsertSink(spark, s"$dir/idx_genres", "id", 4))
+    val cursors = new Keyset.CursorStore(s"$dir/cursors")
+    CdcPipeline.drain(spark, t, sinks, cursors, batchSize = 10)
+    def ivfRows(d: DataFrame) = d
+      .select($"id", $"cell".cast("int"),
+        concat_ws(",", $"codes".cast("array<string>")))
+      .as[(String, Int, String)].collect().toSet
+    def wantRows() = ivfRows(SimilarityOps.ivfPqIndex(
+      embed(docStore.read().get), "id", "embedding", centers, codebooks))
+    assert(ivf.read().map(ivfRows).get === wantRows(),
+      "post-drain ANN store ≠ fresh encode of the doc store")
+    // the UPDATE: retitle f1 — the re-embedded vector must replace by
+    // id on the next tick (daemon.py:358-381, index-agnostic)
+    writeTable(dir, "film_work", Seq(
+      ("f1", "Galactic Saga", "Space opera", 8.6, ts(100), ts(250)),
+      ("f2", "Quiet Film", "Slow burn", 6.0, ts(100), ts(100))
+    ).toDF("id", "title", "description", "rating",
+      "created_at", "updated_at"))
+    CdcPipeline.drain(spark, t, sinks, cursors, batchSize = 10)
+    assert(ivf.read().map(ivfRows).get === wantRows(),
+      "post-update ANN store ≠ fresh encode (stale vector serving?)")
+    // replay the film_work suffix — the ANN index absorbs duplicates
+    cursors.save("film_work.movies", Keyset.Cursor.Zero)
+    CdcPipeline.drain(spark, t, sinks, cursors, batchSize = 10)
+    assert(ivf.read().map(ivfRows).get === wantRows())
+    // serving: a full-depth stored probe with f1's CURRENT vector
+    // ranks f1 first (exact self-match), through the maintained layout
+    val corpus = embed(docStore.read().get.localCheckpoint())
+    val qv = corpus.filter($"id" === "f1").select($"embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toArray
+    val top = SimilarityOps.ivfPqTopKStored(spark, ivf.dir, "id",
+        corpus, "id", "embedding", qv, centers, codebooks,
+        nProbe = 4, shortlist = 100, k = 1)
+      .select($"id").as[String].head()
+    assert(top === "f1", "the updated vector must serve its own doc")
+    // compaction through the sink face preserves the store exactly
+    ivf.compact()
+    assert(ivf.read().map(ivfRows).get === wantRows())
+  }
+
   test("pipeline is sink-agnostic (S5): an in-memory DocSink converges " +
        "to the same documents as the parquet UpsertSink") {
     // minimal alternative DocSink impl — the shape an ES-backed sink

@@ -53,12 +53,41 @@ class SinkPropertySpec extends SparkTestBase {
       val log = sinks.collectFirst { case l: LogUpsertSink => l }.get
       val pidx = sinks.collectFirst {
         case p: graft.movies.PostingIndexSink => p }.get
+      // FIFTH leg (VERDICT r12 #3): the vector-index DocSink. Its
+      // docs carry an embedding derived deterministically from the
+      // payload (a changed title genuinely moves the vector, the q294
+      // re-embedding pattern), and its store is compared against a
+      // fresh frozen-quantization encode of the model — the
+      // IndexMaintenanceSpec equivalence, driven by the SAME op
+      // sequence as the doc sinks.
+      import org.apache.spark.sql.functions._
+      val ivfCenters = Array.tabulate(4)(c =>
+        Array.tabulate(8)(i => if (i == 2 * c) 6.0 else 0.0))
+      val ivfCodebooks = Array.tabulate(2)(sp => Array.tabulate(4)(cd =>
+        Array.tabulate(4)(j => ((sp * 5 + cd * 3 + j) % 7 - 3).toDouble)))
+      def embed(d: DataFrame): DataFrame = d.withColumn("embedding",
+        transform(sequence(lit(0), lit(7)), i =>
+          (pmod(xxhash64(col("title")) + i * lit(37L), lit(97L)) - 48)
+            .cast("float")))
+      val ivf = new graft.ops.IvfPqIndexSink(spark, s"${tmp()}/idx",
+        "id", "embedding", ivfCenters, ivfCodebooks)
+      def ivfRows(d: DataFrame): Set[(String, Int, String)] = d
+        .select(col("id"), col("cell").cast("int"),
+          concat_ws(",", col("codes").cast("array<string>")))
+        .as[(String, Int, String)].collect().toSet
       var lastBatch: Seq[(String, String)] = Seq.empty
       def check(step: String): Unit = {
         val want = model.toSet
         for (s <- sinks)
           assert(contents(s) === want,
             s"run $run after $step: ${s.getClass.getSimpleName} diverged")
+        val ivfWant =
+          if (model.isEmpty) Set.empty[(String, Int, String)]
+          else ivfRows(graft.ops.SimilarityOps.ivfPqIndex(
+            embed(df(model.toSeq)), "id", "embedding",
+            ivfCenters, ivfCodebooks))
+        assert(ivf.read().map(ivfRows).getOrElse(Set.empty) === ivfWant,
+          s"run $run after $step: IvfPqIndexSink ≠ fresh encode of model")
       }
       for (step <- 1 to 14) {
         rnd.nextInt(5) match {
@@ -66,22 +95,39 @@ class SinkPropertySpec extends SparkTestBase {
             val batch = rnd.shuffle(ids).take(rnd.nextInt(5))
               .map(id => id -> s"v${run}_${step}_$id")
             sinks.foreach(_.upsert(df(batch)))
+            ivf.upsert(embed(df(batch)))
             batch.foreach { case (k, v) => model(k) = v }
             lastBatch = batch
           case 2 => // targeted delete incl. absent ids
             val victims = rnd.shuffle(ids).take(rnd.nextInt(4)) :+ "ghost"
             sinks.foreach(_.delete(victims.toDF("id")))
+            ivf.delete(victims.toDF("id"))
             victims.foreach(model.remove)
           case 3 => // replay the previous upsert batch — must absorb
             sinks.foreach(_.upsert(df(lastBatch)))
+            ivf.upsert(embed(df(lastBatch)))
             lastBatch.foreach { case (k, v) => model(k) = v }
           case 4 => // fold the deferring stores; the others have none
-            log.compact(); pidx.compact()
+            log.compact(); pidx.compact(); ivf.compact()
         }
         if (step % 4 == 0) check(s"step $step")
       }
-      log.compact(); pidx.compact()
+      log.compact(); pidx.compact(); ivf.compact()
       check("final compact")
+      // the vector sink's store isn't just rows — it must SERVE: a
+      // post-compact full-depth stored probe returns exactly the
+      // model's ids (ranked by true cosine via the re-rank corpus)
+      if (model.nonEmpty) {
+        val corpus = embed(df(model.toSeq))
+        val qv = Array.tabulate(8)(i => ((i * 19) % 23 - 11).toDouble)
+        val served = graft.ops.SimilarityOps.ivfPqTopKStored(spark,
+            ivf.dir, "id", corpus, "id", "embedding", qv,
+            ivfCenters, ivfCodebooks,
+            nProbe = 4, shortlist = 1000, k = model.size)
+          .select(col("id")).as[String].collect().toSet
+        assert(served === model.keySet,
+          s"run $run: post-compact stored probe ≠ the model's ids")
+      }
       // the index sink's store isn't just rows — it must SERVE: every
       // live doc's title tokens find exactly the model's docs
       val want = model.toSet
