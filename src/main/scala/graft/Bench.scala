@@ -80,10 +80,10 @@ object Bench {
           Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
         val e = Tables.load(spark, sfDir, "embeddings")
         val idir = scratch("graft_bench_ivfpq")
-        val (_, ib) = timed(SimilarityOps.ivfPqIndex(
+        val (_, ib) = timed(SimilarityOps.writeIvfPqIndex(
+          SimilarityOps.ivfPqIndex(
             e.select($"vec_id", $"embedding"), "vec_id", "embedding",
-            centers, codebooks)
-          .write.partitionBy("cell").parquet(idir))
+            centers, codebooks), idir, "vec_id"))
         out += "q292_build" -> ib
         val ivfQueries = e.filter($"vec_id" < 5L)
           .select($"vec_id".as("query_id"), $"embedding".as("qvec"))

@@ -136,9 +136,9 @@ object IndexMaintBench {
         val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
           Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
         val dir = Files.createTempDirectory("graft_mb_ivf").toString + "/idx"
-        val build = timed { SimilarityOps.ivfPqIndex(emb,
-            "vec_id", "embedding", centers, codebooks)
-          .write.partitionBy("cell").parquet(dir) }
+        val build = timed { SimilarityOps.writeIvfPqIndex(
+          SimilarityOps.ivfPqIndex(emb,
+            "vec_id", "embedding", centers, codebooks), dir, "vec_id") }
         val batch = emb.orderBy($"vec_id").limit(128)
           .select(($"vec_id" + 100000000L).as("vec_id"), $"embedding")
           .localCheckpoint()
@@ -289,8 +289,9 @@ object IndexMaintBench {
           Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
         val dir = Files.createTempDirectory("graft_mb_ivf_ladder")
           .toString + "/idx"
-        SimilarityOps.ivfPqIndex(emb, "vec_id", "embedding",
-          centers, codebooks).write.partitionBy("cell").parquet(dir)
+        SimilarityOps.writeIvfPqIndex(
+          SimilarityOps.ivfPqIndex(emb, "vec_id", "embedding",
+            centers, codebooks), dir, "vec_id")
         ladder("ivfpq", i => SimilarityOps.upsertIntoIvfPqIndex(dir,
           emb.orderBy($"vec_id").limit(32)
             .select(($"vec_id" + (i + 1) * 1000000L).as("vec_id"),

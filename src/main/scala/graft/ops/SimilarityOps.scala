@@ -767,6 +767,26 @@ object SimilarityOps {
       pqEncode(col(vecCol), codebooks).as("codes"),
       lit(IvfBaseSeq).as(IvfSeqCol))
 
+  /** Write an [[ivfPqIndex]] table as the stored serving layout:
+    * partitioned by cell, writers aligned with cell dirs (one file per
+    * cell instead of writers × cells) and SORTED BY ID within each
+    * cell file — row-group min/max stats on the id column become tight
+    * ranges, so pushed id predicates (the re-rank fetch's literal-ids
+    * path, point lookups, the compact-time tombstone join) skip row
+    * groups instead of scanning big cells whole. The
+    * BucketingOps.writeBucketed / PostingIndex doc-store discipline
+    * applied to the vector index (VERDICT r12 #6). Upsert segments
+    * append unsorted (per-file stats still bound them); build and
+    * compact — the steady serving states — are sorted.
+    */
+  def writeIvfPqIndex(
+      index: DataFrame, dir: String, idCol: String,
+      mode: String = "error"): Unit =
+    index
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col(idCol))
+      .write.mode(mode).partitionBy("cell").parquet(dir)
+
   /** Incremental REFRESH of a stored [[ivfPqIndex]] layout (a parquet
     * dir partitioned by cell): encode the accepted delta with the SAME
     * frozen centroids/codebooks and append — new files land inside the
@@ -1032,7 +1052,12 @@ object SimilarityOps {
         val kept = keep.localCheckpoint(eager = true)
         val keptCells = kept.select(col("cell")).distinct()
           .collect().map(_.getAs[Number](0).intValue()).toSet
-        kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        // rewritten cells land SORTED BY ID (the writeIvfPqIndex
+        // layout) so compacted cells regain row-group skipping
+        kept
+          .repartition(col("cell"))
+          .sortWithinPartitions(col("cell"), col(idCol))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .partitionBy("cell").parquet(dir)
         affected.filterNot(keptCells).foreach { c =>
           val p = new Path(s"$dir/cell=$c")
@@ -1428,13 +1453,64 @@ object SimilarityOps {
       query: Array[Double], centers: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
       nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
     val probed = ivfRoute(query, centers, nProbe)
     val index = dropIvfTombstones(spark, indexDir, idCol,
       spark.read.parquet(indexDir)
         .filter(col("cell").isin(probed.map(Integer.valueOf): _*)))
-    ivfPqTopK(index, idCol, vectors, vecIdCol, vecCol, query,
-      centers, codebooks, nProbe, shortlist, k)
+    // same stages as [[ivfPqTopK]] (bit-parity spec-checked), but the
+    // re-rank fetch goes through the PUSHED-LITERAL source: the
+    // survivor ids are driver-small, and `id IN (...)` reaches the
+    // corpus parquet scan as row-group skipping — point-lookup IO for
+    // a ≤shortlist-row fetch instead of streaming the whole vector
+    // table through the join (at 100 TB THE dominant serve cost)
+    val lut = pqLut(query, codebooks)
+    val (short, fetch) = rerankPrep(
+      pqAdcTopK(index, idCol, "codes", lut, shortlist)
+        .select(col(idCol), col("cell"), col("adc_score")),
+      idCol, vectors, vecIdCol, vecCol)
+    val qlit = typedLit(query.map(_.toFloat))
+    short
+      .join(fetch, Seq(idCol))
+      .select(col(idCol), col("cell"), col("adc_score"),
+        cosineMicro(col("__v"), qlit).as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col(idCol))
+      .limit(k)
   }
+
+  /** Pin the ADC shortlist and derive the re-rank VECTOR SOURCE:
+    * driver-small survivor sets fetch their true vectors by PUSHED id
+    * literals (the scoreTermsTopK literal-id discipline; on an
+    * id-sorted store — [[writeIvfPqIndex]], Tables' parquet — the
+    * predicate skips row groups, point-lookup IO instead of streaming
+    * the whole vector table through the join). One bounded collect
+    * (≤ cap+1 ids) per query batch; larger shortlists keep the plain
+    * join source. The shortlist pins via `persist`, NOT
+    * localCheckpoint: the cache evaluates the ADC scan once (the id
+    * collect materializes it, the re-rank join reuses it) while
+    * keeping the scan's lineage — and its pushed cell partition
+    * filters — visible in the served plan (PlansSpec asserts both).
+    */
+  private def rerankPrep(
+      short0: DataFrame, idCol: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String)
+      : (DataFrame, DataFrame) = {
+    val short = short0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val slim = vectors.select(col(vecIdCol).as(idCol), col(vecCol).as("__v"))
+    val ids = short.select(col(idCol)).distinct()
+      .limit(IvfIdPushdownCap + 1).collect().map(_.get(0)).toSeq
+    (short,
+      if (ids.nonEmpty && ids.length <= IvfIdPushdownCap)
+        slim.filter(col(idCol).isin(ids: _*))
+      else slim)
+  }
+
+  /** Cap on the literal-id re-rank fetch (above it the pushed IN-list
+    * stops paying for itself and the broadcast join takes over) —
+    * the PostingIndex.CandIdPushdownCap class.
+    */
+  val IvfIdPushdownCap: Int = 8192
 
   /** Multi-query IVF×PQ over a STORED cell-partitioned index layout
     * (the [[refreshIvfPqIndex]] dir format): routes the batch in-plan,
@@ -1528,18 +1604,23 @@ object SimilarityOps {
     // vector only.
     val ws = Window.partitionBy(col(queryIdCol))
       .orderBy(col("adc_score").desc, col(idCol).asc)
-    val short = index.join(broadcast(probeLut), Seq("cell"))
-      .withColumn("adc_score", adcScoreColumn("codes", codebooks.length))
-      .select(col(queryIdCol), col(idCol), col("cell"),
-        col("adc_score"), col("__qv"))
-      .withColumn("__rk", row_number().over(ws))
-      .filter(col("__rk") <= shortlist)
-    // RE-RANK: fetch the ≤ shortlist survivors' full vectors per query
+    // RE-RANK: fetch the ≤ |queries|·shortlist survivors' full vectors
+    // — by PUSHED id literals when the batch's survivor set is
+    // driver-small (one bounded collect per BATCH, extending the
+    // probed-cell-list driver-state discipline), else the plain join;
+    // rerankPrep pins the shortlist so the ADC scan runs exactly once
+    val (short, fetch) = rerankPrep(
+      index.join(broadcast(probeLut), Seq("cell"))
+        .withColumn("adc_score", adcScoreColumn("codes", codebooks.length))
+        .select(col(queryIdCol), col(idCol), col("cell"),
+          col("adc_score"), col("__qv"))
+        .withColumn("__rk", row_number().over(ws))
+        .filter(col("__rk") <= shortlist),
+      idCol, vectors, vecIdCol, vecCol)
     val wr = Window.partitionBy(col(queryIdCol))
       .orderBy(col("cos_micro").desc, col(idCol).asc)
     short
-      .join(vectors.select(col(vecIdCol).as(idCol), col(vecCol).as("__v")),
-        Seq(idCol))
+      .join(fetch, Seq(idCol))
       .withColumn("cos_micro", cosineMicro(col("__v"), col("__qv")))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)

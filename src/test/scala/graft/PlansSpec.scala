@@ -125,6 +125,63 @@ class PlansSpec extends SparkTestBase {
     assert(served.collect().toSeq === inMem.collect().toSeq)
   }
 
+  test("IVF×PQ STORED probe: the re-rank vector fetch pushes the " +
+       "shortlist's id literals into the corpus scan (row-group " +
+       "skipping on the sorted layout — VERDICT r12 #6), and the " +
+       "served result equals the in-memory face bit-for-bit") {
+    import graft.ops.SimilarityOps
+    val centers = Array.tabulate(8)(c =>
+      Array.tabulate(64)(i => if (i == c * 8) 8.0 else 0.0))
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+      Array.tabulate(32)(i => ((sp * 31 + c * 7 + i) % 5 - 2).toDouble)))
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq_rerank").toString + "/idx"
+    // the sorted serving layout (cells id-sorted within files)
+    SimilarityOps.writeIvfPqIndex(
+      SimilarityOps.ivfPqIndex(
+        e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+        centers, codebooks), dir, "vec_id")
+    val qvec = e.filter($"vec_id" === 0L).select($"embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toArray
+    val served = SimilarityOps.ivfPqTopKStored(spark, dir, "vec_id",
+      e, "vec_id", "embedding", qvec, centers, codebooks,
+      nProbe = 2, shortlist = 50, k = 10)
+    val p = served.queryExecution.executedPlan.toString
+    // the corpus-side scan must carry the pushed In(vec_id, ...) from
+    // the shortlist's literal ids — the point-lookup re-rank fetch
+    // (plain contains: a long IN-list is truncated inside the plan
+    // string's PushedFilters bracket, so a bracket-matching regex
+    // never closes)
+    assert(p.contains("PushedFilters: [In(vec_id"),
+      s"no pushed id IN-list on the re-rank corpus scan:\n$p")
+    // bit-parity with the in-memory face (the join-source referee)
+    val inMem = SimilarityOps.ivfPqTopK(
+      SimilarityOps.ivfPqIndex(
+        e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+        centers, codebooks),
+      "vec_id", e, "vec_id", "embedding",
+      qvec, centers, codebooks, nProbe = 2, shortlist = 50, k = 10)
+    assert(served.collect().toSeq === inMem.collect().toSeq)
+    // the multi face shares the literal-fetch path — parity there too
+    val queries = e.filter($"vec_id" < 3L)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val multiStored = SimilarityOps.ivfPqTopKMultiStored(spark, dir,
+        "vec_id", e, "vec_id", "embedding", queries, "qid", "qv",
+        centers, codebooks, nProbe = 2, shortlist = 50, k = 10)
+      .select($"qid", $"rank", $"vec_id", $"cos_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val multiMem = SimilarityOps.ivfPqTopKMulti(
+        SimilarityOps.ivfPqIndex(
+          e.select($"vec_id", $"embedding"), "vec_id", "embedding",
+          centers, codebooks),
+        "vec_id", e, "vec_id", "embedding", queries, "qid", "qv",
+        centers, codebooks, nProbe = 2, shortlist = 50, k = 10)
+      .select($"qid", $"rank", $"vec_id", $"cos_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(multiStored === multiMem)
+  }
+
   test("IVF×PQ index REFRESH: delta append under frozen quantization ≡ " +
        "full rebuild, and serving still prunes to the probed cells") {
     import graft.ops.SimilarityOps
