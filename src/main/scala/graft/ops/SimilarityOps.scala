@@ -932,6 +932,24 @@ object SimilarityOps {
     * Contract: `batch` unique by idCol (checked — duplicates would
     * serve two versions at one seq); single writer; quantization
     * frozen like [[refreshIvfPqIndex]].
+    *
+    * RECALL-DRIFT caveat (measured in IndexMaintBench's `ivfpq_drift`
+    * rows): re-encoding with frozen centers/codebooks is exact w.r.t.
+    * the CONTRACT, but as churn replaces the corpus with a drifted
+    * distribution the index decays silently in BOTH serving
+    * dimensions: partial-probe recall drops (stale cells stop tracking
+    * the data's clusters, codes lose resolution off-codebook), and the
+    * SCAN FRACTION grows (drifted vectors are roughly equidistant to
+    * every stale centroid, so they crowd into few cells and a probe
+    * there trends toward a full-corpus ADC scan — at full churn the
+    * measured probe read 75% of the corpus, which then masquerades as
+    * "recovered" recall). Watch recall@k of the maintained probe vs
+    * [[bruteForceTopK]] AND the probed-cell row fraction on drifted
+    * traffic; when either crosses the serving floor, RE-TRAIN ON A
+    * REBUILD (fresh centers/codebooks + [[ivfPqIndex]] over the
+    * current corpus — measured to restore both to the designed band) —
+    * never swap quantization under a live layout, old codes become
+    * undecodable.
     */
   def upsertIntoIvfPqIndex(
       dir: String, batch: DataFrame, idCol: String, vecCol: String,
