@@ -385,6 +385,102 @@ class IndexMaintenanceSpec extends SparkTestBase {
       "post-compact upsert must serve exactly one version")
   }
 
+  test("refresh DURING a live upsert window (VERDICT r12 #7): the " +
+       "refresh lands at the seq high-water mark == the concurrent " +
+       "upsert's seq, and NO interleaving serves two versions of one " +
+       "id — on both set-tombstone families, through later ops and " +
+       "compact") {
+    // LSH leg
+    val sig = Seq(
+        (1L, Seq(11L, 12L, 13L)), (2L, Seq(21L, 22L, 23L)),
+        (3L, Seq(31L, 32L, 33L)))
+      .toDF("doc_id", "sig").localCheckpoint()
+    def sigOf(id: Long, v: Int) = sig.filter($"doc_id" === id)
+      .select($"doc_id", transform($"sig", h => h + v * 7919L).as("sig"))
+    val table = "graft_maint_live_window_lsh"
+    BucketingOps.writeBucketed(
+      DedupOps.lshBandKeyTable(sigOf(1L, 0).unionByName(sigOf(2L, 0)),
+        "doc_id", "sig", 3, 1),
+      table, Seq("band", "bh"), nBuckets = 2)
+    // open the live window: delete 2 (seq 0), REPLACE 1 (seq 1)
+    DedupOps.removeFromLshIndex(spark, table, Seq(2L).toDF("doc_id"),
+      "doc_id")
+    DedupOps.upsertIntoLshIndex(spark, table, sigOf(1L, 1),
+      "doc_id", "sig", 3, 1, nBuckets = 2)
+    // refresh NEW id 3 inside the window — lands AT the upsert's seq
+    DedupOps.refreshLshIndex(table, sigOf(3L, 0),
+      "doc_id", "sig", 3, 1, nBuckets = 2)
+    def oneVersionEach(): Unit = {
+      val counts = DedupOps.activeLshIndex(spark, table, "doc_id")
+        .groupBy($"doc_id").count().as[(Long, Long)].collect().toMap
+      assert(counts.keySet === Set(1L, 3L), s"live ids: $counts")
+      assert(counts.values.forall(_ === 3L),
+        s"every live id must serve exactly one version (3 band keys): " +
+          s"$counts")
+      // ...and id 1 serves its REPLACED keys, not the originals
+      val keys1 = DedupOps.activeLshIndex(spark, table, "doc_id")
+        .filter($"doc_id" === 1L).select($"bh").as[Long].collect().toSet
+      val want1 = DedupOps.lshBandKeyTable(sigOf(1L, 1),
+        "doc_id", "sig", 3, 1).select($"bh").as[Long].collect().toSet
+      assert(keys1 === want1, "id 1 must serve only its new signature")
+    }
+    oneVersionEach()
+    // the refreshed id is fully maintainable from here: replace then
+    // delete, each serving exactly one/zero versions
+    DedupOps.upsertIntoLshIndex(spark, table, sigOf(3L, 2),
+      "doc_id", "sig", 3, 1, nBuckets = 2)
+    assert(DedupOps.activeLshIndex(spark, table, "doc_id")
+      .filter($"doc_id" === 3L).count() === 3L)
+    DedupOps.compactLshIndex(spark, table, "doc_id", 2)
+    val folded = DedupOps.activeLshIndex(spark, table, "doc_id")
+      .select($"band", $"bh", $"doc_id").as[(Int, Long, Long)]
+      .collect().toSet
+    val fresh = DedupOps.lshBandKeyTable(
+        sigOf(1L, 1).unionByName(sigOf(3L, 2)), "doc_id", "sig", 3, 1)
+      .select($"band", $"bh", $"doc_id").as[(Int, Long, Long)]
+      .collect().toSet
+    assert(folded === fresh, "compact ≠ fresh build over the live set")
+    // IVF×PQ leg — same window: delete 2, replace 1, refresh 3
+    val centers = Array.tabulate(4)(c =>
+      Array.tabulate(8)(i => if (i == 2 * c) 8.0 else 0.0))
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(2)(cd =>
+      Array.tabulate(4)(j => (sp + cd + j).toDouble)))
+    def vecOf(id: Long, v: Int) = Seq((id,
+      Array.tabulate(8)(i =>
+        (if (i == 2 * (id % 4)) 8.0f else 0.1f) + v * 0.25f).toSeq))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maint_live_window_ivf").toString + "/idx"
+    SimilarityOps.ivfPqIndex(vecOf(1L, 0).unionByName(vecOf(2L, 0)),
+        "vec_id", "embedding", centers, codebooks)
+      .write.partitionBy("cell").parquet(dir)
+    SimilarityOps.removeFromIvfPqIndex(dir, Seq(2L).toDF("vec_id"),
+      "vec_id")
+    SimilarityOps.upsertIntoIvfPqIndex(dir, vecOf(1L, 1),
+      "vec_id", "embedding", centers, codebooks)
+    SimilarityOps.refreshIvfPqIndex(dir, vecOf(3L, 0),
+      "vec_id", "embedding", centers, codebooks)
+    val act = SimilarityOps.activeIvfPqIndex(spark, dir, "vec_id")
+      .groupBy($"vec_id").count().as[(Long, Long)].collect().toMap
+    assert(act === Map(1L -> 1L, 3L -> 1L),
+      s"live window must serve exactly one version per live id: $act")
+    // and the refreshed id dies to a LATER delete despite sharing the
+    // upsert's seq high-water
+    SimilarityOps.removeFromIvfPqIndex(dir, Seq(3L).toDF("vec_id"),
+      "vec_id")
+    assert(SimilarityOps.activeIvfPqIndex(spark, dir, "vec_id")
+      .filter($"vec_id" === 3L).isEmpty)
+    SimilarityOps.compactIvfPqIndex(spark, dir, "vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"cell".cast("int"),
+        concat_ws(",", $"codes".cast("array<string>")))
+      .as[(Long, Int, String)].collect().toSet
+    assert(rows(spark.read.parquet(dir)) ===
+      rows(SimilarityOps.ivfPqIndex(vecOf(1L, 1),
+        "vec_id", "embedding", centers, codebooks)),
+      "compact after the live window ≠ fresh build over the live set")
+  }
+
   test("PostingIndex: seeded append/upsert/remove/compact drill ≡ " +
        "fresh buildTokenized over the live (id → version) model " +
        "(scores bit-for-bit)") {
