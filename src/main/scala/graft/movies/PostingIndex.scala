@@ -330,6 +330,24 @@ final class PostingIndex private (
     }.toMap
   }
 
+  /** Signed variant of [[termDfsOver]]: each row contributes its
+    * `__sign` column instead of 1 — the top-k maintained-df correction
+    * folds its subtract leg (base versions of touched ids, sign −1)
+    * and add leg (current delta docs, sign +1) into ONE bounded job.
+    */
+  private def termDfsSigned(
+      docs: DataFrame, terms: Seq[String]): Map[String, Long] = {
+    val aggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(
+        fields.map(f => array_contains(Search.toks(f), t))
+          .reduce(_ || _), col("__sign")).otherwise(0L)).as(s"df_$i")
+    }
+    val row = docs.agg(aggs.head, aggs.tail: _*).head()
+    terms.zipWithIndex.map { case (t, i) =>
+      t -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+    }.toMap
+  }
+
   /** The whole CURRENT corpus (base minus touched, plus delta fold) —
     * the browse/compaction view. O(base + delta log).
     */
@@ -581,15 +599,21 @@ final class PostingIndex private (
     val dfs: Map[String, Long] =
       if (segs.isEmpty) dfsBase
       else {
+        // ONE signed aggregate for both correction legs (the union is
+        // still bounded by touched-buckets + |log|): base versions of
+        // touched ids count −1, current delta docs count +1
         val touched = touchedIds(segs).get
-        val sub = termDfsOver(baseVersionsOf(touched), terms)
-        val add = termDfsOver(currentDeltaDocs(segs).get, terms)
+        val corr = termDfsSigned(
+          baseVersionsOf(touched).withColumn("__sign", lit(-1L))
+            .unionByName(currentDeltaDocs(segs).get
+              .withColumn("__sign", lit(1L))),
+          terms)
         terms.map { t =>
-          val d = dfsBase(t) - sub(t) + add(t)
+          val d = dfsBase(t) + corr(t)
           require(d >= 0L,
             s"maintained df for '$t' went negative ($d = ${dfsBase(t)} " +
-              s"- ${sub(t)} + ${add(t)}) — dfstats/base/delta drift; " +
-              "rebuild the index")
+              s"+ ${corr(t)}) — dfstats/base/delta drift; rebuild the " +
+              "index")
           t -> d
         }.toMap
       }
