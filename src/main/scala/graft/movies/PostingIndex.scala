@@ -252,10 +252,16 @@ final class PostingIndex private (
     */
   private def currentDeltaDocs(segs: Seq[Seg]): Option[DataFrame] =
     if (segs.isEmpty) None
-    else Some(
-      graft.cdc.Snapshot.latestPerKey(deltaAll(segs), idCol, SeqCol, SeqCol)
-        .filter(col(OpCol) === "u")
-        .select(analyzedCols: _*))
+    else Some(currentDeltaOf(deltaAll(segs)))
+
+  /** The latest-per-id live-doc fold of an already-read delta frame —
+    * shared so a caller that PINNED [[deltaAll]] (the maintained top-k
+    * serve) folds the same way the per-call path does.
+    */
+  private def currentDeltaOf(delta: DataFrame): DataFrame =
+    graft.cdc.Snapshot.latestPerKey(delta, idCol, SeqCol, SeqCol)
+      .filter(col(OpCol) === "u")
+      .select(analyzedCols: _*)
 
   /** The stored CURRENT versions of `ids` (callers pin `ids`): the
     * pruned base read minus delta-touched ids, plus the delta log's
@@ -315,20 +321,12 @@ final class PostingIndex private (
   /** Per-term document counts over an analyzed doc view — ONE bounded
     * aggregate (≤ |terms| sums). Shared by the maintained serve's
     * df-within-candidates fold and the top-k face's delta-log df
-    * corrections, so the two paths cannot drift.
+    * corrections, so the two paths cannot drift: this is
+    * [[termDfsSigned]] with every row contributing +1.
     */
   private def termDfsOver(
-      docs: DataFrame, terms: Seq[String]): Map[String, Long] = {
-    val aggs = terms.zipWithIndex.map { case (t, i) =>
-      sum(when(
-        fields.map(f => array_contains(Search.toks(f), t))
-          .reduce(_ || _), 1L).otherwise(0L)).as(s"df_$i")
-    }
-    val row = docs.agg(aggs.head, aggs.tail: _*).head()
-    terms.zipWithIndex.map { case (t, i) =>
-      t -> (if (row.isNullAt(i)) 0L else row.getLong(i))
-    }.toMap
-  }
+      docs: DataFrame, terms: Seq[String]): Map[String, Long] =
+    termDfsSigned(docs.withColumn("__sign", lit(1L)), terms)
 
   /** Signed variant of [[termDfsOver]]: each row contributes its
     * `__sign` column instead of 1 — the top-k maintained-df correction
@@ -384,8 +382,20 @@ final class PostingIndex private (
     */
   private def candidateDocs(
       termsDf: DataFrame, tbBuckets: Seq[Int],
-      segs: Seq[Seg]): Option[DataFrame] = {
-    val touched = touchedIds(segs)
+      segs: Seq[Seg]): Option[DataFrame] =
+    candidateDocsFrom(termsDf, tbBuckets,
+      touchedIds(segs), currentDeltaDocs(segs))
+
+  /** [[candidateDocs]] over pre-derived delta views — the maintained
+    * top-k serve pins [[deltaAll]] once and passes its touched-id and
+    * live-doc folds here, instead of re-reading the K-segment
+    * mergeSchema log per driver action (the write-path O(K²) class
+    * ADVICE r12 #2 removed, kept off the read path too).
+    */
+  private def candidateDocsFrom(
+      termsDf: DataFrame, tbBuckets: Seq[Int],
+      touched: Option[DataFrame],
+      cur: Option[DataFrame]): Option[DataFrame] = {
     val base: Option[DataFrame] =
       if (!hasPostings || tbBuckets.isEmpty) None
       else {
@@ -408,13 +418,13 @@ final class PostingIndex private (
             pruned.join(broadcast(t), Seq(idCol), "left_anti")))
         }
       }
-    val deltaCand: Option[DataFrame] = currentDeltaDocs(segs).map { cur =>
-      val matching = cur
+    val deltaCand: Option[DataFrame] = cur.map { c =>
+      val matching = c
         .select(col(idCol), explode(array_distinct(
           concat(fields.map(Search.toks): _*))).as("term"))
         .join(termsDf, Seq("term"), "left_semi")
         .select(col(idCol)).distinct()
-      cur.join(matching, Seq(idCol), "left_semi")
+      c.join(matching, Seq(idCol), "left_semi")
     }
     (base.toSeq ++ deltaCand.toSeq).reduceOption(_ unionByName _)
   }
@@ -596,17 +606,25 @@ final class PostingIndex private (
     // segment publish (a torn op's segment is ignored by the seq
     // window, and these corrections read exactly the published window).
     val dfsBase = terms.map(t => t -> 0L).toMap ++ readDfStats(terms)
+    // the K-segment mergeSchema log read, PINNED once per serve: the
+    // df correction, the candidate fold's anti-join AND its live-doc
+    // leg all read this one bounded materialization instead of paying
+    // a fresh multi-file log read per driver action (the O(K)-opens
+    // class ADVICE r12 #2 removed from the write path)
+    val deltaPinned: Option[DataFrame] =
+      if (segs.isEmpty) None
+      else Some(deltaAll(segs).localCheckpoint())
+    val touchedPinned = deltaPinned.map(_.select(col(idCol)).distinct())
+    val curPinned = deltaPinned.map(currentDeltaOf)
     val dfs: Map[String, Long] =
       if (segs.isEmpty) dfsBase
       else {
         // ONE signed aggregate for both correction legs (the union is
         // still bounded by touched-buckets + |log|): base versions of
         // touched ids count −1, current delta docs count +1
-        val touched = touchedIds(segs).get
         val corr = termDfsSigned(
-          baseVersionsOf(touched).withColumn("__sign", lit(-1L))
-            .unionByName(currentDeltaDocs(segs).get
-              .withColumn("__sign", lit(1L))),
+          baseVersionsOf(touchedPinned.get).withColumn("__sign", lit(-1L))
+            .unionByName(curPinned.get.withColumn("__sign", lit(1L))),
           terms)
         terms.map { t =>
           val d = dfsBase(t) + corr(t)
@@ -649,8 +667,8 @@ final class PostingIndex private (
         // a selective term. Every current doc containing a selective
         // term is in here, which is all the safety argument needs.
         import spark.implicits._
-        candidateDocs(selective.toDF("term"), termBuckets(selective),
-          segs)
+        candidateDocsFrom(selective.toDF("term"), termBuckets(selective),
+          touchedPinned, curPinned)
       } else {
         val posts = spark.read.parquet(postingsPath)
           .filter(col(TermBucketCol).isin(termBuckets(selective): _*) &&

@@ -285,19 +285,33 @@ object DedupOps {
     }
   }
 
-  /** LEGACY next-seq derive for a pre-sidecar store: a max-aggregate
-    * over the mergeSchema-read tombstone table. Paid at most once per
-    * store — [[SeqSidecar.alloc]] seeds the sidecar from it and every
-    * later op reads the sidecar (one tiny JSON file) instead of
-    * re-scanning the tombstone dir per op (ADVICE r12 #2's O(K²)
+  /** LEGACY next-seq derive for a pre-sidecar (or sidecar-deleted)
+    * store: the max seq across the tombstone table AND the stored
+    * index rows, + 1. The ROW side matters (review-pass fix, round
+    * 13): a refresh lands rows at the sidecar's high-water mark, which
+    * can be a seq a torn op burned — reserved, tombstones never
+    * written — so a tombstone-only derive would re-issue that seq and
+    * a later delete of the refreshed id would TIE its row and lose.
+    * Paid at most once per store — [[SeqSidecar.alloc]] seeds the
+    * sidecar from it and every later op reads the sidecar (one tiny
+    * JSON file) instead of re-scanning per op (ADVICE r12 #2's O(K²)
     * file-open aggregate across a K-op no-compact window).
     */
   private def nextLshSeq(
-      spark: org.apache.spark.sql.SparkSession, table: String): Long =
-    lshTombstones(spark, table).fold(0L) { t =>
-      val r = t.agg(max(col(LshSeqCol))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+      spark: org.apache.spark.sql.SparkSession, table: String): Long = {
+    def maxOf(df: DataFrame): Long = {
+      val r = df.agg(max(coalesce(col(LshSeqCol), lit(LshBaseSeq)))).head()
+      if (r.isNullAt(0)) LshBaseSeq else r.getLong(0)
     }
+    val tombMax = lshTombstones(spark, table).fold(LshBaseSeq)(maxOf)
+    val rowMax =
+      if (!spark.catalog.tableExists(table)) LshBaseSeq
+      else {
+        val t = spark.table(table)
+        if (!t.columns.contains(LshSeqCol)) LshBaseSeq else maxOf(t)
+      }
+    math.max(tombMax, rowMax) + 1L
+  }
 
   /** Reserve the next maintenance-op seq: sidecar read + bump (O(1)),
     * legacy tombstone-table derive only for a pre-sidecar store;

@@ -33,9 +33,19 @@ import org.apache.spark.sql.SparkSession
   * of it (older than the tombstone table) could re-allocate a used
   * seq — that is store corruption of the same class as a torn
   * compact on these families: rebuild. DELETING it is safe: the next
-  * alloc derives from the tombstone table (≥ every allocated seq by
-  * the alloc-before-use order... except a seq burned by a torn op,
-  * whose tombstones never landed — equally unused, so reuse is fine).
+  * alloc legacy-derives from the max seq across the tombstone table
+  * AND the stored rows — the row side matters because a REFRESH can
+  * land rows at a seq a torn op burned (reserved in the sidecar,
+  * tombstones never written); a tombstone-only derive would re-issue
+  * that seq and a later delete of the refreshed id would tie it and
+  * lose (review-pass fix, round 13).
+  *
+  * Durability of the sidecar itself: writes go through a tmp file +
+  * rename, so the visible file is always a complete JSON document —
+  * a crash mid-publish leaves either the previous sidecar or none
+  * (none ⇒ the safe legacy derive). A present file MISSING the
+  * `nextSeq` field is external corruption and trips a loud require
+  * rather than silently restarting the counter at 0.
   */
 private[graft] object SeqSidecar {
 
@@ -45,7 +55,11 @@ private[graft] object SeqSidecar {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The persisted next-seq, if a sidecar exists. */
+  /** The persisted next-seq, if a sidecar exists. A file that exists
+    * but carries no `nextSeq` is corruption (the tmp+rename publish
+    * never exposes a partial file) — loud, never a silent counter
+    * reset to 0.
+    */
   def readNext(spark: SparkSession, store: String): Option[Long] = {
     val p = sidecarPath(store)
     val fs = fsOf(spark, p)
@@ -54,7 +68,12 @@ private[graft] object SeqSidecar {
       val in = fs.open(p)
       val root =
         try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        catch { case scala.util.control.NonFatal(_) => null }
         finally in.close()
+      require(root != null && root.hasNonNull("nextSeq"),
+        s"corrupt seq sidecar at ${p}: no readable nextSeq field — " +
+          "delete it to fall back to the legacy derive, or rebuild " +
+          "the store")
       Some(root.path("nextSeq").asLong())
     }
   }
@@ -65,9 +84,17 @@ private[graft] object SeqSidecar {
     val root = mapper.createObjectNode()
     root.put("nextSeq", next)
     val p = sidecarPath(store)
+    val tmp = new Path(p.toString + ".tmp")
     val fs = fsOf(spark, p)
-    val out = fs.create(p, true)
+    // tmp + rename: the visible sidecar is always a COMPLETE document;
+    // a crash anywhere in here leaves the previous sidecar or none —
+    // both safe (none ⇒ legacy derive). The delete+rename pair is not
+    // atomic on every FS, but its only crash residue is ABSENCE.
+    val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    if (fs.exists(p)) { fs.delete(p, false); () }
+    require(fs.rename(tmp, p),
+      s"could not publish seq sidecar $p (rename failed)")
   }
 
   /** Reserve and return the next op seq: sidecar read (one tiny file)

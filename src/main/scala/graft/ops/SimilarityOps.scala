@@ -857,19 +857,37 @@ object SimilarityOps {
     }
   }
 
-  /** LEGACY next-seq derive for a pre-sidecar layout: a max-aggregate
-    * over the mergeSchema-read tombstone table. Paid at most once per
-    * store — [[SeqSidecar.alloc]] seeds the sidecar from it and every
-    * later op reads the sidecar (one tiny JSON file) instead of
-    * re-scanning the tombstone dir per op (ADVICE r12 #2's O(K²)
+  /** LEGACY next-seq derive for a pre-sidecar (or sidecar-deleted)
+    * layout: the max seq across the mergeSchema-read tombstone table
+    * AND the stored rows, + 1. The ROW side matters (review-pass fix,
+    * round 13): a refresh lands rows at the sidecar's high-water mark,
+    * which can be a seq a torn op burned — reserved, tombstones never
+    * written — so a tombstone-only derive would re-issue that seq and
+    * a later delete of the refreshed id would TIE its row and lose.
+    * Paid at most once per store: [[SeqSidecar.alloc]] seeds the
+    * sidecar from it and every later op reads the sidecar (one tiny
+    * JSON file) instead of re-scanning per op (ADVICE r12 #2's O(K²)
     * file-open aggregate across a K-op no-compact window).
     */
   private def nextIvfSeq(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Long =
-    ivfTombstones(spark, dir).fold(0L) { t =>
-      val r = t.agg(max(col(IvfSeqCol))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+      spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    def maxOf(df: DataFrame, c: String): Long = {
+      val r = df.agg(max(coalesce(col(c), lit(IvfBaseSeq)))).head()
+      if (r.isNullAt(0)) IvfBaseSeq else r.getLong(0)
     }
+    val tombMax = ivfTombstones(spark, dir).fold(IvfBaseSeq)(
+      maxOf(_, IvfSeqCol))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rowMax =
+      if (!fs.exists(p)) IvfBaseSeq
+      else {
+        val df = spark.read.option("mergeSchema", "true").parquet(dir)
+        if (!df.columns.contains(IvfSeqCol)) IvfBaseSeq
+        else maxOf(df, IvfSeqCol)
+      }
+    math.max(tombMax, rowMax) + 1L
+  }
 
   /** Reserve the next maintenance-op seq: sidecar read + bump (O(1)),
     * legacy tombstone-table derive only for a pre-sidecar store;
@@ -1042,14 +1060,14 @@ object SimilarityOps {
     // ties or beats, silently keeping the deleted version serving.
     // Invariant after this widening: every seq > base row is either
     // tombstoned or in a cell compact rewrites, so resetting survivors
-    // to base and restarting the counter at 0 is safe.
-    val scanned = withIvfSeq(spark.read.parquet(dir))
-    val affected = scanned
-      .join(tmax, Seq(idCol), "left_semi")
-      .select(col("cell"))
-      .union(scanned.filter(col(IvfSeqCol) > lit(IvfBaseSeq))
-        .select(col("cell")))
-      .distinct()
+    // to base and restarting the counter at 0 is safe. Both legs fold
+    // into ONE index pass (left join + disjunctive filter — a union of
+    // the semi-join leg and the seq leg would scan the layout twice).
+    val affected = withIvfSeq(spark.read.parquet(dir))
+      .join(tmax, Seq(idCol), "left")
+      .filter(col("__tmax").isNotNull ||
+        col(IvfSeqCol) > lit(IvfBaseSeq))
+      .select(col("cell")).distinct()
       .collect().map(_.getAs[Number](0).intValue()).sorted.toSeq
     if (affected.nonEmpty) {
       val existing = withIvfSeq(spark.read.parquet(dir)
@@ -1070,13 +1088,10 @@ object SimilarityOps {
         val kept = keep.localCheckpoint(eager = true)
         val keptCells = kept.select(col("cell")).distinct()
           .collect().map(_.getAs[Number](0).intValue()).toSet
-        // rewritten cells land SORTED BY ID (the writeIvfPqIndex
-        // layout) so compacted cells regain row-group skipping
-        kept
-          .repartition(col("cell"))
-          .sortWithinPartitions(col("cell"), col(idCol))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .partitionBy("cell").parquet(dir)
+        // rewritten cells land SORTED BY ID — the one sorted-layout
+        // recipe (writeIvfPqIndex), under the dynamic partition
+        // overwrite set above so only the affected cells rewrite
+        writeIvfPqIndex(kept, dir, idCol, mode = "overwrite")
         affected.filterNot(keptCells).foreach { c =>
           val p = new Path(s"$dir/cell=$c")
           if (fs.exists(p)) { fs.delete(p, true); () }
@@ -1483,10 +1498,9 @@ object SimilarityOps {
     // a ≤shortlist-row fetch instead of streaming the whole vector
     // table through the join (at 100 TB THE dominant serve cost)
     val lut = pqLut(query, codebooks)
-    val (short, fetch) = rerankPrep(
-      pqAdcTopK(index, idCol, "codes", lut, shortlist)
-        .select(col(idCol), col("cell"), col("adc_score")),
-      idCol, vectors, vecIdCol, vecCol)
+    val short = pqAdcTopK(index, idCol, "codes", lut, shortlist)
+      .select(col(idCol), col("cell"), col("adc_score"))
+    val fetch = rerankSourceOf(short, idCol, vectors, vecIdCol, vecCol)
     val qlit = typedLit(query.map(_.toFloat))
     short
       .join(fetch, Seq(idCol))
@@ -1496,32 +1510,36 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** Pin the ADC shortlist and derive the re-rank VECTOR SOURCE:
+  /** Derive the re-rank VECTOR SOURCE for an ADC shortlist:
     * driver-small survivor sets fetch their true vectors by PUSHED id
     * literals (the scoreTermsTopK literal-id discipline; on an
     * id-sorted store — [[writeIvfPqIndex]], Tables' parquet — the
     * predicate skips row groups, point-lookup IO instead of streaming
     * the whole vector table through the join). One bounded collect
     * (≤ cap+1 ids) per query batch; larger shortlists keep the plain
-    * join source. The shortlist pins via `persist`, NOT
-    * localCheckpoint: the cache evaluates the ADC scan once (the id
-    * collect materializes it, the re-rank join reuses it) while
-    * keeping the scan's lineage — and its pushed cell partition
-    * filters — visible in the served plan (PlansSpec asserts both).
+    * join source.
+    *
+    * The id collect is a SECOND evaluation of the shortlist plan —
+    * deliberately: both `persist` and `localCheckpoint` pin a
+    * strongly-referenced entry Spark never releases on its own (a
+    * cache entry per serve leaks, and `refreshByPath` from the next
+    * maintenance op would re-execute every accumulated cached plan —
+    * review-pass finding, round 13), and checkpointing additionally
+    * severs the lineage whose pruned cell scan PlansSpec asserts. The
+    * extra evaluation is probed-cells-bounded ADC arithmetic — small
+    * next to the corpus-wide vector stream the literal fetch removes,
+    * and deterministic (integer ADC scores, id-tied ranks), so both
+    * evaluations name the same survivors.
     */
-  private def rerankPrep(
-      short0: DataFrame, idCol: String,
-      vectors: DataFrame, vecIdCol: String, vecCol: String)
-      : (DataFrame, DataFrame) = {
-    val short = short0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def rerankSourceOf(
+      short: DataFrame, idCol: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String): DataFrame = {
     val slim = vectors.select(col(vecIdCol).as(idCol), col(vecCol).as("__v"))
     val ids = short.select(col(idCol)).distinct()
       .limit(IvfIdPushdownCap + 1).collect().map(_.get(0)).toSeq
-    (short,
-      if (ids.nonEmpty && ids.length <= IvfIdPushdownCap)
-        slim.filter(col(idCol).isin(ids: _*))
-      else slim)
+    if (ids.nonEmpty && ids.length <= IvfIdPushdownCap)
+      slim.filter(col(idCol).isin(ids: _*))
+    else slim
   }
 
   /** Cap on the literal-id re-rank fetch (above it the pushed IN-list
@@ -1625,16 +1643,14 @@ object SimilarityOps {
     // RE-RANK: fetch the ≤ |queries|·shortlist survivors' full vectors
     // — by PUSHED id literals when the batch's survivor set is
     // driver-small (one bounded collect per BATCH, extending the
-    // probed-cell-list driver-state discipline), else the plain join;
-    // rerankPrep pins the shortlist so the ADC scan runs exactly once
-    val (short, fetch) = rerankPrep(
-      index.join(broadcast(probeLut), Seq("cell"))
-        .withColumn("adc_score", adcScoreColumn("codes", codebooks.length))
-        .select(col(queryIdCol), col(idCol), col("cell"),
-          col("adc_score"), col("__qv"))
-        .withColumn("__rk", row_number().over(ws))
-        .filter(col("__rk") <= shortlist),
-      idCol, vectors, vecIdCol, vecCol)
+    // probed-cell-list driver-state discipline), else the plain join
+    val short = index.join(broadcast(probeLut), Seq("cell"))
+      .withColumn("adc_score", adcScoreColumn("codes", codebooks.length))
+      .select(col(queryIdCol), col(idCol), col("cell"),
+        col("adc_score"), col("__qv"))
+      .withColumn("__rk", row_number().over(ws))
+      .filter(col("__rk") <= shortlist)
+    val fetch = rerankSourceOf(short, idCol, vectors, vecIdCol, vecCol)
     val wr = Window.partitionBy(col(queryIdCol))
       .orderBy(col("cos_micro").desc, col(idCol).asc)
     short

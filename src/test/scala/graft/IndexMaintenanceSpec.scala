@@ -333,6 +333,55 @@ class IndexMaintenanceSpec extends SparkTestBase {
       .select($"doc_id").distinct().count() === 2L)
   }
 
+  test("burned-seq recovery (review-pass r13): a refresh lands on a " +
+       "seq a torn op reserved but never used; deleting the sidecar " +
+       "then removing the refreshed id must still win — the legacy " +
+       "derive covers ROW seqs, not just tombstones; and a corrupt " +
+       "sidecar trips loudly instead of resetting the counter") {
+    val centers = Array.tabulate(2)(c =>
+      Array.tabulate(8)(i => if (i == 4 * c) 4.0 else 0.0))
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(2)(cd =>
+      Array.tabulate(4)(j => (sp + cd + j).toDouble)))
+    val emb = Seq(
+        (1L, Array.tabulate(8)(i => (i % 3).toFloat).toSeq),
+        (3L, Array.tabulate(8)(i => ((i + 1) % 3).toFloat).toSeq))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maint_burned").toString + "/idx"
+    SimilarityOps.ivfPqIndex(emb.filter($"vec_id" === 1L),
+        "vec_id", "embedding", centers, codebooks)
+      .write.partitionBy("cell").parquet(dir)
+    // op at seq 0 (tombstone lands, sidecar -> next 1)
+    SimilarityOps.removeFromIvfPqIndex(dir,
+      Seq(1L).toDF("vec_id"), "vec_id")
+    // a TORN op burns seq 1: reserved in the sidecar, nothing written
+    assert(graft.ops.SeqSidecar.alloc(spark, dir, 0L) === 1L)
+    // refresh lands id 3 at the high-water mark — the burned seq 1
+    SimilarityOps.refreshIvfPqIndex(dir,
+      emb.filter($"vec_id" === 3L), "vec_id", "embedding",
+      centers, codebooks)
+    assert(SimilarityOps.activeIvfPqIndex(spark, dir, "vec_id")
+      .filter($"vec_id" === 3L).count() === 1L)
+    // the documented-safe recovery: delete the sidecar; the next op
+    // must legacy-derive ABOVE the refresh row's seq (tombstone max is
+    // only 0 — a tombstone-only derive would re-issue 1 and the
+    // delete below would TIE the refresh row and lose)
+    val sidecar = new java.io.File(dir + "__maint.json")
+    assert(sidecar.exists() && sidecar.delete())
+    SimilarityOps.removeFromIvfPqIndex(dir,
+      Seq(3L).toDF("vec_id"), "vec_id")
+    assert(SimilarityOps.activeIvfPqIndex(spark, dir, "vec_id")
+      .filter($"vec_id" === 3L).isEmpty,
+      "a delete after sidecar loss must beat a burned-seq refresh row")
+    // corrupt sidecar (torn-write shape): loud require, not seq 0
+    java.nio.file.Files.writeString(sidecar.toPath, "")
+    val err = intercept[IllegalArgumentException] {
+      SimilarityOps.removeFromIvfPqIndex(dir,
+        Seq(1L).toDF("vec_id"), "vec_id")
+    }
+    assert(err.getMessage.contains("corrupt seq sidecar"))
+  }
+
   test("IVF×PQ compact rewrites REFRESH rows too: a refreshed id in a " +
        "cell no tombstoned id touches is reset to base seq, so a " +
        "post-compact delete (seq counter restarted at 0) still wins — " +
