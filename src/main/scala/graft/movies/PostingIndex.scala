@@ -650,11 +650,7 @@ final class PostingIndex private (
     // re-scoring is selective-posting-bounded — cheap next to the
     // stopword scan the fallback must pay anyway.
     if (selective.map(dfs(_)).sum < k) return fallback()
-    def idf(t: String): Double = {
-      val d = dfs(t).toDouble
-      math.log(1.0 + (nDocs.toDouble - d + 0.5) / (d + 0.5))
-    }
-    val bound = excluded.map(idf).sum
+    val bound = excluded.map(t => idfOf(dfs(t))).sum
     // phase 2: candidates off the SELECTIVE posting buckets only,
     // scored with the full query's terms and the exact dfs — the same
     // Search.bm25f expression and integers as the full path, so
@@ -816,43 +812,63 @@ final class PostingIndex private (
         val idfRows = pairs.groupBy(col("term")).count().collect()
         if (idfRows.isEmpty) return emptyScoredMulti(queries, queryIdCol)
         val idfDf = idfRows.map { r =>
-          val df = r.getLong(1).toDouble
-          (r.getString(0),
-            math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5)))
+          (r.getString(0), idfOf(r.getLong(1)))
         }.toSeq.toDF("term", "__idf")
-        val tftCol = fields.map { f =>
-          val avgdl = math.max(avgdls(f), 1e-9)
-          val dl = size(Search.toks(f)).cast("double")
-          val tf = size(filter(Search.toks(f), x => x === col("term")))
-            .cast("double")
-          lit(weights(f).toDouble) * tf /
-            (lit(1 - Search.B) + lit(Search.B) * dl / lit(avgdl))
-        }.reduce(_ + _)
-        // `cand` is referenced for pairs, contribution inputs and the
-        // final payload attach — identical subtrees, so Spark's
-        // exchange/scan reuse applies; never a second candidate
-        // derivation
-        val contribs = pairs.join(broadcast(idfDf), Seq("term"))
-          .join(cand.select((col(idCol) +: fields.map(Search.toks)): _*),
-            Seq(idCol))
-          .withColumn("__tft", tftCol)
-          .select(col("term"), col(idCol),
-            (col("__idf") * col("__tft") / (lit(Search.K1) + col("__tft")))
-              .as("__contrib"))
-        // per (query, doc): fold contributions in the query's term
-        // order — deterministic association, bit-equal to the single
-        // face's Σ_t
-        val scores = qterms.join(contribs, Seq("term"))
-          .groupBy(col(queryIdCol), col(idCol))
-          .agg(collect_list(struct(col("__tidx"), col("__contrib")))
-            .as("__cs"))
-          .withColumn("score",
-            aggregate(array_sort(col("__cs")), lit(0.0),
-              (acc, x) => acc + x.getField("__contrib")))
-          .select(col(queryIdCol), col(idCol), col("score"))
-        scores.join(cand, Seq(idCol))
-          .select((col(queryIdCol) +: outCols): _*)
+        foldScoresMulti(qterms, queryIdCol, pairs, cand, idfDf)
     }
+  }
+
+  /** idf from an exact integer df — ONE implementation for the single
+    * face, the batched face's driver collect, and the batched top-k's
+    * side-table path, so the doubles cannot drift.
+    */
+  private def idfOf(df: Long): Double =
+    math.log(1.0 + (nDocs.toDouble - df.toDouble + 0.5) /
+      (df.toDouble + 0.5))
+
+  /** The batched BM25F scoring tail shared by [[scoreTermsMulti]] and
+    * [[scoreTermsTopKMulti]]: per-(term, doc) contributions computed
+    * once over the candidate set, folded per (query, doc) in the
+    * query's term order (deterministic association — bit-equal to the
+    * single face's Σ_t). One code path ⇒ the pruned top-k face cannot
+    * drift from the exact one.
+    */
+  private def foldScoresMulti(
+      qterms: DataFrame, queryIdCol: String,
+      pairs: DataFrame, cand: DataFrame,
+      idfDf: DataFrame): DataFrame = {
+    val tftCol = fields.map { f =>
+      val avgdl = math.max(avgdls(f), 1e-9)
+      val dl = size(Search.toks(f)).cast("double")
+      val tf = size(filter(Search.toks(f), x => x === col("term")))
+        .cast("double")
+      lit(weights(f).toDouble) * tf /
+        (lit(1 - Search.B) + lit(Search.B) * dl / lit(avgdl))
+    }.reduce(_ + _)
+    // `cand` is referenced for pairs, contribution inputs and the
+    // final payload attach — identical subtrees, so Spark's
+    // exchange/scan reuse applies; never a second candidate
+    // derivation
+    val contribs = pairs.join(broadcast(idfDf), Seq("term"))
+      .join(cand.select((col(idCol) +: fields.map(Search.toks)): _*),
+        Seq(idCol))
+      .withColumn("__tft", tftCol)
+      .select(col("term"), col(idCol),
+        (col("__idf") * col("__tft") / (lit(Search.K1) + col("__tft")))
+          .as("__contrib"))
+    // per (query, doc): fold contributions in the query's term
+    // order — deterministic association, bit-equal to the single
+    // face's Σ_t
+    val scores = qterms.join(contribs, Seq("term"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(collect_list(struct(col("__tidx"), col("__contrib")))
+        .as("__cs"))
+      .withColumn("score",
+        aggregate(array_sort(col("__cs")), lit(0.0),
+          (acc, x) => acc + x.getField("__contrib")))
+      .select(col(queryIdCol), col(idCol), col("score"))
+    scores.join(cand, Seq(idCol))
+      .select((col(queryIdCol) +: outCols): _*)
   }
 
   /** Movies-face batched serving: analyze each query string IN-PLAN
@@ -872,6 +888,147 @@ final class PostingIndex private (
     queries.limit(0).select(col(queryIdCol))
       .crossJoin(spark.read.parquet(docsPath).limit(0)
         .withColumn("score", lit(0.0)).select(outCols: _*))
+
+  /** BATCHED top-k serving with per-query MAX-SCORE pruning — the
+    * composition of [[scoreTermsMulti]] (queries as a table, zero
+    * per-query jobs) and [[scoreTermsTopK]] (skip stopword-grade
+    * posting scans when the bound proves they cannot alter the
+    * top-k). Per query, the result is BIT-IDENTICAL to
+    * `scoreTermsMulti` ranked by (score desc, id) and truncated to k.
+    *
+    * Shape: the batch classifies on the driver from the vocab-sized
+    * dfs (side table + the maintained-log corrections — one bounded
+    * collect of the batch's (query, term) pairs, the same
+    * caller-controlled bound as the multi face's idf collect); ONE
+    * phase-2 job scores the union of all prunable queries' selective
+    * candidates with the full batch vocabulary (extra candidates from
+    * other queries' postings are genuine matches — they only improve
+    * a query's top-k); one bounded collect of per-query (count, k-th
+    * score) decides safety; safe queries serve from phase 2, every
+    * other query (no selective/excluded split, Σ df(selective) < k,
+    * bound not strictly beaten) is re-served EXACTLY through
+    * [[scoreTermsMulti]] on the unsafe subset — never a wrong answer,
+    * only a skipped optimization. The scoring tail is
+    * [[foldScoresMulti]], literally the multi face's code, with idf
+    * from the SAME integer dfs ([[idfOf]]) — so pruned scores cannot
+    * drift from exact ones.
+    *
+    * Output: (queryIdCol, doc columns..., score, rank), rank 1..≤k per
+    * query.
+    */
+  def scoreTermsTopKMulti(
+      queries: DataFrame, queryIdCol: String,
+      termsCol: String, k: Int): DataFrame =
+    scoreTermsTopKMultiImpl(queries, queryIdCol, termsCol, k)._1
+
+  /** Test seam: the served frame plus the query ids the PRUNED branch
+    * served (MoviesSpec asserts parity AND that pruning genuinely
+    * fired for the designed queries).
+    */
+  private[graft] def scoreTermsTopKMultiImpl(
+      queries: DataFrame, queryIdCol: String,
+      termsCol: String, k: Int): (DataFrame, Set[Any]) = {
+    require(k > 0, "k must be > 0")
+    require(!docCols.contains(queryIdCol),
+      s"query id column '$queryIdCol' collides with a doc column — " +
+        "both sides appear in the output")
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    def exactFor(qs: DataFrame): DataFrame =
+      scoreTermsMulti(qs, queryIdCol, termsCol)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+    def fallbackAll() = (exactFor(queries), Set.empty[Any])
+    if (nDocs == 0L || !hasPostings || !hasDfStats) return fallbackAll()
+    val segs = liveSegs()
+    // pinned (query, term) pairs — the multi face's rule — and the
+    // ONE driver collect that powers classification (bounded by the
+    // caller's batch, like the multi face's idf collect)
+    val qterms = queries.select(col(queryIdCol),
+        posexplode(array_distinct(col(termsCol)))
+          .as(Seq("__tidx", "term")))
+      .localCheckpoint()
+    val qtRows = qterms.select(col(queryIdCol), col("term")).collect()
+    if (qtRows.isEmpty) return fallbackAll()
+    val perQuery: Map[Any, Seq[String]] = qtRows.toSeq
+      .groupBy(_.get(0))
+      .map { case (q, rows) => q -> rows.map(_.getString(1)).distinct }
+    val vocab = perQuery.values.flatten.toSeq.distinct
+    // exact dfs: side table + the maintained-log corrections (the
+    // single top-k face's discipline, same pinned log)
+    val dfsBase = vocab.map(t => t -> 0L).toMap ++ readDfStats(vocab)
+    val deltaPinned: Option[DataFrame] =
+      if (segs.isEmpty) None else Some(deltaAll(segs).localCheckpoint())
+    val touchedPinned = deltaPinned.map(_.select(col(idCol)).distinct())
+    val curPinned = deltaPinned.map(currentDeltaOf)
+    val dfs: Map[String, Long] = deltaPinned match {
+      case None => dfsBase
+      case Some(_) =>
+        val corr = termDfsSigned(
+          baseVersionsOf(touchedPinned.get).withColumn("__sign", lit(-1L))
+            .unionByName(curPinned.get.withColumn("__sign", lit(1L))),
+          vocab)
+        vocab.map { t =>
+          val d = dfsBase(t) + corr(t)
+          require(d >= 0L,
+            s"maintained df for '$t' went negative — dfstats/base/" +
+              "delta drift; rebuild the index")
+          t -> d
+        }.toMap
+    }
+    // classify per query on the driver
+    def selectiveOf(ts: Seq[String]): (Seq[String], Seq[String]) =
+      ts.filter(dfs(_) > 0L).partition(t => 2L * dfs(t) <= nDocs)
+    val prunable = perQuery.filter { case (_, ts) =>
+      val (sel, exc) = selectiveOf(ts)
+      sel.nonEmpty && exc.nonEmpty && sel.map(dfs).sum >= k
+    }
+    if (prunable.isEmpty) return fallbackAll()
+    val bounds: Map[Any, Double] = prunable.map { case (q, ts) =>
+      q -> selectiveOf(ts)._2.map(t => idfOf(dfs(t))).sum
+    }
+    val selTerms = prunable.values
+      .flatMap(ts => selectiveOf(ts)._1).toSeq.distinct
+    // phase 2: ONE batched job over the union of the prunable
+    // queries' selective candidates (immutable: pruned postings;
+    // maintained: the serve's fold — candidateDocsFrom handles both)
+    candidateDocsFrom(selTerms.toDF("term"), termBuckets(selTerms),
+      touchedPinned, curPinned) match {
+      case None => fallbackAll()
+      case Some(cand) =>
+        // contributions over ALL batch terms (a universe doc matching
+        // a query only through its stopword still scores exactly)
+        val batchTerms = qterms.select(col("term")).distinct()
+        val pairs = cand
+          .select(col(idCol), explode(array_distinct(
+            concat(fields.map(Search.toks): _*))).as("term"))
+          .join(batchTerms, Seq("term"), "left_semi")
+        val idfDf = vocab.filter(dfs(_) > 0L)
+          .map(t => (t, idfOf(dfs(t)))).toDF("term", "__idf")
+        val top = foldScoresMulti(qterms, queryIdCol, pairs, cand, idfDf)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+          .localCheckpoint() // ≤ k·|batch| rows, evaluated exactly once
+        // per-query safety: ONE bounded collect (≤ |batch| rows)
+        val stats = top.groupBy(col(queryIdCol))
+          .agg(count(lit(1)).as("__n"), min(col("score")).as("__kth"))
+          .collect().map(r => r.get(0) -> ((r.getLong(1), r.getDouble(2))))
+          .toMap
+        val safe = prunable.keySet.filter(q =>
+          stats.get(q).exists { case (n, kth) =>
+            n == k.toLong && bounds(q) < kth
+          })
+        if (safe.isEmpty) return fallbackAll()
+        val unsafeQs = perQuery.keySet -- safe
+        val prunedPart = top.filter(col(queryIdCol).isin(safe.toSeq: _*))
+        if (unsafeQs.isEmpty) (prunedPart, safe)
+        else (prunedPart.unionByName(exactFor(
+            queries.filter(col(queryIdCol).isin(unsafeQs.toSeq: _*)))),
+          safe)
+    }
+  }
 
   // ----------------------------------------------------- maintenance
 

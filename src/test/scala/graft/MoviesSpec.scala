@@ -603,6 +603,72 @@ class MoviesSpec extends SparkTestBase {
     assert(rows(fb6) === full(Seq("graftrare", "graftcommon"), 3))
   }
 
+  test("scoreTermsTopKMulti (batched max-score pruning): per query " +
+       "BIT-IDENTICAL to scoreTermsMulti ranked+truncated, the pruned " +
+       "branch fires for exactly the safely-prunable queries (mixed " +
+       "batch: prunable / all-stopword / all-selective / ghost-term), " +
+       "on the immutable AND the maintained layout") {
+    val docs = (1L to 400L).map { i =>
+      val common = if (i % 3 != 0) " graftcommon" else ""
+      val rare = if (i % 97 == 0) " graftrare" else ""
+      (i, s"word${i % 23} filler row$common$rare")
+    }.toDF("id", "text").localCheckpoint()
+    val tokens = Map("text" -> split($"text", "\\s+"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pidx_topk_multi").toString + "/idx"
+    var idx = PostingIndex.buildTokenized(docs, dir, tokens,
+      Map("text" -> 1), idCol = "id", nTermBuckets = 4, nDocBuckets = 4)
+    val queries = Seq(
+      (1L, Seq("graftrare", "graftcommon")), // prunable, safe
+      (2L, Seq("graftcommon")),              // all-stopword → exact
+      (3L, Seq("graftrare")),                // nothing excluded → exact
+      (4L, Seq("ghost", "graftcommon")),     // ghost drops → exact
+      (5L, Seq("word5", "graftcommon")))     // second prunable query
+      .toDF("qid", "terms").localCheckpoint()
+    def want(k: Int) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"score".desc, $"id".asc)
+      idx.scoreTermsMulti(queries, "qid", "terms")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= k)
+        .select($"qid", $"id", $"score", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    }
+    def got(k: Int) = {
+      val (res, safe) = idx.scoreTermsTopKMultiImpl(queries, "qid",
+        "terms", k)
+      (res.select($"qid", $"id", $"score", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSet, safe)
+    }
+    val (g3, safe3) = got(3)
+    assert(g3 === want(3))
+    assert(safe3.contains(1L),
+      "the designed rare+stopword query must serve from the pruned branch")
+    assert(!safe3.contains(2L) && !safe3.contains(3L) &&
+      !safe3.contains(4L),
+      s"only prunable queries may take the pruned branch: $safe3")
+    // k exceeding the selective candidate pools: everyone exact, still
+    // identical
+    val (g50, safe50) = got(50)
+    assert(g50 === want(50))
+    assert(safe50.isEmpty)
+    // MAINTAINED layout: live upsert+delete segments changing df in
+    // several ways — batched pruning must still fire and match
+    idx = idx.upsert(Seq(
+        (401L, "graftrare graftcommon fresh"),
+        (97L, "word5 filler row graftcommon"))
+      .toDF("id", "text"), tokens)
+    idx = idx.delete(Seq(194L).toDF("id"))
+    val (gm, safem) = got(3)
+    assert(gm === want(3))
+    assert(safem.contains(1L),
+      "batched pruning must fire on a LIVE delta log")
+    assert(gm.exists { case (q, id, _, _) => q == 1L && id == 401L },
+      "the upserted doc must serve through the batched pruned branch")
+    assert(!gm.exists(_._2 == 194L),
+      "a deleted doc must not serve from any batched branch")
+  }
+
   test("search API over a MAINTAINED index (live delta segments): " +
        "query + sort + pagination and the pure browse all equal the " +
        "full-scan Search.search over the current corpus") {
