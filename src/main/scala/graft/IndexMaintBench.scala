@@ -235,6 +235,24 @@ object IndexMaintBench {
             Seq("graftrare", "graftcommon"), 10)
           topkPrunedMaint &&= fired
           res.count(); () }).min
+        // BATCHED top-k (scoreTermsTopKMulti) vs the per-query loop on
+        // the same MAINTAINED index: 8 mixed queries in one batch —
+        // the driver-job amortization the multi faces exist for, now
+        // with per-query max-score pruning
+        val topkQs = (1 to 8).map(i =>
+            (i.toLong, Seq("graftrare", "graftcommon")))
+          .toDF("qid", "terms").localCheckpoint()
+        var batchPruned = 0
+        val serveTopkBatch = Seq.fill(2)(timed {
+          val (res, safe) = idx.scoreTermsTopKMultiImpl(
+            topkQs, "qid", "terms", 10)
+          batchPruned = safe.size
+          res.count(); () }).min
+        val serveTopkLoop = Seq.fill(2)(timed {
+          (1 to 8).foreach { _ =>
+            idx.scoreTermsTopK(Seq("graftrare", "graftcommon"), 10)
+              .count(); ()
+          } }).min
         results += Map("family" -> "posting_df", "n_docs" -> n,
           "build" -> build,
           "serve_common_df" -> serveCommon, "matches_common" -> nCommon,
@@ -242,7 +260,10 @@ object IndexMaintBench {
           "serve_topk_mixed" -> serveTopk,
           "topk_pruned" -> topkPruned,
           "serve_topk_maintained" -> serveTopkMaint,
-          "topk_pruned_maintained" -> topkPrunedMaint)
+          "topk_pruned_maintained" -> topkPrunedMaint,
+          "serve_topk_batch8" -> serveTopkBatch,
+          "serve_topk_loop8" -> serveTopkLoop,
+          "batch8_pruned_queries" -> batchPruned)
       }
     }
 
