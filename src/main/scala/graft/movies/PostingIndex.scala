@@ -539,6 +539,48 @@ final class PostingIndex private (
       .as[(String, Long)].collect().toMap
   }
 
+  /** Exact dfs for a term set over the CURRENT corpus, with the delta
+    * log pinned once: the vocab-sized side table (exact for the base
+    * layout) plus exact integer corrections derived from the live log
+    * — df_current(t) = df_base(t) − |touched ids' BASE versions ∋ t|
+    * + |current delta docs ∋ t|, both legs ONE signed bounded
+    * aggregate. Shared by the single and batched top-k faces so the
+    * df discipline cannot drift between them; returns the pinned
+    * touched-id / live-doc folds for the caller's candidate fetch
+    * (the K-segment mergeSchema log is read ONCE per serve, not per
+    * driver action — the O(K)-opens class ADVICE r12 #2 removed from
+    * the write path, kept off the read path too).
+    */
+  private def pinnedDfs(
+      terms: Seq[String], segs: Seq[Seg])
+      : (Map[String, Long], Option[DataFrame], Option[DataFrame]) = {
+    val dfsBase = terms.map(t => t -> 0L).toMap ++ readDfStats(terms)
+    val deltaPinned: Option[DataFrame] =
+      if (segs.isEmpty) None
+      else Some(deltaAll(segs).localCheckpoint())
+    val touchedPinned = deltaPinned.map(_.select(col(idCol)).distinct())
+    val curPinned = deltaPinned.map(currentDeltaOf)
+    val dfs: Map[String, Long] =
+      if (segs.isEmpty) dfsBase
+      else {
+        // base versions of touched ids count −1, current delta docs
+        // count +1 (the union is bounded by touched-buckets + |log|)
+        val corr = termDfsSigned(
+          baseVersionsOf(touchedPinned.get).withColumn("__sign", lit(-1L))
+            .unionByName(curPinned.get.withColumn("__sign", lit(1L))),
+          terms)
+        terms.map { t =>
+          val d = dfsBase(t) + corr(t)
+          require(d >= 0L,
+            s"maintained df for '$t' went negative ($d = ${dfsBase(t)} " +
+              s"+ ${corr(t)}) — dfstats/base/delta drift; rebuild the " +
+              "index")
+          t -> d
+        }.toMap
+      }
+    (dfs, touchedPinned, curPinned)
+  }
+
   /** TOP-K serving with MAX-SCORE pruning (VERDICT r11 #3 — the
     * WAND-style early-termination face): the posting-prune win of
     * [[scoreTerms]] collapses when a query term is stopword-grade
@@ -605,36 +647,7 @@ final class PostingIndex private (
     // no per-op side-table mutation to keep crash-consistent with the
     // segment publish (a torn op's segment is ignored by the seq
     // window, and these corrections read exactly the published window).
-    val dfsBase = terms.map(t => t -> 0L).toMap ++ readDfStats(terms)
-    // the K-segment mergeSchema log read, PINNED once per serve: the
-    // df correction, the candidate fold's anti-join AND its live-doc
-    // leg all read this one bounded materialization instead of paying
-    // a fresh multi-file log read per driver action (the O(K)-opens
-    // class ADVICE r12 #2 removed from the write path)
-    val deltaPinned: Option[DataFrame] =
-      if (segs.isEmpty) None
-      else Some(deltaAll(segs).localCheckpoint())
-    val touchedPinned = deltaPinned.map(_.select(col(idCol)).distinct())
-    val curPinned = deltaPinned.map(currentDeltaOf)
-    val dfs: Map[String, Long] =
-      if (segs.isEmpty) dfsBase
-      else {
-        // ONE signed aggregate for both correction legs (the union is
-        // still bounded by touched-buckets + |log|): base versions of
-        // touched ids count −1, current delta docs count +1
-        val corr = termDfsSigned(
-          baseVersionsOf(touchedPinned.get).withColumn("__sign", lit(-1L))
-            .unionByName(curPinned.get.withColumn("__sign", lit(1L))),
-          terms)
-        terms.map { t =>
-          val d = dfsBase(t) + corr(t)
-          require(d >= 0L,
-            s"maintained df for '$t' went negative ($d = ${dfsBase(t)} " +
-              s"+ ${corr(t)}) — dfstats/base/delta drift; rebuild the " +
-              "index")
-          t -> d
-        }.toMap
-      }
+    val (dfs, touchedPinned, curPinned) = pinnedDfs(terms, segs)
     val present = terms.filter(dfs(_) > 0L)
     if (present.isEmpty) return (emptyScored(), false)
     // selective vs stopword-grade split; idf of every present term is
@@ -932,6 +945,9 @@ final class PostingIndex private (
     require(!docCols.contains(queryIdCol),
       s"query id column '$queryIdCol' collides with a doc column — " +
         "both sides appear in the output")
+    require(!docCols.contains("rank") && queryIdCol != "rank",
+      "the top-k output adds a 'rank' column — a doc/query column of " +
+        "that name would be silently clobbered")
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val w = Window.partitionBy(col(queryIdCol))
@@ -952,32 +968,17 @@ final class PostingIndex private (
       .localCheckpoint()
     val qtRows = qterms.select(col(queryIdCol), col("term")).collect()
     if (qtRows.isEmpty) return fallbackAll()
+    // a NULL query id cannot route through the isin splits below
+    // (SQL NULL-in semantics would silently drop its rows) — the
+    // exact path serves it fine, so the whole batch takes it
+    if (qtRows.exists(_.isNullAt(0))) return fallbackAll()
     val perQuery: Map[Any, Seq[String]] = qtRows.toSeq
       .groupBy(_.get(0))
       .map { case (q, rows) => q -> rows.map(_.getString(1)).distinct }
     val vocab = perQuery.values.flatten.toSeq.distinct
-    // exact dfs: side table + the maintained-log corrections (the
-    // single top-k face's discipline, same pinned log)
-    val dfsBase = vocab.map(t => t -> 0L).toMap ++ readDfStats(vocab)
-    val deltaPinned: Option[DataFrame] =
-      if (segs.isEmpty) None else Some(deltaAll(segs).localCheckpoint())
-    val touchedPinned = deltaPinned.map(_.select(col(idCol)).distinct())
-    val curPinned = deltaPinned.map(currentDeltaOf)
-    val dfs: Map[String, Long] = deltaPinned match {
-      case None => dfsBase
-      case Some(_) =>
-        val corr = termDfsSigned(
-          baseVersionsOf(touchedPinned.get).withColumn("__sign", lit(-1L))
-            .unionByName(curPinned.get.withColumn("__sign", lit(1L))),
-          vocab)
-        vocab.map { t =>
-          val d = dfsBase(t) + corr(t)
-          require(d >= 0L,
-            s"maintained df for '$t' went negative — dfstats/base/" +
-              "delta drift; rebuild the index")
-          t -> d
-        }.toMap
-    }
+    // exact dfs: side table + the maintained-log corrections — the
+    // SAME pinnedDfs the single top-k face uses
+    val (dfs, touchedPinned, curPinned) = pinnedDfs(vocab, segs)
     // classify per query on the driver
     def selectiveOf(ts: Seq[String]): (Seq[String], Seq[String]) =
       ts.filter(dfs(_) > 0L).partition(t => 2L * dfs(t) <= nDocs)

@@ -66,9 +66,15 @@ private[graft] object SeqSidecar {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
+      // only PARSE failures mean corruption (a torn-write shape the
+      // tmp+rename publish should never produce); transport errors
+      // (an fs blip) propagate as themselves so an operator is never
+      // told to delete a healthy sidecar over a transient fault
       val root =
         try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-        catch { case scala.util.control.NonFatal(_) => null }
+        catch {
+          case _: com.fasterxml.jackson.core.JacksonException => null
+        }
         finally in.close()
       require(root != null && root.hasNonNull("nextSeq"),
         s"corrupt seq sidecar at ${p}: no readable nextSeq field — " +
@@ -110,14 +116,23 @@ private[graft] object SeqSidecar {
     next
   }
 
-  /** Read-only last-allocated seq (the refresh landing mark): one
-    * sidecar read, legacy derive fallback; `base` when nothing was
-    * ever allocated.
+  /** Last-allocated seq (the refresh landing mark): one sidecar read;
+    * a sidecar-less store pays the legacy derive ONCE and seeds the
+    * sidecar from it — without the seeding, a refresh-only pipeline
+    * (no alloc ever firing) would re-run the derive, now an O(store)
+    * row-seq scan, on every refresh (review-pass finding, round 13).
+    * `base` when nothing was ever allocated.
     */
   def highWater(
       spark: SparkSession, store: String, base: Long,
-      legacyNext: => Long): Long =
-    math.max(base, readNext(spark, store).getOrElse(legacyNext) - 1L)
+      legacyNext: => Long): Long = {
+    val next = readNext(spark, store).getOrElse {
+      val derived = legacyNext
+      writeNext(spark, store, derived)
+      derived
+    }
+    math.max(base, next - 1L)
+  }
 
   /** Drop the sidecar (compact clears it together with the tombstone
     * table; empty-collapse drops it with the store).

@@ -1520,16 +1520,23 @@ object SimilarityOps {
     * join source.
     *
     * The id collect is a SECOND evaluation of the shortlist plan —
-    * deliberately: both `persist` and `localCheckpoint` pin a
-    * strongly-referenced entry Spark never releases on its own (a
-    * cache entry per serve leaks, and `refreshByPath` from the next
-    * maintenance op would re-execute every accumulated cached plan —
-    * review-pass finding, round 13), and checkpointing additionally
-    * severs the lineage whose pruned cell scan PlansSpec asserts. The
-    * extra evaluation is probed-cells-bounded ADC arithmetic — small
-    * next to the corpus-wide vector stream the literal fetch removes,
-    * and deterministic (integer ADC scores, id-tied ranks), so both
-    * evaluations name the same survivors.
+    * deliberately: `persist` registers a CacheManager entry Spark
+    * never releases without an explicit unpersist (one leak per
+    * serve, and `refreshByPath` from the next maintenance op would
+    * re-execute every accumulated cached plan — review-pass finding,
+    * round 13), while `localCheckpoint` (GC-cleaned, fine elsewhere)
+    * severs exactly the lineage whose pruned cell scan PlansSpec
+    * asserts on the served plan. The extra evaluation is
+    * probed-cells-bounded ADC arithmetic — small next to the
+    * corpus-wide vector stream the literal fetch removes — and the
+    * two evaluations are CONSISTENT: they derive from one
+    * `spark.read.parquet` relation whose InMemoryFileIndex listed the
+    * layout once at load, so a concurrent append is invisible to
+    * both, and the ADC scores/ranks are deterministic (integer adds,
+    * id-tied), so both evaluations name the same survivors. (The
+    * in-memory referee faces share this code: their `index` input
+    * must be a deterministic plan — every engine face and gate
+    * already holds to that discipline.)
     */
   private def rerankSourceOf(
       short: DataFrame, idCol: String,
