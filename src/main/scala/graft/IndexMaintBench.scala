@@ -156,6 +156,30 @@ object IndexMaintBench {
         val remove = timed { SimilarityOps.removeFromIvfPqIndex(dir,
           delIds, "vec_id") }
         val serveMaint = Seq.fill(2)(timed(probe())).min
+        // BATCHED maintained-ANN serving (VERDICT r13 #4): 8 queries
+        // as a table through ivfPqTopKMultiStored on the MAINTAINED
+        // store (live tombstones in the read) vs the per-query
+        // single-face loop — the job-count amortization the posting
+        // family's serve_topk_batch8 rows measure, for the vector
+        // index (probed-cell partition filters stay PlansSpec-
+        // asserted on this face).
+        val annQs = emb.orderBy($"vec_id").limit(8)
+          .select(($"vec_id" + 500000000L).as("qid"),
+            $"embedding".as("qv"))
+          .localCheckpoint()
+        val serveAnnBatch = Seq.fill(2)(timed {
+          SimilarityOps.ivfPqTopKMultiStored(spark, dir, "vec_id",
+            emb, "vec_id", "embedding", annQs, "qid", "qv",
+            centers, codebooks, nProbe = 2, shortlist = 64, k = 10)
+            .count(); () }).min
+        val annQVecs = annQs.select($"qv").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        val serveAnnLoop = Seq.fill(2)(timed {
+          annQVecs.foreach { q =>
+            SimilarityOps.ivfPqTopKStored(spark, dir, "vec_id",
+              emb, "vec_id", "embedding", q, centers, codebooks,
+              nProbe = 2, shortlist = 64, k = 10).count(); ()
+          } }).min
         val compact = timed { SimilarityOps.compactIvfPqIndex(spark,
           dir, "vec_id") }
         val serveCompacted = Seq.fill(2)(timed(probe())).min
@@ -163,7 +187,9 @@ object IndexMaintBench {
           "build" -> build, "upsert" -> upsert, "delete" -> remove,
           "serve_upserted" -> serveUpserted,
           "serve_maintained" -> serveMaint, "compact" -> compact,
-          "serve_compacted" -> serveCompacted)
+          "serve_compacted" -> serveCompacted,
+          "serve_ann_batch8" -> serveAnnBatch,
+          "serve_ann_loop8" -> serveAnnLoop)
       }
     }
 
@@ -253,6 +279,22 @@ object IndexMaintBench {
             idx.scoreTermsTopK(Seq("graftrare", "graftcommon"), 10)
               .count(); ()
           } }).min
+        // POST-REFRESH row (VERDICT r13 #1): bulk-refresh a fixed
+        // batch of NEW docs into the maintained index — the pruned
+        // top-k must KEEP firing (the side table absorbs the delta as
+        // appended +count rows, folded at read) at the rare-term cost
+        // class, never fall back to the stopword corpus scan.
+        val refreshBatch = corpus.orderBy($"doc_id").limit(128)
+          .select(($"doc_id" + 950000000L).as("doc_id"),
+            concat($"text", lit(" graftrare")).as("text"))
+          .localCheckpoint()
+        idx = idx.refresh(refreshBatch, tokens)
+        var topkPrunedPostRefresh = true
+        val serveTopkPostRefresh = Seq.fill(2)(timed {
+          val (res, fired) = idx.scoreTermsTopKImpl(
+            Seq("graftrare", "graftcommon"), 10)
+          topkPrunedPostRefresh &&= fired
+          res.count(); () }).min
         results += Map("family" -> "posting_df", "n_docs" -> n,
           "build" -> build,
           "serve_common_df" -> serveCommon, "matches_common" -> nCommon,
@@ -263,7 +305,9 @@ object IndexMaintBench {
           "topk_pruned_maintained" -> topkPrunedMaint,
           "serve_topk_batch8" -> serveTopkBatch,
           "serve_topk_loop8" -> serveTopkLoop,
-          "batch8_pruned_queries" -> batchPruned)
+          "batch8_pruned_queries" -> batchPruned,
+          "serve_topk_postrefresh" -> serveTopkPostRefresh,
+          "topk_pruned_postrefresh" -> topkPrunedPostRefresh)
       }
     }
 
@@ -391,10 +435,14 @@ object IndexMaintBench {
         val queries = corpus.orderBy($"vec_id").limit(16)
           .select(($"vec_id" - 1000000L).as("qid"),
             $"embedding".as("qv")).localCheckpoint()
-        val got = SimilarityOps.ivfPqTopKMultiStored(spark, dir,
-            "vec_id", corpus, "vec_id", "embedding",
-            queries, "qid", "qv", centers, codebooks,
-            nProbe = 2, shortlist = 64, k = 10)
+        // the AUDITED face (VERDICT r13 #3): same served frame, plus
+        // the sidecar-stats scan audit whose needsRetrain flag must
+        // fire exactly where the measured drift does
+        val (gotDf, gotAudit) = SimilarityOps.ivfPqTopKMultiStoredAudited(
+          spark, dir, "vec_id", corpus, "vec_id", "embedding",
+          queries, "qid", "qv", centers, codebooks,
+          nProbe = 2, shortlist = 64, k = 10)
+        val got = gotDf
           .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
         val want = SimilarityOps.bruteForceTopK(corpus, "vec_id",
             "embedding", queries, "qid", "qv", k = 10)
@@ -422,7 +470,12 @@ object IndexMaintBench {
         results += Map("family" -> "ivfpq_drift",
           "churn_pct" -> churnPct, "n_churned" -> n,
           "n_probe" -> 2, "recall_at_10" -> recall,
-          "scan_frac" -> scanFrac)
+          "scan_frac" -> scanFrac,
+          "audit_frac" -> gotAudit.map(_.probedRowFrac).getOrElse(-1.0),
+          "audit_designed" ->
+            gotAudit.map(_.designedFrac).getOrElse(-1.0),
+          "audit_needs_retrain" ->
+            gotAudit.exists(_.needsRetrain))
         // the prescribed remedy, proven: at full churn, RE-TRAIN the
         // quantization on the current corpus and REBUILD — recall must
         // recover to the un-drifted baseline's band
@@ -439,10 +492,12 @@ object IndexMaintBench {
           SimilarityOps.writeIvfPqIndex(
             SimilarityOps.ivfPqIndex(corpus, "vec_id", "embedding",
               centers2, codebooks2), dir2, "vec_id")
-          val got2 = SimilarityOps.ivfPqTopKMultiStored(spark, dir2,
+          val (got2Df, got2Audit) =
+            SimilarityOps.ivfPqTopKMultiStoredAudited(spark, dir2,
               "vec_id", corpus, "vec_id", "embedding",
               queries, "qid", "qv", centers2, codebooks2,
               nProbe = 2, shortlist = 64, k = 10)
+          val got2 = got2Df
             .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
           val recall2 = (got2 intersect want).size.toDouble /
             math.max(1, want.size)
@@ -460,7 +515,13 @@ object IndexMaintBench {
           }
           results += Map("family" -> "ivfpq_drift_retrained",
             "churn_pct" -> churnPct, "n_probe" -> 2,
-            "recall_at_10" -> recall2, "scan_frac" -> scanFrac2)
+            "recall_at_10" -> recall2, "scan_frac" -> scanFrac2,
+            "audit_frac" ->
+              got2Audit.map(_.probedRowFrac).getOrElse(-1.0),
+            "audit_designed" ->
+              got2Audit.map(_.designedFrac).getOrElse(-1.0),
+            "audit_needs_retrain" ->
+              got2Audit.exists(_.needsRetrain))
         }
       }
     }

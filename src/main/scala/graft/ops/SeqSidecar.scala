@@ -3,14 +3,22 @@ package graft.ops
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
-/** O(1) seq high-water sidecar for the set-tombstone index families
-  * (LSH band-key table, IVF×PQ cell layout) — the
+/** Maintenance sidecar (`<store>__maint.json`) for the set-tombstone
+  * index families (LSH band-key table, IVF×PQ cell layout) — the
   * [[graft.movies.PostingIndex]] stats.json pattern ported to the
   * families whose only durable maintenance state used to be the
-  * tombstone table itself.
+  * tombstone table itself. Two independent field groups share the one
+  * file; every write preserves the fields it does not own:
   *
-  * Why: every seq-allocating op (upsert/remove) and every refresh
-  * high-water probe used to run a max-aggregate job over the
+  *   - `nextSeq` — the O(1) op-seq counter (both families).
+  *   - `scan` — the IVF×PQ SERVING-AUDIT statistics (VERDICT r13 #3):
+  *     current stored rows per cell plus the build-time cell-fraction
+  *     distribution, which together give the audited probe faces their
+  *     actual probed-row fraction and the designed scan-fraction band
+  *     with ZERO extra Spark jobs at serve time.
+  *
+  * Why the counter: every seq-allocating op (upsert/remove) and every
+  * refresh high-water probe used to run a max-aggregate job over the
   * mergeSchema-read tombstone dir — O(|tombstone files|) per op, so a
   * K-op window between compactions paid O(K²) file opens in aggregate
   * (ADVICE r12 #2). The sidecar turns allocation into one tiny
@@ -22,12 +30,17 @@ import org.apache.spark.sql.SparkSession
   *     next+1 back, THEN the caller uses the seq. A torn op burns a
   *     seq — harmless, the counter stays monotone and a replay
   *     allocates fresh.
-  *   - `highWater` is read-only (the refresh path): last allocated
-  *     seq, or the family's base seq when nothing was ever allocated.
-  *   - compact clears the sidecar together with the tombstone table —
-  *     absent sidecar + absent tombstones ⇒ the counter restarts at 0,
-  *     which the compact invariant (all rows reset to base seq) makes
-  *     safe.
+  *   - `highWater` (the refresh path) returns the last allocated seq,
+  *     or the family's base seq when nothing was ever allocated. It
+  *     normally only reads — but on a PRE-SIDECAR store it seeds the
+  *     sidecar once from the legacy derive (see the method's scaladoc),
+  *     so it is not strictly read-only.
+  *   - compact clears the COUNTER together with the tombstone table
+  *     ([[clearSeq]] — the scan stats survive, compact updates them
+  *     separately); absent counter + absent tombstones ⇒ it restarts
+  *     at 0, which the compact invariant (all rows reset to base seq)
+  *     makes safe. An empty-collapsed store drops the whole sidecar
+  *     with it ([[clear]]).
   *
   * The sidecar is authoritative once present. Restoring a STALE copy
   * of it (older than the tombstone table) could re-allocate a used
@@ -38,14 +51,18 @@ import org.apache.spark.sql.SparkSession
   * land rows at a seq a torn op burned (reserved in the sidecar,
   * tombstones never written); a tombstone-only derive would re-issue
   * that seq and a later delete of the refreshed id would tie it and
-  * lose (review-pass fix, round 13).
+  * lose (review-pass fix, round 13). A deleted sidecar also loses the
+  * scan stats — the audited serves then return no audit (the honest
+  * answer) until the next build/retrain records fresh ones.
   *
   * Durability of the sidecar itself: writes go through a tmp file +
   * rename, so the visible file is always a complete JSON document —
-  * a crash mid-publish leaves either the previous sidecar or none
-  * (none ⇒ the safe legacy derive). A present file MISSING the
-  * `nextSeq` field is external corruption and trips a loud require
-  * rather than silently restarting the counter at 0.
+  * a crash mid-publish leaves the previous sidecar or none (none ⇒
+  * the safe legacy derive). A present file that PARSES but carries
+  * NEITHER field group is external corruption and trips a loud
+  * require rather than silently restarting the counter at 0; a
+  * parseable file missing only `nextSeq` is the legitimate
+  * post-compact state (counter cleared, scan stats retained).
   */
 private[graft] object SeqSidecar {
 
@@ -55,40 +72,38 @@ private[graft] object SeqSidecar {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The persisted next-seq, if a sidecar exists. A file that exists
-    * but carries no `nextSeq` is corruption (the tmp+rename publish
-    * never exposes a partial file) — loud, never a silent counter
-    * reset to 0.
+  private type Node = com.fasterxml.jackson.databind.node.ObjectNode
+
+  /** The parsed sidecar root, if one exists. Only PARSE failures mean
+    * corruption (a torn-write shape the tmp+rename publish should
+    * never produce) — loud; transport errors (an fs blip) propagate as
+    * themselves so an operator is never told to delete a healthy
+    * sidecar over a transient fault. A parseable root carrying neither
+    * known field group is equally loud (a foreign file squatting on
+    * the sidecar name must not silently reset the counter).
     */
-  def readNext(spark: SparkSession, store: String): Option[Long] = {
+  private def readRoot(spark: SparkSession, store: String): Option[Node] = {
     val p = sidecarPath(store)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      // only PARSE failures mean corruption (a torn-write shape the
-      // tmp+rename publish should never produce); transport errors
-      // (an fs blip) propagate as themselves so an operator is never
-      // told to delete a healthy sidecar over a transient fault
       val root =
         try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
         catch {
           case _: com.fasterxml.jackson.core.JacksonException => null
         }
         finally in.close()
-      require(root != null && root.hasNonNull("nextSeq"),
-        s"corrupt seq sidecar at ${p}: no readable nextSeq field — " +
-          "delete it to fall back to the legacy derive, or rebuild " +
+      require(root != null && root.isObject &&
+        (root.hasNonNull("nextSeq") || root.hasNonNull("scan")),
+        s"corrupt seq sidecar at ${p}: no readable nextSeq/scan field " +
+          "— delete it to fall back to the legacy derive, or rebuild " +
           "the store")
-      Some(root.path("nextSeq").asLong())
+      Some(root.asInstanceOf[Node])
     }
   }
 
-  private def writeNext(
-      spark: SparkSession, store: String, next: Long): Unit = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.createObjectNode()
-    root.put("nextSeq", next)
+  private def publish(spark: SparkSession, store: String, root: Node): Unit = {
     val p = sidecarPath(store)
     val tmp = new Path(p.toString + ".tmp")
     val fs = fsOf(spark, p)
@@ -97,10 +112,33 @@ private[graft] object SeqSidecar {
     // both safe (none ⇒ legacy derive). The delete+rename pair is not
     // atomic on every FS, but its only crash residue is ABSENCE.
     val out = fs.create(tmp, true)
-    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    try out.write(new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsBytes(root))
+    finally out.close()
     if (fs.exists(p)) { fs.delete(p, false); () }
     require(fs.rename(tmp, p),
       s"could not publish seq sidecar $p (rename failed)")
+  }
+
+  private def newRoot: Node =
+    new com.fasterxml.jackson.databind.ObjectMapper().createObjectNode()
+
+  /** The persisted next-seq, if the sidecar carries one. None for an
+    * absent sidecar AND for a stats-only sidecar (the post-compact
+    * state: [[clearSeq]] removed the counter, the scan stats remain) —
+    * both fall to the caller's legacy derive.
+    */
+  def readNext(spark: SparkSession, store: String): Option[Long] =
+    readRoot(spark, store).collect {
+      case root if root.hasNonNull("nextSeq") =>
+        root.path("nextSeq").asLong()
+    }
+
+  private def writeNext(
+      spark: SparkSession, store: String, next: Long): Unit = {
+    val root = readRoot(spark, store).getOrElse(newRoot)
+    root.put("nextSeq", next)
+    publish(spark, store, root)
   }
 
   /** Reserve and return the next op seq: sidecar read (one tiny file)
@@ -134,12 +172,66 @@ private[graft] object SeqSidecar {
     math.max(base, next - 1L)
   }
 
-  /** Drop the sidecar (compact clears it together with the tombstone
-    * table; empty-collapse drops it with the store).
+  /** Clear the SEQ COUNTER only (compact clears it together with the
+    * tombstone table; the scan stats — which compact updates, not
+    * resets — survive). A sidecar left with no other field group is
+    * dropped entirely.
+    */
+  def clearSeq(spark: SparkSession, store: String): Unit =
+    readRoot(spark, store).foreach { root =>
+      root.remove("nextSeq")
+      if (root.isEmpty) clear(spark, store)
+      else publish(spark, store, root)
+    }
+
+  /** Drop the whole sidecar (an empty-collapsed store takes every
+    * field group with it; the LSH family — which carries no scan
+    * stats — clears this way on compact too).
     */
   def clear(spark: SparkSession, store: String): Unit = {
     val p = sidecarPath(store)
     val fs = fsOf(spark, p)
     if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+
+  /** The scan-audit stats, if recorded: (current stored rows per cell,
+    * build-time cell fractions sorted descending). Absent on stores
+    * built before the audit existed, on sink-bootstrapped stores that
+    * never ran a build, and after a deliberate sidecar delete — the
+    * audited serves then return no audit.
+    */
+  def readScan(
+      spark: SparkSession,
+      store: String): Option[(Map[Int, Long], Seq[Double])] =
+    readRoot(spark, store).collect {
+      case root if root.hasNonNull("scan") =>
+        val scan = root.path("scan")
+        import scala.jdk.CollectionConverters._
+        val cells = scan.path("cells").properties().asScala
+          .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
+        val fracs = scan.path("buildFracs").elements().asScala
+          .map(_.asDouble()).toSeq
+        (cells, fracs)
+    }
+
+  /** Publish the scan-audit stats (preserving the counter): `cells`
+    * is the CURRENT stored-rows-per-cell map (build recomputes it,
+    * upsert/refresh fold their batch's per-cell counts in, compact
+    * replaces the rewritten cells' entries); `buildFracs` is the
+    * designed distribution — cell fractions at build/retrain time,
+    * descending — frozen until the next build records fresh ones.
+    */
+  def writeScan(
+      spark: SparkSession, store: String,
+      cells: Map[Int, Long], buildFracs: Seq[Double]): Unit = {
+    val root = readRoot(spark, store).getOrElse(newRoot)
+    val scan = root.putObject("scan")
+    val co = scan.putObject("cells")
+    cells.toSeq.sortBy(_._1).foreach { case (c, n) =>
+      co.put(c.toString, n)
+    }
+    val fa = scan.putArray("buildFracs")
+    buildFracs.foreach(fa.add)
+    publish(spark, store, root)
   }
 }

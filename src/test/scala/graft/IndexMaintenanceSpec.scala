@@ -574,4 +574,132 @@ class IndexMaintenanceSpec extends SparkTestBase {
       },
       steps = 12)
   }
+
+  test("IVF×PQ scan-fraction audit (VERDICT r13 #3): audited faces " +
+       "serve IDENTICAL rows; needsRetrain is silent at build state, " +
+       "FIRES when churn crowds the probe past the designed band, " +
+       "stays honest across compact, and goes silent again after a " +
+       "retrain rebuild; stat-less legacy stores audit as None") {
+    val dim = 16
+    // base clusters spike at c*4 (the stale centers' axes); the
+    // DRIFTED re-embedding spikes at c*4+2 — its internal 4-cluster
+    // geometry is intact, but to the STALE centers every drifted
+    // vector is equidistant (noise sits on dim 3 only, not on any
+    // center axis), so ties route them ALL to cell 0: deterministic
+    // crowding, the degenerate-probe failure mode the audit exists
+    // to catch
+    def vecOf(i: Long, drifted: Boolean): Array[Float] = {
+      val spike = (i % 4).toInt * 4 + (if (drifted) 2 else 0)
+      Array.tabulate(dim)(j =>
+        (if (j == spike) 8.0f else 0.0f) +
+          (if (j == 3) ((i * 7) % 5 - 2) * 0.05f else 0.0f))
+    }
+    val centers = Array.tabulate(4)(c =>
+      Array.tabulate(dim)(j => if (j == c * 4) 8.0 else 0.0))
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+      Array.tabulate(8)(j => ((sp * 31 + c * 7 + j) % 5 - 2).toDouble)))
+    val n = 200L
+    def corpusOf(drifted: Boolean) =
+      (0L until n).map(i => (i, vecOf(i, drifted)))
+        .toDF("vec_id", "embedding").localCheckpoint()
+    val base = corpusOf(false)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maint_audit").toString + "/idx"
+    SimilarityOps.writeIvfPqIndex(
+      SimilarityOps.ivfPqIndex(base, "vec_id", "embedding",
+        centers, codebooks), dir, "vec_id")
+    def ids(df: DataFrame) =
+      df.select($"vec_id").as[Long].collect().toSeq
+    def servedAndAudit(corpus: DataFrame, d: String,
+        cs: Array[Array[Double]], q: Array[Double]) =
+      SimilarityOps.ivfPqTopKStoredAudited(spark, d, "vec_id",
+        corpus, "vec_id", "embedding", q, cs, codebooks,
+        nProbe = 1, shortlist = 16, k = 5)
+    val qHealthy = vecOf(0L, drifted = false).map(_.toDouble)
+    // HEALTHY build state: even 50/50/50/50 spread — the probe reads
+    // exactly the designed one-cell fraction, no signal; and the
+    // audited frame is the unaudited face's, row for row
+    val (h, hAudit) = servedAndAudit(base, dir, centers, qHealthy)
+    assert(ids(h) === ids(SimilarityOps.ivfPqTopKStored(spark, dir,
+      "vec_id", base, "vec_id", "embedding", qHealthy, centers,
+      codebooks, nProbe = 1, shortlist = 16, k = 5)),
+      "the audited face must serve the identical frame")
+    assert(hAudit.isDefined, "a built store must carry scan stats")
+    assert(math.abs(hAudit.get.probedRowFrac - 0.25) < 1e-9 &&
+      math.abs(hAudit.get.designedFrac - 0.25) < 1e-9 &&
+      !hAudit.get.needsRetrain,
+      s"healthy state must sit ON the designed band: ${hAudit.get}")
+    // CHURN: every vector replaced by its drifted re-embedding
+    // through the maintenance path — the stale centers crowd all 200
+    // new rows into cell 0 (250 of 400 stored rows), and drifted
+    // traffic probes exactly there
+    val drifted = corpusOf(true)
+    SimilarityOps.upsertIntoIvfPqIndex(dir, drifted, "vec_id",
+      "embedding", centers, codebooks)
+    val qDrift = vecOf(0L, drifted = true).map(_.toDouble)
+    val (c1, cAudit) = servedAndAudit(drifted, dir, centers, qDrift)
+    assert(ids(c1) === ids(SimilarityOps.ivfPqTopKStored(spark, dir,
+      "vec_id", drifted, "vec_id", "embedding", qDrift, centers,
+      codebooks, nProbe = 1, shortlist = 16, k = 5)),
+      "audited ≡ unaudited on the maintained store too")
+    assert(cAudit.isDefined &&
+      math.abs(cAudit.get.probedRowFrac - 0.625) < 1e-9 &&
+      cAudit.get.needsRetrain,
+      s"100% churn must trip the tripwire (250/400 probed): $cAudit")
+    // the MULTI audited face sees the same crowding (mean over the
+    // batch — all three drifted queries probe cell 0)
+    val queries = (0L to 2L).map(i => (i + 1000L, vecOf(i, true)))
+      .toDF("qid", "qv").localCheckpoint()
+    val (m1, mAudit) = SimilarityOps.ivfPqTopKMultiStoredAudited(
+      spark, dir, "vec_id", drifted, "vec_id", "embedding",
+      queries, "qid", "qv", centers, codebooks,
+      nProbe = 1, shortlist = 16, k = 5)
+    assert(m1.select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+      === SimilarityOps.ivfPqTopKMultiStored(spark, dir, "vec_id",
+        drifted, "vec_id", "embedding", queries, "qid", "qv",
+        centers, codebooks, nProbe = 1, shortlist = 16, k = 5)
+        .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet,
+      "audited multi ≡ unaudited multi")
+    assert(mAudit.isDefined &&
+      math.abs(mAudit.get.probedRowFrac - 0.625) < 1e-9 &&
+      mAudit.get.needsRetrain,
+      s"the batched audit must trip too: $mAudit")
+    // COMPACT folds the tombstones (every old version dies, the three
+    // emptied cells drop) but does NOT retrain: the designed band is
+    // frozen, the counts update, and the signal stays honestly LOUD —
+    // the whole corpus now lives in one cell (200/200 probed)
+    SimilarityOps.compactIvfPqIndex(spark, dir, "vec_id")
+    val (c2, pAudit) = servedAndAudit(drifted, dir, centers, qDrift)
+    assert(ids(c2).nonEmpty)
+    assert(pAudit.isDefined &&
+      math.abs(pAudit.get.probedRowFrac - 1.0) < 1e-9 &&
+      math.abs(pAudit.get.designedFrac - 0.25) < 1e-9 &&
+      pAudit.get.needsRetrain,
+      s"compact must keep the stats and the signal: $pAudit")
+    // RETRAIN REBUILD — the prescribed remedy: fresh centers on the
+    // drifted axes, fresh build, fresh band. Even spread again, the
+    // signal clears.
+    val centers2 = Array.tabulate(4)(c =>
+      Array.tabulate(dim)(j => if (j == c * 4 + 2) 8.0 else 0.0))
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_maint_audit_rt").toString + "/idx"
+    SimilarityOps.writeIvfPqIndex(
+      SimilarityOps.ivfPqIndex(drifted, "vec_id", "embedding",
+        centers2, codebooks), dir2, "vec_id")
+    val (_, rtAudit) = servedAndAudit(drifted, dir2, centers2, qDrift)
+    assert(rtAudit.isDefined &&
+      math.abs(rtAudit.get.probedRowFrac - 0.25) < 1e-9 &&
+      !rtAudit.get.needsRetrain,
+      s"a retrain rebuild must clear the signal: $rtAudit")
+    // LEGACY store (raw write, no recorded stats): the audited face
+    // serves but honestly audits None
+    val dir3 = java.nio.file.Files
+      .createTempDirectory("graft_maint_audit_legacy").toString + "/idx"
+    SimilarityOps.ivfPqIndex(base, "vec_id", "embedding",
+        centers, codebooks)
+      .write.partitionBy("cell").parquet(dir3)
+    val (l1, lAudit) = servedAndAudit(base, dir3, centers, qHealthy)
+    assert(ids(l1).nonEmpty && lAudit.isEmpty,
+      "a stat-less store must serve with audit None")
+  }
 }

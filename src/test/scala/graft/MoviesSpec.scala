@@ -593,14 +593,51 @@ class MoviesSpec extends SparkTestBase {
     assert(fired5)
     assert(rows(p5) === full(Seq("graftrare", "graftcommon"), 3))
     assert(rows(p5).map(_._1).contains(401L))
-    // bulk refresh INVALIDATES the side table: exact fallback until
-    // the next build/compact
+    // bulk refresh APPENDS (term, +df) delta rows to the side table
+    // (VERDICT r13 #1): pruning keeps firing straight through the
+    // refresh, with dfs folded by sum — bit-parity against the exact
+    // serve over the refreshed corpus. The delta shifts both dfs
+    // (graftrare +2, graftcommon +1 of 3 new docs).
     idx = idx.refresh(
-      Seq((500L, "word1 filler row")).toDF("id", "text"), tokens)
-    val (fb6, fired6) =
+      Seq((500L, "word1 filler row graftcommon"),
+          (501L, "word2 graftrare filler"),
+          (502L, "word3 graftrare filler")).toDF("id", "text"), tokens)
+    val (p6, fired6) =
       idx.scoreTermsTopKImpl(Seq("graftrare", "graftcommon"), 3)
-    assert(!fired6)
-    assert(rows(fb6) === full(Seq("graftrare", "graftcommon"), 3))
+    assert(fired6,
+      "the pruned branch must keep firing through a bulk refresh " +
+        "(maintained dfstats, VERDICT r13 #1)")
+    assert(rows(p6) === full(Seq("graftrare", "graftcommon"), 3))
+    assert(rows(idx.scoreTermsTopKImpl(Seq("graftrare", "graftcommon"),
+        5)._1).map(_._1).exists(Set(501L, 502L)),
+      "refreshed docs must be servable through the pruned branch")
+    // a SECOND refresh stacks another delta row per term — the sum
+    // fold must still match exactly
+    idx = idx.refresh(
+      Seq((503L, "word4 graftrare graftcommon")).toDF("id", "text"),
+      tokens)
+    val (p7, fired7) =
+      idx.scoreTermsTopKImpl(Seq("graftrare", "graftcommon"), 3)
+    assert(fired7)
+    assert(rows(p7) === full(Seq("graftrare", "graftcommon"), 3))
+    // refresh → upsert/delete → topK: the side-table sum fold and the
+    // delta-log signed corrections compose (the CDC steady state
+    // crossing a bulk load)
+    idx = idx.upsert(Seq((503L, "word4 graftcommon")).toDF("id", "text"),
+      tokens)
+    idx = idx.delete(Seq(501L).toDF("id"))
+    val (p8, fired8) =
+      idx.scoreTermsTopKImpl(Seq("graftrare", "graftcommon"), 3)
+    assert(fired8,
+      "pruning must fire with BOTH refresh delta rows and live log " +
+        "segments in play")
+    assert(rows(p8) === full(Seq("graftrare", "graftcommon"), 3))
+    // compact rewrites the side table flat — parity and pruning hold
+    idx = idx.compact()
+    val (p9, fired9) =
+      idx.scoreTermsTopKImpl(Seq("graftrare", "graftcommon"), 3)
+    assert(fired9)
+    assert(rows(p9) === full(Seq("graftrare", "graftcommon"), 3))
   }
 
   test("scoreTermsTopKMulti (batched max-score pruning): per query " +
@@ -667,6 +704,34 @@ class MoviesSpec extends SparkTestBase {
       "the upserted doc must serve through the batched pruned branch")
     assert(!gm.exists(_._2 == 194L),
       "a deleted doc must not serve from any batched branch")
+    // a NULL-keyed query joins the batch (ADVICE r13 #2): it must
+    // serve EXACTLY — the isin splits cannot route SQL NULL — while
+    // the prunable queries KEEP the pruned branch; one null id must
+    // not forfeit the whole batch's pruning
+    val withNull = queries.unionByName(
+      Seq(Tuple1(Seq("word3", "graftcommon"))).toDF("terms")
+        .select(lit(null).cast("long").as("qid"), $"terms"))
+    def optRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"id", $"score", $"rank").collect()
+        .map(r => (Option(r.get(0)), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+    val wantNull = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"score".desc, $"id".asc)
+      optRows(idx.scoreTermsMulti(withNull, "qid", "terms")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3))
+    }
+    val (resN, safeN) =
+      idx.scoreTermsTopKMultiImpl(withNull, "qid", "terms", 3)
+    assert(optRows(resN) === wantNull,
+      "a mixed batch with a null-keyed query must serve every query " +
+        "exactly (nulls exact, rest through their own splits)")
+    assert(wantNull.exists(_._1.isEmpty),
+      "the null-keyed query must actually contribute served rows")
+    assert(safeN.contains(1L),
+      "the prunable query must keep the pruned branch despite a " +
+        "null-keyed query in the batch")
   }
 
   test("search API over a MAINTAINED index (live delta segments): " +
