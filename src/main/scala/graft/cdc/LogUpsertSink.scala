@@ -44,11 +44,15 @@ import org.apache.spark.sql.functions._
   * [[compact]] to bound the log (cost: one base+log pass, amortized
   * across the ticks between compactions). Single writer, like the
   * other parquet sinks; readers materialize before the next compact.
+  * Pass a [[WriterLease]] to make the single-writer contract
+  * PREVENTIVE (a superseded writer aborts before paying any op work)
+  * on top of the detective stale-handle tripwire (VERDICT r13 #5).
   */
 final class LogUpsertSink(
     spark: SparkSession, dir: String, val idCol: String,
     nBuckets: Int = 64,
-    retry: Option[graft.sources.JdbcIO.RetryPolicy] = None)
+    retry: Option[graft.sources.JdbcIO.RetryPolicy] = None,
+    lease: Option[WriterLease] = None)
     extends DocSink {
 
   private val SeqCol = "__seq"
@@ -136,6 +140,11 @@ final class LogUpsertSink(
   private var expectedVersion: Long = storeVersion()
 
   private def requireCurrent(): Unit = {
+    // PREVENTIVE layer first (VERDICT r13 #5, when a lease is wired):
+    // a superseded writer aborts on the advisory lease BEFORE paying
+    // any op work; the seq check below stays the detective backstop
+    // for the acquire window the lease cannot close
+    lease.foreach(_.requireHeld())
     val now = storeVersion()
     // trip ONLY on an ADVANCE (a publish this handle never saw — a
     // newer writer). A REGRESSION is this handle's own torn write or

@@ -1,0 +1,155 @@
+package graft.cdc
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** ADVISORY single-writer lease for the parquet stores (VERDICT r13
+  * #5): the stale-handle tripwires ([[LogUpsertSink]]'s
+  * `requireCurrent`, [[graft.movies.PostingIndex]]'s) are DETECTIVE —
+  * they fire after the losing writer has already paid its op's work
+  * (and, for sweeps, possibly touched debris). The lease makes the
+  * contract PREVENTIVE: a second writer fails at [[WriterLease.acquire]]
+  * — before writing anything — and a superseded writer fails at
+  * [[requireHeld]] at the START of its next op.
+  *
+  * Protocol (`<store>__lease.json`, the sidecar discipline —
+  * tmp+rename publish, so the visible file is always a complete JSON
+  * document):
+  *
+  *   - [[WriterLease.acquire]]: absent lease → write own (holder token
+  *     + expiry). Live foreign lease → loud failure, NOTHING written.
+  *     EXPIRED foreign lease → steal (the holder crashed without
+  *     releasing; expiry is what keeps a crash from wedging the store
+  *     forever).
+  *   - [[requireHeld]] (every mutating op, before any write): the
+  *     lease must still name THIS holder — a foreign holder (even an
+  *     expired one) means another writer superseded us while our lease
+  *     lapsed; abort. Success RENEWS the expiry, so an actively
+  *     writing holder never lapses.
+  *   - [[release]]: delete if still ours (a clean handover; crashed
+  *     holders age out via expiry instead).
+  *
+  * HONEST SCOPE: read-then-publish is not atomic on a plain
+  * filesystem, so two writers racing an acquire INSIDE one
+  * read-publish window can both believe they won — the lease shrinks
+  * the race to that window; it cannot close it without a CAS the FS
+  * does not offer. That is why it is advisory and why the seq/layout
+  * tripwires REMAIN the backstop contract: the interleaving the lease
+  * misses is still caught at publish time by `requireCurrent`
+  * (WriterRaceSpec drills both layers).
+  */
+final class WriterLease private (
+    spark: SparkSession, store: String, val holder: String,
+    ttlMs: Long) {
+
+  /** Re-read the lease; abort LOUDLY unless it still names this
+    * holder, then renew the expiry. Call at the start of every
+    * mutating op — this is the preventive gate: the abort happens
+    * before the op writes anything.
+    */
+  def requireHeld(): Unit = {
+    val cur = WriterLease.readLease(spark, store)
+    require(cur.exists(_._1 == holder),
+      s"writer lease for $store is ${cur.fold("gone")(c =>
+        s"held by '${c._1}'")} — this writer ('$holder') was " +
+        "superseded (or released); re-acquire to resume. The seq " +
+        "tripwire remains the backstop if two writers raced the " +
+        "acquire window")
+    WriterLease.publish(spark, store, holder, ttlMs)
+  }
+
+  /** Drop the lease if still ours — the clean handover. Idempotent;
+    * a foreign lease is left untouched.
+    */
+  def release(): Unit =
+    if (WriterLease.readLease(spark, store).exists(_._1 == holder))
+      WriterLease.delete(spark, store)
+}
+
+object WriterLease {
+
+  /** Default lease TTL: long enough that a healthy writer's op cadence
+    * renews well inside it, short enough that a crashed writer frees
+    * the store in minutes.
+    */
+  val DefaultTtlMs: Long = 5L * 60L * 1000L
+
+  /** Acquire the store's writer lease or fail LOUDLY without writing:
+    * the preventive half of the single-writer contract. An expired
+    * lease (holder crashed without [[WriterLease#release]]) is stolen.
+    */
+  def acquire(
+      spark: SparkSession, store: String, holder: String,
+      ttlMs: Long = DefaultTtlMs): WriterLease = {
+    require(holder.nonEmpty, "lease holder token must be non-empty")
+    readLease(spark, store) match {
+      case Some((h, exp)) if h != holder &&
+          System.currentTimeMillis() < exp =>
+        throw new IllegalArgumentException(
+          s"writer lease for $store is held by '$h' (expires in " +
+            s"${exp - System.currentTimeMillis()} ms) — single-writer " +
+            "contract: this writer aborts BEFORE writing; wait for " +
+            "release/expiry or stop the other writer")
+      case _ =>
+        // absent, our own (re-acquire), or expired-foreign (steal)
+        publish(spark, store, holder, ttlMs)
+        new WriterLease(spark, store, holder, ttlMs)
+    }
+  }
+
+  private def leasePath(store: String): Path =
+    new Path(store.stripSuffix("/") + "__lease.json")
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (holder, expiresAtMs) if a lease file exists. Parse failures are
+    * loud (the tmp+rename publish never exposes a torn file — a
+    * malformed lease is external corruption, and silently treating it
+    * as absent would let two writers in).
+    */
+  private[cdc] def readLease(
+      spark: SparkSession, store: String): Option[(String, Long)] = {
+    val p = leasePath(store)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val root =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        catch {
+          case _: com.fasterxml.jackson.core.JacksonException => null
+        }
+        finally in.close()
+      require(root != null && root.hasNonNull("holder") &&
+        root.hasNonNull("expiresAtMs"),
+        s"corrupt writer lease at $p — delete it to free the store " +
+          "(the seq tripwires still protect the data)")
+      Some((root.path("holder").asText(),
+        root.path("expiresAtMs").asLong()))
+    }
+  }
+
+  private[cdc] def publish(
+      spark: SparkSession, store: String, holder: String,
+      ttlMs: Long): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("holder", holder)
+    root.put("expiresAtMs", System.currentTimeMillis() + ttlMs)
+    val p = leasePath(store)
+    val tmp = new Path(p.toString + "." + holder + ".tmp")
+    val fs = fsOf(spark, p)
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    if (fs.exists(p)) { fs.delete(p, false); () }
+    require(fs.rename(tmp, p),
+      s"could not publish writer lease $p (rename failed)")
+  }
+
+  private[cdc] def delete(spark: SparkSession, store: String): Unit = {
+    val p = leasePath(store)
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+}

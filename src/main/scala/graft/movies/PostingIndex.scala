@@ -1203,18 +1203,24 @@ final class PostingIndex private (
     val segs = liveSegs(sweep = true)
     val analyzed = fields.foldLeft(docs)((d, f) =>
       d.withColumn(s"__toks_$f", tokens(f))).localCheckpoint()
-    val (newStats, newN) = PostingIndex.sumStats(analyzed, fields)
+    // stats + the duplicate-id tripwire (ADVICE r11) in ONE aggregate
+    // job over the pinned batch (VERDICT r13 #7 — the CDC composition
+    // gates are driver-sequenced micro-jobs, so every merged action is
+    // tick latency back): duplicates would count twice in the integer
+    // stats while the seq-ordered fold serves one copy — silently
+    // breaking maintained ≡ rebuild — so they trip loudly here.
+    val statAggs = fields.map(f =>
+      sum(size(Search.toks(f)).cast("long")).as(s"sumdl_$f")) ++
+      Seq(count(lit(1)).as("n_docs"),
+        count_distinct(col(idCol)).as("n_ids"))
+    val newStats = analyzed.agg(statAggs.head, statAggs.tail: _*).head()
+    val newN = newStats.getAs[Long]("n_docs")
     if (newN == 0L) return this // empty batch: no segment, no-op
-    // duplicate-id tripwire (ADVICE r11): both copies would count in
-    // the integer stats while the seq-ordered fold serves only one —
-    // silently breaking maintained ≡ rebuild. One cheap distinct-count
-    // on the already-checkpointed batch turns that into a loud error.
-    val distinctIds = analyzed.select(col(idCol)).distinct().count()
-    require(distinctIds == newN,
+    require(newStats.getAs[Long]("n_ids") == newN,
       s"upsert batch must be unique by '$idCol': $newN rows but only " +
-        s"$distinctIds distinct ids — dedupe upstream (the " +
-        "LogUpsertSink rule); duplicates would corrupt nDocs/sumdl " +
-        "integer stats while the seq fold serves one copy")
+        s"${newStats.getAs[Long]("n_ids")} distinct ids — dedupe " +
+        "upstream (the LogUpsertSink rule); duplicates would corrupt " +
+        "nDocs/sumdl integer stats while the seq fold serves one copy")
     val old = currentVersionsOf(analyzed.select(col(idCol)), segs)
     val (oldStats, oldN) = PostingIndex.sumStats(old, fields)
     val seq = nextSeq()

@@ -1085,10 +1085,16 @@ object SimilarityOps {
     // write and the row write — one evaluation of the caller's plan
     val enc0 = ivfPqIndex(batch, idCol, vecCol, centers, codebooks)
       .localCheckpoint()
-    val n = enc0.count()
+    // row count + the duplicate-id tripwire in ONE aggregate job over
+    // the pinned batch (VERDICT r13 #7 — every merged driver action is
+    // CDC tick latency back)
+    val counts = enc0
+      .agg(count(lit(1)).as("n"), count_distinct(col(idCol)).as("n_ids"))
+      .head()
+    val n = counts.getAs[Long]("n")
     if (n == 0L) return
     val ids0 = enc0.select(col(idCol)).distinct()
-    require(ids0.count() == n,
+    require(counts.getAs[Long]("n_ids") == n,
       s"upsert batch must be unique by '$idCol' — duplicates would " +
         "serve two versions at one seq")
     // reserve AFTER validation (no burned seq on a rejected batch) but

@@ -142,4 +142,84 @@ class WriterRaceSpec extends SparkTestBase {
     val err2 = intercept[IllegalArgumentException](handleB.compact())
     assert(err2.getMessage.contains("stale sink handle"))
   }
+
+  test("WriterLease (VERDICT r13 #5): a second writer aborts at " +
+       "ACQUIRE — before writing anything; an expired lease is stolen " +
+       "and the superseded writer then aborts PRE-WRITE at its next " +
+       "op; the seq tripwire stays the backstop") {
+    import graft.cdc.WriterLease
+    def df(rows: (String, String)*): DataFrame = rows.toDF("id", "title")
+    def contents(s: LogUpsertSink): Set[(String, String)] =
+      s.read().map(_.as[(String, String)].collect().toSet)
+        .getOrElse(Set.empty)
+    val dir = tmp() + "/store"
+    // writer A holds the lease and works normally
+    val leaseA = WriterLease.acquire(spark, dir, "writer-A")
+    val sinkA = new LogUpsertSink(spark, dir, "id", nBuckets = 4,
+      lease = Some(leaseA))
+    sinkA.upsert(df("a" -> "v1"))
+    // writer B cannot even ACQUIRE while A's lease is live — and has
+    // therefore written NOTHING: the log listing is untouched
+    def segNames(): Set[String] = {
+      val d = new java.io.File(s"$dir/log")
+      if (!d.exists()) Set.empty else d.list().toSet
+    }
+    val before = segNames()
+    val acqErr = intercept[IllegalArgumentException] {
+      WriterLease.acquire(spark, dir, "writer-B")
+    }
+    assert(acqErr.getMessage.contains("held by 'writer-A'"))
+    assert(segNames() === before,
+      "the refused writer must not have touched the store")
+    // A releases; B acquires cleanly and works
+    leaseA.release()
+    val leaseB = WriterLease.acquire(spark, dir, "writer-B")
+    val sinkB = new LogUpsertSink(spark, dir, "id", nBuckets = 4,
+      lease = Some(leaseB))
+    sinkB.upsert(df("b" -> "v1"))
+    // A comes back mid-life (the restarted-daemon race): its next op
+    // aborts on the LEASE — preventively, before any segment write
+    val sinkA2 = new LogUpsertSink(spark, dir, "id", nBuckets = 4,
+      lease = Some(leaseA))
+    val beforeA2 = segNames()
+    val heldErr = intercept[IllegalArgumentException] {
+      sinkA2.upsert(df("zz" -> "ghost"))
+    }
+    assert(heldErr.getMessage.contains("superseded"))
+    assert(segNames() === beforeA2,
+      "the superseded writer must abort BEFORE writing")
+    assert(contents(sinkB) === Set("a" -> "v1", "b" -> "v1"),
+      "nothing from the superseded writer may leak in")
+    // EXPIRY steal: B's short-ttl lease lapses (B crashed without
+    // releasing); C steals it and writes; B's next op aborts pre-write
+    leaseB.release()
+    val leaseB2 = WriterLease.acquire(spark, dir, "writer-B", ttlMs = 1L)
+    val sinkB2 = new LogUpsertSink(spark, dir, "id", nBuckets = 4,
+      lease = Some(leaseB2))
+    val deadline = System.currentTimeMillis() + 5L
+    while (System.currentTimeMillis() < deadline) {} // let the ttl lapse
+    val leaseC = WriterLease.acquire(spark, dir, "writer-C")
+    val sinkC = new LogUpsertSink(spark, dir, "id", nBuckets = 4,
+      lease = Some(leaseC))
+    sinkC.upsert(df("c" -> "v1"))
+    val beforeB2 = segNames()
+    val stolenErr = intercept[IllegalArgumentException] {
+      sinkB2.upsert(df("yy" -> "ghost"))
+    }
+    assert(stolenErr.getMessage.contains("superseded"))
+    assert(segNames() === beforeB2)
+    assert(contents(sinkC) ===
+      Set("a" -> "v1", "b" -> "v1", "c" -> "v1"))
+    // the detective backstop is still armed underneath the lease: a
+    // stale HANDLE holding the CURRENT lease still trips the seq
+    // check (the acquire-window interleaving the lease cannot close)
+    val staleHandle = sinkC // snapshot before a foreign-ish publish
+    val fresh = new LogUpsertSink(spark, dir, "id", nBuckets = 4,
+      lease = Some(leaseC))
+    fresh.upsert(df("d" -> "v1"))
+    val seqErr = intercept[IllegalArgumentException] {
+      staleHandle.upsert(df("e" -> "v1"))
+    }
+    assert(seqErr.getMessage.contains("stale sink handle"))
+  }
 }
