@@ -57,7 +57,8 @@ final class ManifestUpsertSink(
     nBuckets: Int = 64,
     retainSnapshots: Int = 2,
     retry: Option[graft.sources.JdbcIO.RetryPolicy] = None,
-    beforeCommit: () => Unit = () => ())
+    beforeCommit: () => Unit = () => (),
+    lease: Option[WriterLease] = None)
     extends DocSink {
 
   require(retainSnapshots >= 1, "retainSnapshots must be >= 1")
@@ -139,6 +140,11 @@ final class ManifestUpsertSink(
     manifestVersions().lastOption.getOrElse(-1L)
 
   private def requireCurrent(): Unit = {
+    // preventive layer first (VERDICT r13 #5, when a lease is wired):
+    // a superseded writer aborts on the advisory lease BEFORE paying
+    // any op work; the version check below stays the detective
+    // backstop for the acquire window the lease cannot close
+    lease.foreach(_.requireHeld())
     val now = manifestVersions().lastOption.getOrElse(-1L)
     // trip ONLY on an ADVANCE (a publish this handle never saw — a
     // newer writer). A REGRESSION is a legacy-layout migration or a

@@ -803,6 +803,13 @@ object SimilarityOps {
     */
   private def recordIvfScanStats(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    // an EMPTY build writes only a _SUCCESS marker (no cell dirs, no
+    // readable schema) — leave the stats absent rather than fail the
+    // read; the audited serves then honestly return None
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || !fs.listStatus(p)
+        .exists(_.getPath.getName.startsWith("cell="))) return
     val counts = spark.read.parquet(dir)
       .groupBy(col("cell")).count().collect()
       .map(r => r.getAs[Number](0).intValue() -> r.getLong(1)).toMap
@@ -819,9 +826,15 @@ object SimilarityOps {
     * probed cells (the honest scan-cost lens the r13 drift audit
     * proved — recall alone hides a degenerating probe, because a
     * 75%-corpus scan masquerades as recovered recall);
-    * `designedFrac` is the band the quantization was built for (the
-    * nProbe largest build-time cell fractions summed — worst-case by
-    * design, so a healthy serve sits at-or-under it). `needsRetrain`
+    * `designedFrac` is the band the quantization was built for:
+    * nProbe × the build-time DATA-WEIGHTED mean cell fraction
+    * (Σ frac_c²) — the expected probed fraction when query traffic
+    * tracks the corpus (the CDC reality), which is what a healthy
+    * serve actually reads. A worst-case band (sum of the nProbe
+    * largest cells) would be too lax exactly when the build is
+    * already skewed — the r14 drift ladder measured 0.75 at full
+    * churn against a 0.50 worst-case band (silent) vs a 0.30
+    * expected band (loud). `needsRetrain`
     * fires when the actual fraction exceeds the band by
     * [[IvfScanBandTolerance]] — the prescribed remedy is a RETRAIN ON
     * A REBUILD (see [[upsertIntoIvfPqIndex]]'s drift caveat; measured
@@ -862,7 +875,12 @@ object SimilarityOps {
       val total = cells.values.sum
       if (total == 0L || fracs.isEmpty || perQueryCells.isEmpty) None
       else {
-        val designed = math.min(1.0, fracs.take(nProbe).sum)
+        // expected probed fraction at build: each probed cell looks
+        // like a data-weighted typical cell (Σ frac²) when queries
+        // track the corpus; × nProbe is slightly conservative-high
+        // (the 2nd-nearest cell is usually smaller) — fine for a band
+        val designed =
+          math.min(1.0, nProbe * fracs.map(f => f * f).sum)
         val perQ = perQueryCells.map(cs =>
           cs.map(c => cells.getOrElse(c, 0L)).sum.toDouble / total)
         val frac = perQ.sum / perQ.length
