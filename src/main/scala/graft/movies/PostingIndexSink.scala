@@ -21,10 +21,17 @@ import graft.cdc.DocSink
   *
   * `tokens` = None uses the movies-face analyzer fields; pass the
   * build's token map for a generic index.
+  *
+  * Pass a [[graft.cdc.WriterLease]] to make the single-writer
+  * contract PREVENTIVE (a superseded writer aborts before paying any
+  * op work) on top of the index's own stale-handle tripwire, which
+  * remains the backstop (VERDICT r13 #5 — the lease's acquire window
+  * is not atomic).
   */
 final class PostingIndexSink(
     initial: PostingIndex,
-    tokens: Option[Map[String, Column]] = None) extends DocSink {
+    tokens: Option[Map[String, Column]] = None,
+    lease: Option[graft.cdc.WriterLease] = None) extends DocSink {
 
   @volatile private var current: PostingIndex = initial
 
@@ -33,11 +40,17 @@ final class PostingIndexSink(
 
   def idCol: String = current.idCol
 
-  def upsert(docs: DataFrame): Unit =
-    current = tokens.fold(current.upsert(docs))(t => current.upsert(docs, t))
+  private def requireLease(): Unit = lease.foreach(_.requireHeld())
 
-  def delete(ids: DataFrame): Unit =
+  def upsert(docs: DataFrame): Unit = {
+    requireLease()
+    current = tokens.fold(current.upsert(docs))(t => current.upsert(docs, t))
+  }
+
+  def delete(ids: DataFrame): Unit = {
+    requireLease()
     current = current.delete(ids)
+  }
 
   /** The sink-family read view: the index's current doc payloads;
     * None when the store is empty ('isDefined == has docs').
@@ -46,6 +59,8 @@ final class PostingIndexSink(
     if (current.numDocs == 0L) None else Some(current.currentDocs)
 
   /** Fold the delta log into a fresh base ([[PostingIndex.compact]]). */
-  def compact(): Unit =
+  def compact(): Unit = {
+    requireLease()
     current = current.compact()
+  }
 }

@@ -35,28 +35,39 @@ final class IvfPqIndexSink(
     val idCol: String,
     vecCol: String,
     centers: Array[Array[Double]],
-    codebooks: Array[Array[Array[Double]]]) extends DocSink {
+    codebooks: Array[Array[Array[Double]]],
+    lease: Option[graft.cdc.WriterLease] = None) extends DocSink {
 
   private def dirExists: Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  // preventive single-writer layer when a lease is wired (VERDICT r13
+  // #5); this family's durability contract (torn op => rebuild) makes
+  // pre-write abort especially valuable — the backstop here is the
+  // seq discipline, not a publish tripwire
+  private def requireLease(): Unit = lease.foreach(_.requireHeld())
+
   /** Insert-or-replace by id: encode with the frozen quantization and
     * land rows + same-seq tombstones ([[SimilarityOps.upsertIntoIvfPqIndex]]).
     * Replays absorb (higher seq, equal content). Batch must be unique
     * by `idCol` — duplicates trip the loud require.
     */
-  def upsert(docs: DataFrame): Unit =
+  def upsert(docs: DataFrame): Unit = {
+    requireLease()
     SimilarityOps.upsertIntoIvfPqIndex(dir,
       docs.select(col(idCol), col(vecCol)), idCol, vecCol,
       centers, codebooks)
+  }
 
   /** Tombstone the ids at a fresh seq — O(|request|), absent ids are
     * ignored at read time; idempotent.
     */
-  def delete(ids: DataFrame): Unit =
+  def delete(ids: DataFrame): Unit = {
+    requireLease()
     SimilarityOps.removeFromIvfPqIndex(dir, ids.select(col(idCol)), idCol)
+  }
 
   /** The live ENCODED rows (id, cell, codes) — the quantized store
     * view, deterministic in (id → current vector) under the frozen
@@ -73,6 +84,8 @@ final class IvfPqIndexSink(
     * ([[SimilarityOps.compactIvfPqIndex]]); an emptied index collapses
     * to absent.
     */
-  def compact(): Unit =
+  def compact(): Unit = {
+    requireLease()
     SimilarityOps.compactIvfPqIndex(spark, dir, idCol)
+  }
 }

@@ -889,6 +889,43 @@ object SimilarityOps {
       }
     }
 
+  /** The [[IvfScanAudit.needsRetrain]] REMEDY as one call (VERDICT
+    * r13 #3's loop closed): re-train the quantization on a bounded
+    * driver sample of the CURRENT corpus (the q37 discipline —
+    * `sampleN` rows, never the corpus) and REBUILD into a FRESH
+    * directory. Never swaps quantization under a live layout — old
+    * codes would become undecodable — so the old dir keeps serving
+    * its readers untouched; retire it when serving has cut over (the
+    * PostingIndex retained-layout pattern, applied operationally).
+    * The new store records fresh scan stats, so the designed band
+    * resets to the retrained distribution and the tripwire re-arms
+    * against IT (IndexMaintBench's drift ladder measures exactly this
+    * recovery: recall back to the un-drifted band at the designed
+    * scan fraction). Returns the new (centers, codebooks) — the
+    * caller must serve the new dir with THESE, not the old ones.
+    *
+    * Sampling is orderBy(idCol).limit(sampleN): deterministic, and at
+    * 100 TB one TakeOrdered over the vector table — acceptable for a
+    * retrain cadence (drift timescales are days, not ticks); pass a
+    * pre-sampled corpus slice to control it further.
+    */
+  def retrainIvfPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      newDir: String, nList: Int, m: Int, codebookK: Int,
+      sampleN: Int = 512, maxIter: Int = 5, seed: Long = 13L)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val sample = corpus.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot retrain on an empty corpus")
+    val centers = localLloyd(sample, nList, maxIter, seed)
+    val codebooks = trainPqCodebooks(sample, m, codebookK, maxIter, seed)
+    writeIvfPqIndex(
+      ivfPqIndex(corpus, idCol, vecCol, centers, codebooks),
+      newDir, idCol)
+    (centers, codebooks)
+  }
+
   /** Incremental REFRESH of a stored [[ivfPqIndex]] layout (a parquet
     * dir partitioned by cell): encode the accepted delta with the SAME
     * frozen centroids/codebooks and append — new files land inside the

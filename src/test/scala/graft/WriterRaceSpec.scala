@@ -238,5 +238,40 @@ class WriterRaceSpec extends SparkTestBase {
       msink.upsert(df("n" -> "v1"))
     }
     assert(heldErr2.getMessage.contains("superseded"))
+    // ...and the two INDEX sink faces gate on the same lease: a
+    // superseded writer's op aborts BEFORE any segment/tombstone write
+    val pdir = tmp() + "/pidx"
+    val tokens2 = Map("title" -> split($"title", "\\s+"))
+    val pLease = WriterLease.acquire(spark, pdir, "writer-P")
+    val psink = new graft.movies.PostingIndexSink(
+      PostingIndex.buildTokenized(df("p" -> "v one"), pdir,
+        tokens2, Map("title" -> 1), idCol = "id",
+        nTermBuckets = 2, nDocBuckets = 2),
+      tokens = Some(tokens2), lease = Some(pLease))
+    psink.upsert(df("p2" -> "v two"))
+    pLease.release()
+    WriterLease.acquire(spark, pdir, "writer-Q")
+    val pErr = intercept[IllegalArgumentException] {
+      psink.upsert(df("p3" -> "ghost write"))
+    }
+    assert(pErr.getMessage.contains("superseded"))
+    assert(new java.io.File(s"$pdir/delta").list().toSeq
+      === Seq("seg-0-u"),
+      "the aborted op must not have written a second segment")
+    val vdir = tmp() + "/vidx"
+    val vLease = WriterLease.acquire(spark, vdir, "writer-V")
+    val vsink = new graft.ops.IvfPqIndexSink(spark, vdir, "id", "v",
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(Array(1.0), Array(-1.0))),
+      lease = Some(vLease))
+    vsink.upsert(Seq(("a", Array(1.0f, 0.1f))).toDF("id", "v"))
+    vLease.release()
+    WriterLease.acquire(spark, vdir, "writer-W")
+    val vErr = intercept[IllegalArgumentException] {
+      vsink.upsert(Seq(("b", Array(0.1f, 1.0f))).toDF("id", "v"))
+    }
+    assert(vErr.getMessage.contains("superseded"))
+    assert(vsink.read().get.select($"id").as[String].collect().toSeq
+      === Seq("a"), "the aborted vector op must not have landed")
   }
 }
