@@ -43,9 +43,17 @@ final class WriterLease private (
     ttlMs: Long) {
 
   /** Re-read the lease; abort LOUDLY unless it still names this
-    * holder, then renew the expiry. Call at the start of every
-    * mutating op — this is the preventive gate: the abort happens
-    * before the op writes anything.
+    * holder AND has not expired, then renew the expiry. Call at the
+    * start of every mutating op — this is the preventive gate: the
+    * abort happens before the op writes anything.
+    *
+    * The expiry check matters (review-pass finding, round 14): an
+    * expired own lease means a stealer may ALREADY have been admitted
+    * — silently renewing here would let the lapsed holder stomp the
+    * stealer's lease in the read-then-publish window and hand the
+    * green light to the wrong writer. A lapse forces an explicit
+    * re-[[WriterLease.acquire]], shrinking the stomp window to the
+    * same one acquire already has (and documents).
     */
   def requireHeld(): Unit = {
     val cur = WriterLease.readLease(spark, store)
@@ -55,6 +63,10 @@ final class WriterLease private (
         "superseded (or released); re-acquire to resume. The seq " +
         "tripwire remains the backstop if two writers raced the " +
         "acquire window")
+    require(cur.exists(_._2 > System.currentTimeMillis()),
+      s"writer lease for $store held by this writer ('$holder') has " +
+        "EXPIRED — a stealer may already have been admitted; " +
+        "re-acquire (and re-open the store handle) to resume")
     WriterLease.publish(spark, store, holder, ttlMs)
   }
 
@@ -100,56 +112,35 @@ object WriterLease {
   private def leasePath(store: String): Path =
     new Path(store.stripSuffix("/") + "__lease.json")
 
-  private def fsOf(spark: SparkSession, p: Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** (holder, expiresAtMs) if a lease file exists. Parse failures are
     * loud (the tmp+rename publish never exposes a torn file — a
     * malformed lease is external corruption, and silently treating it
-    * as absent would let two writers in).
+    * as absent would let two writers in). File machinery shared with
+    * the maintenance sidecar ([[graft.ops.JsonSidecar]]) so the two
+    * durability disciplines cannot drift.
     */
   private[cdc] def readLease(
       spark: SparkSession, store: String): Option[(String, Long)] = {
     val p = leasePath(store)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val root =
-        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-        catch {
-          case _: com.fasterxml.jackson.core.JacksonException => null
-        }
-        finally in.close()
+    graft.ops.JsonSidecar.read(spark, p).map { parsed =>
+      val root = parsed.orNull
       require(root != null && root.hasNonNull("holder") &&
         root.hasNonNull("expiresAtMs"),
         s"corrupt writer lease at $p — delete it to free the store " +
           "(the seq tripwires still protect the data)")
-      Some((root.path("holder").asText(),
-        root.path("expiresAtMs").asLong()))
+      (root.path("holder").asText(), root.path("expiresAtMs").asLong())
     }
   }
 
   private[cdc] def publish(
       spark: SparkSession, store: String, holder: String,
       ttlMs: Long): Unit = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.createObjectNode()
+    val root = graft.ops.JsonSidecar.newRoot
     root.put("holder", holder)
     root.put("expiresAtMs", System.currentTimeMillis() + ttlMs)
-    val p = leasePath(store)
-    val tmp = new Path(p.toString + "." + holder + ".tmp")
-    val fs = fsOf(spark, p)
-    val out = fs.create(tmp, true)
-    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
-    if (fs.exists(p)) { fs.delete(p, false); () }
-    require(fs.rename(tmp, p),
-      s"could not publish writer lease $p (rename failed)")
+    graft.ops.JsonSidecar.publish(spark, leasePath(store), root)
   }
 
-  private[cdc] def delete(spark: SparkSession, store: String): Unit = {
-    val p = leasePath(store)
-    val fs = fsOf(spark, p)
-    if (fs.exists(p)) { fs.delete(p, false); () }
-  }
+  private[cdc] def delete(spark: SparkSession, store: String): Unit =
+    graft.ops.JsonSidecar.delete(spark, leasePath(store))
 }

@@ -1216,11 +1216,15 @@ final class PostingIndex private (
     val newStats = analyzed.agg(statAggs.head, statAggs.tail: _*).head()
     val newN = newStats.getAs[Long]("n_docs")
     if (newN == 0L) return this // empty batch: no segment, no-op
+    // count_distinct excludes NULLs, so this also rejects null-keyed
+    // rows (which the seq fold could never serve correctly anyway) —
+    // the message names both causes
     require(newStats.getAs[Long]("n_ids") == newN,
-      s"upsert batch must be unique by '$idCol': $newN rows but only " +
-        s"${newStats.getAs[Long]("n_ids")} distinct ids — dedupe " +
-        "upstream (the LogUpsertSink rule); duplicates would corrupt " +
-        "nDocs/sumdl integer stats while the seq fold serves one copy")
+      s"upsert batch must be unique by '$idCol' with no NULL ids: " +
+        s"$newN rows but ${newStats.getAs[Long]("n_ids")} distinct " +
+        "non-null ids — dedupe (and drop null keys) upstream, the " +
+        "LogUpsertSink rule; duplicates would corrupt nDocs/sumdl " +
+        "integer stats while the seq fold serves one copy")
     val old = currentVersionsOf(analyzed.select(col(idCol)), segs)
     val (oldStats, oldN) = PostingIndex.sumStats(old, fields)
     val seq = nextSeq()

@@ -69,10 +69,7 @@ private[graft] object SeqSidecar {
   private def sidecarPath(store: String): Path =
     new Path(store.stripSuffix("/") + "__maint.json")
 
-  private def fsOf(spark: SparkSession, p: Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private type Node = com.fasterxml.jackson.databind.node.ObjectNode
+  private type Node = JsonSidecar.Node
 
   /** The parsed sidecar root, if one exists. Only PARSE failures mean
     * corruption (a torn-write shape the tmp+rename publish should
@@ -82,46 +79,21 @@ private[graft] object SeqSidecar {
     * known field group is equally loud (a foreign file squatting on
     * the sidecar name must not silently reset the counter).
     */
-  private def readRoot(spark: SparkSession, store: String): Option[Node] = {
-    val p = sidecarPath(store)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val root =
-        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-        catch {
-          case _: com.fasterxml.jackson.core.JacksonException => null
-        }
-        finally in.close()
-      require(root != null && root.isObject &&
+  private def readRoot(spark: SparkSession, store: String): Option[Node] =
+    JsonSidecar.read(spark, sidecarPath(store)).map { parsed =>
+      val root = parsed.orNull
+      require(root != null &&
         (root.hasNonNull("nextSeq") || root.hasNonNull("scan")),
-        s"corrupt seq sidecar at ${p}: no readable nextSeq/scan field " +
-          "— delete it to fall back to the legacy derive, or rebuild " +
-          "the store")
-      Some(root.asInstanceOf[Node])
+        s"corrupt seq sidecar at ${sidecarPath(store)}: no readable " +
+          "nextSeq/scan field — delete it to fall back to the legacy " +
+          "derive, or rebuild the store")
+      root
     }
-  }
 
-  private def publish(spark: SparkSession, store: String, root: Node): Unit = {
-    val p = sidecarPath(store)
-    val tmp = new Path(p.toString + ".tmp")
-    val fs = fsOf(spark, p)
-    // tmp + rename: the visible sidecar is always a COMPLETE document;
-    // a crash anywhere in here leaves the previous sidecar or none —
-    // both safe (none ⇒ legacy derive). The delete+rename pair is not
-    // atomic on every FS, but its only crash residue is ABSENCE.
-    val out = fs.create(tmp, true)
-    try out.write(new com.fasterxml.jackson.databind.ObjectMapper()
-      .writeValueAsBytes(root))
-    finally out.close()
-    if (fs.exists(p)) { fs.delete(p, false); () }
-    require(fs.rename(tmp, p),
-      s"could not publish seq sidecar $p (rename failed)")
-  }
+  private def publish(spark: SparkSession, store: String, root: Node): Unit =
+    JsonSidecar.publish(spark, sidecarPath(store), root)
 
-  private def newRoot: Node =
-    new com.fasterxml.jackson.databind.ObjectMapper().createObjectNode()
+  private def newRoot: Node = JsonSidecar.newRoot
 
   /** The persisted next-seq, if the sidecar carries one. None for an
     * absent sidecar AND for a stats-only sidecar (the post-compact
@@ -188,11 +160,8 @@ private[graft] object SeqSidecar {
     * field group with it; the LSH family — which carries no scan
     * stats — clears this way on compact too).
     */
-  def clear(spark: SparkSession, store: String): Unit = {
-    val p = sidecarPath(store)
-    val fs = fsOf(spark, p)
-    if (fs.exists(p)) { fs.delete(p, false); () }
-  }
+  def clear(spark: SparkSession, store: String): Unit =
+    JsonSidecar.delete(spark, sidecarPath(store))
 
   /** The scan-audit stats, if recorded: (current stored rows per cell,
     * build-time cell fractions sorted descending). Absent on stores

@@ -1149,9 +1149,12 @@ object SimilarityOps {
     val n = counts.getAs[Long]("n")
     if (n == 0L) return
     val ids0 = enc0.select(col(idCol)).distinct()
+    // count_distinct excludes NULLs, so this also rejects null-keyed
+    // rows (a null id can never be tombstoned back) — both causes named
     require(counts.getAs[Long]("n_ids") == n,
-      s"upsert batch must be unique by '$idCol' — duplicates would " +
-        "serve two versions at one seq")
+      s"upsert batch must be unique by '$idCol' with no NULL ids — " +
+        "duplicates would serve two versions at one seq, and a " +
+        "null-keyed row could never be replaced or deleted")
     // reserve AFTER validation (no burned seq on a rejected batch) but
     // BEFORE any write at the seq — a torn op below leaves the counter
     // already advanced, so a replay allocates fresh
@@ -1689,13 +1692,16 @@ object SimilarityOps {
       query: Array[Double], centers: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
       nProbe: Int, shortlist: Int, k: Int): DataFrame =
-    ivfPqTopKStoredAudited(spark, indexDir, idCol, vectors, vecIdCol,
-      vecCol, query, centers, codebooks, nProbe, shortlist, k)._1
+    ivfPqStoredImpl(spark, indexDir, idCol, vectors, vecIdCol,
+      vecCol, query, centers, codebooks, nProbe, shortlist, k,
+      audited = false)._1
 
   /** [[ivfPqTopKStored]] plus its [[IvfScanAudit]] (VERDICT r13 #3):
     * the served frame is IDENTICAL (the audit is driver arithmetic
     * off the sidecar stats — zero extra Spark jobs, no plan change);
-    * None on stores without recorded stats.
+    * None on stores without recorded stats. The unaudited face skips
+    * even the sidecar file read — its serve stays IO-identical
+    * (review-pass finding, round 14).
     */
   def ivfPqTopKStoredAudited(
       spark: org.apache.spark.sql.SparkSession,
@@ -1704,10 +1710,24 @@ object SimilarityOps {
       query: Array[Double], centers: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
       nProbe: Int, shortlist: Int, k: Int)
-      : (DataFrame, Option[IvfScanAudit]) = {
+      : (DataFrame, Option[IvfScanAudit]) =
+    ivfPqStoredImpl(spark, indexDir, idCol, vectors, vecIdCol,
+      vecCol, query, centers, codebooks, nProbe, shortlist, k,
+      audited = true)
+
+  private def ivfPqStoredImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      query: Array[Double], centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int, shortlist: Int, k: Int,
+      audited: Boolean): (DataFrame, Option[IvfScanAudit]) = {
     require(shortlist >= k, "shortlist must be at least k")
     val probed = ivfRoute(query, centers, nProbe)
-    val audit = ivfScanAuditOf(spark, indexDir, Seq(probed), nProbe)
+    val audit =
+      if (!audited) None
+      else ivfScanAuditOf(spark, indexDir, Seq(probed), nProbe)
     val index = dropIvfTombstones(spark, indexDir, idCol,
       spark.read.parquet(indexDir)
         .filter(col("cell").isin(probed.map(Integer.valueOf): _*)))

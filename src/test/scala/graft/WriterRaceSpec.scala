@@ -273,5 +273,15 @@ class WriterRaceSpec extends SparkTestBase {
     assert(vErr.getMessage.contains("superseded"))
     assert(vsink.read().get.select($"id").as[String].collect().toSeq
       === Seq("a"), "the aborted vector op must not have landed")
+    // an EXPIRED own lease must NOT silently renew (review-pass r14):
+    // a stealer may already have been admitted — the lapsed holder is
+    // forced through an explicit re-acquire instead of stomping the
+    // stealer's lease in the read-then-publish window
+    val edir = tmp() + "/estore"
+    val eLease = WriterLease.acquire(spark, edir, "writer-E", ttlMs = 1L)
+    val dl = System.currentTimeMillis() + 5
+    while (System.currentTimeMillis() < dl) {}
+    val eErr = intercept[IllegalArgumentException](eLease.requireHeld())
+    assert(eErr.getMessage.contains("EXPIRED"))
   }
 }
