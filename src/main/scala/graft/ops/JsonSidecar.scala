@@ -9,11 +9,20 @@ import org.apache.spark.sql.SparkSession
   * drift (review-pass finding, round 14 — the two hand-rolled copies
   * had already diverged on the is-object corruption guard):
   *
-  *   - [[publish]]: tmp file + rename, so the visible file is always a
-  *     COMPLETE JSON document; a crash mid-publish leaves the previous
-  *     file or none. The delete+rename pair is not atomic on every FS,
-  *     but its only crash residue is ABSENCE — which every owner
-  *     treats as a safe state.
+  *   - [[publish]]: on a POSIX-rename filesystem (the `file` scheme)
+  *     the tmp file lands via an ATOMIC overwrite-rename — a reader
+  *     observes the previous document or the new one, NEVER absence.
+  *     That distinction matters for the LEASE owner (ADVICE r14):
+  *     absence means GRANTABLE, so a delete-then-rename pair would
+  *     open a brief both-writers-admitted window on every renewal —
+  *     a recurring race, not the one-time acquire window the
+  *     WriterLease doc describes. On filesystems without an
+  *     overwrite-rename (object stores), publish falls back to
+  *     delete+rename: the crash residue there CAN be absence, which
+  *     is safe for the maintenance sidecar (the legacy derive takes
+  *     over) but re-opens the lease's renewal window — deploy the
+  *     lease on a POSIX store, or accept that the seq tripwires are
+  *     the real guard there (they always remain the backstop).
   *   - [[read]]: None when the file is absent; a file that EXISTS but
   *     fails to parse as a JSON object returns `Some(None)` so the
   *     owner can raise ITS OWN loud domain error (the owners' messages
@@ -53,15 +62,36 @@ private[graft] object JsonSidecar {
   }
 
   def publish(spark: SparkSession, p: Path, root: Node): Unit = {
-    val tmp = new Path(p.toString + ".tmp")
     val fs = fsOf(spark, p)
-    val out = fs.create(tmp, true)
-    try out.write(new com.fasterxml.jackson.databind.ObjectMapper()
-      .writeValueAsBytes(root))
-    finally out.close()
-    if (fs.exists(p)) { fs.delete(p, false); () }
-    require(fs.rename(tmp, p),
-      s"could not publish sidecar $p (rename failed)")
+    val bytes = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsBytes(root)
+    if (fs.getScheme == "file") {
+      // POSIX rename(2) replaces the destination in ONE step — the
+      // atomic overwrite the lease's renewal discipline needs (see
+      // the class doc). Written through java.nio so no Hadoop
+      // checksum twin is created for the tmp file.
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dst = Paths.get(p.toUri.getPath)
+      if (dst.getParent != null) Files.createDirectories(dst.getParent)
+      val tmp = dst.resolveSibling(dst.getFileName.toString + ".tmp")
+      Files.write(tmp, bytes)
+      // a store published by the pre-atomic path may carry a Hadoop
+      // .crc twin for the destination; it would fail verification
+      // against the nio-renamed document — retire it
+      Files.deleteIfExists(
+        dst.resolveSibling("." + dst.getFileName.toString + ".crc"))
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else {
+      val tmp = new Path(p.toString + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes)
+      finally out.close()
+      if (fs.exists(p)) { fs.delete(p, false); () }
+      require(fs.rename(tmp, p),
+        s"could not publish sidecar $p (rename failed)")
+    }
   }
 
   def delete(spark: SparkSession, p: Path): Unit = {

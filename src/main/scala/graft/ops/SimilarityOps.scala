@@ -904,17 +904,27 @@ object SimilarityOps {
     * scan fraction). Returns the new (centers, codebooks) — the
     * caller must serve the new dir with THESE, not the old ones.
     *
-    * Sampling is orderBy(idCol).limit(sampleN): deterministic, and at
-    * 100 TB one TakeOrdered over the vector table — acceptable for a
-    * retrain cadence (drift timescales are days, not ticks); pass a
-    * pre-sampled corpus slice to control it further.
+    * Sampling is orderBy(xxhash64(idCol), idCol).limit(sampleN): a
+    * deterministic UNIFORM pseudo-random draw across the whole id
+    * space (the ivfTopK hash-ordered-cap discipline). A head-of-id
+    * sample (orderBy(idCol) alone) would be biased toward the OLDEST
+    * rows — in the append-heavy CDC drift scenario this remedy
+    * targets, the drifted vectors carry the HIGHEST ids, so the
+    * retrain would refit the stale distribution and re-arm the
+    * needsRetrain band around it, silencing the audit without the
+    * probe recovering (ADVICE r14). At 100 TB this is one TakeOrdered
+    * over the vector table — acceptable for a retrain cadence (drift
+    * timescales are days, not ticks); pass a pre-sampled corpus slice
+    * to control it further.
     */
   def retrainIvfPqIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
       newDir: String, nList: Int, m: Int, codebookK: Int,
       sampleN: Int = 512, maxIter: Int = 5, seed: Long = 13L)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val sample = corpus.orderBy(col(idCol)).limit(sampleN)
+    val sample = corpus
+      .orderBy(xxhash64(col(idCol), lit(seed)).asc, col(idCol).asc)
+      .limit(sampleN)
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot retrain on an empty corpus")
@@ -1171,6 +1181,16 @@ object SimilarityOps {
     // rows until compact, and the probe SCANS them before the
     // tombstone filter, so counting them is exactly right for the
     // scan-cost audit. One bounded aggregate over the pinned batch.
+    // Crash window, stated honestly (ADVICE r14): the fold lands
+    // AFTER the row write, so a crash between them leaves the audit
+    // UNDERCOUNTING the landed rows — probedRowFrac then reads low
+    // (the tripwire can stay silent slightly past its band) until the
+    // next compact recounts the affected cells (the torn batch's
+    // tombstones landed first, so its cells ARE in compact's affected
+    // set — the undercount is one batch, bounded, and self-healing).
+    // Acceptable for an ADVISORY audit; fold-first would flip the
+    // bias to phantom rows (false alarms), the worse failure for a
+    // signal whose remedy is an expensive retrain.
     SeqSidecar.readScan(spark, dir).foreach { case (cells, fracs) =>
       SeqSidecar.writeScan(spark, dir, foldCellCounts(cells, enc), fracs)
     }
