@@ -25,7 +25,10 @@ import org.apache.spark.sql.SparkSession
   *     lease must still name THIS holder — a foreign holder (even an
   *     expired one) means another writer superseded us while our lease
   *     lapsed; abort. Success RENEWS the expiry, so an actively
-  *     writing holder never lapses.
+  *     writing holder never lapses. The renewal publish is an ATOMIC
+  *     overwrite on POSIX stores ([[graft.ops.JsonSidecar]]) — a
+  *     concurrent acquire never observes a momentarily-absent lease
+  *     mid-renewal (ADVICE r14).
   *   - [[release]]: delete if still ours (a clean handover; crashed
   *     holders age out via expiry instead).
   *
@@ -83,6 +86,20 @@ object WriterLease {
   /** Default lease TTL: long enough that a healthy writer's op cadence
     * renews well inside it, short enough that a crashed writer frees
     * the store in minutes.
+    *
+    * SIZING RULE (ADVICE r14): `ttlMs` must exceed the longest
+    * interval between two [[WriterLease#requireHeld]] calls — each
+    * call renews. Ops renew at their START, and the LONG ops (the
+    * compact faces of all three index families) renew again at their
+    * internal fold/publish boundary, so the interval to size against
+    * is the longest single PHASE (one layout write), not the whole
+    * op. An op phase that still outlives the TTL lapses mid-op: a
+    * stealer can be admitted while the lapsed writer's writes land,
+    * and the seq tripwire only catches the race at the superseded
+    * writer's NEXT op — the detective error the lease exists to
+    * prevent. Size the TTL to worst-case phase duration × a safety
+    * factor (the 5-minute default covers the bench-scale stores here;
+    * a 100 TB compact wants hours).
     */
   val DefaultTtlMs: Long = 5L * 60L * 1000L
 

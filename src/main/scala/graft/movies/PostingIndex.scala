@@ -1085,7 +1085,9 @@ final class PostingIndex private (
     * refresh ⇒ rebuild), unlike the CDC-facing ManifestUpsertSink.
     */
   def refresh(
-      newDocs: DataFrame, tokens: Map[String, Column]): PostingIndex = {
+      newDocs: DataFrame, tokens: Map[String, Column],
+      lease: Option[graft.cdc.WriterLease] = None): PostingIndex = {
+    lease.foreach(_.requireHeld()) // preventive gate BEFORE any op work
     require(tokens.keySet == weights.keySet,
       s"token columns ${tokens.keySet} must match weights ${weights.keySet}")
     require(newDocs.columns.toSeq == docCols,
@@ -1185,7 +1187,9 @@ final class PostingIndex private (
     * call.
     */
   def upsert(
-      docs: DataFrame, tokens: Map[String, Column]): PostingIndex = {
+      docs: DataFrame, tokens: Map[String, Column],
+      lease: Option[graft.cdc.WriterLease] = None): PostingIndex = {
+    lease.foreach(_.requireHeld()) // preventive gate BEFORE any op work
     require(tokens.keySet == weights.keySet,
       s"token columns ${tokens.keySet} must match weights ${weights.keySet}")
     require(docs.columns.toSeq == docCols,
@@ -1257,7 +1261,10 @@ final class PostingIndex private (
     * ignored (idempotent). Cost O(|ids| + id buckets + delta log).
     * Returns the updated handle — the receiver is stale after this.
     */
-  def delete(ids: DataFrame): PostingIndex = {
+  def delete(
+      ids: DataFrame,
+      lease: Option[graft.cdc.WriterLease] = None): PostingIndex = {
+    lease.foreach(_.requireHeld()) // preventive gate BEFORE any op work
     requireCurrent()
     if (nDocs == 0L) return this // nothing to tombstone
     sweepStaleLayouts() // layout debris from a torn compact sweeps here
@@ -1353,16 +1360,19 @@ final class PostingIndex private (
     * writer, as all the parquet stores.
     */
   def compact(
-      retainVersions: Int = PostingIndex.DefaultRetainVersions)
+      retainVersions: Int = PostingIndex.DefaultRetainVersions,
+      lease: Option[graft.cdc.WriterLease] = None)
       : PostingIndex =
-    compactImpl(sweepAfter = true, retainVersions)
+    compactImpl(sweepAfter = true, retainVersions, lease)
 
   /** `sweepAfter = false` simulates dying right after the publish —
     * the MoviesSpec crash drill. */
   private[graft] def compactImpl(
       sweepAfter: Boolean,
-      retainVersions: Int = PostingIndex.DefaultRetainVersions)
+      retainVersions: Int = PostingIndex.DefaultRetainVersions,
+      lease: Option[graft.cdc.WriterLease] = None)
       : PostingIndex = {
+    lease.foreach(_.requireHeld()) // preventive gate BEFORE any op work
     require(retainVersions >= 1, "retainVersions must be >= 1")
     requireCurrent()
     sweepStaleLayouts() // debris from a previously torn compact
@@ -1377,6 +1387,12 @@ final class PostingIndex private (
       fields, weights, idCol, docCols,
       nTermBuckets, nDocBuckets,
       thruSeq = thruSeq, foldedSeq = thruSeq, layoutV = newV)
+    // mid-op lease RENEWAL at the fold/publish boundary (ADVICE r14):
+    // the layout write above is the op's long phase — renewing here
+    // means the TTL sizes against one phase, not the whole compact; a
+    // lease superseded DURING the fold aborts now, before the publish
+    // (the staged layout becomes sweepable debris, nothing served)
+    lease.foreach(_.requireHeld())
     // the outgoing layout (this handle's) joins the retained window;
     // older entries beyond the window age out at the sweep below
     val m3 = m2.copy(retained =

@@ -351,10 +351,13 @@ object DedupOps {
     */
   def removeFromLshIndex(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      deletedIds: DataFrame, id: String): Unit =
+      deletedIds: DataFrame, id: String,
+      lease: Option[graft.cdc.WriterLease] = None): Unit = {
+    lease.foreach(_.requireHeld()) // preventive gate BEFORE any op work
     deletedIds.select(col(id)).distinct()
       .withColumn(LshSeqCol, lit(allocLshSeq(spark, table)))
       .write.mode("append").parquet(tombstonePath(spark, table))
+  }
 
   /** UPSERT-BY-ID into a stored LSH index — a re-shingled document
     * replaces its band-key rows without a rebuild (the index-agnostic
@@ -372,7 +375,9 @@ object DedupOps {
   def upsertIntoLshIndex(
       spark: org.apache.spark.sql.SparkSession, table: String,
       batch: DataFrame, id: String, sig: String,
-      bands: Int, rows: Int, nBuckets: Int): Unit = {
+      bands: Int, rows: Int, nBuckets: Int,
+      lease: Option[graft.cdc.WriterLease] = None): Unit = {
+    lease.foreach(_.requireHeld()) // preventive gate BEFORE any op work
     val pinned = Checkpointer.checkpoint(
       batch.select(col(id), col(sig)))
     val n = pinned.count()
@@ -427,12 +432,18 @@ object DedupOps {
     */
   def compactLshIndex(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      id: String, nBuckets: Int): Unit = {
+      id: String, nBuckets: Int,
+      lease: Option[graft.cdc.WriterLease] = None): Unit = {
+    lease.foreach(_.requireHeld()) // preventive gate BEFORE any op work
     // materialize BEFORE the rewrite: writeBucketed drops the table
     // this plan reads from
     val active = Checkpointer.checkpoint(
       activeLshIndex(spark, table, id)
         .withColumn(LshSeqCol, lit(LshBaseSeq)))
+    // mid-op renewal at the fold/rewrite boundary (ADVICE r14): the
+    // checkpointed fold above is the long read phase; a lease
+    // superseded during it aborts HERE — before the table rewrite
+    lease.foreach(_.requireHeld())
     BucketingOps.writeBucketed(active, table, Seq("band", "bh"), nBuckets)
     val p = new org.apache.hadoop.fs.Path(tombstonePath(spark, table))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -88,5 +88,15 @@ package graft.ops
   *     superseding tombstone FIRST (a torn op can lose the new
   *     version, never serve two), and a torn compact means rebuild
   *     (their tables rewrite in place).
+  *   - Preventive single-writer layer (VERDICT r14 #4): every mutating
+  *     face on every family — the DocSink faces AND the direct APIs
+  *     above — takes an optional [[graft.cdc.WriterLease]], checked
+  *     BEFORE any op work, so a superseded writer aborts before paying
+  *     a rewrite (a losing COMPACT used to pay the full fold before
+  *     the seq tripwire fired). The compact faces RENEW the lease at
+  *     their fold/rewrite boundary, so the TTL sizes against one phase
+  *     (see [[graft.cdc.WriterLease.DefaultTtlMs]]). The detective
+  *     tripwires remain the backstop for the acquire window the lease
+  *     cannot close.
   */
 object IndexMaintenance

@@ -960,7 +960,9 @@ object SimilarityOps {
   def refreshIvfPqIndex(
       dir: String, delta: DataFrame, idCol: String, vecCol: String,
       centers: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]]): Unit = {
+      codebooks: Array[Array[Array[Double]]],
+      lease: Option[graft.cdc.WriterLease] = None): Unit = {
+    lease.foreach(_.requireHeld()) // preventive gate BEFORE any op work
     val spark = delta.sparkSession
     val highWater = SeqSidecar.highWater(spark, dir,
       IvfBaseSeq, nextIvfSeq(spark, dir))
@@ -1101,7 +1103,9 @@ object SimilarityOps {
     * durability difference — [[IndexMaintenance]]).
     */
   def removeFromIvfPqIndex(
-      dir: String, deletedIds: DataFrame, idCol: String): Unit = {
+      dir: String, deletedIds: DataFrame, idCol: String,
+      lease: Option[graft.cdc.WriterLease] = None): Unit = {
+    lease.foreach(_.requireHeld()) // preventive gate BEFORE any op work
     val spark = deletedIds.sparkSession
     deletedIds.select(col(idCol)).distinct()
       .withColumn(IvfSeqCol, lit(allocIvfSeq(spark, dir)))
@@ -1144,7 +1148,9 @@ object SimilarityOps {
   def upsertIntoIvfPqIndex(
       dir: String, batch: DataFrame, idCol: String, vecCol: String,
       centers: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]]): Unit = {
+      codebooks: Array[Array[Array[Double]]],
+      lease: Option[graft.cdc.WriterLease] = None): Unit = {
+    lease.foreach(_.requireHeld()) // preventive gate BEFORE any op work
     val spark = batch.sparkSession
     // pin: the encoded batch feeds the tripwire count, the tombstone
     // write and the row write — one evaluation of the caller's plan
@@ -1233,7 +1239,9 @@ object SimilarityOps {
     */
   def compactIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      idCol: String): Unit = {
+      idCol: String,
+      lease: Option[graft.cdc.WriterLease] = None): Unit = {
+    lease.foreach(_.requireHeld()) // preventive gate BEFORE any op work
     import org.apache.hadoop.fs.Path
     val tp = new Path(ivfTombstonePath(dir))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1286,6 +1294,10 @@ object SimilarityOps {
         // dynamic overwrite only touches partitions PRESENT in the
         // output, so fully-emptied cells need the explicit drop below
         val kept = keep.localCheckpoint(eager = true)
+        // mid-op lease renewal at the fold/rewrite boundary (ADVICE
+        // r14): the eager fold above is the long read phase; a lease
+        // superseded during it aborts HERE — before any cell rewrite
+        lease.foreach(_.requireHeld())
         val keptCells = kept.select(col("cell")).distinct()
           .collect().map(_.getAs[Number](0).intValue()).toSet
         // rewritten cells land SORTED BY ID — the one sorted-layout

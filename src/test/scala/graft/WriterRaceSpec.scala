@@ -284,4 +284,139 @@ class WriterRaceSpec extends SparkTestBase {
     val eErr = intercept[IllegalArgumentException](eLease.requireHeld())
     assert(eErr.getMessage.contains("EXPIRED"))
   }
+
+  test("direct maintenance APIs gate on the lease too (VERDICT r14 " +
+       "#4): a superseded writer's upsert/remove/COMPACT aborts on " +
+       "every family BEFORE any op work — a losing compact no longer " +
+       "pays the full fold before the seq tripwire fires — and the " +
+       "compact faces RENEW the lease mid-op (the expiry advances " +
+       "across the fold boundary)") {
+    import graft.cdc.WriterLease
+    import graft.ops.{BucketingOps, DedupOps, SimilarityOps}
+
+    def leaseExpiry(store: String): Long = {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(store.stripSuffix("/") + "__lease.json"))
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bytes).path("expiresAtMs").asLong()
+    }
+    def treeOf(dir: String): Set[String] = {
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(root)) Set.empty
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(root.relativize(_).toString).toSet
+        } finally s.close()
+      }
+    }
+
+    // ---- PostingIndex direct faces (upsert / delete / compact)
+    val pdir = tmp() + "/pidx"
+    val tokens = Map("text" -> split($"text", "\\s+"))
+    var idx = PostingIndex.buildTokenized(
+      Seq((1L, "alpha common"), (2L, "beta common")).toDF("id", "text"),
+      pdir, tokens, Map("text" -> 1), idCol = "id",
+      nTermBuckets = 2, nDocBuckets = 2)
+    val p1 = WriterLease.acquire(spark, pdir, "writer-P1")
+    idx = idx.upsert(Seq((3L, "gamma common")).toDF("id", "text"),
+      tokens, lease = Some(p1))
+    p1.release()
+    val p2 = WriterLease.acquire(spark, pdir, "writer-P2")
+    val beforeP = treeOf(pdir)
+    for (op <- Seq[() => Unit](
+        () => idx.upsert(Seq((9L, "ghost")).toDF("id", "text"),
+          tokens, lease = Some(p1)),
+        () => idx.delete(Seq(3L).toDF("id"), lease = Some(p1)),
+        () => idx.compact(lease = Some(p1)))) {
+      val err = intercept[IllegalArgumentException](op())
+      assert(err.getMessage.contains("superseded"))
+    }
+    assert(treeOf(pdir) === beforeP,
+      "a superseded PostingIndex writer must abort before ANY write — " +
+        "no segment, no tombstone, no staged layout")
+    // in-op renewal (ADVICE r14): compact renews the lease INSIDE the
+    // op (op start + the fold/publish boundary), so the published
+    // expiry read AFTER the op must sit past the expiry published at
+    // acquire — renewal is what keeps a healthy long op from lapsing
+    p2.release()
+    val p1b = WriterLease.acquire(spark, pdir, "writer-P1")
+    val eAcquire = leaseExpiry(pdir)
+    val dl = System.currentTimeMillis() + 20
+    while (System.currentTimeMillis() < dl) {} // let the clock move
+    idx = PostingIndex.open(spark, pdir).compact(lease = Some(p1b))
+    assert(leaseExpiry(pdir) > eAcquire,
+      "compact must renew the lease inside the op")
+    p1b.release()
+
+    // ---- LSH direct faces: the lease is keyed by an agreed store
+    // path (the table has no single dir handle; every writer must
+    // acquire on the same identifier)
+    val ltable = "graft_race_lsh_direct"
+    val lstore = tmp() + "/lsh_store"
+    BucketingOps.writeBucketed(
+      DedupOps.lshBandKeyTable(
+        Seq((1L, Array(11L, 22L, 33L, 44L)))
+          .toDF("doc_id", "sig"), "doc_id", "sig", 2, 2),
+      ltable, Seq("band", "bh"), nBuckets = 2)
+    val l1 = WriterLease.acquire(spark, lstore, "writer-L1")
+    DedupOps.upsertIntoLshIndex(spark, ltable,
+      Seq((2L, Array(55L, 66L, 77L, 88L))).toDF("doc_id", "sig"),
+      "doc_id", "sig", 2, 2, nBuckets = 2, lease = Some(l1))
+    l1.release()
+    WriterLease.acquire(spark, lstore, "writer-L2")
+    val lRows = spark.table(ltable).count()
+    for (op <- Seq[() => Unit](
+        () => DedupOps.upsertIntoLshIndex(spark, ltable,
+          Seq((3L, Array(1L, 2L, 3L, 4L))).toDF("doc_id", "sig"),
+          "doc_id", "sig", 2, 2, nBuckets = 2, lease = Some(l1)),
+        () => DedupOps.removeFromLshIndex(spark, ltable,
+          Seq(2L).toDF("doc_id"), "doc_id", lease = Some(l1)),
+        () => DedupOps.compactLshIndex(spark, ltable, "doc_id",
+          nBuckets = 2, lease = Some(l1)))) {
+      val err = intercept[IllegalArgumentException](op())
+      assert(err.getMessage.contains("superseded"))
+    }
+    assert(spark.table(ltable).count() === lRows,
+      "a superseded LSH writer must abort before any table write")
+
+    // ---- IVF×PQ direct faces: the tree check covers the PARENT dir
+    // so the sibling tombstone table and maintenance sidecar are in
+    // scope too (only the lease file itself legitimately changes)
+    val vtmp = tmp()
+    val vdir = vtmp + "/vidx"
+    val centers = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val codebooks = Array(Array(Array(1.0), Array(-1.0)))
+    SimilarityOps.writeIvfPqIndex(
+      SimilarityOps.ivfPqIndex(
+        Seq((1L, Array(1.0f, 0.1f))).toDF("id", "v"),
+        "id", "v", centers, codebooks), vdir, "id")
+    val v1 = WriterLease.acquire(spark, vdir, "writer-V1")
+    SimilarityOps.upsertIntoIvfPqIndex(vdir,
+      Seq((2L, Array(0.1f, 1.0f))).toDF("id", "v"),
+      "id", "v", centers, codebooks, lease = Some(v1))
+    v1.release()
+    WriterLease.acquire(spark, vdir, "writer-V2")
+    def vTree(): Set[String] =
+      treeOf(vtmp).filterNot(_.contains("__lease"))
+    val beforeV = vTree()
+    for (op <- Seq[() => Unit](
+        () => SimilarityOps.upsertIntoIvfPqIndex(vdir,
+          Seq((3L, Array(0.5f, 0.5f))).toDF("id", "v"),
+          "id", "v", centers, codebooks, lease = Some(v1)),
+        () => SimilarityOps.removeFromIvfPqIndex(vdir,
+          Seq(2L).toDF("id"), "id", lease = Some(v1)),
+        () => SimilarityOps.refreshIvfPqIndex(vdir,
+          Seq((4L, Array(0.9f, 0.2f))).toDF("id", "v"),
+          "id", "v", centers, codebooks, lease = Some(v1)),
+        () => SimilarityOps.compactIvfPqIndex(spark, vdir, "id",
+          lease = Some(v1)))) {
+      val err = intercept[IllegalArgumentException](op())
+      assert(err.getMessage.contains("superseded"))
+    }
+    assert(vTree() === beforeV,
+      "a superseded IVF×PQ writer must abort before any cell, " +
+        "tombstone, or sidecar write")
+  }
 }
