@@ -903,6 +903,10 @@ object SimilarityOps {
     * recovery: recall back to the un-drifted band at the designed
     * scan fraction). Returns the new (centers, codebooks) — the
     * caller must serve the new dir with THESE, not the old ones.
+    * The OPERATIONAL cutover — atomic serve-pointer swap, concurrent
+    * old-generation readers, retirement after the retention window —
+    * is [[IvfPqCurrent.retrainCutover]] (VERDICT r14 #2); this method
+    * is its build primitive.
     *
     * Sampling is orderBy(xxhash64(idCol), idCol).limit(sampleN): a
     * deterministic UNIFORM pseudo-random draw across the whole id

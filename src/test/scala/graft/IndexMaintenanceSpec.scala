@@ -705,4 +705,119 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(ids(l1).nonEmpty && lAudit.isEmpty,
       "a stat-less store must serve with audit None")
   }
+
+  test("retrain CUTOVER drill (VERDICT r14 #2): the serve pointer " +
+       "publishes generation 0, drift trips needsRetrain through the " +
+       "pointer, retrainCutover swaps it atomically to a fresh " +
+       "generation whose audit is clear, a reader holding the OLD " +
+       "pointer keeps serving its retained layout unchanged, and the " +
+       "old generation retires once it ages out of the retention " +
+       "window") {
+    import graft.ops.IvfPqCurrent
+    val dim = 16
+    // the audit leg's fixture: 4 well-separated clusters; the drifted
+    // re-embedding keeps its internal geometry but crowds to cell 0
+    // under the stale generation-0 quantization
+    def vecOf(i: Long, drifted: Boolean): Array[Float] = {
+      val spike = (i % 4).toInt * 4 + (if (drifted) 2 else 0)
+      Array.tabulate(dim)(j =>
+        (if (j == spike) 8.0f else 0.0f) +
+          (if (j == 3) ((i * 7) % 5 - 2) * 0.05f else 0.0f))
+    }
+    val centers0 = Array.tabulate(4)(c =>
+      Array.tabulate(dim)(j => if (j == c * 4) 8.0 else 0.0))
+    val codebooks0 = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+      Array.tabulate(8)(j => ((sp * 31 + c * 7 + j) % 5 - 2).toDouble)))
+    val n = 200L
+    def corpusOf(drifted: Boolean) =
+      (0L until n).map(i => (i, vecOf(i, drifted)))
+        .toDF("vec_id", "embedding").localCheckpoint()
+    val base = corpusOf(false)
+    val drifted = corpusOf(true)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cutover").toString
+    def layoutDirs(): Seq[String] = {
+      val d = new java.io.File(root)
+      d.list().toSeq.filter(_.matches("layout-\\d+")).sorted
+    }
+    def serveAudited(cur: IvfPqCurrent.Current, corpus: DataFrame,
+        q: Array[Double]) =
+      SimilarityOps.ivfPqTopKStoredAudited(spark, cur.dir, "vec_id",
+        corpus, "vec_id", "embedding", q, cur.centers, cur.codebooks,
+        nProbe = 1, shortlist = 16, k = 5)
+    def idsOf(df: DataFrame) =
+      df.select($"vec_id").as[Long].collect().toSeq
+
+    // generation 0 publishes through the pointer; openCurrent hands
+    // back one consistent (dir, quantization) — the round-trip is
+    // exact (doubles survive the JSON pointer bit-for-bit)
+    val cur0 = IvfPqCurrent.publish(base, "vec_id", "embedding", root,
+      centers0, codebooks0)
+    assert(cur0.version === 0L && cur0.dir.endsWith("layout-0"))
+    val opened0 = IvfPqCurrent.openCurrent(spark, root)
+    assert(opened0.version === 0L && opened0.dir === cur0.dir)
+    assert(opened0.centers.map(_.toSeq).toSeq ===
+      centers0.map(_.toSeq).toSeq)
+    assert(opened0.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      codebooks0.map(_.map(_.toSeq).toSeq).toSeq)
+    val qHealthy = vecOf(0L, drifted = false).map(_.toDouble)
+    val (h0, a0) = serveAudited(opened0, base, qHealthy)
+    assert(idsOf(h0).nonEmpty && a0.exists(!_.needsRetrain),
+      s"generation 0 must serve clean: $a0")
+
+    // drift through the MAINTENANCE path against the current dir —
+    // the tripwire fires through the pointer-opened handle
+    SimilarityOps.upsertIntoIvfPqIndex(opened0.dir, drifted, "vec_id",
+      "embedding", centers0, codebooks0)
+    val qDrift = vecOf(0L, drifted = true).map(_.toDouble)
+    val (d0, dAudit) = serveAudited(opened0, drifted, qDrift)
+    assert(dAudit.exists(_.needsRetrain),
+      s"drift must trip the audit through the pointer: $dAudit")
+    val oldHandleServed = idsOf(d0)
+
+    // CUTOVER: retrain on the current corpus into layout-1 and swap.
+    // The OLD handle was opened before the swap — a concurrent reader.
+    val cur1 = IvfPqCurrent.retrainCutover(drifted, "vec_id",
+      "embedding", root, nList = 4, m = 2, codebookK = 4,
+      sampleN = 200)
+    assert(cur1.version === 1L && cur1.dir.endsWith("layout-1"))
+    assert(IvfPqCurrent.openCurrent(spark, root).version === 1L,
+      "the pointer must serve the new generation")
+    assert(layoutDirs() === Seq("layout-0", "layout-1"),
+      "retainVersions=2 must keep the old generation on disk")
+    // needsRetrain CLEARS through the swapped pointer (fresh stats,
+    // fresh band, retrained quantization routes the drifted clusters)
+    val curRead = IvfPqCurrent.openCurrent(spark, root)
+    val (s1, a1) = serveAudited(curRead, drifted, qDrift)
+    assert(idsOf(s1).nonEmpty && a1.exists(!_.needsRetrain),
+      s"the audit must clear through the swapped pointer: $a1")
+    // the concurrent OLD-pointer reader still serves, unchanged: its
+    // retained layout was never touched by the cutover
+    val (dAgain, _) = serveAudited(opened0, drifted, qDrift)
+    assert(idsOf(dAgain) === oldHandleServed,
+      "an old-pointer reader must keep serving its generation " +
+        "bit-identically until it ages out")
+
+    // RETIREMENT: the next cutover ages layout-0 out of the window
+    val cur2 = IvfPqCurrent.retrainCutover(drifted, "vec_id",
+      "embedding", root, nList = 4, m = 2, codebookK = 4,
+      sampleN = 200)
+    assert(cur2.version === 2L)
+    assert(layoutDirs() === Seq("layout-1", "layout-2"),
+      "the aged-out generation must retire with the cutover")
+    assert(!new java.io.File(root, "layout-0__tombstones").exists() &&
+      !new java.io.File(root, "layout-0__maint.json").exists(),
+      "retirement must take the generation's side state with it")
+
+    // a half-built HIGHER generation from a torn cutover (dir staged,
+    // pointer never swapped) is debris the next cutover sweeps
+    val torn = new java.io.File(root, "layout-9")
+    assert(torn.mkdir())
+    val cur3 = IvfPqCurrent.retrainCutover(drifted, "vec_id",
+      "embedding", root, nList = 4, m = 2, codebookK = 4,
+      sampleN = 200)
+    assert(cur3.version === 3L && !torn.exists(),
+      "torn-cutover debris above the pointer must sweep")
+    assert(layoutDirs() === Seq("layout-2", "layout-3"))
+  }
 }
