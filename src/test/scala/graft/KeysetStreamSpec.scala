@@ -303,4 +303,119 @@ class KeysetStreamSpec extends SparkTestBase {
       "restarted ANN serving must equal the fresh-encode referee")
     assert(got.length === 9, "full-depth probe must rank every id")
   }
+
+  test("dual-sink FAN-OUT from one checkpointed stream (VERDICT r14 " +
+       "#6, the reference's T4 graph: daemon.py:497-535 fans one " +
+       "change into several indexes): each tick frame feeds the " +
+       "SEARCH sink AND the ANN sink; the kill lands BETWEEN them — " +
+       "the worst divergence, one store a tick ahead — and the " +
+       "restart replays the whole frame into both, converging both " +
+       "stores onto their rebuild/fresh-encode referees") {
+    import org.apache.spark.sql.functions._
+    import graft.movies.{PostingIndex, PostingIndexSink}
+    import graft.ops.{IvfPqIndexSink, SimilarityOps}
+    val dim = 16
+    def vecOf(i: Int): Array[Float] = {
+      val spike = (i % 4) * 4
+      Array.tabulate(dim)(j =>
+        (if (j == spike) 8.0f else 0.0f) +
+          (if (j == 3) ((i * 7) % 5 - 2) * 0.05f else 0.0f))
+    }
+    val centers = Array.tabulate(4)(c =>
+      Array.tabulate(dim)(j => if (j == c * 4) 8.0 else 0.0))
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(4)(c =>
+      Array.tabulate(8)(j => ((sp * 31 + c * 7 + j) % 5 - 2).toDouble)))
+    val dir = Files.createTempDirectory("graft_ks_fan").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_ks_fan_ckpt").toString
+    val scratch = Files.createTempDirectory("graft_ks_fan_store").toString
+    val rows = (1 to 9).map(i =>
+      (f"r$i%02d", s"term${i % 3} filler row", vecOf(i), ts(100L * i)))
+    val rowsDf = rows.toDF("id", "title", "embedding", "updated_at")
+      .localCheckpoint()
+    rowsDf.write.parquet(dir)
+    val tokens = Map("title" -> split(col("title"), "\\s+"))
+    val searchSink = new PostingIndexSink(
+      PostingIndex.buildTokenized(
+        rowsDf.select($"id", $"title").limit(0), s"$scratch/sidx",
+        tokens, Map("title" -> 1), idCol = "id",
+        nTermBuckets = 4, nDocBuckets = 4),
+      tokens = Some(tokens))
+    val annSink = new IvfPqIndexSink(spark, s"$scratch/vidx", "id",
+      "embedding", centers, codebooks)
+    val armedFlag = java.nio.file.Paths.get(scratch, "armed")
+    Files.createFile(armedFlag)
+    def start() = readKeyset(dir, batchSize = 3)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // ONE pinned tick frame fans into both sinks — the q293/q294
+        // tick discipline: both indexes must see the same evaluation
+        // of the micro-batch, never two runs of its plan
+        val frame = batch
+          .select(col("id"), col("title"), col("embedding"))
+          .localCheckpoint()
+        searchSink.upsert(frame.select(col("id"), col("title")))
+        if (batchId == 1 && Files.exists(armedFlag)) {
+          // kill BETWEEN the two sinks: search has tick 1, ANN does
+          // not — the stores diverge by one whole frame
+          Files.delete(armedFlag)
+          throw new RuntimeException("injected inter-sink crash")
+        }
+        annSink.upsert(frame.select(col("id"), col("embedding")))
+        if (batchId == 2L) { searchSink.compact(); annSink.compact() }
+      }
+      .start()
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable(); q1.awaitTermination()
+    }
+    // the kill point: search serves tick 1's frame, ANN is a tick
+    // behind — exactly the divergence the replay must heal
+    val sMid = searchSink.read().get
+      .select("id").as[String].collect().toSet
+    val aMid = annSink.read().map(
+      _.select("id").as[String].collect().toSet).getOrElse(Set.empty)
+    assert(aMid.subsetOf(sMid) && aMid.size < sMid.size,
+      s"expected ANN one frame behind search: ann=$aMid search=$sMid")
+    // restart from the SAME checkpoint: the engine replays the frame
+    // into BOTH sinks — the search index absorbs its duplicate (seq
+    // fold), the ANN store takes it fresh; the drain then finishes
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // ghost/lost/double counters on both stores
+    for ((name, served) <- Seq(
+        "search" -> searchSink.read().get.groupBy($"id").count()
+          .as[(String, Long)].collect(),
+        "ann" -> annSink.read().get.groupBy($"id").count()
+          .as[(String, Long)].collect())) {
+      assert(served.map(_._1).toSet === rows.map(_._1).toSet,
+        s"$name ghost/lost ids after restart")
+      assert(served.forall(_._2 == 1L), s"$name double-serves an id")
+    }
+    // SEARCH referee: scores bit-identical to a fresh build
+    val rebuilt = PostingIndex.buildTokenized(
+      rowsDf.select($"id", $"title"), s"$scratch/ref",
+      tokens, Map("title" -> 1), idCol = "id",
+      nTermBuckets = 4, nDocBuckets = 4)
+    def ranked(df: DataFrame) = df.select($"id", $"score")
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    for (terms <- Seq(Seq("term0"), Seq("term1", "term2"), Seq("filler")))
+      assert(ranked(searchSink.index.scoreTerms(terms)) ===
+        ranked(rebuilt.scoreTerms(terms)), s"terms=$terms")
+    // ANN referee: the stored full-depth probe == the in-memory probe
+    // over a fresh encode, rank for rank
+    val qv = vecOf(1).map(_.toDouble)
+    val got = SimilarityOps.ivfPqTopKStored(spark, annSink.dir, "id",
+        rowsDf.select($"id", $"embedding"), "id", "embedding", qv,
+        centers, codebooks, nProbe = 4, shortlist = 16, k = 9)
+      .select($"id", $"cos_micro").as[(String, Long)].collect().toSeq
+    val want = SimilarityOps.ivfPqTopK(
+        SimilarityOps.ivfPqIndex(rowsDf.select($"id", $"embedding"),
+          "id", "embedding", centers, codebooks),
+        "id", rowsDf.select($"id", $"embedding"), "id", "embedding",
+        qv, centers, codebooks, nProbe = 4, shortlist = 16, k = 9)
+      .select($"id", $"cos_micro").as[(String, Long)].collect().toSeq
+    assert(got === want && got.length === 9,
+      "fanned-out ANN serving must equal the fresh-encode referee")
+  }
 }
