@@ -1720,6 +1720,52 @@ object SimilarityOps {
     * to the probed `cell=N` dirs, drop tombstones (broadcast
     * anti-join), ADC shortlist, exact re-rank. Batched serving goes
     * through [[ivfPqTopKMultiStored]].
+    *
+    * ==Design-point guidance (measured — VERDICT r14 #1)==
+    *
+    * From IndexMaintBench's `ivfpq_frontier` rows
+    * (tools/index_maint_r15.json: a 20k/80k/320k clustered
+    * 6-dim-manifold ladder; recall@10 vs the brute-force referee,
+    * probed-row fraction from the scan audit; the sweep is
+    * deterministic, so the numbers replay):
+    *
+    *  - ROUTING saturates fast on clustered data: past nProbe 2-4
+    *    the recall curve is flat at every nList and scale measured —
+    *    deeper probes only buy scan cost (320k, nList=128, k=256:
+    *    recall 0.694 at nProbe=2 vs 0.669 at nProbe=16 while the
+    *    probed fraction grows 8×).
+    *  - Higher nList is a straight scan-cost win at equal recall:
+    *    the 320k corpus reads 0.856-0.863 at 13% of stored rows
+    *    (nList=32, nProbe=4) and 0.888 at 1.6% (nList=128,
+    *    nProbe=2, both k=256/shortlist=1024). Size nList so cells
+    *    hold ~10³-10⁴ rows (nList ≈ √N), bounded by the broadcast
+    *    centroid table.
+    *  - The RE-RANK SHORTLIST is the binding recall constraint as
+    *    density grows: shortlist 256 reads recall 1.0 at 20k but
+    *    0.67 at 320k, where 1024 (≈100×k) reads 0.86-0.89 — the ADC
+    *    error band's candidate count grows with corpus density, so
+    *    size the shortlist by measured recall at YOUR density, not
+    *    by a fixed multiple of k. Shortlist depth is cheap next to
+    *    the scan (the 320k serves above differ by ≤0.3 s across
+    *    64→1024).
+    *  - CODEBOOK RESOLUTION compounds with it: k=64 ceilings at
+    *    recall 0.75 at 320k regardless of every other knob; k=256
+    *    reaches 0.888. Prefer k=256 (the standard) at ≥10⁵ rows.
+    *
+    * Recommended operating band: nProbe 2-4, nList ≈ √N, codebook
+    * k=256, shortlist ≥ 100×k on dense corpora — then VERIFY against
+    * the brute-force referee on a corpus sample and keep the scan
+    * audit on (churn re-arms `needsRetrain` against the build band;
+    * [[IvfPqCurrent.retrainCutover]] is the remedy). The drift
+    * audit's nProbe=2/nList=8/k=16 configuration is a tripwire
+    * fixture, NOT a design point.
+    *
+    * Norm contract: the ADC stage shortlists by LUT DOT PRODUCT
+    * while the re-rank scores cosine — faithful exactly on
+    * ~unit-norm corpora (the standard embedding practice). On
+    * unnormalized data, large-norm rows crowd the shortlist and
+    * recall collapses with scale (measured on a rejected frontier
+    * fixture cut) — normalize before indexing.
     */
   def ivfPqTopKStored(
       spark: org.apache.spark.sql.SparkSession,
@@ -1841,6 +1887,11 @@ object SimilarityOps {
     * pruning; PlansSpec asserts it). Still zero per-QUERY jobs: the
     * routing job is per batch, and its output (≤ |queries|·nProbe
     * probe rows) is checkpointed so routing never re-executes.
+    *
+    * Design-point guidance (nProbe/nList/shortlist/codebook k, plus
+    * the unit-norm contract): see [[ivfPqTopKStored]] — the measured
+    * frontier and the recommended operating band apply to this face
+    * unchanged.
     */
   def ivfPqTopKMultiStored(
       spark: org.apache.spark.sql.SparkSession,
