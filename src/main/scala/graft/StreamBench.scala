@@ -154,11 +154,24 @@ object StreamBench {
       sec
     }
 
-    /** mean(last quarter of ticks) / mean(first quarter): flat == ~1. */
+    /** median(last quarter of ticks) / median(first quarter): flat ==
+      * ~1. MEDIAN, not mean (noise-proofing, VERDICT r14 #3): one
+      * gc/host burst landing in either quarter used to fake a
+      * growing-store signal — r14's search_index @1000 read 2.72 on a
+      * noisy host and flipped faces between runs on unchanged code.
+      * A quarter's median is insensitive to any minority of outlier
+      * ticks, so the ratio measures the STORE-SIZE trend it exists
+      * for.
+      */
     def tickRatio(ticks: Vector[Double]): Double = {
       val q = math.max(1, ticks.length / 4)
-      val first = ticks.take(q).sum / q
-      val last = ticks.takeRight(q).sum / q
+      def med(xs: Vector[Double]): Double = {
+        val s = xs.sorted
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      }
+      val first = med(ticks.take(q))
+      val last = med(ticks.takeRight(q))
       if (first <= 0) 0.0 else last / first
     }
 
