@@ -154,14 +154,28 @@ object StreamBench {
       sec
     }
 
-    /** median(last quarter of ticks) / median(first quarter): flat ==
-      * ~1. MEDIAN, not mean (noise-proofing, VERDICT r14 #3): one
-      * gc/host burst landing in either quarter used to fake a
-      * growing-store signal — r14's search_index @1000 read 2.72 on a
-      * noisy host and flipped faces between runs on unchanged code.
-      * A quarter's median is insensitive to any minority of outlier
-      * ticks, so the ratio measures the STORE-SIZE trend it exists
-      * for.
+    /** median(4th quarter of ticks) / median(2nd quarter): flat ==
+      * ~1. Two deliberate instrument choices (VERDICT r14 #3 — make
+      * the ratio measure the STORE-SIZE trend it exists for, not the
+      * box or the harness):
+      *
+      *  - MEDIAN, not mean: one gc/host burst landing in either
+      *    quarter used to fake a growing-store signal — r14's
+      *    search_index @1000 read 2.72 on a noisy host and flipped
+      *    faces between runs on unchanged code; a quarter's median is
+      *    insensitive to a minority of outlier ticks.
+      *  - Q2 as the base, not Q1 — PHASE ALIGNMENT: the index faces
+      *    compact every 50 ticks, and a face whose per-tick cost
+      *    scales with the live segment count (the search sink's
+      *    stats-delta read) is a sawtooth in the segment phase. On a
+      *    100-tick drain Q1 spans segments 0-25 of cycle one while
+      *    Q4 spans 26-50 of cycle two — DIFFERENT phases, so a
+      *    Q1-based ratio reads the sawtooth as growth by
+      *    construction (measured 1.3-1.85 across three quiet-box
+      *    drains on a steady-state store). Q2 and Q4 sit at the SAME
+      *    phase window of their cycles, so their ratio isolates
+      *    store-size growth; Q1's JIT warmup drops out with it. The
+      *    hikey faces (whose stores genuinely grow) still read > 1.
       */
     def tickRatio(ticks: Vector[Double]): Double = {
       val q = math.max(1, ticks.length / 4)
@@ -170,9 +184,9 @@ object StreamBench {
         if (s.length % 2 == 1) s(s.length / 2)
         else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
       }
-      val first = med(ticks.take(q))
+      val base = med(ticks.slice(q, 2 * q))
       val last = med(ticks.takeRight(q))
-      if (first <= 0) 0.0 else last / first
+      if (base <= 0) 0.0 else last / base
     }
 
     val batches = Seq(1000, 10000)
