@@ -178,6 +178,7 @@ object StreamBench {
       *    hikey faces (whose stores genuinely grow) still read > 1.
       */
     def tickRatio(ticks: Vector[Double]): Double = {
+      if (ticks.length < 2) return 1.0 // a 0/1-tick drain has no trend
       val q = math.max(1, ticks.length / 4)
       def med(xs: Vector[Double]): Double = {
         val s = xs.sorted

@@ -212,7 +212,10 @@ object IvfPqCurrent {
     if (!fs.exists(rootPath)) return
     fs.listStatus(rootPath).map(_.getPath).foreach { p =>
       p.getName match {
-        case LayoutRe(v) if doomed(v.toLong) =>
+        // the length guard keeps a non-generated `layout-<huge>` name
+        // from overflowing toLong — generated versions are sequential
+        // small ints; anything else is foreign and stays untouched
+        case LayoutRe(v) if v.length <= 18 && doomed(v.toLong) =>
           fs.delete(p, true)
           val tomb = new Path(p.toString + "__tombstones")
           if (fs.exists(tomb)) { fs.delete(tomb, true); () }
