@@ -418,5 +418,33 @@ class WriterRaceSpec extends SparkTestBase {
     assert(vTree() === beforeV,
       "a superseded IVF×PQ writer must abort before any cell, " +
         "tombstone, or sidecar write")
+
+    // ---- the CUTOVER faces are mutating faces too: a superseded
+    // writer's publish/retrainCutover aborts BEFORE building a
+    // generation or moving the pointer
+    val croot = tmp() + "/cur"
+    val c1 = WriterLease.acquire(spark, croot, "writer-C1")
+    val cur0 = graft.ops.IvfPqCurrent.publish(
+      Seq((1L, Array(1.0f, 0.1f))).toDF("id", "v"), "id", "v", croot,
+      centers, codebooks, lease = Some(c1))
+    assert(cur0.version === 0L)
+    c1.release()
+    WriterLease.acquire(spark, croot, "writer-C2")
+    val beforeC = treeOf(croot).filterNot(_.contains("__lease"))
+    for (op <- Seq[() => Unit](
+        () => graft.ops.IvfPqCurrent.publish(
+          Seq((2L, Array(0.1f, 1.0f))).toDF("id", "v"), "id", "v",
+          croot, centers, codebooks, lease = Some(c1)),
+        () => graft.ops.IvfPqCurrent.retrainCutover(
+          Seq((2L, Array(0.1f, 1.0f))).toDF("id", "v"), "id", "v",
+          croot, nList = 2, m = 2, codebookK = 2, lease = Some(c1)))) {
+      val err = intercept[IllegalArgumentException](op())
+      assert(err.getMessage.contains("superseded"))
+    }
+    assert(treeOf(croot).filterNot(_.contains("__lease")) === beforeC,
+      "a superseded cutover must abort before staging a generation " +
+        "or moving the pointer")
+    assert(graft.ops.IvfPqCurrent.openCurrent(spark, croot).version === 0L,
+      "the pointer must still name the winner's generation")
   }
 }
