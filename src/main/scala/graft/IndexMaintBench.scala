@@ -609,16 +609,18 @@ object IndexMaintBench {
             "embedding", queries, "qid", "qv", k = 10)
           .select($"qid", $"vec_id").as[(Long, Long)].collect()
           .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+        // 4096-row training sample (vs the maintenance rows' 512):
+        // 256 codewords per subspace want ≥ ~16 samples each, and
+        // the serving recommendation should not be bottlenecked on
+        // an undertrained quantizer. Hoisted out of the nList ×
+        // codebookK loops (ADVICE r15): it depends only on the
+        // corpus — one driver collect per scale, not six
+        val sample = corpus
+          .orderBy(xxhash64($"vec_id", lit(13L)).asc, $"vec_id".asc)
+          .limit(4096).select($"embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
         for (nList <- Seq(8, 32, 128);
              codebookK <- Seq(64, 256)) {
-          // 4096-row training sample (vs the maintenance rows' 512):
-          // 256 codewords per subspace want ≥ ~16 samples each, and
-          // the serving recommendation should not be bottlenecked on
-          // an undertrained quantizer
-          val sample = corpus
-            .orderBy(xxhash64($"vec_id", lit(13L)).asc, $"vec_id".asc)
-            .limit(4096).select($"embedding").collect()
-            .map(_.getSeq[Float](0).map(_.toDouble).toArray)
           val centers = SimilarityOps.localLloyd(sample, k = nList,
             maxIter = 5, seed = 13L)
           // codebook resolution is the FOURTH knob (measured on a

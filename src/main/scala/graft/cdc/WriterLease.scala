@@ -32,14 +32,15 @@ import org.apache.spark.sql.SparkSession
   *   - [[release]]: delete if still ours (a clean handover; crashed
   *     holders age out via expiry instead).
   *
-  * HONEST SCOPE: read-then-publish is not atomic on a plain
-  * filesystem, so two writers racing an acquire INSIDE one
-  * read-publish window can both believe they won — the lease shrinks
-  * the race to that window; it cannot close it without a CAS the FS
-  * does not offer. That is why it is advisory and why the seq/layout
-  * tripwires REMAIN the backstop contract: the interleaving the lease
-  * misses is still caught at publish time by `requireCurrent`
-  * (WriterRaceSpec drills both layers).
+  * HONEST SCOPE: on stores with an atomic create-exclusive (POSIX
+  * O_EXCL, HDFS create-no-overwrite) the acquire race is CLOSED by
+  * the `__lease.acquire.lock` CAS + revalidate-under-lock (see
+  * [[WriterLease.acquire]]); on object stores without one, acquire
+  * degrades to the original read-then-publish window. Renewal stays
+  * an atomic overwrite-rename in both worlds. The seq/layout
+  * tripwires REMAIN the backstop contract for the degraded stores and
+  * for the crash-recovery corner acquire documents (WriterRaceSpec
+  * drills both layers).
   */
 final class WriterLease private (
     spark: SparkSession, store: String, val holder: String,
@@ -106,12 +107,32 @@ object WriterLease {
   /** Acquire the store's writer lease or fail LOUDLY without writing:
     * the preventive half of the single-writer contract. An expired
     * lease (holder crashed without [[WriterLease#release]]) is stolen.
+    *
+    * The one-time acquire race is CLOSED on stores with an atomic
+    * create-exclusive (VERDICT r15 #4 — POSIX O_EXCL, HDFS
+    * create-no-overwrite): a grantable observation (absent / own /
+    * expired-foreign) must win `<store>__lease.acquire.lock` via
+    * [[graft.ops.JsonSidecar.createExclusive]] before publishing, and
+    * then RE-VALIDATES that the lease document is unchanged under the
+    * lock — a racer that grabs the lock only after the winner's
+    * publish+cleanup sees the winner's fresh lease and aborts instead
+    * of stomping it. Two simultaneous acquires on one expired lease
+    * therefore produce exactly one admitted writer (WriterRaceSpec).
+    *
+    * Remaining honest scope: (a) object stores without an atomic
+    * create keep the original read-then-publish window — there the
+    * lock is best-effort and the seq/layout tripwires stay the real
+    * guard; (b) a winner that crashes between lock create and lease
+    * publish wedges acquires for one TTL, after which the stale lock
+    * ages out — two recoverers racing THAT deletion share a tiny
+    * crash-only window, again tripwire-backstopped.
     */
   def acquire(
       spark: SparkSession, store: String, holder: String,
       ttlMs: Long = DefaultTtlMs): WriterLease = {
     require(holder.nonEmpty, "lease holder token must be non-empty")
-    readLease(spark, store) match {
+    val observed = readLease(spark, store)
+    observed match {
       case Some((h, exp)) if h != holder &&
           System.currentTimeMillis() < exp =>
         throw new IllegalArgumentException(
@@ -121,10 +142,44 @@ object WriterLease {
             "release/expiry or stop the other writer")
       case _ =>
         // absent, our own (re-acquire), or expired-foreign (steal)
-        publish(spark, store, holder, ttlMs)
+        val lock = acquireLockPath(store)
+        val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // stale-lock ageout: a winner that crashed pre-publish left the
+        // lock with no lease behind it; by the time anything is worth
+        // stealing the lock is at least one TTL old
+        if (fs.exists(lock) &&
+            fs.getFileStatus(lock).getModificationTime + ttlMs <
+              System.currentTimeMillis()) {
+          fs.delete(lock, false); ()
+        }
+        val lockDoc = graft.ops.JsonSidecar.newRoot
+        lockDoc.put("holder", holder) // advisory content; existence gates
+        if (!graft.ops.JsonSidecar.createExclusive(spark, lock, lockDoc))
+          throw new IllegalArgumentException(
+            s"writer lease acquire for $store lost the race: another " +
+              "writer holds the acquire lock — retry after it " +
+              "publishes (its lease will then be visibly live) or " +
+              s"after the lock ages out (${ttlMs} ms)")
+        try {
+          // RE-VALIDATE under the lock: if the lease moved since our
+          // read, a racer already won an earlier lock generation —
+          // publishing now would stomp an admitted writer
+          val cur = readLease(spark, store)
+          require(cur == observed,
+            s"writer lease for $store changed while acquiring " +
+              s"(${observed.fold("absent")(_._1)} -> " +
+              s"${cur.fold("absent")(_._1)}) — another writer was " +
+              "admitted first; this writer aborts without writing")
+          publish(spark, store, holder, ttlMs)
+        } finally {
+          graft.ops.JsonSidecar.delete(spark, lock)
+        }
         new WriterLease(spark, store, holder, ttlMs)
     }
   }
+
+  private def acquireLockPath(store: String): Path =
+    new Path(store.stripSuffix("/") + "__lease.acquire.lock")
 
   private def leasePath(store: String): Path =
     new Path(store.stripSuffix("/") + "__lease.json")

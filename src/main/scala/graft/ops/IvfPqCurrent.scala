@@ -40,8 +40,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Writer contract: single writer like every store (pass the root's
   * [[graft.cdc.WriterLease]] to make it preventive); a crash before
   * the pointer swap leaves the old generation serving and the
-  * half-built `layout-<v+1>` as debris the next cutover's retirement
-  * sweep removes (exact-name matching only — the
+  * half-built `layout-<v+1>` as debris the next cutover's lease-held
+  * PRE-BUILD sweep removes (exact-name matching only — the
   * PostingIndex.sweepStaleLayouts discipline).
   *
   * Reference behavior: the reference serves search relevance through
@@ -148,7 +148,7 @@ object IvfPqCurrent {
     // layout becomes retirement-sweep debris, the pointer never moves)
     lease.foreach(_.requireHeld())
     writePointer(spark, root, version, centers, codebooks)
-    retire(spark, root, version, retainVersions)
+    retire(spark, root, version, retainVersions, lease)
     Current(root, version, dir, centers, codebooks)
   }
 
@@ -180,22 +180,33 @@ object IvfPqCurrent {
       sampleN, maxIter, seed)
     lease.foreach(_.requireHeld()) // build/swap boundary renewal
     writePointer(spark, root, version, centers, codebooks)
-    retire(spark, root, version, retainVersions)
+    retire(spark, root, version, retainVersions, lease)
     Current(root, version, dir, centers, codebooks)
   }
 
-  /** Drop every `layout-<v>` generation outside the newest
-    * `retainVersions` (counted from `current` DOWN — a half-built
-    * HIGHER version from a torn cutover is debris and goes too), with
-    * its tombstone table and maintenance/lease sidecars. Exact
-    * generated names only — a user-placed `layout_backup` under the
-    * root is never touched (the sweepStaleLayouts discipline).
+  /** Drop every `layout-<v>` generation BELOW the newest
+    * `retainVersions` (counted from `current` DOWN), with its
+    * tombstone table and maintenance/lease sidecars. Exact generated
+    * names only — a user-placed `layout_backup` under the root is
+    * never touched (the sweepStaleLayouts discipline).
+    *
+    * Deliberately does NOT touch generations ABOVE the pointer
+    * (ADVICE r15): retire runs after the swap, and if this writer's
+    * lease lapsed between the boundary renewal and here, an
+    * above-pointer dir may be a newly-admitted writer's in-progress
+    * staged layout, not our debris. Torn-cutover debris above the
+    * pointer is swept by the NEXT cutover's pre-build [[sweepAbove]],
+    * which runs with the lease freshly checked. A lease re-check here
+    * narrows (not closes) the same window for the below-window drops,
+    * which only ever touch generations no new writer would stage.
     */
   private def retire(
       spark: SparkSession, root: String, current: Long,
-      retainVersions: Int): Unit =
-    dropGenerations(spark, root,
-      v => v < current - (retainVersions - 1) || v > current)
+      retainVersions: Int,
+      lease: Option[graft.cdc.WriterLease]): Unit = {
+    lease.foreach(_.requireHeld())
+    dropGenerations(spark, root, v => v < current - (retainVersions - 1))
+  }
 
   /** Pre-build debris sweep: generations ABOVE the published pointer
     * are half-built remains of a torn cutover (staged, never swapped)
@@ -216,11 +227,16 @@ object IvfPqCurrent {
         // from overflowing toLong — generated versions are sequential
         // small ints; anything else is foreign and stays untouched
         case LayoutRe(v) if v.length <= 18 && doomed(v.toLong) =>
-          fs.delete(p, true)
+          // sidecars BEFORE the layout dir (ADVICE r15): the sweep's
+          // exact-name match anchors on the dir name, so a crash after
+          // the dir delete would strand the siblings as orphans no
+          // retry can ever match again; dir-first stranded tombstones
+          // do not self-heal (scan stats do, on rebuild)
           val tomb = new Path(p.toString + "__tombstones")
           if (fs.exists(tomb)) { fs.delete(tomb, true); () }
           SeqSidecar.clear(spark, p.toString)
           JsonSidecar.delete(spark, new Path(p.toString + "__lease.json"))
+          fs.delete(p, true)
         case _ => ()
       }
     }

@@ -65,7 +65,15 @@ private[graft] object JsonSidecar {
     val fs = fsOf(spark, p)
     val bytes = new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsBytes(root)
-    if (fs.getScheme == "file") {
+    // the base FileSystem.getScheme THROWS UnsupportedOperationException
+    // (implementations aren't required to override it — ADVICE r15), so
+    // an exotic store must fall to the legacy branch, not crash publish;
+    // LocalFileSystem overrides it, so the catch never demotes a real
+    // POSIX path
+    val posixScheme =
+      try fs.getScheme == "file"
+      catch { case _: UnsupportedOperationException => false }
+    if (posixScheme) {
       // POSIX rename(2) replaces the destination in ONE step — the
       // atomic overwrite the lease's renewal discipline needs (see
       // the class doc). Written through java.nio so no Hadoop
@@ -97,5 +105,53 @@ private[graft] object JsonSidecar {
   def delete(spark: SparkSession, p: Path): Unit = {
     val fs = fsOf(spark, p)
     if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+
+  /** Atomically create `p` with `root`'s bytes IFF it does not already
+    * exist: true = this caller created it (won the race); false = it
+    * already existed (lost). This is the CAS the lease acquire needs
+    * (VERDICT r15 #4): on POSIX, `CREATE_NEW` is O_EXCL — exactly one
+    * of two racers succeeds; on HDFS, `fs.create(p, overwrite=false)`
+    * is an atomic namespace operation with the same guarantee. Object
+    * stores without atomic create keep the documented acquire-window
+    * caveat — there this is only best-effort and the seq tripwires
+    * remain the real guard.
+    *
+    * Readers of an exclusively-created file must treat its CONTENT as
+    * advisory (existence is the contract): unlike [[publish]] there is
+    * no tmp+rename, so a concurrent reader can observe the file
+    * mid-write.
+    */
+  def createExclusive(spark: SparkSession, p: Path, root: Node): Boolean = {
+    val fs = fsOf(spark, p)
+    val bytes = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsBytes(root)
+    val posixScheme =
+      try fs.getScheme == "file"
+      catch { case _: UnsupportedOperationException => false }
+    if (posixScheme) {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val dst = Paths.get(p.toUri.getPath)
+      if (dst.getParent != null) Files.createDirectories(dst.getParent)
+      try {
+        Files.write(dst, bytes, StandardOpenOption.CREATE_NEW,
+          StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        // implementations signal an existing destination as either the
+        // Hadoop FileAlreadyExistsException or a bare IOException —
+        // only swallow when the destination demonstrably exists
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if fs.exists(p) => false
+      }
+    }
   }
 }

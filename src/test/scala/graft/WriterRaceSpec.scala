@@ -285,6 +285,70 @@ class WriterRaceSpec extends SparkTestBase {
     assert(eErr.getMessage.contains("EXPIRED"))
   }
 
+  test("WriterLease acquire CAS (VERDICT r15 #4): two concurrent " +
+       "acquires on one EXPIRED lease admit exactly one writer — the " +
+       "loser aborts at the create-exclusive lock or at the " +
+       "revalidate-under-lock, never by stomping the winner; a " +
+       "crashed winner's stale lock ages out on the TTL") {
+    import graft.cdc.WriterLease
+    val dir = tmp() + "/store"
+    // seed an EXPIRED lease: the crashed-holder state both racers
+    // observe as stealable
+    WriterLease.acquire(spark, dir, "writer-old", ttlMs = 1L)
+    val dl = System.currentTimeMillis() + 5
+    while (System.currentTimeMillis() < dl) {} // let the ttl lapse
+    // REAL concurrency, no barrier: the invariant is the COUNT (one
+    // winner), not the interleaving — both futures enter acquire
+    // together and the create-exclusive lock serializes them
+    val start = new CountDownLatch(1)
+    def racer(name: String): Future[Either[String, String]] = Future {
+      assert(start.await(30, TimeUnit.SECONDS))
+      try Right(WriterLease.acquire(spark, dir, name).holder)
+      catch { case e: IllegalArgumentException => Left(e.getMessage) }
+    }
+    val (ra, rb) = { val a = racer("racer-A"); val b = racer("racer-B")
+      start.countDown(); await2(a, b) }
+    val wins = Seq(ra, rb).collect { case Right(h) => h }
+    val losses = Seq(ra, rb).collect { case Left(m) => m }
+    assert(wins.size === 1,
+      s"exactly one racer must be admitted, got $wins / $losses")
+    assert(losses.forall(m =>
+        m.contains("lost the race") || m.contains("changed while") ||
+        m.contains("held by")),
+      s"the loser must abort loudly at the lock/revalidate: $losses")
+    // the surviving lease names the winner — the loser never stomped it
+    val winner = wins.head
+    val leaseBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir + "__lease.json"))
+    assert(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(leaseBytes).path("holder").asText() === winner)
+    // ...and the lock was cleaned up after the publish
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + "__lease.acquire.lock")))
+
+    // crashed-winner recovery: a lock with NO lease publish behind it
+    // (the create->publish crash window) wedges acquires only until it
+    // is one TTL old, then ages out and the next acquire proceeds
+    val dir2 = tmp() + "/store2"
+    val lockP = java.nio.file.Paths.get(dir2 + "__lease.acquire.lock")
+    java.nio.file.Files.createDirectories(lockP.getParent)
+    java.nio.file.Files.write(lockP, "{}".getBytes)
+    // fresh lock: the acquire aborts loudly without writing a lease
+    val fresh = intercept[IllegalArgumentException] {
+      WriterLease.acquire(spark, dir2, "writer-X")
+    }
+    assert(fresh.getMessage.contains("acquire lock"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir2 + "__lease.json")))
+    // age the lock past the TTL: the next acquire sweeps it and wins
+    java.nio.file.Files.setLastModifiedTime(lockP,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - WriterLease.DefaultTtlMs - 1000L))
+    val lx = WriterLease.acquire(spark, dir2, "writer-X")
+    lx.requireHeld() // admitted and renewable
+    lx.release()
+  }
+
   test("direct maintenance APIs gate on the lease too (VERDICT r14 " +
        "#4): a superseded writer's upsert/remove/COMPACT aborts on " +
        "every family BEFORE any op work — a losing compact no longer " +
