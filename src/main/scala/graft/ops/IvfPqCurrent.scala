@@ -102,6 +102,25 @@ object IvfPqCurrent {
       s"no IVF×PQ serve pointer under $root — publish a first " +
         "generation via IvfPqCurrent.publish (or retrainCutover)"))
 
+  /** An [[IvfPqIndexSink]] bound to the CURRENT generation — the
+    * daemon's rebind face after a cutover (the PostingIndexSink
+    * re-open pattern): one atomic pointer read hands the sink the
+    * layout dir AND the quantization that encodes into it, so the
+    * sink can never pair a new generation's dir with an old
+    * generation's codebooks. Pass the ROOT's lease: ONE writer
+    * governs maintenance and cutover on a store — a cutover in
+    * progress holds it, so a maintenance writer racing the rebuild is
+    * refused at acquire instead of landing rows the rebuild never
+    * reads (IndexMaintenanceSpec's maintained-cutover drill).
+    */
+  def sinkOnCurrent(
+      spark: SparkSession, root: String, idCol: String, vecCol: String,
+      lease: Option[graft.cdc.WriterLease] = None): IvfPqIndexSink = {
+    val cur = openCurrent(spark, root)
+    new IvfPqIndexSink(spark, cur.dir, idCol, vecCol,
+      cur.centers, cur.codebooks, lease)
+  }
+
   private def writePointer(
       spark: SparkSession, root: String, version: Long,
       centers: Array[Array[Double]],

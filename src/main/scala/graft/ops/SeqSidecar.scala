@@ -189,10 +189,17 @@ private[graft] object SeqSidecar {
     * replaces the rewritten cells' entries); `buildFracs` is the
     * designed distribution — cell fractions at build/retrain time,
     * descending — frozen until the next build records fresh ones.
+    *
+    * Staleness settlement rides the SAME publish (atomic with the
+    * stats): `settleOneStale = true` (the upsert/refresh fold)
+    * decrements the pending marker its own op raised; the default
+    * (build / retrain / compact — recounts that restore exactness for
+    * every cell a torn op could have touched) clears it outright.
     */
   def writeScan(
       spark: SparkSession, store: String,
-      cells: Map[Int, Long], buildFracs: Seq[Double]): Unit = {
+      cells: Map[Int, Long], buildFracs: Seq[Double],
+      settleOneStale: Boolean = false): Unit = {
     val root = readRoot(spark, store).getOrElse(newRoot)
     val scan = root.putObject("scan")
     val co = scan.putObject("cells")
@@ -201,6 +208,42 @@ private[graft] object SeqSidecar {
     }
     val fa = scan.putArray("buildFracs")
     buildFracs.foreach(fa.add)
+    if (settleOneStale) {
+      val pending = math.max(0, root.path(ScanStaleField).asInt(0) - 1)
+      if (pending == 0) { root.remove(ScanStaleField); () }
+      else { root.put(ScanStaleField, pending); () }
+    } else { root.remove(ScanStaleField); () }
     publish(spark, store, root)
   }
+
+  private val ScanStaleField = "scanStalePending"
+
+  /** Make the upsert/refresh scan-stats crash window VISIBLE (VERDICT
+    * r15 #5): called BEFORE the op's row write, this raises a pending
+    * marker the post-write stats fold settles in the same publish as
+    * the fold ([[writeScan]] `settleOneStale`). A crash between the
+    * two leaves the marker raised: [[isScanStale]] then tells the
+    * audited serves to report stats-stale — the recorded counts are a
+    * LOWER bound, so the drift tripwire's band comparison may sit
+    * silently narrow — until a compact's affected-cell recount or a
+    * rebuild's full recount restores exactness and clears it. A
+    * COUNTER, not a boolean: a later healthy op must not launder a
+    * previous crash's staleness (its own mark/settle pair nets zero,
+    * the crashed op's +1 survives). No-op on stat-less stores —
+    * there is no audit to poison.
+    */
+  def markScanStale(spark: SparkSession, store: String): Unit =
+    readRoot(spark, store).foreach { root =>
+      if (root.hasNonNull("scan")) {
+        root.put(ScanStaleField, root.path(ScanStaleField).asInt(0) + 1)
+        publish(spark, store, root)
+      }
+    }
+
+  /** True while any marked op's fold has not landed — the audited
+    * serves surface this as [[graft.ops.SimilarityOps.IvfScanAudit]]
+    * `statsStale`.
+    */
+  def isScanStale(spark: SparkSession, store: String): Boolean =
+    readRoot(spark, store).exists(_.path(ScanStaleField).asInt(0) > 0)
 }

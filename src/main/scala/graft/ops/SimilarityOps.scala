@@ -848,12 +848,21 @@ object SimilarityOps {
     * recommended design point); the audit compares a serve only
     * against ITS OWN build's band, which is what makes the signal
     * portable across configurations.
+    *
+    * `statsStale` (VERDICT r15 #5): true when a maintenance op's
+    * pre-write marker was never settled by its stats fold (the crash
+    * window between row write and fold) — the counts are then a lower
+    * bound and `needsRetrain` may under-fire; treat the audit as
+    * advisory and run [[compactIvfPqIndex]] (which re-derives the
+    * counts when the marker is raised) or rebuild to restore
+    * exactness.
     */
   final case class IvfScanAudit(
       probedRowFrac: Double,
       designedFrac: Double,
       totalRows: Long,
-      needsRetrain: Boolean)
+      needsRetrain: Boolean,
+      statsStale: Boolean = false)
 
   /** How far above the designed scan-fraction band the measured
     * fraction may sit before [[IvfScanAudit.needsRetrain]] fires.
@@ -885,7 +894,14 @@ object SimilarityOps {
           cs.map(c => cells.getOrElse(c, 0L)).sum.toDouble / total)
         val frac = perQ.sum / perQ.length
         Some(IvfScanAudit(frac, designed, total,
-          designed > 0.0 && frac > IvfScanBandTolerance * designed))
+          designed > 0.0 && frac > IvfScanBandTolerance * designed,
+          // VERDICT r15 #5: a crash between a maintenance op's row
+          // write and its stats fold leaves the counts a LOWER bound
+          // — the band comparison above can then sit silently narrow.
+          // Surface it instead of letting the audit look healthy: a
+          // stale audit's numbers are advisory until the next compact
+          // or rebuild re-derives the counts.
+          statsStale = SeqSidecar.isScanStale(spark, dir)))
       }
     }
 
@@ -975,12 +991,15 @@ object SimilarityOps {
     val scan = SeqSidecar.readScan(spark, dir)
     // stats-carrying stores pin the encoded delta so the write and the
     // per-cell count below see one evaluation; stat-less (legacy)
-    // stores keep the streaming single-pass write
+    // stores keep the streaming single-pass write. The staleness
+    // marker rises BEFORE the row write and settles with the fold
+    // (VERDICT r15 #5 — same crash-window discipline as upsert)
     val enc = if (scan.isDefined) encoded.localCheckpoint() else encoded
+    if (scan.isDefined) SeqSidecar.markScanStale(spark, dir)
     enc.write.mode("append").partitionBy("cell").parquet(dir)
     scan.foreach { case (cells, fracs) =>
       SeqSidecar.writeScan(spark, dir,
-        foldCellCounts(cells, enc), fracs)
+        foldCellCounts(cells, enc), fracs, settleOneStale = true)
     }
   }
 
@@ -1181,6 +1200,9 @@ object SimilarityOps {
     val seq = allocIvfSeq(spark, dir)
     val enc = enc0.withColumn(IvfSeqCol, lit(seq))
     val ids = ids0
+    // stats-carrying stores: raise the staleness marker BEFORE any
+    // write at the seq — the fold below settles it (VERDICT r15 #5)
+    SeqSidecar.markScanStale(spark, dir)
     // tombstone FIRST: if the row write is torn, the old version is
     // already superseded and a replay heals (never two live versions)
     ids.withColumn(IvfSeqCol, lit(seq))
@@ -1191,18 +1213,18 @@ object SimilarityOps {
     // rows until compact, and the probe SCANS them before the
     // tombstone filter, so counting them is exactly right for the
     // scan-cost audit. One bounded aggregate over the pinned batch.
-    // Crash window, stated honestly (ADVICE r14): the fold lands
-    // AFTER the row write, so a crash between them leaves the audit
-    // UNDERCOUNTING the landed rows — probedRowFrac then reads low
-    // (the tripwire can stay silent slightly past its band) until the
-    // next compact recounts the affected cells (the torn batch's
-    // tombstones landed first, so its cells ARE in compact's affected
-    // set — the undercount is one batch, bounded, and self-healing).
-    // Acceptable for an ADVISORY audit; fold-first would flip the
-    // bias to phantom rows (false alarms), the worse failure for a
-    // signal whose remedy is an expensive retrain.
+    // The fold lands AFTER the row write, so a crash between them
+    // leaves the audit UNDERCOUNTING the landed rows (fold-first
+    // would flip the bias to phantom rows — false alarms, the worse
+    // failure for a signal whose remedy is an expensive retrain).
+    // That window is now VISIBLE (VERDICT r15 #5): markScanStale
+    // above raised a pending marker before any write; the fold here
+    // settles it in the same sidecar publish, so a crash in between
+    // leaves the marker raised and the audited serves report
+    // statsStale until compact/rebuild re-derives the counts.
     SeqSidecar.readScan(spark, dir).foreach { case (cells, fracs) =>
-      SeqSidecar.writeScan(spark, dir, foldCellCounts(cells, enc), fracs)
+      SeqSidecar.writeScan(spark, dir, foldCellCounts(cells, enc), fracs,
+        settleOneStale = true)
     }
   }
 
@@ -1249,7 +1271,7 @@ object SimilarityOps {
     import org.apache.hadoop.fs.Path
     val tp = new Path(ivfTombstonePath(dir))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(tp)) return
+    if (!fs.exists(tp)) { healStaleScanStats(spark, dir); return }
     if (!fs.exists(new Path(dir))) {
       // tombstones but no index (deletes before the first upsert —
       // the DocSink bootstrap state): nothing to fold, every
@@ -1346,8 +1368,37 @@ object SimilarityOps {
     // survive the compact; an empty-collapsed store drops the whole
     // sidecar with it)
     if (collapsed) SeqSidecar.clear(spark, dir)
-    else SeqSidecar.clearSeq(spark, dir)
+    else {
+      SeqSidecar.clearSeq(spark, dir)
+      healStaleScanStats(spark, dir)
+    }
   }
+
+  /** Compact's half of the staleness contract (VERDICT r15 #5): when
+    * a maintenance op's raised marker was never settled (the
+    * row-write/stats-fold crash window), the incremental affected-cell
+    * update cannot be trusted to have recounted every torn row — a
+    * torn refresh BEFORE any seq allocation lands at base seq in a
+    * cell the affected set never visits. Re-derive the per-cell counts
+    * from the stored layout (one bounded groupBy), PRESERVING the
+    * designed build-time band (compact does not retrain), and clear
+    * the marker in the same publish. No-op when the marker is down.
+    */
+  private def healStaleScanStats(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    if (SeqSidecar.isScanStale(spark, dir)) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasCells = fs.exists(p) && fs.listStatus(p)
+        .exists(_.getPath.getName.startsWith("cell="))
+      if (hasCells)
+        SeqSidecar.readScan(spark, dir).foreach { case (_, fracs) =>
+          val counts = spark.read.parquet(dir)
+            .groupBy(col("cell")).count().collect()
+            .map(r => r.getAs[Number](0).intValue() -> r.getLong(1)).toMap
+          SeqSidecar.writeScan(spark, dir, counts, fracs)
+        }
+    }
 
   /** Route a query vector to its `nProbe` nearest IVF cells by
     * squared-L2 distance to the centroids, ties to the lower cell id —

@@ -891,4 +891,303 @@ class IndexMaintenanceSpec extends SparkTestBase {
       s"the fixture must make partial probes lossy, or the " +
         s"monotonicity leg proves nothing: $recalls")
   }
+
+  test("scan-stats staleness marker (VERDICT r15 #5): a crash between " +
+       "a maintenance op's row write and its stats fold leaves the " +
+       "marker raised — the audited serve reports statsStale instead " +
+       "of a silently-narrow band, a later healthy op does NOT " +
+       "launder it, and compact re-derives the counts exactly " +
+       "(preserving the designed band) and clears it") {
+    import graft.ops.SeqSidecar
+    val centers = Array.tabulate(4)(c =>
+      Array.tabulate(8)(i => if (i == 2 * c) 8.0 else 0.0))
+    val codebooks = Array.tabulate(2)(sp => Array.tabulate(2)(cd =>
+      Array.tabulate(4)(j => (sp + cd + j).toDouble)))
+    def vecOf(cell: Int): Seq[Float] =
+      Array.tabulate(8)(i => if (i == 2 * cell) 8.0f else 0.1f).toSeq
+    def ofIds(pairs: (Long, Int)*): DataFrame =
+      pairs.map { case (id, cell) => (id, vecOf(cell)) }
+        .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maint_stale").toString + "/idx"
+    SimilarityOps.writeIvfPqIndex(
+      SimilarityOps.ivfPqIndex(ofIds(1L -> 0, 2L -> 1),
+        "vec_id", "embedding", centers, codebooks), dir, "vec_id")
+    val queries = Seq((-1L, vecOf(0))).toDF("qid", "qv")
+    def auditOn(corpus: DataFrame): SimilarityOps.IvfScanAudit =
+      SimilarityOps.ivfPqTopKMultiStoredAudited(spark, dir, "vec_id",
+        corpus, "vec_id", "embedding", queries, "qid", "qv",
+        centers, codebooks, nProbe = 2, shortlist = 8, k = 2)._2.get
+    def sidecarCells(): Map[Int, Long] =
+      SeqSidecar.readScan(spark, dir).get._1
+    def actualCells(): Map[Int, Long] = spark.read.parquet(dir)
+      .groupBy($"cell".cast("int")).count()
+      .as[(Int, Long)].collect().toMap
+    def designedFracs(): Seq[Double] =
+      SeqSidecar.readScan(spark, dir).get._2
+    // healthy build + healthy upsert: marker down, fold settled
+    assert(!auditOn(ofIds(1L -> 0, 2L -> 1)).statsStale)
+    SimilarityOps.upsertIntoIvfPqIndex(dir, ofIds(3L -> 2),
+      "vec_id", "embedding", centers, codebooks)
+    assert(!SeqSidecar.isScanStale(spark, dir),
+      "a completed op must settle its own marker")
+    assert(!auditOn(ofIds(1L -> 0, 2L -> 1, 3L -> 2)).statsStale)
+    val bandAtBuild = designedFracs()
+    // TORN upsert — the exact crash prefix: marker raised, tombstone
+    // and rows landed at a fresh seq, fold never ran
+    SeqSidecar.markScanStale(spark, dir)
+    val seq = SeqSidecar.alloc(spark, dir, 0L)
+    Seq(4L).toDF("vec_id")
+      .withColumn(SimilarityOps.IvfSeqCol, lit(seq))
+      .write.mode("append").parquet(dir + "__tombstones")
+    SimilarityOps.ivfPqIndex(ofIds(4L -> 3),
+        "vec_id", "embedding", centers, codebooks)
+      .withColumn(SimilarityOps.IvfSeqCol, lit(seq))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    assert(sidecarCells() !== actualCells(),
+      "the torn op must leave the counts genuinely undercounting — " +
+        "or the drill proves nothing")
+    val staleAudit = auditOn(ofIds(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    assert(staleAudit.statsStale,
+      "the audited serve must surface the unsettled marker")
+    // a later HEALTHY op settles only its own mark — the crashed op's
+    // +1 survives (the counter, not a boolean: no laundering)
+    SimilarityOps.upsertIntoIvfPqIndex(dir, ofIds(5L -> 1),
+      "vec_id", "embedding", centers, codebooks)
+    assert(SeqSidecar.isScanStale(spark, dir),
+      "a healthy op after the crash must not clear prior staleness")
+    // compact: re-derives the counts from the layout (the raised
+    // marker forces the full recount), preserves the designed band,
+    // clears the marker; the folded store serves all live ids
+    SimilarityOps.compactIvfPqIndex(spark, dir, "vec_id")
+    assert(!SeqSidecar.isScanStale(spark, dir),
+      "compact must clear the marker after re-deriving")
+    assert(sidecarCells() === actualCells(),
+      "compact must restore exact per-cell counts")
+    assert(designedFracs() === bandAtBuild,
+      "the designed build-time band must survive the re-derive — " +
+        "compact does not retrain")
+    assert(!auditOn(ofIds(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 1))
+      .statsStale)
+    assert(SimilarityOps.activeIvfPqIndex(spark, dir, "vec_id")
+      .select($"vec_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 4L, 5L))
+
+    // the no-tombstone corner that forced the full recount design: a
+    // TORN REFRESH on a store that never allocated a seq lands rows at
+    // BASE seq — invisible to compact's affected-cell set — and there
+    // are no tombstones, so compact's early-return path must heal too
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_maint_stale2").toString + "/idx"
+    SimilarityOps.writeIvfPqIndex(
+      SimilarityOps.ivfPqIndex(ofIds(1L -> 0),
+        "vec_id", "embedding", centers, codebooks), dir2, "vec_id")
+    SeqSidecar.markScanStale(spark, dir2)
+    SimilarityOps.ivfPqIndex(ofIds(6L -> 2),
+        "vec_id", "embedding", centers, codebooks)
+      .withColumn(SimilarityOps.IvfSeqCol, lit(SimilarityOps.IvfBaseSeq))
+      .write.mode("append").partitionBy("cell").parquet(dir2)
+    assert(SeqSidecar.isScanStale(spark, dir2))
+    SimilarityOps.compactIvfPqIndex(spark, dir2, "vec_id")
+    assert(!SeqSidecar.isScanStale(spark, dir2),
+      "a no-tombstone compact must still heal a raised marker")
+    assert(SeqSidecar.readScan(spark, dir2).get._1 ===
+      spark.read.parquet(dir2).groupBy($"cell".cast("int")).count()
+        .as[(Int, Long)].collect().toMap,
+      "the base-seq torn-refresh rows must be counted after the heal")
+  }
+
+  test("cutover on a MAINTAINED store (VERDICT r15 #2): the old " +
+       "generation accumulates upserts + tombstones through " +
+       "IvfPqIndexSink; retrainCutover rebuilds from the live " +
+       "doc-of-record mid-composition — deleted-before-cutover ids " +
+       "stay dead through the new generation, upserted vectors serve " +
+       "their NEW values, a maintenance op racing the rebuild lands " +
+       "in the corpus the rebuild reads or is refused by the lease, " +
+       "and ghost/lost/double are all zero on the rebound sink") {
+    import graft.ops.{IvfPqCurrent, SeqSidecar}
+    import graft.cdc.WriterLease
+    val dim = 8
+    def vecOf(i: Long, ver: Int): Seq[Float] = {
+      val spike = ((i % 4) * 2).toInt
+      Array.tabulate(dim)(j =>
+        (if (j == spike) 8.0f else 0.0f) +
+          (if (j == 3) ((i * 7 + ver * 3) % 5 - 2) * 0.05f else 0.0f))
+        .toSeq
+    }
+    // the live doc-of-record: id -> (current vector) — what the
+    // reference's reindex daemon reads while the old index serves
+    val model = scala.collection.mutable.Map[Long, Seq[Float]]()
+    def liveDocs(): DataFrame =
+      model.toSeq.sortBy(_._1).toDF("id", "v").localCheckpoint()
+    val centers0 = Array.tabulate(4)(c =>
+      Array.tabulate(dim)(j => if (j == 2 * c) 8.0 else 0.0))
+    val codebooks0 = Array.tabulate(2)(sp => Array.tabulate(4)(cd =>
+      Array.tabulate(4)(j => ((sp * 31 + cd * 7 + j) % 5 - 2).toDouble)))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_maint_cutover_live").toString + "/cur"
+    val lease = WriterLease.acquire(spark, root, "daemon")
+    (1L to 6L).foreach(i => model(i) = vecOf(i, 0))
+    val cur0 = IvfPqCurrent.publish(liveDocs(), "id", "v", root,
+      centers0, codebooks0, lease = Some(lease))
+    val sink0 = IvfPqCurrent.sinkOnCurrent(spark, root, "id", "v",
+      lease = Some(lease))
+    assert(sink0.dir === cur0.dir)
+    // tick 1 on the OLD generation: id 2 re-embeds, id 3 deleted
+    model(2L) = vecOf(2L, 1); model.remove(3L)
+    sink0.upsert(Seq((2L, model(2L))).toDF("id", "v"))
+    sink0.delete(Seq(3L).toDF("id"))
+    // tick 2: new id 7 arrives, id 5 deleted
+    model(7L) = vecOf(7L, 0); model.remove(5L)
+    sink0.upsert(Seq((7L, model(7L))).toDF("id", "v"))
+    sink0.delete(Seq(5L).toDF("id"))
+    // RACING leg (c), branch 1 — same writer, just before the rebuild
+    // reads the doc store: the op lands in the corpus the rebuild
+    // reads, so the new generation must serve it
+    model(8L) = vecOf(8L, 0)
+    sink0.upsert(Seq((8L, model(8L))).toDF("id", "v"))
+    // RACING leg (c), branch 2 — a SECOND maintenance writer during
+    // the cutover window: refused at acquire, before writing anything
+    val raceErr = intercept[IllegalArgumentException] {
+      WriterLease.acquire(spark, root, "racer")
+    }
+    assert(raceErr.getMessage.contains("held by 'daemon'"))
+    // CUTOVER mid-composition: retrain + rebuild from the LIVE doc
+    // store (upserts + deletes applied), atomic pointer swap
+    val cur1 = IvfPqCurrent.retrainCutover(liveDocs(), "id", "v", root,
+      nList = 4, m = 2, codebookK = 4, lease = Some(lease))
+    assert(cur1.version === 1L)
+    // the old-generation handle keeps serving through the cutover
+    // (retainVersions=2) — a reader mid-flight is never torn
+    assert(SimilarityOps.activeIvfPqIndex(spark, cur0.dir, "id")
+      .select($"id").as[Long].collect().toSet === model.keySet.toSet)
+    // REBIND (the daemon's restart face): one pointer read hands the
+    // new dir + its quantization; post-cutover ticks maintain gen 1
+    val sink1 = IvfPqCurrent.sinkOnCurrent(spark, root, "id", "v",
+      lease = Some(lease))
+    assert(sink1.dir === cur1.dir)
+    assert(sink1.dir !== sink0.dir)
+    // tick 3 on the NEW generation: id 2 re-embeds again, id 7
+    // deleted, id 3 RE-ADDED (deleted before cutover — the re-add
+    // must serve; staying dead applies to never-re-added ids)
+    model(2L) = vecOf(2L, 2); model.remove(7L); model(3L) = vecOf(3L, 5)
+    sink1.upsert(Seq((2L, model(2L)), (3L, model(3L))).toDF("id", "v"))
+    sink1.delete(Seq(7L).toDF("id"))
+    // ghost/lost/double over the maintained new generation: the live
+    // encoded view must equal a FRESH ENCODE of the doc-of-record
+    // under gen-1 quantization — every live id exactly once with its
+    // CURRENT vector's codes; subsumes (a) id 5 dead, (b) id 2 serves
+    // its newest value, (c1) id 8 present
+    def enc(df: DataFrame) = SimilarityOps.ivfPqIndex(df, "id", "v",
+        cur1.centers, cur1.codebooks)
+      .select($"id", $"cell".cast("int"), $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val served = sink1.read().get
+      .select($"id", $"cell".cast("int"), $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSeq
+    assert(served.size === served.toSet.size &&
+      served.map(_._1).distinct.size === served.size,
+      s"double-serving ids: $served")
+    assert(served.toSet === enc(liveDocs()),
+      "the maintained new generation must equal a fresh encode of " +
+        "the live doc store — zero ghosts, zero lost, new values only")
+    assert(!served.exists(_._1 == 5L),
+      "an id deleted before the cutover and never re-added stays dead")
+    // serving referee on the composed store: id 2's NEWEST vector
+    // finds id 2 first
+    val hit = SimilarityOps.ivfPqTopKMultiStored(spark, cur1.dir, "id",
+        liveDocs(), "id", "v",
+        Seq((99L, model(2L))).toDF("qid", "qv"), "qid", "qv",
+        cur1.centers, cur1.codebooks, nProbe = 4, shortlist = 16, k = 1)
+      .select($"id").as[Long].collect().toSeq
+    assert(hit === Seq(2L),
+      "the upserted-then-cutover-then-upserted id must serve its " +
+        "newest embedding")
+    // the fresh generation's maintenance state is clean: gen-1 scan
+    // stats were recorded by the rebuild and tick-3 folds settled
+    assert(!SeqSidecar.isScanStale(spark, cur1.dir))
+    lease.release()
+  }
+
+  test("analyzer-version cutover for the POSTING index (VERDICT r15 " +
+       "#3): the serve pointer carries (generation dir, analyzer " +
+       "version); a stemmer/case-folding bump reindexes aside and " +
+       "swaps atomically — old-pointer readers keep serving their " +
+       "generation, the rebound server tokenizes queries under the " +
+       "NEW version, retirement sweeps exact names only, and a " +
+       "second writer is refused at the lease") {
+    import graft.movies.PostingCurrent
+    import graft.cdc.WriterLease
+    // analyzer v1 is case-SENSITIVE; v2 is the case-folding bump —
+    // the text-side quantization change: v1 postings cannot serve
+    // v2-analyzed queries
+    val tokensV1 = Map("text" -> split($"text", "\\s+"))
+    val tokensV2 = Map("text" -> split(lower($"text"), "\\s+"))
+    val weights = Map("text" -> 1)
+    val model = scala.collection.mutable.Map[Long, String](
+      1L -> "Apple pie recipe", 2L -> "apple cider", 3L -> "Banana bread")
+    def liveDocs(): DataFrame =
+      model.toSeq.sortBy(_._1).toDF("id", "text").localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_maint_pcur").toString + "/cur"
+    val lease = WriterLease.acquire(spark, root, "daemon")
+    val cur0 = PostingCurrent.reindexCutover(liveDocs(), root,
+      tokensV1, weights, analyzerVersion = "case-v1",
+      nTermBuckets = 4, nDocBuckets = 4, lease = Some(lease))
+    assert(cur0.version === 0L && cur0.analyzerVersion === "case-v1")
+    // maintain generation 0 (the live-delta state a cutover must
+    // absorb via the doc-of-record): id 4 arrives
+    model(4L) = "APPLE watch"
+    val gen0 = cur0.open(spark)
+      .upsert(Seq((4L, model(4L))).toDF("id", "text"), tokensV1)
+    def ids(df: DataFrame): Set[Long] =
+      df.select($"id").as[Long].collect().toSet
+    // v1 analysis is case-sensitive: the same surface word splits
+    // across three index terms — the serving gap the bump fixes
+    assert(ids(gen0.scoreTerms(Seq("Apple"))) === Set(1L))
+    assert(ids(gen0.scoreTerms(Seq("apple"))) === Set(2L))
+    // ANALYZER BUMP: full reindex from the live doc store under v2,
+    // atomic pointer swap
+    val cur1 = PostingCurrent.reindexCutover(liveDocs(), root,
+      tokensV2, weights, analyzerVersion = "fold-v2",
+      nTermBuckets = 4, nDocBuckets = 4, lease = Some(lease))
+    assert(cur1.version === 1L && cur1.analyzerVersion === "fold-v2")
+    // the OLD handle keeps serving its generation bit-identically
+    // through the swap (dir retained by retainVersions=2)
+    assert(ids(gen0.scoreTerms(Seq("Apple"))) === Set(1L))
+    // a server re-reading the pointer gets the new generation AND the
+    // version that tells it to fold queries: "apple" now unifies all
+    // case variants, including the doc upserted into gen 0 mid-life
+    val server = PostingCurrent.openCurrent(spark, root)
+    assert(server.analyzerVersion === "fold-v2")
+    assert(ids(server.open(spark).scoreTerms(Seq("apple"))) ===
+      Set(1L, 2L, 4L))
+    // a second maintenance/reindex writer is refused at the lease,
+    // before staging anything
+    val err = intercept[IllegalArgumentException] {
+      WriterLease.acquire(spark, root, "racer")
+    }
+    assert(err.getMessage.contains("held by 'daemon'"))
+    // retirement discipline: stage torn-cutover debris + a foreign
+    // dir, then cut over again — debris swept, exact names only, and
+    // generation 0 ages out (retainVersions=2 keeps 1 and 2)
+    val rootDir = new java.io.File(root)
+    assert(new java.io.File(rootDir, "index-9").mkdir())
+    assert(new java.io.File(rootDir, "index_backup").mkdir())
+    val cur2 = PostingCurrent.reindexCutover(liveDocs(), root,
+      tokensV2, weights, analyzerVersion = "fold-v3",
+      nTermBuckets = 4, nDocBuckets = 4, lease = Some(lease))
+    assert(cur2.version === 2L)
+    val names = rootDir.list().toSet
+    assert(!names.contains("index-9"),
+      "torn-cutover debris above the pointer must sweep pre-build")
+    assert(names.contains("index_backup"),
+      "a foreign dir must never be touched (exact generated names only)")
+    assert(!names.contains("index-0"),
+      "generation 0 must age out of the retention window")
+    assert(names.contains("index-1") && names.contains("index-2"))
+    assert(ids(PostingCurrent.openCurrent(spark, root).open(spark)
+      .scoreTerms(Seq("banana"))) === Set(3L))
+    lease.release()
+  }
 }
