@@ -251,6 +251,33 @@ object StreamBench {
       r
     }
 
+    // search_index at a HIGH key domain (VERDICT r15 #6): the regular
+    // face's residual tick_ratio ~1.2 is explained as the
+    // empty-base-vs-saturated-base fold difference, BOUNDED by the key
+    // domain — a claim that was argued on the 1500-user face but never
+    // measured where the base fold is the cost. Keying by the unique
+    // event id grows the doc store to the full row count (~40× the
+    // user domain): if the residual were O(store) it would grow with
+    // the domain here; a flat ratio measures the bound.
+    def searchIndexHiKey(batchSize: Int): (Double, Vector[Double]) = {
+      val tmp = Files.createTempDirectory("graft_sb_sidx_hik").toString
+      val tokens = Map(
+        "title" -> array(col("event_type")),
+        "body" -> graft.ops.TextOps.tokenize(col("props")))
+      val sink = new graft.movies.PostingIndexSink(
+        graft.movies.PostingIndex.buildTokenized(
+          events.limit(0), s"$tmp/index", tokens,
+          weights = Map("title" -> 4, "body" -> 1),
+          idCol = "did", nTermBuckets = 16, nDocBuckets = 32),
+        tokens = Some(tokens))
+      val r = drainLoop(batchSize, sink,
+        postTick = t => if (t % 50 == 0) sink.compact(),
+        keyCol = "did")
+      sink.compact()
+      require(sink.read().get.count() == total, "hikey search store")
+      r
+    }
+
     // CDC → ANN maintenance face (round 12): the drain RE-EMBEDS each
     // tick's latest-per-user doc and upserts BY ID into a stored
     // IVF×PQ layout (seq-ordered tombstones + row append per tick,
@@ -318,7 +345,8 @@ object StreamBench {
     val streams = batches.map(b => b -> dsv2(b))
     val hik = Seq(
       "batch_loop_hikey" -> (1000 -> upsertHiKey(1000)),
-      "log_sink_hikey" -> (1000 -> logHiKey(1000)))
+      "log_sink_hikey" -> (1000 -> logHiKey(1000)),
+      "search_index_hikey" -> (1000 -> searchIndexHiKey(1000)))
     val json =
       s"""{"metric":"cdc_throughput","rows":$total,"keys":$users,""" +
         s""""batch_loop":{${loops.map(fmtTicks).mkString(",")}},""" +

@@ -1269,9 +1269,16 @@ object SimilarityOps {
       lease: Option[graft.cdc.WriterLease] = None): Unit = {
     lease.foreach(_.requireHeld()) // preventive gate BEFORE any op work
     import org.apache.hadoop.fs.Path
+    // snapshot the staleness marker BEFORE any stats write: the
+    // incremental affected-cell update below publishes through
+    // writeScan (which clears the marker as an exact recount would),
+    // but a torn BASE-seq refresh row in an unaffected cell is
+    // invisible to that update — the full re-derive at the end must
+    // key off the marker as it stood at op start, not after
+    val wasStale = SeqSidecar.isScanStale(spark, dir)
     val tp = new Path(ivfTombstonePath(dir))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(tp)) { healStaleScanStats(spark, dir); return }
+    if (!fs.exists(tp)) { healStaleScanStats(spark, dir, wasStale); return }
     if (!fs.exists(new Path(dir))) {
       // tombstones but no index (deletes before the first upsert —
       // the DocSink bootstrap state): nothing to fold, every
@@ -1370,7 +1377,7 @@ object SimilarityOps {
     if (collapsed) SeqSidecar.clear(spark, dir)
     else {
       SeqSidecar.clearSeq(spark, dir)
-      healStaleScanStats(spark, dir)
+      healStaleScanStats(spark, dir, wasStale)
     }
   }
 
@@ -1382,11 +1389,15 @@ object SimilarityOps {
     * cell the affected set never visits. Re-derive the per-cell counts
     * from the stored layout (one bounded groupBy), PRESERVING the
     * designed build-time band (compact does not retrain), and clear
-    * the marker in the same publish. No-op when the marker is down.
+    * the marker in the same publish. Keyed off `wasStale` — the
+    * marker AS OF compact's start — because the incremental update's
+    * own writeScan publish already cleared the live marker by the
+    * time this runs. No-op on a clean store.
     */
   private def healStaleScanStats(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    if (SeqSidecar.isScanStale(spark, dir)) {
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      wasStale: Boolean): Unit =
+    if (wasStale) {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hasCells = fs.exists(p) && fs.listStatus(p)

@@ -995,6 +995,35 @@ class IndexMaintenanceSpec extends SparkTestBase {
       spark.read.parquet(dir2).groupBy($"cell".cast("int")).count()
         .as[(Int, Long)].collect().toMap,
       "the base-seq torn-refresh rows must be counted after the heal")
+
+    // the COMBINED corner (review-pass, this round): tombstone work
+    // AND a base-seq torn refresh in a cell the affected set never
+    // visits — compact's incremental update publishes (clearing the
+    // live marker), so the full re-derive must key off the marker as
+    // of op START or the unaffected cell stays undercounted forever
+    val dir3 = java.nio.file.Files
+      .createTempDirectory("graft_maint_stale3").toString + "/idx"
+    SimilarityOps.writeIvfPqIndex(
+      SimilarityOps.ivfPqIndex(ofIds(1L -> 0, 2L -> 1),
+        "vec_id", "embedding", centers, codebooks), dir3, "vec_id")
+    // torn refresh at base seq into cell 2 (no seq ever allocated, no
+    // tombstone): marker raised, fold never ran
+    SeqSidecar.markScanStale(spark, dir3)
+    SimilarityOps.ivfPqIndex(ofIds(7L -> 2),
+        "vec_id", "embedding", centers, codebooks)
+      .withColumn(SimilarityOps.IvfSeqCol, lit(SimilarityOps.IvfBaseSeq))
+      .write.mode("append").partitionBy("cell").parquet(dir3)
+    // then a NORMAL delete elsewhere gives compact tombstone work
+    SimilarityOps.removeFromIvfPqIndex(dir3,
+      Seq(1L).toDF("vec_id"), "vec_id")
+    SimilarityOps.compactIvfPqIndex(spark, dir3, "vec_id")
+    assert(!SeqSidecar.isScanStale(spark, dir3))
+    assert(SeqSidecar.readScan(spark, dir3).get._1 ===
+      spark.read.parquet(dir3).groupBy($"cell".cast("int")).count()
+        .as[(Int, Long)].collect().toMap,
+      "a compact WITH tombstone work must still re-derive the " +
+        "unaffected torn-refresh cell — the wasStale snapshot, not " +
+        "the post-publish marker, gates the heal")
   }
 
   test("cutover on a MAINTAINED store (VERDICT r15 #2): the old " +
