@@ -35,6 +35,32 @@ object Tables {
     if (name == "events") normalizeTs(df) else df
   }
 
+  /** Adaptive CPU-spread for a freshly-loaded table that feeds a
+    * CPU-heavy per-row derivation (tokenize / shingle / minhash /
+    * codec): when the scan plans FEWER partitions than the session's
+    * parallelism, round-robin repartition up to the core count so the
+    * expensive projection ABOVE this call evaluates on every core.
+    *
+    * Why adaptive and not a constant `repartition(n)` (guide §2
+    * scale-adaptive rule): the local fixture ships each table as ONE
+    * small parquet file, so every scan is a single task and a
+    * tokenize-heavy stage serializes on one core (measured: the
+    * shingle subtree of the dedup gates ran as 3 × ~1 s single-task
+    * jobs at sf0.1/32 cores). At production scale the same scan has
+    * ≥ cores input splits and this call is an exact no-op — no
+    * exchange is added, so the corpus is never shuffled raw.
+    *
+    * Call it directly on the `load` result, BELOW the derivation:
+    * `Tables.spread(Tables.load(...)).select(shingleHashes(...))` —
+    * the expensive expression then runs above the exchange. The
+    * partition count is read from the planned scan without running a
+    * job (a raw scan materializes no exchanges).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
   /** Schema-drift tripwire: loads every conformance table and asserts the
     * dtypes our operators depend on. The testdata is driver-owned and has
     * been regenerated with a different physical schema once already

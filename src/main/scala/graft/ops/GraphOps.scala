@@ -234,11 +234,20 @@ object GraphOps {
     // collect, no recomputed degree aggregate.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .graftCheckpoint()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // ONE |E| pass builds the node set WITH its out-degree (explode
+    // each edge to a src stub counting 1 and a dst stub counting 0,
+    // sum per id): the separate outDeg groupBy + src∪dst distinct +
+    // dangling-flag left join cost three |E|-shuffles and two extra
+    // checkpoint actions for the same information (guide §2.4 —
+    // deg = 0 IS the dangling flag).
+    val nodesDeg = e.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("__c")),
+        struct(col("dst").as("id"), lit(0L).as("__c")))).as("__s"))
+      .select(col("__s.id").as("id"), col("__s.__c").as("__c"))
+      .groupBy(col("id")).agg(sum(col("__c")).as("deg"))
       .graftCheckpoint()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().graftCheckpoint()
-    val n = nodes.count()
+    val nodes = nodesDeg.select(col("id"))
+    val n = nodesDeg.count()
     // empty graph → empty ranks (not a divide-by-zero on mass/N)
     if (n == 0) return nodes.withColumn("r", lit(0L))
     // seed handling: restrict to seeds that ARE graph nodes; the
@@ -247,8 +256,15 @@ object GraphOps {
       .graftCheckpoint())
     val sOpt = seedIds.map(_.count())
     sOpt.foreach(s => require(s > 0, "no seed is a graph node"))
-    // degree folds into the edge table once — not re-joined per round
-    val eDeg = e.join(outDeg, Seq("src")).graftCheckpoint()
+    // degree folds into the edge table once — not re-joined per round.
+    // (A repartition("src")+persist pin that would let every round's
+    // join skip the |E| exchange was MEASURED in r16 and reverted: the
+    // columnar cache build/scan cost and GC dwarfed the saved shuffle
+    // — taskTime 6.5 s → 58.9 s on q106 at sf0.1 — and a checkpoint
+    // rebases to UnknownPartitioning, so the per-round exchange stays.)
+    val eDeg = e.join(nodesDeg.filter(col("deg") > 0L)
+      .select(col("id").as("src"), col("deg")), Seq("src"))
+      .graftCheckpoint()
     // restart terms: uniform over N, or (personalized) over the seeds —
     // the seed flag rides in the rank table like the dangling flag
     val baseCase = sOpt match {
@@ -266,11 +282,10 @@ object GraphOps {
       case None => s"__dang div $n"
     }
     // the static dangling flag RIDES IN the rank table, so the per-round
-    // dangling-mass aggregate is a scan (no join, no separate id table)
-    val flagged = nodes
-      .join(outDeg.select(col("src").as("id"), lit(false).as("__dg")),
-        Seq("id"), "left_outer")
-      .withColumn("__dg", coalesce(col("__dg"), lit(true)))
+    // dangling-mass aggregate is a scan (no join, no separate id table);
+    // deg = 0 in the fused node table IS the flag — no join at all
+    val flagged = nodesDeg
+      .select(col("id"), (col("deg") === 0L).as("__dg"))
     val withSd = seedIds match {
       case Some(sd) => flagged
         .join(sd.withColumn("__sd0", lit(true)), Seq("id"), "left_outer")
@@ -435,20 +450,24 @@ object GraphOps {
       .filter(col("w") > 0L)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .graftCheckpoint()
-    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    // fused node + out-weight pass (see pageRankLoop): wsum = 0 IS the
+    // dangling flag — one |E| shuffle instead of three plus a join
+    val nodesW = e.select(explode(array(
+        struct(col("src").as("id"), col("w").as("__c")),
+        struct(col("dst").as("id"), lit(0L).as("__c")))).as("__s"))
+      .select(col("__s.id").as("id"), col("__s.__c").as("__c"))
+      .groupBy(col("id")).agg(sum(col("__c")).as("wsum"))
       .graftCheckpoint()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().graftCheckpoint()
-    val n = nodes.count()
-    if (n == 0) return nodes.withColumn("r", lit(0L))
+    val n = nodesW.count()
+    if (n == 0) return nodesW.select(col("id"), lit(0L).as("r"))
     val baseCase =
       s"CAST(${((1000000L - dampingPpm) * (mass / n)) / 1000000L} " +
         "AS BIGINT)"
-    val eW = e.join(outW, Seq("src")).graftCheckpoint()
-    val flagged = nodes
-      .join(outW.select(col("src").as("id"), lit(false).as("__dg")),
-        Seq("id"), "left_outer")
-      .withColumn("__dg", coalesce(col("__dg"), lit(true)))
+    val eW = e.join(nodesW.filter(col("wsum") > 0L)
+      .select(col("id").as("src"), col("wsum")), Seq("src"))
+      .graftCheckpoint()
+    val flagged = nodesW
+      .select(col("id"), (col("wsum") === 0L).as("__dg"))
     var ranks = flagged
       .select(col("id"), lit(mass / n).as("r"), col("__dg"))
       .graftCheckpoint()
@@ -782,7 +801,10 @@ object GraphOps {
     * references its input twice (max aggregate + the scores
     * themselves), so an unbroken lineage re-executes the edge joins
     * combinatorially across half-rounds — measured 7.3 s vs 2.x s on
-    * the 600k-edge bench graph.
+    * the 600k-edge bench graph. (Within ONE half-round the two
+    * references are canonically identical, so AQE's stage cache runs
+    * the underlying shuffles once — r16 measured that an extra
+    * pre-normalize pin buys nothing.)
     *
     * Overflow: scores ≤ scale after each normalization, so a sum is
     * ≤ scale·maxDegree — Long-safe while |E| ≤ 9.2e18/scale (9.2e12
@@ -1049,6 +1071,13 @@ object GraphOps {
       .filter(col("__ca") === col("__cb"))
       .groupBy(col("__ca").as("community"))
       .agg(count(lit(1)).as("e_intra"))
+    // parts feeds BOTH the output rows and the broadcast Q scalar; no
+    // pin is needed — the two references are canonically identical
+    // subplans, so AQE's runtime stage cache executes the comm/intra
+    // shuffles once and reuses them across the broadcast boundary
+    // (verified in the r16 job profile: the modularity tail runs its
+    // aggregate jobs once; an experimental checkpoint here only added
+    // an action and 32-block rescans).
     val parts = comm.join(intra, Seq("community"), "left")
       .select(col("community"), col("n_nodes"),
         coalesce(col("e_intra"), lit(0L)).as("e_intra"), col("d_sum"))

@@ -1317,12 +1317,20 @@ object AnalyticsQueries {
     // (value + id tiebreak) travel in the hash.
     GraftQuery("q106_pagerank", AnalyticsSql.PageRank3) { (s, dir) =>
       import s.implicits._
+      // Narrow join keys (guide §2.3): the loop shuffles every edge and
+      // rank row 3 times, so node ids ride as 8-byte longs (2k / 2k+1
+      // parity-codes the o/p side) and decode to the contract's string
+      // ids only at the output — rank arithmetic never reads the id, so
+      // the values are bit-identical (oracle-checked).
       val edges = Tables.load(s, dir, "lineitem")
-        .select(
-          concat(lit("o"), $"l_orderkey".cast("string")).as("src"),
-          concat(lit("p"), $"l_partkey".cast("string")).as("dst"))
+        .select(($"l_orderkey" * 2).cast("long").as("src"),
+          ($"l_partkey" * 2 + 1).cast("long").as("dst"))
         .distinct()
       graft.ops.GraphOps.pageRank(edges, "src", "dst", iters = 3)
+        .select(when($"id" % 2 === 0,
+            concat(lit("o"), expr("id div 2").cast("string")))
+          .otherwise(concat(lit("p"), expr("(id - 1) div 2").cast("string")))
+          .as("id"), $"r")
         .orderBy($"r".desc, $"id")
         .limit(100)
     },
@@ -1338,15 +1346,20 @@ object AnalyticsQueries {
       (s, dir) =>
       import s.implicits._
       val li = Tables.load(s, dir, "lineitem")
-      val edges = li.select(
-          concat(lit("o"), $"l_orderkey".cast("string")).as("src"),
-          concat(lit("p"), $"l_partkey".cast("string")).as("dst"))
+      // long parity-coded node ids inside the loop, string ids at the
+      // output only — see q106 (guide §2.3 narrower shuffle keys)
+      val edges = li.select(($"l_orderkey" * 2).cast("long").as("src"),
+          ($"l_partkey" * 2 + 1).cast("long").as("dst"))
         .distinct()
       val seeds = li.filter($"l_orderkey" % 97 === 0)
-        .select(concat(lit("o"), $"l_orderkey".cast("string")).as("seed"))
+        .select(($"l_orderkey" * 2).cast("long").as("seed"))
         .distinct()
       graft.ops.GraphOps.personalizedPageRank(
           edges, "src", "dst", seeds, "seed", iters = 3)
+        .select(when($"id" % 2 === 0,
+            concat(lit("o"), expr("id div 2").cast("string")))
+          .otherwise(concat(lit("p"), expr("(id - 1) div 2").cast("string")))
+          .as("id"), $"r")
         .orderBy($"r".desc, $"id")
         .limit(100)
     },
@@ -1576,10 +1589,16 @@ object AnalyticsQueries {
       val edges = Tables.load(s, dir, "orders")
         .join(Tables.load(s, dir, "lineitem"),
           $"l_orderkey" === $"o_orderkey")
-        .select(
-          concat(lit("c"), $"o_custkey".cast("string")).as("src"),
-          concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
+        .select(($"o_custkey" * 2).cast("long").as("src"),
+          ($"l_suppkey" * 2 + 1).cast("long").as("dst"))
+      // long parity-coded ids inside the two HITS rounds, decoded to
+      // the contract's c/s string ids at the output (guide §2.3); the
+      // score arithmetic never reads the id, so values are unchanged
       val sc = graft.ops.GraphOps.hits(edges, "src", "dst", rounds = 2)
+        .select(when($"id" % 2 === 0,
+            concat(lit("c"), expr("id div 2").cast("string")))
+          .otherwise(concat(lit("s"), expr("(id - 1) div 2").cast("string")))
+          .as("id"), $"hub_ppm", $"auth_ppm")
       def side(tpe: String, scoreCol: String, prefix: String) = {
         val top = sc.filter($"id".startsWith(prefix))
           .select($"id".as("node_id"), col(scoreCol).as("score_ppm"))

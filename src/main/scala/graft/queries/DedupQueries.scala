@@ -98,9 +98,10 @@ object DedupQueries {
       // real-text corpora use DedupOps.jaccardSimilarPairs — identical
       // output, bounded fan-out (equivalence spec-checked in
       // TextDedupSimSpec).
-      val sh = Tables.load(s, dir, "documents")
+      val sh = Tables.spread(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+        .localCheckpoint() // shingle once, on every core (3 consumers)
       DedupOps.sharedShingleCountsBounded(sh, "doc_id", "hashes", 500)
         .select($"id_a", $"id_b",
           floor($"shared".cast("double") * 1000.0 /
@@ -130,9 +131,10 @@ object DedupQueries {
          |  ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sh = Tables.load(s, dir, "documents")
+      val sh = Tables.spread(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+        .localCheckpoint() // shingle once, on every core (2 consumers)
       val sig = DedupOps.minhashSignatures(sh, "doc_id", "hashes", 16)
       DedupOps.lshCandidatePairs(sig, "doc_id", "sig", bands = 4, rows = 4)
         .orderBy($"id_a", $"id_b")
@@ -163,7 +165,7 @@ object DedupQueries {
          |WHERE a.doc_id >= 400 OR b.doc_id >= 400
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sh = Tables.load(s, dir, "documents")
+      val sh = Tables.spread(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
       // Materialize the signatures once, then demonstrate the REAL
@@ -215,9 +217,10 @@ object DedupQueries {
          |WHERE (shared*1000)//sa.n >= 600 OR (shared*1000)//sb.n >= 600
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sh = Tables.load(s, dir, "documents")
+      val sh = Tables.spread(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+        .localCheckpoint() // shingle once, on every core (3 consumers)
       DedupOps.containmentPairs(sh, "doc_id", "hashes",
           thresholdMilli = 600)
         .select($"id_a", $"id_b", $"shared",
@@ -268,8 +271,10 @@ object DedupQueries {
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
-      val sh = docs.select($"doc_id",
-        TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+      val sh = Tables.spread(docs)
+        .select($"doc_id",
+          TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+        .localCheckpoint() // shingle once, on every core (3 consumers)
       val pairs = DedupOps
         .sharedShingleCountsBounded(sh, "doc_id", "hashes", 500)
         .select($"id_a", $"id_b",
@@ -308,10 +313,11 @@ object DedupQueries {
          |WHERE (min_sum*1000)//(sa.tot + sb.tot - min_sum) >= 500
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sh = Tables.load(s, dir, "documents")
+      val sh = Tables.spread(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           graft.functions.GraftColumns.shingleHash($"text", ShingleN)
             .as("feats"))
+        .localCheckpoint() // shingle once, on every core
       DedupOps.weightedJaccardPairs(sh, "doc_id", "feats",
           thresholdMilli = 500)
         .orderBy($"id_a", $"id_b")
@@ -347,11 +353,12 @@ object DedupQueries {
          |WHERE (dot*dot*1000000)//(sa.n2 * sb.n2) >= 490000
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sh = Tables.load(s, dir, "documents")
+      val sh = Tables.spread(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           transform(
             graft.functions.GraftColumns.shingleHash($"text", ShingleN),
             h => pmod(h, lit(65536L))).as("feats"))
+        .localCheckpoint() // shingle once, on every core
       DedupOps.sparseCosinePairs(sh, "doc_id", "feats",
           thresholdPpm = 490000)
         .orderBy($"id_a", $"id_b")
@@ -392,9 +399,10 @@ object DedupQueries {
          |FROM comp GROUP BY component
          |ORDER BY component""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sh = Tables.load(s, dir, "documents")
+      val sh = Tables.spread(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+        .localCheckpoint() // shingle once, on every core (3 consumers)
       val pairs = DedupOps
         .sharedShingleCountsBounded(sh, "doc_id", "hashes", 500)
         .select($"id_a", $"id_b",
@@ -469,9 +477,10 @@ object DedupQueries {
          |FROM comp GROUP BY component
          |ORDER BY component""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sh = Tables.load(s, dir, "documents")
+      val sh = Tables.spread(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+        .localCheckpoint() // shingle once, on every core (3 consumers)
       val pairs = DedupOps
         .sharedShingleCountsBounded(sh, "doc_id", "hashes", 500)
         .select($"id_a", $"id_b",
@@ -1061,8 +1070,10 @@ object DedupQueries {
       import org.apache.spark.sql.functions._
       val div = graft.functions.GraftColumns.longDiv _
       val docs = Tables.load(s, dir, "documents")
-      val sh = docs.select($"doc_id",
-        TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+      val sh = Tables.spread(docs)
+        .select($"doc_id",
+          TextOps.shingleHashes($"text", ShingleN).as("hashes"))
+        .localCheckpoint() // shingle once, on every core (3 consumers)
       val pairs = DedupOps
         .sharedShingleCountsBounded(sh, "doc_id", "hashes", 500)
         .select($"id_a", $"id_b",
