@@ -67,8 +67,11 @@ object SearchQueries {
         |FROM score WHERE score > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val toks = TextOps.tokenize($"text")
+      // spread: the build's tokenize otherwise runs on the single scan
+      // task (§2.5; no-op when the scan has >= cores splits)
       val idx = graft.movies.PostingIndex.buildTokenized(
-        Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+        Tables.spread(Tables.load(s, dir, "documents"))
+          .select($"doc_id", $"text"),
         GraftQuery.scratchDir("graft_q291_pidx"),
         tokens = Map(
           "title" -> slice(toks, 1, 5),
@@ -241,7 +244,7 @@ object SearchQueries {
         QueryTerms.map(t => size(filter(toks, x => x === lit(t))).cast("long"))
           .reduce(_ + _)
       val toks = TextOps.tokenize($"text")
-      Tables.load(s, dir, "documents")
+      Tables.spread(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           (tf(slice(toks, 1, 5)) * 4 +
             tf(slice(toks, lit(6), size(toks)))).as("score"))

@@ -297,7 +297,8 @@ object TextQueries {
         |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
       import s.implicits._
       TextOps.tfIdfTopTerms(
-          Tables.load(s, dir, "documents"), "doc_id", "text", k = 5)
+          Tables.spread(Tables.load(s, dir, "documents")),
+          "doc_id", "text", k = 5)
         .orderBy($"doc_id", $"rank")
     },
 
