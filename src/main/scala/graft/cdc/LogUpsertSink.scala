@@ -218,14 +218,30 @@ final class LogUpsertSink(
       spark.read.parquet(p.toString).drop("bucket")
         .withColumn(SeqCol, lit(t)).withColumn(OpCol, lit("u"))
     }
-    val docCols = baseDf.getOrElse(
+    val schemaSrc = baseDf.getOrElse(
       spark.read.parquet(segs.filter(_.op == "u").head.path.toString))
+    val docCols = schemaSrc
       .columns.toSeq.filterNot(c => c == SeqCol || c == OpCol)
     val logDf =
       if (segs.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(segs.map(_.path.toString): _*)
-        .filter(col(SeqCol) > thru)) // crash-window stale segs drop here
+      else {
+        // EXPLICIT schema (doc fields + __seq/__op off the base's /
+        // first upsert segment's own footer — driver-side, no job),
+        // not mergeSchema: the merge read launches a distributed
+        // footer-merge job on every snapshot/read/compact call. Delete
+        // segments carry only (id, __seq, __op); their missing doc
+        // columns read as nulls under the fixed schema — exactly the
+        // old unionByName(allowMissingColumns) fill.
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val full = StructType(
+          schemaSrc.schema.fields
+            .filter(f => docCols.contains(f.name))
+            .map(_.copy(nullable = true)) ++
+          Seq(StructField(SeqCol, LongType), StructField(OpCol, StringType)))
+        Some(spark.read.schema(full)
+          .parquet(segs.map(_.path.toString): _*)
+          .filter(col(SeqCol) > thru)) // crash-window stale segs drop here
+      }
     val all = (baseDf.toSeq ++ logDf.toSeq)
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     val snap = Snapshot.latestPerKey(all, idCol, SeqCol, SeqCol)

@@ -3,6 +3,7 @@ package graft.movies
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpointer._
 
 /** Inverted-index search serving: BM25F over a CANDIDATE set found by a
   * term→posting join, instead of scoring the whole corpus per query —
@@ -218,23 +219,33 @@ final class PostingIndex private (
     math.max(segMax, thruSeq) + 1L
   }
 
-  /** Every live segment row in one scan — ONE multi-path mergeSchema
-    * read (the [[graft.cdc.LogUpsertSink]] read shape), NOT a
-    * per-segment union: per-segment plan nodes made every maintenance
-    * op and serve pay O(|log|) planning cost, which the StreamBench
-    * drain showed GROWING tick times between compactions. Tombstone
-    * segments carry only (id, seq, op), so the union against an empty
-    * full-schema seed resolves every doc column (as nulls) even for a
-    * log of only deletes.
+  /** Every live segment row in one scan — ONE multi-path read (the
+    * [[graft.cdc.LogUpsertSink]] read shape), NOT a per-segment union:
+    * per-segment plan nodes made every maintenance op and serve pay
+    * O(|log|) planning cost, which the StreamBench drain showed
+    * GROWING tick times between compactions.
+    *
+    * The read carries an EXPLICIT schema (the analyzed doc columns +
+    * __seq/__op, derived from the base layout's own footer — a
+    * driver-side read, no job) instead of mergeSchema: a mergeSchema
+    * read launches a distributed footer-merge JOB on every call, and
+    * this is called several times per maintenance op / serve —
+    * measured ~20 pure-planning jobs per q293 run (guide §2.4, fewer
+    * driver-sequenced actions). Tombstone segments carry only
+    * (id, seq, op); under the fixed schema their missing doc columns
+    * read as nulls — exactly what the previous
+    * unionByName(allowMissingColumns) against the zero seed produced.
     */
   private def deltaAll(segs: Seq[Seg]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
     val zero = spark.read.parquet(docsPath).limit(0)
       .select(analyzedCols: _*)
       .withColumn(SeqCol, lit(-1L)).withColumn(OpCol, lit("u"))
-    zero.unionByName(
-      spark.read.option("mergeSchema", "true")
-        .parquet(segs.map(_.path.toString): _*),
-      allowMissingColumns = true)
+    // every field nullable: tombstone segments materialize the doc
+    // columns as null, so a non-null literal field (e.g. __seq's)
+    // must not let the optimizer assume non-nullability
+    val full = StructType(zero.schema.fields.map(_.copy(nullable = true)))
+    spark.read.schema(full).parquet(segs.map(_.path.toString): _*)
   }
 
   /** Every id the delta log touches (upserted or tombstoned) — the ids
@@ -565,7 +576,7 @@ final class PostingIndex private (
     val dfsBase = terms.map(t => t -> 0L).toMap ++ readDfStats(terms)
     val deltaPinned: Option[DataFrame] =
       if (segs.isEmpty) None
-      else Some(deltaAll(segs).localCheckpoint())
+      else Some(deltaAll(segs).graftCheckpoint())
     val touchedPinned = deltaPinned.map(_.select(col(idCol)).distinct())
     val curPinned = deltaPinned.map(currentDeltaOf)
     val dfs: Map[String, Long] =
@@ -727,7 +738,7 @@ final class PostingIndex private (
       .filter(col("score") > 0)
       .select(outCols: _*)
     val top = scored.orderBy(col("score").desc, col(idCol)).limit(k)
-      .localCheckpoint() // k rows, bounded — evaluated exactly once
+      .graftCheckpoint() // k rows, bounded — evaluated exactly once
     val scores = top.select(col("score")).collect().map(_.getDouble(0))
     // safe iff the k-th phase-2 score strictly beats what any doc
     // matching ONLY excluded terms could reach (θ = min of the top-k)
@@ -784,7 +795,7 @@ final class PostingIndex private (
     val qterms = queries.select(col(queryIdCol),
       posexplode(array_distinct(col(termsCol)))
         .as(Seq("__tidx", "term")))
-      .localCheckpoint()
+      .graftCheckpoint()
     // bucket routing for the whole batch: ≤ nTermBuckets values
     val tb = qterms
       .select(pmod(xxhash64(col("term")), lit(nTermBuckets)).cast("int"))
@@ -974,7 +985,7 @@ final class PostingIndex private (
     val qterms = queries.select(col(queryIdCol),
         posexplode(array_distinct(col(termsCol)))
           .as(Seq("__tidx", "term")))
-      .localCheckpoint()
+      .graftCheckpoint()
     val qtRows = qterms.select(col(queryIdCol), col("term")).collect()
     if (qtRows.isEmpty) return fallbackAll()
     // a NULL query id cannot route through the isin splits below (SQL
@@ -1036,7 +1047,7 @@ final class PostingIndex private (
             cand, idfDf)
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= k)
-          .localCheckpoint() // ≤ k·|batch| rows, evaluated exactly once
+          .graftCheckpoint() // ≤ k·|batch| rows, evaluated exactly once
         // per-query safety: ONE bounded collect (≤ |batch| rows)
         val stats = top.groupBy(col(queryIdCol))
           .agg(count(lit(1)).as("__n"), min(col("score")).as("__kth"))
@@ -1103,7 +1114,7 @@ final class PostingIndex private (
       upsert(newDocs, tokens)
     } else {
       val analyzed = fields.foldLeft(newDocs)((d, f) =>
-        d.withColumn(s"__toks_$f", tokens(f))).localCheckpoint()
+        d.withColumn(s"__toks_$f", tokens(f))).graftCheckpoint()
       // same aggregate as the build (PostingIndex.sumStats) over the
       // PINNED delta — the refresh ≡ rebuild parity rests on both
       // paths summing the identical integers
@@ -1206,7 +1217,7 @@ final class PostingIndex private (
     // would violate this method's publish contract mid-flight
     val segs = liveSegs(sweep = true)
     val analyzed = fields.foldLeft(docs)((d, f) =>
-      d.withColumn(s"__toks_$f", tokens(f))).localCheckpoint()
+      d.withColumn(s"__toks_$f", tokens(f))).graftCheckpoint()
     // stats + the duplicate-id tripwire (ADVICE r11) in ONE aggregate
     // job over the pinned batch (VERDICT r13 #7 — the CDC composition
     // gates are driver-sequenced micro-jobs, so every merged action is
@@ -1269,10 +1280,10 @@ final class PostingIndex private (
     if (nDocs == 0L) return this // nothing to tombstone
     sweepStaleLayouts() // layout debris from a torn compact sweeps here
     val segs = liveSegs(sweep = true)
-    val idsDf = ids.select(col(idCol)).distinct().localCheckpoint()
+    val idsDf = ids.select(col(idCol)).distinct().graftCheckpoint()
     // pin the existing victims: their ids feed the segment write and
     // their dl sums the stats subtraction — one evaluation for both
-    val old = currentVersionsOf(idsDf, segs).localCheckpoint()
+    val old = currentVersionsOf(idsDf, segs).graftCheckpoint()
     val (oldStats, oldN) = PostingIndex.sumStats(old, fields)
     if (oldN == 0L) return this // none of the ids exist: no-op
     val seq = nextSeq()

@@ -2,6 +2,7 @@ package graft.movies
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpointer._
 
 /** Stats-cached search over a FIXED corpus — the ES-server shape
   * (search_api/api.py:41-111 serves many queries against one index):
@@ -104,7 +105,7 @@ object SearchIndex {
       docs: DataFrame,
       weights: Map[String, Int] = Search.DefaultWeights): SearchIndex = {
     val fields = weights.keys.toSeq.sorted
-    val analyzed = Search.withAnalyzed(docs, fields).localCheckpoint()
+    val analyzed = Search.withAnalyzed(docs, fields).graftCheckpoint()
     val statAggs =
       fields.map(f => avg(size(Search.toks(f))).as(s"avgdl_$f")) :+
         count(lit(1)).as("n_docs")
@@ -120,7 +121,7 @@ object SearchIndex {
       .select(explode(array_distinct(
         concat(fields.map(Search.toks): _*))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .localCheckpoint()
+      .graftCheckpoint()
     new SearchIndex(analyzed, fields, weights, avgdls, n, dfTable)
   }
 }

@@ -263,8 +263,8 @@ object DedupOps {
     storePath(spark, table) + "__tombstones"
 
   /** The tombstone side table with legacy rows normalized: files
-    * written before the seq discipline carry ids only — read with
-    * mergeSchema (broadcast-sized table, footer cost nil) and coalesce
+    * written before the seq discipline carry ids only — read with an
+    * explicit schema (no mergeSchema job) and coalesce
     * a missing/null `__seq` to 0, preserving legacy semantics exactly
     * (base rows at seq -1 stay deleted; any new op allocates seq ≥ 1
     * and supersedes). None ⇔ no tombstones.
@@ -276,12 +276,20 @@ object DedupOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val raw = spark.read.option("mergeSchema", "true")
-        .parquet(p.toString)
-      Some(
-        if (raw.columns.contains(LshSeqCol))
-          raw.withColumn(LshSeqCol, coalesce(col(LshSeqCol), lit(0L)))
-        else raw.withColumn(LshSeqCol, lit(0L)))
+      // Footer-only schema probe (driver-side, no job) for the id
+      // field, then ONE explicit-schema read: the previous mergeSchema
+      // read launched a distributed footer-merge JOB on every call —
+      // several per maintenance op/serve (guide §2.4, fewer driver
+      // actions). Legacy files without __seq read it as null under
+      // the forced schema; the coalesce-to-0 below preserves their
+      // semantics exactly, mixed old/new file sets included.
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val idFields = spark.read.parquet(p.toString).schema.fields
+        .filterNot(_.name == LshSeqCol)
+      val schema = StructType(idFields.map(_.copy(nullable = true)) :+
+        StructField(LshSeqCol, LongType))
+      Some(spark.read.schema(schema).parquet(p.toString)
+        .withColumn(LshSeqCol, coalesce(col(LshSeqCol), lit(0L))))
     }
   }
 

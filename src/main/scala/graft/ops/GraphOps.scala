@@ -110,6 +110,13 @@ object GraphOps {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // (r17 measured, kept OUT: an explicit repartition(u) /
+      // repartition(a) before each phase — so the phase's min-aggregate
+      // and min-attach join share one exchange — read as guide §2.4 on
+      // paper but MEASURED WORSE under AQE at sf0.1: jobs 109 → 118,
+      // shuffle 75.6 → 94.3 MB, because AQE's coalesced repartition
+      // output is not reusable by the join's requirement and the raw
+      // 2|E| rows shuffle without the aggregate's partial combine.)
       val sym = e.select(col("a").as("u"), col("b").as("v"))
         .union(e.select(col("b").as("u"), col("a").as("v")))
       // no dedup here: each (u,v) direction emits at most once, the
@@ -365,10 +372,16 @@ object GraphOps {
       .withColumn("rnd", lit(0L)).graftCheckpoint()
     var r = 0
     while (r < rounds) {
+      // count(), not countDistinct(): `e` is distinct by construction
+      // (the .distinct() above) and `active` holds unique ids (distinct
+      // seeds ∪ anti-joined groupBy outputs), so the join emits at most
+      // one row per (a, b) — the distinct-count's two-phase expand
+      // (extra exchange per round, guide §2.4) buys nothing. Same
+      // BIGINT value, bit-identical activation rounds.
       val newly = e
         .join(active.select(col("id").as("a")), Seq("a"))
         .groupBy(col("b").as("id"))
-        .agg(countDistinct(col("a")).as("__na"))
+        .agg(count(lit(1)).as("__na"))
         .where(col("__na") >= k.toLong)
         .join(active.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), lit(r + 1L).as("rnd"))
@@ -833,11 +846,22 @@ object GraphOps {
             .otherwise(lit(0L)).as("score"))
     }
     def pull(scores: DataFrame, from: String, to: String): DataFrame = {
-      val sums = e
+      // Union-based zero-fill (guide §2.4 — remove shuffles outright):
+      // nodes that receive no message must score 0 for the next
+      // half-round's join and the final output. The previous
+      // nodes⟕sums left join cost one |V| exchange per half-round ON
+      // TOP of the sums aggregate; unioning a zero stub per node UNDER
+      // that same aggregate zero-fills inside it — one id-keyed
+      // exchange per half-round instead of two. Exact equivalence:
+      // sum over (msgs ∪ {0L}) = coalesce(sum over msgs, 0L) for
+      // BIGINT scores, and every edge endpoint is in `nodes`, so the
+      // id set is identical.
+      val msgs = e
         .join(scores.select(col("id").as(from), col("score")), Seq(from))
-        .groupBy(col(to).as("id")).agg(sum(col("score")).as("score"))
-      normalize(nodes.join(sums, Seq("id"), "left")
-        .select(col("id"), coalesce(col("score"), lit(0L)).as("score")))
+        .select(col(to).as("id"), col("score"))
+      normalize(msgs
+        .union(nodes.select(col("id"), lit(0L).as("score")))
+        .groupBy(col("id")).agg(sum(col("score")).as("score")))
         .graftCheckpoint()
     }
     var hub = nodes.select(col("id"), lit(scale).as("score"))

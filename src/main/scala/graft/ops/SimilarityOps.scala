@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpointer._
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -994,7 +995,7 @@ object SimilarityOps {
     // stores keep the streaming single-pass write. The staleness
     // marker rises BEFORE the row write and settles with the fold
     // (VERDICT r15 #5 — same crash-window discipline as upsert)
-    val enc = if (scan.isDefined) encoded.localCheckpoint() else encoded
+    val enc = if (scan.isDefined) encoded.graftCheckpoint() else encoded
     if (scan.isDefined) SeqSidecar.markScanStale(spark, dir)
     enc.write.mode("append").partitionBy("cell").parquet(dir)
     scan.foreach { case (cells, fracs) =>
@@ -1032,8 +1033,8 @@ object SimilarityOps {
 
   /** The tombstone side table with legacy rows normalized: a table (or
     * individual files) written before the seq discipline carries ids
-    * only — read with mergeSchema (the table is broadcast-sized, the
-    * footer cost is nil) and coalesce a missing/null `__seq` to 0,
+    * only — read with an explicit schema (no mergeSchema job) and
+    * coalesce a missing/null `__seq` to 0,
     * which preserves the legacy semantics exactly: base rows (seq -1)
     * stay deleted, while any NEW op allocates seq ≥ 1 and supersedes.
     * None ⇔ no tombstones.
@@ -1045,12 +1046,20 @@ object SimilarityOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val raw = spark.read.option("mergeSchema", "true")
-        .parquet(p.toString)
-      Some(
-        if (raw.columns.contains(IvfSeqCol))
-          raw.withColumn(IvfSeqCol, coalesce(col(IvfSeqCol), lit(0L)))
-        else raw.withColumn(IvfSeqCol, lit(0L)))
+      // Footer-only schema probe (driver-side, no job) for the id
+      // field, then ONE explicit-schema read: the previous mergeSchema
+      // read launched a distributed footer-merge JOB on every call —
+      // several per CDC maintenance op/serve (guide §2.4, fewer
+      // driver actions). Legacy files without __seq read it as null
+      // under the forced schema; the coalesce-to-0 below preserves
+      // their semantics exactly, mixed old/new file sets included.
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val idFields = spark.read.parquet(p.toString).schema.fields
+        .filterNot(_.name == IvfSeqCol)
+      val schema = StructType(idFields.map(_.copy(nullable = true)) :+
+        StructField(IvfSeqCol, LongType))
+      Some(spark.read.schema(schema).parquet(p.toString)
+        .withColumn(IvfSeqCol, coalesce(col(IvfSeqCol), lit(0L))))
     }
   }
 
@@ -1178,7 +1187,7 @@ object SimilarityOps {
     // pin: the encoded batch feeds the tripwire count, the tombstone
     // write and the row write — one evaluation of the caller's plan
     val enc0 = ivfPqIndex(batch, idCol, vecCol, centers, codebooks)
-      .localCheckpoint()
+      .graftCheckpoint()
     // row count + the duplicate-id tripwire in ONE aggregate job over
     // the pinned batch (VERDICT r13 #7 — every merged driver action is
     // CDC tick latency back)
@@ -1773,7 +1782,7 @@ object SimilarityOps {
     // fetch would then silently drop true survivors (ADVICE r13 low)
     ivfPqServe(index, idCol, vectors, vecIdCol, vecCol,
       ivfProbeLut(queries, queryIdCol, queryVecCol, centers, codebooks,
-        nProbe).localCheckpoint(),
+        nProbe).graftCheckpoint(),
       queryIdCol, codebooks, shortlist, k)
 
   /** Single-query serving over a STORED cell-partitioned layout — the
@@ -1996,7 +2005,7 @@ object SimilarityOps {
       nProbe: Int, shortlist: Int, k: Int,
       audited: Boolean): (DataFrame, Option[IvfScanAudit]) = {
     val probe = ivfProbeLut(queries, queryIdCol, queryVecCol, centers,
-      codebooks, nProbe).localCheckpoint()
+      codebooks, nProbe).graftCheckpoint()
     val cells = probe.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     // tombstones drop AFTER the cell pruning (broadcast anti-join on

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.Checkpointer._
 import graft.ops.{IdOps, LayoutOps, SessionOps}
 
 /** Analytics-extension conformance suite: batch sessionization,
@@ -1568,7 +1569,7 @@ object AnalyticsQueries {
         .join(op.select($"b", $"i".as("pb")), Seq("b"))
         .filter($"pa" < $"pb")
         .select($"pa", $"pb").distinct()
-        .localCheckpoint() // consumed by the LPA rounds AND modularity
+        .graftCheckpoint() // consumed by the LPA rounds AND modularity
       val labels = graft.ops.GraphOps.labelPropagation(
         pairs, "pa", "pb", rounds = 2)
       graft.ops.GraphOps.modularity(
@@ -2314,7 +2315,7 @@ object AnalyticsQueries {
       val div = graft.functions.GraftColumns.longDiv _
       val docs = Tables.load(s, dir, "documents")
         .select($"lang", $"n_chars".as("v"))
-        .localCheckpoint() // both histograms in one pass each
+        .graftCheckpoint() // both histograms in one pass each
       val wCumG = Window.partitionBy($"lang").orderBy($"v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAllG = Window.partitionBy($"lang")
@@ -2392,7 +2393,7 @@ object AnalyticsQueries {
       val div = graft.functions.GraftColumns.longDiv _
       val docs = Tables.load(s, dir, "documents")
         .select($"lang", $"n_chars".as("v"))
-        .localCheckpoint() // three histogram consumers
+        .graftCheckpoint() // three histogram consumers
       val h = docs.groupBy($"lang", $"v").agg(count(lit(1)).as("c"))
       val vs = docs.select($"v").distinct()
       val langs = docs.select($"lang").distinct()
@@ -2644,7 +2645,7 @@ object AnalyticsQueries {
         .groupBy($"event_type", $"day")
         .agg(count(lit(1)).as("n_events"),
           countDistinct($"user_id").as("n_users"))
-        .localCheckpoint() // released + audit consumers
+        .graftCheckpoint() // released + audit consumers
       val released = cells.filter($"n_users" >= 5)
       val audit = cells.filter($"n_users" < 5)
         .agg(coalesce(sum($"n_events"), lit(0L)).as("n_events"),

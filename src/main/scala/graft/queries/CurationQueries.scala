@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.Checkpointer._
 import graft.ops.{CurationOps, IdOps, TextOps}
 
 /** Corpus-curation conformance suite over `documents`: repetition
@@ -609,7 +610,7 @@ object CurationQueries {
       val div = graft.functions.GraftColumns.longDiv _
       val scored = CurationOps.rarityScorePpm(
           Tables.load(s, dir, "documents"), "doc_id", "text")
-        .localCheckpoint() // histogram + readout consumers
+        .graftCheckpoint() // histogram + readout consumers
       val h = scored.groupBy($"rarity_ppm".as("v"))
         .agg(count(lit(1)).as("c"))
       val tot = h.agg(sum($"c").as("n"))
@@ -1827,7 +1828,7 @@ object CurationQueries {
           sum($"ntok").as("tokens"),
           (count(lit(1)) - countDistinct($"key")).as("dup_docs"),
           div(sum($"n_chars"), count(lit(1))).as("avg_chars"))
-        .localCheckpoint() // four tagged-union consumers of 5 rows
+        .graftCheckpoint() // four tagged-union consumers of 5 rows
       Seq("docs" -> $"docs", "tokens" -> $"tokens",
           "dup_docs" -> $"dup_docs", "avg_chars" -> $"avg_chars")
         .map { case (nm, c) =>

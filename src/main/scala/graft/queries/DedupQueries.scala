@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.Checkpointer._
 import graft.ops.{DedupOps, TextOps}
 
 /** Deduplication conformance suite over `documents`: exact dedup,
@@ -101,7 +102,7 @@ object DedupQueries {
       val sh = Tables.spread(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
-        .localCheckpoint() // shingle once, on every core (3 consumers)
+        .graftCheckpoint() // shingle once, on every core (3 consumers)
       DedupOps.sharedShingleCountsBounded(sh, "doc_id", "hashes", 500)
         .select($"id_a", $"id_b",
           floor($"shared".cast("double") * 1000.0 /
@@ -134,7 +135,7 @@ object DedupQueries {
       val sh = Tables.spread(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
-        .localCheckpoint() // shingle once, on every core (2 consumers)
+        .graftCheckpoint() // shingle once, on every core (2 consumers)
       val sig = DedupOps.minhashSignatures(sh, "doc_id", "hashes", 16)
       DedupOps.lshCandidatePairs(sig, "doc_id", "sig", bands = 4, rows = 4)
         .orderBy($"id_a", $"id_b")
@@ -165,7 +166,13 @@ object DedupQueries {
          |WHERE a.doc_id >= 400 OR b.doc_id >= 400
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sh = Tables.spread(Tables.load(s, dir, "documents"))
+      // No Tables.spread here (r16 VERDICT #1): this gate already pins
+      // the signature table once via the checkpoint below, and the
+      // downstream consumers are a SMALL bucketed index write + an
+      // incremental probe — a 32-partition signature table inflates the
+      // 8-bucket write and the probe plan for nothing (measured ~3×
+      // wall regression when spread was added in r16).
+      val sh = Tables.load(s, dir, "documents")
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
       // Materialize the signatures once, then demonstrate the REAL
@@ -177,7 +184,7 @@ object DedupQueries {
       // has no exchange). Index build cost is one corpus pass, paid at
       // index-refresh time, not per batch.
       val sig = DedupOps.minhashSignatures(sh, "doc_id", "hashes", 16)
-        .localCheckpoint()
+        .graftCheckpoint()
       graft.ops.BucketingOps.writeBucketed(
         DedupOps.lshBandKeyTable(
           sig.filter($"doc_id" < 400), "doc_id", "sig",
@@ -220,7 +227,7 @@ object DedupQueries {
       val sh = Tables.spread(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
-        .localCheckpoint() // shingle once, on every core (3 consumers)
+        .graftCheckpoint() // shingle once, on every core (3 consumers)
       DedupOps.containmentPairs(sh, "doc_id", "hashes",
           thresholdMilli = 600)
         .select($"id_a", $"id_b", $"shared",
@@ -274,7 +281,7 @@ object DedupQueries {
       val sh = Tables.spread(docs)
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
-        .localCheckpoint() // shingle once, on every core (3 consumers)
+        .graftCheckpoint() // shingle once, on every core (3 consumers)
       val pairs = DedupOps
         .sharedShingleCountsBounded(sh, "doc_id", "hashes", 500)
         .select($"id_a", $"id_b",
@@ -317,7 +324,7 @@ object DedupQueries {
         .select($"doc_id",
           graft.functions.GraftColumns.shingleHash($"text", ShingleN)
             .as("feats"))
-        .localCheckpoint() // shingle once, on every core
+        .graftCheckpoint() // shingle once, on every core
       DedupOps.weightedJaccardPairs(sh, "doc_id", "feats",
           thresholdMilli = 500)
         .orderBy($"id_a", $"id_b")
@@ -358,7 +365,7 @@ object DedupQueries {
           transform(
             graft.functions.GraftColumns.shingleHash($"text", ShingleN),
             h => pmod(h, lit(65536L))).as("feats"))
-        .localCheckpoint() // shingle once, on every core
+        .graftCheckpoint() // shingle once, on every core
       DedupOps.sparseCosinePairs(sh, "doc_id", "feats",
           thresholdPpm = 490000)
         .orderBy($"id_a", $"id_b")
@@ -402,7 +409,7 @@ object DedupQueries {
       val sh = Tables.spread(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
-        .localCheckpoint() // shingle once, on every core (3 consumers)
+        .graftCheckpoint() // shingle once, on every core (3 consumers)
       val pairs = DedupOps
         .sharedShingleCountsBounded(sh, "doc_id", "hashes", 500)
         .select($"id_a", $"id_b",
@@ -480,7 +487,7 @@ object DedupQueries {
       val sh = Tables.spread(Tables.load(s, dir, "documents"))
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
-        .localCheckpoint() // shingle once, on every core (3 consumers)
+        .graftCheckpoint() // shingle once, on every core (3 consumers)
       val pairs = DedupOps
         .sharedShingleCountsBounded(sh, "doc_id", "hashes", 500)
         .select($"id_a", $"id_b",
@@ -489,7 +496,7 @@ object DedupQueries {
             .as("jaccard_milli"))
         .filter($"jaccard_milli" >= 500)
         .select($"id_a", $"id_b")
-        .localCheckpoint()
+        .graftCheckpoint()
       val old = pairs.filter($"id_a" < 350 && $"id_b" < 350)
       val delta = pairs.filter(!($"id_a" < 350 && $"id_b" < 350))
       val prev = graft.ops.GraphOps.connectedComponents(old, "id_a", "id_b")
@@ -748,7 +755,7 @@ object DedupQueries {
           ($"l_suppkey" * 2 + 1).cast("long").as("b"))
         .distinct()
       val e = e0.union(e0.select($"b".as("a"), $"a".as("b")))
-        .localCheckpoint() // degree fold + stub probe
+        .graftCheckpoint() // degree fold + stub probe
       val deg = e.groupBy($"a".as("id")).agg(count(lit(1)).as("d"))
       val st = e
         .join(deg.select($"id".as("a"), $"d".as("x")), Seq("a"))
@@ -852,7 +859,7 @@ object DedupQueries {
           ($"l_suppkey" * 2 + 1).cast("long").as("b"))
         .distinct()
       val e = e0.union(e0.select($"b".as("a"), $"a".as("b")))
-        .localCheckpoint() // feeds the degree fold and the join probe
+        .graftCheckpoint() // feeds the degree fold and the join probe
       val deg = e.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
       e.join(deg.select($"id".as("a"), $"deg".as("da")), Seq("a"))
         .join(deg.select($"id".as("b"), $"deg".as("db")), Seq("b"))
@@ -1073,7 +1080,7 @@ object DedupQueries {
       val sh = Tables.spread(docs)
         .select($"doc_id",
           TextOps.shingleHashes($"text", ShingleN).as("hashes"))
-        .localCheckpoint() // shingle once, on every core (3 consumers)
+        .graftCheckpoint() // shingle once, on every core (3 consumers)
       val pairs = DedupOps
         .sharedShingleCountsBounded(sh, "doc_id", "hashes", 500)
         .select($"id_a", $"id_b",
@@ -1084,7 +1091,7 @@ object DedupQueries {
         .select($"id_a", $"id_b")
       val cs = graft.ops.GraphOps.connectedComponents(pairs, "id_a", "id_b")
         .groupBy($"component").agg(count(lit(1)).as("sz"))
-        .localCheckpoint() // histogram + scalar consumers
+        .graftCheckpoint() // histogram + scalar consumers
       val hist = cs.groupBy($"sz")
         .agg(count(lit(1)).as("v"))
         .select(lit("size_hist").as("metric"), $"sz".as("k"), $"v")

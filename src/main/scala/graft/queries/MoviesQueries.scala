@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.movies._
+import graft.ops.Checkpointer._
 
 /** Driver-visible end-to-end run of the movies domain: dirty legacy
   * fixture → Ingest.normalize → Docs.movieDocs → Search, hash-checked
@@ -119,7 +120,7 @@ object MoviesQueries {
       val docs = Docs.movieDocs(
         n.filmWork, n.person, n.genre, n.personFilmWork, n.genreFilmWork)
         .coalesce(1)
-        .localCheckpoint()
+        .graftCheckpoint()
       Search.search(docs, Some("lucas film"), "imdb_rating", asc = false)
         .select(col("id"), col("title"),
           round(col("score") * 1000).cast("long").as("score_milli"),

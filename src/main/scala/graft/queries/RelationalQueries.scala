@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.Checkpointer._
 
 /** Relational operator conformance suite (SURVEY.md §2.2-§2.8).
   *
@@ -394,7 +395,7 @@ object RelationalQueries {
         val docs = batch
           .withColumn("rk", row_number().over(latestInBatch))
           .filter($"rk" === 1).drop("rk")
-          .localCheckpoint() // pin the batch: the store must not re-scan
+          .graftCheckpoint() // pin the batch: the store must not re-scan
         store.upsert(docs)
         cursors.save("events", next)
         docs
@@ -1147,7 +1148,7 @@ object RelationalQueries {
       // the materialized base view — checkpointed so the incremental
       // path demonstrably does NOT re-execute the base join
       val baseView = joined(orders.where($"o_orderkey" % 5L =!= 0L))
-        .localCheckpoint()
+        .graftCheckpoint()
       val delta = orders.where($"o_orderkey" % 5L === 0L)
       baseView.unionByName(joined(delta))
         .groupBy($"c_mktsegment", $"o_orderstatus")
@@ -1201,7 +1202,7 @@ object RelationalQueries {
       val m = t(s, dir, "orders")
         .groupBy($"o_custkey")
         .agg(sum(cents($"o_totalprice")).as("rev"))
-        .localCheckpoint() // histogram + HHI share scan
+        .graftCheckpoint() // histogram + HHI share scan
       // The revenue-value domain grows with the corpus — a global
       // `SUM OVER (ORDER BY v)` window (and the `OVER ()` totals)
       // would funnel the whole histogram through one reducer at scale.

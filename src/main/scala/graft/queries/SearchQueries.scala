@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.Checkpointer._
 import graft.ops.TextOps
 
 /** Search + remaining scalar-function conformance queries.
@@ -173,7 +174,7 @@ object SearchQueries {
           .withColumn("rk", row_number().over(latestInBatch))
           .filter($"rk" === 1)
           .select(docShape: _*)
-          .localCheckpoint() // pin: both stores consume the same batch
+          .graftCheckpoint() // pin: both stores consume the same batch
         sink.upsert(docs)
         idx = idx.upsert(docs, tokens)
         cursors.save("events", next)
@@ -197,7 +198,7 @@ object SearchQueries {
         .getOrElse(e.limit(0).select(docShape: _*))
       val victims = storeDocs
         .filter($"event_type" === "signup").select($"user_id")
-        .localCheckpoint()
+        .graftCheckpoint()
       sink.delete(victims)
       idx = idx.delete(victims)
       val terms = Seq("click", "purchase", "high")

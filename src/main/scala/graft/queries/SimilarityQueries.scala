@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.Checkpointer._
 import graft.ops.SimilarityOps
 
 /** Similarity-search conformance suite over `embeddings`
@@ -678,7 +679,7 @@ object SimilarityQueries {
           floor($"col".cast("double") * 1000 + 0.5).cast("long").as("c"))
         .groupBy($"label", $"dim")
         .agg(div(sum($"c"), count(lit(1))).as("m"))
-        .localCheckpoint() // feeds norms + both pair sides
+        .graftCheckpoint() // feeds norms + both pair sides
       val norms = cent.groupBy($"label").agg(sum($"m" * $"m").as("nn"))
       val dots = cent.select($"label".as("la"), $"dim", $"m".as("ma"))
         .join(cent.select($"label".as("lb"), $"dim", $"m".as("mb")),
@@ -1567,7 +1568,7 @@ object SimilarityQueries {
           .withColumn("rk", row_number().over(latestInBatch))
           .filter($"rk" === 1)
           .select(docShape: _*))
-          .localCheckpoint() // pin: both stores consume the same batch
+          .graftCheckpoint() // pin: both stores consume the same batch
         sink.upsert(vecs)
         annSink.upsert(vecs)
         cursors.save("events", next)
@@ -1589,20 +1590,31 @@ object SimilarityQueries {
         embed(e.limit(0).select(docShape: _*)))
       val victims = storeDocs
         .filter($"event_type" === "signup").select($"user_id")
-        .localCheckpoint()
+        .graftCheckpoint()
       sink.delete(victims)
       annSink.delete(victims)
-      val finalStore = storeDocs.localCheckpoint()
+      val finalStore = storeDocs.graftCheckpoint()
       // ghost/lost counters: the maintained index's live id set must
       // equal the store's exactly (a full-outer on the top-k alone
       // could not see a ghost — it drops at the re-rank vector fetch)
       val activeIds = SimilarityOps.activeIvfPqIndex(s, idxDir, "user_id")
         .select($"user_id")
       val storeIds = finalStore.select($"user_id")
-      val ghosts = activeIds.join(storeIds, Seq("user_id"), "left_anti")
-        .count()
-      val lost = storeIds.join(activeIds, Seq("user_id"), "left_anti")
-        .count()
+      // ONE full-outer aggregate job instead of two anti-join count()
+      // actions (guide §2.4 — fewer driver-sequenced actions): a ghost
+      // is an index id with no store match (null store flag), a lost
+      // row the reverse; both ids are unique per side (latest-per-key
+      // store, one active row per id), so the null-flag sums equal the
+      // anti-join counts exactly.
+      val glRow = activeIds.withColumn("__i", lit(1))
+        .join(storeIds.withColumn("__s", lit(1)), Seq("user_id"),
+          "full_outer")
+        .agg(
+          coalesce(sum(when($"__s".isNull, 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when($"__i".isNull, 1L).otherwise(0L)), lit(0L)))
+        .head()
+      val ghosts = glRow.getLong(0)
+      val lost = glRow.getLong(1)
       // maintained serve at full depth ≡ exact top-10 by cosine
       val served = SimilarityOps.ivfPqTopKStored(s, idxDir, "user_id",
           finalStore, "user_id", "embedding", qvec, centers, codebooks,

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.Checkpointer._
 import graft.ops.{FunnelOps, RangeJoinOps, TemporalOps}
 
 /** Temporal/window conformance suite over `events`.
@@ -884,7 +885,7 @@ object TemporalQueries {
           div(unix_micros($"ts"), lit(86400000000L)).as("day"))
         .groupBy($"event_type", $"day")
         .agg(count(lit(1)).as("y"))
-        .localCheckpoint() // two consumers (votes + spine), tiny table
+        .graftCheckpoint() // two consumers (votes + spine), tiny table
       val votes = rollup
         .select($"event_type", $"day", $"y",
           posexplode(typedLit(TemporalQueries.EwmaWeightsPpm)))
@@ -924,7 +925,7 @@ object TemporalQueries {
       val e = Tables.load(s, dir, "events")
         .select($"event_type",
           div(unix_micros($"ts"), lit(86400000000L)).as("day"))
-        .localCheckpoint() // feeds rollup + both spine dims
+        .graftCheckpoint() // feeds rollup + both spine dims
       // 'error' events excluded from the ROLLUP but not the day spine:
       // guarantees genuinely missing (type, day) cells exist to fill
       val rollup = e.where($"event_type" =!= "error")
@@ -978,7 +979,7 @@ object TemporalQueries {
           div(unix_micros($"ts"), lit(86400000000L)).as("day"))
         .groupBy($"event_type", $"day")
         .agg(count(lit(1)).as("y"))
-        .localCheckpoint() // both sides of the lag join
+        .graftCheckpoint() // both sides of the lag join
       val a = r.select($"event_type", $"day", $"y".as("ya"),
           explode(sequence(lit(1L), lit(7L))).as("k"))
         .withColumn("bday", $"day" + $"k")
@@ -1382,7 +1383,7 @@ object TemporalQueries {
         .select($"event_type",
           div(unix_micros($"ts"), lit(86400000000L)).as("day"))
         .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
-        .localCheckpoint() // votes + spine
+        .graftCheckpoint() // votes + spine
       val votes = r
         .select($"event_type", $"day", $"y",
           explode(sequence(lit(0L), lit(6L))).as("j"))
@@ -1442,7 +1443,7 @@ object TemporalQueries {
         .select($"event_type",
           div(unix_micros($"ts"), lit(86400000000L)).as("day"))
         .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
-        .localCheckpoint() // pair join + tie histogram + n
+        .graftCheckpoint() // pair join + tie histogram + n
       val a = r.select($"event_type", $"day".as("da"), $"y".as("ya"))
       val b = r.select($"event_type", $"day".as("db"), $"y".as("yb"))
       val sTab = a.join(b, Seq("event_type"))
@@ -1505,7 +1506,7 @@ object TemporalQueries {
         .select($"user_id", $"event_type",
           div(unix_micros($"ts"), lit(604800000000L)).as("wk"),
           round($"value" * 100, 0).cast("long").as("vc"))
-        .localCheckpoint() // signup + purchase branches
+        .graftCheckpoint() // signup + purchase branches
       val su = e.filter($"event_type" === "signup")
         .groupBy($"user_id").agg(min($"wk").as("ws"))
       val coh = su.groupBy($"ws").agg(count(lit(1)).as("n_users"))
@@ -1555,7 +1556,7 @@ object TemporalQueries {
         .select($"user_id", $"event_type",
           unix_micros($"ts").as("ts_us"), $"event_id")
         .withColumn("pos", row_number().over(wp).cast("long"))
-        .localCheckpoint() // both pattern sides
+        .graftCheckpoint() // both pattern sides
       val a = p.where($"event_type" === "view")
         .select($"user_id", $"pos".as("view_pos"),
           explode(sequence(lit(1L), lit(3L))).as("j"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.Checkpointer._
 import graft.ops.TextOps
 
 /** Text-analysis conformance suite over the `documents` table.
@@ -296,8 +297,13 @@ object TextQueries {
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // No Tables.spread here (r16 VERDICT #2): tfIdfTopTerms is
+      // dominated by the doc-frequency aggregate, not tokenization —
+      // the round-robin exchange was pure overhead (measured ~1.6-1.8×
+      // wall regression when it was added in r16; same reason the NB
+      // gates' spread was reverted).
       TextOps.tfIdfTopTerms(
-          Tables.spread(Tables.load(s, dir, "documents")),
+          Tables.load(s, dir, "documents"),
           "doc_id", "text", k = 5)
         .orderBy($"doc_id", $"rank")
     },
@@ -820,7 +826,7 @@ object TextQueries {
         .select($"source",
           explode(graft.ops.TextOps.tokenize($"text")).as("token"))
         .distinct()
-        .localCheckpoint() // three consumers of one tiny distinct set
+        .graftCheckpoint() // three consumers of one tiny distinct set
       val sz = tok.groupBy($"source").agg(count(lit(1)).as("nv"))
       val pairs = tok.select($"source".as("s1"), $"token")
         .join(tok.select($"source".as("s2"), $"token"), Seq("token"))
@@ -1031,7 +1037,7 @@ object TextQueries {
             slice(filter(TextOps.tokenize($"text"), t => t =!= ""), 1, 3),
             " ")).as("fp"))
         .distinct()
-        .localCheckpoint() // sizes + both posting sides
+        .graftCheckpoint() // sizes + both posting sides
       val sz = fp.groupBy($"source").agg(count(lit(1)).as("nf"))
       fp.select($"source".as("src_a"), $"fp")
         .join(fp.select($"source".as("src_b"), $"fp"), Seq("fp"))
