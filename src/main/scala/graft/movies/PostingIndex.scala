@@ -413,7 +413,13 @@ final class PostingIndex private (
         val posts = spark.read.parquet(postingsPath)
           .filter(col(TermBucketCol).isin(tbBuckets: _*))
           .join(termsDf, Seq("term"), "left_semi")
+        // pin the candidate ID SET (ids only — bounded by the terms'
+        // posting lists, tiny rows): the bucket collect below and the
+        // doc-fetch semi-join would otherwise each run the pruned
+        // posting scan + distinct again (guide §2.4 — the same
+        // subtree evaluated twice across driver actions)
         val candidates = posts.select(col(idCol)).distinct()
+          .graftCheckpoint()
         // candidate id-buckets: bounded by nDocBuckets, prunes the
         // doc scan
         val candBuckets = candidates
@@ -475,7 +481,17 @@ final class PostingIndex private (
     import spark.implicits._
     candidateDocs(terms.toDF("term"), termBuckets(terms), segs) match {
       case None => emptyScored()
-      case Some(cand) =>
+      case Some(cand0) =>
+        // Pin the folded candidate set ONCE (guide §2.4, fewer
+        // driver-sequenced evaluations): the df aggregate below and
+        // the caller's consuming action would otherwise each re-run
+        // the whole candidate plan — pruned posting scan, pruned doc
+        // fetch, delta fold, anti-join — i.e. the serve's dominant
+        // subtree evaluated twice per call. The pin holds exactly the
+        // serve's own working set (cost O(candidates), the documented
+        // bound of this face); stopword-grade terms belong on
+        // [[scoreTermsTopK]] either way.
+        val cand = cand0.graftCheckpoint()
         // df per term from the folded CURRENT candidates (one bounded
         // aggregate — every doc containing t is a candidate, so the
         // count within candidates IS the corpus df, integer-equal to
@@ -504,15 +520,23 @@ final class PostingIndex private (
     val posts = spark.read.parquet(postingsPath)
       .filter(col(TermBucketCol).isin(termBuckets(terms): _*) &&
         col("term").isin(terms: _*))
-    // df per term off the pruned posting scan: ≤ |terms| rows
-    val dfs = posts.groupBy(col("term")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // df per term AND the candidate id-buckets off ONE aggregate job
+    // over the pruned posting scan (guide §2.4 — previously two
+    // separate collect actions scanned it twice): df = the term's
+    // posting-row count as before; the bucket set is the union of the
+    // per-term collect_set's, each bounded by nDocBuckets, so the
+    // collected payload stays ≤ |terms| × nDocBuckets ints.
+    val statRows = posts.groupBy(col("term")).agg(
+        count(lit(1)).as("df"),
+        collect_set(pmod(xxhash64(col(idCol)), lit(nDocBuckets))
+          .cast("int")).as("bks"))
+      .collect()
+    val dfs = statRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     if (dfs.isEmpty) return emptyScored()
     val candidates = posts.select(col(idCol)).distinct()
     // candidate id-buckets: bounded by nDocBuckets, prunes the doc scan
-    val candBuckets = candidates
-      .select(pmod(xxhash64(col(idCol)), lit(nDocBuckets)).cast("int"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val candBuckets = statRows
+      .flatMap(_.getSeq[Int](2)).distinct.toSeq
     val pruned = spark.read.parquet(docsPath)
       .filter(col(DocBucketCol).isin(candBuckets: _*))
       .join(candidates, Seq(idCol), "left_semi")
@@ -1218,17 +1242,30 @@ final class PostingIndex private (
     val segs = liveSegs(sweep = true)
     val analyzed = fields.foldLeft(docs)((d, f) =>
       d.withColumn(s"__toks_$f", tokens(f))).graftCheckpoint()
-    // stats + the duplicate-id tripwire (ADVICE r11) in ONE aggregate
-    // job over the pinned batch (VERDICT r13 #7 — the CDC composition
-    // gates are driver-sequenced micro-jobs, so every merged action is
-    // tick latency back): duplicates would count twice in the integer
-    // stats while the seq-ordered fold serves one copy — silently
-    // breaking maintained ≡ rebuild — so they trip loudly here.
-    val statAggs = fields.map(f =>
-      sum(size(Search.toks(f)).cast("long")).as(s"sumdl_$f")) ++
-      Seq(count(lit(1)).as("n_docs"),
-        count_distinct(col(idCol)).as("n_ids"))
-    val newStats = analyzed.agg(statAggs.head, statAggs.tail: _*).head()
+    // Batch stats + the duplicate-id tripwire (ADVICE r11) + the
+    // REPLACED versions' stats all in ONE aggregate job (VERDICT r13
+    // #7 / guide §2.4 — the CDC composition gates are driver-sequenced
+    // micro-jobs, so every merged action is tick latency back): the
+    // batch rows and the ids' current stored versions union with a
+    // sign flag and each side folds under its own conditional sums —
+    // previously two separate aggregate actions per upsert. Duplicate
+    // ids would count twice in the integer stats while the seq-ordered
+    // fold serves one copy — silently breaking maintained ≡ rebuild —
+    // so they trip loudly here, exactly as before.
+    val old = currentVersionsOf(analyzed.select(col(idCol)), segs)
+    val both = analyzed.withColumn("__new", lit(true))
+      .unionByName(old.withColumn("__new", lit(false)))
+    val statAggs = fields.flatMap(f => Seq(
+      coalesce(sum(when(col("__new"),
+        size(Search.toks(f)).cast("long")).otherwise(0L)), lit(0L))
+        .as(s"sumdl_$f"),
+      coalesce(sum(when(!col("__new"),
+        size(Search.toks(f)).cast("long")).otherwise(0L)), lit(0L))
+        .as(s"old_sumdl_$f"))) ++
+      Seq(count(when(col("__new"), lit(1))).as("n_docs"),
+        count_distinct(when(col("__new"), col(idCol))).as("n_ids"),
+        count(when(!col("__new"), lit(1))).as("old_n"))
+    val newStats = both.agg(statAggs.head, statAggs.tail: _*).head()
     val newN = newStats.getAs[Long]("n_docs")
     if (newN == 0L) return this // empty batch: no segment, no-op
     // count_distinct excludes NULLs, so this also rejects null-keyed
@@ -1240,15 +1277,14 @@ final class PostingIndex private (
         "non-null ids — dedupe (and drop null keys) upstream, the " +
         "LogUpsertSink rule; duplicates would corrupt nDocs/sumdl " +
         "integer stats while the seq fold serves one copy")
-    val old = currentVersionsOf(analyzed.select(col(idCol)), segs)
-    val (oldStats, oldN) = PostingIndex.sumStats(old, fields)
+    val oldN = newStats.getAs[Long]("old_n")
     val seq = nextSeq()
     analyzed
       .withColumn(SeqCol, lit(seq)).withColumn(OpCol, lit("u"))
       .write.parquet(new Path(deltaPath, s"seg-$seq-u").toString)
     val m = PostingIndex.Meta(idCol, fields, weights,
       fields.map { f =>
-        val sub = if (oldN == 0L) 0L else oldStats.getAs[Long](s"sumdl_$f")
+        val sub = newStats.getAs[Long](s"old_sumdl_$f")
         f -> (sumdls(f) - sub + newStats.getAs[Long](s"sumdl_$f"))
       }.toMap,
       nDocs - oldN + newN, docCols, nTermBuckets, nDocBuckets,

@@ -109,19 +109,20 @@ object GraphOps {
     var prevSum = edgeSum(e)
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
-      // (r17 measured, kept OUT: an explicit repartition(u) /
-      // repartition(a) before each phase — so the phase's min-aggregate
-      // and min-attach join share one exchange — read as guide §2.4 on
-      // paper but MEASURED WORSE under AQE at sf0.1: jobs 109 → 118,
-      // shuffle 75.6 → 94.3 MB, because AQE's coalesced repartition
-      // output is not reusable by the join's requirement and the raw
-      // 2|E| rows shuffle without the aggregate's partial combine.)
-      val sym = e.select(col("a").as("u"), col("b").as("v"))
-        .union(e.select(col("b").as("u"), col("a").as("v")))
+    // One large-star + small-star contraction, lazily composed.
+    // (r17 measured, kept OUT: an explicit repartition(u) /
+    // repartition(a) before each phase — so the phase's min-aggregate
+    // and min-attach join share one exchange — read as guide §2.4 on
+    // paper but MEASURED WORSE under AQE at sf0.1: jobs 109 → 118,
+    // shuffle 75.6 → 94.3 MB, because AQE's coalesced repartition
+    // output is not reusable by the join's requirement and the raw
+    // 2|E| rows shuffle without the aggregate's partial combine.)
+    def contract(in: DataFrame): DataFrame = {
+      val sym = in.select(col("a").as("u"), col("b").as("v"))
+        .union(in.select(col("b").as("u"), col("a").as("v")))
       // no dedup here: each (u,v) direction emits at most once, the
       // min-aggregate below absorbs duplicates, and the round's single
-      // distinct on `next` canonicalizes — one less shuffle per round
+      // distinct canonicalizes — one less shuffle per round
       val lmin = sym.groupBy(col("u")).agg(min(col("v")).as("mnv"))
       val large = sym.join(lmin, Seq("u"))
         .filter(col("v") > col("u"))
@@ -131,10 +132,19 @@ object GraphOps {
       // endpoint; m = min smaller-neighbor (m < a by construction)
       val smin = large.groupBy(col("a")).agg(min(col("b")).as("m"))
       val withMin = large.join(smin, Seq("a"))
-      val next = withMin.select(col("a"), col("m").as("b"))
+      withMin.select(col("a"), col("m").as("b"))
         .union(withMin.filter(col("b") =!= col("m"))
           .select(col("b").as("a"), col("m").as("b")))
-        .distinct().graftCheckpoint()
+        .distinct()
+    }
+    // (r17 measured, also kept OUT: TWO lazily-composed contraction
+    // rounds per materialization + probe — halves the checkpoint/probe
+    // cadence on paper, but the unmaterialized inner round's subtree
+    // re-evaluates across the outer round's multiple references under
+    // AQE: jobs 109 → 128, shuffle read 75.6 → 135.9 MB at sf0.1.
+    // One materialized round per probe is the measured floor here.)
+    while (iter < maxIter && !converged) {
+      val next = contract(e).graftCheckpoint()
       val nextSum = edgeSum(next)
       e.unpersist() // bound executor storage to 2 edge copies
       e = next
@@ -363,11 +373,21 @@ object GraphOps {
       rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = edges
-      .select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    // canonical-distinct THEN symmetrize (guide §2.3 — shuffle fewer
+    // bytes): deduping the |E| canonical pairs and unioning both
+    // directions after yields the identical symmetrized edge set as
+    // the previous union-then-distinct, at half the distinct
+    // exchange's input (least/greatest skip nulls, so a null endpoint
+    // still collapses to a self-pair and drops at the a ≠ b filter,
+    // as before)
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct().graftCheckpoint()
+      .distinct()
+    val e = canon
+      .union(canon.select(col("b").as("a"), col("a").as("b")))
+      .graftCheckpoint()
     var active = seeds.select(col(seedCol).as("id")).distinct()
       .withColumn("rnd", lit(0L)).graftCheckpoint()
     var r = 0
@@ -409,14 +429,18 @@ object GraphOps {
       seeds: DataFrame, seedCol: String, rounds: Int,
       startT: Long = 0L): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = edges
-      .select(col(srcCol).as("a"), col(dstCol).as("b"),
+    // canonical-dedup then symmetrize (see thresholdCascade): the
+    // (a, b, t) triple set is identical, the dedup exchange carries
+    // |E| canonical rows instead of 2|E| directed ones
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"),
         col(tCol).cast("long").as("t"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b"),
-        col(tCol).cast("long").as("t")))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
       .groupBy(col("a"), col("b"), col("t")).agg(count(lit(1)).as("__d"))
       .drop("__d")
+    val e = canon
+      .union(canon.select(col("b").as("a"), col("a").as("b"), col("t")))
       .graftCheckpoint()
     var reach = seeds.select(col(seedCol).as("id")).distinct()
       .withColumn("arr", lit(startT)).graftCheckpoint()
@@ -682,11 +706,16 @@ object GraphOps {
       edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = edges
-      .select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    // canonical-dedup then symmetrize (see thresholdCascade): same
+    // edge set, half the distinct exchange's input
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct().graftCheckpoint()
+      .distinct()
+    val e = canon
+      .union(canon.select(col("b").as("a"), col("a").as("b")))
+      .graftCheckpoint()
     var dist = seeds.select(col(seedCol).as("id")).distinct()
       .withColumn("dist", lit(0L)).graftCheckpoint()
     var r = 0
@@ -717,14 +746,20 @@ object GraphOps {
   def weightedSeedDistances(
       edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
       seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = edges
-      .select(col(srcCol).as("a"), col(dstCol).as("b"),
+    require(rounds >= 0, s"rounds >= 0, got $rounds")
+    // canonical min-combine then symmetrize (see thresholdCascade):
+    // in the old directed groupBy each direction's group saw ALL of a
+    // pair's weights anyway (both directions of every edge were
+    // present), so min per canonical pair — half the combine
+    // exchange's input — yields the identical weighted edge set
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"),
         col(wCol).cast("long").as("w"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b"),
-        col(wCol).cast("long").as("w")))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
       .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+    val e = canon
+      .union(canon.select(col("b").as("a"), col("a").as("b"), col("w")))
       .graftCheckpoint()
     var dist = seeds.select(col(seedCol).as("id")).distinct()
       .withColumn("cost", lit(0L)).graftCheckpoint()
@@ -771,11 +806,16 @@ object GraphOps {
       edges: DataFrame, aCol: String, bCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val und = edges
-      .select(col(aCol).as("a"), col(bCol).as("b"))
-      .union(edges.select(col(bCol).as("a"), col(aCol).as("b")))
+    // canonical-dedup then symmetrize (see thresholdCascade): same
+    // edge set, half the distinct exchange's input
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct().graftCheckpoint()
+      .distinct()
+    val und = canon
+      .union(canon.select(col("b").as("a"), col("a").as("b")))
+      .graftCheckpoint()
     val nodes = und.select(col("a").as("id")).distinct().graftCheckpoint()
     var labels = nodes.withColumn("label", col("id"))
     var r = 0
@@ -957,8 +997,11 @@ object GraphOps {
         col(dstCol).cast("string").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b"))
+    // no .distinct() before the groupBy: collect_set dedups each
+    // node's neighbors itself (partially on the map side too), so the
+    // separate distinct was a full 2|E| exchange producing the
+    // identical adjacency (guide §2.4 — remove shuffles outright)
     val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
       .groupBy(col("a").as("__cur"))
       .agg(slice(sort_array(collect_set(col("b"))), 1, maxDegree)
         .as("__nbrs"))

@@ -1547,10 +1547,15 @@ object AnalyticsQueries {
       import s.implicits._
       val op = Tables.load(s, dir, "lineitem")
         .select($"l_orderkey".as("b"), $"l_partkey".as("i")).distinct()
+      // no .distinct() on the pair stream (guide §2.4): the operator's
+      // own canonical dedup absorbs duplicate wedges, so the
+      // query-side distinct was a second full |pairs| exchange
+      // producing the identical undirected edge set (q275 keeps its
+      // distinct — modularity consumes the pair MULTISET directly)
       val pairs = op.select($"b", $"i".as("pa"))
         .join(op.select($"b", $"i".as("pb")), Seq("b"))
         .filter($"pa" < $"pb")
-        .select($"pa", $"pb").distinct()
+        .select($"pa", $"pb")
       graft.ops.GraphOps.labelPropagation(pairs, "pa", "pb", rounds = 2)
         .orderBy($"id")
     },

@@ -787,6 +787,7 @@ class PlansSpec extends SparkTestBase {
        "pruned by candidate id-buckets, postings by term buckets) and " +
        "superseded versions drop via a broadcast anti-join — an " +
        "update never degrades serving to a corpus scan") {
+    import scala.jdk.CollectionConverters._
     import graft.movies.PostingIndex
     val dir = java.nio.file.Files
       .createTempDirectory("graft_pidx_maint_plan").toString
@@ -799,13 +800,48 @@ class PlansSpec extends SparkTestBase {
       nTermBuckets = 8, nDocBuckets = 8)
       .upsert(Seq(("doc_037", "now a plain row"),
         ("doc_101", "fresh needleterm row")).toDF("id", "text"), tokens)
-    val out = idx.scoreTerms(Seq("needleterm"))
-    // the old doc_037 version is superseded; the upserted doc_101 hits
-    assert(out.select("id").as[String].collect().toSeq === Seq("doc_101"))
-    val p = out.queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[[^\\]]*__db".r.findFirstIn(p).isDefined, p)
-    assert("PartitionFilters: \\[[^\\]]*__tb".r.findFirstIn(p).isDefined, p)
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // Since r17 the maintained serve PINS its folded candidate set
+    // once (one evaluation instead of one per downstream action), so
+    // the pruned base scans and the superseded-version anti-join live
+    // in the PIN's executed plan — the served frame reads the pinned
+    // RDD. Capture every executed plan of the serve (the pin is a
+    // checkpoint action, which runs through withAction and therefore
+    // reaches QueryExecutionListener) and assert the shape there.
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { captured.add(qe.executedPlan.toString); () }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = idx.scoreTerms(Seq("needleterm"))
+      // the old doc_037 version is superseded; the upserted doc_101 hits
+      assert(out.select("id").as[String].collect().toSeq === Seq("doc_101"))
+      // the served plan reads the pinned candidates — NO file scan of
+      // the corpus remains downstream of the pin
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("FileScan"), p)
+      // listener delivery is async: poll for the pin plan carrying the
+      // pruned scans + the touched-id broadcast anti-join
+      def anyCaptured(re: scala.util.matching.Regex): Boolean = {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (System.nanoTime() < deadline) {
+          if (captured.asScala.exists(s => re.findFirstIn(s).isDefined))
+            return true
+          Thread.sleep(50)
+        }
+        false
+      }
+      def dump() = captured.asScala.mkString("\n--- captured plan ---\n")
+      assert(anyCaptured("PartitionFilters: \\[[^\\]]*__db".r), dump())
+      assert(anyCaptured("PartitionFilters: \\[[^\\]]*__tb".r), dump())
+      assert(anyCaptured(
+        "(?s)BroadcastHashJoin[^\\n]*LeftAnti".r), dump())
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("pruned deep-pagination page shape: PostingIndex.searchAfter " +
